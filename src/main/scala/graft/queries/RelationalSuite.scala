@@ -1,0 +1,405 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Dsl._
+
+/** SURVEY §2.2 — the full relational-algebra surface the reference lacks
+  * (README "Limitations": no joins, single table) but any OLAP engine at
+  * scale needs. All plans are declarative: Catalyst chooses broadcast vs
+  * shuffle joins (hinted where the right answer is known statically), AQE
+  * handles skew/coalescing at runtime.
+  */
+object RelationalSuite {
+
+  private val ts = (s: String) => lit(s).cast("timestamp")
+
+  val queries: Seq[Q] = Seq(
+
+    // #12 broadcast dim join: nation+region are tiny dimension tables —
+    // broadcast them so the fact scan never shuffles.
+    Q("join_broadcast",
+      (s, d) => Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy("r_name"),
+      Some(s"""SELECT r_name, COUNT(*) AS n_cust, ${dsumSql("c_acctbal")} AS sum_bal
+               FROM customer
+               JOIN nation ON c_nationkey = n_nationkey
+               JOIN region ON n_regionkey = r_regionkey
+               GROUP BY r_name ORDER BY r_name""")),
+
+    // #13 fact-fact equi-join: shuffles both sides on the join key; at
+    // 100 TB this is the canonical co-partitioned shuffle join (AQE picks
+    // shuffled-hash vs sort-merge and splits skewed partitions).
+    Q("join_shuffle",
+      (s, d) => Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          psum(revenue(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+        .orderBy("o_orderpriority"),
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+               ${psumSql(revenueSql)} AS revenue
+               FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+               GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // #14 left-semi (EXISTS): customers with at least one order.
+    Q("join_semi",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_active"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_active FROM customer
+              WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // #15 left-anti (NOT EXISTS): customers that never ordered.
+    Q("join_anti",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+              WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+              ORDER BY c_custkey""")),
+
+    // #16 left-outer join with null-safe aggregation.
+    Q("join_outer",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(dsum(col("o_totalprice")), lit(0.0)).as("spent"))
+        .orderBy("c_custkey"),
+      Some(s"""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+               COALESCE(${dsumSql("o_totalprice")}, 0.0) AS spent
+               FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+               GROUP BY c_custkey ORDER BY c_custkey""")),
+
+    // #17 ranking window: top-3 customers by balance per nation.
+    Q("window_rank", (s, d) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      Tables.customer(s, d)
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal", "rnk")
+        .orderBy("c_nationkey", "rnk", "c_custkey")
+    },
+      Some("""SELECT c_nationkey, c_custkey, c_acctbal, rnk FROM (
+                SELECT c_nationkey, c_custkey, c_acctbal,
+                       RANK() OVER (PARTITION BY c_nationkey
+                                    ORDER BY c_acctbal DESC, c_custkey) AS rnk
+                FROM customer) t
+              WHERE rnk <= 3 ORDER BY c_nationkey, rnk, c_custkey""")),
+
+    // #18 running aggregate + lag: per-customer cumulative spend.
+    Q("window_running", (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .withColumn("running_spend",
+          sum(dec(col("o_totalprice")))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"))
+        .withColumn("prev_date", lag(to_date(col("o_orderdate")), 1).over(w))
+        .select(col("o_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("o_orderdate"),
+          col("running_spend"), col("prev_date"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    },
+      Some("""SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4)))
+                     OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  AS running_spend,
+                LAG(CAST(o_orderdate AS DATE), 1)
+                     OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                  AS prev_date
+              FROM orders
+              ORDER BY o_custkey, o_orderdate, o_orderkey""")),
+
+    // #19 ROLLUP hierarchy totals.
+    Q("rollup_agg",
+      (s, d) => Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+               ${dsumSql("l_quantity")} AS sum_qty
+               FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+               ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
+    // #20 CUBE cross-tab totals.
+    Q("cube_agg",
+      (s, d) => Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+               ${dsumSql("l_extendedprice")} AS sum_price
+               FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+               ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
+    // #21 set operations: nations that have customers vs suppliers.
+    Q("set_ops", (s, d) => {
+      val c = Tables.customer(s, d).select(col("c_nationkey").as("k"))
+      val sup = Tables.supplier(s, d).select(col("s_nationkey").as("k"))
+      val both = c.intersect(sup).withColumn("tag", lit("both"))
+      val custOnly = c.except(sup).withColumn("tag", lit("cust_only"))
+      both.unionAll(custOnly).select("tag", "k").orderBy("tag", "k")
+    },
+      Some("""SELECT 'both' AS tag, k FROM
+                (SELECT c_nationkey AS k FROM customer
+                 INTERSECT SELECT s_nationkey FROM supplier) t1
+              UNION ALL
+              SELECT 'cust_only' AS tag, k FROM
+                (SELECT c_nationkey AS k FROM customer
+                 EXCEPT SELECT s_nationkey FROM supplier) t2
+              ORDER BY tag, k""")),
+
+    // #22 pivot: linestatus values become columns.
+    Q("pivot_agg",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(dsum(col("l_quantity")))
+        .orderBy("l_returnflag"),
+      Some(s"""SELECT l_returnflag,
+               CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(25,4)) END) AS DOUBLE) AS "F",
+               CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(25,4)) END) AS DOUBLE) AS "O"
+               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // #23 scalar + IN subqueries (Catalyst rewrites IN to a semi join and
+    // the scalar subquery to a broadcast of one row).
+    Q("subquery_in", (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      s.sql("""SELECT o_orderkey, o_totalprice FROM orders
+               WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE)/COUNT(*) FROM orders)
+                 AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+               ORDER BY o_orderkey""")
+    },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+              WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE)/COUNT(*) FROM orders)
+                AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+              ORDER BY o_orderkey""")),
+
+    // #24 CASE WHEN bucketing + conditional aggregation.
+    Q("case_expr",
+      (s, d) => Tables.orders(s, d)
+        .withColumn("bucket",
+          when(col("o_totalprice") < 50000, "small")
+            .when(col("o_totalprice") < 150000, "mid")
+            .otherwise("large"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_open"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("bucket"),
+      Some(s"""SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                           WHEN o_totalprice < 150000 THEN 'mid'
+                           ELSE 'large' END AS bucket,
+               COUNT(*) AS cnt,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+               ${dsumSql("o_totalprice")} AS sum_price
+               FROM orders GROUP BY 1 ORDER BY bucket""")),
+
+    // #25 string function family.
+    Q("string_funcs",
+      (s, d) => Tables.part(s, d)
+        .filter(col("p_name").like("%a%"))
+        .select(col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          substring(col("p_name"), 1, 10).as("name10"),
+          concat(col("p_type"), lit("#"), col("p_brand")).as("type_brand"),
+          length(col("p_name")).as("name_len"),
+          regexp_replace(col("p_name"), " ", "_").as("name_us"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, UPPER(p_brand) AS brand_u, SUBSTR(p_name, 1, 10) AS name10,
+              p_type || '#' || p_brand AS type_brand,
+              CAST(LENGTH(p_name) AS INTEGER) AS name_len,
+              REPLACE(p_name, ' ', '_') AS name_us
+              FROM part WHERE p_name LIKE '%a%' ORDER BY p_partkey""")),
+
+    // #26 date/time function family.
+    Q("date_funcs",
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          to_date(date_trunc("month", col("o_orderdate"))).as("month_start"),
+          datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date")).as("days_since"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+              CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS y,
+              CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS m,
+              CAST(EXTRACT(DAY FROM o_orderdate) AS INTEGER) AS dom,
+              CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+              CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since
+              FROM orders ORDER BY o_orderkey""")),
+
+    // #27 TPC-H Q1 pricing summary (flagship wide aggregation).
+    Q("tpch_q1",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          psum(revenue(col("l_extendedprice"), col("l_discount"))).as("sum_disc_price"),
+          // (1-d)*(1+t) is an exact 4-decimal product of 2-decimal inputs:
+          // combine in double space first so only one decimal multiply is
+          // needed (a decimal triple product overflows DuckDB's width rules).
+          psum(dmoney(col("l_extendedprice")) *
+            dfrac((lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+               ${dsumSql("l_quantity")} AS sum_qty,
+               ${dsumSql("l_extendedprice")} AS sum_base_price,
+               ${psumSql(revenueSql)} AS sum_disc_price,
+               ${psumSql(s"${dmoneySql("l_extendedprice")} * ${dfracSql("(1 - l_discount) * (1 + l_tax)")}")} AS sum_charge,
+               ${davgSql("l_quantity")} AS avg_qty,
+               ${davgSql("l_extendedprice")} AS avg_price,
+               ${davgSql("l_discount")} AS avg_disc,
+               COUNT(*) AS count_order
+               FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+               GROUP BY l_returnflag, l_linestatus
+               ORDER BY l_returnflag, l_linestatus""")),
+
+    // #28 TPC-H Q3 shipping priority: selective dim filter first, then two
+    // shuffle joins on the fact keys, then top-k (TakeOrderedAndProject).
+    Q("tpch_q3", (s, d) => {
+      val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.orders(s, d).filter(col("o_orderdate") < ts("1998-01-01 00:00:00"))
+      val li = Tables.lineitem(s, d).filter(col("l_shipdate") > ts("1998-01-01 00:00:00"))
+      cust.join(ord, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"))
+        .agg(psum(revenue(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    },
+      Some(s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+               ${psumSql(revenueSql)} AS revenue
+               FROM customer
+               JOIN orders ON c_custkey = o_custkey
+               JOIN lineitem ON o_orderkey = l_orderkey
+               WHERE c_mktsegment = 'BUILDING'
+                 AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                 AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+               GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+               ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
+
+    // #29 TPC-H Q5 local supplier volume: 6-way join; dims broadcast, facts
+    // shuffle on their keys.
+    Q("tpch_q5", (s, d) => {
+      val asia = broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA"))
+      val nat = broadcast(Tables.nation(s, d))
+      val sup = broadcast(Tables.supplier(s, d))
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+          col("o_orderdate") < ts("1997-01-01 00:00:00"))
+      Tables.customer(s, d)
+        .join(ord, col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(nat, col("s_nationkey") === col("n_nationkey"))
+        .join(asia, col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(psum(revenue(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    },
+      Some(s"""SELECT n_name, ${psumSql(revenueSql)} AS revenue
+               FROM customer
+               JOIN orders ON c_custkey = o_custkey
+               JOIN lineitem ON o_orderkey = l_orderkey
+               JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+               JOIN nation ON s_nationkey = n_nationkey
+               JOIN region ON n_regionkey = r_regionkey
+               WHERE r_name = 'ASIA'
+                 AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                 AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+               GROUP BY n_name ORDER BY revenue DESC, n_name""")),
+
+    // #30 TPC-H Q6 forecast revenue: pure pushed-filter + single aggregate.
+    Q("tpch_q6",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+          col("l_shipdate") < ts("1997-01-01 00:00:00") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(psum(dmoney(col("l_extendedprice")) * dfrac(col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n")),
+      Some(s"""SELECT ${psumSql(s"${dmoneySql("l_extendedprice")} * ${dfracSql("l_discount")}")} AS revenue, COUNT(*) AS n
+               FROM lineitem
+               WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                 AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+                 AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""")),
+
+    // #31 tumbling time-window aggregation over the event stream (batch
+    // twin of streaming/EventsPipeline; epoch-aligned hourly buckets).
+    Q("events_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("hour_start", "event_type"),
+      Some(s"""SELECT strftime(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+               event_type, COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+               FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""")),
+
+    // #32 sessionization: 30-minute-gap sessions via lag + prefix sum (the
+    // batch twin of the stateful streaming sessionizer).
+    Q("events_sessionize", (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+        .groupBy("user_id")
+        .agg(sum(col("new_s")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    },
+      Some("""WITH flagged AS (
+                SELECT user_id,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                              OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+              SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions,
+                     COUNT(*) AS n_events
+              FROM flagged GROUP BY user_id ORDER BY user_id""")),
+
+    // #33a exact distinct count (oracle twin of the HLL sketch below).
+    Q("distinct_count",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // #33b HLL approximate distinct — sketch values differ per engine, so
+    // rows-only check; the spec asserts <5% error vs the exact twin.
+    Q("approx_distinct",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("n_parts_approx"))
+        .orderBy("l_returnflag"),
+      None)
+  )
+}
