@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.sketches._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY §2.5).
+  *
+  * Brute force is the exact baseline: the (small) query set is broadcast
+  * and the corpus is scanned once — at 100 TB the corpus never shuffles,
+  * and per-partition top-k (TakeOrdered via window on the query key) keeps
+  * the result tiny. The LSH variant buckets the corpus by hyperplane-
+  * sketch bands so each query only scores its own buckets.
+  */
+object Ann {
+
+  /** Exact top-k cosine neighbors for each query vector. */
+  def bruteForce(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine_sim(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** SRP-LSH top-k: queries only score corpus vectors sharing at least one
+    * sketch band. Approximate — recall measured against [[bruteForce]] in
+    * the spec.
+    */
+  def lsh(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def banded(df: DataFrame, idAs: String, vecAs: String): DataFrame =
+      df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
+          hyperplane_sketch(col(vecCol)).as("sk"))
+        .select(col(idAs), col(vecAs),
+          explode(array((0 until 8).map(b => struct(lit(b).as("band"),
+            shiftrightunsigned(col("sk"), b * 8).bitwiseAND(lit(0xffL)).as("bv"))): _*)).as("bk"))
+        .select(col(idAs), col(vecAs), col("bk.band").as("band"), col("bk.bv").as("bv"))
+    val cb = banded(corpus, "neighbor_id", "cv")
+    val qb = broadcast(banded(queries, "query_id", "qv"))
+    val cand = cb.join(qb, Seq("band", "bv"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "qv", "neighbor_id", "cv").distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand.withColumn("cos", cosine_sim(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+}

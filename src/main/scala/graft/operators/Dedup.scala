@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.functions.sketches._
+
+/** Deduplication operators over a document table (SURVEY §2.4).
+  *
+  * Every variant is shuffle-bounded: candidates come from equality joins on
+  * block keys (LSH bands / hash bands / sketch bands), never from a cross
+  * product, so the plans scale to 100 TB corpora. Hot blocks (e.g. boiler-
+  * plate duplicated millions of times) are capped at [[maxBucket]] docs —
+  * the standard skew guard for LSH joins; at production scale the capped
+  * buckets would be routed to a dedicated all-identical path.
+  */
+object Dedup {
+
+  val maxBucket = 64
+
+  /** Exact dedup: md5-of-normalized-text identity; keeper = min doc id.
+    * One shuffle (window by fingerprint).
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(col("fp"))
+    docs.select(col(idCol), Text.fingerprint(col(textCol)).as("fp"))
+      .withColumn("keep", col(idCol) === min(col(idCol)).over(w))
+  }
+
+  /** MinHash signatures per doc: (id, sig array<long>). One projection —
+    * the signature is computed in a single pass per row (custom Catalyst
+    * expression), so no per-permutation UDF storm.
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, perms: Int = 128): DataFrame =
+    docs.select(col(idCol).as("id"),
+      minhash_sig(Text.shingleHashes(col(textCol), k), perms).as("sig"))
+
+  /** LSH banding: explode each signature into (band, band_hash) block keys. */
+  def bandize(sigs: DataFrame, bands: Int = 32, rows: Int = 4): DataFrame = {
+    // xxhash64 over the stringified band slice: ANSI-safe (no overflowing
+    // arithmetic) and well-mixed bucket keys.
+    val bandHash = (b: Column) =>
+      xxhash64(concat_ws(",", transform(slice(col("sig"), b * rows + 1, lit(rows)),
+        x => x.cast("string"))))
+    sigs.select(col("id"), col("sig"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"), bandHash(b).as("bh")))).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+  }
+
+  /** Candidate pairs from LSH buckets: equality self-join on (band, bh),
+    * skew-capped, deduplicated. Estimated Jaccard = fraction of equal
+    * signature positions.
+    */
+  def minhashCandidates(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol)
+    val banded = bandize(sigs)
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "bh")))
+      .filter(col("bucket_n") <= maxBucket)
+      .select("id", "band", "bh")
+    val a = banded.select(col("id").as("id_a"), col("band"), col("bh"))
+    val b = banded.select(col("id").as("id_b"), col("band"), col("bh"))
+    val pairs = a.join(b, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sigA = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
+    val sigB = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
+    pairs.join(sigA, "id_a").join(sigB, "id_b")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / size(col("sig_a")))
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** Exact n-gram Jaccard, verified only on LSH candidates (never all
+    * pairs): |A∩B| / |A∪B| over distinct shingle-hash sets.
+    */
+  def ngramJaccard(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 3): DataFrame = {
+    val cand = minhashCandidates(docs, idCol, textCol).select("id_a", "id_b")
+    val sh = docs.select(col(idCol).as("id"), Text.shingleHashes(col(textCol), k).as("sh"))
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash near-dup pairs: 64-bit fingerprints, blocked on four 16-bit
+    * bands (hamming ≤ 3 guarantees at least one equal band), verified with
+    * bit_count.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxHamming: Int = 3): DataFrame = {
+    val hashed = docs.select(col(idCol).as("id"),
+      simhash64(Text.tokens(col(textCol))).as("sh"))
+    val banded = hashed.select(col("id"), col("sh"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+          shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xffffL)).as("bv"))): _*)).as("bk"))
+      .select(col("id"), col("sh"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "bv")))
+      .filter(col("bucket_n") <= maxBucket)
+    val a = banded.select(col("id").as("id_a"), col("sh").as("sh_a"), col("band"), col("bv"))
+    val b = banded.select(col("id").as("id_b"), col("sh").as("sh_b"), col("band"), col("bv"))
+    a.join(b, Seq("band", "bv")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(sh_a ^ sh_b)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-dup pairs: SRP-LSH blocking (eight 8-bit bands of a
+    * 64-bit hyperplane sketch), cosine-verified within blocks.
+    */
+  def embeddingPairs(embs: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", minCosine: Double = 0.95): DataFrame = {
+    val sk = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
+      hyperplane_sketch(col(vecCol)).as("sk"))
+    val banded = sk.select(col("id"), col("v"),
+        explode(array((0 until 8).map(b => struct(lit(b).as("band"),
+          shiftrightunsigned(col("sk"), b * 8).bitwiseAND(lit(0xffL)).as("bv"))): _*)).as("bk"))
+      .select(col("id"), col("v"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "bv")))
+      .filter(col("bucket_n") <= maxBucket * 4)
+    val a = banded.select(col("id").as("id_a"), col("v").as("v_a"), col("band"), col("bv"))
+    val b = banded.select(col("id").as("id_b"), col("v").as("v_b"), col("band"), col("bv"))
+    a.join(b, Seq("band", "bv")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "v_a", "v_b").distinct()
+      .withColumn("cos", cosine_sim(col("v_a"), col("v_b")))
+      .filter(col("cos") >= minCosine)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** Per-doc roll-up of a pair table: every input doc appears once, with
+    * its candidate-neighbor count and best score (0 when none) — a stable,
+    * never-empty dedup report shape.
+    */
+  def perDocReport(docs: DataFrame, pairs: DataFrame, idCol: String,
+      scoreCol: String): DataFrame = {
+    val fwd = pairs.select(col("id_a").as("id"), col(scoreCol).as("s"))
+    val rev = pairs.select(col("id_b").as("id"), col(scoreCol).as("s"))
+    val perDoc = fwd.unionAll(rev).groupBy("id")
+      .agg(count(lit(1)).as("n_candidates"), max(col("s")).as("best_score"))
+    docs.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left_outer")
+      .select(col("id").as(idCol),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("best_score"), lit(0.0)).as("best_score"))
+  }
+}

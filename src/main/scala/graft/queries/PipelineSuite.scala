@@ -1,0 +1,177 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Text
+import graft.operators.{Ann, Dedup}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** SURVEY §2.4 (dedup), §2.5 (similarity search), §2.6 (text analysis) —
+  * the LLM-training-data pipeline operators, over `documents` and
+  * `embeddings`.
+  *
+  * Sketch-based ops (MinHash/SimHash/SRP) are rows-only: their outputs are
+  * engine-specific signatures, so the driver checks shape while the
+  * ScalaTest specs assert semantics (recall vs exact baselines). Everything
+  * SQL-expressible is oracle-checked.
+  */
+object PipelineSuite {
+
+  val queries: Seq[Q] = Seq(
+
+    // #36 exact dedup (oracle): fingerprint identity, keeper = min doc_id.
+    Q("dedup_exact",
+      (s, d) => Dedup.exact(Tables.documents(s, d)).orderBy("doc_id"),
+      Some("""WITH f AS (SELECT doc_id,
+                md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+              FROM documents)
+              SELECT doc_id, fp,
+                     (doc_id = MIN(doc_id) OVER (PARTITION BY fp)) AS keep
+              FROM f ORDER BY doc_id""")),
+
+    // #37 MinHash+LSH near-dup report (rows-only: per-doc candidate count
+    // and best estimated Jaccard; all docs present).
+    Q("dedup_minhash_lsh", (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.perDocReport(docs, Dedup.minhashCandidates(docs), "doc_id", "est_jaccard")
+        .orderBy("doc_id")
+    }, None),
+
+    // #38 SimHash near-dup report (rows-only).
+    Q("dedup_simhash", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.simhashPairs(docs)
+        .withColumn("sim", lit(64) - col("hamming"))
+      Dedup.perDocReport(docs, pairs, "doc_id", "sim").orderBy("doc_id")
+    }, None),
+
+    // #39 exact n-gram Jaccard on LSH candidates (rows-only).
+    Q("dedup_ngram_jaccard", (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.perDocReport(docs, Dedup.ngramJaccard(docs), "doc_id", "jaccard")
+        .orderBy("doc_id")
+    }, None),
+
+    // #40 embedding-cosine near-dup report (rows-only).
+    Q("dedup_embedding", (s, d) => {
+      val embs = Tables.embeddings(s, d)
+      Dedup.perDocReport(embs, Dedup.embeddingPairs(embs, minCosine = 0.9),
+        "vec_id", "cos").orderBy("vec_id")
+    }, None),
+
+    // #41 exact brute-force top-k cosine neighbors (oracle: integer ranks
+    // from DuckDB's own list_cosine_similarity — cosine gaps are far above
+    // cross-engine float noise).
+    Q("ann_bruteforce", (s, d) => {
+      val embs = Tables.embeddings(s, d)
+      Ann.bruteForce(embs, embs.filter(col("vec_id") % 100 === 0), k = 5)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                         FROM embeddings WHERE vec_id % 100 = 0),
+              scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                                list_cosine_similarity(e.embedding, q.qv) AS cos
+                         FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+              ranked AS (SELECT query_id, neighbor_id,
+                                ROW_NUMBER() OVER (PARTITION BY query_id
+                                                   ORDER BY cos DESC, neighbor_id) AS rank
+                         FROM scored)
+              SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
+              ORDER BY query_id, rank""")),
+
+    // #42 SRP-LSH approximate top-k (rows-only; recall vs #41 in the spec).
+    Q("ann_lsh", (s, d) => {
+      val embs = Tables.embeddings(s, d)
+      Ann.lsh(embs, embs.filter(col("vec_id") % 100 === 0), k = 5)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    }, None),
+
+    // #43 vector algebra with an exact decimal oracle.
+    Q("vector_norms", (s, d) => {
+      // float -> double -> decimal: Spark's direct float->decimal cast goes
+      // through the float's string repr and disagrees with DuckDB's
+      // double-based cast; widening to double first makes both exact.
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("double").cast(DecimalType(18, 6))
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), explode(col("embedding")).as("x"))
+        .groupBy("vec_id")
+        .agg(count(lit(1)).as("dim"),
+          sum(dec(col("x")) * dec(col("x"))).cast("double").as("norm_sq"))
+        .orderBy("vec_id")
+    },
+      Some("""SELECT vec_id, COUNT(*) AS dim,
+                CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)) * CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) AS norm_sq
+              FROM (SELECT vec_id, UNNEST(embedding) AS x FROM embeddings) t
+              GROUP BY vec_id ORDER BY vec_id""")),
+
+    // #44 token counting (oracle).
+    Q("text_tokencount",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), Text.tokenCount(col("text")).as("n_tokens"),
+          length(col("text")).as("n_chars"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS INTEGER) AS n_tokens,
+                CAST(LENGTH(text) AS INTEGER) AS n_chars
+              FROM documents ORDER BY doc_id""")),
+
+    // #45 quality scoring (oracle): identical double arithmetic both sides.
+    Q("text_quality", (s, d) => {
+      val norm = Text.normalize(col("text"))
+      val nTokens = Text.tokenCount(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          length(col("text")).as("n_chars"),
+          nTokens.as("n_tokens"),
+          (length(translate(norm, " ", "")) / nTokens).as("mean_word_len"),
+          (length(regexp_replace(col("text"), "[^0-9]", "")) / length(col("text"))).as("digit_ratio"),
+          (least(lit(1.0), nTokens / lit(100.0)) *
+            (lit(1.0) - length(regexp_replace(col("text"), "[^0-9]", "")) / length(col("text"))))
+            .as("quality_score"))
+        .orderBy("doc_id")
+    },
+      Some("""SELECT doc_id,
+                CAST(LENGTH(text) AS INTEGER) AS n_chars,
+                CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS INTEGER) AS n_tokens,
+                LENGTH(replace(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ', ''))
+                  / len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS mean_word_len,
+                LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) / LENGTH(text) AS digit_ratio,
+                LEAST(1.0, len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) / 100.0)
+                  * (1.0 - LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) / LENGTH(text)) AS quality_score
+              FROM documents ORDER BY doc_id""")),
+
+    // #46 heuristic language ID (rows-only; determinism + coverage in spec).
+    Q("text_langid", (s, d) => {
+      val (lang, hits) = Text.langid(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), lang.as("lang_pred"), hits.as("stopword_hits"))
+        .orderBy("doc_id")
+    }, None),
+
+    // #47 document fingerprinting (oracle; identity used by dedup_exact).
+    Q("text_fingerprint",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+              FROM documents ORDER BY doc_id""")),
+
+    // #48 shingle extraction stats (oracle on counts).
+    Q("text_shingles",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          Text.tokenCount(col("text")).as("n_tokens"),
+          size(Text.shingles(col("text"), 3)).as("n_shingles"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS INTEGER) AS n_tokens,
+                CAST(CASE WHEN len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) >= 3
+                     THEN len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) - 2
+                     ELSE 1 END AS INTEGER) AS n_shingles
+              FROM documents ORDER BY doc_id"""))
+  )
+}
