@@ -34,15 +34,26 @@ object Ann {
   /** SRP-LSH top-k: queries only score corpus vectors sharing at least one
     * sketch band. Approximate — recall measured against [[bruteForce]] in
     * the spec.
+    *
+    * Band geometry is the recall/pruning dial: for a pair at angle θ each
+    * sketch bit agrees with prob 1-θ/π, a band of `bandBits` bits with that
+    * prob^bandBits, and recall ≈ 1-(1-p^bits)^bands. The default 16×4
+    * favors recall on weakly-clustered corpora (near-random embeddings,
+    * neighbor cos ≈ 0.3 → ~0.9 recall); production embedding spaces with
+    * neighbor cos ≥ 0.8 should widen to 8×8 for ~100× harder pruning at
+    * the same recall. bands*bandBits ≤ 64 (one packed sketch).
     */
   def lsh(corpus: DataFrame, queries: DataFrame, k: Int = 5,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      bands: Int = 16, bandBits: Int = 4): DataFrame = {
+    require(bands * bandBits <= 64, "band geometry exceeds the 64-bit sketch")
+    val mask = (1L << bandBits) - 1
     def banded(df: DataFrame, idAs: String, vecAs: String): DataFrame =
       df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
           hyperplane_sketch(col(vecCol)).as("sk"))
         .select(col(idAs), col(vecAs),
-          explode(array((0 until 8).map(b => struct(lit(b).as("band"),
-            shiftrightunsigned(col("sk"), b * 8).bitwiseAND(lit(0xffL)).as("bv"))): _*)).as("bk"))
+          explode(array((0 until bands).map(b => struct(lit(b).as("band"),
+            shiftrightunsigned(col("sk"), b * bandBits).bitwiseAND(lit(mask)).as("bv"))): _*)).as("bk"))
         .select(col(idAs), col(vecAs), col("bk.band").as("band"), col("bk.bv").as("bv"))
     val cb = banded(corpus, "neighbor_id", "cv")
     val qb = broadcast(banded(queries, "query_id", "qv"))

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Extracted per-asset features (the output of the stub "decoder"). */
+case class MediaFeatures(
+    doc_id: Long,
+    modality: String,
+    n_bytes: Long,
+    mean_byte: Double,
+    byte_entropy: Double,
+    checksum: Long)
+
+/** SURVEY §2.7 — multimodal column plumbing.
+  *
+  * Pattern for a 100 TB training-data pipeline: media assets ride through
+  * Spark as opaque `binary` columns with a typed metadata struct; decode /
+  * feature-extract runs batch-wise inside `mapPartitions` so each executor
+  * core amortizes decoder setup over a batch of assets (the shape a real
+  * image/audio decoder — JNI or Arrow-batched — needs).
+  *
+  * The decode step itself is a DETERMINISTIC STUB (this container has no
+  * image/audio libraries): it "decodes" the payload into its own bytes and
+  * extracts byte-level statistics. Everything around it — schema, batch
+  * iteration, partitioning, typed output — is the real plumbing and is
+  * spec-tested.
+  */
+object Multimodal {
+
+  /** Rows per decoder batch inside a partition (amortizes decoder init;
+    * bounds peak memory to batchSize × max asset size per core).
+    */
+  val DecodeBatchSize = 64
+
+  val metaSchema: StructType = StructType(Seq(
+    StructField("modality", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false)))
+
+  /** Attach a synthetic binary payload + typed metadata struct to the
+    * documents table — stands in for reading real (id, bytes, meta) media
+    * parquet, which carries exactly this shape.
+    */
+  def withPayload(docs: DataFrame): DataFrame = {
+    val modality = element_at(
+      array(lit("image"), lit("audio"), lit("video")),
+      (col("doc_id") % 3 + 1).cast(IntegerType))
+    val payload = encode(col("text"), "UTF-8")
+    docs.select(
+      col("doc_id"),
+      payload.as("payload"),
+      struct(
+        modality.as("modality"),
+        (col("doc_id") % 640 + 32).cast(IntegerType).as("width"),
+        (col("doc_id") % 480 + 32).cast(IntegerType).as("height"),
+        when(modality === "audio", 16000).otherwise(0).cast(IntegerType).as("sample_rate"),
+        length(payload).cast(LongType).as("n_bytes")
+      ).as("meta"))
+  }
+
+  /** Stub decoder: a real implementation would hand `payloads` (one batch)
+    * to an image/audio library and return per-asset tensors. Here it
+    * deterministically returns the payload bytes themselves.
+    */
+  private def decodeBatchStub(payloads: Seq[Array[Byte]]): Seq[Array[Byte]] =
+    payloads
+
+  /** Batch-wise feature extraction over the (payload, meta) columns.
+    *
+    * Runs as `mapPartitions` so the stub decoder sees `DecodeBatchSize`
+    * assets at a time — the partition stays streaming (no full-partition
+    * materialization), so executor memory is bounded regardless of
+    * partition size.
+    */
+  def extractFeatures(withPayloads: DataFrame): Dataset[MediaFeatures] = {
+    val spark = withPayloads.sparkSession
+    import spark.implicits._
+    withPayloads
+      .select(col("doc_id"), col("payload"), col("meta.modality").as("modality"))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.grouped(DecodeBatchSize).flatMap { batch =>
+          val decoded = decodeBatchStub(batch.map(_.getAs[Array[Byte]]("payload")))
+          batch.zip(decoded).map { case (row, bytes) =>
+            var sum = 0L
+            var crc = 1469598103934665603L // FNV-1a 64
+            val hist = new Array[Long](256)
+            bytes.foreach { b =>
+              val u = b & 0xff
+              sum += u
+              hist(u) += 1
+              crc = (crc ^ u) * 1099511628211L
+            }
+            val n = bytes.length.toDouble
+            val entropy =
+              if (bytes.isEmpty) 0.0
+              else -hist.filter(_ > 0).map { c =>
+                val p = c / n; p * math.log(p) / math.log(2.0)
+              }.sum
+            MediaFeatures(
+              row.getAs[Long]("doc_id"),
+              row.getAs[String]("modality"),
+              bytes.length.toLong,
+              if (bytes.isEmpty) 0.0 else sum / n,
+              entropy,
+              crc)
+          }
+        }
+      }
+  }
+}

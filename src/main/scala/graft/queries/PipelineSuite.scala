@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{Ann, Dedup}
+import graft.operators.{Ann, Dedup, Multimodal}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -172,6 +172,18 @@ object PipelineSuite {
                 CAST(CASE WHEN len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) >= 3
                      THEN len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) - 2
                      ELSE 1 END AS INTEGER) AS n_shingles
-              FROM documents ORDER BY doc_id"""))
+              FROM documents ORDER BY doc_id""")),
+
+    // #49 multimodal plumbing (rows-only): binary payload + typed metadata
+    // struct through a batch-shaped mapPartitions "decoder" (deterministic
+    // stub — see Multimodal); per-asset byte features out.
+    Q("multimodal_meta", (s, d) => {
+      val media = Multimodal.withPayload(Tables.documents(s, d))
+      Multimodal.extractFeatures(media).toDF()
+        .join(media.select(col("doc_id"), col("meta.width").as("width"),
+          col("meta.height").as("height"), col("meta.sample_rate").as("sample_rate")),
+          "doc_id")
+        .orderBy("doc_id")
+    }, None)
   )
 }

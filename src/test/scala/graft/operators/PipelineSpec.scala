@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.Tables
+import graft.functions.Text
+
+/** Semantic checks for the approximate pipeline operators — the parts the
+  * DuckDB oracle can't express (sketches, recall, accuracy) get quantified
+  * assertions against exact baselines here.
+  */
+class PipelineSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def docs = Tables.documents(spark, sfDir)
+  private def embs = Tables.embeddings(spark, sfDir)
+
+  test("ann_lsh recall@5 vs brute force >= 0.6") {
+    val queries = embs.filter(col("vec_id") % 100 === 0)
+    val exact = Ann.bruteForce(embs, queries, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ann.lsh(embs, queries, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"LSH recall@5 = $recall")
+  }
+
+  test("langid identifies stopword-bearing text per supported language") {
+    // The synthetic corpus draws one shared vocabulary for every `lang`
+    // label, so no content-based detector can recover that column; the
+    // accuracy check instead uses texts with real language signal.
+    val s = spark
+    import s.implicits._
+    val samples = Seq(
+      ("en", "the cat sat on the mat and it is a story of the house"),
+      ("de", "der hund ist nicht in das haus und die katze ist mit auf"),
+      ("es", "el perro y la casa de que un gato en por con los campos"),
+      ("fr", "le chien est dans la maison et les chats une des que"),
+      ("zh", "的 是 在 了 和 有 我 不 这 个")).toDF("expected", "text")
+    val (lang, hits) = Text.langid(col("text"))
+    val wrong = samples.select(col("expected"), lang.as("pred"), hits.as("hits"))
+      .filter(col("expected") =!= col("pred")).collect()
+    assert(wrong.isEmpty, s"mispredicted: ${wrong.mkString(", ")}")
+    // corpus behavior: deterministic and always within the supported set
+    val (l1, _) = Text.langid(col("text"))
+    val preds = docs.select(l1.as("p")).distinct().collect().map(_.getString(0)).toSet
+    assert(preds.subsetOf(Text.stopwords.keySet))
+  }
+
+  test("minhash est_jaccard tracks exact ngram jaccard on candidates") {
+    val est = Dedup.minhashCandidates(docs)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+    val exact = Dedup.ngramJaccard(docs)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val joined = est.join(exact, Seq("id_a", "id_b")).collect()
+    assert(joined.nonEmpty, "LSH produced no candidate pairs on sf0.001")
+    val mae = joined.map(r =>
+      math.abs(r.getAs[Double]("est_jaccard") - r.getAs[Double]("jaccard"))).sum / joined.length
+    assert(mae <= 0.15, s"MinHash estimate MAE = $mae over ${joined.length} pairs")
+  }
+
+  test("exact dedup keeps exactly one doc per fingerprint group") {
+    val flagged = Dedup.exact(docs)
+    val perGroup = flagged.groupBy("fp")
+      .agg(sum(when(col("keep"), 1).otherwise(0)).as("keepers"))
+    assert(perGroup.filter(col("keepers") =!= 1).count() === 0)
+    // keeper must be the min doc_id of its group
+    val badKeeper = flagged.withColumn("mn",
+        min(col("doc_id")).over(org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .filter(col("keep") && col("doc_id") =!= col("mn"))
+    assert(badKeeper.count() === 0)
+  }
+
+  test("simhash pairs are symmetric-free and within hamming bound") {
+    val pairs = Dedup.simhashPairs(docs).collect()
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+      assert(r.getAs[Number]("hamming").longValue <= 3)
+    }
+  }
+
+  test("embedding near-dup pairs all verify cosine >= threshold") {
+    val pairs = Dedup.embeddingPairs(embs, minCosine = 0.9)
+    assert(pairs.filter(col("cos") < 0.9).count() === 0)
+  }
+
+  test("multimodal features: deterministic, byte-exact, entropy-bounded") {
+    val media = Multimodal.withPayload(docs)
+    val f1 = Multimodal.extractFeatures(media).toDF()
+    val f2 = Multimodal.extractFeatures(media).toDF()
+    assert(f1.count() === docs.count())
+    assert(f1.exceptAll(f2).count() === 0, "stub decoder is not deterministic")
+    // n_bytes must equal the UTF-8 octet length of the source text
+    val sizeOk = f1.join(docs, "doc_id")
+      .filter(col("n_bytes") =!= octet_length(encode(col("text"), "UTF-8")))
+    assert(sizeOk.count() === 0)
+    val entBad = f1.filter(col("byte_entropy") < 0 || col("byte_entropy") > 8)
+    assert(entBad.count() === 0)
+  }
+}
