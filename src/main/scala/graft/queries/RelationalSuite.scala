@@ -61,11 +61,13 @@ object RelationalSuite {
     // #15 left-anti (NOT EXISTS): customers that never ordered.
     Q("join_anti",
       (s, d) => Tables.customer(s, d)
-        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_mktsegment")
         .orderBy("c_custkey"),
       Some("""SELECT c_custkey, c_mktsegment FROM customer
-              WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+              WHERE NOT EXISTS (SELECT 1 FROM orders
+                                WHERE o_custkey = c_custkey AND o_totalprice > 400000)
               ORDER BY c_custkey""")),
 
     // #16 left-outer join with null-safe aggregation.
