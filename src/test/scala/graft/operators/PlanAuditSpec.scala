@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+
+/** Physical-plan audits: the scale properties every operator claims
+  * (SURVEY §5) asserted as regression tests, so a refactor that silently
+  * un-pushes a filter, widens a scan, or degrades a join to a cartesian
+  * product fails CI — not a 100 TB run.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    // AQE off here: these audits assert the STATIC plan (pushdown, pruning,
+    // join strategy, codegen stages); AQE only re-plans upward from this.
+    .config("spark.sql.adaptive.enabled", "false")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Initial physical plan (pre-AQE-execution) as one string. */
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  /** Formatted explain — scan metadata (PushedFilters/ReadSchema) untruncated. */
+  private def formatted(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("scan_project prunes to the selected columns at the scan") {
+    val p = plan("scan_project")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_orderkey") && read.contains("l_extendedprice"),
+      s"projection columns missing from scan: $read")
+    assert(!read.contains("l_quantity") && !read.contains("l_shipdate"),
+      s"scan reads columns the query never uses: $read")
+  }
+
+  test("filter_numeric predicates reach the parquet scan (PushedFilters)") {
+    val p = formatted("filter_numeric")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("GreaterThan") && pushed.contains("LessThan"),
+      s"comparisons not pushed to scan: $pushed")
+  }
+
+  test("filter_range_skip pushes a range predicate for row-group skipping") {
+    val p = formatted("filter_range_skip")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("GreaterThan") && pushed.contains("LessThan"),
+      s"range not pushed: $pushed")
+  }
+
+  test("join_broadcast uses a broadcast hash join (no shuffle of the fact side)") {
+    assert(plan("join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("tpch_q3 joins without cartesian products; dims broadcast") {
+    val p = plan("tpch_q3")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "q3 degenerated to a product join")
+  }
+
+  test("tpch_q5 six-way join: no product joins, at least one broadcast") {
+    val p = plan("tpch_q5")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin"), "small dims (region/nation) should broadcast")
+  }
+
+  test("groupby_agg does map-side partial aggregation") {
+    val p = plan("groupby_agg")
+    assert(p.contains("partial_"), s"no partial aggregate before the shuffle:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final HashAggregate")
+  }
+
+  test("tpch_q1 aggregates inside whole-stage codegen") {
+    val p = plan("tpch_q1")
+    // "*(n)" prefixes mark whole-stage-codegen stages in the plan string.
+    assert(p.contains("*("), "q1 hot path fell out of whole-stage codegen")
+    assert(p.contains("partial_"), "q1 lost map-side combine")
+  }
+
+  test("topk_order_limit avoids a global sort (TakeOrderedAndProject)") {
+    assert(plan("topk_order_limit").contains("TakeOrderedAndProject"),
+      "order+limit should not be a full sort")
+  }
+
+  test("LSH dedup and ANN plans are equality-join-bounded (no cross product)") {
+    for (q <- Seq("dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
+        "dedup_ngram_jaccard", "ann_lsh")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q contains a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q contains a nested-loop join")
+    }
+  }
+
+  test("ann_bruteforce broadcasts the query set, scans the corpus once") {
+    val p = plan("ann_bruteforce")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), "query set should broadcast")
+  }
+
+  test("subquery_in executes as a semi join, not a product") {
+    val p = plan("subquery_in")
+    assert(p.contains("SemiJoin") || p.contains("LeftSemi"), s"IN-subquery not a semi join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+}
