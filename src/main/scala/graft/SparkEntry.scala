@@ -12,8 +12,8 @@ import graft.queries._
 object SparkEntry {
 
   private def suites: Seq[Q] =
-    CoreSuite.queries ++ RelationalSuite.queries ++ ColeSuite.queries ++
-      PipelineSuite.queries
+    CoreSuite.queries ++ RelationalSuite.queries ++ ExtendedSuite.queries ++
+      ColeSuite.queries ++ PipelineSuite.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

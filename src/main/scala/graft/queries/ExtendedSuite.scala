@@ -1,0 +1,266 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Text
+import graft.operators.Asof
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import Dsl._
+
+/** SURVEY §2.9 — extended relational + pipeline operators (#50-61).
+  *
+  * Statistical aggregates, exact percentiles, analytic windows, grouping
+  * sets, array build/explode round-trips, as-of and range joins over the
+  * event stream, JSON extraction, and the training-data curation ops
+  * (deterministic sampling, keep-best dedup, quality filtering). All
+  * oracle-checked.
+  */
+object ExtendedSuite {
+
+  /** Exact decimal second moments: l_quantity is integral (1..50), so
+    * scale-1/2 decimals hold every sum exactly and the decimal→double
+    * casts are exact (scaled integers < 2^53) in both engines; the final
+    * variance arithmetic is then identical IEEE double math on identical
+    * operands.
+    */
+  private def dq(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 1))
+  private val dqSql = (x: String) => s"CAST($x AS DECIMAL(12,1))"
+
+  val queries: Seq[Q] = Seq(
+
+    // #50 statistical aggregates from exact decimal moments: sample
+    // variance/stddev of l_quantity and its correlation with l_linenumber,
+    // all derived from decimal-exact Σx, Σx², Σxy (single pass, map-side
+    // partial agg) — not the engines' own stddev/corr, whose float
+    // summation order differs across partitions.
+    Q("agg_stats", (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val agg = li.groupBy("l_returnflag").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(dq(col("l_quantity"))).cast("double").as("sx"),
+        sum(dq(col("l_quantity")) * dq(col("l_quantity"))).cast("double").as("sxx"),
+        sum(col("l_linenumber").cast(DecimalType(12, 0))).cast("double").as("sy"),
+        sum((col("l_linenumber") * col("l_linenumber")).cast(DecimalType(12, 0)))
+          .cast("double").as("syy"),
+        sum(dq(col("l_quantity")) * col("l_linenumber").cast(DecimalType(12, 0)))
+          .cast("double").as("sxy"))
+      agg.select(col("l_returnflag"),
+          col("n").cast("long").as("n"),
+          ((col("n") * col("sxx") - col("sx") * col("sx")) /
+            (col("n") * (col("n") - 1))).as("var_q"),
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
+            (col("n") * (col("n") - 1))).as("stddev_q"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr_q_ln"))
+        .orderBy("l_returnflag")
+    },
+      Some(s"""WITH m AS (SELECT l_returnflag,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(${dqSql("l_quantity")}) AS DOUBLE) AS sx,
+                 CAST(SUM(${dqSql("l_quantity")} * ${dqSql("l_quantity")}) AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(l_linenumber AS DECIMAL(12,0))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(l_linenumber * l_linenumber AS DECIMAL(12,0))) AS DOUBLE) AS syy,
+                 CAST(SUM(${dqSql("l_quantity")} * CAST(l_linenumber AS DECIMAL(12,0))) AS DOUBLE) AS sxy
+               FROM lineitem GROUP BY l_returnflag)
+               SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                 (n*sxx - sx*sx) / (n*(n-1)) AS var_q,
+                 sqrt((n*sxx - sx*sx) / (n*(n-1))) AS stddev_q,
+                 (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)) AS corr_q_ln
+               FROM m ORDER BY l_returnflag""")),
+
+    // #51 exact discrete percentiles (no interpolation → values come
+    // straight from the data; the one percentile definition that is
+    // bit-identical across engines). WITHIN GROUP syntax runs verbatim in
+    // both Spark SQL and DuckDB.
+    Q("percentile_agg", (s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql("""SELECT l_returnflag,
+                 percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS med_q,
+                 percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90_q,
+                 percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice) AS p99_price
+               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+      Some("""SELECT l_returnflag,
+                percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS med_q,
+                percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90_q,
+                percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice) AS p99_price
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // #52 analytic tiles: ntile/percent_rank/cume_dist over a total order
+    // (tie-broken by key) — rank arithmetic is integer-derived, exact.
+    Q("window_ntile", (s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy("o_orderkey")
+    },
+      Some("""SELECT o_orderkey, o_orderpriority,
+                ntile(4) OVER w AS quartile,
+                percent_rank() OVER w AS pct_rank,
+                cume_dist() OVER w AS cume
+              FROM orders
+              WINDOW w AS (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice, o_orderkey)
+              ORDER BY o_orderkey""")),
+
+    // #53 GROUPING SETS (the general form behind rollup/cube); identical
+    // SQL both engines, NULL group markers coalesced to a label.
+    Q("grouping_sets", (s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(groupingSetsSql)
+    }, Some(groupingSetsSql)),
+
+    // #54 array build: per-order sorted line-number list (string-joined →
+    // byte-identical across engines) + count.
+    Q("agg_collect", (s, d) =>
+      Tables.lineitem(s, d).groupBy("l_orderkey")
+        .agg(array_join(sort_array(collect_list(col("l_linenumber"))), ",").as("lines"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey,
+                array_to_string(list_sort(list(l_linenumber)), ',') AS lines,
+                COUNT(*) AS n_lines
+              FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""")),
+
+    // #55 explode/unnest round-trip: tokenize a document slice, explode,
+    // re-aggregate to a token frequency table.
+    Q("explode_unnest", (s, d) =>
+      Tables.documents(s, d).filter(col("doc_id") < 100)
+        .select(explode(Text.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+        .orderBy("token"),
+      Some("""SELECT token, COUNT(*) AS freq FROM (
+                SELECT unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS token
+                FROM documents WHERE doc_id < 100) t
+              GROUP BY token ORDER BY token""")),
+
+    // #56 as-of join: latest click at-or-before each purchase, per user
+    // (graft.operators.Asof: tagged-union + window, one shuffle). Oracle is
+    // DuckDB's native ASOF LEFT JOIN. Epoch-µs outputs: exact integers.
+    Q("join_asof", (s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click").select("user_id", "ts")
+      Asof.joinAsof(purchases, clicks, "user_id", "ts", Seq("ts"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          unix_micros(col("asof_ts")).as("click_us"),
+          (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("gap_us"))
+        .orderBy("event_id")
+    },
+      Some("""SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+                epoch_us(c.ts) AS click_us,
+                epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+              FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+              ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+                ON p.user_id = c.user_id AND p.ts >= c.ts
+              ORDER BY p.event_id""")),
+
+    // #57 range (band) join: per-user event pairs within a 5-minute
+    // window. The equality key bounds the join; the range predicate only
+    // filters within a user's partition — no cross product.
+    Q("join_range", (s, d) => {
+      val ev = Tables.events(s, d).select("event_id", "user_id", "ts")
+      val a = ev.select(col("user_id"), col("ts").as("ts_a"))
+      val b = ev.select(col("user_id"), col("ts").as("ts_b"))
+      a.join(b, Seq("user_id"))
+        .filter(col("ts_b") > col("ts_a") &&
+          col("ts_b") <= col("ts_a") + expr("INTERVAL 5 MINUTE"))
+        .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    },
+      Some("""SELECT a.user_id, COUNT(*) AS n_pairs
+              FROM events a JOIN events b ON a.user_id = b.user_id
+                AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+              GROUP BY a.user_id ORDER BY a.user_id""")),
+
+    // #58 JSON extraction from the event props payload + integer rollup.
+    Q("json_funcs", (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .filter(col("k") > 50)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(*) AS n,
+                SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+                MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
+                MAX(CAST(props->>'k' AS BIGINT)) AS max_k
+              FROM events WHERE CAST(props->>'k' AS BIGINT) > 50
+              GROUP BY event_type ORDER BY event_type""")),
+
+    // #59 deterministic hash sampling (training-data splits that are
+    // reproducible across engines and runs — no RNG): md5-prefix buckets
+    // give a stable 1/8 sample.
+    Q("sample_hash", (s, d) =>
+      Tables.documents(s, d)
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1"))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, source FROM documents
+              WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1')
+              ORDER BY doc_id""")),
+
+    // #60 keep-best dedup: within each exact-duplicate group keep the
+    // longest document (ties → lowest id) — the curation twin of
+    // dedup_exact's keep-first policy.
+    Q("dedup_keep_best", (s, d) => {
+      val w = Window.partitionBy("fp")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), Text.fingerprint(col("text")).as("fp"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("doc_id", "fp", "n_chars")
+        .orderBy("doc_id")
+    },
+      Some("""WITH f AS (SELECT doc_id, n_chars,
+                md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+              FROM documents),
+              r AS (SELECT doc_id, fp, n_chars,
+                ROW_NUMBER() OVER (PARTITION BY fp
+                                   ORDER BY n_chars DESC, doc_id) AS rn
+              FROM f)
+              SELECT doc_id, fp, n_chars FROM r WHERE rn = 1 ORDER BY doc_id""")),
+
+    // #61 quality filtering: the standard pretraining gate (length band +
+    // digit-ratio cap), fully SQL-expressible so the whole filter pushes
+    // into the scan pipeline.
+    Q("quality_filter", (s, d) => {
+      val nTokens = Text.tokenCount(col("text"))
+      val digitRatio =
+        length(regexp_replace(col("text"), "[^0-9]", "")) / length(col("text"))
+      Tables.documents(s, d)
+        .filter(col("n_chars") >= 50 && nTokens >= 5 && digitRatio < 0.3)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    },
+      Some("""SELECT doc_id, lang, n_chars FROM documents
+              WHERE n_chars >= 50
+                AND len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) >= 5
+                AND LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) / LENGTH(text) < 0.3
+              ORDER BY doc_id"""))
+  )
+
+  /** #53's SQL — one string, runs verbatim in Spark SQL and DuckDB.
+    * (A `def`: object-initialization order must not matter here — `queries`
+    * above references it during its own initializer.)
+    */
+  private def groupingSetsSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      |       coalesce(l_linestatus, 'ALL') AS ls,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY rf, ls""".stripMargin
+}
