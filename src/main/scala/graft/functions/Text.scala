@@ -32,9 +32,13 @@ object Text {
       .otherwise(array(concat_ws(" ", t)))
   }
 
-  /** Distinct shingle hashes (array<long>) — input to MinHash. */
+  /** Distinct shingle hashes (array<long>) — input to MinHash. Computed by
+    * a native rolling-hash expression over the token array; the
+    * string-materializing HOF equivalent (`transform(shingles, xxhash64)`)
+    * dominated MinHash pipeline cost by an order of magnitude.
+    */
   def shingleHashes(text: Column, k: Int = 3): Column =
-    array_distinct(transform(shingles(text, k), s => xxhash64(s)))
+    sketches.shingle_hashes(tokens(text), k)
 
   val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),

@@ -38,18 +38,14 @@ object Dedup {
     docs.select(col(idCol).as("id"),
       minhash_sig(Text.shingleHashes(col(textCol), k), perms).as("sig"))
 
-  /** LSH banding: explode each signature into (band, band_hash) block keys. */
-  def bandize(sigs: DataFrame, bands: Int = 32, rows: Int = 4): DataFrame = {
-    // xxhash64 over the stringified band slice: ANSI-safe (no overflowing
-    // arithmetic) and well-mixed bucket keys.
-    val bandHash = (b: Column) =>
-      xxhash64(concat_ws(",", transform(slice(col("sig"), b * rows + 1, lit(rows)),
-        x => x.cast("string"))))
+  /** LSH banding: explode each signature into (band, band_hash) block keys.
+    * Band keys come from a native one-pass expression — the interpreted
+    * HOF formulation (slice→cast-to-string→concat→hash per band) cold-ran
+    * ~20× slower on its first evaluation.
+    */
+  def bandize(sigs: DataFrame, bands: Int = 32, rows: Int = 4): DataFrame =
     sigs.select(col("id"), col("sig"),
-        explode(transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"), bandHash(b).as("bh")))).as("bk"))
-      .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-  }
+        posexplode(band_hashes(col("sig"), bands, rows)).as(Seq("band", "bh")))
 
   /** Candidate pairs from LSH buckets: equality self-join on (band, bh),
     * skew-capped, deduplicated. Estimated Jaccard = fraction of equal
@@ -58,7 +54,11 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val sigs = minhashSignatures(docs, idCol, textCol)
-    val banded = bandize(sigs)
+    // Drop the 1 KB signature BEFORE the band shuffle: the bucket window +
+    // self-join move only (id, band, bh) — signatures rejoin per candidate
+    // pair afterwards. Carrying sig through the banding shuffle multiplies
+    // shuffle volume by bands × sigBytes (~32 KB/doc).
+    val banded = bandize(sigs).select("id", "band", "bh")
       .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "bh")))
       .filter(col("bucket_n") <= maxBucket)
       .select("id", "band", "bh")
@@ -120,18 +120,23 @@ object Dedup {
     */
   def embeddingPairs(embs: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", minCosine: Double = 0.95): DataFrame = {
-    val sk = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val sk = embs.select(col(idCol).as("id"),
       hyperplane_sketch(col(vecCol)).as("sk"))
-    val banded = sk.select(col("id"), col("v"),
+    // Band shuffle carries only (id, band, bv); vectors rejoin per
+    // candidate pair for the cosine check — not through the banding.
+    val banded = sk.select(col("id"),
         explode(array((0 until 8).map(b => struct(lit(b).as("band"),
           shiftrightunsigned(col("sk"), b * 8).bitwiseAND(lit(0xffL)).as("bv"))): _*)).as("bk"))
-      .select(col("id"), col("v"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
       .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "bv")))
       .filter(col("bucket_n") <= maxBucket * 4)
-    val a = banded.select(col("id").as("id_a"), col("v").as("v_a"), col("band"), col("bv"))
-    val b = banded.select(col("id").as("id_b"), col("v").as("v_b"), col("band"), col("bv"))
-    a.join(b, Seq("band", "bv")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "v_a", "v_b").distinct()
+    val a = banded.select(col("id").as("id_a"), col("band"), col("bv"))
+    val b = banded.select(col("id").as("id_b"), col("band"), col("bv"))
+    val pairs = a.join(b, Seq("band", "bv")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val vA = embs.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val vB = embs.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    pairs.join(vA, "id_a").join(vB, "id_b")
       .withColumn("cos", cosine_sim(col("v_a"), col("v_b")))
       .filter(col("cos") >= minCosine)
       .select("id_a", "id_b", "cos")
