@@ -70,6 +70,40 @@ object EventsPipeline {
       .select(col("user_id"), col("session_window.start").as("session_start"), col("n_events"))
   }
 
+  /** Streaming deduplication by event_id. On a stream, state is bounded by
+    * the watermark (`dropDuplicatesWithinWatermark`): an id only needs
+    * remembering until no in-watermark duplicate can still arrive —
+    * without it, exact-once dedup state grows forever at 100 TB/day.
+    */
+  def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
+
+  /** Watermarked stream-stream interval join: each purchase matched to the
+    * same user's clicks in the preceding hour. Both sides carry watermarks
+    * and the join condition bounds event-time distance, so the state store
+    * evicts rows as the watermark advances — the streaming twin of the
+    * batch range join (#57).
+    */
+  def purchaseClickJoin(events: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    val purchases = {
+      val b = events.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      if (b.isStreaming) b.withWatermark("p_ts", watermark) else b
+    }
+    val clicks = {
+      val b = events.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+      if (b.isStreaming) b.withWatermark("c_ts", watermark) else b
+    }
+    purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_ts") < col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select("purchase_id", "user_id", "p_ts", "click_id", "c_ts")
+  }
+
   /** Custom stateful sessionization via `flatMapGroupsWithState` — the
     * streaming twin of batch #32 `events_sessionize` (new session when the
     * gap since the previous event exceeds 30 minutes; emits cumulative

@@ -113,6 +113,36 @@ class EventsPipelineSpec extends AnyFunSuite {
     assert(viaLag.exceptAll(viaWindow).count() === 0)
   }
 
+  test("streaming dedup(event_id) == batch dropDuplicates") {
+    val s = spark
+    import s.implicits._
+    // duplicate every 10th event to give the dedup something to drop
+    val source = MemoryStream[Event](spark)
+    val events = orderedEvents()
+    val withDups = events.flatMap(e =>
+      if (e.event_id % 10 == 0) Seq(e, e) else Seq(e))
+    val q = EventsPipeline.dedupStream(source.toDF())
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append).start()
+    withDups.grouped(withDups.size / 3 + 1).foreach { b =>
+      source.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    assert(spark.table("dedup_stream").count() === events.size)
+    assert(spark.table("dedup_stream").select("event_id").distinct().count() === events.size)
+  }
+
+  test("watermarked stream-stream interval join == batch range join twin") {
+    val streamed = runStream("ssjoin_stream", 3,
+      src => EventsPipeline.purchaseClickJoin(src.toDF(), watermark = "10 minutes"),
+      mode = OutputMode.Append)
+    val batch = EventsPipeline.purchaseClickJoin(graft.Tables.events(spark, sfDir))
+    assert(batch.count() > 0, "twin join matched nothing — test data too sparse")
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("streaming session_window end-to-end produces rows") {
     // Session-window streaming aggs emit only finalized sessions → Append
     // mode; the watermark (event-time high-mark minus 10min) closes all but
