@@ -12,7 +12,7 @@ import graft.queries._
 object SparkEntry {
 
   private def suites: Seq[Q] =
-    CoreSuite.queries ++ RelationalSuite.queries ++ ExtendedSuite.queries ++
+    CoreSuite.queries ++ RelationalSuite.queries ++ ExtendedSuite.queries ++ ExtendedSuite.curation ++
       ColeSuite.queries ++ PipelineSuite.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -251,6 +251,93 @@ object ExtendedSuite {
               ORDER BY doc_id"""))
   )
 
+  /** #62-64: training-corpus assembly ops. */
+  val curation: Seq[Q] = Seq(
+
+    // #62 sequence packing: assign docs to fixed token-budget chunks by
+    // prefix-sum + integer division, per source shard (the per-shard
+    // partitioning is what keeps the window parallel at 100 TB — a global
+    // pack would serialize on one partition). Emits per-chunk stats.
+    Q("pack_chunks", (s, d) => {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), Text.tokenCount(col("text")).as("toks"))
+        .withColumn("chunk_id",
+          floor(coalesce(sum(col("toks")).over(w), lit(0)) / 512).cast("long"))
+        .groupBy("source", "chunk_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).cast("long").as("n_tokens"))
+        .orderBy("source", "chunk_id")
+    },
+      Some("""WITH t AS (SELECT source, doc_id,
+                CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS INTEGER) AS toks
+              FROM documents),
+              c AS (SELECT source, doc_id, toks,
+                CAST(FLOOR(COALESCE(SUM(toks) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT) AS chunk_id
+              FROM t)
+              SELECT source, chunk_id, COUNT(*) AS n_docs,
+                     CAST(SUM(toks) AS BIGINT) AS n_tokens
+              FROM c GROUP BY source, chunk_id ORDER BY source, chunk_id""")),
+
+    // #63 kNN classification: majority label of the 5 nearest neighbors
+    // (cosine), ties broken by label — composition of the ANN operator
+    // with a windowed argmax.
+    Q("knn_classify", (s, d) => {
+      val embs = Tables.embeddings(s, d)
+      val nn = graft.operators.Ann.bruteForce(embs, embs.filter(col("vec_id") % 100 === 0), k = 5)
+      val labeled = nn.join(
+        embs.select(col("vec_id").as("neighbor_id"), col("label")), "neighbor_id")
+      val votes = labeled.groupBy("query_id", "label")
+        .agg(count(lit(1)).as("n_votes"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("n_votes").desc, col("label").asc)
+      votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("query_id"), col("label").as("predicted"), col("n_votes"))
+        .orderBy("query_id")
+    },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                         FROM embeddings WHERE vec_id % 100 = 0),
+              scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+                                list_cosine_similarity(e.embedding, q.qv) AS cos
+                         FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+              topk AS (SELECT query_id, label FROM (
+                         SELECT query_id, label,
+                                ROW_NUMBER() OVER (PARTITION BY query_id
+                                                   ORDER BY cos DESC, neighbor_id) AS rank
+                         FROM scored) WHERE rank <= 5),
+              votes AS (SELECT query_id, label, COUNT(*) AS n_votes
+                        FROM topk GROUP BY query_id, label)
+              SELECT query_id, label AS predicted, n_votes FROM (
+                SELECT query_id, label, n_votes,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY n_votes DESC, label) AS rn
+                FROM votes) WHERE rn = 1 ORDER BY query_id""")),
+
+    // #64 weighted source mixing: per-source keep rates applied through
+    // deterministic md5 buckets (0-255) — the reproducible version of
+    // "sample web at 25%, books at 75%" corpus mixing.
+    Q("mix_sources", (s, d) => {
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("int")
+      val keepBelow = when(
+        col("source").isin("src0", "src1", "src2", "src3", "src4",
+          "src5", "src6", "src7", "src8", "src9"), 64).otherwise(192)
+      Tables.documents(s, d)
+        .filter(bucket < keepBelow)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+        .orderBy("source")
+    },
+      Some("""SELECT source, COUNT(*) AS n_kept, SUM(n_chars) AS chars_kept
+              FROM documents
+              WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER)
+                    < CASE WHEN source IN ('src0','src1','src2','src3','src4',
+                                           'src5','src6','src7','src8','src9')
+                           THEN 64 ELSE 192 END
+              GROUP BY source ORDER BY source"""))
+  )
+
   /** #53's SQL — one string, runs verbatim in Spark SQL and DuckDB.
     * (A `def`: object-initialization order must not matter here — `queries`
     * above references it during its own initializer.)
