@@ -142,6 +142,42 @@ object Dedup {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Duplicate clusters from a pair table: connected components by
+    * iterative min-label propagation. Each iteration is one shuffle
+    * (neighbor-min join + groupBy); convergence needs O(component
+    * diameter) rounds — near-dup graphs are dense little cliques, so
+    * 3-5 in practice, `maxIter` caps the worst case. `localCheckpoint`
+    * cuts lineage each round so the plan doesn't grow exponentially.
+    * Returns (id, cluster_id = min id reachable).
+    */
+  def clusters(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
+      maxIter: Int = 20): DataFrame = {
+    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("cluster_id")).as("nbr_min"))
+      val next = labels.join(neighborMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "id")
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   /** Per-doc roll-up of a pair table: every input doc appears once, with
     * its candidate-neighbor count and best score (0 when none) — a stable,
     * never-empty dedup report shape.

@@ -60,6 +60,34 @@ object PipelineSuite {
         "vec_id", "cos").orderBy("vec_id")
     }, None),
 
+    // #65 duplicate clustering: connected components (min-label
+    // propagation) over a duplicate pair graph — here prefix-fingerprint
+    // families (the corpus has no byte-exact dups at verify SF). On
+    // fingerprint cliques the components are provable in plain SQL — that
+    // is the oracle; the same clusters() machinery handles arbitrary LSH
+    // pair graphs (spec-verified against union-find).
+    Q("dedup_clusters", (s, d) => {
+      val w = Window.partitionBy("fp")
+      val fp = Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(substring(Text.normalize(col("text")), 1, 40)).as("fp"))
+        .withColumn("root", min(col("doc_id")).over(w))
+        .withColumn("n", count(lit(1)).over(w))
+      val pairs = fp.filter(col("n") > 1 && col("doc_id") =!= col("root"))
+        .select(col("root").as("id_a"), col("doc_id").as("id_b"))
+      Dedup.clusters(pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH f AS (SELECT doc_id,
+                md5(substr(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), 1, 40)) AS fp
+              FROM documents),
+              g AS (SELECT doc_id,
+                MIN(doc_id) OVER (PARTITION BY fp) AS cluster_id,
+                COUNT(*) OVER (PARTITION BY fp) AS n
+              FROM f)
+              SELECT doc_id, cluster_id FROM g WHERE n > 1 ORDER BY doc_id""")),
+
     // #41 exact brute-force top-k cosine neighbors (oracle: integer ranks
     // from DuckDB's own list_cosine_similarity — cosine gaps are far above
     // cross-engine float noise).

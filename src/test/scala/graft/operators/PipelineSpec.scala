@@ -36,6 +36,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"LSH recall@5 = $recall")
   }
 
+  test("clusters == union-find over the same LSH candidate pairs") {
+    val pairs = Dedup.minhashCandidates(docs)
+      .filter(col("est_jaccard") >= 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "no candidate pairs at sf0.001 — threshold too high")
+    // reference union-find on the driver
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(k => k -> find(k)).toMap
+    val pairsDf = {
+      val s = spark
+      import s.implicits._
+      pairs.toSeq.toDF("id_a", "id_b")
+    }
+    val got = Dedup.clusters(pairsDf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
   test("langid identifies stopword-bearing text per supported language") {
     // The synthetic corpus draws one shared vocabulary for every `lang`
     // label, so no content-based detector can recover that column; the
