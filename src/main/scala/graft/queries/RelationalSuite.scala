@@ -349,6 +349,81 @@ object RelationalSuite {
                  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
                  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""")),
 
+    // #66 TPC-H Q10 returned-item reporting: 4-way join, revenue rollup,
+    // top-20 customers. Dim joins (nation) broadcast; the customer join is
+    // keyed so AQE picks broadcast vs shuffle by actual size.
+    Q("tpch_q10", (s, d) => {
+      val nat = broadcast(Tables.nation(s, d))
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+          col("o_orderdate") < ts("1996-04-01 00:00:00"))
+      Tables.customer(s, d)
+        .join(ord, col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d).filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(nat, col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(psum(revenue(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    },
+      Some(s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+                 ${psumSql(revenueSql)} AS revenue
+               FROM customer
+               JOIN orders ON c_custkey = o_custkey
+               JOIN lineitem ON o_orderkey = l_orderkey
+               JOIN nation ON c_nationkey = n_nationkey
+               WHERE l_returnflag = 'R'
+                 AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                 AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+               GROUP BY c_custkey, c_name, c_acctbal, n_name
+               ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+
+    // #67 TPC-H Q12 (adapted to this schema: ship-delay buckets instead of
+    // shipmodes): conditional aggregation over an order⋈lineitem join.
+    Q("tpch_q12", (s, d) => {
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .withColumn("delay_days", datediff(col("l_shipdate"), col("o_orderdate")))
+        .withColumn("speed", when(col("delay_days") <= 30, "fast")
+          .when(col("delay_days") <= 90, "medium").otherwise("slow"))
+        .groupBy("speed")
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_lines"),
+          sum(when(hi, 0L).otherwise(1L)).as("low_lines"))
+        .orderBy("speed")
+    },
+      Some("""SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN 'fast'
+                          WHEN date_diff('day', o_orderdate, l_shipdate) <= 90 THEN 'medium'
+                          ELSE 'slow' END AS speed,
+                SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_lines,
+                SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_lines
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              GROUP BY 1 ORDER BY speed""")),
+
+    // #68 TPC-H Q14 promotion effect: percentage-of-revenue with a
+    // broadcast part join; ratio computed from two exact decimal sums.
+    Q("tpch_q14", (s, d) => {
+      val pt = broadcast(Tables.part(s, d).select("p_partkey", "p_type"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1996-03-01 00:00:00") &&
+          col("l_shipdate") < ts("1996-04-01 00:00:00"))
+        .join(pt, col("l_partkey") === col("p_partkey"))
+        .agg(
+          (lit(100.0) *
+            psum(when(col("p_type") === "PROMO",
+              revenue(col("l_extendedprice"), col("l_discount")))
+              .otherwise(lit(null))) /
+            psum(revenue(col("l_extendedprice"), col("l_discount"))))
+            .as("promo_revenue_pct"))
+    },
+      Some(s"""SELECT 100.0 *
+                 ${psumSql(s"CASE WHEN p_type = 'PROMO' THEN $revenueSql ELSE NULL END")} /
+                 ${psumSql(revenueSql)} AS promo_revenue_pct
+               FROM lineitem JOIN part ON l_partkey = p_partkey
+               WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+                 AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""")),
+
     // #31 tumbling time-window aggregation over the event stream (batch
     // twin of streaming/EventsPipeline; epoch-aligned hourly buckets).
     Q("events_window",
