@@ -71,8 +71,10 @@ object ColeCodec {
   // ---- RLE: [num_runs uvarint] ([run_len uvarint][value zigzag-varint])*
 
   def encodeRleInt(values: Array[Int]): Array[Byte] = {
+    // Always emit the run-count header (0 for empty input): the decoder
+    // unconditionally reads it, and a header-less empty chunk would desync
+    // any cursor that reads further (e.g. the dictionary page layout).
     val out = new Out(values.length)
-    if (values.isEmpty) return out.toBytes
     var runs = 0
     val body = new Out(values.length)
     var i = 0
@@ -90,7 +92,6 @@ object ColeCodec {
 
   def encodeRleLong(values: Array[Long]): Array[Byte] = {
     val out = new Out(values.length)
-    if (values.isEmpty) return out.toBytes
     var runs = 0
     val body = new Out(values.length)
     var i = 0

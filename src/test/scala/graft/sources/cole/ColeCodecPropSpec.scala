@@ -1,0 +1,88 @@
+package graft.sources.cole
+
+import org.scalacheck.{Arbitrary, Gen, Prop}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.cole.ColeCodec._
+
+/** Property-based round-trips for every COLE encoding: arbitrary values —
+  * including run-heavy, sorted-delta-friendly, and low-cardinality shapes
+  * the encodings exploit — must decode byte-exactly.
+  */
+class ColeCodecPropSpec extends AnyFunSuite {
+
+  private def cursor(b: Array[Byte]) = new Cursor(b, 0)
+
+  /** Run a ScalaCheck property under ScalaTest (no scalatestplus bridge
+    * in the offline dependency set).
+    */
+  private def check(p: Prop): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(100), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val runHeavyInts: Gen[Array[Int]] =
+    Gen.listOf(for {
+      v <- Arbitrary.arbitrary[Int]
+      n <- Gen.choose(1, 50)
+    } yield List.fill(n)(v)).map(_.flatten.toArray)
+
+  private val anyLongs: Gen[Array[Long]] =
+    Gen.listOf(Arbitrary.arbitrary[Long]).map(_.toArray)
+
+  private val sortedInts: Gen[Array[Int]] =
+    Gen.listOf(Arbitrary.arbitrary[Int]).map(_.sorted.toArray)
+
+  private val byteStrings: Gen[Array[Array[Byte]]] =
+    Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr.map(_.getBytes("UTF-8")),            // high-cardinality
+      Gen.oneOf("a", "bb", "ccc").map(_.getBytes("UTF-8")) // dictionary-friendly
+    )).map(_.toArray)
+
+  test("uvarint/zigzag round-trip any long") {
+    check(Prop.forAll { (v: Long) =>
+      val o = new Out(); o.uvarint(v); o.zz64(v)
+      val c = cursor(o.toBytes)
+      c.uvarint() == v && c.zz64() == v
+    })
+  }
+
+  test("RLE int/long round-trips arbitrary and run-heavy input") {
+    check(Prop.forAll(runHeavyInts) { vals =>
+      decodeRleInt(cursor(encodeRleInt(vals)), vals.length).toSeq == vals.toSeq
+    })
+    check(Prop.forAll(anyLongs) { vals =>
+      decodeRleLong(cursor(encodeRleLong(vals)), vals.length).toSeq == vals.toSeq
+    })
+  }
+
+  test("DELTA int/long round-trips arbitrary and sorted input") {
+    check(Prop.forAll(sortedInts) { vals =>
+      decodeDeltaInt(cursor(encodeDeltaInt(vals)), vals.length).toSeq == vals.toSeq
+    })
+    check(Prop.forAll(anyLongs) { vals =>
+      decodeDeltaLong(cursor(encodeDeltaLong(vals)), vals.length).toSeq == vals.toSeq
+    })
+  }
+
+  test("PLAIN int/long/string round-trips") {
+    check(Prop.forAll { (ints: Array[Int], longs: Array[Long]) =>
+      decodePlainInt(cursor(encodePlainInt(ints)), ints.length).toSeq == ints.toSeq &&
+        decodePlainLong(cursor(encodePlainLong(longs)), longs.length).toSeq == longs.toSeq
+    })
+    check(Prop.forAll(byteStrings) { strs =>
+      decodePlainStrings(cursor(encodePlainStrings(strs)), strs.length)
+        .map(_.toSeq).toSeq == strs.map(_.toSeq).toSeq
+    })
+  }
+
+  test("DICTIONARY strings round-trip; repeats compress below plain") {
+    check(Prop.forAll(byteStrings) { strs =>
+      decodeDictStrings(cursor(encodeDictStrings(strs)), strs.length)
+        .map(_.toSeq).toSeq == strs.map(_.toSeq).toSeq
+    })
+    val repetitive = Array.fill(10000)("payload".getBytes("UTF-8"))
+    assert(encodeDictStrings(repetitive).length < encodePlainStrings(repetitive).length / 10)
+  }
+}
