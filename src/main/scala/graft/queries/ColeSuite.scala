@@ -31,6 +31,19 @@ object ColeSuite {
       Some(s"""SELECT ${cols.mkString(", ")} FROM lineitem
                ORDER BY ${cols.mkString(", ")}""")),
 
+    // #69 metadata scan — the reference CLI's `scan` command as a
+    // queryable DataFrame (rows-only: layout is engine-specific; semantics
+    // spec-tested in ColeSourceSpec).
+    Q("cole_meta", (s, d) => {
+      val dir = dirFor(d, "meta")
+      Tables.lineitem(s, d).select(cols.map(col): _*)
+        .sortWithinPartitions("l_orderkey")
+        .write.format("cole").mode("overwrite")
+        .option("rowGroupSize", "16384").save(dir)
+      graft.sources.cole.ColeMeta.describe(s, dir)
+        .orderBy("file", "row_group", "column", "page")
+    }, None),
+
     // #35 pushdown path: numeric predicates reach the .col scan, surviving
     // row groups only; values still row-exact vs the parquet oracle.
     Q("cole_pushdown", (s, d) => {

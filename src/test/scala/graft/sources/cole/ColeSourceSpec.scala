@@ -120,6 +120,29 @@ class ColeSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("COLE") || e.getCause != null)
   }
 
+  test("empty write partitions round-trip (0-row chunks)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cole_empty").toString
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("x", "y")
+      .repartition(8) // most partitions hold zero rows
+      .write.format("cole").mode("overwrite").save(dir)
+    val back = spark.read.format("cole").load(dir)
+    assert(back.count() === 3)
+    assert(back.select("x").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("ColeMeta.describe exposes the reference fixture's layout") {
+    val meta = ColeMeta.describe(spark, fixture)
+    val encodings = meta.select("encoding").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(encodings === Set("PLAIN", "DELTA", "RLE", "DICTIONARY"))
+    val totalValues = meta.filter(col("column") === "id")
+      .agg(sum("num_values")).head().getLong(0)
+    assert(totalValues === 5000L)
+    val summary = ColeMeta.summary(spark, fixture).head()
+    assert(summary.getLong(1) === 5000L)
+  }
+
   test("corrupt footer is detected") {
     val dir = Files.createTempDirectory("cole_corrupt")
     val bad = dir.resolve("bad.col")
