@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.cole.ColeMeta
+
+/** The reference engine's CLI surface (reference: src/cli.cpp), re-hosted
+  * on Spark — a reference user's exact entry points keep working:
+  *
+  * {{{
+  * write <output.col> <num_rows> [seed]   synthetic table, same shape/schema
+  * scan  <input.col>                      file metadata + page stats
+  * query <input.col> [--select c1,c2] [--where col op value]...
+  *                   [--agg func col] [--groupby col]
+  * }}}
+  *
+  * ops: eq ne lt le gt ge; funcs: count sum min max — the reference's
+  * exact grammar. Queries compile to DataFrame plans over the COLE DSv2
+  * connector, so pushdown/pruning/page skipping apply identically to CLI
+  * use and library use.
+  */
+object Cli {
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { usage(); sys.exit(2) }
+    val spark = Engine.session()
+    try args(0) match {
+      case "write" =>
+        val seed = if (args.length > 3) args(3).toLong else 42L
+        write(spark, args(1), args(2).toLong, seed)
+        println(s"Generated ${args(2)} rows in ${args(1)}")
+      case "scan" =>
+        scanText(spark, args(1)).foreach(println)
+      case "query" =>
+        val df = buildQuery(spark, args(1), args.drop(2))
+        df.show(df.schema.length max 20, truncate = false)
+      case other =>
+        System.err.println(s"Unknown command: $other"); usage(); sys.exit(2)
+    } finally spark.stop()
+  }
+
+  private def usage(): Unit = System.err.println(
+    """Usage: graft.Cli <command> [options]
+      |  write <output.col> <num_rows> [seed]
+      |  scan <input.col>
+      |  query <input.col> [--select c1,c2,..] [--where col op value]...
+      |        [--agg func col] [--groupby col]""".stripMargin)
+
+  /** Synthetic table with the reference generator's shape (reference:
+    * src/cli.cpp createSyntheticSchema/generateSyntheticData): id INT64
+    * ascending, value INT64 uniform 0..10000, category INT32 1..5, region
+    * / status low-cardinality strings. Values are seeded and deterministic
+    * (splitmix-style hash per row — not the C++ mt19937 stream), and the
+    * generation is distributed: each task derives rows from the row index.
+    */
+  def write(spark: SparkSession, path: String, numRows: Long, seed: Long): Unit = {
+    val regions = array(lit("north"), lit("south"), lit("east"), lit("west"))
+    val statuses = array(lit("active"), lit("pending"), lit("closed"))
+    def h(salt: Int): Column =
+      abs(xxhash64(col("id"), lit(seed), lit(salt)))
+    spark.range(numRows)
+      .select(
+        col("id"),
+        (h(1) % 10001).as("value"),
+        (h(2) % 5 + 1).cast("int").as("category"),
+        element_at(regions, (h(3) % 4 + 1).cast("int")).as("region"),
+        element_at(statuses, (h(4) % 3 + 1).cast("int")).as("status"))
+      .write.format("cole").mode("overwrite").save(path)
+  }
+
+  /** The `scan` report, as printable lines (reference: cli.cpp scanFile). */
+  def scanText(spark: SparkSession, path: String): Seq[String] = {
+    val summary = ColeMeta.summary(spark, path).collect()
+    val pages = ColeMeta.describe(spark, path).collect()
+    summary.flatMap { s =>
+      Seq(s"File: ${s.getString(0)}",
+        s"Total rows: ${s.getLong(1)}",
+        s"Row groups: ${s.getInt(2)}",
+        s"Schema: ${s.getString(3)}") ++
+        pages.filter(_.getString(0) == s.getString(0)).map { p =>
+          val stats = (p.get(8), p.get(9)) match {
+            case (mn: Long, mx: Long) => s", min=$mn, max=$mx"
+            case _ => ""
+          }
+          s"  rg=${p.getInt(1)} col=${p.getString(2)} (${p.getString(3)}, " +
+            s"${p.getString(4)}) page=${p.getInt(5)} values=${p.getInt(6)}" + stats
+        }
+    }.toSeq
+  }
+
+  /** `query` flags → a DataFrame plan (exposed for tests). */
+  def buildQuery(spark: SparkSession, path: String, opts: Array[String]): DataFrame = {
+    var df = spark.read.format("cole").load(path)
+    var agg: Option[(String, String)] = None
+    var groupBy: Option[String] = None
+    var i = 0
+    while (i < opts.length) {
+      opts(i) match {
+        case "--select" =>
+          df = df.select(opts(i + 1).split(',').map(c => col(c.trim)).toIndexedSeq: _*)
+          i += 2
+        case "--where" =>
+          val (c, op, v) = (col(opts(i + 1)), opts(i + 2), opts(i + 3).toLong)
+          df = df.filter(op match {
+            case "eq" => c === v
+            case "ne" => c =!= v
+            case "lt" => c < v
+            case "le" => c <= v
+            case "gt" => c > v
+            case "ge" => c >= v
+            case other => throw new IllegalArgumentException(s"Invalid comparison operator: $other")
+          })
+          i += 4
+        case "--agg" =>
+          agg = Some((opts(i + 1), opts(i + 2))); i += 3
+        case "--groupby" =>
+          groupBy = Some(opts(i + 1)); i += 2
+        case other =>
+          throw new IllegalArgumentException(s"Unknown option: $other")
+      }
+    }
+    def aggCols(fn: String, c: String) = fn match {
+      case "count" => Seq(count(lit(1)).as("count"))
+      case "sum" => Seq(count(lit(1)).as("count"), sum(col(c)).as("sum"))
+      case "min" => Seq(count(lit(1)).as("count"), min(col(c)).as("min"))
+      case "max" => Seq(count(lit(1)).as("count"), max(col(c)).as("max"))
+      case other => throw new IllegalArgumentException(s"Invalid aggregation function: $other")
+    }
+    (groupBy, agg) match {
+      case (Some(g), fa) =>
+        // reference group-by always reports count + sum of the agg column
+        val sumCol = fa.map(_._2)
+        val aggs = count(lit(1)).as("count") +:
+          sumCol.map(c => sum(col(c)).as("sum")).toSeq
+        df.groupBy(col(g)).agg(aggs.head, aggs.tail: _*).orderBy(col(g))
+      case (None, Some((fn, c))) =>
+        df.agg(aggCols(fn, c).head, aggCols(fn, c).tail: _*)
+      case (None, None) => df
+    }
+  }
+}
