@@ -232,6 +232,60 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
 class ColeReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new ColeRowReader(partition.asInstanceOf[ColeInputPartition], required)
+
+  /** Vectorized path: decode once per chunk, emit 4096-row ColumnarBatches
+    * (the reference engine's batch size, include/execution.h) that
+    * whole-stage codegen consumes directly — no per-row materialization.
+    */
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new ColeColumnarReader(partition.asInstanceOf[ColeInputPartition], required)
+}
+
+class ColeColumnarReader(part: ColeInputPartition, required: StructType)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.ColumnarBatch
+
+  /** Reference vectorized batch size (include/execution.h: kBatchSize). */
+  private val BatchSize = 4096
+
+  private val columns: Array[ColumnData] = {
+    val reader = new ColeFileReader(part.file)
+    try part.colIndices.map(ci => reader.readChunk(part.rowGroup, ci))
+    finally reader.close()
+  }
+  private var offset = 0
+  private var batch: ColumnarBatch = _
+
+  override def next(): Boolean = offset < part.numRows
+
+  override def get(): ColumnarBatch = {
+    val n = math.min(BatchSize, part.numRows - offset)
+    val vecs = new Array[org.apache.spark.sql.vectorized.ColumnVector](columns.length)
+    var i = 0
+    while (i < columns.length) {
+      val v = new OnHeapColumnVector(n, required.fields(i).dataType)
+      val c = columns(i)
+      if (c.ints != null) v.putInts(0, n, c.ints, offset)
+      else if (c.longs != null) v.putLongs(0, n, c.longs, offset)
+      else {
+        var r = 0
+        while (r < n) { v.putByteArray(r, c.strings(offset + r)); r += 1 }
+      }
+      vecs(i) = v
+      i += 1
+    }
+    offset += n
+    if (batch != null) batch.close()
+    batch = new ColumnarBatch(vecs, n)
+    batch
+  }
+
+  override def close(): Unit = if (batch != null) batch.close()
 }
 
 class ColeRowReader(part: ColeInputPartition, required: StructType)
