@@ -18,8 +18,10 @@ import graft.functions._
   * does) or `spark.sql.extensions=graft.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.registrations.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => new graft.plans.TopKPerKeyStrategy)
+  }
 }
 
 object GraftExtensions {

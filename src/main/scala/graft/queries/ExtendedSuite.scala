@@ -251,8 +251,24 @@ object ExtendedSuite {
               ORDER BY doc_id"""))
   )
 
-  /** #62-64: training-corpus assembly ops. */
+  /** #62-64: training-corpus assembly ops (+ #70 custom physical op). */
   val curation: Seq[Q] = Seq(
+
+    // #70 top-k per key via the custom TopKPerKey LogicalPlan/Strategy/
+    // SparkPlan (bounded heap per key — O(n log k), no per-partition
+    // sort). Oracle = the window row_number formulation in DuckDB.
+    Q("topk_per_key", (s, d) =>
+      graft.plans.TopK.perKey(Tables.orders(s, d), 3,
+          Seq(col("o_orderpriority")),
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc))
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderpriority", "o_orderkey"),
+      Some("""SELECT o_orderkey, o_orderpriority, o_totalprice FROM (
+                SELECT o_orderkey, o_orderpriority, o_totalprice,
+                       ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                FROM orders) t
+              WHERE rn <= 3 ORDER BY o_orderpriority, o_orderkey""")),
 
     // #62 sequence packing: assign docs to fixed token-budget chunks by
     // prefix-sum + integer division, per source shard (the per-shard

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.TopK
+import graft.Tables
+
+/** TopKPerKey (custom LogicalPlan/Strategy/SparkPlan): must agree row-for-
+  * row with the window row_number formulation, and must plan as the
+  * bounded-heap operator — no per-partition sort.
+  */
+class TopKSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("top-3 orders per priority == window row_number filter") {
+    val orders = Tables.orders(spark, sfDir)
+    val viaTopK = TopK.perKey(orders, 3,
+        Seq(col("o_orderpriority")),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc))
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val viaWindow = orders
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    assert(viaTopK.count() === viaWindow.count())
+    assert(viaTopK.exceptAll(viaWindow).count() === 0)
+    assert(viaWindow.exceptAll(viaTopK).count() === 0)
+  }
+
+  test("plans as TopKPerKeyExec with no per-partition sort") {
+    val orders = Tables.orders(spark, sfDir)
+    val plan = TopK.perKey(orders, 5, Seq(col("o_orderpriority")),
+      Seq(col("o_totalprice").desc)).queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"custom operator missing from plan:\n$plan")
+    assert(!plan.contains("Sort "), s"top-k must not sort partitions:\n$plan")
+    assert(!plan.contains("Window"), s"top-k must not fall back to a window:\n$plan")
+  }
+
+  test("k larger than group size returns whole groups") {
+    val orders = Tables.orders(spark, sfDir)
+    val n = TopK.perKey(orders, 1000000, Seq(col("o_orderpriority")),
+      Seq(col("o_orderkey").asc)).count()
+    assert(n === orders.count())
+  }
+}
