@@ -105,6 +105,14 @@ class PlanAuditSpec extends AnyFunSuite {
       p.contains("BroadcastExchange"), "query set should broadcast")
   }
 
+  test("join_bucketed: SortMergeJoin with no hash exchange on either side") {
+    val p = plan("join_bucketed")
+    assert(p.contains("SortMergeJoin"), s"bucketed join should sort-merge:\n$p")
+    val joinPart = p.substring(p.indexOf("SortMergeJoin"))
+    assert(!joinPart.contains("Exchange hashpartitioning"),
+      s"bucketed sides must not re-shuffle:\n$joinPart")
+  }
+
   test("subquery_in executes as a semi join, not a product") {
     val p = plan("subquery_in")
     assert(p.contains("SemiJoin") || p.contains("LeftSemi"), s"IN-subquery not a semi join:\n$p")
