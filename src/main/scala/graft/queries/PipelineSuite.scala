@@ -117,6 +117,14 @@ object PipelineSuite {
         .orderBy("query_id", "rank")
     }, None),
 
+    // #72 IVF approximate top-k (rows-only; recall vs #41 in the spec).
+    Q("ann_ivf", (s, d) => {
+      val embs = Tables.embeddings(s, d)
+      Ann.ivf(embs, embs.filter(col("vec_id") % 100 === 0), k = 5)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    }, None),
+
     // #43 vector algebra with an exact decimal oracle.
     Q("vector_norms", (s, d) => {
       // float -> double -> decimal: Spark's direct float->decimal cast goes
