@@ -437,6 +437,29 @@ object RelationalSuite {
                event_type, COUNT(*) AS n, ${dsumSql("value")} AS sum_value
                FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""")),
 
+    // #73 hopping (sliding) window: 1-hour windows every 30 minutes — each
+    // event lands in two windows. The DuckDB twin materializes the same
+    // two epoch-aligned buckets per event explicitly.
+    Q("events_hopping", (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("win_start", "event_type"),
+      Some(s"""WITH b AS (
+                 SELECT strftime(to_timestamp(epoch(ts) - epoch(ts) % 1800),
+                                 '%Y-%m-%d %H:%M:%S') AS win_start, event_type, value
+                 FROM events
+                 UNION ALL
+                 SELECT strftime(to_timestamp(epoch(ts) - epoch(ts) % 1800 - 1800),
+                                 '%Y-%m-%d %H:%M:%S') AS win_start, event_type, value
+                 FROM events)
+               SELECT win_start, event_type, COUNT(*) AS n,
+                      ${dsumSql("value")} AS sum_value
+               FROM b GROUP BY win_start, event_type
+               ORDER BY win_start, event_type""")),
+
     // #32 sessionization: 30-minute-gap sessions via lag + prefix sum (the
     // batch twin of the stateful streaming sessionizer).
     Q("events_sessionize", (s, d) => {
