@@ -210,6 +210,54 @@ object ExtendedSuite {
               WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1')
               ORDER BY doc_id""")),
 
+    // #74 NULL semantics (the reference explicitly lacks NULLs; first-
+    // class here): NULLIF-derived nulls through count/null-safe equality/
+    // coalesce.
+    Q("null_handling", (s, d) =>
+      Tables.orders(s, d)
+        .withColumn("st", nullif(col("o_orderstatus"), lit("P")))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("st")).as("n_nonnull"),
+          sum(when(col("st").isNull, 1L).otherwise(0L)).as("n_null"),
+          sum(when(col("st") <=> lit("O"), 1L).otherwise(0L)).as("n_nullsafe_eq"),
+          count(coalesce(col("st"), lit("P"))).as("n_coalesced")),
+      Some("""SELECT COUNT(*) AS n_rows, COUNT(st) AS n_nonnull,
+                CAST(SUM(CASE WHEN st IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                CAST(SUM(CASE WHEN st IS NOT DISTINCT FROM 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq,
+                COUNT(COALESCE(st, 'P')) AS n_coalesced
+              FROM (SELECT NULLIF(o_orderstatus, 'P') AS st FROM orders) t""")),
+
+    // #75 regex family: extract / extract-all count / match / replace
+    // (Java regex and RE2 agree on these patterns).
+    Q("regex_funcs", (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          regexp_extract(col("text"), "([0-9]+)", 1).as("first_num"),
+          size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).as("n_nums"),
+          when(col("text").rlike("data"), 1).otherwise(0).as("mentions_data"),
+          length(regexp_replace(col("text"), "[aeiou]", "")).as("len_novowels"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                regexp_extract(text, '([0-9]+)', 1) AS first_num,
+                CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_nums,
+                CASE WHEN regexp_matches(text, 'data') THEN 1 ELSE 0 END AS mentions_data,
+                CAST(LENGTH(regexp_replace(text, '[aeiou]', '', 'g')) AS INTEGER) AS len_novowels
+              FROM documents ORDER BY doc_id""")),
+
+    // #76 boolean aggregates: every/any/count_if per group.
+    Q("bool_aggs", (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(expr("every(l_quantity > 0)").as("all_pos"),
+          expr("any(l_discount > 0.09)").as("any_high_disc"),
+          expr("count_if(l_tax = 0)").as("n_notax"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+                bool_and(l_quantity > 0) AS all_pos,
+                bool_or(l_discount > 0.09) AS any_high_disc,
+                COUNT(*) FILTER (WHERE l_tax = 0) AS n_notax
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // #60 keep-best dedup: within each exact-duplicate group keep the
     // longest document (ties → lowest id) — the curation twin of
     // dedup_exact's keep-first policy.
