@@ -164,13 +164,21 @@ object ExtendedSuite {
               ORDER BY p.event_id""")),
 
     // #57 range (band) join: per-user event pairs within a 5-minute
-    // window. The equality key bounds the join; the range predicate only
-    // filters within a user's partition — no cross product.
+    // window. The time axis is banded INTO the equality key (bucket =
+    // floor(ts/5min); the right side joins under its own and previous
+    // bucket, which covers every in-range pair exactly once) — so the join
+    // explodes per (user, bucket), not per user. On a user with n events
+    // over a long history, the naive user-only key builds n² candidate
+    // pairs; banding builds only the near-diagonal ones.
     Q("join_range", (s, d) => {
-      val ev = Tables.events(s, d).select("event_id", "user_id", "ts")
-      val a = ev.select(col("user_id"), col("ts").as("ts_a"))
-      val b = ev.select(col("user_id"), col("ts").as("ts_b"))
-      a.join(b, Seq("user_id"))
+      val bucketUs = 300L * 1000000L
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"),
+          floor(unix_micros(col("ts")) / bucketUs).as("bk"))
+      val a = ev.select(col("user_id"), col("ts").as("ts_a"), col("bk"))
+      val b0 = ev.select(col("user_id"), col("ts").as("ts_b"), col("bk"))
+      val b = b0.unionAll(b0.withColumn("bk", col("bk") - 1))
+      a.join(b, Seq("user_id", "bk"))
         .filter(col("ts_b") > col("ts_a") &&
           col("ts_b") <= col("ts_a") + expr("INTERVAL 5 MINUTE"))
         .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
