@@ -218,6 +218,24 @@ object ExtendedSuite {
               WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1')
               ORDER BY doc_id""")),
 
+    // #77 salted two-phase aggregation: the skew pattern for hot keys.
+    // events.event_type has 5 values over 100k+ rows — a direct groupBy
+    // sends every hot key's rows to one reducer; salting fans each key
+    // over 16 partial aggregates first, then merges 5×16 tiny rows.
+    // (AQE also mitigates skew at runtime; salting is the plan-level
+    // guarantee.) Oracle = the plain group-by: same result by definition.
+    Q("groupby_salted", (s, d) => {
+      val salted = Tables.events(s, d)
+        .withColumn("salt", pmod(xxhash64(col("event_id")), lit(16)))
+        .groupBy("event_type", "salt")
+        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sv"))
+      salted.groupBy("event_type")
+        .agg(sum(col("n")).as("n"), sum(col("sv")).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    },
+      Some(s"""SELECT event_type, COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+               FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // #74 NULL semantics (the reference explicitly lacks NULLs; first-
     // class here): NULLIF-derived nulls through count/null-safe equality/
     // coalesce.

@@ -143,6 +143,28 @@ class EventsPipelineSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("streaming -> COLE sink via foreachBatch round-trips") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cole_stream").toString
+    val source = MemoryStream[Event](spark)
+    val events = orderedEvents()
+    // each micro-batch appends its rows as a COLE table partition
+    val q = source.toDF().select("event_id", "user_id", "event_type")
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.write.format("cole").mode("append").save(s"$dir/batch_$id")
+      }.start()
+    events.grouped(events.size / 2 + 1).foreach { b =>
+      source.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    val back = new java.io.File(dir).listFiles().map(f =>
+      spark.read.format("cole").load(f.getPath)).reduce(_ unionAll _)
+    assert(back.count() === events.size)
+    assert(back.select("event_id").distinct().count() === events.size)
+  }
+
   test("streaming session_window end-to-end produces rows") {
     // Session-window streaming aggs emit only finalized sessions → Append
     // mode; the watermark (event-time high-mark minus 10min) closes all but
