@@ -218,6 +218,30 @@ object ExtendedSuite {
               WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1')
               ORDER BY doc_id""")),
 
+    // #78 scalar subquery in the projection: each order against the
+    // all-orders average (identical SQL both engines; exact decimal avg).
+    Q("scalar_subquery", (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(scalarSubquerySql)
+    }, Some(scalarSubquerySql)),
+
+    // #79 RANGE window frame: per-user rolling 1-hour event count — the
+    // frame is value-based (epoch seconds), not row-based.
+    Q("window_range_frame", (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("es"))
+        .rangeBetween(-3600L, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts) div 1000000").as("es"))
+        .withColumn("n_last_hour", count(lit(1)).over(w))
+        .select("event_id", "user_id", "n_last_hour")
+        .orderBy("event_id")
+    },
+      Some("""SELECT event_id, user_id,
+                COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+                               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_last_hour
+              FROM events ORDER BY event_id""")),
+
     // #77 salted two-phase aggregation: the skew pattern for hot keys.
     // events.event_type has 5 values over 100k+ rows — a direct groupBy
     // sends every hot key's rows to one reducer; salting fans each key
@@ -457,6 +481,16 @@ object ExtendedSuite {
                            THEN 64 ELSE 192 END
               GROUP BY source ORDER BY source"""))
   )
+
+  /** #78's SQL — identical in Spark SQL and DuckDB; exact decimal avg so
+    * the ratio's operands (and hence the double division) agree bitwise.
+    */
+  private def scalarSubquerySql: String =
+    """SELECT o_orderkey,
+      |  CAST(o_totalprice AS DOUBLE) /
+      |    (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) / COUNT(*)
+      |     FROM orders) AS price_vs_avg
+      |FROM orders ORDER BY o_orderkey""".stripMargin
 
   /** #53's SQL — one string, runs verbatim in Spark SQL and DuckDB.
     * (A `def`: object-initialization order must not matter here — `queries`
