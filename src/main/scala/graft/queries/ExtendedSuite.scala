@@ -218,6 +218,45 @@ object ExtendedSuite {
               WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1')
               ORDER BY doc_id""")),
 
+    // #80 histogram binning: fixed-width buckets over order value — the
+    // data-profiling primitive behind every distribution dashboard.
+    Q("histogram_bins", (s, d) =>
+      Tables.orders(s, d)
+        .withColumn("bin", floor(col("o_totalprice") / 50000).cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("bin"),
+      Some(s"""SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bin,
+                 COUNT(*) AS n, ${dsumSql("o_totalprice")} AS sum_price
+               FROM orders GROUP BY bin ORDER BY bin""")),
+
+    // #81 column profiling: per-column cardinality/extremes in one pass
+    // over the table per column family — the "describe" a curation
+    // pipeline runs before trusting a new corpus drop.
+    Q("table_profile", (s, d) => {
+      val o = Tables.orders(s, d)
+      def prof(c: String, expr0: org.apache.spark.sql.Column) = o.agg(
+        lit(c).as("col"), count(lit(1)).as("n_rows"),
+        countDistinct(expr0).as("n_distinct"),
+        min(expr0).cast("string").as("min_v"), max(expr0).cast("string").as("max_v"))
+      prof("o_custkey", col("o_custkey"))
+        .unionAll(prof("o_orderstatus", col("o_orderstatus")))
+        .unionAll(prof("o_orderpriority", col("o_orderpriority")))
+        .orderBy("col")
+    },
+      Some("""SELECT 'o_custkey' AS col, COUNT(*) AS n_rows,
+                COUNT(DISTINCT o_custkey) AS n_distinct,
+                CAST(MIN(o_custkey) AS VARCHAR) AS min_v,
+                CAST(MAX(o_custkey) AS VARCHAR) AS max_v FROM orders
+              UNION ALL
+              SELECT 'o_orderstatus', COUNT(*), COUNT(DISTINCT o_orderstatus),
+                MIN(o_orderstatus), MAX(o_orderstatus) FROM orders
+              UNION ALL
+              SELECT 'o_orderpriority', COUNT(*), COUNT(DISTINCT o_orderpriority),
+                MIN(o_orderpriority), MAX(o_orderpriority) FROM orders
+              ORDER BY col""")),
+
     // #78 scalar subquery in the projection: each order against the
     // all-orders average (identical SQL both engines; exact decimal avg).
     Q("scalar_subquery", (s, d) => {
