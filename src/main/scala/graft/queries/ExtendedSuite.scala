@@ -218,6 +218,28 @@ object ExtendedSuite {
               WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1')
               ORDER BY doc_id""")),
 
+    // #82 on-disk partition pruning: events re-laid-out partitionBy(
+    // event_type); a filtered read must prune at the DIRECTORY level
+    // (PartitionFilters, plan-audited) — at 100 TB, partition layout is
+    // what turns "scan everything" into "scan 1/5th".
+    Q("partition_pruning", (s, d) => {
+      val dir = s"/tmp/graft_parts/events_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      if (!new java.io.File(dir).exists()) {
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("value"),
+            unix_micros(col("ts")).as("ts_us"), col("event_type"))
+          .write.partitionBy("event_type").mode("overwrite").parquet(dir)
+      }
+      s.read.parquet(dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    },
+      Some(s"""SELECT event_type, COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+               FROM events WHERE event_type = 'purchase'
+               GROUP BY event_type ORDER BY event_type""")),
+
     // #80 histogram binning: fixed-width buckets over order value — the
     // data-profiling primitive behind every distribution dashboard.
     Q("histogram_bins", (s, d) =>

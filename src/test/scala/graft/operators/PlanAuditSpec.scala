@@ -105,6 +105,13 @@ class PlanAuditSpec extends AnyFunSuite {
       p.contains("BroadcastExchange"), "query set should broadcast")
   }
 
+  test("partition_pruning: the filter prunes directories, not rows") {
+    val p = formatted("partition_pruning")
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("event_type") && (pf.contains("purchase") || pf.contains("isnotnull")),
+      s"event_type filter did not reach PartitionFilters: $pf")
+  }
+
   test("join_bucketed: SortMergeJoin with no hash exchange on either side") {
     val p = plan("join_bucketed")
     assert(p.contains("SortMergeJoin"), s"bucketed join should sort-merge:\n$p")

@@ -1,15 +1,24 @@
 package graft.tools
+
 import graft._
+
+/** Ad-hoc per-query profiler:
+  * `sbt "Test/runMain graft.tools.Prof <query> [runs] [sfDir]"` —
+  * times repeated executions (run 1 = cold: plan compile + JIT).
+  */
 object Prof {
   def main(args: Array[String]): Unit = {
+    val name = if (args.nonEmpty) args(0) else "tpch_q1"
+    val runs = if (args.length > 1) args(1).toInt else 3
+    val d = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
     val spark = Engine.session("local[32]")
-    val d = "/root/testdata/sf0.1"
-    def time(label: String)(f: => Any): Unit = {
-      val t0 = System.nanoTime(); val n = f
-      println(f"[prof] $label%-16s ${(System.nanoTime() - t0) / 1e9}%.2f s  v=$n")
+    val fn = SparkEntry.queries.getOrElse(name,
+      sys.error(s"unknown query '$name'; keys: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
+    for (i <- 1 to runs) {
+      val t0 = System.nanoTime()
+      val n = fn(spark, d).count()
+      println(f"[prof] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
     }
-    for (i <- 1 to 4)
-      time(s"join_range $i")(SparkEntry.queries("join_range")(spark, d).count())
     spark.stop()
   }
 }
