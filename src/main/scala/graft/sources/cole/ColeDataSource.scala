@@ -150,7 +150,7 @@ private[cole] final case class ColePredicate(column: String, op: String, value: 
 }
 
 private[cole] object ColePredicate {
-  private def num(v: Any): Option[Long] = v match {
+  private[cole] def num(v: Any): Option[Long] = v match {
     case i: Int => Some(i.toLong)
     case l: Long => Some(l)
     case s: Short => Some(s.toLong)
@@ -172,18 +172,42 @@ final case class ColeInputPartition(file: String, rowGroup: Int,
     colIndices: Array[Int], numRows: Int) extends InputPartition
 
 class ColeScan(fullSchema: StructType, required: StructType, path: String,
-    filters: Array[Filter]) extends Scan with Batch with SupportsReportStatistics {
+    filters: Array[Filter]) extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"ColeScan path=$path, pushed=[${filters.mkString(", ")}]"
 
+  /** Runtime (dynamic) filtering: join-produced IN-filters arrive after
+    * planning and prune row groups by the same page stats — the DSv2 side
+    * of dynamic partition pruning. A join against a filtered dim table
+    * then reads only the COLE row groups whose stat ranges intersect the
+    * surviving keys.
+    */
+  private var runtimeFilters: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    fullSchema.fields
+      .filter(f => f.dataType == IntegerType || f.dataType == LongType)
+      .map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
+
+  override def filter(newFilters: Array[Filter]): Unit =
+    runtimeFilters = newFilters
+
   /** One InputPartition per surviving row group: predicate-vs-stats skipping
     * happens here on the driver, before any executor reads a byte — the
-    * Spark twin of the reference's canSkipPage loop.
+    * Spark twin of the reference's canSkipPage loop. Runtime IN-filters
+    * (if any arrived) participate as per-value range checks.
     */
   override def planInputPartitions(): Array[InputPartition] = {
+    val runtimeIn: Array[ColePredicate] = runtimeFilters.flatMap {
+      case In(c, vs) =>
+        val nums = vs.flatMap(ColePredicate.num)
+        if (nums.length == vs.length) nums.map(ColePredicate(c, "eq", _)) else Array.empty[ColePredicate]
+      case f => ColePredicate.fromFilter(f).toArray
+    }
     val preds = filters.flatMap(ColePredicate.fromFilter)
     ColeUtil.listFiles(path).flatMap { file =>
       val reader = new ColeFileReader(file)
@@ -192,7 +216,8 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
         val nameToIdx = meta.columns.map(_.name).zipWithIndex.toMap
         val colIndices = required.fieldNames.map(nameToIdx(_))
         meta.rowGroups.zipWithIndex.collect {
-          case (rg, rgIdx) if !skipRowGroup(rg, nameToIdx, preds) =>
+          case (rg, rgIdx) if !skipRowGroup(rg, nameToIdx, preds) &&
+              !skipRowGroupIn(rg, nameToIdx, runtimeIn) =>
             ColeInputPartition(file, rgIdx, colIndices, rg.numRows)
         }
       } finally reader.close()
@@ -202,6 +227,18 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
   /** Skip a row group when some predicate eliminates every page of its
     * column's chunk.
     */
+  /** A runtime IN-set (eq per value, disjunctive) skips a row group only
+    * when EVERY value is excluded by EVERY page of that column's chunk.
+    */
+  private def skipRowGroupIn(rg: RowGroupMeta, nameToIdx: Map[String, Int],
+      inPreds: Array[ColePredicate]): Boolean =
+    inPreds.groupBy(_.column).exists { case (c, ps) =>
+      nameToIdx.get(c).exists { ci =>
+        val pages = rg.chunks(ci).pages
+        pages.nonEmpty && ps.forall(p => pages.forall(ph => p.canSkip(ph.stats)))
+      }
+    }
+
   private def skipRowGroup(rg: RowGroupMeta, nameToIdx: Map[String, Int],
       preds: Array[ColePredicate]): Boolean =
     preds.exists { p =>

@@ -143,6 +143,27 @@ class ColeSourceSpec extends AnyFunSuite {
     assert(summary.getLong(1) === 5000L)
   }
 
+  test("runtime IN-filters prune row groups (SupportsRuntimeFiltering)") {
+    import spark.implicits._
+    import org.apache.spark.sql.sources.In
+    val dir = Files.createTempDirectory("cole_runtime").toString
+    // 4 sorted row groups of 1000 ids each -> disjoint id stat ranges
+    (0L until 4000L).toDF("id").coalesce(1).sortWithinPartitions("id")
+      .write.format("cole").mode("overwrite")
+      .option("rowGroupSize", "1000").save(dir)
+    val scan = new ColeScanBuilder(
+      spark.read.format("cole").load(dir).schema, dir).build()
+      .asInstanceOf[ColeScan]
+    assert(scan.planInputPartitions().length === 4)
+    // a dynamic join filter arrives: only keys 1500 and 1700 survive
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](In("id", Array(1500L, 1700L))))
+    val surviving = scan.planInputPartitions()
+    assert(surviving.length === 1, s"expected 1 row group, got ${surviving.length}")
+    // and values outside every range prune everything
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](In("id", Array(99999L))))
+    assert(scan.planInputPartitions().isEmpty)
+  }
+
   test("corrupt footer is detected") {
     val dir = Files.createTempDirectory("cole_corrupt")
     val bad = dir.resolve("bad.col")
