@@ -20,6 +20,12 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * × k) memory, one shuffle (the same clustering a window needs). At
   * 100 TB, "top 5 per user" over billions of rows never materializes a
   * sort of each user's history.
+  *
+  * Memory note: per-partition state is (keys in partition) × k rows and
+  * does not spill; that is the same ORDER as the operator's output (the
+  * window formulation's sort buffer is the full input instead). For
+  * extreme key cardinality per partition, raise shuffle partitions or
+  * fall back to the window spelling, which spills.
   */
 final case class TopKPerKey(
     k: Int,

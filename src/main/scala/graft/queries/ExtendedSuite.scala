@@ -240,6 +240,16 @@ object ExtendedSuite {
                FROM events WHERE event_type = 'purchase'
                GROUP BY event_type ORDER BY event_type""")),
 
+    // #83 approximate quantiles (Greenwald-Khanna percentile_approx,
+    // rows-only: sketch internals are engine-specific; the exact twin
+    // #51 percentile_agg is the oracle-checked counterpart).
+    Q("approx_quantile", (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median"),
+          percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("approx_p99"))
+        .orderBy("l_returnflag"), None),
+
     // #80 histogram binning: fixed-width buckets over order value — the
     // data-profiling primitive behind every distribution dashboard.
     Q("histogram_bins", (s, d) =>
