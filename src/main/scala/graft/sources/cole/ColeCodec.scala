@@ -240,10 +240,17 @@ object ColeCodec {
     out.toBytes
   }
 
-  def decodeDictStrings(c: Cursor, numValues: Int): Array[Array[Byte]] = {
+  /** Dictionary page as (entries, per-row ids) — the layout the vectorized
+    * reader hands to Spark's dictionary-aware column vectors verbatim.
+    */
+  def decodeDictRaw(c: Cursor, numValues: Int): (Array[Array[Byte]], Array[Int]) = {
     val dictSize = c.u32()
     val dict = Array.fill(dictSize) { val len = c.u32(); c.bytes(len) }
-    val indices = decodeRleInt(c, numValues)
+    (dict, decodeRleInt(c, numValues))
+  }
+
+  def decodeDictStrings(c: Cursor, numValues: Int): Array[Array[Byte]] = {
+    val (dict, indices) = decodeDictRaw(c, numValues)
     indices.map(dict(_))
   }
 }

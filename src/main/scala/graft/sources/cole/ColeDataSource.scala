@@ -290,9 +290,16 @@ class ColeColumnarReader(part: ColeInputPartition, required: StructType)
   /** Reference vectorized batch size (include/execution.h: kBatchSize). */
   private val BatchSize = 4096
 
-  private val columns: Array[ColumnData] = {
+  /** Per column: either a materialized chunk, or the raw dictionary view
+    * (entries + ids) for all-DICTIONARY string chunks — handed to Spark's
+    * dictionary-aware vectors with zero per-row string copies.
+    */
+  private val columns: Array[AnyRef] = {
     val reader = new ColeFileReader(part.file)
-    try part.colIndices.map(ci => reader.readChunk(part.rowGroup, ci))
+    try part.colIndices.map { ci =>
+      val dict = reader.readStringChunkDict(part.rowGroup, ci)
+      if (dict != null) dict else reader.readChunk(part.rowGroup, ci)
+    }: Array[AnyRef]
     finally reader.close()
   }
   private var offset = 0
@@ -306,12 +313,17 @@ class ColeColumnarReader(part: ColeInputPartition, required: StructType)
     var i = 0
     while (i < columns.length) {
       val v = new OnHeapColumnVector(n, required.fields(i).dataType)
-      val c = columns(i)
-      if (c.ints != null) v.putInts(0, n, c.ints, offset)
-      else if (c.longs != null) v.putLongs(0, n, c.longs, offset)
-      else {
-        var r = 0
-        while (r < n) { v.putByteArray(r, c.strings(offset + r)); r += 1 }
+      columns(i) match {
+        case c: ColumnData =>
+          if (c.ints != null) v.putInts(0, n, c.ints, offset)
+          else if (c.longs != null) v.putLongs(0, n, c.longs, offset)
+          else {
+            var r = 0
+            while (r < n) { v.putByteArray(r, c.strings(offset + r)); r += 1 }
+          }
+        case (entries: Array[Array[Byte]], ids: Array[Int]) =>
+          v.setDictionary(new ColeVectorDictionary(entries))
+          v.reserveDictionaryIds(n).putInts(0, n, ids, offset)
       }
       vecs(i) = v
       i += 1
@@ -323,6 +335,20 @@ class ColeColumnarReader(part: ColeInputPartition, required: StructType)
   }
 
   override def close(): Unit = if (batch != null) batch.close()
+}
+
+/** COLE dictionary page → Spark's vectorized Dictionary interface. */
+final class ColeVectorDictionary(entries: Array[Array[Byte]])
+    extends org.apache.spark.sql.execution.vectorized.Dictionary {
+  override def decodeToBinary(id: Int): Array[Byte] = entries(id)
+  override def decodeToInt(id: Int): Int =
+    throw new UnsupportedOperationException("COLE dictionaries are string-typed")
+  override def decodeToLong(id: Int): Long =
+    throw new UnsupportedOperationException("COLE dictionaries are string-typed")
+  override def decodeToFloat(id: Int): Float =
+    throw new UnsupportedOperationException("COLE dictionaries are string-typed")
+  override def decodeToDouble(id: Int): Double =
+    throw new UnsupportedOperationException("COLE dictionaries are string-typed")
 }
 
 class ColeRowReader(part: ColeInputPartition, required: StructType)

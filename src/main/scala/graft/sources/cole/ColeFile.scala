@@ -87,6 +87,31 @@ final class ColeFileReader(path: String) extends AutoCloseable {
     case other => throw new ColeFormatException(s"$other not valid for STRING")
   }
 
+  /** Dictionary view of an all-DICTIONARY string chunk: (entries, per-row
+    * ids), with multi-page chunks merged by offsetting ids into one
+    * concatenated entry table. Returns null when any page is PLAIN — the
+    * caller falls back to materialized strings.
+    */
+  def readStringChunkDict(rgIdx: Int, colIdx: Int): (Array[Array[Byte]], Array[Int]) = {
+    val rg = meta.rowGroups(rgIdx)
+    val cc = rg.chunks(colIdx)
+    if (meta.columns(colIdx).colType != TString) return null
+    if (!cc.pages.forall(_.encoding == Dict)) return null
+    val raw = readAt(cc.fileOffset, cc.totalSize.toInt)
+    val c = new Cursor(raw, 0)
+    val entries = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    val idParts = scala.collection.mutable.ArrayBuffer[Array[Int]]()
+    cc.pages.foreach { _ =>
+      val ph = readPageHeader(c)
+      val (dict, ids) = decodeDictRaw(new Cursor(c.buf, c.pos), ph.numValues)
+      val base = entries.size
+      entries ++= dict
+      idParts += (if (base == 0) ids else ids.map(_ + base))
+      c.pos += ph.compressedSize
+    }
+    (entries.toArray, idParts.flatten.toArray)
+  }
+
   override def close(): Unit = raf.close()
 }
 

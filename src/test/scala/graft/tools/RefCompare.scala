@@ -1,0 +1,62 @@
+package graft.tools
+
+import graft.Engine
+import org.apache.spark.sql.functions._
+
+/** Head-to-head vs the reference engine's own benchmark: point this at the
+  * `benchmark_data.col` its bench suite writes (1M rows) and run the same
+  * four operations through the COLE connector.
+  * `sbt "Test/runMain graft.tools.RefCompare /tmp/refbuild/benchmark_data.col"`
+  */
+object RefCompare {
+  def main(args: Array[String]): Unit = {
+    val file = if (args.nonEmpty) args(0) else "/tmp/refbuild/benchmark_data.col"
+    val spark = Engine.session("local[32]")
+    val mb = new java.io.File(file).length() / 1e6
+    def df = spark.read.format("cole").load(file)
+    def bench(label: String, warm: Int = 2)(f: => Any): Unit = {
+      (1 to warm).foreach(_ => f)
+      val t0 = System.nanoTime(); f
+      val ms = (System.nanoTime() - t0) / 1e6
+      println(f"[refcmp] $label%-28s ${ms}%8.1f ms  ${mb / (ms / 1000)}%8.1f MB/s")
+    }
+    println(f"[refcmp] file: $file ($mb%.1f MB)")
+    bench("full scan (all cols)")(df.agg(sum("id"), sum("value"), sum("score"),
+      count("region")).head())
+    bench("filtered scan value>50000")(df.filter(col("value") > 50000)
+      .agg(sum("id"), sum("value"), sum("score"), count("region")).head())
+    bench("aggregation SUM(value)")(df.agg(sum("value")).head())
+    bench("group by region")(df.groupBy("region")
+      .agg(count(lit(1)), sum("value")).head())
+    spark.stop()
+  }
+}
+
+/** Same four operations at 20M rows (Spark's per-query floor amortized).
+  * `sbt "Test/runMain graft.tools.RefCompareScaled"`
+  */
+object RefCompareScaled {
+  def main(args: Array[String]): Unit = {
+    val dir = "/tmp/graft_refcmp_20m"
+    val spark = Engine.session("local[32]")
+    if (!new java.io.File(dir).exists())
+      graft.Cli.write(spark, dir, 20000000L, seed = 42L)
+    val mb = new java.io.File(dir).listFiles().map(_.length()).sum / 1e6
+    def df = spark.read.format("cole").load(dir)
+    def bench(label: String, warm: Int = 2)(f: => Any): Unit = {
+      (1 to warm).foreach(_ => f)
+      val t0 = System.nanoTime(); f
+      val ms = (System.nanoTime() - t0) / 1e6
+      println(f"[refcmp] $label%-28s ${ms}%8.1f ms  ${mb / (ms / 1000)}%8.1f MB/s")
+    }
+    println(f"[refcmp] dir: $dir ($mb%.1f MB, ${df.count()} rows)")
+    bench("full scan (all cols)")(df.agg(sum("id"), sum("value"), sum("category"),
+      count("region"), count("status")).head())
+    bench("filtered scan value>5000")(df.filter(col("value") > 5000)
+      .agg(sum("id"), sum("value"), count("region")).head())
+    bench("aggregation SUM(value)")(df.agg(sum("value")).head())
+    bench("group by region")(df.groupBy("region")
+      .agg(count(lit(1)), sum("value")).head())
+    spark.stop()
+  }
+}
