@@ -429,9 +429,11 @@ class ColeDataWriter(schema: StructType, file: String, rowGroupSize: Int)
 
   private val coleCols = ColeUtil.toColeColumns(schema)
   private val writer = new ColeFileWriter(file, coleCols)
-  private val intBufs = Array.fill(schema.length)(new scala.collection.mutable.ArrayBuffer[Int]())
-  private val longBufs = Array.fill(schema.length)(new scala.collection.mutable.ArrayBuffer[Long]())
-  private val strBufs = Array.fill(schema.length)(new scala.collection.mutable.ArrayBuffer[Array[Byte]]())
+  // primitive row-group buffers: a boxing ArrayBuffer[Int/Long] would box
+  // every cell of every numeric column on the write path
+  private val intBufs = Array.fill(schema.length)(new Array[Int](rowGroupSize))
+  private val longBufs = Array.fill(schema.length)(new Array[Long](rowGroupSize))
+  private val strBufs = Array.fill(schema.length)(new Array[Array[Byte]](rowGroupSize))
   private var buffered = 0
 
   override def write(record: InternalRow): Unit = {
@@ -441,9 +443,9 @@ class ColeDataWriter(schema: StructType, file: String, rowGroupSize: Int)
         throw new ColeFormatException(
           s"COLE format does not support NULLs (column '${schema(i).name}')")
       coleCols(i).colType match {
-        case TInt32 => intBufs(i) += record.getInt(i)
-        case TInt64 => longBufs(i) += record.getLong(i)
-        case TString => strBufs(i) += record.getUTF8String(i).getBytes
+        case TInt32 => intBufs(i)(buffered) = record.getInt(i)
+        case TInt64 => longBufs(i)(buffered) = record.getLong(i)
+        case TString => strBufs(i)(buffered) = record.getUTF8String(i).getBytes
       }
       i += 1
     }
@@ -456,18 +458,17 @@ class ColeDataWriter(schema: StructType, file: String, rowGroupSize: Int)
     val (cols, encs) = coleCols.zipWithIndex.map { case (c, i) =>
       c.colType match {
         case TInt32 =>
-          val a = intBufs(i).toArray
+          val a = java.util.Arrays.copyOf(intBufs(i), buffered)
           (ColumnData(a, null, null), chooseIntEnc(a.map(_.toLong)))
         case TInt64 =>
-          val a = longBufs(i).toArray
+          val a = java.util.Arrays.copyOf(longBufs(i), buffered)
           (ColumnData(null, a, null), chooseIntEnc(a))
         case TString =>
-          val a = strBufs(i).toArray
+          val a = java.util.Arrays.copyOf(strBufs(i), buffered)
           (ColumnData(null, null, a), chooseStrEnc(a))
       }
     }.unzip
     writer.writeRowGroup(cols, buffered, encs)
-    intBufs.foreach(_.clear()); longBufs.foreach(_.clear()); strBufs.foreach(_.clear())
     buffered = 0
   }
 
