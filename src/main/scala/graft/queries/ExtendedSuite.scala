@@ -240,6 +240,22 @@ object ExtendedSuite {
                FROM events WHERE event_type = 'purchase'
                GROUP BY event_type ORDER BY event_type""")),
 
+    // #84 unpivot/melt — the inverse of #22 pivot: measure columns to
+    // (name, value) rows. Values pass through unchanged → exact oracle.
+    Q("unpivot_melt", (s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+        .filter(col("l_orderkey") < 200)
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "measure", "val")
+        .orderBy("l_orderkey", "l_linenumber", "measure"),
+      Some("""SELECT l_orderkey, l_linenumber, measure, val FROM (
+                UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+                         FROM lineitem WHERE l_orderkey < 200)
+                ON l_quantity, l_discount, l_tax INTO NAME measure VALUE val)
+              ORDER BY l_orderkey, l_linenumber, measure""")),
+
     // #83 approximate quantiles (Greenwald-Khanna percentile_approx,
     // rows-only: sketch internals are engine-specific; the exact twin
     // #51 percentile_agg is the oracle-checked counterpart).
