@@ -60,3 +60,32 @@ object RefCompareScaled {
     spark.stop()
   }
 }
+
+/** Stress scale: 100M rows (~1.6 GB). `Test/runMain graft.tools.RefCompareStress` */
+object RefCompareStress {
+  def main(args: Array[String]): Unit = {
+    val dir = "/tmp/graft_refcmp_100m"
+    val spark = Engine.session("local[32]")
+    val t0 = System.nanoTime()
+    if (!new java.io.File(dir).exists())
+      graft.Cli.write(spark, dir, 100000000L, seed = 42L)
+    println(f"[refcmp] write: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val mb = new java.io.File(dir).listFiles().map(_.length()).sum / 1e6
+    def df = spark.read.format("cole").load(dir)
+    def bench(label: String)(f: => Any): Unit = {
+      f // warm
+      val t = System.nanoTime(); f
+      val ms = (System.nanoTime() - t) / 1e6
+      println(f"[refcmp] $label%-28s ${ms}%8.1f ms  ${mb / (ms / 1000)}%8.1f MB/s")
+    }
+    println(f"[refcmp] dir: $dir ($mb%.1f MB, ${df.count()} rows)")
+    bench("full scan (all cols)")(df.agg(sum("id"), sum("value"), sum("category"),
+      count("region"), count("status")).head())
+    bench("filtered scan value>5000")(df.filter(col("value") > 5000)
+      .agg(sum("id"), sum("value"), count("region")).head())
+    bench("aggregation SUM(value)")(df.agg(sum("value")).head())
+    bench("group by region")(df.groupBy("region")
+      .agg(count(lit(1)), sum("value")).head())
+    spark.stop()
+  }
+}
