@@ -143,15 +143,16 @@ object Dedup {
   }
 
   /** Duplicate clusters from a pair table: connected components by
-    * iterative min-label propagation. Each iteration is one shuffle
-    * (neighbor-min join + groupBy); convergence needs O(component
-    * diameter) rounds — near-dup graphs are dense little cliques, so
-    * 3-5 in practice, `maxIter` caps the worst case. `localCheckpoint`
-    * cuts lineage each round so the plan doesn't grow exponentially.
+    * iterative min-label propagation with pointer jumping. Each round is
+    * (1) neighbor-min over the edges and (2) a path-compression hop
+    * through the current labels (label := label(label)), so convergence
+    * is O(log diameter) — a 1000-node chain settles in ~10 rounds, and
+    * near-dup cliques in 2-3. Two shuffles per round; `localCheckpoint`
+    * cuts lineage so the plan doesn't grow exponentially.
     * Returns (id, cluster_id = min id reachable).
     */
   def clusters(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 25): DataFrame = {
     val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
@@ -165,10 +166,19 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("cluster_id")).as("nbr_min"))
-      val next = labels.join(neighborMin, Seq("id"), "left_outer")
+      val propagated = labels.join(neighborMin, Seq("id"), "left_outer")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
+      // pointer jump: follow the label one hop (label of my label) — the
+      // path-halving step that makes chains converge logarithmically.
+      val hop = propagated
+        .select(col("id").as("jid"), col("cluster_id").as("jlabel"))
+      val next = propagated
+        .join(hop, propagated("cluster_id") === hop("jid"), "left_outer")
+        .select(propagated("id"),
+          least(propagated("cluster_id"),
+            coalesce(col("jlabel"), propagated("cluster_id"))).as("cluster_id"))
         .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "id")
         .filter(col("cluster_id") =!= col("old")).count()

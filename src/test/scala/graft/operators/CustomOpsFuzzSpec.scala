@@ -51,6 +51,36 @@ class CustomOpsFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("Dedup.clusters == union-find on random graphs incl. 400-node chains") {
+    val s = spark
+    import s.implicits._
+    for (seed <- 1 to 3) {
+      val nNodes = 100 + (mix(seed) & 0xff).toInt
+      val nEdges = 50 + (mix(seed * 3) & 0x7f).toInt
+      val randomEdges = (0 until nEdges).map(i =>
+        (math.floorMod(mix(seed + i), nNodes).toLong,
+          math.floorMod(mix(seed * 7 + i), nNodes).toLong))
+        .filter { case (a, b) => a != b }
+      // a long path: the case plain label propagation needs O(n) rounds
+      // for and pointer jumping needs O(log n)
+      val chain = (1000L until 1400L).sliding(2).map(w => (w(0), w(1))).toSeq
+      val edges = randomEdges ++ chain
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(k => k -> find(k)).toMap
+      val got = Dedup.clusters(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"seed=$seed nodes=$nNodes edges=${edges.size}")
+    }
+  }
+
   test("Asof.joinAsof == naive point-in-time lookup across seeded datasets") {
     val s = spark
     import s.implicits._
