@@ -164,6 +164,24 @@ class ColeSourceSpec extends AnyFunSuite {
     assert(scan.planInputPartitions().isEmpty)
   }
 
+  test("roundtrip survives adversarial values: unicode, empty strings, extremes") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cole_adv").toString
+    val rows = Seq(
+      (Long.MinValue, Int.MinValue, ""),
+      (Long.MaxValue, Int.MaxValue, "héllo wörld 你好 😀"),
+      (0L, 0, "line\nbreak\ttab"),
+      (-1L, -1, "a" * 10000),
+      (42L, 7, "")
+    )
+    val df = rows.toDF("l", "i", "s")
+    df.write.format("cole").mode("overwrite").save(dir)
+    val back = spark.read.format("cole").load(dir)
+    assert(back.count() === rows.size)
+    assert(back.exceptAll(df).count() === 0)
+    assert(df.exceptAll(back).count() === 0)
+  }
+
   test("corrupt footer is detected") {
     val dir = Files.createTempDirectory("cole_corrupt")
     val bad = dir.resolve("bad.col")
