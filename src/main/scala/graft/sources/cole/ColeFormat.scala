@@ -105,6 +105,12 @@ object ColeFormat {
         cc.pages.foreach(writePageHeader(out, _))
       }
     }
+    // the COLE format stores total_rows as uint32 (reference format.h:89);
+    // fail loudly rather than wrap silently — at scale, write more part
+    // files (the DSv2 writer emits one per task), not bigger ones.
+    if (meta.totalRows > 0xffffffffL)
+      throw new ColeFormatException(
+        s"COLE total_rows is uint32; ${meta.totalRows} rows exceed one file's capacity")
     out.u32(meta.totalRows.toInt)
   }
 

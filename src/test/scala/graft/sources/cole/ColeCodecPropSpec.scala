@@ -77,6 +77,33 @@ class ColeCodecPropSpec extends AnyFunSuite {
     })
   }
 
+  test("page headers round-trip with arbitrary stats shapes") {
+    import graft.sources.cole.ColeFormat._
+    val encodings = Seq(Plain, Rle, Delta, Dict)
+    val statsGen: Gen[PageStats] = for {
+      mn <- Gen.option(Arbitrary.arbitrary[Long])
+      mx <- Gen.option(Arbitrary.arbitrary[Long])
+      nulls <- Gen.choose(0, Int.MaxValue)
+    } yield PageStats(mn, mx, nulls)
+    val phGen: Gen[PageHeader] = for {
+      unc <- Gen.choose(0, Int.MaxValue)
+      comp <- Gen.choose(0, Int.MaxValue)
+      n <- Gen.choose(0, Int.MaxValue)
+      e <- Gen.oneOf(encodings)
+      st <- statsGen
+    } yield PageHeader(unc, comp, n, e, st)
+    check(Prop.forAll(phGen) { ph =>
+      val o = new Out(); writePageHeader(o, ph)
+      val back = readPageHeader(cursor(o.toBytes))
+      // one-sided stats write as present; absent-both reads as zero nulls
+      val norm =
+        if (ph.stats.minInt.isEmpty && ph.stats.maxInt.isEmpty)
+          ph.copy(stats = PageStats(None, None, 0))
+        else ph
+      back == norm
+    })
+  }
+
   test("DICTIONARY strings round-trip; repeats compress below plain") {
     check(Prop.forAll(byteStrings) { strs =>
       decodeDictStrings(cursor(encodeDictStrings(strs)), strs.length)
