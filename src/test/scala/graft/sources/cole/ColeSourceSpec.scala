@@ -192,4 +192,43 @@ class ColeSourceSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("magic") ||
       e.getMessage.toLowerCase.contains("cole"))
   }
+
+  // corruption matrix — the reference's test_corruption.cpp cases
+  // (too-small file, bad header/footer magic, out-of-range metadata
+  // offset, truncated varint) must all fail loudly, never read garbage.
+
+  private def writeGood(): Array[Byte] = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cole_good").toString
+    Seq((1L, "a"), (2L, "b")).toDF("x", "y")
+      .coalesce(1).write.format("cole").mode("overwrite").save(dir)
+    val f = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".col")).head
+    Files.readAllBytes(f.toPath)
+  }
+
+  private def expectReject(bytes: Array[Byte]): Exception = {
+    val p = Files.createTempDirectory("cole_bad").resolve("f.col")
+    Files.write(p, bytes)
+    intercept[Exception](new ColeFileReader(p.toString))
+  }
+
+  test("corruption matrix: too small / bad magics / bad metadata offset") {
+    val good = writeGood()
+    assert(expectReject(good.take(10)).getMessage.toLowerCase.contains("small"))
+    val badHeader = good.clone(); badHeader(0) = 'X'.toByte
+    assert(expectReject(badHeader).getMessage.toLowerCase.contains("magic"))
+    val badFooter = good.clone(); badFooter(good.length - 12) = 'X'.toByte
+    assert(expectReject(badFooter).getMessage.toLowerCase.contains("magic"))
+    val badOffset = good.clone()
+    // metadata offset = last 8 bytes (LE): point past the file end
+    for (i <- 1 to 8) badOffset(good.length - i) = 0x7f.toByte
+    assert(expectReject(badOffset).getMessage.toLowerCase.contains("offset"))
+  }
+
+  test("truncated varint stream fails rather than reading garbage") {
+    import graft.sources.cole.ColeCodec._
+    val o = new Out(); o.uvarint(300L)
+    val truncated = o.toBytes.take(1) // continuation bit set, no next byte
+    intercept[Exception](new Cursor(truncated, 0).uvarint())
+  }
 }
