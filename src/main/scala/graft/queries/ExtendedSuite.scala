@@ -240,6 +240,43 @@ object ExtendedSuite {
                FROM events WHERE event_type = 'purchase'
                GROUP BY event_type ORDER BY event_type""")),
 
+    // #85 the end-to-end curation pipeline as ONE declarative plan:
+    // exact-dedup keeper selection (#36) ∘ quality gate (#61) ∘
+    // deterministic 50% sample (#59) → cleaned corpus + per-source stats.
+    // Catalyst fuses all three into a single scan+window pass.
+    Q("corpus_clean", (s, d) => {
+      val w = Window.partitionBy("fp")
+      val digitRatio =
+        length(regexp_replace(col("text"), "[^0-9]", "")) / length(col("text"))
+      Tables.documents(s, d)
+        .withColumn("fp", Text.fingerprint(col("text")))
+        .withColumn("keep_dedup", col("doc_id") === min(col("doc_id")).over(w))
+        .filter(col("keep_dedup") &&
+          col("n_chars") >= 50 && Text.tokenCount(col("text")) >= 5 &&
+          digitRatio < 0.3 &&
+          conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+            .cast("int") < 128)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+        .orderBy("source")
+    },
+      Some("""WITH f AS (
+                SELECT doc_id, source, n_chars, text,
+                  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+                FROM documents),
+              kept AS (
+                SELECT * FROM (
+                  SELECT doc_id, source, n_chars, text,
+                         (doc_id = MIN(doc_id) OVER (PARTITION BY fp)) AS keep_dedup
+                  FROM f) t
+                WHERE keep_dedup
+                  AND n_chars >= 50
+                  AND len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) >= 5
+                  AND LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) / LENGTH(text) < 0.3
+                  AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER) < 128)
+              SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+              FROM kept GROUP BY source ORDER BY source""")),
+
     // #84 unpivot/melt — the inverse of #22 pivot: measure columns to
     // (name, value) rows. Values pass through unchanged → exact oracle.
     Q("unpivot_melt", (s, d) =>
