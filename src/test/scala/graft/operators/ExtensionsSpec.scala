@@ -30,6 +30,21 @@ class ExtensionsSpec extends AnyFunSuite {
 
   private val sfDir = "/root/testdata/sf0.001"
 
+  test("TopKPerKey planner strategy is injected by the extensions") {
+    assert(spark.sessionState.planner.extraPlanningStrategies
+      .exists(_.isInstanceOf[graft.plans.TopKPerKeyStrategy]))
+  }
+
+  test("query names are unique across suites (no silent Map shadowing)") {
+    import graft.queries._
+    val all = CoreSuite.queries ++ RelationalSuite.queries ++
+      ExtendedSuite.queries ++ ExtendedSuite.curation ++
+      ColeSuite.queries ++ PipelineSuite.queries
+    val dupes = all.groupBy(_.name).filter(_._2.size > 1).keys.toSeq
+    assert(dupes.isEmpty, s"duplicate query keys: $dupes")
+    assert(graft.SparkEntry.queries.size === all.size)
+  }
+
   test("all graft_* functions are registered in the SQL catalog") {
     val names = spark.catalog.listFunctions().collect().map(_.name).toSet
     for (f <- GraftExtensions.registrations.map(_._1.funcName))
