@@ -38,18 +38,22 @@ object Ann {
     * centroids — the posting lists would be the stored layout at 100 TB),
     * and query cost drops from |corpus| to ~nProbe/nCells of it.
     *
-    * Centroids here are a deterministic sample of the corpus (IVF-flat
-    * with sampled centroids — the standard bootstrap before Lloyd
-    * refinement); recall is measured against brute force in the spec.
-    * Cell assignment dogfoods [[graft.plans.TopK]] (k=1 / k=nProbe per
-    * key) instead of a window-sort.
+    * Centroids are exactly `nCells` deterministically-sampled corpus
+    * vectors (lowest xxhash64 rank — IVF-flat with sampled centroids, the
+    * standard bootstrap before Lloyd refinement); recall is measured
+    * against brute force in the spec. The quantizer is FIXED-size: its
+    * broadcast does not grow with the corpus, and centroid selection is a
+    * single TakeOrdered pass. Cell assignment dogfoods
+    * [[graft.plans.TopK]] (k=1 / k=nProbe per key) instead of a
+    * window-sort.
     */
   def ivf(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       idCol: String = "vec_id", vecCol: String = "embedding",
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val centroids = broadcast(
       corpus.select(col(idCol).as("cell_id"), col(vecCol).as("centroid"))
-        .filter(pmod(xxhash64(col("cell_id")), lit(997)) < lit(997 / nCells)))
+        .orderBy(xxhash64(col("cell_id")).asc, col("cell_id").asc)
+        .limit(nCells))
     def nearestCells(df: DataFrame, idAs: String, vecAs: String, n: Int): DataFrame =
       graft.plans.TopK.perKey(
         df.select(col(idCol).as(idAs), col(vecCol).as(vecAs))

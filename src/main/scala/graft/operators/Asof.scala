@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   * `last(_, ignoreNulls)` window carries the most recent right payload
   * forward into each left row. Cost is one shuffle + one per-key sort;
   * a range-join formulation would explode to |L|·|R| comparisons per key.
+  *
+  * The payload rides as ONE struct of all carry columns (a single window
+  * pass), and the struct itself is the null marker: it is non-null for
+  * every right ROW even when the carried values are NULL, so the latest
+  * right row wins with its NULLs intact — matching DuckDB ASOF JOIN
+  * semantics — instead of falling back to an older row's value.
   */
 object Asof {
 
@@ -28,24 +34,27 @@ object Asof {
       carry: Seq[String]): DataFrame = {
     require(carry.nonEmpty, "carry must name at least one right-side column")
     val leftCols = left.columns.toSeq
+    val payloadType = org.apache.spark.sql.types.StructType(
+      carry.map(c => org.apache.spark.sql.types.StructField(
+        c, right.schema(c).dataType, nullable = true)))
     val l = left.select(
-      leftCols.map(col) ++
-        carry.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")) :+
+      leftCols.map(col) :+
+        lit(null).cast(payloadType).as("_r") :+
         lit(1).as("_tag"): _*)
     val r = right.select(
       leftCols.map {
         case c @ (`key` | `ts`) => col(c)
         case c                  => lit(null).cast(left.schema(c).dataType).as(c)
-      } ++
-        carry.map(c => col(c).as(s"_r_$c")) :+
+      } :+
+        struct(carry.map(col): _*).as("_r") :+
         lit(0).as("_tag"): _*)
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts).asc, col("_tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = carry.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
-    }
+    val filled = l.unionByName(r)
+      .withColumn("_asof", last(col("_r"), ignoreNulls = true).over(w))
     filled.filter(col("_tag") === 1)
-      .select(leftCols.map(col) ++ carry.map(c => col(s"asof_$c")): _*)
+      .select(leftCols.map(col) ++
+        carry.map(c => col("_asof").getField(c).as(s"asof_$c")): _*)
   }
 }

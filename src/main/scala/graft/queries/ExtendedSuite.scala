@@ -200,7 +200,7 @@ object ExtendedSuite {
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy("event_type"),
       Some("""SELECT event_type, COUNT(*) AS n,
-                SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+                CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
                 MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
                 MAX(CAST(props->>'k' AS BIGINT)) AS max_k
               FROM events WHERE CAST(props->>'k' AS BIGINT) > 50
@@ -254,8 +254,11 @@ object ExtendedSuite {
         .filter(col("keep_dedup") &&
           col("n_chars") >= 50 && Text.tokenCount(col("text")) >= 5 &&
           digitRatio < 0.3 &&
-          conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
-            .cast("int") < 128)
+          // md5-prefix compared as a hex STRING ('80' = bucket 128/256):
+          // fixed-width lowercase hex sorts numerically, and byte-wise
+          // string comparison is identical in every engine version
+          // (hex-parsing casts are not).
+          substring(md5(col("doc_id").cast("string")), 1, 2) < "80")
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
         .orderBy("source")
@@ -273,8 +276,9 @@ object ExtendedSuite {
                   AND n_chars >= 50
                   AND len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) >= 5
                   AND LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) / LENGTH(text) < 0.3
-                  AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER) < 128)
-              SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+                  AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80')
+              SELECT source, COUNT(*) AS n_docs,
+                     CAST(SUM(n_chars) AS BIGINT) AS n_chars
               FROM kept GROUP BY source ORDER BY source""")),
 
     // #84 unpivot/melt — the inverse of #22 pivot: measure columns to
@@ -586,23 +590,27 @@ object ExtendedSuite {
     // deterministic md5 buckets (0-255) — the reproducible version of
     // "sample web at 25%, books at 75%" corpus mixing.
     Q("mix_sources", (s, d) => {
-      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
-        .cast("int")
+      // Keep rates expressed as md5-prefix hex-string bounds ('40' = 64/256,
+      // 'c0' = 192/256): fixed-width lowercase hex sorts numerically, and
+      // byte-wise string comparison is stable across engine versions
+      // (hex-parsing casts are not).
+      val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
       val keepBelow = when(
         col("source").isin("src0", "src1", "src2", "src3", "src4",
-          "src5", "src6", "src7", "src8", "src9"), 64).otherwise(192)
+          "src5", "src6", "src7", "src8", "src9"), "40").otherwise("c0")
       Tables.documents(s, d)
         .filter(bucket < keepBelow)
         .groupBy("source")
         .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
         .orderBy("source")
     },
-      Some("""SELECT source, COUNT(*) AS n_kept, SUM(n_chars) AS chars_kept
+      Some("""SELECT source, COUNT(*) AS n_kept,
+                     CAST(SUM(n_chars) AS BIGINT) AS chars_kept
               FROM documents
-              WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER)
+              WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
                     < CASE WHEN source IN ('src0','src1','src2','src3','src4',
                                            'src5','src6','src7','src8','src9')
-                           THEN 64 ELSE 192 END
+                           THEN '40' ELSE 'c0' END
               GROUP BY source ORDER BY source"""))
   )
 

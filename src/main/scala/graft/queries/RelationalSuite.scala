@@ -244,7 +244,7 @@ object RelationalSuite {
               CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS m,
               CAST(EXTRACT(DAY FROM o_orderdate) AS INTEGER) AS dom,
               CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
-              CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since
+              CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS INTEGER) AS days_since
               FROM orders ORDER BY o_orderkey""")),
 
     // #27 TPC-H Q1 pricing summary (flagship wide aggregation).
@@ -308,7 +308,9 @@ object RelationalSuite {
     Q("tpch_q5", (s, d) => {
       val asia = broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA"))
       val nat = broadcast(Tables.nation(s, d))
-      val sup = broadcast(Tables.supplier(s, d))
+      // supplier is SF-proportional (~1M rows at sf100): no static broadcast
+      // hint — AQE picks broadcast vs shuffle from the actual runtime size.
+      val sup = Tables.supplier(s, d)
       val ord = Tables.orders(s, d)
         .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
           col("o_orderdate") < ts("1997-01-01 00:00:00"))
@@ -393,11 +395,11 @@ object RelationalSuite {
           sum(when(hi, 0L).otherwise(1L)).as("low_lines"))
         .orderBy("speed")
     },
-      Some("""SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN 'fast'
-                          WHEN date_diff('day', o_orderdate, l_shipdate) <= 90 THEN 'medium'
+      Some("""SELECT CASE WHEN CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) <= 30 THEN 'fast'
+                          WHEN CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) <= 90 THEN 'medium'
                           ELSE 'slow' END AS speed,
-                SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_lines,
-                SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_lines
+                CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_lines,
+                CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_lines
               FROM orders JOIN lineitem ON o_orderkey = l_orderkey
               GROUP BY 1 ORDER BY speed""")),
 

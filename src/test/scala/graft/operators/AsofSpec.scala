@@ -46,6 +46,27 @@ class AsofSpec extends AnyFunSuite {
     assert(out(4L) == (Some(200.0), Some(ts("2026-01-01 11:00:00"))), "latest of several")
   }
 
+  test("asof join: latest right ROW wins even when its carried value is NULL") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2026-01-01 12:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    // The most recent preceding right row carries a NULL price: DuckDB ASOF
+    // semantics attach THAT row's NULL, not the older 100.0.
+    val right = Seq(
+      (10L, ts("2026-01-01 10:00:00"), Some(100.0)),
+      (10L, ts("2026-01-01 11:00:00"), Option.empty[Double])
+    ).toDF("user_id", "ts", "price")
+
+    val rows = Asof.joinAsof(left, right, "user_id", "ts", Seq("price", "ts"))
+      .collect()
+    assert(rows.length == 1)
+    assert(rows(0).isNullAt(3), "latest right row's NULL must win, not an older value")
+    assert(rows(0).getTimestamp(4) == ts("2026-01-01 11:00:00"),
+      "the asof_ts must still come from the latest right row")
+  }
+
   test("asof join plan: single shuffle on the key, no range join explosion") {
     val s = spark
     import s.implicits._
