@@ -253,4 +253,80 @@ object ColeCodec {
     val (dict, indices) = decodeDictRaw(c, numValues)
     indices.map(dict(_))
   }
+
+  // ---- streaming numeric aggregation (no array materialization)
+  //
+  // The aggregate-pushdown path sweeps encoded pages directly: RLE pages
+  // contribute in O(runs) (a run of length L adds L·v in one step), DELTA
+  // pages keep only a running value, PLAIN pages sweep fixed-width bytes.
+  // This is what lets SUM/MIN/MAX/COUNT run at decode speed or better
+  // without building column vectors.
+
+  /** Mutable (count,sum,min,max) accumulator for one column chunk. */
+  final class NumAgg {
+    var count: Long = 0L
+    var sum: Long = 0L
+    var min: Long = Long.MaxValue
+    var max: Long = Long.MinValue
+    @inline def add(v: Long): Unit = {
+      count += 1; sum += v
+      if (v < min) min = v
+      if (v > max) max = v
+    }
+    @inline def addRun(v: Long, len: Long): Unit = {
+      count += len; sum += v * len
+      if (len > 0) {
+        if (v < min) min = v
+        if (v > max) max = v
+      }
+    }
+  }
+
+  def aggRleInt(c: Cursor, acc: NumAgg): Unit = {
+    val runs = c.uvarint().toInt
+    var r = 0
+    while (r < runs) {
+      val len = c.uvarint()
+      acc.addRun(c.zz32().toLong, len)
+      r += 1
+    }
+  }
+
+  def aggRleLong(c: Cursor, acc: NumAgg): Unit = {
+    val runs = c.uvarint().toInt
+    var r = 0
+    while (r < runs) {
+      val len = c.uvarint()
+      acc.addRun(c.zz64(), len)
+      r += 1
+    }
+  }
+
+  def aggDeltaInt(c: Cursor, numValues: Int, acc: NumAgg): Unit = {
+    if (numValues == 0) return
+    var v = c.i32()
+    acc.add(v.toLong)
+    val n = c.uvarint().toInt
+    var i = 0
+    while (i < n) { v += c.zz32(); acc.add(v.toLong); i += 1 }
+  }
+
+  def aggDeltaLong(c: Cursor, numValues: Int, acc: NumAgg): Unit = {
+    if (numValues == 0) return
+    var v = c.i64()
+    acc.add(v)
+    val n = c.uvarint().toInt
+    var i = 0
+    while (i < n) { v += c.zz64(); acc.add(v); i += 1 }
+  }
+
+  def aggPlainInt(c: Cursor, numValues: Int, acc: NumAgg): Unit = {
+    var i = 0
+    while (i < numValues) { acc.add(c.i32().toLong); i += 1 }
+  }
+
+  def aggPlainLong(c: Cursor, numValues: Int, acc: NumAgg): Unit = {
+    var i = 0
+    while (i < numValues) { acc.add(c.i64()); i += 1 }
+  }
 }

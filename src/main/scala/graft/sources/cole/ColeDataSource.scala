@@ -109,10 +109,16 @@ class ColeTable(schema: StructType, properties: Map[String, String])
 // ------------------------------------------------------------------ read
 
 class ColeScanBuilder(fullSchema: StructType, path: String)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate._
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var pushedAggs: Seq[ColeAggSpec] = Seq.empty
+  private var aggSchema: StructType = _
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -128,7 +134,173 @@ class ColeScanBuilder(fullSchema: StructType, path: String)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new ColeScan(fullSchema, required, path, pushed)
+  /** Whole-aggregation pushdown (partial): a global SUM/MIN/MAX/COUNT over
+    * numeric columns is answered per row group from encoded pages — RLE
+    * pages aggregate per run, MIN/MAX come from page stats with no page
+    * read at all — and Spark merges the per-row-group partials. The scan
+    * then moves row-group-count rows instead of row-count rows: the
+    * reference's "aggregation at decode speed" (reference:
+    * include/execution.h QueryExecutor::aggregate), expressed as DSv2
+    * partial aggregate pushdown.
+    *
+    * Spark only attempts this when every filter was fully pushed (we keep
+    * residuals, so any filtered query takes the vectorized path instead);
+    * group-bys are declined and run through the columnar reader +
+    * whole-stage hash aggregation.
+    */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (pushed.nonEmpty || aggregation.groupByExpressions.nonEmpty) return false
+    def ref(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 =>
+          Some(nr.fieldNames.head).filter(n => fullSchema.fieldNames.contains(n))
+        case _ => None
+      }
+    def numeric(n: String): Boolean = fullSchema(n).dataType match {
+      case IntegerType | LongType => true
+      case _ => false
+    }
+    val specs = aggregation.aggregateExpressions.map {
+      case _: CountStar => Some(ColeAggSpec("count_star", null))
+      case c: Count if !c.isDistinct =>
+        ref(c.column).map(ColeAggSpec("count", _)) // COLE has no NULLs: count = rows
+      case m: Min => ref(m.column).filter(numeric).map(ColeAggSpec("min", _))
+      case m: Max => ref(m.column).filter(numeric).map(ColeAggSpec("max", _))
+      case s: Sum if !s.isDistinct =>
+        ref(s.column).filter(numeric).map(ColeAggSpec("sum", _))
+      case _ => None
+    }
+    if (specs.exists(_.isEmpty)) return false
+    pushedAggs = specs.flatten.toSeq
+    // positional contract: one field per aggregate, typed as the partial
+    // buffer Spark's rewritten final aggregation expects
+    aggSchema = StructType(pushedAggs.zipWithIndex.map { case (sp, i) =>
+      val dt = sp.kind match {
+        case "min" | "max" => fullSchema(sp.column).dataType
+        case _ => LongType // counts and integral sums merge as BIGINT
+      }
+      StructField(s"agg_${i}_${sp.kind}${Option(sp.column).fold("")("_" + _)}",
+        dt, nullable = false)
+    })
+    true
+  }
+
+  override def build(): Scan =
+    if (pushedAggs.nonEmpty) new ColeAggScan(path, pushedAggs, aggSchema)
+    else new ColeScan(fullSchema, required, path, pushed)
+}
+
+/** One pushed aggregate: kind ∈ {count_star, count, min, max, sum};
+  * column is null for count_star. Resolved to a file column index at read
+  * time (part files may order columns differently).
+  */
+final case class ColeAggSpec(kind: String, column: String)
+
+/** Scan produced when an aggregation is pushed: partitions are packed
+  * row-group runs (same packing as the data scan), each emitting ONE row
+  * of partial aggregate values computed from page stats / streaming page
+  * sweeps. Output volume is O(partitions) — at 100 TB that is the
+  * difference between shuffling 10^12 rows into a hash aggregate and
+  * shuffling one row per ~128 MB slice.
+  */
+class ColeAggScan(path: String, aggs: Seq[ColeAggSpec], schema: StructType)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"ColeAggScan path=$path, PushedAggregates: [${aggs.map(a =>
+      s"${a.kind.toUpperCase}(${Option(a.column).getOrElse("*")})").mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val target = ColePack.targetBytes
+    ColeUtil.listFiles(path).flatMap { file =>
+      val reader = new ColeFileReader(file)
+      try {
+        val meta = reader.meta
+        val nameToIdx = meta.columns.map(_.name).zipWithIndex.toMap
+        val colIndices = aggs.flatMap(a => Option(a.column)).distinct
+          .map(nameToIdx(_)).toArray
+        val rgs = meta.rowGroups.zipWithIndex.collect {
+          case (rg, rgIdx) if rg.numRows > 0 =>
+            (rgIdx, rg.numRows, colIndices.map(ci => rg.chunks(ci).totalSize).sum)
+        }
+        ColePack.pack(file, colIndices, rgs, target)
+      } finally reader.close()
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ColeAggReaderFactory(aggs)
+}
+
+class ColeAggReaderFactory(aggs: Seq[ColeAggSpec]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new ColeAggReader(partition.asInstanceOf[ColeInputPartition], aggs)
+}
+
+class ColeAggReader(part: ColeInputPartition, aggs: Seq[ColeAggSpec])
+    extends PartitionReader[InternalRow] {
+
+  private var emitted = false
+
+  override def next(): Boolean = !emitted
+
+  override def get(): InternalRow = {
+    emitted = true
+    val reader = new ColeFileReader(part.file)
+    try {
+      val meta = reader.meta
+      val nameToIdx = meta.columns.map(_.name).zipWithIndex.toMap
+      val totalRows = part.rowCounts.map(_.toLong).sum
+      // per referenced column: one merged accumulator across the
+      // partition's row groups; sweep pages only if some agg needs a sum
+      // or a row group lacks stats — otherwise stats alone answer min/max
+      val needSum = aggs.collect { case ColeAggSpec("sum", c) => nameToIdx(c) }.toSet
+      val accs = scala.collection.mutable.Map.empty[Int, ColeCodec.NumAgg]
+      def acc(ci: Int): ColeCodec.NumAgg =
+        accs.getOrElseUpdate(ci, {
+          val a = new ColeCodec.NumAgg
+          var i = 0
+          while (i < part.rowGroups.length) {
+            val rgIdx = part.rowGroups(i)
+            if (needSum(ci)) {
+              val rg = reader.aggChunk(rgIdx, ci)
+              a.sum += rg.sum; a.count += rg.count
+              if (rg.min < a.min) a.min = rg.min
+              if (rg.max > a.max) a.max = rg.max
+            } else reader.statsMinMax(rgIdx, ci) match {
+              case Some((mn, mx)) =>
+                if (mn < a.min) a.min = mn
+                if (mx > a.max) a.max = mx
+              case None =>
+                val rg = reader.aggChunk(rgIdx, ci)
+                if (rg.min < a.min) a.min = rg.min
+                if (rg.max > a.max) a.max = rg.max
+            }
+            i += 1
+          }
+          a
+        })
+      val values: Seq[Any] = aggs.map { sp =>
+        lazy val ci = nameToIdx(sp.column)
+        lazy val isInt32 = meta.columns(ci).colType == TInt32
+        sp.kind match {
+          case "count_star" | "count" => totalRows
+          case "sum" => acc(ci).sum
+          case "min" =>
+            val v = acc(ci).min
+            if (isInt32) v.toInt else v
+          case "max" =>
+            val v = acc(ci).max
+            if (isInt32) v.toInt else v
+        }
+      }
+      InternalRow.fromSeq(values)
+    } finally reader.close()
+  }
+
+  override def close(): Unit = ()
 }
 
 /** Numeric min/max predicate usable against page stats
@@ -168,8 +340,42 @@ private[cole] object ColePredicate {
   }
 }
 
-final case class ColeInputPartition(file: String, rowGroup: Int,
-    colIndices: Array[Int], numRows: Int) extends InputPartition
+/** A slice of one file: several consecutive surviving row groups, packed
+  * so a partition carries ~maxPartitionBytes of projected chunk data. One
+  * task per row group would drown 100 TB reads in task-launch overhead
+  * (~1 ms each); one task per file would cap parallelism at the file
+  * count. Packing by projected bytes keeps tasks at the same granularity
+  * Spark uses for parquet splits.
+  */
+final case class ColeInputPartition(file: String, rowGroups: Array[Int],
+    colIndices: Array[Int], rowCounts: Array[Int]) extends InputPartition
+
+private[cole] object ColePack {
+  /** Greedy-pack (rgIdx, rows, bytes) triples into partitions of roughly
+    * targetBytes of projected data.
+    */
+  def pack(file: String, colIndices: Array[Int],
+      rgs: Seq[(Int, Int, Long)], targetBytes: Long): Seq[ColeInputPartition] = {
+    val out = scala.collection.mutable.ArrayBuffer[ColeInputPartition]()
+    val idxs = scala.collection.mutable.ArrayBuffer[Int]()
+    val rows = scala.collection.mutable.ArrayBuffer[Int]()
+    var acc = 0L
+    def flush(): Unit = if (idxs.nonEmpty) {
+      out += ColeInputPartition(file, idxs.toArray, colIndices, rows.toArray)
+      idxs.clear(); rows.clear(); acc = 0L
+    }
+    rgs.foreach { case (rgIdx, nRows, bytes) =>
+      if (acc > 0 && acc + bytes > targetBytes) flush()
+      idxs += rgIdx; rows += nRows; acc += bytes
+    }
+    flush()
+    out.toSeq
+  }
+
+  def targetBytes: Long =
+    try org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes
+    catch { case _: Throwable => 128L * 1024 * 1024 }
+}
 
 class ColeScan(fullSchema: StructType, required: StructType, path: String,
     filters: Array[Filter]) extends Scan with Batch with SupportsReportStatistics
@@ -196,10 +402,11 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
   override def filter(newFilters: Array[Filter]): Unit =
     runtimeFilters = newFilters
 
-  /** One InputPartition per surviving row group: predicate-vs-stats skipping
-    * happens here on the driver, before any executor reads a byte — the
-    * Spark twin of the reference's canSkipPage loop. Runtime IN-filters
-    * (if any arrived) participate as per-value range checks.
+  /** Surviving row groups, packed into ~maxPartitionBytes partitions:
+    * predicate-vs-stats skipping happens here on the driver, before any
+    * executor reads a byte — the Spark twin of the reference's
+    * canSkipPage loop. Runtime IN-filters (if any arrived) participate as
+    * per-value range checks.
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val runtimeIn: Array[ColePredicate] = runtimeFilters.flatMap {
@@ -209,17 +416,19 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
       case f => ColePredicate.fromFilter(f).toArray
     }
     val preds = filters.flatMap(ColePredicate.fromFilter)
+    val target = ColePack.targetBytes
     ColeUtil.listFiles(path).flatMap { file =>
       val reader = new ColeFileReader(file)
       try {
         val meta = reader.meta
         val nameToIdx = meta.columns.map(_.name).zipWithIndex.toMap
         val colIndices = required.fieldNames.map(nameToIdx(_))
-        meta.rowGroups.zipWithIndex.collect {
+        val surviving = meta.rowGroups.zipWithIndex.collect {
           case (rg, rgIdx) if !skipRowGroup(rg, nameToIdx, preds) &&
               !skipRowGroupIn(rg, nameToIdx, runtimeIn) =>
-            ColeInputPartition(file, rgIdx, colIndices, rg.numRows)
+            (rgIdx, rg.numRows, colIndices.map(ci => rg.chunks(ci).totalSize).sum)
         }
+        ColePack.pack(file, colIndices, surviving, target)
       } finally reader.close()
     }.toArray
   }
@@ -290,25 +499,40 @@ class ColeColumnarReader(part: ColeInputPartition, required: StructType)
   /** Reference vectorized batch size (include/execution.h: kBatchSize). */
   private val BatchSize = 4096
 
+  private val reader = new ColeFileReader(part.file)
+  // row groups decode lazily, one at a time — a packed partition never
+  // holds more than one row group's chunks in memory
+  private var rgPos = -1
+  private var columns: Array[AnyRef] = _
+  private var rgRows = 0
+  private var offset = 0
+  private var batch: ColumnarBatch = _
+
   /** Per column: either a materialized chunk, or the raw dictionary view
     * (entries + ids) for all-DICTIONARY string chunks — handed to Spark's
     * dictionary-aware vectors with zero per-row string copies.
     */
-  private val columns: Array[AnyRef] = {
-    val reader = new ColeFileReader(part.file)
-    try part.colIndices.map { ci =>
-      val dict = reader.readStringChunkDict(part.rowGroup, ci)
-      if (dict != null) dict else reader.readChunk(part.rowGroup, ci)
+  private def loadRowGroup(i: Int): Unit = {
+    val rgIdx = part.rowGroups(i)
+    columns = part.colIndices.map { ci =>
+      val dict = reader.readStringChunkDict(rgIdx, ci)
+      if (dict != null) dict else reader.readChunk(rgIdx, ci)
     }: Array[AnyRef]
-    finally reader.close()
+    rgRows = part.rowCounts(i)
+    offset = 0
   }
-  private var offset = 0
-  private var batch: ColumnarBatch = _
 
-  override def next(): Boolean = offset < part.numRows
+  override def next(): Boolean = {
+    while (rgPos < 0 || offset >= rgRows) {
+      if (rgPos + 1 >= part.rowGroups.length) return false
+      rgPos += 1
+      loadRowGroup(rgPos)
+    }
+    true
+  }
 
   override def get(): ColumnarBatch = {
-    val n = math.min(BatchSize, part.numRows - offset)
+    val n = math.min(BatchSize, rgRows - offset)
     val vecs = new Array[org.apache.spark.sql.vectorized.ColumnVector](columns.length)
     var i = 0
     while (i < columns.length) {
@@ -334,7 +558,10 @@ class ColeColumnarReader(part: ColeInputPartition, required: StructType)
     batch
   }
 
-  override def close(): Unit = if (batch != null) batch.close()
+  override def close(): Unit = {
+    if (batch != null) batch.close()
+    reader.close()
+  }
 }
 
 /** COLE dictionary page → Spark's vectorized Dictionary interface. */
@@ -354,14 +581,23 @@ final class ColeVectorDictionary(entries: Array[Array[Byte]])
 class ColeRowReader(part: ColeInputPartition, required: StructType)
     extends PartitionReader[InternalRow] {
 
-  private val columns: Array[ColumnData] = {
-    val reader = new ColeFileReader(part.file)
-    try part.colIndices.map(ci => reader.readChunk(part.rowGroup, ci))
-    finally reader.close()
-  }
-  private var row = -1
+  private val reader = new ColeFileReader(part.file)
+  private var rgPos = -1
+  private var columns: Array[ColumnData] = _
+  private var rgRows = 0
+  private var row = 0
 
-  override def next(): Boolean = { row += 1; row < part.numRows }
+  override def next(): Boolean = {
+    row += 1
+    while (rgPos < 0 || row >= rgRows) {
+      if (rgPos + 1 >= part.rowGroups.length) return false
+      rgPos += 1
+      columns = part.colIndices.map(ci => reader.readChunk(part.rowGroups(rgPos), ci))
+      rgRows = part.rowCounts(rgPos)
+      row = 0
+    }
+    true
+  }
 
   override def get(): InternalRow = {
     val values = new Array[Any](columns.length)
@@ -377,7 +613,7 @@ class ColeRowReader(part: ColeInputPartition, required: StructType)
     InternalRow.fromSeq(values.toIndexedSeq)
   }
 
-  override def close(): Unit = ()
+  override def close(): Unit = reader.close()
 }
 
 // ------------------------------------------------------------------ write

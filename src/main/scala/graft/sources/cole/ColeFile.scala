@@ -87,6 +87,47 @@ final class ColeFileReader(path: String) extends AutoCloseable {
     case other => throw new ColeFormatException(s"$other not valid for STRING")
   }
 
+  /** One-pass numeric aggregate (count/sum/min/max) over a chunk without
+    * materializing value arrays — the aggregate-pushdown read path. RLE
+    * pages contribute per run, so a heavily-runny column aggregates in
+    * far less than decode time.
+    */
+  def aggChunk(rgIdx: Int, colIdx: Int): ColeCodec.NumAgg = {
+    val rg = meta.rowGroups(rgIdx)
+    val cc = rg.chunks(colIdx)
+    val colType = meta.columns(colIdx).colType
+    require(colType == TInt32 || colType == TInt64,
+      s"aggChunk requires a numeric column; '${meta.columns(colIdx).name}' is $colType")
+    val raw = readAt(cc.fileOffset, cc.totalSize.toInt)
+    val c = new Cursor(raw, 0)
+    val acc = new ColeCodec.NumAgg
+    cc.pages.foreach { _ =>
+      val ph = readPageHeader(c)
+      val pageData = new Cursor(c.buf, c.pos)
+      (colType, ph.encoding) match {
+        case (TInt32, Plain) => aggPlainInt(pageData, ph.numValues, acc)
+        case (TInt32, Rle) => aggRleInt(pageData, acc)
+        case (TInt32, Delta) => aggDeltaInt(pageData, ph.numValues, acc)
+        case (TInt64, Plain) => aggPlainLong(pageData, ph.numValues, acc)
+        case (TInt64, Rle) => aggRleLong(pageData, acc)
+        case (TInt64, Delta) => aggDeltaLong(pageData, ph.numValues, acc)
+        case (t, e) => throw new ColeFormatException(s"$e not valid for $t")
+      }
+      c.pos += ph.compressedSize
+    }
+    acc
+  }
+
+  /** Min/max for a chunk from page stats alone (no page read); None when
+    * any page lacks stats.
+    */
+  def statsMinMax(rgIdx: Int, colIdx: Int): Option[(Long, Long)] = {
+    val pages = meta.rowGroups(rgIdx).chunks(colIdx).pages
+    val perPage = pages.map(ph => ph.stats.minInt.zip(ph.stats.maxInt))
+    if (pages.isEmpty || perPage.exists(_.isEmpty)) None
+    else Some((perPage.flatten.map(_._1).min, perPage.flatten.map(_._2).max))
+  }
+
   /** Dictionary view of an all-DICTIONARY string chunk: (entries, per-row
     * ids), with multi-page chunks merged by offsetting ids into one
     * concatenated entry table. Returns null when any page is PLAIN — the

@@ -1,0 +1,108 @@
+package graft.sources.cole
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DSv2 aggregate pushdown: global SUM/MIN/MAX/COUNT over numeric COLE
+  * columns must be answered from page stats + streaming page sweeps (one
+  * partial row per row group), bit-identical to the unpushed plan.
+  */
+class ColeAggPushdownSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  /** 3 part-less row groups x mixed encodings: ordered (DELTA), runny
+    * (RLE), scattered (PLAIN) ints and longs, plus a dict string column.
+    */
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("cole_aggpush").toString
+    val s = spark
+    import s.implicits._
+    val df = (0 until 30000).map { i =>
+      (i, // sorted -> DELTA
+        (i / 1000) * 7L, // runny -> RLE
+        ((i * 2654435761L) % 100000L - 50000L), // scattered -> PLAIN, negatives
+        s"cat_${i % 5}") // low-cardinality -> DICTIONARY
+    }.toDF("ord", "runs", "rnd", "cat")
+    df.coalesce(1).write.format("cole").mode("overwrite")
+      .option("rowGroupSize", "8192").save(d)
+    d
+  }
+
+  private def cole: DataFrame = spark.read.format("cole").load(dir)
+
+  private def scanOf(df: DataFrame): org.apache.spark.sql.connector.read.Scan =
+    df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r.scan
+    }.head
+
+  test("global agg is pushed: one partial row per row group, values exact") {
+    val agg = cole.agg(
+      sum("ord").as("s_ord"), min("ord").as("mn_ord"), max("ord").as("mx_ord"),
+      sum("runs").as("s_runs"), min("runs").as("mn_runs"), max("runs").as("mx_runs"),
+      sum("rnd").as("s_rnd"), min("rnd").as("mn_rnd"), max("rnd").as("mx_rnd"),
+      count(lit(1)).as("n"), count(col("cat")).as("n_cat"))
+    val scan = scanOf(agg)
+    assert(scan.isInstanceOf[ColeAggScan], s"expected ColeAggScan, got $scan")
+    assert(scan.description().contains("PushedAggregates"))
+    val parts = scan.asInstanceOf[ColeAggScan].planInputPartitions()
+    assert(parts.map(_.asInstanceOf[ColeInputPartition].rowGroups.length).sum === 4,
+      "30000 rows at rowGroupSize=8192 -> 4 row groups planned")
+    assert(parts.length === 1,
+      "4 small row groups pack into one partition (one partial row total)")
+
+    val r = agg.head()
+    val n = 30000L
+    assert(r.getAs[Long]("n") === n)
+    assert(r.getAs[Long]("n_cat") === n)
+    assert(r.getAs[Long]("s_ord") === n * (n - 1) / 2)
+    assert(r.getAs[Int]("mn_ord") === 0 && r.getAs[Int]("mx_ord") === 29999)
+    assert(r.getAs[Long]("s_runs") === (0 until 30000).map(i => (i / 1000) * 7L).sum)
+    assert(r.getAs[Long]("mn_runs") === 0L && r.getAs[Long]("mx_runs") === 29L * 7)
+    val rnd = (0 until 30000).map(i => (i * 2654435761L) % 100000L - 50000L)
+    assert(r.getAs[Long]("s_rnd") === rnd.sum)
+    assert(r.getAs[Long]("mn_rnd") === rnd.min && r.getAs[Long]("mx_rnd") === rnd.max)
+  }
+
+  test("filters and group-bys decline pushdown and stay correct") {
+    val filtered = cole.filter(col("ord") >= 10000).agg(sum("rnd").as("s"))
+    assert(scanOf(filtered).isInstanceOf[ColeScan],
+      "a residual filter must block aggregate pushdown")
+    val expected = (10000 until 30000).map(i => (i * 2654435761L) % 100000L - 50000L).sum
+    assert(filtered.head().getAs[Long]("s") === expected)
+
+    val grouped = cole.groupBy("cat").agg(sum("ord").as("s"))
+    assert(scanOf(grouped).isInstanceOf[ColeScan],
+      "group-by must take the columnar hash-aggregate path")
+    assert(grouped.collect().map(_.getAs[Long]("s")).sum === 30000L * 29999 / 2)
+  }
+
+  test("unsupported aggregates (distinct, string min, avg-of-avg shapes) fall back") {
+    val d = cole.agg(countDistinct(col("cat")).as("n"))
+    assert(scanOf(d).isInstanceOf[ColeScan], "COUNT DISTINCT cannot be pushed")
+    assert(d.head().getAs[Long]("n") === 5L)
+
+    val sm = cole.agg(min("cat").as("m"))
+    assert(scanOf(sm).isInstanceOf[ColeScan], "string MIN has no page stats")
+    assert(sm.head().getAs[String]("m") === "cat_0")
+  }
+
+  test("pushed and unpushed plans agree on the reference-written fixture") {
+    val fixture = getClass.getResource("/ref_fixture.col").getPath
+    val df = spark.read.format("cole").load(fixture)
+    val pushed = df.agg(sum("value"), min("value"), max("value"), count(lit(1))).head()
+    assert(scanOf(df.agg(sum("value"))).isInstanceOf[ColeAggScan])
+    // reference CLI ground truth: sum=24962733 min=1 max=9998, 5000 rows
+    assert(pushed.getLong(0) === 24962733L)
+    assert(pushed.getLong(1) === 1L)
+    assert(pushed.getLong(2) === 9998L)
+    assert(pushed.getLong(3) === 5000L)
+  }
+}

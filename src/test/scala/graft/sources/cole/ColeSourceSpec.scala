@@ -74,8 +74,16 @@ class ColeSourceSpec extends AnyFunSuite {
       .write.format("cole").option("rowGroupSize", "10000").mode("overwrite").save(dir)
     val all = spark.read.format("cole").load(dir)
     val filtered = all.filter(col("id") >= 95000L)
-    assert(all.rdd.getNumPartitions === 10)
-    assert(filtered.rdd.getNumPartitions === 1) // 9 of 10 row groups skipped
+    def rowGroupsPlanned(df: org.apache.spark.sql.DataFrame): Int = {
+      val scan = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan.asInstanceOf[ColeScan]
+      }.head
+      scan.toBatch.planInputPartitions()
+        .map(_.asInstanceOf[ColeInputPartition].rowGroups.length).sum
+    }
+    assert(rowGroupsPlanned(all) === 10)
+    assert(rowGroupsPlanned(filtered) === 1, "9 of 10 row groups skipped by stats")
     assert(filtered.count() === 5000)
   }
 
@@ -154,11 +162,14 @@ class ColeSourceSpec extends AnyFunSuite {
     val scan = new ColeScanBuilder(
       spark.read.format("cole").load(dir).schema, dir).build()
       .asInstanceOf[ColeScan]
-    assert(scan.planInputPartitions().length === 4)
+    def rowGroupsPlanned(ps: Array[org.apache.spark.sql.connector.read.InputPartition]): Int =
+      ps.map(_.asInstanceOf[ColeInputPartition].rowGroups.length).sum
+    assert(rowGroupsPlanned(scan.planInputPartitions()) === 4)
     // a dynamic join filter arrives: only keys 1500 and 1700 survive
     scan.filter(Array[org.apache.spark.sql.sources.Filter](In("id", Array(1500L, 1700L))))
     val surviving = scan.planInputPartitions()
-    assert(surviving.length === 1, s"expected 1 row group, got ${surviving.length}")
+    assert(rowGroupsPlanned(surviving) === 1,
+      s"expected 1 row group, got ${rowGroupsPlanned(surviving)}")
     // and values outside every range prune everything
     scan.filter(Array[org.apache.spark.sql.sources.Filter](In("id", Array(99999L))))
     assert(scan.planInputPartitions().isEmpty)
