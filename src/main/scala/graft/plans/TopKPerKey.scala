@@ -2,13 +2,17 @@ package graft.plans
 
 import scala.collection.mutable
 
+import org.apache.spark.SparkEnv
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode, UnsafeExternalRowSorter}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.util.collection.unsafe.sort.PrefixComparators
 
 /** Top-k rows per key as a first-class operator (SURVEY §5: the custom
   * LogicalPlan → Strategy → SparkPlan extension path).
@@ -21,11 +25,15 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * 100 TB, "top 5 per user" over billions of rows never materializes a
   * sort of each user's history.
   *
-  * Memory note: per-partition state is (keys in partition) × k rows and
-  * does not spill; that is the same ORDER as the operator's output (the
-  * window formulation's sort buffer is the full input instead). For
-  * extreme key cardinality per partition, raise shuffle partitions or
-  * fall back to the window spelling, which spills.
+  * Memory safety: per-partition heap state is (keys in partition) × k
+  * rows. When that exceeds `spark.graft.topk.maxBufferedRows` (default
+  * 4M) the partition falls back to a spill-capable external sort on
+  * (key, order) — Spark's own UnsafeExternalRowSorter, the same machinery
+  * SortExec uses — followed by a streaming first-k-per-group pass. So
+  * pathological key cardinality degrades to the window spelling's cost
+  * instead of OOMing. Rows already evicted by the heaps were provably
+  * outside their key's top-k, so handing the surviving heap rows plus the
+  * unread remainder to the sorter preserves exactness.
   */
 final case class TopKPerKey(
     k: Int,
@@ -42,7 +50,9 @@ final case class TopKPerKey(
 class TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKey(k, part, order, child) =>
-      TopKPerKeyExec(k, part, order, planLater(child)) :: Nil
+      val maxBuffered = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.topk.maxBufferedRows", (4 << 20).toString).toLong
+      TopKPerKeyExec(k, part, order, maxBuffered, planLater(child)) :: Nil
     case _ => Nil
   }
 }
@@ -51,9 +61,14 @@ final case class TopKPerKeyExec(
     k: Int,
     partitionExprs: Seq[Expression],
     order: Seq[SortOrder],
+    maxBufferedRows: Long,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "spillFallbacks" -> SQLMetrics.createMetric(sparkContext,
+      "partitions that fell back to external sort"))
 
   /** Rows sharing a key must meet in one partition — the planner inserts
     * the (single) shuffle; no sort is requested.
@@ -63,26 +78,66 @@ final case class TopKPerKeyExec(
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
+    val kLocal = k
+    val maxBuffered = maxBufferedRows
+    val partExprs = partitionExprs
+    val sortOrder = order
+    val spillMetric = longMetric("spillFallbacks")
+    // the sort fallback orders by (key, order); only possible when the key
+    // types are orderable (they are for any groupable key in practice)
+    val keyOrderable = partExprs.forall(e => RowOrdering.isOrderable(e.dataType))
+    val rowSchema = StructType(childOutput.map(a =>
+      StructField(a.name, a.dataType, a.nullable)))
+
     val perPartition = (rows: Iterator[InternalRow]) => {
-      val keyProj = UnsafeProjection.create(partitionExprs, childOutput)
-      val ord = new LazilyGeneratedOrdering(order, childOutput)
+      val keyProj = UnsafeProjection.create(partExprs, childOutput)
+      val ord = new LazilyGeneratedOrdering(sortOrder, childOutput)
       // max-heap on the sort order: the head is the WORST of the current
       // top-k, evicted when a better row arrives.
       val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
-      rows.foreach { r =>
-        val row = r.asInstanceOf[UnsafeRow]
+      var buffered = 0L
+      var overflow = false
+      while (rows.hasNext && !overflow) {
+        val row = rows.next().asInstanceOf[UnsafeRow]
         val key = keyProj(row)
         heaps.get(key) match {
           case Some(pq) =>
-            if (pq.size < k) pq.enqueue(row.copy())
+            if (pq.size < kLocal) { pq.enqueue(row.copy()); buffered += 1 }
             else if (ord.compare(row, pq.head) < 0) { pq.dequeue(); pq.enqueue(row.copy()) }
           case None =>
             val pq = mutable.PriorityQueue.empty[UnsafeRow](ord.asInstanceOf[Ordering[UnsafeRow]])
             pq.enqueue(row.copy())
             heaps.put(key.copy(), pq)
+            buffered += 1
+        }
+        if (buffered > maxBuffered && keyOrderable) overflow = true
+      }
+      if (!overflow) heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
+      else {
+        spillMetric += 1
+        val fullOrder = partExprs.map(e => SortOrder(e, Ascending)) ++ sortOrder
+        val prefixComputer = new UnsafeExternalRowSorter.PrefixComputer {
+          private val p = new UnsafeExternalRowSorter.PrefixComputer.Prefix
+          override def computePrefix(row: InternalRow): UnsafeExternalRowSorter.PrefixComputer.Prefix = {
+            p.value = 0L; p.isNull = false; p
+          }
+        }
+        val sorter = UnsafeExternalRowSorter.create(
+          rowSchema, new LazilyGeneratedOrdering(fullOrder, childOutput),
+          PrefixComparators.LONG, prefixComputer,
+          SparkEnv.get.memoryManager.pageSizeBytes, false)
+        heaps.valuesIterator.foreach(_.foreach(sorter.insertRow))
+        heaps.clear()
+        while (rows.hasNext) sorter.insertRow(rows.next().asInstanceOf[UnsafeRow])
+        var curKey: UnsafeRow = null
+        var emitted = 0
+        sorter.sort().filter { r =>
+          val key = keyProj(r.asInstanceOf[UnsafeRow])
+          if (curKey == null || key != curKey) { curKey = key.copy(); emitted = 0 }
+          emitted += 1
+          emitted <= kLocal
         }
       }
-      heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
     }: Iterator[InternalRow]
     child.execute().mapPartitions(perPartition, preservesPartitioning = true)
   }

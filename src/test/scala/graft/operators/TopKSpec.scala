@@ -54,4 +54,49 @@ class TopKSpec extends AnyFunSuite {
       Seq(col("o_orderkey").asc)).count()
     assert(n === orders.count())
   }
+
+  test("pathological key cardinality spills to external sort, stays exact") {
+    import spark.implicits._
+    // every row its own key -> heap state would be |partition| rows; a
+    // tight buffer cap forces the spill-capable sort path on every task
+    val df = (0 until 200000).map(i => (i.toLong % 50000, i.toLong, (i * 31 % 997).toLong))
+      .toDF("key", "id", "score")
+    val prev = spark.conf.getOption("spark.graft.topk.maxBufferedRows")
+    spark.conf.set("spark.graft.topk.maxBufferedRows", "100")
+    try {
+      val viaTopK = TopK.perKey(df, 2, Seq(col("key")),
+        Seq(col("score").desc, col("id").asc))
+      val w = Window.partitionBy("key").orderBy(col("score").desc, col("id").asc)
+      val viaWindow = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2).drop("rn")
+      assert(viaTopK.count() === viaWindow.count())
+      assert(viaTopK.exceptAll(viaWindow).count() === 0)
+      assert(viaWindow.exceptAll(viaTopK).count() === 0)
+      // the fallback actually engaged
+      def collectExecs(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[graft.plans.TopKPerKeyExec] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          collectExecs(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          collectExecs(q.plan)
+        case other =>
+          (other match {
+            case t: graft.plans.TopKPerKeyExec => Seq(t)
+            case _ => Seq.empty
+          }) ++ other.children.flatMap(collectExecs)
+      }
+      val q = TopK.perKey(df, 2, Seq(col("key")),
+        Seq(col("score").desc, col("id").asc))
+      q.collect()
+      val execs = collectExecs(q.queryExecution.executedPlan)
+      assert(execs.nonEmpty, "TopKPerKeyExec not found in executed plan")
+      assert(execs.head.metrics("spillFallbacks").value > 0,
+        "expected the external-sort fallback to engage under the tight cap")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.topk.maxBufferedRows", v)
+        case None => spark.conf.unset("spark.graft.topk.maxBufferedRows")
+      }
+    }
+  }
 }
