@@ -58,6 +58,28 @@ object ColeSuite {
         .orderBy("file", "row_group", "column", "page")
     }, None),
 
+    // #87 aggregate pushdown: a global SUM/MIN/MAX/COUNT over the .col
+    // table is answered inside the source (page stats + streaming page
+    // sweeps, one partial row per ~128MB slice) and must still match the
+    // parquet oracle bit-exactly. Plan shape asserted in PlanAuditSpec.
+    Q("cole_agg", (s, d) => {
+      val dir = dirFor(d, "roundtrip")
+      writeOnce(dir) {
+        Tables.lineitem(s, d).select(cols.map(col): _*)
+          .write.format("cole").mode("overwrite").save(dir)
+      }
+      s.read.format("cole").load(dir).agg(
+        sum("l_orderkey").as("sum_ok"),
+        count(col("l_suppkey")).as("n_rows"),
+        min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"),
+        min("l_linenumber").as("mn_ln"), max("l_linenumber").as("mx_ln"))
+    },
+      Some("""SELECT CAST(SUM(l_orderkey) AS BIGINT) AS sum_ok,
+                     COUNT(l_suppkey) AS n_rows,
+                     MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk,
+                     MIN(l_linenumber) AS mn_ln, MAX(l_linenumber) AS mx_ln
+              FROM lineitem""")),
+
     // #35 pushdown path: numeric predicates reach the .col scan, surviving
     // row groups only; values still row-exact vs the parquet oracle.
     Q("cole_pushdown", (s, d) => {

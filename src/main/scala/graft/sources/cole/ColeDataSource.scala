@@ -149,6 +149,10 @@ class ColeScanBuilder(fullSchema: StructType, path: String)
     * whole-stage hash aggregation.
     */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
+    // an empty aggregate list arrives when an outer count() pruned the
+    // inner agg away — declining it keeps the normal scan path (returning
+    // true with zero aggs would break Spark's column-count contract)
+    if (aggregation.aggregateExpressions.isEmpty) return false
     if (pushed.nonEmpty || aggregation.groupByExpressions.nonEmpty) return false
     def ref(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {

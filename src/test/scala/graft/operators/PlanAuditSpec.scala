@@ -120,6 +120,14 @@ class PlanAuditSpec extends AnyFunSuite {
       s"bucketed sides must not re-shuffle:\n$joinPart")
   }
 
+  test("cole_agg answers the aggregate inside the source (PushedAggregates)") {
+    val p = plan("cole_agg")
+    assert(p.contains("PushedAggregates"),
+      s"global agg over .col must push into ColeAggScan:\n$p")
+    assert(p.contains("SUM(l_orderkey)") && p.contains("MIN(l_partkey)"),
+      s"pushed aggregate list incomplete:\n$p")
+  }
+
   test("subquery_in executes as a semi join, not a product") {
     val p = plan("subquery_in")
     assert(p.contains("SemiJoin") || p.contains("LeftSemi"), s"IN-subquery not a semi join:\n$p")

@@ -94,6 +94,13 @@ class ColeAggPushdownSpec extends AnyFunSuite {
     assert(sm.head().getAs[String]("m") === "cat_0")
   }
 
+  test("count() over a pushed agg (empty pruned aggregate list) still works") {
+    // an outer count() prunes the inner agg's expressions to an empty
+    // list before pushdown — regression: returning true for it broke
+    // Spark's column-count contract
+    assert(cole.agg(sum("rnd").as("s"), max("ord").as("m")).count() === 1L)
+  }
+
   test("pushed and unpushed plans agree on the reference-written fixture") {
     val fixture = getClass.getResource("/ref_fixture.col").getPath
     val df = spark.read.format("cole").load(fixture)

@@ -16,8 +16,10 @@ object RefCompare {
     def df = spark.read.format("cole").load(file)
     def bench(label: String, warm: Int = 2)(f: => Any): Unit = {
       (1 to warm).foreach(_ => f)
-      val t0 = System.nanoTime(); f
-      val ms = (System.nanoTime() - t0) / 1e6
+      // best-of-3: single measurements swing on GC pauses
+      val ms = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
+      }.min
       println(f"[refcmp] $label%-28s ${ms}%8.1f ms  ${mb / (ms / 1000)}%8.1f MB/s")
     }
     println(f"[refcmp] file: $file ($mb%.1f MB)")
@@ -45,8 +47,10 @@ object RefCompareScaled {
     def df = spark.read.format("cole").load(dir)
     def bench(label: String, warm: Int = 2)(f: => Any): Unit = {
       (1 to warm).foreach(_ => f)
-      val t0 = System.nanoTime(); f
-      val ms = (System.nanoTime() - t0) / 1e6
+      // best-of-3: single measurements swing on GC pauses
+      val ms = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
+      }.min
       println(f"[refcmp] $label%-28s ${ms}%8.1f ms  ${mb / (ms / 1000)}%8.1f MB/s")
     }
     println(f"[refcmp] dir: $dir ($mb%.1f MB, ${df.count()} rows)")
@@ -74,8 +78,10 @@ object RefCompareStress {
     def df = spark.read.format("cole").load(dir)
     def bench(label: String)(f: => Any): Unit = {
       f // warm
-      val t = System.nanoTime(); f
-      val ms = (System.nanoTime() - t) / 1e6
+      // best-of-3: single measurements swing >2x on GC pauses at this heap churn
+      val ms = (1 to 3).map { _ =>
+        val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e6
+      }.min
       println(f"[refcmp] $label%-28s ${ms}%8.1f ms  ${mb / (ms / 1000)}%8.1f MB/s")
     }
     println(f"[refcmp] dir: $dir ($mb%.1f MB, ${df.count()} rows)")
