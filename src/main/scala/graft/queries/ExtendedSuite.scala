@@ -611,7 +611,91 @@ object ExtendedSuite {
                     < CASE WHEN source IN ('src0','src1','src2','src3','src4',
                                            'src5','src6','src7','src8','src9')
                            THEN '40' ELSE 'c0' END
-              GROUP BY source ORDER BY source"""))
+              GROUP BY source ORDER BY source""")),
+
+    // #88 deterministic corpus shuffle: reproducible training order as 256
+    // md5 shards with a within-shard rank. Per-shard windows keep the
+    // ranking parallel at 100 TB (a single global row_number would
+    // serialize on one partition — this is the sharded form trainers
+    // actually materialize).
+    Q("corpus_shuffle", (s, d) => {
+      val key = md5(col("doc_id").cast("string"))
+      val w = Window.partitionBy("shard").orderBy(col("_k"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), key.as("_k"), substring(key, 1, 2).as("shard"))
+        .withColumn("pos_in_shard", row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos_in_shard")
+        .orderBy("shard", "pos_in_shard")
+    },
+      Some("""SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS shard,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos_in_shard
+              FROM documents ORDER BY shard, pos_in_shard""")),
+
+    // #89 eval-set decontamination: flag train docs sharing any word
+    // 3-gram with the held-out eval slice (doc_id % 97 == 0) — the
+    // n-gram-overlap contamination check run before training. Grams are
+    // exploded then equality-joined (shuffle on gram hash, never a
+    // cross product), so the plan is the 100 TB shape.
+    Q("corpus_decontaminate", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"),
+        split(Text.normalize(col("text")), " ").as("t"))
+      val grams = toks.filter(size(col("t")) >= 3)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("t")) - 2),
+          i => concat_ws(" ", slice(col("t"), i, lit(3))))).as("gram"))
+      val evalGrams = grams.filter(col("doc_id") % 97 === 0)
+        .select("gram").distinct()
+      val hits = grams.filter(col("doc_id") % 97 =!= 0)
+        .join(evalGrams, "gram")
+        .groupBy("doc_id").agg(countDistinct(col("gram")).as("n_hits"))
+      docs.filter(col("doc_id") % 97 =!= 0).select("doc_id")
+        .join(hits, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) > 0).as("tainted"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH toks AS (SELECT doc_id,
+                string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+              FROM documents),
+              grams AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS gram
+                        FROM toks, UNNEST(range(1, greatest(len(t)-2, 0)+1)) AS u(i)
+                        WHERE len(t) >= 3),
+              eval AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+              hits AS (SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_hits
+                       FROM grams g JOIN eval e USING (gram)
+                       WHERE g.doc_id % 97 <> 0 GROUP BY g.doc_id)
+              SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+                     COALESCE(h.n_hits, 0) > 0 AS tainted
+              FROM documents d LEFT JOIN hits h USING (doc_id)
+              WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""")),
+
+    // #90 corpus n-gram statistics: top-20 bigrams by frequency with a
+    // deterministic tie-break — the frequency table behind contamination
+    // and boilerplate analyses. Explode → partial-agg count → TopK: one
+    // shuffle of (gram, partial count), never of raw text.
+    Q("corpus_ngram_stats", (s, d) => {
+      val toks = Tables.documents(s, d).select(
+        split(Text.normalize(col("text")), " ").as("t"))
+      toks.filter(size(col("t")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), size(col("t")) - 1),
+          i => concat_ws(" ", slice(col("t"), i, lit(2))))).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram").asc)
+        .limit(20)
+    },
+      Some("""WITH toks AS (SELECT
+                string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+              FROM documents),
+              grams AS (SELECT array_to_string(t[i:i+1], ' ') AS gram
+                        FROM toks, UNNEST(range(1, greatest(len(t)-1, 0)+1)) AS u(i)
+                        WHERE len(t) >= 2)
+              SELECT gram, COUNT(*) AS n FROM grams
+              GROUP BY gram ORDER BY n DESC, gram LIMIT 20"""))
   )
 
   /** #78's SQL — identical in Spark SQL and DuckDB; exact decimal avg so
