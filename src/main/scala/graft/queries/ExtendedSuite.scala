@@ -664,9 +664,9 @@ object ExtendedSuite {
               grams AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS gram
                         FROM toks, UNNEST(range(1, greatest(len(t)-2, 0)+1)) AS u(i)
                         WHERE len(t) >= 3),
-              eval AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+              evalset AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
               hits AS (SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_hits
-                       FROM grams g JOIN eval e USING (gram)
+                       FROM grams g JOIN evalset e USING (gram)
                        WHERE g.doc_id % 97 <> 0 GROUP BY g.doc_id)
               SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
                      COALESCE(h.n_hits, 0) > 0 AS tainted
