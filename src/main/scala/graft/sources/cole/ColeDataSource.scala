@@ -134,26 +134,26 @@ class ColeScanBuilder(fullSchema: StructType, path: String)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  /** Whole-aggregation pushdown (partial): a global SUM/MIN/MAX/COUNT over
-    * numeric columns is answered per row group from encoded pages — RLE
-    * pages aggregate per run, MIN/MAX come from page stats with no page
-    * read at all — and Spark merges the per-row-group partials. The scan
-    * then moves row-group-count rows instead of row-count rows: the
-    * reference's "aggregation at decode speed" (reference:
+  /** Whole-aggregation pushdown (partial): SUM/MIN/MAX/COUNT — global or
+    * grouped by plain columns — is answered inside the source and Spark
+    * merges the partials. Globally, RLE pages aggregate per run and
+    * MIN/MAX come from page stats with no page read at all; grouped,
+    * chunks accumulate into a bounded hash (flushed past 64k groups, so
+    * pathological keys degrade to the normal shuffle volume instead of
+    * OOMing). The scan then moves group-count rows instead of row-count
+    * rows: the reference's "aggregation at decode speed" (reference:
     * include/execution.h QueryExecutor::aggregate), expressed as DSv2
     * partial aggregate pushdown.
     *
     * Spark only attempts this when every filter was fully pushed (we keep
-    * residuals, so any filtered query takes the vectorized path instead);
-    * group-bys are declined and run through the columnar reader +
-    * whole-stage hash aggregation.
+    * residuals, so any filtered query takes the vectorized path instead).
     */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     // an empty aggregate list arrives when an outer count() pruned the
     // inner agg away — declining it keeps the normal scan path (returning
     // true with zero aggs would break Spark's column-count contract)
     if (aggregation.aggregateExpressions.isEmpty) return false
-    if (pushed.nonEmpty || aggregation.groupByExpressions.nonEmpty) return false
+    if (pushed.nonEmpty) return false
     def ref(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case nr: NamedReference if nr.fieldNames.length == 1 =>
@@ -164,6 +164,8 @@ class ColeScanBuilder(fullSchema: StructType, path: String)
       case IntegerType | LongType => true
       case _ => false
     }
+    val groups = aggregation.groupByExpressions.map(ref)
+    if (groups.exists(_.isEmpty)) return false
     val specs = aggregation.aggregateExpressions.map {
       case _: CountStar => Some(ColeAggSpec("count_star", null))
       case c: Count if !c.isDistinct =>
@@ -175,22 +177,29 @@ class ColeScanBuilder(fullSchema: StructType, path: String)
       case _ => None
     }
     if (specs.exists(_.isEmpty)) return false
+    pushedGroupCols = groups.flatten.toSeq
     pushedAggs = specs.flatten.toSeq
-    // positional contract: one field per aggregate, typed as the partial
-    // buffer Spark's rewritten final aggregation expects
-    aggSchema = StructType(pushedAggs.zipWithIndex.map { case (sp, i) =>
-      val dt = sp.kind match {
-        case "min" | "max" => fullSchema(sp.column).dataType
-        case _ => LongType // counts and integral sums merge as BIGINT
-      }
-      StructField(s"agg_${i}_${sp.kind}${Option(sp.column).fold("")("_" + _)}",
-        dt, nullable = false)
-    })
+    // positional contract: group-by fields first, then one field per
+    // aggregate, typed as the partial buffer Spark's rewritten final
+    // aggregation expects
+    aggSchema = StructType(
+      pushedGroupCols.map(g => StructField(g, fullSchema(g).dataType, nullable = false)) ++
+        pushedAggs.zipWithIndex.map { case (sp, i) =>
+          val dt = sp.kind match {
+            case "min" | "max" => fullSchema(sp.column).dataType
+            case _ => LongType // counts and integral sums merge as BIGINT
+          }
+          StructField(s"agg_${i}_${sp.kind}${Option(sp.column).fold("")("_" + _)}",
+            dt, nullable = false)
+        })
     true
   }
 
+  private var pushedGroupCols: Seq[String] = Seq.empty
+
   override def build(): Scan =
-    if (pushedAggs.nonEmpty) new ColeAggScan(path, pushedAggs, aggSchema)
+    if (pushedAggs.nonEmpty)
+      new ColeAggScan(path, pushedGroupCols, pushedAggs, aggSchema)
     else new ColeScan(fullSchema, required, path, pushed)
 }
 
@@ -201,20 +210,25 @@ class ColeScanBuilder(fullSchema: StructType, path: String)
 final case class ColeAggSpec(kind: String, column: String)
 
 /** Scan produced when an aggregation is pushed: partitions are packed
-  * row-group runs (same packing as the data scan), each emitting ONE row
-  * of partial aggregate values computed from page stats / streaming page
-  * sweeps. Output volume is O(partitions) — at 100 TB that is the
-  * difference between shuffling 10^12 rows into a hash aggregate and
-  * shuffling one row per ~128 MB slice.
+  * row-group runs (same packing as the data scan). Ungrouped, each
+  * partition emits ONE row of partial aggregate values computed from page
+  * stats / streaming page sweeps; grouped, it emits one row per group
+  * (bounded by the 64k-group flush). Output volume is O(partitions ×
+  * groups) — at 100 TB that is the difference between shuffling 10^12
+  * rows into a hash aggregate and shuffling one row per group per
+  * ~128 MB slice.
   */
-class ColeAggScan(path: String, aggs: Seq[ColeAggSpec], schema: StructType)
-    extends Scan with Batch {
+class ColeAggScan(path: String, groupCols: Seq[String], aggs: Seq[ColeAggSpec],
+    schema: StructType) extends Scan with Batch {
 
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
-  override def description(): String =
+  override def description(): String = {
+    val g = if (groupCols.isEmpty) ""
+      else s", PushedGroupBy: [${groupCols.mkString(", ")}]"
     s"ColeAggScan path=$path, PushedAggregates: [${aggs.map(a =>
-      s"${a.kind.toUpperCase}(${Option(a.column).getOrElse("*")})").mkString(", ")}]"
+      s"${a.kind.toUpperCase}(${Option(a.column).getOrElse("*")})").mkString(", ")}]$g"
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val target = ColePack.targetBytes
@@ -223,7 +237,7 @@ class ColeAggScan(path: String, aggs: Seq[ColeAggSpec], schema: StructType)
       try {
         val meta = reader.meta
         val nameToIdx = meta.columns.map(_.name).zipWithIndex.toMap
-        val colIndices = aggs.flatMap(a => Option(a.column)).distinct
+        val colIndices = (groupCols ++ aggs.flatMap(a => Option(a.column))).distinct
           .map(nameToIdx(_)).toArray
         val rgs = meta.rowGroups.zipWithIndex.collect {
           case (rg, rgIdx) if rg.numRows > 0 =>
@@ -235,12 +249,171 @@ class ColeAggScan(path: String, aggs: Seq[ColeAggSpec], schema: StructType)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ColeAggReaderFactory(aggs)
+    new ColeAggReaderFactory(groupCols, aggs)
 }
 
-class ColeAggReaderFactory(aggs: Seq[ColeAggSpec]) extends PartitionReaderFactory {
+class ColeAggReaderFactory(groupCols: Seq[String], aggs: Seq[ColeAggSpec])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new ColeAggReader(partition.asInstanceOf[ColeInputPartition], aggs)
+    if (groupCols.isEmpty)
+      new ColeAggReader(partition.asInstanceOf[ColeInputPartition], aggs)
+    else
+      new ColeGroupAggReader(partition.asInstanceOf[ColeInputPartition], groupCols, aggs)
+}
+
+/** Grouped partial aggregation inside the source: per row group, decode
+  * the group + value chunks once and accumulate primitive (count, sum,
+  * min, max) slots per key; dict-encoded string keys accumulate by dict
+  * id (no per-row string materialization). The hash is flushed past 64k
+  * groups, so key cardinality can never exceed the memory of one flush
+  * window — pathological keys just emit more partial rows for Spark's
+  * final aggregate to merge.
+  */
+class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
+    aggs: Seq[ColeAggSpec]) extends PartitionReader[InternalRow] {
+
+  private val FlushGroups = 1 << 16
+
+  private val reader = new ColeFileReader(part.file)
+  private val meta = reader.meta
+  private val nameToIdx = meta.columns.map(_.name).zipWithIndex.toMap
+  private val groupIdx: Array[Int] = groupCols.map(nameToIdx(_)).toArray
+  // distinct numeric columns that need value sweeps (sum/min/max)
+  private val valueCols: Array[Int] = aggs.collect {
+    case ColeAggSpec(k, c) if k == "sum" || k == "min" || k == "max" => nameToIdx(c)
+  }.distinct.toArray
+  private val slotOf: Map[Int, Int] = valueCols.zipWithIndex.toMap
+  private val slotWidth = 3 // sum, min, max per value column
+  private def newAccs(): Array[Long] = {
+    val a = new Array[Long](1 + slotWidth * valueCols.length)
+    var s = 0
+    while (s < valueCols.length) {
+      a(1 + s * slotWidth + 1) = Long.MaxValue // min
+      a(1 + s * slotWidth + 2) = Long.MinValue // max
+      s += 1
+    }
+    a
+  }
+
+  // group key -> accumulator slots; LinkedHashMap for deterministic emission
+  private val accs = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Array[Long]]
+  private val out = scala.collection.mutable.Queue.empty[InternalRow]
+  private var rgPos = 0
+  private var done = false
+
+  @inline private def bump(a: Array[Long], slot: Int, v: Long): Unit = {
+    val base = 1 + slot * slotWidth
+    a(base) += v
+    if (v < a(base + 1)) a(base + 1) = v
+    if (v > a(base + 2)) a(base + 2) = v
+  }
+
+  private def processRowGroup(rgIdx: Int, nRows: Int): Unit = {
+    val valueData: Array[ColumnData] = valueCols.map(ci => reader.readChunk(rgIdx, ci))
+    // dict fast path: single string group column, all-DICT chunk —
+    // accumulate per dict id, then fold ids into the global key map
+    val dictView =
+      if (groupIdx.length == 1 && meta.columns(groupIdx(0)).colType == TString)
+        reader.readStringChunkDict(rgIdx, groupIdx(0))
+      else null
+    if (dictView != null) {
+      val (entries, ids) = dictView
+      val local = Array.fill(entries.length)(null: Array[Long])
+      var r = 0
+      while (r < nRows) {
+        val id = ids(r)
+        var a = local(id)
+        if (a == null) { a = newAccs(); local(id) = a }
+        a(0) += 1
+        var s = 0
+        while (s < valueCols.length) {
+          val cd = valueData(s)
+          bump(a, s, if (cd.ints != null) cd.ints(r).toLong else cd.longs(r))
+          s += 1
+        }
+        r += 1
+      }
+      var id = 0
+      while (id < entries.length) {
+        val a = local(id)
+        if (a != null) {
+          val key = Seq[Any](UTF8String.fromBytes(entries(id)))
+          accs.get(key) match {
+            case Some(g) => merge(g, a)
+            case None => accs.put(key, a)
+          }
+        }
+        id += 1
+      }
+    } else {
+      val groupData: Array[ColumnData] = groupIdx.map(ci => reader.readChunk(rgIdx, ci))
+      var r = 0
+      while (r < nRows) {
+        val key: Seq[Any] = groupData.map { cd =>
+          if (cd.ints != null) cd.ints(r)
+          else if (cd.longs != null) cd.longs(r)
+          else UTF8String.fromBytes(cd.strings(r))
+        }.toSeq
+        val a = accs.getOrElseUpdate(key, newAccs())
+        a(0) += 1
+        var s = 0
+        while (s < valueCols.length) {
+          val cd = valueData(s)
+          bump(a, s, if (cd.ints != null) cd.ints(r).toLong else cd.longs(r))
+          s += 1
+        }
+        r += 1
+      }
+    }
+  }
+
+  private def merge(into: Array[Long], from: Array[Long]): Unit = {
+    into(0) += from(0)
+    var s = 0
+    while (s < valueCols.length) {
+      val b = 1 + s * slotWidth
+      into(b) += from(b)
+      if (from(b + 1) < into(b + 1)) into(b + 1) = from(b + 1)
+      if (from(b + 2) > into(b + 2)) into(b + 2) = from(b + 2)
+      s += 1
+    }
+  }
+
+  private def flush(): Unit = {
+    accs.foreach { case (key, a) =>
+      val vals: Seq[Any] = key ++ aggs.map { sp =>
+        lazy val slot = slotOf(nameToIdx(sp.column))
+        lazy val base = 1 + slot * slotWidth
+        lazy val isInt32 = meta.columns(nameToIdx(sp.column)).colType == TInt32
+        sp.kind match {
+          case "count_star" | "count" => a(0)
+          case "sum" => a(base)
+          case "min" => if (isInt32) a(base + 1).toInt else a(base + 1)
+          case "max" => if (isInt32) a(base + 2).toInt else a(base + 2)
+        }
+      }
+      out.enqueue(InternalRow.fromSeq(vals))
+    }
+    accs.clear()
+  }
+
+  override def next(): Boolean = {
+    while (out.isEmpty && !done) {
+      if (rgPos < part.rowGroups.length) {
+        processRowGroup(part.rowGroups(rgPos), part.rowCounts(rgPos))
+        rgPos += 1
+        if (accs.size > FlushGroups) flush()
+      } else {
+        flush()
+        done = true
+      }
+    }
+    out.nonEmpty
+  }
+
+  override def get(): InternalRow = out.dequeue()
+
+  override def close(): Unit = reader.close()
 }
 
 class ColeAggReader(part: ColeInputPartition, aggs: Seq[ColeAggSpec])

@@ -71,17 +71,37 @@ class ColeAggPushdownSpec extends AnyFunSuite {
     assert(r.getAs[Long]("mn_rnd") === rnd.min && r.getAs[Long]("mx_rnd") === rnd.max)
   }
 
-  test("filters and group-bys decline pushdown and stay correct") {
+  test("filters decline pushdown and stay correct") {
     val filtered = cole.filter(col("ord") >= 10000).agg(sum("rnd").as("s"))
     assert(scanOf(filtered).isInstanceOf[ColeScan],
       "a residual filter must block aggregate pushdown")
     val expected = (10000 until 30000).map(i => (i * 2654435761L) % 100000L - 50000L).sum
     assert(filtered.head().getAs[Long]("s") === expected)
+  }
 
-    val grouped = cole.groupBy("cat").agg(sum("ord").as("s"))
-    assert(scanOf(grouped).isInstanceOf[ColeScan],
-      "group-by must take the columnar hash-aggregate path")
-    assert(grouped.collect().map(_.getAs[Long]("s")).sum === 30000L * 29999 / 2)
+  test("group-by over a dict string key pushes and matches exact values") {
+    val grouped = cole.groupBy("cat").agg(
+      sum("rnd").as("s"), count(col("ord")).as("n"),
+      min("ord").as("mn"), max("ord").as("mx"))
+    val scan = scanOf(grouped)
+    assert(scan.isInstanceOf[ColeAggScan], s"expected grouped ColeAggScan, got $scan")
+    assert(scan.description().contains("PushedGroupBy"))
+    val rows = grouped.collect().map(r => r.getAs[String]("cat") ->
+      ((r.getAs[Long]("s"), r.getAs[Long]("n"), r.getAs[Int]("mn"), r.getAs[Int]("mx")))).toMap
+    val expected = (0 until 30000).groupBy(i => s"cat_${i % 5}").map { case (k, is) =>
+      k -> ((is.map(i => (i * 2654435761L) % 100000L - 50000L).sum,
+        is.size.toLong, is.min, is.max))
+    }
+    assert(rows === expected)
+  }
+
+  test("group-by over numeric keys (general path) matches exact values") {
+    val grouped = cole.groupBy("runs").agg(sum("ord").as("s"))
+    assert(scanOf(grouped).isInstanceOf[ColeAggScan])
+    val rows = grouped.collect().map(r => r.getAs[Long]("runs") -> r.getAs[Long]("s")).toMap
+    val expected = (0 until 30000).groupBy(i => (i / 1000) * 7L)
+      .map { case (k, is) => k -> is.map(_.toLong).sum }
+    assert(rows === expected)
   }
 
   test("unsupported aggregates (distinct, string min, avg-of-avg shapes) fall back") {
