@@ -50,11 +50,22 @@ object Cli {
   /** Synthetic table with the reference generator's shape (reference:
     * src/cli.cpp createSyntheticSchema/generateSyntheticData): id INT64
     * ascending, value INT64 uniform 0..10000, category INT32 1..5, region
-    * / status low-cardinality strings. Values are seeded and deterministic
-    * (splitmix-style hash per row — not the C++ mt19937 stream), and the
-    * generation is distributed: each task derives rows from the row index.
+    * / status low-cardinality strings.
+    *
+    * A `.col` FILE target reproduces the reference CLI byte-for-byte in
+    * values: the same mt19937(seed) stream, distribution draws, row-group
+    * size (10000) and per-column encodings ([[writeRefStream]]) — `write`
+    * output diffs clean across engines. A directory target takes the
+    * distributed path (splitmix-style hash per row, each task derives
+    * rows from the row index): an inherently sequential mt19937 stream
+    * cannot be generated in parallel, which is what a 100 TB write needs.
     */
   def write(spark: SparkSession, path: String, numRows: Long, seed: Long): Unit = {
+    val f = new java.io.File(path)
+    if (path.endsWith(".col") && !f.isDirectory) {
+      writeRefStream(path, numRows, seed)
+      return
+    }
     val regions = array(lit("north"), lit("south"), lit("east"), lit("west"))
     val statuses = array(lit("active"), lit("pending"), lit("closed"))
     def h(salt: Int): Column =
@@ -67,6 +78,51 @@ object Cli {
         element_at(regions, (h(3) % 4 + 1).cast("int")).as("region"),
         element_at(statuses, (h(4) % 3 + 1).cast("int")).as("status"))
       .write.format("cole").mode("overwrite").save(path)
+  }
+
+  /** The reference generator's exact stream into one `.col` file:
+    * mt19937(seed), draws in row order (value, category, region, status),
+    * 10000-row groups, encodings PLAIN/DELTA/RLE/DICT/DICT (reference:
+    * src/cli.cpp:29-62, 64-118).
+    */
+  def writeRefStream(path: String, numRows: Long, seed: Long): Unit = {
+    import graft.sources.cole._
+    import graft.sources.cole.ColeFormat._
+    val regions = Array("north", "south", "east", "west")
+      .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val statuses = Array("active", "pending", "closed")
+      .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val cols = Seq(
+      ColeColumn("id", TInt64, Plain), ColeColumn("value", TInt64, Delta),
+      ColeColumn("category", TInt32, Rle), ColeColumn("region", TString, Dict),
+      ColeColumn("status", TString, Dict))
+    val rng = new Mt19937(seed)
+    val writer = new ColeFileWriter(path, cols)
+    try {
+      var written = 0L
+      while (written < numRows) {
+        val n = math.min(10000L, numRows - written).toInt
+        val ids = new Array[Long](n)
+        val values = new Array[Long](n)
+        val cats = new Array[Int](n)
+        val regs = new Array[Array[Byte]](n)
+        val stats = new Array[Array[Byte]](n)
+        var i = 0
+        while (i < n) {
+          ids(i) = written + i
+          values(i) = rng.uniformInt(0, 10000)
+          cats(i) = rng.uniformInt(1, 5).toInt
+          regs(i) = regions(rng.uniformInt(0, 3).toInt)
+          stats(i) = statuses(rng.uniformInt(0, 2).toInt)
+          i += 1
+        }
+        writer.writeRowGroup(Seq(
+          ColumnData(null, ids, null), ColumnData(null, values, null),
+          ColumnData(cats, null, null), ColumnData(null, null, regs),
+          ColumnData(null, null, stats)), n)
+        written += n
+      }
+    } finally writer.close()
   }
 
   /** The `scan` report, as printable lines (reference: cli.cpp scanFile). */

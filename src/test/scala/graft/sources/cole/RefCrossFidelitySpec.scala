@@ -188,4 +188,26 @@ class RefCrossFidelitySpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(groups == exp, s"groupby over dict column diverged:\n$out")
   }
+
+  test("graft `write` to a .col file reproduces the reference CLI's value stream") {
+    assume(refBin.isDefined, "reference engine sources/g++ unavailable")
+    val dir = "/tmp/graft_xfid_spec/stream"
+    new File(dir).mkdirs()
+    val refFile = s"$dir/ref_write.col"
+    val graftFile = s"$dir/graft_write.col"
+    if (!new File(refFile).exists()) ref("write", refFile, "5000", "7")
+    graft.Cli.writeRefStream(graftFile, 5000L, seed = 7L)
+    val a = spark.read.format("cole").load(refFile).orderBy("id").collect()
+    val b = spark.read.format("cole").load(graftFile).orderBy("id").collect()
+    assert(a.length === 5000 && b.length === 5000)
+    assert(a.toSeq === b.toSeq,
+      "same seed must produce identical rows across engines")
+    // and the reference binary agrees with itself over the graft file
+    val refAgg = ref("query", graftFile, "--agg", "sum", "value")
+    val exp = spark.read.format("cole").load(refFile)
+      .agg(sum("value"), min("value"), max("value")).head()
+    assert(firstLong(refAgg, "sum") === exp.getLong(0))
+    assert(firstLong(refAgg, "min") === exp.getLong(1))
+    assert(firstLong(refAgg, "max") === exp.getLong(2))
+  }
 }
