@@ -110,7 +110,8 @@ class ColeTable(schema: StructType, properties: Map[String, String])
 
 class ColeScanBuilder(fullSchema: StructType, path: String)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   import org.apache.spark.sql.connector.expressions.NamedReference
   import org.apache.spark.sql.connector.expressions.aggregate._
@@ -119,6 +120,13 @@ class ColeScanBuilder(fullSchema: StructType, path: String)
   private var pushed: Array[Filter] = Array.empty
   private var pushedAggs: Seq[ColeAggSpec] = Seq.empty
   private var aggSchema: StructType = _
+  private var limit: Int = -1
+
+  /** LIMIT n plans only enough row groups to cover n rows (when no filter
+    * could drop rows first). Partial pushdown: Spark still applies the
+    * exact limit above the scan.
+    */
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -200,7 +208,7 @@ class ColeScanBuilder(fullSchema: StructType, path: String)
   override def build(): Scan =
     if (pushedAggs.nonEmpty)
       new ColeAggScan(path, pushedGroupCols, pushedAggs, aggSchema)
-    else new ColeScan(fullSchema, required, path, pushed)
+    else new ColeScan(fullSchema, required, path, pushed, limit)
 }
 
 /** One pushed aggregate: kind ∈ {count_star, count, min, max, sum};
@@ -555,13 +563,14 @@ private[cole] object ColePack {
 }
 
 class ColeScan(fullSchema: StructType, required: StructType, path: String,
-    filters: Array[Filter]) extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    filters: Array[Filter], limit: Int = -1) extends Scan with Batch
+    with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"ColeScan path=$path, pushed=[${filters.mkString(", ")}]"
+    s"ColeScan path=$path, pushed=[${filters.mkString(", ")}]" +
+      (if (limit >= 0) s", PushedLimit: $limit" else "")
 
   /** Runtime (dynamic) filtering: join-produced IN-filters arrive after
     * planning and prune row groups by the same page stats — the DSv2 side
@@ -594,7 +603,7 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
     }
     val preds = filters.flatMap(ColePredicate.fromFilter)
     val target = ColePack.targetBytes
-    ColeUtil.listFiles(path).flatMap { file =>
+    val parts = ColeUtil.listFiles(path).flatMap { file =>
       val reader = new ColeFileReader(file)
       try {
         val meta = reader.meta
@@ -607,7 +616,27 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
         }
         ColePack.pack(file, colIndices, surviving, target)
       } finally reader.close()
-    }.toArray
+    }
+    // a pushed LIMIT with no filters can stop planning once enough rows
+    // are covered, truncated at row-group granularity (Spark trims to the
+    // exact count above the scan)
+    if (limit >= 0 && filters.isEmpty && runtimeFilters.isEmpty) {
+      val out = scala.collection.mutable.ArrayBuffer[InputPartition]()
+      var covered = 0L
+      val it = parts.iterator
+      while (covered < limit && it.hasNext) {
+        val p = it.next()
+        var keep = 0
+        while (keep < p.rowGroups.length && covered < limit) {
+          covered += p.rowCounts(keep)
+          keep += 1
+        }
+        out += (if (keep == p.rowGroups.length) p
+          else p.copy(rowGroups = p.rowGroups.take(keep),
+            rowCounts = p.rowCounts.take(keep)))
+      }
+      out.toArray
+    } else parts.toArray
   }
 
   /** Skip a row group when some predicate eliminates every page of its

@@ -121,6 +121,24 @@ class ColeAggPushdownSpec extends AnyFunSuite {
     assert(cole.agg(sum("rnd").as("s"), max("ord").as("m")).count() === 1L)
   }
 
+  test("LIMIT plans only enough row groups; filters disable the truncation") {
+    val limited = cole.limit(100)
+    val scan = scanOf(limited).asInstanceOf[ColeScan]
+    assert(scan.description().contains("PushedLimit: 100"))
+    val planned = scan.toBatch.planInputPartitions()
+      .map(_.asInstanceOf[ColeInputPartition].rowGroups.length).sum
+    assert(planned === 1, s"100 rows need 1 of 4 row groups, planned $planned")
+    assert(limited.count() === 100)
+
+    // with a filter the limit cannot prune row groups (rows may be dropped)
+    val filtered = cole.filter(col("rnd") > 0).limit(100)
+    val fs = scanOf(filtered).asInstanceOf[ColeScan]
+    val fPlanned = fs.toBatch.planInputPartitions()
+      .map(_.asInstanceOf[ColeInputPartition].rowGroups.length).sum
+    assert(fPlanned === 4, "filtered limit must keep all row groups")
+    assert(filtered.count() === 100)
+  }
+
   test("pushed and unpushed plans agree on the reference-written fixture") {
     val fixture = getClass.getResource("/ref_fixture.col").getPath
     val df = spark.read.format("cole").load(fixture)
