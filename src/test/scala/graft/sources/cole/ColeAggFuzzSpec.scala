@@ -1,0 +1,59 @@
+package graft.sources.cole
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential fuzz for aggregate pushdown: seeded random datasets
+  * (sizes straddling row-group boundaries, negative values, skewed
+  * groups) written to `.col`, then every pushed aggregate shape is
+  * compared row-for-row against Spark's own aggregation of the source
+  * DataFrame (which never touches the pushdown path).
+  */
+class ColeAggFuzzSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  test("pushed aggregates == DataFrame aggregates across seeded datasets") {
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(1, 7, 23); n <- Seq(1, 100, 8192, 8193, 20000)) {
+      val rnd = new scala.util.Random(seed)
+      val nGroups = 1 + rnd.nextInt(8)
+      val rows = (0 until n).map { i =>
+        (rnd.nextLong() % 1000000L, rnd.nextInt(2000) - 1000,
+          s"g${rnd.nextInt(nGroups)}", i.toLong)
+      }
+      val df = rows.toDF("v_long", "v_int", "grp", "id")
+      val dir = Files.createTempDirectory(s"cole_aggfuzz_${seed}_$n").toString
+      df.coalesce(1).write.format("cole").mode("overwrite")
+        .option("rowGroupSize", "8192").save(dir)
+      val cole = s.read.format("cole").load(dir)
+
+      val g = cole.agg(sum("v_long").as("s"), min("v_long").as("mn"),
+        max("v_int").as("mx"), count(col("grp")).as("c")).head()
+      val e = df.agg(sum("v_long"), min("v_long"), max("v_int"), count(col("grp"))).head()
+      assert(g === e, s"global agg diverged (seed=$seed n=$n)")
+
+      val gb = cole.groupBy("grp").agg(sum("v_int").as("s"), min("v_long").as("mn"),
+          max("v_long").as("mx"), count(lit(1)).as("c"))
+        .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+      val eb = df.groupBy("grp").agg(sum("v_int"), min("v_long"),
+          max("v_long"), count(lit(1)))
+        .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+      assert(gb === eb, s"grouped agg diverged (seed=$seed n=$n groups=$nGroups)")
+
+      val gi = cole.groupBy("id").agg(sum("v_int").as("s")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val ei = df.groupBy("id").agg(sum("v_int")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gi === ei, s"high-cardinality grouped agg diverged (seed=$seed n=$n)")
+    }
+  }
+}
