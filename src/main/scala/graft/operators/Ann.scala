@@ -39,28 +39,43 @@ object Ann {
     * and query cost drops from |corpus| to ~nProbe/nCells of it.
     *
     * Centroids are exactly `nCells` deterministically-sampled corpus
-    * vectors (lowest xxhash64 rank — IVF-flat with sampled centroids, the
-    * standard bootstrap before Lloyd refinement); recall is measured
-    * against brute force in the spec. The quantizer is FIXED-size: its
-    * broadcast does not grow with the corpus, and centroid selection is a
-    * single TakeOrdered pass. Cell assignment dogfoods
-    * [[graft.plans.TopK]] (k=1 / k=nProbe per key) instead of a
-    * window-sort.
+    * vectors (lowest xxhash64 rank — IVF-flat with sampled centroids);
+    * recall is measured against brute force in the spec. The quantizer is
+    * FIXED-size: its broadcast does not grow with the corpus, and
+    * centroid selection is a single TakeOrdered pass. `lloydRounds` > 0
+    * refines the sampled centroids with k-means rounds before the final
+    * assignment: per round, assign → per-cell mean via posexplode +
+    * (cell, pos) aggregation — map-side combine shrinks the shuffle to
+    * cells × dim rows per partition, so refinement stays 100 TB-shaped.
+    * Cell assignment dogfoods [[graft.plans.TopK]] (k=1 / k=nProbe per
+    * key) instead of a window-sort.
     */
   def ivf(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val centroids = broadcast(
+      nCells: Int = 16, nProbe: Int = 4, lloydRounds: Int = 0): DataFrame = {
+    val sampled = broadcast(
       corpus.select(col(idCol).as("cell_id"), col(vecCol).as("centroid"))
         .orderBy(xxhash64(col("cell_id")).asc, col("cell_id").asc)
         .limit(nCells))
-    def nearestCells(df: DataFrame, idAs: String, vecAs: String, n: Int): DataFrame =
+    def nearestCellsIn(cents: DataFrame)(df: DataFrame, idAs: String,
+        vecAs: String, n: Int): DataFrame =
       graft.plans.TopK.perKey(
         df.select(col(idCol).as(idAs), col(vecCol).as(vecAs))
-          .crossJoin(centroids) // broadcast NL against nCells rows — intended
+          .crossJoin(cents) // broadcast NL against nCells rows — intended
           .withColumn("csim", cosine_sim(col(vecAs), col("centroid"))),
         n, Seq(col(idAs)), Seq(col("csim").desc, col("cell_id").asc))
         .select(col(idAs), col(vecAs), col("cell_id"))
+    val centroids = (1 to lloydRounds).foldLeft(sampled) { (cents, _) =>
+      val assigned = nearestCellsIn(cents)(corpus, "m_id", "mv", 1)
+      broadcast(assigned
+        .select(col("cell_id"), posexplode(col("mv")).as(Seq("pos", "v")))
+        .groupBy("cell_id", "pos").agg(avg(col("v")).as("m"))
+        .groupBy("cell_id").agg(
+          transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            s => s.getField("m").cast("float")).as("centroid")))
+    }
+    def nearestCells(df: DataFrame, idAs: String, vecAs: String, n: Int): DataFrame =
+      nearestCellsIn(centroids)(df, idAs, vecAs, n)
     val corpusCells = nearestCells(corpus, "neighbor_id", "cv", 1)
     val queryCells = nearestCells(queries, "query_id", "qv", nProbe)
     val cand = corpusCells.join(broadcast(queryCells), Seq("cell_id"))

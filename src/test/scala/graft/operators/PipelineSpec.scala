@@ -49,6 +49,15 @@ class PipelineSpec extends AnyFunSuite {
     // nProbe=4 scans ~13% of it — random subsetting would give ~0.13
     // recall. IVF must do several times better on near vectors.
     assert(recall >= 0.3, s"IVF recall@5 = $recall")
+
+    // Lloyd refinement must not degrade recall (centroids move toward
+    // cluster means, so cells align better with the data)
+    val refined = Ann.ivf(embs, queries, k = 5, lloydRounds = 2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refinedRecall = (exact & refined).size.toDouble / exact.size
+    assert(refinedRecall >= recall - 0.05,
+      s"Lloyd rounds regressed recall: $refinedRecall < $recall")
   }
 
   test("clusters == union-find over the same LSH candidate pairs") {
