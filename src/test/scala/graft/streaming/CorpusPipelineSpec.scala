@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+final case class Doc(doc_id: Long, text: String, lang: String,
+    source: String, n_chars: Long)
+
+/** Streaming corpus curation parity: the same documents replayed in
+  * micro-batches must admit exactly the docs the batch pipeline admits —
+  * including dropping a duplicate that arrives in a LATER micro-batch
+  * than its original (the stateful-dedup case batch can't distinguish).
+  */
+class CorpusPipelineSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def docs(): Seq[Doc] = {
+    val s = spark
+    import s.implicits._
+    graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .as[Doc].collect().toSeq.sortBy(_.doc_id)
+  }
+
+  test("streaming curate over micro-batches == batch curate") {
+    val s = spark
+    import s.implicits._
+    val all = docs()
+    // inject cross-batch duplicates: re-send the first 10 docs at the end
+    // with new ids (same text -> same fingerprint -> must be dropped)
+    val dupes = all.take(10).map(d => d.copy(doc_id = d.doc_id + 1000000))
+    val source = MemoryStream[Doc](spark)
+    val q = CorpusPipeline.curate(source.toDF())
+      .writeStream.format("memory").queryName("corpus_curated")
+      .outputMode(OutputMode.Append).start()
+    (all.grouped(all.size / 3 + 1).toSeq :+ dupes).foreach { batch =>
+      source.addData(batch)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("corpus_curated")
+      .select("doc_id", "fp").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+
+    val batchTwin = CorpusPipeline.curate(all.toDF())
+      .select("doc_id", "fp").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+
+    // same fingerprints admitted, none of the late duplicates survived
+    assert(streamed.map(_._2).sorted.toSeq === batchTwin.map(_._2).sorted.toSeq)
+    assert(streamed.forall(_._1 < 1000000L),
+      "a late-arriving duplicate was admitted past stateful dedup")
+    assert(streamed.length === streamed.map(_._2).distinct.length)
+  }
+}
