@@ -167,22 +167,25 @@ object Dedup {
         .groupBy(col("dst").as("id"))
         .agg(min(col("cluster_id")).as("nbr_min"))
       val propagated = labels.join(neighborMin, Seq("id"), "left_outer")
-        .select(col("id"),
+        .select(col("id"), col("cluster_id").as("old"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
       // pointer jump: follow the label one hop (label of my label) — the
       // path-halving step that makes chains converge logarithmically.
       val hop = propagated
         .select(col("id").as("jid"), col("cluster_id").as("jlabel"))
+      // the old label rides along, so convergence is a shuffle-free scan
+      // of the checkpointed result instead of a re-join per round
       val next = propagated
         .join(hop, propagated("cluster_id") === hop("jid"), "left_outer")
-        .select(propagated("id"),
+        .select(propagated("id"), propagated("old"),
           least(propagated("cluster_id"),
             coalesce(col("jlabel"), propagated("cluster_id"))).as("cluster_id"))
+        .select(col("id"), col("cluster_id"),
+          (col("cluster_id") =!= col("old")).as("chg"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "id")
-        .filter(col("cluster_id") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("chg")).count()
+      labels = next.select("id", "cluster_id")
       iter += 1
     }
     labels
