@@ -111,7 +111,7 @@ class ColeTable(schema: StructType, properties: Map[String, String])
 class ColeScanBuilder(fullSchema: StructType, path: String)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownTopN {
 
   import org.apache.spark.sql.connector.expressions.NamedReference
   import org.apache.spark.sql.connector.expressions.aggregate._
@@ -127,6 +127,37 @@ class ColeScanBuilder(fullSchema: StructType, path: String)
     * exact limit above the scan.
     */
   override def pushLimit(l: Int): Boolean = { limit = l; true }
+
+  /** ORDER BY col LIMIT n over a numeric column prunes row groups by page
+    * stats: rank row groups by their best possible value, find the
+    * threshold the top-n must clear, and drop any group whose range
+    * cannot reach it. Partial pushdown — Spark re-sorts the surviving
+    * superset exactly, so this is pure data skipping (the TakeOrdered
+    * twin of `Predicate::canSkipPage`).
+    */
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      l: Int): Boolean = {
+    if (orders.length != 1) return false
+    val o = orders.head
+    val colName = o.expression() match {
+      case nr: NamedReference if nr.fieldNames.length == 1 => nr.fieldNames.head
+      case _ => return false
+    }
+    if (!fullSchema.fieldNames.contains(colName)) return false
+    fullSchema(colName).dataType match {
+      case IntegerType | LongType => // page stats exist for these
+      case _ => return false
+    }
+    topN = Some((colName,
+      o.direction() == org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING, l))
+    true
+  }
+
+  private var topN: Option[(String, Boolean, Int)] = None
+
+  // both pushed limit and top-n are partial: Spark applies the exact
+  // sort/limit above the scan; the scan only prunes what it reads
+  override def isPartiallyPushed(): Boolean = true
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -208,7 +239,7 @@ class ColeScanBuilder(fullSchema: StructType, path: String)
   override def build(): Scan =
     if (pushedAggs.nonEmpty)
       new ColeAggScan(path, pushedGroupCols, pushedAggs, aggSchema)
-    else new ColeScan(fullSchema, required, path, pushed, limit)
+    else new ColeScan(fullSchema, required, path, pushed, limit, topN)
 }
 
 /** One pushed aggregate: kind ∈ {count_star, count, min, max, sum};
@@ -563,14 +594,17 @@ private[cole] object ColePack {
 }
 
 class ColeScan(fullSchema: StructType, required: StructType, path: String,
-    filters: Array[Filter], limit: Int = -1) extends Scan with Batch
+    filters: Array[Filter], limit: Int = -1,
+    topN: Option[(String, Boolean, Int)] = None) extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"ColeScan path=$path, pushed=[${filters.mkString(", ")}]" +
-      (if (limit >= 0) s", PushedLimit: $limit" else "")
+      (if (limit >= 0) s", PushedLimit: $limit" else "") +
+      topN.fold("") { case (c, desc, n) =>
+        s", PushedTopN: [${if (desc) s"$c DESC" else s"$c ASC"} LIMIT $n]" }
 
   /** Runtime (dynamic) filtering: join-produced IN-filters arrive after
     * planning and prune row groups by the same page stats — the DSv2 side
@@ -603,19 +637,50 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
     }
     val preds = filters.flatMap(ColePredicate.fromFilter)
     val target = ColePack.targetBytes
-    val parts = ColeUtil.listFiles(path).flatMap { file =>
+    // (file, colIndices, rgIdx, rows, bytes, topN column min/max)
+    val survivors = ColeUtil.listFiles(path).flatMap { file =>
       val reader = new ColeFileReader(file)
       try {
         val meta = reader.meta
         val nameToIdx = meta.columns.map(_.name).zipWithIndex.toMap
         val colIndices = required.fieldNames.map(nameToIdx(_))
-        val surviving = meta.rowGroups.zipWithIndex.collect {
+        meta.rowGroups.zipWithIndex.collect {
           case (rg, rgIdx) if !skipRowGroup(rg, nameToIdx, preds) &&
               !skipRowGroupIn(rg, nameToIdx, runtimeIn) =>
-            (rgIdx, rg.numRows, colIndices.map(ci => rg.chunks(ci).totalSize).sum)
+            val mm = topN.flatMap { case (c, _, _) =>
+              nameToIdx.get(c).flatMap(reader.statsMinMax(rgIdx, _)) }
+            (file, colIndices, rgIdx, rg.numRows,
+              colIndices.map(ci => rg.chunks(ci).totalSize).sum, mm)
         }
-        ColePack.pack(file, colIndices, surviving, target)
       } finally reader.close()
+    }
+    // ORDER BY col LIMIT n data skipping: at least n rows provably sit at
+    // or past a stat threshold — any row group whose whole range falls on
+    // the wrong side of it cannot contribute to the top n.
+    val afterTopN = topN match {
+      case Some((_, desc, n)) if filters.isEmpty && runtimeFilters.isEmpty =>
+        val withStats = survivors.filter(_._6.isDefined)
+        val ranked = if (desc) withStats.sortBy(r => -r._6.get._1)
+          else withStats.sortBy(r => r._6.get._2)
+        var cum = 0L
+        var threshold: Option[Long] = None
+        ranked.foreach { r =>
+          if (threshold.isEmpty) {
+            cum += r._4
+            if (cum >= n) threshold = Some(if (desc) r._6.get._1 else r._6.get._2)
+          }
+        }
+        threshold match {
+          case Some(t) => survivors.filter(r => r._6.isEmpty ||
+            (if (desc) r._6.get._2 >= t else r._6.get._1 <= t))
+          case None => survivors // fewer than n stats-covered rows: keep all
+        }
+      case _ => survivors
+    }
+    val parts = afterTopN.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (file, rgs) =>
+        ColePack.pack(file, rgs.head._2,
+          rgs.map(r => (r._3, r._4, r._5)).sortBy(_._1), target)
     }
     // a pushed LIMIT with no filters can stop planning once enough rows
     // are covered, truncated at row-group granularity (Spark trims to the

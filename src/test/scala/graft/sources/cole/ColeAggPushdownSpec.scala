@@ -139,6 +139,32 @@ class ColeAggPushdownSpec extends AnyFunSuite {
     assert(filtered.count() === 100)
   }
 
+  test("ORDER BY + LIMIT prunes row groups by stats, result exact") {
+    // ord is sorted across the file -> row-group ranges are disjoint; the
+    // top 50 DESC live entirely in the last of 4 row groups
+    val top = cole.orderBy(col("ord").desc).limit(50).select("ord", "rnd")
+    val scan = scanOf(top).asInstanceOf[ColeScan]
+    assert(scan.description().contains("PushedTopN"), scan.description())
+    val planned = scan.toBatch.planInputPartitions()
+      .map(_.asInstanceOf[ColeInputPartition].rowGroups.length).sum
+    assert(planned === 1, s"top-50 DESC needs 1 of 4 row groups, planned $planned")
+    assert(top.collect().map(_.getAs[Int]("ord")).toSeq ===
+      (29999 to 29950 by -1).toSeq)
+
+    val bottom = cole.orderBy(col("ord").asc).limit(10).select("ord")
+    val bs = scanOf(bottom).asInstanceOf[ColeScan]
+    assert(bs.toBatch.planInputPartitions()
+      .map(_.asInstanceOf[ColeInputPartition].rowGroups.length).sum === 1)
+    assert(bottom.collect().map(_.getAs[Int]("ord")).toSeq === (0 until 10).toSeq)
+
+    // a scattered column's ranges overlap everywhere: nothing prunable,
+    // but the result must still be exact
+    val scattered = cole.orderBy(col("rnd").desc).limit(5).select("rnd")
+    val expected = (0 until 30000).map(i => (i * 2654435761L) % 100000L - 50000L)
+      .sorted(Ordering[Long].reverse).take(5)
+    assert(scattered.collect().map(_.getAs[Long]("rnd")).toSeq === expected)
+  }
+
   test("pushed and unpushed plans agree on the reference-written fixture") {
     val fixture = getClass.getResource("/ref_fixture.col").getPath
     val df = spark.read.format("cole").load(fixture)
