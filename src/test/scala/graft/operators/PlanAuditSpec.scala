@@ -120,6 +120,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"bucketed sides must not re-shuffle:\n$joinPart")
   }
 
+  test("corpus_decontaminate joins grams by equality, never a product") {
+    val p = plan("corpus_decontaminate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"gram overlap degenerated to a product join:\n$p")
+    assert(p.contains("partial_"), "gram hit-count lost map-side combine")
+  }
+
+  test("corpus_ngram_stats keeps map-side partial aggregation under the TopK") {
+    val p = plan("corpus_ngram_stats")
+    assert(p.contains("partial_"), s"bigram counting lost map-side combine:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 should not be a full sort")
+  }
+
   test("cole_agg answers the aggregate inside the source (PushedAggregates)") {
     val p = plan("cole_agg")
     assert(p.contains("PushedAggregates"),
