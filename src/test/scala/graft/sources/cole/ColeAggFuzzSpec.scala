@@ -56,4 +56,41 @@ class ColeAggFuzzSpec extends AnyFunSuite {
       assert(gi === ei, s"high-cardinality grouped agg diverged (seed=$seed n=$n)")
     }
   }
+
+  test("pushed TopN == full sort-take across seeded datasets and shapes") {
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(3, 11); sorted <- Seq(true, false)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 20000
+      val base = (0 until n).map(i => (i.toLong, rnd.nextLong() % 100000L))
+      val rows = if (sorted) base else rnd.shuffle(base)
+      val df = rows.toDF("id", "v")
+      val dir = Files.createTempDirectory(s"cole_topn_${seed}_$sorted").toString
+      df.coalesce(1).write.format("cole").mode("overwrite")
+        .option("rowGroupSize", "4096").save(dir)
+      val cole = s.read.format("cole").load(dir)
+      for (k <- Seq(1, 17, 4096, 4097); desc <- Seq(true, false)) {
+        // two-column sort declines pushdown: the exact fallback path
+        val got = (if (desc) cole.orderBy(col("v").desc, col("id"))
+          else cole.orderBy(col("v").asc, col("id")))
+          .limit(k).select("v", "id").collect().map(r => (r.getLong(0), r.getLong(1)))
+        val ord = if (desc) Ordering.Tuple2(Ordering[Long].reverse, Ordering[Long])
+          else Ordering.Tuple2(Ordering[Long], Ordering[Long])
+        val want = rows.map { case (id, v) => (v, id) }.sorted(ord).take(k)
+        assert(got.toSeq === want,
+          s"TopN diverged (seed=$seed sorted=$sorted k=$k desc=$desc)")
+        // single-column sort takes the stat-pruned pushdown path; ties
+        // make row identity ambiguous, so compare the value multiset
+        val gotV = (if (desc) cole.orderBy(col("v").desc) else cole.orderBy(col("v").asc))
+          .limit(k).select("v").collect().map(_.getLong(0)).toSeq
+        val wantV = {
+          val vs = rows.map(_._2).sorted
+          if (desc) vs.reverse.take(k) else vs.take(k)
+        }
+        assert(gotV === wantV,
+          s"pushed TopN diverged (seed=$seed sorted=$sorted k=$k desc=$desc)")
+      }
+    }
+  }
 }
