@@ -128,16 +128,18 @@ class ColeScanBuilder(fullSchema: StructType, path: String)
     */
   override def pushLimit(l: Int): Boolean = { limit = l; true }
 
-  /** ORDER BY col LIMIT n over a numeric column prunes row groups by page
-    * stats: rank row groups by their best possible value, find the
-    * threshold the top-n must clear, and drop any group whose range
-    * cannot reach it. Partial pushdown — Spark re-sorts the surviving
-    * superset exactly, so this is pure data skipping (the TakeOrdered
-    * twin of `Predicate::canSkipPage`).
+  /** ORDER BY ... LIMIT n whose FIRST key is a numeric column prunes row
+    * groups by page stats: rank row groups by their best possible value
+    * on that key, find the threshold the top-n must clear, and drop any
+    * group whose range cannot reach it. Trailing sort keys only break
+    * ties, and the threshold is retained inclusively, so pruning on the
+    * leading key alone is sound. Partial pushdown — Spark re-sorts the
+    * surviving superset exactly, so this is pure data skipping (the
+    * TakeOrdered twin of `Predicate::canSkipPage`).
     */
   override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       l: Int): Boolean = {
-    if (orders.length != 1) return false
+    if (orders.isEmpty) return false
     val o = orders.head
     val colName = o.expression() match {
       case nr: NamedReference if nr.fieldNames.length == 1 => nr.fieldNames.head

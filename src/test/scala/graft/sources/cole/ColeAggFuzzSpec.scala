@@ -71,7 +71,7 @@ class ColeAggFuzzSpec extends AnyFunSuite {
         .option("rowGroupSize", "4096").save(dir)
       val cole = s.read.format("cole").load(dir)
       for (k <- Seq(1, 17, 4096, 4097); desc <- Seq(true, false)) {
-        // two-column sort declines pushdown: the exact fallback path
+        // two-column sort: prunes on the leading key, ties exact via id
         val got = (if (desc) cole.orderBy(col("v").desc, col("id"))
           else cole.orderBy(col("v").asc, col("id")))
           .limit(k).select("v", "id").collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -80,8 +80,8 @@ class ColeAggFuzzSpec extends AnyFunSuite {
         val want = rows.map { case (id, v) => (v, id) }.sorted(ord).take(k)
         assert(got.toSeq === want,
           s"TopN diverged (seed=$seed sorted=$sorted k=$k desc=$desc)")
-        // single-column sort takes the stat-pruned pushdown path; ties
-        // make row identity ambiguous, so compare the value multiset
+        // single-column sort; ties make row identity ambiguous, so
+        // compare the value multiset
         val gotV = (if (desc) cole.orderBy(col("v").desc) else cole.orderBy(col("v").asc))
           .limit(k).select("v").collect().map(_.getLong(0)).toSeq
         val wantV = {
