@@ -164,13 +164,27 @@ class ColeScanBuilder(fullSchema: StructType, path: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** Accept simple numeric comparisons for page-stat skipping; everything
-    * is also kept as a residual (Spark re-evaluates row-exactly, as it
-    * does for parquet row-group pruning).
+  /** Simple numeric comparisons on numeric COLE columns are CLAIMED —
+    * the source applies them row-exactly (selection vectors over decoded
+    * chunks) on top of page-stat row-group skipping, and Spark plans no
+    * residual. `IsNotNull` is claimed trivially (COLE has no NULLs).
+    * Claiming completely is what makes filtered aggregates eligible for
+    * aggregate pushdown — Spark only pushes aggregation when no post-scan
+    * filter remains. Everything else stays residual.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(f => ColePredicate.fromFilter(f).isDefined)
-    filters
+    def numericCol(c: String): Boolean =
+      fullSchema.fieldNames.contains(c) && (fullSchema(c).dataType match {
+        case IntegerType | LongType => true
+        case _ => false
+      })
+    def claimable(f: Filter): Boolean = f match {
+      case IsNotNull(c) => fullSchema.fieldNames.contains(c) // no NULLs in COLE
+      case _ => ColePredicate.fromFilter(f).exists(p => numericCol(p.column))
+    }
+    val (claimed, residual) = filters.partition(claimable)
+    pushed = claimed
+    residual
   }
 
   override def pushedFilters(): Array[Filter] = pushed
@@ -194,7 +208,9 @@ class ColeScanBuilder(fullSchema: StructType, path: String)
     // inner agg away — declining it keeps the normal scan path (returning
     // true with zero aggs would break Spark's column-count contract)
     if (aggregation.aggregateExpressions.isEmpty) return false
-    if (pushed.nonEmpty) return false
+    // claimed filters are applied row-exactly inside the agg readers, so
+    // filtered aggregation still pushes (Spark guarantees no residuals
+    // remain when it offers the aggregation)
     def ref(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case nr: NamedReference if nr.fieldNames.length == 1 =>
@@ -230,8 +246,10 @@ class ColeScanBuilder(fullSchema: StructType, path: String)
             case "min" | "max" => fullSchema(sp.column).dataType
             case _ => LongType // counts and integral sums merge as BIGINT
           }
+          // sum/min/max of zero surviving rows is NULL (counts are 0),
+          // mirroring Spark's own partial-aggregate buffers
           StructField(s"agg_${i}_${sp.kind}${Option(sp.column).fold("")("_" + _)}",
-            dt, nullable = false)
+            dt, nullable = sp.kind != "count" && sp.kind != "count_star")
         })
     true
   }
@@ -240,7 +258,8 @@ class ColeScanBuilder(fullSchema: StructType, path: String)
 
   override def build(): Scan =
     if (pushedAggs.nonEmpty)
-      new ColeAggScan(path, pushedGroupCols, pushedAggs, aggSchema)
+      new ColeAggScan(path, pushedGroupCols, pushedAggs, aggSchema,
+        pushed.flatMap(ColePredicate.fromFilter))
     else new ColeScan(fullSchema, required, path, pushed, limit, topN)
 }
 
@@ -260,15 +279,18 @@ final case class ColeAggSpec(kind: String, column: String)
   * ~128 MB slice.
   */
 class ColeAggScan(path: String, groupCols: Seq[String], aggs: Seq[ColeAggSpec],
-    schema: StructType) extends Scan with Batch {
+    schema: StructType, preds: Array[ColePredicate] = Array.empty)
+    extends Scan with Batch {
 
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String = {
     val g = if (groupCols.isEmpty) ""
       else s", PushedGroupBy: [${groupCols.mkString(", ")}]"
+    val f = if (preds.isEmpty) ""
+      else s", AppliedFilters: [${preds.mkString(", ")}]"
     s"ColeAggScan path=$path, PushedAggregates: [${aggs.map(a =>
-      s"${a.kind.toUpperCase}(${Option(a.column).getOrElse("*")})").mkString(", ")}]$g"
+      s"${a.kind.toUpperCase}(${Option(a.column).getOrElse("*")})").mkString(", ")}]$g$f"
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -281,12 +303,27 @@ class ColeAggScan(path: String, groupCols: Seq[String], aggs: Seq[ColeAggSpec],
         val colIndices = (groupCols ++ aggs.flatMap(a => Option(a.column))).distinct
           .map(nameToIdx(_)).toArray
         val rgs = meta.rowGroups.zipWithIndex.collect {
-          case (rg, rgIdx) if rg.numRows > 0 =>
+          case (rg, rgIdx) if rg.numRows > 0 &&
+              !preds.exists { p =>
+                nameToIdx.get(p.column).exists { ci =>
+                  val pages = rg.chunks(ci).pages
+                  pages.nonEmpty && pages.forall(ph => p.canSkip(ph.stats))
+                }
+              } =>
             (rgIdx, rg.numRows, colIndices.map(ci => rg.chunks(ci).totalSize).sum)
         }
-        ColePack.pack(file, colIndices, rgs, target)
+        ColePack.pack(file, colIndices, rgs, target, preds)
       } finally reader.close()
-    }.toArray
+    }.toArray match {
+      // a fully-pruned (or empty) table still needs ONE partial row for a
+      // GLOBAL aggregate: Spark's rewritten final agg over zero partial
+      // rows would turn COUNT into NULL instead of 0. The empty partition
+      // emits (count=0, sum/min/max=NULL); grouped readers emit nothing.
+      case empty if empty.isEmpty && groupCols.isEmpty =>
+        ColeUtil.listFiles(path).headOption.map[InputPartition](f =>
+          ColeInputPartition(f, Array.empty, Array.empty, Array.empty, preds)).toArray
+      case parts => parts.map(p => p: InputPartition)
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -350,6 +387,12 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
   }
 
   private def processRowGroup(rgIdx: Int, nRows: Int): Unit = {
+    // claimed filters: selection vector decides which rows accumulate
+    val sel: Array[Int] =
+      if (part.preds.isEmpty) null
+      else ColePredicate.buildSelection(reader, rgIdx, nRows, nameToIdx, part.preds)
+    val end = if (sel == null) nRows else sel.length
+    if (end == 0) return
     val valueData: Array[ColumnData] = valueCols.map(ci => reader.readChunk(rgIdx, ci))
     // dict fast path: single string group column, all-DICT chunk —
     // accumulate per dict id, then fold ids into the global key map
@@ -360,8 +403,9 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
     if (dictView != null) {
       val (entries, ids) = dictView
       val local = Array.fill(entries.length)(null: Array[Long])
-      var r = 0
-      while (r < nRows) {
+      var i = 0
+      while (i < end) {
+        val r = if (sel == null) i else sel(i)
         val id = ids(r)
         var a = local(id)
         if (a == null) { a = newAccs(); local(id) = a }
@@ -372,7 +416,7 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
           bump(a, s, if (cd.ints != null) cd.ints(r).toLong else cd.longs(r))
           s += 1
         }
-        r += 1
+        i += 1
       }
       var id = 0
       while (id < entries.length) {
@@ -388,8 +432,9 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
       }
     } else {
       val groupData: Array[ColumnData] = groupIdx.map(ci => reader.readChunk(rgIdx, ci))
-      var r = 0
-      while (r < nRows) {
+      var i = 0
+      while (i < end) {
+        val r = if (sel == null) i else sel(i)
         val key: Seq[Any] = groupData.map { cd =>
           if (cd.ints != null) cd.ints(r)
           else if (cd.longs != null) cd.longs(r)
@@ -403,7 +448,7 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
           bump(a, s, if (cd.ints != null) cd.ints(r).toLong else cd.longs(r))
           s += 1
         }
-        r += 1
+        i += 1
       }
     }
   }
@@ -470,14 +515,17 @@ class ColeAggReader(part: ColeInputPartition, aggs: Seq[ColeAggSpec])
     try {
       val meta = reader.meta
       val nameToIdx = meta.columns.map(_.name).zipWithIndex.toMap
-      val totalRows = part.rowCounts.map(_.toLong).sum
-      // per referenced column: one merged accumulator across the
-      // partition's row groups; sweep pages only if some agg needs a sum
-      // or a row group lacks stats — otherwise stats alone answer min/max
-      val needSum = aggs.collect { case ColeAggSpec("sum", c) => nameToIdx(c) }.toSet
       val accs = scala.collection.mutable.Map.empty[Int, ColeCodec.NumAgg]
-      def acc(ci: Int): ColeCodec.NumAgg =
-        accs.getOrElseUpdate(ci, {
+      var totalRows = 0L
+
+      if (part.preds.isEmpty) {
+        totalRows = part.rowCounts.map(_.toLong).sum
+        // per referenced column: one merged accumulator across the
+        // partition's row groups; sweep pages only if some agg needs a
+        // sum or a row group lacks stats — otherwise stats alone answer
+        // min/max
+        val needSum = aggs.collect { case ColeAggSpec("sum", c) => nameToIdx(c) }.toSet
+        def fill(ci: Int): ColeCodec.NumAgg = {
           val a = new ColeCodec.NumAgg
           var i = 0
           while (i < part.rowGroups.length) {
@@ -489,29 +537,60 @@ class ColeAggReader(part: ColeInputPartition, aggs: Seq[ColeAggSpec])
               if (rg.max > a.max) a.max = rg.max
             } else reader.statsMinMax(rgIdx, ci) match {
               case Some((mn, mx)) =>
+                a.count += meta.rowGroups(rgIdx).numRows
                 if (mn < a.min) a.min = mn
                 if (mx > a.max) a.max = mx
               case None =>
                 val rg = reader.aggChunk(rgIdx, ci)
+                a.count += rg.count
                 if (rg.min < a.min) a.min = rg.min
                 if (rg.max > a.max) a.max = rg.max
             }
             i += 1
           }
           a
-        })
+        }
+        aggs.foreach(sp => if (sp.column != null)
+          accs.getOrElseUpdate(nameToIdx(sp.column), fill(nameToIdx(sp.column))))
+      } else {
+        // filtered aggregation: selection vector per row group, then a
+        // bitmap-guided sweep of each referenced column's decoded chunk
+        val valueCols = aggs.collect {
+          case ColeAggSpec(k, c) if c != null => nameToIdx(c)
+        }.distinct
+        var i = 0
+        while (i < part.rowGroups.length) {
+          val rgIdx = part.rowGroups(i)
+          val sel = ColePredicate.buildSelection(reader, rgIdx,
+            part.rowCounts(i), nameToIdx, part.preds)
+          totalRows += sel.length
+          valueCols.foreach { ci =>
+            val a = accs.getOrElseUpdate(ci, new ColeCodec.NumAgg)
+            val cd = reader.readChunk(rgIdx, ci)
+            var j = 0
+            while (j < sel.length) {
+              a.add(if (cd.ints != null) cd.ints(sel(j)).toLong else cd.longs(sel(j)))
+              j += 1
+            }
+          }
+          i += 1
+        }
+      }
+
       val values: Seq[Any] = aggs.map { sp =>
-        lazy val ci = nameToIdx(sp.column)
-        lazy val isInt32 = meta.columns(ci).colType == TInt32
         sp.kind match {
           case "count_star" | "count" => totalRows
-          case "sum" => acc(ci).sum
-          case "min" =>
-            val v = acc(ci).min
-            if (isInt32) v.toInt else v
-          case "max" =>
-            val v = acc(ci).max
-            if (isInt32) v.toInt else v
+          case kind =>
+            val ci = nameToIdx(sp.column)
+            val isInt32 = meta.columns(ci).colType == TInt32
+            accs.get(ci).filter(_.count > 0) match {
+              case None => null // zero surviving rows: NULL, like Spark's buffers
+              case Some(a) => kind match {
+                case "sum" => a.sum
+                case "min" => if (isInt32) a.min.toInt else a.min
+                case "max" => if (isInt32) a.max.toInt else a.max
+              }
+            }
         }
       }
       InternalRow.fromSeq(values)
@@ -522,7 +601,8 @@ class ColeAggReader(part: ColeInputPartition, aggs: Seq[ColeAggSpec])
 }
 
 /** Numeric min/max predicate usable against page stats
-  * (reference: include/execution.h:49-59).
+  * (reference: include/execution.h:49-59) and row-exactly against
+  * decoded values.
   */
 private[cole] final case class ColePredicate(column: String, op: String, value: Long) {
   /** True when NO row in a page with these stats can match. */
@@ -535,6 +615,28 @@ private[cole] final case class ColePredicate(column: String, op: String, value: 
       case "le" => mn > value
       case _ => false
     }
+    case _ => false
+  }
+
+  // op resolved to an int once at construction: eval runs per row in the
+  // selection loop, a string match there is a megamorphic dispatch on
+  // the hot path (and a lazy val would re-add a volatile read per row)
+  private val opId: Int = op match {
+    case "eq" => 0
+    case "gt" => 1
+    case "ge" => 2
+    case "lt" => 3
+    case "le" => 4
+    case _ => -1
+  }
+
+  /** Row-exact evaluation over a decoded value. */
+  @inline def eval(v: Long): Boolean = (opId: @scala.annotation.switch) match {
+    case 0 => v == value
+    case 1 => v > value
+    case 2 => v >= value
+    case 3 => v < value
+    case 4 => v <= value
     case _ => false
   }
 }
@@ -556,6 +658,34 @@ private[cole] object ColePredicate {
     case LessThanOrEqual(c, v) => num(v).map(ColePredicate(c, "le", _))
     case _ => None
   }
+
+  /** Selection vector for one row group: indices of rows passing ALL
+    * predicates (conjunctive, row-exact over decoded values).
+    */
+  def buildSelection(reader: ColeFileReader, rgIdx: Int, nRows: Int,
+      nameToIdx: Map[String, Int], preds: Array[ColePredicate]): Array[Int] = {
+    val byCol: Array[(Array[ColePredicate], ColumnData)] =
+      preds.map(_.column).distinct.map { c =>
+        (preds.filter(_.column == c), reader.readChunk(rgIdx, nameToIdx(c)))
+      }
+    val sel = new Array[Int](nRows)
+    var m = 0
+    var r = 0
+    while (r < nRows) {
+      var ok = true
+      var ci = 0
+      while (ok && ci < byCol.length) {
+        val (ps, cd) = byCol(ci)
+        val v = if (cd.ints != null) cd.ints(r).toLong else cd.longs(r)
+        var pi = 0
+        while (ok && pi < ps.length) { ok = ps(pi).eval(v); pi += 1 }
+        ci += 1
+      }
+      if (ok) { sel(m) = r; m += 1 }
+      r += 1
+    }
+    java.util.Arrays.copyOf(sel, m)
+  }
 }
 
 /** A slice of one file: several consecutive surviving row groups, packed
@@ -566,20 +696,22 @@ private[cole] object ColePredicate {
   * Spark uses for parquet splits.
   */
 final case class ColeInputPartition(file: String, rowGroups: Array[Int],
-    colIndices: Array[Int], rowCounts: Array[Int]) extends InputPartition
+    colIndices: Array[Int], rowCounts: Array[Int],
+    preds: Array[ColePredicate] = Array.empty) extends InputPartition
 
 private[cole] object ColePack {
   /** Greedy-pack (rgIdx, rows, bytes) triples into partitions of roughly
     * targetBytes of projected data.
     */
   def pack(file: String, colIndices: Array[Int],
-      rgs: Seq[(Int, Int, Long)], targetBytes: Long): Seq[ColeInputPartition] = {
+      rgs: Seq[(Int, Int, Long)], targetBytes: Long,
+      preds: Array[ColePredicate] = Array.empty): Seq[ColeInputPartition] = {
     val out = scala.collection.mutable.ArrayBuffer[ColeInputPartition]()
     val idxs = scala.collection.mutable.ArrayBuffer[Int]()
     val rows = scala.collection.mutable.ArrayBuffer[Int]()
     var acc = 0L
     def flush(): Unit = if (idxs.nonEmpty) {
-      out += ColeInputPartition(file, idxs.toArray, colIndices, rows.toArray)
+      out += ColeInputPartition(file, idxs.toArray, colIndices, rows.toArray, preds)
       idxs.clear(); rows.clear(); acc = 0L
     }
     rgs.foreach { case (rgIdx, nRows, bytes) =>
@@ -682,7 +814,7 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
     val parts = afterTopN.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
       case (file, rgs) =>
         ColePack.pack(file, rgs.head._2,
-          rgs.map(r => (r._3, r._4, r._5)).sortBy(_._1), target)
+          rgs.map(r => (r._3, r._4, r._5)).sortBy(_._1), target, preds)
     }
     // a pushed LIMIT with no filters can stop planning once enough rows
     // are covered, truncated at row-group granularity (Spark trims to the
@@ -773,6 +905,7 @@ class ColeColumnarReader(part: ColeInputPartition, required: StructType)
   private val BatchSize = 4096
 
   private val reader = new ColeFileReader(part.file)
+  private lazy val nameToIdx = reader.meta.columns.map(_.name).zipWithIndex.toMap
   // row groups decode lazily, one at a time — a packed partition never
   // holds more than one row group's chunks in memory
   private var rgPos = -1
@@ -783,15 +916,49 @@ class ColeColumnarReader(part: ColeInputPartition, required: StructType)
 
   /** Per column: either a materialized chunk, or the raw dictionary view
     * (entries + ids) for all-DICTIONARY string chunks — handed to Spark's
-    * dictionary-aware vectors with zero per-row string copies.
+    * dictionary-aware vectors with zero per-row string copies. Claimed
+    * filters compact each chunk through a selection vector before the
+    * batch is built, so downstream codegen sees only surviving rows.
     */
   private def loadRowGroup(i: Int): Unit = {
     val rgIdx = part.rowGroups(i)
+    val sel: Array[Int] =
+      if (part.preds.isEmpty) null
+      else ColePredicate.buildSelection(reader, rgIdx, part.rowCounts(i),
+        nameToIdx, part.preds)
     columns = part.colIndices.map { ci =>
       val dict = reader.readStringChunkDict(rgIdx, ci)
-      if (dict != null) dict else reader.readChunk(rgIdx, ci)
+      if (dict != null) {
+        if (sel == null) dict
+        else {
+          val (entries, ids) = dict
+          val g = new Array[Int](sel.length)
+          var j = 0
+          while (j < sel.length) { g(j) = ids(sel(j)); j += 1 }
+          (entries, g)
+        }
+      } else {
+        val cd = reader.readChunk(rgIdx, ci)
+        if (sel == null) cd
+        else if (cd.ints != null) {
+          val g = new Array[Int](sel.length)
+          var j = 0
+          while (j < sel.length) { g(j) = cd.ints(sel(j)); j += 1 }
+          ColumnData(g, null, null)
+        } else if (cd.longs != null) {
+          val g = new Array[Long](sel.length)
+          var j = 0
+          while (j < sel.length) { g(j) = cd.longs(sel(j)); j += 1 }
+          ColumnData(null, g, null)
+        } else {
+          val g = new Array[Array[Byte]](sel.length)
+          var j = 0
+          while (j < sel.length) { g(j) = cd.strings(sel(j)); j += 1 }
+          ColumnData(null, null, g)
+        }
+      }
     }: Array[AnyRef]
-    rgRows = part.rowCounts(i)
+    rgRows = if (sel == null) part.rowCounts(i) else sel.length
     offset = 0
   }
 
@@ -855,8 +1022,10 @@ class ColeRowReader(part: ColeInputPartition, required: StructType)
     extends PartitionReader[InternalRow] {
 
   private val reader = new ColeFileReader(part.file)
+  private lazy val nameToIdx = reader.meta.columns.map(_.name).zipWithIndex.toMap
   private var rgPos = -1
   private var columns: Array[ColumnData] = _
+  private var sel: Array[Int] = _ // claimed-filter selection; null = all rows
   private var rgRows = 0
   private var row = 0
 
@@ -865,22 +1034,27 @@ class ColeRowReader(part: ColeInputPartition, required: StructType)
     while (rgPos < 0 || row >= rgRows) {
       if (rgPos + 1 >= part.rowGroups.length) return false
       rgPos += 1
-      columns = part.colIndices.map(ci => reader.readChunk(part.rowGroups(rgPos), ci))
-      rgRows = part.rowCounts(rgPos)
+      val rgIdx = part.rowGroups(rgPos)
+      sel = if (part.preds.isEmpty) null
+        else ColePredicate.buildSelection(reader, rgIdx, part.rowCounts(rgPos),
+          nameToIdx, part.preds)
+      columns = part.colIndices.map(ci => reader.readChunk(rgIdx, ci))
+      rgRows = if (sel == null) part.rowCounts(rgPos) else sel.length
       row = 0
     }
     true
   }
 
   override def get(): InternalRow = {
+    val r = if (sel == null) row else sel(row)
     val values = new Array[Any](columns.length)
     var i = 0
     while (i < columns.length) {
       val c = columns(i)
       values(i) =
-        if (c.ints != null) c.ints(row)
-        else if (c.longs != null) c.longs(row)
-        else UTF8String.fromBytes(c.strings(row))
+        if (c.ints != null) c.ints(r)
+        else if (c.longs != null) c.longs(r)
+        else UTF8String.fromBytes(c.strings(r))
       i += 1
     }
     InternalRow.fromSeq(values.toIndexedSeq)

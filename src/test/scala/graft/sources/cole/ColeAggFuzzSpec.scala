@@ -54,6 +54,24 @@ class ColeAggFuzzSpec extends AnyFunSuite {
       val ei = df.groupBy("id").agg(sum("v_int")).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(gi === ei, s"high-cardinality grouped agg diverged (seed=$seed n=$n)")
+
+      // claimed filters: random conjunctive predicates through scan,
+      // global agg, and grouped agg — all row-exact vs the DataFrame
+      val lo = rnd.nextInt(2000) - 1000
+      val hi = lo + rnd.nextInt(500)
+      def f(d: org.apache.spark.sql.DataFrame) =
+        d.filter(col("v_int") >= lo && col("v_int") < hi)
+      assert(f(cole).collect().map(_.toSeq).toSet ===
+        f(df).collect().map(_.toSeq).toSet,
+        s"filtered scan diverged (seed=$seed n=$n [$lo,$hi))")
+      assert(f(cole).agg(count(lit(1)), sum("v_long"), min("v_long")).head() ===
+        f(df).agg(count(lit(1)), sum("v_long"), min("v_long")).head(),
+        s"filtered global agg diverged (seed=$seed n=$n [$lo,$hi))")
+      assert(f(cole).groupBy("grp").agg(sum("v_long").as("s"), count(lit(1)).as("c"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap ===
+        f(df).groupBy("grp").agg(sum("v_long").as("s"), count(lit(1)).as("c"))
+          .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap,
+        s"filtered grouped agg diverged (seed=$seed n=$n [$lo,$hi))")
     }
   }
 

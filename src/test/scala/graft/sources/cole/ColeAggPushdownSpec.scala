@@ -71,12 +71,28 @@ class ColeAggPushdownSpec extends AnyFunSuite {
     assert(r.getAs[Long]("mn_rnd") === rnd.min && r.getAs[Long]("mx_rnd") === rnd.max)
   }
 
-  test("filters decline pushdown and stay correct") {
+  test("filtered aggregates push with source-applied predicates, values exact") {
     val filtered = cole.filter(col("ord") >= 10000).agg(sum("rnd").as("s"))
-    assert(scanOf(filtered).isInstanceOf[ColeScan],
-      "a residual filter must block aggregate pushdown")
+    val scan = scanOf(filtered)
+    assert(scan.isInstanceOf[ColeAggScan],
+      s"claimed numeric filters must not block aggregate pushdown, got $scan")
+    assert(scan.description().contains("AppliedFilters"))
     val expected = (10000 until 30000).map(i => (i * 2654435761L) % 100000L - 50000L).sum
     assert(filtered.head().getAs[Long]("s") === expected)
+
+    // zero matching rows: count 0, sum/min NULL — like an unpushed plan
+    val none = cole.filter(col("ord") > 1000000)
+      .agg(count(lit(1)).as("n"), sum("rnd").as("s"), min("ord").as("m")).head()
+    assert(none.getAs[Long]("n") === 0L)
+    assert(none.isNullAt(1) && none.isNullAt(2))
+
+    // filtered GROUP BY pushes too
+    val grouped = cole.filter(col("ord") < 10)
+      .groupBy("cat").agg(count(lit(1)).as("n"))
+    assert(scanOf(grouped).isInstanceOf[ColeAggScan])
+    assert(grouped.collect().map(r =>
+      r.getAs[String]("cat") -> r.getAs[Long]("n")).toMap ===
+      (0 until 10).groupBy(i => s"cat_${i % 5}").map { case (k, v) => k -> v.size.toLong })
   }
 
   test("group-by over a dict string key pushes and matches exact values") {
