@@ -304,12 +304,7 @@ class ColeAggScan(path: String, groupCols: Seq[String], aggs: Seq[ColeAggSpec],
           .map(nameToIdx(_)).toArray
         val rgs = meta.rowGroups.zipWithIndex.collect {
           case (rg, rgIdx) if rg.numRows > 0 &&
-              !preds.exists { p =>
-                nameToIdx.get(p.column).exists { ci =>
-                  val pages = rg.chunks(ci).pages
-                  pages.nonEmpty && pages.forall(ph => p.canSkip(ph.stats))
-                }
-              } =>
+              !ColePredicate.skipRowGroup(rg, nameToIdx, preds) =>
             (rgIdx, rg.numRows, colIndices.map(ci => rg.chunks(ci).totalSize).sum)
         }
         ColePack.pack(file, colIndices, rgs, target, preds)
@@ -320,8 +315,11 @@ class ColeAggScan(path: String, groupCols: Seq[String], aggs: Seq[ColeAggSpec],
       // rows would turn COUNT into NULL instead of 0. The empty partition
       // emits (count=0, sum/min/max=NULL); grouped readers emit nothing.
       case empty if empty.isEmpty && groupCols.isEmpty =>
-        ColeUtil.listFiles(path).headOption.map[InputPartition](f =>
-          ColeInputPartition(f, Array.empty, Array.empty, Array.empty, preds)).toArray
+        // file path is never opened for an empty partition, so a table
+        // directory with ZERO .col files (external schema) is covered too
+        Array[InputPartition](ColeInputPartition(
+          ColeUtil.listFiles(path).headOption.getOrElse(path),
+          Array.empty, Array.empty, Array.empty, preds))
       case parts => parts.map(p => p: InputPartition)
     }
   }
@@ -511,6 +509,13 @@ class ColeAggReader(part: ColeInputPartition, aggs: Seq[ColeAggSpec])
 
   override def get(): InternalRow = {
     emitted = true
+    // the empty-table/fully-pruned partial row needs no file access:
+    // counts are 0 and value aggregates are NULL
+    if (part.rowGroups.isEmpty)
+      return InternalRow.fromSeq(aggs.map {
+        case ColeAggSpec("count_star" | "count", _) => 0L
+        case _ => null
+      })
     val reader = new ColeFileReader(part.file)
     try {
       val meta = reader.meta
@@ -550,13 +555,19 @@ class ColeAggReader(part: ColeInputPartition, aggs: Seq[ColeAggSpec])
           }
           a
         }
-        aggs.foreach(sp => if (sp.column != null)
-          accs.getOrElseUpdate(nameToIdx(sp.column), fill(nameToIdx(sp.column))))
+        // counts are answered by rowCounts alone — only sum/min/max
+        // specs touch stats or pages
+        aggs.foreach {
+          case ColeAggSpec("sum" | "min" | "max", c) =>
+            accs.getOrElseUpdate(nameToIdx(c), fill(nameToIdx(c)))
+          case _ => ()
+        }
       } else {
         // filtered aggregation: selection vector per row group, then a
-        // bitmap-guided sweep of each referenced column's decoded chunk
+        // bitmap-guided sweep of each value column's decoded chunk
+        // (counts come from the selection length alone)
         val valueCols = aggs.collect {
-          case ColeAggSpec(k, c) if c != null => nameToIdx(c)
+          case ColeAggSpec("sum" | "min" | "max", c) => nameToIdx(c)
         }.distinct
         var i = 0
         while (i < part.rowGroups.length) {
@@ -658,6 +669,19 @@ private[cole] object ColePredicate {
     case LessThanOrEqual(c, v) => num(v).map(ColePredicate(c, "le", _))
     case _ => None
   }
+
+  /** Skip a row group when some predicate eliminates every page of its
+    * column's chunk — shared by the data scan and the aggregate scan so
+    * both paths always prune the same set.
+    */
+  def skipRowGroup(rg: RowGroupMeta, nameToIdx: Map[String, Int],
+      preds: Array[ColePredicate]): Boolean =
+    preds.exists { p =>
+      nameToIdx.get(p.column).exists { ci =>
+        val pages = rg.chunks(ci).pages
+        pages.nonEmpty && pages.forall(ph => p.canSkip(ph.stats))
+      }
+    }
 
   /** Selection vector for one row group: indices of rows passing ALL
     * predicates (conjunctive, row-exact over decoded values).
@@ -792,9 +816,11 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
     // or past a stat threshold — any row group whose whole range falls on
     // the wrong side of it cannot contribute to the top n.
     val afterTopN = topN match {
-      case Some((_, desc, n)) if filters.isEmpty && runtimeFilters.isEmpty =>
+      case Some((_, desc, n)) if preds.isEmpty && runtimeFilters.isEmpty =>
         val withStats = survivors.filter(_._6.isDefined)
-        val ranked = if (desc) withStats.sortBy(r => -r._6.get._1)
+        // Ordering.reverse, NOT negation: -Long.MinValue overflows and
+        // would rank a MinValue-min group first, corrupting the threshold
+        val ranked = if (desc) withStats.sortBy(r => r._6.get._1)(Ordering[Long].reverse)
           else withStats.sortBy(r => r._6.get._2)
         var cum = 0L
         var threshold: Option[Long] = None
@@ -816,10 +842,11 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
         ColePack.pack(file, rgs.head._2,
           rgs.map(r => (r._3, r._4, r._5)).sortBy(_._1), target, preds)
     }
-    // a pushed LIMIT with no filters can stop planning once enough rows
-    // are covered, truncated at row-group granularity (Spark trims to the
-    // exact count above the scan)
-    if (limit >= 0 && filters.isEmpty && runtimeFilters.isEmpty) {
+    // a pushed LIMIT with no row-dropping predicates can stop planning
+    // once enough rows are covered, truncated at row-group granularity
+    // (Spark trims to the exact count above the scan). Guard on `preds`,
+    // not the raw Filter array: a claimed IsNotNull drops nothing.
+    if (limit >= 0 && preds.isEmpty && runtimeFilters.isEmpty) {
       val out = scala.collection.mutable.ArrayBuffer[InputPartition]()
       var covered = 0L
       val it = parts.iterator
@@ -855,12 +882,7 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
 
   private def skipRowGroup(rg: RowGroupMeta, nameToIdx: Map[String, Int],
       preds: Array[ColePredicate]): Boolean =
-    preds.exists { p =>
-      nameToIdx.get(p.column).exists { ci =>
-        val pages = rg.chunks(ci).pages
-        pages.nonEmpty && pages.forall(ph => p.canSkip(ph.stats))
-      }
-    }
+    ColePredicate.skipRowGroup(rg, nameToIdx, preds)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ColeReaderFactory(required)

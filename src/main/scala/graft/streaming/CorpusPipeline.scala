@@ -22,12 +22,19 @@ object CorpusPipeline {
 
   /** Quality gate ∘ exact dedup ∘ token count; identical semantics batch
     * and streaming (batch = "replay everything in one micro-batch").
+    * `n_chars` is taken from the input when present (the documents table
+    * carries it) and derived from the text otherwise, so a bare
+    * (doc_id, source, text) stream curates too.
     */
-  def curate(docs: DataFrame, minChars: Int = 50, minTokens: Int = 5): DataFrame =
-    docs
+  def curate(docs: DataFrame, minChars: Int = 50, minTokens: Int = 5): DataFrame = {
+    val withChars =
+      if (docs.columns.contains("n_chars")) docs
+      else docs.withColumn("n_chars", length(col("text")).cast("long"))
+    withChars
       .withColumn("fp", Text.fingerprint(col("text")))
       .withColumn("n_tokens", Text.tokenCount(col("text")))
       .filter(col("n_chars") >= minChars && col("n_tokens") >= minTokens)
       .dropDuplicates("fp")
       .select("doc_id", "source", "fp", "n_chars", "n_tokens")
+  }
 }

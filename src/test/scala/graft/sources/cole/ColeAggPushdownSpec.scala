@@ -181,6 +181,38 @@ class ColeAggPushdownSpec extends AnyFunSuite {
     assert(scattered.collect().map(_.getAs[Long]("rnd")).toSeq === expected)
   }
 
+  test("review regressions: MinValue stats, IsNotNull+limit, empty-table count") {
+    val s = spark
+    import s.implicits._
+    // Long.MinValue in a row-group's stats must not corrupt the TopN
+    // threshold (negating it overflows): top-2 DESC lives in the last
+    // group, while an earlier group holds MinValue rows
+    val d1 = java.nio.file.Files.createTempDirectory("cole_minval").toString
+    ((Seq.fill(10)(Long.MinValue) ++ (0L until 10L) ++ (100L until 110L))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) })
+      .toDF("id", "v").coalesce(1).write.format("cole").mode("overwrite")
+      .option("rowGroupSize", "10").save(d1)
+    val top = spark.read.format("cole").load(d1).orderBy(col("v").desc).limit(2)
+    assert(top.collect().map(_.getAs[Long]("v")).toSeq === Seq(109L, 108L))
+
+    // claimed IsNotNull drops nothing, so LIMIT must still prune planning
+    val limited = cole.filter(col("ord").isNotNull).limit(100)
+    val scan = scanOf(limited).asInstanceOf[ColeScan]
+    assert(scan.toBatch.planInputPartitions()
+      .map(_.asInstanceOf[ColeInputPartition].rowGroups.length).sum === 1,
+      "IsNotNull must not disable limit row-group pruning")
+    assert(limited.count() === 100)
+
+    // an empty table still answers a pushed global count with 0, not NULL
+    val d2 = java.nio.file.Files.createTempDirectory("cole_empty_agg").toString
+    Seq((1L, 2L)).toDF("a", "b").filter(col("a") < 0)
+      .repartition(1).write.format("cole").mode("overwrite").save(d2)
+    val empty = spark.read.format("cole").load(d2)
+    assert(empty.agg(count(lit(1)).as("n")).head().getAs[Long]("n") === 0L)
+    val r = empty.agg(sum("a").as("s"), min("b").as("m")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("pushed and unpushed plans agree on the reference-written fixture") {
     val fixture = getClass.getResource("/ref_fixture.col").getPath
     val df = spark.read.format("cole").load(fixture)
