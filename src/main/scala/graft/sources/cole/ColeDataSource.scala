@@ -21,10 +21,12 @@ import graft.sources.cole.ColeFormat._
   * Spark-first re-expression of the reference engine's storage layer: the
   * reference's Scanner/QueryExecutor (reference: include/execution.h) become
   * Catalyst plans; this connector supplies what Catalyst needs from a
-  * source — schema inference, column pruning, filter pushdown with
-  * page-stat data skipping (reference: include/execution.h:58
-  * Predicate::canSkipPage), and parallel reads (one Spark partition per row
-  * group, so a 100 TB table with many row groups scans wide).
+  * source — schema inference, column pruning, claimed numeric filters
+  * (page-stat row-group skipping, reference: include/execution.h:58
+  * Predicate::canSkipPage, plus row-exact selection vectors), aggregate /
+  * LIMIT / TopN pushdown, and parallel reads over byte-packed row-group
+  * runs (task count scales with data size, so a 100 TB table scans wide
+  * without drowning in task launches).
   */
 class ColeDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "cole"
