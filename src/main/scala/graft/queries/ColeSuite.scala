@@ -80,6 +80,27 @@ object ColeSuite {
                      MIN(l_linenumber) AS mn_ln, MAX(l_linenumber) AS mx_ln
               FROM lineitem""")),
 
+    // #91 TopN pushdown: ORDER BY + LIMIT over the .col table prunes row
+    // groups whose stat range cannot reach the top-n threshold (plan
+    // shape asserted in PlanAuditSpec); values must still match the
+    // parquet oracle exactly.
+    Q("cole_topn", (s, d) => {
+      val dir = dirFor(d, "roundtrip")
+      writeOnce(dir) {
+        Tables.lineitem(s, d).select(cols.map(col): _*)
+          .write.format("cole").mode("overwrite").save(dir)
+      }
+      s.read.format("cole").load(dir)
+        .orderBy(col("l_orderkey").desc, col("l_linenumber").asc,
+          col("l_partkey").asc, col("l_suppkey").asc)
+        .limit(100)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    },
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+              FROM lineitem
+              ORDER BY l_orderkey DESC, l_linenumber, l_partkey, l_suppkey
+              LIMIT 100""")),
+
     // #35 pushdown path: numeric predicates reach the .col scan, surviving
     // row groups only; values still row-exact vs the parquet oracle.
     Q("cole_pushdown", (s, d) => {

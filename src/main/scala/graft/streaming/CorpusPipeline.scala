@@ -20,6 +20,29 @@ import graft.functions.Text
   */
 object CorpusPipeline {
 
+  /** Word k-grams of the normalized text, exploded one row per gram —
+    * the shared shape of batch (#89 corpus_decontaminate) and streaming
+    * contamination checks.
+    */
+  def grams(docs: DataFrame, k: Int = 3): DataFrame =
+    docs.select(col("doc_id"), split(Text.normalize(col("text")), " ").as("t"))
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("t")) - (k - 1)),
+        i => concat_ws(" ", slice(col("t"), i, lit(k))))).as("gram"))
+
+  /** Streaming contamination flagging: arriving documents sharing any
+    * word k-gram with a STATIC eval gram set are emitted (once, stateful
+    * dedup on doc_id) to a quarantine sink. Stream-static LEFT SEMI is
+    * the supported join shape here — the static side broadcasts per
+    * micro-batch; the stream never buffers it as state.
+    */
+  def flagContaminated(docs: DataFrame, evalGrams: DataFrame, k: Int = 3): DataFrame =
+    grams(docs, k)
+      .join(evalGrams.select(col("gram")), Seq("gram"), "left_semi")
+      .select("doc_id")
+      .dropDuplicates("doc_id")
+
   /** Quality gate ∘ exact dedup ∘ token count; identical semantics batch
     * and streaming (batch = "replay everything in one micro-batch").
     * `n_chars` is taken from the input when present (the documents table

@@ -141,6 +141,12 @@ class PlanAuditSpec extends AnyFunSuite {
       s"pushed aggregate list incomplete:\n$p")
   }
 
+  test("cole_topn pushes the sort threshold into the source (PushedTopN)") {
+    val p = plan("cole_topn")
+    assert(p.contains("PushedTopN"),
+      s"ORDER BY + LIMIT over .col must prune row groups by stats:\n$p")
+  }
+
   test("subquery_in executes as a semi join, not a product") {
     val p = plan("subquery_in")
     assert(p.contains("SemiJoin") || p.contains("LeftSemi"), s"IN-subquery not a semi join:\n$p")

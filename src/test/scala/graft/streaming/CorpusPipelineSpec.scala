@@ -63,4 +63,33 @@ class CorpusPipelineSpec extends AnyFunSuite {
       "a late-arriving duplicate was admitted past stateful dedup")
     assert(streamed.length === streamed.map(_._2).distinct.length)
   }
+
+  test("stream-static contamination flagging == batch gram overlap") {
+    val s = spark
+    import s.implicits._
+    val all = docs()
+    // static eval gram set: the held-out doc_id % 97 == 0 slice
+    val evalDocs = all.filter(_.doc_id % 97 == 0)
+    val evalGrams = CorpusPipeline.grams(evalDocs.toDF()).select("gram").distinct()
+    val train = all.filter(_.doc_id % 97 != 0)
+
+    val source = MemoryStream[Doc](spark)
+    val q = CorpusPipeline.flagContaminated(source.toDF(), evalGrams)
+      .writeStream.format("memory").queryName("tainted_stream")
+      .outputMode(OutputMode.Append).start()
+    train.grouped(train.size / 3 + 1).foreach { batch =>
+      source.addData(batch)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("tainted_stream")
+      .collect().map(_.getLong(0)).toSet
+
+    val batchTainted = CorpusPipeline.grams(train.toDF())
+      .join(evalGrams, "gram").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+
+    assert(streamed === batchTainted)
+    assert(streamed.nonEmpty, "expected some contaminated docs at this SF")
+  }
 }
