@@ -75,6 +75,25 @@ class ColeAggFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("grouped pushdown past the 64k-group flush boundary stays exact") {
+    val s = spark
+    import s.implicits._
+    // 150k distinct keys in one partition: the grouped reader must flush
+    // its hash mid-stream (>65536 groups) and Spark must merge the
+    // multiple partial rows per key correctly
+    val n = 150000
+    val df = (0 until n).map(i => (i.toLong % 100000L, i.toLong)).toDF("k", "v")
+    val dir = Files.createTempDirectory("cole_flush").toString
+    df.coalesce(1).write.format("cole").mode("overwrite")
+      .option("rowGroupSize", "32768").save(dir)
+    val got = spark.read.format("cole").load(dir)
+      .groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val want = (0 until n).map(i => (i.toLong % 100000L, i.toLong))
+      .groupBy(_._1).map { case (k, vs) => k -> ((vs.map(_._2).sum, vs.size.toLong)) }
+    assert(got === want)
+  }
+
   test("pushed TopN == full sort-take across seeded datasets and shapes") {
     val s = spark
     import s.implicits._
