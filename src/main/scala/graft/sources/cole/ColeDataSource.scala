@@ -3,6 +3,7 @@ package graft.sources.cole
 import java.util
 import scala.jdk.CollectionConverters._
 
+import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
@@ -34,11 +35,9 @@ class ColeDataSource extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val files = ColeUtil.listFiles(ColeUtil.path(options))
-    require(files.nonEmpty, s"No .col files at ${ColeUtil.path(options)}")
-    val reader = new ColeFileReader(files.head)
-    try ColeUtil.toSparkSchema(reader.meta.columns)
-    finally reader.close()
+    val infos = ColeMetaCache.infos(ColeUtil.path(options), ColeIO.driverConf())
+    require(infos.nonEmpty, s"No .col files at ${ColeUtil.path(options)}")
+    ColeUtil.toSparkSchema(infos.head.meta.columns)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -50,20 +49,14 @@ private[cole] object ColeUtil {
   def path(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
     require(p != null, "COLE source requires a path")
-    stripScheme(p)
+    p // schemes (file://, hdfs://, s3a://) resolve through the Hadoop conf
   }
-
-  def stripScheme(p: String): String =
-    if (p.startsWith("file:")) p.stripPrefix("file:") else p
 
   /** A table is a single .col file or a directory of them (part files). */
-  def listFiles(path: String): Seq[String] = {
-    val f = new java.io.File(path)
-    if (f.isDirectory)
-      f.listFiles().filter(_.getName.endsWith(".col")).map(_.getPath).sorted.toSeq
-    else if (f.exists()) Seq(f.getPath)
-    else Seq.empty
-  }
+  def listFiles(path: String, conf: Configuration): Seq[String] =
+    ColeIO.listStatus(path, conf).map(_.getPath.toString)
+
+  def listFiles(path: String): Seq[String] = listFiles(path, ColeIO.driverConf())
 
   def toSparkSchema(cols: Seq[ColeColumn]): StructType =
     StructType(cols.map { c =>
@@ -99,18 +92,18 @@ class ColeTable(schema: StructType, properties: Map[String, String])
       TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ColeScanBuilder(schema, ColeUtil.path(options))
+    new ColeScanBuilder(schema, ColeUtil.path(options), ColeIO.driverConf())
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ColeWriteBuilder(info.schema(),
-      ColeUtil.stripScheme(properties.getOrElse("path",
-        info.options().get("path"))),
-      info.options().getInt("rowGroupSize", 65536))
+      properties.getOrElse("path", info.options().get("path")),
+      info.options().getInt("rowGroupSize", 65536),
+      ColeIO.driverConf())
 }
 
 // ------------------------------------------------------------------ read
 
-class ColeScanBuilder(fullSchema: StructType, path: String)
+class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownLimit with SupportsPushDownTopN {
@@ -260,9 +253,9 @@ class ColeScanBuilder(fullSchema: StructType, path: String)
 
   override def build(): Scan =
     if (pushedAggs.nonEmpty)
-      new ColeAggScan(path, pushedGroupCols, pushedAggs, aggSchema,
+      new ColeAggScan(path, conf, pushedGroupCols, pushedAggs, aggSchema,
         pushed.flatMap(ColePredicate.fromFilter))
-    else new ColeScan(fullSchema, required, path, pushed, limit, topN)
+    else new ColeScan(fullSchema, required, path, conf, pushed, limit, topN)
 }
 
 /** One pushed aggregate: kind ∈ {count_star, count, min, max, sum};

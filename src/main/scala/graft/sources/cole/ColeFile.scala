@@ -1,6 +1,9 @@
 package graft.sources.cole
 
-import java.io.{BufferedOutputStream, FileOutputStream, RandomAccessFile}
+import java.io.BufferedOutputStream
+
+import org.apache.hadoop.conf.Configuration
+
 import graft.sources.cole.ColeCodec._
 import graft.sources.cole.ColeFormat._
 
@@ -9,12 +12,20 @@ final case class ColumnData(ints: Array[Int], longs: Array[Long], strings: Array
 
 /** Single-file reader: footer → metadata → per-chunk decode.
   * (Reading algorithm per reference docs/FORMAT.md "Reading Algorithm".)
+  *
+  * All access goes through the Hadoop FileSystem API (positioned
+  * `readFully`, never seek state), so the same reader serves local files,
+  * `file://` URIs, and distributed stores resolved from the Hadoop conf.
   */
-final class ColeFileReader(path: String) extends AutoCloseable {
-  private val raf = new RandomAccessFile(path, "r")
+final class ColeFileReader(path: String, conf: Configuration) extends AutoCloseable {
+  /** Driver/CLI convenience: resolve through the active session's conf. */
+  def this(path: String) = this(path, ColeIO.driverConf())
+
+  private val (fs, hPath) = ColeIO.resolve(path, conf)
+  private val fileLen = fs.getFileStatus(hPath).getLen
+  private val in = { ColeIO.opens.incrementAndGet(); fs.open(hPath) }
 
   val meta: FileMeta = {
-    val fileLen = raf.length()
     if (fileLen < 20) throw new ColeFormatException(s"$path: too small to be a COLE file")
     // header check
     val header = readAt(0, 8)
@@ -34,8 +45,7 @@ final class ColeFileReader(path: String) extends AutoCloseable {
 
   private def readAt(offset: Long, len: Int): Array[Byte] = {
     val buf = new Array[Byte](len)
-    raf.seek(offset)
-    raf.readFully(buf)
+    in.readFully(offset, buf, 0, len)
     buf
   }
 
@@ -121,12 +131,8 @@ final class ColeFileReader(path: String) extends AutoCloseable {
   /** Min/max for a chunk from page stats alone (no page read); None when
     * any page lacks stats.
     */
-  def statsMinMax(rgIdx: Int, colIdx: Int): Option[(Long, Long)] = {
-    val pages = meta.rowGroups(rgIdx).chunks(colIdx).pages
-    val perPage = pages.map(ph => ph.stats.minInt.zip(ph.stats.maxInt))
-    if (pages.isEmpty || perPage.exists(_.isEmpty)) None
-    else Some((perPage.flatten.map(_._1).min, perPage.flatten.map(_._2).max))
-  }
+  def statsMinMax(rgIdx: Int, colIdx: Int): Option[(Long, Long)] =
+    meta.statsMinMax(rgIdx, colIdx)
 
   /** Dictionary view of an all-DICTIONARY string chunk: (entries, per-row
     * ids), with multi-page chunks merged by offsetting ids into one
@@ -153,15 +159,24 @@ final class ColeFileReader(path: String) extends AutoCloseable {
     (entries.toArray, idParts.flatten.toArray)
   }
 
-  override def close(): Unit = raf.close()
+  override def close(): Unit = in.close()
 }
 
 /** Single-file writer: buffers one row group of columns, flushes pages +
   * accumulates metadata, writes footer on close.
   */
-final class ColeFileWriter(path: String, columns: Seq[ColeColumn]) extends AutoCloseable {
-  private val fos = new FileOutputStream(path)
-  private val out = new BufferedOutputStream(fos, 1 << 16)
+final class ColeFileWriter(path: String, columns: Seq[ColeColumn],
+    conf: Configuration) extends AutoCloseable {
+  /** Driver/CLI convenience: resolve through the active session's conf. */
+  def this(path: String, columns: Seq[ColeColumn]) =
+    this(path, columns, ColeIO.driverConf())
+
+  private val stream = {
+    val (fs, hPath) = ColeIO.resolve(path, conf)
+    ColeIO.opens.incrementAndGet()
+    fs.create(hPath, true)
+  }
+  private val out = new BufferedOutputStream(stream, 1 << 16)
   private var position = 0L
   private val rowGroups = scala.collection.mutable.ArrayBuffer[RowGroupMeta]()
   private var totalRows = 0L
@@ -242,6 +257,6 @@ final class ColeFileWriter(path: String, columns: Seq[ColeColumn]) extends AutoC
     o.i64(metaOffset)
     emit(o.toBytes)
     out.flush()
-    fos.close()
+    stream.close()
   }
 }

@@ -47,7 +47,18 @@ object ColeFormat {
   final case class RowGroupMeta(numRows: Int, chunks: Seq[ColumnChunkMeta])
   final case class ColeColumn(name: String, colType: ColeType, encoding: Enc)
   final case class FileMeta(columns: Seq[ColeColumn], rowGroups: Seq[RowGroupMeta],
-      totalRows: Long)
+      totalRows: Long) {
+    /** Min/max for one chunk from page stats alone; None when any page
+      * lacks stats. Metadata-only, so planning can stat-prune straight
+      * from the footer cache without opening the file.
+      */
+    def statsMinMax(rgIdx: Int, colIdx: Int): Option[(Long, Long)] = {
+      val pages = rowGroups(rgIdx).chunks(colIdx).pages
+      val perPage = pages.map(ph => ph.stats.minInt.zip(ph.stats.maxInt))
+      if (pages.isEmpty || perPage.exists(_.isEmpty)) None
+      else Some((perPage.flatten.map(_._1).min, perPage.flatten.map(_._2).max))
+    }
+  }
 
   final class ColeFormatException(msg: String) extends RuntimeException(msg)
 
