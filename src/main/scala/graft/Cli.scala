@@ -61,8 +61,9 @@ object Cli {
     * cannot be generated in parallel, which is what a 100 TB write needs.
     */
   def write(spark: SparkSession, path: String, numRows: Long, seed: Long): Unit = {
-    val f = new java.io.File(path)
-    if (path.endsWith(".col") && !f.isDirectory) {
+    val (cfs, cp) = graft.sources.cole.ColeIO.resolve(path,
+      graft.sources.cole.ColeIO.driverConf())
+    if (path.endsWith(".col") && !(cfs.exists(cp) && cfs.getFileStatus(cp).isDirectory)) {
       writeRefStream(path, numRows, seed)
       return
     }

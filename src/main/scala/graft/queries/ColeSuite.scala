@@ -12,8 +12,25 @@ import org.apache.spark.sql.functions._
   */
 object ColeSuite {
 
+  /** Fingerprint of the write path's compiled classes: any writer, codec
+    * or format change yields a new fixture directory, so cached .col
+    * fixtures can never mask a write-path regression.
+    */
+  private lazy val writerFingerprint: String = {
+    val crc = new java.util.zip.CRC32()
+    Seq("graft/sources/cole/ColeDataWriter.class",
+        "graft/sources/cole/ColeFileWriter.class",
+        "graft/sources/cole/ColeCodec$.class",
+        "graft/sources/cole/ColeFormat$.class").foreach { res =>
+      val in = getClass.getClassLoader.getResourceAsStream(res)
+      if (in != null) try crc.update(in.readAllBytes()) finally in.close()
+    }
+    java.lang.Long.toHexString(crc.getValue)
+  }
+
   private def dirFor(sfDir: String, tag: String): String =
-    s"/tmp/graft_cole/${tag}_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    s"/tmp/graft_cole/v${writerFingerprint}_${tag}_" +
+      sfDir.replaceAll("[^a-zA-Z0-9]", "_")
 
   /** The .col layout is deterministic for a given sfDir — write once, so
     * the measured query is a READ (re-materializing storage inside every

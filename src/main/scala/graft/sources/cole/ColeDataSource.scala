@@ -273,9 +273,12 @@ final case class ColeAggSpec(kind: String, column: String)
   * rows into a hash aggregate and shuffling one row per group per
   * ~128 MB slice.
   */
-class ColeAggScan(path: String, groupCols: Seq[String], aggs: Seq[ColeAggSpec],
-    schema: StructType, preds: Array[ColePredicate] = Array.empty)
+class ColeAggScan(path: String, conf: Configuration, groupCols: Seq[String],
+    aggs: Seq[ColeAggSpec], schema: StructType,
+    preds: Array[ColePredicate] = Array.empty)
     extends Scan with Batch {
+
+  private val hconf = new ColeHadoopConf(conf)
 
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
@@ -290,20 +293,20 @@ class ColeAggScan(path: String, groupCols: Seq[String], aggs: Seq[ColeAggSpec],
 
   override def planInputPartitions(): Array[InputPartition] = {
     val target = ColePack.targetBytes
-    ColeUtil.listFiles(path).flatMap { file =>
-      val reader = new ColeFileReader(file)
-      try {
-        val meta = reader.meta
-        val nameToIdx = meta.columns.map(_.name).zipWithIndex.toMap
-        val colIndices = (groupCols ++ aggs.flatMap(a => Option(a.column))).distinct
-          .map(nameToIdx(_)).toArray
-        val rgs = meta.rowGroups.zipWithIndex.collect {
-          case (rg, rgIdx) if rg.numRows > 0 &&
-              !ColePredicate.skipRowGroup(rg, nameToIdx, preds) =>
-            (rgIdx, rg.numRows, colIndices.map(ci => rg.chunks(ci).totalSize).sum)
-        }
-        ColePack.pack(file, colIndices, rgs, target, preds)
-      } finally reader.close()
+    // planning is metadata-only: footers come from the driver cache, no
+    // data file is opened here
+    val infos = ColeMetaCache.infos(path, conf)
+    infos.flatMap { info =>
+      val meta = info.meta
+      val nameToIdx = meta.columns.map(_.name).zipWithIndex.toMap
+      val colIndices = (groupCols ++ aggs.flatMap(a => Option(a.column))).distinct
+        .map(nameToIdx(_)).toArray
+      val rgs = meta.rowGroups.zipWithIndex.collect {
+        case (rg, rgIdx) if rg.numRows > 0 &&
+            !ColePredicate.skipRowGroup(rg, nameToIdx, preds) =>
+          (rgIdx, rg.numRows, colIndices.map(ci => rg.chunks(ci).totalSize).sum)
+      }
+      ColePack.pack(info.path, colIndices, rgs, target, preds)
     }.toArray match {
       // a fully-pruned (or empty) table still needs ONE partial row for a
       // GLOBAL aggregate: Spark's rewritten final agg over zero partial
@@ -313,23 +316,24 @@ class ColeAggScan(path: String, groupCols: Seq[String], aggs: Seq[ColeAggSpec],
         // file path is never opened for an empty partition, so a table
         // directory with ZERO .col files (external schema) is covered too
         Array[InputPartition](ColeInputPartition(
-          ColeUtil.listFiles(path).headOption.getOrElse(path),
+          infos.headOption.map(_.path).getOrElse(path),
           Array.empty, Array.empty, Array.empty, preds))
       case parts => parts.map(p => p: InputPartition)
     }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ColeAggReaderFactory(groupCols, aggs)
+    new ColeAggReaderFactory(groupCols, aggs, hconf)
 }
 
-class ColeAggReaderFactory(groupCols: Seq[String], aggs: Seq[ColeAggSpec])
-    extends PartitionReaderFactory {
+class ColeAggReaderFactory(groupCols: Seq[String], aggs: Seq[ColeAggSpec],
+    hconf: ColeHadoopConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     if (groupCols.isEmpty)
-      new ColeAggReader(partition.asInstanceOf[ColeInputPartition], aggs)
+      new ColeAggReader(partition.asInstanceOf[ColeInputPartition], aggs, hconf.value)
     else
-      new ColeGroupAggReader(partition.asInstanceOf[ColeInputPartition], groupCols, aggs)
+      new ColeGroupAggReader(partition.asInstanceOf[ColeInputPartition], groupCols,
+        aggs, hconf.value)
 }
 
 /** Grouped partial aggregation inside the source: per row group, decode
@@ -341,11 +345,12 @@ class ColeAggReaderFactory(groupCols: Seq[String], aggs: Seq[ColeAggSpec])
   * final aggregate to merge.
   */
 class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
-    aggs: Seq[ColeAggSpec]) extends PartitionReader[InternalRow] {
+    aggs: Seq[ColeAggSpec], conf: Configuration)
+    extends PartitionReader[InternalRow] {
 
   private val FlushGroups = 1 << 16
 
-  private val reader = new ColeFileReader(part.file)
+  private val reader = new ColeFileReader(part.file, conf)
   private val meta = reader.meta
   private val nameToIdx = meta.columns.map(_.name).zipWithIndex.toMap
   private val groupIdx: Array[Int] = groupCols.map(nameToIdx(_)).toArray
@@ -495,8 +500,8 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
   override def close(): Unit = reader.close()
 }
 
-class ColeAggReader(part: ColeInputPartition, aggs: Seq[ColeAggSpec])
-    extends PartitionReader[InternalRow] {
+class ColeAggReader(part: ColeInputPartition, aggs: Seq[ColeAggSpec],
+    conf: Configuration) extends PartitionReader[InternalRow] {
 
   private var emitted = false
 
@@ -511,7 +516,7 @@ class ColeAggReader(part: ColeInputPartition, aggs: Seq[ColeAggSpec])
         case ColeAggSpec("count_star" | "count", _) => 0L
         case _ => null
       })
-    val reader = new ColeFileReader(part.file)
+    val reader = new ColeFileReader(part.file, conf)
     try {
       val meta = reader.meta
       val nameToIdx = meta.columns.map(_.name).zipWithIndex.toMap
@@ -747,9 +752,11 @@ private[cole] object ColePack {
 }
 
 class ColeScan(fullSchema: StructType, required: StructType, path: String,
-    filters: Array[Filter], limit: Int = -1,
+    conf: Configuration, filters: Array[Filter], limit: Int = -1,
     topN: Option[(String, Boolean, Int)] = None) extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering {
+
+  private val hconf = new ColeHadoopConf(conf)
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -790,22 +797,22 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
     }
     val preds = filters.flatMap(ColePredicate.fromFilter)
     val target = ColePack.targetBytes
+    // metadata-only planning: footers come from the driver cache (one read
+    // per file across the whole query, even when runtime filters trigger a
+    // second planning pass), stats prune without opening any data file
     // (file, colIndices, rgIdx, rows, bytes, topN column min/max)
-    val survivors = ColeUtil.listFiles(path).flatMap { file =>
-      val reader = new ColeFileReader(file)
-      try {
-        val meta = reader.meta
-        val nameToIdx = meta.columns.map(_.name).zipWithIndex.toMap
-        val colIndices = required.fieldNames.map(nameToIdx(_))
-        meta.rowGroups.zipWithIndex.collect {
-          case (rg, rgIdx) if !skipRowGroup(rg, nameToIdx, preds) &&
-              !skipRowGroupIn(rg, nameToIdx, runtimeIn) =>
-            val mm = topN.flatMap { case (c, _, _) =>
-              nameToIdx.get(c).flatMap(reader.statsMinMax(rgIdx, _)) }
-            (file, colIndices, rgIdx, rg.numRows,
-              colIndices.map(ci => rg.chunks(ci).totalSize).sum, mm)
-        }
-      } finally reader.close()
+    val survivors = ColeMetaCache.infos(path, conf).flatMap { info =>
+      val meta = info.meta
+      val nameToIdx = meta.columns.map(_.name).zipWithIndex.toMap
+      val colIndices = required.fieldNames.map(nameToIdx(_))
+      meta.rowGroups.zipWithIndex.collect {
+        case (rg, rgIdx) if !skipRowGroup(rg, nameToIdx, preds) &&
+            !skipRowGroupIn(rg, nameToIdx, runtimeIn) =>
+          val mm = topN.flatMap { case (c, _, _) =>
+            nameToIdx.get(c).flatMap(meta.statsMinMax(rgIdx, _)) }
+          (info.path, colIndices, rgIdx, rg.numRows,
+            colIndices.map(ci => rg.chunks(ci).totalSize).sum, mm)
+      }
     }
     // ORDER BY col LIMIT n data skipping: at least n rows provably sit at
     // or past a stat threshold — any row group whose whole range falls on
@@ -880,26 +887,26 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
     ColePredicate.skipRowGroup(rg, nameToIdx, preds)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ColeReaderFactory(required)
+    new ColeReaderFactory(required, hconf)
+
+  /** CBO/AQE may ask repeatedly; totals are computed once per scan from
+    * the footer cache (listing only, no footer re-reads on hits).
+    */
+  private lazy val tableTotals: (Long, Long) = {
+    val infos = ColeMetaCache.infos(path, conf)
+    (infos.map(_.len).sum, infos.map(_.meta.totalRows).sum)
+  }
 
   override def estimateStatistics(): Statistics = new Statistics {
-    private val (bytes, rows) = {
-      val files = ColeUtil.listFiles(path)
-      val sizes = files.map(f => new java.io.File(f).length()).sum
-      val nRows = files.map { f =>
-        val r = new ColeFileReader(f)
-        try r.meta.totalRows finally r.close()
-      }.sum
-      (sizes, nRows)
-    }
-    override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
-    override def numRows(): util.OptionalLong = util.OptionalLong.of(rows)
+    override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(tableTotals._1)
+    override def numRows(): util.OptionalLong = util.OptionalLong.of(tableTotals._2)
   }
 }
 
-class ColeReaderFactory(required: StructType) extends PartitionReaderFactory {
+class ColeReaderFactory(required: StructType, hconf: ColeHadoopConf)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new ColeRowReader(partition.asInstanceOf[ColeInputPartition], required)
+    new ColeRowReader(partition.asInstanceOf[ColeInputPartition], required, hconf.value)
 
   /** Vectorized path: decode once per chunk, emit 4096-row ColumnarBatches
     * (the reference engine's batch size, include/execution.h) that
@@ -909,10 +916,12 @@ class ColeReaderFactory(required: StructType) extends PartitionReaderFactory {
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    new ColeColumnarReader(partition.asInstanceOf[ColeInputPartition], required)
+    new ColeColumnarReader(partition.asInstanceOf[ColeInputPartition], required,
+      hconf.value)
 }
 
-class ColeColumnarReader(part: ColeInputPartition, required: StructType)
+class ColeColumnarReader(part: ColeInputPartition, required: StructType,
+    conf: Configuration)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
 
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
@@ -921,7 +930,7 @@ class ColeColumnarReader(part: ColeInputPartition, required: StructType)
   /** Reference vectorized batch size (include/execution.h: kBatchSize). */
   private val BatchSize = 4096
 
-  private val reader = new ColeFileReader(part.file)
+  private val reader = new ColeFileReader(part.file, conf)
   private lazy val nameToIdx = reader.meta.columns.map(_.name).zipWithIndex.toMap
   // row groups decode lazily, one at a time — a packed partition never
   // holds more than one row group's chunks in memory
@@ -1035,10 +1044,10 @@ final class ColeVectorDictionary(entries: Array[Array[Byte]])
     throw new UnsupportedOperationException("COLE dictionaries are string-typed")
 }
 
-class ColeRowReader(part: ColeInputPartition, required: StructType)
-    extends PartitionReader[InternalRow] {
+class ColeRowReader(part: ColeInputPartition, required: StructType,
+    conf: Configuration) extends PartitionReader[InternalRow] {
 
-  private val reader = new ColeFileReader(part.file)
+  private val reader = new ColeFileReader(part.file, conf)
   private lazy val nameToIdx = reader.meta.columns.map(_.name).zipWithIndex.toMap
   private var rgPos = -1
   private var columns: Array[ColumnData] = _
@@ -1082,53 +1091,58 @@ class ColeRowReader(part: ColeInputPartition, required: StructType)
 
 // ------------------------------------------------------------------ write
 
-class ColeWriteBuilder(schema: StructType, path: String, rowGroupSize: Int)
-    extends WriteBuilder with SupportsTruncate {
+class ColeWriteBuilder(schema: StructType, path: String, rowGroupSize: Int,
+    conf: Configuration) extends WriteBuilder with SupportsTruncate {
 
   private var doTruncate = false
 
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new ColeBatchWrite(schema, path, rowGroupSize, doTruncate)
+    override def toBatch: BatchWrite =
+      new ColeBatchWrite(schema, path, rowGroupSize, doTruncate, conf)
   }
 }
 
 final case class ColeCommitMessage(file: String) extends WriterCommitMessage
 
 class ColeBatchWrite(schema: StructType, path: String, rowGroupSize: Int,
-    truncate: Boolean) extends BatchWrite {
+    truncate: Boolean, conf: Configuration) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     // validate the schema eagerly on the driver
     ColeUtil.toColeColumns(schema)
-    val dir = new java.io.File(path)
-    if (!dir.exists()) dir.mkdirs()
+    val (fs, dir) = ColeIO.resolve(path, conf)
+    if (!fs.exists(dir)) fs.mkdirs(dir)
     if (truncate)
-      ColeUtil.listFiles(path).foreach(f => new java.io.File(f).delete())
-    new ColeWriterFactory(schema, path, rowGroupSize)
+      ColeIO.listStatus(path, conf).foreach(s => fs.delete(s.getPath, false))
+    new ColeWriterFactory(schema, path, rowGroupSize, new ColeHadoopConf(conf))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case ColeCommitMessage(f) => new java.io.File(f).delete() }
+    messages.collect { case ColeCommitMessage(f) =>
+      val (fs, p) = ColeIO.resolve(f, conf)
+      fs.delete(p, false)
+    }
 }
 
-class ColeWriterFactory(schema: StructType, path: String, rowGroupSize: Int)
-    extends DataWriterFactory {
+class ColeWriterFactory(schema: StructType, path: String, rowGroupSize: Int,
+    hconf: ColeHadoopConf) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ColeDataWriter(schema, f"$path/part-$partitionId%05d-$taskId.col", rowGroupSize)
+    new ColeDataWriter(schema, f"$path/part-$partitionId%05d-$taskId.col",
+      rowGroupSize, hconf.value)
 }
 
 /** Per-task writer: buffers a row group of columns, picks an encoding per
   * chunk from the data (sorted → DELTA, runny → RLE, low-cardinality
   * strings → DICTIONARY), flushes, repeats.
   */
-class ColeDataWriter(schema: StructType, file: String, rowGroupSize: Int)
-    extends DataWriter[InternalRow] {
+class ColeDataWriter(schema: StructType, file: String, rowGroupSize: Int,
+    conf: Configuration) extends DataWriter[InternalRow] {
 
   private val coleCols = ColeUtil.toColeColumns(schema)
-  private val writer = new ColeFileWriter(file, coleCols)
+  private val writer = new ColeFileWriter(file, coleCols, conf)
   // primitive row-group buffers: a boxing ArrayBuffer[Int/Long] would box
   // every cell of every numeric column on the write path
   private val intBufs = Array.fill(schema.length)(new Array[Int](rowGroupSize))
@@ -1208,7 +1222,8 @@ class ColeDataWriter(schema: StructType, file: String, rowGroupSize: Int)
 
   override def abort(): Unit = {
     writer.close()
-    new java.io.File(file).delete()
+    val (fs, p) = ColeIO.resolve(file, conf)
+    fs.delete(p, false)
   }
 
   override def close(): Unit = ()

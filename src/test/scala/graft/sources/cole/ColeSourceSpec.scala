@@ -160,7 +160,7 @@ class ColeSourceSpec extends AnyFunSuite {
       .write.format("cole").mode("overwrite")
       .option("rowGroupSize", "1000").save(dir)
     val scan = new ColeScanBuilder(
-      spark.read.format("cole").load(dir).schema, dir).build()
+      spark.read.format("cole").load(dir).schema, dir, ColeIO.driverConf()).build()
       .asInstanceOf[ColeScan]
     def rowGroupsPlanned(ps: Array[org.apache.spark.sql.connector.read.InputPartition]): Int =
       ps.map(_.asInstanceOf[ColeInputPartition].rowGroups.length).sum
@@ -241,5 +241,44 @@ class ColeSourceSpec extends AnyFunSuite {
     val o = new Out(); o.uvarint(300L)
     val truncated = o.toBytes.take(1) // continuation bit set, no next byte
     intercept[Exception](new Cursor(truncated, 0).uvarint())
+  }
+
+  test("explicit file:// Hadoop path works end-to-end (no raw-java.io assumptions)") {
+    import spark.implicits._
+    // A file:// URI resolves to Hadoop's checksummed LocalFileSystem — if any
+    // read or write bypassed the FileSystem API, the .crc sidecars would be
+    // missing or the checksum verification would fail on read.
+    val dir = "file://" + Files.createTempDirectory("cole_hadoop").toString
+    val df = (0 until 5000).map(i => (i.toLong, i % 7, s"k-${i % 3}")).toDF("id", "m", "k")
+    df.write.format("cole").mode("overwrite").option("rowGroupSize", "1000").save(dir)
+    val (fs, p) = ColeIO.resolve(dir, ColeIO.driverConf())
+    val parts = fs.listStatus(p).filter(_.getPath.getName.endsWith(".col"))
+    assert(parts.nonEmpty)
+    // checksummed FS wrote a .crc sidecar per part file → writes went through fs.create
+    val crcs = new java.io.File(p.toUri.getPath).listFiles()
+      .count(_.getName.endsWith(".col.crc"))
+    assert(crcs === parts.length, s"expected $crcs==${parts.length} .crc sidecars")
+    val back = spark.read.format("cole").load(dir)
+    assert(back.count() === 5000)
+    assert(back.agg(sum("id")).head().getLong(0) === (0L until 5000L).sum)
+    assert(back.filter(col("m") === 3).count() === df.filter($"m" === 3).count())
+  }
+
+  test("footer metadata is read once per file and cached across plannings") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cole_cache").toString
+    (0L until 8000L).toDF("id").repartition(4)
+      .write.format("cole").mode("overwrite").option("rowGroupSize", "1000").save(dir)
+    val nFiles = new java.io.File(dir).listFiles().count(_.getName.endsWith(".col"))
+    val q = spark.read.format("cole").load(dir).filter(col("id") < 100)
+    val before = ColeMetaCache.footerReads.get()
+    q.count() // schema inference + planInputPartitions + estimateStatistics
+    val afterFirst = ColeMetaCache.footerReads.get()
+    assert(afterFirst - before <= nFiles,
+      s"first query read ${afterFirst - before} footers for $nFiles files")
+    spark.read.format("cole").load(dir).filter(col("id") >= 4000).count()
+    val afterSecond = ColeMetaCache.footerReads.get()
+    assert(afterSecond === afterFirst,
+      s"repeated planning re-read ${afterSecond - afterFirst} footers (want 0)")
   }
 }
