@@ -13,12 +13,37 @@ import graft.functions.sketches._
   * block keys (LSH bands / hash bands / sketch bands), never from a cross
   * product, so the plans scale to 100 TB corpora. Hot blocks (e.g. boiler-
   * plate duplicated millions of times) are capped at [[maxBucket]] docs —
-  * the standard skew guard for LSH joins; at production scale the capped
-  * buckets would be routed to a dedicated all-identical path.
+  * the standard skew guard for LSH joins — but NOT dropped: every member
+  * of a capped bucket is star-paired to the bucket's min id (linear in
+  * bucket size instead of n²), and those candidates still pass the exact
+  * verification stage (signature agreement / hamming / cosine). A
+  * duplicate family bigger than the cap therefore stays one connected
+  * component in [[clusters]]; only the redundant intra-family pair
+  * enumeration is elided. [[cappedMinhashBuckets]]'s side output makes
+  * the rerouting observable at scale.
   */
 object Dedup {
 
   val maxBucket = 64
+
+  /** Shared skew-guard: annotate banded block keys with their bucket size,
+    * keep small buckets for the n² self-join, and star-route capped ones
+    * (anchor = bucket min id → every other member). One window exchange
+    * computes both the count and the anchor.
+    */
+  private def splitByBucket(banded: DataFrame, keyCols: Seq[String], cap: Int)
+      : (DataFrame, DataFrame) = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+    val withN = banded
+      .withColumn("bucket_n", count(lit(1)).over(w))
+      .withColumn("anchor", min(col("id")).over(w))
+    val small = withN.filter(col("bucket_n") <= cap)
+      .drop("bucket_n", "anchor")
+    val starred = withN.filter(col("bucket_n") > cap)
+      .filter(col("id") =!= col("anchor"))
+      .select(col("anchor").as("id_a"), col("id").as("id_b"))
+    (small, starred)
+  }
 
   /** Exact dedup: md5-of-normalized-text identity; keeper = min doc id.
     * One shuffle (window by fingerprint).
@@ -58,14 +83,12 @@ object Dedup {
     // self-join move only (id, band, bh) — signatures rejoin per candidate
     // pair afterwards. Carrying sig through the banding shuffle multiplies
     // shuffle volume by bands × sigBytes (~32 KB/doc).
-    val banded = bandize(sigs).select("id", "band", "bh")
-      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "bh")))
-      .filter(col("bucket_n") <= maxBucket)
-      .select("id", "band", "bh")
+    val (banded, starred) = splitByBucket(
+      bandize(sigs).select("id", "band", "bh"), Seq("band", "bh"), maxBucket)
     val a = banded.select(col("id").as("id_a"), col("band"), col("bh"))
     val b = banded.select(col("id").as("id_b"), col("band"), col("bh"))
     val pairs = a.join(b, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .select("id_a", "id_b").unionAll(starred).distinct()
     val sigA = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
     val sigB = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
     pairs.join(sigA, "id_a").join(sigB, "id_b")
@@ -75,6 +98,18 @@ object Dedup {
           lit(0), (acc, v) => acc + v).cast("double") / size(col("sig_a")))
       .select("id_a", "id_b", "est_jaccard")
   }
+
+  /** Side output: LSH block keys whose bucket exceeded the skew cap, with
+    * member counts. Run alongside a candidate query so a 100 TB job can
+    * see exactly which (band, bucket) keys were star-routed and how many
+    * members each had — the aggregate replaces pair-level accounting that
+    * the cap elides.
+    */
+  def cappedMinhashBuckets(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    bandize(minhashSignatures(docs, idCol, textCol)).select("id", "band", "bh")
+      .groupBy("band", "bh").agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
 
   /** Exact n-gram Jaccard, verified only on LSH candidates (never all
     * pairs): |A∩B| / |A∪B| over distinct shingle-hash sets.
@@ -100,15 +135,22 @@ object Dedup {
       textCol: String = "text", maxHamming: Int = 3): DataFrame = {
     val hashed = docs.select(col(idCol).as("id"),
       simhash64(Text.tokens(col(textCol))).as("sh"))
-    val banded = hashed.select(col("id"), col("sh"),
-        explode(array((0 until 4).map(b => struct(lit(b).as("band"),
-          shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xffffL)).as("bv"))): _*)).as("bk"))
-      .select(col("id"), col("sh"), col("bk.band").as("band"), col("bk.bv").as("bv"))
-      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "bv")))
-      .filter(col("bucket_n") <= maxBucket)
+    val (banded, starred) = splitByBucket(
+      hashed.select(col("id"), col("sh"),
+          explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+            shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xffffL)).as("bv"))): _*)).as("bk"))
+        .select(col("id"), col("sh"), col("bk.band").as("band"), col("bk.bv").as("bv")),
+      Seq("band", "bv"), maxBucket)
     val a = banded.select(col("id").as("id_a"), col("sh").as("sh_a"), col("band"), col("bv"))
     val b = banded.select(col("id").as("id_b"), col("sh").as("sh_b"), col("band"), col("bv"))
-    a.join(b, Seq("band", "bv")).filter(col("id_a") < col("id_b"))
+    val joined = a.join(b, Seq("band", "bv")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+    // star pairs rejoin the (small) fingerprint table for verification
+    val starPairs = starred
+      .join(hashed.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(hashed.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select("id_a", "id_b", "sh_a", "sh_b")
+    joined.unionAll(starPairs)
       .select(col("id_a"), col("id_b"),
         expr("bit_count(sh_a ^ sh_b)").as("hamming"))
       .distinct()
@@ -124,16 +166,16 @@ object Dedup {
       hyperplane_sketch(col(vecCol)).as("sk"))
     // Band shuffle carries only (id, band, bv); vectors rejoin per
     // candidate pair for the cosine check — not through the banding.
-    val banded = sk.select(col("id"),
-        explode(array((0 until 8).map(b => struct(lit(b).as("band"),
-          shiftrightunsigned(col("sk"), b * 8).bitwiseAND(lit(0xffL)).as("bv"))): _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
-      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "bv")))
-      .filter(col("bucket_n") <= maxBucket * 4)
+    val (banded, starred) = splitByBucket(
+      sk.select(col("id"),
+          explode(array((0 until 8).map(b => struct(lit(b).as("band"),
+            shiftrightunsigned(col("sk"), b * 8).bitwiseAND(lit(0xffL)).as("bv"))): _*)).as("bk"))
+        .select(col("id"), col("bk.band").as("band"), col("bk.bv").as("bv")),
+      Seq("band", "bv"), maxBucket * 4)
     val a = banded.select(col("id").as("id_a"), col("band"), col("bv"))
     val b = banded.select(col("id").as("id_b"), col("band"), col("bv"))
     val pairs = a.join(b, Seq("band", "bv")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .select("id_a", "id_b").unionAll(starred).distinct()
     val vA = embs.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
     val vB = embs.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
     pairs.join(vA, "id_a").join(vB, "id_b")

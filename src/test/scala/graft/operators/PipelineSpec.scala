@@ -145,6 +145,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.filter(col("cos") < 0.9).count() === 0)
   }
 
+  test("duplicate family larger than maxBucket survives the skew cap") {
+    import spark.implicits._
+    // 100 identical docs (one hot LSH bucket per band, 100 > maxBucket=64)
+    // plus unique filler. Pre-fix, the cap filter dropped the whole family;
+    // now the star path must keep it one connected component.
+    val family = (0 until 100).map(i => (i.toLong, "the same boilerplate text repeated verbatim"))
+    val filler = (100 until 140).map(i => (i.toLong, s"unique document number $i with its own words ${i * 37}"))
+    val df = (family ++ filler).toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidates(df)
+    val ids = pairs.select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct().as[Long].collect().toSet
+    assert((0L until 100L).forall(ids.contains),
+      s"family members missing from candidate pairs: ${(0L until 100L).filterNot(ids.contains)}")
+    // anchor pairs carry real scores: identical docs estimate jaccard 1.0
+    assert(pairs.filter(col("id_a") === 0L).agg(min("est_jaccard")).head().getDouble(0) === 1.0)
+    val clusters = Dedup.clusters(pairs.filter(col("est_jaccard") >= 0.8)
+      .select("id_a", "id_b"))
+    val familyClusters = clusters.filter(col("id") < 100)
+      .select("cluster_id").distinct().count()
+    assert(familyClusters === 1L, s"family split into $familyClusters clusters")
+    // observability: the hot buckets are visible in the side output
+    val capped = Dedup.cappedMinhashBuckets(df)
+    assert(capped.count() > 0)
+    assert(capped.agg(max("bucket_n")).head().getLong(0) === 100L)
+  }
+
+  test("simhash + embedding hot buckets also route through the star path") {
+    import spark.implicits._
+    val family = (0 until 80).map(i => (i.toLong, "identical boilerplate for simhash banding"))
+    val df = family.toDF("doc_id", "text")
+    val sp = Dedup.simhashPairs(df)
+    val spIds = sp.select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct().count()
+    assert(spIds === 80L, s"simhash star path covered $spIds/80 family members")
+    assert(sp.agg(max("hamming")).head().getInt(0) === 0)
+    // embedding cap is maxBucket*4: need >256 identical vectors
+    val vecs = (0 until 300).map(i => (i.toLong, Array.fill(16)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val ep = Dedup.embeddingPairs(vecs)
+    val epIds = ep.select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct().count()
+    assert(epIds === 300L, s"embedding star path covered $epIds/300 vectors")
+  }
+
   test("multimodal features: deterministic, byte-exact, entropy-bounded") {
     val media = Multimodal.withPayload(docs)
     val f1 = Multimodal.extractFeatures(media).toDF()
