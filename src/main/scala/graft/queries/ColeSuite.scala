@@ -136,6 +136,32 @@ object ColeSuite {
     },
       Some("""SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
               WHERE l_orderkey >= 500 AND l_orderkey <= 2500 AND l_linenumber < 4
-              ORDER BY l_orderkey, l_linenumber"""))
+              ORDER BY l_orderkey, l_linenumber""")),
+
+    // #92 string-equality pushdown: l_returnflag is low-cardinality, so
+    // the writer dictionary-encodes it and the claimed EqualTo resolves to
+    // one dictionary-id lookup per chunk (value-absent chunks skip whole
+    // row groups). Values still row-exact vs the parquet oracle; composes
+    // with a numeric range and a filtered aggregate.
+    Q("cole_strfilter", (s, d) => {
+      val dir = dirFor(d, "pushdown")
+      writeOnce(dir) {
+        Tables.lineitem(s, d).select(cols.map(col): _*)
+          .sortWithinPartitions("l_orderkey")
+          .write.format("cole").mode("overwrite")
+          .option("rowGroupSize", "8192").save(dir)
+      }
+      s.read.format("cole").load(dir)
+        .filter(col("l_returnflag") === "R" && col("l_linenumber") <= 3)
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("l_orderkey").as("sum_ok"))
+        .orderBy("l_linestatus")
+    },
+      Some("""SELECT l_linestatus, COUNT(*) AS n,
+                     CAST(SUM(l_orderkey) AS BIGINT) AS sum_ok
+              FROM lineitem
+              WHERE l_returnflag = 'R' AND l_linenumber <= 3
+              GROUP BY l_linestatus
+              ORDER BY l_linestatus"""))
   )
 }

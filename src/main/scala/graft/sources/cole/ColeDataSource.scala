@@ -130,7 +130,9 @@ class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration)
     * ties, and the threshold is retained inclusively, so pruning on the
     * leading key alone is sound. Partial pushdown — Spark re-sorts the
     * surviving superset exactly, so this is pure data skipping (the
-    * TakeOrdered twin of `Predicate::canSkipPage`).
+    * TakeOrdered twin of `Predicate::canSkipPage`). Composes with pushed
+    * filters: the threshold counts only rows of groups the stats prove
+    * fully survive every predicate, so filtered TopN still skips.
     */
   override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       l: Int): Boolean = {
@@ -159,23 +161,29 @@ class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** Simple numeric comparisons on numeric COLE columns are CLAIMED —
-    * the source applies them row-exactly (selection vectors over decoded
-    * chunks) on top of page-stat row-group skipping, and Spark plans no
-    * residual. `IsNotNull` is claimed trivially (COLE has no NULLs).
-    * Claiming completely is what makes filtered aggregates eligible for
-    * aggregate pushdown — Spark only pushes aggregation when no post-scan
-    * filter remains. Everything else stays residual.
+  /** Simple numeric comparisons on numeric COLE columns and string
+    * equality on string columns are CLAIMED — the source applies them
+    * row-exactly (selection vectors over decoded chunks; dictionary-id
+    * compares for string equality against DICTIONARY chunks, the lookup
+    * the reference's dictionary encoding exists for) on top of page-stat
+    * row-group skipping, and Spark plans no residual. `IsNotNull` is
+    * claimed trivially (COLE has no NULLs). Claiming completely is what
+    * makes filtered aggregates eligible for aggregate pushdown — Spark
+    * only pushes aggregation when no post-scan filter remains. Everything
+    * else stays residual.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    def numericCol(c: String): Boolean =
-      fullSchema.fieldNames.contains(c) && (fullSchema(c).dataType match {
-        case IntegerType | LongType => true
-        case _ => false
-      })
+    def colType(c: String): Option[DataType] =
+      if (fullSchema.fieldNames.contains(c)) Some(fullSchema(c).dataType) else None
     def claimable(f: Filter): Boolean = f match {
       case IsNotNull(c) => fullSchema.fieldNames.contains(c) // no NULLs in COLE
-      case _ => ColePredicate.fromFilter(f).exists(p => numericCol(p.column))
+      case _ => ColePredicate.fromFilter(f).exists { p =>
+        colType(p.column) match {
+          case Some(IntegerType | LongType) => !p.isString
+          case Some(StringType) => p.isString
+          case _ => false
+        }
+      }
     }
     val (claimed, residual) = filters.partition(claimable)
     pushed = claimed
@@ -615,7 +623,20 @@ class ColeAggReader(part: ColeInputPartition, aggs: Seq[ColeAggSpec],
   * (reference: include/execution.h:49-59) and row-exactly against
   * decoded values.
   */
-private[cole] final case class ColePredicate(column: String, op: String, value: Long) {
+private[cole] final case class ColePredicate(column: String, op: String, value: Long,
+    strValue: Array[Byte] = null) {
+
+  /** String equality ("eqs") claims are applied by [[ColePredicate
+    * .buildSelection]]'s dictionary path: an id compare per row when the
+    * chunk is DICTIONARY-encoded (plus a whole-row-group skip when the
+    * value is absent from the dictionary), byte equality otherwise.
+    */
+  def isString: Boolean = op == "eqs"
+
+  override def toString: String =
+    s"$column $op ${if (strValue != null)
+      new String(strValue, java.nio.charset.StandardCharsets.UTF_8) else value}"
+
   /** True when NO row in a page with these stats can match. */
   def canSkip(stats: PageStats): Boolean = (stats.minInt, stats.maxInt) match {
     case (Some(mn), Some(mx)) => op match {
@@ -624,6 +645,22 @@ private[cole] final case class ColePredicate(column: String, op: String, value: 
       case "ge" => mx < value
       case "lt" => mn >= value
       case "le" => mn > value
+      case _ => false
+    }
+    case _ => false
+  }
+
+  /** True when EVERY row in a page with these stats must match — the dual
+    * of [[canSkip]], used to prove a row group survives a filter intact
+    * (e.g. for counting guaranteed rows toward a TopN stat threshold).
+    */
+  def mustKeep(stats: PageStats): Boolean = (stats.minInt, stats.maxInt) match {
+    case (Some(mn), Some(mx)) => op match {
+      case "eq" => mn == value && mx == value
+      case "gt" => mn > value
+      case "ge" => mn >= value
+      case "lt" => mx < value
+      case "le" => mx <= value
       case _ => false
     }
     case _ => false
@@ -662,6 +699,11 @@ private[cole] object ColePredicate {
   }
 
   def fromFilter(f: Filter): Option[ColePredicate] = f match {
+    case EqualTo(c, v: String) =>
+      Some(ColePredicate(c, "eqs", 0L,
+        v.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    case EqualTo(c, v: org.apache.spark.unsafe.types.UTF8String) =>
+      Some(ColePredicate(c, "eqs", 0L, v.getBytes))
     case EqualTo(c, v) => num(v).map(ColePredicate(c, "eq", _))
     case GreaterThan(c, v) => num(v).map(ColePredicate(c, "gt", _))
     case GreaterThanOrEqual(c, v) => num(v).map(ColePredicate(c, "ge", _))
@@ -683,28 +725,97 @@ private[cole] object ColePredicate {
       }
     }
 
+  /** True when the stats PROVE every row of the row group passes every
+    * predicate — the group's row count can then be credited as guaranteed
+    * filter survivors (conservative: unproven is just uncredited, never
+    * skipped).
+    */
+  def fullyKeepsRowGroup(rg: RowGroupMeta, nameToIdx: Map[String, Int],
+      preds: Array[ColePredicate]): Boolean =
+    preds.forall { p =>
+      nameToIdx.get(p.column).exists { ci =>
+        val pages = rg.chunks(ci).pages
+        pages.nonEmpty && pages.forall(ph => p.mustKeep(ph.stats))
+      }
+    }
+
+  /** Per-column evaluator for the selection loop: one impl per physical
+    * shape, so the hot loop does one (at most bimorphic) call per
+    * (row, column) instead of re-dispatching on the data shape per row.
+    */
+  private sealed trait ColEval { def ok(r: Int): Boolean }
+  private final class NumEval(ps: Array[ColePredicate], cd: ColumnData) extends ColEval {
+    def ok(r: Int): Boolean = {
+      val v = if (cd.ints != null) cd.ints(r).toLong else cd.longs(r)
+      var pi = 0
+      while (pi < ps.length) { if (!ps(pi).eval(v)) return false; pi += 1 }
+      true
+    }
+  }
+  /** DICTIONARY chunk + string equality: the target resolves to a dict id
+    * once per chunk, rows compare ints. target == -1 (value absent from
+    * the dictionary) is the page-skip case — handled by the caller, never
+    * reaches the row loop.
+    */
+  private final class DictEval(targetId: Int, ids: Array[Int]) extends ColEval {
+    def ok(r: Int): Boolean = ids(r) == targetId
+  }
+  private final class StrEval(ps: Array[ColePredicate], strs: Array[Array[Byte]]) extends ColEval {
+    def ok(r: Int): Boolean = {
+      var pi = 0
+      while (pi < ps.length) {
+        if (!java.util.Arrays.equals(strs(r), ps(pi).strValue)) return false
+        pi += 1
+      }
+      true
+    }
+  }
+
+  private val EmptySelection = Array.empty[Int]
+
   /** Selection vector for one row group: indices of rows passing ALL
-    * predicates (conjunctive, row-exact over decoded values).
+    * predicates (conjunctive, row-exact over decoded values). String
+    * equality against a DICTIONARY-encoded chunk compares dictionary ids
+    * (one lookup per chunk); a value absent from the dictionary proves
+    * zero matches without touching any other column.
     */
   def buildSelection(reader: ColeFileReader, rgIdx: Int, nRows: Int,
       nameToIdx: Map[String, Int], preds: Array[ColePredicate]): Array[Int] = {
-    val byCol: Array[(Array[ColePredicate], ColumnData)] =
-      preds.map(_.column).distinct.map { c =>
-        (preds.filter(_.column == c), reader.readChunk(rgIdx, nameToIdx(c)))
+    val byCol = new Array[ColEval](preds.map(_.column).distinct.length)
+    var bi = 0
+    for (c <- preds.map(_.column).distinct) {
+      val ps = preds.filter(_.column == c)
+      val colIdx = nameToIdx(c)
+      if (ps.head.isString) {
+        // two distinct equality targets on one column can never both hold
+        if (ps.exists(p => !java.util.Arrays.equals(p.strValue, ps.head.strValue)))
+          return EmptySelection
+        val dict = reader.readStringChunkDict(rgIdx, colIdx)
+        if (dict != null) {
+          val (entries, ids) = dict
+          var target = -1
+          var ei = 0
+          while (target < 0 && ei < entries.length) {
+            if (java.util.Arrays.equals(entries(ei), ps.head.strValue)) target = ei
+            ei += 1
+          }
+          if (target < 0) return EmptySelection // value not in dictionary
+          byCol(bi) = new DictEval(target, ids)
+        } else {
+          byCol(bi) = new StrEval(ps, reader.readChunk(rgIdx, colIdx).strings)
+        }
+      } else {
+        byCol(bi) = new NumEval(ps, reader.readChunk(rgIdx, colIdx))
       }
+      bi += 1
+    }
     val sel = new Array[Int](nRows)
     var m = 0
     var r = 0
     while (r < nRows) {
       var ok = true
       var ci = 0
-      while (ok && ci < byCol.length) {
-        val (ps, cd) = byCol(ci)
-        val v = if (cd.ints != null) cd.ints(r).toLong else cd.longs(r)
-        var pi = 0
-        while (ok && pi < ps.length) { ok = ps(pi).eval(v); pi += 1 }
-        ci += 1
-      }
+      while (ok && ci < byCol.length) { ok = byCol(ci).ok(r); ci += 1 }
       if (ok) { sel(m) = r; m += 1 }
       r += 1
     }
@@ -800,7 +911,8 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
     // metadata-only planning: footers come from the driver cache (one read
     // per file across the whole query, even when runtime filters trigger a
     // second planning pass), stats prune without opening any data file
-    // (file, colIndices, rgIdx, rows, bytes, topN column min/max)
+    // (file, colIndices, rgIdx, rows, bytes, topN column min/max,
+    //  guaranteed = stats prove every row survives all filters)
     val survivors = ColeMetaCache.infos(path, conf).flatMap { info =>
       val meta = info.meta
       val nameToIdx = meta.columns.map(_.name).zipWithIndex.toMap
@@ -810,16 +922,22 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
             !skipRowGroupIn(rg, nameToIdx, runtimeIn) =>
           val mm = topN.flatMap { case (c, _, _) =>
             nameToIdx.get(c).flatMap(meta.statsMinMax(rgIdx, _)) }
+          val guaranteed = runtimeIn.isEmpty &&
+            (preds.isEmpty ||
+              ColePredicate.fullyKeepsRowGroup(rg, nameToIdx, preds))
           (info.path, colIndices, rgIdx, rg.numRows,
-            colIndices.map(ci => rg.chunks(ci).totalSize).sum, mm)
+            colIndices.map(ci => rg.chunks(ci).totalSize).sum, mm, guaranteed)
       }
     }
-    // ORDER BY col LIMIT n data skipping: at least n rows provably sit at
-    // or past a stat threshold — any row group whose whole range falls on
-    // the wrong side of it cannot contribute to the top n.
+    // ORDER BY col LIMIT n data skipping: at least n FILTER-SURVIVING rows
+    // provably sit at or past a stat threshold — any row group whose whole
+    // range falls on the wrong side of it cannot contribute to the top n.
+    // With predicates claimed, only row groups the stats prove fully pass
+    // every filter are credited toward the n (partially-passing groups are
+    // retained but never counted), so the threshold stays conservative.
     val afterTopN = topN match {
-      case Some((_, desc, n)) if preds.isEmpty && runtimeFilters.isEmpty =>
-        val withStats = survivors.filter(_._6.isDefined)
+      case Some((_, desc, n)) =>
+        val withStats = survivors.filter(r => r._6.isDefined && r._7)
         // Ordering.reverse, NOT negation: -Long.MinValue overflows and
         // would rank a MinValue-min group first, corrupting the threshold
         val ranked = if (desc) withStats.sortBy(r => r._6.get._1)(Ordering[Long].reverse)
@@ -835,7 +953,7 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
         threshold match {
           case Some(t) => survivors.filter(r => r._6.isEmpty ||
             (if (desc) r._6.get._2 >= t else r._6.get._1 <= t))
-          case None => survivors // fewer than n stats-covered rows: keep all
+          case None => survivors // fewer than n guaranteed rows: keep all
         }
       case _ => survivors
     }

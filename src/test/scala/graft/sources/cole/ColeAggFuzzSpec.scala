@@ -72,6 +72,49 @@ class ColeAggFuzzSpec extends AnyFunSuite {
         f(df).groupBy("grp").agg(sum("v_long").as("s"), count(lit(1)).as("c"))
           .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap,
         s"filtered grouped agg diverged (seed=$seed n=$n [$lo,$hi))")
+
+      // claimed string equality: grp is low-cardinality (dictionary path);
+      // targets past nGroups exercise the value-absent row-group skip
+      val gsel = s"g${rnd.nextInt(nGroups + 2)}"
+      def fs(d: org.apache.spark.sql.DataFrame) = d.filter(col("grp") === gsel)
+      assert(fs(cole).collect().map(_.toSeq).toSet ===
+        fs(df).collect().map(_.toSeq).toSet,
+        s"string-filtered scan diverged (seed=$seed n=$n grp=$gsel)")
+      assert(fs(cole).agg(count(lit(1)), sum("v_long")).head() ===
+        fs(df).agg(count(lit(1)), sum("v_long")).head(),
+        s"string-filtered agg diverged (seed=$seed n=$n grp=$gsel)")
+      def fsn(d: org.apache.spark.sql.DataFrame) =
+        d.filter(col("grp") === gsel && col("v_int") >= lo && col("v_int") < hi)
+      assert(fsn(cole).collect().map(_.toSeq).toSet ===
+        fsn(df).collect().map(_.toSeq).toSet,
+        s"string+numeric filter diverged (seed=$seed n=$n grp=$gsel [$lo,$hi))")
+    }
+  }
+
+  test("string equality is claimed and applied on dict and plain encodings") {
+    val s = spark
+    import s.implicits._
+    // unique strings defeat the dictionary probe -> PLAIN chunks exercise
+    // the byte-equality fallback; repeated strings -> DICTIONARY id path
+    for (unique <- Seq(true, false)) {
+      val n = 12000
+      val df = (0 until n)
+        .map(i => (i.toLong, if (unique) s"u-$i" else s"tag-${i % 5}"))
+        .toDF("id", "t")
+      val dir = Files.createTempDirectory(s"cole_streq_$unique").toString
+      df.coalesce(1).write.format("cole").mode("overwrite")
+        .option("rowGroupSize", "4096").save(dir)
+      val cole = s.read.format("cole").load(dir)
+      val target = if (unique) "u-7777" else "tag-3"
+      val q = cole.filter(col("t") === target)
+      assert(q.collect().map(_.toSeq).toSet ===
+        df.filter(col("t") === target).collect().map(_.toSeq).toSet)
+      // absent value: zero rows, and on the dict path zero decoded columns
+      assert(cole.filter(col("t") === "nope").count() === 0L)
+      // the filter is fully claimed: no residual Filter node above the scan
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("EqualTo(t,"), s"filter not pushed in:\n$plan")
+      assert(!plan.contains("Filter "), s"residual filter survived in:\n$plan")
     }
   }
 
@@ -129,5 +172,72 @@ class ColeAggFuzzSpec extends AnyFunSuite {
           s"pushed TopN diverged (seed=$seed sorted=$sorted k=$k desc=$desc)")
       }
     }
+  }
+
+  test("filtered TopN == filter + sort-take across seeded datasets") {
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(5, 19); sorted <- Seq(true, false)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 20000
+      val base = (0 until n).map(i => (i.toLong, rnd.nextLong() % 100000L))
+      val rows = if (sorted) base else rnd.shuffle(base)
+      val df = rows.toDF("id", "v")
+      val dir = Files.createTempDirectory(s"cole_ftopn_${seed}_$sorted").toString
+      df.coalesce(1).write.format("cole").mode("overwrite")
+        .option("rowGroupSize", "4096").save(dir)
+      val cole = s.read.format("cole").load(dir)
+      // filters on the sort key itself, on the other column, and a range
+      // straddling row-group stat boundaries
+      val filters: Seq[(org.apache.spark.sql.Column, (Long, Long) => Boolean)] = Seq(
+        (col("v") > 0L, (id, v) => v > 0L),
+        (col("id") >= 5000L && col("id") < 15000L, (id, v) => id >= 5000L && id < 15000L),
+        (col("v") >= -50000L && col("v") <= 50000L, (id, v) => v >= -50000L && v <= 50000L))
+      for (((fc, fp), fi) <- filters.zipWithIndex; k <- Seq(1, 17, 4097); desc <- Seq(true, false)) {
+        val got = (if (desc) cole.filter(fc).orderBy(col("v").desc, col("id"))
+          else cole.filter(fc).orderBy(col("v").asc, col("id")))
+          .limit(k).select("v", "id").collect().map(r => (r.getLong(0), r.getLong(1)))
+        val ord = if (desc) Ordering.Tuple2(Ordering[Long].reverse, Ordering[Long])
+          else Ordering.Tuple2(Ordering[Long], Ordering[Long])
+        val want = rows.filter { case (id, v) => fp(id, v) }
+          .map { case (id, v) => (v, id) }.sorted(ord).take(k)
+        assert(got.toSeq === want,
+          s"filtered TopN diverged (seed=$seed sorted=$sorted f=$fi k=$k desc=$desc)")
+      }
+    }
+    // plan shows BOTH the applied filter and the pushed TopN
+    val dir = Files.createTempDirectory("cole_ftopn_plan").toString
+    (0L until 10000L).map(i => (i, i * 3 % 1000)).toDF("id", "v")
+      .coalesce(1).write.format("cole").mode("overwrite")
+      .option("rowGroupSize", "1000").save(dir)
+    val plan = s.read.format("cole").load(dir)
+      .filter(col("id") >= 2000L).orderBy(col("id")).limit(5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedTopN"), s"missing PushedTopN in:\n$plan")
+    assert(plan.contains("pushed=[GreaterThanOrEqual(id,2000)"),
+      s"missing pushed filter in:\n$plan")
+  }
+
+  test("filtered TopN prunes row groups when the filter provably keeps them") {
+    val s = spark
+    import s.implicits._
+    // sorted ids: every row group has tight disjoint id stats, so a range
+    // filter fully keeps interior groups and the TopN threshold can count
+    // their rows -> far fewer row groups planned than the filter alone
+    val dir = Files.createTempDirectory("cole_ftopn_prune").toString
+    (0L until 32000L).toDF("id").coalesce(1).sortWithinPartitions("id")
+      .write.format("cole").mode("overwrite")
+      .option("rowGroupSize", "1000").save(dir)
+    val schema = s.read.format("cole").load(dir).schema
+    val b = new ColeScanBuilder(schema, dir, ColeIO.driverConf())
+    b.pushFilters(Array(org.apache.spark.sql.sources.GreaterThanOrEqual("id", 4000L)))
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, NullOrdering}
+    b.pushTopN(Array(Expressions.sort(Expressions.column("id"),
+      SortDirection.ASCENDING, NullOrdering.NULLS_FIRST)), 10)
+    val planned = b.build().asInstanceOf[ColeScan].planInputPartitions()
+      .map(_.asInstanceOf[ColeInputPartition].rowGroups.length).sum
+    // filter alone keeps 28 of 32 groups; ASC TopN(10) needs only the
+    // first surviving group (ids 4000-4999)
+    assert(planned === 1, s"expected 1 row group planned, got $planned")
   }
 }
