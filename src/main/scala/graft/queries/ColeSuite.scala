@@ -61,19 +61,45 @@ object ColeSuite {
                ORDER BY ${cols.mkString(", ")}""")),
 
     // #69 metadata scan — the reference CLI's `scan` command as a
-    // queryable DataFrame (rows-only: layout is engine-specific; semantics
-    // spec-tested in ColeSourceSpec).
+    // queryable DataFrame. VALUE-checked: a single-partition write sorted
+    // by the unique (l_orderkey, l_linenumber) key makes the row-group
+    // layout fully deterministic, so DuckDB can recompute every row
+    // group's row count and per-column min/max stats from the parquet
+    // source with a row_number() bucketing — the footer metadata itself
+    // is the query result. (Page/encoding internals stay spec-tested
+    // against the reference fixture in ColeSourceSpec.)
     Q("cole_meta", (s, d) => {
-      val dir = dirFor(d, "meta")
+      val dir = dirFor(d, "meta_det")
       writeOnce(dir) {
         Tables.lineitem(s, d).select(cols.map(col): _*)
-          .sortWithinPartitions("l_orderkey")
+          .coalesce(1).sortWithinPartitions("l_orderkey", "l_linenumber")
           .write.format("cole").mode("overwrite")
           .option("rowGroupSize", "16384").save(dir)
       }
       graft.sources.cole.ColeMeta.describe(s, dir)
-        .orderBy("file", "row_group", "column", "page")
-    }, None),
+        .groupBy(col("row_group").cast("long").as("rg"))
+        .agg(
+          max(when(col("column") === "l_orderkey", col("num_values").cast("long"))).as("n_rows"),
+          max(when(col("column") === "l_orderkey", col("min_int"))).as("mn_ok"),
+          max(when(col("column") === "l_orderkey", col("max_int"))).as("mx_ok"),
+          max(when(col("column") === "l_partkey", col("min_int"))).as("mn_pk"),
+          max(when(col("column") === "l_partkey", col("max_int"))).as("mx_pk"),
+          max(when(col("column") === "l_suppkey", col("min_int"))).as("mn_sk"),
+          max(when(col("column") === "l_suppkey", col("max_int"))).as("mx_sk"),
+          max(when(col("column") === "l_linenumber", col("min_int"))).as("mn_ln"),
+          max(when(col("column") === "l_linenumber", col("max_int"))).as("mx_ln"))
+        .orderBy("rg")
+    },
+      Some("""WITH ordered AS (
+                SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+                       (row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1) // 16384 AS rg
+                FROM lineitem)
+              SELECT CAST(rg AS BIGINT) AS rg, COUNT(*) AS n_rows,
+                     CAST(MIN(l_orderkey) AS BIGINT) AS mn_ok, CAST(MAX(l_orderkey) AS BIGINT) AS mx_ok,
+                     CAST(MIN(l_partkey) AS BIGINT) AS mn_pk, CAST(MAX(l_partkey) AS BIGINT) AS mx_pk,
+                     CAST(MIN(l_suppkey) AS BIGINT) AS mn_sk, CAST(MAX(l_suppkey) AS BIGINT) AS mx_sk,
+                     CAST(MIN(l_linenumber) AS BIGINT) AS mn_ln, CAST(MAX(l_linenumber) AS BIGINT) AS mx_ln
+              FROM ordered GROUP BY rg ORDER BY rg""")),
 
     // #87 aggregate pushdown: a global SUM/MIN/MAX/COUNT over the .col
     // table is answered inside the source (page stats + streaming page
