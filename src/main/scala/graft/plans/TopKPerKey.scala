@@ -76,11 +76,31 @@ final case class TopKPerKeyExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(partitionExprs) :: Nil
 
+  /** Group keys normalized for floating-point equality: -0.0 and 0.0 (and
+    * differing NaN bit patterns) compare equal but have distinct binary
+    * forms, so an UnsafeRow-keyed hash or a byte-equality group-boundary
+    * check would split one logical group. Same normalization Catalyst
+    * applies to group/join keys, local to this operator.
+    */
+  private def normalizeKey(e: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{If, IsNaN, Literal}
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    e.dataType match {
+      case DoubleType =>
+        If(IsNaN(e), Literal(Double.NaN),
+          org.apache.spark.sql.catalyst.expressions.Add(e, Literal(0.0d)))
+      case FloatType =>
+        If(IsNaN(e), Literal(Float.NaN),
+          org.apache.spark.sql.catalyst.expressions.Add(e, Literal(0.0f)))
+      case _ => e
+    }
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val kLocal = k
     val maxBuffered = maxBufferedRows
-    val partExprs = partitionExprs
+    val partExprs = partitionExprs.map(normalizeKey)
     val sortOrder = order
     val spillMetric = longMetric("spillFallbacks")
     // the sort fallback orders by (key, order); only possible when the key

@@ -392,14 +392,30 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
     if (v > a(base + 2)) a(base + 2) = v
   }
 
-  private def processRowGroup(rgIdx: Int, nRows: Int): Unit = {
+  // ---- current row group's decoded state: row groups are consumed in
+  // SliceRows slices with a flush check between slices, so the group hash
+  // is bounded by FlushGroups + SliceRows no matter how large a writer-
+  // configured rowGroupSize made the row group (a single row group of
+  // unique keys previously grew the hash without ever hitting the
+  // between-row-group flush check).
+  private val SliceRows = 8192
+  private var curActive = false
+  private var rowCursor = 0
+  private var selCur: Array[Int] = null
+  private var endCur = 0
+  private var valueDataCur: Array[ColumnData] = null
+  private var groupDataCur: Array[ColumnData] = null
+  private var dictEntriesCur: Array[Array[Byte]] = null
+  private var dictIdsCur: Array[Int] = null
+  private var dictLocalCur: Array[Array[Long]] = null
+
+  private def decodeRowGroup(rgIdx: Int, nRows: Int): Unit = {
     // claimed filters: selection vector decides which rows accumulate
-    val sel: Array[Int] =
-      if (part.preds.isEmpty) null
+    selCur = if (part.preds.isEmpty) null
       else ColePredicate.buildSelection(reader, rgIdx, nRows, nameToIdx, part.preds)
-    val end = if (sel == null) nRows else sel.length
-    if (end == 0) return
-    val valueData: Array[ColumnData] = valueCols.map(ci => reader.readChunk(rgIdx, ci))
+    endCur = if (selCur == null) nRows else selCur.length
+    if (endCur == 0) return
+    valueDataCur = valueCols.map(ci => reader.readChunk(rgIdx, ci))
     // dict fast path: single string group column, all-DICT chunk —
     // accumulate per dict id, then fold ids into the global key map
     val dictView =
@@ -407,41 +423,39 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
         reader.readStringChunkDict(rgIdx, groupIdx(0))
       else null
     if (dictView != null) {
-      val (entries, ids) = dictView
-      val local = Array.fill(entries.length)(null: Array[Long])
-      var i = 0
+      dictEntriesCur = dictView._1
+      dictIdsCur = dictView._2
+      dictLocalCur = Array.fill(dictEntriesCur.length)(null: Array[Long])
+    } else {
+      groupDataCur = groupIdx.map(ci => reader.readChunk(rgIdx, ci))
+    }
+    rowCursor = 0
+    curActive = true
+  }
+
+  private def processSlice(): Unit = {
+    val end = math.min(rowCursor + SliceRows, endCur)
+    if (dictLocalCur != null) {
+      var i = rowCursor
       while (i < end) {
-        val r = if (sel == null) i else sel(i)
-        val id = ids(r)
-        var a = local(id)
-        if (a == null) { a = newAccs(); local(id) = a }
+        val r = if (selCur == null) i else selCur(i)
+        val id = dictIdsCur(r)
+        var a = dictLocalCur(id)
+        if (a == null) { a = newAccs(); dictLocalCur(id) = a }
         a(0) += 1
         var s = 0
         while (s < valueCols.length) {
-          val cd = valueData(s)
+          val cd = valueDataCur(s)
           bump(a, s, if (cd.ints != null) cd.ints(r).toLong else cd.longs(r))
           s += 1
         }
         i += 1
       }
-      var id = 0
-      while (id < entries.length) {
-        val a = local(id)
-        if (a != null) {
-          val key = Seq[Any](UTF8String.fromBytes(entries(id)))
-          accs.get(key) match {
-            case Some(g) => merge(g, a)
-            case None => accs.put(key, a)
-          }
-        }
-        id += 1
-      }
     } else {
-      val groupData: Array[ColumnData] = groupIdx.map(ci => reader.readChunk(rgIdx, ci))
-      var i = 0
+      var i = rowCursor
       while (i < end) {
-        val r = if (sel == null) i else sel(i)
-        val key: Seq[Any] = groupData.map { cd =>
+        val r = if (selCur == null) i else selCur(i)
+        val key: Seq[Any] = groupDataCur.map { cd =>
           if (cd.ints != null) cd.ints(r)
           else if (cd.longs != null) cd.longs(r)
           else UTF8String.fromBytes(cd.strings(r))
@@ -450,13 +464,38 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
         a(0) += 1
         var s = 0
         while (s < valueCols.length) {
-          val cd = valueData(s)
+          val cd = valueDataCur(s)
           bump(a, s, if (cd.ints != null) cd.ints(r).toLong else cd.longs(r))
           s += 1
         }
         i += 1
       }
     }
+    rowCursor = end
+    if (rowCursor >= endCur) finishRowGroup()
+  }
+
+  private def finishRowGroup(): Unit = {
+    if (dictLocalCur != null) {
+      // per-id partials fold into the global key map once per row group
+      // (ids are chunk-local); a mid-group flush just means Spark's final
+      // aggregate merges one more partial row per key
+      var id = 0
+      while (id < dictEntriesCur.length) {
+        val a = dictLocalCur(id)
+        if (a != null) {
+          val key = Seq[Any](UTF8String.fromBytes(dictEntriesCur(id)))
+          accs.get(key) match {
+            case Some(g) => merge(g, a)
+            case None => accs.put(key, a)
+          }
+        }
+        id += 1
+      }
+    }
+    curActive = false
+    selCur = null; valueDataCur = null; groupDataCur = null
+    dictEntriesCur = null; dictIdsCur = null; dictLocalCur = null
   }
 
   private def merge(into: Array[Long], from: Array[Long]): Unit = {
@@ -491,10 +530,12 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
 
   override def next(): Boolean = {
     while (out.isEmpty && !done) {
-      if (rgPos < part.rowGroups.length) {
-        processRowGroup(part.rowGroups(rgPos), part.rowCounts(rgPos))
-        rgPos += 1
+      if (curActive) {
+        processSlice()
         if (accs.size > FlushGroups) flush()
+      } else if (rgPos < part.rowGroups.length) {
+        decodeRowGroup(part.rowGroups(rgPos), part.rowCounts(rgPos))
+        rgPos += 1
       } else {
         flush()
         done = true

@@ -99,4 +99,30 @@ class TopKSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("-0.0 and 0.0 double keys form ONE group on heap and spill paths") {
+    import spark.implicits._
+    // binary forms differ but the values compare equal: a raw UnsafeRow
+    // hash key or byte-equality boundary check would split the group and
+    // emit up to 2k rows for it
+    val df = Seq((0.0d, 1L, 10L), (-0.0d, 2L, 20L), (0.0d, 3L, 30L),
+        (-0.0d, 4L, 40L), (1.5d, 5L, 50L))
+      .toDF("key", "id", "score")
+    def check(): Unit = {
+      val top = TopK.perKey(df, 2, Seq(col("key")),
+        Seq(col("score").desc, col("id").asc)).collect()
+      val zeroGroup = top.filter(_.getDouble(0) == 0.0).map(_.getLong(1)).sorted
+      assert(zeroGroup.toSeq === Seq(3L, 4L),
+        s"zero-keyed group not deduped: got ids ${zeroGroup.mkString(",")}")
+      assert(top.length === 3) // 2 from the zero group + 1 from key=1.5
+    }
+    check() // heap path
+    val prev = spark.conf.getOption("spark.graft.topk.maxBufferedRows")
+    spark.conf.set("spark.graft.topk.maxBufferedRows", "1")
+    try check() // spill path: cap of 1 forces the external sort
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.topk.maxBufferedRows", v)
+      case None => spark.conf.unset("spark.graft.topk.maxBufferedRows")
+    }
+  }
 }

@@ -137,6 +137,25 @@ class ColeAggFuzzSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("one oversized row group of unique keys flushes mid-group, stays exact") {
+    val s = spark
+    import s.implicits._
+    // 150k unique keys in a SINGLE row group (rowGroupSize > n): the
+    // grouped reader must flush between slices inside the row group —
+    // previously the flush check only ran between row groups, so a large
+    // writer-set rowGroupSize grew the hash unboundedly
+    val n = 150000
+    val df = (0 until n).map(i => (i.toLong, i.toLong * 3)).toDF("k", "v")
+    val dir = Files.createTempDirectory("cole_bigrg").toString
+    df.coalesce(1).write.format("cole").mode("overwrite")
+      .option("rowGroupSize", "200000").save(dir)
+    val got = spark.read.format("cole").load(dir)
+      .groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.size === n)
+    assert((0 until n).forall(i => got(i.toLong) == ((i.toLong * 3, 1L))))
+  }
+
   test("pushed TopN == full sort-take across seeded datasets and shapes") {
     val s = spark
     import s.implicits._

