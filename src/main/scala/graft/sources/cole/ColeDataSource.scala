@@ -665,18 +665,34 @@ class ColeAggReader(part: ColeInputPartition, aggs: Seq[ColeAggSpec],
   * decoded values.
   */
 private[cole] final case class ColePredicate(column: String, op: String, value: Long,
-    strValue: Array[Byte] = null) {
+    strValue: Array[Byte] = null, values: Array[Long] = null,
+    strValues: Array[Array[Byte]] = null) {
 
-  /** String equality ("eqs") claims are applied by [[ColePredicate
-    * .buildSelection]]'s dictionary path: an id compare per row when the
-    * chunk is DICTIONARY-encoded (plus a whole-row-group skip when the
-    * value is absent from the dictionary), byte equality otherwise.
+  /** String claims ("eqs" equality, "ins" membership) are applied by
+    * [[ColePredicate.buildSelection]]'s dictionary path: the predicate
+    * evaluates once per dictionary ENTRY and rows compare ids (a chunk
+    * whose dictionary matches nothing skips the whole row group); PLAIN
+    * chunks fall back to byte equality per row.
     */
-  def isString: Boolean = op == "eqs"
+  def isString: Boolean = op == "eqs" || op == "ins"
 
-  override def toString: String =
-    s"$column $op ${if (strValue != null)
-      new String(strValue, java.nio.charset.StandardCharsets.UTF_8) else value}"
+  /** Row-exact evaluation over decoded string bytes. */
+  def evalStr(b: Array[Byte]): Boolean = op match {
+    case "eqs" => java.util.Arrays.equals(b, strValue)
+    case "ins" => strValues.exists(java.util.Arrays.equals(b, _))
+    case _ => false
+  }
+
+  override def toString: String = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val v =
+      if (strValue != null) new String(strValue, utf8)
+      else if (values != null) values.mkString("(", ",", ")")
+      else if (strValues != null)
+        strValues.map(new String(_, utf8)).mkString("(", ",", ")")
+      else value.toString
+    s"$column $op $v"
+  }
 
   /** True when NO row in a page with these stats can match. */
   def canSkip(stats: PageStats): Boolean = (stats.minInt, stats.maxInt) match {
@@ -686,6 +702,7 @@ private[cole] final case class ColePredicate(column: String, op: String, value: 
       case "ge" => mx < value
       case "lt" => mn >= value
       case "le" => mn > value
+      case "in" => values.forall(v => v < mn || v > mx)
       case _ => false
     }
     case _ => false
@@ -702,6 +719,7 @@ private[cole] final case class ColePredicate(column: String, op: String, value: 
       case "ge" => mn >= value
       case "lt" => mx < value
       case "le" => mx <= value
+      case "in" => mn == mx && values.contains(mn)
       case _ => false
     }
     case _ => false
@@ -716,8 +734,14 @@ private[cole] final case class ColePredicate(column: String, op: String, value: 
     case "ge" => 2
     case "lt" => 3
     case "le" => 4
+    case "in" => 5
     case _ => -1
   }
+
+  // IN membership probes per row: sort once, binary-search in the loop
+  private val sortedValues: Array[Long] =
+    if (values == null) null
+    else { val a = values.clone(); java.util.Arrays.sort(a); a }
 
   /** Row-exact evaluation over a decoded value. */
   @inline def eval(v: Long): Boolean = (opId: @scala.annotation.switch) match {
@@ -726,6 +750,7 @@ private[cole] final case class ColePredicate(column: String, op: String, value: 
     case 2 => v >= value
     case 3 => v < value
     case 4 => v <= value
+    case 5 => java.util.Arrays.binarySearch(sortedValues, v) >= 0
     case _ => false
   }
 }
@@ -739,6 +764,11 @@ private[cole] object ColePredicate {
     case _ => None
   }
 
+  /** IN lists above this stay residual: preds ship inside every input
+    * partition, so an unbounded value list would bloat task serialization.
+    */
+  private val MaxInValues = 1024
+
   def fromFilter(f: Filter): Option[ColePredicate] = f match {
     case EqualTo(c, v: String) =>
       Some(ColePredicate(c, "eqs", 0L,
@@ -750,6 +780,19 @@ private[cole] object ColePredicate {
     case GreaterThanOrEqual(c, v) => num(v).map(ColePredicate(c, "ge", _))
     case LessThan(c, v) => num(v).map(ColePredicate(c, "lt", _))
     case LessThanOrEqual(c, v) => num(v).map(ColePredicate(c, "le", _))
+    case In(c, vs) if vs.length <= MaxInValues && !vs.contains(null) =>
+      val nums = vs.flatMap(num)
+      if (nums.length == vs.length)
+        Some(ColePredicate(c, "in", 0L, values = nums))
+      else {
+        val strs = vs.collect {
+          case s: String => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          case u: org.apache.spark.unsafe.types.UTF8String => u.getBytes
+        }
+        if (strs.length == vs.length)
+          Some(ColePredicate(c, "ins", 0L, strValues = strs))
+        else None
+      }
     case _ => None
   }
 
@@ -793,19 +836,19 @@ private[cole] object ColePredicate {
       true
     }
   }
-  /** DICTIONARY chunk + string equality: the target resolves to a dict id
-    * once per chunk, rows compare ints. target == -1 (value absent from
-    * the dictionary) is the page-skip case — handled by the caller, never
-    * reaches the row loop.
+  /** DICTIONARY chunk + string predicates: every predicate evaluates once
+    * per dictionary ENTRY (equality and IN alike), rows then test one
+    * boolean per id. A dictionary matching nothing is the page-skip case —
+    * handled by the caller, never reaches the row loop.
     */
-  private final class DictEval(targetId: Int, ids: Array[Int]) extends ColEval {
-    def ok(r: Int): Boolean = ids(r) == targetId
+  private final class DictEval(matches: Array[Boolean], ids: Array[Int]) extends ColEval {
+    def ok(r: Int): Boolean = matches(ids(r))
   }
   private final class StrEval(ps: Array[ColePredicate], strs: Array[Array[Byte]]) extends ColEval {
     def ok(r: Int): Boolean = {
       var pi = 0
       while (pi < ps.length) {
-        if (!java.util.Arrays.equals(strs(r), ps(pi).strValue)) return false
+        if (!ps(pi).evalStr(strs(r))) return false
         pi += 1
       }
       true
@@ -828,20 +871,22 @@ private[cole] object ColePredicate {
       val ps = preds.filter(_.column == c)
       val colIdx = nameToIdx(c)
       if (ps.head.isString) {
-        // two distinct equality targets on one column can never both hold
-        if (ps.exists(p => !java.util.Arrays.equals(p.strValue, ps.head.strValue)))
-          return EmptySelection
         val dict = reader.readStringChunkDict(rgIdx, colIdx)
         if (dict != null) {
           val (entries, ids) = dict
-          var target = -1
+          val matches = new Array[Boolean](entries.length)
+          var any = false
           var ei = 0
-          while (target < 0 && ei < entries.length) {
-            if (java.util.Arrays.equals(entries(ei), ps.head.strValue)) target = ei
+          while (ei < entries.length) {
+            var ok = true
+            var pi = 0
+            while (ok && pi < ps.length) { ok = ps(pi).evalStr(entries(ei)); pi += 1 }
+            matches(ei) = ok
+            if (ok) any = true
             ei += 1
           }
-          if (target < 0) return EmptySelection // value not in dictionary
-          byCol(bi) = new DictEval(target, ids)
+          if (!any) return EmptySelection // dictionary matches nothing
+          byCol(bi) = new DictEval(matches, ids)
         } else {
           byCol(bi) = new StrEval(ps, reader.readChunk(rgIdx, colIdx).strings)
         }

@@ -88,7 +88,44 @@ class ColeAggFuzzSpec extends AnyFunSuite {
       assert(fsn(cole).collect().map(_.toSeq).toSet ===
         fsn(df).collect().map(_.toSeq).toSet,
         s"string+numeric filter diverged (seed=$seed n=$n grp=$gsel [$lo,$hi))")
+
+      // claimed IN filters: numeric membership (some values absent) and
+      // string membership against the dictionary path
+      val inVals = Seq.fill(5)(rnd.nextInt(2400) - 1200)
+      def fin(d: org.apache.spark.sql.DataFrame) =
+        d.filter(col("v_int").isin(inVals: _*))
+      assert(fin(cole).collect().map(_.toSeq).toSet ===
+        fin(df).collect().map(_.toSeq).toSet,
+        s"numeric IN diverged (seed=$seed n=$n in=$inVals)")
+      def fins(d: org.apache.spark.sql.DataFrame) =
+        d.filter(col("grp").isin("g0", "g2", "absent"))
+      assert(fins(cole).collect().map(_.toSeq).toSet ===
+        fins(df).collect().map(_.toSeq).toSet,
+        s"string IN diverged (seed=$seed n=$n)")
+      assert(fins(cole).agg(count(lit(1)), sum("v_long")).head() ===
+        fins(df).agg(count(lit(1)), sum("v_long")).head(),
+        s"string-IN agg diverged (seed=$seed n=$n)")
     }
+  }
+
+  test("IN filters are claimed: no residual Filter above the scan") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 10000).map(i => (i.toLong, s"t-${i % 7}")).toDF("id", "t")
+    val dir = Files.createTempDirectory("cole_in_claim").toString
+    df.coalesce(1).write.format("cole").mode("overwrite")
+      .option("rowGroupSize", "2000").save(dir)
+    val cole = s.read.format("cole").load(dir)
+    val qn = cole.filter(col("id").isin(5L, 4005L, 99999L))
+    assert(qn.collect().map(_.getLong(0)).sorted.toSeq === Seq(5L, 4005L))
+    val pn = qn.queryExecution.executedPlan.toString
+    assert(pn.contains("In(id"), s"numeric IN not pushed:\n$pn")
+    assert(!pn.contains("Filter "), s"residual filter for numeric IN:\n$pn")
+    val qs = cole.filter(col("t").isin("t-1", "t-6", "zzz"))
+    assert(qs.count() === df.filter(col("t").isin("t-1", "t-6", "zzz")).count())
+    val ps = qs.queryExecution.executedPlan.toString
+    assert(ps.contains("In(t"), s"string IN not pushed:\n$ps")
+    assert(!ps.contains("Filter "), s"residual filter for string IN:\n$ps")
   }
 
   test("string equality is claimed and applied on dict and plain encodings") {
