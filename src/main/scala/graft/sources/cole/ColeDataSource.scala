@@ -224,14 +224,21 @@ class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration)
       case IntegerType | LongType => true
       case _ => false
     }
+    // string MIN/MAX pushes for GLOBAL aggregates only: the ungrouped
+    // reader answers it from dictionary entries (or a value sweep); the
+    // grouped reader's primitive accumulator slots stay numeric-only
+    def strMinMaxOk(n: String): Boolean =
+      fullSchema(n).dataType == StringType && aggregation.groupByExpressions.isEmpty
     val groups = aggregation.groupByExpressions.map(ref)
     if (groups.exists(_.isEmpty)) return false
     val specs = aggregation.aggregateExpressions.map {
       case _: CountStar => Some(ColeAggSpec("count_star", null))
       case c: Count if !c.isDistinct =>
         ref(c.column).map(ColeAggSpec("count", _)) // COLE has no NULLs: count = rows
-      case m: Min => ref(m.column).filter(numeric).map(ColeAggSpec("min", _))
-      case m: Max => ref(m.column).filter(numeric).map(ColeAggSpec("max", _))
+      case m: Min => ref(m.column).filter(n => numeric(n) || strMinMaxOk(n))
+        .map(ColeAggSpec("min", _))
+      case m: Max => ref(m.column).filter(n => numeric(n) || strMinMaxOk(n))
+        .map(ColeAggSpec("max", _))
       case s: Sum if !s.isDistinct =>
         ref(s.column).filter(numeric).map(ColeAggSpec("sum", _))
       case _ => None
@@ -570,6 +577,14 @@ class ColeAggReader(part: ColeInputPartition, aggs: Seq[ColeAggSpec],
       val meta = reader.meta
       val nameToIdx = meta.columns.map(_.name).zipWithIndex.toMap
       val accs = scala.collection.mutable.Map.empty[Int, ColeCodec.NumAgg]
+      // string min/max accumulators: value = Array(minBytes, maxBytes),
+      // unsigned byte order (Spark's and DuckDB's binary string collation)
+      val strAccs = scala.collection.mutable.Map.empty[Int, Array[Array[Byte]]]
+      def isStrCol(ci: Int): Boolean = meta.columns(ci).colType == TString
+      def bumpStr(mm: Array[Array[Byte]], v: Array[Byte]): Unit = {
+        if (mm(0) == null || java.util.Arrays.compareUnsigned(v, mm(0)) < 0) mm(0) = v
+        if (mm(1) == null || java.util.Arrays.compareUnsigned(v, mm(1)) > 0) mm(1) = v
+      }
       var totalRows = 0L
 
       if (part.preds.isEmpty) {
@@ -604,11 +619,30 @@ class ColeAggReader(part: ColeInputPartition, aggs: Seq[ColeAggSpec],
           }
           a
         }
+        // string min/max: dictionary chunks answer from the ENTRY table
+        // alone (every entry appears in the chunk by construction — the
+        // writer builds the dictionary from the chunk's values), so a
+        // low-cardinality column aggregates in O(distinct), not O(rows)
+        def fillStr(ci: Int): Array[Array[Byte]] = {
+          val mm = Array[Array[Byte]](null, null)
+          var i = 0
+          while (i < part.rowGroups.length) {
+            val rgIdx = part.rowGroups(i)
+            val dict = reader.readStringChunkDict(rgIdx, ci)
+            val vals = if (dict != null) dict._1 else reader.readChunk(rgIdx, ci).strings
+            var j = 0
+            while (j < vals.length) { bumpStr(mm, vals(j)); j += 1 }
+            i += 1
+          }
+          mm
+        }
         // counts are answered by rowCounts alone — only sum/min/max
         // specs touch stats or pages
         aggs.foreach {
           case ColeAggSpec("sum" | "min" | "max", c) =>
-            accs.getOrElseUpdate(nameToIdx(c), fill(nameToIdx(c)))
+            val ci = nameToIdx(c)
+            if (isStrCol(ci)) strAccs.getOrElseUpdate(ci, fillStr(ci))
+            else accs.getOrElseUpdate(ci, fill(ci))
           case _ => ()
         }
       } else {
@@ -625,12 +659,18 @@ class ColeAggReader(part: ColeInputPartition, aggs: Seq[ColeAggSpec],
             part.rowCounts(i), nameToIdx, part.preds)
           totalRows += sel.length
           valueCols.foreach { ci =>
-            val a = accs.getOrElseUpdate(ci, new ColeCodec.NumAgg)
             val cd = reader.readChunk(rgIdx, ci)
-            var j = 0
-            while (j < sel.length) {
-              a.add(if (cd.ints != null) cd.ints(sel(j)).toLong else cd.longs(sel(j)))
-              j += 1
+            if (isStrCol(ci)) {
+              val mm = strAccs.getOrElseUpdate(ci, Array[Array[Byte]](null, null))
+              var j = 0
+              while (j < sel.length) { bumpStr(mm, cd.strings(sel(j))); j += 1 }
+            } else {
+              val a = accs.getOrElseUpdate(ci, new ColeCodec.NumAgg)
+              var j = 0
+              while (j < sel.length) {
+                a.add(if (cd.ints != null) cd.ints(sel(j)).toLong else cd.longs(sel(j)))
+                j += 1
+              }
             }
           }
           i += 1
@@ -640,6 +680,13 @@ class ColeAggReader(part: ColeInputPartition, aggs: Seq[ColeAggSpec],
       val values: Seq[Any] = aggs.map { sp =>
         sp.kind match {
           case "count_star" | "count" => totalRows
+          case kind if isStrCol(nameToIdx(sp.column)) =>
+            strAccs.get(nameToIdx(sp.column)) match {
+              case Some(mm) =>
+                val b = if (kind == "min") mm(0) else mm(1)
+                if (b == null) null else UTF8String.fromBytes(b)
+              case None => null // zero surviving rows
+            }
           case kind =>
             val ci = nameToIdx(sp.column)
             val isInt32 = meta.columns(ci).colType == TInt32
@@ -668,19 +715,44 @@ private[cole] final case class ColePredicate(column: String, op: String, value: 
     strValue: Array[Byte] = null, values: Array[Long] = null,
     strValues: Array[Array[Byte]] = null) {
 
-  /** String claims ("eqs" equality, "ins" membership) are applied by
+  /** String claims ("eqs" equality, "nes" inequality, "ins" membership,
+    * "sw"/"ew"/"ct" starts-/ends-with/contains) are applied by
     * [[ColePredicate.buildSelection]]'s dictionary path: the predicate
     * evaluates once per dictionary ENTRY and rows compare ids (a chunk
     * whose dictionary matches nothing skips the whole row group); PLAIN
-    * chunks fall back to byte equality per row.
+    * chunks fall back to byte comparison per row. Byte-wise prefix/suffix/
+    * substring match is exact for UTF-8: a codepoint's encoding never
+    * spans a boundary the pattern's own encoding doesn't share.
     */
-  def isString: Boolean = op == "eqs" || op == "ins"
+  def isString: Boolean = op match {
+    case "eqs" | "nes" | "ins" | "sw" | "ew" | "ct" => true
+    case _ => false
+  }
 
   /** Row-exact evaluation over decoded string bytes. */
   def evalStr(b: Array[Byte]): Boolean = op match {
     case "eqs" => java.util.Arrays.equals(b, strValue)
+    case "nes" => !java.util.Arrays.equals(b, strValue)
     case "ins" => strValues.exists(java.util.Arrays.equals(b, _))
+    case "sw" => b.length >= strValue.length &&
+      java.util.Arrays.equals(b, 0, strValue.length, strValue, 0, strValue.length)
+    case "ew" => b.length >= strValue.length &&
+      java.util.Arrays.equals(b, b.length - strValue.length, b.length,
+        strValue, 0, strValue.length)
+    case "ct" => indexOfBytes(b, strValue) >= 0
     case _ => false
+  }
+
+  private def indexOfBytes(hay: Array[Byte], needle: Array[Byte]): Int = {
+    if (needle.length == 0) return 0
+    var i = 0
+    val last = hay.length - needle.length
+    while (i <= last) {
+      if (java.util.Arrays.equals(hay, i, i + needle.length, needle, 0, needle.length))
+        return i
+      i += 1
+    }
+    -1
   }
 
   override def toString: String = {
@@ -703,6 +775,7 @@ private[cole] final case class ColePredicate(column: String, op: String, value: 
       case "lt" => mn >= value
       case "le" => mn > value
       case "in" => values.forall(v => v < mn || v > mx)
+      case "ne" => mn == value && mx == value
       case _ => false
     }
     case _ => false
@@ -720,6 +793,7 @@ private[cole] final case class ColePredicate(column: String, op: String, value: 
       case "lt" => mx < value
       case "le" => mx <= value
       case "in" => mn == mx && values.contains(mn)
+      case "ne" => value < mn || value > mx
       case _ => false
     }
     case _ => false
@@ -735,6 +809,7 @@ private[cole] final case class ColePredicate(column: String, op: String, value: 
     case "lt" => 3
     case "le" => 4
     case "in" => 5
+    case "ne" => 6
     case _ => -1
   }
 
@@ -751,6 +826,7 @@ private[cole] final case class ColePredicate(column: String, op: String, value: 
     case 3 => v < value
     case 4 => v <= value
     case 5 => java.util.Arrays.binarySearch(sortedValues, v) >= 0
+    case 6 => v != value
     case _ => false
   }
 }
@@ -793,6 +869,21 @@ private[cole] object ColePredicate {
           Some(ColePredicate(c, "ins", 0L, strValues = strs))
         else None
       }
+    case Not(EqualTo(c, v: String)) =>
+      Some(ColePredicate(c, "nes", 0L,
+        v.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    case Not(EqualTo(c, v: org.apache.spark.unsafe.types.UTF8String)) =>
+      Some(ColePredicate(c, "nes", 0L, v.getBytes))
+    case Not(EqualTo(c, v)) => num(v).map(ColePredicate(c, "ne", _))
+    case StringStartsWith(c, v) =>
+      Some(ColePredicate(c, "sw", 0L,
+        v.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    case StringEndsWith(c, v) =>
+      Some(ColePredicate(c, "ew", 0L,
+        v.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    case StringContains(c, v) =>
+      Some(ColePredicate(c, "ct", 0L,
+        v.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
     case _ => None
   }
 

@@ -105,6 +105,14 @@ class ColeAggFuzzSpec extends AnyFunSuite {
       assert(fins(cole).agg(count(lit(1)), sum("v_long")).head() ===
         fins(df).agg(count(lit(1)), sum("v_long")).head(),
         s"string-IN agg diverged (seed=$seed n=$n)")
+
+      // claimed negation + string pattern predicates
+      for (fc <- Seq(col("grp") =!= gsel, col("v_int") =!= lo,
+          col("grp").startsWith("g1"), col("grp").endsWith("2"),
+          col("grp").contains("3"))) {
+        assert(cole.filter(fc).count() === df.filter(fc).count(),
+          s"predicate $fc diverged (seed=$seed n=$n)")
+      }
     }
   }
 
@@ -152,6 +160,49 @@ class ColeAggFuzzSpec extends AnyFunSuite {
       val plan = q.queryExecution.executedPlan.toString
       assert(plan.contains("EqualTo(t,"), s"filter not pushed in:\n$plan")
       assert(!plan.contains("Filter "), s"residual filter survived in:\n$plan")
+      // prefix/suffix/substring/inequality: claimed and row-exact on both
+      // encodings (dict path evaluates per dictionary entry)
+      for (fc <- Seq(col("t").startsWith("u-1"), col("t").startsWith("tag-"),
+          col("t").endsWith("7"), col("t").contains("ag-1"),
+          col("t").contains("99"), col("t") =!= "tag-2", col("t") =!= "u-3")) {
+        assert(cole.filter(fc).count() === df.filter(fc).count(),
+          s"$fc diverged (unique=$unique)")
+        val pp = cole.filter(fc).queryExecution.executedPlan.toString
+        assert(!pp.contains("Filter "),
+          s"residual filter for $fc (unique=$unique):\n$pp")
+      }
+    }
+  }
+
+  test("string MIN/MAX pushes globally, declines grouped, stays exact") {
+    val s = spark
+    import s.implicits._
+    for (unique <- Seq(true, false)) {
+      val n = 9000
+      val df = (0 until n)
+        .map(i => (i.toLong, if (unique) f"u-$i%05d" else s"tag-${i % 7}", i % 100))
+        .toDF("id", "t", "m")
+      val dir = Files.createTempDirectory(s"cole_strmm_$unique").toString
+      df.coalesce(1).write.format("cole").mode("overwrite")
+        .option("rowGroupSize", "2048").save(dir)
+      val cole = s.read.format("cole").load(dir)
+      // unfiltered global: answered from dictionary entries / value sweep
+      val q = cole.agg(min("t").as("mn"), max("t").as("mx"), count(lit(1)).as("c"))
+      assert(q.head() === df.agg(min("t"), max("t"), count(lit(1))).head())
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("MIN(t)") && plan.contains("PushedAggregates"),
+        s"string min/max not pushed (unique=$unique):\n$plan")
+      // filtered global: selection sweep, including an all-rows-filtered case
+      val f = cole.filter(col("m") < 37).agg(min("t"), max("t"))
+      assert(f.head() === df.filter(col("m") < 37).agg(min("t"), max("t")).head())
+      val empty = cole.filter(col("m") < 0).agg(min("t"), max("t")).head()
+      assert(empty.isNullAt(0) && empty.isNullAt(1))
+      // grouped string min/max: declines pushdown, still correct
+      val g = cole.groupBy("m").agg(min("t").as("mn"))
+      assert(!g.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+      assert(g.collect().map(r => r.getInt(0) -> r.getString(1)).toMap ===
+        df.groupBy("m").agg(min("t").as("mn"))
+          .collect().map(r => r.getInt(0) -> r.getString(1)).toMap)
     }
   }
 

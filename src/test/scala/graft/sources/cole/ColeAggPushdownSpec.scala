@@ -120,14 +120,19 @@ class ColeAggPushdownSpec extends AnyFunSuite {
     assert(rows === expected)
   }
 
-  test("unsupported aggregates (distinct, string min, avg-of-avg shapes) fall back") {
+  test("unsupported aggregates fall back; global string MIN pushes") {
     val d = cole.agg(countDistinct(col("cat")).as("n"))
     assert(scanOf(d).isInstanceOf[ColeScan], "COUNT DISTINCT cannot be pushed")
     assert(d.head().getAs[Long]("n") === 5L)
 
+    // global string MIN/MAX is answered from dictionary entries / value
+    // sweeps inside the source; GROUPED string min/max still falls back
+    // (the grouped reader's accumulator slots are numeric-only)
     val sm = cole.agg(min("cat").as("m"))
-    assert(scanOf(sm).isInstanceOf[ColeScan], "string MIN has no page stats")
+    assert(scanOf(sm).isInstanceOf[ColeAggScan], "global string MIN should push")
     assert(sm.head().getAs[String]("m") === "cat_0")
+    val gm = cole.groupBy("runs").agg(min("cat").as("m"))
+    assert(scanOf(gm).isInstanceOf[ColeScan], "grouped string MIN cannot be pushed")
   }
 
   test("count() over a pushed agg (empty pruned aggregate list) still works") {
