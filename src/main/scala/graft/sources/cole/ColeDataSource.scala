@@ -224,11 +224,9 @@ class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration)
       case IntegerType | LongType => true
       case _ => false
     }
-    // string MIN/MAX pushes for GLOBAL aggregates only: the ungrouped
-    // reader answers it from dictionary entries (or a value sweep); the
-    // grouped reader's primitive accumulator slots stay numeric-only
-    def strMinMaxOk(n: String): Boolean =
-      fullSchema(n).dataType == StringType && aggregation.groupByExpressions.isEmpty
+    // string MIN/MAX pushes globally (answered from dictionary entries or
+    // a value sweep) and grouped (byte-array accumulator slots per key)
+    def strMinMaxOk(n: String): Boolean = fullSchema(n).dataType == StringType
     val groups = aggregation.groupByExpressions.map(ref)
     if (groups.exists(_.isEmpty)) return false
     val specs = aggregation.aggregateExpressions.map {
@@ -369,11 +367,18 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
   private val meta = reader.meta
   private val nameToIdx = meta.columns.map(_.name).zipWithIndex.toMap
   private val groupIdx: Array[Int] = groupCols.map(nameToIdx(_)).toArray
-  // distinct numeric columns that need value sweeps (sum/min/max)
-  private val valueCols: Array[Int] = aggs.collect {
+  // distinct value columns that need sweeps (sum/min/max), split by
+  // physical shape: numeric columns use primitive long slots, string
+  // min/max columns use byte-array slots
+  private val allValueCols: Array[Int] = aggs.collect {
     case ColeAggSpec(k, c) if k == "sum" || k == "min" || k == "max" => nameToIdx(c)
   }.distinct.toArray
+  private val valueCols: Array[Int] =
+    allValueCols.filter(ci => meta.columns(ci).colType != TString)
+  private val strValueCols: Array[Int] =
+    allValueCols.filter(ci => meta.columns(ci).colType == TString)
   private val slotOf: Map[Int, Int] = valueCols.zipWithIndex.toMap
+  private val strSlotOf: Map[Int, Int] = strValueCols.zipWithIndex.toMap
   private val slotWidth = 3 // sum, min, max per value column
   private def newAccs(): Array[Long] = {
     val a = new Array[Long](1 + slotWidth * valueCols.length)
@@ -386,8 +391,17 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
     a
   }
 
+  /** Per-key accumulator: primitive slots for numeric aggregates plus
+    * (min, max) byte slots per string min/max column.
+    */
+  private final class Acc {
+    val num: Array[Long] = newAccs()
+    val str: Array[Array[Byte]] =
+      if (strValueCols.isEmpty) null else new Array[Array[Byte]](2 * strValueCols.length)
+  }
+
   // group key -> accumulator slots; LinkedHashMap for deterministic emission
-  private val accs = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Array[Long]]
+  private val accs = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Acc]
   private val out = scala.collection.mutable.Queue.empty[InternalRow]
   private var rgPos = 0
   private var done = false
@@ -397,6 +411,13 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
     a(base) += v
     if (v < a(base + 1)) a(base + 1) = v
     if (v > a(base + 2)) a(base + 2) = v
+  }
+
+  // unsigned byte order — Spark's and DuckDB's binary string collation
+  @inline private def bumpStr(str: Array[Array[Byte]], slot: Int, v: Array[Byte]): Unit = {
+    val b = 2 * slot
+    if (str(b) == null || java.util.Arrays.compareUnsigned(v, str(b)) < 0) str(b) = v
+    if (str(b + 1) == null || java.util.Arrays.compareUnsigned(v, str(b + 1)) > 0) str(b + 1) = v
   }
 
   // ---- current row group's decoded state: row groups are consumed in
@@ -411,10 +432,11 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
   private var selCur: Array[Int] = null
   private var endCur = 0
   private var valueDataCur: Array[ColumnData] = null
+  private var strValueDataCur: Array[ColumnData] = null
   private var groupDataCur: Array[ColumnData] = null
   private var dictEntriesCur: Array[Array[Byte]] = null
   private var dictIdsCur: Array[Int] = null
-  private var dictLocalCur: Array[Array[Long]] = null
+  private var dictLocalCur: Array[Acc] = null
 
   private def decodeRowGroup(rgIdx: Int, nRows: Int): Unit = {
     // claimed filters: selection vector decides which rows accumulate
@@ -423,6 +445,7 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
     endCur = if (selCur == null) nRows else selCur.length
     if (endCur == 0) return
     valueDataCur = valueCols.map(ci => reader.readChunk(rgIdx, ci))
+    strValueDataCur = strValueCols.map(ci => reader.readChunk(rgIdx, ci))
     // dict fast path: single string group column, all-DICT chunk —
     // accumulate per dict id, then fold ids into the global key map
     val dictView =
@@ -432,7 +455,7 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
     if (dictView != null) {
       dictEntriesCur = dictView._1
       dictIdsCur = dictView._2
-      dictLocalCur = Array.fill(dictEntriesCur.length)(null: Array[Long])
+      dictLocalCur = Array.fill(dictEntriesCur.length)(null: Acc)
     } else {
       groupDataCur = groupIdx.map(ci => reader.readChunk(rgIdx, ci))
     }
@@ -448,14 +471,8 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
         val r = if (selCur == null) i else selCur(i)
         val id = dictIdsCur(r)
         var a = dictLocalCur(id)
-        if (a == null) { a = newAccs(); dictLocalCur(id) = a }
-        a(0) += 1
-        var s = 0
-        while (s < valueCols.length) {
-          val cd = valueDataCur(s)
-          bump(a, s, if (cd.ints != null) cd.ints(r).toLong else cd.longs(r))
-          s += 1
-        }
+        if (a == null) { a = new Acc; dictLocalCur(id) = a }
+        accumulate(a, r)
         i += 1
       }
     } else {
@@ -467,19 +484,27 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
           else if (cd.longs != null) cd.longs(r)
           else UTF8String.fromBytes(cd.strings(r))
         }.toSeq
-        val a = accs.getOrElseUpdate(key, newAccs())
-        a(0) += 1
-        var s = 0
-        while (s < valueCols.length) {
-          val cd = valueDataCur(s)
-          bump(a, s, if (cd.ints != null) cd.ints(r).toLong else cd.longs(r))
-          s += 1
-        }
+        accumulate(accs.getOrElseUpdate(key, new Acc), r)
         i += 1
       }
     }
     rowCursor = end
     if (rowCursor >= endCur) finishRowGroup()
+  }
+
+  @inline private def accumulate(a: Acc, r: Int): Unit = {
+    a.num(0) += 1
+    var s = 0
+    while (s < valueCols.length) {
+      val cd = valueDataCur(s)
+      bump(a.num, s, if (cd.ints != null) cd.ints(r).toLong else cd.longs(r))
+      s += 1
+    }
+    s = 0
+    while (s < strValueCols.length) {
+      bumpStr(a.str, s, strValueDataCur(s).strings(r))
+      s += 1
+    }
   }
 
   private def finishRowGroup(): Unit = {
@@ -501,18 +526,24 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
       }
     }
     curActive = false
-    selCur = null; valueDataCur = null; groupDataCur = null
+    selCur = null; valueDataCur = null; strValueDataCur = null; groupDataCur = null
     dictEntriesCur = null; dictIdsCur = null; dictLocalCur = null
   }
 
-  private def merge(into: Array[Long], from: Array[Long]): Unit = {
-    into(0) += from(0)
+  private def merge(into: Acc, from: Acc): Unit = {
+    into.num(0) += from.num(0)
     var s = 0
     while (s < valueCols.length) {
       val b = 1 + s * slotWidth
-      into(b) += from(b)
-      if (from(b + 1) < into(b + 1)) into(b + 1) = from(b + 1)
-      if (from(b + 2) > into(b + 2)) into(b + 2) = from(b + 2)
+      into.num(b) += from.num(b)
+      if (from.num(b + 1) < into.num(b + 1)) into.num(b + 1) = from.num(b + 1)
+      if (from.num(b + 2) > into.num(b + 2)) into.num(b + 2) = from.num(b + 2)
+      s += 1
+    }
+    s = 0
+    while (s < strValueCols.length) {
+      if (from.str(2 * s) != null) bumpStr(into.str, s, from.str(2 * s))
+      if (from.str(2 * s + 1) != null) bumpStr(into.str, s, from.str(2 * s + 1))
       s += 1
     }
   }
@@ -520,14 +551,17 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
   private def flush(): Unit = {
     accs.foreach { case (key, a) =>
       val vals: Seq[Any] = key ++ aggs.map { sp =>
-        lazy val slot = slotOf(nameToIdx(sp.column))
-        lazy val base = 1 + slot * slotWidth
-        lazy val isInt32 = meta.columns(nameToIdx(sp.column)).colType == TInt32
+        lazy val ci = nameToIdx(sp.column) // lazy: null column for count_star
+        lazy val base = 1 + slotOf(ci) * slotWidth
+        lazy val isInt32 = meta.columns(ci).colType == TInt32
         sp.kind match {
-          case "count_star" | "count" => a(0)
-          case "sum" => a(base)
-          case "min" => if (isInt32) a(base + 1).toInt else a(base + 1)
-          case "max" => if (isInt32) a(base + 2).toInt else a(base + 2)
+          case "count_star" | "count" => a.num(0)
+          case kind if meta.columns(ci).colType == TString =>
+            val b = a.str(2 * strSlotOf(ci) + (if (kind == "min") 0 else 1))
+            if (b == null) null else UTF8String.fromBytes(b)
+          case "sum" => a.num(base)
+          case "min" => if (isInt32) a.num(base + 1).toInt else a.num(base + 1)
+          case "max" => if (isInt32) a.num(base + 2).toInt else a.num(base + 2)
         }
       }
       out.enqueue(InternalRow.fromSeq(vals))

@@ -174,7 +174,7 @@ class ColeAggFuzzSpec extends AnyFunSuite {
     }
   }
 
-  test("string MIN/MAX pushes globally, declines grouped, stays exact") {
+  test("string MIN/MAX pushes globally and grouped, stays exact") {
     val s = spark
     import s.implicits._
     for (unique <- Seq(true, false)) {
@@ -197,12 +197,22 @@ class ColeAggFuzzSpec extends AnyFunSuite {
       assert(f.head() === df.filter(col("m") < 37).agg(min("t"), max("t")).head())
       val empty = cole.filter(col("m") < 0).agg(min("t"), max("t")).head()
       assert(empty.isNullAt(0) && empty.isNullAt(1))
-      // grouped string min/max: declines pushdown, still correct
-      val g = cole.groupBy("m").agg(min("t").as("mn"))
-      assert(!g.queryExecution.executedPlan.toString.contains("PushedAggregates"))
-      assert(g.collect().map(r => r.getInt(0) -> r.getString(1)).toMap ===
-        df.groupBy("m").agg(min("t").as("mn"))
-          .collect().map(r => r.getInt(0) -> r.getString(1)).toMap)
+      // grouped string min/max: pushes via byte-array accumulator slots
+      val g = cole.groupBy("m").agg(min("t").as("mn"), max("t").as("mx"))
+      assert(g.queryExecution.executedPlan.toString.contains("PushedAggregates"),
+        s"grouped string min/max should push (unique=$unique)")
+      assert(g.collect().map(r => r.getInt(0) -> ((r.getString(1), r.getString(2)))).toMap ===
+        df.groupBy("m").agg(min("t").as("mn"), max("t").as("mx"))
+          .collect().map(r => r.getInt(0) -> ((r.getString(1), r.getString(2)))).toMap)
+      // mixed numeric + string aggregates in one grouped pushdown
+      val mix = cole.groupBy("m").agg(sum("id").as("s"), min("t").as("mn"),
+        count(lit(1)).as("c"))
+      assert(mix.collect().map(r => r.getInt(0) ->
+          ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap ===
+        df.groupBy("m").agg(sum("id").as("s"), min("t").as("mn"), count(lit(1)).as("c"))
+          .collect().map(r => r.getInt(0) ->
+            ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap,
+        s"mixed grouped agg diverged (unique=$unique)")
     }
   }
 

@@ -120,19 +120,26 @@ class ColeAggPushdownSpec extends AnyFunSuite {
     assert(rows === expected)
   }
 
-  test("unsupported aggregates fall back; global string MIN pushes") {
+  test("unsupported aggregates fall back; string MIN pushes global and grouped") {
     val d = cole.agg(countDistinct(col("cat")).as("n"))
     assert(scanOf(d).isInstanceOf[ColeScan], "COUNT DISTINCT cannot be pushed")
     assert(d.head().getAs[Long]("n") === 5L)
 
-    // global string MIN/MAX is answered from dictionary entries / value
-    // sweeps inside the source; GROUPED string min/max still falls back
-    // (the grouped reader's accumulator slots are numeric-only)
+    // string MIN/MAX pushes: globally answered from dictionary entries /
+    // value sweeps, grouped via byte-array accumulator slots per key
     val sm = cole.agg(min("cat").as("m"))
     assert(scanOf(sm).isInstanceOf[ColeAggScan], "global string MIN should push")
     assert(sm.head().getAs[String]("m") === "cat_0")
-    val gm = cole.groupBy("runs").agg(min("cat").as("m"))
-    assert(scanOf(gm).isInstanceOf[ColeScan], "grouped string MIN cannot be pushed")
+    val gm = cole.groupBy("runs").agg(min("cat").as("m"), max("cat").as("x"))
+    assert(scanOf(gm).isInstanceOf[ColeAggScan], "grouped string MIN should push")
+    val rows = gm.collect().map(r => r.getAs[Long]("runs") ->
+      ((r.getAs[String]("m"), r.getAs[String]("x")))).toMap
+    val expected = (0 until 30000).groupBy(i => (i / 1000) * 7L)
+      .map { case (k, is) =>
+        val cats = is.map(i => s"cat_${i % 5}")
+        k -> ((cats.min, cats.max))
+      }
+    assert(rows === expected)
   }
 
   test("count() over a pushed agg (empty pruned aggregate list) still works") {
