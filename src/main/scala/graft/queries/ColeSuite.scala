@@ -188,6 +188,32 @@ object ColeSuite {
               FROM lineitem
               WHERE l_returnflag = 'R' AND l_linenumber <= 3
               GROUP BY l_linestatus
+              ORDER BY l_linestatus""")),
+
+    // #93 hive-style partitioned .col table: partitionBy write routes rows
+    // to l_returnflag=<v> directories; the read prunes whole files from
+    // the partition predicate before touching any footer-planned row
+    // group, then pushes the aggregate over the surviving files.
+    Q("cole_partitioned", (s, d) => {
+      val dir = dirFor(d, "partitioned")
+      writeOnce(dir) {
+        Tables.lineitem(s, d).select(cols.map(col): _*)
+          .write.format("cole").mode("overwrite")
+          .partitionBy("l_returnflag").save(dir)
+      }
+      s.read.format("cole").load(dir)
+        .filter(col("l_returnflag") === "A")
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("l_orderkey").as("sum_ok"),
+          min("l_partkey").as("mn_pk"))
+        .orderBy("l_linestatus")
+    },
+      Some("""SELECT l_linestatus, COUNT(*) AS n,
+                     CAST(SUM(l_orderkey) AS BIGINT) AS sum_ok,
+                     MIN(l_partkey) AS mn_pk
+              FROM lineitem
+              WHERE l_returnflag = 'A'
+              GROUP BY l_linestatus
               ORDER BY l_linestatus"""))
   )
 }

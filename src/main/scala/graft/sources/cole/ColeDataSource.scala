@@ -37,12 +37,31 @@ class ColeDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val infos = ColeMetaCache.infos(ColeUtil.path(options), ColeIO.driverConf())
     require(infos.nonEmpty, s"No .col files at ${ColeUtil.path(options)}")
-    ColeUtil.toSparkSchema(infos.head.meta.columns)
+    // hive-style layout: partition columns (from key=value directories)
+    // append after the file columns, like Spark's own file sources
+    val partFields = ColeMetaCache.partitionSchema(infos).map { case (k, t) =>
+      StructField(k, t match {
+        case "int" => IntegerType
+        case "long" => LongType
+        case _ => StringType
+      }, nullable = false)
+    }
+    StructType(ColeUtil.toSparkSchema(infos.head.meta.columns) ++ partFields)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new ColeTable(schema, properties.asScala.toMap)
+      properties: util.Map[String, String]): Table = {
+    // identity transforms arrive from df.write.partitionBy(...): rejected
+    // shapes fail loudly instead of silently writing an unpartitioned table
+    val partCols = partitioning.map { t =>
+      if (t.name == "identity" && t.references.length == 1 &&
+          t.references.head.fieldNames.length == 1)
+        t.references.head.fieldNames.head
+      else throw new IllegalArgumentException(
+        s"COLE supports only identity partitioning (partitionBy on plain columns), got $t")
+    }
+    new ColeTable(schema, partCols.toSeq, properties.asScala.toMap)
+  }
 }
 
 private[cole] object ColeUtil {
@@ -82,28 +101,45 @@ private[cole] object ColeUtil {
     }.toSeq
 }
 
-class ColeTable(schema: StructType, properties: Map[String, String])
+class ColeTable(schema: StructType, writePartCols: Seq[String],
+    properties: Map[String, String])
     extends Table with SupportsRead with SupportsWrite {
+
+  def this(schema: StructType, properties: Map[String, String]) =
+    this(schema, Seq.empty, properties)
 
   override def name(): String = s"cole:${properties.getOrElse("path", "?")}"
   override def schema(): StructType = schema
+  override def partitioning(): Array[Transform] =
+    writePartCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE).asJava
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ColeScanBuilder(schema, ColeUtil.path(options), ColeIO.driverConf())
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val path = ColeUtil.path(options)
+    val conf = ColeIO.driverConf()
+    // partition columns are whatever schema fields the files don't carry
+    val infos = ColeMetaCache.infos(path, conf)
+    val fileCols: Set[String] =
+      if (infos.isEmpty) schema.fieldNames.toSet
+      else infos.head.meta.columns.map(_.name).toSet
+    new ColeScanBuilder(schema, path, conf,
+      schema.fieldNames.filterNot(fileCols).toSet)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ColeWriteBuilder(info.schema(),
       properties.getOrElse("path", info.options().get("path")),
       info.options().getInt("rowGroupSize", 65536),
-      ColeIO.driverConf())
+      ColeIO.driverConf(), writePartCols)
 }
 
 // ------------------------------------------------------------------ read
 
-class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration)
+class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration,
+    partCols: Set[String] = Set.empty)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownLimit with SupportsPushDownTopN {
@@ -143,6 +179,7 @@ class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration)
       case _ => return false
     }
     if (!fullSchema.fieldNames.contains(colName)) return false
+    if (partCols.contains(colName)) return false // constant per file: no stats
     fullSchema(colName).dataType match {
       case IntegerType | LongType => // page stats exist for these
       case _ => return false
@@ -217,7 +254,11 @@ class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration)
     def ref(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case nr: NamedReference if nr.fieldNames.length == 1 =>
-          Some(nr.fieldNames.head).filter(n => fullSchema.fieldNames.contains(n))
+          // partition columns live in the directory layout, not in any
+          // chunk the agg readers can sweep — aggregation over them
+          // falls back to the vectorized scan (constants per file)
+          Some(nr.fieldNames.head)
+            .filter(n => fullSchema.fieldNames.contains(n) && !partCols.contains(n))
         case _ => None
       }
     def numeric(n: String): Boolean = fullSchema(n).dataType match {
@@ -267,8 +308,8 @@ class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration)
   override def build(): Scan =
     if (pushedAggs.nonEmpty)
       new ColeAggScan(path, conf, pushedGroupCols, pushedAggs, aggSchema,
-        pushed.flatMap(ColePredicate.fromFilter))
-    else new ColeScan(fullSchema, required, path, conf, pushed, limit, topN)
+        pushed.flatMap(ColePredicate.fromFilter), partCols)
+    else new ColeScan(fullSchema, required, path, conf, pushed, limit, topN, partCols)
 }
 
 /** One pushed aggregate: kind ∈ {count_star, count, min, max, sum};
@@ -288,18 +329,27 @@ final case class ColeAggSpec(kind: String, column: String)
   */
 class ColeAggScan(path: String, conf: Configuration, groupCols: Seq[String],
     aggs: Seq[ColeAggSpec], schema: StructType,
-    preds: Array[ColePredicate] = Array.empty)
+    allPreds: Array[ColePredicate] = Array.empty,
+    partCols: Set[String] = Set.empty)
     extends Scan with Batch {
 
   private val hconf = new ColeHadoopConf(conf)
+
+  // partition-column predicates prune whole files at planning; only
+  // data-column predicates reach the readers' selection vectors
+  private val (partPreds, preds) = allPreds.partition(p => partCols.contains(p.column))
+
+  private def partitionKeeps(p: ColePredicate, raw: String): Boolean =
+    if (p.isString) p.evalStr(raw.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    else raw.toLongOption.forall(p.eval)
 
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String = {
     val g = if (groupCols.isEmpty) ""
       else s", PushedGroupBy: [${groupCols.mkString(", ")}]"
-    val f = if (preds.isEmpty) ""
-      else s", AppliedFilters: [${preds.mkString(", ")}]"
+    val f = if (allPreds.isEmpty) ""
+      else s", AppliedFilters: [${allPreds.mkString(", ")}]"
     s"ColeAggScan path=$path, PushedAggregates: [${aggs.map(a =>
       s"${a.kind.toUpperCase}(${Option(a.column).getOrElse("*")})").mkString(", ")}]$g$f"
   }
@@ -310,16 +360,21 @@ class ColeAggScan(path: String, conf: Configuration, groupCols: Seq[String],
     // data file is opened here
     val infos = ColeMetaCache.infos(path, conf)
     infos.flatMap { info =>
-      val meta = info.meta
-      val nameToIdx = meta.columns.map(_.name).zipWithIndex.toMap
-      val colIndices = (groupCols ++ aggs.flatMap(a => Option(a.column))).distinct
-        .map(nameToIdx(_)).toArray
-      val rgs = meta.rowGroups.zipWithIndex.collect {
-        case (rg, rgIdx) if rg.numRows > 0 &&
-            !ColePredicate.skipRowGroup(rg, nameToIdx, preds) =>
-          (rgIdx, rg.numRows, colIndices.map(ci => rg.chunks(ci).totalSize).sum)
+      val pv = info.partValues.toMap
+      if (!partPreds.forall(p => pv.get(p.column).exists(partitionKeeps(p, _))))
+        Seq.empty
+      else {
+        val meta = info.meta
+        val nameToIdx = meta.columns.map(_.name).zipWithIndex.toMap
+        val colIndices = (groupCols ++ aggs.flatMap(a => Option(a.column))).distinct
+          .map(nameToIdx(_)).toArray
+        val rgs = meta.rowGroups.zipWithIndex.collect {
+          case (rg, rgIdx) if rg.numRows > 0 &&
+              !ColePredicate.skipRowGroup(rg, nameToIdx, preds) =>
+            (rgIdx, rg.numRows, colIndices.map(ci => rg.chunks(ci).totalSize).sum)
+        }
+        ColePack.pack(info.path, colIndices, rgs, target, preds)
       }
-      ColePack.pack(info.path, colIndices, rgs, target, preds)
     }.toArray match {
       // a fully-pruned (or empty) table still needs ONE partial row for a
       // GLOBAL aggregate: Spark's rewritten final agg over zero partial
@@ -1043,7 +1098,8 @@ private[cole] object ColePredicate {
   */
 final case class ColeInputPartition(file: String, rowGroups: Array[Int],
     colIndices: Array[Int], rowCounts: Array[Int],
-    preds: Array[ColePredicate] = Array.empty) extends InputPartition
+    preds: Array[ColePredicate] = Array.empty,
+    partValues: Array[(String, String)] = Array.empty) extends InputPartition
 
 private[cole] object ColePack {
   /** Greedy-pack (rgIdx, rows, bytes) triples into partitions of roughly
@@ -1051,13 +1107,15 @@ private[cole] object ColePack {
     */
   def pack(file: String, colIndices: Array[Int],
       rgs: Seq[(Int, Int, Long)], targetBytes: Long,
-      preds: Array[ColePredicate] = Array.empty): Seq[ColeInputPartition] = {
+      preds: Array[ColePredicate] = Array.empty,
+      partValues: Array[(String, String)] = Array.empty): Seq[ColeInputPartition] = {
     val out = scala.collection.mutable.ArrayBuffer[ColeInputPartition]()
     val idxs = scala.collection.mutable.ArrayBuffer[Int]()
     val rows = scala.collection.mutable.ArrayBuffer[Int]()
     var acc = 0L
     def flush(): Unit = if (idxs.nonEmpty) {
-      out += ColeInputPartition(file, idxs.toArray, colIndices, rows.toArray, preds)
+      out += ColeInputPartition(file, idxs.toArray, colIndices, rows.toArray, preds,
+        partValues)
       idxs.clear(); rows.clear(); acc = 0L
     }
     rgs.foreach { case (rgIdx, nRows, bytes) =>
@@ -1075,7 +1133,8 @@ private[cole] object ColePack {
 
 class ColeScan(fullSchema: StructType, required: StructType, path: String,
     conf: Configuration, filters: Array[Filter], limit: Int = -1,
-    topN: Option[(String, Boolean, Int)] = None) extends Scan with Batch
+    topN: Option[(String, Boolean, Int)] = None,
+    partCols: Set[String] = Set.empty) extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   private val hconf = new ColeHadoopConf(conf)
@@ -1092,13 +1151,15 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
     * planning and prune row groups by the same page stats — the DSv2 side
     * of dynamic partition pruning. A join against a filtered dim table
     * then reads only the COLE row groups whose stat ranges intersect the
-    * surviving keys.
+    * surviving keys; IN-filters on PARTITION columns prune whole files
+    * (classic dynamic partition pruning at the directory level).
     */
   private var runtimeFilters: Array[Filter] = Array.empty
 
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     fullSchema.fields
-      .filter(f => f.dataType == IntegerType || f.dataType == LongType)
+      .filter(f => f.dataType == IntegerType || f.dataType == LongType ||
+        partCols.contains(f.name))
       .map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
 
   override def filter(newFilters: Array[Filter]): Unit =
@@ -1110,34 +1171,53 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
     * canSkipPage loop. Runtime IN-filters (if any arrived) participate as
     * per-value range checks.
     */
+  private def partitionKeeps(p: ColePredicate, raw: String): Boolean =
+    if (p.isString) p.evalStr(raw.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    else raw.toLongOption.forall(p.eval)
+
   override def planInputPartitions(): Array[InputPartition] = {
     val runtimeIn: Array[ColePredicate] = runtimeFilters.flatMap {
+      // IN on a partition column keeps its set form: evaluated per FILE
+      // against the directory value (dynamic partition pruning)
+      case f @ In(c, _) if partCols.contains(c) =>
+        ColePredicate.fromFilter(f).toArray
       case In(c, vs) =>
         val nums = vs.flatMap(ColePredicate.num)
         if (nums.length == vs.length) nums.map(ColePredicate(c, "eq", _)) else Array.empty[ColePredicate]
       case f => ColePredicate.fromFilter(f).toArray
     }
-    val preds = filters.flatMap(ColePredicate.fromFilter)
+    // partition-column predicates prune whole FILES from the directory
+    // value; only data-column predicates reach stats/selection machinery
+    val (partPreds, preds) =
+      filters.flatMap(ColePredicate.fromFilter).partition(p => partCols.contains(p.column))
+    val (partRuntime, dataRuntime) = runtimeIn.partition(p => partCols.contains(p.column))
+    val fileRequired = StructType(required.filterNot(f => partCols.contains(f.name)))
     val target = ColePack.targetBytes
     // metadata-only planning: footers come from the driver cache (one read
     // per file across the whole query, even when runtime filters trigger a
     // second planning pass), stats prune without opening any data file
     // (file, colIndices, rgIdx, rows, bytes, topN column min/max,
-    //  guaranteed = stats prove every row survives all filters)
+    //  guaranteed = stats prove every row survives all filters, partValues)
     val survivors = ColeMetaCache.infos(path, conf).flatMap { info =>
-      val meta = info.meta
-      val nameToIdx = meta.columns.map(_.name).zipWithIndex.toMap
-      val colIndices = required.fieldNames.map(nameToIdx(_))
-      meta.rowGroups.zipWithIndex.collect {
-        case (rg, rgIdx) if !skipRowGroup(rg, nameToIdx, preds) &&
-            !skipRowGroupIn(rg, nameToIdx, runtimeIn) =>
-          val mm = topN.flatMap { case (c, _, _) =>
-            nameToIdx.get(c).flatMap(meta.statsMinMax(rgIdx, _)) }
-          val guaranteed = runtimeIn.isEmpty &&
-            (preds.isEmpty ||
-              ColePredicate.fullyKeepsRowGroup(rg, nameToIdx, preds))
-          (info.path, colIndices, rgIdx, rg.numRows,
-            colIndices.map(ci => rg.chunks(ci).totalSize).sum, mm, guaranteed)
+      val pv = info.partValues.toMap
+      if (!(partPreds ++ partRuntime).forall(p =>
+          pv.get(p.column).exists(partitionKeeps(p, _)))) Seq.empty
+      else {
+        val meta = info.meta
+        val nameToIdx = meta.columns.map(_.name).zipWithIndex.toMap
+        val colIndices = fileRequired.fieldNames.map(nameToIdx(_))
+        meta.rowGroups.zipWithIndex.collect {
+          case (rg, rgIdx) if !skipRowGroup(rg, nameToIdx, preds) &&
+              !skipRowGroupIn(rg, nameToIdx, dataRuntime) =>
+            val mm = topN.flatMap { case (c, _, _) =>
+              nameToIdx.get(c).flatMap(meta.statsMinMax(rgIdx, _)) }
+            val guaranteed = dataRuntime.isEmpty &&
+              (preds.isEmpty ||
+                ColePredicate.fullyKeepsRowGroup(rg, nameToIdx, preds))
+            (info.path, colIndices, rgIdx, rg.numRows,
+              colIndices.map(ci => rg.chunks(ci).totalSize).sum, mm, guaranteed,
+              info.partValues)
+        }
       }
     }
     // ORDER BY col LIMIT n data skipping: at least n FILTER-SURVIVING rows
@@ -1171,13 +1251,15 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
     val parts = afterTopN.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
       case (file, rgs) =>
         ColePack.pack(file, rgs.head._2,
-          rgs.map(r => (r._3, r._4, r._5)).sortBy(_._1), target, preds)
+          rgs.map(r => (r._3, r._4, r._5)).sortBy(_._1), target, preds,
+          rgs.head._8.toArray)
     }
     // a pushed LIMIT with no row-dropping predicates can stop planning
     // once enough rows are covered, truncated at row-group granularity
-    // (Spark trims to the exact count above the scan). Guard on `preds`,
-    // not the raw Filter array: a claimed IsNotNull drops nothing.
-    if (limit >= 0 && preds.isEmpty && runtimeFilters.isEmpty) {
+    // (Spark trims to the exact count above the scan). Guard on the DATA
+    // preds, not the raw Filter array: a claimed IsNotNull drops nothing,
+    // and partition predicates fully keep every surviving file.
+    if (limit >= 0 && preds.isEmpty && dataRuntime.isEmpty) {
       val out = scala.collection.mutable.ArrayBuffer[InputPartition]()
       var covered = 0L
       val it = parts.iterator
@@ -1328,7 +1410,7 @@ class ColeColumnarReader(part: ColeInputPartition, required: StructType,
 
   override def get(): ColumnarBatch = {
     val n = math.min(BatchSize, rgRows - offset)
-    val vecs = new Array[org.apache.spark.sql.vectorized.ColumnVector](columns.length)
+    val vecs = new Array[org.apache.spark.sql.vectorized.ColumnVector](required.length)
     var i = 0
     while (i < columns.length) {
       val v = new OnHeapColumnVector(n, required.fields(i).dataType)
@@ -1343,6 +1425,26 @@ class ColeColumnarReader(part: ColeInputPartition, required: StructType,
         case (entries: Array[Array[Byte]], ids: Array[Int]) =>
           v.setDictionary(new ColeVectorDictionary(entries))
           v.reserveDictionaryIds(n).putInts(0, n, ids, offset)
+      }
+      vecs(i) = v
+      i += 1
+    }
+    // partition columns (required fields past the file columns): constant
+    // vectors from the file's directory values — strings as a 1-entry
+    // dictionary, so no per-row byte copies
+    while (i < required.length) {
+      val f = required.fields(i)
+      val raw = part.partValues.collectFirst { case (k, v) if k == f.name => v }
+        .getOrElse(throw new IllegalStateException(
+          s"missing partition value for '${f.name}' in ${part.file}"))
+      val v = new OnHeapColumnVector(n, f.dataType)
+      f.dataType match {
+        case IntegerType => v.putInts(0, n, raw.toInt)
+        case LongType => v.putLongs(0, n, raw.toLong)
+        case _ =>
+          v.setDictionary(new ColeVectorDictionary(
+            Array(raw.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+          v.reserveDictionaryIds(n).putInts(0, n, 0)
       }
       vecs(i) = v
       i += 1
@@ -1400,9 +1502,23 @@ class ColeRowReader(part: ColeInputPartition, required: StructType,
     true
   }
 
+  // partition columns are the required fields past the file columns,
+  // constant per file from the directory values
+  private val partConsts: Array[Any] =
+    required.fields.drop(part.colIndices.length).map { f =>
+      val raw = part.partValues.collectFirst { case (k, v) if k == f.name => v }
+        .getOrElse(throw new IllegalStateException(
+          s"missing partition value for '${f.name}' in ${part.file}"))
+      f.dataType match {
+        case IntegerType => raw.toInt
+        case LongType => raw.toLong
+        case _ => UTF8String.fromString(raw)
+      }
+    }
+
   override def get(): InternalRow = {
     val r = if (sel == null) row else sel(row)
-    val values = new Array[Any](columns.length)
+    val values = new Array[Any](columns.length + partConsts.length)
     var i = 0
     while (i < columns.length) {
       val c = columns(i)
@@ -1412,6 +1528,8 @@ class ColeRowReader(part: ColeInputPartition, required: StructType,
         else UTF8String.fromBytes(c.strings(r))
       i += 1
     }
+    var p = 0
+    while (p < partConsts.length) { values(i + p) = partConsts(p); p += 1 }
     InternalRow.fromSeq(values.toIndexedSeq)
   }
 
@@ -1421,7 +1539,8 @@ class ColeRowReader(part: ColeInputPartition, required: StructType,
 // ------------------------------------------------------------------ write
 
 class ColeWriteBuilder(schema: StructType, path: String, rowGroupSize: Int,
-    conf: Configuration) extends WriteBuilder with SupportsTruncate {
+    conf: Configuration, partCols: Seq[String] = Seq.empty)
+    extends WriteBuilder with SupportsTruncate {
 
   private var doTruncate = false
 
@@ -1429,38 +1548,139 @@ class ColeWriteBuilder(schema: StructType, path: String, rowGroupSize: Int,
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new ColeBatchWrite(schema, path, rowGroupSize, doTruncate, conf)
+      new ColeBatchWrite(schema, path, rowGroupSize, doTruncate, conf, partCols)
   }
 }
 
-final case class ColeCommitMessage(file: String) extends WriterCommitMessage
+final case class ColeCommitMessage(files: Seq[String]) extends WriterCommitMessage
 
 class ColeBatchWrite(schema: StructType, path: String, rowGroupSize: Int,
-    truncate: Boolean, conf: Configuration) extends BatchWrite {
+    truncate: Boolean, conf: Configuration, partCols: Seq[String])
+    extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    // validate the schema eagerly on the driver
+    // validate the schema (and the partition columns) eagerly on the driver
     ColeUtil.toColeColumns(schema)
+    partCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column '$c' not in write schema"))
+    require(partCols.size < schema.size,
+      "cannot partition by every column: no data columns remain")
     val (fs, dir) = ColeIO.resolve(path, conf)
     if (!fs.exists(dir)) fs.mkdirs(dir)
     if (truncate)
-      ColeIO.listStatus(path, conf).foreach(s => fs.delete(s.getPath, false))
-    new ColeWriterFactory(schema, path, rowGroupSize, new ColeHadoopConf(conf))
+      ColeIO.listPartitioned(path, conf).foreach { case (s, _) =>
+        fs.delete(s.getPath, false)
+      }
+    new ColeWriterFactory(schema, path, rowGroupSize, new ColeHadoopConf(conf), partCols)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case ColeCommitMessage(f) =>
-      val (fs, p) = ColeIO.resolve(f, conf)
-      fs.delete(p, false)
+    messages.collect { case ColeCommitMessage(fs0) =>
+      fs0.foreach { f =>
+        val (fs, p) = ColeIO.resolve(f, conf)
+        fs.delete(p, false)
+      }
     }
 }
 
 class ColeWriterFactory(schema: StructType, path: String, rowGroupSize: Int,
-    hconf: ColeHadoopConf) extends DataWriterFactory {
+    hconf: ColeHadoopConf, partCols: Seq[String] = Seq.empty)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ColeDataWriter(schema, f"$path/part-$partitionId%05d-$taskId.col",
-      rowGroupSize, hconf.value)
+    if (partCols.isEmpty)
+      new ColeDataWriter(schema, f"$path/part-$partitionId%05d-$taskId.col",
+        rowGroupSize, hconf.value)
+    else
+      new ColePartitionedDataWriter(schema, path, partitionId, taskId,
+        rowGroupSize, hconf.value, partCols)
+}
+
+/** Hive-style partitioned writer: routes each row to a per-partition-value
+  * sub-writer under `key=value/` directories (values escaped), writing the
+  * DATA columns only — partition values live in the directory name, like
+  * Spark's own file sources. Spark usually sorts/repartitions by the
+  * partition expressions before v2 writes, so the open-writer map stays
+  * small; unsorted input degrades to one open writer per distinct value
+  * per task, bounded by [[ColePartitionedDataWriter.MaxOpenWriters]].
+  */
+object ColePartitionedDataWriter { val MaxOpenWriters = 256 }
+
+class ColePartitionedDataWriter(schema: StructType, baseDir: String,
+    partitionId: Int, taskId: Long, rowGroupSize: Int, conf: Configuration,
+    partCols: Seq[String]) extends DataWriter[InternalRow] {
+
+  private val partIdx: Array[Int] = partCols.map(schema.fieldIndex).toArray
+  private val dataIdx: Array[Int] =
+    schema.fields.indices.filterNot(partIdx.contains(_)).toArray
+  private val dataSchema = StructType(dataIdx.map(schema.fields(_)))
+
+  private val writers = scala.collection.mutable.LinkedHashMap.empty[String, ColeDataWriter]
+  private val closedFiles = scala.collection.mutable.ArrayBuffer.empty[String]
+
+  private def partDir(record: InternalRow): String =
+    partIdx.zipWithIndex.map { case (fi, i) =>
+      if (record.isNullAt(fi))
+        throw new ColeFormatException(
+          s"COLE format does not support NULLs (partition column '${partCols(i)}')")
+      val raw = schema.fields(fi).dataType match {
+        case IntegerType => record.getInt(fi).toString
+        case LongType => record.getLong(fi).toString
+        case _ => record.getUTF8String(fi).toString
+      }
+      s"${partCols(i)}=${ColeIO.escape(raw)}"
+    }.mkString("/")
+
+  override def write(record: InternalRow): Unit = {
+    val dir = partDir(record)
+    val w = writers.get(dir) match {
+      case Some(w) => w
+      case None =>
+        if (writers.size >= ColePartitionedDataWriter.MaxOpenWriters) {
+          // evict the least-recently-created writer; its file commits
+          // as-is (multiple part files per partition value are fine)
+          val (oldKey, oldest) = writers.head
+          closedFiles ++= oldest.commitFiles()
+          writers.remove(oldKey)
+        }
+        val fresh = new ColeDataWriter(dataSchema,
+          f"$baseDir/$dir/part-$partitionId%05d-$taskId-${writers.size + closedFiles.size}%d.col",
+          rowGroupSize, conf)
+        writers.put(dir, fresh)
+        fresh
+    }
+    // project the data columns into the sub-writer's row shape
+    val proj = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(dataIdx.length)
+    var i = 0
+    while (i < dataIdx.length) {
+      val fi = dataIdx(i)
+      if (!record.isNullAt(fi)) {
+        dataSchema.fields(i).dataType match {
+          case IntegerType => proj.update(i, record.getInt(fi))
+          case LongType => proj.update(i, record.getLong(fi))
+          case _ => proj.update(i, record.getUTF8String(fi))
+        }
+      }
+      i += 1
+    }
+    w.write(proj)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writers.values.foreach(w => closedFiles ++= w.commitFiles())
+    writers.clear()
+    ColeCommitMessage(closedFiles.toSeq)
+  }
+
+  override def abort(): Unit = {
+    writers.values.foreach(_.abort())
+    closedFiles.foreach { f =>
+      val (fs, p) = ColeIO.resolve(f, conf)
+      fs.delete(p, false)
+    }
+  }
+
+  override def close(): Unit = ()
 }
 
 /** Per-task writer: buffers a row group of columns, picks an encoding per
@@ -1543,11 +1763,16 @@ class ColeDataWriter(schema: StructType, file: String, rowGroupSize: Int,
     if (distinct.size * 2 < probe || distinct.size <= 256) Dict else Plain
   }
 
-  override def commit(): WriterCommitMessage = {
+  /** Flush, close, and return the written file — for use as a sub-writer
+    * of the partitioned writer.
+    */
+  def commitFiles(): Seq[String] = {
     flush()
     writer.close()
-    ColeCommitMessage(file)
+    Seq(file)
   }
+
+  override def commit(): WriterCommitMessage = ColeCommitMessage(commitFiles())
 
   override def abort(): Unit = {
     writer.close()

@@ -49,6 +49,54 @@ object ColeIO {
       else Seq(st)
     }
   }
+
+  /** Hive-style partition-aware listing: `.col` files directly in the
+    * table directory carry no partition values; files under nested
+    * `key=value` directories carry one (key, value) pair per level.
+    * Directories that don't match `key=value` are ignored. Sorted for
+    * deterministic planning order.
+    */
+  def listPartitioned(path: String, conf: Configuration)
+      : Seq[(FileStatus, Seq[(String, String)])] = {
+    val (fs, p) = resolve(path, conf)
+    if (!fs.exists(p)) return Seq.empty
+    val st = fs.getFileStatus(p)
+    if (st.isFile) return Seq((st, Seq.empty))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(FileStatus, Seq[(String, String)])]
+    def walk(dir: HPath, parts: Vector[(String, String)]): Unit =
+      fs.listStatus(dir).foreach { s =>
+        if (s.isFile && s.getPath.getName.endsWith(".col")) out += ((s, parts))
+        else if (s.isDirectory) s.getPath.getName.split("=", 2) match {
+          case Array(k, v) if k.nonEmpty => walk(s.getPath, parts :+ (k -> unescape(v)))
+          case _ => ()
+        }
+      }
+    walk(p, Vector.empty)
+    out.sortBy(_._1.getPath.toString).toSeq
+  }
+
+  /** Minimal hive-style escaping for partition values in directory names. */
+  def escape(v: String): String = {
+    val sb = new StringBuilder
+    v.foreach {
+      case c @ ('/' | '=' | '%' | '\\' | ':') =>
+        sb.append(f"%%${c.toInt}%02X")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  def unescape(v: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < v.length) {
+      if (v(i) == '%' && i + 3 <= v.length) {
+        sb.append(Integer.parseInt(v.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(v(i)); i += 1 }
+    }
+    sb.toString
+  }
 }
 
 /** Serializable Hadoop `Configuration` carrier for the reader/writer
@@ -79,7 +127,8 @@ final class ColeHadoopConf(@transient var value: Configuration) extends Serializ
   * filesystem call beyond the listing itself.
   */
 object ColeMetaCache {
-  final case class FileInfo(path: String, len: Long, meta: FileMeta)
+  final case class FileInfo(path: String, len: Long, meta: FileMeta,
+      partValues: Seq[(String, String)] = Seq.empty)
 
   private val MaxEntries = 4096
   private val cache = new ConcurrentHashMap[String, (Long, Long, FileMeta)]()
@@ -90,9 +139,9 @@ object ColeMetaCache {
   val footerReads = new AtomicLong(0)
 
   def infos(table: String, conf: Configuration): Seq[FileInfo] = {
-    val statuses = ColeIO.listStatus(table, conf)
+    val statuses = ColeIO.listPartitioned(table, conf)
     import scala.collection.parallel.CollectionConverters._
-    statuses.par.map { st =>
+    statuses.par.map { case (st, parts) =>
       val key = st.getPath.toString
       val (mtime, len) = (st.getModificationTime, st.getLen)
       val hit = cache.get(key)
@@ -106,7 +155,28 @@ object ColeMetaCache {
           cache.put(key, (mtime, len, m))
           m
         }
-      FileInfo(key, len, meta)
+      FileInfo(key, len, meta, parts)
     }.seq.toSeq
+  }
+
+  /** Partition schema inferred from the listing: the first file's key
+    * sequence, typed INT if every value across files parses as an Int,
+    * else LONG if every value parses as a Long, else STRING. Empty for
+    * flat (unpartitioned) tables.
+    */
+  def partitionSchema(infos: Seq[FileInfo]): Seq[(String, String)] = {
+    if (infos.isEmpty || infos.head.partValues.isEmpty) return Seq.empty
+    val keys = infos.head.partValues.map(_._1)
+    require(infos.forall(_.partValues.map(_._1) == keys),
+      s"inconsistent partition directory structure under a COLE table: " +
+        s"expected keys $keys")
+    keys.zipWithIndex.map { case (k, i) =>
+      val vals = infos.map(_.partValues(i)._2)
+      val tpe =
+        if (vals.forall(v => v.toIntOption.isDefined)) "int"
+        else if (vals.forall(v => v.toLongOption.isDefined)) "long"
+        else "string"
+      (k, tpe)
+    }
   }
 }
