@@ -426,6 +426,203 @@ object RelationalSuite {
                WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
                  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""")),
 
+    // #94 TPC-H Q7 volume shipping: five-way join with two broadcast
+    // nation dims, revenue between a nation pair by direction and year.
+    Q("tpch_q7", (s, d) => {
+      val n1 = broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+      Tables.supplier(s, d)
+        .join(Tables.lineitem(s, d), col("s_suppkey") === col("l_suppkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(n1, col("s_nationkey") === col("s_nk"))
+        .join(n2, col("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+          col("l_shipdate") < ts("1998-01-01 00:00:00"))
+        .withColumn("l_year", year(col("l_shipdate")))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(psum(revenue(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+      Some(s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                      CAST(YEAR(l_shipdate) AS INT) AS l_year,
+                      ${psumSql(revenueSql)} AS revenue
+               FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+                 JOIN orders ON l_orderkey = o_orderkey
+                 JOIN customer ON o_custkey = c_custkey
+                 JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                 JOIN nation n2 ON c_nationkey = n2.n_nationkey
+               WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+                 AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                 AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+               GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    // #95 TPC-H Q8 national market share: a region's customer revenue on
+    // one part type, NATION_3-supplied share per order year.
+    Q("tpch_q8", (s, d) => {
+      val amNations = broadcast(Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cust_nk")))
+      val suppNation = broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("supp_nk"), col("n_name").as("supp_nation")))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).filter(col("p_type") === "ECONOMY")
+          .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(amNations, col("c_nationkey") === col("cust_nk"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(suppNation, col("s_nationkey") === col("supp_nk"))
+        .withColumn("o_year", year(col("o_orderdate")))
+        .groupBy("o_year")
+        .agg((psum(when(col("supp_nation") === "NATION_3",
+            revenue(col("l_extendedprice"), col("l_discount"))).otherwise(lit(null))) /
+          psum(revenue(col("l_extendedprice"), col("l_discount")))).as("mkt_share"))
+        .orderBy("o_year")
+    },
+      Some(s"""SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+                      ${psumSql(s"CASE WHEN n2.n_name = 'NATION_3' THEN $revenueSql ELSE NULL END")} /
+                      ${psumSql(revenueSql)} AS mkt_share
+               FROM lineitem JOIN part ON l_partkey = p_partkey
+                 JOIN orders ON l_orderkey = o_orderkey
+                 JOIN customer ON o_custkey = c_custkey
+                 JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                 JOIN region ON n1.n_regionkey = r_regionkey
+                 JOIN supplier ON l_suppkey = s_suppkey
+                 JOIN nation n2 ON s_nationkey = n2.n_nationkey
+               WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+               GROUP BY 1 ORDER BY 1""")),
+
+    // #96 TPC-H Q13 customer order distribution: left join preserves
+    // zero-order customers, two-level aggregation.
+    Q("tpch_q13", (s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+      Some("""SELECT c_count, COUNT(*) AS custdist
+              FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+                    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                    GROUP BY c_custkey)
+              GROUP BY c_count
+              ORDER BY custdist DESC, c_count DESC""")),
+
+    // #97 TPC-H Q15 top supplier: suppliers whose quarter revenue equals
+    // the maximum — revenue kept as EXACT decimal through the max-equality
+    // join (a double compare could split ties differently per engine).
+    Q("tpch_q15", (s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+          col("l_shipdate") < ts("1996-04-01 00:00:00"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(revenue(col("l_extendedprice"), col("l_discount")))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 6)).as("total_rev"))
+      val mx = broadcast(rev.agg(max(col("total_rev")).as("mx")))
+      rev.join(mx, col("total_rev") === col("mx"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_rev").cast("double").as("total_rev"))
+        .orderBy("s_suppkey")
+    },
+      Some(s"""WITH rev AS (
+                 SELECT l_suppkey, CAST(SUM($revenueSql) AS DECIMAL(38,6)) AS total_rev
+                 FROM lineitem
+                 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                   AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+                 GROUP BY l_suppkey)
+               SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+               FROM rev JOIN supplier ON l_suppkey = s_suppkey
+               WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+               ORDER BY s_suppkey""")),
+
+    // #98 TPC-H Q17 small-quantity-order revenue: per-part average
+    // quantity as a correlated threshold. The 0.2*avg comparison is
+    // rewritten to the integer-exact 5 * qty * count < sum so both
+    // engines decide the boundary identically (a rounded decimal
+    // division would not).
+    Q("tpch_q17", (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val perPart = li.groupBy(col("l_partkey").as("agg_pk"))
+        .agg(sum(dec(col("l_quantity")))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 4)).as("qty_sum"),
+          count(lit(1)).as("qty_n"))
+      li.join(broadcast(Tables.part(s, d)
+          .filter(col("p_brand") === "Brand#3" && col("p_size") <= 20)
+          .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+        .join(perPart, col("l_partkey") === col("agg_pk"))
+        .filter(dec(col("l_quantity")) * lit(5) * col("qty_n") < col("qty_sum"))
+        .agg((psum(dmoney(col("l_extendedprice"))) / lit(7.0)).as("avg_yearly"))
+    },
+      Some(s"""SELECT ${psumSql(dmoneySql("l_extendedprice"))} / 7.0 AS avg_yearly
+               FROM lineitem JOIN part ON l_partkey = p_partkey
+                 JOIN (SELECT l_partkey AS agg_pk,
+                              CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DECIMAL(38,4)) AS qty_sum,
+                              COUNT(*) AS qty_n
+                       FROM lineitem GROUP BY l_partkey) ON l_partkey = agg_pk
+               WHERE p_brand = 'Brand#3' AND p_size <= 20
+                 AND CAST(l_quantity AS DECIMAL(25,4)) * 5 * qty_n < qty_sum""")),
+
+    // #99 TPC-H Q18 large-volume customers: orders whose total quantity
+    // clears a threshold (exact decimal compare), top by order value.
+    Q("tpch_q18", (s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").as("big_ok"))
+        .agg(sum(dec(col("l_quantity")))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 4)).as("sum_qty_dec"))
+        .filter(col("sum_qty_dec") > 300)
+      Tables.orders(s, d)
+        .join(big, col("o_orderkey") === col("big_ok"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"),
+          col("sum_qty_dec").cast("double").as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+      Some("""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                     CAST(sum_qty_dec AS DOUBLE) AS sum_qty
+              FROM orders
+                JOIN (SELECT l_orderkey AS big_ok,
+                             CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DECIMAL(38,4)) AS sum_qty_dec
+                      FROM lineitem GROUP BY l_orderkey
+                      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DECIMAL(38,4)) > 300)
+                  ON o_orderkey = big_ok
+                JOIN customer ON o_custkey = c_custkey
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
+
+    // #100 TPC-H Q19 discounted revenue: OR of brand/size/quantity
+    // conjunctions — one broadcast join, predicate-only selectivity.
+    Q("tpch_q19", (s, d) => {
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+            col("l_quantity").between(20, 30)))
+        .agg(psum(revenue(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+    },
+      Some(s"""SELECT ${psumSql(revenueSql)} AS revenue
+               FROM lineitem JOIN part ON l_partkey = p_partkey
+               WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                      AND l_quantity BETWEEN 1 AND 11)
+                  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+                      AND l_quantity BETWEEN 10 AND 20)
+                  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+                      AND l_quantity BETWEEN 20 AND 30)""")),
+
     // #31 tumbling time-window aggregation over the event stream (batch
     // twin of streaming/EventsPipeline; epoch-aligned hourly buckets).
     Q("events_window",

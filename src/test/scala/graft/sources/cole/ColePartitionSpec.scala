@@ -122,6 +122,24 @@ class ColePartitionSpec extends AnyFunSuite {
         .map { case (k, is) => k -> is.map(_.toLong).sum })
   }
 
+  test("append mode adds part files without clobbering existing data") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    val a = (0 until 500).map(i => (i.toLong, s"g-${i % 2}")).toDF("id", "g")
+    val b = (500 until 800).map(i => (i.toLong, s"g-${i % 2}")).toDF("id", "g")
+    a.write.format("cole").mode("overwrite").partitionBy("g").save(dir)
+    b.write.format("cole").mode("append").partitionBy("g").save(dir)
+    val back = spark.read.format("cole").load(dir)
+    assert(back.count() === 800)
+    assert(back.agg(sum("id")).head().getLong(0) === (0L until 800L).sum)
+    // flat append too
+    val dir2 = freshDir()
+    a.write.format("cole").mode("overwrite").save(dir2)
+    b.write.format("cole").mode("append").save(dir2)
+    assert(spark.read.format("cole").load(dir2).count() === 800)
+  }
+
   test("dynamic partition pruning: a join's runtime IN filter prunes files") {
     val s = spark
     import s.implicits._
