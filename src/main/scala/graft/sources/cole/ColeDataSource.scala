@@ -254,13 +254,16 @@ class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration,
     def ref(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case nr: NamedReference if nr.fieldNames.length == 1 =>
-          // partition columns live in the directory layout, not in any
-          // chunk the agg readers can sweep — aggregation over them
-          // falls back to the vectorized scan (constants per file)
-          Some(nr.fieldNames.head)
-            .filter(n => fullSchema.fieldNames.contains(n) && !partCols.contains(n))
+          Some(nr.fieldNames.head).filter(fullSchema.fieldNames.contains)
         case _ => None
       }
+    // GROUPING BY a partition column is fine — the key is a per-file
+    // constant the reader emits without reading any chunk (a count-only
+    // group-by over partition columns answers from footer metadata
+    // alone). AGGREGATING a partition column is not: there is no chunk
+    // to sweep, so those shapes fall back to the vectorized scan.
+    def aggRef(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      ref(e).filter(n => !partCols.contains(n))
     def numeric(n: String): Boolean = fullSchema(n).dataType match {
       case IntegerType | LongType => true
       case _ => false
@@ -273,13 +276,13 @@ class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration,
     val specs = aggregation.aggregateExpressions.map {
       case _: CountStar => Some(ColeAggSpec("count_star", null))
       case c: Count if !c.isDistinct =>
-        ref(c.column).map(ColeAggSpec("count", _)) // COLE has no NULLs: count = rows
-      case m: Min => ref(m.column).filter(n => numeric(n) || strMinMaxOk(n))
+        aggRef(c.column).map(ColeAggSpec("count", _)) // COLE has no NULLs: count = rows
+      case m: Min => aggRef(m.column).filter(n => numeric(n) || strMinMaxOk(n))
         .map(ColeAggSpec("min", _))
-      case m: Max => ref(m.column).filter(n => numeric(n) || strMinMaxOk(n))
+      case m: Max => aggRef(m.column).filter(n => numeric(n) || strMinMaxOk(n))
         .map(ColeAggSpec("max", _))
       case s: Sum if !s.isDistinct =>
-        ref(s.column).filter(numeric).map(ColeAggSpec("sum", _))
+        aggRef(s.column).filter(numeric).map(ColeAggSpec("sum", _))
       case _ => None
     }
     if (specs.exists(_.isEmpty)) return false
@@ -366,14 +369,17 @@ class ColeAggScan(path: String, conf: Configuration, groupCols: Seq[String],
       else {
         val meta = info.meta
         val nameToIdx = meta.columns.map(_.name).zipWithIndex.toMap
-        val colIndices = (groupCols ++ aggs.flatMap(a => Option(a.column))).distinct
+        // partition group columns are per-file constants — they need no
+        // chunk, so they never enter the projected column set
+        val colIndices = (groupCols.filterNot(partCols.contains) ++
+            aggs.flatMap(a => Option(a.column))).distinct
           .map(nameToIdx(_)).toArray
         val rgs = meta.rowGroups.zipWithIndex.collect {
           case (rg, rgIdx) if rg.numRows > 0 &&
               !ColePredicate.skipRowGroup(rg, nameToIdx, preds) =>
             (rgIdx, rg.numRows, colIndices.map(ci => rg.chunks(ci).totalSize).sum)
         }
-        ColePack.pack(info.path, colIndices, rgs, target, preds)
+        ColePack.pack(info.path, colIndices, rgs, target, preds, info.partValues.toArray)
       }
     }.toArray match {
       // a fully-pruned (or empty) table still needs ONE partial row for a
@@ -391,17 +397,18 @@ class ColeAggScan(path: String, conf: Configuration, groupCols: Seq[String],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ColeAggReaderFactory(groupCols, aggs, hconf)
+    new ColeAggReaderFactory(groupCols, aggs, hconf, schema, partCols)
 }
 
 class ColeAggReaderFactory(groupCols: Seq[String], aggs: Seq[ColeAggSpec],
-    hconf: ColeHadoopConf) extends PartitionReaderFactory {
+    hconf: ColeHadoopConf, aggSchema: StructType, partCols: Set[String])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     if (groupCols.isEmpty)
       new ColeAggReader(partition.asInstanceOf[ColeInputPartition], aggs, hconf.value)
     else
       new ColeGroupAggReader(partition.asInstanceOf[ColeInputPartition], groupCols,
-        aggs, hconf.value)
+        aggs, hconf.value, aggSchema, partCols)
 }
 
 /** Grouped partial aggregation inside the source: per row group, decode
@@ -413,15 +420,41 @@ class ColeAggReaderFactory(groupCols: Seq[String], aggs: Seq[ColeAggSpec],
   * final aggregate to merge.
   */
 class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
-    aggs: Seq[ColeAggSpec], conf: Configuration)
+    aggs: Seq[ColeAggSpec], conf: Configuration, aggSchema: StructType,
+    partCols: Set[String] = Set.empty)
     extends PartitionReader[InternalRow] {
 
   private val FlushGroups = 1 << 16
 
-  private val reader = new ColeFileReader(part.file, conf)
-  private val meta = reader.meta
-  private val nameToIdx = meta.columns.map(_.name).zipWithIndex.toMap
-  private val groupIdx: Array[Int] = groupCols.map(nameToIdx(_)).toArray
+  // lazy: the metadata-only group-by path (constant keys, count-only, no
+  // filters) answers from the planner-provided row counts and never opens
+  // the data file at all
+  private var readerOpened = false
+  private lazy val reader = {
+    readerOpened = true
+    new ColeFileReader(part.file, conf)
+  }
+  private lazy val meta = reader.meta
+  private lazy val nameToIdx = meta.columns.map(_.name).zipWithIndex.toMap
+
+  /** Per group column: Left(file column index) reads chunks; Right(value)
+    * is a partition constant from the file's directory, typed by the agg
+    * schema (group fields lead it positionally).
+    */
+  private val groupSources: Array[Either[Int, Any]] =
+    groupCols.zipWithIndex.map { case (g, gi) =>
+      if (partCols.contains(g)) {
+        val raw = part.partValues.collectFirst { case (k, v) if k == g => v }
+          .getOrElse(throw new IllegalStateException(
+            s"missing partition value for '$g' in ${part.file}"))
+        Right(aggSchema.fields(gi).dataType match {
+          case IntegerType => raw.toInt
+          case LongType => raw.toLong
+          case _ => UTF8String.fromString(raw)
+        }): Either[Int, Any]
+      } else Left(nameToIdx(g)): Either[Int, Any]
+    }.toArray
+  private val fileGroupIdx: Array[Int] = groupSources.collect { case Left(i) => i }
   // distinct value columns that need sweeps (sum/min/max), split by
   // physical shape: numeric columns use primitive long slots, string
   // min/max columns use byte-array slots
@@ -501,18 +534,19 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
     if (endCur == 0) return
     valueDataCur = valueCols.map(ci => reader.readChunk(rgIdx, ci))
     strValueDataCur = strValueCols.map(ci => reader.readChunk(rgIdx, ci))
-    // dict fast path: single string group column, all-DICT chunk —
+    // dict fast path: single string FILE group column, all-DICT chunk —
     // accumulate per dict id, then fold ids into the global key map
     val dictView =
-      if (groupIdx.length == 1 && meta.columns(groupIdx(0)).colType == TString)
-        reader.readStringChunkDict(rgIdx, groupIdx(0))
+      if (groupSources.length == 1 && fileGroupIdx.length == 1 &&
+          meta.columns(fileGroupIdx(0)).colType == TString)
+        reader.readStringChunkDict(rgIdx, fileGroupIdx(0))
       else null
     if (dictView != null) {
       dictEntriesCur = dictView._1
       dictIdsCur = dictView._2
       dictLocalCur = Array.fill(dictEntriesCur.length)(null: Acc)
     } else {
-      groupDataCur = groupIdx.map(ci => reader.readChunk(rgIdx, ci))
+      groupDataCur = fileGroupIdx.map(ci => reader.readChunk(rgIdx, ci))
     }
     rowCursor = 0
     curActive = true
@@ -534,12 +568,22 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
       var i = rowCursor
       while (i < end) {
         val r = if (selCur == null) i else selCur(i)
-        val key: Seq[Any] = groupDataCur.map { cd =>
-          if (cd.ints != null) cd.ints(r)
-          else if (cd.longs != null) cd.longs(r)
-          else UTF8String.fromBytes(cd.strings(r))
-        }.toSeq
-        accumulate(accs.getOrElseUpdate(key, new Acc), r)
+        val key = new Array[Any](groupSources.length)
+        var gi = 0
+        var fi = 0
+        while (gi < groupSources.length) {
+          groupSources(gi) match {
+            case Right(const) => key(gi) = const
+            case Left(_) =>
+              val cd = groupDataCur(fi); fi += 1
+              key(gi) =
+                if (cd.ints != null) cd.ints(r)
+                else if (cd.longs != null) cd.longs(r)
+                else UTF8String.fromBytes(cd.strings(r))
+          }
+          gi += 1
+        }
+        accumulate(accs.getOrElseUpdate(key.toSeq, new Acc), r)
         i += 1
       }
     }
@@ -625,6 +669,22 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
   }
 
   override def next(): Boolean = {
+    // metadata-only group-by: every group key is a partition constant,
+    // only counts are requested, and no filter is claimed — the partial
+    // row comes from footer row counts without reading a single chunk
+    if (fileGroupIdx.isEmpty && valueCols.isEmpty && strValueCols.isEmpty &&
+        part.preds.isEmpty) {
+      if (!done) {
+        done = true
+        val a = new Acc
+        a.num(0) = part.rowCounts.map(_.toLong).sum
+        if (a.num(0) > 0) {
+          accs.put(groupSources.map(_.toOption.get).toSeq, a)
+          flush()
+        }
+      }
+      return out.nonEmpty
+    }
     while (out.isEmpty && !done) {
       if (curActive) {
         processSlice()
@@ -642,7 +702,7 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
 
   override def get(): InternalRow = out.dequeue()
 
-  override def close(): Unit = reader.close()
+  override def close(): Unit = if (readerOpened) reader.close()
 }
 
 class ColeAggReader(part: ColeInputPartition, aggs: Seq[ColeAggSpec],

@@ -114,12 +114,37 @@ class ColePartitionSpec extends AnyFunSuite {
     assert(q.queryExecution.executedPlan.toString.contains("PushedAggregates"))
     assert(q.head() === org.apache.spark.sql.Row(
       (0 until 4000).filter(_ % 4 == 2).map(_.toLong).sum, 1000L))
-    // grouping BY the partition column falls back (correctly) to the scan
+    // grouping BY the partition column pushes: the key is a per-file
+    // constant the reader emits without reading the group chunk
     val g = back.groupBy("part").agg(sum("v").as("s"))
-    assert(!g.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+    assert(g.queryExecution.executedPlan.toString.contains("PushedGroupBy: [part]"),
+      s"group-by partition column should push:\n${g.queryExecution.executedPlan}")
     assert(g.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
       (0 until 4000).groupBy(i => s"p-${i % 4}")
         .map { case (k, is) => k -> is.map(_.toLong).sum })
+    // AGGREGATING a partition column still falls back
+    val m = back.groupBy("v").agg(min("part"))
+    assert(!m.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+  }
+
+  test("count-only group-by over partition columns is metadata-only") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    (0 until 6000).map(i => (i.toLong, s"g-${i % 6}"))
+      .toDF("id", "g").write.format("cole").mode("overwrite")
+      .partitionBy("g").save(dir)
+    val q = spark.read.format("cole").load(dir).groupBy("g").count()
+    assert(q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      (0 until 6).map(i => s"g-$i" -> 1000L).toMap)
+    // second run: footers are cached, keys are directory constants, counts
+    // come from the planner's row counts — ZERO file opens end to end
+    val before = ColeIO.opens.get()
+    val again = spark.read.format("cole").load(dir).groupBy("g").count()
+    assert(again.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      (0 until 6).map(i => s"g-$i" -> 1000L).toMap)
+    assert(ColeIO.opens.get() === before,
+      s"metadata-only group-by opened ${ColeIO.opens.get() - before} files")
   }
 
   test("append mode adds part files without clobbering existing data") {
