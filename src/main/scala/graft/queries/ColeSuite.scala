@@ -37,9 +37,14 @@ object ColeSuite {
     * "read" would be the wrong shape at scale, and it distorts the bench).
     */
   private def writeOnce(dir: String)(write: => Unit): Unit = {
-    val existing = Option(new java.io.File(dir).listFiles())
-      .getOrElse(Array.empty).filter(_.getName.endsWith(".col"))
-    if (existing.isEmpty) write
+    // partitioned fixtures keep their .col files under key=value
+    // subdirectories — recurse, or the "read" query re-writes per run
+    def hasCol(f: java.io.File): Boolean = {
+      val children = Option(f.listFiles()).getOrElse(Array.empty)
+      children.exists(c => c.isFile && c.getName.endsWith(".col")) ||
+        children.exists(c => c.isDirectory && hasCol(c))
+    }
+    if (!hasCol(new java.io.File(dir))) write
   }
 
   private val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",

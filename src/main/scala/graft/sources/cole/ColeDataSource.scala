@@ -862,7 +862,8 @@ class ColeAggReader(part: ColeInputPartition, aggs: Seq[ColeAggSpec],
   */
 private[cole] final case class ColePredicate(column: String, op: String, value: Long,
     strValue: Array[Byte] = null, values: Array[Long] = null,
-    strValues: Array[Array[Byte]] = null) {
+    strValues: Array[Array[Byte]] = null,
+    orChildren: Array[ColePredicate] = null) {
 
   /** String claims ("eqs" equality, "nes" inequality, "ins" membership,
     * "sw"/"ew"/"ct" starts-/ends-with/contains) are applied by
@@ -875,6 +876,7 @@ private[cole] final case class ColePredicate(column: String, op: String, value: 
     */
   def isString: Boolean = op match {
     case "eqs" | "nes" | "ins" | "sw" | "ew" | "ct" => true
+    case "or" => orChildren.head.isString
     case _ => false
   }
 
@@ -889,6 +891,7 @@ private[cole] final case class ColePredicate(column: String, op: String, value: 
       java.util.Arrays.equals(b, b.length - strValue.length, b.length,
         strValue, 0, strValue.length)
     case "ct" => indexOfBytes(b, strValue) >= 0
+    case "or" => orChildren.exists(_.evalStr(b))
     case _ => false
   }
 
@@ -905,6 +908,7 @@ private[cole] final case class ColePredicate(column: String, op: String, value: 
   }
 
   override def toString: String = {
+    if (op == "or") return orChildren.mkString("(", " OR ", ")")
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
     val v =
       if (strValue != null) new String(strValue, utf8)
@@ -916,7 +920,11 @@ private[cole] final case class ColePredicate(column: String, op: String, value: 
   }
 
   /** True when NO row in a page with these stats can match. */
-  def canSkip(stats: PageStats): Boolean = (stats.minInt, stats.maxInt) match {
+  def canSkip(stats: PageStats): Boolean =
+    if (op == "or") orChildren.forall(_.canSkip(stats))
+    else canSkipLeaf(stats)
+
+  private def canSkipLeaf(stats: PageStats): Boolean = (stats.minInt, stats.maxInt) match {
     case (Some(mn), Some(mx)) => op match {
       case "eq" => value < mn || value > mx
       case "gt" => mx <= value
@@ -934,7 +942,11 @@ private[cole] final case class ColePredicate(column: String, op: String, value: 
     * of [[canSkip]], used to prove a row group survives a filter intact
     * (e.g. for counting guaranteed rows toward a TopN stat threshold).
     */
-  def mustKeep(stats: PageStats): Boolean = (stats.minInt, stats.maxInt) match {
+  def mustKeep(stats: PageStats): Boolean =
+    if (op == "or") orChildren.exists(_.mustKeep(stats))
+    else mustKeepLeaf(stats)
+
+  private def mustKeepLeaf(stats: PageStats): Boolean = (stats.minInt, stats.maxInt) match {
     case (Some(mn), Some(mx)) => op match {
       case "eq" => mn == value && mx == value
       case "gt" => mn > value
@@ -959,6 +971,7 @@ private[cole] final case class ColePredicate(column: String, op: String, value: 
     case "le" => 4
     case "in" => 5
     case "ne" => 6
+    case "or" => 7
     case _ => -1
   }
 
@@ -976,6 +989,13 @@ private[cole] final case class ColePredicate(column: String, op: String, value: 
     case 4 => v <= value
     case 5 => java.util.Arrays.binarySearch(sortedValues, v) >= 0
     case 6 => v != value
+    case 7 =>
+      var i = 0
+      while (i < orChildren.length) {
+        if (orChildren(i).eval(v)) return true
+        i += 1
+      }
+      false
     case _ => false
   }
 }
@@ -1033,6 +1053,19 @@ private[cole] object ColePredicate {
     case StringContains(c, v) =>
       Some(ColePredicate(c, "ct", 0L,
         v.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    // same-column disjunction: skip only when EVERY branch is impossible,
+    // evaluate rows as exists(branch). Cross-column ORs stay residual —
+    // they cannot be decided against a single column's decoded values.
+    case Or(l, r) =>
+      for {
+        lp <- fromFilter(l)
+        rp <- fromFilter(r)
+        if lp.column == rp.column && lp.isString == rp.isString
+      } yield {
+        def flat(p: ColePredicate): Array[ColePredicate] =
+          if (p.op == "or") p.orChildren else Array(p)
+        ColePredicate(lp.column, "or", 0L, orChildren = flat(lp) ++ flat(rp))
+      }
     case _ => None
   }
 

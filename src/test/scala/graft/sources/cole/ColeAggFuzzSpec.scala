@@ -106,14 +106,49 @@ class ColeAggFuzzSpec extends AnyFunSuite {
         fins(df).agg(count(lit(1)), sum("v_long")).head(),
         s"string-IN agg diverged (seed=$seed n=$n)")
 
-      // claimed negation + string pattern predicates
+      // claimed negation + string pattern predicates + same-column ORs
       for (fc <- Seq(col("grp") =!= gsel, col("v_int") =!= lo,
           col("grp").startsWith("g1"), col("grp").endsWith("2"),
-          col("grp").contains("3"))) {
+          col("grp").contains("3"),
+          col("v_int") < lo || col("v_int") >= hi,
+          col("grp") === gsel || col("grp").endsWith("1"),
+          col("v_int") === lo || col("v_int") === hi || col("v_int") > 900)) {
         assert(cole.filter(fc).count() === df.filter(fc).count(),
           s"predicate $fc diverged (seed=$seed n=$n)")
       }
+      // cross-column OR stays residual but exact
+      val cross = col("v_int") < lo || col("grp") === gsel
+      assert(cole.filter(cross).count() === df.filter(cross).count(),
+        s"cross-column OR diverged (seed=$seed n=$n)")
     }
+  }
+
+  test("same-column OR is claimed; cross-column OR stays residual") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 10000).map(i => (i.toLong, s"t-${i % 7}")).toDF("id", "t")
+    val dir = Files.createTempDirectory("cole_or_claim").toString
+    df.coalesce(1).write.format("cole").mode("overwrite")
+      .option("rowGroupSize", "1000").save(dir)
+    val cole = s.read.format("cole").load(dir)
+    val same = cole.filter(col("id") < 1000L || col("id") >= 9000L)
+    assert(same.count() === 2000L)
+    val ps = same.queryExecution.executedPlan.toString
+    assert(!ps.contains("Filter "), s"same-column OR left a residual filter:\n$ps")
+    // sorted ids + disjoint row groups: the OR's stat skip plans only the
+    // row groups either branch can touch
+    val b = new ColeScanBuilder(cole.schema, dir, ColeIO.driverConf())
+    b.pushFilters(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.Or(
+        org.apache.spark.sql.sources.LessThan("id", 1000L),
+        org.apache.spark.sql.sources.GreaterThanOrEqual("id", 9000L))))
+    val planned = b.build().asInstanceOf[ColeScan].planInputPartitions()
+      .map(_.asInstanceOf[ColeInputPartition].rowGroups.length).sum
+    assert(planned === 2, s"OR stat-skip planned $planned row groups, want 2")
+    // cross-column OR: residual Filter present, result exact
+    val cross = cole.filter(col("id") < 100L || col("t") === "t-3")
+    assert(cross.queryExecution.executedPlan.toString.contains("Filter "))
+    assert(cross.count() === df.filter(col("id") < 100L || col("t") === "t-3").count())
   }
 
   test("IN filters are claimed: no residual Filter above the scan") {
