@@ -623,6 +623,291 @@ object RelationalSuite {
                   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
                       AND l_quantity BETWEEN 20 AND 30)""")),
 
+    // #101 TPC-H Q2 (adapted) minimum-cost supplier. This schema has no
+    // partsupp, so the part-supplier catalog derives from lineitem:
+    // "supply cost" of (part, supplier) := MIN(l_extendedprice) ever
+    // charged. For one size/type slice, EUROPE suppliers matching the
+    // per-part regional minimum (a correlated-min subquery, here a
+    // groupBy-min rejoin). MIN picks an existing double value — exact
+    // cross-engine without decimal casts.
+    Q("tpch_q2", (s, d) => {
+      val eurSupp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val cost = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice")).as("supp_cost"))
+        .join(broadcast(Tables.part(s, d)
+          .filter(col("p_type") === "LARGE" && col("p_size").between(10, 20))
+          .select("p_partkey", "p_brand")), col("l_partkey") === col("p_partkey"))
+        .join(eurSupp, col("l_suppkey") === col("s_suppkey"))
+      val minCost = cost.groupBy(col("p_partkey").as("min_pk"))
+        .agg(min(col("supp_cost")).as("min_cost"))
+      cost.join(minCost, col("p_partkey") === col("min_pk") &&
+          col("supp_cost") === col("min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+          col("p_brand"), col("supp_cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    },
+      Some("""WITH cost AS (
+                SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS supp_cost
+                FROM lineitem GROUP BY 1, 2)
+              SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, supp_cost
+              FROM cost
+                JOIN part ON l_partkey = p_partkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+              WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 20
+                AND r_name = 'EUROPE'
+                AND supp_cost = (
+                  SELECT MIN(c2.supp_cost) FROM cost c2
+                  JOIN supplier s2 ON c2.l_suppkey = s2.s_suppkey
+                  JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+                  JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+                  WHERE c2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+              ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""")),
+
+    // #102 TPC-H Q4 (adapted) order priority checking. No commit/receipt
+    // dates in this schema, so "late" := shipped more than 60 days after
+    // the order date; the shape — a correlated EXISTS become a left-semi
+    // join with a non-equi condition — is Q4's.
+    Q("tpch_q4", (s, d) => {
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") >= ts("1996-07-01 00:00:00") &&
+          col("o_orderdate") < ts("1996-10-01 00:00:00"))
+        .join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+      Some("""SELECT o_orderpriority, COUNT(*) AS order_count
+              FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+                AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+                AND EXISTS (SELECT 1 FROM lineitem
+                            WHERE l_orderkey = o_orderkey
+                              AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // #103 TPC-H Q9 (adapted) product-type profit. partsupp's supplycost
+    // is gone, so unit cost := 60% of p_retailprice (2-decimal in the
+    // data; quantities are integral — both factor casts exact). Each
+    // profit term is cast to DECIMAL(20,6) before the subtraction so
+    // neither engine's intermediate widens past 38 digits.
+    Q("tpch_q9", (s, d) => {
+      val dec206 = org.apache.spark.sql.types.DecimalType(20, 6)
+      val profit =
+        revenue(col("l_extendedprice"), col("l_discount")).cast(dec206) -
+          (dmoney(col("p_retailprice")) *
+            col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(12, 2)) *
+            lit(0.6).cast(org.apache.spark.sql.types.DecimalType(2, 1))).cast(dec206)
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).filter(col("p_name").contains("widget"))
+          .select("p_partkey", "p_retailprice")), col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .withColumn("o_year", year(col("o_orderdate")))
+        .groupBy(col("n_name").as("nation"), col("o_year"))
+        .agg(psum(profit).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+      Some(s"""SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS INT) AS o_year,
+                      ${psumSql(s"CAST($revenueSql AS DECIMAL(20,6)) - " +
+                        s"CAST(${dmoneySql("p_retailprice")} * CAST(l_quantity AS DECIMAL(12,2)) * " +
+                        "CAST(0.6 AS DECIMAL(2,1)) AS DECIMAL(20,6))")} AS sum_profit
+               FROM lineitem JOIN part ON l_partkey = p_partkey
+                 JOIN orders ON l_orderkey = o_orderkey
+                 JOIN supplier ON l_suppkey = s_suppkey
+                 JOIN nation ON s_nationkey = n_nationkey
+               WHERE p_name LIKE '%widget%'
+               GROUP BY 1, 2 ORDER BY nation, o_year DESC""")),
+
+    // #104 TPC-H Q11 (adapted) important stock: per-part inventory value
+    // held by one nation's suppliers, kept when above 1/500 of the nation
+    // total. No partsupp, so value := decimal sum of extendedprice over
+    // that nation's lineitems; the share threshold is the integer-exact
+    // 500·part_value > total (a decimal-fraction product would round
+    // differently per engine).
+    Q("tpch_q11", (s, d) => {
+      val byPart = Tables.lineitem(s, d)
+        .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_5")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(sum(dmoney(col("l_extendedprice")))
+          .cast(org.apache.spark.sql.types.DecimalType(20, 4)).as("part_value_dec"))
+      val total = broadcast(byPart.agg(sum(col("part_value_dec"))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 4)).as("total_value")))
+      byPart.crossJoin(total)
+        .filter(col("part_value_dec") * lit(500) > col("total_value"))
+        .select(col("l_partkey"), col("part_value_dec").cast("double").as("part_value"))
+        .orderBy(col("part_value").desc, col("l_partkey"))
+    },
+      Some(s"""WITH byp AS (
+                 SELECT l_partkey,
+                        CAST(SUM(${dmoneySql("l_extendedprice")}) AS DECIMAL(20,4)) AS part_value_dec
+                 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                   JOIN nation ON s_nationkey = n_nationkey
+                 WHERE n_name = 'NATION_5'
+                 GROUP BY l_partkey)
+               SELECT l_partkey, CAST(part_value_dec AS DOUBLE) AS part_value
+               FROM byp,
+                 (SELECT CAST(SUM(part_value_dec) AS DECIMAL(38,4)) AS total_value FROM byp) t
+               WHERE part_value_dec * 500 > total_value
+               ORDER BY part_value DESC, l_partkey""")),
+
+    // #105 TPC-H Q16 (adapted) parts/supplier relationship: supplier
+    // diversity per (brand, type, size) over the lineitem-derived
+    // catalog, excluding one brand, one type, and "complaint" suppliers
+    // (proxy: negative account balance — no comment column) via NOT IN.
+    Q("tpch_q16", (s, d) => {
+      Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+        .join(Tables.supplier(s, d).filter(col("s_acctbal") < 0)
+          .select(col("s_suppkey").as("bad_sk")),
+          col("l_suppkey") === col("bad_sk"), "left_anti")
+        .join(broadcast(Tables.part(s, d)
+          .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 4, 9, 16, 25, 36, 49))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    },
+      Some("""SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+                AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+                AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+              GROUP BY 1, 2, 3
+              ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")),
+
+    // #106 TPC-H Q20 (adapted) potential part promotion: one nation's
+    // suppliers who shipped most of their lifetime volume of some
+    // red-named part recently (2·recent > total, exact decimal
+    // quantities). partsupp availability is gone, so "excess stock"
+    // becomes recent-shipment share; the nested-IN chain (part →
+    // (part,supplier) volumes → suppliers) is Q20's.
+    Q("tpch_q20", (s, d) => {
+      val vol = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).filter(col("p_name").startsWith("red"))
+          .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(dec(col("l_quantity"))).as("total_qty"),
+          sum(when(col("l_shipdate") >= ts("1999-01-01 00:00:00"),
+            dec(col("l_quantity")))).as("recent_qty"))
+        .filter(col("recent_qty") * 2 > col("total_qty"))
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_7")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(vol, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_name"), col("s_suppkey"))
+        .orderBy("s_name")
+    },
+      Some("""SELECT s_name, s_suppkey
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              WHERE n_name = 'NATION_7'
+                AND s_suppkey IN (
+                  SELECT l_suppkey FROM lineitem
+                  WHERE l_partkey IN (SELECT p_partkey FROM part
+                                      WHERE p_name LIKE 'red%')
+                  GROUP BY l_partkey, l_suppkey
+                  HAVING CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+                                       THEN CAST(l_quantity AS DECIMAL(25,4)) END)
+                              AS DECIMAL(38,4)) * 2
+                         > CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DECIMAL(38,4)))
+              ORDER BY s_name""")),
+
+    // #107 TPC-H Q21 (adapted) suppliers who kept orders waiting: for
+    // finished orders, count each late lineitem whose supplier was the
+    // ONLY late supplier on a multi-supplier order ("late" := shipped
+    // >60 days after the order date — no receipt/commit dates here).
+    // The two correlated EXISTS become one per-order aggregate: distinct
+    // suppliers > 1 and distinct LATE suppliers == 1.
+    Q("tpch_q21", (s, d) => {
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"), col("l_orderkey") === col("o_orderkey"))
+        .withColumn("is_late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      val per = li.groupBy(col("l_orderkey").as("agg_ok"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late_supp"))
+        .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+      li.filter(col("is_late"))
+        .join(per, col("l_orderkey") === col("agg_ok"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_4")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    },
+      Some("""SELECT s_name, COUNT(*) AS numwait
+              FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+                JOIN orders ON o_orderkey = l1.l_orderkey
+              WHERE n_name = 'NATION_4' AND o_orderstatus = 'F'
+                AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+                AND EXISTS (SELECT 1 FROM lineitem l2
+                            WHERE l2.l_orderkey = l1.l_orderkey
+                              AND l2.l_suppkey <> l1.l_suppkey)
+                AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                                WHERE l3.l_orderkey = l1.l_orderkey
+                                  AND l3.l_suppkey <> l1.l_suppkey
+                                  AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+              GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""")),
+
+    // #108 TPC-H Q22 (adapted) global sales opportunity: rich customers
+    // with no URGENT orders (every customer here has orders, so the
+    // original's order-less NOT EXISTS would be empty), grouped by a
+    // derived "country code" (no phone column) := c_nationkey % 5. The
+    // above-positive-average balance filter is rewritten integer-exact
+    // (bal·n > total) — a divided average would round differently per
+    // engine.
+    Q("tpch_q22", (s, d) => {
+      val dec12 = org.apache.spark.sql.types.DecimalType(12, 4)
+      val cust = Tables.customer(s, d)
+        .withColumn("cntrycode", (col("c_nationkey") % 5).cast("int"))
+        .filter(col("cntrycode").isin(0, 2, 4))
+      val thresh = broadcast(cust.filter(col("c_acctbal") > 0)
+        .agg(sum(col("c_acctbal").cast(dec12)).as("tot_bal"),
+          count(lit(1)).as("n_pos")))
+      cust.join(Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .crossJoin(thresh)
+        .filter(col("c_acctbal").cast(dec12) * col("n_pos") > col("tot_bal"))
+        .groupBy("cntrycode")
+        .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy("cntrycode")
+    },
+      Some(s"""WITH cust AS (
+                 SELECT c_custkey, c_acctbal, CAST(c_nationkey % 5 AS INT) AS cntrycode
+                 FROM customer WHERE c_nationkey % 5 IN (0, 2, 4)),
+               t AS (
+                 SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS tot_bal,
+                        COUNT(*) AS n_pos
+                 FROM cust WHERE c_acctbal > 0)
+               SELECT cntrycode, COUNT(*) AS numcust, ${dsumSql("c_acctbal")} AS totacctbal
+               FROM cust, t
+               WHERE CAST(c_acctbal AS DECIMAL(12,4)) * n_pos > tot_bal
+                 AND NOT EXISTS (SELECT 1 FROM orders
+                                 WHERE o_custkey = c_custkey
+                                   AND o_orderpriority = '1-URGENT')
+               GROUP BY cntrycode ORDER BY cntrycode""")),
+
     // #31 tumbling time-window aggregation over the event stream (batch
     // twin of streaming/EventsPipeline; epoch-aligned hourly buckets).
     Q("events_window",

@@ -147,6 +147,32 @@ class PlanAuditSpec extends AnyFunSuite {
       s"ORDER BY + LIMIT over .col must prune row groups by stats:\n$p")
   }
 
+  test("tpch_q2/q4/q9/q11/q16/q20/q21/q22: no product joins (single-row scalar broadcasts excepted)") {
+    for (q <- Seq("tpch_q2", "tpch_q4", "tpch_q9", "tpch_q16", "tpch_q20", "tpch_q21")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q contains a cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q contains a nested-loop join:\n$p")
+    }
+    // q11/q22 join every row against ONE broadcast aggregate row (the
+    // share denominator / balance threshold) — a BNLJ over a single-row
+    // build side is the scalar-subquery pattern, not a blowup.
+    for (q <- Seq("tpch_q11", "tpch_q22")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q contains a cartesian product:\n$p")
+    }
+  }
+
+  test("tpch_q4 turns the correlated EXISTS into a semi join") {
+    val p = plan("tpch_q4")
+    assert(p.contains("LeftSemi"), s"q4 EXISTS should be a left-semi join:\n$p")
+  }
+
+  test("tpch_q21 aggregates per-order supplier sets with map-side combine") {
+    val p = plan("tpch_q21")
+    assert(p.contains("partial_"), s"q21 per-order aggregate lost map-side combine:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), "q21 top-100 should not be a full sort")
+  }
+
   test("subquery_in executes as a semi join, not a product") {
     val p = plan("subquery_in")
     assert(p.contains("SemiJoin") || p.contains("LeftSemi"), s"IN-subquery not a semi join:\n$p")
