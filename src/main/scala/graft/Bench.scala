@@ -7,14 +7,21 @@ package graft
   * one-time plan compilation and JIT warmup to whichever query happens
   * to run first.
   *
-  * The stdout line keeps times at 4 decimals so the full 91-query map
-  * fits the driver's bounded tail capture (full precision truncated at
-  * ~70 queries in earlier rounds); the untruncated full-precision map —
-  * including all timed runs per query, for round-over-round variance
-  * analysis — goes to BENCH_LOCAL.json next to the build.
+  * The driver captures only the LAST ~2000 characters of stdout, and the
+  * full per-query map no longer fits (108 queries × ~22 chars ≈ 2.4 KB —
+  * r1/r2 shipped a truncated, unparseable line this way). So stdout
+  * carries the total plus the SLOWEST queries that fit a 1700-char
+  * budget — the informative end of the distribution — with `n` (queries
+  * run) and `omitted` (fastest entries elided); the complete map, at
+  * full precision with every timed run, goes to BENCH_LOCAL.json next
+  * to the build for round-over-round variance analysis.
   */
 object Bench {
   private val TimedRuns = 3
+  /** stdout budget for the per-query map: the driver's tail capture is
+    * 2000 chars and the trailing sbt "[success]" line costs ~90.
+    */
+  private val MapBudget = 1700
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -31,18 +38,27 @@ object Bench {
     val results = runs.map { case (name, ts) =>
       name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.4f""" }
+    // slowest-first so anything elided by the budget is a fast query
+    val sorted = results.toSeq.sortBy { case (_, v) => -v }
+      .map { case (k, v) => "\"" + k + f"""":$v%.4f""" }
+    val kept = new scala.collection.mutable.ArrayBuffer[String]
+    var used = 0
+    for (e <- sorted if used + e.length + 1 <= MapBudget) {
+      kept += e; used += e.length + 1
+    }
+    val qs = kept.mkString("{", ",", "}")
+    val fullQs = results.map { case (k, v) => "\"" + k + f"""":$v%.4f""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size}%d,"omitted":${results.size - kept.size}%d,"full":"BENCH_LOCAL.json","queries":$qs%s,"sf":"$sfDir%s"}"""
     // full-precision artifact for round-over-round comparison
     val full = runs.map { case (k, ts) =>
       "\"" + k + "\":[" + ts.mkString(",") + "]"
     }.mkString("{", ",", "}")
     try {
       val w = new java.io.PrintWriter("BENCH_LOCAL.json")
-      try w.println(s"""{"sf":"$sfDir","best":$qs,"runs":$full}""") finally w.close()
+      try w.println(s"""{"sf":"$sfDir","best":$fullQs,"runs":$full}""") finally w.close()
     } catch { case _: Exception => () }
     println(line)
     spark.stop()
