@@ -224,8 +224,13 @@ class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration,
     }
     val (claimed, residual) = filters.partition(claimable)
     pushed = claimed
+    // residual cross-column ORs are still worth their page stats: keep a
+    // skip-only form for row-group pruning (rows re-check the residual)
+    skipOnly = residual.flatMap(f => ColePredicate.skipOnlyFromFilter(f).toSeq)
     residual
   }
+
+  private var skipOnly: Array[ColeOrSkip] = Array.empty
 
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -312,7 +317,8 @@ class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration,
     if (pushedAggs.nonEmpty)
       new ColeAggScan(path, conf, pushedGroupCols, pushedAggs, aggSchema,
         pushed.flatMap(ColePredicate.fromFilter), partCols)
-    else new ColeScan(fullSchema, required, path, conf, pushed, limit, topN, partCols)
+    else new ColeScan(fullSchema, required, path, conf, pushed, limit, topN, partCols,
+      skipOnly)
 }
 
 /** One pushed aggregate: kind ∈ {count_star, count, min, max, sum};
@@ -343,8 +349,7 @@ class ColeAggScan(path: String, conf: Configuration, groupCols: Seq[String],
   private val (partPreds, preds) = allPreds.partition(p => partCols.contains(p.column))
 
   private def partitionKeeps(p: ColePredicate, raw: String): Boolean =
-    if (p.isString) p.evalStr(raw.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    else raw.toLongOption.forall(p.eval)
+    ColePredicate.partitionKeeps(p, raw)
 
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
@@ -1069,6 +1074,31 @@ private[cole] object ColePredicate {
     case _ => None
   }
 
+  /** A CROSS-column disjunction converts to a skip-only form when every
+    * branch converts on its own column: the filter stays residual (rows
+    * cannot be decided against one column's decoded values) but a row
+    * group whose stats prove EVERY branch impossible is still pruned at
+    * planning. At 100 TB, `status = 'X' OR amount > 1e9` style filters
+    * then skip most of the table instead of reading it into the residual.
+    */
+  def skipOnlyFromFilter(f: Filter): Option[ColeOrSkip] = f match {
+    case Or(_, _) =>
+      def branches(x: Filter): Option[Seq[ColePredicate]] = x match {
+        case Or(a, b) => for { u <- branches(a); v <- branches(b) } yield u ++ v
+        case other => fromFilter(other)
+          .map(p => if (p.op == "or") p.orChildren.toSeq else Seq(p))
+      }
+      branches(f).map(bs => ColeOrSkip(bs.toArray))
+    case _ => None
+  }
+
+  /** Evaluate a predicate against a partition column's directory value
+    * (a per-file constant): used for file-level pruning.
+    */
+  def partitionKeeps(p: ColePredicate, raw: String): Boolean =
+    if (p.isString) p.evalStr(raw.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    else raw.toLongOption.forall(p.eval)
+
   /** Skip a row group when some predicate eliminates every page of its
     * column's chunk — shared by the data scan and the aggregate scan so
     * both paths always prune the same set.
@@ -1224,10 +1254,32 @@ private[cole] object ColePack {
     catch { case _: Throwable => 128L * 1024 * 1024 }
 }
 
+/** Planning-only disjunction over branches on (possibly) different
+  * columns — see [[ColePredicate.skipOnlyFromFilter]]. Skips a row group
+  * when every branch is provably impossible there: data-column branches
+  * from page stats, partition-column branches from the file's constant.
+  * An undecidable branch (unknown column, no pages) keeps the group.
+  */
+private[cole] final case class ColeOrSkip(branches: Array[ColePredicate]) {
+  def skips(rg: RowGroupMeta, nameToIdx: Map[String, Int],
+      partValues: Map[String, String]): Boolean =
+    branches.forall { p =>
+      if (partValues.contains(p.column))
+        !ColePredicate.partitionKeeps(p, partValues(p.column))
+      else nameToIdx.get(p.column).exists { ci =>
+        val pages = rg.chunks(ci).pages
+        pages.nonEmpty && pages.forall(ph => p.canSkip(ph.stats))
+      }
+    }
+
+  override def toString: String = branches.mkString("(", " OR ", ")")
+}
+
 class ColeScan(fullSchema: StructType, required: StructType, path: String,
     conf: Configuration, filters: Array[Filter], limit: Int = -1,
     topN: Option[(String, Boolean, Int)] = None,
-    partCols: Set[String] = Set.empty) extends Scan with Batch
+    partCols: Set[String] = Set.empty,
+    skipOnly: Array[ColeOrSkip] = Array.empty) extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   private val hconf = new ColeHadoopConf(conf)
@@ -1236,6 +1288,7 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
   override def toBatch: Batch = this
   override def description(): String =
     s"ColeScan path=$path, pushed=[${filters.mkString(", ")}]" +
+      (if (skipOnly.nonEmpty) s", SkipOnly: [${skipOnly.mkString(", ")}]" else "") +
       (if (limit >= 0) s", PushedLimit: $limit" else "") +
       topN.fold("") { case (c, desc, n) =>
         s", PushedTopN: [${if (desc) s"$c DESC" else s"$c ASC"} LIMIT $n]" }
@@ -1265,8 +1318,7 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
     * per-value range checks.
     */
   private def partitionKeeps(p: ColePredicate, raw: String): Boolean =
-    if (p.isString) p.evalStr(raw.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    else raw.toLongOption.forall(p.eval)
+    ColePredicate.partitionKeeps(p, raw)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val runtimeIn: Array[ColePredicate] = runtimeFilters.flatMap {
@@ -1301,7 +1353,8 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
         val colIndices = fileRequired.fieldNames.map(nameToIdx(_))
         meta.rowGroups.zipWithIndex.collect {
           case (rg, rgIdx) if !skipRowGroup(rg, nameToIdx, preds) &&
-              !skipRowGroupIn(rg, nameToIdx, dataRuntime) =>
+              !skipRowGroupIn(rg, nameToIdx, dataRuntime) &&
+              !skipOnly.exists(_.skips(rg, nameToIdx, pv)) =>
             val mm = topN.flatMap { case (c, _, _) =>
               nameToIdx.get(c).flatMap(meta.statsMinMax(rgIdx, _)) }
             val guaranteed = dataRuntime.isEmpty &&
@@ -1352,7 +1405,9 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
     // (Spark trims to the exact count above the scan). Guard on the DATA
     // preds, not the raw Filter array: a claimed IsNotNull drops nothing,
     // and partition predicates fully keep every surviving file.
-    if (limit >= 0 && preds.isEmpty && dataRuntime.isEmpty) {
+    // skipOnly nonempty means a row-dropping residual filter exists above
+    // the scan — never stop planning early on a pushed limit then
+    if (limit >= 0 && preds.isEmpty && dataRuntime.isEmpty && skipOnly.isEmpty) {
       val out = scala.collection.mutable.ArrayBuffer[InputPartition]()
       var covered = 0L
       val it = parts.iterator

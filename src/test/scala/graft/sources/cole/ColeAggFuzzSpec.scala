@@ -151,6 +151,42 @@ class ColeAggFuzzSpec extends AnyFunSuite {
     assert(cross.count() === df.filter(col("id") < 100L || col("t") === "t-3").count())
   }
 
+  test("cross-column OR prunes row groups skip-only while staying residual") {
+    val s = spark
+    import s.implicits._
+    // both columns ascend together: branch ranges map onto disjoint
+    // row-group sets, so stat skipping can prove most groups impossible
+    val df = (0 until 10000).map(i => (i.toLong, i.toLong * 10, s"t-${i % 7}"))
+      .toDF("a", "b", "t")
+    val dir = Files.createTempDirectory("cole_or_skiponly").toString
+    df.coalesce(1).write.format("cole").mode("overwrite")
+      .option("rowGroupSize", "1000").save(dir)
+    val cole = s.read.format("cole").load(dir)
+    val q = cole.filter(col("a") < 1000L || col("b") >= 90000L)
+    assert(q.count() === 2000L)
+    val ps = q.queryExecution.executedPlan.toString
+    assert(ps.contains("Filter "), "cross-column OR must stay residual")
+    assert(ps.contains("SkipOnly"), s"cross-column OR missing from SkipOnly:\n$ps")
+    val b = new ColeScanBuilder(cole.schema, dir, ColeIO.driverConf())
+    val residual = b.pushFilters(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.Or(
+        org.apache.spark.sql.sources.LessThan("a", 1000L),
+        org.apache.spark.sql.sources.GreaterThanOrEqual("b", 90000L))))
+    assert(residual.length === 1, "cross-column OR must come back as residual")
+    val planned = b.build().asInstanceOf[ColeScan].planInputPartitions()
+      .map(_.asInstanceOf[ColeInputPartition].rowGroups.length).sum
+    assert(planned === 2, s"skip-only OR planned $planned row groups, want 2")
+    // an OR with an unconvertible branch must not skip anything
+    val b2 = new ColeScanBuilder(cole.schema, dir, ColeIO.driverConf())
+    b2.pushFilters(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.Or(
+        org.apache.spark.sql.sources.LessThan("a", 1000L),
+        org.apache.spark.sql.sources.AlwaysTrue)))
+    val planned2 = b2.build().asInstanceOf[ColeScan].planInputPartitions()
+      .map(_.asInstanceOf[ColeInputPartition].rowGroups.length).sum
+    assert(planned2 === 10, s"undecidable OR branch must keep all groups, got $planned2")
+  }
+
   test("IN filters are claimed: no residual Filter above the scan") {
     val s = spark
     import s.implicits._
