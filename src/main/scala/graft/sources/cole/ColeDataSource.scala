@@ -8,6 +8,7 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -47,6 +48,21 @@ class ColeDataSource extends TableProvider with DataSourceRegister {
       }, nullable = false)
     }
     StructType(ColeUtil.toSparkSchema(infos.head.meta.columns) ++ partFields)
+  }
+
+  /** Streaming writes can't use `writeStream.partitionBy` — Spark's V2
+    * sink path drops it without passing Transforms to the provider (only
+    * the V1 FileStreamSink path reads it). The sink OPTION
+    * `partitionBy=c1,c2` fills the gap: decoded here (the hook
+    * getTableFromProvider consults), it produces the same hive-style
+    * layout as the batch writer's partitionBy. Reads never carry the
+    * option (empty → layout inferred from key=value directories).
+    */
+  override def inferPartitioning(options: CaseInsensitiveStringMap): Array[Transform] = {
+    val enc = options.get("partitionBy")
+    if (enc == null) Array.empty
+    else enc.split(',').map(_.trim).filter(_.nonEmpty)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.identity)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -115,7 +131,7 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
       org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val path = ColeUtil.path(options)
@@ -1697,6 +1713,11 @@ class ColeWriteBuilder(schema: StructType, path: String, rowGroupSize: Int,
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new ColeBatchWrite(schema, path, rowGroupSize, doTruncate, conf, partCols)
+    override def toStreaming: StreamingWrite = {
+      if (doTruncate) throw new UnsupportedOperationException(
+        "the cole streaming sink supports Append output mode only")
+      new ColeStreamingWrite(schema, path, rowGroupSize, conf, partCols)
+    }
   }
 }
 
@@ -1754,9 +1775,17 @@ class ColeWriterFactory(schema: StructType, path: String, rowGroupSize: Int,
   */
 object ColePartitionedDataWriter { val MaxOpenWriters = 256 }
 
-class ColePartitionedDataWriter(schema: StructType, baseDir: String,
-    partitionId: Int, taskId: Long, rowGroupSize: Int, conf: Configuration,
+class ColePartitionedDataWriter(schema: StructType, protected val baseDir: String,
+    protected val partitionId: Int, protected val taskId: Long,
+    rowGroupSize: Int, conf: Configuration,
     partCols: Seq[String]) extends DataWriter[InternalRow] {
+
+  /** Name of the k-th file this task opens under partition directory
+    * `dir` — the streaming writer overrides this with epoch-deterministic
+    * in-progress names.
+    */
+  protected def fileName(dir: String, k: Int): String =
+    f"$baseDir/$dir/part-$partitionId%05d-$taskId-$k%d.col"
 
   private val partIdx: Array[Int] = partCols.map(schema.fieldIndex).toArray
   private val dataIdx: Array[Int] =
@@ -1792,8 +1821,7 @@ class ColePartitionedDataWriter(schema: StructType, baseDir: String,
           writers.remove(oldKey)
         }
         val fresh = new ColeDataWriter(dataSchema,
-          f"$baseDir/$dir/part-$partitionId%05d-$taskId-${writers.size + closedFiles.size}%d.col",
-          rowGroupSize, conf)
+          fileName(dir, writers.size + closedFiles.size), rowGroupSize, conf)
         writers.put(dir, fresh)
         fresh
     }
@@ -1929,4 +1957,124 @@ class ColeDataWriter(schema: StructType, file: String, rowGroupSize: Int,
   }
 
   override def close(): Unit = ()
+}
+
+// ------------------------------------------------------------- streaming
+
+/** Commit message of one streaming task: (in-progress, final) renames the
+  * driver performs at epoch commit.
+  */
+final case class ColeEpochCommit(renames: Seq[(String, String)])
+    extends WriterCommitMessage
+
+/** Streaming (Append) sink over the COLE layout.
+  *
+  * Exactly-once story: tasks write dotted `.part-e<epoch>-p<pid>-<k>.col
+  * .inprogress-<taskId>` files (invisible to readers — listings match only
+  * `*.col`), and the DRIVER renames them to epoch-deterministic finals
+  * (`part-e<epoch>-p<pid>-<k>.col`) at epoch commit. A replayed epoch —
+  * failure between sink commit and checkpoint write — regenerates the same
+  * batch under the same epoch id, and the rename overwrites the same final
+  * names instead of appending duplicates. Task retries/speculation leave
+  * only uncommitted dotted files, cleaned by abort and ignored by readers.
+  */
+class ColeStreamingWrite(schema: StructType, path: String, rowGroupSize: Int,
+    conf: Configuration, partCols: Seq[String]) extends StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    ColeUtil.toColeColumns(schema)
+    partCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column '$c' not in write schema"))
+    require(partCols.size < schema.size,
+      "cannot partition by every column: no data columns remain")
+    val (fs, dir) = ColeIO.resolve(path, conf)
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    new ColeStreamingWriterFactory(schema, path, rowGroupSize,
+      new ColeHadoopConf(conf), partCols)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case ColeEpochCommit(renames) => renames.foreach { case (tmp, fin) =>
+        val (fs, t) = ColeIO.resolve(tmp, conf)
+        val (_, f) = ColeIO.resolve(fin, conf)
+        if (fs.exists(f)) fs.delete(f, false) // epoch replay: overwrite
+        if (!fs.rename(t, f))
+          throw new java.io.IOException(s"epoch $epochId: rename $tmp -> $fin failed")
+      }
+      case _ => ()
+    }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case ColeEpochCommit(renames) => renames.foreach { case (tmp, _) =>
+        val (fs, t) = ColeIO.resolve(tmp, conf)
+        fs.delete(t, false)
+      }
+      case _ => ()
+    }
+}
+
+object ColeStreaming {
+  /** `dir/.NAME.inprogress-<task>` → `dir/NAME` (the final, epoch-
+    * deterministic name a replayed epoch converges to).
+    */
+  def finalName(tmp: String, taskId: Long): String = {
+    val slash = tmp.lastIndexOf('/')
+    val name = tmp.substring(slash + 1)
+    require(name.startsWith(".") && name.endsWith(s".inprogress-$taskId"),
+      s"not an in-progress file of task $taskId: $tmp")
+    tmp.substring(0, slash + 1) +
+      name.substring(1, name.length - s".inprogress-$taskId".length)
+  }
+}
+
+class ColeStreamingWriterFactory(schema: StructType, path: String,
+    rowGroupSize: Int, hconf: ColeHadoopConf, partCols: Seq[String])
+    extends StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    if (partCols.isEmpty) {
+      val tmp =
+        f"$path/.part-e$epochId%d-p$partitionId%05d-0.col.inprogress-$taskId"
+      new ColeStreamingDataWriter(schema, tmp, taskId, rowGroupSize, hconf.value)
+    } else
+      new ColeStreamingPartitionedDataWriter(schema, path, partitionId, taskId,
+        rowGroupSize, hconf.value, partCols, epochId)
+}
+
+/** Unpartitioned streaming task writer: one dotted in-progress file,
+  * renamed by the driver at epoch commit.
+  */
+class ColeStreamingDataWriter(schema: StructType, tmp: String, taskId: Long,
+    rowGroupSize: Int, conf: Configuration) extends DataWriter[InternalRow] {
+  private val inner = new ColeDataWriter(schema, tmp, rowGroupSize, conf)
+  override def write(record: InternalRow): Unit = inner.write(record)
+  override def commit(): WriterCommitMessage = {
+    inner.commitFiles()
+    ColeEpochCommit(Seq(tmp -> ColeStreaming.finalName(tmp, taskId)))
+  }
+  override def abort(): Unit = inner.abort()
+  override def close(): Unit = ()
+}
+
+/** Partitioned streaming task writer: the batch routing/eviction machinery
+  * with epoch-deterministic dotted names per `key=value` directory.
+  */
+class ColeStreamingPartitionedDataWriter(schema: StructType, baseDir: String,
+    partitionId: Int, taskId: Long, rowGroupSize: Int, conf: Configuration,
+    partCols: Seq[String], epochId: Long)
+    extends ColePartitionedDataWriter(schema, baseDir, partitionId, taskId,
+      rowGroupSize, conf, partCols) {
+
+  override protected def fileName(dir: String, k: Int): String =
+    f"$baseDir/$dir/.part-e$epochId%d-p$partitionId%05d-$k%d.col.inprogress-$taskId"
+
+  override def commit(): WriterCommitMessage = super.commit() match {
+    case ColeCommitMessage(files) =>
+      ColeEpochCommit(files.map(t => t -> ColeStreaming.finalName(t, taskId)))
+    case other => other
+  }
 }

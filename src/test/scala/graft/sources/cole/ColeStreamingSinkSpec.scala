@@ -1,0 +1,134 @@
+package graft.sources.cole
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+final case class SinkRow(id: Long, grp: String, v: Long)
+
+/** Streaming (Append) writes into the COLE layout: per-epoch files land
+  * atomically at epoch commit, replays converge on the same file names,
+  * and the result reads back through the batch reader with pushdown
+  * intact.
+  */
+class ColeStreamingSinkSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def rows(from: Int, until: Int): Seq[SinkRow] =
+    (from until until).map(i => SinkRow(i.toLong, s"g${i % 3}", i.toLong * 2))
+
+  test("append across micro-batches, read back via the batch reader") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("cole_stream_sink").toString
+    val cp = Files.createTempDirectory("cole_stream_cp").toString
+    val source = MemoryStream[SinkRow](spark)
+    val q = source.toDF().writeStream.format("cole")
+      .option("path", dir).option("checkpointLocation", cp)
+      .option("rowGroupSize", "64")
+      .outputMode(OutputMode.Append).start()
+    source.addData(rows(0, 100))
+    q.processAllAvailable()
+    source.addData(rows(100, 250))
+    q.processAllAvailable()
+    q.stop()
+
+    val back = s.read.format("cole").load(dir)
+    assert(back.count() === 250L)
+    assert(back.agg(sum("v")).head.getLong(0) === (0 until 250).map(_ * 2L).sum)
+    // epoch-deterministic finals, no leftover in-progress files
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+    assert(names.exists(_.startsWith("part-e0-")), s"epoch-0 file missing: ${names.toSeq}")
+    assert(names.exists(_.startsWith("part-e1-")), s"epoch-1 file missing: ${names.toSeq}")
+    assert(!names.exists(_.contains("inprogress")), s"tmp leaked: ${names.toSeq}")
+    // filters still push down through files a streaming query wrote
+    val filtered = back.filter(col("id") >= 200L)
+    assert(filtered.count() === 50L)
+    assert(!filtered.queryExecution.executedPlan.toString.contains("Filter "),
+      "claimed numeric filter should leave no residual over streamed files")
+  }
+
+  test("epoch replay overwrites the same final names (no duplicates)") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("cole_stream_replay").toString
+    val data = rows(0, 50).toDF()
+    val schema = data.schema
+    val write = new ColeWriteBuilder(schema, dir, 64, ColeIO.driverConf())
+      .build().toStreaming
+    def runEpoch(epochId: Long, taskId: Long): Unit = {
+      val factory = write.createStreamingWriterFactory(null)
+      val w = factory.createWriter(0, taskId, epochId)
+      data.queryExecution.toRdd.collect().foreach(w.write)
+      val msg = w.commit()
+      write.commit(epochId, Array(msg))
+    }
+    runEpoch(0L, 7L)
+    val before = s.read.format("cole").load(dir).count()
+    // the same epoch re-attempted by a different task (driver died before
+    // checkpointing): must converge on the same file, not append a copy
+    runEpoch(0L, 8L)
+    val after = s.read.format("cole").load(dir)
+    assert(before === 50L && after.count() === 50L,
+      "replayed epoch duplicated rows")
+    val names = new java.io.File(dir).listFiles().map(_.getName).filter(_.endsWith(".col"))
+    assert(names.length === 1 && names.head.startsWith("part-e0-"),
+      s"replay produced extra files: ${names.toSeq}")
+  }
+
+  test("partitioned streaming write: key=value layout with partition pruning") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("cole_stream_part").toString
+    val cp = Files.createTempDirectory("cole_stream_part_cp").toString
+    val source = MemoryStream[SinkRow](spark)
+    val q = source.toDF().writeStream.format("cole")
+      .option("partitionBy", "grp") // writeStream.partitionBy never reaches V2 sinks
+      .option("path", dir).option("checkpointLocation", cp)
+      .outputMode(OutputMode.Append).start()
+    source.addData(rows(0, 120))
+    q.processAllAvailable()
+    source.addData(rows(120, 300))
+    q.processAllAvailable()
+    q.stop()
+
+    val subdirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(subdirs.toSeq === Seq("grp=g0", "grp=g1", "grp=g2"), s"layout: ${subdirs.toSeq}")
+    val back = s.read.format("cole").load(dir)
+    assert(back.count() === 300L)
+    val one = back.filter(col("grp") === "g1")
+    assert(one.count() === 100L)
+    assert(one.select(sum("v")).head.getLong(0) ===
+      (0 until 300).filter(_ % 3 == 1).map(_ * 2L).sum)
+  }
+
+  test("Complete output mode is rejected") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("cole_stream_complete").toString
+    val cp = Files.createTempDirectory("cole_stream_complete_cp").toString
+    val source = MemoryStream[SinkRow](spark)
+    val agg = source.toDF().groupBy("grp").agg(sum("v").as("v_sum"))
+    val ex = intercept[Exception] {
+      val q = agg.writeStream.format("cole")
+        .option("path", dir).option("checkpointLocation", cp)
+        .outputMode(OutputMode.Complete).start()
+      source.addData(rows(0, 10))
+      q.processAllAvailable()
+      q.stop()
+    }
+    assert(ex.toString.toLowerCase.contains("append") ||
+      Option(ex.getCause).exists(_.toString.toLowerCase.contains("append")),
+      s"unexpected error: $ex")
+  }
+}
