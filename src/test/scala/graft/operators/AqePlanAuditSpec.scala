@@ -50,7 +50,11 @@ class AqePlanAuditSpec extends AnyFunSuite {
   }
 
   test("TPC-H joins keep equality strategies under AQE re-planning") {
-    for (q <- Seq("tpch_q3", "tpch_q5", "tpch_q10")) {
+    // q2 (double agg + min-cost rejoin) and q21 (per-order distinct
+    // aggregate rejoined to the late rows) are the heaviest of the
+    // adapted additions — exactly where a runtime re-plan could slip in
+    // a nested-loop join.
+    for (q <- Seq("tpch_q3", "tpch_q5", "tpch_q10", "tpch_q2", "tpch_q21")) {
       val p = finalPlan(q)
       assert(p.contains("isFinalPlan=true"), s"$q: AQE never finalized")
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
