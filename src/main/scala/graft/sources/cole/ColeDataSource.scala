@@ -131,7 +131,8 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
       org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE).asJava
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
+      TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val path = ColeUtil.path(options)
@@ -1336,7 +1337,14 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
   private def partitionKeeps(p: ColePredicate, raw: String): Boolean =
     ColePredicate.partitionKeeps(p, raw)
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] =
+    planPartitionsOf(_ => true)
+
+  /** Planning core, parameterized by a file filter so the micro-batch
+    * stream can plan exactly one batch's new files with the same
+    * stats-skipping, partition-pruning, and packing as a batch scan.
+    */
+  private[cole] def planPartitionsOf(fileKeep: String => Boolean): Array[InputPartition] = {
     val runtimeIn: Array[ColePredicate] = runtimeFilters.flatMap {
       // IN on a partition column keeps its set form: evaluated per FILE
       // against the directory value (dynamic partition pruning)
@@ -1359,7 +1367,7 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
     // second planning pass), stats prune without opening any data file
     // (file, colIndices, rgIdx, rows, bytes, topN column min/max,
     //  guaranteed = stats prove every row survives all filters, partValues)
-    val survivors = ColeMetaCache.infos(path, conf).flatMap { info =>
+    val survivors = ColeMetaCache.infos(path, conf).filter(i => fileKeep(i.path)).flatMap { info =>
       val pv = info.partValues.toMap
       if (!(partPreds ++ partRuntime).forall(p =>
           pv.get(p.column).exists(partitionKeeps(p, _)))) Seq.empty
@@ -1463,6 +1471,10 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ColeReaderFactory(required, hconf)
+
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ColeMicroBatchStream(this, path, conf)
 
   /** CBO/AQE may ask repeatedly; totals are computed once per scan from
     * the footer cache (listing only, no footer re-reads on hits).
@@ -1960,6 +1972,56 @@ class ColeDataWriter(schema: StructType, file: String, rowGroupSize: Int,
 }
 
 // ------------------------------------------------------------- streaming
+
+/** Offset of the COLE micro-batch source: the set of files already
+  * processed, newline-joined (opaque to Spark, which only needs equality
+  * and round-tripping through the offset log). At many-file scale a
+  * production source would compact this into a metadata log the way
+  * Spark's FileStreamSource does; the semantics are identical.
+  */
+final case class ColeSourceOffset(files: Set[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = files.toSeq.sorted.mkString("\n")
+}
+
+object ColeSourceOffset {
+  def fromJson(json: String): ColeSourceOffset =
+    ColeSourceOffset(json.split('\n').filter(_.nonEmpty).toSet)
+}
+
+/** `readStream.format("cole")` — the directory-monitoring twin of the
+  * streaming sink: each micro-batch is the set of `.col` files that
+  * appeared since the last offset (files land atomically via the sink's
+  * rename, so a listed file is complete). Batches are planned by the
+  * SAME [[ColeScan]] machinery as batch reads — claimed filters, stat
+  * skipping, partition pruning, and packed row-group partitions all
+  * apply per micro-batch.
+  */
+class ColeMicroBatchStream(scan: ColeScan, path: String, conf: Configuration)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = ColeSourceOffset(Set.empty)
+
+  override def latestOffset(): Offset =
+    ColeSourceOffset(ColeIO.listPartitioned(path, conf).map(_._1.getPath.toString).toSet)
+
+  override def deserializeOffset(json: String): Offset =
+    ColeSourceOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[ColeSourceOffset].files
+    val now = end.asInstanceOf[ColeSourceOffset].files
+    val fresh = now -- seen
+    if (fresh.isEmpty) Array.empty
+    else scan.planPartitionsOf(fresh.contains)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = scan.createReaderFactory()
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 /** Commit message of one streaming task: (in-progress, final) renames the
   * driver performs at epoch commit.

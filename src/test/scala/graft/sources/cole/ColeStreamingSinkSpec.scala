@@ -112,6 +112,57 @@ class ColeStreamingSinkSpec extends AnyFunSuite {
       (0 until 300).filter(_ % 3 == 1).map(_ * 2L).sum)
   }
 
+  test("readStream picks up newly appended files per micro-batch") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("cole_stream_src").toString
+    val cp = Files.createTempDirectory("cole_stream_src_cp").toString
+    rows(0, 100).toDF().coalesce(2).write.format("cole").mode("append").save(dir)
+    val q = s.readStream.format("cole").load(dir)
+      .filter(col("id") % 2 === 0)
+      .writeStream.format("memory").queryName("cole_src_out")
+      .option("checkpointLocation", cp)
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    assert(s.table("cole_src_out").count() === 50L)
+    // new files appended by a BATCH writer form the next micro-batch
+    rows(100, 300).toDF().coalesce(3).write.format("cole").mode("append").save(dir)
+    q.processAllAvailable()
+    q.stop()
+    val out = s.table("cole_src_out")
+    assert(out.count() === 150L)
+    assert(out.agg(max("id")).head.getLong(0) === 298L)
+    assert(out.select("id").as[Long].collect().toSet ===
+      (0 until 300 by 2).map(_.toLong).toSet)
+  }
+
+  test("sink-to-source round trip: epochs written become micro-batches read") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("cole_stream_rt").toString
+    val cpW = Files.createTempDirectory("cole_stream_rt_cpw").toString
+    val cpR = Files.createTempDirectory("cole_stream_rt_cpr").toString
+    val source = MemoryStream[SinkRow](spark)
+    val writer = source.toDF().writeStream.format("cole")
+      .option("path", dir).option("checkpointLocation", cpW)
+      .outputMode(OutputMode.Append).start()
+    source.addData(rows(0, 80))
+    writer.processAllAvailable()
+    val reader = s.readStream.format("cole").load(dir)
+      .groupBy("grp").agg(sum("v").as("v_sum"))
+      .writeStream.format("memory").queryName("cole_rt_out")
+      .option("checkpointLocation", cpR)
+      .outputMode(OutputMode.Complete).start()
+    reader.processAllAvailable()
+    source.addData(rows(80, 200))
+    writer.processAllAvailable()
+    reader.processAllAvailable()
+    writer.stop(); reader.stop()
+    val got = s.table("cole_rt_out").as[(String, Long)].collect().toMap
+    val want = rows(0, 200).groupBy(_.grp).map { case (g, rs) => g -> rs.map(_.v).sum }
+    assert(got === want)
+  }
+
   test("Complete output mode is rejected") {
     val s = spark
     import s.implicits._
