@@ -643,10 +643,12 @@ object RelationalSuite {
           .filter(col("p_type") === "LARGE" && col("p_size").between(10, 20))
           .select("p_partkey", "p_brand")), col("l_partkey") === col("p_partkey"))
         .join(eurSupp, col("l_suppkey") === col("s_suppkey"))
-      val minCost = cost.groupBy(col("p_partkey").as("min_pk"))
-        .agg(min(col("supp_cost")).as("min_cost"))
-      cost.join(minCost, col("p_partkey") === col("min_pk") &&
-          col("supp_cost") === col("min_cost"))
+      // per-part regional minimum as a window over the (small) joined
+      // catalog — NOT a groupBy-min rejoin, which would recompute the
+      // whole lineitem aggregate a second time (2× the scan at 100 TB)
+      cost.withColumn("min_cost",
+          min(col("supp_cost")).over(Window.partitionBy(col("p_partkey"))))
+        .filter(col("supp_cost") === col("min_cost"))
         .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
           col("p_brand"), col("supp_cost"))
         .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
