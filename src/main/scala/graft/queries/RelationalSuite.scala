@@ -837,17 +837,20 @@ object RelationalSuite {
     // The two correlated EXISTS become one per-order aggregate: distinct
     // suppliers > 1 and distinct LATE suppliers == 1.
     Q("tpch_q21", (s, d) => {
-      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_shipdate")
+      // per-order distinct-supplier sets as ONE window pass over the
+      // order-status join (orders are ~7 lineitems wide, so the per-key
+      // collect_set state is tiny) — a groupBy + rejoin would shuffle
+      // and sort the same fact rows on the same key twice.
+      val w = Window.partitionBy(col("l_orderkey"))
+      Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_shipdate")
         .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
           .select("o_orderkey", "o_orderdate"), col("l_orderkey") === col("o_orderkey"))
         .withColumn("is_late",
           col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-      val per = li.groupBy(col("l_orderkey").as("agg_ok"))
-        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late_supp"))
-        .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
-      li.filter(col("is_late"))
-        .join(per, col("l_orderkey") === col("agg_ok"))
+        .withColumn("n_supp", size(collect_set(col("l_suppkey")).over(w)))
+        .withColumn("n_late_supp",
+          size(collect_set(when(col("is_late"), col("l_suppkey"))).over(w)))
+        .filter(col("is_late") && col("n_supp") > 1 && col("n_late_supp") === 1)
         .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_4")),
           col("s_nationkey") === col("n_nationkey"))
