@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -84,6 +84,84 @@ object Ann {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     cand.withColumn("cos", cosine_sim(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** PQ (product-quantization) top-k with exact re-ranking — the
+    * compressed-domain scale path: each corpus vector is stored as `m`
+    * byte codes (one per subspace, ≤256 centroids each), so the scoring
+    * pass reads m bytes per vector instead of the full float payload —
+    * a 32-128× smaller working set at 100 TB, where the codes table fits
+    * in memory tiers the raw vectors never could.
+    *
+    * Shape: vectors are unit-normalized (L2 order on unit vectors ==
+    * cosine order), each is sliced into `m` subvectors, and a FIXED-size
+    * codebook (`ksub` hash-rank-sampled rows per subspace — sampled
+    * quantizer, like [[ivf]]'s centroids) assigns every (vector, sub) its
+    * nearest centroid via [[graft.plans.TopK]]. Queries never touch the
+    * corpus vectors during scoring: each query precomputes an (m × ksub)
+    * distance LUT against the codebook (asymmetric distance computation),
+    * the LUT broadcasts, and the approximate distance is one equality
+    * join codes⋈LUT on (sub, code) + a map-side-combined sum — no
+    * per-pair float math. The top `rerank` candidates per query then
+    * re-rank with the exact cosine on the true vectors, which restores
+    * recall lost to quantization. Rows-only; recall vs [[bruteForce]]
+    * asserted in the spec.
+    */
+  def pq(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      m: Int = 16, ksub: Int = 64, rerank: Int = 64): DataFrame = {
+    require(ksub <= 256, "PQ codes are byte-sized: ksub must be <= 256")
+    def unit(v: Column): Column = {
+      val n = sqrt(aggregate(transform(v, x => x.cast("double") * x),
+        lit(0.0d), (a, x) => a + x))
+      transform(v, x => x / n)
+    }
+    def subLen(v: Column): Column = ceil(size(v) / lit(m)).cast("int")
+    def subs(df: DataFrame, idAs: String): DataFrame =
+      df.select(col(idCol).as(idAs), unit(col(vecCol)).as("nv"))
+        .select(col(idAs), posexplode(transform(sequence(lit(0), lit(m - 1)),
+          s => slice(col("nv"), s * subLen(col("nv")) + 1, subLen(col("nv")))))
+          .as(Seq("sub", "sv")))
+    def l2sq(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (acc, v) => acc + v)
+    // fixed-size codebook: row j's sub-s slice is centroid (s, j)
+    val rank = Window.orderBy(xxhash64(col(idCol)).asc, col(idCol).asc)
+    val codebook = broadcast(
+      corpus.select(col(idCol), col(vecCol))
+        .orderBy(xxhash64(col(idCol)).asc, col(idCol).asc).limit(ksub)
+        .withColumn("code", (row_number().over(rank) - 1))
+        .select(col("code"), unit(col(vecCol)).as("nv"))
+        .select(col("code"), posexplode(transform(sequence(lit(0), lit(m - 1)),
+          s => slice(col("nv"), s * subLen(col("nv")) + 1, subLen(col("nv")))))
+          .as(Seq("sub", "cent"))))
+    // encode: nearest centroid per (vector, sub) — the stored m-byte code
+    val codes = graft.plans.TopK.perKey(
+      subs(corpus, "neighbor_id").join(codebook, "sub")
+        .withColumn("d", l2sq(col("sv"), col("cent"))),
+      1, Seq(col("neighbor_id"), col("sub")), Seq(col("d").asc, col("code").asc))
+      .select("neighbor_id", "sub", "code")
+    // ADC: per-query LUT over the codebook, broadcast; scoring is a code
+    // lookup + sum, never a vector op
+    val lut = broadcast(subs(queries, "query_id").join(codebook, "sub")
+      .select(col("query_id"), col("sub"), col("code"),
+        l2sq(col("sv"), col("cent")).as("pd")))
+    val approx = codes.join(lut, Seq("sub", "code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("pd")).as("adist"))
+    val cand = graft.plans.TopK.perKey(approx, rerank,
+      Seq(col("query_id")), Seq(col("adist").asc, col("neighbor_id").asc))
+    // exact re-rank of the shortlist on the true vectors
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand.join(cv, "neighbor_id").join(qv, "query_id")
+      .withColumn("cos", cosine_sim(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos")

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.Text
-import graft.operators.Asof
+import graft.operators.{Asof, Bloom}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -695,7 +695,79 @@ object ExtendedSuite {
                         FROM toks, UNNEST(range(1, greatest(len(t)-1, 0)+1)) AS u(i)
                         WHERE len(t) >= 2)
               SELECT gram, COUNT(*) AS n FROM grams
-              GROUP BY gram ORDER BY n DESC, gram LIMIT 20"""))
+              GROUP BY gram ORDER BY n DESC, gram LIMIT 20""")),
+
+    // #109 exact stratified sampling: 20% per language, chosen by md5
+    // rank — per-stratum window + integer-exact quota, so every stratum
+    // keeps exactly ceil(n/5) docs and reruns are reproducible. The
+    // windows partition by stratum, so the op parallelizes across strata
+    // at corpus scale (contrast a global orderBy-limit sample, which
+    // funnels through one sort).
+    Q("sample_stratified", (s, d) => {
+      val n = Window.partitionBy("lang")
+      val rn = Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("n_stratum", count(lit(1)).over(n))
+        .withColumn("rn", row_number().over(rn).cast("long"))
+        .filter(col("rn") <= (col("n_stratum") + 4) / 5)
+        .select("doc_id", "lang", "source", "n_stratum", "rn")
+        .orderBy("lang", "rn")
+    },
+      Some("""WITH t AS (SELECT doc_id, lang, source,
+                COUNT(*) OVER (PARTITION BY lang) AS n_stratum,
+                ROW_NUMBER() OVER (PARTITION BY lang
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+              FROM documents)
+              SELECT doc_id, lang, source, n_stratum, CAST(rn AS BIGINT) AS rn
+              FROM t WHERE rn <= (n_stratum + 4) // 5
+              ORDER BY lang, rn""")),
+
+    // #110 decontamination behind a Bloom prefilter: the eval side's
+    // 3-grams build a fixed-size bloom (one bounded groupBy-bit_or
+    // shuffle), the corpus side's grams probe it BEFORE the equality
+    // join, and only bloom-surviving grams — contaminated ones plus the
+    // fp rate — reach the shuffle. The exact join then removes false
+    // positives, so the result equals exact decontamination (#89, same
+    // oracle shape) while the gram shuffle shrinks from |corpus grams| to
+    // ~|contaminated grams|. At 100 TB this is the difference between
+    // shuffling the whole corpus's gram stream and shuffling a sliver.
+    Q("corpus_bloom_decontaminate", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"),
+        split(Text.normalize(col("text")), " ").as("t"))
+      val grams = toks.filter(size(col("t")) >= 3)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("t")) - 2),
+          i => concat_ws(" ", slice(col("t"), i, lit(3))))).as("gram"))
+      val evalGrams = grams.filter(col("doc_id") % 89 === 0)
+        .select("gram").distinct()
+      val bloom = Bloom.build(evalGrams, col("gram"), numBits = 1 << 17)
+      val hits = grams.filter(col("doc_id") % 89 =!= 0)
+        .filter(Bloom.mightContain(bloom, col("gram")))
+        .join(evalGrams, "gram")
+        .groupBy("doc_id").agg(countDistinct(col("gram")).as("n_hits"))
+      docs.filter(col("doc_id") % 89 =!= 0).select("doc_id")
+        .join(hits, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) > 0).as("tainted"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH toks AS (SELECT doc_id,
+                string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+              FROM documents),
+              grams AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS gram
+                        FROM toks, UNNEST(range(1, greatest(len(t)-2, 0)+1)) AS u(i)
+                        WHERE len(t) >= 3),
+              evalset AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 89 = 0),
+              hits AS (SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_hits
+                       FROM grams g JOIN evalset e USING (gram)
+                       WHERE g.doc_id % 89 <> 0 GROUP BY g.doc_id)
+              SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+                     COALESCE(h.n_hits, 0) > 0 AS tainted
+              FROM documents d LEFT JOIN hits h USING (doc_id)
+              WHERE d.doc_id % 89 <> 0 ORDER BY d.doc_id"""))
   )
 
   /** #78's SQL — identical in Spark SQL and DuckDB; exact decimal avg so

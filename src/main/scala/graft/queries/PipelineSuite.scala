@@ -125,6 +125,17 @@ object PipelineSuite {
         .orderBy("query_id", "rank")
     }, None),
 
+    // #111 PQ approximate top-k with exact re-rank (rows-only; recall vs
+    // #41 in the spec). The scoring pass touches only m-byte codes — the
+    // compressed-domain path for corpora whose float vectors exceed
+    // memory at 100 TB.
+    Q("ann_pq", (s, d) => {
+      val embs = Tables.embeddings(s, d)
+      Ann.pq(embs, embs.filter(col("vec_id") % 100 === 0), k = 5)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    }, None),
+
     // #43 vector algebra with an exact decimal oracle.
     Q("vector_norms", (s, d) => {
       // float -> double -> decimal: Spark's direct float->decimal cast goes

@@ -60,6 +60,30 @@ class PipelineSpec extends AnyFunSuite {
       s"Lloyd rounds regressed recall: $refinedRecall < $recall")
   }
 
+  test("ann_pq recall@5 vs brute force >= 0.8; rerank dial trades recall") {
+    val queries = embs.filter(col("vec_id") % 100 === 0)
+    val exact = Ann.bruteForce(embs, queries, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ann.pq(embs, queries, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the exact re-rank restores most recall lost to quantization: the
+    // PQ shortlist (rerank=64 of ~500 vectors here) must contain nearly
+    // all true top-5 neighbors (defaults simulate to recall 1.0 on this
+    // corpus; 0.8 leaves margin for sampler differences)
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"PQ recall@5 = $recall")
+    // a shortlist the size of k itself (no slack for quantization error)
+    // must do worse or equal — the rerank dial is monotone
+    val tight = Ann.pq(embs, queries, k = 5, rerank = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tightRecall = (exact & tight).size.toDouble / exact.size
+    assert(tightRecall <= recall + 1e-9,
+      s"shrinking the shortlist cannot raise recall: $tightRecall > $recall")
+  }
+
   test("clusters == union-find over the same LSH candidate pairs") {
     val pairs = Dedup.minhashCandidates(docs)
       .filter(col("est_jaccard") >= 0.5)
