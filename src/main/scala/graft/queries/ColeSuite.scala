@@ -219,6 +219,35 @@ object ColeSuite {
               FROM lineitem
               WHERE l_returnflag = 'A'
               GROUP BY l_linestatus
-              ORDER BY l_linestatus"""))
+              ORDER BY l_linestatus""")),
+
+    // #112 z-order-clustered .col table: the layout is Morton order on
+    // (l_partkey, l_suppkey), so row groups cover small rectangles of the
+    // key plane and the scan's per-column stats prune groups for a
+    // predicate on EITHER key — a single-column sort only ever serves one.
+    // ZorderSpec quantifies the pruning vs a linearly-sorted twin; here
+    // the 2-D-filtered aggregate over the clustered table must still
+    // match the parquet oracle exactly.
+    Q("cole_zorder", (s, d) => {
+      val dir = dirFor(d, "zorder")
+      writeOnce(dir) {
+        graft.operators.Zorder.cluster(
+            Tables.lineitem(s, d).select(cols.map(col): _*),
+            col("l_partkey"), col("l_suppkey"), numPartitions = 4)
+          .write.format("cole").mode("overwrite")
+          .option("rowGroupSize", "8192").save(dir)
+      }
+      s.read.format("cole").load(dir)
+        .filter(col("l_partkey") < 400 && col("l_suppkey") < 25)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("l_partkey").as("sum_pk"))
+        .orderBy("l_returnflag")
+    },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+                     CAST(SUM(l_partkey) AS BIGINT) AS sum_pk
+              FROM lineitem
+              WHERE l_partkey < 400 AND l_suppkey < 25
+              GROUP BY l_returnflag
+              ORDER BY l_returnflag"""))
   )
 }
