@@ -248,6 +248,34 @@ object ColeSuite {
               FROM lineitem
               WHERE l_partkey < 400 AND l_suppkey < 25
               GROUP BY l_returnflag
-              ORDER BY l_returnflag"""))
+              ORDER BY l_returnflag""")),
+
+    // #113 deflate-compressed .col table: pages are raw-DEFLATE when it
+    // strictly wins (sizes-equal stays the reference's stored layout, so
+    // compression is invisible to default files). The filtered aggregate
+    // over the compressed table must match the parquet oracle exactly —
+    // proving the inflate path under scan, filter, and agg pushdown.
+    Q("cole_compressed", (s, d) => {
+      val dir = dirFor(d, "deflate")
+      writeOnce(dir) {
+        Tables.lineitem(s, d).select(cols.map(col): _*)
+          .sortWithinPartitions("l_orderkey")
+          .write.format("cole").mode("overwrite")
+          .option("compress", "deflate").save(dir)
+      }
+      s.read.format("cole").load(dir)
+        .filter(col("l_suppkey") >= 10)
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("l_orderkey").as("sum_ok"),
+          max("l_partkey").as("mx_pk"))
+        .orderBy("l_linestatus")
+    },
+      Some("""SELECT l_linestatus, COUNT(*) AS n,
+                     CAST(SUM(l_orderkey) AS BIGINT) AS sum_ok,
+                     MAX(l_partkey) AS mx_pk
+              FROM lineitem
+              WHERE l_suppkey >= 10
+              GROUP BY l_linestatus
+              ORDER BY l_linestatus"""))
   )
 }

@@ -12,6 +12,50 @@ import java.io.ByteArrayOutputStream
   */
 object ColeCodec {
 
+  // ---- optional page compression (raw DEFLATE, no zlib wrapper) ----
+  //
+  // The reference format has no compression (README "Limitations"); graft
+  // adds it as an OPT-IN write option because at 100 TB the dominant cost
+  // is bytes moved, not CPU. The page header already carries
+  // (uncompressedSize, compressedSize) — the reference always writes them
+  // equal — so compressed pages are simply pages where they differ;
+  // default writes stay byte-compatible with the reference reader.
+
+  /** Deflate `raw`; returns `raw` unchanged unless compression strictly
+    * wins, so incompressible pages cost nothing and sizes-equal remains
+    * the "stored" marker.
+    */
+  def deflate(raw: Array[Byte]): Array[Byte] = {
+    if (raw.length < 64) return raw // header overhead beats any win
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    d.setInput(raw); d.finish()
+    val out = new Array[Byte](raw.length - 1) // accept only strictly smaller
+    var n = 0
+    while (!d.finished() && n < out.length)
+      n += d.deflate(out, n, out.length - n)
+    val won = d.finished() && n < raw.length
+    d.end()
+    if (won) java.util.Arrays.copyOf(out, n) else raw
+  }
+
+  /** Inflate `len` bytes at `buf[off..]` into exactly `uncLen` bytes. */
+  def inflate(buf: Array[Byte], off: Int, len: Int, uncLen: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater(true)
+    inf.setInput(buf, off, len)
+    val out = new Array[Byte](uncLen)
+    var n = 0
+    while (n < uncLen && !inf.finished()) {
+      val k = inf.inflate(out, n, uncLen - n)
+      if (k == 0 && inf.needsInput())
+        throw new ColeFormat.ColeFormatException("truncated compressed page")
+      n += k
+    }
+    inf.end()
+    if (n != uncLen)
+      throw new ColeFormat.ColeFormatException(s"inflate: got $n of $uncLen bytes")
+    out
+  }
+
   /** Forward cursor over a byte array with little-endian primitives. */
   final class Cursor(val buf: Array[Byte], var pos: Int) {
     def u8(): Int = { val v = buf(pos) & 0xff; pos += 1; v }

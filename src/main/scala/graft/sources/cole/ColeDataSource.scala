@@ -146,11 +146,25 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
       schema.fieldNames.filterNot(fileCols).toSet)
   }
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // the compression codec rides the Hadoop conf to the task-side file
+    // writers (see ColeFileWriter.CompressKey); default stays the
+    // reference-compatible stored layout
+    val conf = {
+      val codec = info.options().getOrDefault("compress", "none")
+      if (codec == "none") ColeIO.driverConf()
+      else {
+        require(codec == "deflate", s"unknown compress codec '$codec' (none|deflate)")
+        val c = new Configuration(ColeIO.driverConf())
+        c.set(ColeFileWriter.CompressKey, codec)
+        c
+      }
+    }
     new ColeWriteBuilder(info.schema(),
       properties.getOrElse("path", info.options().get("path")),
       info.options().getInt("rowGroupSize", 65536),
-      ColeIO.driverConf(), writePartCols)
+      conf, writePartCols)
+  }
 }
 
 // ------------------------------------------------------------------ read

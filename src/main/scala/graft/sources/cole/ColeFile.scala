@@ -49,6 +49,15 @@ final class ColeFileReader(path: String, conf: Configuration) extends AutoClosea
     buf
   }
 
+  /** Cursor over one page's decoded body. Sizes equal = stored (the only
+    * layout the reference writes); differing = raw-DEFLATE page from this
+    * writer's opt-in compression.
+    */
+  private def pageCursor(c: Cursor, ph: PageHeader): Cursor =
+    if (ph.compressedSize == ph.uncompressedSize) new Cursor(c.buf, c.pos)
+    else new Cursor(
+      ColeCodec.inflate(c.buf, c.pos, ph.compressedSize, ph.uncompressedSize), 0)
+
   /** Read and decode one column chunk of one row group. */
   def readChunk(rgIdx: Int, colIdx: Int): ColumnData = {
     val rg = meta.rowGroups(rgIdx)
@@ -62,7 +71,7 @@ final class ColeFileReader(path: String, conf: Configuration) extends AutoClosea
     val strParts = scala.collection.mutable.ArrayBuffer[Array[Array[Byte]]]()
     cc.pages.foreach { _ =>
       val ph = readPageHeader(c)
-      val pageData = new Cursor(c.buf, c.pos)
+      val pageData = pageCursor(c, ph)
       col.colType match {
         case TInt32 => intParts += decodeIntPage(pageData, ph)
         case TInt64 => longParts += decodeLongPage(pageData, ph)
@@ -113,7 +122,7 @@ final class ColeFileReader(path: String, conf: Configuration) extends AutoClosea
     val acc = new ColeCodec.NumAgg
     cc.pages.foreach { _ =>
       val ph = readPageHeader(c)
-      val pageData = new Cursor(c.buf, c.pos)
+      val pageData = pageCursor(c, ph)
       (colType, ph.encoding) match {
         case (TInt32, Plain) => aggPlainInt(pageData, ph.numValues, acc)
         case (TInt32, Rle) => aggRleInt(pageData, acc)
@@ -150,7 +159,7 @@ final class ColeFileReader(path: String, conf: Configuration) extends AutoClosea
     val idParts = scala.collection.mutable.ArrayBuffer[Array[Int]]()
     cc.pages.foreach { _ =>
       val ph = readPageHeader(c)
-      val (dict, ids) = decodeDictRaw(new Cursor(c.buf, c.pos), ph.numValues)
+      val (dict, ids) = decodeDictRaw(pageCursor(c, ph), ph.numValues)
       val base = entries.size
       entries ++= dict
       idParts += (if (base == 0) ids else ids.map(_ + base))
@@ -162,11 +171,26 @@ final class ColeFileReader(path: String, conf: Configuration) extends AutoClosea
   override def close(): Unit = in.close()
 }
 
+object ColeFileWriter {
+  /** Hadoop-conf key carrying the opt-in page compression codec from the
+    * write options down to every (possibly executor-side) file writer —
+    * the conf already travels the whole write path, so no signature in
+    * between needs to know.
+    */
+  val CompressKey = "graft.cole.compress"
+}
+
 /** Single-file writer: buffers one row group of columns, flushes pages +
   * accumulates metadata, writes footer on close.
   */
 final class ColeFileWriter(path: String, columns: Seq[ColeColumn],
     conf: Configuration) extends AutoCloseable {
+
+  /** Opt-in page compression ("deflate"); default writes remain
+    * byte-identical to the reference layout (sizes equal = stored).
+    */
+  private val compress =
+    conf != null && conf.get(ColeFileWriter.CompressKey, "none") == "deflate"
   /** Driver/CLI convenience: resolve through the active session's conf. */
   def this(path: String, columns: Seq[ColeColumn]) =
     this(path, columns, ColeIO.driverConf())
@@ -235,12 +259,13 @@ final class ColeFileWriter(path: String, columns: Seq[ColeColumn],
           }
           (bytes, PageStats(None, None, 0))
       }
-      val ph = PageHeader(encoded.length, encoded.length, numRows, col.encoding, stats)
+      val body = if (compress) ColeCodec.deflate(encoded) else encoded
+      val ph = PageHeader(encoded.length, body.length, numRows, col.encoding, stats)
       val offset = position
       val hdr = new Out()
       writePageHeader(hdr, ph)
       emit(hdr.toBytes)
-      emit(encoded)
+      emit(body)
       ColumnChunkMeta(offset, position - offset, Seq(ph))
     }
     rowGroups += RowGroupMeta(numRows, chunkMetas)
