@@ -178,4 +178,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("SemiJoin") || p.contains("LeftSemi"), s"IN-subquery not a semi join:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("ann_pq scores via equality joins only — codes never cross-join") {
+    val p = plan("ann_pq")
+    assert(!p.contains("CartesianProduct"), s"PQ plan contains a cartesian product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"PQ plan contains a nested-loop join:\n$p")
+    // the ADC sum must keep its map-side partial phase: the codes⋈LUT
+    // join explodes to corpus×m rows, and only partial aggregation keeps
+    // that off the wire
+    assert(p.contains("partial_"), s"PQ ADC aggregation lost map-side combine:\n$p")
+  }
+
+  test("sample_stratified windows stay partitioned by stratum") {
+    val p = plan("sample_stratified")
+    assert(!p.contains("SinglePartition"),
+      s"stratified sampling must not funnel through one partition:\n$p")
+  }
+
+  test("corpus_bloom_decontaminate probes the bloom before the gram join") {
+    val df = SparkEntry.queries("corpus_bloom_decontaminate")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the probe (element_at over the filter words + bitwise AND) must sit
+    // under a Filter BELOW the shuffle feeding the gram join — i.e. the
+    // bloom thins the stream before it moves
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("element_at"), s"bloom probe missing from the plan:\n$opt")
+  }
 }
