@@ -46,6 +46,20 @@ object sketches {
   def band_hashes(sig: Column, numBands: Int, rowsPerBand: Int): Column =
     GraftBridge.column(BandHashes(GraftBridge.expression(sig), numBands, rowsPerBand))
 
+  /** PQ codes (array<int>, length m) of a float vector against a flat
+    * driver-built codebook — see [[SketchRuntime.pqEncode]].
+    */
+  def pq_encode(vec: Column, codebook: Array[Double], m: Int, ksub: Int,
+      subLen: Int): Column =
+    GraftBridge.column(PqEncode(GraftBridge.expression(vec), codebook, m, ksub, subLen))
+
+  /** PQ asymmetric-distance LUT (array<double>, length m·ksub) of a query
+    * vector against the same codebook — see [[SketchRuntime.pqLut]].
+    */
+  def pq_lut(vec: Column, codebook: Array[Double], m: Int, ksub: Int,
+      subLen: Int): Column =
+    GraftBridge.column(PqLut(GraftBridge.expression(vec), codebook, m, ksub, subLen))
+
   /** Distinct k-token shingle hashes from a token array — the rolling-hash
     * twin of hashing each " "-joined k-gram string, in one pass with no
     * string allocation (the interpreted slice→concat→hash HOF chain was
@@ -134,6 +148,42 @@ case class BandHashes(child: Expression, numBands: Int, rowsPerBand: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       c => s"${SketchCodegen.runtime}.bandHashes($c, $numBands, $rowsPerBand)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class PqEncode(child: Expression, codebook: Array[Double], m: Int,
+    ksub: Int, subLen: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    SketchRuntime.pqEncode(input.asInstanceOf[ArrayData], codebook, m, ksub, subLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"${SketchCodegen.runtime}.pqEncode($c, $cbRef, $m, $ksub, $subLen)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class PqLut(child: Expression, codebook: Array[Double], m: Int,
+    ksub: Int, subLen: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    SketchRuntime.pqLut(input.asInstanceOf[ArrayData], codebook, m, ksub, subLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"${SketchCodegen.runtime}.pqLut($c, $cbRef, $m, $ksub, $subLen)")
+  }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

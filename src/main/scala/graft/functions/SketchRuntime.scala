@@ -138,4 +138,77 @@ object SketchRuntime {
     }
     new GenericArrayData(java.util.Arrays.copyOf(out, uniq))
   }
+
+  /** PQ encode: the m nearest-centroid codes of a float vector against a
+    * flat codebook laid out [(sub*ksub + code)*subLen + d]. The vector is
+    * unit-normalized in-kernel (L2 argmin on unit vectors tracks cosine),
+    * and every (sub, code) distance is one tight primitive loop — the
+    * whole m-byte code is ONE projection per row.
+    */
+  def pqEncode(vec: ArrayData, cb: Array[Double], m: Int, ksub: Int,
+      subLen: Int): ArrayData = {
+    val x = vec.toFloatArray()
+    var n2 = 0.0
+    var i = 0
+    while (i < x.length) { n2 += x(i).toDouble * x(i); i += 1 }
+    val inv = if (n2 == 0.0) 0.0 else 1.0 / math.sqrt(n2)
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val start = s * subLen
+      val len = math.min(subLen, x.length - start)
+      var best = Double.MaxValue
+      var bestC = 0
+      var c = 0
+      while (c < ksub) {
+        val base = (s * ksub + c) * subLen
+        var d = 0.0
+        var j = 0
+        while (j < len) {
+          val diff = x(start + j) * inv - cb(base + j)
+          d += diff * diff
+          j += 1
+        }
+        if (d < best) { best = d; bestC = c }
+        c += 1
+      }
+      codes(s) = bestC
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  /** PQ query LUT: squared L2 from each of the query's m unit-normalized
+    * subvectors to every centroid, flat array [(sub*ksub + code)] — the
+    * asymmetric-distance table the ADC join broadcasts.
+    */
+  def pqLut(vec: ArrayData, cb: Array[Double], m: Int, ksub: Int,
+      subLen: Int): ArrayData = {
+    val x = vec.toFloatArray()
+    var n2 = 0.0
+    var i = 0
+    while (i < x.length) { n2 += x(i).toDouble * x(i); i += 1 }
+    val inv = if (n2 == 0.0) 0.0 else 1.0 / math.sqrt(n2)
+    val out = new Array[Double](m * ksub)
+    var s = 0
+    while (s < m) {
+      val start = s * subLen
+      val len = math.min(subLen, x.length - start)
+      var c = 0
+      while (c < ksub) {
+        val base = (s * ksub + c) * subLen
+        var d = 0.0
+        var j = 0
+        while (j < len) {
+          val diff = x(start + j) * inv - cb(base + j)
+          d += diff * diff
+          j += 1
+        }
+        out(s * ksub + c) = d
+        c += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
 }

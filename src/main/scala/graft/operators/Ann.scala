@@ -114,41 +114,47 @@ object Ann {
       idCol: String = "vec_id", vecCol: String = "embedding",
       m: Int = 16, ksub: Int = 64, rerank: Int = 64): DataFrame = {
     require(ksub <= 256, "PQ codes are byte-sized: ksub must be <= 256")
-    def unit(v: Column): Column = {
-      val n = sqrt(aggregate(transform(v, x => x.cast("double") * x),
-        lit(0.0d), (a, x) => a + x))
-      transform(v, x => x / n)
+    // The codebook is GEOMETRY-sized (m × ksub × subLen doubles — KBs,
+    // like Bloom's filter words), so it collects to the driver and rides
+    // every expression as a literal: encoding is a per-row map, never a
+    // corpus × ksub join — the only scale-correct shape, since at 100 TB
+    // the encode pass must stream the corpus exactly once, shuffle-free.
+    val sample: Array[Array[Double]] = corpus.select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)).asc, col(idCol).asc).limit(ksub)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
+    require(sample.nonEmpty, "PQ needs a non-empty corpus")
+    val dim = sample.head.length
+    val subLen = (dim + m - 1) / m
+    def unitArr(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
     }
-    def subLen(v: Column): Column = ceil(size(v) / lit(m)).cast("int")
-    def subs(df: DataFrame, idAs: String): DataFrame =
-      df.select(col(idCol).as(idAs), unit(col(vecCol)).as("nv"))
-        .select(col(idAs), posexplode(transform(sequence(lit(0), lit(m - 1)),
-          s => slice(col("nv"), s * subLen(col("nv")) + 1, subLen(col("nv")))))
-          .as(Seq("sub", "sv")))
-    def l2sq(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0d), (acc, v) => acc + v)
-    // fixed-size codebook: row j's sub-s slice is centroid (s, j)
-    val rank = Window.orderBy(xxhash64(col(idCol)).asc, col(idCol).asc)
-    val codebook = broadcast(
-      corpus.select(col(idCol), col(vecCol))
-        .orderBy(xxhash64(col(idCol)).asc, col(idCol).asc).limit(ksub)
-        .withColumn("code", (row_number().over(rank) - 1))
-        .select(col("code"), unit(col(vecCol)).as("nv"))
-        .select(col("code"), posexplode(transform(sequence(lit(0), lit(m - 1)),
-          s => slice(col("nv"), s * subLen(col("nv")) + 1, subLen(col("nv")))))
-          .as(Seq("sub", "cent"))))
-    // encode: nearest centroid per (vector, sub) — the stored m-byte code
-    val codes = graft.plans.TopK.perKey(
-      subs(corpus, "neighbor_id").join(codebook, "sub")
-        .withColumn("d", l2sq(col("sv"), col("cent"))),
-      1, Seq(col("neighbor_id"), col("sub")), Seq(col("d").asc, col("code").asc))
-      .select("neighbor_id", "sub", "code")
+    val nCodes = sample.length // corpus may be smaller than ksub
+    // flat layout [(sub*nCodes + code)*subLen + d] for the native kernels
+    val cbFlat = new Array[Double](m * nCodes * subLen)
+    for (s <- 0 until m; c <- 0 until nCodes) {
+      val u = unitArr(sample(c))
+      val base = (s * nCodes + c) * subLen
+      var j = 0
+      while (j < subLen && s * subLen + j < dim) {
+        cbFlat(base + j) = u(s * subLen + j); j += 1
+      }
+    }
+    // encode: ONE codegen'd projection per row (functions/SketchRuntime
+    // .pqEncode) — the corpus streams through in its scan stage,
+    // shuffle-free, exactly as a 100 TB encode pass must
+    val codes = corpus
+      .select(col(idCol).as("neighbor_id"),
+        posexplode(pq_encode(col(vecCol), cbFlat, m, nCodes, subLen))
+          .as(Seq("sub", "code")))
     // ADC: per-query LUT over the codebook, broadcast; scoring is a code
     // lookup + sum, never a vector op
-    val lut = broadcast(subs(queries, "query_id").join(codebook, "sub")
-      .select(col("query_id"), col("sub"), col("code"),
-        l2sq(col("sv"), col("cent")).as("pd")))
+    val lut = broadcast(queries
+      .select(col(idCol).as("query_id"),
+        posexplode(pq_lut(col(vecCol), cbFlat, m, nCodes, subLen)).as(Seq("idx", "pd")))
+      .select(col("query_id"), (col("idx") / nCodes).cast("int").as("sub"),
+        pmod(col("idx"), lit(nCodes)).cast("int").as("code"), col("pd")))
     val approx = codes.join(lut, Seq("sub", "code"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
