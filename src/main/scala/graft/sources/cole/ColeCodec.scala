@@ -44,13 +44,17 @@ object ColeCodec {
     inf.setInput(buf, off, len)
     val out = new Array[Byte](uncLen)
     var n = 0
-    while (n < uncLen && !inf.finished()) {
-      val k = inf.inflate(out, n, uncLen - n)
-      if (k == 0 && inf.needsInput())
-        throw new ColeFormat.ColeFormatException("truncated compressed page")
-      n += k
-    }
-    inf.end()
+    try {
+      while (n < uncLen && !inf.finished()) {
+        val k = inf.inflate(out, n, uncLen - n)
+        if (k == 0 && inf.needsInput())
+          throw new ColeFormat.ColeFormatException("truncated compressed page")
+        n += k
+      }
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        throw new ColeFormat.ColeFormatException(s"corrupt compressed page: ${e.getMessage}")
+    } finally inf.end()
     if (n != uncLen)
       throw new ColeFormat.ColeFormatException(s"inflate: got $n of $uncLen bytes")
     out

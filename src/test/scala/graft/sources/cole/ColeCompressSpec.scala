@@ -102,4 +102,21 @@ class ColeCompressSpec extends AnyFunSuite {
     assert(packed.length < runs.length)
     assert(ColeCodec.inflate(packed, 0, packed.length, runs.length).toSeq == runs.toSeq)
   }
+
+  test("corrupt or truncated compressed pages fail loudly, not silently") {
+    val runs = Array.tabulate[Byte](4096)(i => (i / 128).toByte)
+    val packed = ColeCodec.deflate(runs)
+    // truncation: fewer input bytes than the stream needs
+    intercept[ColeFormat.ColeFormatException] {
+      ColeCodec.inflate(packed, 0, packed.length / 2, runs.length)
+    }
+    // length mismatch: the stream ends before producing the page's
+    // declared uncompressed size. (Raw DEFLATE carries no checksum —
+    // same integrity posture as the reference format, which has none —
+    // so arbitrary bit flips are the storage layer's problem; what the
+    // reader guarantees is that size lies never pass silently.)
+    intercept[ColeFormat.ColeFormatException] {
+      ColeCodec.inflate(packed, 0, packed.length, runs.length + 1)
+    }
+  }
 }
