@@ -110,15 +110,17 @@ object Ann {
     * recall lost to quantization. Rows-only; recall vs [[bruteForce]]
     * asserted in the spec.
     */
-  def pq(corpus: DataFrame, queries: DataFrame, k: Int = 5,
-      idCol: String = "vec_id", vecCol: String = "embedding",
-      m: Int = 16, ksub: Int = 64, rerank: Int = 64): DataFrame = {
+  /** Driver-built PQ codebook: (flat array for the native kernels laid
+    * out [(sub*nCodes + code)*subLen + d], nCodes, subLen). GEOMETRY-
+    * sized (m × ksub × subLen doubles — KBs, like Bloom's filter words),
+    * so it collects to the driver and rides every expression as a
+    * reference object: encoding is a per-row map, never a corpus × ksub
+    * join — the only scale-correct shape, since at 100 TB the encode
+    * pass must stream the corpus exactly once, shuffle-free.
+    */
+  private def pqCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int): (Array[Double], Int, Int) = {
     require(ksub <= 256, "PQ codes are byte-sized: ksub must be <= 256")
-    // The codebook is GEOMETRY-sized (m × ksub × subLen doubles — KBs,
-    // like Bloom's filter words), so it collects to the driver and rides
-    // every expression as a literal: encoding is a per-row map, never a
-    // corpus × ksub join — the only scale-correct shape, since at 100 TB
-    // the encode pass must stream the corpus exactly once, shuffle-free.
     val sample: Array[Array[Double]] = corpus.select(col(idCol), col(vecCol))
       .orderBy(xxhash64(col(idCol)).asc, col(idCol).asc).limit(ksub)
       .select(col(vecCol)).collect()
@@ -131,7 +133,6 @@ object Ann {
       if (n == 0) v else v.map(_ / n)
     }
     val nCodes = sample.length // corpus may be smaller than ksub
-    // flat layout [(sub*nCodes + code)*subLen + d] for the native kernels
     val cbFlat = new Array[Double](m * nCodes * subLen)
     for (s <- 0 until m; c <- 0 until nCodes) {
       val u = unitArr(sample(c))
@@ -141,27 +142,27 @@ object Ann {
         cbFlat(base + j) = u(s * subLen + j); j += 1
       }
     }
-    // encode: ONE codegen'd projection per row (functions/SketchRuntime
-    // .pqEncode) — the corpus streams through in its scan stage,
-    // shuffle-free, exactly as a 100 TB encode pass must
-    val codes = corpus
-      .select(col(idCol).as("neighbor_id"),
-        posexplode(pq_encode(col(vecCol), cbFlat, m, nCodes, subLen))
-          .as(Seq("sub", "code")))
-    // ADC: per-query LUT over the codebook, broadcast; scoring is a code
-    // lookup + sum, never a vector op
-    val lut = broadcast(queries
+    (cbFlat, nCodes, subLen)
+  }
+
+  /** Per-query ADC lookup table (query_id, sub, code, pd), broadcast. */
+  private def pqLutDf(queries: DataFrame, idCol: String, vecCol: String,
+      cbFlat: Array[Double], m: Int, nCodes: Int, subLen: Int): DataFrame =
+    broadcast(queries
       .select(col(idCol).as("query_id"),
         posexplode(pq_lut(col(vecCol), cbFlat, m, nCodes, subLen)).as(Seq("idx", "pd")))
       .select(col("query_id"), (col("idx") / nCodes).cast("int").as("sub"),
         pmod(col("idx"), lit(nCodes)).cast("int").as("code"), col("pd")))
-    val approx = codes.join(lut, Seq("sub", "code"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(col("pd")).as("adist"))
+
+  /** Exact-cosine re-rank of an approximate shortlist: keep the `rerank`
+    * best per query by approximate distance, join the TRUE vectors back,
+    * return the final top-k by exact cosine.
+    */
+  private def exactRerank(approx: DataFrame, corpus: DataFrame,
+      queries: DataFrame, k: Int, rerank: Int,
+      idCol: String, vecCol: String): DataFrame = {
     val cand = graft.plans.TopK.perKey(approx, rerank,
       Seq(col("query_id")), Seq(col("adist").asc, col("neighbor_id").asc))
-    // exact re-rank of the shortlist on the true vectors
     val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
     val w = Window.partitionBy(col("query_id"))
@@ -171,6 +172,72 @@ object Ann {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  def pq(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      m: Int = 16, ksub: Int = 64, rerank: Int = 64): DataFrame = {
+    val (cbFlat, nCodes, subLen) = pqCodebook(corpus, idCol, vecCol, m, ksub)
+    // encode: ONE codegen'd projection per row (functions/SketchRuntime
+    // .pqEncode) — the corpus streams through in its scan stage,
+    // shuffle-free, exactly as a 100 TB encode pass must
+    val codes = corpus
+      .select(col(idCol).as("neighbor_id"),
+        posexplode(pq_encode(col(vecCol), cbFlat, m, nCodes, subLen))
+          .as(Seq("sub", "code")))
+    // ADC: per-query LUT over the codebook, broadcast; scoring is a code
+    // lookup + sum, never a vector op
+    val lut = pqLutDf(queries, idCol, vecCol, cbFlat, m, nCodes, subLen)
+    val approx = codes.join(lut, Seq("sub", "code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("pd")).as("adist"))
+    exactRerank(approx, corpus, queries, k, rerank, idCol, vecCol)
+  }
+
+  /** IVF-PQ top-k — the production ANN serving shape, composing the two
+    * scale levers: the IVF coarse quantizer prunes WHICH vectors are
+    * scored (each query probes `nProbe` of `nCells` cells), and PQ codes
+    * shrink WHAT scoring reads (m bytes per vector, ADC via the
+    * broadcast LUT). At 100 TB the stored layout is exactly
+    * (cell_id, pq_codes) — this operator's `corpusEnc` — with query cost
+    * ~ nProbe/nCells of the corpus in compressed-domain lookups, and the
+    * exact re-rank touching only `rerank` true vectors per query.
+    * Rows-only; recall vs [[bruteForce]] in the spec.
+    */
+  def ivfpq(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nCells: Int = 16, nProbe: Int = 4,
+      m: Int = 16, ksub: Int = 64, rerank: Int = 64): DataFrame = {
+    val cells = broadcast(
+      corpus.select(col(idCol).as("cell_id"), col(vecCol).as("centroid"))
+        .orderBy(xxhash64(col("cell_id")).asc, col("cell_id").asc)
+        .limit(nCells))
+    def nearestCells(df: DataFrame, idAs: String, vecAs: String, n: Int): DataFrame =
+      graft.plans.TopK.perKey(
+        df.select(col(idCol).as(idAs), col(vecCol).as(vecAs))
+          .crossJoin(cells) // broadcast NL against nCells rows — intended
+          .withColumn("csim", cosine_sim(col(vecAs), col("centroid"))),
+        n, Seq(col(idAs)), Seq(col("csim").desc, col("cell_id").asc))
+        .select(col(idAs), col(vecAs), col("cell_id"))
+    val (cbFlat, nCodes, subLen) = pqCodebook(corpus, idCol, vecCol, m, ksub)
+    // the stored 100 TB layout: one row per vector = (cell, m-byte codes)
+    val corpusEnc = nearestCells(corpus, "neighbor_id", "cv", 1)
+      .select(col("neighbor_id"), col("cell_id"),
+        pq_encode(col("cv"), cbFlat, m, nCodes, subLen).as("codes"))
+    val queryCells = broadcast(nearestCells(queries, "query_id", "qv", nProbe)
+      .select("query_id", "cell_id"))
+    val lut = pqLutDf(queries, idCol, vecCol, cbFlat, m, nCodes, subLen)
+    // candidates = corpus rows in probed cells only; they explode to m
+    // rows AFTER the cell filter, so unprobed cells cost nothing
+    val approx = corpusEnc.join(queryCells, "cell_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(lut, Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("pd")).as("adist"))
+    exactRerank(approx, corpus, queries, k, rerank, idCol, vecCol)
   }
 
   /** SRP-LSH top-k: queries only score corpus vectors sharing at least one

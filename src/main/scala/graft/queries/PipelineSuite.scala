@@ -136,6 +136,16 @@ object PipelineSuite {
         .orderBy("query_id", "rank")
     }, None),
 
+    // #114 IVF-PQ approximate top-k (rows-only; recall vs #41 in the
+    // spec): coarse cells prune WHICH vectors score, PQ codes shrink WHAT
+    // scoring reads — the production serving composition of #72 and #111.
+    Q("ann_ivfpq", (s, d) => {
+      val embs = Tables.embeddings(s, d)
+      Ann.ivfpq(embs, embs.filter(col("vec_id") % 100 === 0), k = 5)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    }, None),
+
     // #43 vector algebra with an exact decimal oracle.
     Q("vector_norms", (s, d) => {
       // float -> double -> decimal: Spark's direct float->decimal cast goes

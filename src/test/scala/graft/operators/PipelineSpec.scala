@@ -84,6 +84,29 @@ class PipelineSpec extends AnyFunSuite {
       s"shrinking the shortlist cannot raise recall: $tightRecall > $recall")
   }
 
+  test("ann_ivfpq recall tracks ivf's cell pruning and beats random probing") {
+    val queries = embs.filter(col("vec_id") % 100 === 0)
+    val exact = Ann.bruteForce(embs, queries, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ann.ivfpq(embs, queries, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // nProbe=4 of ~16 cells scans ~25% of the corpus; random subsetting
+    // would land ~0.25 recall. The PQ shortlist inside probed cells is
+    // near-lossless (see ann_pq), so recall ≈ IVF's cell recall, which
+    // must beat random by a wide margin.
+    assert(recall >= 0.3, s"IVF-PQ recall@5 = $recall")
+    // probing every cell must recover (almost) full PQ recall — the
+    // nProbe dial trades recall for pruning
+    val full = Ann.ivfpq(embs, queries, k = 5, nProbe = 16)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullRecall = (exact & full).size.toDouble / exact.size
+    assert(fullRecall >= 0.8, s"all-cells IVF-PQ recall@5 = $fullRecall")
+  }
+
   test("clusters == union-find over the same LSH candidate pairs") {
     val pairs = Dedup.minhashCandidates(docs)
       .filter(col("est_jaccard") >= 0.5)

@@ -189,6 +189,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_"), s"PQ ADC aggregation lost map-side combine:\n$p")
   }
 
+  test("ann_ivfpq: cell probe joins by equality; only the centroid table nested-loops") {
+    val p = plan("ann_ivfpq")
+    assert(!p.contains("CartesianProduct"), s"IVF-PQ plan contains a cartesian product:\n$p")
+    // (a BroadcastNestedLoopJoin against the fixed nCells centroid rows
+    // is the same intended exemption as ann_ivf's)
+    val eqJoins = p.linesIterator.count(l =>
+      l.contains("BroadcastHashJoin") || l.contains("SortMergeJoin") ||
+        l.contains("ShuffledHashJoin"))
+    assert(eqJoins >= 2, s"cell-probe and LUT joins must be equality joins:\n$p")
+    assert(p.contains("partial_"), s"ADC aggregation lost map-side combine:\n$p")
+  }
+
   test("sample_stratified windows stay partitioned by stratum") {
     val p = plan("sample_stratified")
     assert(!p.contains("SinglePartition"),
