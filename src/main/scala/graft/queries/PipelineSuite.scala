@@ -60,6 +60,41 @@ object PipelineSuite {
         "vec_id", "cos").orderBy("vec_id")
     }, None),
 
+    // #115 paragraph-level dedup (oracle): the corpus-wide boilerplate
+    // remover — every paragraph is fingerprinted, only its FIRST
+    // occurrence (min doc_id, then position) survives anywhere in the
+    // corpus, and each doc reassembles from its surviving paragraphs in
+    // order. One fingerprint-keyed window shuffle + one per-doc
+    // aggregation; paragraphs, not documents, ride the shuffle — the
+    // granularity at which pretraining corpora actually repeat.
+    Q("dedup_paragraph", (s, d) => {
+      val paras = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), "\\. ")).as(Seq("pos", "para")))
+        .withColumn("fp", md5(lower(trim(col("para")))))
+      val w = Window.partitionBy("fp").orderBy(col("doc_id"), col("pos"))
+      paras.withColumn("rn", row_number().over(w))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_paras"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+          concat_ws(". ", transform(
+            array_sort(collect_list(when(col("rn") === 1,
+              struct(col("pos"), col("para"))))),
+            x => x.getField("para"))).as("kept_text"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH p AS (SELECT doc_id, i AS pos, t[i] AS para
+                FROM (SELECT doc_id, string_split(text, '. ') AS t FROM documents),
+                     UNNEST(range(1, len(t)+1)) u(i)),
+              f AS (SELECT doc_id, pos, para, md5(lower(trim(para))) AS fp FROM p),
+              r AS (SELECT doc_id, pos, para,
+                ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn
+              FROM f)
+              SELECT doc_id, COUNT(*) AS n_paras,
+                     CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                     COALESCE(string_agg(CASE WHEN rn = 1 THEN para END, '. ' ORDER BY pos), '') AS kept_text
+              FROM r GROUP BY doc_id ORDER BY doc_id""")),
+
     // #65 duplicate clustering: connected components (min-label
     // propagation) over a duplicate pair graph — here prefix-fingerprint
     // families (the corpus has no byte-exact dups at verify SF). On

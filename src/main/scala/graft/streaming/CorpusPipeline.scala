@@ -43,6 +43,25 @@ object CorpusPipeline {
       .select("doc_id")
       .dropDuplicates("doc_id")
 
+  /** [[flagContaminated]] behind a Bloom prefilter: the static eval-gram
+    * set is sketched ONCE at stream start (`graft.operators.Bloom` —
+    * geometry-sized, probed by codegen'd built-ins), and every arriving
+    * micro-batch probes the sketch BEFORE the stream-static semi join, so
+    * the per-batch join work scales with the contaminated sliver, not the
+    * batch's full gram stream. Same output as [[flagContaminated]] — the
+    * exact join clears bloom false positives — parity-spec'd.
+    */
+  def flagContaminatedBloom(docs: DataFrame, evalGrams: DataFrame,
+      k: Int = 3, numBits: Int = 1 << 17): DataFrame = {
+    val bits = graft.operators.Bloom.build(
+      evalGrams.select(col("gram")), col("gram"), numBits)
+    grams(docs, k)
+      .filter(graft.operators.Bloom.mightContain(bits, col("gram")))
+      .join(evalGrams.select(col("gram")), Seq("gram"), "left_semi")
+      .select("doc_id")
+      .dropDuplicates("doc_id")
+  }
+
   /** Quality gate ∘ exact dedup ∘ token count; identical semantics batch
     * and streaming (batch = "replay everything in one micro-batch").
     * `n_chars` is taken from the input when present (the documents table

@@ -92,4 +92,33 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(streamed === batchTainted)
     assert(streamed.nonEmpty, "expected some contaminated docs at this SF")
   }
+
+  test("bloom-prefiltered streaming decontamination == exact flagging") {
+    val s = spark
+    import s.implicits._
+    val all = docs()
+    val evalDocs = all.filter(_.doc_id % 97 == 0)
+    val evalGrams = CorpusPipeline.grams(evalDocs.toDF()).select("gram").distinct()
+    val train = all.filter(_.doc_id % 97 != 0)
+
+    val source = MemoryStream[Doc](spark)
+    val q = CorpusPipeline.flagContaminatedBloom(source.toDF(), evalGrams)
+      .writeStream.format("memory").queryName("tainted_bloom_stream")
+      .outputMode(OutputMode.Append).start()
+    train.grouped(train.size / 3 + 1).foreach { batch =>
+      source.addData(batch)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("tainted_bloom_stream")
+      .collect().map(_.getLong(0)).toSet
+
+    val batchTainted = CorpusPipeline.grams(train.toDF())
+      .join(evalGrams, "gram").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+
+    // bloom false positives are cleared by the exact join: same answer
+    assert(streamed === batchTainted)
+    assert(streamed.nonEmpty, "expected some contaminated docs at this SF")
+  }
 }
