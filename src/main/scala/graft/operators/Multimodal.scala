@@ -111,4 +111,49 @@ object Multimodal {
         }
       }
   }
+
+  /** Frame sampling: `nFrames` evenly-spaced fixed-size windows per
+    * asset, each emitted as its own typed row. This is the video/audio
+    * curation shape — seek positions are computed from METADATA
+    * (`meta.n_bytes`), never by decoding the whole asset, so per-asset
+    * cost is nFrames × frameBytes regardless of asset size; a real
+    * decoder would `seek(offset)` per frame exactly where the stub
+    * slices. Short assets yield fewer frames (never fabricate bytes);
+    * the explode happens inside the partition iterator, so executor
+    * memory holds one decode batch, not one asset list.
+    */
+  def sampleFrames(withPayloads: DataFrame, nFrames: Int = 4,
+      frameBytes: Int = 256): Dataset[FrameSample] = {
+    val spark = withPayloads.sparkSession
+    import spark.implicits._
+    withPayloads
+      .select(col("doc_id"), col("payload"))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.grouped(DecodeBatchSize).flatMap { batch =>
+          val decoded = decodeBatchStub(batch.map(_.getAs[Array[Byte]]("payload")))
+          batch.zip(decoded).flatMap { case (row, bytes) =>
+            val id = row.getAs[Long]("doc_id")
+            val frames = math.min(nFrames, math.max(bytes.length / frameBytes, 0))
+            (0 until frames).map { i =>
+              // evenly spaced: frame i starts at i/frames of the asset
+              val offset = (bytes.length.toLong - frameBytes) * i /
+                math.max(frames - 1, 1)
+              var crc = 1469598103934665603L // FNV-1a 64
+              var j = offset.toInt
+              val end = offset.toInt + frameBytes
+              while (j < end) { crc = (crc ^ (bytes(j) & 0xff)) * 1099511628211L; j += 1 }
+              FrameSample(id, i, offset, frameBytes.toLong, crc)
+            }
+          }
+        }
+      }
+  }
 }
+
+/** One sampled frame: where it came from and what the stub decoded. */
+case class FrameSample(
+    doc_id: Long,
+    frame_idx: Int,
+    offset: Long,
+    n_bytes: Long,
+    checksum: Long)

@@ -276,6 +276,18 @@ object PipelineSuite {
           col("meta.height").as("height"), col("meta.sample_rate").as("sample_rate")),
           "doc_id")
         .orderBy("doc_id")
+    }, None),
+
+    // #116 frame sampling (rows-only): nFrames evenly-spaced fixed-size
+    // windows per asset, seek offsets computed from metadata — the
+    // video/audio curation shape; per-frame rollup proves the explode.
+    Q("multimodal_framesample", (s, d) => {
+      val media = Multimodal.withPayload(Tables.documents(s, d))
+      Multimodal.sampleFrames(media).toDF()
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_frames"),
+          min("offset").as("first_offset"), max("offset").as("last_offset"))
+        .orderBy("doc_id")
     }, None)
   )
 }

@@ -63,8 +63,17 @@ class AqePlanAuditSpec extends AnyFunSuite {
   }
 
   test("LSH dedup and ANN stay equality-join-bounded under AQE") {
-    for (q <- Seq("dedup_minhash_lsh", "ann_lsh")) {
+    for (q <- Seq("dedup_minhash_lsh", "ann_lsh", "ann_pq")) {
       val p = finalPlan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q degenerated under AQE:\n$p")
+    }
+  }
+
+  test("bloom decontamination and paragraph dedup survive AQE at sf0.1") {
+    for (q <- Seq("corpus_bloom_decontaminate", "dedup_paragraph")) {
+      val p = finalPlan(q)
+      assert(p.contains("isFinalPlan=true"), s"$q: AQE never finalized")
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
         s"$q degenerated under AQE:\n$p")
     }

@@ -249,4 +249,27 @@ class PipelineSpec extends AnyFunSuite {
     val entBad = f1.filter(col("byte_entropy") < 0 || col("byte_entropy") > 8)
     assert(entBad.count() === 0)
   }
+
+  test("frame sampling: metadata-driven offsets, bounded per-asset cost") {
+    val media = Multimodal.withPayload(docs)
+    val f1 = Multimodal.sampleFrames(media, nFrames = 4, frameBytes = 64).toDF()
+    val f2 = Multimodal.sampleFrames(media, nFrames = 4, frameBytes = 64).toDF()
+    assert(f1.exceptAll(f2).count() === 0, "frame sampler is not deterministic")
+    // never more than nFrames per asset; short assets yield fewer, and no
+    // frame may read past the asset (offset + frameBytes <= n_bytes)
+    val perDoc = f1.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    assert(perDoc.filter(col("n") > 4).count() === 0)
+    val sized = f1.join(media.select(col("doc_id"), col("meta.n_bytes").as("sz")), "doc_id")
+    assert(sized.filter(col("offset") + col("n_bytes") > col("sz")).count() === 0,
+      "a frame reads past its asset")
+    assert(sized.filter(col("offset") < 0).count() === 0)
+    // frames are evenly spaced: first at 0, last ending at the asset end
+    // for any asset with >= 2 frames
+    val multi = f1.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), min("offset").as("mn"), max("offset").as("mx"))
+      .filter(col("n") >= 2)
+      .join(media.select(col("doc_id"), col("meta.n_bytes").as("sz")), "doc_id")
+    assert(multi.filter(col("mn") =!= 0).count() === 0)
+    assert(multi.filter(col("mx") + 64 =!= col("sz")).count() === 0)
+  }
 }
