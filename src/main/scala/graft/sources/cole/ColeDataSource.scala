@@ -1488,7 +1488,7 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
 
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new ColeMicroBatchStream(this, path, conf)
+    new ColeMicroBatchStream(this, path, conf, checkpointLocation)
 
   /** CBO/AQE may ask repeatedly; totals are computed once per scan from
     * the footer cache (listing only, no footer re-reads on hits).
@@ -1987,20 +1987,16 @@ class ColeDataWriter(schema: StructType, file: String, rowGroupSize: Int,
 
 // ------------------------------------------------------------- streaming
 
-/** Offset of the COLE micro-batch source: the set of files already
-  * processed, newline-joined (opaque to Spark, which only needs equality
-  * and round-tripping through the offset log). At many-file scale a
-  * production source would compact this into a metadata log the way
-  * Spark's FileStreamSource does; the semantics are identical.
+/** Offset of the COLE micro-batch source: a sequence number into the
+  * source's own file log (below). CONSTANT-size however many files the
+  * table accumulates — Spark serializes the offset into its offset log
+  * every single batch, so an offset that carried the file set (the naive
+  * design) would cost O(total files) per epoch and O(files²) over a
+  * stream's lifetime at 100 TB file counts.
   */
-final case class ColeSourceOffset(files: Set[String])
+final case class ColeSourceOffset(seq: Long)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = files.toSeq.sorted.mkString("\n")
-}
-
-object ColeSourceOffset {
-  def fromJson(json: String): ColeSourceOffset =
-    ColeSourceOffset(json.split('\n').filter(_.nonEmpty).toSet)
+  override def json(): String = seq.toString
 }
 
 /** `readStream.format("cole")` — the directory-monitoring twin of the
@@ -2010,23 +2006,74 @@ object ColeSourceOffset {
   * SAME [[ColeScan]] machinery as batch reads — claimed filters, stat
   * skipping, partition pruning, and packed row-group partitions all
   * apply per micro-batch.
+  *
+  * File tracking is a WRITE-AHEAD metadata log under the query's
+  * checkpoint (`<checkpoint>/cole-file-log/<seq>`, one entry listing the
+  * files FIRST seen at that sequence — the FileStreamSource design): the
+  * entry persists BEFORE the offset is returned, so a crash between log
+  * write and Spark's checkpoint replays the same entry rather than
+  * losing or duplicating files. Restart rebuilds the seen-set from the
+  * log; per-entry cost is proportional to the fresh files only.
   */
-class ColeMicroBatchStream(scan: ColeScan, path: String, conf: Configuration)
+class ColeMicroBatchStream(scan: ColeScan, path: String, conf: Configuration,
+    checkpointLocation: String)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
+  import java.nio.charset.StandardCharsets.UTF_8
 
-  override def initialOffset(): Offset = ColeSourceOffset(Set.empty)
+  private val logDir = new org.apache.hadoop.fs.Path(checkpointLocation, "cole-file-log")
+  private val fs = logDir.getFileSystem(conf)
 
-  override def latestOffset(): Offset =
-    ColeSourceOffset(ColeIO.listPartitioned(path, conf).map(_._1.getPath.toString).toSet)
+  /** Files already logged, rebuilt from the log once per stream. */
+  private val seen = scala.collection.mutable.HashSet[String]()
+  private var seq = -1L
+  private var loaded = false
+
+  private def entryPath(s: Long): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(logDir, s.toString)
+
+  private def readEntry(s: Long): Seq[String] = {
+    val in = fs.open(entryPath(s))
+    try new String(in.readAllBytes(), UTF_8).split('\n').filter(_.nonEmpty).toSeq
+    finally in.close()
+  }
+
+  private def load(): Unit = synchronized {
+    if (loaded) return
+    if (fs.exists(logDir)) {
+      fs.listStatus(logDir).map(_.getPath.getName)
+        .filter(_.forall(_.isDigit)).map(_.toLong).sorted
+        .foreach { s => seen ++= readEntry(s); seq = math.max(seq, s) }
+    } else fs.mkdirs(logDir)
+    loaded = true
+  }
+
+  override def initialOffset(): Offset = ColeSourceOffset(-1L)
+
+  override def latestOffset(): Offset = synchronized {
+    load()
+    val now = ColeIO.listPartitioned(path, conf).map(_._1.getPath.toString)
+    val fresh = now.filterNot(seen)
+    if (fresh.nonEmpty) {
+      // write-ahead: the entry must be durable before the offset escapes
+      val next = seq + 1
+      val out = fs.create(entryPath(next), false)
+      try out.write(fresh.sorted.mkString("\n").getBytes(UTF_8)) finally out.close()
+      seen ++= fresh
+      seq = next
+    }
+    ColeSourceOffset(seq)
+  }
 
   override def deserializeOffset(json: String): Offset =
-    ColeSourceOffset.fromJson(json)
+    ColeSourceOffset(json.trim.toLong)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val seen = start.asInstanceOf[ColeSourceOffset].files
-    val now = end.asInstanceOf[ColeSourceOffset].files
-    val fresh = now -- seen
+    load()
+    val s0 = start.asInstanceOf[ColeSourceOffset].seq
+    val s1 = end.asInstanceOf[ColeSourceOffset].seq
+    if (s1 <= s0) return Array.empty
+    val fresh = ((s0 + 1) to s1).flatMap(readEntry).toSet
     if (fresh.isEmpty) Array.empty
     else scan.planPartitionsOf(fresh.contains)
   }
