@@ -19,6 +19,12 @@ object Engine {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // answer bare MIN/MAX/COUNT from parquet footers (off by default)
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      // runtime bloom filters: a selective join side seeds a bloom that
+      // prunes the probe side's scan — the AQE twin of the explicit
+      // operators/Bloom prefilter
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // The events table stores TIMESTAMP(NANOS) which Spark's parquet
       // reader rejects; read as epoch-nanos long and convert explicitly
