@@ -119,10 +119,14 @@ object Ann {
     * pass must stream the corpus exactly once, shuffle-free.
     */
   private def pqCodebook(corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int, ksub: Int): (Array[Double], Int, Int) = {
+      m: Int, ksub: Int, lloydRounds: Int = 0,
+      trainSample: Int = 1024): (Array[Double], Int, Int) = {
     require(ksub <= 256, "PQ codes are byte-sized: ksub must be <= 256")
+    // with refinement, train on a LARGER (still bounded) sample: k-means
+    // over ksub points alone can only reproduce them
+    val sampleN = if (lloydRounds > 0) math.max(ksub, trainSample) else ksub
     val sample: Array[Array[Double]] = corpus.select(col(idCol), col(vecCol))
-      .orderBy(xxhash64(col(idCol)).asc, col(idCol).asc).limit(ksub)
+      .orderBy(xxhash64(col(idCol)).asc, col(idCol).asc).limit(sampleN)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
     require(sample.nonEmpty, "PQ needs a non-empty corpus")
@@ -132,15 +136,45 @@ object Ann {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0) v else v.map(_ / n)
     }
-    val nCodes = sample.length // corpus may be smaller than ksub
-    val cbFlat = new Array[Double](m * nCodes * subLen)
-    for (s <- 0 until m; c <- 0 until nCodes) {
-      val u = unitArr(sample(c))
-      val base = (s * nCodes + c) * subLen
+    val unit = sample.map(unitArr)
+    val nCodes = math.min(ksub, unit.length)
+    // per-sub training views (zero-padded tail like the kernels read it)
+    def subOf(v: Array[Double], s: Int): Array[Double] = {
+      val out = new Array[Double](subLen)
       var j = 0
-      while (j < subLen && s * subLen + j < dim) {
-        cbFlat(base + j) = u(s * subLen + j); j += 1
+      while (j < subLen && s * subLen + j < dim) { out(j) = v(s * subLen + j); j += 1 }
+      out
+    }
+    // init: hash-rank sample rows; optional Lloyd rounds PER SUBSPACE on
+    // the driver — the training set is geometry-bounded (trainSample ×
+    // dim doubles), so refinement costs no cluster work at any corpus
+    // size, exactly how large-scale PQ indexes train (on a sample)
+    val cbFlat = new Array[Double](m * nCodes * subLen)
+    for (s <- 0 until m) {
+      var cents = Array.tabulate(nCodes)(c => subOf(unit(c), s))
+      val train = unit.map(subOf(_, s))
+      for (_ <- 1 to lloydRounds) {
+        val sums = Array.fill(nCodes)(new Array[Double](subLen))
+        val counts = new Array[Int](nCodes)
+        train.foreach { t =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < nCodes) {
+            var d = 0.0; var j = 0
+            while (j < subLen) { val x = t(j) - cents(c)(j); d += x * x; j += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var j = 0
+          while (j < subLen) { sums(best)(j) += t(j); j += 1 }
+        }
+        cents = Array.tabulate(nCodes)(c =>
+          if (counts(c) == 0) cents(c) // empty cell keeps its centroid
+          else sums(c).map(_ / counts(c)))
       }
+      for (c <- 0 until nCodes)
+        System.arraycopy(cents(c), 0, cbFlat, (s * nCodes + c) * subLen, subLen)
     }
     (cbFlat, nCodes, subLen)
   }
@@ -176,8 +210,10 @@ object Ann {
 
   def pq(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      m: Int = 16, ksub: Int = 64, rerank: Int = 64): DataFrame = {
-    val (cbFlat, nCodes, subLen) = pqCodebook(corpus, idCol, vecCol, m, ksub)
+      m: Int = 16, ksub: Int = 64, rerank: Int = 64,
+      lloydRounds: Int = 0): DataFrame = {
+    val (cbFlat, nCodes, subLen) =
+      pqCodebook(corpus, idCol, vecCol, m, ksub, lloydRounds)
     // encode: ONE codegen'd projection per row (functions/SketchRuntime
     // .pqEncode) — the corpus streams through in its scan stage,
     // shuffle-free, exactly as a 100 TB encode pass must
@@ -208,7 +244,8 @@ object Ann {
   def ivfpq(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       idCol: String = "vec_id", vecCol: String = "embedding",
       nCells: Int = 16, nProbe: Int = 4,
-      m: Int = 16, ksub: Int = 64, rerank: Int = 64): DataFrame = {
+      m: Int = 16, ksub: Int = 64, rerank: Int = 64,
+      lloydRounds: Int = 0): DataFrame = {
     val cells = broadcast(
       corpus.select(col(idCol).as("cell_id"), col(vecCol).as("centroid"))
         .orderBy(xxhash64(col("cell_id")).asc, col("cell_id").asc)
@@ -220,7 +257,8 @@ object Ann {
           .withColumn("csim", cosine_sim(col(vecAs), col("centroid"))),
         n, Seq(col(idAs)), Seq(col("csim").desc, col("cell_id").asc))
         .select(col(idAs), col(vecAs), col("cell_id"))
-    val (cbFlat, nCodes, subLen) = pqCodebook(corpus, idCol, vecCol, m, ksub)
+    val (cbFlat, nCodes, subLen) =
+      pqCodebook(corpus, idCol, vecCol, m, ksub, lloydRounds)
     // the stored 100 TB layout: one row per vector = (cell, m-byte codes)
     val corpusEnc = nearestCells(corpus, "neighbor_id", "cv", 1)
       .select(col("neighbor_id"), col("cell_id"),

@@ -136,7 +136,18 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val path = ColeUtil.path(options)
-    val conf = ColeIO.driverConf()
+    // streaming rate limit rides the conf to the micro-batch stream (the
+    // same zero-signature route the writer's compression codec takes)
+    val conf = {
+      val maxFiles = options.get("maxFilesPerTrigger")
+      if (maxFiles == null) ColeIO.driverConf()
+      else {
+        require(maxFiles.toInt > 0, "maxFilesPerTrigger must be positive")
+        val c = new Configuration(ColeIO.driverConf())
+        c.setInt(ColeMicroBatchStream.MaxFilesKey, maxFiles.toInt)
+        c
+      }
+    }
     // partition columns are whatever schema fields the files don't carry
     val infos = ColeMetaCache.infos(path, conf)
     val fileCols: Set[String] =
@@ -2015,11 +2026,23 @@ final case class ColeSourceOffset(seq: Long)
   * losing or duplicating files. Restart rebuilds the seen-set from the
   * log; per-entry cost is proportional to the fresh files only.
   */
+object ColeMicroBatchStream {
+  /** Conf key for the per-trigger file cap (`option("maxFilesPerTrigger",
+    * n)`) — FileStreamSource's rate-limit knob: without one, a source
+    * that falls behind (or starts against a large existing table) plans
+    * its entire backlog as ONE micro-batch.
+    */
+  val MaxFilesKey = "graft.cole.maxFilesPerTrigger"
+}
+
 class ColeMicroBatchStream(scan: ColeScan, path: String, conf: Configuration,
     checkpointLocation: String)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
   import java.nio.charset.StandardCharsets.UTF_8
+
+  private val maxFilesPerTrigger: Int =
+    conf.getInt(ColeMicroBatchStream.MaxFilesKey, Int.MaxValue)
 
   private val logDir = new org.apache.hadoop.fs.Path(checkpointLocation, "cole-file-log")
   private val fs = logDir.getFileSystem(conf)
@@ -2053,7 +2076,9 @@ class ColeMicroBatchStream(scan: ColeScan, path: String, conf: Configuration,
   override def latestOffset(): Offset = synchronized {
     load()
     val now = ColeIO.listPartitioned(path, conf).map(_._1.getPath.toString)
-    val fresh = now.filterNot(seen)
+    // deterministic admission order + per-trigger cap: a backlog drains
+    // over successive bounded batches instead of one unbounded plan
+    val fresh = now.filterNot(seen).sorted.take(maxFilesPerTrigger)
     if (fresh.nonEmpty) {
       // write-ahead: the entry must be durable before the offset escapes
       val next = seq + 1

@@ -82,6 +82,14 @@ class PipelineSpec extends AnyFunSuite {
     val tightRecall = (exact & tight).size.toDouble / exact.size
     assert(tightRecall <= recall + 1e-9,
       s"shrinking the shortlist cannot raise recall: $tightRecall > $recall")
+    // Lloyd refinement (driver-side k-means on the bounded training
+    // sample) must not degrade recall — centroids move toward the data
+    val refined = Ann.pq(embs, queries, k = 5, lloydRounds = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refinedRecall = (exact & refined).size.toDouble / exact.size
+    assert(refinedRecall >= recall - 0.05,
+      s"Lloyd rounds regressed PQ recall: $refinedRecall < $recall")
   }
 
   test("ann_ivfpq recall tracks ivf's cell pruning and beats random probing") {

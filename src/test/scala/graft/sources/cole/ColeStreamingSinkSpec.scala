@@ -172,6 +172,31 @@ class ColeStreamingSinkSpec extends AnyFunSuite {
       s"offset log leaked file paths (O(files) offsets): $t"))
   }
 
+  test("maxFilesPerTrigger drains a backlog over bounded micro-batches") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("cole_stream_rate").toString
+    val cp = Files.createTempDirectory("cole_stream_rate_cp").toString
+    // a 5-file backlog exists BEFORE the stream starts
+    (0 until 5).foreach(i =>
+      rows(i * 10, i * 10 + 10).toDF().coalesce(1)
+        .write.format("cole").mode("append").save(dir))
+    val q = s.readStream.format("cole")
+      .option("maxFilesPerTrigger", "2").load(dir)
+      .writeStream.format("memory").queryName("cole_rate_out")
+      .option("checkpointLocation", cp)
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    q.stop()
+    // all rows arrive...
+    assert(s.table("cole_rate_out").select("id").as[Long].collect().toSet ===
+      (0L until 50L).toSet)
+    // ...across ceil(5/2)=3 bounded batches, visible as 3 log entries
+    val log = new java.io.File(cp, "sources/0/cole-file-log")
+    assert(log.listFiles().count(_.getName.forall(_.isDigit)) === 3,
+      s"expected 3 rate-limited admissions in ${log}")
+  }
+
   test("sink-to-source round trip: epochs written become micro-batches read") {
     val s = spark
     import s.implicits._
