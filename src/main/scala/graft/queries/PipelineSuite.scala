@@ -235,6 +235,39 @@ object PipelineSuite {
                   * (1.0 - LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) / LENGTH(text)) AS quality_score
               FROM documents ORDER BY doc_id""")),
 
+    // #117 repetition scoring (oracle): most-frequent-token share per doc
+    // — the integer-exact repetition signal quality filters use to drop
+    // spam/boilerplate (a doc whose top token is 30% of its text is not
+    // prose). All counts are integers and the single ratio division is
+    // one correctly-rounded double op, so the oracle is bit-exact.
+    Q("text_repetition", (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(Text.normalize(col("text")), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("doc_id")
+      toks
+        .withColumn("n_tokens", sum(col("n")).over(w))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("n").desc, col("tok").asc)))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("tok").as("top_token"),
+          col("n").as("top_count"), col("n_tokens"),
+          (col("n").cast("double") / col("n_tokens")).as("repetition_ratio"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH t AS (SELECT doc_id,
+                UNNEST(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+              FROM documents),
+              c AS (SELECT doc_id, tok, COUNT(*) AS n FROM t GROUP BY doc_id, tok),
+              r AS (SELECT doc_id, tok, n,
+                CAST(SUM(n) OVER (PARTITION BY doc_id) AS BIGINT) AS n_tokens,
+                ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, tok) AS rn
+              FROM c)
+              SELECT doc_id, tok AS top_token, n AS top_count,
+                     n_tokens,
+                     CAST(n AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS repetition_ratio
+              FROM r WHERE rn = 1 ORDER BY doc_id""")),
+
     // #46 heuristic language ID (rows-only; determinism + coverage in spec).
     Q("text_langid", (s, d) => {
       val (lang, hits) = Text.langid(col("text"))
