@@ -973,6 +973,70 @@ object RelationalSuite {
                      COUNT(*) AS n_events
               FROM flagged GROUP BY user_id ORDER BY user_id""")),
 
+    // #118 funnel analysis: per-user ordered stage progression (first
+    // view → first click AFTER it → first purchase AFTER that) counted
+    // per stage — the classic product-analytics query. Each stage is one
+    // per-user aggregate joined forward, so the plan is three keyed
+    // aggregations over an ever-shrinking user set, never a per-event
+    // self-join.
+    Q("events_funnel", (s, d) => {
+      val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t_view"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") > col("t_view"))
+        .groupBy("user_id").agg(min("ts").as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") > col("t_click"))
+        .groupBy("user_id").agg(min("ts").as("t_purchase"))
+      v.select(lit("1_view").as("stage"), col("user_id"))
+        .union(c.select(lit("2_click").as("stage"), col("user_id")))
+        .union(p.select(lit("3_purchase").as("stage"), col("user_id")))
+        .groupBy("stage").agg(count(lit(1)).as("n_users"))
+        .orderBy("stage")
+    },
+      Some("""WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+                         WHERE event_type = 'view' GROUP BY user_id),
+              c AS (SELECT e.user_id, MIN(e.ts) AS t_click FROM events e
+                    JOIN v USING (user_id)
+                    WHERE e.event_type = 'click' AND e.ts > v.t_view
+                    GROUP BY e.user_id),
+              p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase FROM events e
+                    JOIN c USING (user_id)
+                    WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+                    GROUP BY e.user_id)
+              SELECT stage, COUNT(*) AS n_users FROM (
+                SELECT '1_view' AS stage, user_id FROM v
+                UNION ALL SELECT '2_click', user_id FROM c
+                UNION ALL SELECT '3_purchase', user_id FROM p) t
+              GROUP BY stage ORDER BY stage""")),
+
+    // #119 cohort retention: users bucketed by their first-activity day,
+    // retention = distinct users active again N days later (0..7). One
+    // (user, day) dedup + one per-user min + one keyed join — the whole
+    // curve in three shuffles regardless of event volume.
+    Q("events_retention", (s, d) => {
+      val days = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val cohort = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+      days.join(cohort, "user_id")
+        .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
+        .filter(col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    },
+      Some("""WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                            FROM events),
+              cohort AS (SELECT user_id, MIN(day) AS cohort_day
+                         FROM days GROUP BY user_id)
+              SELECT cohort_day, day - cohort_day AS day_offset,
+                     COUNT(DISTINCT d.user_id) AS n_users
+              FROM days d JOIN cohort USING (user_id)
+              WHERE day - cohort_day <= 7
+              GROUP BY cohort_day, day_offset
+              ORDER BY cohort_day, day_offset""")),
+
     // #33a exact distinct count (oracle twin of the HLL sketch below).
     Q("distinct_count",
       (s, d) => Tables.lineitem(s, d)
