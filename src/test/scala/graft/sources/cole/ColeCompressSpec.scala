@@ -82,6 +82,12 @@ class ColeCompressSpec extends AnyFunSuite {
 
   test("compressed table carries differing sizes; incompressible bodies fall back") {
     val d = "/tmp/graft_compress_spec/deflate"
+    if (!new java.io.File(d).exists()) // self-sufficient under -z filtering
+      Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_partkey", "l_returnflag")
+        .orderBy("l_orderkey").coalesce(1)
+        .write.format("cole").mode("overwrite")
+        .option("rowGroupSize", "2048").option("compress", "deflate").save(d)
     var compressed = 0
     ColeUtil.listFiles(d).foreach { f =>
       val r = new ColeFileReader(f)
