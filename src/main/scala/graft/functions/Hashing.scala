@@ -14,10 +14,13 @@ object Hashing {
   }
 
   /** FNV-1a 64-bit over raw bytes — stable string hashing. */
-  def fnv1a64(bytes: Array[Byte]): Long = {
+  def fnv1a64(bytes: Array[Byte]): Long = fnv1a64(bytes, 0, bytes.length)
+
+  /** FNV-1a 64 over bytes[from, until). */
+  def fnv1a64(bytes: Array[Byte], from: Int, until: Int): Long = {
     var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < bytes.length) {
+    var i = from
+    while (i < until) {
       h ^= (bytes(i) & 0xffL)
       h *= 0x100000001b3L
       i += 1

@@ -86,13 +86,13 @@ object Multimodal {
           val decoded = decodeBatchStub(batch.map(_.getAs[Array[Byte]]("payload")))
           batch.zip(decoded).map { case (row, bytes) =>
             var sum = 0L
-            var crc = 1469598103934665603L // FNV-1a 64
+            var crc = 0xcbf29ce484222325L // FNV-1a 64 offset basis
             val hist = new Array[Long](256)
             bytes.foreach { b =>
               val u = b & 0xff
               sum += u
               hist(u) += 1
-              crc = (crc ^ u) * 1099511628211L
+              crc = (crc ^ u) * 0x100000001b3L
             }
             val n = bytes.length.toDouble
             val entropy =
@@ -138,10 +138,8 @@ object Multimodal {
               // evenly spaced: frame i starts at i/frames of the asset
               val offset = (bytes.length.toLong - frameBytes) * i /
                 math.max(frames - 1, 1)
-              var crc = 1469598103934665603L // FNV-1a 64
-              var j = offset.toInt
-              val end = offset.toInt + frameBytes
-              while (j < end) { crc = (crc ^ (bytes(j) & 0xff)) * 1099511628211L; j += 1 }
+              val crc = graft.functions.Hashing.fnv1a64(
+                bytes, offset.toInt, offset.toInt + frameBytes)
               FrameSample(id, i, offset, frameBytes.toLong, crc)
             }
           }

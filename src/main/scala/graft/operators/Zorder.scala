@@ -45,10 +45,15 @@ object Zorder {
     * `numPartitions` z-contiguous partitions, rows sorted by z within
     * each, so a columnar writer downstream produces row groups tight in
     * both keys.
+    *
+    * Sorting uses the UNSIGNED order of the Morton code (sign bit
+    * flipped): b's bit 31 lands at z's bit 63, so keys in [2^31, 2^32)
+    * would otherwise sort as negative z and split the curve at the
+    * signed discontinuity.
     */
   def cluster(df: DataFrame, a: Column, b: Column,
       numPartitions: Int = 8): DataFrame = {
-    val z = zvalue(a, b)
+    val z = zvalue(a, b).bitwiseXOR(lit(Long.MinValue))
     df.repartitionByRange(numPartitions, z).sortWithinPartitions(z)
   }
 }

@@ -51,6 +51,11 @@ object ColeCodec {
           throw new ColeFormat.ColeFormatException("truncated compressed page")
         n += k
       }
+      // the size lie in the OTHER direction: the stream decodes past the
+      // declared uncompressed size — reject rather than silently truncate
+      if (n == uncLen && !inf.finished() && inf.inflate(new Array[Byte](1)) > 0)
+        throw new ColeFormat.ColeFormatException(
+          s"corrupt compressed page: stream continues past declared $uncLen bytes")
     } catch {
       case e: java.util.zip.DataFormatException =>
         throw new ColeFormat.ColeFormatException(s"corrupt compressed page: ${e.getMessage}")

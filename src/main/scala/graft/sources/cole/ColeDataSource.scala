@@ -2083,7 +2083,7 @@ class ColeMicroBatchStream(scan: ColeScan, path: String, conf: Configuration,
       // write-ahead: the entry must be durable before the offset escapes
       val next = seq + 1
       val out = fs.create(entryPath(next), false)
-      try out.write(fresh.sorted.mkString("\n").getBytes(UTF_8)) finally out.close()
+      try out.write(fresh.mkString("\n").getBytes(UTF_8)) finally out.close()
       seen ++= fresh
       seq = next
     }
@@ -2091,7 +2091,16 @@ class ColeMicroBatchStream(scan: ColeScan, path: String, conf: Configuration,
   }
 
   override def deserializeOffset(json: String): Offset =
-    ColeSourceOffset(json.trim.toLong)
+    try ColeSourceOffset(json.trim.toLong)
+    catch {
+      case _: NumberFormatException =>
+        // pre-file-log checkpoints stored the processed-file SET here;
+        // fail with an actionable message instead of a bare parse error
+        throw new IllegalStateException(
+          "incompatible cole-source checkpoint: offset is not a file-log " +
+            "sequence number (written by a pre-log build?). Start the query " +
+            "with a fresh checkpointLocation.")
+    }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     load()

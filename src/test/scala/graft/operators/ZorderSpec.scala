@@ -41,6 +41,19 @@ class ZorderSpec extends AnyFunSuite {
     }
   }
 
+  test("cluster order is unsigned: keys past bit 31 extend the curve, not wrap it") {
+    val s = spark
+    import s.implicits._
+    // b = 2^31 makes the raw Morton code negative; the cluster sort key
+    // must still place it AFTER every b < 2^31 row for equal a
+    val df = Seq((1L, (1L << 31) - 1L), (1L, 1L << 31), (0L, 0L))
+      .toDF("a", "b")
+    val got = Zorder.cluster(df, col("a"), col("b"), numPartitions = 1)
+      .select("b").as[Long].collect()
+    assert(got.toSeq === Seq(0L, (1L << 31) - 1L, 1L << 31),
+      s"unsigned z order violated: ${got.toSeq}")
+  }
+
   test("z-order layout prunes 2-D predicates a linear sort cannot") {
     val li = Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")

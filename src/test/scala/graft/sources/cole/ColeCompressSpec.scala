@@ -116,6 +116,10 @@ class ColeCompressSpec extends AnyFunSuite {
     intercept[ColeFormat.ColeFormatException] {
       ColeCodec.inflate(packed, 0, packed.length / 2, runs.length)
     }
+    // size lie downward: the stream decodes MORE than the declared size
+    intercept[ColeFormat.ColeFormatException] {
+      ColeCodec.inflate(packed, 0, packed.length, runs.length - 1)
+    }
     // length mismatch: the stream ends before producing the page's
     // declared uncompressed size. (Raw DEFLATE carries no checksum —
     // same integrity posture as the reference format, which has none —
