@@ -1,0 +1,81 @@
+package graft.sources.cole
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.Tables
+
+/** Compaction: fewer files, identical data, partition layout preserved,
+  * re-layout (row groups + optional compression) applied, no-op when
+  * already compact.
+  */
+class ColeCompactSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def li = Tables.lineitem(spark, sfDir)
+    .select("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag")
+
+  test("unpartitioned: many small files become few, data identical") {
+    val dir = Files.createTempDirectory("cole_compact_flat").toString
+    li.repartition(8).write.format("cole").mode("overwrite").save(dir)
+    val before = spark.read.format("cole").load(dir).collect().toSeq
+    assert(ColeUtil.listFiles(dir).size === 8)
+
+    val stats = ColeCompact.compact(spark, dir, targetBytes = 1L << 30)
+    assert(stats.filesBefore === 8 && stats.filesAfter === 1 &&
+      stats.compactedDirs === 1)
+    val after = spark.read.format("cole").load(dir)
+    assert(after.collect().toSeq.sortBy(_.toString) === before.sortBy(_.toString))
+    assert(ColeUtil.listFiles(dir).size === 1)
+
+    // idempotent: a second pass finds nothing to do
+    val again = ColeCompact.compact(spark, dir, targetBytes = 1L << 30)
+    assert(again.compactedDirs === 0 && again.filesAfter === 1)
+  }
+
+  test("partitioned: per-directory compaction keeps layout and pruning") {
+    val dir = Files.createTempDirectory("cole_compact_part").toString
+    li.repartition(4).write.format("cole").mode("overwrite")
+      .partitionBy("l_returnflag").save(dir)
+    val perDirBefore = ColeIO.listPartitioned(dir, ColeIO.driverConf())
+      .groupBy(_._1.getPath.getParent).map(_._2.size)
+    assert(perDirBefore.exists(_ > 1), "fixture should have multi-file partitions")
+    val before = spark.read.format("cole").load(dir)
+      .filter(col("l_returnflag") === "A")
+      .agg(sum("l_orderkey"), count(lit(1))).head()
+
+    ColeCompact.compact(spark, dir, targetBytes = 1L << 30)
+    val grouped = ColeIO.listPartitioned(dir, ColeIO.driverConf())
+      .groupBy(_._1.getPath.getParent)
+    assert(grouped.values.forall(_.size === 1), "one file per partition dir")
+    // partition dirs (and so pruning) survive
+    assert(grouped.keys.exists(_.getName.startsWith("l_returnflag=")))
+    val after = spark.read.format("cole").load(dir)
+      .filter(col("l_returnflag") === "A")
+      .agg(sum("l_orderkey"), count(lit(1))).head()
+    assert(after === before)
+  }
+
+  test("compaction can re-layout: compression applied during the rewrite") {
+    val dir = Files.createTempDirectory("cole_compact_zip").toString
+    li.repartition(6).write.format("cole").mode("overwrite").save(dir)
+    val stats = ColeCompact.compact(spark, dir, targetBytes = 1L << 30,
+      compress = Some("deflate"))
+    assert(stats.filesAfter === 1)
+    assert(stats.bytesAfter < stats.bytesBefore,
+      s"deflate rewrite should shrink: ${stats.bytesAfter} !< ${stats.bytesBefore}")
+    // data still matches the source
+    val got = spark.read.format("cole").load(dir).count()
+    assert(got === li.count())
+  }
+}
