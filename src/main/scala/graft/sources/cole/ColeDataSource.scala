@@ -423,7 +423,10 @@ class ColeAggScan(path: String, conf: Configuration, groupCols: Seq[String],
           .map(nameToIdx(_)).toArray
         val rgs = meta.rowGroups.zipWithIndex.collect {
           case (rg, rgIdx) if rg.numRows > 0 &&
-              !ColePredicate.skipRowGroup(rg, nameToIdx, preds) =>
+              !ColePredicate.skipRowGroup(rg, nameToIdx, preds) &&
+              // advisory bloom sidecar, same as the row scan: a filtered
+              // aggregate's string point probe prunes row groups too
+              !ColeBloomIndex.skips(info.path, info.len, rgIdx, preds, conf) =>
             (rgIdx, rg.numRows, colIndices.map(ci => rg.chunks(ci).totalSize).sum)
         }
         ColePack.pack(info.path, colIndices, rgs, target, preds, info.partValues.toArray)
@@ -1403,7 +1406,11 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
         meta.rowGroups.zipWithIndex.collect {
           case (rg, rgIdx) if !skipRowGroup(rg, nameToIdx, preds) &&
               !skipRowGroupIn(rg, nameToIdx, dataRuntime) &&
-              !skipOnly.exists(_.skips(rg, nameToIdx, pv)) =>
+              !skipOnly.exists(_.skips(rg, nameToIdx, pv)) &&
+              // advisory bloom sidecar: string point lookups drop row
+              // groups that provably lack the probe value (no-op when no
+              // index or no string equality is claimed)
+              !ColeBloomIndex.skips(info.path, info.len, rgIdx, preds, conf) =>
             val mm = topN.flatMap { case (c, _, _) =>
               nameToIdx.get(c).flatMap(meta.statsMinMax(rgIdx, _)) }
             val guaranteed = dataRuntime.isEmpty &&
