@@ -276,6 +276,40 @@ object ColeSuite {
               FROM lineitem
               WHERE l_suppkey >= 10
               GROUP BY l_linestatus
-              ORDER BY l_linestatus"""))
+              ORDER BY l_linestatus""")),
+
+    // #120 bloom-sidecar point lookup: a high-cardinality PLAIN string
+    // key (no dictionary, no stats — only the sidecar can prune it) is
+    // indexed once, and the probed aggregate must match the parquet
+    // oracle exactly while planning skips provably-absent row groups
+    // (skip counts pinned in ColeBloomIndexSpec).
+    Q("cole_bloomidx", (s, d) => {
+      val dir = dirFor(d, "bloomidx")
+      writeOnce(dir) {
+        Tables.lineitem(s, d)
+          .select(concat(lit("k_"), col("l_orderkey"), lit("_"),
+            col("l_linenumber")).as("line_id"),
+            col("l_orderkey"), col("l_partkey"),
+            col("l_quantity").cast("long").as("l_qty"))
+          .orderBy("l_orderkey", "l_linenumber")
+          .write.format("cole").mode("overwrite")
+          .option("rowGroupSize", "8192").save(dir)
+        graft.sources.cole.ColeBloomIndex.build(dir, Seq("line_id"),
+          graft.sources.cole.ColeIO.driverConf())
+      }
+      s.read.format("cole").load(dir)
+        .filter(col("line_id").isin("k_100_1", "k_100_2", "k_500_3", "k_2500_4"))
+        .groupBy("line_id")
+        .agg(count(lit(1)).as("n"), sum("l_qty").as("sum_qty"))
+        .orderBy("line_id")
+    },
+      Some("""WITH t AS (SELECT 'k_' || l_orderkey || '_' || l_linenumber AS line_id,
+                     CAST(l_quantity AS BIGINT) AS l_qty
+              FROM lineitem)
+              SELECT line_id, COUNT(*) AS n, CAST(SUM(l_qty) AS BIGINT) AS sum_qty
+              FROM t
+              WHERE line_id IN ('k_100_1', 'k_100_2', 'k_500_3', 'k_2500_4')
+              GROUP BY line_id
+              ORDER BY line_id"""))
   )
 }

@@ -34,14 +34,21 @@ object ColeBloomIndex {
 
   val Magic = 0x58444942 // "BIDX", little-endian
   val Version = 1
-  val DefaultBits = 1 << 14 // 2 KB/rowgroup/column; ~10 bits/key at 1.6k distinct
+  /** Bits per distinct value: ~1% fp with 5 hashes — blooms are sized
+    * PER ROW GROUP from the chunk's actual cardinality, so a compacted
+    * 64k-row group gets a proportionally larger (still KB-scale) bloom
+    * instead of an overloaded fixed one.
+    */
+  val BitsPerKey = 10
+  val MinBits = 1 << 10
   val DefaultHashes = 5
 
   /** Planning-time skips — spec-visible evidence the index engages. */
   val skippedRowGroups = new AtomicLong(0)
 
-  final case class Index(numHashes: Int, numBits: Int,
-      cols: Map[String, Array[Array[Long]]]) // column -> per-row-group words
+  // column -> per row group (numBits, bitset words)
+  final case class Index(numHashes: Int,
+      cols: Map[String, Array[(Int, Array[Long])]])
 
   // keyed by "path@len": a rewritten file changes length and misses
   private val cache = new ConcurrentHashMap[String, Option[Index]]()
@@ -73,9 +80,15 @@ object ColeBloomIndex {
     * each chunk's DISTINCT values (the dictionary view when present), so
     * build cost tracks cardinality, not row count.
     */
+  private def sizeFor(nDistinct: Int): Int = {
+    val want = math.max(MinBits, nDistinct.toLong * BitsPerKey)
+    var b = 64L
+    while (b < want) b <<= 1
+    b.toInt
+  }
+
   def build(table: String, cols: Seq[String], conf: Configuration,
-      numBits: Int = DefaultBits, numHashes: Int = DefaultHashes): Int = {
-    require(numBits > 0 && numBits % 64 == 0, "numBits must be a positive multiple of 64")
+      numHashes: Int = DefaultHashes): Int = {
     val files = ColeIO.listPartitioned(table, conf)
     var indexed = 0
     files.foreach { case (st, _) =>
@@ -90,23 +103,26 @@ object ColeBloomIndex {
           val perCol = present.map { c =>
             val ci = nameToIdx(c)
             c -> meta.rowGroups.indices.map { rg =>
-              val words = new Array[Long](numBits / 64)
               val dict = reader.readStringChunkDict(rg, ci)
               val vals = if (dict != null) dict._1 else reader.readChunk(rg, ci).strings
+              val numBits = sizeFor(vals.length)
+              val words = new Array[Long](numBits / 64)
               vals.foreach(v =>
                 positions(v, numHashes, numBits).foreach(set(words, _)))
-              words
+              (numBits, words)
             }.toArray
           }
           val o = new Out()
-          o.u32(Magic); o.u16(Version); o.u16(numHashes); o.u32(numBits)
+          o.u32(Magic); o.u16(Version); o.u16(numHashes)
           o.i64(st.getLen)
           o.u32(perCol.size)
           perCol.foreach { case (name, per) =>
             val nb = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
             o.u32(nb.length); o.raw(nb)
             o.u32(per.length)
-            per.foreach(words => words.foreach(o.i64))
+            per.foreach { case (numBits, words) =>
+              o.u32(numBits); words.foreach(o.i64)
+            }
           }
           val (fs, _) = ColeIO.resolve(file, conf)
           val out = fs.create(new HPath(sidecarPath(file)), true)
@@ -118,6 +134,42 @@ object ColeBloomIndex {
     }
     indexed
   }
+
+  /** Columns a data file's sidecar indexes (empty when none/unreadable) —
+    * lets maintenance ops (compaction) rebuild equivalent indexes after a
+    * rewrite. Reads the header regardless of staleness: the question is
+    * what WAS indexed, not whether it is still valid.
+    */
+  def indexedColumns(colFile: String, conf: Configuration): Seq[String] =
+    try {
+      val (fs, _) = ColeIO.resolve(colFile, conf)
+      val p = new HPath(sidecarPath(colFile))
+      if (!fs.exists(p)) Seq.empty
+      else {
+        val len = fs.getFileStatus(p).getLen
+        val in = fs.open(p)
+        val buf = try {
+          val b = new Array[Byte](len.toInt); in.readFully(0, b, 0, b.length); b
+        } finally in.close()
+        val c = new Cursor(buf, 0)
+        if (c.u32() != Magic || c.u16() != Version) Seq.empty
+        else {
+          c.u16() // numHashes
+          c.i64() // indexed data-file length (staleness is irrelevant here)
+          val nCols = c.u32()
+          (0 until nCols).map { _ =>
+            val name = new String(c.bytes(c.u32()),
+              java.nio.charset.StandardCharsets.UTF_8)
+            val nRg = c.u32()
+            (0 until nRg).foreach { _ =>
+              val nb = c.u32()
+              c.pos += (nb / 64) * 8 // skip the words
+            }
+            name
+          }
+        }
+      }
+    } catch { case _: Exception => Seq.empty }
 
   private def load(colFile: String, expectLen: Long,
       conf: Configuration): Option[Index] =
@@ -135,7 +187,7 @@ object ColeBloomIndex {
           val c = new Cursor(buf, 0)
           if (c.u32() != Magic || c.u16() != Version)
             throw new ColeFormatException(s"${sidecarPath(colFile)}: bad magic/version")
-          val nh = c.u16(); val nb = c.u32()
+          val nh = c.u16()
           val indexedLen = c.i64()
           if (indexedLen != expectLen) None // stale: data file rewritten
           else {
@@ -144,9 +196,12 @@ object ColeBloomIndex {
               val name = new String(c.bytes(c.u32()),
                 java.nio.charset.StandardCharsets.UTF_8)
               val nRg = c.u32()
-              name -> Array.fill(nRg)(Array.fill(nb / 64)(c.i64()))
+              name -> Array.fill(nRg) {
+                val nb = c.u32()
+                (nb, Array.fill(nb / 64)(c.i64()))
+              }
             }.toMap
-            Some(Index(nh, nb, cols))
+            Some(Index(nh, cols))
           }
         }
       } catch { case _: Exception => None } // advisory: never fail a scan
@@ -162,14 +217,17 @@ object ColeBloomIndex {
       case Some(idx) =>
         val skip = preds.exists { p =>
           idx.cols.get(p.column).exists { per =>
-            rgIdx < per.length && (p.op match {
-              case "eqs" =>
-                !mightContain(per(rgIdx), p.strValue, idx.numHashes, idx.numBits)
-              case "ins" =>
-                p.strValues.forall(v =>
-                  !mightContain(per(rgIdx), v, idx.numHashes, idx.numBits))
-              case _ => false
-            })
+            rgIdx < per.length && {
+              val (numBits, words) = per(rgIdx)
+              p.op match {
+                case "eqs" =>
+                  !mightContain(words, p.strValue, idx.numHashes, numBits)
+                case "ins" =>
+                  p.strValues.forall(v =>
+                    !mightContain(words, v, idx.numHashes, numBits))
+                case _ => false
+              }
+            }
           }
         }
         if (skip) skippedRowGroups.incrementAndGet()

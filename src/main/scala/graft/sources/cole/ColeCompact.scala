@@ -57,8 +57,18 @@ object ColeCompact {
           require(fs.rename(s.getPath, new HPath(dir, s"compact-$stamp-$i.col")),
             s"rename failed for ${s.getPath}")
         }
-        sts.foreach(s => fs.delete(s._1.getPath, false))
+        // carry bloom sidecars across the rewrite: note which columns the
+        // old files indexed, drop the now-orphaned sidecars with their
+        // data files, and rebuild over the compacted layout
+        val indexedCols = sts.flatMap(s =>
+          ColeBloomIndex.indexedColumns(s._1.getPath.toString, conf)).distinct
+        sts.foreach { s =>
+          fs.delete(s._1.getPath, false)
+          fs.delete(new HPath(ColeBloomIndex.sidecarPath(s._1.getPath.toString)), false)
+        }
         fs.delete(tmp, true)
+        if (indexedCols.nonEmpty)
+          ColeBloomIndex.build(dir.toString, indexedCols, conf)
         compacted += 1
         filesAfter += outs.length
         bytesAfter += outs.map(_.getLen).sum

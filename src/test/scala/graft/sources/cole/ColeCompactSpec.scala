@@ -66,6 +66,35 @@ class ColeCompactSpec extends AnyFunSuite {
     assert(after === before)
   }
 
+  test("compaction carries bloom sidecars across the rewrite") {
+    val dir = Files.createTempDirectory("cole_compact_bloom").toString
+    val keyed = Tables.lineitem(spark, sfDir)
+      .select(concat(lit("k_"), col("l_orderkey"), lit("_"), col("l_linenumber")).as("line_id"),
+        col("l_orderkey"))
+    keyed.repartition(4).write.format("cole").mode("overwrite")
+      .option("rowGroupSize", "512").save(dir)
+    val built = ColeBloomIndex.build(dir, Seq("line_id"), ColeIO.driverConf())
+    assert(built === 4)
+    def hasSidecar(f: String): Boolean = {
+      val (fs, _) = ColeIO.resolve(f, ColeIO.driverConf())
+      fs.exists(new org.apache.hadoop.fs.Path(ColeBloomIndex.sidecarPath(f)))
+    }
+    assert(ColeUtil.listFiles(dir).forall(hasSidecar))
+
+    ColeCompact.compact(spark, dir, targetBytes = 1L << 30)
+    val files = ColeUtil.listFiles(dir)
+    assert(files.size === 1)
+    // old sidecars gone with their files; the compacted file is re-indexed
+    assert(hasSidecar(files.head),
+      "compaction dropped the bloom index instead of rebuilding it")
+    // and the rebuilt index still prunes: a missing key skips everything
+    ColeBloomIndex.skippedRowGroups.set(0)
+    assert(spark.read.format("cole").load(dir)
+      .filter(col("line_id") === "absent_key").count() === 0L)
+    assert(ColeBloomIndex.skippedRowGroups.get() > 0,
+      "rebuilt sidecar did not engage")
+  }
+
   test("compaction can re-layout: compression applied during the rewrite") {
     val dir = Files.createTempDirectory("cole_compact_zip").toString
     li.repartition(6).write.format("cole").mode("overwrite").save(dir)
