@@ -50,7 +50,10 @@ object ColeBloomIndex {
   final case class Index(numHashes: Int,
       cols: Map[String, Array[(Int, Array[Long])]])
 
-  // keyed by "path@len": a rewritten file changes length and misses
+  // keyed by "path@len@mtime": a rewritten file misses (same contract as
+  // ColeMetaCache); bounded like it too — blooms for dropped/rewritten
+  // files must not accumulate on a long-lived driver
+  private val MaxEntries = 1024
   private val cache = new ConcurrentHashMap[String, Option[Index]]()
 
   def sidecarPath(colFile: String): String = colFile + ".bloomidx"
@@ -75,11 +78,6 @@ object ColeBloomIndex {
       numHashes: Int, numBits: Int): Boolean =
     positions(bytes, numHashes, numBits).forall(test(words, _))
 
-  /** Build (or rebuild) sidecars for `cols` over every data file of
-    * `table`. Returns the number of files indexed. Blooms are built over
-    * each chunk's DISTINCT values (the dictionary view when present), so
-    * build cost tracks cardinality, not row count.
-    */
   private def sizeFor(nDistinct: Int): Int = {
     val want = math.max(MinBits, nDistinct.toLong * BitsPerKey)
     var b = 64L
@@ -87,6 +85,13 @@ object ColeBloomIndex {
     b.toInt
   }
 
+  /** Build (or rebuild) sidecars for `cols` over every data file of
+    * `table`. Returns the number of files indexed. Blooms are built over
+    * each chunk's DISTINCT values (the dictionary view when present), so
+    * build cost tracks cardinality, not row count. Sidecars are written
+    * to a dotted temp name and renamed in, so readers never observe a
+    * torn index.
+    */
   def build(table: String, cols: Seq[String], conf: Configuration,
       numHashes: Int = DefaultHashes): Int = {
     val files = ColeIO.listPartitioned(table, conf)
@@ -115,6 +120,7 @@ object ColeBloomIndex {
           val o = new Out()
           o.u32(Magic); o.u16(Version); o.u16(numHashes)
           o.i64(st.getLen)
+          o.i64(st.getModificationTime)
           o.u32(perCol.size)
           perCol.foreach { case (name, per) =>
             val nb = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -125,9 +131,13 @@ object ColeBloomIndex {
             }
           }
           val (fs, _) = ColeIO.resolve(file, conf)
-          val out = fs.create(new HPath(sidecarPath(file)), true)
+          val tmp = new HPath(sidecarPath(file) + s".tmp-${System.nanoTime()}")
+          val out = fs.create(tmp, true)
           try out.write(o.toBytes) finally out.close()
-          cache.remove(s"$file@${st.getLen}")
+          fs.delete(new HPath(sidecarPath(file)), false)
+          require(fs.rename(tmp, new HPath(sidecarPath(file))),
+            s"sidecar rename failed for $file")
+          cache.remove(s"$file@${st.getLen}@${st.getModificationTime}")
           indexed += 1
         }
       } finally reader.close()
@@ -155,7 +165,7 @@ object ColeBloomIndex {
         if (c.u32() != Magic || c.u16() != Version) Seq.empty
         else {
           c.u16() // numHashes
-          c.i64() // indexed data-file length (staleness is irrelevant here)
+          c.i64(); c.i64() // indexed data-file length + mtime (irrelevant here)
           val nCols = c.u32()
           (0 until nCols).map { _ =>
             val name = new String(c.bytes(c.u32()),
@@ -171,9 +181,10 @@ object ColeBloomIndex {
       }
     } catch { case _: Exception => Seq.empty }
 
-  private def load(colFile: String, expectLen: Long,
-      conf: Configuration): Option[Index] =
-    cache.computeIfAbsent(s"$colFile@$expectLen", { _ =>
+  private def load(colFile: String, expectLen: Long, expectMtime: Long,
+      conf: Configuration): Option[Index] = {
+    if (cache.size > MaxEntries) cache.clear()
+    cache.computeIfAbsent(s"$colFile@$expectLen@$expectMtime", { _ =>
       try {
         val (fs, _) = ColeIO.resolve(colFile, conf)
         val p = new HPath(sidecarPath(colFile))
@@ -189,7 +200,10 @@ object ColeBloomIndex {
             throw new ColeFormatException(s"${sidecarPath(colFile)}: bad magic/version")
           val nh = c.u16()
           val indexedLen = c.i64()
-          if (indexedLen != expectLen) None // stale: data file rewritten
+          val indexedMtime = c.i64()
+          // stale when EITHER length or mtime moved: a same-length rewrite
+          // (fixed-width keys, replayed epoch) still invalidates
+          if (indexedLen != expectLen || indexedMtime != expectMtime) None
           else {
             val nCols = c.u32()
             val cols = (0 until nCols).map { _ =>
@@ -198,6 +212,9 @@ object ColeBloomIndex {
               val nRg = c.u32()
               name -> Array.fill(nRg) {
                 val nb = c.u32()
+                if (nb <= 0 || nb % 64 != 0)
+                  throw new ColeFormatException(
+                    s"${sidecarPath(colFile)}: invalid bloom geometry $nb")
                 (nb, Array.fill(nb / 64)(c.i64()))
               }
             }.toMap
@@ -206,14 +223,15 @@ object ColeBloomIndex {
         }
       } catch { case _: Exception => None } // advisory: never fail a scan
     })
+  }
 
   /** True when the sidecar PROVES no row of this row group can satisfy
     * some claimed string equality/membership predicate.
     */
-  def skips(colFile: String, fileLen: Long, rgIdx: Int,
-      preds: Array[ColePredicate], conf: Configuration): Boolean = {
+  def skips(colFile: String, fileLen: Long, fileMtime: Long, rgIdx: Int,
+      preds: Array[ColePredicate], conf: Configuration): Boolean = try {
     if (!preds.exists(p => p.op == "eqs" || p.op == "ins")) return false
-    load(colFile, fileLen, conf) match {
+    load(colFile, fileLen, fileMtime, conf) match {
       case Some(idx) =>
         val skip = preds.exists { p =>
           idx.cols.get(p.column).exists { per =>
@@ -234,5 +252,5 @@ object ColeBloomIndex {
         skip
       case None => false
     }
-  }
+  } catch { case _: Exception => false } // advisory: never fail planning
 }

@@ -51,11 +51,16 @@ object ColeCodec {
           throw new ColeFormat.ColeFormatException("truncated compressed page")
         n += k
       }
-      // the size lie in the OTHER direction: the stream decodes past the
-      // declared uncompressed size — reject rather than silently truncate
-      if (n == uncLen && !inf.finished() && inf.inflate(new Array[Byte](1)) > 0)
-        throw new ColeFormat.ColeFormatException(
-          s"corrupt compressed page: stream continues past declared $uncLen bytes")
+      // the size lie in the OTHER direction: the stream continues past
+      // the declared uncompressed size — whether it produces more bytes
+      // OR needs more input to do so, it is not the stream the header
+      // describes; reject rather than silently truncate
+      if (n == uncLen && !inf.finished()) {
+        val k = inf.inflate(new Array[Byte](1))
+        if (k > 0 || (!inf.finished() && inf.needsInput()))
+          throw new ColeFormat.ColeFormatException(
+            s"corrupt compressed page: stream continues past declared $uncLen bytes")
+      }
     } catch {
       case e: java.util.zip.DataFormatException =>
         throw new ColeFormat.ColeFormatException(s"corrupt compressed page: ${e.getMessage}")

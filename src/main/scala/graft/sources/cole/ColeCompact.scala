@@ -41,6 +41,7 @@ object ColeCompact {
     byDir.foreach { case (dir, sts) =>
       val bytes = sts.map(_._1.getLen).sum
       val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      recover(fs, dir) // finish or roll back any interrupted earlier swap
       if (sts.size <= nOut) {
         filesAfter += sts.size; bytesAfter += bytes
       } else {
@@ -53,8 +54,18 @@ object ColeCompact {
         compress.foreach(c => w = w.option("compress", c))
         w.save(tmp.toString)
         val outs = fs.listStatus(tmp).filter(_.getPath.getName.endsWith(".col"))
-        outs.zipWithIndex.foreach { case (s, i) =>
-          require(fs.rename(s.getPath, new HPath(dir, s"compact-$stamp-$i.col")),
+        val newNames = outs.indices.map(i => s"compact-$stamp-$i.col")
+        // 2-phase swap: the manifest (old names to delete + new names
+        // expected) commits the intent BEFORE any rename, so a crash at
+        // ANY point leaves a state recover() resolves — forward when
+        // every new file arrived, backward (drop partial news, keep the
+        // olds) otherwise. Readers concurrent with the swap can
+        // transiently double-count; permanent duplication cannot survive
+        // the next compact() pass.
+        val oldNames = sts.map(_._1.getPath.getName)
+        writeManifest(fs, dir, oldNames.map("old:" + _) ++ newNames.map("new:" + _))
+        outs.zip(newNames).foreach { case (s, name) =>
+          require(fs.rename(s.getPath, new HPath(dir, name)),
             s"rename failed for ${s.getPath}")
         }
         // carry bloom sidecars across the rewrite: note which columns the
@@ -67,6 +78,7 @@ object ColeCompact {
           fs.delete(new HPath(ColeBloomIndex.sidecarPath(s._1.getPath.toString)), false)
         }
         fs.delete(tmp, true)
+        fs.delete(manifestPath(dir), false)
         if (indexedCols.nonEmpty)
           ColeBloomIndex.build(dir.toString, indexedCols, conf)
         compacted += 1
@@ -76,5 +88,42 @@ object ColeCompact {
     }
     Stats(byDir.size, compacted, files.size, filesAfter,
       files.map(_._1.getLen).sum, bytesAfter)
+  }
+
+  private def manifestPath(dir: HPath): HPath =
+    new HPath(dir, ".compact-manifest")
+
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem, dir: HPath,
+      lines: Seq[String]): Unit = {
+    val out = fs.create(manifestPath(dir), true)
+    try out.write(lines.mkString("\n").getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Resolve an interrupted swap recorded by the manifest: if every
+    * expected new file landed, roll FORWARD (delete the listed old files
+    * — the duplication window closes); otherwise roll BACK (delete the
+    * partial new files — the old files are still the complete copy).
+    * No-op without a manifest. Called automatically per directory by
+    * [[compact]]; exposed for standalone recovery.
+    */
+  def recover(fs: org.apache.hadoop.fs.FileSystem, dir: HPath): Unit = {
+    val mp = manifestPath(dir)
+    if (!fs.exists(mp)) return
+    val in = fs.open(mp)
+    val lines = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8).split('\n').filter(_.nonEmpty)
+    finally in.close()
+    val olds = lines.collect { case l if l.startsWith("old:") => l.drop(4) }
+    val news = lines.collect { case l if l.startsWith("new:") => l.drop(4) }
+    val allNew = news.forall(n => fs.exists(new HPath(dir, n)))
+    if (allNew) olds.foreach { n =>
+      fs.delete(new HPath(dir, n), false)
+      fs.delete(new HPath(ColeBloomIndex.sidecarPath(
+        new HPath(dir, n).toString)), false)
+    }
+    else news.foreach(n => fs.delete(new HPath(dir, n), false))
+    fs.delete(mp, false)
   }
 }

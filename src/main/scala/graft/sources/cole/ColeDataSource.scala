@@ -426,7 +426,7 @@ class ColeAggScan(path: String, conf: Configuration, groupCols: Seq[String],
               !ColePredicate.skipRowGroup(rg, nameToIdx, preds) &&
               // advisory bloom sidecar, same as the row scan: a filtered
               // aggregate's string point probe prunes row groups too
-              !ColeBloomIndex.skips(info.path, info.len, rgIdx, preds, conf) =>
+              !ColeBloomIndex.skips(info.path, info.len, info.mtime, rgIdx, preds, conf) =>
             (rgIdx, rg.numRows, colIndices.map(ci => rg.chunks(ci).totalSize).sum)
         }
         ColePack.pack(info.path, colIndices, rgs, target, preds, info.partValues.toArray)
@@ -1410,7 +1410,7 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
               // advisory bloom sidecar: string point lookups drop row
               // groups that provably lack the probe value (no-op when no
               // index or no string equality is claimed)
-              !ColeBloomIndex.skips(info.path, info.len, rgIdx, preds, conf) =>
+              !ColeBloomIndex.skips(info.path, info.len, info.mtime, rgIdx, preds, conf) =>
             val mm = topN.flatMap { case (c, _, _) =>
               nameToIdx.get(c).flatMap(meta.statsMinMax(rgIdx, _)) }
             val guaranteed = dataRuntime.isEmpty &&

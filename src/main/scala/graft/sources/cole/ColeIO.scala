@@ -127,8 +127,8 @@ final class ColeHadoopConf(@transient var value: Configuration) extends Serializ
   * filesystem call beyond the listing itself.
   */
 object ColeMetaCache {
-  final case class FileInfo(path: String, len: Long, meta: FileMeta,
-      partValues: Seq[(String, String)] = Seq.empty)
+  final case class FileInfo(path: String, len: Long, mtime: Long,
+      meta: FileMeta, partValues: Seq[(String, String)] = Seq.empty)
 
   private val MaxEntries = 4096
   private val cache = new ConcurrentHashMap[String, (Long, Long, FileMeta)]()
@@ -155,7 +155,7 @@ object ColeMetaCache {
           cache.put(key, (mtime, len, m))
           m
         }
-      FileInfo(key, len, meta, parts)
+      FileInfo(key, len, mtime, meta, parts)
     }.seq.toSeq
   }
 

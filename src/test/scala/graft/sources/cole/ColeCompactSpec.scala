@@ -95,6 +95,41 @@ class ColeCompactSpec extends AnyFunSuite {
       "rebuilt sidecar did not engage")
   }
 
+  test("interrupted swaps recover: forward when complete, backward when partial") {
+    val dir = Files.createTempDirectory("cole_compact_recover").toString
+    li.repartition(3).write.format("cole").mode("overwrite").save(dir)
+    val (fs, root) = ColeIO.resolve(dir, ColeIO.driverConf())
+    val rows = li.count()
+
+    // FORWARD case: all new files landed, olds + manifest remain (crash
+    // between rename loop and deletes) → recovery deletes the olds
+    val olds = ColeUtil.listFiles(dir).map(f => new org.apache.hadoop.fs.Path(f).getName)
+    spark.read.format("cole").load(dir).coalesce(1)
+      .write.format("cole").mode("overwrite").save(s"$dir/.staging")
+    val newFile = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/.staging"))
+      .filter(_.getPath.getName.endsWith(".col")).head.getPath
+    fs.rename(newFile, new org.apache.hadoop.fs.Path(s"$dir/compact-test-0.col"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/.staging"), true)
+    // duplicated state: olds + the compacted copy
+    assert(spark.read.format("cole").load(dir).count() === 2 * rows)
+    val manifest = olds.map("old:" + _) :+ "new:compact-test-0.col"
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/.compact-manifest"), true)
+    out.write(manifest.mkString("\n").getBytes); out.close()
+    ColeCompact.recover(fs, root)
+    assert(spark.read.format("cole").load(dir).count() === rows,
+      "forward recovery must delete the superseded originals")
+    assert(ColeUtil.listFiles(dir).size === 1)
+
+    // BACKWARD case: manifest names a new file that never landed →
+    // recovery deletes the partial news and keeps the current data
+    val out2 = fs.create(new org.apache.hadoop.fs.Path(s"$dir/.compact-manifest"), true)
+    out2.write("old:compact-test-0.col\nnew:compact-never-0.col\nnew:compact-never-1.col"
+      .getBytes); out2.close()
+    ColeCompact.recover(fs, root)
+    assert(spark.read.format("cole").load(dir).count() === rows,
+      "backward recovery must keep the old copy when news are incomplete")
+  }
+
   test("compaction can re-layout: compression applied during the rewrite") {
     val dir = Files.createTempDirectory("cole_compact_zip").toString
     li.repartition(6).write.format("cole").mode("overwrite").save(dir)

@@ -23,6 +23,18 @@ class ColeCompressSpec extends AnyFunSuite {
     .getOrCreate()
 
   private val sfDir = "/root/testdata/sf0.001"
+
+  /** One fixture shape for every test in this suite — the -z fallback
+    * must exercise the same columns/sort/encodings as the in-suite run.
+    */
+  private def writeDeflateFixture(d: String): Unit =
+    Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_returnflag", "l_linestatus")
+      .orderBy("l_orderkey", "l_linenumber")
+      .coalesce(1).write.format("cole").mode("overwrite")
+      .option("rowGroupSize", "2048").option("compress", "deflate").save(d)
+
   private def dirSize(d: String): Long =
     Files.walk(Paths.get(d)).filter(Files.isRegularFile(_))
       .mapToLong(Files.size(_)).sum()
@@ -38,9 +50,7 @@ class ColeCompressSpec extends AnyFunSuite {
     li.orderBy("l_orderkey", "l_linenumber")
       .coalesce(1).write.format("cole").mode("overwrite")
       .option("rowGroupSize", "2048").save(plain)
-    li.orderBy("l_orderkey", "l_linenumber")
-      .coalesce(1).write.format("cole").mode("overwrite")
-      .option("rowGroupSize", "2048").option("compress", "deflate").save(defl)
+    writeDeflateFixture(defl)
 
     val szPlain = dirSize(plain)
     val szDefl = dirSize(defl)
@@ -83,11 +93,7 @@ class ColeCompressSpec extends AnyFunSuite {
   test("compressed table carries differing sizes; incompressible bodies fall back") {
     val d = "/tmp/graft_compress_spec/deflate"
     if (!new java.io.File(d).exists()) // self-sufficient under -z filtering
-      Tables.lineitem(spark, sfDir)
-        .select("l_orderkey", "l_partkey", "l_returnflag")
-        .orderBy("l_orderkey").coalesce(1)
-        .write.format("cole").mode("overwrite")
-        .option("rowGroupSize", "2048").option("compress", "deflate").save(d)
+      writeDeflateFixture(d)
     var compressed = 0
     ColeUtil.listFiles(d).foreach { f =>
       val r = new ColeFileReader(f)
