@@ -58,7 +58,7 @@ object ColeBloomIndex {
 
   def sidecarPath(colFile: String): String = colFile + ".bloomidx"
 
-  private def positions(bytes: Array[Byte], numHashes: Int, numBits: Int): Array[Int] = {
+  private[cole] def positions(bytes: Array[Byte], numHashes: Int, numBits: Int): Array[Int] = {
     val a = Hashing.fnv1a64(bytes)
     val b = Hashing.mix64(a)
     val m = numBits.toLong
@@ -68,13 +68,13 @@ object ColeBloomIndex {
       java.lang.Math.floorMod(am + i.toLong * bm, m).toInt)
   }
 
-  private def set(words: Array[Long], p: Int): Unit =
+  private[cole] def set(words: Array[Long], p: Int): Unit =
     words(p >>> 6) |= 1L << (p & 63)
 
   private def test(words: Array[Long], p: Int): Boolean =
     (words(p >>> 6) & (1L << (p & 63))) != 0L
 
-  private def mightContain(words: Array[Long], bytes: Array[Byte],
+  private[cole] def mightContain(words: Array[Long], bytes: Array[Byte],
       numHashes: Int, numBits: Int): Boolean =
     positions(bytes, numHashes, numBits).forall(test(words, _))
 

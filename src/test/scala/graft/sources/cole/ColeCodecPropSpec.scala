@@ -112,4 +112,30 @@ class ColeCodecPropSpec extends AnyFunSuite {
     val repetitive = Array.fill(10000)("payload".getBytes("UTF-8"))
     assert(encodeDictStrings(repetitive).length < encodePlainStrings(repetitive).length / 10)
   }
+
+  test("sidecar bloom: inserted keys always probe true (no false negatives)") {
+    val keys: Gen[List[Array[Byte]]] =
+      Gen.nonEmptyListOf(Gen.oneOf(
+        Gen.alphaNumStr.map(_.getBytes("UTF-8")),
+        Gen.listOf(Arbitrary.arbitrary[Byte]).map(_.toArray)))
+    check(Prop.forAll(keys, Gen.oneOf(1 << 10, 1 << 12, 1 << 14)) { (ks, numBits) =>
+      val words = new Array[Long](numBits / 64)
+      ks.foreach(k => ColeBloomIndex.positions(k, 5, numBits)
+        .foreach(ColeBloomIndex.set(words, _)))
+      ks.forall(k => ColeBloomIndex.mightContain(words, k, 5, numBits))
+    })
+  }
+
+  test("sidecar bloom: fp rate stays useful at the self-sizing budget") {
+    // 10 bits/key (the build-time sizing) with 5 hashes → ~1% fp theory;
+    // measure over disjoint probe keys and allow 5x slack
+    val numBits = 1 << 14
+    val words = new Array[Long](numBits / 64)
+    val members = (0 until numBits / 10).map(i => s"member_$i".getBytes("UTF-8"))
+    members.foreach(k => ColeBloomIndex.positions(k, 5, numBits)
+      .foreach(ColeBloomIndex.set(words, _)))
+    val probes = (0 until 20000).map(i => s"outsider_$i".getBytes("UTF-8"))
+    val fp = probes.count(k => ColeBloomIndex.mightContain(words, k, 5, numBits))
+    assert(fp < 20000 * 0.05, s"fp rate ${fp / 20000.0} too high for planning use")
+  }
 }
