@@ -1037,6 +1037,42 @@ object RelationalSuite {
               GROUP BY cohort_day, day_offset
               ORDER BY cohort_day, day_offset""")),
 
+    // #121 resample with gap filling: the complete hourly spine per event
+    // type — EMPTY buckets included, which plain groupBy can never emit.
+    // The spine is generated from one aggregate row (global bounds ×
+    // distinct types: tiny × tiny, the only sane place for a cross join)
+    // and the per-bucket aggregates LEFT-join onto it; event volume never
+    // rides the spine generation.
+    Q("events_resample", (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("h"), col("value"))
+      val counts = ev.groupBy("event_type", "h")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      val spine = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(explode(sequence(col("h0"), col("h1"),
+          expr("interval 1 hour"))).as("h"))
+        .crossJoin(ev.select("event_type").distinct())
+      spine.join(counts, Seq("event_type", "h"), "left_outer")
+        .select(col("event_type"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("sum_value"), lit(0.0d)).as("sum_value"))
+        .orderBy("event_type", "hour")
+    },
+      Some(s"""WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS h, value
+                           FROM events),
+               spine AS (SELECT t.event_type, u.h
+                         FROM (SELECT DISTINCT event_type FROM ev) t,
+                              UNNEST(generate_series((SELECT min(h) FROM ev),
+                                (SELECT max(h) FROM ev), INTERVAL 1 HOUR)) u(h)),
+               c AS (SELECT event_type, h, COUNT(*) AS n,
+                            ${dsumSql("value")} AS sum_value
+                     FROM ev GROUP BY event_type, h)
+               SELECT s.event_type, strftime(s.h, '%Y-%m-%d %H:%M:%S') AS hour,
+                      COALESCE(c.n, 0) AS n, COALESCE(c.sum_value, 0.0) AS sum_value
+               FROM spine s LEFT JOIN c USING (event_type, h)
+               ORDER BY event_type, hour""")),
+
     // #33a exact distinct count (oracle twin of the HLL sketch below).
     Q("distinct_count",
       (s, d) => Tables.lineitem(s, d)
