@@ -113,6 +113,18 @@ class ColeCodecPropSpec extends AnyFunSuite {
     assert(encodeDictStrings(repetitive).length < encodePlainStrings(repetitive).length / 10)
   }
 
+  test("deflate/inflate round-trips arbitrary page bodies") {
+    val bodies: Gen[Array[Byte]] = Gen.oneOf(
+      Gen.listOf(Arbitrary.arbitrary[Byte]).map(_.toArray), // incompressible-ish
+      Gen.choose(0, 8192).map(n => Array.tabulate[Byte](n)(i => (i / 64).toByte)))
+    check(Prop.forAll(bodies) { raw =>
+      val packed = ColeCodec.deflate(raw)
+      packed.length <= raw.length &&
+        ((packed eq raw) || // stored fallback: returned as-is
+          ColeCodec.inflate(packed, 0, packed.length, raw.length).toSeq == raw.toSeq)
+    })
+  }
+
   test("sidecar bloom: inserted keys always probe true (no false negatives)") {
     val keys: Gen[List[Array[Byte]]] =
       Gen.nonEmptyListOf(Gen.oneOf(
