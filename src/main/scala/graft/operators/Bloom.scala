@@ -38,10 +38,14 @@ object Bloom {
   /** (h1 + i·h2) mod B, with both hashes reduced mod B BEFORE the
     * combine — modular arithmetic distributes, and the reduced operands
     * (< B ≤ 2^31, i < numHashes) can never overflow ANSI long math.
+    * The step hash is reduced into [1, B-1] (`pmod(h2, B-1) + 1`): a step
+    * of 0 would collapse all probes onto one bit, degrading the filter to
+    * a single effective hash for those keys.
     */
   private def position(key: Column, i: Int, numBits: Int): Column =
     pmod(pmod(h1(key), lit(numBits.toLong)) +
-      lit(i.toLong) * pmod(h2(key), lit(numBits.toLong)), lit(numBits.toLong))
+      lit(i.toLong) * (pmod(h2(key), lit(numBits.toLong - 1)) + 1L),
+      lit(numBits.toLong))
 
   /** Build the filter over the distinct values of `key` in `df`.
     * numBits must be a multiple of 64.

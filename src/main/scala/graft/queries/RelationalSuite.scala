@@ -636,12 +636,19 @@ object RelationalSuite {
         .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
           col("n_regionkey") === col("r_regionkey"))
         .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val parts = Tables.part(s, d)
+        .filter(col("p_type") === "LARGE" && col("p_size").between(10, 20))
+        .select("p_partkey", "p_brand")
+      // semi-join BEFORE the aggregate: the p_type/p_size filter keeps
+      // ~5% of parts, so pre-pruning lineitem here shrinks the groupBy
+      // shuffle ~20× — at 100 TB the difference between a full-corpus
+      // shuffle and a selective one
       val cost = Tables.lineitem(s, d)
+        .join(broadcast(parts.select("p_partkey")),
+          col("l_partkey") === col("p_partkey"), "left_semi")
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(min(col("l_extendedprice")).as("supp_cost"))
-        .join(broadcast(Tables.part(s, d)
-          .filter(col("p_type") === "LARGE" && col("p_size").between(10, 20))
-          .select("p_partkey", "p_brand")), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
         .join(eurSupp, col("l_suppkey") === col("s_suppkey"))
       // per-part regional minimum as a window over the (small) joined
       // catalog — NOT a groupBy-min rejoin, which would recompute the
@@ -975,23 +982,30 @@ object RelationalSuite {
 
     // #118 funnel analysis: per-user ordered stage progression (first
     // view → first click AFTER it → first purchase AFTER that) counted
-    // per stage — the classic product-analytics query. Each stage is one
-    // per-user aggregate joined forward, so the plan is three keyed
-    // aggregations over an ever-shrinking user set, never a per-event
-    // self-join.
+    // per stage — the classic product-analytics query. Single-pass: ONE
+    // events scan, one user_id shuffle for the chained window-mins (all
+    // three share the partitioning so Spark plans one Exchange), and the
+    // per-user groupBy rides the same partitioning exchange-free. The
+    // old three-aggregates-joined-forward shape scanned events 5×.
     Q("events_funnel", (s, d) => {
-      val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
-      val v = ev.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min("ts").as("t_view"))
-      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
-        .filter(col("ts") > col("t_view"))
-        .groupBy("user_id").agg(min("ts").as("t_click"))
-      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
-        .filter(col("ts") > col("t_click"))
-        .groupBy("user_id").agg(min("ts").as("t_purchase"))
-      v.select(lit("1_view").as("stage"), col("user_id"))
-        .union(c.select(lit("2_click").as("stage"), col("user_id")))
-        .union(p.select(lit("3_purchase").as("stage"), col("user_id")))
+      val w = Window.partitionBy(col("user_id"))
+      val stages = Tables.events(s, d).select("user_id", "event_type", "ts")
+        .withColumn("t_view",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("t_click",
+          min(when(col("event_type") === "click" && col("ts") > col("t_view"),
+            col("ts"))).over(w))
+        .withColumn("t_purchase",
+          min(when(col("event_type") === "purchase" && col("ts") > col("t_click"),
+            col("ts"))).over(w))
+        .groupBy("user_id")
+        .agg(min("t_view").as("t_view"), min("t_click").as("t_click"),
+          min("t_purchase").as("t_purchase"))
+      stages.select(explode(array(
+          when(col("t_view").isNotNull, lit("1_view")),
+          when(col("t_click").isNotNull, lit("2_click")),
+          when(col("t_purchase").isNotNull, lit("3_purchase")))).as("stage"))
+        .filter(col("stage").isNotNull)
         .groupBy("stage").agg(count(lit(1)).as("n_users"))
         .orderBy("stage")
     },

@@ -1,6 +1,5 @@
 package graft.sources.cole
 
-import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.hadoop.conf.Configuration
@@ -33,7 +32,13 @@ import graft.sources.cole.ColeFormat.ColeFormatException
 object ColeBloomIndex {
 
   val Magic = 0x58444942 // "BIDX", little-endian
-  val Version = 1
+  /** v2: header carries a content fingerprint of the data file's footer
+    * region, verified at load — (length, mtime) alone misses a same-length
+    * rewrite within one mtime tick on coarse-granularity filesystems
+    * (1s on HDFS), which would leave a stale sidecar trusted and silently
+    * skip row groups that now contain the probed value.
+    */
+  val Version = 2
   /** Bits per distinct value: ~1% fp with 5 hashes — blooms are sized
     * PER ROW GROUP from the chunk's actual cardinality, so a compacted
     * 64k-row group gets a proportionally larger (still KB-scale) bloom
@@ -51,19 +56,29 @@ object ColeBloomIndex {
       cols: Map[String, Array[(Int, Array[Long])]])
 
   // keyed by "path@len@mtime": a rewritten file misses (same contract as
-  // ColeMetaCache); bounded like it too — blooms for dropped/rewritten
-  // files must not accumulate on a long-lived driver
+  // ColeMetaCache); LRU-bounded too — blooms for dropped/rewritten files
+  // must not accumulate on a long-lived driver
   private val MaxEntries = 1024
-  private val cache = new ConcurrentHashMap[String, Option[Index]]()
+  private val cache = new LruCache[String, Option[Index]](MaxEntries)
 
   def sidecarPath(colFile: String): String = colFile + ".bloomidx"
+
+  /** Drop a cached sidecar so the next probe re-loads (and re-verifies
+    * the content fingerprint). The stat-keyed cache cannot see a
+    * same-length same-mtime rewrite on its own.
+    */
+  private[cole] def invalidate(colFile: String, len: Long, mtime: Long): Unit =
+    cache.remove(s"$colFile@$len@$mtime")
 
   private[cole] def positions(bytes: Array[Byte], numHashes: Int, numBits: Int): Array[Int] = {
     val a = Hashing.fnv1a64(bytes)
     val b = Hashing.mix64(a)
     val m = numBits.toLong
     val am = java.lang.Math.floorMod(a, m)
-    val bm = java.lang.Math.floorMod(b, m)
+    // step reduced into [1, m-1]: a step of 0 (b ≡ 0 mod m) would land
+    // every probe on one bit, collapsing the filter to 1 effective hash
+    // for those keys (fp-rate only — never false negatives)
+    val bm = java.lang.Math.floorMod(b, m - 1) + 1
     Array.tabulate(numHashes)(i =>
       java.lang.Math.floorMod(am + i.toLong * bm, m).toInt)
   }
@@ -77,6 +92,21 @@ object ColeBloomIndex {
   private[cole] def mightContain(words: Array[Long], bytes: Array[Byte],
       numHashes: Int, numBits: Int): Boolean =
     positions(bytes, numHashes, numBits).forall(test(words, _))
+
+  /** Content fingerprint of a data file: FNV-1a over its tail (footer +
+    * metadata region, ≤4 KiB). One small positioned read; any rewrite
+    * moves row-group offsets/stats in the footer, so the fingerprint
+    * changes even when length and mtime do not.
+    */
+  private[cole] def contentFingerprint(colFile: String, conf: Configuration): Long = {
+    val (fs, p) = ColeIO.resolve(colFile, conf)
+    val st = fs.getFileStatus(p)
+    val n = math.min(st.getLen, 4096L).toInt
+    val b = new Array[Byte](n)
+    val in = fs.open(p)
+    try in.readFully(st.getLen - n, b, 0, n) finally in.close()
+    Hashing.fnv1a64(b)
+  }
 
   private def sizeFor(nDistinct: Int): Int = {
     val want = math.max(MinBits, nDistinct.toLong * BitsPerKey)
@@ -121,6 +151,7 @@ object ColeBloomIndex {
           o.u32(Magic); o.u16(Version); o.u16(numHashes)
           o.i64(st.getLen)
           o.i64(st.getModificationTime)
+          o.i64(contentFingerprint(file, conf))
           o.u32(perCol.size)
           perCol.foreach { case (name, per) =>
             val nb = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -165,7 +196,7 @@ object ColeBloomIndex {
         if (c.u32() != Magic || c.u16() != Version) Seq.empty
         else {
           c.u16() // numHashes
-          c.i64(); c.i64() // indexed data-file length + mtime (irrelevant here)
+          c.i64(); c.i64(); c.i64() // data-file length + mtime + fingerprint (irrelevant here)
           val nCols = c.u32()
           (0 until nCols).map { _ =>
             val name = new String(c.bytes(c.u32()),
@@ -183,8 +214,7 @@ object ColeBloomIndex {
 
   private def load(colFile: String, expectLen: Long, expectMtime: Long,
       conf: Configuration): Option[Index] = {
-    if (cache.size > MaxEntries) cache.clear()
-    cache.computeIfAbsent(s"$colFile@$expectLen@$expectMtime", { _ =>
+    cache.getOrElseUpdate(s"$colFile@$expectLen@$expectMtime") {
       try {
         val (fs, _) = ColeIO.resolve(colFile, conf)
         val p = new HPath(sidecarPath(colFile))
@@ -201,9 +231,13 @@ object ColeBloomIndex {
           val nh = c.u16()
           val indexedLen = c.i64()
           val indexedMtime = c.i64()
-          // stale when EITHER length or mtime moved: a same-length rewrite
-          // (fixed-width keys, replayed epoch) still invalidates
-          if (indexedLen != expectLen || indexedMtime != expectMtime) None
+          val indexedFp = c.i64()
+          // stale when length or mtime moved — and even when both match,
+          // the footer fingerprint must agree: a same-length rewrite
+          // within one mtime tick (coarse-granularity filesystems) is
+          // only visible in content
+          if (indexedLen != expectLen || indexedMtime != expectMtime ||
+              indexedFp != contentFingerprint(colFile, conf)) None
           else {
             val nCols = c.u32()
             val cols = (0 until nCols).map { _ =>
@@ -222,7 +256,7 @@ object ColeBloomIndex {
           }
         }
       } catch { case _: Exception => None } // advisory: never fail a scan
-    })
+    }
   }
 
   /** True when the sidecar PROVES no row of this row group can satisfy

@@ -1,6 +1,5 @@
 package graft.sources.cole
 
-import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.hadoop.conf.Configuration
@@ -117,6 +116,29 @@ final class ColeHadoopConf(@transient var value: Configuration) extends Serializ
   }
 }
 
+/** Size-bounded LRU map (access-ordered, synchronized). Both driver-side
+  * metadata caches use it: overflow evicts only the least-recently-used
+  * entry, so a table one file past the bound doesn't flush thousands of
+  * good entries (the old all-or-nothing `clear()` made every plan over a
+  * >MaxEntries-file table re-read every footer).
+  */
+private[cole] final class LruCache[K, V](maxEntries: Int) {
+  private val m = new java.util.LinkedHashMap[K, V](64, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+      size() > maxEntries
+  }
+  def get(k: K): Option[V] = m.synchronized(Option(m.get(k)))
+  def put(k: K, v: V): Unit = m.synchronized(m.put(k, v))
+  def remove(k: K): Unit = m.synchronized(m.remove(k))
+  def getOrElseUpdate(k: K)(compute: => V): V = {
+    // compute OUTSIDE the lock: sidecar/footer loads do filesystem I/O
+    get(k) match {
+      case Some(v) => v
+      case None => val v = compute; put(k, v); v
+    }
+  }
+}
+
 /** Driver-side footer-metadata cache, keyed by (path, mtime, length).
   *
   * One COLE scan consults file metadata from several places —
@@ -130,8 +152,13 @@ object ColeMetaCache {
   final case class FileInfo(path: String, len: Long, mtime: Long,
       meta: FileMeta, partValues: Seq[(String, String)] = Seq.empty)
 
-  private val MaxEntries = 4096
-  private val cache = new ConcurrentHashMap[String, (Long, Long, FileMeta)]()
+  // Footer metadata is KB-scale, so the bound is generous: it exists to
+  // keep a long-lived driver that has planned over MANY tables from
+  // accumulating without limit, not to squeeze one table. A table larger
+  // than the bound degrades to at most one footer read per file per plan
+  // (LRU evicts one entry at a time — never the old all-or-nothing flush).
+  private val MaxEntries = 16384
+  private val cache = new LruCache[String, (Long, Long, FileMeta)](MaxEntries)
 
   /** Footer reads that actually hit the filesystem (cache misses) —
     * spec-visible: planning a repeated query must not grow this.
@@ -144,17 +171,15 @@ object ColeMetaCache {
     statuses.par.map { case (st, parts) =>
       val key = st.getPath.toString
       val (mtime, len) = (st.getModificationTime, st.getLen)
-      val hit = cache.get(key)
-      val meta =
-        if (hit != null && hit._1 == mtime && hit._2 == len) hit._3
-        else {
+      val meta = cache.get(key) match {
+        case Some((m1, l1, m)) if m1 == mtime && l1 == len => m
+        case _ =>
           footerReads.incrementAndGet()
           val r = new ColeFileReader(key, conf)
           val m = try r.meta finally r.close()
-          if (cache.size > MaxEntries) cache.clear()
           cache.put(key, (mtime, len, m))
           m
-        }
+      }
       FileInfo(key, len, mtime, meta, parts)
     }.seq.toSeq
   }

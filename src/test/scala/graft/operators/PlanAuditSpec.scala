@@ -162,6 +162,31 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("tpch_q2 prunes lineitem with a semi join BELOW the aggregate") {
+    val p = plan("tpch_q2")
+    // the part filter keeps ~5% of keys; the semi join must sit on the
+    // scan side of groupBy(l_partkey, l_suppkey) so the shuffle carries
+    // only surviving rows — at 100 TB the aggregate-then-filter shape
+    // shuffles the whole table for nothing
+    val semiIdx = p.indexOf("LeftSemi")
+    val partialAggIdx = p.indexOf("partial_min")
+    assert(semiIdx >= 0, s"q2 lost the lineitem prefilter semi join:\n$p")
+    assert(partialAggIdx >= 0 && semiIdx > partialAggIdx,
+      s"q2 semi join must be BELOW (printed after) the partial aggregate:\n$p")
+  }
+
+  test("events_funnel is single-pass: one events scan, windows share one shuffle") {
+    val p = formatted("events_funnel")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans <= 2, s"funnel reads events $scans times (want 1):\n$p")
+    // all three stage-min windows partition by user_id → one Exchange
+    // below the Window operators, not one per stage
+    val winExchanges = plan("events_funnel").linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(user_id"))
+    assert(winExchanges <= 1,
+      s"funnel re-shuffles per stage ($winExchanges user_id exchanges)")
+  }
+
   test("tpch_q4 turns the correlated EXISTS into a semi join") {
     val p = plan("tpch_q4")
     assert(p.contains("LeftSemi"), s"q4 EXISTS should be a left-semi join:\n$p")

@@ -99,6 +99,40 @@ class ColeBloomIndexSpec extends AnyFunSuite {
     assert(got.nonEmpty, "stale sidecar caused a wrong empty result")
   }
 
+  test("same-length same-mtime rewrite: content fingerprint distrusts the sidecar") {
+    val dir = Files.createTempDirectory("cole_bloomidx_fp").toString
+    writeTable(dir)
+    ColeBloomIndex.build(dir, Seq("line_id"), conf)
+    val (fs, _) = ColeIO.resolve(dir, conf)
+    val st = ColeIO.listStatus(dir, conf).head
+    val file = st.getPath
+    val (len, mtime) = (st.getLen, st.getModificationTime)
+    val pred = Array(ColePredicate("line_id", "eqs", 0L,
+      strValue = "no_such_key".getBytes))
+    assert(ColeBloomIndex.skips(file.toString, len, mtime, 0, pred, conf),
+      "fresh sidecar must prove the absent key away")
+
+    // rewrite ONE byte in the footer region — length unchanged — then
+    // restore the original mtime, simulating a same-length rewrite inside
+    // one mtime tick on a coarse-granularity filesystem
+    val bytes = new Array[Byte](len.toInt)
+    val in = fs.open(file)
+    try in.readFully(0, bytes, 0, bytes.length) finally in.close()
+    bytes(bytes.length - 9) = (bytes(bytes.length - 9) ^ 0x7f).toByte
+    val out = fs.create(file, true)
+    try out.write(bytes) finally out.close()
+    fs.setTimes(file, mtime, -1)
+    val st2 = fs.getFileStatus(file)
+    assert(st2.getLen == len && st2.getModificationTime == mtime,
+      "fixture must present identical stat metadata")
+
+    // (len, mtime) still match, so only the load-time fingerprint can
+    // catch it (a cold cache — fresh driver — is the scenario)
+    ColeBloomIndex.invalidate(file.toString, len, mtime)
+    assert(!ColeBloomIndex.skips(file.toString, len, mtime, 0, pred, conf),
+      "stale sidecar trusted after a same-stat rewrite — wrong empty results")
+  }
+
   test("unindexed tables and non-string predicates are untouched") {
     val dir = Files.createTempDirectory("cole_bloomidx_none").toString
     writeTable(dir)

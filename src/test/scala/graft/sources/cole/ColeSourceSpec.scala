@@ -281,4 +281,24 @@ class ColeSourceSpec extends AnyFunSuite {
     assert(afterSecond === afterFirst,
       s"repeated planning re-read ${afterSecond - afterFirst} footers (want 0)")
   }
+
+  test("footer cache stays warm over a 5000-file table (LRU, no flush-on-overflow)") {
+    // 5000 one-row files: enough to overflow the OLD 4096 all-or-nothing
+    // bound, whose clear() made every later plan re-read every footer
+    val dir = Files.createTempDirectory("cole_cache_lru").toString
+    val cols = Seq(ColeFormat.ColeColumn("id", ColeFormat.TInt64, ColeFormat.Plain))
+    val conf = ColeIO.driverConf()
+    (0 until 5000).foreach { i =>
+      val w = new ColeFileWriter(s"$dir/f$i.col", cols, conf)
+      try w.writeRowGroup(Seq(ColumnData(null, Array(i.toLong), null)), 1)
+      finally w.close()
+    }
+    ColeMetaCache.infos(dir, conf) // warm pass
+    val warm = ColeMetaCache.footerReads.get()
+    ColeMetaCache.infos(dir, conf)
+    ColeMetaCache.infos(dir, conf)
+    val after = ColeMetaCache.footerReads.get()
+    assert(after === warm,
+      s"repeated listings re-read ${after - warm} footers over a warm 5000-file table (want 0)")
+  }
 }
