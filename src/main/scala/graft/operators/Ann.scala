@@ -208,6 +208,37 @@ object Ann {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  /** A trained PQ codebook, frozen and serializable: KB-scale (m × ksub ×
+    * subLen doubles), so it broadcasts inside expressions and SURVIVES the
+    * batch that trained it — the realistic serving posture, where a
+    * long-lived streaming corpus is encoded with a codebook trained once
+    * on a historical batch (re-training per micro-batch would make codes
+    * from different batches incomparable).
+    */
+  final case class PqModel(cbFlat: Array[Double], m: Int, nCodes: Int, subLen: Int)
+
+  /** Train a PQ codebook on a (bounded sample of a) corpus — see
+    * [[pqCodebook]] for the geometry-bounded training story.
+    */
+  def trainPq(corpus: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", m: Int = 16, ksub: Int = 64,
+      lloydRounds: Int = 0): PqModel = {
+    val (cbFlat, nCodes, subLen) = pqCodebook(corpus, idCol, vecCol, m, ksub, lloydRounds)
+    PqModel(cbFlat, m, nCodes, subLen)
+  }
+
+  /** Encode vectors with a FROZEN codebook: one codegen'd projection per
+    * row, shuffle-free, batch or streaming alike (the expression is
+    * deterministic and stateless, so it runs unchanged inside a
+    * micro-batch plan). Output: (id, codes: array<int>) — the stored
+    * serving layout's code column.
+    */
+  def pqEncodeWith(vectors: DataFrame, model: PqModel,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    vectors.select(col(idCol).as("vec_id"),
+      pq_encode(col(vecCol), model.cbFlat, model.m, model.nCodes, model.subLen)
+        .as("codes"))
+
   def pq(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       idCol: String = "vec_id", vecCol: String = "embedding",
       m: Int = 16, ksub: Int = 64, rerank: Int = 64,

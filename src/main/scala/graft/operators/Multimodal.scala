@@ -13,6 +13,27 @@ case class MediaFeatures(
     byte_entropy: Double,
     checksum: Long)
 
+/** Pluggable batch decoder: the seam where a real image/audio/video
+  * library (JNI, Arrow-batched) plugs into the multimodal plumbing. One
+  * call per [[Multimodal.DecodeBatchSize]] assets inside `mapPartitions`,
+  * so implementations amortize per-core setup across a batch.
+  * Serializable: instances ship to executors inside the partition lambda.
+  */
+trait FrameDecoder extends Serializable {
+  /** Decode one batch of raw payloads into per-asset byte tensors
+    * (positionally aligned with the input).
+    */
+  def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Array[Byte]]
+}
+
+/** The container-safe default (no media libraries here): "decodes" each
+  * payload to its own bytes — deterministic, so features/frames are
+  * spec-checkable end to end.
+  */
+object IdentityDecoder extends FrameDecoder {
+  override def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Array[Byte]] = payloads
+}
+
 /** SURVEY §2.7 — multimodal column plumbing.
   *
   * Pattern for a 100 TB training-data pipeline: media assets ride through
@@ -62,28 +83,23 @@ object Multimodal {
       ).as("meta"))
   }
 
-  /** Stub decoder: a real implementation would hand `payloads` (one batch)
-    * to an image/audio library and return per-asset tensors. Here it
-    * deterministically returns the payload bytes themselves.
-    */
-  private def decodeBatchStub(payloads: Seq[Array[Byte]]): Seq[Array[Byte]] =
-    payloads
-
   /** Batch-wise feature extraction over the (payload, meta) columns.
     *
-    * Runs as `mapPartitions` so the stub decoder sees `DecodeBatchSize`
+    * Runs as `mapPartitions` so the decoder sees `DecodeBatchSize`
     * assets at a time — the partition stays streaming (no full-partition
     * materialization), so executor memory is bounded regardless of
-    * partition size.
+    * partition size. The decoder is pluggable ([[FrameDecoder]]); the
+    * default is the deterministic container-safe stub.
     */
-  def extractFeatures(withPayloads: DataFrame): Dataset[MediaFeatures] = {
+  def extractFeatures(withPayloads: DataFrame,
+      decoder: FrameDecoder = IdentityDecoder): Dataset[MediaFeatures] = {
     val spark = withPayloads.sparkSession
     import spark.implicits._
     withPayloads
       .select(col("doc_id"), col("payload"), col("meta.modality").as("modality"))
       .mapPartitions { rows: Iterator[Row] =>
         rows.grouped(DecodeBatchSize).flatMap { batch =>
-          val decoded = decodeBatchStub(batch.map(_.getAs[Array[Byte]]("payload")))
+          val decoded = decoder.decodeBatch(batch.map(_.getAs[Array[Byte]]("payload")))
           batch.zip(decoded).map { case (row, bytes) =>
             var sum = 0L
             var crc = 0xcbf29ce484222325L // FNV-1a 64 offset basis
@@ -123,14 +139,15 @@ object Multimodal {
     * memory holds one decode batch, not one asset list.
     */
   def sampleFrames(withPayloads: DataFrame, nFrames: Int = 4,
-      frameBytes: Int = 256): Dataset[FrameSample] = {
+      frameBytes: Int = 256,
+      decoder: FrameDecoder = IdentityDecoder): Dataset[FrameSample] = {
     val spark = withPayloads.sparkSession
     import spark.implicits._
     withPayloads
       .select(col("doc_id"), col("payload"))
       .mapPartitions { rows: Iterator[Row] =>
         rows.grouped(DecodeBatchSize).flatMap { batch =>
-          val decoded = decodeBatchStub(batch.map(_.getAs[Array[Byte]]("payload")))
+          val decoded = decoder.decodeBatch(batch.map(_.getAs[Array[Byte]]("payload")))
           batch.zip(decoded).flatMap { case (row, bytes) =>
             val id = row.getAs[Long]("doc_id")
             val frames = math.min(nFrames, math.max(bytes.length / frameBytes, 0))

@@ -310,6 +310,55 @@ object ColeSuite {
               FROM t
               WHERE line_id IN ('k_100_1', 'k_100_2', 'k_500_3', 'k_2500_4')
               GROUP BY line_id
-              ORDER BY line_id"""))
+              ORDER BY line_id""")),
+
+    // #122 format v2 roundtrip: the FULL lineitem table — doubles
+    // (money columns), a no-timezone timestamp, ints, strings — through
+    // .col and back, hash-exact. v1 could carry 6 of lineitem's 11
+    // columns; the auto-selected v2 carries the engine's real data.
+    Q("cole_roundtrip_double", (s, d) => {
+      val dir = dirFor(d, "roundtrip_v2")
+      writeOnce(dir) {
+        Tables.lineitem(s, d)
+          .write.format("cole").mode("overwrite").save(dir)
+      }
+      s.read.format("cole").load(dir)
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+      Some("SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber")),
+
+    // #123 format v2 null bitmaps: deterministic NULL injection, write
+    // with formatVersion=2, read back through SQL null semantics —
+    // COUNT(col) skips nulls, NULL forms its own group, MIN ignores
+    // nulls. (SUMs of doubles stay out: cross-engine float discipline.)
+    Q("cole_nullable", (s, d) => {
+      val dir = dirFor(d, "nullable_v2")
+      writeOnce(dir) {
+        Tables.orders(s, d).select(
+          col("o_orderkey"),
+          when(col("o_orderkey") % 7 === 0, lit(null).cast("double"))
+            .otherwise(col("o_totalprice")).as("price_n"),
+          when(col("o_orderkey") % 11 === 0, lit(null).cast("string"))
+            .otherwise(col("o_orderpriority")).as("prio_n"))
+          .write.format("cole").mode("overwrite")
+          .option("formatVersion", "2").save(dir)
+      }
+      s.read.format("cole").load(dir)
+        .groupBy("prio_n")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("price_n")).as("n_price"),
+          sum(when(col("price_n").isNull, 1L).otherwise(0L)).as("n_null_price"),
+          min(col("price_n")).as("min_price"))
+        .orderBy("prio_n")
+    },
+      Some("""WITH t AS (SELECT o_orderkey,
+                CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END AS price_n,
+                CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_orderpriority END AS prio_n
+              FROM orders)
+              SELECT prio_n, COUNT(*) AS n_rows, COUNT(price_n) AS n_price,
+                CAST(SUM(CASE WHEN price_n IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_null_price,
+                MIN(price_n) AS min_price
+              FROM t GROUP BY prio_n ORDER BY prio_n"""))
   )
 }

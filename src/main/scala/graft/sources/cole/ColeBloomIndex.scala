@@ -142,7 +142,9 @@ object ColeBloomIndex {
               val vals = if (dict != null) dict._1 else reader.readChunk(rg, ci).strings
               val numBits = sizeFor(vals.length)
               val words = new Array[Long](numBits / 64)
-              vals.foreach(v =>
+              // v2 nullable chunks materialize null slots as null entries;
+              // NULL never equals a probe value, so it contributes no bits
+              vals.foreach(v => if (v != null)
                 positions(v, numHashes, numBits).foreach(set(words, _)))
               (numBits, words)
             }.toArray

@@ -257,6 +257,36 @@ object ColeCodec {
   def decodePlainLong(c: Cursor, numValues: Int): Array[Long] =
     Array.fill(numValues)(c.i64())
 
+  // ---- PLAIN doubles (format v2): 8-byte little-endian IEEE-754 bits
+
+  def encodePlainDouble(values: Array[Double]): Array[Byte] = {
+    val out = new Out(values.length * 8)
+    values.foreach(d => out.i64(java.lang.Double.doubleToRawLongBits(d)))
+    out.toBytes
+  }
+
+  def decodePlainDouble(c: Cursor, numValues: Int): Array[Double] =
+    Array.fill(numValues)(java.lang.Double.longBitsToDouble(c.i64()))
+
+  // ---- validity bitmaps (format v2): bit set = value present. The
+  // bitmap prefixes the page body; encoded values cover present rows only.
+
+  def packValidity(isNull: Array[Boolean]): Array[Byte] = {
+    val out = new Array[Byte]((isNull.length + 7) / 8)
+    var i = 0
+    while (i < isNull.length) {
+      if (!isNull(i)) out(i >>> 3) = (out(i >>> 3) | (1 << (i & 7))).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Reads ceil(n/8) bitmap bytes from the cursor; returns per-row isNull. */
+  def readValidity(c: Cursor, n: Int): Array[Boolean] = {
+    val bytes = c.bytes((n + 7) / 8)
+    Array.tabulate(n)(i => (bytes(i >>> 3) & (1 << (i & 7))) == 0)
+  }
+
   /** PLAIN strings: [offsets u32 x (n+1)][utf8 bytes]. */
   def encodePlainStrings(values: Array[Array[Byte]]): Array[Byte] = {
     val out = new Out()
@@ -386,5 +416,23 @@ object ColeCodec {
   def aggPlainLong(c: Cursor, numValues: Int, acc: NumAgg): Unit = {
     var i = 0
     while (i < numValues) { acc.add(c.i64()); i += 1 }
+  }
+
+  /** Double twin of [[NumAgg]] for v2 TDouble chunks. */
+  final class DblAgg {
+    var count: Long = 0L
+    var sum: Double = 0d
+    var min: Double = Double.PositiveInfinity
+    var max: Double = Double.NegativeInfinity
+    @inline def add(v: Double): Unit = {
+      count += 1; sum += v
+      if (v < min) min = v
+      if (v > max) max = v
+    }
+  }
+
+  def aggPlainDouble(c: Cursor, numValues: Int, acc: DblAgg): Unit = {
+    var i = 0
+    while (i < numValues) { acc.add(java.lang.Double.longBitsToDouble(c.i64())); i += 1 }
   }
 }

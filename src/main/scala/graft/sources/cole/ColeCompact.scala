@@ -34,23 +34,38 @@ object ColeCompact {
       compress: Option[String] = None): Stats = {
     val conf = ColeIO.driverConf()
     val (fs, _) = ColeIO.resolve(table, conf)
-    val files = ColeIO.listPartitioned(table, conf)
-    val byDir = files.groupBy(_._1.getPath.getParent).toSeq
-      .sortBy(_._1.toString)
-    var (compacted, filesAfter, bytesAfter) = (0, 0, 0L)
-    byDir.foreach { case (dir, sts) =>
-      val bytes = sts.map(_._1.getLen).sum
-      val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val dirs = ColeIO.listPartitioned(table, conf)
+      .map(_._1.getPath.getParent).distinct.sortBy(_.toString)
+    var (compacted, filesBefore, filesAfter, bytesBefore, bytesAfter) =
+      (0, 0, 0, 0L, 0L)
+    dirs.foreach { dir =>
       recover(fs, dir) // finish or roll back any interrupted earlier swap
+      // list AFTER recovery: a roll-forward/back just changed the file
+      // set, and a stale pre-recovery listing would double-count bytes
+      // and write deleted names into the new swap manifest
+      val sts = fs.listStatus(dir)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".col"))
+        .sortBy(_.getPath.toString).toSeq.map(s => (s, ()))
+      filesBefore += sts.size
+      val bytes = sts.map(_._1.getLen).sum
+      bytesBefore += bytes
+      val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
       if (sts.size <= nOut) {
         filesAfter += sts.size; bytesAfter += bytes
       } else {
         val stamp = java.lang.Long.toHexString(System.nanoTime())
         val tmp = new HPath(dir, s".compact-$stamp")
+        // carry the source's format version: a v2 table (nullable/double
+        // columns) must not be re-written as v1 — the auto choice sees
+        // only the Spark schema, which can't distinguish "nullable" from
+        // "has actual nulls"
+        val srcVersion = ColeMetaCache.infos(dir.toString, conf)
+          .map(_.meta.version).maxOption.getOrElse(1)
         var w = spark.read.format("cole").load(dir.toString)
           .coalesce(nOut)
           .write.format("cole").mode("overwrite")
           .option("rowGroupSize", rowGroupSize.toString)
+          .option("formatVersion", srcVersion.toString)
         compress.foreach(c => w = w.option("compress", c))
         w.save(tmp.toString)
         val outs = fs.listStatus(tmp).filter(_.getPath.getName.endsWith(".col"))
@@ -64,6 +79,13 @@ object ColeCompact {
         // the next compact() pass.
         val oldNames = sts.map(_._1.getPath.getName)
         writeManifest(fs, dir, oldNames.map("old:" + _) ++ newNames.map("new:" + _))
+        // table-level compaction record for streaming sources: a source
+        // whose cole-file-log already covers the INPUT files must not
+        // re-emit their rows when the renamed OUTPUT files appear in the
+        // directory (ColeMicroBatchStream consults these records)
+        writeCompactionRecord(fs, table, stamp,
+          newNames.map(n => fs.makeQualified(new HPath(dir, n)).toString),
+          oldNames.map(n => fs.makeQualified(new HPath(dir, n)).toString))
         outs.zip(newNames).foreach { case (s, name) =>
           require(fs.rename(s.getPath, new HPath(dir, name)),
             s"rename failed for ${s.getPath}")
@@ -86,8 +108,30 @@ object ColeCompact {
         bytesAfter += outs.map(_.getLen).sum
       }
     }
-    Stats(byDir.size, compacted, files.size, filesAfter,
-      files.map(_._1.getLen).sum, bytesAfter)
+    Stats(dirs.size, compacted, filesBefore, filesAfter, bytesBefore, bytesAfter)
+  }
+
+  /** Directory (under the table root) of compaction records the streaming
+    * source consults: one file per directory swap, lines
+    * `out:<qualified path>` / `in:<qualified path>`. Ignored by readers
+    * (no `key=value` name, no `.col` suffix); never deleted — the record
+    * count grows with compaction RUNS, not with data.
+    */
+  def recordsDir(table: String): String = s"$table/_cole_compactions"
+
+  private def writeCompactionRecord(fs: org.apache.hadoop.fs.FileSystem,
+      table: String, stamp: String, outs: Seq[String], ins: Seq[String]): Unit = {
+    val dir = new HPath(recordsDir(table))
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    // temp + rename: streaming sources tail this directory and must never
+    // observe (and permanently cache) a torn record
+    val tmp = new HPath(dir, s".$stamp.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((outs.map("out:" + _) ++ ins.map("in:" + _)).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    require(fs.rename(tmp, new HPath(dir, stamp)),
+      s"compaction record rename failed for $stamp")
   }
 
   private def manifestPath(dir: HPath): HPath =

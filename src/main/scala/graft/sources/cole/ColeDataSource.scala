@@ -1,6 +1,7 @@
 package graft.sources.cole
 
 import java.util
+import java.util.concurrent.atomic.AtomicLong
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
@@ -47,7 +48,7 @@ class ColeDataSource extends TableProvider with DataSourceRegister {
         case _ => StringType
       }, nullable = false)
     }
-    StructType(ColeUtil.toSparkSchema(infos.head.meta.columns) ++ partFields)
+    StructType(ColeUtil.toSparkSchemaOf(infos).fields.toSeq ++ partFields)
   }
 
   /** Streaming writes can't use `writeStream.partitionBy` — Spark's V2
@@ -93,15 +94,31 @@ private[cole] object ColeUtil {
 
   def listFiles(path: String): Seq[String] = listFiles(path, ColeIO.driverConf())
 
-  def toSparkSchema(cols: Seq[ColeColumn]): StructType =
-    StructType(cols.map { c =>
-      val dt = c.colType match {
-        case TInt32 => IntegerType
-        case TInt64 => LongType
-        case TString => StringType
+  def sparkType(t: ColeType): DataType = t match {
+    case TInt32 => IntegerType
+    case TInt64 => LongType
+    case TString => StringType
+    case TDouble => DoubleType
+    case TTimestamp => TimestampType
+    case TTimestampNtz => TimestampNTZType
+  }
+
+  /** Nullability is per column across the WHOLE listing: any v2 part file
+    * with a null-bearing page for the column makes it nullable (a mixed
+    * v1/v2 table must not promise non-null and then produce one).
+    */
+  def toSparkSchemaOf(infos: Seq[ColeMetaCache.FileInfo]): StructType = {
+    val cols = infos.head.meta.columns
+    StructType(cols.zipWithIndex.map { case (c, ci) =>
+      val nullable = infos.exists { i =>
+        i.meta.columns.indices.contains(ci) && i.meta.columnHasNulls(ci)
       }
-      StructField(c.name, dt, nullable = false)
+      StructField(c.name, sparkType(c.colType), nullable)
     })
+  }
+
+  def toSparkSchema(cols: Seq[ColeColumn]): StructType =
+    StructType(cols.map(c => StructField(c.name, sparkType(c.colType), nullable = false)))
 
   def toColeColumns(schema: StructType): Seq[ColeColumn] =
     schema.fields.map { f =>
@@ -109,9 +126,12 @@ private[cole] object ColeUtil {
         case IntegerType => (TInt32, Plain)
         case LongType => (TInt64, Plain)
         case StringType => (TString, Plain)
+        case DoubleType => (TDouble, Plain)
+        case TimestampType => (TTimestamp, Plain)
+        case TimestampNTZType => (TTimestampNtz, Plain)
         case other => throw new IllegalArgumentException(
-          s"COLE format supports INT32/INT64/STRING only; column '${f.name}' is $other " +
-            "(cast unsupported types before writing)")
+          s"COLE format supports INT32/INT64/STRING (v1) + DOUBLE/TIMESTAMP (v2); " +
+            s"column '${f.name}' is $other (cast unsupported types before writing)")
       }
       ColeColumn(f.name, t, e)
     }.toSeq
@@ -163,11 +183,16 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
     // reference-compatible stored layout
     val conf = {
       val codec = info.options().getOrDefault("compress", "none")
-      if (codec == "none") ColeIO.driverConf()
+      val fver = info.options().get("formatVersion")
+      if (codec == "none" && fver == null) ColeIO.driverConf()
       else {
-        require(codec == "deflate", s"unknown compress codec '$codec' (none|deflate)")
+        require(codec == "none" || codec == "deflate",
+          s"unknown compress codec '$codec' (none|deflate)")
         val c = new Configuration(ColeIO.driverConf())
-        c.set(ColeFileWriter.CompressKey, codec)
+        if (codec != "none") c.set(ColeFileWriter.CompressKey, codec)
+        // explicit format version ("1"|"2"); absent = auto (v2 only when
+        // the schema carries DOUBLE/TIMESTAMP) — see ColeFileWriter
+        if (fver != null) c.set(ColeFileWriter.VersionKey, fver)
         c
       }
     }
@@ -223,7 +248,7 @@ class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration,
     if (!fullSchema.fieldNames.contains(colName)) return false
     if (partCols.contains(colName)) return false // constant per file: no stats
     fullSchema(colName).dataType match {
-      case IntegerType | LongType => // page stats exist for these
+      case IntegerType | LongType | TimestampType | TimestampNTZType => // i64 page stats exist
       case _ => return false
     }
     topN = Some((colName,
@@ -255,10 +280,14 @@ class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration,
     def colType(c: String): Option[DataType] =
       if (fullSchema.fieldNames.contains(c)) Some(fullSchema(c).dataType) else None
     def claimable(f: Filter): Boolean = f match {
-      case IsNotNull(c) => fullSchema.fieldNames.contains(c) // no NULLs in COLE
+      // claimed and ENFORCED: null rows fail every claimed predicate in
+      // the selection loop (v1 chunks have no nulls, so it is free there)
+      case IsNotNull(c) => fullSchema.fieldNames.contains(c)
       case _ => ColePredicate.fromFilter(f).exists { p =>
         colType(p.column) match {
-          case Some(IntegerType | LongType) => !p.isString
+          case Some(IntegerType | LongType | TimestampType | TimestampNTZType) =>
+            !p.isString && !p.isDouble
+          case Some(DoubleType) => p.isDouble
           case Some(StringType) => p.isString
           case _ => false
         }
@@ -311,25 +340,32 @@ class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration,
     // to sweep, so those shapes fall back to the vectorized scan.
     def aggRef(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       ref(e).filter(n => !partCols.contains(n))
-    def numeric(n: String): Boolean = fullSchema(n).dataType match {
-      case IntegerType | LongType => true
+    def sumOk(n: String): Boolean = fullSchema(n).dataType match {
+      case IntegerType | LongType | DoubleType => true
       case _ => false
     }
     // string MIN/MAX pushes globally (answered from dictionary entries or
-    // a value sweep) and grouped (byte-array accumulator slots per key)
-    def strMinMaxOk(n: String): Boolean = fullSchema(n).dataType == StringType
+    // a value sweep) and grouped (byte-array accumulator slots per key);
+    // timestamps and doubles min/max from their typed page stats/sweeps
+    def minMaxOk(n: String): Boolean = fullSchema(n).dataType match {
+      case IntegerType | LongType | TimestampType | TimestampNTZType |
+        DoubleType | StringType => true
+      case _ => false
+    }
+    // the pushed readers' count/sum/min-max sweeps assume DENSE chunks;
+    // a null-bearing v2 table falls back to the vectorized scan (Spark's
+    // own aggregate then applies exact SQL null semantics)
+    if (ColeMetaCache.infos(path, conf).exists(_.meta.anyNulls)) return false
     val groups = aggregation.groupByExpressions.map(ref)
     if (groups.exists(_.isEmpty)) return false
     val specs = aggregation.aggregateExpressions.map {
       case _: CountStar => Some(ColeAggSpec("count_star", null))
       case c: Count if !c.isDistinct =>
-        aggRef(c.column).map(ColeAggSpec("count", _)) // COLE has no NULLs: count = rows
-      case m: Min => aggRef(m.column).filter(n => numeric(n) || strMinMaxOk(n))
-        .map(ColeAggSpec("min", _))
-      case m: Max => aggRef(m.column).filter(n => numeric(n) || strMinMaxOk(n))
-        .map(ColeAggSpec("max", _))
+        aggRef(c.column).map(ColeAggSpec("count", _)) // dense chunks: count = rows
+      case m: Min => aggRef(m.column).filter(minMaxOk).map(ColeAggSpec("min", _))
+      case m: Max => aggRef(m.column).filter(minMaxOk).map(ColeAggSpec("max", _))
       case s: Sum if !s.isDistinct =>
-        aggRef(s.column).filter(numeric).map(ColeAggSpec("sum", _))
+        aggRef(s.column).filter(sumOk).map(ColeAggSpec("sum", _))
       case _ => None
     }
     if (specs.exists(_.isEmpty)) return false
@@ -343,6 +379,7 @@ class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration,
         pushedAggs.zipWithIndex.map { case (sp, i) =>
           val dt = sp.kind match {
             case "min" | "max" => fullSchema(sp.column).dataType
+            case "sum" if fullSchema(sp.column).dataType == DoubleType => DoubleType
             case _ => LongType // counts and integral sums merge as BIGINT
           }
           // sum/min/max of zero surviving rows is NULL (counts are 0),
@@ -387,8 +424,12 @@ class ColeAggScan(path: String, conf: Configuration, groupCols: Seq[String],
   private val hconf = new ColeHadoopConf(conf)
 
   // partition-column predicates prune whole files at planning; only
-  // data-column predicates reach the readers' selection vectors
-  private val (partPreds, preds) = allPreds.partition(p => partCols.contains(p.column))
+  // data-column predicates reach the readers' selection vectors.
+  // IsNotNull claims are vacuous here: aggregation pushdown is refused
+  // outright for null-bearing tables (pushAggregation), so every chunk
+  // this scan reads is dense.
+  private val (partPreds, preds) =
+    allPreds.filterNot(_.isNotNullClaim).partition(p => partCols.contains(p.column))
 
   private def partitionKeeps(p: ColePredicate, raw: String): Boolean =
     ColePredicate.partitionKeeps(p, raw)
@@ -511,11 +552,14 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
   private val allValueCols: Array[Int] = aggs.collect {
     case ColeAggSpec(k, c) if k == "sum" || k == "min" || k == "max" => nameToIdx(c)
   }.distinct.toArray
-  private val valueCols: Array[Int] =
-    allValueCols.filter(ci => meta.columns(ci).colType != TString)
+  private val valueCols: Array[Int] = allValueCols.filter(ci =>
+    meta.columns(ci).colType != TString && meta.columns(ci).colType != TDouble)
+  private val dblValueCols: Array[Int] =
+    allValueCols.filter(ci => meta.columns(ci).colType == TDouble)
   private val strValueCols: Array[Int] =
     allValueCols.filter(ci => meta.columns(ci).colType == TString)
   private val slotOf: Map[Int, Int] = valueCols.zipWithIndex.toMap
+  private val dblSlotOf: Map[Int, Int] = dblValueCols.zipWithIndex.toMap
   private val strSlotOf: Map[Int, Int] = strValueCols.zipWithIndex.toMap
   private val slotWidth = 3 // sum, min, max per value column
   private def newAccs(): Array[Long] = {
@@ -528,12 +572,24 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
     }
     a
   }
+  private def newDblAccs(): Array[Double] = {
+    val a = new Array[Double](slotWidth * dblValueCols.length)
+    var s = 0
+    while (s < dblValueCols.length) {
+      a(s * slotWidth + 1) = Double.PositiveInfinity // min
+      a(s * slotWidth + 2) = Double.NegativeInfinity // max
+      s += 1
+    }
+    a
+  }
 
-  /** Per-key accumulator: primitive slots for numeric aggregates plus
-    * (min, max) byte slots per string min/max column.
+  /** Per-key accumulator: primitive slots for numeric aggregates, double
+    * slots for v2 double aggregates, plus (min, max) byte slots per
+    * string min/max column.
     */
   private final class Acc {
     val num: Array[Long] = newAccs()
+    val dbl: Array[Double] = if (dblValueCols.isEmpty) null else newDblAccs()
     val str: Array[Array[Byte]] =
       if (strValueCols.isEmpty) null else new Array[Array[Byte]](2 * strValueCols.length)
   }
@@ -546,6 +602,13 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
 
   @inline private def bump(a: Array[Long], slot: Int, v: Long): Unit = {
     val base = 1 + slot * slotWidth
+    a(base) += v
+    if (v < a(base + 1)) a(base + 1) = v
+    if (v > a(base + 2)) a(base + 2) = v
+  }
+
+  @inline private def bumpDbl(a: Array[Double], slot: Int, v: Double): Unit = {
+    val base = slot * slotWidth
     a(base) += v
     if (v < a(base + 1)) a(base + 1) = v
     if (v > a(base + 2)) a(base + 2) = v
@@ -570,6 +633,7 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
   private var selCur: Array[Int] = null
   private var endCur = 0
   private var valueDataCur: Array[ColumnData] = null
+  private var dblValueDataCur: Array[ColumnData] = null
   private var strValueDataCur: Array[ColumnData] = null
   private var groupDataCur: Array[ColumnData] = null
   private var dictEntriesCur: Array[Array[Byte]] = null
@@ -583,6 +647,7 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
     endCur = if (selCur == null) nRows else selCur.length
     if (endCur == 0) return
     valueDataCur = valueCols.map(ci => reader.readChunk(rgIdx, ci))
+    dblValueDataCur = dblValueCols.map(ci => reader.readChunk(rgIdx, ci))
     strValueDataCur = strValueCols.map(ci => reader.readChunk(rgIdx, ci))
     // dict fast path: single string FILE group column, all-DICT chunk —
     // accumulate per dict id, then fold ids into the global key map
@@ -629,6 +694,7 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
               key(gi) =
                 if (cd.ints != null) cd.ints(r)
                 else if (cd.longs != null) cd.longs(r)
+                else if (cd.doubles != null) cd.doubles(r)
                 else UTF8String.fromBytes(cd.strings(r))
           }
           gi += 1
@@ -647,6 +713,11 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
     while (s < valueCols.length) {
       val cd = valueDataCur(s)
       bump(a.num, s, if (cd.ints != null) cd.ints(r).toLong else cd.longs(r))
+      s += 1
+    }
+    s = 0
+    while (s < dblValueCols.length) {
+      bumpDbl(a.dbl, s, dblValueDataCur(s).doubles(r))
       s += 1
     }
     s = 0
@@ -675,7 +746,8 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
       }
     }
     curActive = false
-    selCur = null; valueDataCur = null; strValueDataCur = null; groupDataCur = null
+    selCur = null; valueDataCur = null; dblValueDataCur = null
+    strValueDataCur = null; groupDataCur = null
     dictEntriesCur = null; dictIdsCur = null; dictLocalCur = null
   }
 
@@ -687,6 +759,14 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
       into.num(b) += from.num(b)
       if (from.num(b + 1) < into.num(b + 1)) into.num(b + 1) = from.num(b + 1)
       if (from.num(b + 2) > into.num(b + 2)) into.num(b + 2) = from.num(b + 2)
+      s += 1
+    }
+    s = 0
+    while (s < dblValueCols.length) {
+      val b = s * slotWidth
+      into.dbl(b) += from.dbl(b)
+      if (from.dbl(b + 1) < into.dbl(b + 1)) into.dbl(b + 1) = from.dbl(b + 1)
+      if (from.dbl(b + 2) > into.dbl(b + 2)) into.dbl(b + 2) = from.dbl(b + 2)
       s += 1
     }
     s = 0
@@ -708,6 +788,13 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
           case kind if meta.columns(ci).colType == TString =>
             val b = a.str(2 * strSlotOf(ci) + (if (kind == "min") 0 else 1))
             if (b == null) null else UTF8String.fromBytes(b)
+          case kind if meta.columns(ci).colType == TDouble =>
+            val b = dblSlotOf(ci) * slotWidth
+            kind match {
+              case "sum" => a.dbl(b)
+              case "min" => a.dbl(b + 1)
+              case "max" => a.dbl(b + 2)
+            }
           case "sum" => a.num(base)
           case "min" => if (isInt32) a.num(base + 1).toInt else a.num(base + 1)
           case "max" => if (isInt32) a.num(base + 2).toInt else a.num(base + 2)
@@ -722,8 +809,8 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
     // metadata-only group-by: every group key is a partition constant,
     // only counts are requested, and no filter is claimed — the partial
     // row comes from footer row counts without reading a single chunk
-    if (fileGroupIdx.isEmpty && valueCols.isEmpty && strValueCols.isEmpty &&
-        part.preds.isEmpty) {
+    if (fileGroupIdx.isEmpty && valueCols.isEmpty && dblValueCols.isEmpty &&
+        strValueCols.isEmpty && part.preds.isEmpty) {
       if (!done) {
         done = true
         val a = new Acc
@@ -776,10 +863,12 @@ class ColeAggReader(part: ColeInputPartition, aggs: Seq[ColeAggSpec],
       val meta = reader.meta
       val nameToIdx = meta.columns.map(_.name).zipWithIndex.toMap
       val accs = scala.collection.mutable.Map.empty[Int, ColeCodec.NumAgg]
+      val dblAccs = scala.collection.mutable.Map.empty[Int, ColeCodec.DblAgg]
       // string min/max accumulators: value = Array(minBytes, maxBytes),
       // unsigned byte order (Spark's and DuckDB's binary string collation)
       val strAccs = scala.collection.mutable.Map.empty[Int, Array[Array[Byte]]]
       def isStrCol(ci: Int): Boolean = meta.columns(ci).colType == TString
+      def isDblCol(ci: Int): Boolean = meta.columns(ci).colType == TDouble
       def bumpStr(mm: Array[Array[Byte]], v: Array[Byte]): Unit = {
         if (mm(0) == null || java.util.Arrays.compareUnsigned(v, mm(0)) < 0) mm(0) = v
         if (mm(1) == null || java.util.Arrays.compareUnsigned(v, mm(1)) > 0) mm(1) = v
@@ -835,12 +924,40 @@ class ColeAggReader(part: ColeInputPartition, aggs: Seq[ColeAggSpec],
           }
           mm
         }
+        // v2 doubles: typed page stats answer min/max; a sum sweeps the
+        // PLAIN pages with the double accumulator
+        def fillDbl(ci: Int): ColeCodec.DblAgg = {
+          val a = new ColeCodec.DblAgg
+          var i = 0
+          while (i < part.rowGroups.length) {
+            val rgIdx = part.rowGroups(i)
+            if (needSum(ci)) {
+              val rg = reader.aggChunkDouble(rgIdx, ci)
+              a.sum += rg.sum; a.count += rg.count
+              if (rg.min < a.min) a.min = rg.min
+              if (rg.max > a.max) a.max = rg.max
+            } else meta.statsMinMaxD(rgIdx, ci) match {
+              case Some((mn, mx)) =>
+                a.count += meta.rowGroups(rgIdx).numRows
+                if (mn < a.min) a.min = mn
+                if (mx > a.max) a.max = mx
+              case None =>
+                val rg = reader.aggChunkDouble(rgIdx, ci)
+                a.count += rg.count
+                if (rg.min < a.min) a.min = rg.min
+                if (rg.max > a.max) a.max = rg.max
+            }
+            i += 1
+          }
+          a
+        }
         // counts are answered by rowCounts alone — only sum/min/max
         // specs touch stats or pages
         aggs.foreach {
           case ColeAggSpec("sum" | "min" | "max", c) =>
             val ci = nameToIdx(c)
             if (isStrCol(ci)) strAccs.getOrElseUpdate(ci, fillStr(ci))
+            else if (isDblCol(ci)) dblAccs.getOrElseUpdate(ci, fillDbl(ci))
             else accs.getOrElseUpdate(ci, fill(ci))
           case _ => ()
         }
@@ -863,6 +980,10 @@ class ColeAggReader(part: ColeInputPartition, aggs: Seq[ColeAggSpec],
               val mm = strAccs.getOrElseUpdate(ci, Array[Array[Byte]](null, null))
               var j = 0
               while (j < sel.length) { bumpStr(mm, cd.strings(sel(j))); j += 1 }
+            } else if (isDblCol(ci)) {
+              val a = dblAccs.getOrElseUpdate(ci, new ColeCodec.DblAgg)
+              var j = 0
+              while (j < sel.length) { a.add(cd.doubles(sel(j))); j += 1 }
             } else {
               val a = accs.getOrElseUpdate(ci, new ColeCodec.NumAgg)
               var j = 0
@@ -885,6 +1006,15 @@ class ColeAggReader(part: ColeInputPartition, aggs: Seq[ColeAggSpec],
                 val b = if (kind == "min") mm(0) else mm(1)
                 if (b == null) null else UTF8String.fromBytes(b)
               case None => null // zero surviving rows
+            }
+          case kind if isDblCol(nameToIdx(sp.column)) =>
+            dblAccs.get(nameToIdx(sp.column)).filter(_.count > 0) match {
+              case None => null
+              case Some(a) => kind match {
+                case "sum" => a.sum
+                case "min" => a.min
+                case "max" => a.max
+              }
             }
           case kind =>
             val ci = nameToIdx(sp.column)
@@ -913,7 +1043,8 @@ class ColeAggReader(part: ColeInputPartition, aggs: Seq[ColeAggSpec],
 private[cole] final case class ColePredicate(column: String, op: String, value: Long,
     strValue: Array[Byte] = null, values: Array[Long] = null,
     strValues: Array[Array[Byte]] = null,
-    orChildren: Array[ColePredicate] = null) {
+    orChildren: Array[ColePredicate] = null,
+    dblValue: Double = 0d, dblValues: Array[Double] = null) {
 
   /** String claims ("eqs" equality, "nes" inequality, "ins" membership,
     * "sw"/"ew"/"ct" starts-/ends-with/contains) are applied by
@@ -930,8 +1061,25 @@ private[cole] final case class ColePredicate(column: String, op: String, value: 
     case _ => false
   }
 
+  /** Double comparisons ("d"-suffixed ops) evaluate against v2 TDouble
+    * chunks and their double page stats.
+    */
+  def isDouble: Boolean = op match {
+    case "eqd" | "gtd" | "ged" | "ltd" | "led" | "ind" | "ned" => true
+    case "or" => orChildren.head.isDouble
+    case _ => false
+  }
+
+  /** IsNotNull claim: rows pass unless null (the selection loop's null
+    * guard rejects null rows for EVERY claimed predicate, which is
+    * exactly SQL comparison semantics, so `nn` itself is a constant-true
+    * leaf evaluated only on non-null rows).
+    */
+  def isNotNullClaim: Boolean = op == "nn"
+
   /** Row-exact evaluation over decoded string bytes. */
   def evalStr(b: Array[Byte]): Boolean = op match {
+    case "nn" => true
     case "eqs" => java.util.Arrays.equals(b, strValue)
     case "nes" => !java.util.Arrays.equals(b, strValue)
     case "ins" => strValues.exists(java.util.Arrays.equals(b, _))
@@ -974,19 +1122,32 @@ private[cole] final case class ColePredicate(column: String, op: String, value: 
     if (op == "or") orChildren.forall(_.canSkip(stats))
     else canSkipLeaf(stats)
 
-  private def canSkipLeaf(stats: PageStats): Boolean = (stats.minInt, stats.maxInt) match {
-    case (Some(mn), Some(mx)) => op match {
-      case "eq" => value < mn || value > mx
-      case "gt" => mx <= value
-      case "ge" => mx < value
-      case "lt" => mn >= value
-      case "le" => mn > value
-      case "in" => values.forall(v => v < mn || v > mx)
-      case "ne" => mn == value && mx == value
+  private def canSkipLeaf(stats: PageStats): Boolean =
+    if (isDouble) (stats.minD, stats.maxD) match {
+      case (Some(mn), Some(mx)) => op match {
+        case "eqd" => dblValue < mn || dblValue > mx
+        case "gtd" => mx <= dblValue
+        case "ged" => mx < dblValue
+        case "ltd" => mn >= dblValue
+        case "led" => mn > dblValue
+        case "ind" => dblValues.forall(v => v < mn || v > mx)
+        case "ned" => mn == dblValue && mx == dblValue
+        case _ => false
+      }
+      case _ => false
+    } else (stats.minInt, stats.maxInt) match {
+      case (Some(mn), Some(mx)) => op match {
+        case "eq" => value < mn || value > mx
+        case "gt" => mx <= value
+        case "ge" => mx < value
+        case "lt" => mn >= value
+        case "le" => mn > value
+        case "in" => values.forall(v => v < mn || v > mx)
+        case "ne" => mn == value && mx == value
+        case _ => false
+      }
       case _ => false
     }
-    case _ => false
-  }
 
   /** True when EVERY row in a page with these stats must match — the dual
     * of [[canSkip]], used to prove a row group survives a filter intact
@@ -996,19 +1157,37 @@ private[cole] final case class ColePredicate(column: String, op: String, value: 
     if (op == "or") orChildren.exists(_.mustKeep(stats))
     else mustKeepLeaf(stats)
 
-  private def mustKeepLeaf(stats: PageStats): Boolean = (stats.minInt, stats.maxInt) match {
-    case (Some(mn), Some(mx)) => op match {
-      case "eq" => mn == value && mx == value
-      case "gt" => mn > value
-      case "ge" => mn >= value
-      case "lt" => mx < value
-      case "le" => mx <= value
-      case "in" => mn == mx && values.contains(mn)
-      case "ne" => value < mn || value > mx
+  // nullCount == 0 guard everywhere: stats describe non-null rows only, so
+  // a null-bearing page can never be PROVEN to keep every row (null rows
+  // fail SQL comparisons)
+  private def mustKeepLeaf(stats: PageStats): Boolean =
+    if (op == "nn") stats.nullCount == 0
+    else if (stats.nullCount > 0) false
+    else if (isDouble) (stats.minD, stats.maxD) match {
+      case (Some(mn), Some(mx)) => op match {
+        case "eqd" => mn == dblValue && mx == dblValue
+        case "gtd" => mn > dblValue
+        case "ged" => mn >= dblValue
+        case "ltd" => mx < dblValue
+        case "led" => mx <= dblValue
+        case "ind" => mn == mx && dblValues.contains(mn)
+        case "ned" => dblValue < mn || dblValue > mx
+        case _ => false
+      }
+      case _ => false
+    } else (stats.minInt, stats.maxInt) match {
+      case (Some(mn), Some(mx)) => op match {
+        case "eq" => mn == value && mx == value
+        case "gt" => mn > value
+        case "ge" => mn >= value
+        case "lt" => mx < value
+        case "le" => mx <= value
+        case "in" => mn == mx && values.contains(mn)
+        case "ne" => value < mn || value > mx
+        case _ => false
+      }
       case _ => false
     }
-    case _ => false
-  }
 
   // op resolved to an int once at construction: eval runs per row in the
   // selection loop, a string match there is a megamorphic dispatch on
@@ -1022,6 +1201,14 @@ private[cole] final case class ColePredicate(column: String, op: String, value: 
     case "in" => 5
     case "ne" => 6
     case "or" => 7
+    case "nn" => 8 // constant-true: the selection loop's null guard does the work
+    case "eqd" => 10
+    case "gtd" => 11
+    case "ged" => 12
+    case "ltd" => 13
+    case "led" => 14
+    case "ind" => 15
+    case "ned" => 16
     case _ => -1
   }
 
@@ -1029,6 +1216,10 @@ private[cole] final case class ColePredicate(column: String, op: String, value: 
   private val sortedValues: Array[Long] =
     if (values == null) null
     else { val a = values.clone(); java.util.Arrays.sort(a); a }
+
+  private val sortedDblValues: Array[Double] =
+    if (dblValues == null) null
+    else { val a = dblValues.clone(); java.util.Arrays.sort(a); a }
 
   /** Row-exact evaluation over a decoded value. */
   @inline def eval(v: Long): Boolean = (opId: @scala.annotation.switch) match {
@@ -1046,6 +1237,27 @@ private[cole] final case class ColePredicate(column: String, op: String, value: 
         i += 1
       }
       false
+    case 8 => true
+    case _ => false
+  }
+
+  /** Row-exact evaluation over a decoded v2 double. */
+  @inline def evalD(v: Double): Boolean = (opId: @scala.annotation.switch) match {
+    case 10 => v == dblValue
+    case 11 => v > dblValue
+    case 12 => v >= dblValue
+    case 13 => v < dblValue
+    case 14 => v <= dblValue
+    case 15 => java.util.Arrays.binarySearch(sortedDblValues, v) >= 0
+    case 16 => v != dblValue
+    case 7 =>
+      var i = 0
+      while (i < orChildren.length) {
+        if (orChildren(i).evalD(v)) return true
+        i += 1
+      }
+      false
+    case 8 => true
     case _ => false
   }
 }
@@ -1056,6 +1268,20 @@ private[cole] object ColePredicate {
     case l: Long => Some(l)
     case s: Short => Some(s.toLong)
     case b: Byte => Some(b.toLong)
+    // timestamp literals compare against TTimestamp chunks as micros —
+    // the same representation Spark's InternalRow uses
+    case t: java.sql.Timestamp =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+    case i: java.time.Instant =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i))
+    case l: java.time.LocalDateTime => // TimestampNTZ literals
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(l))
+    case _ => None
+  }
+
+  private[cole] def dbl(v: Any): Option[Double] = v match {
+    case d: Double => Some(d)
+    case f: Float => Some(f.toDouble)
     case _ => None
   }
 
@@ -1071,20 +1297,29 @@ private[cole] object ColePredicate {
     case EqualTo(c, v: org.apache.spark.unsafe.types.UTF8String) =>
       Some(ColePredicate(c, "eqs", 0L, v.getBytes))
     case EqualTo(c, v) => num(v).map(ColePredicate(c, "eq", _))
+      .orElse(dbl(v).map(d => ColePredicate(c, "eqd", 0L, dblValue = d)))
     case GreaterThan(c, v) => num(v).map(ColePredicate(c, "gt", _))
+      .orElse(dbl(v).map(d => ColePredicate(c, "gtd", 0L, dblValue = d)))
     case GreaterThanOrEqual(c, v) => num(v).map(ColePredicate(c, "ge", _))
+      .orElse(dbl(v).map(d => ColePredicate(c, "ged", 0L, dblValue = d)))
     case LessThan(c, v) => num(v).map(ColePredicate(c, "lt", _))
+      .orElse(dbl(v).map(d => ColePredicate(c, "ltd", 0L, dblValue = d)))
     case LessThanOrEqual(c, v) => num(v).map(ColePredicate(c, "le", _))
+      .orElse(dbl(v).map(d => ColePredicate(c, "led", 0L, dblValue = d)))
+    case IsNotNull(c) => Some(ColePredicate(c, "nn", 0L))
     case In(c, vs) if vs.length <= MaxInValues && !vs.contains(null) =>
       val nums = vs.flatMap(num)
       if (nums.length == vs.length)
         Some(ColePredicate(c, "in", 0L, values = nums))
       else {
+        val dbls = vs.flatMap(dbl)
         val strs = vs.collect {
           case s: String => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           case u: org.apache.spark.unsafe.types.UTF8String => u.getBytes
         }
-        if (strs.length == vs.length)
+        if (dbls.length == vs.length)
+          Some(ColePredicate(c, "ind", 0L, dblValues = dbls))
+        else if (strs.length == vs.length)
           Some(ColePredicate(c, "ins", 0L, strValues = strs))
         else None
       }
@@ -1094,6 +1329,7 @@ private[cole] object ColePredicate {
     case Not(EqualTo(c, v: org.apache.spark.unsafe.types.UTF8String)) =>
       Some(ColePredicate(c, "nes", 0L, v.getBytes))
     case Not(EqualTo(c, v)) => num(v).map(ColePredicate(c, "ne", _))
+      .orElse(dbl(v).map(d => ColePredicate(c, "ned", 0L, dblValue = d)))
     case StringStartsWith(c, v) =>
       Some(ColePredicate(c, "sw", 0L,
         v.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
@@ -1110,7 +1346,8 @@ private[cole] object ColePredicate {
       for {
         lp <- fromFilter(l)
         rp <- fromFilter(r)
-        if lp.column == rp.column && lp.isString == rp.isString
+        if lp.column == rp.column && lp.isString == rp.isString &&
+          lp.isDouble == rp.isDouble
       } yield {
         def flat(p: ColePredicate): Array[ColePredicate] =
           if (p.op == "or") p.orChildren else Array(p)
@@ -1176,11 +1413,23 @@ private[cole] object ColePredicate {
     * (row, column) instead of re-dispatching on the data shape per row.
     */
   private sealed trait ColEval { def ok(r: Int): Boolean }
+  // every evaluator rejects null rows up front: SQL comparisons (and a
+  // claimed IsNotNull) are never satisfied by NULL
   private final class NumEval(ps: Array[ColePredicate], cd: ColumnData) extends ColEval {
     def ok(r: Int): Boolean = {
+      if (cd.nulls != null && cd.nulls(r)) return false
       val v = if (cd.ints != null) cd.ints(r).toLong else cd.longs(r)
       var pi = 0
       while (pi < ps.length) { if (!ps(pi).eval(v)) return false; pi += 1 }
+      true
+    }
+  }
+  private final class DblEval(ps: Array[ColePredicate], cd: ColumnData) extends ColEval {
+    def ok(r: Int): Boolean = {
+      if (cd.nulls != null && cd.nulls(r)) return false
+      val v = cd.doubles(r)
+      var pi = 0
+      while (pi < ps.length) { if (!ps(pi).evalD(v)) return false; pi += 1 }
       true
     }
   }
@@ -1192,11 +1441,13 @@ private[cole] object ColePredicate {
   private final class DictEval(matches: Array[Boolean], ids: Array[Int]) extends ColEval {
     def ok(r: Int): Boolean = matches(ids(r))
   }
-  private final class StrEval(ps: Array[ColePredicate], strs: Array[Array[Byte]]) extends ColEval {
+  private final class StrEval(ps: Array[ColePredicate], cd: ColumnData) extends ColEval {
     def ok(r: Int): Boolean = {
+      if (cd.nulls != null && cd.nulls(r)) return false
+      val b = cd.strings(r)
       var pi = 0
       while (pi < ps.length) {
-        if (!ps(pi).evalStr(strs(r))) return false
+        if (!ps(pi).evalStr(b)) return false
         pi += 1
       }
       true
@@ -1218,7 +1469,10 @@ private[cole] object ColePredicate {
     for (c <- preds.map(_.column).distinct) {
       val ps = preds.filter(_.column == c)
       val colIdx = nameToIdx(c)
-      if (ps.head.isString) {
+      // dispatch by the COLUMN's physical type (not the predicate's): a
+      // lone claimed IsNotNull carries no type of its own
+      val colType = reader.meta.columns(colIdx).colType
+      if (colType == TString) {
         val dict = reader.readStringChunkDict(rgIdx, colIdx)
         if (dict != null) {
           val (entries, ids) = dict
@@ -1236,8 +1490,10 @@ private[cole] object ColePredicate {
           if (!any) return EmptySelection // dictionary matches nothing
           byCol(bi) = new DictEval(matches, ids)
         } else {
-          byCol(bi) = new StrEval(ps, reader.readChunk(rgIdx, colIdx).strings)
+          byCol(bi) = new StrEval(ps, reader.readChunk(rgIdx, colIdx))
         }
+      } else if (colType == TDouble) {
+        byCol(bi) = new DblEval(ps, reader.readChunk(rgIdx, colIdx))
       } else {
         byCol(bi) = new NumEval(ps, reader.readChunk(rgIdx, colIdx))
       }
@@ -1390,6 +1646,8 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
     val (partRuntime, dataRuntime) = runtimeIn.partition(p => partCols.contains(p.column))
     val fileRequired = StructType(required.filterNot(f => partCols.contains(f.name)))
     val target = ColePack.targetBytes
+    // per-file claimed-predicate sets (IsNotNull dropped where vacuous)
+    val predsOf = scala.collection.mutable.HashMap.empty[String, Array[ColePredicate]]
     // metadata-only planning: footers come from the driver cache (one read
     // per file across the whole query, even when runtime filters trigger a
     // second planning pass), stats prune without opening any data file
@@ -1402,20 +1660,27 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
       else {
         val meta = info.meta
         val nameToIdx = meta.columns.map(_.name).zipWithIndex.toMap
+        // a claimed IsNotNull is vacuous over null-free chunks; dropping
+        // it PER FILE keeps the preds-empty fast paths (metadata counts,
+        // guaranteed credit) intact for v1 tables while nullable v2
+        // files still enforce it row-exactly
+        val filePreds = preds.filter(p => !p.isNotNullClaim ||
+          nameToIdx.get(p.column).exists(meta.columnHasNulls))
+        predsOf(info.path) = filePreds
         val colIndices = fileRequired.fieldNames.map(nameToIdx(_))
         meta.rowGroups.zipWithIndex.collect {
-          case (rg, rgIdx) if !skipRowGroup(rg, nameToIdx, preds) &&
+          case (rg, rgIdx) if !skipRowGroup(rg, nameToIdx, filePreds) &&
               !skipRowGroupIn(rg, nameToIdx, dataRuntime) &&
               !skipOnly.exists(_.skips(rg, nameToIdx, pv)) &&
               // advisory bloom sidecar: string point lookups drop row
               // groups that provably lack the probe value (no-op when no
               // index or no string equality is claimed)
-              !ColeBloomIndex.skips(info.path, info.len, info.mtime, rgIdx, preds, conf) =>
+              !ColeBloomIndex.skips(info.path, info.len, info.mtime, rgIdx, filePreds, conf) =>
             val mm = topN.flatMap { case (c, _, _) =>
               nameToIdx.get(c).flatMap(meta.statsMinMax(rgIdx, _)) }
             val guaranteed = dataRuntime.isEmpty &&
-              (preds.isEmpty ||
-                ColePredicate.fullyKeepsRowGroup(rg, nameToIdx, preds))
+              (filePreds.isEmpty ||
+                ColePredicate.fullyKeepsRowGroup(rg, nameToIdx, filePreds))
             (info.path, colIndices, rgIdx, rg.numRows,
               colIndices.map(ci => rg.chunks(ci).totalSize).sum, mm, guaranteed,
               info.partValues)
@@ -1453,8 +1718,8 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
     val parts = afterTopN.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
       case (file, rgs) =>
         ColePack.pack(file, rgs.head._2,
-          rgs.map(r => (r._3, r._4, r._5)).sortBy(_._1), target, preds,
-          rgs.head._8.toArray)
+          rgs.map(r => (r._3, r._4, r._5)).sortBy(_._1), target,
+          predsOf.getOrElse(file, preds), rgs.head._8.toArray)
     }
     // a pushed LIMIT with no row-dropping predicates can stop planning
     // once enough rows are covered, truncated at row-group granularity
@@ -1585,21 +1850,37 @@ class ColeColumnarReader(part: ColeInputPartition, required: StructType,
       } else {
         val cd = reader.readChunk(rgIdx, ci)
         if (sel == null) cd
-        else if (cd.ints != null) {
-          val g = new Array[Int](sel.length)
-          var j = 0
-          while (j < sel.length) { g(j) = cd.ints(sel(j)); j += 1 }
-          ColumnData(g, null, null)
-        } else if (cd.longs != null) {
-          val g = new Array[Long](sel.length)
-          var j = 0
-          while (j < sel.length) { g(j) = cd.longs(sel(j)); j += 1 }
-          ColumnData(null, g, null)
-        } else {
-          val g = new Array[Array[Byte]](sel.length)
-          var j = 0
-          while (j < sel.length) { g(j) = cd.strings(sel(j)); j += 1 }
-          ColumnData(null, null, g)
+        else {
+          // claimed predicates never select a null row of a FILTERED
+          // column, but OTHER projected columns can still be null at
+          // surviving rows — compact their null flags alongside values
+          val n: Array[Boolean] = if (cd.nulls == null) null else {
+            val g = new Array[Boolean](sel.length)
+            var j = 0
+            while (j < sel.length) { g(j) = cd.nulls(sel(j)); j += 1 }
+            g
+          }
+          if (cd.ints != null) {
+            val g = new Array[Int](sel.length)
+            var j = 0
+            while (j < sel.length) { g(j) = cd.ints(sel(j)); j += 1 }
+            ColumnData(g, null, null, null, n)
+          } else if (cd.longs != null) {
+            val g = new Array[Long](sel.length)
+            var j = 0
+            while (j < sel.length) { g(j) = cd.longs(sel(j)); j += 1 }
+            ColumnData(null, g, null, null, n)
+          } else if (cd.doubles != null) {
+            val g = new Array[Double](sel.length)
+            var j = 0
+            while (j < sel.length) { g(j) = cd.doubles(sel(j)); j += 1 }
+            ColumnData(null, null, null, g, n)
+          } else {
+            val g = new Array[Array[Byte]](sel.length)
+            var j = 0
+            while (j < sel.length) { g(j) = cd.strings(sel(j)); j += 1 }
+            ColumnData(null, null, g, null, n)
+          }
         }
       }
     }: Array[AnyRef]
@@ -1626,9 +1907,18 @@ class ColeColumnarReader(part: ColeInputPartition, required: StructType,
         case c: ColumnData =>
           if (c.ints != null) v.putInts(0, n, c.ints, offset)
           else if (c.longs != null) v.putLongs(0, n, c.longs, offset)
+          else if (c.doubles != null) v.putDoubles(0, n, c.doubles, offset)
           else {
             var r = 0
-            while (r < n) { v.putByteArray(r, c.strings(offset + r)); r += 1 }
+            while (r < n) {
+              val b = c.strings(offset + r)
+              if (b != null) v.putByteArray(r, b)
+              r += 1
+            }
+          }
+          if (c.nulls != null) {
+            var r = 0
+            while (r < n) { if (c.nulls(offset + r)) v.putNull(r); r += 1 }
           }
         case (entries: Array[Array[Byte]], ids: Array[Int]) =>
           v.setDictionary(new ColeVectorDictionary(entries))
@@ -1731,8 +2021,10 @@ class ColeRowReader(part: ColeInputPartition, required: StructType,
     while (i < columns.length) {
       val c = columns(i)
       values(i) =
-        if (c.ints != null) c.ints(r)
+        if (c.nulls != null && c.nulls(r)) null
+        else if (c.ints != null) c.ints(r)
         else if (c.longs != null) c.longs(r)
+        else if (c.doubles != null) c.doubles(r)
         else UTF8String.fromBytes(c.strings(r))
       i += 1
     }
@@ -1847,7 +2139,9 @@ class ColePartitionedDataWriter(schema: StructType, protected val baseDir: Strin
       val raw = schema.fields(fi).dataType match {
         case IntegerType => record.getInt(fi).toString
         case LongType => record.getLong(fi).toString
-        case _ => record.getUTF8String(fi).toString
+        case StringType => record.getUTF8String(fi).toString
+        case other => throw new IllegalArgumentException(
+          s"COLE partition columns must be INT/LONG/STRING; '${partCols(i)}' is $other")
       }
       s"${partCols(i)}=${ColeIO.escape(raw)}"
     }.mkString("/")
@@ -1877,7 +2171,9 @@ class ColePartitionedDataWriter(schema: StructType, protected val baseDir: Strin
       if (!record.isNullAt(fi)) {
         dataSchema.fields(i).dataType match {
           case IntegerType => proj.update(i, record.getInt(fi))
-          case LongType => proj.update(i, record.getLong(fi))
+          case LongType | TimestampType | TimestampNTZType =>
+            proj.update(i, record.getLong(fi))
+          case DoubleType => proj.update(i, record.getDouble(fi))
           case _ => proj.update(i, record.getUTF8String(fi))
         }
       }
@@ -1911,23 +2207,43 @@ class ColeDataWriter(schema: StructType, file: String, rowGroupSize: Int,
     conf: Configuration) extends DataWriter[InternalRow] {
 
   private val coleCols = ColeUtil.toColeColumns(schema)
-  private val writer = new ColeFileWriter(file, coleCols, conf)
+  private val version = ColeFileWriter.resolveVersion(coleCols, conf)
+  // batch tasks write to a dotted in-progress name and rename at commit:
+  // listings (and polling streaming sources) must never observe a torn
+  // half-written .col file. Streaming tasks pass an already-dotted name
+  // (their DRIVER renames at epoch commit) — keep it verbatim.
+  private val fileName = file.substring(file.lastIndexOf('/') + 1)
+  private val writePath =
+    if (fileName.startsWith(".")) file
+    else file.substring(0, file.lastIndexOf('/') + 1) + s".$fileName.inprogress"
+  private val writer = new ColeFileWriter(writePath, coleCols, conf)
   // primitive row-group buffers: a boxing ArrayBuffer[Int/Long] would box
   // every cell of every numeric column on the write path
   private val intBufs = Array.fill(schema.length)(new Array[Int](rowGroupSize))
   private val longBufs = Array.fill(schema.length)(new Array[Long](rowGroupSize))
   private val strBufs = Array.fill(schema.length)(new Array[Array[Byte]](rowGroupSize))
+  private val dblBufs = Array.fill(schema.length)(new Array[Double](rowGroupSize))
+  // per-column null flags, allocated on the first null (v2 only): null-free
+  // columns pay nothing and their pages stay dense
+  private val nullBufs = new Array[Array[Boolean]](schema.length)
   private var buffered = 0
 
   override def write(record: InternalRow): Unit = {
     var i = 0
     while (i < schema.length) {
-      if (record.isNullAt(i))
-        throw new ColeFormatException(
-          s"COLE format does not support NULLs (column '${schema(i).name}')")
-      coleCols(i).colType match {
+      if (record.isNullAt(i)) {
+        if (version < ColeFormat.Version2)
+          throw new ColeFormatException(
+            s"COLE format v1 does not support NULLs (column '${schema(i).name}'); " +
+              "write with option formatVersion=2")
+        if (nullBufs(i) == null) nullBufs(i) = new Array[Boolean](rowGroupSize)
+        nullBufs(i)(buffered) = true
+      } else coleCols(i).colType match {
         case TInt32 => intBufs(i)(buffered) = record.getInt(i)
         case TInt64 => longBufs(i)(buffered) = record.getLong(i)
+        case TTimestamp | TTimestampNtz =>
+          longBufs(i)(buffered) = record.getLong(i) // micros
+        case TDouble => dblBufs(i)(buffered) = record.getDouble(i)
         case TString => strBufs(i)(buffered) = record.getUTF8String(i).getBytes
       }
       i += 1
@@ -1939,20 +2255,29 @@ class ColeDataWriter(schema: StructType, file: String, rowGroupSize: Int,
   private def flush(): Unit = {
     if (buffered == 0) return
     val (cols, encs) = coleCols.zipWithIndex.map { case (c, i) =>
+      val nulls = nullBufs(i) // whole buffer; writer trims to `buffered`
       c.colType match {
         case TInt32 =>
           val a = java.util.Arrays.copyOf(intBufs(i), buffered)
-          (ColumnData(a, null, null), chooseIntEnc(a.map(_.toLong)))
-        case TInt64 =>
+          (ColumnData(a, null, null, null, nulls),
+            if (nulls == null) chooseIntEnc(a.map(_.toLong)) else Plain)
+        case TInt64 | TTimestamp | TTimestampNtz =>
           val a = java.util.Arrays.copyOf(longBufs(i), buffered)
-          (ColumnData(null, a, null), chooseIntEnc(a))
+          (ColumnData(null, a, null, null, nulls),
+            if (nulls == null) chooseIntEnc(a) else Plain)
+        case TDouble =>
+          val a = java.util.Arrays.copyOf(dblBufs(i), buffered)
+          (ColumnData(null, null, null, a, nulls), Plain)
         case TString =>
           val a = java.util.Arrays.copyOf(strBufs(i), buffered)
-          (ColumnData(null, null, a), chooseStrEnc(a))
+          (ColumnData(null, null, a, null, nulls),
+            if (nulls == null) chooseStrEnc(a) else Plain)
       }
     }.unzip
     writer.writeRowGroup(cols, buffered, encs)
     buffered = 0
+    var i = 0
+    while (i < nullBufs.length) { nullBufs(i) = null; i += 1 }
   }
 
   private def chooseIntEnc(a: Array[Long]): Enc = {
@@ -1989,6 +2314,11 @@ class ColeDataWriter(schema: StructType, file: String, rowGroupSize: Int,
   def commitFiles(): Seq[String] = {
     flush()
     writer.close()
+    if (writePath != file) {
+      val (fs, t) = ColeIO.resolve(writePath, conf)
+      val (_, f) = ColeIO.resolve(file, conf)
+      require(fs.rename(t, f), s"commit rename failed: $writePath -> $file")
+    }
     Seq(file)
   }
 
@@ -1996,7 +2326,7 @@ class ColeDataWriter(schema: StructType, file: String, rowGroupSize: Int,
 
   override def abort(): Unit = {
     writer.close()
-    val (fs, p) = ColeIO.resolve(file, conf)
+    val (fs, p) = ColeIO.resolve(writePath, conf)
     fs.delete(p, false)
   }
 
@@ -2040,6 +2370,22 @@ object ColeMicroBatchStream {
     * its entire backlog as ONE micro-batch.
     */
   val MaxFilesKey = "graft.cole.maxFilesPerTrigger"
+
+  /** Seen-set snapshot cadence: every N log entries the whole set is
+    * written as `<seq>.snap` and (after the batch commits) older entries
+    * are dropped — restart cost stays O(seen files), not O(batches).
+    */
+  val SnapshotInterval = 16
+
+  /** Full directory listings the source has performed — spec-visible: a
+    * sink-fed table must stop paying O(files) listings after warm-up.
+    */
+  val tableListings = new AtomicLong(0)
+
+  /** Compaction outputs the source refused to re-emit (their input files
+    * were already processed) — spec-visible.
+    */
+  val compactionSkips = new AtomicLong(0)
 }
 
 class ColeMicroBatchStream(scan: ColeScan, path: String, conf: Configuration,
@@ -2047,52 +2393,158 @@ class ColeMicroBatchStream(scan: ColeScan, path: String, conf: Configuration,
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
   import java.nio.charset.StandardCharsets.UTF_8
+  import org.apache.hadoop.fs.{Path => HPath}
 
   private val maxFilesPerTrigger: Int =
     conf.getInt(ColeMicroBatchStream.MaxFilesKey, Int.MaxValue)
 
-  private val logDir = new org.apache.hadoop.fs.Path(checkpointLocation, "cole-file-log")
+  private val logDir = new HPath(checkpointLocation, "cole-file-log")
   private val fs = logDir.getFileSystem(conf)
+  private val (tableFs, tablePath) = ColeIO.resolve(path, conf)
+  private val manifestDir = new HPath(tablePath, ColeStreamingWrite.ManifestDirName)
+  private val compDir = new HPath(ColeCompact.recordsDir(tablePath.toString))
 
   /** Files already logged, rebuilt from the log once per stream. */
   private val seen = scala.collection.mutable.HashSet[String]()
   private var seq = -1L
+  private var snapSeq = -1L // latest snapshot on disk
   private var loaded = false
+  // sink-manifest tailing state: entry names already folded into
+  // candidates; warm = the one full listing (pre-existing files) happened
+  private val manifestSeen = scala.collection.mutable.HashSet[String]()
+  private var manifestWarm = false
+  // compaction records: output -> inputs, re-read incrementally by name
+  private val compSeen = scala.collection.mutable.HashSet[String]()
+  private val compInputs = scala.collection.mutable.HashMap[String, Seq[String]]()
 
-  private def entryPath(s: Long): org.apache.hadoop.fs.Path =
-    new org.apache.hadoop.fs.Path(logDir, s.toString)
+  private def entryPath(s: Long): HPath = new HPath(logDir, s.toString)
+  private def snapPath(s: Long): HPath = new HPath(logDir, s"$s.snap")
 
-  private def readEntry(s: Long): Seq[String] = {
-    val in = fs.open(entryPath(s))
+  private def readLines(p: HPath): Seq[String] = {
+    val in = fs.open(p)
     try new String(in.readAllBytes(), UTF_8).split('\n').filter(_.nonEmpty).toSeq
     finally in.close()
   }
 
+  private def readEntry(s: Long): Seq[String] = readLines(entryPath(s))
+
   private def load(): Unit = synchronized {
     if (loaded) return
     if (fs.exists(logDir)) {
-      fs.listStatus(logDir).map(_.getPath.getName)
-        .filter(_.forall(_.isDigit)).map(_.toLong).sorted
+      val names = fs.listStatus(logDir).map(_.getPath.getName)
+      val snaps = names.filter(_.endsWith(".snap"))
+        .map(_.stripSuffix(".snap")).filter(_.forall(_.isDigit)).map(_.toLong)
+      snapSeq = if (snaps.isEmpty) -1L else snaps.max
+      if (snapSeq >= 0) { seen ++= readLines(snapPath(snapSeq)); seq = snapSeq }
+      // entries past the snapshot (or all, without one)
+      names.filter(_.forall(_.isDigit)).map(_.toLong).filter(_ > snapSeq).sorted
         .foreach { s => seen ++= readEntry(s); seq = math.max(seq, s) }
     } else fs.mkdirs(logDir)
     loaded = true
+  }
+
+  /** Fold any NEW compaction records into the output→inputs map (the
+    * records dir is listed once per trigger; O(compaction runs), never
+    * O(files)).
+    */
+  private def refreshCompactionRecords(): Unit = {
+    if (!tableFs.exists(compDir)) return
+    tableFs.listStatus(compDir).foreach { st =>
+      val name = st.getPath.getName
+      if (!name.startsWith(".") && !compSeen.contains(name)) {
+        compSeen += name
+        val lines = {
+          val in = tableFs.open(st.getPath)
+          try new String(in.readAllBytes(), UTF_8).split('\n').filter(_.nonEmpty).toSeq
+          finally in.close()
+        }
+        val outs = lines.collect { case l if l.startsWith("out:") => l.drop(4) }
+        val ins = lines.collect { case l if l.startsWith("in:") => l.drop(3) }
+        outs.foreach(o => compInputs(o) = ins)
+      }
+    }
+  }
+
+  /** A file's rows were already emitted if the file itself was logged, or
+    * (transitively) if it is a compaction output over already-processed
+    * inputs — skipping it is what keeps an offline compaction from
+    * replaying every old row into the stream.
+    */
+  private def effectivelySeen(f: String): Boolean =
+    seen.contains(f) || {
+      compInputs.get(f).exists { ins =>
+        val dup = ins.exists(effectivelySeen)
+        if (dup) ColeMicroBatchStream.compactionSkips.incrementAndGet()
+        dup
+      }
+    }
+
+  /** Candidate files this trigger. Sink-fed tables (a `_cole_manifest`
+    * exists) tail the manifest: ONE full listing at warm-up for
+    * pre-existing files, then only new manifest entries — per-trigger
+    * driver cost is O(new files + manifest entries), independent of the
+    * table's total file count. Tables without a manifest (batch-written)
+    * fall back to the full listing every trigger, like FileStreamSource.
+    */
+  private def candidates(): Seq[String] = {
+    val hasManifest = tableFs.exists(manifestDir)
+    if (!hasManifest || !manifestWarm) {
+      ColeMicroBatchStream.tableListings.incrementAndGet()
+      // mark the manifest entries BEFORE listing the files: an epoch that
+      // commits in between is simply admitted by a later tailing trigger
+      // (its files just aren't in this listing yet); the opposite order
+      // could mark an entry consumed whose files the listing missed
+      if (hasManifest) {
+        manifestWarm = true
+        tableFs.listStatus(manifestDir)
+          .filter(st => !st.getPath.getName.startsWith("."))
+          .foreach(st => manifestSeen += st.getPath.getName)
+      }
+      ColeIO.listPartitioned(path, conf).map(_._1.getPath.toString)
+    } else {
+      val fresh = tableFs.listStatus(manifestDir)
+        .filter(st => !st.getPath.getName.startsWith(".") &&
+          !manifestSeen.contains(st.getPath.getName))
+        .sortBy(_.getPath.getName)
+      fresh.flatMap { st =>
+        manifestSeen += st.getPath.getName
+        val in = tableFs.open(st.getPath)
+        try new String(in.readAllBytes(), UTF_8).split('\n').filter(_.nonEmpty).toSeq
+        finally in.close()
+      }.toSeq
+    }
   }
 
   override def initialOffset(): Offset = ColeSourceOffset(-1L)
 
   override def latestOffset(): Offset = synchronized {
     load()
-    val now = ColeIO.listPartitioned(path, conf).map(_._1.getPath.toString)
+    refreshCompactionRecords()
+    val now = candidates()
     // deterministic admission order + per-trigger cap: a backlog drains
     // over successive bounded batches instead of one unbounded plan
-    val fresh = now.filterNot(seen).sorted.take(maxFilesPerTrigger)
+    val fresh = now.filterNot(effectivelySeen).sorted.take(maxFilesPerTrigger)
     if (fresh.nonEmpty) {
-      // write-ahead: the entry must be durable before the offset escapes
+      // write-ahead: the entry must be durable before the offset escapes.
+      // Temp + rename so a crash mid-write can never leave a torn entry
+      // whose partial contents a restart would fold into the seen-set
+      // (losing the unwritten tail of the batch forever).
       val next = seq + 1
-      val out = fs.create(entryPath(next), false)
+      val tmp = new HPath(logDir, s".$next.tmp")
+      val out = fs.create(tmp, true)
       try out.write(fresh.mkString("\n").getBytes(UTF_8)) finally out.close()
+      require(fs.rename(tmp, entryPath(next)), s"file-log rename failed for $next")
       seen ++= fresh
       seq = next
+      // periodic snapshot: the whole seen-set in one file, so restart
+      // reads O(files) once instead of O(batches) entries
+      if ((next + 1) % ColeMicroBatchStream.SnapshotInterval == 0) {
+        val tmp = new HPath(logDir, s".$next.snap.tmp")
+        val o = fs.create(tmp, true)
+        try o.write(seen.toSeq.sorted.mkString("\n").getBytes(UTF_8)) finally o.close()
+        fs.delete(snapPath(next), false)
+        if (fs.rename(tmp, snapPath(next))) snapSeq = next
+      }
     }
     ColeSourceOffset(seq)
   }
@@ -2121,7 +2573,25 @@ class ColeMicroBatchStream(scan: ColeScan, path: String, conf: Configuration,
 
   override def createReaderFactory(): PartitionReaderFactory = scan.createReaderFactory()
 
-  override def commit(end: Offset): Unit = ()
+  /** Batches ≤ end are durably committed: entries a snapshot subsumes can
+    * never be re-planned, so drop them (and superseded snapshots). This
+    * is what bounds the log's small-file count over a long-lived stream.
+    */
+  override def commit(end: Offset): Unit = synchronized {
+    val committed = end.asInstanceOf[ColeSourceOffset].seq
+    if (snapSeq < 0) return
+    val bound = math.min(committed, snapSeq)
+    if (bound < 0) return
+    fs.listStatus(logDir).foreach { st =>
+      val name = st.getPath.getName
+      val isEntry = name.forall(_.isDigit) && name.toLong <= bound
+      val isOldSnap = name.endsWith(".snap") &&
+        name.stripSuffix(".snap").forall(_.isDigit) &&
+        name.stripSuffix(".snap").toLong < snapSeq
+      if (isEntry || isOldSnap) fs.delete(st.getPath, false)
+    }
+  }
+
   override def stop(): Unit = ()
 }
 
@@ -2142,6 +2612,17 @@ final case class ColeEpochCommit(renames: Seq[(String, String)])
   * names instead of appending duplicates. Task retries/speculation leave
   * only uncommitted dotted files, cleaned by abort and ignored by readers.
   */
+object ColeStreamingWrite {
+  /** Directory (under the table root) of per-epoch commit manifests: one
+    * file per committed epoch listing the qualified final data files. The
+    * streaming SOURCE tails this instead of re-listing the whole table
+    * every trigger — the difference between O(new files) and O(total
+    * files) of driver work per trigger on a long-lived 100k-file table.
+    * Ignored by readers (no `key=value` name, no `.col` suffix).
+    */
+  val ManifestDirName = "_cole_manifest"
+}
+
 class ColeStreamingWrite(schema: StructType, path: String, rowGroupSize: Int,
     conf: Configuration, partCols: Seq[String]) extends StreamingWrite {
 
@@ -2158,17 +2639,37 @@ class ColeStreamingWrite(schema: StructType, path: String, rowGroupSize: Int,
       new ColeHadoopConf(conf), partCols)
   }
 
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case ColeEpochCommit(renames) => renames.foreach { case (tmp, fin) =>
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val finals = messages.flatMap {
+      case ColeEpochCommit(renames) => renames.map { case (tmp, fin) =>
         val (fs, t) = ColeIO.resolve(tmp, conf)
         val (_, f) = ColeIO.resolve(fin, conf)
         if (fs.exists(f)) fs.delete(f, false) // epoch replay: overwrite
         if (!fs.rename(t, f))
           throw new java.io.IOException(s"epoch $epochId: rename $tmp -> $fin failed")
+        fs.makeQualified(f).toString
       }
-      case _ => ()
+      case _ => Seq.empty
     }
+    // per-epoch manifest entry AFTER the renames: listed files are always
+    // readable. Epoch-deterministic name + full overwrite = a replayed
+    // epoch converges to the same entry instead of appending a duplicate.
+    val (fs, dir) = ColeIO.resolve(path, conf)
+    val mdir = new org.apache.hadoop.fs.Path(dir, ColeStreamingWrite.ManifestDirName)
+    if (!fs.exists(mdir)) fs.mkdirs(mdir)
+    // temp + rename: the tailing source polls this directory at trigger
+    // frequency, and a non-atomic create would let it read a torn/empty
+    // entry and mark the epoch consumed with its files silently dropped
+    val entry = new org.apache.hadoop.fs.Path(mdir, f"e$epochId%020d")
+    val tmp = new org.apache.hadoop.fs.Path(mdir, f".e$epochId%020d.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(finals.sorted.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(entry, false) // epoch replay converges to the same entry
+    if (!fs.rename(tmp, entry))
+      throw new java.io.IOException(s"epoch $epochId: manifest rename failed")
+  }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {

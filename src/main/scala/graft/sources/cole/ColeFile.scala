@@ -7,8 +7,15 @@ import org.apache.hadoop.conf.Configuration
 import graft.sources.cole.ColeCodec._
 import graft.sources.cole.ColeFormat._
 
-/** Decoded column chunk: exactly one of the arrays is non-null. */
-final case class ColumnData(ints: Array[Int], longs: Array[Long], strings: Array[Array[Byte]])
+/** Decoded column chunk: exactly one of the value arrays is non-null.
+  * All value arrays are full-length (one slot per row); when `nulls` is
+  * non-null, rows flagged true are NULL and their value slot is a
+  * placeholder (v2 files only — v1 chunks always decode with nulls=null).
+  * TTimestamp chunks decode into `longs` (micros).
+  */
+final case class ColumnData(ints: Array[Int], longs: Array[Long],
+    strings: Array[Array[Byte]], doubles: Array[Double] = null,
+    nulls: Array[Boolean] = null)
 
 /** Single-file reader: footer → metadata → per-chunk decode.
   * (Reading algorithm per reference docs/FORMAT.md "Reading Algorithm".)
@@ -31,7 +38,10 @@ final class ColeFileReader(path: String, conf: Configuration) extends AutoClosea
     val header = readAt(0, 8)
     val hc = new Cursor(header, 0)
     if (hc.u32() != FileMagic) throw new ColeFormatException(s"$path: bad file magic")
-    hc.u16(); hc.u16() // version major/minor
+    val version = hc.u16()
+    hc.u16() // version minor
+    if (version < 1 || version > Version2)
+      throw new ColeFormatException(s"$path: unsupported format version $version")
     // footer: [FOOT u32][metadata offset u64]
     val footer = readAt(fileLen - 12, 12)
     val fc = new Cursor(footer, 0)
@@ -40,7 +50,7 @@ final class ColeFileReader(path: String, conf: Configuration) extends AutoClosea
     if (metaOffset < 8 || metaOffset >= fileLen - 12)
       throw new ColeFormatException(s"$path: metadata offset out of range")
     val metaBytes = readAt(metaOffset, (fileLen - 12 - metaOffset).toInt)
-    readMetadata(new Cursor(metaBytes, 0))
+    readMetadata(new Cursor(metaBytes, 0), version)
   }
 
   private def readAt(offset: Long, len: Int): Array[Byte] = {
@@ -58,7 +68,11 @@ final class ColeFileReader(path: String, conf: Configuration) extends AutoClosea
     else new Cursor(
       ColeCodec.inflate(c.buf, c.pos, ph.compressedSize, ph.uncompressedSize), 0)
 
-  /** Read and decode one column chunk of one row group. */
+  /** Read and decode one column chunk of one row group. v2 pages with
+    * nulls decode their validity bitmap first; encoded values cover the
+    * present rows only and are expanded to full-length arrays here
+    * (placeholder at null slots, per-row flags in `ColumnData.nulls`).
+    */
   def readChunk(rgIdx: Int, colIdx: Int): ColumnData = {
     val rg = meta.rowGroups(rgIdx)
     val cc = rg.chunks(colIdx)
@@ -69,40 +83,97 @@ final class ColeFileReader(path: String, conf: Configuration) extends AutoClosea
     val intParts = scala.collection.mutable.ArrayBuffer[Array[Int]]()
     val longParts = scala.collection.mutable.ArrayBuffer[Array[Long]]()
     val strParts = scala.collection.mutable.ArrayBuffer[Array[Array[Byte]]]()
+    val dblParts = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    val nullParts = scala.collection.mutable.ArrayBuffer[Array[Boolean]]()
+    val pageSizes = scala.collection.mutable.ArrayBuffer[Int]()
+    var anyNulls = false
     cc.pages.foreach { _ =>
-      val ph = readPageHeader(c)
+      val ph = readPageHeader(c, meta.version, col.colType == TDouble)
       val pageData = pageCursor(c, ph)
+      val isNull: Array[Boolean] =
+        if (ph.nullCount == 0) null
+        else { anyNulls = true; readValidity(pageData, ph.numValues) }
+      val present = ph.numValues - ph.nullCount
+      // null per dense page: materialized only when some page has nulls
+      nullParts += (if (isNull != null) isNull else null)
+      pageSizes += ph.numValues
       col.colType match {
-        case TInt32 => intParts += decodeIntPage(pageData, ph)
-        case TInt64 => longParts += decodeLongPage(pageData, ph)
-        case TString => strParts += decodeStringPage(pageData, ph)
+        case TInt32 => intParts += expandInt(decodeIntPage(pageData, ph, present), isNull, ph.numValues)
+        case TInt64 | TTimestamp | TTimestampNtz =>
+          longParts += expandLong(decodeLongPage(pageData, ph, present), isNull, ph.numValues)
+        case TString =>
+          strParts += expandRef(decodeStringPage(pageData, ph, present), isNull, ph.numValues)
+        case TDouble =>
+          dblParts += expandDouble(decodeDoublePage(pageData, ph, present), isNull, ph.numValues)
       }
       c.pos += ph.compressedSize
     }
+    val nulls = if (!anyNulls) null
+      else nullParts.zip(pageSizes).flatMap { case (p, n) =>
+        if (p != null) p else new Array[Boolean](n)
+      }.toArray
     col.colType match {
-      case TInt32 => ColumnData(intParts.flatten.toArray, null, null)
-      case TInt64 => ColumnData(null, longParts.flatten.toArray, null)
-      case TString => ColumnData(null, null, strParts.flatten.toArray)
+      case TInt32 => ColumnData(intParts.flatten.toArray, null, null, null, nulls)
+      case TInt64 | TTimestamp | TTimestampNtz => ColumnData(null, longParts.flatten.toArray, null, null, nulls)
+      case TString => ColumnData(null, null, strParts.flatten.toArray, null, nulls)
+      case TDouble => ColumnData(null, null, null, dblParts.flatten.toArray, nulls)
     }
   }
 
-  private def decodeIntPage(c: Cursor, ph: PageHeader): Array[Int] = ph.encoding match {
-    case Plain => decodePlainInt(c, ph.numValues)
-    case Rle => decodeRleInt(c, ph.numValues)
-    case Delta => decodeDeltaInt(c, ph.numValues)
+  private def expandInt(vals: Array[Int], isNull: Array[Boolean], n: Int): Array[Int] =
+    if (isNull == null) vals else {
+      val out = new Array[Int](n)
+      var i = 0; var j = 0
+      while (i < n) { if (!isNull(i)) { out(i) = vals(j); j += 1 }; i += 1 }
+      out
+    }
+
+  private def expandLong(vals: Array[Long], isNull: Array[Boolean], n: Int): Array[Long] =
+    if (isNull == null) vals else {
+      val out = new Array[Long](n)
+      var i = 0; var j = 0
+      while (i < n) { if (!isNull(i)) { out(i) = vals(j); j += 1 }; i += 1 }
+      out
+    }
+
+  private def expandDouble(vals: Array[Double], isNull: Array[Boolean], n: Int): Array[Double] =
+    if (isNull == null) vals else {
+      val out = new Array[Double](n)
+      var i = 0; var j = 0
+      while (i < n) { if (!isNull(i)) { out(i) = vals(j); j += 1 }; i += 1 }
+      out
+    }
+
+  private def expandRef(vals: Array[Array[Byte]], isNull: Array[Boolean], n: Int): Array[Array[Byte]] =
+    if (isNull == null) vals else {
+      val out = new Array[Array[Byte]](n)
+      var i = 0; var j = 0
+      while (i < n) { if (!isNull(i)) { out(i) = vals(j); j += 1 }; i += 1 }
+      out
+    }
+
+  private def decodeIntPage(c: Cursor, ph: PageHeader, present: Int): Array[Int] = ph.encoding match {
+    case Plain => decodePlainInt(c, present)
+    case Rle => decodeRleInt(c, present)
+    case Delta => decodeDeltaInt(c, present)
     case Dict => throw new ColeFormatException("DICTIONARY not valid for INT32")
   }
 
-  private def decodeLongPage(c: Cursor, ph: PageHeader): Array[Long] = ph.encoding match {
-    case Plain => decodePlainLong(c, ph.numValues)
-    case Rle => decodeRleLong(c, ph.numValues)
-    case Delta => decodeDeltaLong(c, ph.numValues)
+  private def decodeLongPage(c: Cursor, ph: PageHeader, present: Int): Array[Long] = ph.encoding match {
+    case Plain => decodePlainLong(c, present)
+    case Rle => decodeRleLong(c, present)
+    case Delta => decodeDeltaLong(c, present)
     case Dict => throw new ColeFormatException("DICTIONARY not valid for INT64")
   }
 
-  private def decodeStringPage(c: Cursor, ph: PageHeader): Array[Array[Byte]] = ph.encoding match {
-    case Plain => decodePlainStrings(c, ph.numValues)
-    case Dict => decodeDictStrings(c, ph.numValues)
+  private def decodeDoublePage(c: Cursor, ph: PageHeader, present: Int): Array[Double] = ph.encoding match {
+    case Plain => decodePlainDouble(c, present)
+    case other => throw new ColeFormatException(s"$other not valid for DOUBLE")
+  }
+
+  private def decodeStringPage(c: Cursor, ph: PageHeader, present: Int): Array[Array[Byte]] = ph.encoding match {
+    case Plain => decodePlainStrings(c, present)
+    case Dict => decodeDictStrings(c, present)
     case other => throw new ColeFormatException(s"$other not valid for STRING")
   }
 
@@ -115,22 +186,48 @@ final class ColeFileReader(path: String, conf: Configuration) extends AutoClosea
     val rg = meta.rowGroups(rgIdx)
     val cc = rg.chunks(colIdx)
     val colType = meta.columns(colIdx).colType
-    require(colType == TInt32 || colType == TInt64,
-      s"aggChunk requires a numeric column; '${meta.columns(colIdx).name}' is $colType")
+    require(colType == TInt32 || colType == TInt64 || colType == TTimestamp,
+      s"aggChunk requires an integral column; '${meta.columns(colIdx).name}' is $colType")
     val raw = readAt(cc.fileOffset, cc.totalSize.toInt)
     val c = new Cursor(raw, 0)
     val acc = new ColeCodec.NumAgg
     cc.pages.foreach { _ =>
-      val ph = readPageHeader(c)
+      val ph = readPageHeader(c, meta.version, isDouble = false)
+      // the planner gates aggregate pushdown off for null-bearing tables —
+      // a sweep here would mis-count, so fail loudly rather than silently
+      if (ph.nullCount > 0)
+        throw new ColeFormatException("aggChunk over a null-bearing page")
       val pageData = pageCursor(c, ph)
       (colType, ph.encoding) match {
         case (TInt32, Plain) => aggPlainInt(pageData, ph.numValues, acc)
         case (TInt32, Rle) => aggRleInt(pageData, acc)
         case (TInt32, Delta) => aggDeltaInt(pageData, ph.numValues, acc)
-        case (TInt64, Plain) => aggPlainLong(pageData, ph.numValues, acc)
-        case (TInt64, Rle) => aggRleLong(pageData, acc)
-        case (TInt64, Delta) => aggDeltaLong(pageData, ph.numValues, acc)
+        case (TInt64 | TTimestamp | TTimestampNtz, Plain) => aggPlainLong(pageData, ph.numValues, acc)
+        case (TInt64 | TTimestamp | TTimestampNtz, Rle) => aggRleLong(pageData, acc)
+        case (TInt64 | TTimestamp | TTimestampNtz, Delta) => aggDeltaLong(pageData, ph.numValues, acc)
         case (t, e) => throw new ColeFormatException(s"$e not valid for $t")
+      }
+      c.pos += ph.compressedSize
+    }
+    acc
+  }
+
+  /** Double twin of [[aggChunk]] for v2 TDouble chunks (PLAIN pages). */
+  def aggChunkDouble(rgIdx: Int, colIdx: Int): ColeCodec.DblAgg = {
+    val cc = meta.rowGroups(rgIdx).chunks(colIdx)
+    require(meta.columns(colIdx).colType == TDouble,
+      s"aggChunkDouble requires a DOUBLE column")
+    val raw = readAt(cc.fileOffset, cc.totalSize.toInt)
+    val c = new Cursor(raw, 0)
+    val acc = new ColeCodec.DblAgg
+    cc.pages.foreach { _ =>
+      val ph = readPageHeader(c, meta.version, isDouble = true)
+      if (ph.nullCount > 0)
+        throw new ColeFormatException("aggChunkDouble over a null-bearing page")
+      val pageData = pageCursor(c, ph)
+      ph.encoding match {
+        case Plain => aggPlainDouble(pageData, ph.numValues, acc)
+        case e => throw new ColeFormatException(s"$e not valid for DOUBLE")
       }
       c.pos += ph.compressedSize
     }
@@ -153,12 +250,15 @@ final class ColeFileReader(path: String, conf: Configuration) extends AutoClosea
     val cc = rg.chunks(colIdx)
     if (meta.columns(colIdx).colType != TString) return null
     if (!cc.pages.forall(_.encoding == Dict)) return null
+    // null-bearing chunks have no dense id-per-row view: callers fall
+    // back to the materialized (null-expanded) string path
+    if (cc.pages.exists(_.nullCount > 0)) return null
     val raw = readAt(cc.fileOffset, cc.totalSize.toInt)
     val c = new Cursor(raw, 0)
     val entries = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
     val idParts = scala.collection.mutable.ArrayBuffer[Array[Int]]()
     cc.pages.foreach { _ =>
-      val ph = readPageHeader(c)
+      val ph = readPageHeader(c, meta.version, isDouble = false)
       val (dict, ids) = decodeDictRaw(pageCursor(c, ph), ph.numValues)
       val base = entries.size
       entries ++= dict
@@ -178,6 +278,32 @@ object ColeFileWriter {
     * between needs to know.
     */
   val CompressKey = "graft.cole.compress"
+
+  /** Hadoop-conf key for the target format version ("1"|"2"); absent =
+    * auto (v2 iff the schema carries a v2-only type, else the
+    * reference-byte-compatible v1).
+    */
+  val VersionKey = "graft.cole.version"
+
+  /** Resolve the format version for a column set: explicit wins (but v1
+    * cannot carry v2-only types); otherwise the lowest version that can
+    * hold the schema — keeping DEFAULT writes byte-compatible with the
+    * reference layout.
+    */
+  def resolveVersion(columns: Seq[ColeColumn], conf: Configuration): Int = {
+    val needsV2 = columns.exists(c => requiresV2(c.colType))
+    val explicit = Option(conf).flatMap(c => Option(c.get(VersionKey)))
+    explicit match {
+      case Some("1") =>
+        if (needsV2) throw new ColeFormatException(
+          "formatVersion=1 cannot carry DOUBLE/TIMESTAMP columns")
+        1
+      case Some("2") => Version2
+      case Some(other) =>
+        throw new ColeFormatException(s"unknown formatVersion '$other' (1|2)")
+      case None => if (needsV2) Version2 else 1
+    }
+  }
 }
 
 /** Single-file writer: buffers one row group of columns, flushes pages +
@@ -191,6 +317,10 @@ final class ColeFileWriter(path: String, columns: Seq[ColeColumn],
     */
   private val compress =
     conf != null && conf.get(ColeFileWriter.CompressKey, "none") == "deflate"
+  /** Format version: v1 (reference-byte-compatible, default) or v2
+    * (doubles/timestamps/null bitmaps) — see [[ColeFileWriter.resolveVersion]].
+    */
+  private val version = ColeFileWriter.resolveVersion(columns, conf)
   /** Driver/CLI convenience: resolve through the active session's conf. */
   def this(path: String, columns: Seq[ColeColumn]) =
     this(path, columns, ColeIO.driverConf())
@@ -210,7 +340,7 @@ final class ColeFileWriter(path: String, columns: Seq[ColeColumn],
 
   private def writeHeader(): Unit = {
     val o = new Out(8)
-    o.u32(FileMagic); o.u16(VersionMajor); o.u16(VersionMinor)
+    o.u32(FileMagic); o.u16(version); o.u16(VersionMinor)
     emit(o.toBytes)
   }
 
@@ -227,43 +357,78 @@ final class ColeFileWriter(path: String, columns: Seq[ColeColumn],
     val chunkMetas = columns.indices.map { i =>
       val col = columns(i).copy(encoding = encs(i))
       val data = cols(i)
+      val isNull = data.nulls
+      var nullCount = 0
+      if (isNull != null) {
+        var r = 0
+        while (r < numRows) { if (isNull(r)) nullCount += 1; r += 1 }
+      }
+      if (nullCount > 0 && version < Version2)
+        throw new ColeFormatException(
+          s"COLE format v1 does not support NULLs (column '${col.name}'); " +
+            "write with option formatVersion=2")
+      // encoded values cover the PRESENT rows only; the validity bitmap
+      // (when nulls exist) prefixes the page body
+      def presentInts: Array[Int] =
+        if (nullCount == 0) data.ints
+        else compactInts(data.ints, isNull, numRows, numRows - nullCount)
+      def presentLongs: Array[Long] =
+        if (nullCount == 0) data.longs
+        else compactLongs(data.longs, isNull, numRows, numRows - nullCount)
+      def presentStrs: Array[Array[Byte]] =
+        if (nullCount == 0) data.strings
+        else compactRefs(data.strings, isNull, numRows, numRows - nullCount)
       val (encoded, stats) = col.colType match {
         case TInt32 =>
-          val vals = data.ints
+          val vals = presentInts
           val bytes = col.encoding match {
             case Plain => encodePlainInt(vals)
             case Rle => encodeRleInt(vals)
             case Delta => encodeDeltaInt(vals)
             case Dict => throw new ColeFormatException("DICTIONARY not valid for INT32")
           }
-          val st = if (vals.isEmpty) PageStats(None, None, 0)
-            else PageStats(Some(vals.min.toLong), Some(vals.max.toLong), 0)
+          val st = if (vals.isEmpty) PageStats(None, None, nullCount)
+            else PageStats(Some(vals.min.toLong), Some(vals.max.toLong), nullCount)
           (bytes, st)
-        case TInt64 =>
-          val vals = data.longs
+        case TInt64 | TTimestamp | TTimestampNtz =>
+          val vals = presentLongs
           val bytes = col.encoding match {
             case Plain => encodePlainLong(vals)
             case Rle => encodeRleLong(vals)
             case Delta => encodeDeltaLong(vals)
             case Dict => throw new ColeFormatException("DICTIONARY not valid for INT64")
           }
-          val st = if (vals.isEmpty) PageStats(None, None, 0)
-            else PageStats(Some(vals.min), Some(vals.max), 0)
+          val st = if (vals.isEmpty) PageStats(None, None, nullCount)
+            else PageStats(Some(vals.min), Some(vals.max), nullCount)
+          (bytes, st)
+        case TDouble =>
+          val vals =
+            if (nullCount == 0) data.doubles
+            else compactDoubles(data.doubles, isNull, numRows, numRows - nullCount)
+          val bytes = col.encoding match {
+            case Plain => encodePlainDouble(vals)
+            case other => throw new ColeFormatException(s"$other not valid for DOUBLE")
+          }
+          val st = if (vals.isEmpty) PageStats(None, None, nullCount)
+            else PageStats(None, None, nullCount, Some(vals.min), Some(vals.max))
           (bytes, st)
         case TString =>
-          val vals = data.strings
+          val vals = presentStrs
           val bytes = col.encoding match {
             case Plain => encodePlainStrings(vals)
             case Dict => encodeDictStrings(vals)
             case other => throw new ColeFormatException(s"$other not valid for STRING")
           }
-          (bytes, PageStats(None, None, 0))
+          (bytes, PageStats(None, None, nullCount))
       }
-      val body = if (compress) ColeCodec.deflate(encoded) else encoded
-      val ph = PageHeader(encoded.length, body.length, numRows, col.encoding, stats)
+      val raw =
+        if (nullCount == 0) encoded
+        else ColeCodec.packValidity(java.util.Arrays.copyOf(isNull, numRows)) ++ encoded
+      val body = if (compress) ColeCodec.deflate(raw) else raw
+      val ph = PageHeader(raw.length, body.length, numRows, col.encoding, stats, nullCount)
       val offset = position
       val hdr = new Out()
-      writePageHeader(hdr, ph)
+      writePageHeader(hdr, ph, version, col.colType == TDouble)
       emit(hdr.toBytes)
       emit(body)
       ColumnChunkMeta(offset, position - offset, Seq(ph))
@@ -272,12 +437,40 @@ final class ColeFileWriter(path: String, columns: Seq[ColeColumn],
     totalRows += numRows
   }
 
+  private def compactInts(a: Array[Int], isNull: Array[Boolean], n: Int, m: Int): Array[Int] = {
+    val out = new Array[Int](m)
+    var i = 0; var j = 0
+    while (i < n) { if (!isNull(i)) { out(j) = a(i); j += 1 }; i += 1 }
+    out
+  }
+
+  private def compactLongs(a: Array[Long], isNull: Array[Boolean], n: Int, m: Int): Array[Long] = {
+    val out = new Array[Long](m)
+    var i = 0; var j = 0
+    while (i < n) { if (!isNull(i)) { out(j) = a(i); j += 1 }; i += 1 }
+    out
+  }
+
+  private def compactDoubles(a: Array[Double], isNull: Array[Boolean], n: Int, m: Int): Array[Double] = {
+    val out = new Array[Double](m)
+    var i = 0; var j = 0
+    while (i < n) { if (!isNull(i)) { out(j) = a(i); j += 1 }; i += 1 }
+    out
+  }
+
+  private def compactRefs(a: Array[Array[Byte]], isNull: Array[Boolean], n: Int, m: Int): Array[Array[Byte]] = {
+    val out = new Array[Array[Byte]](m)
+    var i = 0; var j = 0
+    while (i < n) { if (!isNull(i)) { out(j) = a(i); j += 1 }; i += 1 }
+    out
+  }
+
   override def close(): Unit = {
     if (closed) return
     closed = true
     val metaOffset = position
     val o = new Out()
-    writeMetadata(o, FileMeta(columns, rowGroups.toSeq, totalRows))
+    writeMetadata(o, FileMeta(columns, rowGroups.toSeq, totalRows, version))
     o.u32(FooterMagic)
     o.i64(metaOffset)
     emit(o.toBytes)

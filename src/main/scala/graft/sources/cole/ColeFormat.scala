@@ -15,16 +15,49 @@ object ColeFormat {
   val VersionMajor = 1
   val VersionMinor = 0
 
+  /** Format v2 (this engine's opt-in extension; the reference defines only
+    * v1, format.h:21-23): adds DOUBLE and TIMESTAMP column types and
+    * per-page null bitmaps. v1 files remain byte-identical to the
+    * reference layout; a v2 file differs only in the header's version
+    * major, a u32 null count appended to every page header, and (when a
+    * page has nulls) a validity bitmap prefixed to the page body. The
+    * reference's own stats block already reserves null_count
+    * (format.h:44) — v2 makes it real.
+    */
+  val Version2 = 2
+
   sealed abstract class ColeType(val id: Int)
   case object TInt32 extends ColeType(0)
   case object TInt64 extends ColeType(1)
   case object TString extends ColeType(2)
+  /** v2 only: IEEE-754 double, PLAIN pages. */
+  case object TDouble extends ColeType(3)
+  /** v2 only: microseconds since epoch as int64 — every int64 encoding
+    * (PLAIN/RLE/DELTA) applies; DELTA shines on the usual
+    * sorted-by-event-time layout.
+    */
+  case object TTimestamp extends ColeType(4)
+  /** v2 only: wall-clock (no-timezone) microseconds as int64 — parquet's
+    * isAdjustedToUTC=false flavor, which Spark surfaces as TimestampNTZ.
+    */
+  case object TTimestampNtz extends ColeType(5)
   def typeOf(id: Int): ColeType = id match {
     case 0 => TInt32
     case 1 => TInt64
     case 2 => TString
+    case 3 => TDouble
+    case 4 => TTimestamp
+    case 5 => TTimestampNtz
     case other => throw new ColeFormatException(s"Unknown column type id: $other")
   }
+
+  /** True for types only format v2 can carry. */
+  def requiresV2(t: ColeType): Boolean =
+    t == TDouble || t == TTimestamp || t == TTimestampNtz
+
+  /** Types stored as int64 values (sharing every int64 encode/agg path). */
+  def isLongBacked(t: ColeType): Boolean =
+    t == TInt64 || t == TTimestamp || t == TTimestampNtz
 
   sealed abstract class Enc(val id: Int)
   case object Plain extends Enc(0)
@@ -39,15 +72,24 @@ object ColeFormat {
     case other => throw new ColeFormatException(s"Unknown encoding id: $other")
   }
 
-  final case class PageStats(minInt: Option[Long], maxInt: Option[Long], nullCount: Int)
+  /** minD/maxD are the v2 double-column stats; integral columns
+    * (including v2 timestamps, stored as micros) use minInt/maxInt.
+    */
+  final case class PageStats(minInt: Option[Long], maxInt: Option[Long], nullCount: Int,
+      minD: Option[Double] = None, maxD: Option[Double] = None)
+  /** nullCount: v2 pages carry it in the header (0 for every v1 page);
+    * when positive, the page body starts with a validity bitmap
+    * (ceil(numValues/8) bytes, bit set = value present) and the encoded
+    * values cover only the numValues - nullCount present rows.
+    */
   final case class PageHeader(uncompressedSize: Int, compressedSize: Int,
-      numValues: Int, encoding: Enc, stats: PageStats)
+      numValues: Int, encoding: Enc, stats: PageStats, nullCount: Int = 0)
   final case class ColumnChunkMeta(fileOffset: Long, totalSize: Long,
       pages: Seq[PageHeader])
   final case class RowGroupMeta(numRows: Int, chunks: Seq[ColumnChunkMeta])
   final case class ColeColumn(name: String, colType: ColeType, encoding: Enc)
   final case class FileMeta(columns: Seq[ColeColumn], rowGroups: Seq[RowGroupMeta],
-      totalRows: Long) {
+      totalRows: Long, version: Int = 1) {
     /** Min/max for one chunk from page stats alone; None when any page
       * lacks stats. Metadata-only, so planning can stat-prune straight
       * from the footer cache without opening the file.
@@ -58,45 +100,91 @@ object ColeFormat {
       if (pages.isEmpty || perPage.exists(_.isEmpty)) None
       else Some((perPage.flatten.map(_._1).min, perPage.flatten.map(_._2).max))
     }
+
+    /** Double twin of [[statsMinMax]] (v2 TDouble chunks). */
+    def statsMinMaxD(rgIdx: Int, colIdx: Int): Option[(Double, Double)] = {
+      val pages = rowGroups(rgIdx).chunks(colIdx).pages
+      val perPage = pages.map(ph => ph.stats.minD.zip(ph.stats.maxD))
+      if (pages.isEmpty || perPage.exists(_.isEmpty)) None
+      else Some((perPage.flatten.map(_._1).min, perPage.flatten.map(_._2).max))
+    }
+
+    /** True when any page of this column carries nulls — drives schema
+      * nullability and disables aggregate pushdown (whose count/sum
+      * contracts assume dense chunks).
+      */
+    def columnHasNulls(colIdx: Int): Boolean =
+      rowGroups.exists(_.chunks(colIdx).pages.exists(_.nullCount > 0))
+
+    def anyNulls: Boolean = columns.indices.exists(columnHasNulls)
   }
 
   final class ColeFormatException(msg: String) extends RuntimeException(msg)
 
   // ---- page header serde (variable size; stats only when min/max present)
+  // v1 layout is byte-identical to the reference; v2 appends one u32 null
+  // count and, for TDouble columns, stores the stats min/max as raw IEEE
+  // bits in the same i64 slots.
 
-  def writePageHeader(out: Out, ph: PageHeader): Unit = {
+  def writePageHeader(out: Out, ph: PageHeader, version: Int = 1,
+      isDouble: Boolean = false): Unit = {
     out.u32(ph.uncompressedSize)
     out.u32(ph.compressedSize)
     out.u32(ph.numValues)
     out.u8(ph.encoding.id)
-    val hasStats = ph.stats.minInt.isDefined || ph.stats.maxInt.isDefined
+    val hasStats =
+      if (isDouble) ph.stats.minD.isDefined || ph.stats.maxD.isDefined
+      else ph.stats.minInt.isDefined || ph.stats.maxInt.isDefined
     out.u8(if (hasStats) 1 else 0)
     if (hasStats) {
-      out.u8(if (ph.stats.minInt.isDefined) 1 else 0)
-      ph.stats.minInt.foreach(out.i64)
-      out.u8(if (ph.stats.maxInt.isDefined) 1 else 0)
-      ph.stats.maxInt.foreach(out.i64)
+      if (isDouble) {
+        out.u8(if (ph.stats.minD.isDefined) 1 else 0)
+        ph.stats.minD.foreach(d => out.i64(java.lang.Double.doubleToRawLongBits(d)))
+        out.u8(if (ph.stats.maxD.isDefined) 1 else 0)
+        ph.stats.maxD.foreach(d => out.i64(java.lang.Double.doubleToRawLongBits(d)))
+      } else {
+        out.u8(if (ph.stats.minInt.isDefined) 1 else 0)
+        ph.stats.minInt.foreach(out.i64)
+        out.u8(if (ph.stats.maxInt.isDefined) 1 else 0)
+        ph.stats.maxInt.foreach(out.i64)
+      }
       out.u32(ph.stats.nullCount)
     }
+    if (version >= Version2) out.u32(ph.nullCount)
   }
 
-  def readPageHeader(c: Cursor): PageHeader = {
+  def readPageHeader(c: Cursor, version: Int = 1,
+      isDouble: Boolean = false): PageHeader = {
     val unc = c.u32()
     val comp = c.u32()
     val n = c.u32()
     val enc = encOf(c.u8())
     val stats =
       if (c.u8() == 1) {
-        val mn = if (c.u8() == 1) Some(c.i64()) else None
-        val mx = if (c.u8() == 1) Some(c.i64()) else None
-        PageStats(mn, mx, c.u32())
+        if (isDouble) {
+          val mn = if (c.u8() == 1)
+            Some(java.lang.Double.longBitsToDouble(c.i64())) else None
+          val mx = if (c.u8() == 1)
+            Some(java.lang.Double.longBitsToDouble(c.i64())) else None
+          PageStats(None, None, c.u32(), mn, mx)
+        } else {
+          val mn = if (c.u8() == 1) Some(c.i64()) else None
+          val mx = if (c.u8() == 1) Some(c.i64()) else None
+          PageStats(mn, mx, c.u32())
+        }
       } else PageStats(None, None, 0)
-    PageHeader(unc, comp, n, enc, stats)
+    val nullCount = if (version >= Version2) c.u32() else 0
+    PageHeader(unc, comp, n, enc, stats, nullCount)
   }
 
   // ---- file metadata serde
 
   def writeMetadata(out: Out, meta: FileMeta): Unit = {
+    meta.columns.foreach { col =>
+      if (meta.version < Version2 && requiresV2(col.colType))
+        throw new ColeFormatException(
+          s"column '${col.name}' is ${col.colType}: only format v2 carries it")
+    }
     out.u32(meta.columns.size)
     meta.columns.foreach { col =>
       val nameBytes = col.name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -109,11 +197,12 @@ object ColeFormat {
     meta.rowGroups.foreach { rg =>
       out.u32(rg.numRows)
       out.u32(rg.chunks.size)
-      rg.chunks.foreach { cc =>
+      rg.chunks.zipWithIndex.foreach { case (cc, ci) =>
         out.i64(cc.fileOffset)
         out.i64(cc.totalSize)
         out.u32(cc.pages.size)
-        cc.pages.foreach(writePageHeader(out, _))
+        cc.pages.foreach(writePageHeader(out, _, meta.version,
+          meta.columns(ci).colType == TDouble))
       }
     }
     // the COLE format stores total_rows as uint32 (reference format.h:89);
@@ -125,25 +214,33 @@ object ColeFormat {
     out.u32(meta.totalRows.toInt)
   }
 
-  def readMetadata(c: Cursor): FileMeta = {
+  def readMetadata(c: Cursor, version: Int = 1): FileMeta = {
     val nCols = c.u32()
     val cols = Seq.fill(nCols) {
       val nameLen = c.u32()
       val name = new String(c.bytes(nameLen), java.nio.charset.StandardCharsets.UTF_8)
       ColeColumn(name, typeOf(c.u8()), encOf(c.u8()))
     }
+    cols.foreach { col =>
+      if (version < Version2 && requiresV2(col.colType))
+        throw new ColeFormatException(
+          s"v1 file declares a ${col.colType} column ('${col.name}'): corrupt metadata")
+    }
     val nRgs = c.u32()
     val rgs = Seq.fill(nRgs) {
       val numRows = c.u32()
       val nChunks = c.u32()
+      var ci = -1
       val chunks = Seq.fill(nChunks) {
+        ci += 1
         val off = c.i64()
         val size = c.i64()
         val nPages = c.u32()
-        ColumnChunkMeta(off, size, Seq.fill(nPages)(readPageHeader(c)))
+        ColumnChunkMeta(off, size, Seq.fill(nPages)(
+          readPageHeader(c, version, cols(ci).colType == TDouble)))
       }
       RowGroupMeta(numRows, chunks)
     }
-    FileMeta(cols, rgs, (c.u32().toLong) & 0xffffffffL)
+    FileMeta(cols, rgs, (c.u32().toLong) & 0xffffffffL, version)
   }
 }

@@ -30,6 +30,9 @@ object ColeMeta {
     case TInt32 => "INT32"
     case TInt64 => "INT64"
     case TString => "STRING"
+    case TDouble => "DOUBLE"
+    case TTimestamp => "TIMESTAMP"
+    case TTimestampNtz => "TIMESTAMP_NTZ"
   }
 
   private def encName(e: Enc): String = e match {

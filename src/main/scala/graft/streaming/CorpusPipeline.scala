@@ -62,6 +62,19 @@ object CorpusPipeline {
       .dropDuplicates("doc_id")
   }
 
+  /** Streaming ANN ingest: encode ARRIVING embedding rows with a PQ
+    * codebook trained ONCE on a historical batch
+    * (`graft.operators.Ann.trainPq`) and frozen. The model is KB-scale
+    * and rides the codegen'd `pq_encode` expression, so each micro-batch
+    * encodes shuffle-free — and, critically, codes from every batch live
+    * in the SAME code space as the batch-built index (re-training per
+    * batch would silently break ADC comparability). Parity with the
+    * batch encode of identical rows is spec'd.
+    */
+  def encodeArrivals(vectors: DataFrame, model: graft.operators.Ann.PqModel,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    graft.operators.Ann.pqEncodeWith(vectors, model, idCol, vecCol)
+
   /** Quality gate ∘ exact dedup ∘ token count; identical semantics batch
     * and streaming (batch = "replay everything in one micro-batch").
     * `n_chars` is taken from the input when present (the documents table

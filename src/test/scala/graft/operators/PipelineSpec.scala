@@ -280,4 +280,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(multi.filter(col("mn") =!= 0).count() === 0)
     assert(multi.filter(col("mx") + 64 =!= col("sz")).count() === 0)
   }
+
+  test("decoder seam: the same pipeline runs unchanged under a swapped decoder") {
+    // a second deterministic decoder, defined OUTSIDE the operator — the
+    // pluggability a real JNI image/audio decoder would use
+    object InvertDecoder extends graft.operators.FrameDecoder {
+      override def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Array[Byte]] =
+        payloads.map(_.map(b => (~b).toByte))
+    }
+    val media = Multimodal.withPayload(docs)
+    val id = Multimodal.extractFeatures(media, graft.operators.IdentityDecoder).toDF()
+    val inv = Multimodal.extractFeatures(media, InvertDecoder).toDF()
+    // same plumbing invariants under both decoders...
+    assert(inv.count() === id.count())
+    assert(inv.filter(col("byte_entropy") < 0 || col("byte_entropy") > 8).count() === 0)
+    // ...but the decode output really came from the plugged decoder:
+    // inversion preserves byte count and (byte) entropy, flips mean
+    val j = id.select(col("doc_id"), col("n_bytes").as("nb1"),
+        col("mean_byte").as("m1"), col("byte_entropy").as("e1"))
+      .join(inv.select(col("doc_id"), col("n_bytes").as("nb2"),
+        col("mean_byte").as("m2"), col("byte_entropy").as("e2")), "doc_id")
+    assert(j.filter(col("nb1") =!= col("nb2")).count() === 0)
+    assert(j.filter(abs(col("e1") - col("e2")) > 1e-9).count() === 0)
+    assert(j.filter(abs(col("m1") + col("m2") - 255.0) > 1e-9).count() === 0,
+      "inverted bytes must mirror the mean around 255")
+    // frame sampling with the swapped decoder keeps its spacing contract
+    val frames = Multimodal.sampleFrames(media, nFrames = 4, frameBytes = 64,
+      decoder = InvertDecoder).toDF()
+    val perDoc = frames.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    assert(perDoc.filter(col("n") > 4).count() === 0)
+  }
 }

@@ -108,7 +108,7 @@ class ColeSourceSpec extends AnyFunSuite {
     assert(encs(1) === Dict)    // 2 distinct strings
   }
 
-  test("nulls are rejected with a clear error") {
+  test("nulls are rejected by default (v1) with a pointer to formatVersion=2") {
     import spark.implicits._
     val dir = Files.createTempDirectory("cole_null").toString
     val df = Seq((1L, Some("a")), (2L, None)).toDF("x", "y")
@@ -121,7 +121,7 @@ class ColeSourceSpec extends AnyFunSuite {
   test("unsupported types are rejected at write") {
     import spark.implicits._
     val dir = Files.createTempDirectory("cole_badtype").toString
-    val df = Seq((1L, 2.5)).toDF("x", "y")
+    val df = Seq((1L, true)).toDF("x", "y") // BOOLEAN has no COLE type in v1 or v2
     val e = intercept[Exception] {
       df.write.format("cole").mode("overwrite").save(dir)
     }

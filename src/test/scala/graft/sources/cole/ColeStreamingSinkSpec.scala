@@ -102,7 +102,10 @@ class ColeStreamingSinkSpec extends AnyFunSuite {
     q.processAllAvailable()
     q.stop()
 
-    val subdirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    // _cole_manifest is the sink's per-epoch commit log the streaming
+    // source tails; data layout is the key=value directories
+    val subdirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filterNot(_.startsWith("_")).sorted
     assert(subdirs.toSeq === Seq("grp=g0", "grp=g1", "grp=g2"), s"layout: ${subdirs.toSeq}")
     val back = s.read.format("cole").load(dir)
     assert(back.count() === 300L)

@@ -1,0 +1,196 @@
+package graft.sources.cole
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.Tables
+
+/** COLE format v2: DOUBLE + TIMESTAMP columns and per-page null bitmaps.
+  *
+  * The fidelity contract: v1 stays the DEFAULT and byte-compatible with
+  * the reference layout (RefCrossFidelitySpec proves that separately);
+  * v2 is chosen automatically only when the schema demands it
+  * (double/timestamp columns) or explicitly via formatVersion=2 (nullable
+  * data of v1-representable types).
+  */
+class ColeV2Spec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def headerVersion(dir: String): Int = {
+    val f = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".col")).head
+    val in = new java.io.FileInputStream(f)
+    val b = new Array[Byte](6)
+    try { in.read(b) } finally in.close()
+    (b(4) & 0xff) | ((b(5) & 0xff) << 8)
+  }
+
+  test("full lineitem (doubles + timestamp) round-trips through auto-v2") {
+    val dir = Files.createTempDirectory("cole_v2_lineitem").toString
+    val src = Tables.lineitem(spark, sfDir)
+    src.coalesce(2).write.format("cole").mode("overwrite")
+      .option("rowGroupSize", "2048").save(dir)
+    assert(headerVersion(dir) === 2, "double/timestamp schema must select v2")
+    val back = spark.read.format("cole").load(dir)
+    assert(back.schema("l_extendedprice").dataType ===
+      org.apache.spark.sql.types.DoubleType)
+    assert(back.schema("l_shipdate").dataType ===
+      org.apache.spark.sql.types.TimestampNTZType) // parquet isAdjustedToUTC=false
+    // exact value fidelity, all 11 columns, both directions
+    assert(back.count() === src.count())
+    assert(back.exceptAll(src).count() === 0L)
+    assert(src.exceptAll(back).count() === 0L)
+  }
+
+  test("defaults stay v1 for int/long/string schemas") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cole_v2_default").toString
+    (0 until 1000).map(i => (i.toLong, s"s$i")).toDF("x", "y")
+      .coalesce(1).write.format("cole").mode("overwrite").save(dir)
+    assert(headerVersion(dir) === 1, "v1 must remain the default")
+  }
+
+  test("nulls round-trip under formatVersion=2 across all types") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cole_v2_nulls").toString
+    val src = (0 until 5000).map { i =>
+      (i.toLong,
+        if (i % 7 == 0) None else Some(i * 1.5),
+        if (i % 11 == 0) None else Some(s"doc_$i"),
+        if (i % 13 == 0) None else Some(i.toLong * 3))
+    }.toDF("id", "score", "name", "cnt")
+    src.coalesce(1).write.format("cole").mode("overwrite")
+      .option("formatVersion", "2").option("rowGroupSize", "512").save(dir)
+    val back = spark.read.format("cole").load(dir)
+    // inferred schema marks null-bearing columns nullable
+    assert(back.schema("score").nullable && back.schema("name").nullable &&
+      back.schema("cnt").nullable)
+    assert(back.exceptAll(src).count() === 0L)
+    assert(src.exceptAll(back).count() === 0L)
+    // null semantics through filters and aggregates (Spark side)
+    assert(back.filter(col("score").isNull).count() ===
+      src.filter(col("score").isNull).count())
+    assert(back.agg(count(col("name"))).head.getLong(0) ===
+      src.agg(count(col("name"))).head.getLong(0))
+    assert(back.agg(sum(col("cnt"))).head.getLong(0) ===
+      src.agg(sum(col("cnt"))).head.getLong(0))
+  }
+
+  test("double and timestamp predicates prune and evaluate exactly") {
+    val dir = Files.createTempDirectory("cole_v2_pred").toString
+    val src = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_extendedprice", "l_shipdate")
+      .orderBy("l_extendedprice") // sorted → per-row-group double stats ranges
+    src.coalesce(1).write.format("cole").mode("overwrite")
+      .option("rowGroupSize", "512").save(dir)
+    val back = spark.read.format("cole").load(dir)
+    // double range
+    val dGot = back.filter(col("l_extendedprice") > 50000.0 &&
+      col("l_extendedprice") <= 60000.0).count()
+    val dWant = src.filter(col("l_extendedprice") > 50000.0 &&
+      col("l_extendedprice") <= 60000.0).count()
+    assert(dGot === dWant && dWant > 0)
+    // double stats actually skip row groups: a probe outside the range
+    // reads no data pages (planning is metadata-only)
+    ColeIO.opens.set(0)
+    assert(back.filter(col("l_extendedprice") > 1e12).count() === 0L)
+    assert(ColeIO.opens.get() === 0L,
+      s"out-of-range double filter opened ${ColeIO.opens.get()} files (want 0)")
+    // timestamp range via micros stats
+    val cut = "1996-06-01 00:00:00"
+    val tGot = back.filter(col("l_shipdate") >= lit(cut).cast("timestamp")).count()
+    val tWant = src.filter(col("l_shipdate") >= lit(cut).cast("timestamp")).count()
+    assert(tGot === tWant && tWant > 0)
+  }
+
+  test("aggregate pushdown covers doubles; null-bearing tables fall back correctly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cole_v2_agg").toString
+    Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_extendedprice", "l_returnflag")
+      .coalesce(1).write.format("cole").mode("overwrite").save(dir)
+    val back = spark.read.format("cole").load(dir)
+    val agg = back.agg(sum("l_extendedprice"), min("l_extendedprice"),
+      max("l_extendedprice"), count(lit(1)))
+    assert(agg.queryExecution.executedPlan.toString.contains("PushedAggregates"),
+      "double sum/min/max must push into the source")
+    val want = Tables.lineitem(spark, sfDir)
+      .agg(sum("l_extendedprice"), min("l_extendedprice"),
+        max("l_extendedprice"), count(lit(1))).head
+    val got = agg.head
+    assert(got.getDouble(1) === want.getDouble(1)) // min exact
+    assert(got.getDouble(2) === want.getDouble(2)) // max exact
+    assert(got.getLong(3) === want.getLong(3))
+    assert(math.abs(got.getDouble(0) - want.getDouble(0)) <=
+      math.ulp(want.getDouble(0)) * 64) // sum: fp order differs
+    // grouped double aggregate pushes too
+    val grouped = back.groupBy("l_returnflag").agg(sum("l_extendedprice").as("s"))
+    assert(grouped.queryExecution.executedPlan.toString.contains("PushedGroupBy"))
+    val gGot = grouped.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val gWant = Tables.lineitem(spark, sfDir).groupBy("l_returnflag")
+      .agg(sum("l_extendedprice").as("s")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(gGot.keySet === gWant.keySet)
+    gGot.foreach { case (k, v) =>
+      assert(math.abs(v - gWant(k)) <= math.ulp(gWant(k)) * 64, s"group $k")
+    }
+
+    // a null-bearing table must NOT push (count/sum contracts break on
+    // sparse chunks) — and still answer exactly through the normal scan
+    val nd = Files.createTempDirectory("cole_v2_agg_null").toString
+    (0 until 1000).map(i => (i.toLong, if (i % 3 == 0) None else Some(i.toLong)))
+      .toDF("id", "v")
+      .coalesce(1).write.format("cole").mode("overwrite")
+      .option("formatVersion", "2").save(nd)
+    val nback = spark.read.format("cole").load(nd)
+    val nagg = nback.agg(count(col("v")), sum(col("v")))
+    assert(!nagg.queryExecution.executedPlan.toString.contains("PushedAggregates"),
+      "null-bearing table must not push aggregates")
+    val nrow = nagg.head
+    assert(nrow.getLong(0) === (0 until 1000).count(_ % 3 != 0).toLong)
+    assert(nrow.getLong(1) === (0 until 1000).filter(_ % 3 != 0).map(_.toLong).sum)
+  }
+
+  test("IsNotNull is claimed and enforced on nullable v2 columns") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cole_v2_nn").toString
+    (0 until 2000).map(i => (i.toLong, if (i % 5 == 0) None else Some(i * 2.0)))
+      .toDF("id", "v")
+      .coalesce(1).write.format("cole").mode("overwrite")
+      .option("formatVersion", "2").option("rowGroupSize", "256").save(dir)
+    val back = spark.read.format("cole").load(dir)
+    assert(back.filter(col("v").isNotNull).count() === 1600L)
+    // comparison predicates silently drop null rows, like SQL
+    assert(back.filter(col("v") >= 0.0).count() === 1600L)
+    assert(back.filter(col("v") > 2.0).count() === 1599L) // i=1 fails, nulls drop
+    assert(back.filter(col("v").isNull).count() === 400L)
+  }
+
+  test("compaction preserves v2 (nullable) tables") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cole_v2_compact").toString
+    val src = (0 until 3000).map(i =>
+      (i.toLong, if (i % 4 == 0) None else Some(i * 0.5))).toDF("id", "v")
+    // many small files
+    (0 until 6).foreach { k =>
+      src.filter(col("id") % 6 === k).coalesce(1)
+        .write.format("cole").mode("append").option("formatVersion", "2").save(dir)
+    }
+    val stats = ColeCompact.compact(spark, dir, targetBytes = 1L << 30)
+    assert(stats.filesAfter < stats.filesBefore)
+    val back = spark.read.format("cole").load(dir)
+    assert(back.exceptAll(src).count() === 0L)
+    assert(src.exceptAll(back).count() === 0L)
+    assert(back.filter(col("v").isNull).count() === 750L)
+  }
+}

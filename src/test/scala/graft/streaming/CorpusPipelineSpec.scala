@@ -9,6 +9,8 @@ import org.scalatest.funsuite.AnyFunSuite
 final case class Doc(doc_id: Long, text: String, lang: String,
     source: String, n_chars: Long)
 
+final case class Vec(vec_id: Long, embedding: Seq[Double])
+
 /** Streaming corpus curation parity: the same documents replayed in
   * micro-batches must admit exactly the docs the batch pipeline admits —
   * including dropping a duplicate that arrives in a LATER micro-batch
@@ -120,5 +122,37 @@ class CorpusPipelineSpec extends AnyFunSuite {
     // bloom false positives are cleared by the exact join: same answer
     assert(streamed === batchTainted)
     assert(streamed.nonEmpty, "expected some contaminated docs at this SF")
+  }
+
+  test("streaming PQ encode with a frozen codebook == batch encode") {
+    val s = spark
+    import s.implicits._
+    val corpus = graft.Tables.embeddings(spark, sfDir)
+    // codebook trained ONCE on the historical batch, then frozen
+    val model = graft.operators.Ann.trainPq(corpus, m = 8, ksub = 32,
+      lloydRounds = 2)
+    val arriving = corpus.limit(300).collect().map(r =>
+      Vec(r.getLong(0), r.getSeq[Number](1).map(_.doubleValue()))).toSeq
+
+    val source = MemoryStream[Vec](spark)
+    val q = CorpusPipeline.encodeArrivals(source.toDF(), model)
+      .writeStream.format("memory").queryName("pq_arrivals")
+      .outputMode(OutputMode.Append).start()
+    arriving.grouped(arriving.size / 3 + 1).foreach { batch =>
+      source.addData(batch)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("pq_arrivals").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toVector).toMap
+
+    val batchTwin = graft.operators.Ann
+      .pqEncodeWith(arriving.toDF(), model).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toVector).toMap
+
+    // identical codes per vector: every micro-batch lives in the SAME
+    // code space as the batch-built index
+    assert(streamed.size === arriving.size)
+    assert(streamed === batchTwin)
   }
 }
