@@ -359,6 +359,65 @@ object ColeSuite {
                 CAST(SUM(CASE WHEN price_n IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                   AS n_null_price,
                 MIN(price_n) AS min_price
-              FROM t GROUP BY prio_n ORDER BY prio_n"""))
+              FROM t GROUP BY prio_n ORDER BY prio_n""")),
+
+    // #124 format v2 FLOAT_VECTOR: the embeddings table — the engine's
+    // native ANN input — through .col and back. The oracle checksum is
+    // cross-engine exact: float32→float64 widening and the power-of-two
+    // scale are both IEEE-exact, FLOOR truncates both engines identically,
+    // and position-weighting catches element reordering. 2^34 spacing
+    // separates every distinct float32 of magnitude >= 2^-10.
+    Q("cole_roundtrip_embedding", (s, d) => {
+      val dir = dirFor(d, "roundtrip_vec")
+      writeOnce(dir) {
+        Tables.embeddings(s, d)
+          .write.format("cole").mode("overwrite").save(dir)
+      }
+      s.read.format("cole").load(dir)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "e")))
+        .groupBy("vec_id", "label")
+        .agg(count(lit(1)).as("dim"),
+          sum(floor(col("e") * lit(17179869184.0)).cast("long") *
+            (col("pos") + 1)).as("checksum"))
+        .orderBy("vec_id")
+    },
+      Some("""WITH t AS (SELECT vec_id, label,
+                generate_subscripts(embedding, 1) AS pos1,
+                unnest(embedding) AS e
+              FROM embeddings)
+              SELECT vec_id, label, COUNT(*) AS dim,
+                CAST(SUM(CAST(FLOOR(CAST(e AS DOUBLE) * 17179869184.0) AS BIGINT)
+                  * pos1) AS BIGINT) AS checksum
+              FROM t GROUP BY vec_id, label ORDER BY vec_id""")),
+
+    // #125 COLE-fed ANN: brute-force exact top-k over vectors READ FROM
+    // .col storage — same oracle as ann_bruteforce (parquet-fed), so a
+    // hash match proves the storage layer feeds the ANN operators
+    // bit-exactly. This is the serving-path composition: native format →
+    // vector column → scoring, no parquet in the loop.
+    Q("cole_ann", (s, d) => {
+      val dir = dirFor(d, "roundtrip_vec")
+      writeOnce(dir) {
+        Tables.embeddings(s, d)
+          .write.format("cole").mode("overwrite").save(dir)
+      }
+      val embs = s.read.format("cole").load(dir)
+      graft.operators.Ann.bruteForce(embs,
+          embs.filter(col("vec_id") % 100 === 0), k = 5)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                         FROM embeddings WHERE vec_id % 100 = 0),
+              scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                                list_cosine_similarity(e.embedding, q.qv) AS cos
+                         FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+              ranked AS (SELECT query_id, neighbor_id,
+                                ROW_NUMBER() OVER (PARTITION BY query_id
+                                                   ORDER BY cos DESC, neighbor_id) AS rank
+                         FROM scored)
+              SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
+              ORDER BY query_id, rank"""))
   )
 }

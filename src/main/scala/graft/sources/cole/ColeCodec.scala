@@ -268,6 +268,39 @@ object ColeCodec {
   def decodePlainDouble(c: Cursor, numValues: Int): Array[Double] =
     Array.fill(numValues)(java.lang.Double.longBitsToDouble(c.i64()))
 
+  /** PLAIN float32 vectors: [element offsets u32 x (n+1)][f32 LE data] —
+    * the PLAIN-strings layout with 4-byte elements, so variable per-row
+    * dimensions cost one offset per row and decode is a bulk sweep.
+    */
+  def encodePlainVecs(values: Array[Array[Float]]): Array[Byte] = {
+    var total = 0
+    values.foreach(v => total += v.length)
+    val out = new Out((values.length + 1 + total) * 4)
+    var off = 0
+    values.foreach { v => out.u32(off); off += v.length }
+    out.u32(off)
+    values.foreach(v => v.foreach(f => out.u32(java.lang.Float.floatToRawIntBits(f))))
+    out.toBytes
+  }
+
+  def decodePlainVecs(c: Cursor, numValues: Int): Array[Array[Float]] = {
+    val offsets = Array.fill(numValues + 1)(c.u32())
+    val base = c.pos
+    Array.tabulate(numValues) { i =>
+      val len = offsets(i + 1) - offsets(i)
+      val a = new Array[Float](len)
+      var p = base + offsets(i) * 4
+      var j = 0
+      while (j < len) {
+        a(j) = java.lang.Float.intBitsToFloat(
+          (c.buf(p) & 0xff) | ((c.buf(p + 1) & 0xff) << 8) |
+            ((c.buf(p + 2) & 0xff) << 16) | ((c.buf(p + 3) & 0xff) << 24))
+        p += 4; j += 1
+      }
+      a
+    }
+  }
+
   // ---- validity bitmaps (format v2): bit set = value present. The
   // bitmap prefixes the page body; encoded values cover present rows only.
 

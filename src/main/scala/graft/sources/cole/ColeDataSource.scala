@@ -101,6 +101,9 @@ private[cole] object ColeUtil {
     case TDouble => DoubleType
     case TTimestamp => TimestampType
     case TTimestampNtz => TimestampNTZType
+    // vector elements are dense by design: a missing embedding is a NULL
+    // row, not a vector with null slots
+    case TFloatVec => ArrayType(FloatType, containsNull = false)
   }
 
   /** Nullability is per column across the WHOLE listing: any v2 part file
@@ -129,9 +132,11 @@ private[cole] object ColeUtil {
         case DoubleType => (TDouble, Plain)
         case TimestampType => (TTimestamp, Plain)
         case TimestampNTZType => (TTimestampNtz, Plain)
+        case ArrayType(FloatType, _) => (TFloatVec, Plain)
         case other => throw new IllegalArgumentException(
-          s"COLE format supports INT32/INT64/STRING (v1) + DOUBLE/TIMESTAMP (v2); " +
-            s"column '${f.name}' is $other (cast unsupported types before writing)")
+          s"COLE format supports INT32/INT64/STRING (v1) + DOUBLE/TIMESTAMP/" +
+            s"ARRAY<FLOAT> (v2); column '${f.name}' is $other " +
+            "(cast unsupported types before writing)")
       }
       ColeColumn(f.name, t, e)
     }.toSeq
@@ -356,7 +361,10 @@ class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration,
     // a null-bearing v2 table falls back to the vectorized scan (Spark's
     // own aggregate then applies exact SQL null semantics)
     if (ColeMetaCache.infos(path, conf).exists(_.meta.anyNulls)) return false
-    val groups = aggregation.groupByExpressions.map(ref)
+    // group keys must be scalar: the agg readers accumulate int/long/
+    // double/string keys; a FLOAT_VECTOR key falls back to the normal scan
+    val groups = aggregation.groupByExpressions.map(e =>
+      ref(e).filter(n => !fullSchema(n).dataType.isInstanceOf[ArrayType]))
     if (groups.exists(_.isEmpty)) return false
     val specs = aggregation.aggregateExpressions.map {
       case _: CountStar => Some(ColeAggSpec("count_star", null))
@@ -553,7 +561,7 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
     case ColeAggSpec(k, c) if k == "sum" || k == "min" || k == "max" => nameToIdx(c)
   }.distinct.toArray
   private val valueCols: Array[Int] = allValueCols.filter(ci =>
-    meta.columns(ci).colType != TString && meta.columns(ci).colType != TDouble)
+    meta.columns(ci).colType == TInt32 || isLongBacked(meta.columns(ci).colType))
   private val dblValueCols: Array[Int] =
     allValueCols.filter(ci => meta.columns(ci).colType == TDouble)
   private val strValueCols: Array[Int] =
@@ -1875,6 +1883,11 @@ class ColeColumnarReader(part: ColeInputPartition, required: StructType,
             var j = 0
             while (j < sel.length) { g(j) = cd.doubles(sel(j)); j += 1 }
             ColumnData(null, null, null, g, n)
+          } else if (cd.vecs != null) {
+            val g = new Array[Array[Float]](sel.length)
+            var j = 0
+            while (j < sel.length) { g(j) = cd.vecs(sel(j)); j += 1 }
+            ColumnData(null, null, null, null, n, g)
           } else {
             val g = new Array[Array[Byte]](sel.length)
             var j = 0
@@ -1908,7 +1921,30 @@ class ColeColumnarReader(part: ColeInputPartition, required: StructType,
           if (c.ints != null) v.putInts(0, n, c.ints, offset)
           else if (c.longs != null) v.putLongs(0, n, c.longs, offset)
           else if (c.doubles != null) v.putDoubles(0, n, c.doubles, offset)
-          else {
+          else if (c.vecs != null) {
+            // array column: bulk-fill the child float vector, then point
+            // each row's (offset, length) slice at it
+            val child = v.arrayData()
+            var total = 0
+            var r = 0
+            while (r < n) {
+              val a = c.vecs(offset + r)
+              if (a != null) total += a.length
+              r += 1
+            }
+            child.reserve(total)
+            var pos = 0
+            r = 0
+            while (r < n) {
+              val a = c.vecs(offset + r)
+              if (a != null) {
+                child.putFloats(pos, a.length, a, 0)
+                v.putArray(r, pos, a.length)
+                pos += a.length
+              }
+              r += 1
+            }
+          } else {
             var r = 0
             while (r < n) {
               val b = c.strings(offset + r)
@@ -2025,6 +2061,8 @@ class ColeRowReader(part: ColeInputPartition, required: StructType,
         else if (c.ints != null) c.ints(r)
         else if (c.longs != null) c.longs(r)
         else if (c.doubles != null) c.doubles(r)
+        else if (c.vecs != null)
+          org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(c.vecs(r))
         else UTF8String.fromBytes(c.strings(r))
       i += 1
     }
@@ -2174,6 +2212,9 @@ class ColePartitionedDataWriter(schema: StructType, protected val baseDir: Strin
           case LongType | TimestampType | TimestampNTZType =>
             proj.update(i, record.getLong(fi))
           case DoubleType => proj.update(i, record.getDouble(fi))
+          // safe without a copy: the sub-writer extracts the floats before
+          // this method returns and the source row is reused only after
+          case ArrayType(FloatType, _) => proj.update(i, record.getArray(fi))
           case _ => proj.update(i, record.getUTF8String(fi))
         }
       }
@@ -2223,6 +2264,8 @@ class ColeDataWriter(schema: StructType, file: String, rowGroupSize: Int,
   private val longBufs = Array.fill(schema.length)(new Array[Long](rowGroupSize))
   private val strBufs = Array.fill(schema.length)(new Array[Array[Byte]](rowGroupSize))
   private val dblBufs = Array.fill(schema.length)(new Array[Double](rowGroupSize))
+  // vector columns are rare (usually one embedding column); allocate lazily
+  private val vecBufs = new Array[Array[Array[Float]]](schema.length)
   // per-column null flags, allocated on the first null (v2 only): null-free
   // columns pay nothing and their pages stay dense
   private val nullBufs = new Array[Array[Boolean]](schema.length)
@@ -2245,6 +2288,16 @@ class ColeDataWriter(schema: StructType, file: String, rowGroupSize: Int,
           longBufs(i)(buffered) = record.getLong(i) // micros
         case TDouble => dblBufs(i)(buffered) = record.getDouble(i)
         case TString => strBufs(i)(buffered) = record.getUTF8String(i).getBytes
+        case TFloatVec =>
+          if (vecBufs(i) == null) vecBufs(i) = new Array[Array[Float]](rowGroupSize)
+          val a = record.getArray(i)
+          // a null ELEMENT has no float representation — reject loudly
+          // rather than silently writing 0.0f in its slot
+          if (a.numElements() > 0 && (0 until a.numElements()).exists(a.isNullAt))
+            throw new ColeFormatException(
+              s"FLOAT_VECTOR column '${schema(i).name}' has a null element; " +
+                "COLE vectors are dense (make the whole row NULL instead)")
+          vecBufs(i)(buffered) = a.toFloatArray()
       }
       i += 1
     }
@@ -2272,6 +2325,9 @@ class ColeDataWriter(schema: StructType, file: String, rowGroupSize: Int,
           val a = java.util.Arrays.copyOf(strBufs(i), buffered)
           (ColumnData(null, null, a, null, nulls),
             if (nulls == null) chooseStrEnc(a) else Plain)
+        case TFloatVec =>
+          val a = java.util.Arrays.copyOf(vecBufs(i), buffered)
+          (ColumnData(null, null, null, null, nulls, a), Plain)
       }
     }.unzip
     writer.writeRowGroup(cols, buffered, encs)

@@ -15,7 +15,7 @@ import graft.sources.cole.ColeFormat._
   */
 final case class ColumnData(ints: Array[Int], longs: Array[Long],
     strings: Array[Array[Byte]], doubles: Array[Double] = null,
-    nulls: Array[Boolean] = null)
+    nulls: Array[Boolean] = null, vecs: Array[Array[Float]] = null)
 
 /** Single-file reader: footer → metadata → per-chunk decode.
   * (Reading algorithm per reference docs/FORMAT.md "Reading Algorithm".)
@@ -84,6 +84,7 @@ final class ColeFileReader(path: String, conf: Configuration) extends AutoClosea
     val longParts = scala.collection.mutable.ArrayBuffer[Array[Long]]()
     val strParts = scala.collection.mutable.ArrayBuffer[Array[Array[Byte]]]()
     val dblParts = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    val vecParts = scala.collection.mutable.ArrayBuffer[Array[Array[Float]]]()
     val nullParts = scala.collection.mutable.ArrayBuffer[Array[Boolean]]()
     val pageSizes = scala.collection.mutable.ArrayBuffer[Int]()
     var anyNulls = false
@@ -105,6 +106,8 @@ final class ColeFileReader(path: String, conf: Configuration) extends AutoClosea
           strParts += expandRef(decodeStringPage(pageData, ph, present), isNull, ph.numValues)
         case TDouble =>
           dblParts += expandDouble(decodeDoublePage(pageData, ph, present), isNull, ph.numValues)
+        case TFloatVec =>
+          vecParts += expandVec(decodeVecPage(pageData, ph, present), isNull, ph.numValues)
       }
       c.pos += ph.compressedSize
     }
@@ -117,6 +120,7 @@ final class ColeFileReader(path: String, conf: Configuration) extends AutoClosea
       case TInt64 | TTimestamp | TTimestampNtz => ColumnData(null, longParts.flatten.toArray, null, null, nulls)
       case TString => ColumnData(null, null, strParts.flatten.toArray, null, nulls)
       case TDouble => ColumnData(null, null, null, dblParts.flatten.toArray, nulls)
+      case TFloatVec => ColumnData(null, null, null, null, nulls, vecParts.flatten.toArray)
     }
   }
 
@@ -152,6 +156,14 @@ final class ColeFileReader(path: String, conf: Configuration) extends AutoClosea
       out
     }
 
+  private def expandVec(vals: Array[Array[Float]], isNull: Array[Boolean], n: Int): Array[Array[Float]] =
+    if (isNull == null) vals else {
+      val out = new Array[Array[Float]](n)
+      var i = 0; var j = 0
+      while (i < n) { if (!isNull(i)) { out(i) = vals(j); j += 1 }; i += 1 }
+      out
+    }
+
   private def decodeIntPage(c: Cursor, ph: PageHeader, present: Int): Array[Int] = ph.encoding match {
     case Plain => decodePlainInt(c, present)
     case Rle => decodeRleInt(c, present)
@@ -175,6 +187,11 @@ final class ColeFileReader(path: String, conf: Configuration) extends AutoClosea
     case Plain => decodePlainStrings(c, present)
     case Dict => decodeDictStrings(c, present)
     case other => throw new ColeFormatException(s"$other not valid for STRING")
+  }
+
+  private def decodeVecPage(c: Cursor, ph: PageHeader, present: Int): Array[Array[Float]] = ph.encoding match {
+    case Plain => decodePlainVecs(c, present)
+    case other => throw new ColeFormatException(s"$other not valid for FLOAT_VECTOR")
   }
 
   /** One-pass numeric aggregate (count/sum/min/max) over a chunk without
@@ -420,6 +437,15 @@ final class ColeFileWriter(path: String, columns: Seq[ColeColumn],
             case other => throw new ColeFormatException(s"$other not valid for STRING")
           }
           (bytes, PageStats(None, None, nullCount))
+        case TFloatVec =>
+          val vals =
+            if (nullCount == 0) data.vecs
+            else compactVecs(data.vecs, isNull, numRows, numRows - nullCount)
+          val bytes = col.encoding match {
+            case Plain => encodePlainVecs(vals)
+            case other => throw new ColeFormatException(s"$other not valid for FLOAT_VECTOR")
+          }
+          (bytes, PageStats(None, None, nullCount))
       }
       val raw =
         if (nullCount == 0) encoded
@@ -460,6 +486,13 @@ final class ColeFileWriter(path: String, columns: Seq[ColeColumn],
 
   private def compactRefs(a: Array[Array[Byte]], isNull: Array[Boolean], n: Int, m: Int): Array[Array[Byte]] = {
     val out = new Array[Array[Byte]](m)
+    var i = 0; var j = 0
+    while (i < n) { if (!isNull(i)) { out(j) = a(i); j += 1 }; i += 1 }
+    out
+  }
+
+  private def compactVecs(a: Array[Array[Float]], isNull: Array[Boolean], n: Int, m: Int): Array[Array[Float]] = {
+    val out = new Array[Array[Float]](m)
     var i = 0; var j = 0
     while (i < n) { if (!isNull(i)) { out(j) = a(i); j += 1 }; i += 1 }
     out

@@ -41,6 +41,12 @@ object ColeFormat {
     * isAdjustedToUTC=false flavor, which Spark surfaces as TimestampNTZ.
     */
   case object TTimestampNtz extends ColeType(5)
+  /** v2 only: variable-length float32 vector (the embedding column type),
+    * PLAIN pages laid out like PLAIN strings — [element offsets u32 x
+    * (n+1)][float32 LE data] — so per-row dimensions need no metadata and
+    * a fixed-dim corpus pays only 4 bytes/row of offset overhead.
+    */
+  case object TFloatVec extends ColeType(6)
   def typeOf(id: Int): ColeType = id match {
     case 0 => TInt32
     case 1 => TInt64
@@ -48,12 +54,13 @@ object ColeFormat {
     case 3 => TDouble
     case 4 => TTimestamp
     case 5 => TTimestampNtz
+    case 6 => TFloatVec
     case other => throw new ColeFormatException(s"Unknown column type id: $other")
   }
 
   /** True for types only format v2 can carry. */
   def requiresV2(t: ColeType): Boolean =
-    t == TDouble || t == TTimestamp || t == TTimestampNtz
+    t == TDouble || t == TTimestamp || t == TTimestampNtz || t == TFloatVec
 
   /** Types stored as int64 values (sharing every int64 encode/agg path). */
   def isLongBacked(t: ColeType): Boolean =

@@ -33,6 +33,7 @@ object ColeMeta {
     case TDouble => "DOUBLE"
     case TTimestamp => "TIMESTAMP"
     case TTimestampNtz => "TIMESTAMP_NTZ"
+    case TFloatVec => "FLOAT_VECTOR"
   }
 
   private def encName(e: Enc): String = e match {

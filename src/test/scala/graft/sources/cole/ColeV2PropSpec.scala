@@ -21,11 +21,16 @@ class ColeV2PropSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
-  /** (values as longs/doubles/strings-bytes, null mask) of length n. */
+  /** (values as longs/doubles/strings-bytes/float-vectors, null mask). */
   private case class Cols(n: Int, ints: Array[Int], longs: Array[Long],
-      dbls: Array[Double], strs: Array[Array[Byte]],
+      dbls: Array[Double], strs: Array[Array[Byte]], vecs: Array[Array[Float]],
       nInt: Array[Boolean], nLong: Array[Boolean], nDbl: Array[Boolean],
-      nStr: Array[Boolean])
+      nStr: Array[Boolean], nVec: Array[Boolean])
+
+  private val genFloat: Gen[Float] = Gen.oneOf(
+    Arbitrary.arbitrary[Float],
+    Gen.const(0.0f), Gen.const(-0.0f), Gen.const(Float.MinPositiveValue),
+    Gen.const(Float.NaN), Gen.const(Float.NegativeInfinity))
 
   private val genCols: Gen[Cols] = for {
     n <- Gen.choose(0, 120)
@@ -38,14 +43,17 @@ class ColeV2PropSpec extends AnyFunSuite {
     strs <- Gen.listOfN(n, Gen.oneOf(
       Gen.alphaNumStr.map(_.getBytes("UTF-8")),
       Gen.oneOf("a", "bb", "ccc").map(_.getBytes("UTF-8"))))
+    // ragged vectors, empties included
+    vecs <- Gen.listOfN(n, Gen.choose(0, 9).flatMap(d =>
+      Gen.listOfN(d, genFloat).map(_.toArray)))
     // per-column masks: dense, sparse, heavy, and ALL-null shapes
-    masks <- Gen.listOfN(4, Gen.oneOf(
+    masks <- Gen.listOfN(5, Gen.oneOf(
       Gen.const(Array.fill(n)(false)),
       Gen.const(Array.fill(n)(true)),
       Gen.listOfN(n, Gen.frequency(4 -> false, 1 -> true)).map(_.toArray),
       Gen.listOfN(n, Gen.frequency(1 -> false, 3 -> true)).map(_.toArray)))
   } yield Cols(n, ints.toArray, longs.toArray, dbls.toArray, strs.toArray,
-    masks(0), masks(1), masks(2), masks(3))
+    vecs.toArray, masks(0), masks(1), masks(2), masks(3), masks(4))
 
   private def sameDouble(a: Double, b: Double): Boolean =
     java.lang.Double.doubleToLongBits(a) == java.lang.Double.doubleToLongBits(b)
@@ -59,7 +67,8 @@ class ColeV2PropSpec extends AnyFunSuite {
       ColeColumn("l", TInt64, longEnc),
       ColeColumn("d", TDouble, Plain),
       ColeColumn("s", TString, strEnc),
-      ColeColumn("t", TTimestamp, longEnc))
+      ColeColumn("t", TTimestamp, longEnc),
+      ColeColumn("v", TFloatVec, Plain))
     val conf = new org.apache.hadoop.conf.Configuration()
     conf.set(ColeFileWriter.VersionKey, "2")
     if (compress) conf.set(ColeFileWriter.CompressKey, "deflate")
@@ -72,7 +81,9 @@ class ColeV2PropSpec extends AnyFunSuite {
           ColumnData(null, c.longs, null, null, if (c.nLong.exists(identity)) c.nLong else null),
           ColumnData(null, null, null, c.dbls, if (c.nDbl.exists(identity)) c.nDbl else null),
           ColumnData(null, null, c.strs, null, if (c.nStr.exists(identity)) c.nStr else null),
-          ColumnData(null, c.longs, null, null, if (c.nLong.exists(identity)) c.nLong else null)),
+          ColumnData(null, c.longs, null, null, if (c.nLong.exists(identity)) c.nLong else null),
+          ColumnData(null, null, null, null,
+            if (c.nVec.exists(identity)) c.nVec else null, c.vecs)),
           c.n)
     } finally w.close()
     val r = new ColeFileReader(file, conf)
@@ -83,18 +94,23 @@ class ColeV2PropSpec extends AnyFunSuite {
       (0 until 2).forall { rg =>
         val (ic, lc, dc, sc, tc) = (r.readChunk(rg, 0), r.readChunk(rg, 1),
           r.readChunk(rg, 2), r.readChunk(rg, 3), r.readChunk(rg, 4))
+        val vc = r.readChunk(rg, 5)
         def nullsOk(cd: ColumnData, mask: Array[Boolean]): Boolean =
           (0 until c.n).forall { i =>
             val isNull = cd.nulls != null && cd.nulls(i)
             isNull == mask(i)
           }
+        def sameVec(a: Array[Float], b: Array[Float]): Boolean =
+          a.length == b.length && a.indices.forall(j =>
+            java.lang.Float.floatToIntBits(a(j)) == java.lang.Float.floatToIntBits(b(j)))
         nullsOk(ic, c.nInt) && nullsOk(lc, c.nLong) && nullsOk(dc, c.nDbl) &&
-          nullsOk(sc, c.nStr) && nullsOk(tc, c.nLong) &&
+          nullsOk(sc, c.nStr) && nullsOk(tc, c.nLong) && nullsOk(vc, c.nVec) &&
           (0 until c.n).forall { i =>
             (c.nInt(i) || ic.ints(i) == c.ints(i)) &&
               (c.nLong(i) || (lc.longs(i) == c.longs(i) && tc.longs(i) == c.longs(i))) &&
               (c.nDbl(i) || sameDouble(dc.doubles(i), c.dbls(i))) &&
-              (c.nStr(i) || java.util.Arrays.equals(sc.strings(i), c.strs(i)))
+              (c.nStr(i) || java.util.Arrays.equals(sc.strings(i), c.strs(i))) &&
+              (c.nVec(i) || sameVec(vc.vecs(i), c.vecs(i)))
           }
       }
     } finally {

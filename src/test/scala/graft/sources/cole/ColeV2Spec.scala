@@ -193,4 +193,106 @@ class ColeV2Spec extends AnyFunSuite {
     assert(src.exceptAll(back).count() === 0L)
     assert(back.filter(col("v").isNull).count() === 750L)
   }
+
+  test("FLOAT_VECTOR: embeddings round-trip through auto-v2, both read paths") {
+    val dir = Files.createTempDirectory("cole_v2_vec").toString
+    val src = Tables.embeddings(spark, sfDir)
+    src.coalesce(2).write.format("cole").mode("overwrite")
+      .option("rowGroupSize", "2048").save(dir)
+    assert(headerVersion(dir) === 2, "vector schema must select v2")
+    val back = spark.read.format("cole").load(dir)
+    assert(back.schema("embedding").dataType ===
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, containsNull = false))
+    assert(back.exceptAll(src).count() === 0L)
+    assert(src.exceptAll(back).count() === 0L)
+    // claimed filter on a sibling column: the selection vector must
+    // compact the vector chunk row-exactly
+    val filtered = back.filter(col("vec_id") % 10 === 3).orderBy("vec_id")
+    val expect = src.filter(col("vec_id") % 10 === 3).orderBy("vec_id")
+    assert(filtered.exceptAll(expect).count() === 0L)
+    assert(expect.exceptAll(filtered).count() === 0L)
+  }
+
+  test("FLOAT_VECTOR: null rows, empty and ragged vectors round-trip") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cole_v2_vec_null").toString
+    val src = (0 until 3000).map { i =>
+      val vec =
+        if (i % 7 == 0) None // null row
+        else if (i % 5 == 0) Some(Array.empty[Float]) // empty vector
+        else Some(Array.tabulate(i % 9 + 1)(j => (i * 31 + j) * 0.25f - 40f))
+      (i.toLong, vec)
+    }.toDF("id", "emb")
+    src.coalesce(1).write.format("cole").mode("overwrite")
+      .option("rowGroupSize", "512").save(dir)
+    val back = spark.read.format("cole").load(dir)
+    assert(back.schema("emb").nullable)
+    assert(back.exceptAll(src).count() === 0L)
+    assert(src.exceptAll(back).count() === 0L)
+    assert(back.filter(col("emb").isNull).count() ===
+      src.filter(col("emb").isNull).count())
+    assert(back.filter(size(col("emb")) === 0).count() ===
+      src.filter(size(col("emb")) === 0).count())
+  }
+
+  test("FLOAT_VECTOR: null ELEMENTS are rejected loudly, not zero-filled") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cole_v2_vec_badelem").toString
+    val src = Seq((1L, Seq(Some(1.0f), None, Some(3.0f)))).toDF("id", "emb")
+    val e = intercept[org.apache.spark.SparkException] {
+      src.coalesce(1).write.format("cole").mode("overwrite").save(dir)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.isInstanceOf[ColeFormat.ColeFormatException] &&
+      c.getMessage.contains("null element")))
+  }
+
+  test("FLOAT_VECTOR: partitioned tables carry vectors; group-by pushdown declines vector keys") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cole_v2_vec_part").toString
+    val src = (0 until 1200).map { i =>
+      (i.toLong, i % 3, Array.tabulate(8)(j => (i + j) * 0.5f))
+    }.toDF("id", "bucket", "emb")
+    src.write.format("cole").mode("overwrite")
+      .partitionBy("bucket").save(dir)
+    val back = spark.read.format("cole").load(dir)
+    assert(back.count() === 1200L)
+    val rows = back.select("id", "emb").exceptAll(src.select("id", "emb"))
+    assert(rows.count() === 0L)
+    // grouping by the vector column must NOT be claimed by the source
+    // (the agg readers accumulate scalar keys) — Spark aggregates it
+    val byVec = back.groupBy("emb").count()
+    assert(!byVec.queryExecution.executedPlan.toString.contains("PushedAggregates"),
+      "vector group keys must fall back to the normal scan")
+    assert(byVec.count() === 1200L) // all vectors distinct
+  }
+
+  test("FLOAT_VECTOR: vectors flow through the streaming source and sink") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cole_v2_vec_stream").toString
+    val outDir = Files.createTempDirectory("cole_v2_vec_stream_out").toString
+    val cp = Files.createTempDirectory("cole_v2_vec_stream_cp").toString
+    def batch(from: Int, until: Int) =
+      (from until until).map(i => (i.toLong, Array.tabulate(6)(j => i + j * 0.125f)))
+        .toDF("id", "emb")
+    batch(0, 200).coalesce(1).write.format("cole").mode("append").save(dir)
+    def drain(): Unit = {
+      val q = spark.readStream.format("cole").load(dir)
+        .writeStream.format("cole")
+        .option("path", outDir).option("checkpointLocation", cp)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    drain()
+    batch(200, 500).coalesce(2).write.format("cole").mode("append").save(dir)
+    drain()
+    val out = spark.read.format("cole").load(outDir)
+    val expect = batch(0, 500)
+    assert(out.count() === 500L)
+    assert(out.exceptAll(expect).count() === 0L)
+    assert(expect.exceptAll(out).count() === 0L)
+  }
 }
