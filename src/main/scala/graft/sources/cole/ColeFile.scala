@@ -61,12 +61,19 @@ final class ColeFileReader(path: String, conf: Configuration) extends AutoClosea
 
   /** Cursor over one page's decoded body. Sizes equal = stored (the only
     * layout the reference writes); differing = raw-DEFLATE page from this
-    * writer's opt-in compression.
+    * writer's opt-in compression. The single choke point every read path
+    * (scan, agg sweep, dict view) passes through — v2 page CRCs verify
+    * here, BEFORE any byte is decoded.
     */
-  private def pageCursor(c: Cursor, ph: PageHeader): Cursor =
+  private def pageCursor(c: Cursor, ph: PageHeader): Cursor = {
+    if (meta.version >= Version2 &&
+        bodyCrc(c.buf, c.pos, ph.compressedSize) != ph.crc)
+      throw new ColeFormatException(
+        s"$path: page checksum mismatch (corrupt page body)")
     if (ph.compressedSize == ph.uncompressedSize) new Cursor(c.buf, c.pos)
     else new Cursor(
       ColeCodec.inflate(c.buf, c.pos, ph.compressedSize, ph.uncompressedSize), 0)
+  }
 
   /** Read and decode one column chunk of one row group. v2 pages with
     * nulls decode their validity bitmap first; encoded values cover the
@@ -451,7 +458,8 @@ final class ColeFileWriter(path: String, columns: Seq[ColeColumn],
         if (nullCount == 0) encoded
         else ColeCodec.packValidity(java.util.Arrays.copyOf(isNull, numRows)) ++ encoded
       val body = if (compress) ColeCodec.deflate(raw) else raw
-      val ph = PageHeader(raw.length, body.length, numRows, col.encoding, stats, nullCount)
+      val ph = PageHeader(raw.length, body.length, numRows, col.encoding, stats,
+        nullCount, if (version >= Version2) bodyCrc(body, 0, body.length) else 0)
       val offset = position
       val hdr = new Out()
       writePageHeader(hdr, ph, version, col.colType == TDouble)

@@ -16,13 +16,14 @@ object ColeFormat {
   val VersionMinor = 0
 
   /** Format v2 (this engine's opt-in extension; the reference defines only
-    * v1, format.h:21-23): adds DOUBLE and TIMESTAMP column types and
-    * per-page null bitmaps. v1 files remain byte-identical to the
-    * reference layout; a v2 file differs only in the header's version
-    * major, a u32 null count appended to every page header, and (when a
-    * page has nulls) a validity bitmap prefixed to the page body. The
-    * reference's own stats block already reserves null_count
-    * (format.h:44) — v2 makes it real.
+    * v1, format.h:21-23): adds DOUBLE, TIMESTAMP(_NTZ) and FLOAT_VECTOR
+    * column types, per-page null bitmaps, and per-page body CRC32s. v1
+    * files remain byte-identical to the reference layout; a v2 file
+    * differs only in the header's version major, a u32 null count + u32
+    * body crc appended to every page header, and (when a page has nulls)
+    * a validity bitmap prefixed to the page body. The reference's own
+    * stats block already reserves null_count (format.h:44) — v2 makes it
+    * real.
     */
   val Version2 = 2
 
@@ -88,9 +89,16 @@ object ColeFormat {
     * when positive, the page body starts with a validity bitmap
     * (ceil(numValues/8) bytes, bit set = value present) and the encoded
     * values cover only the numValues - nullCount present rows.
+    *
+    * crc: v2 pages carry a CRC32 of the page body AS STORED (after any
+    * compression) and every v2 read verifies it before decoding — at
+    * large scale, a flipped bit or torn write must fail loudly, never
+    * decode into plausible-looking values. v1 cannot carry the field
+    * (byte-compat); its pages read unverified, as the reference does.
     */
   final case class PageHeader(uncompressedSize: Int, compressedSize: Int,
-      numValues: Int, encoding: Enc, stats: PageStats, nullCount: Int = 0)
+      numValues: Int, encoding: Enc, stats: PageStats, nullCount: Int = 0,
+      crc: Int = 0)
   final case class ColumnChunkMeta(fileOffset: Long, totalSize: Long,
       pages: Seq[PageHeader])
   final case class RowGroupMeta(numRows: Int, chunks: Seq[ColumnChunkMeta])
@@ -157,7 +165,7 @@ object ColeFormat {
       }
       out.u32(ph.stats.nullCount)
     }
-    if (version >= Version2) out.u32(ph.nullCount)
+    if (version >= Version2) { out.u32(ph.nullCount); out.u32(ph.crc) }
   }
 
   def readPageHeader(c: Cursor, version: Int = 1,
@@ -181,7 +189,15 @@ object ColeFormat {
         }
       } else PageStats(None, None, 0)
     val nullCount = if (version >= Version2) c.u32() else 0
-    PageHeader(unc, comp, n, enc, stats, nullCount)
+    val crc = if (version >= Version2) c.u32() else 0
+    PageHeader(unc, comp, n, enc, stats, nullCount, crc)
+  }
+
+  /** CRC32 of a stored page body (what v2 headers carry and reads verify). */
+  def bodyCrc(buf: Array[Byte], off: Int, len: Int): Int = {
+    val crc = new java.util.zip.CRC32()
+    crc.update(buf, off, len)
+    crc.getValue.toInt
   }
 
   // ---- file metadata serde

@@ -295,4 +295,46 @@ class ColeV2Spec extends AnyFunSuite {
     assert(out.exceptAll(expect).count() === 0L)
     assert(expect.exceptAll(out).count() === 0L)
   }
+
+  test("v2 page CRC: a flipped body bit fails loudly, never decodes to plausible values") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cole_v2_crc").toString
+    (0 until 4000).map(i => (i.toLong, i * 1.5)).toDF("id", "v")
+      .coalesce(1).write.format("cole").mode("overwrite")
+      .option("rowGroupSize", "1024").save(dir)
+    assert(headerVersion(dir) === 2)
+    val f = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".col")).head
+    // undamaged reads fine
+    assert(spark.read.format("cole").load(dir).count() === 4000L)
+    // flip one bit in the DOUBLE column's page body (located from the
+    // footer, so the damage is provably in value bytes, not a header)
+    val pos = {
+      val r = new ColeFileReader(f.getPath,
+        new org.apache.hadoop.conf.Configuration())
+      try {
+        val cc = r.meta.rowGroups(0).chunks(1)
+        cc.fileOffset + cc.totalSize - 2
+      } finally r.close()
+    }
+    val raf = new java.io.RandomAccessFile(f, "rw")
+    try {
+      raf.seek(pos)
+      val b = raf.read()
+      raf.seek(pos)
+      raf.write(b ^ 0x10)
+    } finally raf.close()
+    // remove Hadoop LocalFileSystem's own .crc sidecar: on object stores
+    // there is no such sidecar, and the FORMAT-level crc must stand alone
+    new java.io.File(f.getParent, s".${f.getName}.crc").delete()
+    // no cache to bust: the footer cache holds metadata only, page
+    // bodies are read fresh by every query
+    val e = intercept[Throwable] {
+      spark.read.format("cole").load(dir).agg(sum(col("v"))).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("page checksum mismatch"))),
+      s"expected the format-level page checksum failure, got: $e")
+  }
 }
