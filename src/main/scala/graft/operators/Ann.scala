@@ -78,13 +78,16 @@ object Ann {
       nearestCellsIn(centroids)(df, idAs, vecAs, n)
     val corpusCells = nearestCells(corpus, "neighbor_id", "cv", 1)
     val queryCells = nearestCells(queries, "query_id", "qv", nProbe)
+    // same shuffle-slimming as [[lsh]]: score on the (broadcast) cell
+    // join, then dedup pairs as a (query_id, neighbor_id, cos) aggregate
+    // — the exchange never carries the float vectors
     val cand = corpusCells.join(broadcast(queryCells), Seq("cell_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "qv", "neighbor_id", "cv").distinct()
+      .withColumn("cos", cosine_sim(col("qv"), col("cv")))
+      .groupBy("query_id", "neighbor_id").agg(max(col("cos")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    cand.withColumn("cos", cosine_sim(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w).cast("long"))
+    cand.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos")
   }
@@ -335,13 +338,19 @@ object Ann {
         .select(col(idAs), col(vecAs), col("bk.band").as("band"), col("bk.bv").as("bv"))
     val cb = banded(corpus, "neighbor_id", "cv")
     val qb = broadcast(banded(queries, "query_id", "qv"))
+    // score BEFORE the pair-dedup shuffle: the band join is broadcast (the
+    // corpus never shuffles), cosine is ~dim FLOPs, and the one shuffle
+    // then carries (query_id, neighbor_id, cos) — tens of bytes per
+    // candidate instead of two full float vectors. Map-side combine
+    // collapses same-pair hits from different bands before the exchange;
+    // MAX over identical scores == the old distinct-then-score.
     val cand = cb.join(qb, Seq("band", "bv"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "qv", "neighbor_id", "cv").distinct()
+      .withColumn("cos", cosine_sim(col("qv"), col("cv")))
+      .groupBy("query_id", "neighbor_id").agg(max(col("cos")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    cand.withColumn("cos", cosine_sim(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w).cast("long"))
+    cand.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos")
   }
