@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.functions._
+import Dsl._
 
 /** SURVEY §2.3 — the COLE format as a first-class Spark table format.
   *
@@ -418,6 +419,33 @@ object ColeSuite {
                                                    ORDER BY cos DESC, neighbor_id) AS rank
                          FROM scored)
               SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
-              ORDER BY query_id, rank"""))
+              ORDER BY query_id, rank""")),
+
+    // #126 format v2 TIMESTAMP (UTC-adjusted, id 4 — cole_roundtrip_double
+    // covers only the NTZ flavor): the events stream table through .col —
+    // instant semantics, double value column, strings — aggregated per
+    // event type with second-formatted min/max instants and the
+    // decimal-exact sum discipline on the double column.
+    Q("cole_roundtrip_events", (s, d) => {
+      val dir = dirFor(d, "roundtrip_events")
+      writeOnce(dir) {
+        Tables.events(s, d)
+          .write.format("cole").mode("overwrite").save(dir)
+      }
+      s.read.format("cole").load(dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    },
+      Some(s"""SELECT event_type, COUNT(*) AS n,
+                strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+                strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+                MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+                ${dsumSql("value")} AS sum_value
+              FROM events GROUP BY event_type ORDER BY event_type"""))
   )
 }

@@ -49,8 +49,22 @@ final class ColeFileReader(path: String, conf: Configuration) extends AutoClosea
     val metaOffset = fc.i64()
     if (metaOffset < 8 || metaOffset >= fileLen - 12)
       throw new ColeFormatException(s"$path: metadata offset out of range")
-    val metaBytes = readAt(metaOffset, (fileLen - 12 - metaOffset).toInt)
-    readMetadata(new Cursor(metaBytes, 0), version)
+    if (version >= Version2) {
+      // v2 footer layout: [metadata][meta crc u32][FOOT][offset] — verify
+      // the block the whole planner trusts before parsing a byte of it
+      val metaLen = (fileLen - 12 - 4 - metaOffset).toInt
+      if (metaLen < 0)
+        throw new ColeFormatException(s"$path: metadata region too small for v2")
+      val withCrc = readAt(metaOffset, metaLen + 4)
+      val stored = new Cursor(withCrc, metaLen).u32()
+      if (bodyCrc(withCrc, 0, metaLen) != stored)
+        throw new ColeFormatException(
+          s"$path: metadata checksum mismatch (corrupt footer metadata)")
+      readMetadata(new Cursor(withCrc, 0), version)
+    } else {
+      val metaBytes = readAt(metaOffset, (fileLen - 12 - metaOffset).toInt)
+      readMetadata(new Cursor(metaBytes, 0), version)
+    }
   }
 
   private def readAt(offset: Long, len: Int): Array[Byte] = {
@@ -510,8 +524,15 @@ final class ColeFileWriter(path: String, columns: Seq[ColeColumn],
     if (closed) return
     closed = true
     val metaOffset = position
+    val mo = new Out()
+    writeMetadata(mo, FileMeta(columns, rowGroups.toSeq, totalRows, version))
+    val metaBytes = mo.toBytes
     val o = new Out()
-    writeMetadata(o, FileMeta(columns, rowGroups.toSeq, totalRows, version))
+    o.raw(metaBytes)
+    // v2: CRC32 of the metadata block between it and the footer — page
+    // CRCs cover values, this covers the stats/offsets that PRUNING
+    // trusts (a flipped min/max bit would silently skip live row groups)
+    if (version >= Version2) o.u32(bodyCrc(metaBytes, 0, metaBytes.length))
     o.u32(FooterMagic)
     o.i64(metaOffset)
     emit(o.toBytes)

@@ -20,10 +20,11 @@ object ColeFormat {
     * column types, per-page null bitmaps, and per-page body CRC32s. v1
     * files remain byte-identical to the reference layout; a v2 file
     * differs only in the header's version major, a u32 null count + u32
-    * body crc appended to every page header, and (when a page has nulls)
-    * a validity bitmap prefixed to the page body. The reference's own
-    * stats block already reserves null_count (format.h:44) — v2 makes it
-    * real.
+    * body crc appended to every page header, a u32 metadata CRC32
+    * between the metadata block and the FOOT footer, and (when a page
+    * has nulls) a validity bitmap prefixed to the page body. The
+    * reference's own stats block already reserves null_count
+    * (format.h:44) — v2 makes it real.
     */
   val Version2 = 2
 

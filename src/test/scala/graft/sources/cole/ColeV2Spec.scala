@@ -337,4 +337,38 @@ class ColeV2Spec extends AnyFunSuite {
       Option(c.getMessage).exists(_.contains("page checksum mismatch"))),
       s"expected the format-level page checksum failure, got: $e")
   }
+
+  test("v2 metadata CRC: a flipped stats bit cannot silently mis-prune") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cole_v2_metacrc").toString
+    (0 until 4000).map(i => (i.toLong, i * 1.5)).toDF("id", "v")
+      .coalesce(1).write.format("cole").mode("overwrite")
+      .option("rowGroupSize", "1024").save(dir)
+    val f = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".col")).head
+    // locate the metadata block from the trailing footer, then flip a bit
+    // INSIDE it (where the planner-trusted page stats live)
+    val raf = new java.io.RandomAccessFile(f, "rw")
+    try {
+      raf.seek(f.length() - 8)
+      val b = new Array[Byte](8)
+      raf.readFully(b)
+      val metaOffset = java.nio.ByteBuffer.wrap(b)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+      val pos = metaOffset + (f.length() - 16 - metaOffset) / 2
+      raf.seek(pos)
+      val x = raf.read()
+      raf.seek(pos)
+      raf.write(x ^ 0x04)
+    } finally raf.close()
+    new java.io.File(f.getParent, s".${f.getName}.crc").delete()
+    val e = intercept[Throwable] {
+      new ColeFileReader(f.getPath,
+        new org.apache.hadoop.conf.Configuration()).meta
+    }
+    assert(Option(e.getMessage).exists(_.contains("checksum")) ||
+      e.isInstanceOf[ColeFormat.ColeFormatException],
+      s"expected a loud metadata failure, got: $e")
+    assert(Option(e.getMessage).exists(_.contains("metadata checksum mismatch")),
+      s"expected the metadata CRC to catch it, got: $e")
+  }
 }
