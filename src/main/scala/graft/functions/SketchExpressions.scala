@@ -60,6 +60,15 @@ object sketches {
       subLen: Int): Column =
     GraftBridge.column(PqLut(GraftBridge.expression(vec), codebook, m, ksub, subLen))
 
+  /** The `nProbe` nearest IVF cell ids (array<long>, best-first) of a
+    * float vector against a flat driver-collected centroid array — the
+    * coarse quantizer as one codegen'd projection; see
+    * [[SketchRuntime.ivfAssign]].
+    */
+  def ivf_assign(vec: Column, centroids: Array[Double], cellIds: Array[Long],
+      dim: Int, nProbe: Int): Column =
+    GraftBridge.column(IvfAssign(GraftBridge.expression(vec), centroids, cellIds, dim, nProbe))
+
   /** Distinct k-token shingle hashes from a token array — the rolling-hash
     * twin of hashing each " "-joined k-gram string, in one pass with no
     * string allocation (the interpreted slice→concat→hash HOF chain was
@@ -183,6 +192,25 @@ case class PqLut(child: Expression, codebook: Array[Double], m: Int,
     val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "double[]")
     defineCodeGen(ctx, ev,
       c => s"${SketchCodegen.runtime}.pqLut($c, $cbRef, $m, $ksub, $subLen)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class IvfAssign(child: Expression, centroids: Array[Double],
+    cellIds: Array[Long], dim: Int, nProbe: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    SketchRuntime.ivfAssign(input.asInstanceOf[ArrayData], centroids, cellIds, dim, nProbe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ctRef = ctx.addReferenceObj("ivfCentroids", centroids, "double[]")
+    val idRef = ctx.addReferenceObj("ivfCellIds", cellIds, "long[]")
+    defineCodeGen(ctx, ev,
+      c => s"${SketchCodegen.runtime}.ivfAssign($c, $ctRef, $idRef, $dim, $nProbe)")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

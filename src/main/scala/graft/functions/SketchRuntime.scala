@@ -178,6 +178,55 @@ object SketchRuntime {
     new GenericArrayData(codes)
   }
 
+  /** IVF coarse assignment: the `nProbe` nearest cells of a float vector
+    * against a flat centroid array laid out [cell*dim + d] with parallel
+    * cell ids, ordered by (cosine desc, cell id asc) — the whole coarse
+    * quantizer as ONE shuffle-free projection per row. Cosine accumulates
+    * per element in double exactly like [[cosineSim]], so assignment is
+    * bit-identical to scoring each (vector, centroid) pair with it.
+    */
+  def ivfAssign(vec: ArrayData, cents: Array[Double], cellIds: Array[Long],
+      dim: Int, nProbe: Int): ArrayData = {
+    val x = vec.toFloatArray()
+    require(x.length == dim, s"dim mismatch: ${x.length} vs $dim")
+    val nCells = cellIds.length
+    val sims = new Array[Double](nCells)
+    var nx = 0.0
+    var i = 0
+    while (i < x.length) { nx += x(i).toDouble * x(i); i += 1 }
+    var c = 0
+    while (c < nCells) {
+      val base = c * dim
+      var dot = 0.0
+      var ny = 0.0
+      var j = 0
+      while (j < dim) {
+        dot += x(j).toDouble * cents(base + j)
+        ny += cents(base + j) * cents(base + j)
+        j += 1
+      }
+      sims(c) = if (nx == 0.0 || ny == 0.0) 0.0 else dot / math.sqrt(nx * ny)
+      c += 1
+    }
+    val k = math.min(nProbe, nCells)
+    val out = new Array[Long](k)
+    val taken = new Array[Boolean](nCells)
+    var p = 0
+    while (p < k) {
+      var best = -1
+      c = 0
+      while (c < nCells) {
+        if (!taken(c) && (best < 0 || sims(c) > sims(best) ||
+            (sims(c) == sims(best) && cellIds(c) < cellIds(best)))) best = c
+        c += 1
+      }
+      taken(best) = true
+      out(p) = cellIds(best)
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** PQ query LUT: squared L2 from each of the query's m unit-normalized
     * subvectors to every centroid, flat array [(sub*ksub + code)] — the
     * asymmetric-distance table the ADC join broadcasts.

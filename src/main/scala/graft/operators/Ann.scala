@@ -34,50 +34,47 @@ object Ann {
   /** IVF (inverted-file) top-k: a coarse quantizer of `nCells` centroids
     * partitions the corpus into cells; each query scores only the
     * `nProbe` cells nearest to it. The scale path for clustered embedding
-    * spaces: the corpus is assigned once (one broadcast join against the
-    * centroids — the posting lists would be the stored layout at 100 TB),
-    * and query cost drops from |corpus| to ~nProbe/nCells of it.
+    * spaces: the corpus is assigned once (one shuffle-free projection —
+    * the posting lists would be the stored layout at 100 TB), and query
+    * cost drops from |corpus| to ~nProbe/nCells of it.
     *
     * Centroids are exactly `nCells` deterministically-sampled corpus
     * vectors (lowest xxhash64 rank — IVF-flat with sampled centroids);
     * recall is measured against brute force in the spec. The quantizer is
-    * FIXED-size: its broadcast does not grow with the corpus, and
-    * centroid selection is a single TakeOrdered pass. `lloydRounds` > 0
-    * refines the sampled centroids with k-means rounds before the final
-    * assignment: per round, assign → per-cell mean via posexplode +
-    * (cell, pos) aggregation — map-side combine shrinks the shuffle to
-    * cells × dim rows per partition, so refinement stays 100 TB-shaped.
-    * Cell assignment dogfoods [[graft.plans.TopK]] (k=1 / k=nProbe per
-    * key) instead of a window-sort.
+    * GEOMETRY-sized (nCells × dim doubles — KBs, the PQ-codebook
+    * discipline), so it collects to the driver and rides the
+    * [[graft.functions.sketches.ivf_assign]] kernel as a reference
+    * object: cell assignment is ONE codegen'd shuffle-free projection per
+    * row — at 100 TB the corpus streams through its scan stage to find
+    * its cell, never crossJoined against the centroids or shuffled
+    * through a per-key top-1. `lloydRounds` > 0 refines the sampled
+    * centroids with k-means rounds before the final assignment: per
+    * round, kernel-assign → per-cell mean via posexplode + (cell, pos)
+    * aggregation — map-side combine shrinks the shuffle to cells × dim
+    * rows per partition, so refinement stays 100 TB-shaped.
     */
   def ivf(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       idCol: String = "vec_id", vecCol: String = "embedding",
       nCells: Int = 16, nProbe: Int = 4, lloydRounds: Int = 0): DataFrame = {
-    val sampled = broadcast(
+    var (cents, ids, dim) = collectQuantizer(
       corpus.select(col(idCol).as("cell_id"), col(vecCol).as("centroid"))
         .orderBy(xxhash64(col("cell_id")).asc, col("cell_id").asc)
         .limit(nCells))
-    def nearestCellsIn(cents: DataFrame)(df: DataFrame, idAs: String,
-        vecAs: String, n: Int): DataFrame =
-      graft.plans.TopK.perKey(
-        df.select(col(idCol).as(idAs), col(vecCol).as(vecAs))
-          .crossJoin(cents) // broadcast NL against nCells rows — intended
-          .withColumn("csim", cosine_sim(col(vecAs), col("centroid"))),
-        n, Seq(col(idAs)), Seq(col("csim").desc, col("cell_id").asc))
-        .select(col(idAs), col(vecAs), col("cell_id"))
-    val centroids = (1 to lloydRounds).foldLeft(sampled) { (cents, _) =>
-      val assigned = nearestCellsIn(cents)(corpus, "m_id", "mv", 1)
-      broadcast(assigned
-        .select(col("cell_id"), posexplode(col("mv")).as(Seq("pos", "v")))
+    for (_ <- 1 to lloydRounds) {
+      val refined = corpus
+        .select(element_at(ivf_assign(col(vecCol), cents, ids, dim, 1), 1).as("cell_id"),
+          posexplode(col(vecCol)).as(Seq("pos", "v")))
         .groupBy("cell_id", "pos").agg(avg(col("v")).as("m"))
         .groupBy("cell_id").agg(
           transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-            s => s.getField("m").cast("float")).as("centroid")))
+            s => s.getField("m").cast("float")).as("centroid"))
+      val t = collectQuantizer(refined)
+      cents = t._1; ids = t._2
     }
-    def nearestCells(df: DataFrame, idAs: String, vecAs: String, n: Int): DataFrame =
-      nearestCellsIn(centroids)(df, idAs, vecAs, n)
-    val corpusCells = nearestCells(corpus, "neighbor_id", "cv", 1)
-    val queryCells = nearestCells(queries, "query_id", "qv", nProbe)
+    val corpusCells = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      explode(ivf_assign(col(vecCol), cents, ids, dim, 1)).as("cell_id"))
+    val queryCells = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(ivf_assign(col(vecCol), cents, ids, dim, nProbe)).as("cell_id"))
     // same shuffle-slimming as [[lsh]]: score on the (broadcast) cell
     // join, then dedup pairs as a (query_id, neighbor_id, cos) aggregate
     // — the exchange never carries the float vectors
@@ -90,6 +87,28 @@ object Ann {
     cand.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** Collect a (cell_id, centroid) quantizer frame to flat driver arrays
+    * — GEOMETRY-sized (nCells × dim doubles), the same bounded-collect
+    * discipline as [[pqCodebook]]'s training sample. Row order is
+    * normalized by cell id; selection order never depends on it.
+    */
+  private def collectQuantizer(df: DataFrame): (Array[Double], Array[Long], Int) = {
+    val rows = df.select(col("cell_id").cast("long"), col("centroid"))
+      .collect().sortBy(_.getLong(0))
+    require(rows.nonEmpty, "IVF needs a non-empty corpus")
+    val dim = rows.head.getSeq[Number](1).length
+    val cents = new Array[Double](rows.length * dim)
+    val ids = new Array[Long](rows.length)
+    for ((r, c) <- rows.zipWithIndex) {
+      ids(c) = r.getLong(0)
+      val v = r.getSeq[Number](1)
+      require(v.length == dim, s"centroid dim mismatch: ${v.length} vs $dim")
+      var j = 0
+      while (j < dim) { cents(c * dim + j) = v(j).doubleValue(); j += 1 }
+    }
+    (cents, ids, dim)
   }
 
   /** PQ (product-quantization) top-k with exact re-ranking — the
@@ -280,25 +299,22 @@ object Ann {
       nCells: Int = 16, nProbe: Int = 4,
       m: Int = 16, ksub: Int = 64, rerank: Int = 64,
       lloydRounds: Int = 0): DataFrame = {
-    val cells = broadcast(
+    val (cents, ids, dim) = collectQuantizer(
       corpus.select(col(idCol).as("cell_id"), col(vecCol).as("centroid"))
         .orderBy(xxhash64(col("cell_id")).asc, col("cell_id").asc)
         .limit(nCells))
-    def nearestCells(df: DataFrame, idAs: String, vecAs: String, n: Int): DataFrame =
-      graft.plans.TopK.perKey(
-        df.select(col(idCol).as(idAs), col(vecCol).as(vecAs))
-          .crossJoin(cells) // broadcast NL against nCells rows — intended
-          .withColumn("csim", cosine_sim(col(vecAs), col("centroid"))),
-        n, Seq(col(idAs)), Seq(col("csim").desc, col("cell_id").asc))
-        .select(col(idAs), col(vecAs), col("cell_id"))
     val (cbFlat, nCodes, subLen) =
       pqCodebook(corpus, idCol, vecCol, m, ksub, lloydRounds)
-    // the stored 100 TB layout: one row per vector = (cell, m-byte codes)
-    val corpusEnc = nearestCells(corpus, "neighbor_id", "cv", 1)
-      .select(col("neighbor_id"), col("cell_id"),
-        pq_encode(col("cv"), cbFlat, m, nCodes, subLen).as("codes"))
-    val queryCells = broadcast(nearestCells(queries, "query_id", "qv", nProbe)
-      .select("query_id", "cell_id"))
+    // the stored 100 TB layout — one row per vector = (cell, m-byte
+    // codes) — materializes in ONE shuffle-free codegen'd projection:
+    // both quantizers (coarse cells + PQ codebook) ride as KB-scale
+    // reference objects, so the encode pass streams the corpus exactly
+    // once, in its scan stage
+    val corpusEnc = corpus.select(col(idCol).as("neighbor_id"),
+      element_at(ivf_assign(col(vecCol), cents, ids, dim, 1), 1).as("cell_id"),
+      pq_encode(col(vecCol), cbFlat, m, nCodes, subLen).as("codes"))
+    val queryCells = broadcast(queries.select(col(idCol).as("query_id"),
+      explode(ivf_assign(col(vecCol), cents, ids, dim, nProbe)).as("cell_id")))
     val lut = pqLutDf(queries, idCol, vecCol, cbFlat, m, nCodes, subLen)
     // candidates = corpus rows in probed cells only; they explode to m
     // rows AFTER the cell filter, so unprobed cells cost nothing
