@@ -60,6 +60,12 @@ object sketches {
       subLen: Int): Column =
     GraftBridge.column(PqLut(GraftBridge.expression(vec), codebook, m, ksub, subLen))
 
+  /** ADC distance of a packed PQ code array against a per-query LUT
+    * (array<double>, length m·ksub) — see [[SketchRuntime.pqAdc]].
+    */
+  def pq_adc(codes: Column, lut: Column, ksub: Int): Column =
+    GraftBridge.column(PqAdc(GraftBridge.expression(codes), GraftBridge.expression(lut), ksub))
+
   /** The `nProbe` nearest IVF cell ids (array<long>, best-first) of a
     * float vector against a flat driver-collected centroid array — the
     * coarse quantizer as one codegen'd projection; see
@@ -195,6 +201,22 @@ case class PqLut(child: Expression, codebook: Array[Double], m: Int,
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class PqAdc(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(codes: Any, lut: Any): Any =
+    SketchRuntime.pqAdc(codes.asInstanceOf[ArrayData], lut.asInstanceOf[ArrayData], ksub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, l) => s"${SketchCodegen.runtime}.pqAdc($c, $l, $ksub)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 case class IvfAssign(child: Expression, centroids: Array[Double],

@@ -178,6 +178,22 @@ object SketchRuntime {
     new GenericArrayData(codes)
   }
 
+  /** ADC score of one corpus vector against one query: sum over subspaces
+    * of the query LUT entry for that subspace's code — m packed-array
+    * lookups, no explode, no per-pair aggregation. Fixed s=0..m-1 order,
+    * so the sum is deterministic.
+    */
+  def pqAdc(codes: ArrayData, lut: ArrayData, ksub: Int): Double = {
+    val m = codes.numElements()
+    var d = 0.0
+    var s = 0
+    while (s < m) {
+      d += lut.getDouble(s * ksub + codes.getInt(s))
+      s += 1
+    }
+    d
+  }
+
   /** IVF coarse assignment: the `nProbe` nearest cells of a float vector
     * against a flat centroid array laid out [cell*dim + d] with parallel
     * cell ids, ordered by (cosine desc, cell id asc) — the whole coarse

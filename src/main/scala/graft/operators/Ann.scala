@@ -122,12 +122,13 @@ object Ann {
     * cosine order), each is sliced into `m` subvectors, and a FIXED-size
     * codebook (`ksub` hash-rank-sampled rows per subspace — sampled
     * quantizer, like [[ivf]]'s centroids) assigns every (vector, sub) its
-    * nearest centroid via [[graft.plans.TopK]]. Queries never touch the
-    * corpus vectors during scoring: each query precomputes an (m × ksub)
-    * distance LUT against the codebook (asymmetric distance computation),
-    * the LUT broadcasts, and the approximate distance is one equality
-    * join codes⋈LUT on (sub, code) + a map-side-combined sum — no
-    * per-pair float math. The top `rerank` candidates per query then
+    * nearest centroid in one codegen'd kernel pass. Queries never touch
+    * the corpus vectors during scoring: each query precomputes an
+    * (m × ksub) distance LUT against the codebook (asymmetric distance
+    * computation), the LUT broadcasts, and the approximate distance is
+    * one equality join codes⋈LUT on (sub, code) + a map-side-combined
+    * sum — no per-pair float math. The top `rerank` candidates per query
+    * then
     * re-rank with the exact cosine on the true vectors, which restores
     * recall lost to quantization. Rows-only; recall vs [[bruteForce]]
     * asserted in the spec.
@@ -275,7 +276,15 @@ object Ann {
         posexplode(pq_encode(col(vecCol), cbFlat, m, nCodes, subLen))
           .as(Seq("sub", "code")))
     // ADC: per-query LUT over the codebook, broadcast; scoring is a code
-    // lookup + sum, never a vector op
+    // lookup + sum inside ONE fused codegen span (equality join on
+    // (sub, code) + map-side partial agg). Flat PQ must pair every
+    // (vector, query) regardless of shape — and the packed-codes variant
+    // (pq_adc over a nested-loop pair stream, as ivfpq scores) measured
+    // 1.7× SLOWER here at sf1 despite 16× fewer rows: Catalyst
+    // canonicalizes any cross pairing to BroadcastNestedLoopJoin, whose
+    // per-pair JoinedRows cost more than 16 extra fused rows. ivfpq keeps
+    // the packed shape because its cell filter thins pairs by equality
+    // join BEFORE scoring.
     val lut = pqLutDf(queries, idCol, vecCol, cbFlat, m, nCodes, subLen)
     val approx = codes.join(lut, Seq("sub", "code"))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -315,16 +324,17 @@ object Ann {
       pq_encode(col(vecCol), cbFlat, m, nCodes, subLen).as("codes"))
     val queryCells = broadcast(queries.select(col(idCol).as("query_id"),
       explode(ivf_assign(col(vecCol), cents, ids, dim, nProbe)).as("cell_id")))
-    val lut = pqLutDf(queries, idCol, vecCol, cbFlat, m, nCodes, subLen)
-    // candidates = corpus rows in probed cells only; they explode to m
-    // rows AFTER the cell filter, so unprobed cells cost nothing
+    val qlut = broadcast(queries.select(col(idCol).as("query_id"),
+      pq_lut(col(vecCol), cbFlat, m, nCodes, subLen).as("lut")))
+    // candidates = corpus rows in probed cells only (equality join —
+    // unprobed cells cost nothing); each surviving pair then scores as
+    // ONE pq_adc projection against the query's broadcast LUT array —
+    // the codes never explode and nothing aggregates
     val approx = corpusEnc.join(queryCells, "cell_id")
       .filter(col("neighbor_id") =!= col("query_id"))
+      .join(qlut, "query_id")
       .select(col("query_id"), col("neighbor_id"),
-        posexplode(col("codes")).as(Seq("sub", "code")))
-      .join(lut, Seq("query_id", "sub", "code"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(col("pd")).as("adist"))
+        pq_adc(col("codes"), col("lut"), nCodes).as("adist"))
     exactRerank(approx, corpus, queries, k, rerank, idCol, vecCol)
   }
 

@@ -63,7 +63,7 @@ class AqePlanAuditSpec extends AnyFunSuite {
   }
 
   test("LSH dedup and ANN stay equality-join-bounded under AQE") {
-    for (q <- Seq("dedup_minhash_lsh", "ann_lsh", "ann_pq")) {
+    for (q <- Seq("dedup_minhash_lsh", "ann_lsh", "ann_pq", "ann_ivfpq")) {
       val p = finalPlan(q)
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
         s"$q degenerated under AQE:\n$p")

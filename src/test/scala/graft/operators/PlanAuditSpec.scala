@@ -214,16 +214,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_"), s"PQ ADC aggregation lost map-side combine:\n$p")
   }
 
-  test("ann_ivfpq: cell probe joins by equality; only the centroid table nested-loops") {
+  test("ann_ivfpq: equality joins only — cells probe by id, LUTs join by query") {
     val p = plan("ann_ivfpq")
     assert(!p.contains("CartesianProduct"), s"IVF-PQ plan contains a cartesian product:\n$p")
-    // (a BroadcastNestedLoopJoin against the fixed nCells centroid rows
-    // is the same intended exemption as ann_ivf's)
+    // kernel-based cell assignment removed the old centroid nested-loop:
+    // nothing in the serving plan may nested-loop at all now
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"IVF-PQ plan contains a nested-loop join:\n$p")
     val eqJoins = p.linesIterator.count(l =>
       l.contains("BroadcastHashJoin") || l.contains("SortMergeJoin") ||
         l.contains("ShuffledHashJoin"))
     assert(eqJoins >= 2, s"cell-probe and LUT joins must be equality joins:\n$p")
-    assert(p.contains("partial_"), s"ADC aggregation lost map-side combine:\n$p")
+    // the only Generate allowed is the query-side nProbe-cell explode
+    // (nQueries × nProbe rows); the m-wide codes must stay packed
+    assert(!p.contains("posexplode"), s"codes exploded — ADC must be a packed-array projection:\n$p")
   }
 
   test("sample_stratified windows stay partitioned by stratum") {
