@@ -41,6 +41,19 @@ object Zorder {
   def zvalue(a: Column, b: Column): Column =
     spread(a.cast("long")).bitwiseOR(shiftleft(spread(b.cast("long")), 1))
 
+  /** Rank-free 32-bit z-key of a DOUBLE column: IEEE-754 bits remapped
+    * to an order-preserving integer (functions/ZorderBits), top 32 bits
+    * kept. Locality in key space tracks locality in double order — and
+    * unlike a `percent_rank` key, it costs one codegen'd projection, not
+    * a global sort/window pass over the 100 TB table being clustered.
+    * (The top 32 bits are sign + exponent + 20 mantissa bits: plenty to
+    * separate row groups unless the column is near-constant.)
+    */
+  def doubleKey(c: Column): Column =
+    shiftrightunsigned(
+      graft.functions.bits.double_sortable_bits(c)
+        .bitwiseXOR(lit(Long.MinValue)), 32)
+
   /** Re-cluster df on the z-order of (a, b): one range shuffle into
     * `numPartitions` z-contiguous partitions, rows sorted by z within
     * each, so a columnar writer downstream produces row groups tight in

@@ -421,6 +421,35 @@ object ColeSuite {
               SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
               ORDER BY query_id, rank""")),
 
+    // #127 rank-free double z-order: cluster on (IEEE-sortable-bits key of
+    // l_extendedprice, l_partkey) — no percent_rank/global-sort pass —
+    // then answer a 2-D (double-range, int-range) predicate from the v2
+    // layout; ZorderSpec proves the same layout halves surviving row
+    // groups vs a linear sort.
+    Q("cole_zorder_double", (s, d) => {
+      val dir = dirFor(d, "zorder_dbl")
+      writeOnce(dir) {
+        graft.operators.Zorder.cluster(
+            Tables.lineitem(s, d).select("l_orderkey", "l_partkey",
+              "l_returnflag", "l_extendedprice"),
+            graft.operators.Zorder.doubleKey(col("l_extendedprice")),
+            col("l_partkey"), numPartitions = 4)
+          .write.format("cole").mode("overwrite")
+          .option("rowGroupSize", "8192").save(dir)
+      }
+      s.read.format("cole").load(dir)
+        .filter(col("l_extendedprice") < 5000.0 && col("l_partkey") < 400)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("l_returnflag")
+    },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+                ${dsumSql("l_extendedprice")} AS sum_price
+              FROM lineitem
+              WHERE l_extendedprice < 5000.0 AND l_partkey < 400
+              GROUP BY l_returnflag
+              ORDER BY l_returnflag""")),
+
     // #126 format v2 TIMESTAMP (UTC-adjusted, id 4 — cole_roundtrip_double
     // covers only the NTZ flavor): the events stream table through .col —
     // instant semantics, double value column, strings — aggregated per

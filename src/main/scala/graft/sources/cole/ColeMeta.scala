@@ -24,7 +24,9 @@ object ColeMeta {
       uncompressed_size: Int,
       min_int: Option[Long],
       max_int: Option[Long],
-      null_count: Int)
+      null_count: Int,
+      min_double: Option[Double],
+      max_double: Option[Double])
 
   private def typeName(t: ColeType): String = t match {
     case TInt32 => "INT32"
@@ -55,7 +57,8 @@ object ColeMeta {
             chunk.pages.zipWithIndex.map { case (ph, pIdx) =>
               PageRow(file, rgIdx, colMeta.name, typeName(colMeta.colType),
                 encName(ph.encoding), pIdx, ph.numValues, ph.uncompressedSize,
-                ph.stats.minInt, ph.stats.maxInt, ph.stats.nullCount)
+                ph.stats.minInt, ph.stats.maxInt, ph.stats.nullCount,
+                ph.stats.minD, ph.stats.maxD)
             }
           }
         }

@@ -54,6 +54,70 @@ class ZorderSpec extends AnyFunSuite {
       s"unsigned z order violated: ${got.toSeq}")
   }
 
+  test("sortableDoubleBits: signed-long order equals double order") {
+    import graft.functions.BitsRuntime.sortableDoubleBits
+    val rnd = new scala.util.Random(7)
+    val specials = Seq(Double.NegativeInfinity, -Double.MaxValue, -1.5e300,
+      -1.0, -Double.MinPositiveValue, -0.0, 0.0, Double.MinPositiveValue,
+      1.0, 1.5e300, Double.MaxValue, Double.PositiveInfinity)
+    val doubles = (specials ++ Seq.fill(10000)(
+      rnd.nextDouble() * math.pow(10, rnd.nextInt(600) - 300) *
+        (if (rnd.nextBoolean()) -1 else 1))).sorted
+    doubles.sliding(2).foreach { case Seq(a, b) =>
+      val (ka, kb) = (sortableDoubleBits(a), sortableDoubleBits(b))
+      // strictly monotone; == refines to IEEE total order (-0.0 < +0.0,
+      // same as java.lang.Double.compare), which clustering is free to use
+      assert(if (a < b) ka < kb else ka <= kb,
+        s"order broken: $a -> $ka vs $b -> $kb")
+    }
+    // -0.0 and +0.0 compare equal as doubles but both must stay below
+    // every positive and above every negative
+    assert(sortableDoubleBits(-0.0) < sortableDoubleBits(Double.MinPositiveValue))
+    assert(sortableDoubleBits(0.0) > sortableDoubleBits(-Double.MinPositiveValue))
+    assert(sortableDoubleBits(Double.NaN) > sortableDoubleBits(Double.PositiveInfinity))
+  }
+
+  test("doubleKey z-order prunes a 2-D (double, int) predicate rank-free") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_extendedprice")
+    val base = "/tmp/graft_zorder_dbl_spec"
+    val linDir = s"$base/linear"
+    val zDir = s"$base/zorder"
+    li.repartitionByRange(2, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.format("cole").mode("overwrite")
+      .option("rowGroupSize", "512").save(linDir)
+    Zorder.cluster(li, Zorder.doubleKey(col("l_extendedprice")), col("l_partkey"),
+        numPartitions = 2)
+      .write.format("cole").mode("overwrite")
+      .option("rowGroupSize", "512").save(zDir)
+
+    // row groups a (l_extendedprice < 5000 AND l_partkey < 100) scan must
+    // read, from the footers' double + int stats
+    def overlapping(dir: String): (Long, Long) = {
+      val rg = ColeMeta.describe(spark, dir)
+        .filter(col("column").isin("l_extendedprice", "l_partkey"))
+        .groupBy("file", "row_group")
+        .agg(
+          min(when(col("column") === "l_extendedprice", col("min_double"))).as("price_mn"),
+          min(when(col("column") === "l_partkey", col("min_int"))).as("pk_mn"))
+      val total = rg.count()
+      val hit = rg.filter(col("price_mn") < 5000.0 && col("pk_mn") < 100).count()
+      (hit, total)
+    }
+    val (linHit, linTotal) = overlapping(linDir)
+    val (zHit, zTotal) = overlapping(zDir)
+    assert(linTotal >= 10 && zTotal >= 10, s"want >=10 row groups, got $linTotal/$zTotal")
+    assert(zHit * 2 <= linHit,
+      s"double z-order must at least halve surviving groups: z $zHit/$zTotal vs linear $linHit/$linTotal")
+
+    // identical data back through the double-range scan on both layouts
+    val pred = col("l_extendedprice") < 5000.0 && col("l_partkey") < 100
+    val a = spark.read.format("cole").load(linDir).filter(pred)
+    val b = spark.read.format("cole").load(zDir).filter(pred)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("z-order layout prunes 2-D predicates a linear sort cannot") {
     val li = Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
