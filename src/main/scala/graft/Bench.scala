@@ -32,6 +32,13 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val runs = SparkEntry.queries.map { case (name, fn) =>
+      // JMH-style inter-query hygiene: collect the previous queries' dead
+      // broadcast/shuffle state (System.gc also fires Spark's weak-ref
+      // ContextCleaner) so accumulated heap debt isn't charged to
+      // whichever query the Map's hash order happens to place next —
+      // observed as one arbitrary victim query measuring 3× slower in
+      // the suite than in isolation.
+      System.gc()
       once(fn) // warm-up: plan compilation + codegen JIT, untimed
       name -> Seq.fill(TimedRuns)(once(fn))
     }
