@@ -165,6 +165,39 @@ class EventsPipelineSpec extends AnyFunSuite {
     assert(back.select("event_id").distinct().count() === events.size)
   }
 
+  test("COLE is the streaming transport: cole source -> windowed agg == batch twin") {
+    // the full composition §2.3 × §2.8: events live in the NATIVE format
+    // (v2 timestamps + doubles), stream OUT of it in bounded micro-batches,
+    // and the watermarked windowed agg over that stream must agree with
+    // the batch twin over the same .col table — no parquet in the loop
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cole_transport").toString
+    val events = orderedEvents()
+    // three time-ordered appends, ONE file each (coalesce) — so the
+    // per-file trigger replay preserves event-time order and the 1-hour
+    // watermark never sees in-slice stragglers as late
+    events.grouped(events.size / 3 + 1).foreach { slice =>
+      slice.toDF().coalesce(1).write.format("cole").mode("append").save(dir)
+    }
+    val q = EventsPipeline.windowedAgg(
+        s.readStream.format("cole").option("maxFilesPerTrigger", "1").load(dir))
+      .writeStream.format("memory").queryName("cole_transport_win")
+      .outputMode(OutputMode.Update).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cole_transport_win")
+      .groupBy("hour_start", "event_type")
+      .agg(max(struct(col("n"), col("sum_value"))).as("last"))
+      .select(col("hour_start"), col("event_type"),
+        col("last.n").as("n"), col("last.sum_value").as("sum_value"))
+    val batch = EventsPipeline.windowedAgg(spark.read.format("cole").load(dir))
+    assert(batch.count() > 0)
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("streaming session_window end-to-end produces rows") {
     // Session-window streaming aggs emit only finalized sessions → Append
     // mode; the watermark (event-time high-mark minus 10min) closes all but
