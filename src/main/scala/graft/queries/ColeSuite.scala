@@ -362,6 +362,51 @@ object ColeSuite {
                 MIN(price_n) AS min_price
               FROM t GROUP BY prio_n ORDER BY prio_n""")),
 
+    // #127 null-aware aggregate pushdown (format v2): a null-injected
+    // table shaped so the WHOLE aggregation pushes into the source —
+    // COUNT(col) answers from footer nullCounts (metadata-only),
+    // SUM/MIN/MAX sweep the densely-encoded present values (the v2
+    // layout makes the dense sweep BE the null-ignoring aggregate), and
+    // the NULL group key forms its own group. Long sums keep the oracle
+    // hash exact (no FP reassociation); doubles contribute only MIN/MAX
+    // (exact). Pushdown shape pinned in ColeAggPushdownSpec +
+    // PlanAuditSpec.
+    Q("cole_nullable_agg", (s, d) => {
+      val dir = dirFor(d, "nullable_agg_v2")
+      writeOnce(dir) {
+        Tables.orders(s, d).select(
+          col("o_orderkey"),
+          when(col("o_orderkey") % 13 === 0, lit(null).cast("long"))
+            .otherwise(col("o_custkey")).as("key_n"),
+          when(col("o_orderkey") % 7 === 0, lit(null).cast("double"))
+            .otherwise(col("o_totalprice")).as("price_n"),
+          when(col("o_orderkey") % 11 === 0, lit(null).cast("string"))
+            .otherwise(col("o_orderpriority")).as("prio_n"))
+          .write.format("cole").mode("overwrite")
+          .option("formatVersion", "2").save(dir)
+      }
+      s.read.format("cole").load(dir)
+        .groupBy("prio_n")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("key_n")).as("n_key"),
+          count(col("price_n")).as("n_price"),
+          sum("key_n").as("sum_key"),
+          min("key_n").as("min_key"), max("key_n").as("max_key"),
+          min("price_n").as("min_price"), max("price_n").as("max_price"))
+        .orderBy("prio_n")
+    },
+      Some("""WITH t AS (SELECT
+                CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_custkey END AS key_n,
+                CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END AS price_n,
+                CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_orderpriority END AS prio_n
+              FROM orders)
+              SELECT prio_n, COUNT(*) AS n_rows, COUNT(key_n) AS n_key,
+                COUNT(price_n) AS n_price,
+                CAST(SUM(key_n) AS BIGINT) AS sum_key,
+                MIN(key_n) AS min_key, MAX(key_n) AS max_key,
+                MIN(price_n) AS min_price, MAX(price_n) AS max_price
+              FROM t GROUP BY prio_n ORDER BY prio_n""")),
+
     // #124 format v2 FLOAT_VECTOR: the embeddings table — the engine's
     // native ANN input — through .col and back. The oracle checksum is
     // cross-engine exact: float32→float64 widening and the power-of-two

@@ -357,10 +357,10 @@ class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration,
         DoubleType | StringType => true
       case _ => false
     }
-    // the pushed readers' count/sum/min-max sweeps assume DENSE chunks;
-    // a null-bearing v2 table falls back to the vectorized scan (Spark's
-    // own aggregate then applies exact SQL null semantics)
-    if (ColeMetaCache.infos(path, conf).exists(_.meta.anyNulls)) return false
+    // null-bearing v2 tables push too: encoded page values cover present
+    // rows only (the sweep IS the null-ignoring aggregate), COUNT(col)
+    // answers from footer nullCounts, and the readers carry per-column
+    // counts + NULL group keys for exact SQL null semantics
     // group keys must be scalar: the agg readers accumulate int/long/
     // double/string keys; a FLOAT_VECTOR key falls back to the normal scan
     val groups = aggregation.groupByExpressions.map(e =>
@@ -369,7 +369,7 @@ class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration,
     val specs = aggregation.aggregateExpressions.map {
       case _: CountStar => Some(ColeAggSpec("count_star", null))
       case c: Count if !c.isDistinct =>
-        aggRef(c.column).map(ColeAggSpec("count", _)) // dense chunks: count = rows
+        aggRef(c.column).map(ColeAggSpec("count", _)) // rows − footer nullCount
       case m: Min => aggRef(m.column).filter(minMaxOk).map(ColeAggSpec("min", _))
       case m: Max => aggRef(m.column).filter(minMaxOk).map(ColeAggSpec("max", _))
       case s: Sum if !s.isDistinct =>
@@ -383,7 +383,8 @@ class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration,
     // aggregate, typed as the partial buffer Spark's rewritten final
     // aggregation expects
     aggSchema = StructType(
-      pushedGroupCols.map(g => StructField(g, fullSchema(g).dataType, nullable = false)) ++
+      pushedGroupCols.map(g =>
+        StructField(g, fullSchema(g).dataType, fullSchema(g).nullable)) ++
         pushedAggs.zipWithIndex.map { case (sp, i) =>
           val dt = sp.kind match {
             case "min" | "max" => fullSchema(sp.column).dataType
@@ -433,11 +434,11 @@ class ColeAggScan(path: String, conf: Configuration, groupCols: Seq[String],
 
   // partition-column predicates prune whole files at planning; only
   // data-column predicates reach the readers' selection vectors.
-  // IsNotNull claims are vacuous here: aggregation pushdown is refused
-  // outright for null-bearing tables (pushAggregation), so every chunk
-  // this scan reads is dense.
+  // Claimed IsNotNull is dropped PER FILE below when the column is
+  // null-free there (keeping the metadata-only paths); null-bearing v2
+  // files enforce it row-exactly in the selection loop.
   private val (partPreds, preds) =
-    allPreds.filterNot(_.isNotNullClaim).partition(p => partCols.contains(p.column))
+    allPreds.partition(p => partCols.contains(p.column))
 
   private def partitionKeeps(p: ColePredicate, raw: String): Boolean =
     ColePredicate.partitionKeeps(p, raw)
@@ -465,6 +466,11 @@ class ColeAggScan(path: String, conf: Configuration, groupCols: Seq[String],
       else {
         val meta = info.meta
         val nameToIdx = meta.columns.map(_.name).zipWithIndex.toMap
+        // IsNotNull on a null-free column is vacuous for THIS file: drop
+        // it so dense files keep the preds-empty metadata/stat-only agg
+        // paths (same per-file discipline as the row scan)
+        val filePreds = preds.filter(p => !p.isNotNullClaim ||
+          nameToIdx.get(p.column).exists(meta.columnHasNulls))
         // partition group columns are per-file constants — they need no
         // chunk, so they never enter the projected column set
         val colIndices = (groupCols.filterNot(partCols.contains) ++
@@ -472,13 +478,13 @@ class ColeAggScan(path: String, conf: Configuration, groupCols: Seq[String],
           .map(nameToIdx(_)).toArray
         val rgs = meta.rowGroups.zipWithIndex.collect {
           case (rg, rgIdx) if rg.numRows > 0 &&
-              !ColePredicate.skipRowGroup(rg, nameToIdx, preds) &&
+              !ColePredicate.skipRowGroup(rg, nameToIdx, filePreds) &&
               // advisory bloom sidecar, same as the row scan: a filtered
               // aggregate's string point probe prunes row groups too
-              !ColeBloomIndex.skips(info.path, info.len, info.mtime, rgIdx, preds, conf) =>
+              !ColeBloomIndex.skips(info.path, info.len, info.mtime, rgIdx, filePreds, conf) =>
             (rgIdx, rg.numRows, colIndices.map(ci => rg.chunks(ci).totalSize).sum)
         }
-        ColePack.pack(info.path, colIndices, rgs, target, preds, info.partValues.toArray)
+        ColePack.pack(info.path, colIndices, rgs, target, filePreds, info.partValues.toArray)
       }
     }.toArray match {
       // a fully-pruned (or empty) table still needs ONE partial row for a
@@ -566,40 +572,51 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
     allValueCols.filter(ci => meta.columns(ci).colType == TDouble)
   private val strValueCols: Array[Int] =
     allValueCols.filter(ci => meta.columns(ci).colType == TString)
+  // COUNT(col) columns: per-group null-skipping counts, fed by validity
+  // bitmaps alone (dense chunks — footer-proven — count every row free)
+  private val cntCols: Array[Int] = aggs.collect {
+    case ColeAggSpec("count", c) => nameToIdx(c)
+  }.distinct.toArray
   private val slotOf: Map[Int, Int] = valueCols.zipWithIndex.toMap
   private val dblSlotOf: Map[Int, Int] = dblValueCols.zipWithIndex.toMap
   private val strSlotOf: Map[Int, Int] = strValueCols.zipWithIndex.toMap
-  private val slotWidth = 3 // sum, min, max per value column
+  private val cntSlotOf: Map[Int, Int] = cntCols.zipWithIndex.toMap
+  private val slotWidth = 4 // count, sum, min, max per numeric value column
+  private val DblSlotWidth = 3 // sum, min, max (counts live in dblCnt)
   private def newAccs(): Array[Long] = {
     val a = new Array[Long](1 + slotWidth * valueCols.length)
     var s = 0
     while (s < valueCols.length) {
-      a(1 + s * slotWidth + 1) = Long.MaxValue // min
-      a(1 + s * slotWidth + 2) = Long.MinValue // max
+      a(1 + s * slotWidth + 2) = Long.MaxValue // min
+      a(1 + s * slotWidth + 3) = Long.MinValue // max
       s += 1
     }
     a
   }
   private def newDblAccs(): Array[Double] = {
-    val a = new Array[Double](slotWidth * dblValueCols.length)
+    val a = new Array[Double](DblSlotWidth * dblValueCols.length)
     var s = 0
     while (s < dblValueCols.length) {
-      a(s * slotWidth + 1) = Double.PositiveInfinity // min
-      a(s * slotWidth + 2) = Double.NegativeInfinity // max
+      a(s * DblSlotWidth + 1) = Double.PositiveInfinity // min
+      a(s * DblSlotWidth + 2) = Double.NegativeInfinity // max
       s += 1
     }
     a
   }
 
-  /** Per-key accumulator: primitive slots for numeric aggregates, double
-    * slots for v2 double aggregates, plus (min, max) byte slots per
-    * string min/max column.
+  /** Per-key accumulator: primitive slots for numeric aggregates (with a
+    * non-null count per column so all-NULL groups emit NULL), double
+    * slots for v2 double aggregates, (min, max) byte slots per string
+    * min/max column, and per-column COUNT(col) slots.
     */
   private final class Acc {
     val num: Array[Long] = newAccs()
     val dbl: Array[Double] = if (dblValueCols.isEmpty) null else newDblAccs()
+    val dblCnt: Array[Long] =
+      if (dblValueCols.isEmpty) null else new Array[Long](dblValueCols.length)
     val str: Array[Array[Byte]] =
       if (strValueCols.isEmpty) null else new Array[Array[Byte]](2 * strValueCols.length)
+    val cnt: Array[Long] = if (cntCols.isEmpty) null else new Array[Long](cntCols.length)
   }
 
   // group key -> accumulator slots; LinkedHashMap for deterministic emission
@@ -610,13 +627,14 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
 
   @inline private def bump(a: Array[Long], slot: Int, v: Long): Unit = {
     val base = 1 + slot * slotWidth
-    a(base) += v
-    if (v < a(base + 1)) a(base + 1) = v
-    if (v > a(base + 2)) a(base + 2) = v
+    a(base) += 1 // non-null count
+    a(base + 1) += v
+    if (v < a(base + 2)) a(base + 2) = v
+    if (v > a(base + 3)) a(base + 3) = v
   }
 
   @inline private def bumpDbl(a: Array[Double], slot: Int, v: Double): Unit = {
-    val base = slot * slotWidth
+    val base = slot * DblSlotWidth
     a(base) += v
     if (v < a(base + 1)) a(base + 1) = v
     if (v > a(base + 2)) a(base + 2) = v
@@ -643,6 +661,7 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
   private var valueDataCur: Array[ColumnData] = null
   private var dblValueDataCur: Array[ColumnData] = null
   private var strValueDataCur: Array[ColumnData] = null
+  private var cntValidityCur: Array[Array[Boolean]] = null
   private var groupDataCur: Array[ColumnData] = null
   private var dictEntriesCur: Array[Array[Byte]] = null
   private var dictIdsCur: Array[Int] = null
@@ -657,6 +676,14 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
     valueDataCur = valueCols.map(ci => reader.readChunk(rgIdx, ci))
     dblValueDataCur = dblValueCols.map(ci => reader.readChunk(rgIdx, ci))
     strValueDataCur = strValueCols.map(ci => reader.readChunk(rgIdx, ci))
+    // COUNT(col): reuse null flags from an already-decoded value chunk;
+    // otherwise validity bitmaps alone (nothing read for dense chunks)
+    cntValidityCur = cntCols.map { ci =>
+      slotOf.get(ci).map(valueDataCur(_).nulls)
+        .orElse(dblSlotOf.get(ci).map(dblValueDataCur(_).nulls))
+        .orElse(strSlotOf.get(ci).map(strValueDataCur(_).nulls))
+        .getOrElse(reader.chunkValidity(rgIdx, ci))
+    }
     // dict fast path: single string FILE group column, all-DICT chunk —
     // accumulate per dict id, then fold ids into the global key map
     val dictView =
@@ -700,7 +727,8 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
             case Left(_) =>
               val cd = groupDataCur(fi); fi += 1
               key(gi) =
-                if (cd.ints != null) cd.ints(r)
+                if (cd.nulls != null && cd.nulls(r)) null // NULL group key
+                else if (cd.ints != null) cd.ints(r)
                 else if (cd.longs != null) cd.longs(r)
                 else if (cd.doubles != null) cd.doubles(r)
                 else UTF8String.fromBytes(cd.strings(r))
@@ -720,17 +748,29 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
     var s = 0
     while (s < valueCols.length) {
       val cd = valueDataCur(s)
-      bump(a.num, s, if (cd.ints != null) cd.ints(r).toLong else cd.longs(r))
+      if (cd.nulls == null || !cd.nulls(r))
+        bump(a.num, s, if (cd.ints != null) cd.ints(r).toLong else cd.longs(r))
       s += 1
     }
     s = 0
     while (s < dblValueCols.length) {
-      bumpDbl(a.dbl, s, dblValueDataCur(s).doubles(r))
+      val cd = dblValueDataCur(s)
+      if (cd.nulls == null || !cd.nulls(r)) {
+        a.dblCnt(s) += 1
+        bumpDbl(a.dbl, s, cd.doubles(r))
+      }
       s += 1
     }
     s = 0
     while (s < strValueCols.length) {
-      bumpStr(a.str, s, strValueDataCur(s).strings(r))
+      val v = strValueDataCur(s).strings(r)
+      if (v != null) bumpStr(a.str, s, v) // expanded arrays: null slot = NULL row
+      s += 1
+    }
+    s = 0
+    while (s < cntCols.length) {
+      val nulls = cntValidityCur(s)
+      if (nulls == null || !nulls(r)) a.cnt(s) += 1
       s += 1
     }
   }
@@ -755,7 +795,7 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
     }
     curActive = false
     selCur = null; valueDataCur = null; dblValueDataCur = null
-    strValueDataCur = null; groupDataCur = null
+    strValueDataCur = null; cntValidityCur = null; groupDataCur = null
     dictEntriesCur = null; dictIdsCur = null; dictLocalCur = null
   }
 
@@ -764,14 +804,16 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
     var s = 0
     while (s < valueCols.length) {
       val b = 1 + s * slotWidth
-      into.num(b) += from.num(b)
-      if (from.num(b + 1) < into.num(b + 1)) into.num(b + 1) = from.num(b + 1)
-      if (from.num(b + 2) > into.num(b + 2)) into.num(b + 2) = from.num(b + 2)
+      into.num(b) += from.num(b) // non-null count
+      into.num(b + 1) += from.num(b + 1) // sum
+      if (from.num(b + 2) < into.num(b + 2)) into.num(b + 2) = from.num(b + 2)
+      if (from.num(b + 3) > into.num(b + 3)) into.num(b + 3) = from.num(b + 3)
       s += 1
     }
     s = 0
     while (s < dblValueCols.length) {
-      val b = s * slotWidth
+      val b = s * DblSlotWidth
+      into.dblCnt(s) += from.dblCnt(s)
       into.dbl(b) += from.dbl(b)
       if (from.dbl(b + 1) < into.dbl(b + 1)) into.dbl(b + 1) = from.dbl(b + 1)
       if (from.dbl(b + 2) > into.dbl(b + 2)) into.dbl(b + 2) = from.dbl(b + 2)
@@ -783,6 +825,8 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
       if (from.str(2 * s + 1) != null) bumpStr(into.str, s, from.str(2 * s + 1))
       s += 1
     }
+    s = 0
+    while (s < cntCols.length) { into.cnt(s) += from.cnt(s); s += 1 }
   }
 
   private def flush(): Unit = {
@@ -792,20 +836,29 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
         lazy val base = 1 + slotOf(ci) * slotWidth
         lazy val isInt32 = meta.columns(ci).colType == TInt32
         sp.kind match {
-          case "count_star" | "count" => a.num(0)
+          case "count_star" => a.num(0)
+          case "count" => a.cnt(cntSlotOf(ci))
           case kind if meta.columns(ci).colType == TString =>
             val b = a.str(2 * strSlotOf(ci) + (if (kind == "min") 0 else 1))
             if (b == null) null else UTF8String.fromBytes(b)
           case kind if meta.columns(ci).colType == TDouble =>
-            val b = dblSlotOf(ci) * slotWidth
-            kind match {
-              case "sum" => a.dbl(b)
-              case "min" => a.dbl(b + 1)
-              case "max" => a.dbl(b + 2)
+            // zero non-null values in the group: NULL, like Spark's buffers
+            if (a.dblCnt(dblSlotOf(ci)) == 0) null
+            else {
+              val b = dblSlotOf(ci) * DblSlotWidth
+              kind match {
+                case "sum" => a.dbl(b)
+                case "min" => a.dbl(b + 1)
+                case "max" => a.dbl(b + 2)
+              }
             }
-          case "sum" => a.num(base)
-          case "min" => if (isInt32) a.num(base + 1).toInt else a.num(base + 1)
-          case "max" => if (isInt32) a.num(base + 2).toInt else a.num(base + 2)
+          case kind =>
+            if (a.num(base) == 0) null // all-NULL group
+            else kind match {
+              case "sum" => a.num(base + 1)
+              case "min" => if (isInt32) a.num(base + 2).toInt else a.num(base + 2)
+              case "max" => if (isInt32) a.num(base + 3).toInt else a.num(base + 3)
+            }
         }
       }
       out.enqueue(InternalRow.fromSeq(vals))
@@ -817,12 +870,25 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
     // metadata-only group-by: every group key is a partition constant,
     // only counts are requested, and no filter is claimed — the partial
     // row comes from footer row counts without reading a single chunk
+    // (COUNT(col) additionally reads the footer's nullCounts, still no
+    // chunk bytes)
     if (fileGroupIdx.isEmpty && valueCols.isEmpty && dblValueCols.isEmpty &&
         strValueCols.isEmpty && part.preds.isEmpty) {
       if (!done) {
         done = true
         val a = new Acc
         a.num(0) = part.rowCounts.map(_.toLong).sum
+        var s = 0
+        while (s < cntCols.length) {
+          var n = 0L
+          var i = 0
+          while (i < part.rowGroups.length) {
+            n += part.rowCounts(i) - meta.chunkNullCount(part.rowGroups(i), cntCols(s))
+            i += 1
+          }
+          a.cnt(s) = n
+          s += 1
+        }
         if (a.num(0) > 0) {
           accs.put(groupSources.map(_.toOption.get).toSeq, a)
           flush()
@@ -882,9 +948,24 @@ class ColeAggReader(part: ColeInputPartition, aggs: Seq[ColeAggSpec],
         if (mm(1) == null || java.util.Arrays.compareUnsigned(v, mm(1)) > 0) mm(1) = v
       }
       var totalRows = 0L
+      // per-column null-skipping counts for COUNT(col): unfiltered they
+      // come from footer nullCounts alone (metadata-only); filtered, from
+      // validity bitmaps over the selection
+      val cntAccs = scala.collection.mutable.Map.empty[Int, Long]
+      val cntCols = aggs.collect { case ColeAggSpec("count", c) => nameToIdx(c) }.distinct
 
       if (part.preds.isEmpty) {
         totalRows = part.rowCounts.map(_.toLong).sum
+        cntCols.foreach { ci =>
+          var n = 0L
+          var i = 0
+          while (i < part.rowGroups.length) {
+            val rgIdx = part.rowGroups(i)
+            n += meta.rowGroups(rgIdx).numRows - meta.chunkNullCount(rgIdx, ci)
+            i += 1
+          }
+          cntAccs(ci) = n
+        }
         // per referenced column: one merged accumulator across the
         // partition's row groups; sweep pages only if some agg needs a
         // sum or a row group lacks stats — otherwise stats alone answer
@@ -902,7 +983,9 @@ class ColeAggReader(part: ColeInputPartition, aggs: Seq[ColeAggSpec],
               if (rg.max > a.max) a.max = rg.max
             } else reader.statsMinMax(rgIdx, ci) match {
               case Some((mn, mx)) =>
-                a.count += meta.rowGroups(rgIdx).numRows
+                // stats describe present rows only — count them, so an
+                // all-null partition still yields NULL min/max
+                a.count += meta.rowGroups(rgIdx).numRows - meta.chunkNullCount(rgIdx, ci)
                 if (mn < a.min) a.min = mn
                 if (mx > a.max) a.max = mx
               case None =>
@@ -925,9 +1008,14 @@ class ColeAggReader(part: ColeInputPartition, aggs: Seq[ColeAggSpec],
           while (i < part.rowGroups.length) {
             val rgIdx = part.rowGroups(i)
             val dict = reader.readStringChunkDict(rgIdx, ci)
+            // null-bearing chunks have no dict view: the expanded string
+            // array carries null slots the sweep must skip
             val vals = if (dict != null) dict._1 else reader.readChunk(rgIdx, ci).strings
             var j = 0
-            while (j < vals.length) { bumpStr(mm, vals(j)); j += 1 }
+            while (j < vals.length) {
+              if (vals(j) != null) bumpStr(mm, vals(j))
+              j += 1
+            }
             i += 1
           }
           mm
@@ -946,7 +1034,7 @@ class ColeAggReader(part: ColeInputPartition, aggs: Seq[ColeAggSpec],
               if (rg.max > a.max) a.max = rg.max
             } else meta.statsMinMaxD(rgIdx, ci) match {
               case Some((mn, mx)) =>
-                a.count += meta.rowGroups(rgIdx).numRows
+                a.count += meta.rowGroups(rgIdx).numRows - meta.chunkNullCount(rgIdx, ci)
                 if (mn < a.min) a.min = mn
                 if (mx > a.max) a.max = mx
               case None =>
@@ -982,21 +1070,49 @@ class ColeAggReader(part: ColeInputPartition, aggs: Seq[ColeAggSpec],
           val sel = ColePredicate.buildSelection(reader, rgIdx,
             part.rowCounts(i), nameToIdx, part.preds)
           totalRows += sel.length
+          // COUNT(col) over the selection: dense chunks (footer-proven)
+          // count every selected row without touching a byte; null-bearing
+          // chunks consult validity bitmaps only (values stay encoded)
+          cntCols.foreach { ci =>
+            val prev = cntAccs.getOrElse(ci, 0L)
+            if (meta.chunkNullCount(rgIdx, ci) == 0L)
+              cntAccs(ci) = prev + sel.length
+            else {
+              val isNull = reader.chunkValidity(rgIdx, ci)
+              var n = 0L
+              var j = 0
+              while (j < sel.length) { if (!isNull(sel(j))) n += 1; j += 1 }
+              cntAccs(ci) = prev + n
+            }
+          }
           valueCols.foreach { ci =>
             val cd = reader.readChunk(rgIdx, ci)
+            // expanded arrays carry placeholder slots at null rows — the
+            // null flags gate every accumulation (SQL aggregates skip NULL)
+            val nulls = cd.nulls
             if (isStrCol(ci)) {
               val mm = strAccs.getOrElseUpdate(ci, Array[Array[Byte]](null, null))
               var j = 0
-              while (j < sel.length) { bumpStr(mm, cd.strings(sel(j))); j += 1 }
+              while (j < sel.length) {
+                val v = cd.strings(sel(j))
+                if (v != null) bumpStr(mm, v)
+                j += 1
+              }
             } else if (isDblCol(ci)) {
               val a = dblAccs.getOrElseUpdate(ci, new ColeCodec.DblAgg)
               var j = 0
-              while (j < sel.length) { a.add(cd.doubles(sel(j))); j += 1 }
+              while (j < sel.length) {
+                val r = sel(j)
+                if (nulls == null || !nulls(r)) a.add(cd.doubles(r))
+                j += 1
+              }
             } else {
               val a = accs.getOrElseUpdate(ci, new ColeCodec.NumAgg)
               var j = 0
               while (j < sel.length) {
-                a.add(if (cd.ints != null) cd.ints(sel(j)).toLong else cd.longs(sel(j)))
+                val r = sel(j)
+                if (nulls == null || !nulls(r))
+                  a.add(if (cd.ints != null) cd.ints(r).toLong else cd.longs(r))
                 j += 1
               }
             }
@@ -1007,7 +1123,8 @@ class ColeAggReader(part: ColeInputPartition, aggs: Seq[ColeAggSpec],
 
       val values: Seq[Any] = aggs.map { sp =>
         sp.kind match {
-          case "count_star" | "count" => totalRows
+          case "count_star" => totalRows
+          case "count" => cntAccs.getOrElse(nameToIdx(sp.column), 0L)
           case kind if isStrCol(nameToIdx(sp.column)) =>
             strAccs.get(nameToIdx(sp.column)) match {
               case Some(mm) =>

@@ -224,25 +224,27 @@ final class ColeFileReader(path: String, conf: Configuration) extends AutoClosea
     val rg = meta.rowGroups(rgIdx)
     val cc = rg.chunks(colIdx)
     val colType = meta.columns(colIdx).colType
-    require(colType == TInt32 || colType == TInt64 || colType == TTimestamp,
+    require(colType == TInt32 || isLongBacked(colType),
       s"aggChunk requires an integral column; '${meta.columns(colIdx).name}' is $colType")
     val raw = readAt(cc.fileOffset, cc.totalSize.toInt)
     val c = new Cursor(raw, 0)
     val acc = new ColeCodec.NumAgg
     cc.pages.foreach { _ =>
       val ph = readPageHeader(c, meta.version, isDouble = false)
-      // the planner gates aggregate pushdown off for null-bearing tables —
-      // a sweep here would mis-count, so fail loudly rather than silently
-      if (ph.nullCount > 0)
-        throw new ColeFormatException("aggChunk over a null-bearing page")
       val pageData = pageCursor(c, ph)
+      // v2 null-bearing pages: encoded values cover PRESENT rows only
+      // behind the validity prefix, so the dense sweep over them IS the
+      // SQL null-ignoring aggregate — skip the bitmap, sweep `present`
+      // values, and acc.count accumulates non-null rows exactly
+      if (ph.nullCount > 0) readValidity(pageData, ph.numValues)
+      val present = ph.numValues - ph.nullCount
       (colType, ph.encoding) match {
-        case (TInt32, Plain) => aggPlainInt(pageData, ph.numValues, acc)
+        case (TInt32, Plain) => aggPlainInt(pageData, present, acc)
         case (TInt32, Rle) => aggRleInt(pageData, acc)
-        case (TInt32, Delta) => aggDeltaInt(pageData, ph.numValues, acc)
-        case (TInt64 | TTimestamp | TTimestampNtz, Plain) => aggPlainLong(pageData, ph.numValues, acc)
+        case (TInt32, Delta) => aggDeltaInt(pageData, present, acc)
+        case (TInt64 | TTimestamp | TTimestampNtz, Plain) => aggPlainLong(pageData, present, acc)
         case (TInt64 | TTimestamp | TTimestampNtz, Rle) => aggRleLong(pageData, acc)
-        case (TInt64 | TTimestamp | TTimestampNtz, Delta) => aggDeltaLong(pageData, ph.numValues, acc)
+        case (TInt64 | TTimestamp | TTimestampNtz, Delta) => aggDeltaLong(pageData, present, acc)
         case (t, e) => throw new ColeFormatException(s"$e not valid for $t")
       }
       c.pos += ph.compressedSize
@@ -260,11 +262,12 @@ final class ColeFileReader(path: String, conf: Configuration) extends AutoClosea
     val acc = new ColeCodec.DblAgg
     cc.pages.foreach { _ =>
       val ph = readPageHeader(c, meta.version, isDouble = true)
-      if (ph.nullCount > 0)
-        throw new ColeFormatException("aggChunkDouble over a null-bearing page")
       val pageData = pageCursor(c, ph)
+      // same null discipline as [[aggChunk]]: skip the validity prefix,
+      // sweep the densely-encoded present values
+      if (ph.nullCount > 0) readValidity(pageData, ph.numValues)
       ph.encoding match {
-        case Plain => aggPlainDouble(pageData, ph.numValues, acc)
+        case Plain => aggPlainDouble(pageData, ph.numValues - ph.nullCount, acc)
         case e => throw new ColeFormatException(s"$e not valid for DOUBLE")
       }
       c.pos += ph.compressedSize
@@ -277,6 +280,27 @@ final class ColeFileReader(path: String, conf: Configuration) extends AutoClosea
     */
   def statsMinMax(rgIdx: Int, colIdx: Int): Option[(Long, Long)] =
     meta.statsMinMax(rgIdx, colIdx)
+
+  /** Per-row isNull flags for one chunk, decoded from validity bitmaps
+    * alone (values stay encoded — the COUNT(col)-under-filter path);
+    * null when the footer proves the chunk dense.
+    */
+  def chunkValidity(rgIdx: Int, colIdx: Int): Array[Boolean] = {
+    val cc = meta.rowGroups(rgIdx).chunks(colIdx)
+    if (meta.chunkNullCount(rgIdx, colIdx) == 0L) return null
+    val raw = readAt(cc.fileOffset, cc.totalSize.toInt)
+    val c = new Cursor(raw, 0)
+    val isDbl = meta.columns(colIdx).colType == TDouble
+    val parts = scala.collection.mutable.ArrayBuffer[Array[Boolean]]()
+    cc.pages.foreach { _ =>
+      val ph = readPageHeader(c, meta.version, isDbl)
+      val pageData = pageCursor(c, ph)
+      parts += (if (ph.nullCount == 0) new Array[Boolean](ph.numValues)
+                else readValidity(pageData, ph.numValues))
+      c.pos += ph.compressedSize
+    }
+    parts.flatten.toArray
+  }
 
   /** Dictionary view of an all-DICTIONARY string chunk: (entries, per-row
     * ids), with multi-page chunks merged by offsetting ids into one

@@ -133,6 +133,13 @@ object ColeFormat {
       rowGroups.exists(_.chunks(colIdx).pages.exists(_.nullCount > 0))
 
     def anyNulls: Boolean = columns.indices.exists(columnHasNulls)
+
+    /** NULL count of one chunk, from footer page stats alone — what makes
+      * a pushed COUNT(col) over a null-bearing table metadata-only
+      * (count = rows − nulls, no page read).
+      */
+    def chunkNullCount(rgIdx: Int, colIdx: Int): Long =
+      rowGroups(rgIdx).chunks(colIdx).pages.iterator.map(_.nullCount.toLong).sum
   }
 
   final class ColeFormatException(msg: String) extends RuntimeException(msg)

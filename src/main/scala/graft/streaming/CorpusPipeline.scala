@@ -62,6 +62,53 @@ object CorpusPipeline {
       .dropDuplicates("doc_id")
   }
 
+  /** Static MinHash-LSH index of a reference corpus, built ONCE at
+    * stream start: `bands` = (band, bh, id) block keys, `sigs` =
+    * (id, sig). Kept as two tables so the band join never carries the
+    * ~1 KB signatures (the batch-side shuffle-width discipline, SURVEY
+    * §5) — signatures rejoin per candidate only. Cache both for
+    * per-micro-batch reuse.
+    */
+  final case class NearDupIndex(bands: DataFrame, sigs: DataFrame)
+
+  def nearDupIndex(corpus: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): NearDupIndex = {
+    val sigs = graft.operators.Dedup.minhashSignatures(corpus, idCol, textCol)
+    NearDupIndex(
+      graft.operators.Dedup.bandize(sigs).select("band", "bh", "id"),
+      sigs)
+  }
+
+  /** Streaming near-duplicate flagging — the ingest-time twin of batch
+    * `dedup_minhash_lsh`: arriving documents whose MinHash signature
+    * agrees with any indexed document in ≥ `tau` of positions are
+    * emitted as (doc_id, dup_id, est_jaccard) quarantine rows. Per
+    * micro-batch the work is: one shuffle-free signature projection
+    * (codegen'd `minhash_sig`), a stream-static equality join on the
+    * LSH band keys (candidates only — never all pairs), a signature
+    * rejoin per candidate, and the agreement filter; the one stateful
+    * op is the final dedup on the pair key (a pair is emitted once per
+    * stream lifetime). The same definition runs batch for the parity
+    * spec — batch = "replay everything in one micro-batch".
+    */
+  def flagNearDup(docs: DataFrame, index: NearDupIndex, tau: Double = 0.7,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val arriving = graft.operators.Dedup.minhashSignatures(docs, idCol, textCol)
+    graft.operators.Dedup.bandize(arriving)
+      .select(col("id").as("doc_id"), col("sig"), col("band"), col("bh"))
+      .join(index.bands.select(col("band"), col("bh"), col("id").as("dup_id")),
+        Seq("band", "bh"))
+      .filter(col("doc_id") =!= col("dup_id")) // self-match when re-streaming indexed docs
+      .join(index.sigs.select(col("id").as("dup_id"), col("sig").as("sig_b")), "dup_id")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / size(col("sig")))
+      .filter(col("est_jaccard") >= tau)
+      .select("doc_id", "dup_id", "est_jaccard")
+      .dropDuplicates("doc_id", "dup_id")
+  }
+
   /** Streaming ANN ingest: encode ARRIVING embedding rows with a PQ
     * codebook trained ONCE on a historical batch
     * (`graft.operators.Ann.trainPq`) and frozen. The model is KB-scale

@@ -141,6 +141,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"pushed aggregate list incomplete:\n$p")
   }
 
+  test("cole_nullable_agg: null-bearing v2 table keeps aggregate pushdown") {
+    val p = plan("cole_nullable_agg")
+    assert(p.contains("PushedAggregates"),
+      s"null-bearing tables must not lose aggregate pushdown:\n$p")
+    assert(p.contains("SUM(key_n)") && p.contains("COUNT(key_n)") &&
+      p.contains("MIN(price_n)"),
+      s"pushed aggregate list incomplete over nullable columns:\n$p")
+    assert(p.contains("PushedGroupBy: [prio_n]"),
+      s"grouping by the nullable key must push too:\n$p")
+  }
+
   test("cole_topn pushes the sort threshold into the source (PushedTopN)") {
     val p = plan("cole_topn")
     assert(p.contains("PushedTopN"),

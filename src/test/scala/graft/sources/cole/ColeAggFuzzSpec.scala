@@ -123,6 +123,71 @@ class ColeAggFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("null fuzz: pushed aggregates == DataFrame aggregates under v2 null masks") {
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(2, 13); n <- Seq(1, 100, 8192, 8193, 20000)) {
+      val rnd = new scala.util.Random(seed)
+      val nGroups = 1 + rnd.nextInt(6)
+      val pNull = 0.05 + rnd.nextDouble() * 0.85 // sparse and dense masks alike
+      def mask[T](v: => T): Option[T] = if (rnd.nextDouble() < pNull) None else Some(v)
+      val rows = (0 until n).map { i =>
+        (i.toLong,
+          mask(rnd.nextLong() % 100000L),
+          mask(rnd.nextInt(1000) - 500),
+          mask((rnd.nextInt(2000) - 1000) * 0.5),
+          mask(s"g${rnd.nextInt(nGroups)}"))
+      }
+      val df = rows.toDF("id", "vl", "vi", "vd", "grp")
+      val dir = Files.createTempDirectory(s"cole_nullfuzz_${seed}_$n").toString
+      df.coalesce(1).write.format("cole").mode("overwrite")
+        .option("formatVersion", "2").option("rowGroupSize", "4096").save(dir)
+      val cole = s.read.format("cole").load(dir)
+
+      // the null-bearing table must still take the pushed-aggregate path
+      val probe = cole.agg(sum("vl"))
+      assert(probe.queryExecution.executedPlan.toString.contains("PushedAggregates"),
+        s"null-bearing v2 table lost aggregate pushdown (seed=$seed n=$n)")
+
+      def aggSet(d: org.apache.spark.sql.DataFrame) = d.agg(
+        count(lit(1)).as("c"), count(col("vl")).as("cl"), count(col("vd")).as("cd"),
+        count(col("grp")).as("cg"), sum("vl").as("sl"), min("vl").as("ml"),
+        max("vl").as("xl"), sum("vi").as("si"), sum("vd").as("sd"),
+        min("vd").as("md"), max("vd").as("xd"), min("grp").as("mg"),
+        max("grp").as("xg"))
+      assert(aggSet(cole).head() === aggSet(df).head(),
+        s"global null agg diverged (seed=$seed n=$n pNull=$pNull)")
+
+      def grpSet(d: org.apache.spark.sql.DataFrame) = d.groupBy("grp").agg(
+          count(lit(1)).as("c"), count(col("vl")).as("cl"), sum("vl").as("s"),
+          min("vi").as("m"), max("vd").as("x"))
+        .collect().map(r => Option(r.getString(0)) -> r.toSeq.tail).toMap
+      assert(grpSet(cole) === grpSet(df),
+        s"grouped null agg diverged (seed=$seed n=$n pNull=$pNull groups=$nGroups)")
+
+      // claimed filters over null-bearing columns: nulls fail comparisons,
+      // IsNotNull enforced, aggregates stay exact
+      val lo = rnd.nextInt(1000) - 500
+      for (fc <- Seq(col("vi") >= lo, col("vl").isNotNull,
+          col("vi").isNotNull && col("vi") < lo, col("grp") === "g0")) {
+        def f(d: org.apache.spark.sql.DataFrame) = d.filter(fc)
+          .agg(count(lit(1)).as("c"), count(col("vd")).as("cd"),
+            sum("vl").as("s"), min("vl").as("m"))
+        assert(f(cole).head() === f(df).head(),
+          s"filtered null agg diverged (seed=$seed n=$n filter=$fc)")
+        assert(cole.filter(fc).count() === df.filter(fc).count(),
+          s"filtered count diverged (seed=$seed n=$n filter=$fc)")
+      }
+
+      // high-cardinality grouped (flush path) with nullable values
+      val gi = cole.groupBy("id").agg(sum("vl").as("s"), count(col("vl")).as("c"))
+        .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      val ei = df.groupBy("id").agg(sum("vl").as("s"), count(col("vl")).as("c"))
+        .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      assert(gi === ei, s"high-card grouped null agg diverged (seed=$seed n=$n)")
+    }
+  }
+
   test("same-column OR is claimed; cross-column OR stays residual") {
     val s = spark
     import s.implicits._

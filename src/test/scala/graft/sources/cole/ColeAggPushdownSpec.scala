@@ -225,6 +225,109 @@ class ColeAggPushdownSpec extends AnyFunSuite {
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
+  /** v2 null-bearing table: aggregation must still push (the round-6
+    * lever) and match exact SQL null semantics — COUNT(col) skips nulls,
+    * SUM/MIN/MAX ignore them, NULL group keys form their own group,
+    * all-NULL groups emit NULL, claimed IsNotNull is enforced.
+    */
+  private lazy val nullDir: String = {
+    val d = Files.createTempDirectory("cole_aggpush_null").toString
+    val s = spark
+    import s.implicits._
+    val df = (0 until 30000).map { i =>
+      (i.toLong,
+        if (i % 7 == 0) None else Some(i.toLong * 3), // nullable long
+        if (i % 5 == 0) None else Some(i * 0.25), // nullable double
+        if (i % 11 == 0) None else Some(s"g_${i % 4}"), // nullable group key
+        s"k_${i % 3}") // dense group key
+    }.toDF("id", "v", "d", "g", "k")
+    df.coalesce(1).write.format("cole").mode("overwrite")
+      .option("formatVersion", "2").option("rowGroupSize", "8192").save(d)
+    d
+  }
+
+  private def coleNull: DataFrame = spark.read.format("cole").load(nullDir)
+
+  test("null-bearing v2 table: global aggregates push with exact null semantics") {
+    val agg = coleNull.agg(
+      count(lit(1)).as("n"), count(col("v")).as("n_v"), count(col("d")).as("n_d"),
+      sum("v").as("s_v"), min("v").as("mn_v"), max("v").as("mx_v"),
+      min("d").as("mn_d"), max("d").as("mx_d"), min("g").as("mn_g"))
+    assert(scanOf(agg).isInstanceOf[ColeAggScan],
+      "null-bearing tables must not lose aggregate pushdown")
+    val r = agg.head()
+    val present = (0 until 30000).filter(_ % 7 != 0)
+    assert(r.getAs[Long]("n") === 30000L)
+    assert(r.getAs[Long]("n_v") === present.size.toLong)
+    assert(r.getAs[Long]("n_d") === (0 until 30000).count(_ % 5 != 0).toLong)
+    assert(r.getAs[Long]("s_v") === present.map(_.toLong * 3).sum)
+    assert(r.getAs[Long]("mn_v") === 3L && r.getAs[Long]("mx_v") === 29999L * 3)
+    assert(r.getAs[Double]("mn_d") === 0.25 && r.getAs[Double]("mx_d") === 29999 * 0.25)
+    assert(r.getAs[String]("mn_g") === "g_0")
+  }
+
+  test("null-bearing v2 table: grouped aggregates push, NULL key groups") {
+    val grouped = coleNull.groupBy("g").agg(
+      count(lit(1)).as("n"), count(col("v")).as("n_v"),
+      sum("v").as("s"), min("d").as("mn_d"))
+    assert(scanOf(grouped).isInstanceOf[ColeAggScan])
+    val rows = grouped.collect().map { r =>
+      Option(r.getAs[String]("g")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_v"), r.getAs[Long]("s"),
+          if (r.isNullAt(r.fieldIndex("mn_d"))) None else Some(r.getAs[Double]("mn_d"))))
+    }.toMap
+    val expected = (0 until 30000)
+      .groupBy(i => if (i % 11 == 0) None else Some(s"g_${i % 4}"))
+      .map { case (k, is) =>
+        val vs = is.filter(_ % 7 != 0).map(_.toLong * 3)
+        val ds = is.filter(_ % 5 != 0).map(_ * 0.25)
+        k -> ((is.size.toLong, vs.size.toLong, vs.sum,
+          if (ds.isEmpty) None else Some(ds.min)))
+      }
+    assert(rows === expected)
+    assert(rows.contains(None), "NULL group key must form its own group")
+  }
+
+  test("null-bearing v2 table: all-NULL group emits NULL aggregates") {
+    val s = spark
+    import s.implicits._
+    val d = Files.createTempDirectory("cole_aggpush_allnull").toString
+    (0 until 100).map { i =>
+      (s"k_${i % 2}", if (i % 2 == 0) None else Some(i.toLong))
+    }.toDF("k", "v").coalesce(1).write.format("cole").mode("overwrite")
+      .option("formatVersion", "2").save(d)
+    val df = spark.read.format("cole").load(d)
+    val grouped = df.groupBy("k").agg(sum("v").as("s"), min("v").as("m"),
+      count(col("v")).as("n"))
+    assert(scanOf(grouped).isInstanceOf[ColeAggScan])
+    val byKey = grouped.collect().map(r => r.getAs[String]("k") -> r).toMap
+    assert(byKey("k_0").isNullAt(1) && byKey("k_0").isNullAt(2))
+    assert(byKey("k_0").getAs[Long]("n") === 0L)
+    assert(byKey("k_1").getAs[Long]("s") === (1 until 100 by 2).map(_.toLong).sum)
+    assert(byKey("k_1").getAs[Long]("n") === 50L)
+  }
+
+  test("claimed IsNotNull is enforced by the pushed aggregate") {
+    val agg = coleNull.filter(col("v").isNotNull)
+      .agg(count(lit(1)).as("n"), count(col("d")).as("n_d"))
+    assert(scanOf(agg).isInstanceOf[ColeAggScan],
+      s"IsNotNull must not block aggregate pushdown")
+    val r = agg.head()
+    val kept = (0 until 30000).filter(_ % 7 != 0)
+    assert(r.getAs[Long]("n") === kept.size.toLong,
+      "COUNT(*) under IS NOT NULL must exclude null rows")
+    assert(r.getAs[Long]("n_d") === kept.count(_ % 5 != 0).toLong)
+
+    // filtered + null-skipping sums together
+    val f = coleNull.filter(col("id") >= 10000).agg(sum("v").as("s"),
+      count(col("g")).as("n_g"))
+    assert(scanOf(f).isInstanceOf[ColeAggScan])
+    val fr = f.head()
+    assert(fr.getAs[Long]("s") ===
+      (10000 until 30000).filter(_ % 7 != 0).map(_.toLong * 3).sum)
+    assert(fr.getAs[Long]("n_g") === (10000 until 30000).count(_ % 11 != 0).toLong)
+  }
+
   test("pushed and unpushed plans agree on the reference-written fixture") {
     val fixture = getClass.getResource("/ref_fixture.col").getPath
     val df = spark.read.format("cole").load(fixture)

@@ -145,8 +145,9 @@ class ColeV2Spec extends AnyFunSuite {
       assert(math.abs(v - gWant(k)) <= math.ulp(gWant(k)) * 64, s"group $k")
     }
 
-    // a null-bearing table must NOT push (count/sum contracts break on
-    // sparse chunks) — and still answer exactly through the normal scan
+    // null-bearing tables PUSH too (round 6): COUNT(col) answers from
+    // footer nullCounts, SUM sweeps the densely-encoded present values —
+    // and the result matches exact SQL null semantics
     val nd = Files.createTempDirectory("cole_v2_agg_null").toString
     (0 until 1000).map(i => (i.toLong, if (i % 3 == 0) None else Some(i.toLong)))
       .toDF("id", "v")
@@ -154,8 +155,8 @@ class ColeV2Spec extends AnyFunSuite {
       .option("formatVersion", "2").save(nd)
     val nback = spark.read.format("cole").load(nd)
     val nagg = nback.agg(count(col("v")), sum(col("v")))
-    assert(!nagg.queryExecution.executedPlan.toString.contains("PushedAggregates"),
-      "null-bearing table must not push aggregates")
+    assert(nagg.queryExecution.executedPlan.toString.contains("PushedAggregates"),
+      "null-bearing table must keep aggregate pushdown (null-aware readers)")
     val nrow = nagg.head
     assert(nrow.getLong(0) === (0 until 1000).count(_ % 3 != 0).toLong)
     assert(nrow.getLong(1) === (0 until 1000).filter(_ % 3 != 0).map(_.toLong).sum)

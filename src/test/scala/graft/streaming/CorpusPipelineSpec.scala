@@ -124,6 +124,70 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(streamed.nonEmpty, "expected some contaminated docs at this SF")
   }
 
+  test("streaming near-dup flagging vs a static MinHash index == batch LSH") {
+    val s = spark
+    import s.implicits._
+    val all = docs()
+    // static reference corpus: the doc_id % 3 == 0 slice, indexed once
+    val corpus = all.filter(_.doc_id % 3 == 0)
+    val index = CorpusPipeline.nearDupIndex(corpus.toDF())
+    index.bands.cache(); index.sigs.cache()
+
+    // arriving stream: the rest, plus injected near-dups of indexed docs —
+    // exact copies (est 1.0) and one-word-appended mutations (high est)
+    val rest = all.filter(_.doc_id % 3 != 0)
+    val copies = corpus.take(5).map(d => d.copy(doc_id = d.doc_id + 2000000))
+    val mutated = corpus.slice(5, 10)
+      .map(d => d.copy(doc_id = d.doc_id + 3000000, text = d.text + " appended"))
+    val arriving = rest ++ copies ++ mutated
+
+    val tau = 0.6
+    val source = MemoryStream[Doc](spark)
+    val q = CorpusPipeline.flagNearDup(source.toDF(), index, tau)
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode(OutputMode.Append).start()
+    arriving.grouped(arriving.size / 3 + 1).foreach { batch =>
+      source.addData(batch)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("neardup_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // batch twin: same definition over the whole arrival set at once
+    val batchTwin = CorpusPipeline.flagNearDup(arriving.toDF(), index, tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batchTwin)
+
+    // every injected exact copy is flagged against its source doc
+    copies.foreach { d =>
+      assert(streamed.contains((d.doc_id, d.doc_id - 2000000)),
+        s"exact copy ${d.doc_id} not flagged")
+    }
+    // mutations keep most shingles: all should surface as near-dups
+    mutated.foreach { d =>
+      assert(streamed.contains((d.doc_id, d.doc_id - 3000000)),
+        s"mutated near-dup ${d.doc_id} not flagged")
+    }
+    // est_jaccard of an exact copy is 1.0
+    val exactEst = spark.table("neardup_stream")
+      .filter(col("doc_id") === copies.head.doc_id &&
+        col("dup_id") === copies.head.doc_id - 2000000)
+      .head().getDouble(2)
+    assert(exactEst === 1.0)
+
+    // a re-sent pair is emitted once per stream lifetime (stateful dedup):
+    // replay the copies and confirm no duplicate quarantine rows appear
+    val before = spark.table("neardup_stream").count()
+    // (fresh query name per start; reuse the stopped one's checkpointless
+    // memory sink is not possible, so assert in-run instead: the 3
+    // micro-batches above already re-banded overlapping docs and the
+    // pair set equals the batch twin's distinct pairs)
+    assert(before === streamed.size.toLong,
+      "duplicate (doc_id, dup_id) rows in the quarantine stream")
+    index.bands.unpersist(); index.sigs.unpersist()
+  }
+
   test("streaming PQ encode with a frozen codebook == batch encode") {
     val s = spark
     import s.implicits._
