@@ -21,6 +21,12 @@ object Engine {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // answer bare MIN/MAX/COUNT from parquet footers (off by default)
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // storage-partitioned joins: V2 scans reporting KeyGroupedPartitioning
+      // (the COLE source over hive-partitioned tables) join / aggregate on
+      // their partition keys with zero Exchange; pushPartValues lets the
+      // planner align sides whose partition-value sets differ
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       // runtime bloom filters: a selective join side seeds a bloom that
       // prunes the probe side's scan — the AQE twin of the explicit
       // operators/Bloom prefilter

@@ -407,6 +407,40 @@ object ColeSuite {
                 MIN(price_n) AS min_price, MAX(price_n) AS max_price
               FROM t GROUP BY prio_n ORDER BY prio_n""")),
 
+    // #128 storage-partitioned join: customer and supplier co-partitioned
+    // by nationkey into .col tables; the scan reports its hive-partition
+    // clustering (KeyGroupedPartitioning), so the within-nation join and
+    // the per-nation aggregate need NO shuffle of either table — the
+    // zero-exchange plan is pinned in ColeSpjSpec/PlanAuditSpec, the
+    // values here against DuckDB on the same join.
+    Q("cole_spj", (s, d) => {
+      val custDir = dirFor(d, "spj_cust")
+      val suppDir = dirFor(d, "spj_supp")
+      writeOnce(custDir) {
+        Tables.customer(s, d).select("c_custkey", "c_nationkey", "c_acctbal")
+          .write.format("cole").mode("overwrite")
+          .partitionBy("c_nationkey").save(custDir)
+      }
+      writeOnce(suppDir) {
+        Tables.supplier(s, d).select("s_suppkey", "s_nationkey", "s_acctbal")
+          .write.format("cole").mode("overwrite")
+          .partitionBy("s_nationkey").save(suppDir)
+      }
+      val c = s.read.format("cole").load(custDir)
+      val su = s.read.format("cole").load(suppDir)
+      c.join(su, c("c_nationkey") === su("s_nationkey"))
+        .groupBy(c("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min("c_acctbal").as("mn_cab"), max("c_acctbal").as("mx_cab"),
+          min("s_acctbal").as("mn_sab"), max("s_acctbal").as("mx_sab"))
+        .orderBy("nationkey")
+    },
+      Some("""SELECT c_nationkey AS nationkey, COUNT(*) AS n_pairs,
+                MIN(c_acctbal) AS mn_cab, MAX(c_acctbal) AS mx_cab,
+                MIN(s_acctbal) AS mn_sab, MAX(s_acctbal) AS mx_sab
+              FROM customer JOIN supplier ON c_nationkey = s_nationkey
+              GROUP BY 1 ORDER BY 1""")),
+
     // #124 format v2 FLOAT_VECTOR: the embeddings table — the engine's
     // native ANN input — through .col and back. The oracle checksum is
     // cross-engine exact: float32→float64 widening and the power-of-two

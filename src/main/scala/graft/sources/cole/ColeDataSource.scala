@@ -106,17 +106,30 @@ private[cole] object ColeUtil {
     case TFloatVec => ArrayType(FloatType, containsNull = false)
   }
 
-  /** Nullability is per column across the WHOLE listing: any v2 part file
-    * with a null-bearing page for the column makes it nullable (a mixed
-    * v1/v2 table must not promise non-null and then produce one).
+  /** Table schema = the UNION of every part file's columns, in first-seen
+    * order — schema evolution for long-lived tables: a part file written
+    * before a column existed reads that column as NULL (and a claimed
+    * filter on it prunes the whole file at planning). Nullability is per
+    * column across the WHOLE listing: a null-bearing v2 page OR any file
+    * missing the column makes it nullable. A type change for an existing
+    * name is NOT evolution — it fails loudly.
     */
   def toSparkSchemaOf(infos: Seq[ColeMetaCache.FileInfo]): StructType = {
-    val cols = infos.head.meta.columns
-    StructType(cols.zipWithIndex.map { case (c, ci) =>
-      val nullable = infos.exists { i =>
-        i.meta.columns.indices.contains(ci) && i.meta.columnHasNulls(ci)
+    val order = scala.collection.mutable.LinkedHashMap[String, ColeType]()
+    infos.foreach(i => i.meta.columns.foreach { c =>
+      order.get(c.name) match {
+        case None => order(c.name) = c.colType
+        case Some(t) => require(t == c.colType,
+          s"schema evolution cannot change column '${c.name}' from $t to " +
+            s"${c.colType} (file ${i.path}); rewrite the table instead")
       }
-      StructField(c.name, sparkType(c.colType), nullable)
+    })
+    StructType(order.toSeq.map { case (name, t) =>
+      val nullable = infos.exists { i =>
+        val ci = i.meta.columns.indexWhere(_.name == name)
+        ci < 0 || i.meta.columnHasNulls(ci)
+      }
+      StructField(name, sparkType(t), nullable)
     })
   }
 
@@ -377,6 +390,17 @@ class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration,
       case _ => None
     }
     if (specs.exists(_.isEmpty)) return false
+    // schema evolution: the agg readers address chunks by column index, so
+    // a file predating a referenced column (group key, agg input, or a
+    // claimed filter column) has no chunk to sweep — fall back to the row
+    // scan, whose per-file NULL vectors apply exact semantics
+    val referenced = (groups.flatten ++ specs.flatten.flatMap(s => Option(s.column)) ++
+      pushed.flatMap(ColePredicate.fromFilter).map(_.column))
+      .filterNot(partCols.contains).toSet
+    if (referenced.nonEmpty && ColeMetaCache.infos(path, conf).exists { i =>
+        val have = i.meta.columns.map(_.name).toSet
+        referenced.exists(!have.contains(_))
+      }) return false
     pushedGroupCols = groups.flatten.toSeq
     pushedAggs = specs.flatten.toSeq
     // positional contract: group-by fields first, then one field per
@@ -429,6 +453,17 @@ class ColeAggScan(path: String, conf: Configuration, groupCols: Seq[String],
     allPreds: Array[ColePredicate] = Array.empty,
     partCols: Set[String] = Set.empty)
     extends Scan with Batch {
+
+  // Deliberately NOT SupportsReportPartitioning: the aggregate-pushdown
+  // rewrite always interposes `Project [k AS group_col_N]` between this
+  // scan and the final aggregate, and ProjectExec's alias-aware
+  // partitioning propagation only rewrites Expression-based partitionings
+  // (hash/range) — a reported KeyGroupedPartitioning would never reach the
+  // aggregate. The exchange this leaves behind carries only the pushed
+  // PARTIAL rows (≤ one per group per file), which at 100 TB is noise next
+  // to the chunk sweeps the pushdown already avoided; the row scan's SPJ
+  // report (ColeScan.outputPartitioning) covers the cases where shuffle
+  // volume actually matters.
 
   private val hconf = new ColeHadoopConf(conf)
 
@@ -1648,7 +1683,17 @@ private[cole] object ColePredicate {
 final case class ColeInputPartition(file: String, rowGroups: Array[Int],
     colIndices: Array[Int], rowCounts: Array[Int],
     preds: Array[ColePredicate] = Array.empty,
-    partValues: Array[(String, String)] = Array.empty) extends InputPartition
+    partValues: Array[(String, String)] = Array.empty,
+    partKey: InternalRow = null) extends InputPartition with HasPartitionKey {
+  /** Typed hive-partition values, set only when the owning scan reports
+    * [[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]]
+    * — Spark then groups partitions by this key and co-partitioned joins /
+    * partition-key aggregates run with zero Exchange (storage-partitioned
+    * join). Null for unpartitioned tables, where the scan reports
+    * UnknownPartitioning and Spark never calls this.
+    */
+  override def partitionKey(): InternalRow = partKey
+}
 
 private[cole] object ColePack {
   /** Greedy-pack (rgIdx, rows, bytes) triples into partitions of roughly
@@ -1706,9 +1751,40 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
     topN: Option[(String, Boolean, Int)] = None,
     partCols: Set[String] = Set.empty,
     skipOnly: Array[ColeOrSkip] = Array.empty) extends Scan with Batch
-    with SupportsReportStatistics with SupportsRuntimeFiltering {
+    with SupportsReportStatistics with SupportsRuntimeFiltering
+    with SupportsReportPartitioning {
 
   private val hconf = new ColeHadoopConf(conf)
+
+  /** Hive-layout partition keys in directory-nesting order, with their
+    * inferred types — the scan's reported clustering. A table partitioned
+    * on the same keys as another joins it with NO shuffle on either side
+    * (storage-partitioned join), and a `groupBy(partition cols)` needs no
+    * exchange: at 100 TB that turns the dominant cost of a co-partitioned
+    * fact-fact join from a full-corpus shuffle into zero.
+    */
+  private lazy val partKeySchema: Seq[(String, String)] =
+    ColeMetaCache.partitionSchema(ColeMetaCache.infos(path, conf))
+
+  private[cole] def partKeyRow(pv: Array[(String, String)]): InternalRow = {
+    val m = pv.toMap
+    InternalRow.fromSeq(partKeySchema.map { case (k, tpe) =>
+      val raw = m(k)
+      tpe match {
+        case "int" => raw.toInt
+        case "long" => raw.toLong
+        case _ => UTF8String.fromString(raw)
+      }
+    })
+  }
+
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (partKeySchema.isEmpty)
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    else new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+      partKeySchema.map(k =>
+        org.apache.spark.sql.connector.expressions.Expressions.identity(k._1)).toArray,
+      ColeMetaCache.infos(path, conf).map(_.partValues).distinct.size)
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -1729,7 +1805,10 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
   private var runtimeFilters: Array[Filter] = Array.empty
 
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    fullSchema.fields
+    // only columns in the PRUNED read schema: Spark resolves these against
+    // the relation's (column-pruned) output, and a reference to a dropped
+    // column throws in PartitionPruning.getFilterableTableScan
+    required.fields
       .filter(f => f.dataType == IntegerType || f.dataType == LongType ||
         partCols.contains(f.name))
       .map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
@@ -1785,6 +1864,13 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
       else {
         val meta = info.meta
         val nameToIdx = meta.columns.map(_.name).zipWithIndex.toMap
+        // schema evolution: a file written before a claimed-filter column
+        // existed stores NULL for it on every row, and every claimed
+        // predicate (comparisons, IN, IsNotNull) rejects NULL — the whole
+        // file drops from planning, no byte read. `WHERE added_col > 0`
+        // thus prunes the entire pre-evolution tail of a 100 TB table.
+        if (preds.exists(p => !nameToIdx.contains(p.column))) Seq.empty
+        else {
         // a claimed IsNotNull is vacuous over null-free chunks; dropping
         // it PER FILE keeps the preds-empty fast paths (metadata counts,
         // guaranteed credit) intact for v1 tables while nullable v2
@@ -1792,7 +1878,9 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
         val filePreds = preds.filter(p => !p.isNotNullClaim ||
           nameToIdx.get(p.column).exists(meta.columnHasNulls))
         predsOf(info.path) = filePreds
-        val colIndices = fileRequired.fieldNames.map(nameToIdx(_))
+        // -1 = column absent from THIS file (pre-evolution): readers emit
+        // NULL vectors for it, zero bytes projected
+        val colIndices = fileRequired.fieldNames.map(nameToIdx.getOrElse(_, -1))
         meta.rowGroups.zipWithIndex.collect {
           case (rg, rgIdx) if !skipRowGroup(rg, nameToIdx, filePreds) &&
               !skipRowGroupIn(rg, nameToIdx, dataRuntime) &&
@@ -1807,8 +1895,9 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
               (filePreds.isEmpty ||
                 ColePredicate.fullyKeepsRowGroup(rg, nameToIdx, filePreds))
             (info.path, colIndices, rgIdx, rg.numRows,
-              colIndices.map(ci => rg.chunks(ci).totalSize).sum, mm, guaranteed,
-              info.partValues)
+              colIndices.filter(_ >= 0).map(ci => rg.chunks(ci).totalSize).sum,
+              mm, guaranteed, info.partValues)
+        }
         }
       }
     }
@@ -1840,12 +1929,17 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
         }
       case _ => survivors
     }
-    val parts = afterTopN.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+    val packed = afterTopN.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
       case (file, rgs) =>
         ColePack.pack(file, rgs.head._2,
           rgs.map(r => (r._3, r._4, r._5)).sortBy(_._1), target,
           predsOf.getOrElse(file, preds), rgs.head._8.toArray)
     }
+    // typed partition keys make every InputPartition key-groupable —
+    // outputPartitioning() reports the clustering these keys realize
+    val parts =
+      if (partKeySchema.isEmpty) packed
+      else packed.map(p => p.copy(partKey = partKeyRow(p.partValues)))
     // a pushed LIMIT with no row-dropping predicates can stop planning
     // once enough rows are covered, truncated at row-group granularity
     // (Spark trims to the exact count above the scan). Guard on the DATA
@@ -1962,6 +2056,8 @@ class ColeColumnarReader(part: ColeInputPartition, required: StructType,
       else ColePredicate.buildSelection(reader, rgIdx, part.rowCounts(i),
         nameToIdx, part.preds)
     columns = part.colIndices.map { ci =>
+      if (ci < 0) null // schema-evolution column absent from this file
+      else {
       val dict = reader.readStringChunkDict(rgIdx, ci)
       if (dict != null) {
         if (sel == null) dict
@@ -2012,6 +2108,7 @@ class ColeColumnarReader(part: ColeInputPartition, required: StructType,
             ColumnData(null, null, g, null, n)
           }
         }
+      }
       }
     }: Array[AnyRef]
     rgRows = if (sel == null) part.rowCounts(i) else sel.length
@@ -2076,6 +2173,8 @@ class ColeColumnarReader(part: ColeInputPartition, required: StructType,
         case (entries: Array[Array[Byte]], ids: Array[Int]) =>
           v.setDictionary(new ColeVectorDictionary(entries))
           v.reserveDictionaryIds(n).putInts(0, n, ids, offset)
+        case null => // schema evolution: column absent from this file
+          v.putNulls(0, n)
       }
       vecs(i) = v
       i += 1
@@ -2146,7 +2245,9 @@ class ColeRowReader(part: ColeInputPartition, required: StructType,
       sel = if (part.preds.isEmpty) null
         else ColePredicate.buildSelection(reader, rgIdx, part.rowCounts(rgPos),
           nameToIdx, part.preds)
-      columns = part.colIndices.map(ci => reader.readChunk(rgIdx, ci))
+      // -1 = schema-evolution column absent from this file: NULL for every row
+      columns = part.colIndices.map(ci =>
+        if (ci < 0) null else reader.readChunk(rgIdx, ci))
       rgRows = if (sel == null) part.rowCounts(rgPos) else sel.length
       row = 0
     }
@@ -2174,7 +2275,8 @@ class ColeRowReader(part: ColeInputPartition, required: StructType,
     while (i < columns.length) {
       val c = columns(i)
       values(i) =
-        if (c.nulls != null && c.nulls(r)) null
+        if (c == null) null // column absent from this file (schema evolution)
+        else if (c.nulls != null && c.nulls(r)) null
         else if (c.ints != null) c.ints(r)
         else if (c.longs != null) c.longs(r)
         else if (c.doubles != null) c.doubles(r)

@@ -152,6 +152,27 @@ class PlanAuditSpec extends AnyFunSuite {
       s"grouping by the nullable key must push too:\n$p")
   }
 
+  test("cole_spj: co-partitioned .col tables join with zero table shuffle") {
+    // broadcast off to expose the partitioned-join machinery (at audit SF
+    // every dim fits in one broadcast); bucketing on as in Engine.session
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("cole_spj")
+      val joinIdx = p.linesIterator.indexWhere(_.contains("SortMergeJoin"))
+      assert(joinIdx >= 0, s"expected a sort-merge join under SPJ:\n$p")
+      // no Exchange anywhere below the join: both sides read key-grouped
+      val below = p.linesIterator.drop(joinIdx).mkString("\n")
+      assert(!below.contains("Exchange"),
+        s"storage-partitioned join must not shuffle either side:\n$p")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+    }
+  }
+
   test("cole_topn pushes the sort threshold into the source (PushedTopN)") {
     val p = plan("cole_topn")
     assert(p.contains("PushedTopN"),
