@@ -552,13 +552,21 @@ object RelationalSuite {
     // division would not).
     Q("tpch_q17", (s, d) => {
       val li = Tables.lineitem(s, d)
-      val perPart = li.groupBy(col("l_partkey").as("agg_pk"))
+      val partKeys = broadcast(Tables.part(s, d)
+        .filter(col("p_brand") === "Brand#3" && col("p_size") <= 20)
+        .select("p_partkey"))
+      // The per-part average is only ever consumed for the ~4% of parts
+      // passing the brand/size filter, so semi-join lineitem against
+      // those keys BEFORE the groupBy: the l_partkey shuffle carries
+      // only qualifying rows instead of the whole table (the same
+      // prune-below-the-aggregate shape as tpch_q2 and tpch_q20).
+      val perPart = li
+        .join(partKeys, col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_partkey").as("agg_pk"))
         .agg(sum(dec(col("l_quantity")))
           .cast(org.apache.spark.sql.types.DecimalType(38, 4)).as("qty_sum"),
           count(lit(1)).as("qty_n"))
-      li.join(broadcast(Tables.part(s, d)
-          .filter(col("p_brand") === "Brand#3" && col("p_size") <= 20)
-          .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      li.join(partKeys, col("l_partkey") === col("p_partkey"))
         .join(perPart, col("l_partkey") === col("agg_pk"))
         .filter(dec(col("l_quantity")) * lit(5) * col("qty_n") < col("qty_sum"))
         .agg((psum(dmoney(col("l_extendedprice"))) / lit(7.0)).as("avg_yearly"))
@@ -748,11 +756,17 @@ object RelationalSuite {
     // 500·part_value > total (a decimal-fraction product would round
     // differently per engine).
     Q("tpch_q11", (s, d) => {
-      val byPart = Tables.lineitem(s, d)
-        .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
-          col("l_suppkey") === col("s_suppkey"))
+      // Reduce the filtered dimension FIRST: supplier ⋈ σ(nation) is a
+      // tiny broadcast build side (~1/25 of suppliers), so lineitem rows
+      // drop at their single join instead of surviving an unfiltered
+      // lineitem⋈supplier and only then meeting the nation predicate.
+      val natSupp = broadcast(Tables.supplier(s, d)
+        .select("s_suppkey", "s_nationkey")
         .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_5")),
           col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey"))
+      val byPart = Tables.lineitem(s, d)
+        .join(natSupp, col("l_suppkey") === col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(sum(dmoney(col("l_extendedprice")))
           .cast(org.apache.spark.sql.types.DecimalType(20, 4)).as("part_value_dec"))
