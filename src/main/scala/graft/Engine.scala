@@ -27,6 +27,15 @@ object Engine {
       // planner align sides whose partition-value sets differ
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      // the COLE warehouse catalog: resolves `cole.<ns>.<table>` to .col
+      // directories AND — the part that matters for scale — supplies the
+      // FunctionCatalog that lets Spark resolve a scan's reported
+      // bucket(n, col) transform. Hash-bucketed fact-fact joins
+      // (orders ⋈ lineitem on orderkey) are zero-Exchange ONLY through
+      // this catalog; identity-partitioned SPJ covers dimension-grade keys.
+      .config("spark.sql.catalog.cole", "graft.sources.cole.ColeCatalog")
+      .config("spark.sql.catalog.cole.warehouse",
+        sys.env.getOrElse("GRAFT_COLE_WAREHOUSE", "/tmp/graft_cole/warehouse"))
       // runtime bloom filters: a selective join side seeds a bloom that
       // prunes the probe side's scan — the AQE twin of the explicit
       // operators/Bloom prefilter

@@ -23,14 +23,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects; read it as epoch-nanos long and convert to a microsecond
-    * timestamp (UTC session), matching DuckDB's wall-clock view of the data.
+  /** events.ts arrives in whatever precision the driver generated:
+    * TIMESTAMP(NANOS) parquet (older fixtures) loads as epoch-nanos long
+    * under `nanosAsLong` and converts to a microsecond timestamp;
+    * TIMESTAMP(MICROS) without UTC adjustment loads as TIMESTAMP_NTZ and
+    * casts in the UTC session. Either way downstream queries see a
+    * TimestampType whose wall clock matches DuckDB's view of the file.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = load(s, d, "events")
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

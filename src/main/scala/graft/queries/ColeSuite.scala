@@ -20,6 +20,8 @@ object ColeSuite {
   private lazy val writerFingerprint: String = {
     val crc = new java.util.zip.CRC32()
     Seq("graft/sources/cole/ColeDataWriter.class",
+        "graft/sources/cole/ColeBucketedDataWriter.class",
+        "graft/sources/cole/ColeBucket$.class",
         "graft/sources/cole/ColeFileWriter.class",
         "graft/sources/cole/ColeCodec$.class",
         "graft/sources/cole/ColeFormat$.class").foreach { res =>
@@ -554,6 +556,50 @@ object ColeSuite {
                 strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
                 MIN(event_id) AS min_id, MAX(event_id) AS max_id,
                 ${dsumSql("value")} AS sum_value
-              FROM events GROUP BY event_type ORDER BY event_type"""))
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // hash-bucketed storage-partitioned join: the fact-fact case identity
+    // partitioning can't serve. orders and lineitem land in .col tables
+    // bucketed 16 ways on the HIGH-cardinality orderkey (a directory per
+    // key would be absurd); read through the `cole` catalog, both scans
+    // report bucket(16, key) KeyGroupedPartitioning, the catalog's bucket
+    // function proves the sides co-partitioned, and the join + per-order
+    // aggregate run with ZERO Exchange on either side (pinned in
+    // ColeSpjBucketedSpec with broadcast off). At 100 TB this turns the
+    // dominant warehouse join from two full-table shuffles into none.
+    Q("cole_spj_bucketed", (s, d) => {
+      val wh = "/tmp/graft_cole/warehouse"
+      s.conf.set("spark.sql.catalog.cole", "graft.sources.cole.ColeCatalog")
+      s.conf.set("spark.sql.catalog.cole.warehouse", wh)
+      val ns = s"v${writerFingerprint}_spjb_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val ordDir = s"$wh/$ns/ord"
+      val liDir = s"$wh/$ns/li"
+      writeOnce(ordDir) {
+        Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+          .write.format("cole").mode("overwrite")
+          .option("bucketBy", "16:o_orderkey").save(ordDir)
+      }
+      writeOnce(liDir) {
+        Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_quantity")
+          .write.format("cole").mode("overwrite")
+          .option("bucketBy", "16:l_orderkey").save(liDir)
+      }
+      val o = s.table(s"cole.$ns.ord")
+      val li = s.table(s"cole.$ns.li")
+      o.join(li, o("o_orderkey") === li("l_orderkey"))
+        .groupBy(o("o_orderkey").as("orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          max(col("o_totalprice")).as("price"),
+          min(col("l_extendedprice")).as("mn_ep"),
+          max(col("l_extendedprice")).as("mx_ep"),
+          min(col("l_quantity")).as("mn_qty"))
+        .orderBy("orderkey")
+    },
+      Some("""SELECT o_orderkey AS orderkey, COUNT(*) AS n_items,
+                MAX(o_totalprice) AS price,
+                MIN(l_extendedprice) AS mn_ep, MAX(l_extendedprice) AS mx_ep,
+                MIN(l_quantity) AS mn_qty
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              GROUP BY 1 ORDER BY 1"""))
   )
 }

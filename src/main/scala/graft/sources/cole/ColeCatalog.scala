@@ -1,0 +1,303 @@
+package graft.sources.cole
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hash-bucketed table layout for the COLE format.
+  *
+  * A bucketed table routes every row to one of `numBuckets` hashed buckets
+  * of its bucket column — directories `_bucket=<b>/` under the table root,
+  * described by a `_bucketspec` sidecar. Two tables bucketed the same way
+  * on their join key are CO-PARTITIONED BY CONSTRUCTION: read through
+  * [[ColeCatalog]], their scans report a bucket-transform
+  * KeyGroupedPartitioning and Spark plans the join with ZERO Exchange on
+  * either side (storage-partitioned join). This is the fact-fact answer —
+  * hive-style identity partitioning (cole_spj) only suits low-cardinality
+  * keys like nationkey; `orders ⋈ lineitem ON orderkey` at 100 TB needs
+  * hashed buckets, exactly like parquet `bucketBy` but in the native
+  * format (and without Hive metastore state: the layout self-describes).
+  *
+  * The reference engine has no joins at all (README "Limitations") — this
+  * is engine-own scale machinery.
+  */
+object ColeBucket {
+  /** Reserved directory key for bucket ids; never a table column. */
+  val DirKey = "_bucket"
+  val SpecFile = "_bucketspec"
+
+  /** 64-bit avalanche mix (the murmur3 fmix64 constants — public domain).
+    * Writer routing and the catalog's `bucket` V2 function MUST agree on
+    * this: partition-value correctness of every bucketed join rests on
+    * both tables placing equal keys in equal buckets.
+    */
+  def mix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+    z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
+    z ^ (z >>> 33)
+  }
+
+  def bucketOf(key: Long, n: Int): Int =
+    Math.floorMod(mix64(key), n.toLong).toInt
+
+  /** FNV-1a 64 over UTF-8 bytes, then the same avalanche. */
+  def bucketOfBytes(b: Array[Byte], n: Int): Int = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < b.length) { h ^= (b(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    Math.floorMod(mix64(h), n.toLong).toInt
+  }
+
+  /** Parse a `bucketBy` write option: `"<n>:<column>"`. */
+  def parseOption(v: String): (Int, String) = {
+    val i = v.indexOf(':')
+    require(i > 0 && i < v.length - 1,
+      s"bucketBy must be '<numBuckets>:<column>', got '$v'")
+    val n = v.substring(0, i).trim.toInt
+    require(n > 0, s"bucketBy needs a positive bucket count, got $n")
+    (n, v.substring(i + 1).trim)
+  }
+
+  def specPath(table: String): String = s"$table/$SpecFile"
+
+  /** Decode a V2 partition transform: identity(c) ↦ Left(c) (hive
+    * directory partitioning), bucket(n, c) ↦ Right((n, c)) (hashed
+    * layout). Anything else is rejected loudly.
+    */
+  def decodeTransform(t: Transform): Either[String, (Int, String)] = t.name() match {
+    case "identity" if t.references.length == 1 &&
+        t.references.head.fieldNames.length == 1 =>
+      Left(t.references.head.fieldNames.head)
+    case "bucket" =>
+      val n = t.arguments().collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_]
+            if l.dataType == IntegerType => l.value.asInstanceOf[Int]
+      }.getOrElse(throw new IllegalArgumentException(s"bucket transform without a count: $t"))
+      require(t.references.length == 1 && t.references.head.fieldNames.length == 1,
+        s"COLE buckets on exactly one plain column, got $t")
+      Right((n, t.references.head.fieldNames.head))
+    case other => throw new IllegalArgumentException(
+      s"COLE supports identity and bucket partition transforms, not $other")
+  }
+
+  /** Persist the bucket spec sidecar (idempotent overwrite). */
+  def writeSpec(table: String, conf: Configuration, n: Int, column: String): Unit = {
+    val (fs, p) = ColeIO.resolve(specPath(table), conf)
+    val out = fs.create(p, true)
+    try out.write(s"1\n$n\n$column\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def readSpec(table: String, conf: Configuration): Option[(Int, String)] = {
+    val (fs, p) = ColeIO.resolve(specPath(table), conf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      val lines = txt.split('\n')
+      require(lines.length >= 3 && lines(0) == "1",
+        s"unreadable $SpecFile at $table")
+      Some((lines(1).toInt, lines(2)))
+    }
+  }
+}
+
+/** The catalog-registered `bucket` function — what lets Spark PROVE two
+  * bucketed scans are co-partitioned. V2ScanPartitioningAndOrdering
+  * resolves a scan's reported bucket transform only through the
+  * relation's FunctionCatalog; compatibility between the two join sides
+  * compares the bound functions' `canonicalName` and bucket counts
+  * (KeyGroupedShuffleSpec), and Spark may also EVALUATE the function
+  * (`produceResult`) to re-bucket a non-bucketed side when
+  * `v2.bucketing.shuffle.enabled` is armed — so the implementation here is
+  * the writer's routing hash, not a lookalike.
+  */
+object ColeBucketFunction extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, col): COLE hashed-bucket id of col (int/long/string)"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"bucket takes (numBuckets, column); bound with ${inputType.fields.length} args")
+    require(inputType.fields(0).dataType == IntegerType,
+      s"bucket count must be INT, got ${inputType.fields(0).dataType}")
+    val keyType = inputType.fields(1).dataType
+    keyType match {
+      case IntegerType | LongType | StringType => ()
+      case other => throw new UnsupportedOperationException(
+        s"COLE buckets on INT/LONG/STRING keys, not $other")
+    }
+    new ScalarFunction[Integer] {
+      override def inputTypes(): Array[DataType] = Array(IntegerType, keyType)
+      override def resultType(): DataType = IntegerType
+      override def name(): String = "bucket"
+      override def canonicalName(): String = "graft.cole.bucket"
+      override def isResultNullable: Boolean = false
+      override def produceResult(input: InternalRow): Integer = {
+        val n = input.getInt(0)
+        keyType match {
+          case IntegerType => ColeBucket.bucketOf(input.getInt(1).toLong, n)
+          case LongType => ColeBucket.bucketOf(input.getLong(1), n)
+          case StringType => ColeBucket.bucketOfBytes(input.getUTF8String(1).getBytes, n)
+        }
+      }
+    }
+  }
+}
+
+/** Minimal V2 catalog over a warehouse directory of COLE tables:
+  * `cole.<name>` ↦ `<warehouse>/<name>` (nested namespaces map to nested
+  * directories). Tables self-describe — schema from the file footers'
+  * union, hive partition columns from `key=value` directories, bucket
+  * layout from the `_bucketspec` sidecar — so the catalog holds NO state
+  * beyond the directory tree, exactly the property that lets a 1000-node
+  * cluster share it with no metastore service.
+  *
+  * Registering it (spark.sql.catalog.cole=graft.sources.cole.ColeCatalog)
+  * is what unlocks storage-partitioned joins on bucketed tables: only a
+  * catalog-resolved relation carries the FunctionCatalog that Spark needs
+  * to resolve the reported bucket transform.
+  */
+class ColeCatalog extends TableCatalog with FunctionCatalog with SupportsNamespaces {
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = options.get("warehouse")
+    require(warehouse != null,
+      s"set spark.sql.catalog.$name.warehouse to the COLE warehouse directory")
+  }
+
+  override def name(): String = catalogName
+
+  private def conf: Configuration = ColeIO.driverConf()
+
+  private def tablePath(ident: Identifier): String =
+    (warehouse +: ident.namespace().toSeq :+ ident.name()).mkString("/")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = (warehouse +: namespace.toSeq).mkString("/")
+    val (fs, p) = ColeIO.resolve(dir, conf)
+    if (!fs.exists(p)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(p).filter(_.isDirectory)
+      .map(s => Identifier.of(namespace, s.getPath.getName))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val path = tablePath(ident)
+    val infos = ColeMetaCache.infos(path, conf)
+    if (infos.isEmpty) throw new NoSuchTableException(ident)
+    val bucketSpec = ColeBucket.readSpec(path, conf)
+    // hive partition columns append after data columns; the reserved
+    // _bucket directory key is layout, not schema
+    val partFields = ColeMetaCache.partitionSchema(infos)
+      .filterNot(_._1 == ColeBucket.DirKey)
+      .map { case (k, t) =>
+        StructField(k, t match {
+          case "int" => IntegerType
+          case "long" => LongType
+          case _ => StringType
+        }, nullable = false)
+      }
+    val schema = StructType(ColeUtil.toSparkSchemaOf(infos).fields.toSeq ++ partFields)
+    new ColeTable(schema, partFields.map(_.name),
+      Map("path" -> path), bucketSpec)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val path = tablePath(ident)
+    val (fs, p) = ColeIO.resolve(path, conf)
+    if (fs.exists(p) && ColeIO.listPartitioned(path, conf).nonEmpty)
+      throw new TableAlreadyExistsException(ident)
+    if (!fs.exists(p)) fs.mkdirs(p)
+    // decode transforms: identity → hive partition columns, bucket → spec
+    var partCols = Vector.empty[String]
+    var bucketSpec: Option[(Int, String)] = None
+    partitions.foreach { t =>
+      ColeBucket.decodeTransform(t) match {
+        case Left(c) => partCols = partCols :+ c
+        case Right(spec) =>
+          require(bucketSpec.isEmpty, "at most one bucket transform")
+          bucketSpec = Some(spec)
+      }
+    }
+    bucketSpec.foreach { case (n, c) => ColeBucket.writeSpec(path, conf, n, c) }
+    new ColeTable(schema, partCols, properties.asScala.toMap + ("path" -> path),
+      bucketSpec)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "COLE tables evolve by writing files at the new schema (read-time union)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val (fs, p) = ColeIO.resolve(tablePath(ident), conf)
+    fs.exists(p) && fs.delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val (fs, o) = ColeIO.resolve(tablePath(oldIdent), conf)
+    val (_, n) = ColeIO.resolve(tablePath(newIdent), conf)
+    if (!fs.exists(o)) throw new NoSuchTableException(oldIdent)
+    require(fs.rename(o, n), s"rename failed: $o -> $n")
+  }
+
+  // ---- namespaces: directories under the warehouse
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val (fs, p) = ColeIO.resolve(warehouse, conf)
+    if (!fs.exists(p)) Array.empty
+    else fs.listStatus(p).filter(_.isDirectory).map(s => Array(s.getPath.getName))
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    val dir = (warehouse +: namespace.toSeq).mkString("/")
+    val (fs, p) = ColeIO.resolve(dir, conf)
+    if (namespace.nonEmpty && !fs.exists(p)) throw new NoSuchNamespaceException(namespace)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    val (fs, p) = ColeIO.resolve((warehouse +: namespace.toSeq).mkString("/"), conf)
+    fs.mkdirs(p)
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("COLE namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val (fs, p) = ColeIO.resolve((warehouse +: namespace.toSeq).mkString("/"), conf)
+    fs.exists(p) && fs.delete(p, cascade)
+  }
+
+  // ---- functions
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array.empty, "bucket"))
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name() == "bucket") ColeBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+
+  override def functionExists(ident: Identifier): Boolean = ident.name() == "bucket"
+}

@@ -40,8 +40,12 @@ class ColeDataSource extends TableProvider with DataSourceRegister {
     val infos = ColeMetaCache.infos(ColeUtil.path(options), ColeIO.driverConf())
     require(infos.nonEmpty, s"No .col files at ${ColeUtil.path(options)}")
     // hive-style layout: partition columns (from key=value directories)
-    // append after the file columns, like Spark's own file sources
-    val partFields = ColeMetaCache.partitionSchema(infos).map { case (k, t) =>
+    // append after the file columns, like Spark's own file sources. The
+    // reserved _bucket directory key is LAYOUT, not schema: a bucketed
+    // table stores its bucket column in the data files (the hash is
+    // lossy), so the directory key must not surface as a column.
+    val partFields = ColeMetaCache.partitionSchema(infos)
+      .filterNot(_._1 == ColeBucket.DirKey).map { case (k, t) =>
       StructField(k, t match {
         case "int" => IntegerType
         case "long" => LongType
@@ -156,7 +160,8 @@ private[cole] object ColeUtil {
 }
 
 class ColeTable(schema: StructType, writePartCols: Seq[String],
-    properties: Map[String, String])
+    properties: Map[String, String],
+    bucketSpec: Option[(Int, String)] = None)
     extends Table with SupportsRead with SupportsWrite {
 
   def this(schema: StructType, properties: Map[String, String]) =
@@ -166,14 +171,20 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
   override def schema(): StructType = schema
   override def partitioning(): Array[Transform] =
     writePartCols.map(c =>
-      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray ++
+      bucketSpec.map { case (n, c) =>
+        org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c) }
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
       TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val path = ColeUtil.path(options)
+    // catalog-resolved relations carry no read options — the path then
+    // comes from the table properties the catalog installed
+    val path = Option(options.get("path"))
+      .orElse(properties.get("path"))
+      .getOrElse(ColeUtil.path(options))
     // streaming rate limit rides the conf to the micro-batch stream (the
     // same zero-signature route the writer's compression codec takes)
     val conf = {
@@ -214,10 +225,20 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
         c
       }
     }
-    new ColeWriteBuilder(info.schema(),
-      properties.getOrElse("path", info.options().get("path")),
+    val path = properties.getOrElse("path", info.options().get("path"))
+    // hashed-bucket layout: an explicit bucketBy=<n>:<col> option, the
+    // catalog-declared spec, or (append into an existing bucketed table)
+    // the _bucketspec sidecar already on disk — later writers MUST route
+    // with the layout the table was created with
+    val buckets = Option(info.options().get("bucketBy"))
+      .map(ColeBucket.parseOption)
+      .orElse(bucketSpec)
+      .orElse(ColeBucket.readSpec(path, conf))
+    require(buckets.isEmpty || writePartCols.isEmpty,
+      "COLE tables are either hive-partitioned or hash-bucketed, not both")
+    new ColeWriteBuilder(info.schema(), path,
       info.options().getInt("rowGroupSize", 65536),
-      conf, writePartCols)
+      conf, writePartCols, buckets)
   }
 }
 
@@ -1778,13 +1799,31 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
     })
   }
 
+  /** Hashed-bucket layout, read lazily from the `_bucketspec` sidecar:
+    * when present, the clustering is `bucket(n, col)` — resolvable only
+    * through a [[ColeCatalog]]-provided FunctionCatalog, which is what
+    * lets two same-bucketed HIGH-cardinality tables (orders ⋈ lineitem on
+    * orderkey) join with zero Exchange; identity-partitioned SPJ only ever
+    * suited nation-grade keys. Non-catalog reads still plan fine — Spark
+    * just can't resolve the transform and falls back to shuffling.
+    */
+  private lazy val bucketSpec: Option[(Int, String)] =
+    ColeBucket.readSpec(path, conf)
+
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
-    if (partKeySchema.isEmpty)
-      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
-    else new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-      partKeySchema.map(k =>
-        org.apache.spark.sql.connector.expressions.Expressions.identity(k._1)).toArray,
-      ColeMetaCache.infos(path, conf).map(_.partValues).distinct.size)
+    bucketSpec match {
+      case Some((n, c)) if partKeySchema.map(_._1) == Seq(ColeBucket.DirKey) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)),
+          ColeMetaCache.infos(path, conf).map(_.partValues).distinct.size)
+      case _ =>
+        if (partKeySchema.isEmpty)
+          new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+        else new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          partKeySchema.map(k =>
+            org.apache.spark.sql.connector.expressions.Expressions.identity(k._1)).toArray,
+          ColeMetaCache.infos(path, conf).map(_.partValues).distinct.size)
+    }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -2296,7 +2335,8 @@ class ColeRowReader(part: ColeInputPartition, required: StructType,
 // ------------------------------------------------------------------ write
 
 class ColeWriteBuilder(schema: StructType, path: String, rowGroupSize: Int,
-    conf: Configuration, partCols: Seq[String] = Seq.empty)
+    conf: Configuration, partCols: Seq[String] = Seq.empty,
+    bucketSpec: Option[(Int, String)] = None)
     extends WriteBuilder with SupportsTruncate {
 
   private var doTruncate = false
@@ -2305,10 +2345,13 @@ class ColeWriteBuilder(schema: StructType, path: String, rowGroupSize: Int,
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new ColeBatchWrite(schema, path, rowGroupSize, doTruncate, conf, partCols)
+      new ColeBatchWrite(schema, path, rowGroupSize, doTruncate, conf, partCols,
+        bucketSpec)
     override def toStreaming: StreamingWrite = {
       if (doTruncate) throw new UnsupportedOperationException(
         "the cole streaming sink supports Append output mode only")
+      require(bucketSpec.isEmpty,
+        "the cole streaming sink does not write hashed-bucket layouts yet")
       new ColeStreamingWrite(schema, path, rowGroupSize, conf, partCols)
     }
   }
@@ -2317,7 +2360,8 @@ class ColeWriteBuilder(schema: StructType, path: String, rowGroupSize: Int,
 final case class ColeCommitMessage(files: Seq[String]) extends WriterCommitMessage
 
 class ColeBatchWrite(schema: StructType, path: String, rowGroupSize: Int,
-    truncate: Boolean, conf: Configuration, partCols: Seq[String])
+    truncate: Boolean, conf: Configuration, partCols: Seq[String],
+    bucketSpec: Option[(Int, String)] = None)
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -2327,13 +2371,27 @@ class ColeBatchWrite(schema: StructType, path: String, rowGroupSize: Int,
       s"partition column '$c' not in write schema"))
     require(partCols.size < schema.size,
       "cannot partition by every column: no data columns remain")
+    bucketSpec.foreach { case (n, c) =>
+      require(schema.fieldNames.contains(c), s"bucket column '$c' not in write schema")
+      schema.fields(schema.fieldIndex(c)).dataType match {
+        case IntegerType | LongType | StringType => ()
+        case other => throw new IllegalArgumentException(
+          s"COLE buckets on INT/LONG/STRING keys; '$c' is $other")
+      }
+      require(n > 0 && n <= 65536, s"bucket count must be in [1, 65536], got $n")
+    }
     val (fs, dir) = ColeIO.resolve(path, conf)
     if (!fs.exists(dir)) fs.mkdirs(dir)
     if (truncate)
       ColeIO.listPartitioned(path, conf).foreach { case (s, _) =>
         fs.delete(s.getPath, false)
       }
-    new ColeWriterFactory(schema, path, rowGroupSize, new ColeHadoopConf(conf), partCols)
+    // the layout self-describes: persist the bucket spec BEFORE any data
+    // lands, so a concurrent reader never sees bucketed files without the
+    // sidecar that explains them
+    bucketSpec.foreach { case (n, c) => ColeBucket.writeSpec(path, conf, n, c) }
+    new ColeWriterFactory(schema, path, rowGroupSize, new ColeHadoopConf(conf),
+      partCols, bucketSpec)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
@@ -2347,15 +2405,75 @@ class ColeBatchWrite(schema: StructType, path: String, rowGroupSize: Int,
 }
 
 class ColeWriterFactory(schema: StructType, path: String, rowGroupSize: Int,
-    hconf: ColeHadoopConf, partCols: Seq[String] = Seq.empty)
+    hconf: ColeHadoopConf, partCols: Seq[String] = Seq.empty,
+    bucketSpec: Option[(Int, String)] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    if (partCols.isEmpty)
-      new ColeDataWriter(schema, f"$path/part-$partitionId%05d-$taskId.col",
-        rowGroupSize, hconf.value)
-    else
-      new ColePartitionedDataWriter(schema, path, partitionId, taskId,
-        rowGroupSize, hconf.value, partCols)
+    bucketSpec match {
+      case Some((n, c)) =>
+        new ColeBucketedDataWriter(schema, path, partitionId, taskId,
+          rowGroupSize, hconf.value, n, c)
+      case None if partCols.isEmpty =>
+        new ColeDataWriter(schema, f"$path/part-$partitionId%05d-$taskId.col",
+          rowGroupSize, hconf.value)
+      case None =>
+        new ColePartitionedDataWriter(schema, path, partitionId, taskId,
+          rowGroupSize, hconf.value, partCols)
+    }
+}
+
+/** Hashed-bucket writer: routes each row to `_bucket=<b>/` by the shared
+  * [[ColeBucket]] hash of its bucket column. Unlike hive partitioning the
+  * hash is lossy, so ALL columns (the bucket key included) are stored in
+  * the data files; the directory key is pure layout. Each task holds at
+  * most `numBuckets` open sub-writers — bounded by the spec, not the data.
+  * At cluster scale the natural write shape is
+  * `df.repartition(n, col)`-ish input, but correctness never depends on
+  * it: any task can emit to any bucket.
+  */
+class ColeBucketedDataWriter(schema: StructType, baseDir: String,
+    partitionId: Int, taskId: Long, rowGroupSize: Int, conf: Configuration,
+    numBuckets: Int, bucketCol: String) extends DataWriter[InternalRow] {
+
+  private val ki = schema.fieldIndex(bucketCol)
+  private val keyType = schema.fields(ki).dataType
+  private val writers = new Array[ColeDataWriter](numBuckets)
+  private val closedFiles = scala.collection.mutable.ArrayBuffer.empty[String]
+
+  override def write(record: InternalRow): Unit = {
+    if (record.isNullAt(ki))
+      throw new ColeFormatException(
+        s"bucket column '$bucketCol' must be non-null (buckets place rows by key)")
+    val b = keyType match {
+      case IntegerType => ColeBucket.bucketOf(record.getInt(ki).toLong, numBuckets)
+      case LongType => ColeBucket.bucketOf(record.getLong(ki), numBuckets)
+      case _ => ColeBucket.bucketOfBytes(record.getUTF8String(ki).getBytes, numBuckets)
+    }
+    var w = writers(b)
+    if (w == null) {
+      w = new ColeDataWriter(schema,
+        f"$baseDir/${ColeBucket.DirKey}=$b/part-$partitionId%05d-$taskId.col",
+        rowGroupSize, conf)
+      writers(b) = w
+    }
+    w.write(record)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writers.foreach(w => if (w != null) closedFiles ++= w.commitFiles())
+    java.util.Arrays.fill(writers.asInstanceOf[Array[AnyRef]], null)
+    ColeCommitMessage(closedFiles.toSeq)
+  }
+
+  override def abort(): Unit = {
+    writers.foreach(w => if (w != null) w.abort())
+    closedFiles.foreach { f =>
+      val (fs, p) = ColeIO.resolve(f, conf)
+      fs.delete(p, false)
+    }
+  }
+
+  override def close(): Unit = ()
 }
 
 /** Hive-style partitioned writer: routes each row to a per-partition-value

@@ -20,6 +20,10 @@ class PlanAuditSpec extends AnyFunSuite {
     .config("spark.sql.adaptive.enabled", "false")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
+    // required by Tables.events (TIMESTAMP(NANOS) parquet) — Engine.session
+    // sets it too, but this suite must also pass under isolated testOnly
+    // runs where no Engine session pre-exists in the JVM
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .getOrCreate()
 
   private val sfDir = "/root/testdata/sf0.001"
@@ -166,6 +170,26 @@ class PlanAuditSpec extends AnyFunSuite {
       val below = p.linesIterator.drop(joinIdx).mkString("\n")
       assert(!below.contains("Exchange"),
         s"storage-partitioned join must not shuffle either side:\n$p")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+    }
+  }
+
+  test("cole_spj_bucketed: hash-bucketed fact-fact join with zero table shuffle") {
+    // the high-cardinality SPJ: both .col tables bucketed 16 ways on the
+    // orderkey; the catalog's bucket function proves co-partitioning
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("cole_spj_bucketed")
+      val joinIdx = p.linesIterator.indexWhere(_.contains("SortMergeJoin"))
+      assert(joinIdx >= 0, s"expected a sort-merge join under bucketed SPJ:\n$p")
+      val below = p.linesIterator.drop(joinIdx).mkString("\n")
+      assert(!below.contains("Exchange"),
+        s"bucketed storage-partitioned join must not shuffle either side:\n$p")
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")

@@ -1,0 +1,193 @@
+package graft.sources.cole
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hash-bucketed storage-partitioned joins — the fact-fact case.
+  *
+  * Identity-partitioned SPJ (ColeSpjSpec) needs one directory per key
+  * value, which only suits nation-grade cardinality. Bucketed layout
+  * routes rows to `_bucket=<b>/` by a shared hash (ColeBucket), the scan
+  * reports `bucket(n, col)` KeyGroupedPartitioning, and the `cole`
+  * catalog's FunctionCatalog lets Spark prove both sides co-partitioned —
+  * a high-cardinality orders ⋈ lineitem joins with ZERO Exchange.
+  */
+class ColeSpjBucketedSpec extends AnyFunSuite {
+
+  private lazy val warehouse =
+    Files.createTempDirectory("cole_bucket_wh").toString
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      .getOrCreate()
+    // set at runtime: the suite may inherit another suite's session, and
+    // catalogs resolve lazily from conf at first reference
+    s.conf.set("spark.sql.catalog.bwh", "graft.sources.cole.ColeCatalog")
+    s.conf.set("spark.sql.catalog.bwh.warehouse", warehouse)
+    s
+  }
+
+  private def countShuffles(df: DataFrame): Int = {
+    df.collect()
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      (if (p.isInstanceOf[ShuffleExchangeLike]) 1 else 0) +
+        p.children.map(walk).sum +
+        p.subqueries.map(walk).sum +
+        (p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            walk(q.plan)
+          case _ => 0
+        })
+    walk(df.queryExecution.executedPlan)
+  }
+
+  private def withConf[T](pairs: (String, String)*)(body: => T): T = {
+    val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** 20k-key fact table + 5-rows-per-key detail table, both bucketed 8
+    * ways on the join key. Keys are high-cardinality: identity
+    * partitioning would need 20k directories.
+    */
+  private lazy val written: Unit = {
+    val s = spark
+    import s.implicits._
+    (0 until 20000).map(i => (i.toLong, s"o$i", (i % 97).toDouble))
+      .toDF("okey", "otag", "oval")
+      .write.format("cole").mode("overwrite")
+      .option("bucketBy", "8:okey").save(s"$warehouse/ord")
+    (0 until 100000).map(i => (i.toLong / 5, i.toLong, (i % 13).toDouble))
+      .toDF("lkey", "lid", "lval")
+      .write.format("cole").mode("overwrite")
+      .option("bucketBy", "8:lkey").save(s"$warehouse/li")
+  }
+
+  test("bucketed layout self-describes and round-trips") {
+    written
+    val spec = ColeBucket.readSpec(s"$warehouse/ord", ColeIO.driverConf())
+    assert(spec === Some((8, "okey")))
+    // every row landed in the bucket the shared hash assigns its key
+    val files = ColeIO.listPartitioned(s"$warehouse/ord", ColeIO.driverConf())
+    assert(files.nonEmpty && files.forall(_._2.map(_._1) == Seq("_bucket")))
+    val byDir = spark.read.format("cole").load(s"$warehouse/ord")
+    assert(byDir.count() === 20000)
+    assert(byDir.schema.fieldNames.toSeq === Seq("okey", "otag", "oval"),
+      "_bucket is layout, not schema")
+    val got = spark.table("bwh.ord").select("okey", "otag", "oval")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got === (0 until 20000).map(i =>
+      (i.toLong, s"o$i", (i % 97).toDouble)).toSet)
+  }
+
+  test("writer and catalog bucket function place equal keys equally") {
+    written
+    // read each bucket directory directly; its rows' keys must hash there
+    for (b <- 0 until 8) {
+      val rows = spark.read.format("cole").load(s"$warehouse/ord/_bucket=$b")
+        .select("okey").collect().map(_.getLong(0))
+      assert(rows.nonEmpty, s"bucket $b empty — degenerate hash")
+      rows.foreach(k => assert(ColeBucket.bucketOf(k, 8) === b))
+    }
+  }
+
+  test("same-bucketed fact-fact join + per-key aggregate: zero Exchange") {
+    written
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val o = spark.table("bwh.ord")
+      val li = spark.table("bwh.li")
+      val joined = o.join(li, o("okey") === li("lkey"))
+        .groupBy(o("okey").as("k"))
+        .agg(count(lit(1)).as("n"), sum("lval").as("w"), max("oval").as("mx"))
+      assert(countShuffles(joined) === 0,
+        s"bucketed SPJ must leave no exchange:\n${joined.queryExecution.executedPlan}")
+      val got = joined.collect()
+      assert(got.length === 20000)
+      val m = got.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(m.values.forall(_ == 5L), "every key has exactly 5 detail rows")
+    }
+  }
+
+  test("bucketed join result matches the shuffled plan exactly") {
+    written
+    val o = spark.table("bwh.ord")
+    val li = spark.table("bwh.li")
+    def q = o.join(li, o("okey") === li("lkey")).select("okey", "lid", "oval", "lval")
+    val spj = withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      q.collect().map(_.toSeq).toSet
+    }
+    val shuffled = withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.sources.v2.bucketing.enabled" -> "false") {
+      q.collect().map(_.toSeq).toSet
+    }
+    assert(spj === shuffled)
+    assert(spj.size === 100000)
+  }
+
+  test("string bucket keys route consistently") {
+    val s = spark
+    import s.implicits._
+    (0 until 3000).map(i => (s"user_$i", i.toLong))
+      .toDF("uid", "n")
+      .write.format("cole").mode("overwrite")
+      .option("bucketBy", "4:uid").save(s"$warehouse/su")
+    (0 until 3000).map(i => (s"user_$i", (i % 11).toDouble))
+      .toDF("uid", "v")
+      .write.format("cole").mode("overwrite")
+      .option("bucketBy", "4:uid").save(s"$warehouse/sv")
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = spark.table("bwh.su").join(spark.table("bwh.sv"), "uid")
+      assert(countShuffles(j) === 0,
+        s"string-keyed bucketed SPJ must leave no exchange:\n${j.queryExecution.executedPlan}")
+      assert(j.count() === 3000)
+    }
+  }
+
+  test("appends into a bucketed table keep routing by the sidecar spec") {
+    val s = spark
+    import s.implicits._
+    val t = s"$warehouse/app"
+    (0 until 500).map(i => (i.toLong, "a")).toDF("k", "src")
+      .write.format("cole").mode("overwrite").option("bucketBy", "4:k").save(t)
+    // no bucketBy option on the append — the sidecar governs
+    (500 until 1000).map(i => (i.toLong, "b")).toDF("k", "src")
+      .write.format("cole").mode("append").save(t)
+    for (b <- 0 until 4) {
+      val ks = spark.read.format("cole").load(s"$t/_bucket=$b")
+        .select("k").collect().map(_.getLong(0))
+      ks.foreach(k => assert(ColeBucket.bucketOf(k, 4) === b,
+        s"appended row $k landed in wrong bucket $b"))
+    }
+    assert(spark.read.format("cole").load(t).count() === 1000)
+  }
+
+  test("hive-partitioned and bucketed layouts are mutually exclusive") {
+    val s = spark
+    import s.implicits._
+    val e = intercept[Exception] {
+      (0 until 10).map(i => (i, i % 2, s"x$i")).toDF("a", "p", "t")
+        .write.format("cole").mode("overwrite")
+        .partitionBy("p").option("bucketBy", "4:a")
+        .save(s"$warehouse/bad")
+    }
+    assert(e.getMessage.contains("not both"))
+  }
+}
