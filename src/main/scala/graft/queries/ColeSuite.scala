@@ -558,6 +558,43 @@ object ColeSuite {
                 ${dsumSql("value")} AS sum_value
               FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // COLE v2 DECIMAL: exact money in the NATIVE format — the engine's
+    // whole oracle discipline is decimal money math (SURVEY §4), and until
+    // now .col round-tripped money as DOUBLE. lineitem's price/quantity
+    // go through .col as DECIMAL(12,2)/DECIMAL(10,2) (stored as unscaled
+    // int64 + page stats in the unscaled domain), with a decimal-literal
+    // filter PUSHED into the scan and SUM/MIN/MAX answered in the decimal
+    // domain. Sums cast to DECIMAL(25,2) on both engines (Spark's sum
+    // widens to p+10, DuckDB's to 38 — the common cast pins the schema).
+    Q("cole_roundtrip_decimal", (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val dir = dirFor(d, "roundtrip_dec")
+      writeOnce(dir) {
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_returnflag"),
+            col("l_extendedprice").cast(DecimalType(12, 2)).as("price_dec"),
+            col("l_quantity").cast(DecimalType(10, 2)).as("qty_dec"))
+          .write.format("cole").mode("overwrite").save(dir)
+      }
+      s.read.format("cole").load(dir)
+        .filter(col("price_dec") < lit(new java.math.BigDecimal("5000.00")))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("price_dec")).cast(DecimalType(25, 2)).as("sum_price"),
+          min(col("price_dec")).as("mn_price"),
+          max(col("price_dec")).as("mx_price"),
+          sum(col("qty_dec")).cast(DecimalType(25, 2)).as("sum_qty"))
+        .orderBy("l_returnflag")
+    },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(25,2)) AS sum_price,
+                MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS mn_price,
+                MAX(CAST(l_extendedprice AS DECIMAL(12,2))) AS mx_price,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DECIMAL(25,2)) AS sum_qty
+              FROM lineitem
+              WHERE CAST(l_extendedprice AS DECIMAL(12,2)) < CAST('5000.00' AS DECIMAL(12,2))
+              GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // hash-bucketed storage-partitioned join: the fact-fact case identity
     // partitioning can't serve. orders and lineitem land in .col tables
     // bucketed 16 ways on the HIGH-cardinality orderkey (a directory per

@@ -105,6 +105,7 @@ private[cole] object ColeUtil {
     case TDouble => DoubleType
     case TTimestamp => TimestampType
     case TTimestampNtz => TimestampNTZType
+    case TDecimal(p, s) => DecimalType(p, s)
     // vector elements are dense by design: a missing embedding is a NULL
     // row, not a vector with null slots
     case TFloatVec => ArrayType(FloatType, containsNull = false)
@@ -150,9 +151,11 @@ private[cole] object ColeUtil {
         case TimestampType => (TTimestamp, Plain)
         case TimestampNTZType => (TTimestampNtz, Plain)
         case ArrayType(FloatType, _) => (TFloatVec, Plain)
+        case dt: DecimalType if dt.precision <= 18 && dt.scale >= 0 =>
+          (TDecimal(dt.precision, dt.scale), Plain)
         case other => throw new IllegalArgumentException(
           s"COLE format supports INT32/INT64/STRING (v1) + DOUBLE/TIMESTAMP/" +
-            s"ARRAY<FLOAT> (v2); column '${f.name}' is $other " +
+            s"DECIMAL(<=18)/ARRAY<FLOAT> (v2); column '${f.name}' is $other " +
             "(cast unsupported types before writing)")
       }
       ColeColumn(f.name, t, e)
@@ -288,6 +291,7 @@ class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration,
     if (partCols.contains(colName)) return false // constant per file: no stats
     fullSchema(colName).dataType match {
       case IntegerType | LongType | TimestampType | TimestampNTZType => // i64 page stats exist
+      case _: DecimalType => // unscaled i64 stats order = value order
       case _ => return false
     }
     topN = Some((colName,
@@ -326,18 +330,59 @@ class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration,
         colType(p.column) match {
           case Some(IntegerType | LongType | TimestampType | TimestampNTZType) =>
             !p.isString && !p.isDouble
+          case Some(_: DecimalType) => !p.isString && !p.isDouble
           case Some(DoubleType) => p.isDouble
           case Some(StringType) => p.isString
           case _ => false
         }
       }
     }
-    val (claimed, residual) = filters.partition(claimable)
-    pushed = claimed
+    // DECIMAL predicates rewrite into the UNSCALED long domain before the
+    // claim check: for a fixed scale the unscaled order is the value
+    // order, so `money < 5000.00` becomes `unscaled < 50000000` and rides
+    // the int64 stats/selection machinery untouched. A literal that does
+    // not rescale EXACTLY to the column's scale (would need rounding)
+    // stays residual — claiming it through a rounded value would be wrong.
+    def unscaled(c: String, v: Any): Option[Long] = colType(c) match {
+      case Some(dt: DecimalType) =>
+        val bd = v match {
+          case d: java.math.BigDecimal => d
+          case d: scala.math.BigDecimal => d.underlying
+          case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+          case _ => null
+        }
+        if (bd == null) None
+        else try Some(bd.setScale(dt.scale).unscaledValue().longValueExact())
+        catch { case _: ArithmeticException => None }
+      case _ => None
+    }
+    def toUnscaledDomain(f: Filter): Filter = f match {
+      case EqualTo(c, v) => unscaled(c, v).map(EqualTo(c, _)).getOrElse(f)
+      case GreaterThan(c, v) => unscaled(c, v).map(GreaterThan(c, _)).getOrElse(f)
+      case GreaterThanOrEqual(c, v) =>
+        unscaled(c, v).map(GreaterThanOrEqual(c, _)).getOrElse(f)
+      case LessThan(c, v) => unscaled(c, v).map(LessThan(c, _)).getOrElse(f)
+      case LessThanOrEqual(c, v) =>
+        unscaled(c, v).map(LessThanOrEqual(c, _)).getOrElse(f)
+      case Not(inner) => Not(toUnscaledDomain(inner))
+      case Or(l, r) => Or(toUnscaledDomain(l), toUnscaledDomain(r))
+      case In(c, vs) if vs.nonEmpty && !vs.contains(null) &&
+          colType(c).exists(_.isInstanceOf[DecimalType]) =>
+        val us = vs.map(unscaled(c, _))
+        if (us.forall(_.isDefined)) In(c, us.map(_.get: Any)) else f
+      case _ => f
+    }
+    // partition on the unscaled-domain form, but hand RESIDUALS back as
+    // the ORIGINAL objects — Spark rebuilds its catalyst expressions from
+    // the exact Filter instances it passed in
+    val pairs = filters.map(f => (f, toUnscaledDomain(f)))
+    val (claimedPairs, residualPairs) = pairs.partition(p => claimable(p._2))
+    pushed = claimedPairs.map(_._2)
     // residual cross-column ORs are still worth their page stats: keep a
     // skip-only form for row-group pruning (rows re-check the residual)
-    skipOnly = residual.flatMap(f => ColePredicate.skipOnlyFromFilter(f).toSeq)
-    residual
+    skipOnly = residualPairs.map(_._2)
+      .flatMap(f => ColePredicate.skipOnlyFromFilter(f).toSeq)
+    residualPairs.map(_._1)
   }
 
   private var skipOnly: Array[ColeOrSkip] = Array.empty
@@ -381,6 +426,8 @@ class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration,
       ref(e).filter(n => !partCols.contains(n))
     def sumOk(n: String): Boolean = fullSchema(n).dataType match {
       case IntegerType | LongType | DoubleType => true
+      // unscaled-long accumulation; emitted as Decimal at the partial row
+      case _: DecimalType => true
       case _ => false
     }
     // string MIN/MAX pushes globally (answered from dictionary entries or
@@ -389,6 +436,7 @@ class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration,
     def minMaxOk(n: String): Boolean = fullSchema(n).dataType match {
       case IntegerType | LongType | TimestampType | TimestampNTZType |
         DoubleType | StringType => true
+      case _: DecimalType => true
       case _ => false
     }
     // null-bearing v2 tables push too: encoded page values cover present
@@ -397,8 +445,14 @@ class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration,
     // counts + NULL group keys for exact SQL null semantics
     // group keys must be scalar: the agg readers accumulate int/long/
     // double/string keys; a FLOAT_VECTOR key falls back to the normal scan
+    // (decimal group KEYS also fall back: the accumulator hash keys by
+    // primitive value, and re-wrapping keys per emission isn't worth the
+    // rare decimal-grouped shape)
     val groups = aggregation.groupByExpressions.map(e =>
-      ref(e).filter(n => !fullSchema(n).dataType.isInstanceOf[ArrayType]))
+      ref(e).filter { n =>
+        val dt = fullSchema(n).dataType
+        !dt.isInstanceOf[ArrayType] && !dt.isInstanceOf[DecimalType]
+      })
     if (groups.exists(_.isEmpty)) return false
     val specs = aggregation.aggregateExpressions.map {
       case _: CountStar => Some(ColeAggSpec("count_star", null))
@@ -434,6 +488,10 @@ class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration,
           val dt = sp.kind match {
             case "min" | "max" => fullSchema(sp.column).dataType
             case "sum" if fullSchema(sp.column).dataType == DoubleType => DoubleType
+            case "sum" if fullSchema(sp.column).dataType.isInstanceOf[DecimalType] =>
+              // Spark's Sum(decimal) buffer type: 10 extra digits of headroom
+              val d = fullSchema(sp.column).dataType.asInstanceOf[DecimalType]
+              DecimalType(math.min(38, d.precision + 10), d.scale)
             case _ => LongType // counts and integral sums merge as BIGINT
           }
           // sum/min/max of zero surviving rows is NULL (counts are 0),
@@ -910,10 +968,21 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
             }
           case kind =>
             if (a.num(base) == 0) null // all-NULL group
-            else kind match {
-              case "sum" => a.num(base + 1)
-              case "min" => if (isInt32) a.num(base + 2).toInt else a.num(base + 2)
-              case "max" => if (isInt32) a.num(base + 3).toInt else a.num(base + 3)
+            else {
+              val raw = kind match {
+                case "sum" => a.num(base + 1)
+                case "min" => a.num(base + 2)
+                case "max" => a.num(base + 3)
+              }
+              meta.columns(ci).colType match {
+                // decimal sweeps run in the unscaled domain; the partial
+                // row re-wraps (sum carries +10 digits of headroom)
+                case TDecimal(p, sc) =>
+                  val prec = if (kind == "sum") math.min(38, p + 10) else p
+                  org.apache.spark.sql.types.Decimal.createUnsafe(raw, prec, sc)
+                case TInt32 if kind != "sum" => raw.toInt
+                case _ => raw
+              }
             }
         }
       }
@@ -1199,14 +1268,21 @@ class ColeAggReader(part: ColeInputPartition, aggs: Seq[ColeAggSpec],
             }
           case kind =>
             val ci = nameToIdx(sp.column)
-            val isInt32 = meta.columns(ci).colType == TInt32
             accs.get(ci).filter(_.count > 0) match {
               case None => null // zero surviving rows: NULL, like Spark's buffers
-              case Some(a) => kind match {
-                case "sum" => a.sum
-                case "min" => if (isInt32) a.min.toInt else a.min
-                case "max" => if (isInt32) a.max.toInt else a.max
-              }
+              case Some(a) =>
+                val raw = kind match {
+                  case "sum" => a.sum
+                  case "min" => a.min
+                  case "max" => a.max
+                }
+                meta.columns(ci).colType match {
+                  case TDecimal(p, sc) =>
+                    val prec = if (kind == "sum") math.min(38, p + 10) else p
+                    org.apache.spark.sql.types.Decimal.createUnsafe(raw, prec, sc)
+                  case TInt32 if kind != "sum" => raw.toInt
+                  case _ => raw
+                }
             }
         }
       }
@@ -2172,7 +2248,15 @@ class ColeColumnarReader(part: ColeInputPartition, required: StructType,
       columns(i) match {
         case c: ColumnData =>
           if (c.ints != null) v.putInts(0, n, c.ints, offset)
-          else if (c.longs != null) v.putLongs(0, n, c.longs, offset)
+          else if (c.longs != null) required.fields(i).dataType match {
+            // Spark's columnar layout stores precision<=9 decimals in the
+            // INT lane — a putLongs there would hit a null long buffer
+            case dt: DecimalType
+                if dt.precision <= org.apache.spark.sql.types.Decimal.MAX_INT_DIGITS =>
+              var r = 0
+              while (r < n) { v.putInt(r, c.longs(offset + r).toInt); r += 1 }
+            case _ => v.putLongs(0, n, c.longs, offset)
+          }
           else if (c.doubles != null) v.putDoubles(0, n, c.doubles, offset)
           else if (c.vecs != null) {
             // array column: bulk-fill the child float vector, then point
@@ -2317,7 +2401,13 @@ class ColeRowReader(part: ColeInputPartition, required: StructType,
         if (c == null) null // column absent from this file (schema evolution)
         else if (c.nulls != null && c.nulls(r)) null
         else if (c.ints != null) c.ints(r)
-        else if (c.longs != null) c.longs(r)
+        else if (c.longs != null) required.fields(i).dataType match {
+          // decimal chunks decode as unscaled longs — wrap at emission
+          case dt: DecimalType =>
+            org.apache.spark.sql.types.Decimal.createUnsafe(c.longs(r),
+              dt.precision, dt.scale)
+          case _ => c.longs(r)
+        }
         else if (c.doubles != null) c.doubles(r)
         else if (c.vecs != null)
           org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(c.vecs(r))
@@ -2548,6 +2638,8 @@ class ColePartitionedDataWriter(schema: StructType, protected val baseDir: Strin
           case IntegerType => proj.update(i, record.getInt(fi))
           case LongType | TimestampType | TimestampNTZType =>
             proj.update(i, record.getLong(fi))
+          case dt: DecimalType =>
+            proj.update(i, record.getDecimal(fi, dt.precision, dt.scale))
           case DoubleType => proj.update(i, record.getDouble(fi))
           // safe without a copy: the sub-writer extracts the floats before
           // this method returns and the source row is reused only after
@@ -2623,6 +2715,8 @@ class ColeDataWriter(schema: StructType, file: String, rowGroupSize: Int,
         case TInt64 => longBufs(i)(buffered) = record.getLong(i)
         case TTimestamp | TTimestampNtz =>
           longBufs(i)(buffered) = record.getLong(i) // micros
+        case TDecimal(p, s) => // unscaled int64 (precision <= 18 enforced)
+          longBufs(i)(buffered) = record.getDecimal(i, p, s).toUnscaledLong
         case TDouble => dblBufs(i)(buffered) = record.getDouble(i)
         case TString => strBufs(i)(buffered) = record.getUTF8String(i).getBytes
         case TFloatVec =>
@@ -2651,7 +2745,7 @@ class ColeDataWriter(schema: StructType, file: String, rowGroupSize: Int,
           val a = java.util.Arrays.copyOf(intBufs(i), buffered)
           (ColumnData(a, null, null, null, nulls),
             if (nulls == null) chooseIntEnc(a.map(_.toLong)) else Plain)
-        case TInt64 | TTimestamp | TTimestampNtz =>
+        case t if isLongBacked(t) =>
           val a = java.util.Arrays.copyOf(longBufs(i), buffered)
           (ColumnData(null, a, null, null, nulls),
             if (nulls == null) chooseIntEnc(a) else Plain)

@@ -121,7 +121,7 @@ final class ColeFileReader(path: String, conf: Configuration) extends AutoClosea
       pageSizes += ph.numValues
       col.colType match {
         case TInt32 => intParts += expandInt(decodeIntPage(pageData, ph, present), isNull, ph.numValues)
-        case TInt64 | TTimestamp | TTimestampNtz =>
+        case t if isLongBacked(t) =>
           longParts += expandLong(decodeLongPage(pageData, ph, present), isNull, ph.numValues)
         case TString =>
           strParts += expandRef(decodeStringPage(pageData, ph, present), isNull, ph.numValues)
@@ -138,7 +138,7 @@ final class ColeFileReader(path: String, conf: Configuration) extends AutoClosea
       }.toArray
     col.colType match {
       case TInt32 => ColumnData(intParts.flatten.toArray, null, null, null, nulls)
-      case TInt64 | TTimestamp | TTimestampNtz => ColumnData(null, longParts.flatten.toArray, null, null, nulls)
+      case t if isLongBacked(t) => ColumnData(null, longParts.flatten.toArray, null, null, nulls)
       case TString => ColumnData(null, null, strParts.flatten.toArray, null, nulls)
       case TDouble => ColumnData(null, null, null, dblParts.flatten.toArray, nulls)
       case TFloatVec => ColumnData(null, null, null, null, nulls, vecParts.flatten.toArray)
@@ -242,9 +242,9 @@ final class ColeFileReader(path: String, conf: Configuration) extends AutoClosea
         case (TInt32, Plain) => aggPlainInt(pageData, present, acc)
         case (TInt32, Rle) => aggRleInt(pageData, acc)
         case (TInt32, Delta) => aggDeltaInt(pageData, present, acc)
-        case (TInt64 | TTimestamp | TTimestampNtz, Plain) => aggPlainLong(pageData, present, acc)
-        case (TInt64 | TTimestamp | TTimestampNtz, Rle) => aggRleLong(pageData, acc)
-        case (TInt64 | TTimestamp | TTimestampNtz, Delta) => aggDeltaLong(pageData, present, acc)
+        case (t, Plain) if isLongBacked(t) => aggPlainLong(pageData, present, acc)
+        case (t, Rle) if isLongBacked(t) => aggRleLong(pageData, acc)
+        case (t, Delta) if isLongBacked(t) => aggDeltaLong(pageData, present, acc)
         case (t, e) => throw new ColeFormatException(s"$e not valid for $t")
       }
       c.pos += ph.compressedSize
@@ -452,7 +452,7 @@ final class ColeFileWriter(path: String, columns: Seq[ColeColumn],
           val st = if (vals.isEmpty) PageStats(None, None, nullCount)
             else PageStats(Some(vals.min.toLong), Some(vals.max.toLong), nullCount)
           (bytes, st)
-        case TInt64 | TTimestamp | TTimestampNtz =>
+        case t if isLongBacked(t) =>
           val vals = presentLongs
           val bytes = col.encoding match {
             case Plain => encodePlainLong(vals)

@@ -49,6 +49,19 @@ object ColeFormat {
     * a fixed-dim corpus pays only 4 bytes/row of offset overhead.
     */
   case object TFloatVec extends ColeType(6)
+  /** v2 only: exact decimal, precision ≤ 18, stored as the UNSCALED int64
+    * — the whole int64 machinery (PLAIN/RLE/DELTA encodings, page stats,
+    * sweep aggregation, predicate skipping) applies verbatim in the
+    * unscaled domain, because for a fixed scale the unscaled order IS the
+    * value order. This is what closes the engine's exact-money loop: the
+    * oracle discipline (SURVEY §4) does all money math in decimal, and
+    * the native format can now store it without a lossy double hop.
+    * Precision and scale ride in the column metadata (2 extra bytes).
+    */
+  final case class TDecimal(precision: Int, scale: Int) extends ColeType(7) {
+    require(precision >= 1 && precision <= 18 && scale >= 0 && scale <= precision,
+      s"COLE DECIMAL needs 1<=precision<=18, 0<=scale<=precision; got ($precision,$scale)")
+  }
   def typeOf(id: Int): ColeType = id match {
     case 0 => TInt32
     case 1 => TInt64
@@ -57,16 +70,19 @@ object ColeFormat {
     case 4 => TTimestamp
     case 5 => TTimestampNtz
     case 6 => TFloatVec
+    case 7 => throw new ColeFormatException(
+      "DECIMAL column type carries precision/scale: only readMetadata decodes it")
     case other => throw new ColeFormatException(s"Unknown column type id: $other")
   }
 
   /** True for types only format v2 can carry. */
   def requiresV2(t: ColeType): Boolean =
-    t == TDouble || t == TTimestamp || t == TTimestampNtz || t == TFloatVec
+    t == TDouble || t == TTimestamp || t == TTimestampNtz || t == TFloatVec ||
+      t.isInstanceOf[TDecimal]
 
   /** Types stored as int64 values (sharing every int64 encode/agg path). */
   def isLongBacked(t: ColeType): Boolean =
-    t == TInt64 || t == TTimestamp || t == TTimestampNtz
+    t == TInt64 || t == TTimestamp || t == TTimestampNtz || t.isInstanceOf[TDecimal]
 
   sealed abstract class Enc(val id: Int)
   case object Plain extends Enc(0)
@@ -223,6 +239,10 @@ object ColeFormat {
       out.raw(nameBytes)
       out.u8(col.colType.id)
       out.u8(col.encoding.id)
+      col.colType match { // DECIMAL self-describes its precision/scale
+        case TDecimal(p, s) => out.u8(p); out.u8(s)
+        case _ => ()
+      }
     }
     out.u32(meta.rowGroups.size)
     meta.rowGroups.foreach { rg =>
@@ -250,7 +270,11 @@ object ColeFormat {
     val cols = Seq.fill(nCols) {
       val nameLen = c.u32()
       val name = new String(c.bytes(nameLen), java.nio.charset.StandardCharsets.UTF_8)
-      ColeColumn(name, typeOf(c.u8()), encOf(c.u8()))
+      val tid = c.u8()
+      val enc = encOf(c.u8())
+      val tpe =
+        if (tid == 7) TDecimal(c.u8(), c.u8()) else typeOf(tid)
+      ColeColumn(name, tpe, enc)
     }
     cols.foreach { col =>
       if (version < Version2 && requiresV2(col.colType))

@@ -36,6 +36,7 @@ object ColeMeta {
     case TTimestamp => "TIMESTAMP"
     case TTimestampNtz => "TIMESTAMP_NTZ"
     case TFloatVec => "FLOAT_VECTOR"
+    case TDecimal(p, s) => s"DECIMAL($p,$s)"
   }
 
   private def encName(e: Enc): String = e match {

@@ -177,6 +177,19 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("cole_roundtrip_decimal: decimal filter claimed, aggregates pushed in decimal domain") {
+    val p = plan("cole_roundtrip_decimal")
+    assert(p.contains("PushedAggregates"),
+      s"decimal SUM/MIN/MAX must answer inside the source:\n$p")
+    assert(p.contains("AppliedFilters"),
+      s"the decimal range filter must be claimed by the scan (unscaled domain):\n$p")
+    val scanIdx = p.linesIterator.indexWhere(_.contains("ColeAggScan"))
+    assert(scanIdx >= 0, s"expected the pushed-aggregate scan:\n$p")
+    assert(!p.linesIterator.take(scanIdx).exists(l =>
+        l.contains("Filter ") && l.contains("price_dec")),
+      s"no residual decimal filter may remain above the scan:\n$p")
+  }
+
   test("cole_spj_bucketed: hash-bucketed fact-fact join with zero table shuffle") {
     // the high-cardinality SPJ: both .col tables bucketed 16 ways on the
     // orderkey; the catalog's bucket function proves co-partitioning

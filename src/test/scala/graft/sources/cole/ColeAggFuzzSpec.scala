@@ -188,6 +188,84 @@ class ColeAggFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("decimal fuzz: roundtrip, pushed filters and aggregates == DataFrame path") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    for (seed <- Seq(3, 17); n <- Seq(1, 100, 8192, 8193, 20000)) {
+      val rnd = new scala.util.Random(seed)
+      val nGroups = 1 + rnd.nextInt(6)
+      val pNull = rnd.nextDouble() * 0.3
+      def mask[T](v: => T): Option[T] = if (rnd.nextDouble() < pNull) None else Some(v)
+      val rows = (0 until n).map { i =>
+        (i.toLong,
+          mask(BigDecimal(rnd.nextLong() % 10000000L, 2)), // DECIMAL(12,2), negatives
+          mask(BigDecimal(rnd.nextInt(2000000) - 1000000, 3)), // DECIMAL(8,3): int lane
+          s"g${rnd.nextInt(nGroups)}")
+      }
+      val df0 = rows.toDF("id", "m", "sm", "grp")
+      val df = df0.select(col("id"), col("m").cast(DecimalType(12, 2)).as("m"),
+        col("sm").cast(DecimalType(8, 3)).as("sm"), col("grp"))
+      val dir = Files.createTempDirectory(s"cole_decfuzz_${seed}_$n").toString
+      df.coalesce(1).write.format("cole").mode("overwrite")
+        .option("rowGroupSize", "4096").save(dir)
+      val cole = s.read.format("cole").load(dir)
+
+      assert(cole.schema("m").dataType === DecimalType(12, 2), "schema roundtrip")
+      assert(cole.schema("sm").dataType === DecimalType(8, 3),
+        "small-precision schema roundtrip")
+      assert(cole.collect().map(_.toSeq).toSet === df.collect().map(_.toSeq).toSet,
+        s"decimal roundtrip diverged (seed=$seed n=$n)")
+
+      // pushed decimal aggregates, global + grouped
+      val probe = cole.agg(sum("m"))
+      assert(probe.queryExecution.executedPlan.toString.contains("PushedAggregates"),
+        s"decimal table lost aggregate pushdown (seed=$seed n=$n)")
+      def aggSet(d: org.apache.spark.sql.DataFrame) = d.agg(
+        count(lit(1)).as("c"), count(col("m")).as("cm"),
+        sum("m").as("s"), min("m").as("mn"), max("m").as("mx"),
+        sum("sm").as("ss"), min("sm").as("smn"), max("sm").as("smx")).head()
+      assert(aggSet(cole) === aggSet(df),
+        s"global decimal agg diverged (seed=$seed n=$n)")
+      def grpSet(d: org.apache.spark.sql.DataFrame) = d.groupBy("grp").agg(
+          sum("m").as("s"), min("m").as("mn"), max("sm").as("mx"),
+          count(col("m")).as("c"))
+        .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+      assert(grpSet(cole) === grpSet(df),
+        s"grouped decimal agg diverged (seed=$seed n=$n)")
+
+      // claimed decimal predicates: range/eq/IN rewrite to the unscaled
+      // domain and must stay row-exact, including under the agg path
+      val pivot = BigDecimal(rnd.nextLong() % 10000000L, 2)
+      val inVals = Seq.fill(4)(BigDecimal(rnd.nextLong() % 10000000L, 2))
+      for (fc <- Seq(col("m") < lit(pivot), col("m") >= lit(pivot),
+          col("m") === lit(pivot), col("m").isNotNull && col("m") =!= lit(pivot),
+          col("m").isin(inVals: _*),
+          col("m") < lit(pivot) || col("m") > lit(pivot + 1000),
+          col("sm") >= lit(BigDecimal(0)))) {
+        assert(cole.filter(fc).count() === df.filter(fc).count(),
+          s"decimal predicate $fc count diverged (seed=$seed n=$n)")
+        def f(d: org.apache.spark.sql.DataFrame) = d.filter(fc)
+          .agg(count(lit(1)).as("c"), sum("m").as("s"), min("m").as("mn")).head()
+        assert(f(cole) === f(df),
+          s"decimal filtered agg diverged (seed=$seed n=$n filter=$fc)")
+      }
+      // a literal finer than the column scale cannot claim through
+      // rounding: it must stay residual AND stay correct
+      val fine = col("m") > lit(BigDecimal("1.005"))
+      assert(cole.filter(fine).count() === df.filter(fine).count(),
+        s"sub-scale literal diverged (seed=$seed n=$n)")
+
+      // pushed TopN on the decimal column (unscaled order == value order)
+      val topCole = cole.orderBy(col("m").desc_nulls_last).limit(7).select("id", "m")
+        .collect().map(_.toSeq)
+      val topDf = df.orderBy(col("m").desc_nulls_last).limit(7).select("id", "m")
+        .collect().map(_.toSeq)
+      assert(topCole.toSeq === topDf.toSeq,
+        s"decimal TopN diverged (seed=$seed n=$n)")
+    }
+  }
+
   test("same-column OR is claimed; cross-column OR stays residual") {
     val s = spark
     import s.implicits._
