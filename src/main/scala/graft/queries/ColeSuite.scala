@@ -558,6 +558,39 @@ object ColeSuite {
                 ${dsumSql("value")} AS sum_value
               FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // Schema evolution on long-lived .col tables: the month-2 problem.
+    // Even orders write at the ORIGINAL schema (no price column); odd
+    // orders append at the EVOLVED schema (price added). One read sees
+    // the union — pre-evolution files surface NULL price via the same
+    // machinery as v2 null bitmaps, COUNT/SUM skip them with exact SQL
+    // semantics, and nothing is rewritten. The oracle reconstructs the
+    // same view with a CASE over the parity split.
+    Q("cole_schema_evolution", (s, d) => {
+      val dir = dirFor(d, "schema_evo")
+      writeOnce(dir) {
+        val o = Tables.orders(s, d)
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_orderstatus")
+          .write.format("cole").mode("overwrite").save(dir)
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .write.format("cole").mode("append").save(dir)
+      }
+      s.read.format("cole").load(dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          count(col("o_totalprice")).as("n_price"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          min("o_orderkey").as("mn_key"), max("o_orderkey").as("mx_key"))
+        .orderBy("o_orderstatus")
+    },
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n,
+                COUNT(CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END) AS n_price,
+                CAST(SUM(CASE WHEN o_orderkey % 2 = 1
+                  THEN CAST(o_totalprice AS DECIMAL(25,4)) END) AS DOUBLE) AS sum_price,
+                MIN(o_orderkey) AS mn_key, MAX(o_orderkey) AS mx_key
+              FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // COLE v2 DECIMAL: exact money in the NATIVE format — the engine's
     // whole oracle discipline is decimal money math (SURVEY §4), and until
     // now .col round-tripped money as DOUBLE. lineitem's price/quantity

@@ -200,11 +200,15 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
         c
       }
     }
-    // partition columns are whatever schema fields the files don't carry
+    // partition columns are whatever schema fields the files don't carry.
+    // UNION across all files, not infos.head: under schema evolution a
+    // column absent from the first-listed file but present in later ones
+    // is still a DATA column (read as NULL where absent), never a
+    // partition column
     val infos = ColeMetaCache.infos(path, conf)
     val fileCols: Set[String] =
       if (infos.isEmpty) schema.fieldNames.toSet
-      else infos.head.meta.columns.map(_.name).toSet
+      else infos.flatMap(_.meta.columns.map(_.name)).toSet
     new ColeScanBuilder(schema, path, conf,
       schema.fieldNames.filterNot(fileCols).toSet)
   }
