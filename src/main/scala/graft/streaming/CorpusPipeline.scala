@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
+import graft.operators.Dedup
 
 /** Streaming corpus curation (SURVEY §2.8): the batch curation gates —
   * quality filter, exact dedup by normalized-text fingerprint, token
@@ -138,5 +139,94 @@ object CorpusPipeline {
       .filter(col("n_chars") >= minChars && col("n_tokens") >= minTokens)
       .dropDuplicates("fp")
       .select("doc_id", "source", "fp", "n_chars", "n_tokens")
+  }
+
+  /** Incremental near-dup index maintenance — the append path
+    * [[flagNearDup]] lacks: there the reference set is frozen at stream
+    * start, so a duplicate of an EARLIER ARRIVAL (not in the static
+    * corpus) sails through. This variant, run per epoch (the standard
+    * `foreachBatch` shape), (1) flags arrivals against static index ∪
+    * absorbed earlier arrivals ∪ the batch itself, then (2) APPENDS the
+    * flagged-clean arrivals' band keys and signatures to a parquet side
+    * store, so they become reference docs for every later epoch.
+    *
+    * 100 TB posture: the side store is append-only parquet keyed the same
+    * way as the static index — per epoch the work is one signature
+    * projection, equality joins on band keys (candidates only), and an
+    * O(clean-arrivals) append; nothing is rewritten. The store's file
+    * count grows one per epoch per partition — compact it on the same
+    * cadence as any streaming sink (ColeCompact-style swap) when epoch
+    * counts get large. Within-batch duplicates resolve by id order (the
+    * smaller id wins and is absorbed), so replaying a batch cannot flip
+    * winners.
+    */
+  final class IncrementalNearDupIndex(stateDir: String, static0: NearDupIndex,
+      tau: Double = 0.7, idCol: String = "doc_id", textCol: String = "text") {
+
+    private def bandsDir = s"$stateDir/bands"
+    private def sigsDir = s"$stateDir/sigs"
+
+    private def readOr(spark: org.apache.spark.sql.SparkSession, dir: String,
+        like: DataFrame): DataFrame =
+      try spark.read.parquet(dir)
+      catch { case _: Exception => like.limit(0) } // first epoch: empty store
+
+    /** Candidate pairs (doc_id ⋈ dup_id by shared band key) scored by
+      * signature agreement; `leftSigs`/`rightSigs` supply the vectors.
+      */
+    private def score(cands: DataFrame, leftSigs: DataFrame,
+        rightSigs: DataFrame): DataFrame =
+      cands
+        .join(leftSigs.select(col("id").as("doc_id"), col("sig")), "doc_id")
+        .join(rightSigs.select(col("id").as("dup_id"), col("sig").as("sig_b")), "dup_id")
+        .withColumn("est_jaccard",
+          aggregate(zip_with(col("sig"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, v) => acc + v).cast("double") / size(col("sig")))
+        .filter(col("est_jaccard") >= tau)
+        .select("doc_id", "dup_id", "est_jaccard")
+
+    /** Process one epoch: returns the flagged (doc_id, dup_id,
+      * est_jaccard) rows and absorbs the clean arrivals. Call from
+      * `foreachBatch` (or directly over batch frames in tests — batch =
+      * replay in one epoch).
+      */
+    def processBatch(batch: DataFrame): DataFrame = {
+      val spark = batch.sparkSession
+      val arriving = Dedup.minhashSignatures(batch, idCol, textCol)
+        .localCheckpoint(true) // two consumers (flag + absorb): plan once
+      val arrBands = Dedup.bandize(arriving).select("band", "bh", "id")
+      val refBands = static0.bands.unionByName(
+        readOr(spark, bandsDir, static0.bands))
+      val refSigs = static0.sigs.unionByName(readOr(spark, sigsDir, static0.sigs))
+      // vs the reference set (static corpus + absorbed earlier arrivals)
+      val vsRef = score(
+        arrBands.select(col("id").as("doc_id"), col("band"), col("bh"))
+          .join(refBands.select(col("band"), col("bh"), col("id").as("dup_id")),
+            Seq("band", "bh"))
+          .filter(col("doc_id") =!= col("dup_id"))
+          .select("doc_id", "dup_id").distinct(),
+        arriving, refSigs)
+      // within the batch: the LARGER id is the duplicate, the smaller the
+      // winner (deterministic under replay)
+      val within = score(
+        arrBands.select(col("id").as("doc_id"), col("band"), col("bh"))
+          .join(arrBands.select(col("band"), col("bh"), col("id").as("dup_id")),
+            Seq("band", "bh"))
+          .filter(col("doc_id") > col("dup_id"))
+          .select("doc_id", "dup_id").distinct(),
+        arriving, arriving)
+      val flagged = vsRef.unionByName(within)
+        .dropDuplicates("doc_id", "dup_id")
+        .localCheckpoint(true) // consumed twice: returned + anti-joined
+      // absorb flagged-clean arrivals into the reference set
+      val clean = arriving.join(
+        flagged.select(col("doc_id").as("id")).distinct(), Seq("id"), "left_anti")
+        .localCheckpoint(true)
+      Dedup.bandize(clean).select("band", "bh", "id")
+        .write.mode("append").parquet(bandsDir)
+      clean.select("id", "sig").write.mode("append").parquet(sigsDir)
+      flagged
+    }
   }
 }

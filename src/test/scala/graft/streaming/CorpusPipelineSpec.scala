@@ -188,6 +188,72 @@ class CorpusPipelineSpec extends AnyFunSuite {
     index.bands.unpersist(); index.sigs.unpersist()
   }
 
+  test("incremental index: a duplicate of an EARLIER ARRIVAL is flagged") {
+    val s = spark
+    import s.implicits._
+    val all = docs()
+    // small static corpus; the interesting docs are NOT in it
+    val corpus = all.filter(_.doc_id % 7 == 0)
+    val static0 = CorpusPipeline.nearDupIndex(corpus.toDF())
+    static0.bands.cache(); static0.sigs.cache()
+    val stateDir = java.nio.file.Files.createTempDirectory("neardup_inc").toString
+    val idx = new CorpusPipeline.IncrementalNearDupIndex(stateDir, static0, 0.6)
+
+    // epoch 1: novel docs arrive clean — SYNTHESIZED with disjoint
+    // shingle sets (the documents table itself contains genuine near-dups,
+    // so sampling it can't guarantee novelty)
+    val novel = (0 until 8).map(i => Doc(9000000L + i,
+      s"entirely novel synthetic document $i " +
+        (0 until 40).map(j => s"tok${i}x$j").mkString(" "),
+      "en", "synth", 300L))
+    val f1 = idx.processBatch(novel.toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(f1.isEmpty, s"novel docs must arrive clean, got $f1")
+
+    // epoch 2: near-dups OF THOSE EARLIER ARRIVALS (frozen flagNearDup
+    // misses these by construction) + one dup of the static corpus
+    val copyOfEarlier = novel.take(2).map(d => d.copy(doc_id = d.doc_id + 5000000))
+    val mutOfEarlier = novel.slice(2, 4)
+      .map(d => d.copy(doc_id = d.doc_id + 6000000, text = d.text + " tail"))
+    val copyOfStatic = corpus.take(1).map(d => d.copy(doc_id = d.doc_id + 7000000))
+    val f2 = idx.processBatch((copyOfEarlier ++ mutOfEarlier ++ copyOfStatic).toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    copyOfEarlier.foreach(d => assert(f2.contains((d.doc_id, d.doc_id - 5000000)),
+      s"exact copy of earlier arrival ${d.doc_id} not flagged"))
+    mutOfEarlier.foreach(d => assert(f2.contains((d.doc_id, d.doc_id - 6000000)),
+      s"mutated near-dup of earlier arrival ${d.doc_id} not flagged"))
+    copyOfStatic.foreach(d => assert(f2.contains((d.doc_id, d.doc_id - 7000000)),
+      s"static-corpus dup ${d.doc_id} not flagged"))
+
+    // epoch 3: a copy of an epoch-2 FLAGGED doc must match the absorbed
+    // WINNER, not the flagged duplicate (dups are never absorbed)
+    val copyAgain = copyOfEarlier.take(1)
+      .map(d => d.copy(doc_id = d.doc_id + 1000000))
+    val f3 = idx.processBatch(copyAgain.toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val origId = copyOfEarlier.head.doc_id - 5000000 // the absorbed winner
+    assert(f3.contains((copyAgain.head.doc_id, origId)),
+      s"epoch-3 copy must flag against the absorbed original $origId, got $f3")
+    assert(!f3.exists(_._2 == copyOfEarlier.head.doc_id),
+      "a flagged duplicate must not have been absorbed as a reference doc")
+
+    // within-batch duplicates: larger id flags against smaller, winner
+    // absorbed — a later copy then matches the winner
+    val pairBase = Doc(8000000L, "twin base document " +
+      (0 until 40).map(j => s"pair${j}q$j").mkString(" "), "en", "synth", 300L)
+    val twinA = pairBase.copy(doc_id = 8000001)
+    val twinB = pairBase.copy(doc_id = 8000002)
+    val f4 = idx.processBatch(Seq(twinA, twinB).toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(f4.contains((8000002L, 8000001L)),
+      s"within-batch dup must flag larger-vs-smaller id, got $f4")
+    val f5 = idx.processBatch(Seq(pairBase.copy(doc_id = 8000003)).toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(f5.contains((8000003L, 8000001L)),
+      s"later copy must flag against the absorbed within-batch winner, got $f5")
+    static0.bands.unpersist(); static0.sigs.unpersist()
+  }
+
   test("streaming PQ encode with a frozen codebook == batch encode") {
     val s = spark
     import s.implicits._
