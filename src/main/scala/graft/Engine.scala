@@ -27,6 +27,11 @@ object Engine {
       // planner align sides whose partition-value sets differ
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      // one-sided storage-partitioned join: when only ONE side is a
+      // bucketed COLE table, shuffle just the other side INTO the stored
+      // bucketing (Spark evaluates the catalog's bucket function to
+      // route) — the 100 TB fact never moves
+      .config("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
       // the COLE warehouse catalog: resolves `cole.<ns>.<table>` to .col
       // directories AND — the part that matters for scale — supplies the
       // FunctionCatalog that lets Spark resolve a scan's reported

@@ -244,6 +244,46 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q2 semi join must be BELOW (printed after) the partial aggregate:\n$p")
   }
 
+  test("tpch_q17 prunes lineitem with a semi join BELOW the per-part aggregate") {
+    val p = plan("tpch_q17")
+    // the Brand#3/size<=20 filter keeps ~4% of parts; the per-part
+    // avg-quantity aggregate is only consumed for those parts, so the
+    // LeftSemi broadcast must sit under groupBy(l_partkey) — aggregating
+    // ALL of lineitem first is a full-corpus shuffle doing 25x the work
+    val semiIdx = p.indexOf("LeftSemi")
+    val partialAggIdx = p.indexOf("partial_sum")
+    assert(semiIdx >= 0, s"q17 lost the lineitem prefilter semi join:\n$p")
+    assert(partialAggIdx >= 0 && semiIdx > partialAggIdx,
+      s"q17 semi join must be BELOW (printed after) the partial aggregate:\n$p")
+  }
+
+  test("tpch_q11 joins lineitem ONCE against the nation-filtered supplier build") {
+    val p = formatted("tpch_q11")
+    // build side = broadcast(supplier JOIN filtered nation): each lineitem
+    // row meets exactly one join and drops there if its supplier is
+    // foreign — the old shape joined all of lineitem to ALL suppliers
+    // first. Marker: every lineitem scan feeds a join whose OTHER input
+    // already saw the nation filter, i.e. no plan section joins lineitem
+    // to a supplier scan that hasn't been semi-reduced — structurally,
+    // supplier joins nation BEFORE any lineitem join consumes it, so the
+    // supplier⋈nation join must print deeper (later) than the first
+    // lineitem join line.
+    assert(p.contains("BroadcastHashJoin"), s"q11 lost its broadcast join:\n$p")
+    // marker of the good shape: a BroadcastExchange whose subtree is
+    // ITSELF a join (supplier ⋈ σ(nation) built before broadcast). The
+    // old shape's broadcast sides were bare filtered scans, with both
+    // joins chained on the lineitem spine.
+    val lines = p.linesIterator.toIndexedSeq
+    val joinBuiltBroadcast = lines.indices.exists { i =>
+      lines(i).contains("BroadcastExchange") &&
+        (i + 1 until math.min(i + 3, lines.length)).exists(
+          lines(_).contains("BroadcastHashJoin"))
+    }
+    assert(joinBuiltBroadcast,
+      s"q11 must reduce supplier by nation on the BUILD side of its single " +
+        s"lineitem join:\n$p")
+  }
+
   test("events_funnel is single-pass: one events scan, windows share one shuffle") {
     val p = formatted("events_funnel")
     val scans = p.linesIterator.count(_.contains("Scan parquet"))

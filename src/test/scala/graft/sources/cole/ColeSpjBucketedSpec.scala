@@ -142,6 +142,26 @@ class ColeSpjBucketedSpec extends AnyFunSuite {
     assert(spj.size === 100000)
   }
 
+  test("one-sided join: only the UNBUCKETED side shuffles, into the stored bucketing") {
+    written
+    val s = spark
+    import s.implicits._
+    // an arbitrary in-memory frame — not bucketed, not even a table
+    val other = (0 until 20000 by 3).map(i => (i.toLong, s"m$i")).toDF("okey2", "mtag")
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true") {
+      val o = spark.table("bwh.ord")
+      val j = o.join(other, o("okey") === other("okey2"))
+        .select("okey", "otag", "mtag")
+      val shuffles = countShuffles(j)
+      assert(shuffles === 1,
+        s"one-sided bucketed join must shuffle exactly the unbucketed side " +
+          s"(got $shuffles):\n${j.queryExecution.executedPlan}")
+      assert(j.count() === (0 until 20000 by 3).size)
+    }
+  }
+
   test("string bucket keys route consistently") {
     val s = spark
     import s.implicits._
