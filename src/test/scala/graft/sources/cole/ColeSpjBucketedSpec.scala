@@ -199,6 +199,43 @@ class ColeSpjBucketedSpec extends AnyFunSuite {
     assert(spark.read.format("cole").load(t).count() === 1000)
   }
 
+  test("ColeCompact preserves the bucketed layout and its zero-Exchange join") {
+    val s = spark
+    import s.implicits._
+    val t = s"$warehouse/cmp"
+    // many small files: 4 append batches x 4 tasks land ~16 files/bucket
+    (0 until 4).foreach { b =>
+      (0 until 4000).map(i => ((b * 4000 + i).toLong, s"c$i"))
+        .toDF("k", "tag").repartition(4)
+        .write.format("cole")
+        .mode(if (b == 0) "overwrite" else "append")
+        .option("bucketBy", "4:k").save(t)
+    }
+    val before = ColeIO.listPartitioned(t, ColeIO.driverConf()).size
+    val stats = ColeCompact.compact(spark, t, targetBytes = 64L << 20)
+    assert(stats.filesAfter < before, s"no compaction happened: $stats")
+    // spec survives, routing survives, per-bucket dirs intact
+    assert(ColeBucket.readSpec(t, ColeIO.driverConf()) === Some((4, "k")))
+    for (b <- 0 until 4) {
+      val ks = spark.read.format("cole").load(s"$t/_bucket=$b")
+        .select("k").collect().map(_.getLong(0))
+      assert(ks.nonEmpty)
+      ks.foreach(k => assert(ColeBucket.bucketOf(k, 4) === b,
+        s"compaction moved row $k out of bucket $b"))
+    }
+    assert(spark.read.format("cole").load(t).count() === 16000)
+    // the compacted table still proves co-partitioning through the catalog
+    (0 until 16000 by 2).map(i => (i.toLong, i % 5)).toDF("k", "w")
+      .write.format("cole").mode("overwrite").option("bucketBy", "4:k")
+      .save(s"$warehouse/cmp2")
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = spark.table("bwh.cmp").join(spark.table("bwh.cmp2"), "k")
+      assert(countShuffles(j) === 0,
+        s"compacted bucketed SPJ reintroduced a shuffle:\n${j.queryExecution.executedPlan}")
+      assert(j.count() === 8000)
+    }
+  }
+
   test("hive-partitioned and bucketed layouts are mutually exclusive") {
     val s = spark
     import s.implicits._
