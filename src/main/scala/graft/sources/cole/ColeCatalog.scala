@@ -71,6 +71,26 @@ object ColeBucket {
 
   def specPath(table: String): String = s"$table/$SpecFile"
 
+  /** Bucket ids that claimed predicates on the bucket column can possibly
+    * match: Some(ids) when equality/IN pins them (a point lookup on a
+    * 100 TB bucketed table then scans 1/n of the directories, no bytes
+    * read elsewhere), None when the predicates don't constrain the
+    * bucket. Only equality shapes prune — ranges span buckets by design
+    * of the avalanche hash. Multiple predicates intersect.
+    */
+  def prunedBuckets(preds: Seq[ColePredicate], n: Int): Option[Set[Int]] = {
+    val sets = preds.flatMap { p =>
+      p.op match {
+        case "eq" => Some(Set(bucketOf(p.value, n)))
+        case "in" => Some(p.values.map(bucketOf(_, n)).toSet)
+        case "eqs" => Some(Set(bucketOfBytes(p.strValue, n)))
+        case "ins" => Some(p.strValues.map(bucketOfBytes(_, n)).toSet)
+        case _ => None
+      }
+    }
+    if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+  }
+
   /** Decode a V2 partition transform: identity(c) ↦ Left(c) (hive
     * directory partitioning), bucket(n, c) ↦ Right((n, c)) (hashed
     * layout). Anything else is rejected loudly.

@@ -577,9 +577,18 @@ class ColeAggScan(path: String, conf: Configuration, groupCols: Seq[String],
     // planning is metadata-only: footers come from the driver cache, no
     // data file is opened here
     val infos = ColeMetaCache.infos(path, conf)
+    // bucket pruning, same as the row scan: a filtered aggregate whose
+    // claimed predicate pins the bucket column sweeps 1/n of the table
+    val bucketKeep: Option[Set[String]] =
+      ColeBucket.readSpec(path, conf).flatMap { case (n, c) =>
+        ColeBucket.prunedBuckets(preds.filter(_.column == c).toSeq, n)
+          .map(_.map(_.toString))
+      }
     infos.flatMap { info =>
       val pv = info.partValues.toMap
-      if (!partPreds.forall(p => pv.get(p.column).exists(partitionKeeps(p, _))))
+      if (bucketKeep.exists(ks =>
+          !pv.get(ColeBucket.DirKey).exists(ks.contains))) Seq.empty
+      else if (!partPreds.forall(p => pv.get(p.column).exists(partitionKeeps(p, _))))
         Seq.empty
       else {
         val meta = info.meta
@@ -1976,9 +1985,18 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
     // second planning pass), stats prune without opening any data file
     // (file, colIndices, rgIdx, rows, bytes, topN column min/max,
     //  guaranteed = stats prove every row survives all filters, partValues)
+    // bucket pruning: equality/IN on the bucket column pins the hash
+    // bucket(s) — only those _bucket=N directories' files plan at all
+    // (runtime IN-filters from joins prune the same way on the re-plan)
+    val bucketKeep: Option[Set[String]] = bucketSpec.flatMap { case (n, c) =>
+      ColeBucket.prunedBuckets((preds ++ dataRuntime).filter(_.column == c).toSeq, n)
+        .map(_.map(_.toString))
+    }
     val survivors = ColeMetaCache.infos(path, conf).filter(i => fileKeep(i.path)).flatMap { info =>
       val pv = info.partValues.toMap
-      if (!(partPreds ++ partRuntime).forall(p =>
+      if (bucketKeep.exists(ks =>
+          !pv.get(ColeBucket.DirKey).exists(ks.contains))) Seq.empty
+      else if (!(partPreds ++ partRuntime).forall(p =>
           pv.get(p.column).exists(partitionKeeps(p, _)))) Seq.empty
       else {
         val meta = info.meta

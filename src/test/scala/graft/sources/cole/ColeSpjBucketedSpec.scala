@@ -199,6 +199,41 @@ class ColeSpjBucketedSpec extends AnyFunSuite {
     assert(spark.read.format("cole").load(t).count() === 1000)
   }
 
+  test("point lookups prune to the matching bucket directories") {
+    written
+    val t = spark.read.format("cole").load(s"$warehouse/ord")
+    val fsFiles = ColeIO.listPartitioned(s"$warehouse/ord", ColeIO.driverConf())
+    val perBucket = fsFiles.groupBy(_._2.head._2).view.mapValues(_.size).toMap
+    val totalFiles = fsFiles.size
+    // equality on the bucket column: only that bucket's files open
+    val key = 12345L
+    val b = ColeBucket.bucketOf(key, 8)
+    ColeIO.opens.set(0)
+    val got = t.filter(col("okey") === key).select("otag").collect()
+    assert(got.map(_.getString(0)).toSeq === Seq(s"o$key"))
+    val opened = ColeIO.opens.get()
+    assert(opened <= perBucket(b.toString),
+      s"point lookup opened $opened files; bucket $b only has ${perBucket(b.toString)} " +
+        s"of $totalFiles")
+    // IN on the bucket column: union of the pinned buckets only
+    val keys = Seq(7L, 999L, 18123L)
+    val inBuckets = keys.map(ColeBucket.bucketOf(_, 8)).toSet
+    ColeIO.opens.set(0)
+    assert(t.filter(col("okey").isin(keys: _*)).count() === keys.size)
+    val openedIn = ColeIO.opens.get()
+    val allowed = inBuckets.toSeq.map(b0 => perBucket(b0.toString)).sum
+    assert(openedIn <= allowed,
+      s"IN lookup opened $openedIn files; pinned buckets $inBuckets hold $allowed")
+    // an aggregate with the same claimed filter prunes too
+    ColeIO.opens.set(0)
+    val s1 = t.filter(col("okey") === key).agg(sum("oval")).head().getDouble(0)
+    assert(s1 === (key % 97).toDouble)
+    assert(ColeIO.opens.get() <= perBucket(b.toString),
+      "filtered aggregate must prune buckets at planning")
+    // a range predicate must NOT prune (hash buckets don't order)
+    assert(t.filter(col("okey") < 100L).count() === 100)
+  }
+
   test("ColeCompact preserves the bucketed layout and its zero-Exchange join") {
     val s = spark
     import s.implicits._
