@@ -2462,9 +2462,7 @@ class ColeWriteBuilder(schema: StructType, path: String, rowGroupSize: Int,
     override def toStreaming: StreamingWrite = {
       if (doTruncate) throw new UnsupportedOperationException(
         "the cole streaming sink supports Append output mode only")
-      require(bucketSpec.isEmpty,
-        "the cole streaming sink does not write hashed-bucket layouts yet")
-      new ColeStreamingWrite(schema, path, rowGroupSize, conf, partCols)
+      new ColeStreamingWrite(schema, path, rowGroupSize, conf, partCols, bucketSpec)
     }
   }
 }
@@ -2543,14 +2541,21 @@ class ColeWriterFactory(schema: StructType, path: String, rowGroupSize: Int,
   * `df.repartition(n, col)`-ish input, but correctness never depends on
   * it: any task can emit to any bucket.
   */
-class ColeBucketedDataWriter(schema: StructType, baseDir: String,
-    partitionId: Int, taskId: Long, rowGroupSize: Int, conf: Configuration,
+class ColeBucketedDataWriter(schema: StructType, protected val baseDir: String,
+    protected val partitionId: Int, protected val taskId: Long,
+    rowGroupSize: Int, conf: Configuration,
     numBuckets: Int, bucketCol: String) extends DataWriter[InternalRow] {
 
   private val ki = schema.fieldIndex(bucketCol)
   private val keyType = schema.fields(ki).dataType
   private val writers = new Array[ColeDataWriter](numBuckets)
   private val closedFiles = scala.collection.mutable.ArrayBuffer.empty[String]
+
+  /** File this task writes in bucket `b` — the streaming writer overrides
+    * with epoch-deterministic dotted in-progress names.
+    */
+  protected def fileName(b: Int): String =
+    f"$baseDir/${ColeBucket.DirKey}=$b/part-$partitionId%05d-$taskId.col"
 
   override def write(record: InternalRow): Unit = {
     if (record.isNullAt(ki))
@@ -2563,9 +2568,7 @@ class ColeBucketedDataWriter(schema: StructType, baseDir: String,
     }
     var w = writers(b)
     if (w == null) {
-      w = new ColeDataWriter(schema,
-        f"$baseDir/${ColeBucket.DirKey}=$b/part-$partitionId%05d-$taskId.col",
-        rowGroupSize, conf)
+      w = new ColeDataWriter(schema, fileName(b), rowGroupSize, conf)
       writers(b) = w
     }
     w.write(record)
@@ -3133,7 +3136,8 @@ object ColeStreamingWrite {
 }
 
 class ColeStreamingWrite(schema: StructType, path: String, rowGroupSize: Int,
-    conf: Configuration, partCols: Seq[String]) extends StreamingWrite {
+    conf: Configuration, partCols: Seq[String],
+    bucketSpec: Option[(Int, String)] = None) extends StreamingWrite {
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
@@ -3142,10 +3146,24 @@ class ColeStreamingWrite(schema: StructType, path: String, rowGroupSize: Int,
       s"partition column '$c' not in write schema"))
     require(partCols.size < schema.size,
       "cannot partition by every column: no data columns remain")
+    require(bucketSpec.isEmpty || partCols.isEmpty,
+      "COLE tables are either hive-partitioned or hash-bucketed, not both")
+    bucketSpec.foreach { case (n, c) =>
+      require(schema.fieldNames.contains(c), s"bucket column '$c' not in write schema")
+      schema.fields(schema.fieldIndex(c)).dataType match {
+        case IntegerType | LongType | StringType => ()
+        case other => throw new IllegalArgumentException(
+          s"COLE buckets on INT/LONG/STRING keys; '$c' is $other")
+      }
+      require(n > 0 && n <= 65536, s"bucket count must be in [1, 65536], got $n")
+    }
     val (fs, dir) = ColeIO.resolve(path, conf)
     if (!fs.exists(dir)) fs.mkdirs(dir)
+    // sidecar BEFORE any epoch lands (idempotent overwrite), so a reader
+    // tailing the growing table can prove co-partitioning from epoch one
+    bucketSpec.foreach { case (n, c) => ColeBucket.writeSpec(path, conf, n, c) }
     new ColeStreamingWriterFactory(schema, path, rowGroupSize,
-      new ColeHadoopConf(conf), partCols)
+      new ColeHadoopConf(conf), partCols, bucketSpec)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -3205,18 +3223,24 @@ object ColeStreaming {
 }
 
 class ColeStreamingWriterFactory(schema: StructType, path: String,
-    rowGroupSize: Int, hconf: ColeHadoopConf, partCols: Seq[String])
+    rowGroupSize: Int, hconf: ColeHadoopConf, partCols: Seq[String],
+    bucketSpec: Option[(Int, String)] = None)
     extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    if (partCols.isEmpty) {
-      val tmp =
-        f"$path/.part-e$epochId%d-p$partitionId%05d-0.col.inprogress-$taskId"
-      new ColeStreamingDataWriter(schema, tmp, taskId, rowGroupSize, hconf.value)
-    } else
-      new ColeStreamingPartitionedDataWriter(schema, path, partitionId, taskId,
-        rowGroupSize, hconf.value, partCols, epochId)
+    bucketSpec match {
+      case Some((n, c)) =>
+        new ColeStreamingBucketedDataWriter(schema, path, partitionId, taskId,
+          rowGroupSize, hconf.value, n, c, epochId)
+      case None if partCols.isEmpty =>
+        val tmp =
+          f"$path/.part-e$epochId%d-p$partitionId%05d-0.col.inprogress-$taskId"
+        new ColeStreamingDataWriter(schema, tmp, taskId, rowGroupSize, hconf.value)
+      case None =>
+        new ColeStreamingPartitionedDataWriter(schema, path, partitionId, taskId,
+          rowGroupSize, hconf.value, partCols, epochId)
+    }
 }
 
 /** Unpartitioned streaming task writer: one dotted in-progress file,
@@ -3232,6 +3256,29 @@ class ColeStreamingDataWriter(schema: StructType, tmp: String, taskId: Long,
   }
   override def abort(): Unit = inner.abort()
   override def close(): Unit = ()
+}
+
+/** Bucketed streaming task writer: the batch bucket-routing machinery with
+  * epoch-deterministic dotted names per `_bucket=<b>/` directory — a
+  * streaming ingest lands DIRECTLY in the layout that joins shuffle-free
+  * (and that bucket-prunes point lookups), with the same epoch-replay
+  * idempotence as every other cole sink shape.
+  */
+class ColeStreamingBucketedDataWriter(schema: StructType, baseDir0: String,
+    partitionId0: Int, taskId0: Long, rowGroupSize: Int, conf: Configuration,
+    numBuckets: Int, bucketCol: String, epochId: Long)
+    extends ColeBucketedDataWriter(schema, baseDir0, partitionId0, taskId0,
+      rowGroupSize, conf, numBuckets, bucketCol) {
+
+  override protected def fileName(b: Int): String =
+    f"$baseDir/${ColeBucket.DirKey}=$b/" +
+      f".part-e$epochId%d-p$partitionId%05d-0.col.inprogress-$taskId"
+
+  override def commit(): WriterCommitMessage = super.commit() match {
+    case ColeCommitMessage(files) =>
+      ColeEpochCommit(files.map(t => t -> ColeStreaming.finalName(t, taskId)))
+    case other => other
+  }
 }
 
 /** Partitioned streaming task writer: the batch routing/eviction machinery

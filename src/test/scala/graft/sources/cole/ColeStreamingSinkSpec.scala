@@ -58,6 +58,65 @@ class ColeStreamingSinkSpec extends AnyFunSuite {
       "claimed numeric filter should leave no residual over streamed files")
   }
 
+  test("bucketed streaming sink: epochs land in the shuffle-free layout") {
+    val s = spark
+    import s.implicits._
+    val wh = Files.createTempDirectory("cole_stream_bwh").toString
+    s.conf.set("spark.sql.catalog.sbwh", "graft.sources.cole.ColeCatalog")
+    s.conf.set("spark.sql.catalog.sbwh.warehouse", wh)
+    val dir = s"$wh/ingest"
+    val cp = Files.createTempDirectory("cole_stream_bcp").toString
+    val source = MemoryStream[SinkRow](spark)
+    val q = source.toDF().writeStream.format("cole")
+      .option("path", dir).option("checkpointLocation", cp)
+      .option("bucketBy", "4:id")
+      .outputMode(OutputMode.Append).start()
+    source.addData(rows(0, 300))
+    q.processAllAvailable()
+    source.addData(rows(300, 700))
+    q.processAllAvailable()
+    q.stop()
+
+    // layout: sidecar + per-bucket dirs, every row in its hash bucket,
+    // no leaked in-progress files
+    assert(ColeBucket.readSpec(dir, ColeIO.driverConf()) === Some((4, "id")))
+    for (b <- 0 until 4) {
+      val d = new java.io.File(s"$dir/_bucket=$b")
+      assert(d.isDirectory, s"bucket dir $b missing")
+      assert(!d.listFiles().exists(_.getName.contains("inprogress")))
+      spark.read.format("cole").load(d.toString).select("id").collect()
+        .map(_.getLong(0))
+        .foreach(k => assert(ColeBucket.bucketOf(k, 4) === b))
+    }
+    val back = s.read.format("cole").load(dir)
+    assert(back.count() === 700)
+    // the streamed table joins a batch-bucketed table with ZERO Exchange
+    rows(0, 700).toDF().groupBy("id").agg(max("v").as("mv"))
+      .write.format("cole").mode("overwrite").option("bucketBy", "4:id")
+      .save(s"$wh/dims")
+    val olds = "spark.sql.autoBroadcastJoinThreshold" -> spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("sbwh.ingest").join(spark.table("sbwh.dims"), "id")
+      j.collect()
+      def countEx(p: org.apache.spark.sql.execution.SparkPlan): Int =
+        (if (p.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]) 1 else 0) +
+          p.children.map(countEx).sum + (p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              countEx(a.executedPlan)
+            case qse: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              countEx(qse.plan)
+            case _ => 0
+          })
+      assert(countEx(j.queryExecution.executedPlan) === 0,
+        s"streamed bucketed table must SPJ with zero Exchange:\n${j.queryExecution.executedPlan}")
+      assert(j.count() === 700)
+    } finally olds._2 match {
+      case Some(v) => spark.conf.set(olds._1, v)
+      case None => spark.conf.unset(olds._1)
+    }
+  }
+
   test("epoch replay overwrites the same final names (no duplicates)") {
     val s = spark
     import s.implicits._
