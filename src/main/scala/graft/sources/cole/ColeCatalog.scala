@@ -191,6 +191,43 @@ object ColeBucketFunction extends UnboundFunction {
   * catalog-resolved relation carries the FunctionCatalog that Spark needs
   * to resolve the reported bucket transform.
   */
+object ColeCatalog {
+  /** Declared-schema sidecar for EMPTY tables (CREATE → first INSERT):
+    * line 1 = format version, line 2 = Spark schema JSON, line 3 =
+    * comma-joined hive partition columns (possibly empty). Once data
+    * files exist the footers are the source of truth and this file is
+    * ignored.
+    */
+  val TableSpecFile = "_tablespec"
+
+  def writeTableSpec(table: String, conf: Configuration,
+      schema: StructType, partCols: Seq[String]): Unit = {
+    val (fs, p) = ColeIO.resolve(s"$table/$TableSpecFile", conf)
+    val out = fs.create(p, true)
+    try out.write(s"1\n${schema.json}\n${partCols.mkString(",")}\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def readTableSpec(table: String,
+      conf: Configuration): Option[(StructType, Seq[String])] = {
+    val (fs, p) = ColeIO.resolve(s"$table/$TableSpecFile", conf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      val lines = txt.split('\n')
+      require(lines.length >= 2 && lines(0) == "1", s"unreadable $TableSpecFile at $table")
+      val schema = DataType.fromJson(lines(1)).asInstanceOf[StructType]
+      val partCols =
+        if (lines.length < 3 || lines(2).isEmpty) Seq.empty[String]
+        else lines(2).split(',').toSeq
+      Some((schema, partCols))
+    }
+  }
+}
+
 class ColeCatalog extends TableCatalog with FunctionCatalog with SupportsNamespaces {
   private var catalogName: String = _
   private var warehouse: String = _
@@ -220,8 +257,17 @@ class ColeCatalog extends TableCatalog with FunctionCatalog with SupportsNamespa
   override def loadTable(ident: Identifier): Table = {
     val path = tablePath(ident)
     val infos = ColeMetaCache.infos(path, conf)
-    if (infos.isEmpty) throw new NoSuchTableException(ident)
     val bucketSpec = ColeBucket.readSpec(path, conf)
+    if (infos.isEmpty) {
+      // a created-but-not-yet-written table self-describes through the
+      // _tablespec sidecar (CREATE TABLE → INSERT must resolve between
+      // the two); once files exist they are the source of truth
+      ColeCatalog.readTableSpec(path, conf) match {
+        case Some((schema, partCols)) =>
+          return new ColeTable(schema, partCols, Map("path" -> path), bucketSpec)
+        case None => throw new NoSuchTableException(ident)
+      }
+    }
     // hive partition columns append after data columns; the reserved
     // _bucket directory key is layout, not schema
     val partFields = ColeMetaCache.partitionSchema(infos)
@@ -242,7 +288,8 @@ class ColeCatalog extends TableCatalog with FunctionCatalog with SupportsNamespa
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val path = tablePath(ident)
     val (fs, p) = ColeIO.resolve(path, conf)
-    if (fs.exists(p) && ColeIO.listPartitioned(path, conf).nonEmpty)
+    if (fs.exists(p) && (ColeIO.listPartitioned(path, conf).nonEmpty ||
+        ColeCatalog.readTableSpec(path, conf).isDefined))
       throw new TableAlreadyExistsException(ident)
     if (!fs.exists(p)) fs.mkdirs(p)
     // decode transforms: identity → hive partition columns, bucket → spec
@@ -257,6 +304,10 @@ class ColeCatalog extends TableCatalog with FunctionCatalog with SupportsNamespa
       }
     }
     bucketSpec.foreach { case (n, c) => ColeBucket.writeSpec(path, conf, n, c) }
+    // declared schema sidecar: what lets the table resolve while EMPTY
+    // (between CREATE and the first INSERT); file footers take over as
+    // the source of truth once data lands
+    ColeCatalog.writeTableSpec(path, conf, schema, partCols)
     new ColeTable(schema, partCols, properties.asScala.toMap + ("path" -> path),
       bucketSpec)
   }
@@ -274,6 +325,12 @@ class ColeCatalog extends TableCatalog with FunctionCatalog with SupportsNamespa
     val (fs, o) = ColeIO.resolve(tablePath(oldIdent), conf)
     val (_, n) = ColeIO.resolve(tablePath(newIdent), conf)
     if (!fs.exists(o)) throw new NoSuchTableException(oldIdent)
+    // a target namespace that is not an existing warehouse directory is a
+    // mis-parsed ident (e.g. a catalog-qualified RENAME target) — fail
+    // loudly instead of silently nesting a new directory tree
+    val nsDir = (warehouse +: newIdent.namespace().toSeq).mkString("/")
+    val (_, nsPath) = ColeIO.resolve(nsDir, conf)
+    if (!fs.exists(nsPath)) throw new NoSuchNamespaceException(newIdent.namespace())
     require(fs.rename(o, n), s"rename failed: $o -> $n")
   }
 

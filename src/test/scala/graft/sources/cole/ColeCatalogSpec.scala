@@ -1,0 +1,122 @@
+package graft.sources.cole
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The `cole` warehouse catalog as a SQL surface: CREATE / INSERT /
+  * SELECT / SHOW / RENAME / DROP against `.col` tables, including
+  * bucket-transform DDL — the no-metastore contract (the directory tree
+  * IS the catalog state) that lets 1000 executors share it with no
+  * service in the loop.
+  */
+class ColeCatalogSpec extends AnyFunSuite {
+
+  private lazy val warehouse =
+    Files.createTempDirectory("cole_catalog_wh").toString
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.conf.set("spark.sql.catalog.cwh", "graft.sources.cole.ColeCatalog")
+    s.conf.set("spark.sql.catalog.cwh.warehouse", warehouse)
+    s
+  }
+
+  test("CREATE TABLE resolves while empty, then INSERT + SELECT") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cwh.db")
+    spark.sql("CREATE TABLE cwh.db.t (id BIGINT, tag STRING, v DOUBLE)")
+    assert(spark.table("cwh.db.t").count() === 0, "empty table must scan as 0 rows")
+    spark.sql("INSERT INTO cwh.db.t VALUES (1, 'a', 1.5), (2, 'b', 2.5), (3, 'a', 3.5)")
+    val got = spark.sql("SELECT tag, SUM(v) AS s FROM cwh.db.t GROUP BY tag ORDER BY tag")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got === Seq(("a", 5.0), ("b", 2.5)))
+    // footers took over as source of truth; second INSERT appends
+    spark.sql("INSERT INTO cwh.db.t VALUES (4, 'b', 4.0)")
+    assert(spark.table("cwh.db.t").count() === 4)
+  }
+
+  test("CREATE TABLE PARTITIONED BY (bucket(n, col)) routes inserts") {
+    spark.sql("CREATE TABLE cwh.db.bt (k BIGINT, w DOUBLE) " +
+      "PARTITIONED BY (bucket(4, k))")
+    assert(ColeBucket.readSpec(s"$warehouse/db/bt", ColeIO.driverConf())
+      === Some((4, "k")))
+    val s = spark
+    import s.implicits._
+    (0 until 2000).map(i => (i.toLong, i * 0.5)).toDF("k", "w")
+      .writeTo("cwh.db.bt").append()
+    assert(spark.table("cwh.db.bt").count() === 2000)
+    for (b <- 0 until 4) {
+      val ks = spark.read.format("cole").load(s"$warehouse/db/bt/_bucket=$b")
+        .select("k").collect().map(_.getLong(0))
+      assert(ks.nonEmpty)
+      ks.foreach(k => assert(ColeBucket.bucketOf(k, 4) === b))
+    }
+  }
+
+  test("CTAS lands data and resolves immediately") {
+    val s = spark
+    import s.implicits._
+    (0 until 100).map(i => (i.toLong, s"n$i")).toDF("id", "name")
+      .createOrReplaceTempView("ctas_src")
+    spark.sql("CREATE TABLE cwh.db.ct AS SELECT * FROM ctas_src")
+    assert(spark.table("cwh.db.ct").count() === 100)
+  }
+
+  test("SHOW TABLES, RENAME, DROP") {
+    spark.sql("CREATE TABLE cwh.db.sh (x INT)")
+    val listed = spark.sql("SHOW TABLES IN cwh.db").collect().map(_.getString(1)).toSet
+    assert(listed.contains("sh"))
+    spark.sql("INSERT INTO cwh.db.sh VALUES (7)")
+    spark.sql("ALTER TABLE cwh.db.sh RENAME TO db.sh2")
+    assert(spark.table("cwh.db.sh2").collect().map(_.getInt(0)).toSeq === Seq(7))
+    assert(!spark.catalog.tableExists("cwh.db.sh"))
+    spark.sql("DROP TABLE cwh.db.sh2")
+    assert(!spark.catalog.tableExists("cwh.db.sh2"))
+  }
+
+  test("duplicate CREATE fails; IF NOT EXISTS is quiet") {
+    spark.sql("CREATE TABLE cwh.db.dup (x INT)")
+    val e = intercept[Exception](spark.sql("CREATE TABLE cwh.db.dup (x INT)"))
+    assert(e.getMessage.toLowerCase.contains("already exists"))
+    spark.sql("CREATE TABLE IF NOT EXISTS cwh.db.dup (x INT)") // no throw
+  }
+
+  test("catalog DDL table joins path-written bucketed table with zero Exchange") {
+    val s = spark
+    import s.implicits._
+    spark.sql("CREATE TABLE cwh.db.j1 (k BIGINT, a DOUBLE) PARTITIONED BY (bucket(4, k))")
+    (0 until 5000).map(i => (i.toLong, i * 1.0)).toDF("k", "a")
+      .writeTo("cwh.db.j1").append()
+    (0 until 5000 by 2).map(i => (i.toLong, s"z$i")).toDF("k", "z")
+      .write.format("cole").mode("overwrite").option("bucketBy", "4:k")
+      .save(s"$warehouse/db/j2")
+    val olds = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("cwh.db.j1").join(spark.table("cwh.db.j2"), "k")
+      j.collect()
+      def countEx(p: org.apache.spark.sql.execution.SparkPlan): Int =
+        (if (p.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]) 1 else 0) +
+          p.children.map(countEx).sum + (p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              countEx(a.executedPlan)
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              countEx(q.plan)
+            case _ => 0
+          })
+      assert(countEx(j.queryExecution.executedPlan) === 0,
+        s"DDL-created and path-written bucketed tables must SPJ:\n${j.queryExecution.executedPlan}")
+      assert(j.count() === 2500)
+    } finally olds match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+}
