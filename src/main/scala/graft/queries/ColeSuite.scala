@@ -591,6 +591,35 @@ object ColeSuite {
                 MIN(o_orderkey) AS mn_key, MAX(o_orderkey) AS mx_key
               FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // Bucket-pruned point lookup: the serving-path twin of cole_spj_bucketed.
+    // An IN probe on the bucket column resolves to its hash buckets at
+    // PLANNING — on the 16-way layout only those _bucket=N directories'
+    // files are listed or opened (ColeSpjBucketedSpec asserts the open
+    // counts); at 100 TB a key lookup reads 1/16 of the directory tree
+    // and zero bytes elsewhere. Reuses cole_spj_bucketed's fixture.
+    Q("cole_bucket_lookup", (s, d) => {
+      val wh = "/tmp/graft_cole/warehouse"
+      s.conf.set("spark.sql.catalog.cole", "graft.sources.cole.ColeCatalog")
+      s.conf.set("spark.sql.catalog.cole.warehouse", wh)
+      val ns = s"v${writerFingerprint}_spjb_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val liDir = s"$wh/$ns/li"
+      writeOnce(liDir) {
+        Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_quantity")
+          .write.format("cole").mode("overwrite")
+          .option("bucketBy", "16:l_orderkey").save(liDir)
+      }
+      s.read.format("cole").load(liDir)
+        .filter(col("l_orderkey").isin(1L, 7L, 500L, 4999L, 12345L))
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+          min("l_extendedprice").as("mn_ep"), max("l_extendedprice").as("mx_ep"))
+        .orderBy("l_orderkey")
+    },
+      Some("""SELECT l_orderkey, COUNT(*) AS n_items,
+                MIN(l_extendedprice) AS mn_ep, MAX(l_extendedprice) AS mx_ep
+              FROM lineitem WHERE l_orderkey IN (1, 7, 500, 4999, 12345)
+              GROUP BY l_orderkey ORDER BY l_orderkey""")),
+
     // COLE v2 DECIMAL: exact money in the NATIVE format — the engine's
     // whole oracle discipline is decimal money math (SURVEY §4), and until
     // now .col round-tripped money as DOUBLE. lineitem's price/quantity
