@@ -48,54 +48,85 @@ object ColeBucket {
     z ^ (z >>> 33)
   }
 
-  def bucketOf(key: Long, n: Int): Int =
-    Math.floorMod(mix64(key), n.toLong).toInt
+  /** Per-key avalanche hash: the unit both single- and multi-column
+    * bucketing compose from.
+    */
+  def keyHashLong(v: Long): Long = mix64(v)
 
   /** FNV-1a 64 over UTF-8 bytes, then the same avalanche. */
-  def bucketOfBytes(b: Array[Byte], n: Int): Int = {
+  def keyHashBytes(b: Array[Byte]): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0
     while (i < b.length) { h ^= (b(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
-    Math.floorMod(mix64(h), n.toLong).toInt
+    mix64(h)
   }
 
-  /** Parse a `bucketBy` write option: `"<n>:<column>"`. */
-  def parseOption(v: String): (Int, String) = {
+  /** Combine the next key's hash into a composite bucket hash. The fold
+    * starts AT the first key's hash (so single-column buckets reduce to
+    * `floorMod(keyHash, n)` exactly — no layout change for existing
+    * tables), and every later key re-avalanches the mixture.
+    */
+  def combine(acc: Long, next: Long): Long = mix64(acc * 31 + next)
+
+  def bucketOfHash(h: Long, n: Int): Int = Math.floorMod(h, n.toLong).toInt
+
+  def bucketOf(key: Long, n: Int): Int = bucketOfHash(keyHashLong(key), n)
+
+  def bucketOfBytes(b: Array[Byte], n: Int): Int =
+    bucketOfHash(keyHashBytes(b), n)
+
+  /** Parse a `bucketBy` write option: `"<n>:<col>[,<col2>...]"` —
+    * composite keys bucket on the combined hash (orders ⋈ lineitem on a
+    * compound key needs both sides hashed the same way).
+    */
+  def parseOption(v: String): (Int, Seq[String]) = {
     val i = v.indexOf(':')
     require(i > 0 && i < v.length - 1,
-      s"bucketBy must be '<numBuckets>:<column>', got '$v'")
+      s"bucketBy must be '<numBuckets>:<col>[,<col2>...]', got '$v'")
     val n = v.substring(0, i).trim.toInt
     require(n > 0, s"bucketBy needs a positive bucket count, got $n")
-    (n, v.substring(i + 1).trim)
+    val cols = v.substring(i + 1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    require(cols.nonEmpty, s"bucketBy needs at least one column, got '$v'")
+    (n, cols)
   }
 
   def specPath(table: String): String = s"$table/$SpecFile"
 
-  /** Bucket ids that claimed predicates on the bucket column can possibly
-    * match: Some(ids) when equality/IN pins them (a point lookup on a
-    * 100 TB bucketed table then scans 1/n of the directories, no bytes
-    * read elsewhere), None when the predicates don't constrain the
-    * bucket. Only equality shapes prune — ranges span buckets by design
-    * of the avalanche hash. Multiple predicates intersect.
+  /** Bucket ids that claimed predicates on the bucket column(s) can
+    * possibly match: Some(ids) when equality/IN pins EVERY bucket column
+    * (a point lookup on a 100 TB bucketed table then scans 1/n of the
+    * directories, no bytes read elsewhere), None when any column is
+    * unconstrained. Only equality shapes prune — ranges span buckets by
+    * design of the avalanche hash. Per column, multiple predicates
+    * intersect; across columns the candidate key hashes combine (bounded
+    * cartesian — a blown-up IN×IN product just declines to prune).
     */
-  def prunedBuckets(preds: Seq[ColePredicate], n: Int): Option[Set[Int]] = {
-    val sets = preds.flatMap { p =>
-      p.op match {
-        case "eq" => Some(Set(bucketOf(p.value, n)))
-        case "in" => Some(p.values.map(bucketOf(_, n)).toSet)
-        case "eqs" => Some(Set(bucketOfBytes(p.strValue, n)))
-        case "ins" => Some(p.strValues.map(bucketOfBytes(_, n)).toSet)
-        case _ => None
+  def prunedBuckets(predsPerCol: Seq[Seq[ColePredicate]], n: Int): Option[Set[Int]] = {
+    val perCol: Seq[Set[Long]] = predsPerCol.map { preds =>
+      val sets = preds.flatMap { p =>
+        p.op match {
+          case "eq" => Some(Set(keyHashLong(p.value)))
+          case "in" => Some(p.values.map(keyHashLong).toSet)
+          case "eqs" => Some(Set(keyHashBytes(p.strValue)))
+          case "ins" => Some(p.strValues.map(keyHashBytes).toSet)
+          case _ => None
+        }
       }
+      if (sets.isEmpty) return None // this bucket column is unpinned
+      sets.reduce(_ intersect _)
     }
-    if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+    if (perCol.map(_.size.toLong).product > 1024L) return None
+    val combined = perCol.tail.foldLeft(perCol.head) { (acc, ks) =>
+      for (a <- acc; k <- ks) yield combine(a, k)
+    }
+    Some(combined.map(bucketOfHash(_, n)))
   }
 
   /** Decode a V2 partition transform: identity(c) ↦ Left(c) (hive
     * directory partitioning), bucket(n, c) ↦ Right((n, c)) (hashed
     * layout). Anything else is rejected loudly.
     */
-  def decodeTransform(t: Transform): Either[String, (Int, String)] = t.name() match {
+  def decodeTransform(t: Transform): Either[String, (Int, Seq[String])] = t.name() match {
     case "identity" if t.references.length == 1 &&
         t.references.head.fieldNames.length == 1 =>
       Left(t.references.head.fieldNames.head)
@@ -104,22 +135,27 @@ object ColeBucket {
         case l: org.apache.spark.sql.connector.expressions.Literal[_]
             if l.dataType == IntegerType => l.value.asInstanceOf[Int]
       }.getOrElse(throw new IllegalArgumentException(s"bucket transform without a count: $t"))
-      require(t.references.length == 1 && t.references.head.fieldNames.length == 1,
-        s"COLE buckets on exactly one plain column, got $t")
-      Right((n, t.references.head.fieldNames.head))
+      require(t.references.nonEmpty && t.references.forall(_.fieldNames.length == 1),
+        s"COLE buckets on plain columns, got $t")
+      Right((n, t.references.map(_.fieldNames.head).toSeq))
     case other => throw new IllegalArgumentException(
       s"COLE supports identity and bucket partition transforms, not $other")
   }
 
-  /** Persist the bucket spec sidecar (idempotent overwrite). */
-  def writeSpec(table: String, conf: Configuration, n: Int, column: String): Unit = {
+  /** Persist the bucket spec sidecar (idempotent overwrite); columns
+    * comma-joined — single-column files from earlier layouts parse
+    * unchanged.
+    */
+  def writeSpec(table: String, conf: Configuration, n: Int,
+      columns: Seq[String]): Unit = {
     val (fs, p) = ColeIO.resolve(specPath(table), conf)
     val out = fs.create(p, true)
-    try out.write(s"1\n$n\n$column\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(s"1\n$n\n${columns.mkString(",")}\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
 
-  def readSpec(table: String, conf: Configuration): Option[(Int, String)] = {
+  def readSpec(table: String, conf: Configuration): Option[(Int, Seq[String])] = {
     val (fs, p) = ColeIO.resolve(specPath(table), conf)
     if (!fs.exists(p)) None
     else {
@@ -129,7 +165,8 @@ object ColeBucket {
       val lines = txt.split('\n')
       require(lines.length >= 3 && lines(0) == "1",
         s"unreadable $SpecFile at $table")
-      Some((lines(1).toInt, lines(2)))
+      Some((lines(1).toInt,
+        lines(2).split(',').map(_.trim).filter(_.nonEmpty).toSeq))
     }
   }
 }
@@ -150,29 +187,36 @@ object ColeBucketFunction extends UnboundFunction {
     "bucket(n, col): COLE hashed-bucket id of col (int/long/string)"
 
   override def bind(inputType: StructType): BoundFunction = {
-    require(inputType.fields.length == 2,
-      s"bucket takes (numBuckets, column); bound with ${inputType.fields.length} args")
+    require(inputType.fields.length >= 2,
+      s"bucket takes (numBuckets, column...); bound with ${inputType.fields.length} args")
     require(inputType.fields(0).dataType == IntegerType,
       s"bucket count must be INT, got ${inputType.fields(0).dataType}")
-    val keyType = inputType.fields(1).dataType
-    keyType match {
+    val keyTypes: Array[DataType] = inputType.fields.drop(1).map(_.dataType)
+    keyTypes.foreach {
       case IntegerType | LongType | StringType => ()
       case other => throw new UnsupportedOperationException(
         s"COLE buckets on INT/LONG/STRING keys, not $other")
     }
     new ScalarFunction[Integer] {
-      override def inputTypes(): Array[DataType] = Array(IntegerType, keyType)
+      override def inputTypes(): Array[DataType] = IntegerType +: keyTypes
       override def resultType(): DataType = IntegerType
       override def name(): String = "bucket"
       override def canonicalName(): String = "graft.cole.bucket"
       override def isResultNullable: Boolean = false
       override def produceResult(input: InternalRow): Integer = {
         val n = input.getInt(0)
-        keyType match {
-          case IntegerType => ColeBucket.bucketOf(input.getInt(1).toLong, n)
-          case LongType => ColeBucket.bucketOf(input.getLong(1), n)
-          case StringType => ColeBucket.bucketOfBytes(input.getUTF8String(1).getBytes, n)
+        var h = 0L
+        var i = 0
+        while (i < keyTypes.length) {
+          val kh = keyTypes(i) match {
+            case IntegerType => ColeBucket.keyHashLong(input.getInt(i + 1).toLong)
+            case LongType => ColeBucket.keyHashLong(input.getLong(i + 1))
+            case _ => ColeBucket.keyHashBytes(input.getUTF8String(i + 1).getBytes)
+          }
+          h = if (i == 0) kh else ColeBucket.combine(h, kh)
+          i += 1
         }
+        ColeBucket.bucketOfHash(h, n)
       }
     }
   }
@@ -294,7 +338,7 @@ class ColeCatalog extends TableCatalog with FunctionCatalog with SupportsNamespa
     if (!fs.exists(p)) fs.mkdirs(p)
     // decode transforms: identity → hive partition columns, bucket → spec
     var partCols = Vector.empty[String]
-    var bucketSpec: Option[(Int, String)] = None
+    var bucketSpec: Option[(Int, Seq[String])] = None
     partitions.foreach { t =>
       ColeBucket.decodeTransform(t) match {
         case Left(c) => partCols = partCols :+ c
@@ -303,7 +347,7 @@ class ColeCatalog extends TableCatalog with FunctionCatalog with SupportsNamespa
           bucketSpec = Some(spec)
       }
     }
-    bucketSpec.foreach { case (n, c) => ColeBucket.writeSpec(path, conf, n, c) }
+    bucketSpec.foreach { case (n, cs) => ColeBucket.writeSpec(path, conf, n, cs) }
     // declared schema sidecar: what lets the table resolve while EMPTY
     // (between CREATE and the first INSERT); file footers take over as
     // the source of truth once data lands

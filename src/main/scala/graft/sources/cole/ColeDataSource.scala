@@ -164,7 +164,7 @@ private[cole] object ColeUtil {
 
 class ColeTable(schema: StructType, writePartCols: Seq[String],
     properties: Map[String, String],
-    bucketSpec: Option[(Int, String)] = None)
+    bucketSpec: Option[(Int, Seq[String])] = None)
     extends Table with SupportsRead with SupportsWrite {
 
   def this(schema: StructType, properties: Map[String, String]) =
@@ -175,8 +175,8 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
   override def partitioning(): Array[Transform] =
     writePartCols.map(c =>
       org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray ++
-      bucketSpec.map { case (n, c) =>
-        org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c) }
+      bucketSpec.map { case (n, cs) =>
+        org.apache.spark.sql.connector.expressions.Expressions.bucket(n, cs: _*) }
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
@@ -580,8 +580,9 @@ class ColeAggScan(path: String, conf: Configuration, groupCols: Seq[String],
     // bucket pruning, same as the row scan: a filtered aggregate whose
     // claimed predicate pins the bucket column sweeps 1/n of the table
     val bucketKeep: Option[Set[String]] =
-      ColeBucket.readSpec(path, conf).flatMap { case (n, c) =>
-        ColeBucket.prunedBuckets(preds.filter(_.column == c).toSeq, n)
+      ColeBucket.readSpec(path, conf).flatMap { case (n, cs) =>
+        ColeBucket.prunedBuckets(
+          cs.map(c => preds.filter(_.column == c).toSeq), n)
           .map(_.map(_.toString))
       }
     infos.flatMap { info =>
@@ -1896,14 +1897,14 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
     * suited nation-grade keys. Non-catalog reads still plan fine — Spark
     * just can't resolve the transform and falls back to shuffling.
     */
-  private lazy val bucketSpec: Option[(Int, String)] =
+  private lazy val bucketSpec: Option[(Int, Seq[String])] =
     ColeBucket.readSpec(path, conf)
 
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
     bucketSpec match {
-      case Some((n, c)) if partKeySchema.map(_._1) == Seq(ColeBucket.DirKey) =>
+      case Some((n, cs)) if partKeySchema.map(_._1) == Seq(ColeBucket.DirKey) =>
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-          Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)),
+          Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(n, cs: _*)),
           ColeMetaCache.infos(path, conf).map(_.partValues).distinct.size)
       case _ =>
         if (partKeySchema.isEmpty)
@@ -1988,8 +1989,9 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
     // bucket pruning: equality/IN on the bucket column pins the hash
     // bucket(s) — only those _bucket=N directories' files plan at all
     // (runtime IN-filters from joins prune the same way on the re-plan)
-    val bucketKeep: Option[Set[String]] = bucketSpec.flatMap { case (n, c) =>
-      ColeBucket.prunedBuckets((preds ++ dataRuntime).filter(_.column == c).toSeq, n)
+    val bucketKeep: Option[Set[String]] = bucketSpec.flatMap { case (n, cs) =>
+      ColeBucket.prunedBuckets(
+        cs.map(c => (preds ++ dataRuntime).filter(_.column == c).toSeq), n)
         .map(_.map(_.toString))
     }
     val survivors = ColeMetaCache.infos(path, conf).filter(i => fileKeep(i.path)).flatMap { info =>
@@ -2448,7 +2450,7 @@ class ColeRowReader(part: ColeInputPartition, required: StructType,
 
 class ColeWriteBuilder(schema: StructType, path: String, rowGroupSize: Int,
     conf: Configuration, partCols: Seq[String] = Seq.empty,
-    bucketSpec: Option[(Int, String)] = None)
+    bucketSpec: Option[(Int, Seq[String])] = None)
     extends WriteBuilder with SupportsTruncate {
 
   private var doTruncate = false
@@ -2471,7 +2473,7 @@ final case class ColeCommitMessage(files: Seq[String]) extends WriterCommitMessa
 
 class ColeBatchWrite(schema: StructType, path: String, rowGroupSize: Int,
     truncate: Boolean, conf: Configuration, partCols: Seq[String],
-    bucketSpec: Option[(Int, String)] = None)
+    bucketSpec: Option[(Int, Seq[String])] = None)
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -2481,12 +2483,14 @@ class ColeBatchWrite(schema: StructType, path: String, rowGroupSize: Int,
       s"partition column '$c' not in write schema"))
     require(partCols.size < schema.size,
       "cannot partition by every column: no data columns remain")
-    bucketSpec.foreach { case (n, c) =>
-      require(schema.fieldNames.contains(c), s"bucket column '$c' not in write schema")
-      schema.fields(schema.fieldIndex(c)).dataType match {
-        case IntegerType | LongType | StringType => ()
-        case other => throw new IllegalArgumentException(
-          s"COLE buckets on INT/LONG/STRING keys; '$c' is $other")
+    bucketSpec.foreach { case (n, cs) =>
+      cs.foreach { c =>
+        require(schema.fieldNames.contains(c), s"bucket column '$c' not in write schema")
+        schema.fields(schema.fieldIndex(c)).dataType match {
+          case IntegerType | LongType | StringType => ()
+          case other => throw new IllegalArgumentException(
+            s"COLE buckets on INT/LONG/STRING keys; '$c' is $other")
+        }
       }
       require(n > 0 && n <= 65536, s"bucket count must be in [1, 65536], got $n")
     }
@@ -2499,7 +2503,7 @@ class ColeBatchWrite(schema: StructType, path: String, rowGroupSize: Int,
     // the layout self-describes: persist the bucket spec BEFORE any data
     // lands, so a concurrent reader never sees bucketed files without the
     // sidecar that explains them
-    bucketSpec.foreach { case (n, c) => ColeBucket.writeSpec(path, conf, n, c) }
+    bucketSpec.foreach { case (n, cs) => ColeBucket.writeSpec(path, conf, n, cs) }
     new ColeWriterFactory(schema, path, rowGroupSize, new ColeHadoopConf(conf),
       partCols, bucketSpec)
   }
@@ -2516,7 +2520,7 @@ class ColeBatchWrite(schema: StructType, path: String, rowGroupSize: Int,
 
 class ColeWriterFactory(schema: StructType, path: String, rowGroupSize: Int,
     hconf: ColeHadoopConf, partCols: Seq[String] = Seq.empty,
-    bucketSpec: Option[(Int, String)] = None)
+    bucketSpec: Option[(Int, Seq[String])] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     bucketSpec match {
@@ -2544,10 +2548,10 @@ class ColeWriterFactory(schema: StructType, path: String, rowGroupSize: Int,
 class ColeBucketedDataWriter(schema: StructType, protected val baseDir: String,
     protected val partitionId: Int, protected val taskId: Long,
     rowGroupSize: Int, conf: Configuration,
-    numBuckets: Int, bucketCol: String) extends DataWriter[InternalRow] {
+    numBuckets: Int, bucketCols: Seq[String]) extends DataWriter[InternalRow] {
 
-  private val ki = schema.fieldIndex(bucketCol)
-  private val keyType = schema.fields(ki).dataType
+  private val kis: Array[Int] = bucketCols.map(schema.fieldIndex).toArray
+  private val keyTypes: Array[DataType] = kis.map(schema.fields(_).dataType)
   private val writers = new Array[ColeDataWriter](numBuckets)
   private val closedFiles = scala.collection.mutable.ArrayBuffer.empty[String]
 
@@ -2558,14 +2562,22 @@ class ColeBucketedDataWriter(schema: StructType, protected val baseDir: String,
     f"$baseDir/${ColeBucket.DirKey}=$b/part-$partitionId%05d-$taskId.col"
 
   override def write(record: InternalRow): Unit = {
-    if (record.isNullAt(ki))
-      throw new ColeFormatException(
-        s"bucket column '$bucketCol' must be non-null (buckets place rows by key)")
-    val b = keyType match {
-      case IntegerType => ColeBucket.bucketOf(record.getInt(ki).toLong, numBuckets)
-      case LongType => ColeBucket.bucketOf(record.getLong(ki), numBuckets)
-      case _ => ColeBucket.bucketOfBytes(record.getUTF8String(ki).getBytes, numBuckets)
+    var h = 0L
+    var i = 0
+    while (i < kis.length) {
+      val ki = kis(i)
+      if (record.isNullAt(ki))
+        throw new ColeFormatException(
+          s"bucket column '${bucketCols(i)}' must be non-null (buckets place rows by key)")
+      val kh = keyTypes(i) match {
+        case IntegerType => ColeBucket.keyHashLong(record.getInt(ki).toLong)
+        case LongType => ColeBucket.keyHashLong(record.getLong(ki))
+        case _ => ColeBucket.keyHashBytes(record.getUTF8String(ki).getBytes)
+      }
+      h = if (i == 0) kh else ColeBucket.combine(h, kh)
+      i += 1
     }
+    val b = ColeBucket.bucketOfHash(h, numBuckets)
     var w = writers(b)
     if (w == null) {
       w = new ColeDataWriter(schema, fileName(b), rowGroupSize, conf)
@@ -3137,7 +3149,7 @@ object ColeStreamingWrite {
 
 class ColeStreamingWrite(schema: StructType, path: String, rowGroupSize: Int,
     conf: Configuration, partCols: Seq[String],
-    bucketSpec: Option[(Int, String)] = None) extends StreamingWrite {
+    bucketSpec: Option[(Int, Seq[String])] = None) extends StreamingWrite {
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
@@ -3148,12 +3160,14 @@ class ColeStreamingWrite(schema: StructType, path: String, rowGroupSize: Int,
       "cannot partition by every column: no data columns remain")
     require(bucketSpec.isEmpty || partCols.isEmpty,
       "COLE tables are either hive-partitioned or hash-bucketed, not both")
-    bucketSpec.foreach { case (n, c) =>
-      require(schema.fieldNames.contains(c), s"bucket column '$c' not in write schema")
-      schema.fields(schema.fieldIndex(c)).dataType match {
-        case IntegerType | LongType | StringType => ()
-        case other => throw new IllegalArgumentException(
-          s"COLE buckets on INT/LONG/STRING keys; '$c' is $other")
+    bucketSpec.foreach { case (n, cs) =>
+      cs.foreach { c =>
+        require(schema.fieldNames.contains(c), s"bucket column '$c' not in write schema")
+        schema.fields(schema.fieldIndex(c)).dataType match {
+          case IntegerType | LongType | StringType => ()
+          case other => throw new IllegalArgumentException(
+            s"COLE buckets on INT/LONG/STRING keys; '$c' is $other")
+        }
       }
       require(n > 0 && n <= 65536, s"bucket count must be in [1, 65536], got $n")
     }
@@ -3161,7 +3175,7 @@ class ColeStreamingWrite(schema: StructType, path: String, rowGroupSize: Int,
     if (!fs.exists(dir)) fs.mkdirs(dir)
     // sidecar BEFORE any epoch lands (idempotent overwrite), so a reader
     // tailing the growing table can prove co-partitioning from epoch one
-    bucketSpec.foreach { case (n, c) => ColeBucket.writeSpec(path, conf, n, c) }
+    bucketSpec.foreach { case (n, cs) => ColeBucket.writeSpec(path, conf, n, cs) }
     new ColeStreamingWriterFactory(schema, path, rowGroupSize,
       new ColeHadoopConf(conf), partCols, bucketSpec)
   }
@@ -3224,7 +3238,7 @@ object ColeStreaming {
 
 class ColeStreamingWriterFactory(schema: StructType, path: String,
     rowGroupSize: Int, hconf: ColeHadoopConf, partCols: Seq[String],
-    bucketSpec: Option[(Int, String)] = None)
+    bucketSpec: Option[(Int, Seq[String])] = None)
     extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
@@ -3266,9 +3280,9 @@ class ColeStreamingDataWriter(schema: StructType, tmp: String, taskId: Long,
   */
 class ColeStreamingBucketedDataWriter(schema: StructType, baseDir0: String,
     partitionId0: Int, taskId0: Long, rowGroupSize: Int, conf: Configuration,
-    numBuckets: Int, bucketCol: String, epochId: Long)
+    numBuckets: Int, bucketCols: Seq[String], epochId: Long)
     extends ColeBucketedDataWriter(schema, baseDir0, partitionId0, taskId0,
-      rowGroupSize, conf, numBuckets, bucketCol) {
+      rowGroupSize, conf, numBuckets, bucketCols) {
 
   override protected def fileName(b: Int): String =
     f"$baseDir/${ColeBucket.DirKey}=$b/" +

@@ -46,7 +46,7 @@ class ColeCatalogSpec extends AnyFunSuite {
     spark.sql("CREATE TABLE cwh.db.bt (k BIGINT, w DOUBLE) " +
       "PARTITIONED BY (bucket(4, k))")
     assert(ColeBucket.readSpec(s"$warehouse/db/bt", ColeIO.driverConf())
-      === Some((4, "k")))
+      === Some((4, Seq("k"))))
     val s = spark
     import s.implicits._
     (0 until 2000).map(i => (i.toLong, i * 0.5)).toDF("k", "w")

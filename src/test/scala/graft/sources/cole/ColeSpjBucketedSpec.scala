@@ -83,7 +83,7 @@ class ColeSpjBucketedSpec extends AnyFunSuite {
   test("bucketed layout self-describes and round-trips") {
     written
     val spec = ColeBucket.readSpec(s"$warehouse/ord", ColeIO.driverConf())
-    assert(spec === Some((8, "okey")))
+    assert(spec === Some((8, Seq("okey"))))
     // every row landed in the bucket the shared hash assigns its key
     val files = ColeIO.listPartitioned(s"$warehouse/ord", ColeIO.driverConf())
     assert(files.nonEmpty && files.forall(_._2.map(_._1) == Seq("_bucket")))
@@ -160,6 +160,57 @@ class ColeSpjBucketedSpec extends AnyFunSuite {
           s"(got $shuffles):\n${j.queryExecution.executedPlan}")
       assert(j.count() === (0 until 20000 by 3).size)
     }
+  }
+
+  test("composite bucket keys: routing, exact joins, and composite point-lookup pruning") {
+    val s = spark
+    import s.implicits._
+    // composite natural key (orderkey, linenumber)-style
+    (0 until 6000).map(i => (i.toLong / 4, i % 4, s"d$i"))
+      .toDF("ok", "ln", "dtag")
+      .write.format("cole").mode("overwrite")
+      .option("bucketBy", "4:ok,ln").save(s"$warehouse/m1")
+    (0 until 6000 by 2).map(i => (i.toLong / 4, i % 4, (i % 9).toDouble))
+      .toDF("ok", "ln", "w")
+      .write.format("cole").mode("overwrite")
+      .option("bucketBy", "4:ok,ln").save(s"$warehouse/m2")
+    assert(ColeBucket.readSpec(s"$warehouse/m1", ColeIO.driverConf())
+      === Some((4, Seq("ok", "ln"))))
+    // routing: every row's combined hash lands in its directory
+    def combined(ok: Long, ln: Int): Int = ColeBucket.bucketOfHash(
+      ColeBucket.combine(ColeBucket.keyHashLong(ok), ColeBucket.keyHashLong(ln.toLong)), 4)
+    for (b <- 0 until 4) {
+      val rows = spark.read.format("cole").load(s"$warehouse/m1/_bucket=$b")
+        .select("ok", "ln").collect().map(r => (r.getLong(0), r.getInt(1)))
+      assert(rows.nonEmpty)
+      rows.foreach { case (ok, ln) => assert(combined(ok, ln) === b) }
+    }
+    // join on BOTH keys through the catalog stays exact. (Spark's SPJ
+    // machinery resolves only SINGLE-reference bucket transforms today —
+    // V2ExpressionUtils routes multi-ref buckets through the generic
+    // named-transform path whose literal child defeats the co-partition
+    // check — so the composite layout buys routing + pruning, and the
+    // zero-Exchange proof remains single-column. If a later Spark lifts
+    // the restriction, the scan's report already carries both refs.)
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val a = spark.table("bwh.m1")
+      val b = spark.table("bwh.m2")
+      val j = a.join(b, Seq("ok", "ln"))
+      assert(j.count() === 3000)
+    }
+    // a point lookup pinning BOTH columns prunes to one bucket
+    val (pk, pl) = (250L, 2)
+    ColeIO.opens.set(0)
+    val got = spark.read.format("cole").load(s"$warehouse/m1")
+      .filter(col("ok") === pk && col("ln") === pl).select("dtag").collect()
+    assert(got.length === 1)
+    val fsFiles = ColeIO.listPartitioned(s"$warehouse/m1", ColeIO.driverConf())
+    val inBucket = fsFiles.count(_._2.head._2 == combined(pk, pl).toString)
+    assert(ColeIO.opens.get() <= inBucket,
+      s"composite point lookup opened ${ColeIO.opens.get()} files, bucket holds $inBucket")
+    // pinning only ONE column must NOT prune incorrectly (and stays exact)
+    assert(spark.read.format("cole").load(s"$warehouse/m1")
+      .filter(col("ok") === pk).count() === 4)
   }
 
   test("string bucket keys route consistently") {
@@ -250,7 +301,7 @@ class ColeSpjBucketedSpec extends AnyFunSuite {
     val stats = ColeCompact.compact(spark, t, targetBytes = 64L << 20)
     assert(stats.filesAfter < before, s"no compaction happened: $stats")
     // spec survives, routing survives, per-bucket dirs intact
-    assert(ColeBucket.readSpec(t, ColeIO.driverConf()) === Some((4, "k")))
+    assert(ColeBucket.readSpec(t, ColeIO.driverConf()) === Some((4, Seq("k"))))
     for (b <- 0 until 4) {
       val ks = spark.read.format("cole").load(s"$t/_bucket=$b")
         .select("k").collect().map(_.getLong(0))

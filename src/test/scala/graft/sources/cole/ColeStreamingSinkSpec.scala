@@ -79,7 +79,7 @@ class ColeStreamingSinkSpec extends AnyFunSuite {
 
     // layout: sidecar + per-bucket dirs, every row in its hash bucket,
     // no leaked in-progress files
-    assert(ColeBucket.readSpec(dir, ColeIO.driverConf()) === Some((4, "id")))
+    assert(ColeBucket.readSpec(dir, ColeIO.driverConf()) === Some((4, Seq("id"))))
     for (b <- 0 until 4) {
       val d = new java.io.File(s"$dir/_bucket=$b")
       assert(d.isDirectory, s"bucket dir $b missing")
