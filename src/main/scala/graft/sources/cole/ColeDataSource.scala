@@ -2457,16 +2457,49 @@ class ColeWriteBuilder(schema: StructType, path: String, rowGroupSize: Int,
 
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite =
-      new ColeBatchWrite(schema, path, rowGroupSize, doTruncate, conf, partCols,
-        bucketSpec)
-    override def toStreaming: StreamingWrite = {
-      if (doTruncate) throw new UnsupportedOperationException(
-        "the cole streaming sink supports Append output mode only")
-      new ColeStreamingWrite(schema, path, rowGroupSize, conf, partCols, bucketSpec)
+  override def build(): Write =
+    bucketSpec match {
+      case Some((_, bucketCols)) =>
+        // bucketed writes request clustering + in-partition ordering by
+        // the bucket keys: equal keys land contiguously and each bucket
+        // file arrives SORTED — the writer then picks DELTA encodings
+        // and emits tight page stats, so range predicates on the key
+        // prune row groups inside every bucket (parquet's
+        // bucketBy().sortBy() layout, self-describing). One extra
+        // exchange at write time buys clustered scans for the table's
+        // whole read life.
+        new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+          import org.apache.spark.sql.connector.expressions.{Expressions => E}
+          override def requiredDistribution()
+              : org.apache.spark.sql.connector.distributions.Distribution =
+            org.apache.spark.sql.connector.distributions.Distributions.clustered(
+              bucketCols.map(c => E.column(c)
+                : org.apache.spark.sql.connector.expressions.Expression).toArray)
+          override def requiredOrdering()
+              : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+            bucketCols.map(c => E.sort(E.column(c),
+              org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
+          override def toBatch: BatchWrite =
+            new ColeBatchWrite(schema, path, rowGroupSize, doTruncate, conf,
+              partCols, bucketSpec)
+          override def toStreaming: StreamingWrite = {
+            if (doTruncate) throw new UnsupportedOperationException(
+              "the cole streaming sink supports Append output mode only")
+            new ColeStreamingWrite(schema, path, rowGroupSize, conf, partCols,
+              bucketSpec)
+          }
+        }
+      case None => new Write {
+        override def toBatch: BatchWrite =
+          new ColeBatchWrite(schema, path, rowGroupSize, doTruncate, conf, partCols,
+            bucketSpec)
+        override def toStreaming: StreamingWrite = {
+          if (doTruncate) throw new UnsupportedOperationException(
+            "the cole streaming sink supports Append output mode only")
+          new ColeStreamingWrite(schema, path, rowGroupSize, conf, partCols, bucketSpec)
+        }
+      }
     }
-  }
 }
 
 final case class ColeCommitMessage(files: Seq[String]) extends WriterCommitMessage
