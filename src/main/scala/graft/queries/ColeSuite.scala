@@ -620,6 +620,34 @@ object ColeSuite {
               FROM lineitem WHERE l_orderkey IN (1, 7, 500, 4999, 12345)
               GROUP BY l_orderkey ORDER BY l_orderkey""")),
 
+    // Range scan over the SORTED bucketed layout: bucketed writes cluster
+    // + sort by the bucket key (RequiresDistributionAndOrdering), so
+    // every bucket file stores ordered runs with tight page stats — a
+    // key-range predicate prunes most row groups in every bucket. The
+    // range itself can't bucket-prune (hash order ≠ key order); this is
+    // the page-stat complement the sorted layout buys.
+    Q("cole_range_lookup", (s, d) => {
+      val wh = "/tmp/graft_cole/warehouse"
+      s.conf.set("spark.sql.catalog.cole", "graft.sources.cole.ColeCatalog")
+      s.conf.set("spark.sql.catalog.cole.warehouse", wh)
+      val ns = s"v${writerFingerprint}_spjb_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val liDir = s"$wh/$ns/li"
+      writeOnce(liDir) {
+        Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_quantity")
+          .write.format("cole").mode("overwrite")
+          .option("bucketBy", "16:l_orderkey").save(liDir)
+      }
+      s.read.format("cole").load(liDir)
+        .filter(col("l_orderkey") >= 1000L && col("l_orderkey") < 1400L)
+        .agg(count(lit(1)).as("n_items"),
+          min("l_orderkey").as("mn_key"), max("l_orderkey").as("mx_key"),
+          min("l_extendedprice").as("mn_ep"), max("l_extendedprice").as("mx_ep"))
+    },
+      Some("""SELECT COUNT(*) AS n_items,
+                MIN(l_orderkey) AS mn_key, MAX(l_orderkey) AS mx_key,
+                MIN(l_extendedprice) AS mn_ep, MAX(l_extendedprice) AS mx_ep
+              FROM lineitem WHERE l_orderkey >= 1000 AND l_orderkey < 1400""")),
+
     // COLE v2 DECIMAL: exact money in the NATIVE format — the engine's
     // whole oracle discipline is decimal money math (SURVEY §4), and until
     // now .col round-tripped money as DOUBLE. lineitem's price/quantity

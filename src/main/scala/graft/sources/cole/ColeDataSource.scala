@@ -179,7 +179,8 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
         org.apache.spark.sql.connector.expressions.Expressions.bucket(n, cs: _*) }
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC, TableCapability.STREAMING_WRITE,
       TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -2451,11 +2452,50 @@ class ColeRowReader(part: ColeInputPartition, required: StructType,
 class ColeWriteBuilder(schema: StructType, path: String, rowGroupSize: Int,
     conf: Configuration, partCols: Seq[String] = Seq.empty,
     bucketSpec: Option[(Int, Seq[String])] = None)
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder with SupportsTruncate with SupportsOverwrite
+    with SupportsDynamicOverwrite {
 
   private var doTruncate = false
+  private var dynamicOverwrite = false
+  private var overwriteFilters: Array[Filter] = Array.empty
 
   override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  /** INSERT OVERWRITE with a static partition spec (or an explicit
+    * overwrite condition): supported when every predicate targets hive
+    * partition columns — the matching partitions' files delete before
+    * the write, everything else is untouched. Row-level conditions are
+    * rejected (COLE rewrites partitions, not rows).
+    */
+  override def overwrite(filters0: Array[Filter]): WriteBuilder = {
+    if (filters0.isEmpty || filters0.forall(_.isInstanceOf[AlwaysTrue])) return truncate()
+    // a static partition spec arrives as null-safe equality; partition
+    // values are never null, so it is plain equality here
+    val filters = filters0.map {
+      case EqualNullSafe(c, v) if v != null => EqualTo(c, v)
+      case f => f
+    }
+    val preds = filters.flatMap(ColePredicate.fromFilter)
+    require(preds.length == filters.length &&
+      preds.forall(p => partCols.contains(p.column)),
+      s"COLE overwrites whole partitions: every overwrite predicate must be " +
+        s"a supported comparison on a partition column " +
+        s"(${partCols.mkString(", ")}); got ${filters.mkString(", ")}")
+    overwriteFilters = filters
+    this
+  }
+
+  /** `writeTo(...).overwritePartitions()` / partitionOverwriteMode=dynamic:
+    * replace exactly the partitions the incoming data lands in.
+    */
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    require(partCols.nonEmpty,
+      "dynamic partition overwrite needs a hive-partitioned COLE table")
+    require(bucketSpec.isEmpty,
+      "dynamic OVERWRITE would wipe co-bucketed rows; bucketed tables append or truncate")
+    dynamicOverwrite = true
+    this
+  }
 
   override def build(): Write =
     bucketSpec match {
@@ -2481,10 +2521,11 @@ class ColeWriteBuilder(schema: StructType, path: String, rowGroupSize: Int,
               org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
           override def toBatch: BatchWrite =
             new ColeBatchWrite(schema, path, rowGroupSize, doTruncate, conf,
-              partCols, bucketSpec)
+              partCols, bucketSpec, dynamicOverwrite, overwriteFilters)
           override def toStreaming: StreamingWrite = {
-            if (doTruncate) throw new UnsupportedOperationException(
-              "the cole streaming sink supports Append output mode only")
+            if (doTruncate || dynamicOverwrite || overwriteFilters.nonEmpty)
+              throw new UnsupportedOperationException(
+                "the cole streaming sink supports Append output mode only")
             new ColeStreamingWrite(schema, path, rowGroupSize, conf, partCols,
               bucketSpec)
           }
@@ -2492,10 +2533,11 @@ class ColeWriteBuilder(schema: StructType, path: String, rowGroupSize: Int,
       case None => new Write {
         override def toBatch: BatchWrite =
           new ColeBatchWrite(schema, path, rowGroupSize, doTruncate, conf, partCols,
-            bucketSpec)
+            bucketSpec, dynamicOverwrite, overwriteFilters)
         override def toStreaming: StreamingWrite = {
-          if (doTruncate) throw new UnsupportedOperationException(
-            "the cole streaming sink supports Append output mode only")
+          if (doTruncate || dynamicOverwrite || overwriteFilters.nonEmpty)
+            throw new UnsupportedOperationException(
+              "the cole streaming sink supports Append output mode only")
           new ColeStreamingWrite(schema, path, rowGroupSize, conf, partCols, bucketSpec)
         }
       }
@@ -2506,7 +2548,9 @@ final case class ColeCommitMessage(files: Seq[String]) extends WriterCommitMessa
 
 class ColeBatchWrite(schema: StructType, path: String, rowGroupSize: Int,
     truncate: Boolean, conf: Configuration, partCols: Seq[String],
-    bucketSpec: Option[(Int, Seq[String])] = None)
+    bucketSpec: Option[(Int, Seq[String])] = None,
+    dynamicOverwrite: Boolean = false,
+    overwriteFilters: Array[Filter] = Array.empty)
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -2533,6 +2577,22 @@ class ColeBatchWrite(schema: StructType, path: String, rowGroupSize: Int,
       ColeIO.listPartitioned(path, conf).foreach { case (s, _) =>
         fs.delete(s.getPath, false)
       }
+    // static-partition OVERWRITE: drop files of exactly the matching
+    // partitions before any new data lands; the rest of the table is
+    // untouched (the builder validated every predicate hits a partition
+    // column)
+    if (overwriteFilters.nonEmpty) {
+      val preds = overwriteFilters.flatMap(ColePredicate.fromFilter)
+      ColeIO.listPartitioned(path, conf).foreach { case (st, parts) =>
+        val pv = parts.toMap
+        if (preds.forall(p => pv.get(p.column).exists(
+            ColePredicate.partitionKeeps(p, _)))) {
+          fs.delete(st.getPath, false)
+          fs.delete(new org.apache.hadoop.fs.Path(
+            ColeBloomIndex.sidecarPath(st.getPath.toString)), false)
+        }
+      }
+    }
     // the layout self-describes: persist the bucket spec BEFORE any data
     // lands, so a concurrent reader never sees bucketed files without the
     // sidecar that explains them
@@ -2541,7 +2601,37 @@ class ColeBatchWrite(schema: StructType, path: String, rowGroupSize: Int,
       partCols, bucketSpec)
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    if (dynamicOverwrite) {
+      // replace exactly the partitions the new data landed in: per
+      // touched directory, the pre-existing .col files (everything NOT
+      // written by this job) delete at commit. Untouched partitions are
+      // never listed. Readers concurrent with the swap can transiently
+      // see old+new (same non-atomic window as truncate); ColeCompact's
+      // 2-phase manifest is the crash-safe pattern where that matters.
+      val newFiles = messages.flatMap {
+        case ColeCommitMessage(fs0) => fs0
+        case _ => Seq.empty
+      }
+      val (fs, _) = ColeIO.resolve(path, conf)
+      val newByDir = newFiles.map { f =>
+        val (_, p) = ColeIO.resolve(f, conf)
+        val q = fs.makeQualified(p)
+        (q.getParent.toString, q.getName)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      newByDir.foreach { case (dir, keep) =>
+        val (_, dp) = ColeIO.resolve(dir, conf)
+        fs.listStatus(dp)
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".col") &&
+            !keep.contains(st.getPath.getName))
+          .foreach { st =>
+            fs.delete(st.getPath, false)
+            fs.delete(new org.apache.hadoop.fs.Path(
+              ColeBloomIndex.sidecarPath(st.getPath.toString)), false)
+          }
+      }
+    }
+
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.collect { case ColeCommitMessage(fs0) =>
       fs0.foreach { f =>
