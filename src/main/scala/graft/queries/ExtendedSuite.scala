@@ -618,6 +618,48 @@ object ExtendedSuite {
     // ranking parallel at 100 TB (a single global row_number would
     // serialize on one partition — this is the sharded form trainers
     // actually materialize).
+    // Temperature-scaled source mixing — the standard LLM-corpus recipe:
+    // per-source sampling probability p_s ∝ w_s^(1/T) with w_s = source
+    // size, normalized so the largest source keeps everything. T = 2 here
+    // because sqrt is IEEE-correctly-rounded in BOTH engines (unlike
+    // pow), so p_s and its 2^32-scaled cutoff are bit-identical
+    // cross-engine; selection is the deterministic md5-prefix draw
+    // compared as fixed-width hex STRINGS (sorts numerically, no
+    // version-sensitive hex casts). Everything is one broadcast of
+    // source-level cutoffs — at 100 TB the corpus is scanned once and
+    // filtered in codegen, no shuffle beyond the per-source count.
+    Q("corpus_mix_temperature", (s, d) => {
+      val docs = Tables.documents(s, d)
+      val srcN = docs.groupBy("source")
+        .agg(count(lit(1)).cast("double").as("n_src"))
+      val maxW = srcN.agg(max(sqrt(col("n_src"))).as("w_max"))
+      val cut = srcN.crossJoin(broadcast(maxW))
+        .withColumn("cutoff",
+          floor(sqrt(col("n_src")) / col("w_max") * lit(4294967296.0)).cast("long"))
+        .select("source", "cutoff")
+      docs.join(broadcast(cut), "source")
+        .filter(col("cutoff") >= 4294967296L ||
+          substring(md5(col("doc_id").cast("string")), 1, 8) <
+            format_string("%08x", col("cutoff")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          min("doc_id").as("mn_id"), max("doc_id").as("mx_id"))
+        .orderBy("source")
+    },
+      Some("""WITH srcn AS (
+                SELECT source, CAST(COUNT(*) AS DOUBLE) AS n_src
+                FROM documents GROUP BY source),
+              mx AS (SELECT MAX(sqrt(n_src)) AS w_max FROM srcn),
+              cut AS (SELECT source,
+                CAST(FLOOR(sqrt(n_src) / w_max * 4294967296.0) AS BIGINT) AS cutoff
+                FROM srcn, mx)
+              SELECT d.source, COUNT(*) AS n_kept,
+                MIN(d.doc_id) AS mn_id, MAX(d.doc_id) AS mx_id
+              FROM documents d JOIN cut c ON d.source = c.source
+              WHERE c.cutoff >= 4294967296
+                 OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < printf('%08x', c.cutoff)
+              GROUP BY d.source ORDER BY d.source""")),
+
     Q("corpus_shuffle", (s, d) => {
       val key = md5(col("doc_id").cast("string"))
       val w = Window.partitionBy("shard").orderBy(col("_k"), col("doc_id"))
