@@ -517,6 +517,30 @@ class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration,
       skipOnly)
 }
 
+private[cole] object ColeAggGuards {
+  /** Decimal SUM pushdown accumulates UNSCALED values in an int64; a
+    * silent wrap would return a plausible-looking wrong answer where
+    * Spark's native decimal sum (p+10 digits) is right. O(1) emission
+    * check: |sum| ≤ count · max(|min|,|max|), so if that bound cannot
+    * exceed Long.MaxValue the accumulated sum is exact; otherwise fail
+    * LOUDLY with the fix (smaller partitions/row groups bound count).
+    * count·maxAbs overflowing int64 does not imply the sum did — signs
+    * cancel — but at that magnitude exactness is unprovable, and a scan
+    * that might be wrong must not answer.
+    */
+  def checkDecimalSumBound(count: Long, min: Long, max: Long): Unit = {
+    if (count <= 0) return
+    val maxAbs = math.max(math.abs(math.max(min, -Long.MaxValue)),
+      math.abs(math.max(max, -Long.MaxValue)))
+    if (maxAbs > 0 && count > Long.MaxValue / maxAbs)
+      throw new ColeFormatException(
+        s"pushed DECIMAL SUM may exceed int64 in the unscaled domain " +
+          s"($count values up to unscaled |$maxAbs|): reduce " +
+          "spark.sql.files.maxPartitionBytes (or the writer rowGroupSize) " +
+          "so each partial covers fewer rows, or aggregate without pushdown")
+  }
+}
+
 /** One pushed aggregate: kind ∈ {count_star, count, min, max, sum};
   * column is null for count_star. Resolved to a file column index at read
   * time (part files may order columns differently).
@@ -993,6 +1017,9 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
                 // decimal sweeps run in the unscaled domain; the partial
                 // row re-wraps (sum carries +10 digits of headroom)
                 case TDecimal(p, sc) =>
+                  if (kind == "sum")
+                    ColeAggGuards.checkDecimalSumBound(a.num(base),
+                      a.num(base + 2), a.num(base + 3))
                   val prec = if (kind == "sum") math.min(38, p + 10) else p
                   org.apache.spark.sql.types.Decimal.createUnsafe(raw, prec, sc)
                 case TInt32 if kind != "sum" => raw.toInt
@@ -1293,6 +1320,8 @@ class ColeAggReader(part: ColeInputPartition, aggs: Seq[ColeAggSpec],
                 }
                 meta.columns(ci).colType match {
                   case TDecimal(p, sc) =>
+                    if (kind == "sum")
+                      ColeAggGuards.checkDecimalSumBound(a.count, a.min, a.max)
                     val prec = if (kind == "sum") math.min(38, p + 10) else p
                     org.apache.spark.sql.types.Decimal.createUnsafe(raw, prec, sc)
                   case TInt32 if kind != "sum" => raw.toInt

@@ -266,6 +266,25 @@ class ColeAggFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("pushed decimal SUM refuses loudly when the unscaled bound could wrap int64") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    // 20 values of ~9.2e17 unscaled: the true sum (~1.8e19) exceeds
+    // Long.MaxValue — a silent wrap would be a plausible wrong answer
+    val df = (0 until 20).map(_ => BigDecimal(920000000000000000L))
+      .toDF("m").select(col("m").cast(DecimalType(18, 0)).as("m"))
+    val dir = Files.createTempDirectory("cole_decoverflow").toString
+    df.coalesce(1).write.format("cole").mode("overwrite").save(dir)
+    val e = intercept[Exception] {
+      s.read.format("cole").load(dir).agg(sum("m")).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else t.getMessage +: chain(t.getCause)
+    assert(chain(e).exists(m => m != null && m.contains("unscaled domain")),
+      s"expected the loud overflow refusal, got: ${chain(e).mkString(" | ")}")
+  }
+
   test("same-column OR is claimed; cross-column OR stays residual") {
     val s = spark
     import s.implicits._
