@@ -165,10 +165,33 @@ private[cole] object ColeUtil {
 class ColeTable(schema: StructType, writePartCols: Seq[String],
     properties: Map[String, String],
     bucketSpec: Option[(Int, Seq[String])] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
 
   def this(schema: StructType, properties: Map[String, String]) =
     this(schema, Seq.empty, properties)
+
+  /** SQL `TRUNCATE TABLE`: drop every data file (and bloom sidecar),
+    * keep the layout sidecars — the emptied table re-fills under the
+    * same partitioning/bucketing contract.
+    */
+  override def truncateTable(): Boolean = {
+    val path = properties("path")
+    val conf = ColeIO.driverConf()
+    // persist the current schema first: once the files (the usual source
+    // of truth) are gone, the emptied table must still RESOLVE
+    ColeCatalog.writeTableSpec(path, conf,
+      StructType(schema.filterNot(f => writePartCols.contains(f.name))
+        .toArray ++ schema.filter(f => writePartCols.contains(f.name))),
+      writePartCols)
+    ColeIO.listPartitioned(path, conf).foreach { case (st, _) =>
+      val (fs, _) = ColeIO.resolve(path, conf)
+      fs.delete(st.getPath, false)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        ColeBloomIndex.sidecarPath(st.getPath.toString)), false)
+    }
+    true
+  }
 
   override def name(): String = s"cole:${properties.getOrElse("path", "?")}"
   override def schema(): StructType = schema

@@ -81,6 +81,27 @@ class ColeCatalogSpec extends AnyFunSuite {
     assert(!spark.catalog.tableExists("cwh.db.sh2"))
   }
 
+  test("TRUNCATE TABLE empties but keeps the table resolvable and refillable") {
+    val s = spark
+    import s.implicits._
+    spark.sql("CREATE TABLE cwh.db.tr (id BIGINT, p INT) PARTITIONED BY (bucket(4, id))")
+    (0 until 200).map(i => (i.toLong, i % 3)).toDF("id", "p")
+      .writeTo("cwh.db.tr").append()
+    assert(spark.table("cwh.db.tr").count() === 200)
+    spark.sql("TRUNCATE TABLE cwh.db.tr")
+    assert(spark.table("cwh.db.tr").count() === 0, "truncated table must scan empty")
+    // layout contract survives: a refill still routes by the bucket spec
+    (0 until 50).map(i => (i.toLong, 9)).toDF("id", "p")
+      .writeTo("cwh.db.tr").append()
+    assert(spark.table("cwh.db.tr").count() === 50)
+    for (b <- 0 until 4) {
+      val d = new java.io.File(s"$warehouse/db/tr/_bucket=$b")
+      if (d.isDirectory)
+        spark.read.format("cole").load(d.toString).select("id").collect()
+          .map(_.getLong(0)).foreach(k => assert(ColeBucket.bucketOf(k, 4) === b))
+    }
+  }
+
   test("duplicate CREATE fails; IF NOT EXISTS is quiet") {
     spark.sql("CREATE TABLE cwh.db.dup (x INT)")
     val e = intercept[Exception](spark.sql("CREATE TABLE cwh.db.dup (x INT)"))
