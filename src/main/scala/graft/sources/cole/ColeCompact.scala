@@ -61,8 +61,16 @@ object ColeCompact {
         // "has actual nulls"
         val srcVersion = ColeMetaCache.infos(dir.toString, conf)
           .map(_.meta.version).maxOption.getOrElse(1)
-        var w = spark.read.format("cole").load(dir.toString)
-          .coalesce(nOut)
+        // bucketed tables write SORTED bucket files; a plain coalesce
+        // would concatenate the sorted runs and loosen every page stat —
+        // re-sort within partitions so compaction PRESERVES the
+        // range-prunable layout
+        val sortCols = ColeBucket.readSpec(table, conf).map(_._2).getOrElse(Seq.empty)
+        val src0 = spark.read.format("cole").load(dir.toString).coalesce(nOut)
+        val src = if (sortCols.isEmpty) src0
+          else src0.sortWithinPartitions(sortCols.map(
+            org.apache.spark.sql.functions.col): _*)
+        var w = src
           .write.format("cole").mode("overwrite")
           .option("rowGroupSize", rowGroupSize.toString)
           .option("formatVersion", srcVersion.toString)

@@ -310,6 +310,14 @@ class ColeSpjBucketedSpec extends AnyFunSuite {
         s"compaction moved row $k out of bucket $b"))
     }
     assert(spark.read.format("cole").load(t).count() === 16000)
+    // compaction preserves the SORTED layout: each compacted file is one
+    // ordered run, not a concatenation of the input runs
+    ColeIO.listPartitioned(t, ColeIO.driverConf()).foreach { case (st, _) =>
+      val ks = spark.read.format("cole").load(st.getPath.toString)
+        .select("k").collect().map(_.getLong(0))
+      assert(ks.sameElements(ks.sorted),
+        s"compacted bucket file ${st.getPath.getName} lost its sort order")
+    }
     // the compacted table still proves co-partitioning through the catalog
     (0 until 16000 by 2).map(i => (i.toLong, i % 5)).toDF("k", "w")
       .write.format("cole").mode("overwrite").option("bucketBy", "4:k")
