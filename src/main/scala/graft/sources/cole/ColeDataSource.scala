@@ -2971,6 +2971,7 @@ class ColeDataWriter(schema: StructType, file: String, rowGroupSize: Int,
         case TFloatVec =>
           val a = java.util.Arrays.copyOf(vecBufs(i), buffered)
           (ColumnData(null, null, null, null, nulls, a), Plain)
+        case other => throw new ColeFormatException(s"unhandled column type $other")
       }
     }.unzip
     writer.writeRowGroup(cols, buffered, encs)

@@ -129,6 +129,7 @@ final class ColeFileReader(path: String, conf: Configuration) extends AutoClosea
           dblParts += expandDouble(decodeDoublePage(pageData, ph, present), isNull, ph.numValues)
         case TFloatVec =>
           vecParts += expandVec(decodeVecPage(pageData, ph, present), isNull, ph.numValues)
+        case other => throw new ColeFormatException(s"unhandled column type $other")
       }
       c.pos += ph.compressedSize
     }
@@ -142,6 +143,7 @@ final class ColeFileReader(path: String, conf: Configuration) extends AutoClosea
       case TString => ColumnData(null, null, strParts.flatten.toArray, null, nulls)
       case TDouble => ColumnData(null, null, null, dblParts.flatten.toArray, nulls)
       case TFloatVec => ColumnData(null, null, null, null, nulls, vecParts.flatten.toArray)
+      case other => throw new ColeFormatException(s"unhandled column type $other")
     }
   }
 
@@ -491,6 +493,7 @@ final class ColeFileWriter(path: String, columns: Seq[ColeColumn],
             case other => throw new ColeFormatException(s"$other not valid for FLOAT_VECTOR")
           }
           (bytes, PageStats(None, None, nullCount))
+        case other => throw new ColeFormatException(s"unhandled column type $other")
       }
       val raw =
         if (nullCount == 0) encoded
