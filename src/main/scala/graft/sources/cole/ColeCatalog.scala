@@ -347,12 +347,26 @@ class ColeCatalog extends TableCatalog with FunctionCatalog with SupportsNamespa
           bucketSpec = Some(spec)
       }
     }
+    // hive partitioning and hash bucketing are mutually exclusive layouts
+    // (the writer enforces it too, but a CREATE that only fails at first
+    // INSERT is a trap) — reject the combination at declaration time
+    require(partCols.isEmpty || bucketSpec.isEmpty,
+      "COLE tables are either hive-partitioned or hash-bucketed, not both")
     bucketSpec.foreach { case (n, cs) => ColeBucket.writeSpec(path, conf, n, cs) }
+    // normalize partition columns to the END of the declared schema: once
+    // data lands, loadTable resolves partition columns after data columns
+    // (directory keys are not in the footers) — persisting the declared
+    // order would silently change the table's positional layout between
+    // its empty and populated states (positional INSERTs would re-bind)
+    val normalized =
+      if (partCols.isEmpty) schema
+      else StructType(schema.fields.filterNot(f => partCols.contains(f.name)) ++
+        partCols.flatMap(c => schema.fields.find(_.name == c)))
     // declared schema sidecar: what lets the table resolve while EMPTY
     // (between CREATE and the first INSERT); file footers take over as
     // the source of truth once data lands
-    ColeCatalog.writeTableSpec(path, conf, schema, partCols)
-    new ColeTable(schema, partCols, properties.asScala.toMap + ("path" -> path),
+    ColeCatalog.writeTableSpec(path, conf, normalized, partCols)
+    new ColeTable(normalized, partCols, properties.asScala.toMap + ("path" -> path),
       bucketSpec)
   }
 
@@ -388,7 +402,15 @@ class ColeCatalog extends TableCatalog with FunctionCatalog with SupportsNamespa
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces()
-    else throw new NoSuchNamespaceException(namespace)
+    else {
+      // namespaces are single-level directories: an EXISTING namespace has
+      // no children (return empty — SHOW NAMESPACES IN cole.ns must work);
+      // only a namespace with no backing directory is an error
+      val dir = (warehouse +: namespace.toSeq).mkString("/")
+      val (fs, p) = ColeIO.resolve(dir, conf)
+      if (namespace.length == 1 && fs.exists(p)) Array.empty
+      else throw new NoSuchNamespaceException(namespace)
+    }
 
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
     val dir = (warehouse +: namespace.toSeq).mkString("/")

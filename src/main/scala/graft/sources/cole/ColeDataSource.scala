@@ -2010,11 +2010,39 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
   override def planInputPartitions(): Array[InputPartition] =
     planPartitionsOf(_ => true)
 
-  /** Planning core, parameterized by a file filter so the micro-batch
+  /** Planning entry, parameterized by a file filter so the micro-batch
     * stream can plan exactly one batch's new files with the same
     * stats-skipping, partition-pruning, and packing as a batch scan.
+    *
+    * Runtime-filter contract: when this scan reported
+    * KeyGroupedPartitioning, the re-plan after `filter(...)` must not
+    * SHRINK the set of partition keys Spark recorded at planning time —
+    * BatchScanExec requires HasPartitionKey on every partition and
+    * rejects keys it has never seen, and a shrunken set degrades the
+    * storage-partitioned join's alignment. So when runtime filters are
+    * in play on a key-grouped scan, the static plan (runtime filters
+    * ignored — byte-identical to what Spark recorded) is recomputed from
+    * the same driver-cached footers, and every statically-surviving key
+    * the runtime filters pruned re-emits as a ZERO-row-group partition:
+    * reads nothing, preserves the key set exactly.
     */
   private[cole] def planPartitionsOf(fileKeep: String => Boolean): Array[InputPartition] = {
+    val planned = plannedPartitions(fileKeep)
+    if (runtimeFilters.isEmpty || partKeySchema.isEmpty)
+      return planned.toArray[InputPartition]
+    val saved = runtimeFilters
+    val staticPlanned =
+      try { runtimeFilters = Array.empty; plannedPartitions(fileKeep) }
+      finally runtimeFilters = saved
+    val present = planned.iterator.map(_.partValues.toSeq).toSet
+    val missing = staticPlanned.iterator
+      .filter(p => !present.contains(p.partValues.toSeq))
+      .map(p => p.partValues.toSeq -> p).toMap
+    (planned ++ missing.values.map(p => p.copy(rowGroups = Array.empty,
+      rowCounts = Array.empty, preds = Array.empty))).toArray[InputPartition]
+  }
+
+  private def plannedPartitions(fileKeep: String => Boolean): Array[ColeInputPartition] = {
     val runtimeIn: Array[ColePredicate] = runtimeFilters.flatMap {
       // IN on a partition column keeps its set form: evaluated per FILE
       // against the directory value (dynamic partition pruning)
@@ -2140,7 +2168,7 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
     // skipOnly nonempty means a row-dropping residual filter exists above
     // the scan — never stop planning early on a pushed limit then
     if (limit >= 0 && preds.isEmpty && dataRuntime.isEmpty && skipOnly.isEmpty) {
-      val out = scala.collection.mutable.ArrayBuffer[InputPartition]()
+      val out = scala.collection.mutable.ArrayBuffer[ColeInputPartition]()
       var covered = 0L
       val it = parts.iterator
       while (covered < limit && it.hasNext) {
@@ -2200,8 +2228,20 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
 
 class ColeReaderFactory(required: StructType, hconf: ColeHadoopConf)
     extends PartitionReaderFactory {
+
+  /** Zero-row-group partitions exist only to preserve a key-grouped
+    * scan's partition-key set across runtime filtering — never open the
+    * file for one.
+    */
+  private def emptyReader[T]: PartitionReader[T] = new PartitionReader[T] {
+    override def next(): Boolean = false
+    override def get(): T = throw new java.util.NoSuchElementException("empty partition")
+    override def close(): Unit = ()
+  }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new ColeRowReader(partition.asInstanceOf[ColeInputPartition], required, hconf.value)
+    if (partition.asInstanceOf[ColeInputPartition].rowGroups.isEmpty) emptyReader
+    else new ColeRowReader(partition.asInstanceOf[ColeInputPartition], required, hconf.value)
 
   /** Vectorized path: decode once per chunk, emit 4096-row ColumnarBatches
     * (the reference engine's batch size, include/execution.h) that
@@ -2211,7 +2251,8 @@ class ColeReaderFactory(required: StructType, hconf: ColeHadoopConf)
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    new ColeColumnarReader(partition.asInstanceOf[ColeInputPartition], required,
+    if (partition.asInstanceOf[ColeInputPartition].rowGroups.isEmpty) emptyReader
+    else new ColeColumnarReader(partition.asInstanceOf[ColeInputPartition], required,
       hconf.value)
 }
 
@@ -2549,7 +2590,24 @@ class ColeWriteBuilder(schema: StructType, path: String, rowGroupSize: Int,
     this
   }
 
-  override def build(): Write =
+  override def build(): Write = {
+    // An APPEND must never re-declare the layout: if the table already
+    // carries a _bucketspec, an explicit bucketBy option has to match it
+    // exactly — pre-existing files keep their routing, so a silently
+    // rewritten sidecar would corrupt bucket pruning and
+    // storage-partitioned joins for every row written before it.
+    // Truncate/overwrite may re-layout (old files are deleted).
+    if (!doTruncate && !dynamicOverwrite && overwriteFilters.isEmpty) {
+      ColeBucket.readSpec(path, conf).foreach { existing =>
+        require(bucketSpec.contains(existing),
+          s"append into a bucketed COLE table must keep its layout: table " +
+            s"at $path is bucketed ${existing._1}:${existing._2.mkString(",")} " +
+            s"but this write declares " +
+            bucketSpec.map { case (n, cs) => s"$n:${cs.mkString(",")}" }
+              .getOrElse("no bucketing") +
+            "; drop the bucketBy option or truncate/overwrite to re-layout")
+      }
+    }
     bucketSpec match {
       case Some((_, bucketCols)) =>
         // bucketed writes request clustering + in-partition ordering by
@@ -2594,6 +2652,7 @@ class ColeWriteBuilder(schema: StructType, path: String, rowGroupSize: Int,
         }
       }
     }
+  }
 }
 
 final case class ColeCommitMessage(files: Seq[String]) extends WriterCommitMessage

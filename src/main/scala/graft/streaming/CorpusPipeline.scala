@@ -167,9 +167,16 @@ object CorpusPipeline {
     private def sigsDir = s"$stateDir/sigs"
 
     private def readOr(spark: org.apache.spark.sql.SparkSession, dir: String,
-        like: DataFrame): DataFrame =
-      try spark.read.parquet(dir)
-      catch { case _: Exception => like.limit(0) } // first epoch: empty store
+        like: DataFrame): DataFrame = {
+      // ONLY a missing store means "first epoch, nothing absorbed yet".
+      // Any other failure (transient filesystem error, corrupt parquet)
+      // must propagate: swallowing it would silently empty the reference
+      // set for this epoch — duplicates of earlier arrivals would pass
+      // unflagged AND re-absorb, poisoning every later epoch.
+      val (fs, p) = graft.sources.cole.ColeIO.resolve(dir, spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) like.limit(0)
+      else spark.read.parquet(dir)
+    }
 
     /** Candidate pairs (doc_id ⋈ dup_id by shared band key) scored by
       * signature agreement; `leftSigs`/`rightSigs` supply the vectors.

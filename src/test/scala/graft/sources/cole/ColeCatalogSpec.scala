@@ -140,4 +140,64 @@ class ColeCatalogSpec extends AnyFunSuite {
       case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("append with a mismatched bucketBy fails loudly (layout is immutable)") {
+    val s = spark
+    import s.implicits._
+    val dir = s"$warehouse/db/bl"
+    (0 until 100).map(i => (i.toLong, i * 1.0)).toDF("k", "v")
+      .write.format("cole").mode("overwrite").option("bucketBy", "4:k").save(dir)
+    // appending with a DIFFERENT bucket count or column must not silently
+    // rewrite the sidecar while old files keep 4-way routing
+    for (bad <- Seq("8:k", "4:v")) {
+      val e = intercept[Exception] {
+        Seq((1000L, 1.0)).toDF("k", "v")
+          .write.format("cole").mode("append").option("bucketBy", bad).save(dir)
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+      assert(msgs(e).exists(m => m != null && m.contains("keep its layout")), e.getMessage)
+    }
+    // a MATCHING explicit option appends fine
+    Seq((1000L, 1.0)).toDF("k", "v")
+      .write.format("cole").mode("append").option("bucketBy", "4:k").save(dir)
+    assert(spark.read.format("cole").load(dir).count() === 101)
+    // truncate/overwrite may legitimately re-layout
+    (0 until 50).map(i => (i.toLong, i * 1.0)).toDF("k", "v")
+      .write.format("cole").mode("overwrite").option("bucketBy", "8:k").save(dir)
+    assert(ColeBucket.readSpec(dir, ColeIO.driverConf()) === Some((8, Seq("k"))))
+  }
+
+  test("createTable normalizes partition columns to the end of the schema") {
+    // a mid-schema partition column must resolve at the SAME position in
+    // the empty and populated states (positional INSERT safety)
+    spark.sql("CREATE TABLE cwh.db.norm (a BIGINT, p STRING, b DOUBLE) " +
+      "PARTITIONED BY (p)")
+    val emptyOrder = spark.table("cwh.db.norm").schema.fieldNames.toSeq
+    assert(emptyOrder === Seq("a", "b", "p"),
+      s"partition columns must normalize to the end, got $emptyOrder")
+    spark.sql("INSERT INTO cwh.db.norm VALUES (1, 2.5, 'x')")
+    val popOrder = spark.table("cwh.db.norm").schema.fieldNames.toSeq
+    assert(popOrder === emptyOrder,
+      s"column order must not change once data lands: $emptyOrder -> $popOrder")
+    val r = spark.table("cwh.db.norm").collect().head
+    assert((r.getLong(0), r.getDouble(1), r.getString(2)) === ((1L, 2.5, "x")))
+  }
+
+  test("identity + bucket partitioning rejected at CREATE, not first write") {
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE cwh.db.combo (k BIGINT, p STRING, v DOUBLE) " +
+        "PARTITIONED BY (p, bucket(4, k))")
+    }
+    assert(e.getMessage.contains("not both"), e.getMessage)
+  }
+
+  test("SHOW NAMESPACES IN an existing namespace returns its (empty) children") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cwh.shownstest")
+    assert(spark.sql("SHOW NAMESPACES IN cwh.shownstest").collect().isEmpty)
+    val e = intercept[Exception] {
+      spark.sql("SHOW NAMESPACES IN cwh.no_such_ns_xyz").collect()
+    }
+    assert(e.getMessage.toLowerCase.matches("(?s).*(namespace|schema).*"), e.getMessage)
+  }
 }

@@ -180,7 +180,13 @@ class ColePartitionSpec extends AnyFunSuite {
       "partition column must be offered for runtime filtering")
     scan.filter(Array[org.apache.spark.sql.sources.Filter](
       org.apache.spark.sql.sources.In("part", Array("k-2", "k-6"))))
-    val after = scan.planInputPartitions().length
+    // the key-grouped contract keeps one EMPTY partition per pruned key;
+    // the pruning benefit is bytes-not-read, so count partitions that
+    // still carry row groups
+    val planned = scan.planInputPartitions()
+    val after = planned.count(_.asInstanceOf[ColeInputPartition].rowGroups.nonEmpty)
     assert(after * 4 <= before, s"runtime IN kept $after of $before file partitions")
+    assert(planned.map(_.asInstanceOf[ColeInputPartition].partValues.toSeq).toSet.size === 8,
+      "partition-key set must survive runtime filtering (key-grouped contract)")
   }
 }

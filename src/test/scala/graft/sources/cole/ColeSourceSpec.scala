@@ -175,6 +175,45 @@ class ColeSourceSpec extends AnyFunSuite {
     assert(scan.planInputPartitions().isEmpty)
   }
 
+  test("runtime filtering preserves a key-grouped scan's partition-key set") {
+    import spark.implicits._
+    import org.apache.spark.sql.sources.In
+    val dir = Files.createTempDirectory("cole_rtkeys").toString
+    (0L until 4000L).map(i => (i, i * 2.0)).toDF("k", "v")
+      .write.format("cole").mode("overwrite").option("bucketBy", "8:k").save(dir)
+    val schema = spark.read.format("cole").load(dir).schema
+    val scan = new ColeScanBuilder(schema, dir, ColeIO.driverConf())
+      .build().asInstanceOf[ColeScan]
+    def keys(ps: Array[org.apache.spark.sql.connector.read.InputPartition]) =
+      ps.map(_.asInstanceOf[ColeInputPartition].partValues.toSeq).toSet
+    val original = scan.planInputPartitions()
+    assert(keys(original).size === 8, "8 buckets expected")
+    // a join-produced IN-set pins a handful of keys -> most buckets have
+    // nothing to read, but the scan reported KeyGroupedPartitioning and
+    // BatchScanExec's runtime-filter contract (and SPJ alignment without
+    // pushed partition values) requires the KEY SET to survive: pruned
+    // buckets re-emit as zero-row-group partitions that read nothing
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("k", Array(17L, 23L))))
+    val filtered = scan.planInputPartitions()
+    assert(keys(filtered) === keys(original),
+      "runtime filtering must not shrink the partition-key set")
+    val nonEmpty = filtered.filter(
+      _.asInstanceOf[ColeInputPartition].rowGroups.nonEmpty)
+    assert(keys(nonEmpty).size <= 2,
+      s"at most the probed keys' buckets read bytes, got ${keys(nonEmpty)}")
+    // and the empty partitions read as empty, not as errors
+    val factory = new ColeReaderFactory(schema, new ColeHadoopConf(ColeIO.driverConf()))
+    filtered.filterNot(p =>
+        nonEmpty.exists(_.asInstanceOf[ColeInputPartition].partValues.toSeq ==
+          p.asInstanceOf[ColeInputPartition].partValues.toSeq))
+      .take(2).foreach { p =>
+        val r = factory.createReader(p)
+        assert(!r.next(), "empty partition must yield no rows")
+        r.close()
+      }
+  }
+
   test("roundtrip survives adversarial values: unicode, empty strings, extremes") {
     import spark.implicits._
     val dir = Files.createTempDirectory("cole_adv").toString

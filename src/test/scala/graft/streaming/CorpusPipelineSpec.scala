@@ -251,6 +251,20 @@ class CorpusPipelineSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(f5.contains((8000003L, 8000001L)),
       s"later copy must flag against the absorbed within-batch winner, got $f5")
+
+    // a CORRUPT side store must fail the epoch loudly, never silently
+    // empty the reference set (a swallowed read error would let dups of
+    // earlier arrivals pass unflagged AND re-absorb)
+    val bandsDir = new java.io.File(s"$stateDir/bands")
+    assert(bandsDir.isDirectory, "side store expected after absorption")
+    val parquets = bandsDir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(parquets.nonEmpty)
+    parquets.foreach { f =>
+      java.nio.file.Files.write(f.toPath, Array[Byte](1, 2, 3, 4))
+    }
+    intercept[Exception] {
+      idx.processBatch(Seq(pairBase.copy(doc_id = 8000004)).toDF()).collect()
+    }
     static0.bands.unpersist(); static0.sigs.unpersist()
   }
 

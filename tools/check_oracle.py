@@ -23,6 +23,18 @@ LINT_RULES = [
      "use CAST(x AS DATE) - CAST(y AS DATE) integer subtraction"),
 ]
 
+# double->decimal cast rounding has drifted across DuckDB releases
+# (cole_roundtrip_decimal failed the round-7 driver gate on values that
+# were cell-identical under local DuckDB 1.0.0). A decimal built by
+# casting a double is only safe when it is immediately folded back to
+# DOUBLE (the dsumSql pattern — any half-ulp drift re-collapses); a
+# decimal that SURFACES in the result is compared/hashed in the decimal
+# domain and inherits the cast's version-dependent rounding.
+DOUBLE_COLS = (r"l_extendedprice|l_quantity|l_discount|l_tax|o_totalprice"
+               r"|ps_supplycost|s_acctbal|c_acctbal|p_retailprice")
+CAST_DEC_RX = re.compile(
+    r"CAST\s*\(\s*(?:" + DOUBLE_COLS + r")\s+AS\s+DECIMAL", re.I)
+
 def lint_oracle(name, sql):
     """Warn on constructs known to drift between DuckDB versions."""
     warnings = []
@@ -37,6 +49,17 @@ def lint_oracle(name, sql):
             warnings.append(
                 f"LINT {name}: SUM( at offset {m.start()} has no enclosing "
                 "CAST — DuckDB integer SUM returns HUGEINT, Spark BIGINT")
+            break
+    for m in CAST_DEC_RX.finditer(sql):
+        # exempt the fold-back-to-DOUBLE idiom: the decimal is an
+        # aggregation intermediate and never surfaces in the result
+        if not re.search(r"AS\s+DOUBLE", sql[m.end():m.end() + 120], re.I):
+            warnings.append(
+                f"LINT {name}: CAST(<double col> AS DECIMAL) at offset "
+                f"{m.start()} surfaces a decimal built by double cast — "
+                "rounding drifts across DuckDB versions; build from "
+                "integer units (CAST(ROUND(x*100) AS BIGINT) then "
+                "rescale) or compare in the unscaled-int64 domain")
             break
     return warnings
 
