@@ -744,6 +744,41 @@ object ColeSuite {
                 MIN(l_extendedprice) AS mn_ep, MAX(l_extendedprice) AS mx_ep,
                 MIN(l_quantity) AS mn_qty
               FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-              GROUP BY 1 ORDER BY 1"""))
+              GROUP BY 1 ORDER BY 1""")),
+
+    // copy-on-write row-level DELETE (graft.sources.cole.ColeDelete): the
+    // GDPR-delete shape — SQL `DELETE FROM ... WHERE` through the `cole`
+    // catalog removes a targeted slice, rewriting ONLY files whose stats
+    // intersect the predicate (one task per file, no shuffle, layout
+    // preserved; untouched files stay byte-identical — ColeDeleteSpec).
+    // The read-back aggregate is oracle-checked against the complement
+    // predicate on the source table. Idempotent by construction: re-runs
+    // find nothing left to delete.
+    Q("cole_delete_where", (s, d) => {
+      val wh = "/tmp/graft_cole/warehouse"
+      s.conf.set("spark.sql.catalog.cole", "graft.sources.cole.ColeCatalog")
+      s.conf.set("spark.sql.catalog.cole.warehouse", wh)
+      val ns = s"v${writerFingerprint}_del_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val dir = s"$wh/$ns/li"
+      writeOnce(dir) {
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_partkey", "l_linenumber", "l_returnflag")
+          .write.format("cole").mode("overwrite").save(dir)
+      }
+      s.sql(s"DELETE FROM cole.$ns.li " +
+        "WHERE l_returnflag = 'R' AND l_orderkey < 10000")
+      s.table(s"cole.$ns.li")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum("l_linenumber").as("sum_line"),
+          min("l_orderkey").as("mn_key"), max("l_orderkey").as("mx_key"))
+        .orderBy("l_returnflag")
+    },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+                CAST(SUM(l_linenumber) AS BIGINT) AS sum_line,
+                MIN(l_orderkey) AS mn_key, MAX(l_orderkey) AS mx_key
+              FROM lineitem
+              WHERE NOT (l_returnflag = 'R' AND l_orderkey < 10000)
+              GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

@@ -127,7 +127,7 @@ object ColeCompact {
     */
   def recordsDir(table: String): String = s"$table/_cole_compactions"
 
-  private def writeCompactionRecord(fs: org.apache.hadoop.fs.FileSystem,
+  private[cole] def writeCompactionRecord(fs: org.apache.hadoop.fs.FileSystem,
       table: String, stamp: String, outs: Seq[String], ins: Seq[String]): Unit = {
     val dir = new HPath(recordsDir(table))
     if (!fs.exists(dir)) fs.mkdirs(dir)
@@ -142,10 +142,10 @@ object ColeCompact {
       s"compaction record rename failed for $stamp")
   }
 
-  private def manifestPath(dir: HPath): HPath =
+  private[cole] def manifestPath(dir: HPath): HPath =
     new HPath(dir, ".compact-manifest")
 
-  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem, dir: HPath,
+  private[cole] def writeManifest(fs: org.apache.hadoop.fs.FileSystem, dir: HPath,
       lines: Seq[String]): Unit = {
     val out = fs.create(manifestPath(dir), true)
     try out.write(lines.mkString("\n").getBytes(

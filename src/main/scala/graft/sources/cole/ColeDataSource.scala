@@ -166,10 +166,24 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
     properties: Map[String, String],
     bucketSpec: Option[(Int, Seq[String])] = None)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.TruncatableTable {
+    with org.apache.spark.sql.connector.catalog.TruncatableTable
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   def this(schema: StructType, properties: Map[String, String]) =
     this(schema, Seq.empty, properties)
+
+  /** SQL `DELETE FROM t WHERE ...` — copy-on-write row-level delete
+    * (ColeDelete): stats-classified per file, file-parallel rewrite of
+    * only the files that contain matching rows, layout-preserving
+    * two-phase swap. Conditions that don't convert to COLE predicate
+    * conjunctions are rejected at analysis (canDeleteWhere false).
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.nonEmpty && filters.forall(f => ColePredicate.fromFilter(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit =
+    ColeDelete.deleteWhere(org.apache.spark.sql.SparkSession.active,
+      properties("path"), filters, writePartCols, ColeIO.driverConf())
 
   /** SQL `TRUNCATE TABLE`: drop every data file (and bloom sidecar),
     * keep the layout sidecars — the emptied table re-fills under the

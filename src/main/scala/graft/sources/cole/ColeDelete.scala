@@ -1,0 +1,300 @@
+package graft.sources.cole
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.sources.Filter
+
+import graft.sources.cole.ColeFormat._
+
+/** Copy-on-write row-level `DELETE WHERE` for COLE tables — the GDPR
+  * delete every real warehouse eventually needs.
+  *
+  * Shape: file-local and embarrassingly parallel. Footer stats classify
+  * every file on the driver WITHOUT reading a data byte:
+  *
+  *   - no row can match (partition value misses, stats exclude the
+  *     predicate on every row group, or a predicate column predates the
+  *     file under schema evolution) → file UNTOUCHED, byte-identical;
+  *   - every row provably matches → whole-file DROP, nothing rewritten;
+  *   - otherwise → the file REWRITES to exactly one replacement holding
+  *     its non-matching rows.
+  *
+  * Rewrites fan out as one Spark job (one task per file, no shuffle):
+  * each task re-emits the kept rows of its file row-group by row-group,
+  * preserving row order — a sorted bucket file stays sorted, page stats
+  * stay tight, and bucket routing is untouched because rows never move
+  * between files. Each input file maps to at most one output file, so
+  * there is no write amplification beyond the files that actually
+  * contain matching rows.
+  *
+  * Transaction: the ColeCompact two-phase swap. Replacement files land
+  * in a dotted scratch directory (invisible to readers), the manifest
+  * commits the intent, then rename-in / delete-old; a crash at any point
+  * is resolved by [[ColeCompact.recover]]. Concurrent writers are
+  * detected by (length, mtime) snapshot comparison immediately before
+  * the swap and rejected loudly — nothing has been renamed at that
+  * point, so an aborted delete leaves the table byte-identical.
+  *
+  * Deletion semantics are SQL WHERE-true: a row deletes only when the
+  * condition evaluates TRUE; NULL comparisons keep the row (every
+  * ColePredicate evaluator rejects NULL slots).
+  */
+object ColeDelete {
+
+  final case class Stats(filesTotal: Int, filesUntouched: Int,
+      filesDropped: Int, filesRewritten: Int, rowsDeleted: Long)
+
+  /** Test seam: runs after the rewrite job, before the race check +
+    * swap — a concurrent writer injected here must be detected.
+    */
+  private[cole] var raceWindow: () => Unit = () => ()
+
+  def deleteWhere(spark: SparkSession, table: String, filters: Array[Filter],
+      partCols: Seq[String], conf: Configuration): Stats = {
+    val predOpts = filters.map(f => f -> ColePredicate.fromFilter(f))
+    val bad = predOpts.collect { case (f, None) => f }
+    require(bad.isEmpty,
+      s"unsupported DELETE condition ${bad.mkString(", ")}: COLE deletes " +
+        "by conjunctions of comparisons / IN / string predicates on " +
+        "single columns (same-column ORs allowed)")
+    val preds = predOpts.flatMap(_._2)
+    require(preds.nonEmpty,
+      "DELETE with no condition: use TRUNCATE TABLE to empty a COLE table")
+    val (partPreds, dataPreds) = preds.partition(p => partCols.contains(p.column))
+
+    val (fs, _) = ColeIO.resolve(table, conf)
+    // resolve any interrupted earlier swap before trusting the listing
+    ColeIO.listPartitioned(table, conf).map(_._1.getPath.getParent).distinct
+      .foreach(ColeCompact.recover(fs, _))
+
+    val infos = ColeMetaCache.infos(table, conf)
+    // equality/IN on the bucket column pins hash buckets: files in other
+    // buckets cannot contain a matching row regardless of stats
+    val bucketKeep: Option[Set[String]] =
+      ColeBucket.readSpec(table, conf).flatMap { case (n, cs) =>
+        ColeBucket.prunedBuckets(
+          cs.map(c => dataPreds.filter(_.column == c).toSeq), n)
+          .map(_.map(_.toString))
+      }
+    val Untouched = 0; val Drop = 1; val Rewrite = 2
+    val classified = infos.map { info =>
+      val pv = info.partValues.toMap
+      val partHit = partPreds.forall(p =>
+        pv.get(p.column).exists(ColePredicate.partitionKeeps(p, _)))
+      val cls =
+        if (!partHit) Untouched
+        else if (bucketKeep.exists(ks =>
+            !pv.get(ColeBucket.DirKey).exists(ks.contains))) Untouched
+        else {
+          val meta = info.meta
+          val nameToIdx = meta.columns.map(_.name).zipWithIndex.toMap
+          // a file written before a predicate column existed stores NULL
+          // for it on every row; NULL never satisfies a condition
+          if (dataPreds.exists(p => !nameToIdx.contains(p.column))) Untouched
+          else if (dataPreds.nonEmpty && meta.rowGroups.forall(rg =>
+              ColePredicate.skipRowGroup(rg, nameToIdx, dataPreds))) Untouched
+          else if (dataPreds.isEmpty || meta.rowGroups.forall(rg =>
+              ColePredicate.fullyKeepsRowGroup(rg, nameToIdx, dataPreds)))
+            Drop
+          else Rewrite
+        }
+      (info, cls)
+    }
+    val dropped = classified.collect { case (i, c) if c == Drop => i }
+    val rewrites = classified.collect { case (i, c) if c == Rewrite => i }
+    if (dropped.isEmpty && rewrites.isEmpty)
+      return Stats(infos.size, infos.size, 0, 0, 0L)
+
+    val stamp = java.lang.Long.toHexString(System.nanoTime())
+    // ---- distributed rewrite: one task per affected file, zero shuffle
+    val hconf = new ColeHadoopConf(conf)
+    val rewritten: Map[String, (String, Long, Long)] =
+      if (rewrites.isEmpty) Map.empty
+      else {
+        val tasks = rewrites.map(_.path)
+        val sc = spark.sparkContext
+        sc.parallelize(tasks, tasks.size)
+          .map(f => rewriteFile(f, stamp, dataPreds, hconf))
+          .collect().toMap
+      }
+    raceWindow()
+    val rowsFromRewrites = rewritten.valuesIterator.map(_._3).sum
+    // a rewrite that kept ZERO rows degenerates to a whole-file drop —
+    // never rename an empty replacement into the table. A rewrite that
+    // DELETED zero rows (stats couldn't exclude, exact evaluation did)
+    // degenerates to untouched: its original stays, byte-identical, and
+    // the speculative replacement is discarded.
+    val emptied = rewritten.filter { case (_, (_, kept, del)) => kept == 0L && del > 0L }
+    val noop = rewritten.filter { case (_, (_, _, del)) => del == 0L }
+    val replaced = rewritten.filter { case (_, (_, kept, del)) => kept > 0L && del > 0L }
+    val scratchDirs = rewrites.map(i => new HPath(i.path).getParent).distinct
+      .map(new HPath(_, s".delete-$stamp"))
+    def dropScratch(): Unit = scratchDirs.foreach(fs.delete(_, true))
+
+    // ---- two-phase swap per directory
+    val swapFiles = dropped.map(i => (i, None: Option[(String, Long, Long)])) ++
+      rewrites.filterNot(i => noop.contains(i.path))
+        .map(i => (i, rewritten.get(i.path)))
+    val byDir = swapFiles.groupBy { case (i, _) => new HPath(i.path).getParent }
+    byDir.toSeq.sortBy(_._1.toString).foreach { case (dir, files) =>
+      // concurrent-write race check: every file this delete decided over
+      // must still be exactly the bytes the decision read. Abort BEFORE
+      // any mutation — the table is untouched on rejection (speculative
+      // scratch output is discarded).
+      files.foreach { case (info, _) =>
+        val ok = try {
+          val st = fs.getFileStatus(new HPath(info.path))
+          st.getLen == info.len && st.getModificationTime == info.mtime
+        } catch { case _: java.io.FileNotFoundException => false }
+        if (!ok) dropScratch()
+        require(ok,
+          s"concurrent write detected on ${info.path} during DELETE; " +
+            "aborted with no changes — retry after the other writer commits")
+      }
+      val oldNames = files.map { case (i, _) => new HPath(i.path).getName }
+      val newNames = files.flatMap { case (i, _) =>
+        replaced.get(i.path).map(_._1) }
+      ColeCompact.writeManifest(fs, dir,
+        oldNames.map("old:" + _) ++ newNames.map("new:" + _))
+      // record the swap for streaming sources: a cole-file-log that
+      // already covers the input files must not re-emit the replacements
+      ColeCompact.writeCompactionRecord(fs, table, s"delete-$stamp-${dir.getName}",
+        newNames.map(n => fs.makeQualified(new HPath(dir, n)).toString),
+        oldNames.map(n => fs.makeQualified(new HPath(dir, n)).toString))
+      val scratch = new HPath(dir, s".delete-$stamp")
+      newNames.foreach { n =>
+        require(fs.rename(new HPath(scratch, n), new HPath(dir, n)),
+          s"rename failed for $scratch/$n")
+      }
+      val indexedCols = files.flatMap { case (i, _) =>
+        ColeBloomIndex.indexedColumns(i.path, conf) }.distinct
+      files.foreach { case (i, _) =>
+        fs.delete(new HPath(i.path), false)
+        fs.delete(new HPath(ColeBloomIndex.sidecarPath(i.path)), false)
+      }
+      fs.delete(scratch, true)
+      fs.delete(ColeCompact.manifestPath(dir), false)
+      if (indexedCols.nonEmpty)
+        ColeBloomIndex.build(dir.toString, indexedCols, conf)
+    }
+    dropScratch() // dirs whose every rewrite was a no-op never swapped
+
+    // if the delete emptied the table, persist the schema sidecar so the
+    // table still resolves (files are the usual source of truth)
+    if (dropped.size + emptied.size == infos.size) {
+      import org.apache.spark.sql.types._
+      val partFields = ColeMetaCache.partitionSchema(infos)
+        .filterNot(_._1 == ColeBucket.DirKey)
+        .map { case (k, t) =>
+          StructField(k, t match {
+            case "int" => IntegerType
+            case "long" => LongType
+            case _ => StringType
+          }, nullable = false)
+        }
+      ColeCatalog.writeTableSpec(table, conf,
+        StructType(ColeUtil.toSparkSchemaOf(infos).fields.toSeq ++ partFields),
+        partFields.map(_.name))
+    }
+
+    Stats(infos.size,
+      infos.size - dropped.size - rewrites.size + noop.size,
+      dropped.size + emptied.size,
+      replaced.size,
+      dropped.map(_.meta.totalRows).sum + rowsFromRewrites)
+  }
+
+  /** Executor-side single-file rewrite: decode each row group, drop the
+    * rows matching the delete conjunction, re-emit the survivors in
+    * their original order with the original per-chunk encodings (order
+    * is preserved, so a DELTA-friendly sorted chunk stays DELTA-friendly
+    * and page stats stay tight). Returns
+    * (originalPath → (replacementName, keptRows, deletedRows)).
+    */
+  private def rewriteFile(file: String, stamp: String,
+      preds: Array[ColePredicate], hconf: ColeHadoopConf)
+      : (String, (String, Long, Long)) = {
+    val conf = hconf.value
+    val reader = new ColeFileReader(file, conf)
+    try {
+      val meta = reader.meta
+      val nameToIdx = meta.columns.map(_.name).zipWithIndex.toMap
+      val src = new HPath(file)
+      val newName = s"delete-$stamp-${src.getName}"
+      val outPath = new HPath(new HPath(src.getParent, s".delete-$stamp"), newName)
+      // preserve the source's page compression (sizes differ = deflate)
+      val wconf = {
+        val c = new Configuration(conf)
+        c.set(ColeFileWriter.VersionKey, meta.version.toString)
+        val compressed = meta.rowGroups.exists(_.chunks.exists(_.pages.exists(
+          p => p.compressedSize != p.uncompressedSize)))
+        if (compressed) c.set(ColeFileWriter.CompressKey, "deflate")
+        c
+      }
+      val writer = new ColeFileWriter(outPath.toString, meta.columns, wconf)
+      var kept = 0L
+      var deleted = 0L
+      try {
+        meta.rowGroups.zipWithIndex.foreach { case (rg, rgIdx) =>
+          if (ColePredicate.skipRowGroup(rg, nameToIdx, preds)) {
+            // no row matches: re-emit the group unchanged
+            val cols = meta.columns.indices.map(reader.readChunk(rgIdx, _))
+            writer.writeRowGroup(cols, rg.numRows, chunkEncodings(rg, cols))
+            kept += rg.numRows
+          } else if (ColePredicate.fullyKeepsRowGroup(rg, nameToIdx, preds)) {
+            deleted += rg.numRows // every row matches: drop the group
+          } else {
+            val matching = ColePredicate.buildSelection(
+              reader, rgIdx, rg.numRows, nameToIdx, preds)
+            if (matching.isEmpty) {
+              val cols = meta.columns.indices.map(reader.readChunk(rgIdx, _))
+              writer.writeRowGroup(cols, rg.numRows, chunkEncodings(rg, cols))
+              kept += rg.numRows
+            } else if (matching.length == rg.numRows) {
+              deleted += rg.numRows
+            } else {
+              val drop = new Array[Boolean](rg.numRows)
+              matching.foreach(drop(_) = true)
+              val keepIdx = Array.range(0, rg.numRows).filterNot(drop)
+              val cols = meta.columns.indices.map(ci =>
+                takeRows(reader.readChunk(rgIdx, ci), keepIdx))
+              writer.writeRowGroup(cols, keepIdx.length, chunkEncodings(rg, cols))
+              kept += keepIdx.length
+              deleted += matching.length
+            }
+          }
+        }
+      } finally writer.close()
+      if (kept == 0L) {
+        // all rows matched after exact evaluation: the replacement is
+        // empty — drop it here and report a whole-file drop
+        val (ofs, op) = ColeIO.resolve(outPath.toString, conf)
+        ofs.delete(op, false)
+      }
+      (file, (newName, kept, deleted))
+    } finally reader.close()
+  }
+
+  /** Original per-chunk encodings, with the writer's nulls rule applied
+    * (chunks that still carry nulls write Plain + validity bitmap).
+    */
+  private def chunkEncodings(rg: RowGroupMeta,
+      cols: Seq[ColumnData]): Seq[Enc] =
+    rg.chunks.zip(cols).map { case (c, cd) =>
+      if (cd.nulls != null && cd.nulls.exists(identity)) Plain
+      else c.pages.headOption.map(_.encoding).getOrElse(Plain)
+    }
+
+  /** Row-subset of a decoded chunk, order-preserving. */
+  private def takeRows(cd: ColumnData, keep: Array[Int]): ColumnData = {
+    def takeI(a: Array[Int]) = if (a == null) null else keep.map(a)
+    def takeL(a: Array[Long]) = if (a == null) null else keep.map(a)
+    def takeD(a: Array[Double]) = if (a == null) null else keep.map(a)
+    def takeS(a: Array[Array[Byte]]) = if (a == null) null else keep.map(a)
+    def takeV(a: Array[Array[Float]]) = if (a == null) null else keep.map(a)
+    def takeB(a: Array[Boolean]) = if (a == null) null else keep.map(a)
+    ColumnData(takeI(cd.ints), takeL(cd.longs), takeS(cd.strings),
+      takeD(cd.doubles), takeB(cd.nulls), takeV(cd.vecs))
+  }
+}
