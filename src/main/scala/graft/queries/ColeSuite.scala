@@ -702,6 +702,51 @@ object ColeSuite {
               FROM t WHERE price_c < 500000
               GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // #136 wide (precision>18) decimal: a DECIMAL(25,4) ledger column whose
+    // UNSCALED values exceed int64 round-trips through the native two-lane
+    // int128 pages, with the filter claimed in the wide unscaled domain.
+    // Same oracle discipline as cole_roundtrip_decimal: the decimal is
+    // BUILT from integer cents (IEEE-exact in both engines) and results
+    // cross the oracle boundary as strings — sums exceed int64, so the
+    // cents-domain BIGINT trick can't carry them.
+    Q("cole_roundtrip_decimal38", (s, d) => {
+      import org.apache.spark.sql.types.{DecimalType, LongType}
+      val dir = dirFor(d, "roundtrip_dec38")
+      writeOnce(dir) {
+        val cents = round(col("l_extendedprice") * 100).cast(LongType)
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_returnflag"),
+            (cents.cast(DecimalType(25, 4)) *
+              lit(1000000000L).cast(DecimalType(10, 0)))
+              .cast(DecimalType(25, 4)).as("ledger"))
+          .write.format("cole").mode("overwrite").save(dir)
+      }
+      s.read.format("cole").load(dir)
+        .filter(col("ledger") <
+          lit(new java.math.BigDecimal("500000000000000.0000")))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("ledger")).as("sum_l"),
+          min(col("ledger")).as("mn_l"),
+          max(col("ledger")).as("mx_l"))
+        .select(col("l_returnflag"), col("n"),
+          col("sum_l").cast("string").as("sum_ledger"),
+          col("mn_l").cast("string").as("mn_ledger"),
+          col("mx_l").cast("string").as("mx_ledger"))
+        .orderBy("l_returnflag")
+    },
+      Some("""WITH t AS (SELECT l_returnflag,
+                  CAST(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    AS DECIMAL(25,4)) * 1000000000 AS DECIMAL(25,4)) AS ledger
+                FROM lineitem)
+              SELECT l_returnflag, COUNT(*) AS n,
+                CAST(SUM(ledger) AS VARCHAR) AS sum_ledger,
+                CAST(MIN(ledger) AS VARCHAR) AS mn_ledger,
+                CAST(MAX(ledger) AS VARCHAR) AS mx_ledger
+              FROM t
+              WHERE ledger < CAST('500000000000000.0000' AS DECIMAL(25,4))
+              GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // hash-bucketed storage-partitioned join: the fact-fact case identity
     // partitioning can't serve. orders and lineitem land in .col tables
     // bucketed 16 ways on the HIGH-cardinality orderkey (a directory per

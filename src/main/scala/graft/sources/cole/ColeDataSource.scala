@@ -106,6 +106,7 @@ private[cole] object ColeUtil {
     case TTimestamp => TimestampType
     case TTimestampNtz => TimestampNTZType
     case TDecimal(p, s) => DecimalType(p, s)
+    case TDecimalWide(p, s) => DecimalType(p, s)
     // vector elements are dense by design: a missing embedding is a NULL
     // row, not a vector with null slots
     case TFloatVec => ArrayType(FloatType, containsNull = false)
@@ -153,9 +154,11 @@ private[cole] object ColeUtil {
         case ArrayType(FloatType, _) => (TFloatVec, Plain)
         case dt: DecimalType if dt.precision <= 18 && dt.scale >= 0 =>
           (TDecimal(dt.precision, dt.scale), Plain)
+        case dt: DecimalType if dt.precision <= 38 && dt.scale >= 0 =>
+          (TDecimalWide(dt.precision, dt.scale), Plain)
         case other => throw new IllegalArgumentException(
           s"COLE format supports INT32/INT64/STRING (v1) + DOUBLE/TIMESTAMP/" +
-            s"DECIMAL(<=18)/ARRAY<FLOAT> (v2); column '${f.name}' is $other " +
+            s"DECIMAL(<=38)/ARRAY<FLOAT> (v2); column '${f.name}' is $other " +
             "(cast unsupported types before writing)")
       }
       ColeColumn(f.name, t, e)
@@ -333,8 +336,8 @@ class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration,
     if (partCols.contains(colName)) return false // constant per file: no stats
     fullSchema(colName).dataType match {
       case IntegerType | LongType | TimestampType | TimestampNTZType => // i64 page stats exist
-      case _: DecimalType => // unscaled i64 stats order = value order
-      case _ => return false
+      case dt: DecimalType if dt.precision <= 18 => // unscaled i64 stats order = value order
+      case _ => return false // wide decimals keep int128 stats; TopN counts in i64 only
     }
     topN = Some((colName,
       o.direction() == org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING, l))
@@ -371,8 +374,16 @@ class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration,
       case _ => ColePredicate.fromFilter(f).exists { p =>
         colType(p.column) match {
           case Some(IntegerType | LongType | TimestampType | TimestampNTZType) =>
-            !p.isString && !p.isDouble
-          case Some(_: DecimalType) => !p.isString && !p.isDouble
+            !p.isString && !p.isDouble && !p.isWideOp
+          case Some(dt: DecimalType) if dt.precision <= 18 =>
+            !p.isString && !p.isDouble && !p.isWideOp
+          // wide decimal: claim only when the literal's scale equals the
+          // column's — then the unscaled int128 compare IS the value compare
+          case Some(dt: DecimalType) =>
+            def scaleOk(q: ColePredicate): Boolean =
+              if (q.op == "or") q.orChildren.forall(scaleOk)
+              else q.wScale == dt.scale
+            p.isWideOp && scaleOk(p)
           case Some(DoubleType) => p.isDouble
           case Some(StringType) => p.isString
           case _ => false
@@ -386,7 +397,7 @@ class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration,
     // not rescale EXACTLY to the column's scale (would need rounding)
     // stays residual — claiming it through a rounded value would be wrong.
     def unscaled(c: String, v: Any): Option[Long] = colType(c) match {
-      case Some(dt: DecimalType) =>
+      case Some(dt: DecimalType) if dt.precision <= 18 =>
         val bd = v match {
           case d: java.math.BigDecimal => d
           case d: scala.math.BigDecimal => d.underlying
@@ -398,14 +409,32 @@ class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration,
         catch { case _: ArithmeticException => None }
       case _ => None
     }
+    // wide decimal columns rescale the literal EXACTLY to the column's
+    // scale (a literal needing rounding stays residual); fromFilter then
+    // builds the int128 predicate from the rescaled BigDecimal
+    def wideRescaled(c: String, v: Any): Option[java.math.BigDecimal] = colType(c) match {
+      case Some(dt: DecimalType) if dt.precision > 18 =>
+        val bd = v match {
+          case d: java.math.BigDecimal => d
+          case d: scala.math.BigDecimal => d.underlying
+          case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+          case _ => null
+        }
+        if (bd == null) None
+        else try Some(bd.setScale(dt.scale))
+        catch { case _: ArithmeticException => None }
+      case _ => None
+    }
+    def rescale(c: String, v: Any): Option[Any] =
+      unscaled(c, v).map(x => x: Any).orElse(wideRescaled(c, v))
     def toUnscaledDomain(f: Filter): Filter = f match {
-      case EqualTo(c, v) => unscaled(c, v).map(EqualTo(c, _)).getOrElse(f)
-      case GreaterThan(c, v) => unscaled(c, v).map(GreaterThan(c, _)).getOrElse(f)
+      case EqualTo(c, v) => rescale(c, v).map(EqualTo(c, _)).getOrElse(f)
+      case GreaterThan(c, v) => rescale(c, v).map(GreaterThan(c, _)).getOrElse(f)
       case GreaterThanOrEqual(c, v) =>
-        unscaled(c, v).map(GreaterThanOrEqual(c, _)).getOrElse(f)
-      case LessThan(c, v) => unscaled(c, v).map(LessThan(c, _)).getOrElse(f)
+        rescale(c, v).map(GreaterThanOrEqual(c, _)).getOrElse(f)
+      case LessThan(c, v) => rescale(c, v).map(LessThan(c, _)).getOrElse(f)
       case LessThanOrEqual(c, v) =>
-        unscaled(c, v).map(LessThanOrEqual(c, _)).getOrElse(f)
+        rescale(c, v).map(LessThanOrEqual(c, _)).getOrElse(f)
       case Not(inner) => Not(toUnscaledDomain(inner))
       case Or(l, r) => Or(toUnscaledDomain(l), toUnscaledDomain(r))
       case In(c, vs) if vs.nonEmpty && !vs.contains(null) &&
@@ -468,8 +497,10 @@ class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration,
       ref(e).filter(n => !partCols.contains(n))
     def sumOk(n: String): Boolean = fullSchema(n).dataType match {
       case IntegerType | LongType | DoubleType => true
-      // unscaled-long accumulation; emitted as Decimal at the partial row
-      case _: DecimalType => true
+      // unscaled-long accumulation; emitted as Decimal at the partial row.
+      // Wide (>18) decimals fall back to the vectorized scan: their sums
+      // need int128 accumulators the sweep readers don't carry.
+      case dt: DecimalType => dt.precision <= 18
       case _ => false
     }
     // string MIN/MAX pushes globally (answered from dictionary entries or
@@ -478,7 +509,7 @@ class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration,
     def minMaxOk(n: String): Boolean = fullSchema(n).dataType match {
       case IntegerType | LongType | TimestampType | TimestampNTZType |
         DoubleType | StringType => true
-      case _: DecimalType => true
+      case dt: DecimalType => dt.precision <= 18 // wide: vectorized scan
       case _ => false
     }
     // null-bearing v2 tables push too: encoded page values cover present
@@ -1382,7 +1413,8 @@ private[cole] final case class ColePredicate(column: String, op: String, value: 
     strValue: Array[Byte] = null, values: Array[Long] = null,
     strValues: Array[Array[Byte]] = null,
     orChildren: Array[ColePredicate] = null,
-    dblValue: Double = 0d, dblValues: Array[Double] = null) {
+    dblValue: Double = 0d, dblValues: Array[Double] = null,
+    wHi: Long = 0L, wLo: Long = 0L, wScale: Int = -1) {
 
   /** String claims ("eqs" equality, "nes" inequality, "ins" membership,
     * "sw"/"ew"/"ct" starts-/ends-with/contains) are applied by
@@ -1405,6 +1437,18 @@ private[cole] final case class ColePredicate(column: String, op: String, value: 
   def isDouble: Boolean = op match {
     case "eqd" | "gtd" | "ged" | "ltd" | "led" | "ind" | "ned" => true
     case "or" => orChildren.head.isDouble
+    case _ => false
+  }
+
+  /** Wide-decimal comparisons ("w"-suffixed ops): evaluate against v2
+    * TDecimalWide chunks via signed-128 lane compares; the literal's
+    * unscaled value rides in (wHi,wLo) with its decimal scale in wScale —
+    * the claim check requires wScale to equal the column's scale, so the
+    * unscaled compare is exactly the value compare.
+    */
+  def isWideOp: Boolean = op match {
+    case "eqw" | "gtw" | "gew" | "ltw" | "lew" | "new" => true
+    case "or" => orChildren.head.isWideOp
     case _ => false
   }
 
@@ -1461,7 +1505,22 @@ private[cole] final case class ColePredicate(column: String, op: String, value: 
     else canSkipLeaf(stats)
 
   private def canSkipLeaf(stats: PageStats): Boolean =
-    if (isDouble) (stats.minD, stats.maxD) match {
+    if (isWideOp) (stats.minW, stats.maxW) match {
+      case (Some((mnHi, mnLo)), Some((mxHi, mxLo))) =>
+        def cmpMin = ColeFormat.cmp128(wHi, wLo, mnHi, mnLo)
+        def cmpMax = ColeFormat.cmp128(wHi, wLo, mxHi, mxLo)
+        op match {
+          case "eqw" => cmpMin < 0 || cmpMax > 0
+          case "gtw" => cmpMax >= 0
+          case "gew" => cmpMax > 0
+          case "ltw" => cmpMin <= 0
+          case "lew" => cmpMin < 0
+          case "new" => cmpMin == 0 && cmpMax == 0
+          case _ => false
+        }
+      case _ => false
+    }
+    else if (isDouble) (stats.minD, stats.maxD) match {
       case (Some(mn), Some(mx)) => op match {
         case "eqd" => dblValue < mn || dblValue > mx
         case "gtd" => mx <= dblValue
@@ -1501,6 +1560,21 @@ private[cole] final case class ColePredicate(column: String, op: String, value: 
   private def mustKeepLeaf(stats: PageStats): Boolean =
     if (op == "nn") stats.nullCount == 0
     else if (stats.nullCount > 0) false
+    else if (isWideOp) (stats.minW, stats.maxW) match {
+      case (Some((mnHi, mnLo)), Some((mxHi, mxLo))) =>
+        def cmpMin = ColeFormat.cmp128(wHi, wLo, mnHi, mnLo)
+        def cmpMax = ColeFormat.cmp128(wHi, wLo, mxHi, mxLo)
+        op match {
+          case "eqw" => cmpMin == 0 && cmpMax == 0
+          case "gtw" => cmpMin < 0
+          case "gew" => cmpMin <= 0
+          case "ltw" => cmpMax > 0
+          case "lew" => cmpMax >= 0
+          case "new" => cmpMin < 0 || cmpMax > 0
+          case _ => false
+        }
+      case _ => false
+    }
     else if (isDouble) (stats.minD, stats.maxD) match {
       case (Some(mn), Some(mx)) => op match {
         case "eqd" => mn == dblValue && mx == dblValue
@@ -1547,6 +1621,12 @@ private[cole] final case class ColePredicate(column: String, op: String, value: 
     case "led" => 14
     case "ind" => 15
     case "ned" => 16
+    case "eqw" => 20
+    case "gtw" => 21
+    case "gew" => 22
+    case "ltw" => 23
+    case "lew" => 24
+    case "new" => 25
     case _ => -1
   }
 
@@ -1577,6 +1657,27 @@ private[cole] final case class ColePredicate(column: String, op: String, value: 
       false
     case 8 => true
     case _ => false
+  }
+
+  /** Row-exact evaluation over a decoded wide-decimal (hi,lo) lane pair. */
+  @inline def evalW(hi: Long, lo: Long): Boolean = {
+    (opId: @scala.annotation.switch) match {
+      case 20 => hi == wHi && lo == wLo
+      case 21 => ColeFormat.cmp128(hi, lo, wHi, wLo) > 0
+      case 22 => ColeFormat.cmp128(hi, lo, wHi, wLo) >= 0
+      case 23 => ColeFormat.cmp128(hi, lo, wHi, wLo) < 0
+      case 24 => ColeFormat.cmp128(hi, lo, wHi, wLo) <= 0
+      case 25 => hi != wHi || lo != wLo
+      case 7 =>
+        var i = 0
+        while (i < orChildren.length) {
+          if (orChildren(i).evalW(hi, lo)) return true
+          i += 1
+        }
+        false
+      case 8 => true
+      case _ => false
+    }
   }
 
   /** Row-exact evaluation over a decoded v2 double. */
@@ -1623,6 +1724,30 @@ private[cole] object ColePredicate {
     case _ => None
   }
 
+  /** Decimal literal → (hi, lo, scale) in the wide unscaled domain. The
+    * literal's OWN scale is recorded; the pushdown claim check requires
+    * it to equal the column's scale (pushFilters rescales exactly first),
+    * so a claimed wide compare is never off by a power of ten.
+    */
+  private[cole] def wide(v: Any): Option[(Long, Long, Int)] = {
+    val bd: java.math.BigDecimal = v match {
+      case d: java.math.BigDecimal => d
+      case d: scala.math.BigDecimal => d.underlying
+      case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+      case _ => null
+    }
+    if (bd == null || bd.unscaledValue.bitLength > 127) None
+    else {
+      val (hi, lo) = ColeFormat.wideFromBigInteger(bd.unscaledValue)
+      Some((hi, lo, bd.scale))
+    }
+  }
+
+  private def wideP(c: String, opW: String, v: Any): Option[ColePredicate] =
+    wide(v).map { case (hi, lo, sc) =>
+      ColePredicate(c, opW, 0L, wHi = hi, wLo = lo, wScale = sc)
+    }
+
   /** IN lists above this stay residual: preds ship inside every input
     * partition, so an unbounded value list would bloat task serialization.
     */
@@ -1636,14 +1761,19 @@ private[cole] object ColePredicate {
       Some(ColePredicate(c, "eqs", 0L, v.getBytes))
     case EqualTo(c, v) => num(v).map(ColePredicate(c, "eq", _))
       .orElse(dbl(v).map(d => ColePredicate(c, "eqd", 0L, dblValue = d)))
+      .orElse(wideP(c, "eqw", v))
     case GreaterThan(c, v) => num(v).map(ColePredicate(c, "gt", _))
       .orElse(dbl(v).map(d => ColePredicate(c, "gtd", 0L, dblValue = d)))
+      .orElse(wideP(c, "gtw", v))
     case GreaterThanOrEqual(c, v) => num(v).map(ColePredicate(c, "ge", _))
       .orElse(dbl(v).map(d => ColePredicate(c, "ged", 0L, dblValue = d)))
+      .orElse(wideP(c, "gew", v))
     case LessThan(c, v) => num(v).map(ColePredicate(c, "lt", _))
       .orElse(dbl(v).map(d => ColePredicate(c, "ltd", 0L, dblValue = d)))
+      .orElse(wideP(c, "ltw", v))
     case LessThanOrEqual(c, v) => num(v).map(ColePredicate(c, "le", _))
       .orElse(dbl(v).map(d => ColePredicate(c, "led", 0L, dblValue = d)))
+      .orElse(wideP(c, "lew", v))
     case IsNotNull(c) => Some(ColePredicate(c, "nn", 0L))
     case In(c, vs) if vs.length <= MaxInValues && !vs.contains(null) =>
       val nums = vs.flatMap(num)
@@ -1668,6 +1798,7 @@ private[cole] object ColePredicate {
       Some(ColePredicate(c, "nes", 0L, v.getBytes))
     case Not(EqualTo(c, v)) => num(v).map(ColePredicate(c, "ne", _))
       .orElse(dbl(v).map(d => ColePredicate(c, "ned", 0L, dblValue = d)))
+      .orElse(wideP(c, "new", v))
     case StringStartsWith(c, v) =>
       Some(ColePredicate(c, "sw", 0L,
         v.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
@@ -1685,7 +1816,10 @@ private[cole] object ColePredicate {
         lp <- fromFilter(l)
         rp <- fromFilter(r)
         if lp.column == rp.column && lp.isString == rp.isString &&
-          lp.isDouble == rp.isDouble
+          lp.isDouble == rp.isDouble && lp.isWideOp == rp.isWideOp &&
+          // wide branches with mismatched literal scales can't share one
+          // chunk's unscaled domain — keep the disjunction residual
+          (!lp.isWideOp || lp.wScale == rp.wScale)
       } yield {
         def flat(p: ColePredicate): Array[ColePredicate] =
           if (p.op == "or") p.orChildren else Array(p)
@@ -1771,6 +1905,15 @@ private[cole] object ColePredicate {
       true
     }
   }
+  private final class WideEval(ps: Array[ColePredicate], cd: ColumnData) extends ColEval {
+    def ok(r: Int): Boolean = {
+      if (cd.nulls != null && cd.nulls(r)) return false
+      val hi = cd.wides(2 * r); val lo = cd.wides(2 * r + 1)
+      var pi = 0
+      while (pi < ps.length) { if (!ps(pi).evalW(hi, lo)) return false; pi += 1 }
+      true
+    }
+  }
   /** DICTIONARY chunk + string predicates: every predicate evaluates once
     * per dictionary ENTRY (equality and IN alike), rows then test one
     * boolean per id. A dictionary matching nothing is the page-skip case —
@@ -1832,6 +1975,8 @@ private[cole] object ColePredicate {
         }
       } else if (colType == TDouble) {
         byCol(bi) = new DblEval(ps, reader.readChunk(rgIdx, colIdx))
+      } else if (isWide(colType)) {
+        byCol(bi) = new WideEval(ps, reader.readChunk(rgIdx, colIdx))
       } else {
         byCol(bi) = new NumEval(ps, reader.readChunk(rgIdx, colIdx))
       }
@@ -2348,6 +2493,15 @@ class ColeColumnarReader(part: ColeInputPartition, required: StructType,
             var j = 0
             while (j < sel.length) { g(j) = cd.vecs(sel(j)); j += 1 }
             ColumnData(null, null, null, null, n, g)
+          } else if (cd.wides != null) {
+            val g = new Array[Long](2 * sel.length)
+            var j = 0
+            while (j < sel.length) {
+              g(2 * j) = cd.wides(2 * sel(j))
+              g(2 * j + 1) = cd.wides(2 * sel(j) + 1)
+              j += 1
+            }
+            ColumnData(null, null, null, null, n, null, g)
           } else {
             val g = new Array[Array[Byte]](sel.length)
             var j = 0
@@ -2390,6 +2544,19 @@ class ColeColumnarReader(part: ColeInputPartition, required: StructType,
             case _ => v.putLongs(0, n, c.longs, offset)
           }
           else if (c.doubles != null) v.putDoubles(0, n, c.doubles, offset)
+          else if (c.wides != null) {
+            // precision>18 decimals live in the vector's BINARY lane as
+            // two's-complement unscaled bytes (Spark's own columnar
+            // layout for wide decimals)
+            var r = 0
+            while (r < n) {
+              if (c.nulls == null || !c.nulls(offset + r))
+                v.putByteArray(r, ColeFormat.wideToBigInteger(
+                  c.wides(2 * (offset + r)),
+                  c.wides(2 * (offset + r) + 1)).toByteArray)
+              r += 1
+            }
+          }
           else if (c.vecs != null) {
             // array column: bulk-fill the child float vector, then point
             // each row's (offset, length) slice at it
@@ -2543,6 +2710,12 @@ class ColeRowReader(part: ColeInputPartition, required: StructType,
         else if (c.doubles != null) c.doubles(r)
         else if (c.vecs != null)
           org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(c.vecs(r))
+        else if (c.wides != null) {
+          val dt = required.fields(i).dataType.asInstanceOf[DecimalType]
+          org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(
+            ColeFormat.wideToBigInteger(c.wides(2 * r), c.wides(2 * r + 1)),
+            dt.scale), dt.precision, dt.scale)
+        }
         else UTF8String.fromBytes(c.strings(r))
       i += 1
     }
@@ -2980,6 +3153,9 @@ class ColeDataWriter(schema: StructType, file: String, rowGroupSize: Int,
   private val dblBufs = Array.fill(schema.length)(new Array[Double](rowGroupSize))
   // vector columns are rare (usually one embedding column); allocate lazily
   private val vecBufs = new Array[Array[Array[Float]]](schema.length)
+  // wide decimal lanes: interleaved [hi,lo] pairs, 2 slots per row;
+  // allocated lazily like vectors (wide ledger columns are rare)
+  private val wideBufs = new Array[Array[Long]](schema.length)
   // per-column null flags, allocated on the first null (v2 only): null-free
   // columns pay nothing and their pages stay dense
   private val nullBufs = new Array[Array[Boolean]](schema.length)
@@ -3002,6 +3178,12 @@ class ColeDataWriter(schema: StructType, file: String, rowGroupSize: Int,
           longBufs(i)(buffered) = record.getLong(i) // micros
         case TDecimal(p, s) => // unscaled int64 (precision <= 18 enforced)
           longBufs(i)(buffered) = record.getDecimal(i, p, s).toUnscaledLong
+        case TDecimalWide(p, s) => // unscaled int128 in two i64 lanes
+          if (wideBufs(i) == null) wideBufs(i) = new Array[Long](2 * rowGroupSize)
+          val (hi, lo) = ColeFormat.wideFromBigInteger(
+            record.getDecimal(i, p, s).toJavaBigDecimal.unscaledValue())
+          wideBufs(i)(2 * buffered) = hi
+          wideBufs(i)(2 * buffered + 1) = lo
         case TDouble => dblBufs(i)(buffered) = record.getDouble(i)
         case TString => strBufs(i)(buffered) = record.getUTF8String(i).getBytes
         case TFloatVec =>
@@ -3044,6 +3226,10 @@ class ColeDataWriter(schema: StructType, file: String, rowGroupSize: Int,
         case TFloatVec =>
           val a = java.util.Arrays.copyOf(vecBufs(i), buffered)
           (ColumnData(null, null, null, null, nulls, a), Plain)
+        case _: TDecimalWide =>
+          val buf = if (wideBufs(i) == null) new Array[Long](2 * buffered)
+            else java.util.Arrays.copyOf(wideBufs(i), 2 * buffered)
+          (ColumnData(null, null, null, null, nulls, null, buf), Plain)
         case other => throw new ColeFormatException(s"unhandled column type $other")
       }
     }.unzip

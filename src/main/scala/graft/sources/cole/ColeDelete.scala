@@ -294,7 +294,17 @@ object ColeDelete {
     def takeS(a: Array[Array[Byte]]) = if (a == null) null else keep.map(a)
     def takeV(a: Array[Array[Float]]) = if (a == null) null else keep.map(a)
     def takeB(a: Array[Boolean]) = if (a == null) null else keep.map(a)
+    // wide decimal lanes subset in [hi,lo] PAIRS
+    def takeW(a: Array[Long]) = if (a == null) null else {
+      val out = new Array[Long](2 * keep.length)
+      var j = 0
+      while (j < keep.length) {
+        out(2 * j) = a(2 * keep(j)); out(2 * j + 1) = a(2 * keep(j) + 1)
+        j += 1
+      }
+      out
+    }
     ColumnData(takeI(cd.ints), takeL(cd.longs), takeS(cd.strings),
-      takeD(cd.doubles), takeB(cd.nulls), takeV(cd.vecs))
+      takeD(cd.doubles), takeB(cd.nulls), takeV(cd.vecs), takeW(cd.wides))
   }
 }

@@ -15,7 +15,9 @@ import graft.sources.cole.ColeFormat._
   */
 final case class ColumnData(ints: Array[Int], longs: Array[Long],
     strings: Array[Array[Byte]], doubles: Array[Double] = null,
-    nulls: Array[Boolean] = null, vecs: Array[Array[Float]] = null)
+    nulls: Array[Boolean] = null, vecs: Array[Array[Float]] = null,
+    /** TDecimalWide lane: interleaved [hi,lo] i64 pairs, length 2×rows. */
+    wides: Array[Long] = null)
 
 /** Single-file reader: footer → metadata → per-chunk decode.
   * (Reading algorithm per reference docs/FORMAT.md "Reading Algorithm".)
@@ -106,11 +108,13 @@ final class ColeFileReader(path: String, conf: Configuration) extends AutoClosea
     val strParts = scala.collection.mutable.ArrayBuffer[Array[Array[Byte]]]()
     val dblParts = scala.collection.mutable.ArrayBuffer[Array[Double]]()
     val vecParts = scala.collection.mutable.ArrayBuffer[Array[Array[Float]]]()
+    val wideParts = scala.collection.mutable.ArrayBuffer[Array[Long]]()
     val nullParts = scala.collection.mutable.ArrayBuffer[Array[Boolean]]()
     val pageSizes = scala.collection.mutable.ArrayBuffer[Int]()
     var anyNulls = false
     cc.pages.foreach { _ =>
-      val ph = readPageHeader(c, meta.version, col.colType == TDouble)
+      val ph = readPageHeader(c, meta.version, col.colType == TDouble,
+        isWide(col.colType))
       val pageData = pageCursor(c, ph)
       val isNull: Array[Boolean] =
         if (ph.nullCount == 0) null
@@ -129,6 +133,12 @@ final class ColeFileReader(path: String, conf: Configuration) extends AutoClosea
           dblParts += expandDouble(decodeDoublePage(pageData, ph, present), isNull, ph.numValues)
         case TFloatVec =>
           vecParts += expandVec(decodeVecPage(pageData, ph, present), isNull, ph.numValues)
+        case t if isWide(t) => // PLAIN [hi,lo] pairs = 2×present i64s
+          val pairs = ph.encoding match {
+            case Plain => decodePlainLong(pageData, 2 * present)
+            case other => throw new ColeFormatException(s"$other not valid for WIDE DECIMAL")
+          }
+          wideParts += expandWide(pairs, isNull, ph.numValues)
         case other => throw new ColeFormatException(s"unhandled column type $other")
       }
       c.pos += ph.compressedSize
@@ -143,6 +153,8 @@ final class ColeFileReader(path: String, conf: Configuration) extends AutoClosea
       case TString => ColumnData(null, null, strParts.flatten.toArray, null, nulls)
       case TDouble => ColumnData(null, null, null, dblParts.flatten.toArray, nulls)
       case TFloatVec => ColumnData(null, null, null, null, nulls, vecParts.flatten.toArray)
+      case t if isWide(t) =>
+        ColumnData(null, null, null, null, nulls, null, wideParts.flatten.toArray)
       case other => throw new ColeFormatException(s"unhandled column type $other")
     }
   }
@@ -160,6 +172,18 @@ final class ColeFileReader(path: String, conf: Configuration) extends AutoClosea
       val out = new Array[Long](n)
       var i = 0; var j = 0
       while (i < n) { if (!isNull(i)) { out(i) = vals(j); j += 1 }; i += 1 }
+      out
+    }
+
+  /** Wide expansion works in PAIRS: slot r of the output is (2r, 2r+1). */
+  private def expandWide(vals: Array[Long], isNull: Array[Boolean], n: Int): Array[Long] =
+    if (isNull == null) vals else {
+      val out = new Array[Long](2 * n)
+      var i = 0; var j = 0
+      while (i < n) {
+        if (!isNull(i)) { out(2 * i) = vals(j); out(2 * i + 1) = vals(j + 1); j += 2 }
+        i += 1
+      }
       out
     }
 
@@ -293,9 +317,10 @@ final class ColeFileReader(path: String, conf: Configuration) extends AutoClosea
     val raw = readAt(cc.fileOffset, cc.totalSize.toInt)
     val c = new Cursor(raw, 0)
     val isDbl = meta.columns(colIdx).colType == TDouble
+    val isW = isWide(meta.columns(colIdx).colType)
     val parts = scala.collection.mutable.ArrayBuffer[Array[Boolean]]()
     cc.pages.foreach { _ =>
-      val ph = readPageHeader(c, meta.version, isDbl)
+      val ph = readPageHeader(c, meta.version, isDbl, isW)
       val pageData = pageCursor(c, ph)
       parts += (if (ph.nullCount == 0) new Array[Boolean](ph.numValues)
                 else readValidity(pageData, ph.numValues))
@@ -493,6 +518,32 @@ final class ColeFileWriter(path: String, columns: Seq[ColeColumn],
             case other => throw new ColeFormatException(s"$other not valid for FLOAT_VECTOR")
           }
           (bytes, PageStats(None, None, nullCount))
+        case t if isWide(t) =>
+          // interleaved [hi,lo] pairs; PLAIN lays them out as 2m i64s,
+          // byte-identical to a long page of twice the value count
+          val vals =
+            if (nullCount == 0) data.wides
+            else compactWides(data.wides, isNull, numRows, numRows - nullCount)
+          val bytes = col.encoding match {
+            case Plain => encodePlainLong(vals)
+            case other => throw new ColeFormatException(s"$other not valid for WIDE DECIMAL")
+          }
+          val st =
+            if (vals.isEmpty) PageStats(None, None, nullCount)
+            else {
+              var mnHi = vals(0); var mnLo = vals(1)
+              var mxHi = vals(0); var mxLo = vals(1)
+              var k = 2
+              while (k < vals.length) {
+                val hi = vals(k); val lo = vals(k + 1)
+                if (cmp128(hi, lo, mnHi, mnLo) < 0) { mnHi = hi; mnLo = lo }
+                if (cmp128(hi, lo, mxHi, mxLo) > 0) { mxHi = hi; mxLo = lo }
+                k += 2
+              }
+              PageStats(None, None, nullCount, None, None,
+                Some((mnHi, mnLo)), Some((mxHi, mxLo)))
+            }
+          (bytes, st)
         case other => throw new ColeFormatException(s"unhandled column type $other")
       }
       val raw =
@@ -503,7 +554,7 @@ final class ColeFileWriter(path: String, columns: Seq[ColeColumn],
         nullCount, if (version >= Version2) bodyCrc(body, 0, body.length) else 0)
       val offset = position
       val hdr = new Out()
-      writePageHeader(hdr, ph, version, col.colType == TDouble)
+      writePageHeader(hdr, ph, version, col.colType == TDouble, isWide(col.colType))
       emit(hdr.toBytes)
       emit(body)
       ColumnChunkMeta(offset, position - offset, Seq(ph))
@@ -544,6 +595,16 @@ final class ColeFileWriter(path: String, columns: Seq[ColeColumn],
     val out = new Array[Array[Float]](m)
     var i = 0; var j = 0
     while (i < n) { if (!isNull(i)) { out(j) = a(i); j += 1 }; i += 1 }
+    out
+  }
+
+  private def compactWides(a: Array[Long], isNull: Array[Boolean], n: Int, m: Int): Array[Long] = {
+    val out = new Array[Long](2 * m)
+    var i = 0; var j = 0
+    while (i < n) {
+      if (!isNull(i)) { out(j) = a(2 * i); out(j + 1) = a(2 * i + 1); j += 2 }
+      i += 1
+    }
     out
   }
 

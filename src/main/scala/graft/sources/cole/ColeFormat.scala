@@ -62,6 +62,21 @@ object ColeFormat {
     require(precision >= 1 && precision <= 18 && scale >= 0 && scale <= precision,
       s"COLE DECIMAL needs 1<=precision<=18, 0<=scale<=precision; got ($precision,$scale)")
   }
+  /** v2 only: exact decimal, precision 19..38, stored as the UNSCALED
+    * two's-complement int128 in two i64 lanes per value — PLAIN pages lay
+    * out [hi i64][lo i64] per row, little-endian each, so a page is one
+    * contiguous 16-byte-stride sweep. Stats and predicate pushdown run in
+    * the wide unscaled domain (signed-128 compare: hi signed, lo
+    * unsigned), because for a fixed scale the unscaled order is the value
+    * order exactly as in the int64 decimal lane. This closes the
+    * DECIMAL(38,x) ledger-aggregate gap: wide money columns round-trip
+    * natively instead of falling back to parquet.
+    */
+  final case class TDecimalWide(precision: Int, scale: Int) extends ColeType(8) {
+    require(precision >= 19 && precision <= 38 && scale >= 0 && scale <= precision,
+      s"COLE WIDE DECIMAL needs 19<=precision<=38, 0<=scale<=precision; " +
+        s"got ($precision,$scale) — use DECIMAL (type 7) below precision 19")
+  }
   def typeOf(id: Int): ColeType = id match {
     case 0 => TInt32
     case 1 => TInt64
@@ -70,19 +85,51 @@ object ColeFormat {
     case 4 => TTimestamp
     case 5 => TTimestampNtz
     case 6 => TFloatVec
-    case 7 => throw new ColeFormatException(
-      "DECIMAL column type carries precision/scale: only readMetadata decodes it")
+    case 7 | 8 => throw new ColeFormatException(
+      "DECIMAL column types carry precision/scale: only readMetadata decodes them")
     case other => throw new ColeFormatException(s"Unknown column type id: $other")
   }
 
   /** True for types only format v2 can carry. */
   def requiresV2(t: ColeType): Boolean =
     t == TDouble || t == TTimestamp || t == TTimestampNtz || t == TFloatVec ||
-      t.isInstanceOf[TDecimal]
+      t.isInstanceOf[TDecimal] || t.isInstanceOf[TDecimalWide]
 
-  /** Types stored as int64 values (sharing every int64 encode/agg path). */
+  /** Types stored as int64 values (sharing every int64 encode/agg path).
+    * NOT TDecimalWide: its values are two-lane int128s with their own
+    * decode/stat/predicate machinery.
+    */
   def isLongBacked(t: ColeType): Boolean =
     t == TInt64 || t == TTimestamp || t == TTimestampNtz || t.isInstanceOf[TDecimal]
+
+  /** Types stored as two i64 lanes per value (the int128 family). */
+  def isWide(t: ColeType): Boolean = t.isInstanceOf[TDecimalWide]
+
+  /** Signed-128 comparison of (hi,lo) lane pairs: hi compares signed, lo
+    * unsigned — the two's-complement int128 order, which for a fixed
+    * scale IS the wide decimal value order.
+    */
+  def cmp128(aHi: Long, aLo: Long, bHi: Long, bLo: Long): Int = {
+    val h = java.lang.Long.compare(aHi, bHi)
+    if (h != 0) h else java.lang.Long.compareUnsigned(aLo, bLo)
+  }
+
+  private val Two64 = java.math.BigInteger.ONE.shiftLeft(64)
+
+  /** Two's-complement (hi,lo) lanes of a BigInteger that fits in 128
+    * bits. DECIMAL(38) unscaled values always do: 10^38 < 2^127.
+    */
+  def wideFromBigInteger(bi: java.math.BigInteger): (Long, Long) = {
+    if (bi.bitLength > 127) throw new ColeFormatException(
+      s"unscaled decimal $bi exceeds 128 bits")
+    (bi.shiftRight(64).longValue, bi.longValue)
+  }
+
+  def wideToBigInteger(hi: Long, lo: Long): java.math.BigInteger = {
+    val loB = if (lo >= 0) java.math.BigInteger.valueOf(lo)
+      else java.math.BigInteger.valueOf(lo).add(Two64)
+    java.math.BigInteger.valueOf(hi).shiftLeft(64).add(loB)
+  }
 
   sealed abstract class Enc(val id: Int)
   case object Plain extends Enc(0)
@@ -98,10 +145,12 @@ object ColeFormat {
   }
 
   /** minD/maxD are the v2 double-column stats; integral columns
-    * (including v2 timestamps, stored as micros) use minInt/maxInt.
+    * (including v2 timestamps, stored as micros) use minInt/maxInt; wide
+    * decimal columns carry (hi,lo) int128 bounds in minW/maxW.
     */
   final case class PageStats(minInt: Option[Long], maxInt: Option[Long], nullCount: Int,
-      minD: Option[Double] = None, maxD: Option[Double] = None)
+      minD: Option[Double] = None, maxD: Option[Double] = None,
+      minW: Option[(Long, Long)] = None, maxW: Option[(Long, Long)] = None)
   /** nullCount: v2 pages carry it in the header (0 for every v1 page);
     * when positive, the page body starts with a validity bitmap
     * (ceil(numValues/8) bytes, bit set = value present) and the encoded
@@ -141,6 +190,21 @@ object ColeFormat {
       else Some((perPage.flatten.map(_._1).min, perPage.flatten.map(_._2).max))
     }
 
+    /** Int128 twin of [[statsMinMax]] (v2 TDecimalWide chunks): ((minHi,
+      * minLo), (maxHi, maxLo)) in the wide unscaled domain.
+      */
+    def statsMinMaxW(rgIdx: Int, colIdx: Int)
+        : Option[((Long, Long), (Long, Long))] = {
+      val pages = rowGroups(rgIdx).chunks(colIdx).pages
+      val perPage = pages.map(ph => ph.stats.minW.zip(ph.stats.maxW))
+      if (pages.isEmpty || perPage.exists(_.isEmpty)) None
+      else Some((
+        perPage.flatten.map(_._1).minBy(identity)(Ordering.fromLessThan(
+          (a, b) => cmp128(a._1, a._2, b._1, b._2) < 0)),
+        perPage.flatten.map(_._2).maxBy(identity)(Ordering.fromLessThan(
+          (a, b) => cmp128(a._1, a._2, b._1, b._2) < 0))))
+    }
+
     /** True when any page of this column carries nulls — drives schema
       * nullability and disables aggregate pushdown (whose count/sum
       * contracts assume dense chunks).
@@ -166,17 +230,23 @@ object ColeFormat {
   // bits in the same i64 slots.
 
   def writePageHeader(out: Out, ph: PageHeader, version: Int = 1,
-      isDouble: Boolean = false): Unit = {
+      isDouble: Boolean = false, isWide: Boolean = false): Unit = {
     out.u32(ph.uncompressedSize)
     out.u32(ph.compressedSize)
     out.u32(ph.numValues)
     out.u8(ph.encoding.id)
     val hasStats =
-      if (isDouble) ph.stats.minD.isDefined || ph.stats.maxD.isDefined
+      if (isWide) ph.stats.minW.isDefined || ph.stats.maxW.isDefined
+      else if (isDouble) ph.stats.minD.isDefined || ph.stats.maxD.isDefined
       else ph.stats.minInt.isDefined || ph.stats.maxInt.isDefined
     out.u8(if (hasStats) 1 else 0)
     if (hasStats) {
-      if (isDouble) {
+      if (isWide) { // each bound is two i64 lanes: hi then lo
+        out.u8(if (ph.stats.minW.isDefined) 1 else 0)
+        ph.stats.minW.foreach { case (hi, lo) => out.i64(hi); out.i64(lo) }
+        out.u8(if (ph.stats.maxW.isDefined) 1 else 0)
+        ph.stats.maxW.foreach { case (hi, lo) => out.i64(hi); out.i64(lo) }
+      } else if (isDouble) {
         out.u8(if (ph.stats.minD.isDefined) 1 else 0)
         ph.stats.minD.foreach(d => out.i64(java.lang.Double.doubleToRawLongBits(d)))
         out.u8(if (ph.stats.maxD.isDefined) 1 else 0)
@@ -193,14 +263,18 @@ object ColeFormat {
   }
 
   def readPageHeader(c: Cursor, version: Int = 1,
-      isDouble: Boolean = false): PageHeader = {
+      isDouble: Boolean = false, isWide: Boolean = false): PageHeader = {
     val unc = c.u32()
     val comp = c.u32()
     val n = c.u32()
     val enc = encOf(c.u8())
     val stats =
       if (c.u8() == 1) {
-        if (isDouble) {
+        if (isWide) {
+          val mn = if (c.u8() == 1) Some((c.i64(), c.i64())) else None
+          val mx = if (c.u8() == 1) Some((c.i64(), c.i64())) else None
+          PageStats(None, None, c.u32(), None, None, mn, mx)
+        } else if (isDouble) {
           val mn = if (c.u8() == 1)
             Some(java.lang.Double.longBitsToDouble(c.i64())) else None
           val mx = if (c.u8() == 1)
@@ -239,8 +313,9 @@ object ColeFormat {
       out.raw(nameBytes)
       out.u8(col.colType.id)
       out.u8(col.encoding.id)
-      col.colType match { // DECIMAL self-describes its precision/scale
+      col.colType match { // DECIMALs self-describe their precision/scale
         case TDecimal(p, s) => out.u8(p); out.u8(s)
+        case TDecimalWide(p, s) => out.u8(p); out.u8(s)
         case _ => ()
       }
     }
@@ -253,7 +328,7 @@ object ColeFormat {
         out.i64(cc.totalSize)
         out.u32(cc.pages.size)
         cc.pages.foreach(writePageHeader(out, _, meta.version,
-          meta.columns(ci).colType == TDouble))
+          meta.columns(ci).colType == TDouble, isWide(meta.columns(ci).colType)))
       }
     }
     // the COLE format stores total_rows as uint32 (reference format.h:89);
@@ -273,7 +348,9 @@ object ColeFormat {
       val tid = c.u8()
       val enc = encOf(c.u8())
       val tpe =
-        if (tid == 7) TDecimal(c.u8(), c.u8()) else typeOf(tid)
+        if (tid == 7) TDecimal(c.u8(), c.u8())
+        else if (tid == 8) TDecimalWide(c.u8(), c.u8())
+        else typeOf(tid)
       ColeColumn(name, tpe, enc)
     }
     cols.foreach { col =>
@@ -292,7 +369,8 @@ object ColeFormat {
         val size = c.i64()
         val nPages = c.u32()
         ColumnChunkMeta(off, size, Seq.fill(nPages)(
-          readPageHeader(c, version, cols(ci).colType == TDouble)))
+          readPageHeader(c, version, cols(ci).colType == TDouble,
+            isWide(cols(ci).colType))))
       }
       RowGroupMeta(numRows, chunks)
     }

@@ -37,6 +37,7 @@ object ColeMeta {
     case TTimestampNtz => "TIMESTAMP_NTZ"
     case TFloatVec => "FLOAT_VECTOR"
     case TDecimal(p, s) => s"DECIMAL($p,$s)"
+    case TDecimalWide(p, s) => s"DECIMAL($p,$s)" // wide lane, same SQL face
   }
 
   private def encName(e: Enc): String = e match {

@@ -285,6 +285,118 @@ class ColeAggFuzzSpec extends AnyFunSuite {
       s"expected the loud overflow refusal, got: ${chain(e).mkString(" | ")}")
   }
 
+  test("wide decimal (precision>18) fuzz: roundtrip, claimed predicates, aggregates") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    // lane round-trip boundaries first: sign, lane edges, 38-digit extremes
+    for (bi <- Seq(BigInt(0), BigInt(-1), BigInt(1), BigInt(Long.MaxValue),
+        BigInt(Long.MinValue), BigInt(Long.MaxValue) + 1, BigInt(Long.MinValue) - 1,
+        BigInt(10).pow(38) - 1, -(BigInt(10).pow(38) - 1))) {
+      val (hi, lo) = ColeFormat.wideFromBigInteger(bi.bigInteger)
+      assert(ColeFormat.wideToBigInteger(hi, lo) === bi.bigInteger,
+        s"lane roundtrip broke for $bi")
+    }
+    for (seed <- Seq(5, 23); n <- Seq(1, 100, 8192, 8193, 20000)) {
+      val rnd = new scala.util.Random(seed)
+      val pNull = rnd.nextDouble() * 0.3
+      def mask[T](v: => T): Option[T] = if (rnd.nextDouble() < pNull) None else Some(v)
+      // unscaled magnitudes beyond int64: up to 83 bits (< 10^25) and
+      // 126 bits (< 10^38), negatives included
+      def wideBD(bits: Int, scale: Int): BigDecimal = {
+        val mag = BigInt(rnd.nextInt(bits + 1), rnd)
+        BigDecimal(if (rnd.nextBoolean()) mag else -mag, scale)
+      }
+      val nGroups = 1 + rnd.nextInt(6)
+      // explicit schema: the tuple encoder's DECIMAL(38,18) default cannot
+      // hold 25 integral digits
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val schema = StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("w", DecimalType(25, 4), nullable = true),
+        StructField("ww", DecimalType(38, 10), nullable = true),
+        StructField("grp", StringType, nullable = false)))
+      val rows = (0 until n).map { i =>
+        Row(i.toLong, mask(wideBD(83, 4)).map(_.bigDecimal).orNull,
+          mask(wideBD(126, 10)).map(_.bigDecimal).orNull,
+          s"g${rnd.nextInt(nGroups)}")
+      }
+      val df = s.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+          .SeqHasAsJava(rows).asJava), schema)
+      val dir = Files.createTempDirectory(s"cole_widefuzz_${seed}_$n").toString
+      df.coalesce(1).write.format("cole").mode("overwrite")
+        .option("rowGroupSize", "4096").save(dir)
+      val cole = s.read.format("cole").load(dir)
+
+      assert(cole.schema("w").dataType === DecimalType(25, 4), "schema roundtrip")
+      assert(cole.schema("ww").dataType === DecimalType(38, 10), "schema roundtrip 38")
+      assert(cole.collect().map(_.toSeq).toSet === df.collect().map(_.toSeq).toSet,
+        s"wide decimal roundtrip diverged (seed=$seed n=$n)")
+
+      // aggregates are Spark-side (wide columns decline agg pushdown) but
+      // must agree exactly; SUM(DECIMAL(25,4)) has 35-digit headroom
+      def aggSet(d: org.apache.spark.sql.DataFrame) = d.agg(
+        count(lit(1)).as("c"), count(col("w")).as("cw"),
+        sum("w").as("s"), min("w").as("mn"), max("w").as("mx"),
+        min("ww").as("wmn"), max("ww").as("wmx")).head()
+      assert(aggSet(cole) === aggSet(df),
+        s"wide decimal agg diverged (seed=$seed n=$n)")
+      assert(!cole.agg(sum("w")).queryExecution.executedPlan.toString
+        .contains("PushedAggregates"),
+        "wide decimal SUM must fall back to the scan path, not push a long sweep")
+
+      // claimed predicates in the int128 unscaled domain: row-exact
+      // through stats skipping + selection vectors
+      val pivot = wideBD(83, 4)
+      for (fc <- Seq(col("w") < lit(pivot), col("w") >= lit(pivot),
+          col("w") === lit(pivot), col("w").isNotNull && col("w") =!= lit(pivot),
+          col("w") < lit(pivot) || col("w") > lit(pivot + 1000),
+          col("ww") >= lit(BigDecimal(0).setScale(10)))) {
+        assert(cole.filter(fc).count() === df.filter(fc).count(),
+          s"wide predicate $fc count diverged (seed=$seed n=$n)")
+        def f(d: org.apache.spark.sql.DataFrame) = d.filter(fc)
+          .agg(count(lit(1)).as("c"), sum("w").as("s"), min("ww").as("mn")).head()
+        assert(f(cole) === f(df),
+          s"wide filtered agg diverged (seed=$seed n=$n filter=$fc)")
+      }
+      // a literal finer than the column scale cannot claim through
+      // rounding: it must stay residual AND stay correct
+      val fine = col("w") > lit(BigDecimal("1.00005"))
+      assert(cole.filter(fine).count() === df.filter(fine).count(),
+        s"sub-scale wide literal diverged (seed=$seed n=$n)")
+
+      // ordering through the columnar binary lane must match value order
+      val topCole = cole.orderBy(col("w").desc_nulls_last).limit(7).select("id", "w")
+        .collect().map(_.toSeq)
+      val topDf = df.orderBy(col("w").desc_nulls_last).limit(7).select("id", "w")
+        .collect().map(_.toSeq)
+      assert(topCole.toSeq === topDf.toSeq,
+        s"wide decimal ordering diverged (seed=$seed n=$n)")
+    }
+  }
+
+  test("wide decimal claimed filters actually push (PushedFilters shows the claim)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val df = (0 until 1000).map(i => (i.toLong, BigDecimal(i.toLong * 1000003L, 4)))
+      .toDF("id", "w")
+      .select(col("id"), col("w").cast(DecimalType(25, 4)).as("w"))
+    val dir = Files.createTempDirectory("cole_widepush").toString
+    df.coalesce(1).write.format("cole").mode("overwrite").save(dir)
+    val cole = s.read.format("cole").load(dir)
+    val q = cole.filter(col("w") < lit(BigDecimal("50.0000")))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("pushed=[LessThan(w"),
+      s"wide decimal comparison was not claimed:\n$plan")
+    // claimed completely: no Spark-side Filter node remains above the scan
+    assert(!plan.contains("+- Filter "),
+      s"expected no residual filter above the scan:\n$plan")
+    assert(q.count() === df.filter(col("w") < lit(BigDecimal("50.0000"))).count())
+  }
+
   test("same-column OR is claimed; cross-column OR stays residual") {
     val s = spark
     import s.implicits._
