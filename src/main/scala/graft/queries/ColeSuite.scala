@@ -791,6 +791,69 @@ object ColeSuite {
               FROM orders JOIN lineitem ON o_orderkey = l_orderkey
               GROUP BY 1 ORDER BY 1""")),
 
+    // #138 composite-key SPJ through a synthetic combined-key column:
+    // Spark resolves only single-reference bucket transforms, so
+    // `bucketKey` tells the writer to STORE the combined avalanche hash
+    // of the key tuple as a real LONG column and bucket on it — both
+    // scans report bucket(8, _ck), the catalog resolves it, and the
+    // equi-join on _ck (natural keys as range-pair residuals via
+    // ColeBucket.synthKeyJoinCond — exact against hash collisions, never
+    // extracted as equi-keys) runs with ZERO Exchange on either side
+    // (pinned in ColeSpjBucketedSpec). The composite fact-fact join at
+    // 100 TB — (orderkey, linenumber)-grade keys — drops both shuffles.
+    Q("cole_spj_composite", (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val wh = "/tmp/graft_cole/warehouse"
+      s.conf.set("spark.sql.catalog.cole", "graft.sources.cole.ColeCatalog")
+      s.conf.set("spark.sql.catalog.cole.warehouse", wh)
+      val ns = s"v${writerFingerprint}_spjc_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val qtyDir = s"$wh/$ns/liqty"
+      val priceDir = s"$wh/$ns/liprice"
+      // the synthetic data's (orderkey, linenumber) is NOT unique — make
+      // each side one row per key pair so the join is genuinely 1:1
+      writeOnce(qtyDir) {
+        Tables.lineitem(s, d)
+          .groupBy("l_orderkey", "l_linenumber")
+          .agg(sum(round(col("l_quantity") * 100).cast(LongType)).as("qty_c"))
+          .write.format("cole").mode("overwrite")
+          .option("bucketBy", "8:l_orderkey,l_linenumber")
+          .option("bucketKey", "_ck").save(qtyDir)
+      }
+      writeOnce(priceDir) {
+        Tables.lineitem(s, d)
+          .groupBy("l_orderkey", "l_linenumber")
+          .agg(min(col("l_returnflag")).as("l_returnflag"),
+            sum(round(col("l_extendedprice") * 100).cast(LongType)).as("price_c"))
+          .write.format("cole").mode("overwrite")
+          .option("bucketBy", "8:l_orderkey,l_linenumber")
+          .option("bucketKey", "_ck").save(priceDir)
+      }
+      val a = s.table(s"cole.$ns.liqty")
+      val b = s.table(s"cole.$ns.liprice")
+      a.join(b, graft.sources.cole.ColeBucket.synthKeyJoinCond(
+          a, b, "_ck", Seq("l_orderkey", "l_linenumber")))
+        .groupBy(b("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("qty_c")).as("sum_qty_c"),
+          sum(col("price_c")).as("sum_price_c"),
+          min(a("l_orderkey")).as("mn_key"))
+        .orderBy("l_returnflag")
+    },
+      Some("""WITH t1 AS (
+                SELECT l_orderkey, l_linenumber,
+                  CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c
+                FROM lineitem GROUP BY 1, 2),
+              t2 AS (
+                SELECT l_orderkey, l_linenumber, MIN(l_returnflag) AS l_returnflag,
+                  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_c
+                FROM lineitem GROUP BY 1, 2)
+              SELECT l_returnflag, COUNT(*) AS n,
+                CAST(SUM(qty_c) AS BIGINT) AS sum_qty_c,
+                CAST(SUM(price_c) AS BIGINT) AS sum_price_c,
+                MIN(t1.l_orderkey) AS mn_key
+              FROM t1 JOIN t2 USING (l_orderkey, l_linenumber)
+              GROUP BY 1 ORDER BY 1""")),
+
     // copy-on-write row-level DELETE (graft.sources.cole.ColeDelete): the
     // GDPR-delete shape — SQL `DELETE FROM ... WHERE` through the `cole`
     // catalog removes a targeted slice, rewriting ONLY files whose stats

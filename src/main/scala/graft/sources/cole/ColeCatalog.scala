@@ -92,6 +92,28 @@ object ColeBucket {
 
   def specPath(table: String): String = s"$table/$SpecFile"
 
+  /** Exact composite-key join condition over two synthetic-key bucketed
+    * tables (`bucketKey` layouts) that storage-partition-joins with ZERO
+    * Exchange.
+    *
+    * Spark's SPJ machinery requires the equi-join keys to be EXACTLY the
+    * partition keys — extra equi-keys defeat the co-partition proof (and
+    * multi-reference bucket transforms never resolve). So the pattern is:
+    * equi-join on the synthetic column alone (that's the partition key,
+    * proof succeeds), and verify the natural key tuple through RANGE-PAIR
+    * residuals (`l <= r && l >= r`), which Catalyst does NOT extract as
+    * equi-join keys but which are exactly equality row-wise — the one-in-
+    * 2^64 combined-hash collision can never produce a false match. The
+    * residual evaluates only on rows whose synth values already collide,
+    * i.e. essentially only on true matches: its cost is immeasurable.
+    */
+  def synthKeyJoinCond(left: org.apache.spark.sql.DataFrame,
+      right: org.apache.spark.sql.DataFrame, synth: String,
+      keys: Seq[String]): org.apache.spark.sql.Column =
+    keys.foldLeft(left(synth) === right(synth)) { (c, k) =>
+      c && left(k) <= right(k) && left(k) >= right(k)
+    }
+
   /** Bucket ids that claimed predicates on the bucket column(s) can
     * possibly match: Some(ids) when equality/IN pins EVERY bucket column
     * (a point lookup on a 100 TB bucketed table then scans 1/n of the
@@ -101,7 +123,17 @@ object ColeBucket {
     * intersect; across columns the candidate key hashes combine (bounded
     * cartesian — a blown-up IN×IN product just declines to prune).
     */
-  def prunedBuckets(predsPerCol: Seq[Seq[ColePredicate]], n: Int): Option[Set[Int]] = {
+  def prunedBuckets(predsPerCol: Seq[Seq[ColePredicate]], n: Int): Option[Set[Int]] =
+    candidateKeyHashes(predsPerCol).map(_.map(bucketOfHash(_, n)))
+
+  /** Candidate COMBINED key hashes when equality/IN pins every bucket
+    * column; None when any column is unconstrained (or the candidate
+    * product blows up). For a derived (synthetic combined-key) layout
+    * this is exactly the set of possible synthetic-column VALUES, so the
+    * caller buckets them with one more [[keyHashLong]] avalanche — the
+    * same route a stored synthetic key takes through [[bucketOf]].
+    */
+  def candidateKeyHashes(predsPerCol: Seq[Seq[ColePredicate]]): Option[Set[Long]] = {
     val perCol: Seq[Set[Long]] = predsPerCol.map { preds =>
       val sets = preds.flatMap { p =>
         p.op match {
@@ -116,10 +148,9 @@ object ColeBucket {
       sets.reduce(_ intersect _)
     }
     if (perCol.map(_.size.toLong).product > 1024L) return None
-    val combined = perCol.tail.foldLeft(perCol.head) { (acc, ks) =>
+    Some(perCol.tail.foldLeft(perCol.head) { (acc, ks) =>
       for (a <- acc; k <- ks) yield combine(a, k)
-    }
-    Some(combined.map(bucketOfHash(_, n)))
+    })
   }
 
   /** Decode a V2 partition transform: identity(c) ↦ Left(c) (hive
@@ -147,10 +178,13 @@ object ColeBucket {
     * unchanged.
     */
   def writeSpec(table: String, conf: Configuration, n: Int,
-      columns: Seq[String]): Unit = {
+      columns: Seq[String],
+      derive: Option[(String, Seq[String])] = None): Unit = {
     val (fs, p) = ColeIO.resolve(specPath(table), conf)
     val out = fs.create(p, true)
-    try out.write(s"1\n$n\n${columns.mkString(",")}\n"
+    val deriveLine = derive.fold("") { case (synth, srcs) =>
+      s"derive:$synth=${srcs.mkString(",")}\n" }
+    try out.write(s"1\n$n\n${columns.mkString(",")}\n$deriveLine"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
@@ -167,6 +201,30 @@ object ColeBucket {
         s"unreadable $SpecFile at $table")
       Some((lines(1).toInt,
         lines(2).split(',').map(_.trim).filter(_.nonEmpty).toSeq))
+    }
+  }
+
+  /** Synthetic-combined-key derivation recorded in the sidecar:
+    * Some((synthCol, sourceCols)) when the table's single bucket column
+    * is writer-derived as the combined avalanche hash of a composite key
+    * tuple (the `bucketKey` write option). Appends re-derive from the
+    * source columns; composite point lookups prune through it.
+    */
+  def readDerivation(table: String, conf: Configuration)
+      : Option[(String, Seq[String])] = {
+    val (fs, p) = ColeIO.resolve(specPath(table), conf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      txt.split('\n').find(_.startsWith("derive:")).map { line =>
+        val body = line.stripPrefix("derive:")
+        val i = body.indexOf('=')
+        require(i > 0, s"unreadable derive line in $SpecFile at $table")
+        (body.substring(0, i),
+          body.substring(i + 1).split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      }
     }
   }
 }

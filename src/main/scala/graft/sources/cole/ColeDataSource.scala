@@ -278,15 +278,34 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
     // catalog-declared spec, or (append into an existing bucketed table)
     // the _bucketspec sidecar already on disk — later writers MUST route
     // with the layout the table was created with
-    val buckets = Option(info.options().get("bucketBy"))
-      .map(ColeBucket.parseOption)
-      .orElse(bucketSpec)
-      .orElse(ColeBucket.readSpec(path, conf))
+    val declared = Option(info.options().get("bucketBy")).map(ColeBucket.parseOption)
+    // bucketKey=<synthCol>: composite-key SPJ workaround made first-class.
+    // Spark resolves only SINGLE-reference bucket transforms for
+    // storage-partitioned joins, so a (k1,k2)-bucketed layout routes and
+    // prunes but can't prove co-partitioning. With bucketKey the writer
+    // STORES the combined avalanche hash as a real LONG column and the
+    // layout becomes single-column bucketing on it — both scans then
+    // report bucket(n, synthCol), the catalog's bucket function resolves
+    // it, and a join on (k1, k2, synthCol) runs with zero Exchange.
+    val (buckets, derive) = Option(info.options().get("bucketKey")) match {
+      case Some(synth) =>
+        val (n, srcs) = declared.getOrElse(throw new IllegalArgumentException(
+          "bucketKey requires bucketBy=<n>:<col1>,<col2>,... naming the key tuple"))
+        require(srcs.length >= 2,
+          "bucketKey is for COMPOSITE keys; a single-column bucket layout " +
+            "already storage-partition-joins without a synthetic column")
+        require(!srcs.contains(synth),
+          s"bucketKey column '$synth' cannot be one of the key columns")
+        (Some((n, Seq(synth))), Some((synth, srcs)))
+      case None =>
+        val b = declared.orElse(bucketSpec).orElse(ColeBucket.readSpec(path, conf))
+        (b, if (b.isEmpty) None else ColeBucket.readDerivation(path, conf))
+    }
     require(buckets.isEmpty || writePartCols.isEmpty,
       "COLE tables are either hive-partitioned or hash-bucketed, not both")
     new ColeWriteBuilder(info.schema(), path,
       info.options().getInt("rowGroupSize", 65536),
-      conf, writePartCols, buckets)
+      conf, writePartCols, buckets, derive)
   }
 }
 
@@ -2112,6 +2131,13 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
   private lazy val bucketSpec: Option[(Int, Seq[String])] =
     ColeBucket.readSpec(path, conf)
 
+  /** Synthetic-key derivation (bucketKey layouts): lets composite point
+    * lookups prune buckets from equality on the SOURCE key tuple, with
+    * no reference to the stored synth column.
+    */
+  private lazy val bucketDerive: Option[(String, Seq[String])] =
+    ColeBucket.readDerivation(path, conf)
+
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
     bucketSpec match {
       case Some((n, cs)) if partKeySchema.map(_._1) == Seq(ColeBucket.DirKey) =>
@@ -2230,9 +2256,21 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
     // bucket(s) — only those _bucket=N directories' files plan at all
     // (runtime IN-filters from joins prune the same way on the re-plan)
     val bucketKeep: Option[Set[String]] = bucketSpec.flatMap { case (n, cs) =>
-      ColeBucket.prunedBuckets(
-        cs.map(c => (preds ++ dataRuntime).filter(_.column == c).toSeq), n)
-        .map(_.map(_.toString))
+      val all = preds ++ dataRuntime
+      val direct = ColeBucket.prunedBuckets(
+        cs.map(c => all.filter(_.column == c).toSeq), n)
+      // derived layout: equality/IN pinning every SOURCE key column pins
+      // the synthetic value, hence the bucket — one more avalanche, the
+      // same route the stored synth column takes through bucketOf
+      val derived = bucketDerive.flatMap { case (_, srcs) =>
+        ColeBucket.candidateKeyHashes(
+          srcs.map(c => all.filter(_.column == c).toSeq))
+          .map(_.map(ColeBucket.bucketOf(_, n)))
+      }
+      ((direct, derived) match {
+        case (Some(a), Some(b)) => Some(a intersect b)
+        case (a, b) => a.orElse(b)
+      }).map(_.map(_.toString))
     }
     val survivors = ColeMetaCache.infos(path, conf).filter(i => fileKeep(i.path)).flatMap { info =>
       val pv = info.partValues.toMap
@@ -2731,7 +2769,8 @@ class ColeRowReader(part: ColeInputPartition, required: StructType,
 
 class ColeWriteBuilder(schema: StructType, path: String, rowGroupSize: Int,
     conf: Configuration, partCols: Seq[String] = Seq.empty,
-    bucketSpec: Option[(Int, Seq[String])] = None)
+    bucketSpec: Option[(Int, Seq[String])] = None,
+    bucketDerive: Option[(String, Seq[String])] = None)
     extends WriteBuilder with SupportsTruncate with SupportsOverwrite
     with SupportsDynamicOverwrite {
 
@@ -2793,10 +2832,27 @@ class ColeWriteBuilder(schema: StructType, path: String, rowGroupSize: Int,
             bucketSpec.map { case (n, cs) => s"$n:${cs.mkString(",")}" }
               .getOrElse("no bucketing") +
             "; drop the bucketBy option or truncate/overwrite to re-layout")
+        // a synthetic-key table must keep its derivation too: re-deriving
+        // from different source columns would route new rows inconsistently
+        // with every row already on disk
+        val existingDerive = ColeBucket.readDerivation(path, conf)
+        require(existingDerive == bucketDerive,
+          s"append into a synthetic-key bucketed COLE table must keep its " +
+            s"derivation: table at $path derives " +
+            existingDerive.map { case (s, cs) => s"$s=${cs.mkString(",")}" }
+              .getOrElse("nothing") +
+            " but this write declares " +
+            bucketDerive.map { case (s, cs) => s"$s=${cs.mkString(",")}" }
+              .getOrElse("none"))
       }
     }
     bucketSpec match {
-      case Some((_, bucketCols)) =>
+      case Some((_, bucketCols0)) =>
+        // synthetic-key layout: the synth column doesn't exist in the
+        // incoming data — cluster and sort by the SOURCE key tuple (equal
+        // tuples share a synth value, so buckets still arrive contiguous
+        // and each bucket file sorts on the natural key)
+        val bucketCols = bucketDerive.map(_._2).getOrElse(bucketCols0)
         // bucketed writes request clustering + in-partition ordering by
         // the bucket keys: equal keys land contiguously and each bucket
         // file arrives SORTED — the writer then picks DELTA encodings
@@ -2818,13 +2874,13 @@ class ColeWriteBuilder(schema: StructType, path: String, rowGroupSize: Int,
               org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
           override def toBatch: BatchWrite =
             new ColeBatchWrite(schema, path, rowGroupSize, doTruncate, conf,
-              partCols, bucketSpec, dynamicOverwrite, overwriteFilters)
+              partCols, bucketSpec, dynamicOverwrite, overwriteFilters, bucketDerive)
           override def toStreaming: StreamingWrite = {
             if (doTruncate || dynamicOverwrite || overwriteFilters.nonEmpty)
               throw new UnsupportedOperationException(
                 "the cole streaming sink supports Append output mode only")
             new ColeStreamingWrite(schema, path, rowGroupSize, conf, partCols,
-              bucketSpec)
+              bucketSpec, bucketDerive)
           }
         }
       case None => new Write {
@@ -2848,7 +2904,8 @@ class ColeBatchWrite(schema: StructType, path: String, rowGroupSize: Int,
     truncate: Boolean, conf: Configuration, partCols: Seq[String],
     bucketSpec: Option[(Int, Seq[String])] = None,
     dynamicOverwrite: Boolean = false,
-    overwriteFilters: Array[Filter] = Array.empty)
+    overwriteFilters: Array[Filter] = Array.empty,
+    bucketDerive: Option[(String, Seq[String])] = None)
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -2859,7 +2916,16 @@ class ColeBatchWrite(schema: StructType, path: String, rowGroupSize: Int,
     require(partCols.size < schema.size,
       "cannot partition by every column: no data columns remain")
     bucketSpec.foreach { case (n, cs) =>
-      cs.foreach { c =>
+      // synthetic-key layout: the writer OWNS the synth column (it derives
+      // and stores it); the incoming data must carry the source key tuple
+      // and must not collide with the synth name
+      val hashCols = bucketDerive.map(_._2).getOrElse(cs)
+      bucketDerive.foreach { case (synth, _) =>
+        require(!schema.fieldNames.contains(synth),
+          s"bucketKey column '$synth' already exists in the write schema; " +
+            "the writer derives and stores it — pick an unused name")
+      }
+      hashCols.foreach { c =>
         require(schema.fieldNames.contains(c), s"bucket column '$c' not in write schema")
         schema.fields(schema.fieldIndex(c)).dataType match {
           case IntegerType | LongType | StringType => ()
@@ -2894,9 +2960,10 @@ class ColeBatchWrite(schema: StructType, path: String, rowGroupSize: Int,
     // the layout self-describes: persist the bucket spec BEFORE any data
     // lands, so a concurrent reader never sees bucketed files without the
     // sidecar that explains them
-    bucketSpec.foreach { case (n, cs) => ColeBucket.writeSpec(path, conf, n, cs) }
+    bucketSpec.foreach { case (n, cs) =>
+      ColeBucket.writeSpec(path, conf, n, cs, bucketDerive) }
     new ColeWriterFactory(schema, path, rowGroupSize, new ColeHadoopConf(conf),
-      partCols, bucketSpec)
+      partCols, bucketSpec, bucketDerive)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
@@ -2941,13 +3008,15 @@ class ColeBatchWrite(schema: StructType, path: String, rowGroupSize: Int,
 
 class ColeWriterFactory(schema: StructType, path: String, rowGroupSize: Int,
     hconf: ColeHadoopConf, partCols: Seq[String] = Seq.empty,
-    bucketSpec: Option[(Int, Seq[String])] = None)
+    bucketSpec: Option[(Int, Seq[String])] = None,
+    bucketDerive: Option[(String, Seq[String])] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     bucketSpec match {
       case Some((n, c)) =>
         new ColeBucketedDataWriter(schema, path, partitionId, taskId,
-          rowGroupSize, hconf.value, n, c)
+          rowGroupSize, hconf.value, n,
+          bucketDerive.map(_._2).getOrElse(c), bucketDerive.map(_._1))
       case None if partCols.isEmpty =>
         new ColeDataWriter(schema, f"$path/part-$partitionId%05d-$taskId.col",
           rowGroupSize, hconf.value)
@@ -2969,12 +3038,25 @@ class ColeWriterFactory(schema: StructType, path: String, rowGroupSize: Int,
 class ColeBucketedDataWriter(schema: StructType, protected val baseDir: String,
     protected val partitionId: Int, protected val taskId: Long,
     rowGroupSize: Int, conf: Configuration,
-    numBuckets: Int, bucketCols: Seq[String]) extends DataWriter[InternalRow] {
+    numBuckets: Int, bucketCols: Seq[String],
+    /** Synthetic combined-key mode: the name of the LONG column this
+      * writer derives (the combined avalanche hash of `bucketCols`) and
+      * STORES alongside the data — the layout then buckets on the synth
+      * column alone, which is what Spark's single-reference SPJ
+      * resolution needs for composite-key zero-Exchange joins.
+      */
+    deriveKey: Option[String] = None) extends DataWriter[InternalRow] {
 
   private val kis: Array[Int] = bucketCols.map(schema.fieldIndex).toArray
   private val keyTypes: Array[DataType] = kis.map(schema.fields(_).dataType)
   private val writers = new Array[ColeDataWriter](numBuckets)
   private val closedFiles = scala.collection.mutable.ArrayBuffer.empty[String]
+  // files of a derived layout carry the synth column last
+  private val fileSchema: StructType = deriveKey.fold(schema)(synth =>
+    StructType(schema.fields :+ StructField(synth, LongType, nullable = false)))
+  private val synthRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+  private val joinedRow = new org.apache.spark.sql.catalyst.expressions.JoinedRow
 
   /** File this task writes in bucket `b` — the streaming writer overrides
     * with epoch-deterministic dotted in-progress names.
@@ -2998,13 +3080,21 @@ class ColeBucketedDataWriter(schema: StructType, protected val baseDir: String,
       h = if (i == 0) kh else ColeBucket.combine(h, kh)
       i += 1
     }
-    val b = ColeBucket.bucketOfHash(h, numBuckets)
+    // derived mode: h IS the stored synth value, and the bucket is what
+    // the catalog's bucket function computes OVER that value (one more
+    // avalanche) — byte-for-byte the single-column layout on synth
+    val b = if (deriveKey.isEmpty) ColeBucket.bucketOfHash(h, numBuckets)
+      else ColeBucket.bucketOf(h, numBuckets)
     var w = writers(b)
     if (w == null) {
-      w = new ColeDataWriter(schema, fileName(b), rowGroupSize, conf)
+      w = new ColeDataWriter(fileSchema, fileName(b), rowGroupSize, conf)
       writers(b) = w
     }
-    w.write(record)
+    if (deriveKey.isEmpty) w.write(record)
+    else {
+      synthRow.update(0, h)
+      w.write(joinedRow(record, synthRow))
+    }
   }
 
   override def commit(): WriterCommitMessage = {
@@ -3584,7 +3674,8 @@ object ColeStreamingWrite {
 
 class ColeStreamingWrite(schema: StructType, path: String, rowGroupSize: Int,
     conf: Configuration, partCols: Seq[String],
-    bucketSpec: Option[(Int, Seq[String])] = None) extends StreamingWrite {
+    bucketSpec: Option[(Int, Seq[String])] = None,
+    bucketDerive: Option[(String, Seq[String])] = None) extends StreamingWrite {
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
@@ -3596,7 +3687,13 @@ class ColeStreamingWrite(schema: StructType, path: String, rowGroupSize: Int,
     require(bucketSpec.isEmpty || partCols.isEmpty,
       "COLE tables are either hive-partitioned or hash-bucketed, not both")
     bucketSpec.foreach { case (n, cs) =>
-      cs.foreach { c =>
+      val hashCols = bucketDerive.map(_._2).getOrElse(cs)
+      bucketDerive.foreach { case (synth, _) =>
+        require(!schema.fieldNames.contains(synth),
+          s"bucketKey column '$synth' already exists in the write schema; " +
+            "the writer derives and stores it — pick an unused name")
+      }
+      hashCols.foreach { c =>
         require(schema.fieldNames.contains(c), s"bucket column '$c' not in write schema")
         schema.fields(schema.fieldIndex(c)).dataType match {
           case IntegerType | LongType | StringType => ()
@@ -3610,9 +3707,10 @@ class ColeStreamingWrite(schema: StructType, path: String, rowGroupSize: Int,
     if (!fs.exists(dir)) fs.mkdirs(dir)
     // sidecar BEFORE any epoch lands (idempotent overwrite), so a reader
     // tailing the growing table can prove co-partitioning from epoch one
-    bucketSpec.foreach { case (n, cs) => ColeBucket.writeSpec(path, conf, n, cs) }
+    bucketSpec.foreach { case (n, cs) =>
+      ColeBucket.writeSpec(path, conf, n, cs, bucketDerive) }
     new ColeStreamingWriterFactory(schema, path, rowGroupSize,
-      new ColeHadoopConf(conf), partCols, bucketSpec)
+      new ColeHadoopConf(conf), partCols, bucketSpec, bucketDerive)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -3673,7 +3771,8 @@ object ColeStreaming {
 
 class ColeStreamingWriterFactory(schema: StructType, path: String,
     rowGroupSize: Int, hconf: ColeHadoopConf, partCols: Seq[String],
-    bucketSpec: Option[(Int, Seq[String])] = None)
+    bucketSpec: Option[(Int, Seq[String])] = None,
+    bucketDerive: Option[(String, Seq[String])] = None)
     extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
@@ -3681,7 +3780,8 @@ class ColeStreamingWriterFactory(schema: StructType, path: String,
     bucketSpec match {
       case Some((n, c)) =>
         new ColeStreamingBucketedDataWriter(schema, path, partitionId, taskId,
-          rowGroupSize, hconf.value, n, c, epochId)
+          rowGroupSize, hconf.value, n,
+          bucketDerive.map(_._2).getOrElse(c), epochId, bucketDerive.map(_._1))
       case None if partCols.isEmpty =>
         val tmp =
           f"$path/.part-e$epochId%d-p$partitionId%05d-0.col.inprogress-$taskId"
@@ -3715,9 +3815,10 @@ class ColeStreamingDataWriter(schema: StructType, tmp: String, taskId: Long,
   */
 class ColeStreamingBucketedDataWriter(schema: StructType, baseDir0: String,
     partitionId0: Int, taskId0: Long, rowGroupSize: Int, conf: Configuration,
-    numBuckets: Int, bucketCols: Seq[String], epochId: Long)
+    numBuckets: Int, bucketCols: Seq[String], epochId: Long,
+    deriveKey0: Option[String] = None)
     extends ColeBucketedDataWriter(schema, baseDir0, partitionId0, taskId0,
-      rowGroupSize, conf, numBuckets, bucketCols) {
+      rowGroupSize, conf, numBuckets, bucketCols, deriveKey0) {
 
   override protected def fileName(b: Int): String =
     f"$baseDir/${ColeBucket.DirKey}=$b/" +

@@ -73,9 +73,20 @@ object ColeDelete {
     // buckets cannot contain a matching row regardless of stats
     val bucketKeep: Option[Set[String]] =
       ColeBucket.readSpec(table, conf).flatMap { case (n, cs) =>
-        ColeBucket.prunedBuckets(
+        val direct = ColeBucket.prunedBuckets(
           cs.map(c => dataPreds.filter(_.column == c).toSeq), n)
-          .map(_.map(_.toString))
+        // synthetic-key layouts: equality on the source key tuple pins
+        // the bucket the same way the scan's planner prunes
+        val derived = ColeBucket.readDerivation(table, conf)
+          .flatMap { case (_, srcs) =>
+            ColeBucket.candidateKeyHashes(
+              srcs.map(c => dataPreds.filter(_.column == c).toSeq))
+              .map(_.map(ColeBucket.bucketOf(_, n)))
+          }
+        ((direct, derived) match {
+          case (Some(a), Some(b)) => Some(a intersect b)
+          case (a, b) => a.orElse(b)
+        }).map(_.map(_.toString))
       }
     val Untouched = 0; val Drop = 1; val Rewrite = 2
     val classified = infos.map { info =>

@@ -189,9 +189,9 @@ class ColeSpjBucketedSpec extends AnyFunSuite {
     // machinery resolves only SINGLE-reference bucket transforms today —
     // V2ExpressionUtils routes multi-ref buckets through the generic
     // named-transform path whose literal child defeats the co-partition
-    // check — so the composite layout buys routing + pruning, and the
-    // zero-Exchange proof remains single-column. If a later Spark lifts
-    // the restriction, the scan's report already carries both refs.)
+    // check — so the PLAIN composite layout buys routing + pruning only.
+    // The zero-Exchange composite join is the `bucketKey` synthetic-
+    // column layout, proven in the "synthetic combined key" test below.)
     withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       val a = spark.table("bwh.m1")
       val b = spark.table("bwh.m2")
@@ -211,6 +211,118 @@ class ColeSpjBucketedSpec extends AnyFunSuite {
     // pinning only ONE column must NOT prune incorrectly (and stays exact)
     assert(spark.read.format("cole").load(s"$warehouse/m1")
       .filter(col("ok") === pk).count() === 4)
+  }
+
+  test("synthetic combined key: composite-key join runs with ZERO Exchange") {
+    val s = spark
+    import s.implicits._
+    // THE PATTERN for composite-key SPJ: Spark resolves only
+    // single-reference bucket transforms, so bucketKey tells the writer
+    // to STORE the combined avalanche hash as a real LONG column and
+    // bucket on it. Both scans then report bucket(n, ck) — resolvable —
+    // and Spark's SPJ proof needs the equi-join keys to be EXACTLY
+    // {ck}; the natural keys ride as range-pair residuals
+    // (ColeBucket.synthKeyJoinCond), keeping the join row-exact against
+    // the 2^-64 hash collision without defeating the co-partition check.
+    (0 until 6000).map(i => (i.toLong / 4, i % 4, s"d$i"))
+      .toDF("ok", "ln", "dtag")
+      .write.format("cole").mode("overwrite")
+      .option("bucketBy", "4:ok,ln").option("bucketKey", "ck")
+      .save(s"$warehouse/sk1")
+    (0 until 6000 by 2).map(i => (i.toLong / 4, i % 4, (i % 9).toDouble))
+      .toDF("ok", "ln", "w")
+      .write.format("cole").mode("overwrite")
+      .option("bucketBy", "4:ok,ln").option("bucketKey", "ck")
+      .save(s"$warehouse/sk2")
+    // layout self-describes: single-column spec on ck + the derivation
+    assert(ColeBucket.readSpec(s"$warehouse/sk1", ColeIO.driverConf())
+      === Some((4, Seq("ck"))))
+    assert(ColeBucket.readDerivation(s"$warehouse/sk1", ColeIO.driverConf())
+      === Some(("ck", Seq("ok", "ln"))))
+    // the stored synth value IS the combined hash; routing applies one
+    // more avalanche (byte-for-byte a single-column layout on ck)
+    for (b <- 0 until 4) {
+      val rows = spark.read.format("cole").load(s"$warehouse/sk1/_bucket=$b")
+        .select("ok", "ln", "ck").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      assert(rows.nonEmpty)
+      rows.foreach { case (ok, ln, ck) =>
+        assert(ck === ColeBucket.combine(
+          ColeBucket.keyHashLong(ok), ColeBucket.keyHashLong(ln.toLong)))
+        assert(ColeBucket.bucketOf(ck, 4) === b)
+      }
+    }
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val a = spark.table("bwh.sk1")
+      val b = spark.table("bwh.sk2")
+      def spj = a.join(b, ColeBucket.synthKeyJoinCond(a, b, "ck", Seq("ok", "ln")))
+      assert(countShuffles(spj) === 0,
+        "composite-key SPJ through the synthetic column must leave no " +
+          s"exchange:\n${spj.queryExecution.executedPlan}")
+      // result identical to the natural (ok, ln) join
+      val viaSynth = spj
+        .select(a("ok"), a("ln"), col("dtag"), col("w"))
+        .collect().map(_.toSeq).toSet
+      val natural = a.join(b, Seq("ok", "ln"))
+        .select(a("ok"), a("ln"), col("dtag"), col("w"))
+        .collect().map(_.toSeq).toSet
+      assert(viaSynth === natural)
+      assert(viaSynth.size === 3000)
+    }
+    // composite point lookup prunes through the DERIVATION (no synth
+    // column referenced in the filter)
+    val (pk, pl) = (250L, 2)
+    val ckOf = ColeBucket.combine(
+      ColeBucket.keyHashLong(pk), ColeBucket.keyHashLong(pl.toLong))
+    val bOf = ColeBucket.bucketOf(ckOf, 4)
+    ColeIO.opens.set(0)
+    val got = spark.read.format("cole").load(s"$warehouse/sk1")
+      .filter(col("ok") === pk && col("ln") === pl).select("dtag").collect()
+    assert(got.length === 1)
+    val fsFiles = ColeIO.listPartitioned(s"$warehouse/sk1", ColeIO.driverConf())
+    val inBucket = fsFiles.count(_._2.head._2 == bOf.toString)
+    assert(ColeIO.opens.get() <= inBucket,
+      s"derived point lookup opened ${ColeIO.opens.get()} files, bucket holds $inBucket")
+  }
+
+  test("synthetic combined key: appends re-derive; layout drift rejected loudly") {
+    val s = spark
+    import s.implicits._
+    val t = s"$warehouse/ska"
+    (0 until 400).map(i => (i.toLong, i % 3, "a")).toDF("k1", "k2", "src")
+      .write.format("cole").mode("overwrite")
+      .option("bucketBy", "4:k1,k2").option("bucketKey", "ck").save(t)
+    // plain append (no options): sidecar derivation governs routing
+    (400 until 800).map(i => (i.toLong, i % 3, "b")).toDF("k1", "k2", "src")
+      .write.format("cole").mode("append").save(t)
+    for (b <- 0 until 4) {
+      val rows = spark.read.format("cole").load(s"$t/_bucket=$b")
+        .select("k1", "k2", "ck").collect()
+      rows.foreach { r =>
+        val ck = ColeBucket.combine(ColeBucket.keyHashLong(r.getLong(0)),
+          ColeBucket.keyHashLong(r.getInt(1).toLong))
+        assert(r.getLong(2) === ck && ColeBucket.bucketOf(ck, 4) === b,
+          s"appended row routed inconsistently in bucket $b")
+      }
+    }
+    assert(spark.read.format("cole").load(t).count() === 800)
+    // re-declaring a DIFFERENT derivation on append fails loudly
+    val e = intercept[Exception] {
+      (0 until 10).map(i => (i.toLong, i % 3, "c")).toDF("k1", "k2", "src")
+        .write.format("cole").mode("append")
+        .option("bucketBy", "4:k2,k1").option("bucketKey", "ck").save(t)
+    }
+    assert(e.getMessage.contains("derivation") || e.getMessage.contains("layout"),
+      s"expected loud derivation-drift rejection, got: ${e.getMessage}")
+    // a colliding synth name fails loudly
+    val e2 = intercept[Exception] {
+      (0 until 10).map(i => (i.toLong, i % 3, "c")).toDF("k1", "k2", "src")
+        .write.format("cole").mode("overwrite")
+        .option("bucketBy", "4:k1,k2").option("bucketKey", "src")
+        .save(s"$warehouse/skbad")
+    }
+    assert(e2.getMessage.contains("bucketKey"),
+      s"expected loud synth-name rejection, got: ${e2.getMessage}")
   }
 
   test("string bucket keys route consistently") {
