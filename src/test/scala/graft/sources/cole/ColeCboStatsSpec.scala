@@ -1,0 +1,118 @@
+package graft.sources.cole
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Column-level statistics for Spark's cost-based optimizer, computed
+  * from COLE footers alone: exact nullCount, min/max folded over page
+  * stats, range-based NDV estimates, and value widths. With
+  * `spark.sql.cbo.enabled` these surface as catalyst `ColumnStat`s, so
+  * join ESTIMATION and cost-based join REORDERING work on `.col` tables
+  * the way they do on ANALYZE'd tables — previously the CBO saw only
+  * rowCount/sizeInBytes and kept the declared join order.
+  */
+class ColeCboStatsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def withConf[T](pairs: (String, String)*)(body: => T): T = {
+    val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** big (40k rows) joins mid (4k, ~1:10 fanin on a) and small (50,
+    * selective on b). Declared order joins mid FIRST — the cost-based
+    * reorder should pull small forward.
+    */
+  private lazy val dirs: (String, String, String) = {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("cole_cbo").toString
+    (0 until 40000).map(i => (i.toLong % 4000, i.toLong, s"p$i"))
+      .toDF("bk_a", "bk_b", "payload")
+      .coalesce(1).write.format("cole").mode("overwrite").save(s"$base/big")
+    (0 until 4000).map(i => (i.toLong, (i % 7).toDouble))
+      .toDF("mk_a", "mv")
+      .coalesce(1).write.format("cole").mode("overwrite").save(s"$base/mid")
+    (0 until 50).map(i => (i.toLong * 797, s"s$i"))
+      .toDF("sk_b", "sv")
+      .coalesce(1).write.format("cole").mode("overwrite").save(s"$base/small")
+    (s"$base/big", s"$base/mid", s"$base/small")
+  }
+
+  test("footer-derived column stats surface as catalyst ColumnStats under CBO") {
+    val (big, _, _) = dirs
+    withConf("spark.sql.cbo.enabled" -> "true") {
+      val df = spark.read.format("cole").load(big)
+      val stats = df.queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(40000)))
+      val byName = stats.attributeStats.map { case (a, cs) => a.name -> cs }
+      val a = byName("bk_a")
+      assert(a.nullCount.contains(BigInt(0)))
+      assert(a.min.contains(0L) && a.max.contains(3999L),
+        s"bk_a bounds off: ${a.min} .. ${a.max}")
+      // dense key space: range NDV is exact
+      assert(a.distinctCount.contains(BigInt(4000)), s"bk_a ndv: ${a.distinctCount}")
+      val b = byName("bk_b")
+      assert(b.distinctCount.contains(BigInt(40000)))
+      // string column: width-only (no guessed NDV/bounds)
+      val p = byName("payload")
+      assert(p.avgLen.isDefined && p.min.isEmpty && p.distinctCount.isEmpty)
+    }
+  }
+
+  test("CBO join reorder pulls the selective small join forward on .col tables") {
+    val (big, mid, small) = dirs
+    def query = {
+      val b = spark.read.format("cole").load(big)
+      val m = spark.read.format("cole").load(mid)
+      val sm = spark.read.format("cole").load(small)
+      // declared order: (big ⋈ mid) ⋈ small
+      b.join(m, b("bk_a") === m("mk_a"))
+        .join(sm, b("bk_b") === sm("sk_b"))
+        .select(col("payload"), col("mv"), col("sv"))
+    }
+    // innermost join's right-side relation, identified by its output
+    def innermostJoinTables(plan: LogicalPlan): Set[String] = {
+      val joins = plan.collect { case j: Join => j }
+      val innermost = joins.last // bottom-up order: last = deepest
+      innermost.children.flatMap(_.output.map(_.name)).toSet
+    }
+    val reordered = withConf(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true") {
+      innermostJoinTables(query.queryExecution.optimizedPlan)
+    }
+    val declared = withConf("spark.sql.cbo.enabled" -> "false") {
+      innermostJoinTables(query.queryExecution.optimizedPlan)
+    }
+    assert(declared.contains("mk_a") && !declared.contains("sk_b"),
+      s"without CBO the declared (big ⋈ mid) order should stand: $declared")
+    assert(reordered.contains("sk_b") && !reordered.contains("mk_a"),
+      s"CBO should join the 50-row selective side first: $reordered")
+    // reorder must not change results
+    val rows = withConf(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true") {
+      query.collect().map(_.toSeq).toSet
+    }
+    val base = withConf("spark.sql.cbo.enabled" -> "false") {
+      query.collect().map(_.toSeq).toSet
+    }
+    assert(rows === base && rows.nonEmpty)
+  }
+}
