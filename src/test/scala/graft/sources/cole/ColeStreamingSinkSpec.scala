@@ -58,6 +58,73 @@ class ColeStreamingSinkSpec extends AnyFunSuite {
       "claimed numeric filter should leave no residual over streamed files")
   }
 
+  test("writeStream.toTable into a DDL-created bucketed table: SPJ from epoch one") {
+    val s = spark
+    import s.implicits._
+    val wh = Files.createTempDirectory("cole_totable_wh").toString
+    s.conf.set("spark.sql.catalog.twh", "graft.sources.cole.ColeCatalog")
+    s.conf.set("spark.sql.catalog.twh.warehouse", wh)
+    // the warehouse lifecycle: the table exists (bucketed) BEFORE any data
+    spark.sql("CREATE TABLE twh.db.ingest (id BIGINT, grp STRING, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, id))")
+    val cp = Files.createTempDirectory("cole_totable_cp").toString
+    val source = MemoryStream[SinkRow](spark)
+    val q = source.toDF().writeStream
+      .option("checkpointLocation", cp)
+      .outputMode(OutputMode.Append)
+      .toTable("twh.db.ingest")
+    source.addData(rows(0, 300))
+    q.processAllAvailable()
+
+    // batch side, same catalog: bucketed on the same key
+    (0 until 300 by 3).map(i => (i.toLong, s"m$i")).toDF("id2", "mtag")
+      .write.format("cole").mode("overwrite").option("bucketBy", "4:id2")
+      .save(s"$wh/db/dim")
+
+    def assertSpj(expectRows: Long): Unit = {
+      val olds = Seq("spark.sql.autoBroadcastJoinThreshold")
+        .map(k => k -> spark.conf.getOption(k))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val a = spark.table("twh.db.ingest")
+        val b = spark.table("twh.db.dim")
+        val j = a.join(b, a("id") === b("id2"))
+        j.collect()
+        def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int =
+          (if (p.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]) 1 else 0) +
+            p.children.map(shuffles).sum + (p match {
+              case ad: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+                shuffles(ad.executedPlan)
+              case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+                shuffles(qs.plan)
+              case _ => 0
+            })
+        assert(shuffles(j.queryExecution.executedPlan) === 0,
+          s"streamed bucketed table must SPJ-join with zero Exchange:\n" +
+            s"${j.queryExecution.executedPlan}")
+        assert(j.count() === expectRows)
+      } finally olds.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    // epoch one already joins shuffle-free
+    assertSpj(100L)
+    // later epochs keep the layout (and the join stays exchange-free)
+    source.addData(rows(300, 600))
+    q.processAllAvailable()
+    q.stop()
+    assertSpj(100L)
+    // every streamed row landed in its hash bucket
+    for (b <- 0 until 4) {
+      val ks = spark.read.format("cole").load(s"$wh/db/ingest/_bucket=$b")
+        .select("id").collect().map(_.getLong(0))
+      ks.foreach(k => assert(ColeBucket.bucketOf(k, 4) === b,
+        s"streamed row $k in wrong bucket $b"))
+    }
+    assert(spark.table("twh.db.ingest").count() === 600L)
+  }
+
   test("bucketed streaming sink: epochs land in the shuffle-free layout") {
     val s = spark
     import s.implicits._
