@@ -862,6 +862,48 @@ object ColeSuite {
     // The read-back aggregate is oracle-checked against the complement
     // predicate on the source table. Idempotent by construction: re-runs
     // find nothing left to delete.
+    // #139 group-based SQL UPDATE (graft.sources.cole.ColeRowLevelOperation):
+    // copy-on-write through Spark's row-level machinery — stats classify
+    // candidate files on the driver, the runtime group filter restricts to
+    // files with actual matches, only those rewrite (layout preserved,
+    // untouched files byte-identical — ColeRowLevelSpec). MERGE INTO and
+    // expression-DELETEs ride the same operation. Idempotent here: the
+    // re-run's condition matches nothing (flag already rewritten).
+    Q("cole_update_where", (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val wh = "/tmp/graft_cole/warehouse"
+      s.conf.set("spark.sql.catalog.cole", "graft.sources.cole.ColeCatalog")
+      s.conf.set("spark.sql.catalog.cole.warehouse", wh)
+      val ns = s"v${writerFingerprint}_updq_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val dir = s"$wh/$ns/li"
+      writeOnce(dir) {
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            round(col("l_quantity") * 100).cast(LongType).as("qty_c"))
+          .write.format("cole").mode("overwrite").save(dir)
+      }
+      s.sql(s"UPDATE cole.$ns.li SET qty_c = qty_c + 1000, l_returnflag = 'U' " +
+        "WHERE l_returnflag = 'R' AND l_orderkey < 10000")
+      s.table(s"cole.$ns.li")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum("qty_c").as("sum_qty_c"),
+          min("l_orderkey").as("mn_key"), max("l_orderkey").as("mx_key"))
+        .orderBy("l_returnflag")
+    },
+      Some("""WITH t AS (SELECT
+                  CASE WHEN l_returnflag = 'R' AND l_orderkey < 10000
+                       THEN 'U' ELSE l_returnflag END AS l_returnflag,
+                  CAST(ROUND(l_quantity * 100) AS BIGINT) +
+                  CASE WHEN l_returnflag = 'R' AND l_orderkey < 10000
+                       THEN 1000 ELSE 0 END AS qty_c,
+                  l_orderkey
+                FROM lineitem)
+              SELECT l_returnflag, COUNT(*) AS n,
+                CAST(SUM(qty_c) AS BIGINT) AS sum_qty_c,
+                MIN(l_orderkey) AS mn_key, MAX(l_orderkey) AS mx_key
+              FROM t GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     Q("cole_delete_where", (s, d) => {
       val wh = "/tmp/graft_cole/warehouse"
       s.conf.set("spark.sql.catalog.cole", "graft.sources.cole.ColeCatalog")

@@ -86,6 +86,12 @@ class ColeDataSource extends TableProvider with DataSourceRegister {
 }
 
 private[cole] object ColeUtil {
+  /** Metadata column exposing the source file of each row (the GROUP id
+    * of row-level operations; also selectable as `_cole_file` in normal
+    * reads through the catalog).
+    */
+  val FileMetaCol = "_cole_file"
+
   def path(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
     require(p != null, "COLE source requires a path")
@@ -170,10 +176,36 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
     bucketSpec: Option[(Int, Seq[String])] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.TruncatableTable
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   def this(schema: StructType, properties: Map[String, String]) =
     this(schema, Seq.empty, properties)
+
+  /** `_cole_file`: the row's source file — the group id of row-level
+    * UPDATE/MERGE/DELETE, also selectable directly.
+    */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = ColeUtil.FileMetaCol
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "source .col file of the row"
+    })
+
+  /** SQL `UPDATE` / `MERGE INTO` (and `DELETE` whose condition the
+    * metadata fast path can't convert): group-based copy-on-write
+    * through [[ColeRowLevelOperation]] — stats classify candidate files,
+    * the runtime group filter restricts to files with actual matches,
+    * replacement rewrites preserve the partition/bucket/sort layout.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new ColeRowLevelOperationBuilder(info, properties("path"), writePartCols,
+      65536, ColeIO.driverConf())
 
   /** SQL `DELETE FROM t WHERE ...` — copy-on-write row-level delete
     * (ColeDelete): stats-classified per file, file-parallel rewrite of
@@ -2243,7 +2275,11 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
     val (partPreds, preds) =
       filters.flatMap(ColePredicate.fromFilter).partition(p => partCols.contains(p.column))
     val (partRuntime, dataRuntime) = runtimeIn.partition(p => partCols.contains(p.column))
-    val fileRequired = StructType(required.filterNot(f => partCols.contains(f.name)))
+    // `_cole_file` (SupportsMetadataColumns): a per-file constant served
+    // through the partition-value mechanism, never a footer column
+    val wantFileCol = required.fieldNames.contains(ColeUtil.FileMetaCol)
+    val fileRequired = StructType(required.filterNot(f =>
+      partCols.contains(f.name) || f.name == ColeUtil.FileMetaCol))
     val target = ColePack.targetBytes
     // per-file claimed-predicate sets (IsNotNull dropped where vacuous)
     val predsOf = scala.collection.mutable.HashMap.empty[String, Array[ColePredicate]]
@@ -2313,7 +2349,9 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
                 ColePredicate.fullyKeepsRowGroup(rg, nameToIdx, filePreds))
             (info.path, colIndices, rgIdx, rg.numRows,
               colIndices.filter(_ >= 0).map(ci => rg.chunks(ci).totalSize).sum,
-              mm, guaranteed, info.partValues)
+              mm, guaranteed,
+              if (wantFileCol) info.partValues :+ (ColeUtil.FileMetaCol -> info.path)
+              else info.partValues)
         }
         }
       }
@@ -3194,12 +3232,22 @@ class ColeBucketedDataWriter(schema: StructType, protected val baseDir: String,
   private val keyTypes: Array[DataType] = kis.map(schema.fields(_).dataType)
   private val writers = new Array[ColeDataWriter](numBuckets)
   private val closedFiles = scala.collection.mutable.ArrayBuffer.empty[String]
-  // files of a derived layout carry the synth column last
-  private val fileSchema: StructType = deriveKey.fold(schema)(synth =>
-    StructType(schema.fields :+ StructField(synth, LongType, nullable = false)))
+  // appends derive a NEW synth column (appended last); the replace path
+  // reads rows back FROM the table, so the synth column is already in
+  // the schema and is RECOMPUTED in place — an UPDATE that changes a
+  // composite key then re-routes the row to its new bucket instead of
+  // silently keeping a stale hash
+  private val synthInSchema: Int =
+    deriveKey.map(s => schema.fieldNames.indexOf(s)).getOrElse(-1)
+  private val fileSchema: StructType =
+    if (deriveKey.isEmpty || synthInSchema >= 0) schema
+    else StructType(schema.fields :+
+      StructField(deriveKey.get, LongType, nullable = false))
   private val synthRow =
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
   private val joinedRow = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+  private val overrideRow =
+    if (synthInSchema >= 0) new LongOverrideRow(synthInSchema) else null
 
   /** File this task writes in bucket `b` — the streaming writer overrides
     * with epoch-deterministic dotted in-progress names.
@@ -3234,6 +3282,7 @@ class ColeBucketedDataWriter(schema: StructType, protected val baseDir: String,
       writers(b) = w
     }
     if (deriveKey.isEmpty) w.write(record)
+    else if (synthInSchema >= 0) w.write(overrideRow.set(record, h))
     else {
       synthRow.update(0, h)
       w.write(joinedRow(record, synthRow))

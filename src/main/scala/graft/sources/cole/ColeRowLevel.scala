@@ -1,0 +1,376 @@
+package graft.sources.cole
+
+import java.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.cole.ColeFormat._
+
+/** Group-based SQL UPDATE / MERGE INTO / (non-convertible) DELETE on COLE
+  * tables — the full DML rung above `ColeDelete`'s metadata fast path.
+  *
+  * Spark's row-level machinery (`SupportsRowLevelOperations`) rewrites
+  * `UPDATE t SET ... WHERE cond` into ReplaceData: scan the GROUPS that
+  * may contain matching rows, recompute every row of those groups
+  * (CASE WHEN cond THEN updated ELSE original), and have the connector
+  * atomically replace exactly those groups. For COLE a group is a FILE:
+  *
+  *   - the GROUP SCAN ([[ColeGroupScan]]) plans whole candidate files —
+  *     stats classify files on the driver (a file whose every row group
+  *     provably excludes the condition stays untouched, byte-identical),
+  *     and Spark's runtime group filter (`_cole_file IN (SELECT ...)`,
+  *     driven by the [[ColeUtil.FileMetaCol]] metadata column) restricts
+  *     the set to files that actually contain matches. Critically this
+  *     scan NEVER claims row filters: a claimed predicate would drop the
+  *     non-matching rows of a replaced file — data loss, not pushdown.
+  *   - the REPLACE WRITE ([[ColeReplaceWrite]]) routes replacement rows
+  *     through the normal layout-aware writer factory (hive partitions,
+  *     hash buckets, sorted bucket files, synthetic-key derivation — the
+  *     synth column is RECOMPUTED from the source keys, so an UPDATE
+  *     that changes a composite key re-routes the row to its new
+  *     bucket), then at commit verifies no concurrent writer touched the
+  *     replaced files ((len, mtime) snapshot from planning — reject
+  *     loudly, new files rolled back) and swaps: compaction record for
+  *     streaming sources, delete replaced files + bloom sidecars.
+  *
+  * The scan and write coordinate through this operation instance (the
+  * contract of `RowLevelOperationTable`): the scan records the planned
+  * file snapshot, the write replaces exactly that set.
+  */
+class ColeRowLevelOperation(cmd: RowLevelOperation.Command, path: String,
+    partCols: Seq[String], rowGroupSize: Int, conf: Configuration)
+    extends RowLevelOperation {
+
+  /** (path, len, mtime) of the files the group scan finally planned —
+    * what commit replaces, and the concurrent-write race baseline.
+    *
+    * Two scan instances may plan through this operation: the runtime
+    * group-filter SUBQUERY (statically classified candidates) and the
+    * MAIN group scan (restricted by the runtime `_cole_file IN` filter).
+    * Their planning order is an engine detail, so the runtime-filtered
+    * planning is AUTHORITATIVE: it reflects exactly the files whose rows
+    * the rewrite read, and an unfiltered planning never overrides it —
+    * replacing a file the main scan did not read would lose its rows.
+    */
+  @volatile private[cole] var plannedFiles: Seq[(String, Long, Long)] = Seq.empty
+  @volatile private var plannedLocked = false
+
+  private[cole] def recordPlanned(files: Seq[(String, Long, Long)],
+      authoritative: Boolean): Unit = synchronized {
+    if (authoritative) { plannedFiles = files; plannedLocked = true }
+    else if (!plannedLocked) plannedFiles = files
+  }
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column(ColeUtil.FileMetaCol))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ColeGroupScanBuilder(this, path, conf, partCols)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new ColeReplaceWrite(this, info.schema(), path, rowGroupSize, conf, partCols)
+
+  override def description(): String = s"ColeRowLevel[$cmd] $path"
+}
+
+class ColeRowLevelOperationBuilder(info: RowLevelOperationInfo, path: String,
+    partCols: Seq[String], rowGroupSize: Int, conf: Configuration)
+    extends RowLevelOperationBuilder {
+  override def build(): RowLevelOperation =
+    new ColeRowLevelOperation(info.command(), path, partCols, rowGroupSize, conf)
+}
+
+/** Scan builder for the group scan: filters are accepted only as FILE
+  * classifiers (returned residual in full — never claimed; Spark keeps
+  * the row-level semantics in the rewritten query plan).
+  */
+class ColeGroupScanBuilder(op: ColeRowLevelOperation, path: String,
+    conf: Configuration, partCols: Seq[String])
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = _
+  private var classifiers: Array[ColePredicate] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // best-effort, file-granular: a predicate that doesn't convert just
+    // doesn't help classification (the file set stays larger)
+    classifiers = filters.flatMap(ColePredicate.fromFilter)
+    filters // ALL residual — this scan must return whole groups
+  }
+
+  override def pushedFilters(): Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    require(required != null, "group scan built before column pruning")
+    new ColeGroupScan(op, required, path, conf, partCols.toSet, classifiers)
+  }
+}
+
+/** Whole-file scan over the candidate group set. Reuses the normal
+  * partition/reader machinery ([[ColeInputPartition]] +
+  * [[ColeReaderFactory]]); the [[ColeUtil.FileMetaCol]] metadata column
+  * rides the partition-constant mechanism (injected into partValues).
+  */
+class ColeGroupScan(op: ColeRowLevelOperation, required: StructType,
+    path: String, conf: Configuration, partCols: Set[String],
+    classifiers: Array[ColePredicate])
+    extends Scan with Batch with SupportsRuntimeFiltering {
+
+  private val hconf = new ColeHadoopConf(conf)
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"ColeGroupScan path=$path, classifiers=[${classifiers.mkString(", ")}]"
+
+  // the runtime GROUP filter arrives here: _cole_file IN (matching files)
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column(ColeUtil.FileMetaCol))
+
+  private var runtimeFiles: Option[Set[String]] = None
+
+  override def filter(filters: Array[Filter]): Unit =
+    filters.foreach {
+      case In(c, vs) if c == ColeUtil.FileMetaCol =>
+        runtimeFiles = Some(vs.map(String.valueOf(_)).toSet)
+      case EqualTo(c, v) if c == ColeUtil.FileMetaCol =>
+        runtimeFiles = Some(Set(String.valueOf(v)))
+      case _ => () // ignore anything else: the set just stays larger
+    }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val infos = ColeMetaCache.infos(path, conf)
+    val (partPreds, dataPreds) =
+      classifiers.partition(p => partCols.contains(p.column))
+    val bucketKeep: Option[Set[String]] =
+      ColeBucket.readSpec(path, conf).flatMap { case (n, cs) =>
+        val direct = ColeBucket.prunedBuckets(
+          cs.map(c => dataPreds.filter(_.column == c).toSeq), n)
+        val derived = ColeBucket.readDerivation(path, conf)
+          .flatMap { case (_, srcs) =>
+            ColeBucket.candidateKeyHashes(
+              srcs.map(c => dataPreds.filter(_.column == c).toSeq))
+              .map(_.map(ColeBucket.bucketOf(_, n)))
+          }
+        ((direct, derived) match {
+          case (Some(a), Some(b)) => Some(a intersect b)
+          case (a, b) => a.orElse(b)
+        }).map(_.map(_.toString))
+      }
+    val fileRequired = StructType(required.filterNot(f =>
+      partCols.contains(f.name) || f.name == ColeUtil.FileMetaCol))
+    val candidates = infos.filter { info =>
+      val pv = info.partValues.toMap
+      runtimeFiles.forall(_.contains(info.path)) &&
+        !bucketKeep.exists(ks =>
+          !pv.get(ColeBucket.DirKey).exists(ks.contains)) &&
+        partPreds.forall(p =>
+          pv.get(p.column).exists(ColePredicate.partitionKeeps(p, _))) && {
+          val meta = info.meta
+          val nameToIdx = meta.columns.map(_.name).zipWithIndex.toMap
+          // a predicate column this file predates stores NULL everywhere:
+          // no row can match, the file stays untouched
+          if (dataPreds.exists(p => !nameToIdx.contains(p.column))) false
+          else !(dataPreds.nonEmpty && meta.rowGroups.forall(rg =>
+            ColePredicate.skipRowGroup(rg, nameToIdx, dataPreds)))
+        }
+    }
+    // the replacement contract: commit swaps EXACTLY what was planned
+    op.recordPlanned(candidates.map(i => (i.path, i.len, i.mtime)),
+      authoritative = runtimeFiles.isDefined)
+    candidates.flatMap { info =>
+      val meta = info.meta
+      val nameToIdx = meta.columns.map(_.name).zipWithIndex.toMap
+      val colIndices = fileRequired.fieldNames.map(nameToIdx.getOrElse(_, -1))
+      val pv = (info.partValues :+ (ColeUtil.FileMetaCol -> info.path)).toArray
+      // whole file, every row group, NO selection predicates — rows of a
+      // replaced group that don't match the condition must survive
+      ColePack.pack(info.path, colIndices,
+        meta.rowGroups.zipWithIndex.map { case (rg, rgIdx) =>
+          (rgIdx, rg.numRows,
+            colIndices.filter(_ >= 0).map(ci => rg.chunks(ci).totalSize).sum)
+        }, ColePack.targetBytes, Array.empty, pv)
+    }.toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ColeReaderFactory(required, hconf)
+}
+
+/** The ReplaceData write: layout-preserving rewrite of the planned
+  * groups through the normal writer factory, with a two-phase commit.
+  */
+class ColeReplaceWrite(op: ColeRowLevelOperation, schema: StructType,
+    path: String, rowGroupSize: Int, conf: Configuration,
+    partCols: Seq[String])
+    extends WriteBuilder
+    with Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering
+    with BatchWrite {
+
+  private val bucketSpec = ColeBucket.readSpec(path, conf)
+  private val bucketDerive = ColeBucket.readDerivation(path, conf)
+
+  override def build(): Write = this
+  override def toBatch: BatchWrite = this
+  override def description(): String = s"ColeReplaceWrite $path"
+
+  // same clustering contract as bucketed appends: buckets arrive
+  // contiguous and each replacement file lands sorted on the key
+  private def clusterCols: Seq[String] =
+    bucketDerive.map(_._2).orElse(bucketSpec.map(_._2)).getOrElse(Seq.empty)
+
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution = {
+    import org.apache.spark.sql.connector.expressions.{Expressions => E}
+    if (clusterCols.isEmpty)
+      org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+    else org.apache.spark.sql.connector.distributions.Distributions.clustered(
+      clusterCols.map(c => E.column(c)
+        : org.apache.spark.sql.connector.expressions.Expression).toArray)
+  }
+
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions => E}
+    clusterCols.map(c => E.sort(E.column(c),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
+  }
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    ColeUtil.toColeColumns(schema)
+    partCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column '$c' not in replace-write schema"))
+    bucketSpec.foreach { case (n, cs) =>
+      val hashCols = bucketDerive.map(_._2).getOrElse(cs)
+      hashCols.foreach(c => require(schema.fieldNames.contains(c),
+        s"bucket column '$c' not in replace-write schema"))
+      // the synth column comes back FROM the table here (unlike appends) —
+      // the writer overrides it in place with the recomputed hash
+      bucketDerive.foreach { case (synth, _) =>
+        require(schema.fieldNames.contains(synth),
+          s"synthetic bucket column '$synth' missing from replace-write schema") }
+      require(n > 0 && n <= 65536, s"bucket count must be in [1, 65536], got $n")
+    }
+    new ColeWriterFactory(schema, path, rowGroupSize, new ColeHadoopConf(conf),
+      partCols, bucketSpec, bucketDerive)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val allNew = messages.flatMap {
+      case ColeCommitMessage(fs0) => fs0
+      case _ => Seq.empty
+    }
+    val (fs, _) = ColeIO.resolve(path, conf)
+    // tasks open their writer eagerly, so a task that received no rows
+    // (zero-match condition, or every row of its slice deleted) commits
+    // an EMPTY .col file — drop those instead of littering the table
+    val newFiles = allNew.filter { f =>
+      val r = new ColeFileReader(f, conf)
+      val rows = try r.meta.totalRows finally r.close()
+      if (rows == 0L) { fs.delete(new HPath(f), false); false } else true
+    }
+    val replaced = op.plannedFiles
+    // concurrent-write race check BEFORE any deletion: every replaced
+    // file must still be exactly the bytes the group scan read
+    replaced.foreach { case (p, len, mtime) =>
+      val ok = try {
+        val st = fs.getFileStatus(new HPath(p))
+        st.getLen == len && st.getModificationTime == mtime
+      } catch { case _: java.io.FileNotFoundException => false }
+      if (!ok) {
+        abort(messages) // roll the speculative replacement back
+        throw new IllegalStateException(
+          s"concurrent write detected on $p during ${op.command()}; " +
+            "aborted with the replacement rolled back — retry after the " +
+            "other writer commits")
+      }
+    }
+    if (replaced.nonEmpty) {
+      // streaming sources tailing this table must not re-emit the
+      // replacement of rows they already processed
+      val stamp = java.lang.Long.toHexString(System.nanoTime())
+      ColeCompact.writeCompactionRecord(fs, path,
+        s"replace-$stamp", newFiles.toSeq, replaced.map(_._1))
+      replaced.foreach { case (p, _, _) =>
+        fs.delete(new HPath(p), false)
+        fs.delete(new HPath(ColeBloomIndex.sidecarPath(p)), false)
+      }
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case ColeCommitMessage(files) => files.foreach { f =>
+        val (fs, p) = ColeIO.resolve(f, conf)
+        fs.delete(p, false)
+      }
+      case _ => ()
+    }
+}
+
+/** Delegating [[InternalRow]] that overrides ONE long field in place —
+  * how the bucketed writer RECOMPUTES a stored synthetic bucket key on
+  * the replace path without copying every row.
+  */
+private[cole] final class LongOverrideRow(idx: Int) extends InternalRow {
+  private var row: InternalRow = _
+  private var v: Long = 0L
+
+  def set(r: InternalRow, value: Long): LongOverrideRow = {
+    row = r; v = value; this
+  }
+
+  override def numFields: Int = row.numFields
+  override def setNullAt(i: Int): Unit =
+    throw new UnsupportedOperationException("read-only row")
+  override def update(i: Int, value: Any): Unit =
+    throw new UnsupportedOperationException("read-only row")
+  override def copy(): InternalRow = {
+    val c = row.copy()
+    c.update(idx, v)
+    c
+  }
+  override def isNullAt(i: Int): Boolean = if (i == idx) false else row.isNullAt(i)
+  override def getBoolean(i: Int): Boolean = row.getBoolean(i)
+  override def getByte(i: Int): Byte = row.getByte(i)
+  override def getShort(i: Int): Short = row.getShort(i)
+  override def getInt(i: Int): Int = row.getInt(i)
+  override def getLong(i: Int): Long = if (i == idx) v else row.getLong(i)
+  override def getFloat(i: Int): Float = row.getFloat(i)
+  override def getDouble(i: Int): Double = row.getDouble(i)
+  override def getDecimal(i: Int, precision: Int, scale: Int)
+      : org.apache.spark.sql.types.Decimal = row.getDecimal(i, precision, scale)
+  override def getUTF8String(i: Int): org.apache.spark.unsafe.types.UTF8String =
+    row.getUTF8String(i)
+  override def getBinary(i: Int): Array[Byte] = row.getBinary(i)
+  override def getInterval(i: Int): org.apache.spark.unsafe.types.CalendarInterval =
+    row.getInterval(i)
+  override def getStruct(i: Int, numFields: Int): InternalRow =
+    row.getStruct(i, numFields)
+  override def getArray(i: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    row.getArray(i)
+  override def getMap(i: Int): org.apache.spark.sql.catalyst.util.MapData =
+    row.getMap(i)
+  override def getVariant(i: Int): org.apache.spark.unsafe.types.VariantVal =
+    row.getVariant(i)
+  override def getGeography(i: Int): org.apache.spark.unsafe.types.GeographyVal =
+    row.getGeography(i)
+  override def getGeometry(i: Int): org.apache.spark.unsafe.types.GeometryVal =
+    row.getGeometry(i)
+  override def get(i: Int, dataType: org.apache.spark.sql.types.DataType): AnyRef =
+    if (i == idx) java.lang.Long.valueOf(v) else row.get(i, dataType)
+}

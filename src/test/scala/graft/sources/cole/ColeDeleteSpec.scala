@@ -173,17 +173,19 @@ class ColeDeleteSpec extends AnyFunSuite {
     assert(ids === Set(2L, 4L), s"NULL-v rows must survive, got $ids")
   }
 
-  test("unsupported conditions and races are rejected loudly") {
+  test("non-convertible conditions route to the group path; races are rejected loudly") {
     val s = spark
     import s.implicits._
     val dir = s"$warehouse/db/rj"
     (0L until 100L).map(i => (i, s"s$i")).toDF("id", "txt")
       .write.format("cole").mode("overwrite").save(dir)
-    // cross-column OR cannot convert -> analysis-time rejection
-    val e = intercept[Exception] {
-      spark.sql("DELETE FROM dwh.db.rj WHERE id = 1 OR txt = 'never'")
-    }
-    assert(e.getMessage != null, e.toString)
+    // cross-column OR cannot convert for the metadata fast path — since
+    // round 8 it falls through to the group-based row-level rewrite
+    // (ColeRowLevelOperation) and still deletes row-exactly
+    spark.sql("DELETE FROM dwh.db.rj WHERE id = 1 OR txt = 'never'")
+    assert(spark.table("dwh.db.rj").count() === 99)
+    assert(spark.table("dwh.db.rj").filter(col("id") === 1L).count() === 0)
+    spark.sql("INSERT INTO dwh.db.rj VALUES (1, 's1')") // restore for below
     // concurrent write INSIDE the delete's window (after classification,
     // before the swap) must abort loudly and leave the table untouched
     val before = fileState(dir)
