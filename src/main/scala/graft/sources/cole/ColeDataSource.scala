@@ -2598,9 +2598,14 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(tableTotals._1)
     override def numRows(): util.OptionalLong = util.OptionalLong.of(tableTotals._2)
+    // AQE probes statistics on every re-plan with the CBO off; only pay
+    // the per-column fold when an optimizer that can USE ColumnStats is
+    // actually on (attributeStats feed estimation only under CBO)
     override def columnStats(): util.Map[
         org.apache.spark.sql.connector.expressions.NamedReference,
-        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStatsMap
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+      if (org.apache.spark.sql.internal.SQLConf.get.cboEnabled) colStatsMap
+      else java.util.Collections.emptyMap()
   }
 }
 
