@@ -64,8 +64,12 @@ object ColeCompact {
         // bucketed tables write SORTED bucket files; a plain coalesce
         // would concatenate the sorted runs and loosen every page stat —
         // re-sort within partitions so compaction PRESERVES the
-        // range-prunable layout
-        val sortCols = ColeBucket.readSpec(table, conf).map(_._2).getOrElse(Seq.empty)
+        // range-prunable layout. Synthetic-key (bucketKey) layouts sort
+        // by the SOURCE key tuple, not the stored hash column: that is
+        // the order the writer laid down and the order range predicates
+        // on the natural key prune by.
+        val sortCols = ColeBucket.readDerivation(table, conf).map(_._2)
+          .orElse(ColeBucket.readSpec(table, conf).map(_._2)).getOrElse(Seq.empty)
         val src0 = spark.read.format("cole").load(dir.toString).coalesce(nOut)
         val src = if (sortCols.isEmpty) src0
           else src0.sortWithinPartitions(sortCols.map(

@@ -95,6 +95,54 @@ class ColeCompactSpec extends AnyFunSuite {
       "rebuilt sidecar did not engage")
   }
 
+  test("synthetic-key table: compaction keeps the derivation, natural-key sort, and appends") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("cole_compact_synth").toString
+    // several append batches land many small files per bucket
+    (0 until 3).foreach { b =>
+      (0 until 3000).map(i => ((b * 3000 + i).toLong / 4, i % 4, s"t$i"))
+        .toDF("k1", "k2", "tag").repartition(3)
+        .write.format("cole")
+        .mode(if (b == 0) "overwrite" else "append")
+        .option("bucketBy", "4:k1,k2").option("bucketKey", "ck").save(dir)
+    }
+    val before = ColeIO.listPartitioned(dir, ColeIO.driverConf()).size
+    val stats = ColeCompact.compact(spark, dir, targetBytes = 64L << 20)
+    assert(stats.filesAfter < before, s"no compaction happened: $stats")
+    // the derivation survives the rewrite (appends depend on it)
+    assert(ColeBucket.readSpec(dir, ColeIO.driverConf()) === Some((4, Seq("ck"))))
+    assert(ColeBucket.readDerivation(dir, ColeIO.driverConf())
+      === Some(("ck", Seq("k1", "k2"))))
+    assert(spark.read.format("cole").load(dir).count() === 9000)
+    // compacted files sort by the NATURAL key tuple, not the hash column
+    ColeIO.listPartitioned(dir, ColeIO.driverConf()).foreach { case (st, _) =>
+      val ks = spark.read.format("cole").load(st.getPath.toString)
+        .select("k1", "k2").collect().map(r => (r.getLong(0), r.getInt(1)))
+      assert(ks.sameElements(ks.sorted),
+        s"compacted file ${st.getPath.getName} lost the natural-key sort")
+    }
+    // rows still route by the recomputed combined hash
+    for (b <- 0 until 4) {
+      spark.read.format("cole").load(s"$dir/_bucket=$b")
+        .select("k1", "k2", "ck").collect().foreach { r =>
+          val ck = ColeBucket.combine(ColeBucket.keyHashLong(r.getLong(0)),
+            ColeBucket.keyHashLong(r.getInt(1).toLong))
+          assert(r.getLong(2) === ck && ColeBucket.bucketOf(ck, 4) === b)
+        }
+    }
+    // an option-less append AFTER compaction still re-derives
+    Seq((99999L, 2, "late")).toDF("k1", "k2", "tag")
+      .write.format("cole").mode("append").save(dir)
+    val lateCk = ColeBucket.combine(ColeBucket.keyHashLong(99999L),
+      ColeBucket.keyHashLong(2L))
+    val late = spark.read.format("cole")
+      .load(s"$dir/_bucket=${ColeBucket.bucketOf(lateCk, 4)}")
+      .filter(col("k1") === 99999L).select("ck").collect()
+    assert(late.length === 1 && late.head.getLong(0) === lateCk,
+      "post-compaction append lost the derivation")
+  }
+
   test("interrupted swaps recover: forward when complete, backward when partial") {
     val dir = Files.createTempDirectory("cole_compact_recover").toString
     li.repartition(3).write.format("cole").mode("overwrite").save(dir)
