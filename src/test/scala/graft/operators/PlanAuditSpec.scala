@@ -210,6 +210,37 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("cole_spj_composite: synthetic-key composite join with zero table shuffle") {
+    // composite (k1,k2) keys through the bucketKey synthetic column: the
+    // equi-join key is exactly the stored hash column, so the SPJ proof
+    // holds; the natural keys ride as range-pair residuals
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("cole_spj_composite")
+      val joinIdx = p.linesIterator.indexWhere(_.contains("SortMergeJoin"))
+      assert(joinIdx >= 0, s"expected a sort-merge join under composite SPJ:\n$p")
+      val below = p.linesIterator.drop(joinIdx).mkString("\n")
+      assert(!below.contains("Exchange"),
+        s"composite synthetic-key SPJ must not shuffle either side:\n$p")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+    }
+  }
+
+  test("cole_roundtrip_decimal38: wide decimal filter claimed, no residual, no agg push") {
+    val p = formatted("cole_roundtrip_decimal38")
+    assert(p.contains("pushed=[LessThan(ledger") || p.contains("LessThan(ledger"),
+      s"wide decimal comparison not claimed at the scan:\n$p")
+    // aggregate pushdown must DECLINE (no int128 sweep accumulator): the
+    // plan aggregates above a plain scan, never shows PushedAggregates
+    assert(!p.contains("PushedAggregates"),
+      s"wide decimal aggregates must not push a long sweep:\n$p")
+  }
+
   test("cole_topn pushes the sort threshold into the source (PushedTopN)") {
     val p = plan("cole_topn")
     assert(p.contains("PushedTopN"),
