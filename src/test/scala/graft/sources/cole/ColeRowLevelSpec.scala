@@ -160,6 +160,31 @@ class ColeRowLevelSpec extends AnyFunSuite {
     assert(spark.table("rlw.db.skupd").count() === 2000)
   }
 
+  test("UPDATE of a partition column moves rows across partition directories") {
+    val s = spark
+    import s.implicits._
+    val t = s"$warehouse/db/pupd"
+    (0 until 900).map(i => (i.toLong, s"r${i % 3}", i * 2L))
+      .toDF("id", "region", "v")
+      .write.format("cole").mode("overwrite").partitionBy("region").save(t)
+    // move every r2 row with id < 100 into a NEW partition value
+    spark.sql("UPDATE rlw.db.pupd SET region = 'moved' WHERE region = 'r2' AND id < 100")
+    val got = spark.table("rlw.db.pupd")
+    assert(got.count() === 900, "partition-move UPDATE lost rows")
+    val moved = got.filter(col("region") === "moved")
+    assert(moved.count() === (0 until 100).count(_ % 3 == 2).toLong)
+    // physically relocated: the new directory exists and holds the rows
+    val movedDir = spark.read.format("cole").load(s"$t/region=moved")
+    assert(movedDir.count() === moved.count())
+    // survivors of the rewritten partition kept their rows and values
+    assert(got.filter(col("region") === "r2").count() ===
+      (0 until 900).count(i => i % 3 == 2 && i >= 100).toLong)
+    assert(got.filter(col("id") === 2L).select("region").head.getString(0) === "moved")
+    assert(got.filter(col("id") === 2L).select("v").head.getLong(0) === 4L)
+    // untouched partitions never rewrote
+    assert(got.filter(col("region") === "r0").count() === 300)
+  }
+
   test("MERGE INTO: matched update + not-matched insert, layout intact") {
     val s = spark
     import s.implicits._
