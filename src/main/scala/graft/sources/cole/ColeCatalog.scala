@@ -381,7 +381,18 @@ class ColeCatalog extends TableCatalog with FunctionCatalog with SupportsNamespa
           case _ => StringType
         }, nullable = false)
       }
-    val schema = StructType(ColeUtil.toSparkSchemaOf(infos).fields.toSeq ++ partFields)
+    val fileFields = ColeUtil.toSparkSchemaOf(infos).fields.toSeq
+    // ALTER TABLE ADD COLUMN before any data carries it: the _tablespec
+    // holds declared-but-not-yet-written columns — surface them (nullable;
+    // reads NULL-backfill through the schema-evolution machinery) between
+    // the file columns and the partition columns, the position INSERTs
+    // will write them at. Footers govern any name both declare.
+    val declaredExtras = ColeCatalog.readTableSpec(path, conf).toSeq
+      .flatMap(_._1.fields)
+      .filterNot(f => fileFields.exists(_.name == f.name) ||
+        partFields.exists(_.name == f.name))
+      .map(_.copy(nullable = true))
+    val schema = StructType(fileFields ++ declaredExtras ++ partFields)
     new ColeTable(schema, partFields.map(_.name),
       Map("path" -> path), bucketSpec)
   }
@@ -428,9 +439,44 @@ class ColeCatalog extends TableCatalog with FunctionCatalog with SupportsNamespa
       bucketSpec)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "COLE tables evolve by writing files at the new schema (read-time union)")
+  /** `ALTER TABLE ADD COLUMN(S)`: appended nullable columns only — the
+    * declaration lands in the `_tablespec` sidecar, the table resolves
+    * with the new columns immediately (NULL-backfilled by the read-time
+    * evolution machinery), and subsequent INSERTs write them. Everything
+    * else (drops, renames, type changes) stays loud: the footers are the
+    * source of truth and a rewrite is the honest operation.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val path = tablePath(ident)
+    val current = loadTable(ident).asInstanceOf[ColeTable]
+    val partCols = ColeMetaCache.partitionSchema(ColeMetaCache.infos(path, conf))
+      .map(_._1).filterNot(_ == ColeBucket.DirKey) match {
+      case s if s.nonEmpty => s
+      case _ => ColeCatalog.readTableSpec(path, conf).map(_._2).getOrElse(Seq.empty)
+    }
+    val added = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "COLE supports only top-level ADD COLUMN (no nested fields)")
+        require(a.isNullable,
+          s"added column '${a.fieldNames.head}' must be nullable: existing " +
+            "rows NULL-backfill it")
+        require(!current.schema().fieldNames.contains(a.fieldNames.head),
+          s"column '${a.fieldNames.head}' already exists")
+        val f = StructField(a.fieldNames.head, a.dataType, nullable = true)
+        ColeUtil.toColeColumns(StructType(Seq(f))) // type supported, or loud
+        f
+      case other => throw new UnsupportedOperationException(
+        s"COLE tables support ALTER TABLE ADD COLUMN only; for " +
+          s"$other rewrite the table (read-time union handles file-level evolution)")
+    }
+    // persist: data columns + new columns, partition columns kept last
+    val dataFields = current.schema().fields.filterNot(f => partCols.contains(f.name))
+    val partFields = partCols.flatMap(c => current.schema().fields.find(_.name == c))
+    ColeCatalog.writeTableSpec(path, conf,
+      StructType(dataFields ++ added ++ partFields), partCols)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val (fs, p) = ColeIO.resolve(tablePath(ident), conf)

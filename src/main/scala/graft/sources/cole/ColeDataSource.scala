@@ -273,17 +273,18 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
         c
       }
     }
-    // partition columns are whatever schema fields the files don't carry.
-    // UNION across all files, not infos.head: under schema evolution a
-    // column absent from the first-listed file but present in later ones
-    // is still a DATA column (read as NULL where absent), never a
-    // partition column
+    // partition columns come from the DIRECTORY structure (key=value
+    // nesting), never from "absent from footers": a column the footers
+    // don't carry can also be a schema-evolution or ALTER-declared DATA
+    // column, which reads as NULL through the evolution machinery — only
+    // directory keys have per-file constant values to serve
     val infos = ColeMetaCache.infos(path, conf)
-    val fileCols: Set[String] =
-      if (infos.isEmpty) schema.fieldNames.toSet
-      else infos.flatMap(_.meta.columns.map(_.name)).toSet
+    val dirCols: Set[String] =
+      if (infos.isEmpty) writePartCols.toSet
+      else ColeMetaCache.partitionSchema(infos).map(_._1)
+        .filterNot(_ == ColeBucket.DirKey).toSet
     new ColeScanBuilder(schema, path, conf,
-      schema.fieldNames.filterNot(fileCols).toSet)
+      schema.fieldNames.filter(dirCols).toSet)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

@@ -192,6 +192,54 @@ class ColeCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not both"), e.getMessage)
   }
 
+  test("ALTER TABLE ADD COLUMN: resolves immediately, NULL-backfills, accepts inserts") {
+    val s = spark
+    import s.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cwh.db")
+    (0L until 100L).map(i => (i, s"t$i")).toDF("id", "tag")
+      .createOrReplaceTempView("alter_src")
+    spark.sql("CREATE TABLE cwh.db.alt AS SELECT * FROM alter_src")
+    spark.sql("ALTER TABLE cwh.db.alt ADD COLUMN score DOUBLE")
+    // resolves with the new column; existing rows NULL-backfill
+    val t = spark.table("cwh.db.alt")
+    assert(t.schema.fieldNames.toSeq === Seq("id", "tag", "score"))
+    assert(t.filter(col("score").isNull).count() === 100)
+    // inserts at the new arity land, mixed reads stay exact
+    spark.sql("INSERT INTO cwh.db.alt VALUES (100, 't100', 9.5)")
+    val back = spark.table("cwh.db.alt")
+    assert(back.count() === 101)
+    assert(back.agg(sum("score")).head.getDouble(0) === 9.5)
+    // a claimed filter on the added column prunes pre-evolution files whole
+    assert(back.filter(col("score") > 1.0).count() === 1)
+    // drops / type changes stay loud
+    val e = intercept[Exception](spark.sql("ALTER TABLE cwh.db.alt DROP COLUMN tag"))
+    assert(e.getMessage.contains("ADD COLUMN only"), e.getMessage)
+    // non-nullable adds are rejected (cannot backfill)
+    val e2 = intercept[Exception](
+      spark.sql("ALTER TABLE cwh.db.alt ADD COLUMN req INT NOT NULL"))
+    assert(e2.getMessage.contains("nullable"), e2.getMessage)
+  }
+
+  test("ALTER TABLE ADD COLUMN on a partitioned table keeps partition columns last") {
+    val s = spark
+    import s.implicits._
+    (0 until 60).map(i => (i.toLong, s"p${i % 3}", i * 1.0)).toDF("id", "part", "v")
+      .createOrReplaceTempView("alter_part_src")
+    spark.sql("CREATE TABLE cwh.db.altp (id BIGINT, v DOUBLE, part STRING) " +
+      "PARTITIONED BY (part)")
+    spark.sql("INSERT INTO cwh.db.altp SELECT id, v, part FROM alter_part_src")
+    spark.sql("ALTER TABLE cwh.db.altp ADD COLUMN note STRING")
+    val t = spark.table("cwh.db.altp")
+    assert(t.schema.fieldNames.toSeq === Seq("id", "v", "note", "part"),
+      "added column must sit before the partition columns")
+    spark.sql("INSERT INTO cwh.db.altp VALUES (999, 5.0, 'hello', 'p9')")
+    val got = spark.table("cwh.db.altp")
+    assert(got.count() === 61)
+    assert(got.filter(col("note") === "hello")
+      .select("part").head.getString(0) === "p9")
+    assert(got.filter(col("part") === "p0").count() === 20)
+  }
+
   test("SHOW NAMESPACES IN an existing namespace returns its (empty) children") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS cwh.shownstest")
     assert(spark.sql("SHOW NAMESPACES IN cwh.shownstest").collect().isEmpty)
