@@ -207,6 +207,14 @@ class ColeRowLevelSpec extends AnyFunSuite {
         .select("k").collect().map(_.getLong(0))
         .foreach(k => assert(ColeBucket.bucketOf(k, 4) === b))
     }
+    // NOT MATCHED BY SOURCE: rows the source doesn't cover delete — the
+    // whole-table rewrite shape (every file is a candidate group)
+    spark.sql("""MERGE INTO rlw.db.mrg AS t USING mrg_src AS s
+                 ON t.k = s.mk
+                 WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    val after = spark.table("rlw.db.mrg")
+    assert(after.count() === 1000, "only source-covered keys survive")
+    assert(after.agg(min("k")).head.getLong(0) === 500L)
   }
 
   test("DELETE with a condition the metadata fast path cannot convert") {
