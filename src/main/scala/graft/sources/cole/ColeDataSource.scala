@@ -3557,10 +3557,19 @@ class ColeDataWriter(schema: StructType, file: String, rowGroupSize: Int,
 
   /** Flush, close, and return the written file — for use as a sub-writer
     * of the partitioned writer.
+    *
+    * Defer mode ([[ColeFileWriter.DeferRenameKey]] on the conf): the
+    * dotted in-progress file is NOT renamed at task commit — the DRIVER
+    * renames at job commit, after its transactional bookkeeping. This is
+    * what keeps row-level REPLACE invisible to concurrent readers (and
+    * tailing streams) until the compaction record is durable.
     */
   def commitFiles(): Seq[String] = {
     flush()
     writer.close()
+    if (writePath != file &&
+        conf != null && conf.getBoolean(ColeFileWriter.DeferRenameKey, false))
+      return Seq(writePath)
     if (writePath != file) {
       val (fs, t) = ColeIO.resolve(writePath, conf)
       val (_, f) = ColeIO.resolve(file, conf)

@@ -265,8 +265,25 @@ class ColeReplaceWrite(op: ColeRowLevelOperation, schema: StructType,
           s"synthetic bucket column '$synth' missing from replace-write schema") }
       require(n > 0 && n <= 65536, s"bucket count must be in [1, 65536], got $n")
     }
-    new ColeWriterFactory(schema, path, rowGroupSize, new ColeHadoopConf(conf),
+    // defer task-commit renames: replacement files stay DOTTED (invisible
+    // to listings, readers, and tailing streams) until this driver's
+    // commit has race-checked the replaced set and made the compaction
+    // record durable — without this, a stream triggering between task
+    // commit and job commit would replay every replaced row
+    val wconf = new Configuration(conf)
+    wconf.setBoolean(ColeFileWriter.DeferRenameKey, true)
+    new ColeWriterFactory(schema, path, rowGroupSize, new ColeHadoopConf(wconf),
       partCols, bucketSpec, bucketDerive)
+  }
+
+  /** `dir/.NAME.inprogress` → `dir/NAME` (the deferred task-commit name). */
+  private def finalOf(dotted: String): String = {
+    val slash = dotted.lastIndexOf('/')
+    val name = dotted.substring(slash + 1)
+    require(name.startsWith(".") && name.endsWith(".inprogress"),
+      s"not a deferred in-progress file: $dotted")
+    dotted.substring(0, slash + 1) +
+      name.substring(1, name.length - ".inprogress".length)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -277,22 +294,24 @@ class ColeReplaceWrite(op: ColeRowLevelOperation, schema: StructType,
     val (fs, _) = ColeIO.resolve(path, conf)
     // tasks open their writer eagerly, so a task that received no rows
     // (zero-match condition, or every row of its slice deleted) commits
-    // an EMPTY .col file — drop those instead of littering the table
-    val newFiles = allNew.filter { f =>
+    // an EMPTY (still-dotted) .col file — drop those instead of
+    // littering the table
+    val newDotted = allNew.filter { f =>
       val r = new ColeFileReader(f, conf)
       val rows = try r.meta.totalRows finally r.close()
       if (rows == 0L) { fs.delete(new HPath(f), false); false } else true
     }
     val replaced = op.plannedFiles
-    // concurrent-write race check BEFORE any deletion: every replaced
-    // file must still be exactly the bytes the group scan read
+    // concurrent-write race check while the replacement is still fully
+    // INVISIBLE (dotted): every replaced file must still be exactly the
+    // bytes the group scan read — on rejection the table is untouched
     replaced.foreach { case (p, len, mtime) =>
       val ok = try {
         val st = fs.getFileStatus(new HPath(p))
         st.getLen == len && st.getModificationTime == mtime
       } catch { case _: java.io.FileNotFoundException => false }
       if (!ok) {
-        abort(messages) // roll the speculative replacement back
+        abort(messages) // roll the invisible replacement back
         throw new IllegalStateException(
           s"concurrent write detected on $p during ${op.command()}; " +
             "aborted with the replacement rolled back — retry after the " +
@@ -301,14 +320,22 @@ class ColeReplaceWrite(op: ColeRowLevelOperation, schema: StructType,
     }
     if (replaced.nonEmpty) {
       // streaming sources tailing this table must not re-emit the
-      // replacement of rows they already processed
+      // replacement of rows they already processed: the compaction
+      // record (QUALIFIED final-name outs → replaced ins) goes durable
+      // BEFORE any replacement file becomes visible
       val stamp = java.lang.Long.toHexString(System.nanoTime())
-      ColeCompact.writeCompactionRecord(fs, path,
-        s"replace-$stamp", newFiles.toSeq, replaced.map(_._1))
-      replaced.foreach { case (p, _, _) =>
-        fs.delete(new HPath(p), false)
-        fs.delete(new HPath(ColeBloomIndex.sidecarPath(p)), false)
-      }
+      ColeCompact.writeCompactionRecord(fs, path, s"replace-$stamp",
+        newDotted.toSeq.map(f =>
+          fs.makeQualified(new HPath(finalOf(f))).toString),
+        replaced.map(r => fs.makeQualified(new HPath(r._1)).toString))
+    }
+    newDotted.foreach { f =>
+      require(fs.rename(new HPath(f), new HPath(finalOf(f))),
+        s"replace-commit rename failed: $f")
+    }
+    replaced.foreach { case (p, _, _) =>
+      fs.delete(new HPath(p), false)
+      fs.delete(new HPath(ColeBloomIndex.sidecarPath(p)), false)
     }
   }
 

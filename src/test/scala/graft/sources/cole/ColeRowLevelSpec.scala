@@ -232,6 +232,35 @@ class ColeRowLevelSpec extends AnyFunSuite {
     assert(got.filter(col("k") === 8L).count() === 1)
   }
 
+  test("runtime group filter restricts the rewrite to files with MATCHES, not just stat survivors") {
+    val s = spark
+    import s.implicits._
+    val t = s"$warehouse/db/rgf"
+    // 4 files with fully-OVERLAPPING id ranges (interleaved mod 4): page
+    // stats cannot exclude any file for an id-equality condition — only
+    // the runtime group filter (matching files from the _cole_file
+    // subquery) can narrow the replacement set
+    (0 until 4).foreach { f =>
+      (0 until 1000).map(i => ((i * 4 + f).toLong, s"v${i * 4 + f}"))
+        .toDF("id", "tag").coalesce(1)
+        .write.format("cole").mode(if (f == 0) "overwrite" else "append").save(t)
+    }
+    val before = fileBytes(t)
+    assert(before.size === 4)
+    // id=17 ≡ 1 (mod 4): present in exactly one file, inside every file's
+    // stat range
+    spark.sql("UPDATE rlw.db.rgf SET tag = 'hit' WHERE id = 17")
+    val after = fileBytes(t)
+    val untouched = before.keySet intersect after.keySet
+    assert(untouched.size === 3,
+      s"runtime group filtering should leave 3 of 4 stat-overlapping files " +
+        s"untouched, got ${untouched.size}")
+    untouched.foreach(p => assert(before(p) === after(p), s"$p changed bytes"))
+    val got = spark.table("rlw.db.rgf")
+    assert(got.count() === 4000)
+    assert(got.filter(col("tag") === "hit").collect().map(_.getLong(0)).toSeq === Seq(17L))
+  }
+
   test("_cole_file metadata column is selectable on normal reads") {
     val s = spark
     import s.implicits._

@@ -111,6 +111,41 @@ class ColeStreamManifestSpec extends AnyFunSuite {
     q2.stop()
   }
 
+  test("row-level DML replacements are not re-emitted into a tailing stream") {
+    val s = spark
+    import s.implicits._
+    val wh = Files.createTempDirectory("cole_dml_stream_wh").toString
+    s.conf.set("spark.sql.catalog.dmlw", "graft.sources.cole.ColeCatalog")
+    s.conf.set("spark.sql.catalog.dmlw.warehouse", wh)
+    val dir = s"$wh/db/t"
+    val cp = Files.createTempDirectory("cole_dml_stream_cp").toString
+    (0 until 4).foreach(k =>
+      rows(k * 25, k * 25 + 25).toDF().coalesce(1)
+        .write.format("cole").mode("append").save(dir))
+    val received = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = s.readStream.format("cole").load(dir)
+      .writeStream.foreachBatch {
+        (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          received.addAndGet(b.count()); ()
+      }
+      .option("checkpointLocation", cp)
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    assert(received.get() === 100L)
+    // an UPDATE rewrites files whose rows the stream already processed:
+    // Append-source semantics — the replacement files must be SKIPPED
+    // (same contract as compaction and DELETE), never replayed
+    spark.sql("UPDATE dmlw.db.t SET v = v + 1 WHERE id < 30")
+    q.processAllAvailable()
+    assert(received.get() === 100L,
+      "UPDATE replacement files replayed already-processed rows")
+    // fresh appends after the DML still flow
+    rows(100, 115).toDF().coalesce(1).write.format("cole").mode("append").save(dir)
+    q.processAllAvailable()
+    assert(received.get() === 115L)
+    q.stop()
+  }
+
   test("file log snapshots bound entry count; restart resumes from snapshot") {
     val s = spark
     import s.implicits._
