@@ -164,6 +164,40 @@ object ColeCompact {
     * No-op without a manifest. Called automatically per directory by
     * [[compact]]; exposed for standalone recovery.
     */
+  /** Delete crash leftovers older than `olderThanMs`: abandoned dotted
+    * in-progress files (a task that died before commit), `.tmp` scratch,
+    * and stale `.delete-*` / `.compact-*` scratch directories. Live data,
+    * sidecars, records, and RECENT in-progress files (a streaming epoch
+    * or replace-commit still in flight — the TTL is the guard) are never
+    * touched. Returns the number of paths removed.
+    */
+  def vacuum(table: String, conf: org.apache.hadoop.conf.Configuration,
+      olderThanMs: Long = 24L * 3600 * 1000): Int = {
+    val (fs, root) = ColeIO.resolve(table, conf)
+    if (!fs.exists(root)) return 0
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    var removed = 0
+    def sweep(dir: HPath): Unit = {
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        val stale = st.getModificationTime < cutoff
+        if (st.isDirectory) {
+          if ((name.startsWith(".delete-") || name.startsWith(".compact-")) &&
+              stale && name != ".compact-manifest") {
+            fs.delete(st.getPath, true); removed += 1
+          } else if (!name.startsWith(".") && name != "_cole_compactions" &&
+              name != ColeStreamingWrite.ManifestDirName) sweep(st.getPath)
+        } else if (stale &&
+            (name.endsWith(".tmp") ||
+              (name.startsWith(".") && name.contains(".inprogress")))) {
+          fs.delete(st.getPath, false); removed += 1
+        }
+      }
+    }
+    sweep(root)
+    removed
+  }
+
   def recover(fs: org.apache.hadoop.fs.FileSystem, dir: HPath): Unit = {
     val mp = manifestPath(dir)
     if (!fs.exists(mp)) return

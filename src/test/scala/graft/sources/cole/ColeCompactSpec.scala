@@ -178,6 +178,36 @@ class ColeCompactSpec extends AnyFunSuite {
       "backward recovery must keep the old copy when news are incomplete")
   }
 
+  test("vacuum removes stale crash leftovers, keeps live data and recent in-flight files") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("cole_vacuum").toString
+    (0L until 100L).map(i => (i, i * 2.0)).toDF("id", "v")
+      .write.format("cole").mode("overwrite").save(dir)
+    val live = spark.read.format("cole").load(dir).count()
+    // plant leftovers: an abandoned in-progress file, a tmp, a scratch dir
+    val old = System.currentTimeMillis() - 48L * 3600 * 1000
+    def plant(name: String, asDir: Boolean): java.io.File = {
+      val f = new java.io.File(dir, name)
+      if (asDir) { f.mkdirs(); new java.io.File(f, "x.col").createNewFile() }
+      else f.createNewFile()
+      f.setLastModified(old); f
+    }
+    val p1 = plant(".part-99999-1.col.inprogress", asDir = false)
+    val p2 = plant(".junk.tmp", asDir = false)
+    val p3 = plant(".delete-deadbeef", asDir = true)
+    // a FRESH in-progress file (an epoch still in flight) must survive
+    val fresh = new java.io.File(dir, ".part-00001-2.col.inprogress-7")
+    fresh.createNewFile()
+    val removed = ColeCompact.vacuum(dir, ColeIO.driverConf(),
+      olderThanMs = 24L * 3600 * 1000)
+    assert(removed === 3, s"expected 3 leftovers removed, got $removed")
+    assert(!p1.exists && !p2.exists && !p3.exists)
+    assert(fresh.exists, "vacuum must not touch a recent in-flight file")
+    assert(spark.read.format("cole").load(dir).count() === live,
+      "vacuum touched live data")
+  }
+
   test("compaction can re-layout: compression applied during the rewrite") {
     val dir = Files.createTempDirectory("cole_compact_zip").toString
     li.repartition(6).write.format("cole").mode("overwrite").save(dir)

@@ -146,6 +146,33 @@ class ColeStreamManifestSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("readStream.table over a catalog table tails like the path source") {
+    val s = spark
+    import s.implicits._
+    val wh = Files.createTempDirectory("cole_rst_wh").toString
+    s.conf.set("spark.sql.catalog.rstw", "graft.sources.cole.ColeCatalog")
+    s.conf.set("spark.sql.catalog.rstw.warehouse", wh)
+    val cp = Files.createTempDirectory("cole_rst_cp").toString
+    rows(0, 40).toDF().coalesce(1)
+      .write.format("cole").mode("overwrite").save(s"$wh/db/t")
+    val received = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = s.readStream.table("rstw.db.t")
+      .writeStream.foreachBatch {
+        (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          received.addAndGet(b.count()); ()
+      }
+      .option("checkpointLocation", cp)
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    assert(received.get() === 40L)
+    // appends through the catalog flow into the stream
+    rows(40, 70).toDF().createOrReplaceTempView("rst_more")
+    spark.sql("INSERT INTO rstw.db.t SELECT * FROM rst_more")
+    q.processAllAvailable()
+    assert(received.get() === 70L)
+    q.stop()
+  }
+
   test("file log snapshots bound entry count; restart resumes from snapshot") {
     val s = spark
     import s.implicits._
