@@ -212,6 +212,29 @@ class ColeDeleteSpec extends AnyFunSuite {
     assert(spark.table("dwh.db.rj").count() === 90)
   }
 
+  test("DELETE on a wide (precision>18) decimal predicate takes the metadata path") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    val dir = s"$warehouse/db/wdel"
+    (0L until 2000L).map(i => (i, i)).toDF("id", "raw")
+      .select(col("id"),
+        (col("raw").cast(DecimalType(25, 4)) *
+          lit(1000000000L).cast(DecimalType(10, 0)))
+          .cast(DecimalType(25, 4)).as("ledger"))
+      .coalesce(1)
+      .write.format("cole").mode("overwrite").save(dir)
+    // wide comparisons convert to int128 ColePredicates, so canDeleteWhere
+    // accepts and ColeDelete classifies/evaluates in the wide domain
+    spark.sql("DELETE FROM dwh.db.wdel WHERE ledger < CAST('500000000000.0000' AS DECIMAL(25,4))")
+    val left = spark.table("dwh.db.wdel")
+    assert(left.count() === 2000 - 500) // raw*1e9 < 5e11 ⇔ raw < 500
+    assert(left.agg(min("id")).head.getLong(0) === 500L)
+    // survivors' wide values intact
+    assert(left.filter(col("id") === 500L).select("ledger").head.getDecimal(0)
+      === new java.math.BigDecimal("500000000000.0000"))
+  }
+
   test("deleting every row leaves a resolvable empty table") {
     val s = spark
     import s.implicits._
