@@ -929,6 +929,112 @@ object ColeSuite {
                 MIN(l_orderkey) AS mn_key, MAX(l_orderkey) AS mx_key
               FROM lineitem
               WHERE NOT (l_returnflag = 'R' AND l_orderkey < 10000)
-              GROUP BY l_returnflag ORDER BY l_returnflag"""))
+              GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // #140 snapshot versioning + TIME TRAVEL (graft.sources.cole
+    // .ColeVersions): the table is versioned, a row-level DELETE commits
+    // version 2, and a `versionAsOf 1` read reconstructs the PRE-delete
+    // table from the version log — deleted files resolve at their retired
+    // paths, bytes never copied. Both the snapshot ('v1', = the full
+    // source table) and the live state ('cur', = the complement) are
+    // oracle-checked in one result. Idempotent: the fixture (write +
+    // enable + delete) builds once; a re-run's DELETE matches nothing and
+    // commits no version.
+    Q("cole_time_travel", (s, d) => {
+      val wh = "/tmp/graft_cole/warehouse"
+      s.conf.set("spark.sql.catalog.cole", "graft.sources.cole.ColeCatalog")
+      s.conf.set("spark.sql.catalog.cole.warehouse", wh)
+      val ns = s"v${writerFingerprint}_tt_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val dir = s"$wh/$ns/li"
+      writeOnce(dir) {
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_returnflag")
+          .write.format("cole").mode("overwrite").save(dir)
+        graft.sources.cole.ColeVersions.enable(dir,
+          graft.sources.cole.ColeIO.driverConf()) // v1 = baseline
+        s.sql(s"DELETE FROM cole.$ns.li WHERE l_returnflag = 'R'") // v2
+      }
+      val v1 = s.read.format("cole").option("versionAsOf", "1").load(dir)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("l_linenumber").as("sum_line"))
+        .withColumn("src", lit("v1"))
+      val cur = s.table(s"cole.$ns.li")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("l_linenumber").as("sum_line"))
+        .withColumn("src", lit("cur"))
+      v1.unionByName(cur).orderBy("src", "l_returnflag")
+    },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+                CAST(SUM(l_linenumber) AS BIGINT) AS sum_line, 'v1' AS src
+              FROM lineitem GROUP BY l_returnflag
+              UNION ALL
+              SELECT l_returnflag, COUNT(*) AS n,
+                CAST(SUM(l_linenumber) AS BIGINT) AS sum_line, 'cur' AS src
+              FROM lineitem WHERE l_returnflag <> 'R' GROUP BY l_returnflag
+              ORDER BY src, l_returnflag""")),
+
+    // #141 SQL MERGE INTO (graft.sources.cole.ColeRowLevelOperation): the
+    // upsert every CDC/warehouse pipeline needs — matched rows update,
+    // unmatched source rows insert, in ONE group-based copy-on-write
+    // commit (only files containing matches rewrite). Idempotent: updated
+    // rows are flagged 'U' and inserts land at their join keys, so the
+    // re-run's MATCHED condition excludes them and nothing re-inserts.
+    Q("cole_merge_into", (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val wh = "/tmp/graft_cole/warehouse"
+      s.conf.set("spark.sql.catalog.cole", "graft.sources.cole.ColeCatalog")
+      s.conf.set("spark.sql.catalog.cole.warehouse", wh)
+      val ns = s"v${writerFingerprint}_mrg_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val dir = s"$wh/$ns/li"
+      writeOnce(dir) {
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            round(col("l_quantity") * 100).cast(LongType).as("qty_c"))
+          .write.format("cole").mode("overwrite").save(dir)
+      }
+      Tables.orders(s, d).select(col("o_orderkey").as("k"))
+        .filter(col("o_orderkey") % 20 === 3)
+        .withColumn("ln", lit(1))
+        .createOrReplaceTempView("graft_merge_src")
+      s.sql(
+        s"""MERGE INTO cole.$ns.li t USING graft_merge_src src
+           |ON t.l_orderkey = src.k AND t.l_linenumber = src.ln
+           |WHEN MATCHED AND t.l_returnflag NOT IN ('U', 'M') THEN
+           |  UPDATE SET qty_c = t.qty_c + 5000, l_returnflag = 'U'
+           |WHEN NOT MATCHED THEN
+           |  INSERT (l_orderkey, l_linenumber, l_returnflag, qty_c)
+           |  VALUES (src.k, src.ln, 'M', 0)""".stripMargin)
+      s.table(s"cole.$ns.li")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("qty_c").as("sum_qty_c"),
+          sum("l_orderkey").as("sum_key"))
+        .orderBy("l_returnflag")
+    },
+      Some("""WITH src AS (
+                SELECT o_orderkey AS k, 1 AS ln FROM orders
+                WHERE o_orderkey % 20 = 3),
+              t AS (
+                SELECT l_orderkey, l_linenumber, l_returnflag,
+                  CAST(ROUND(l_quantity * 100) AS BIGINT) AS qty_c
+                FROM lineitem),
+              upd AS (
+                SELECT t.l_orderkey, t.l_linenumber,
+                  CASE WHEN s.k IS NOT NULL THEN 'U' ELSE t.l_returnflag END
+                    AS l_returnflag,
+                  t.qty_c + CASE WHEN s.k IS NOT NULL THEN 5000 ELSE 0 END
+                    AS qty_c
+                FROM t LEFT JOIN src s
+                  ON t.l_orderkey = s.k AND t.l_linenumber = s.ln),
+              ins AS (
+                SELECT s.k AS l_orderkey, s.ln AS l_linenumber,
+                  'M' AS l_returnflag, CAST(0 AS BIGINT) AS qty_c
+                FROM src s WHERE NOT EXISTS (
+                  SELECT 1 FROM t
+                  WHERE t.l_orderkey = s.k AND t.l_linenumber = s.ln)),
+              m AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+              SELECT l_returnflag, COUNT(*) AS n,
+                CAST(SUM(qty_c) AS BIGINT) AS sum_qty_c,
+                CAST(SUM(l_orderkey) AS BIGINT) AS sum_key
+              FROM m GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

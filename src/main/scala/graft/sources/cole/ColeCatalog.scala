@@ -397,6 +397,42 @@ class ColeCatalog extends TableCatalog with FunctionCatalog with SupportsNamespa
       Map("path" -> path), bucketSpec)
   }
 
+  /** SQL time travel — `SELECT ... FROM t VERSION AS OF <n>`: the
+    * returned table carries the pinned version as a property, its schema
+    * is the SNAPSHOT's (a column added later does not exist in the
+    * past), and every scan plans the snapshot's file set. Writes to it
+    * are rejected.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
+      s"VERSION AS OF takes a COLE version number, got '$version'"))
+    loadSnapshot(ident, ColeVersions.resolveAsOf(tablePath(ident), conf,
+      Some(v), None))
+  }
+
+  /** `TIMESTAMP AS OF` — Spark hands micros since epoch. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    loadSnapshot(ident, ColeVersions.resolveAsOf(tablePath(ident), conf,
+      None, Some(timestampMicros / 1000L)))
+
+  private def loadSnapshot(ident: Identifier, version: Long): Table = {
+    val path = tablePath(ident)
+    if (!ColeVersions.enabled(path, conf)) throw new NoSuchTableException(ident)
+    val infos = ColeVersions.snapshotInfos(path, conf, version)
+    val partFields = ColeMetaCache.partitionSchema(infos)
+      .filterNot(_._1 == ColeBucket.DirKey)
+      .map { case (k, t) =>
+        StructField(k, t match {
+          case "int" => IntegerType
+          case "long" => LongType
+          case _ => StringType
+        }, nullable = false)
+      }
+    val schema = StructType(ColeUtil.toSparkSchemaOf(infos).fields.toSeq ++ partFields)
+    new ColeTable(schema, partFields.map(_.name),
+      Map("path" -> path, "versionAsOf" -> version.toString), bucketSpec = None)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val path = tablePath(ident)
@@ -435,6 +471,11 @@ class ColeCatalog extends TableCatalog with FunctionCatalog with SupportsNamespa
     // (between CREATE and the first INSERT); file footers take over as
     // the source of truth once data lands
     ColeCatalog.writeTableSpec(path, conf, normalized, partCols)
+    // TBLPROPERTIES ('versioned'='true'): snapshot versioning from birth —
+    // every commit appends to the table's version log, and versionAsOf /
+    // timestampAsOf reads time-travel it (see ColeVersions)
+    if (properties.asScala.get("versioned").exists(_.equalsIgnoreCase("true")))
+      ColeVersions.enable(path, conf)
     new ColeTable(normalized, partCols, properties.asScala.toMap + ("path" -> path),
       bucketSpec)
   }

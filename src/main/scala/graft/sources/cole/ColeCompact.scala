@@ -107,12 +107,17 @@ object ColeCompact {
         // data files, and rebuild over the compacted layout
         val indexedCols = sts.flatMap(s =>
           ColeBloomIndex.indexedColumns(s._1.getPath.toString, conf)).distinct
-        sts.foreach { s =>
-          fs.delete(s._1.getPath, false)
+        val verRemoves = sts.flatMap { s =>
           fs.delete(new HPath(ColeBloomIndex.sidecarPath(s._1.getPath.toString)), false)
+          ColeVersions.retireOrDelete(fs, table, conf,
+            s._1.getPath.toString, stamp)
         }
         fs.delete(tmp, true)
         fs.delete(manifestPath(dir), false)
+        ColeVersions.commitIfEnabled(table, conf, "compact",
+          newNames.map(n =>
+            ColeVersions.relOf(fs, table, new HPath(dir, n).toString)),
+          verRemoves)
         if (indexedCols.nonEmpty)
           ColeBloomIndex.build(dir.toString, indexedCols, conf)
         compacted += 1
@@ -186,7 +191,8 @@ object ColeCompact {
               stale && name != ".compact-manifest") {
             fs.delete(st.getPath, true); removed += 1
           } else if (!name.startsWith(".") && name != "_cole_compactions" &&
-              name != ColeStreamingWrite.ManifestDirName) sweep(st.getPath)
+              name != ColeStreamingWrite.ManifestDirName &&
+              name != ColeVersions.DirName) sweep(st.getPath)
         } else if (stale &&
             (name.endsWith(".tmp") ||
               (name.startsWith(".") && name.contains(".inprogress")))) {

@@ -37,7 +37,14 @@ class ColeDataSource extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val infos = ColeMetaCache.infos(ColeUtil.path(options), ColeIO.driverConf())
+    // time travel infers from the SNAPSHOT's footers: a column added
+    // after the requested version is absent, exactly as it was then
+    val infos = ColeUtil.timeTravelVersion(options, ColeUtil.path(options)) match {
+      case Some(v) =>
+        ColeVersions.snapshotInfos(ColeUtil.path(options), ColeIO.driverConf(), v)
+      case None =>
+        ColeMetaCache.infos(ColeUtil.path(options), ColeIO.driverConf())
+    }
     require(infos.nonEmpty, s"No .col files at ${ColeUtil.path(options)}")
     // hive-style layout: partition columns (from key=value directories)
     // append after the file columns, like Spark's own file sources. The
@@ -96,6 +103,30 @@ private[cole] object ColeUtil {
     val p = options.get("path")
     require(p != null, "COLE source requires a path")
     p // schemes (file://, hdfs://, s3a://) resolve through the Hadoop conf
+  }
+
+  /** Resolve the `versionAsOf` / `timestampAsOf` read options (None when
+    * neither is present). `timestampAsOf` takes epoch millis or an ISO
+    * timestamp (`2026-08-14T12:00:00`, space separator also accepted).
+    */
+  def timeTravelVersion(options: CaseInsensitiveStringMap,
+      tablePath: String): Option[Long] = {
+    val v = Option(options.get("versionAsOf")).map { s =>
+      s.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"versionAsOf must be a version number, got '$s'"))
+    }
+    val ts = Option(options.get("timestampAsOf")).map { s =>
+      s.toLongOption.getOrElse {
+        try java.sql.Timestamp.valueOf(s.replace('T', ' ')).getTime
+        catch {
+          case _: IllegalArgumentException =>
+            throw new IllegalArgumentException(
+              s"timestampAsOf must be epoch millis or ISO timestamp, got '$s'")
+        }
+      }
+    }
+    if (v.isEmpty && ts.isEmpty) None
+    else Some(ColeVersions.resolveAsOf(tablePath, ColeIO.driverConf(), v, ts))
   }
 
   /** A table is a single .col file or a directory of them (part files). */
@@ -233,12 +264,14 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
       StructType(schema.filterNot(f => writePartCols.contains(f.name))
         .toArray ++ schema.filter(f => writePartCols.contains(f.name))),
       writePartCols)
-    ColeIO.listPartitioned(path, conf).foreach { case (st, _) =>
-      val (fs, _) = ColeIO.resolve(path, conf)
-      fs.delete(st.getPath, false)
+    val (fs, _) = ColeIO.resolve(path, conf)
+    val stamp = java.lang.Long.toHexString(System.nanoTime())
+    val removed = ColeIO.listPartitioned(path, conf).flatMap { case (st, _) =>
       fs.delete(new org.apache.hadoop.fs.Path(
         ColeBloomIndex.sidecarPath(st.getPath.toString)), false)
+      ColeVersions.retireOrDelete(fs, path, conf, st.getPath.toString, stamp)
     }
+    ColeVersions.commitIfEnabled(path, conf, "truncate", Seq.empty, removed)
     true
   }
 
@@ -273,21 +306,29 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
         c
       }
     }
+    // time travel: versionAsOf/timestampAsOf read options, or the pinned
+    // version a catalog FOR VERSION AS OF load installed as a property —
+    // either way the snapshot's file set replaces the live listing
+    val snapshot = ColeUtil.timeTravelVersion(options, path)
+      .orElse(properties.get("versionAsOf").map(_.toLong))
+      .map(v => ColeVersions.snapshotInfos(path, conf, v))
     // partition columns come from the DIRECTORY structure (key=value
     // nesting), never from "absent from footers": a column the footers
     // don't carry can also be a schema-evolution or ALTER-declared DATA
     // column, which reads as NULL through the evolution machinery — only
     // directory keys have per-file constant values to serve
-    val infos = ColeMetaCache.infos(path, conf)
+    val infos = snapshot.getOrElse(ColeMetaCache.infos(path, conf))
     val dirCols: Set[String] =
       if (infos.isEmpty) writePartCols.toSet
       else ColeMetaCache.partitionSchema(infos).map(_._1)
         .filterNot(_ == ColeBucket.DirKey).toSet
     new ColeScanBuilder(schema, path, conf,
-      schema.fieldNames.filter(dirCols).toSet)
+      schema.fieldNames.filter(dirCols).toSet, snapshot)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(!properties.contains("versionAsOf"),
+      "cannot write to a time-travel snapshot; write to the live table")
     // the compression codec rides the Hadoop conf to the task-side file
     // writers (see ColeFileWriter.CompressKey); default stays the
     // reference-compatible stored layout
@@ -345,7 +386,8 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
 // ------------------------------------------------------------------ read
 
 class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration,
-    partCols: Set[String] = Set.empty)
+    partCols: Set[String] = Set.empty,
+    snapshot: Option[Seq[ColeMetaCache.FileInfo]] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownLimit with SupportsPushDownTopN {
@@ -531,6 +573,9 @@ class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration,
     // inner agg away — declining it keeps the normal scan path (returning
     // true with zero aggs would break Spark's column-count contract)
     if (aggregation.aggregateExpressions.isEmpty) return false
+    // time travel: ColeAggScan plans from the LIVE listing — declining
+    // keeps the snapshot-pinned row scan (Spark aggregates above it)
+    if (snapshot.isDefined) return false
     // claimed filters are applied row-exactly inside the agg readers, so
     // filtered aggregation still pushes (Spark guarantees no residuals
     // remain when it offers the aggregation)
@@ -634,7 +679,7 @@ class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration,
       new ColeAggScan(path, conf, pushedGroupCols, pushedAggs, aggSchema,
         pushed.flatMap(ColePredicate.fromFilter), partCols)
     else new ColeScan(fullSchema, required, path, conf, pushed, limit, topN, partCols,
-      skipOnly)
+      skipOnly, snapshot)
 }
 
 private[cole] object ColeAggGuards {
@@ -2125,11 +2170,22 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
     conf: Configuration, filters: Array[Filter], limit: Int = -1,
     topN: Option[(String, Boolean, Int)] = None,
     partCols: Set[String] = Set.empty,
-    skipOnly: Array[ColeOrSkip] = Array.empty) extends Scan with Batch
+    skipOnly: Array[ColeOrSkip] = Array.empty,
+    /** Time travel: a pinned file set from [[ColeVersions.snapshotInfos]]
+      * replaces the live listing everywhere this scan consults file
+      * metadata. Stats/limit/topN skipping work unchanged (they are
+      * per-footer); bucket pruning and key-grouped reporting are OFF (the
+      * layout sidecars describe the CURRENT table, not the snapshot).
+      */
+    snapshot: Option[Seq[ColeMetaCache.FileInfo]] = None)
+    extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning {
 
   private val hconf = new ColeHadoopConf(conf)
+
+  private def tableInfos: Seq[ColeMetaCache.FileInfo] =
+    snapshot.getOrElse(ColeMetaCache.infos(path, conf))
 
   /** Hive-layout partition keys in directory-nesting order, with their
     * inferred types — the scan's reported clustering. A table partitioned
@@ -2139,7 +2195,7 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
     * fact-fact join from a full-corpus shuffle into zero.
     */
   private lazy val partKeySchema: Seq[(String, String)] =
-    ColeMetaCache.partitionSchema(ColeMetaCache.infos(path, conf))
+    ColeMetaCache.partitionSchema(tableInfos)
 
   private[cole] def partKeyRow(pv: Array[(String, String)]): InternalRow = {
     val m = pv.toMap
@@ -2162,28 +2218,28 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
     * just can't resolve the transform and falls back to shuffling.
     */
   private lazy val bucketSpec: Option[(Int, Seq[String])] =
-    ColeBucket.readSpec(path, conf)
+    if (snapshot.isDefined) None else ColeBucket.readSpec(path, conf)
 
   /** Synthetic-key derivation (bucketKey layouts): lets composite point
     * lookups prune buckets from equality on the SOURCE key tuple, with
     * no reference to the stored synth column.
     */
   private lazy val bucketDerive: Option[(String, Seq[String])] =
-    ColeBucket.readDerivation(path, conf)
+    if (snapshot.isDefined) None else ColeBucket.readDerivation(path, conf)
 
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
     bucketSpec match {
       case Some((n, cs)) if partKeySchema.map(_._1) == Seq(ColeBucket.DirKey) =>
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
           Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(n, cs: _*)),
-          ColeMetaCache.infos(path, conf).map(_.partValues).distinct.size)
+          tableInfos.map(_.partValues).distinct.size)
       case _ =>
         if (partKeySchema.isEmpty)
           new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
         else new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
           partKeySchema.map(k =>
             org.apache.spark.sql.connector.expressions.Expressions.identity(k._1)).toArray,
-          ColeMetaCache.infos(path, conf).map(_.partValues).distinct.size)
+          tableInfos.map(_.partValues).distinct.size)
     }
 
   override def readSchema(): StructType = required
@@ -2309,7 +2365,7 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
         case (a, b) => a.orElse(b)
       }).map(_.map(_.toString))
     }
-    val survivors = ColeMetaCache.infos(path, conf).filter(i => fileKeep(i.path)).flatMap { info =>
+    val survivors = tableInfos.filter(i => fileKeep(i.path)).flatMap { info =>
       val pv = info.partValues.toMap
       if (bucketKeep.exists(ks =>
           !pv.get(ColeBucket.DirKey).exists(ks.contains))) Seq.empty
@@ -2445,14 +2501,18 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
     new ColeReaderFactory(required, hconf)
 
   override def toMicroBatchStream(checkpointLocation: String):
-      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(snapshot.isEmpty,
+      "versionAsOf/timestampAsOf is a batch read option: a stream tails " +
+        "the live table, not a pinned snapshot")
     new ColeMicroBatchStream(this, path, conf, checkpointLocation)
+  }
 
   /** CBO/AQE may ask repeatedly; totals are computed once per scan from
     * the footer cache (listing only, no footer re-reads on hits).
     */
   private lazy val tableTotals: (Long, Long) = {
-    val infos = ColeMetaCache.infos(path, conf)
+    val infos = tableInfos
     (infos.map(_.len).sum, infos.map(_.meta.totalRows).sum)
   }
 
@@ -2474,7 +2534,7 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
       org.apache.spark.sql.connector.expressions.NamedReference,
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
     import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
-    val infos = ColeMetaCache.infos(path, conf)
+    val infos = tableInfos
     val out = new java.util.HashMap[
       org.apache.spark.sql.connector.expressions.NamedReference, ColumnStatistics]()
     def stat(ndv: Option[Long], mn: Option[Any], mx: Option[Any],
@@ -3095,6 +3155,12 @@ class ColeBatchWrite(schema: StructType, path: String, rowGroupSize: Int,
     bucketDerive: Option[(String, Seq[String])] = None)
     extends BatchWrite {
 
+  // versioning bookkeeping (no-ops on unversioned tables): files the
+  // truncate/overwrite paths retired, rolled back on abort, recorded
+  // with the adds at commit
+  private val retired = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+  private val retireStamp = java.lang.Long.toHexString(System.nanoTime())
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     // validate the schema (and the partition columns) eagerly on the driver
     ColeUtil.toColeColumns(schema)
@@ -3126,7 +3192,8 @@ class ColeBatchWrite(schema: StructType, path: String, rowGroupSize: Int,
     if (!fs.exists(dir)) fs.mkdirs(dir)
     if (truncate)
       ColeIO.listPartitioned(path, conf).foreach { case (s, _) =>
-        fs.delete(s.getPath, false)
+        retired ++= ColeVersions.retireOrDelete(fs, path, conf,
+          s.getPath.toString, retireStamp)
       }
     // static-partition OVERWRITE: drop files of exactly the matching
     // partitions before any new data lands; the rest of the table is
@@ -3138,7 +3205,8 @@ class ColeBatchWrite(schema: StructType, path: String, rowGroupSize: Int,
         val pv = parts.toMap
         if (preds.forall(p => pv.get(p.column).exists(
             ColePredicate.partitionKeeps(p, _)))) {
-          fs.delete(st.getPath, false)
+          retired ++= ColeVersions.retireOrDelete(fs, path, conf,
+            st.getPath.toString, retireStamp)
           fs.delete(new org.apache.hadoop.fs.Path(
             ColeBloomIndex.sidecarPath(st.getPath.toString)), false)
         }
@@ -3153,7 +3221,12 @@ class ColeBatchWrite(schema: StructType, path: String, rowGroupSize: Int,
       partCols, bucketSpec, bucketDerive)
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val newFiles = messages.flatMap {
+      case ColeCommitMessage(fs0) => fs0
+      case _ => Seq.empty
+    }
+    val (fs, _) = ColeIO.resolve(path, conf)
     if (dynamicOverwrite) {
       // replace exactly the partitions the new data landed in: per
       // touched directory, the pre-existing .col files (everything NOT
@@ -3161,11 +3234,6 @@ class ColeBatchWrite(schema: StructType, path: String, rowGroupSize: Int,
       // never listed. Readers concurrent with the swap can transiently
       // see old+new (same non-atomic window as truncate); ColeCompact's
       // 2-phase manifest is the crash-safe pattern where that matters.
-      val newFiles = messages.flatMap {
-        case ColeCommitMessage(fs0) => fs0
-        case _ => Seq.empty
-      }
-      val (fs, _) = ColeIO.resolve(path, conf)
       val newByDir = newFiles.map { f =>
         val (_, p) = ColeIO.resolve(f, conf)
         val q = fs.makeQualified(p)
@@ -3177,20 +3245,33 @@ class ColeBatchWrite(schema: StructType, path: String, rowGroupSize: Int,
           .filter(st => st.isFile && st.getPath.getName.endsWith(".col") &&
             !keep.contains(st.getPath.getName))
           .foreach { st =>
-            fs.delete(st.getPath, false)
+            retired ++= ColeVersions.retireOrDelete(fs, path, conf,
+              st.getPath.toString, retireStamp)
             fs.delete(new org.apache.hadoop.fs.Path(
               ColeBloomIndex.sidecarPath(st.getPath.toString)), false)
           }
       }
     }
+    val op =
+      if (truncate || dynamicOverwrite || overwriteFilters.nonEmpty) "overwrite"
+      else "append"
+    ColeVersions.commitIfEnabled(path, conf, op,
+      newFiles.toSeq.map(f => ColeVersions.relOf(fs, path, f)), retired.toSeq)
+  }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
     messages.collect { case ColeCommitMessage(fs0) =>
       fs0.foreach { f =>
         val (fs, p) = ColeIO.resolve(f, conf)
         fs.delete(p, false)
       }
     }
+    // roll a versioned truncate/overwrite back: retired files return to
+    // their live paths, the table is byte-identical to before the job
+    val (fs, _) = ColeIO.resolve(path, conf)
+    retired.foreach(ColeVersions.unretire(fs, path, _))
+    retired.clear()
+  }
 }
 
 class ColeWriterFactory(schema: StructType, path: String, rowGroupSize: Int,
@@ -3950,6 +4031,12 @@ class ColeStreamingWrite(schema: StructType, path: String, rowGroupSize: Int,
     fs.delete(entry, false) // epoch replay converges to the same entry
     if (!fs.rename(tmp, entry))
       throw new java.io.IOException(s"epoch $epochId: manifest rename failed")
+    // versioned tables: one version per epoch. A REPLAYED epoch re-adds
+    // the same relative paths — the snapshot fold is a set, so the
+    // replayed record is a harmless no-op delta (content converged to
+    // the same epoch-deterministic files)
+    ColeVersions.commitIfEnabled(path, conf, s"epoch-$epochId",
+      finals.toSeq.map(f => ColeVersions.relOf(fs, path, f)), Seq.empty)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =

@@ -148,6 +148,10 @@ object ColeDelete {
       rewrites.filterNot(i => noop.contains(i.path))
         .map(i => (i, rewritten.get(i.path)))
     val byDir = swapFiles.groupBy { case (i, _) => new HPath(i.path).getParent }
+    // versioning bookkeeping (no-ops on unversioned tables): one commit
+    // record for the whole DELETE, written after every directory swapped
+    val verAdds = scala.collection.mutable.ArrayBuffer.empty[String]
+    val verRemoves = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     byDir.toSeq.sortBy(_._1.toString).foreach { case (dir, files) =>
       // concurrent-write race check: every file this delete decided over
       // must still be exactly the bytes the decision read. Abort BEFORE
@@ -177,12 +181,13 @@ object ColeDelete {
       newNames.foreach { n =>
         require(fs.rename(new HPath(scratch, n), new HPath(dir, n)),
           s"rename failed for $scratch/$n")
+        verAdds += ColeVersions.relOf(fs, table, new HPath(dir, n).toString)
       }
       val indexedCols = files.flatMap { case (i, _) =>
         ColeBloomIndex.indexedColumns(i.path, conf) }.distinct
       files.foreach { case (i, _) =>
-        fs.delete(new HPath(i.path), false)
         fs.delete(new HPath(ColeBloomIndex.sidecarPath(i.path)), false)
+        verRemoves ++= ColeVersions.retireOrDelete(fs, table, conf, i.path, stamp)
       }
       fs.delete(scratch, true)
       fs.delete(ColeCompact.manifestPath(dir), false)
@@ -190,6 +195,9 @@ object ColeDelete {
         ColeBloomIndex.build(dir.toString, indexedCols, conf)
     }
     dropScratch() // dirs whose every rewrite was a no-op never swapped
+    if (verAdds.nonEmpty || verRemoves.nonEmpty)
+      ColeVersions.commitIfEnabled(table, conf, "delete",
+        verAdds.toSeq, verRemoves.toSeq)
 
     // if the delete emptied the table, persist the schema sidecar so the
     // table still resolves (files are the usual source of truth)

@@ -169,19 +169,38 @@ object ColeMetaCache {
     val statuses = ColeIO.listPartitioned(table, conf)
     import scala.collection.parallel.CollectionConverters._
     statuses.par.map { case (st, parts) =>
-      val key = st.getPath.toString
-      val (mtime, len) = (st.getModificationTime, st.getLen)
-      val meta = cache.get(key) match {
-        case Some((m1, l1, m)) if m1 == mtime && l1 == len => m
-        case _ =>
-          footerReads.incrementAndGet()
-          val r = new ColeFileReader(key, conf)
-          val m = try r.meta finally r.close()
-          cache.put(key, (mtime, len, m))
-          m
-      }
-      FileInfo(key, len, mtime, meta, parts)
+      infoOf(st.getPath.toString, st.getModificationTime, st.getLen, parts, conf)
     }.seq.toSeq
+  }
+
+  /** Footer-backed infos for an EXPLICIT file list with caller-supplied
+    * partition values — how a time-travel scan plans a pinned snapshot
+    * whose files may live at retired physical paths (the hive meaning of
+    * each file comes from its original relative path, not its current
+    * location). Same cache, same parallel miss loading.
+    */
+  def infosAt(files: Seq[(String, Seq[(String, String)])],
+      conf: Configuration): Seq[FileInfo] = {
+    import scala.collection.parallel.CollectionConverters._
+    files.par.map { case (path, parts) =>
+      val (fs, p) = ColeIO.resolve(path, conf)
+      val st = fs.getFileStatus(p) // FileNotFoundException → caller's loud error
+      infoOf(path, st.getModificationTime, st.getLen, parts, conf)
+    }.seq.toSeq
+  }
+
+  private def infoOf(key: String, mtime: Long, len: Long,
+      parts: Seq[(String, String)], conf: Configuration): FileInfo = {
+    val meta = cache.get(key) match {
+      case Some((m1, l1, m)) if m1 == mtime && l1 == len => m
+      case _ =>
+        footerReads.incrementAndGet()
+        val r = new ColeFileReader(key, conf)
+        val m = try r.meta finally r.close()
+        cache.put(key, (mtime, len, m))
+        m
+    }
+    FileInfo(key, len, mtime, meta, parts)
   }
 
   /** Partition schema inferred from the listing: the first file's key

@@ -333,10 +333,16 @@ class ColeReplaceWrite(op: ColeRowLevelOperation, schema: StructType,
       require(fs.rename(new HPath(f), new HPath(finalOf(f))),
         s"replace-commit rename failed: $f")
     }
-    replaced.foreach { case (p, _, _) =>
-      fs.delete(new HPath(p), false)
+    val stamp = java.lang.Long.toHexString(System.nanoTime())
+    val verRemoves = replaced.flatMap { case (p, _, _) =>
       fs.delete(new HPath(ColeBloomIndex.sidecarPath(p)), false)
+      ColeVersions.retireOrDelete(fs, path, conf, p, stamp)
     }
+    if (newDotted.nonEmpty || verRemoves.nonEmpty)
+      ColeVersions.commitIfEnabled(path, conf,
+        op.command().toString.toLowerCase,
+        newDotted.toSeq.map(f => ColeVersions.relOf(fs, path, finalOf(f))),
+        verRemoves)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -1,0 +1,371 @@
+package graft.sources.cole
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+/** Opt-in snapshot versioning for COLE tables: a commit log that turns
+  * the log-less directory layout into a versioned table with TIME TRAVEL
+  * (`versionAsOf` / `timestampAsOf` read options), history, rollback,
+  * and TTL-based retired-file vacuum — the warehouse rung above round
+  * 8's row-level DML (a table that can be mutated needs an answer to
+  * "what did it hold before the mutation?").
+  *
+  * Design (additive — a table without `_cole_versions/` behaves exactly
+  * as before, and no read/write path pays anything for the feature):
+  *
+  *   - Every committed mutation (append, truncate/overwrite, row-level
+  *     DELETE/UPDATE/MERGE, compaction, streaming epoch, rollback)
+  *     appends ONE record `_cole_versions/v<seq>` listing the files it
+  *     ADDED and the files it REMOVED, both as table-relative paths.
+  *     Records are created with `create(overwrite = false)` — an
+  *     exclusive create, so two concurrent committers CAS on the
+  *     sequence number and the loser just retries with the next one.
+  *     A terminal `end` line marks the record complete; readers treat a
+  *     record without it as in-flight.
+  *   - Removal never deletes when versioning is on: the live file is
+  *     RENAMED under `_cole_versions/retired/<stamp>/<relative path>`
+  *     (bytes untouched — rename, not copy), and the record stores the
+  *     mapping. Current-version readers never see it (listings match
+  *     only `*.col` outside dotted/underscore directories); time-travel
+  *     readers resolve a version's file either at its live path (never
+  *     removed since) or at the retired path of its FIRST removal after
+  *     that version.
+  *   - Version N's file set is the in-order fold of records 1..N
+  *     (removes before adds within a record — rollback re-adds a path it
+  *     retires in the same commit). Reconstruction is O(log size), not
+  *     O(table size): records hold per-commit deltas.
+  *
+  * Crash notes: the version record goes durable AFTER its mutation's
+  * swap completes, so a crash inside the swap window can lose the
+  * record (the next [[audit]] reports the drift), and a crash-recovery
+  * roll-forward ([[ColeCompact.recover]]) deletes rather than retires —
+  * time travel to a version whose file was lost that way fails loudly
+  * at planning, never silently returns partial data.
+  *
+  * At 100 TB: commits are rare relative to reads, records are KB-scale
+  * deltas, and retiring is a metadata rename — the cost of keeping every
+  * version is exactly the storage of the rewritten-away bytes, bounded
+  * by [[vacuumRetired]]'s TTL, the same contract as Delta/Iceberg
+  * VACUUM.
+  */
+object ColeVersions {
+
+  val DirName = "_cole_versions"
+  private val RetiredName = "retired"
+
+  final case class Record(version: Long, ts: Long, op: String,
+      adds: Seq[String], removes: Seq[(String, String)])
+
+  private def vdir(table: String): HPath = new HPath(table, DirName)
+  private def retiredDir(table: String): HPath =
+    new HPath(vdir(table), RetiredName)
+
+  def enabled(table: String, conf: Configuration): Boolean = {
+    val (fs, _) = ColeIO.resolve(table, conf)
+    fs.exists(vdir(table))
+  }
+
+  /** Turn versioning on: creates the log directory and commits a
+    * `baseline` record adding every currently-live file, so version 1 is
+    * the table as of enablement. Idempotent (no-op when already on).
+    * Returns the current version.
+    */
+  def enable(table: String, conf: Configuration): Long = {
+    val (fs, root) = ColeIO.resolve(table, conf)
+    if (!fs.exists(root)) fs.mkdirs(root)
+    if (fs.exists(vdir(table))) return currentVersion(table, conf)
+    fs.mkdirs(retiredDir(table))
+    val live = ColeIO.listPartitioned(table, conf)
+      .map { case (st, _) => relOf(fs, table, st.getPath.toString) }
+    writeRecord(fs, table, "baseline", live, Seq.empty)
+  }
+
+  /** Table-relative path of an absolute file path (partition
+    * subdirectories included).
+    */
+  def relOf(fs: FileSystem, table: String, abs: String): String = {
+    val rootQ = fs.makeQualified(new HPath(table)).toString
+    val absQ = fs.makeQualified(new HPath(abs)).toString
+    require(absQ.startsWith(rootQ + "/"),
+      s"$abs is not under table root $table")
+    absQ.substring(rootQ.length + 1)
+  }
+
+  /** Retire a live data file (versioning on) or delete it (versioning
+    * off). Returns the (rel, retiredRel) record entry when retired.
+    * The caller groups one `stamp` per commit so a rel path retired
+    * twice across the table's life never collides.
+    */
+  def retireOrDelete(fs: FileSystem, table: String, conf: Configuration,
+      abs: String, stamp: String): Option[(String, String)] =
+    if (!enabled(table, conf)) { fs.delete(new HPath(abs), false); None }
+    else {
+      val rel = relOf(fs, table, abs)
+      val dst = new HPath(new HPath(retiredDir(table), stamp), rel)
+      fs.mkdirs(dst.getParent)
+      require(fs.rename(new HPath(abs), dst), s"retire rename failed: $abs")
+      Some(rel -> s"$RetiredName/$stamp/$rel")
+    }
+
+  /** Roll a [[retireOrDelete]] back (write-job abort before its commit
+    * record went durable): the retired file returns to its live path.
+    */
+  def unretire(fs: FileSystem, table: String,
+      entry: (String, String)): Unit = {
+    val (rel, retiredRel) = entry
+    val src = new HPath(vdir(table).getParent, s"$DirName/$retiredRel")
+    val dst = new HPath(table, rel)
+    fs.mkdirs(dst.getParent)
+    require(fs.rename(src, dst), s"unretire rename failed: $retiredRel")
+  }
+
+  /** Append a commit record when versioning is on; no-op (None) when
+    * off. `adds`/`removes` are table-relative.
+    */
+  def commitIfEnabled(table: String, conf: Configuration, op: String,
+      adds: Seq[String], removes: Seq[(String, String)]): Option[Long] = {
+    if (!enabled(table, conf)) return None
+    val (fs, _) = ColeIO.resolve(table, conf)
+    Some(writeRecord(fs, table, op, adds, removes))
+  }
+
+  private def recordName(seq: Long): String = f"v$seq%012d"
+
+  private def seqOf(name: String): Option[Long] =
+    if (name.startsWith("v")) name.drop(1).toLongOption else None
+
+  // same-JVM committers serialize per table: HDFS-class filesystems make
+  // create(overwrite = false) atomic across processes, but the local
+  // filesystem's is check-then-act — without this lock two threads in
+  // one driver could both win the same sequence number
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def writeRecord(fs: FileSystem, table: String, op: String,
+      adds: Seq[String], removes: Seq[(String, String)]): Long =
+    tableLocks.computeIfAbsent(
+      fs.makeQualified(new HPath(table)).toString, _ => new Object)
+      .synchronized { writeRecordLocked(fs, table, op, adds, removes) }
+
+  private def writeRecordLocked(fs: FileSystem, table: String, op: String,
+      adds: Seq[String], removes: Seq[(String, String)]): Long = {
+    val dir = vdir(table)
+    val body = (Seq(s"ts:${System.currentTimeMillis()}", s"op:$op") ++
+      removes.map { case (r, t) => s"rm:$r|$t" } ++
+      adds.map("add:" + _) :+ "end").mkString("\n")
+      .getBytes(StandardCharsets.UTF_8)
+    var attempt = 0
+    while (attempt < 1000) {
+      val seq = maxSeq(fs, table) + 1
+      try {
+        // exclusive create IS the CAS: two committers racing on the same
+        // sequence number — only one create succeeds, the loser re-reads
+        // the max and retries on the next number
+        val out = fs.create(new HPath(dir, recordName(seq)), false)
+        try out.write(body) finally out.close()
+        return seq
+      } catch {
+        case _: java.io.IOException => attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"could not commit version record for $table after 1000 attempts")
+  }
+
+  private def maxSeq(fs: FileSystem, table: String): Long =
+    fs.listStatus(vdir(table)).iterator
+      .flatMap(s => seqOf(s.getPath.getName)).maxOption.getOrElse(0L)
+
+  def currentVersion(table: String, conf: Configuration): Long = {
+    val (fs, _) = ColeIO.resolve(table, conf)
+    require(fs.exists(vdir(table)), s"versioning is not enabled on $table")
+    maxSeq(fs, table)
+  }
+
+  /** All complete records in sequence order. An in-flight record (no
+    * terminal `end` yet) at the TAIL is ignored; a torn record below the
+    * tail fails loudly (history must not silently skip a delta).
+    */
+  def records(table: String, conf: Configuration): Seq[Record] = {
+    val (fs, _) = ColeIO.resolve(table, conf)
+    require(fs.exists(vdir(table)), s"versioning is not enabled on $table")
+    val names = fs.listStatus(vdir(table))
+      .flatMap(s => seqOf(s.getPath.getName).map(_ -> s.getPath))
+      .sortBy(_._1).toSeq
+    val parsed = names.map { case (seq, p) =>
+      val in = fs.open(p)
+      val lines = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        .split('\n').toSeq
+      finally in.close()
+      val complete = lines.lastOption.contains("end")
+      def tagged(tag: String): Seq[String] =
+        lines.filter(_.startsWith(tag + ":")).map(_.drop(tag.length + 1))
+      (seq, complete, Record(seq,
+        tagged("ts").headOption.flatMap(_.toLongOption).getOrElse(0L),
+        tagged("op").headOption.getOrElse("?"),
+        tagged("add"),
+        tagged("rm").map { l =>
+          val i = l.indexOf('|'); (l.substring(0, i), l.substring(i + 1))
+        }))
+    }
+    // drop in-flight tail records; any incomplete record BELOW a complete
+    // one is corruption, not an in-flight commit
+    val lastComplete = parsed.filter(_._2).map(_._1).maxOption.getOrElse(0L)
+    parsed.foreach { case (seq, complete, _) =>
+      require(complete || seq > lastComplete,
+        s"torn version record v$seq in $table (crash during commit?)")
+    }
+    parsed.filter(_._2).map(_._3)
+  }
+
+  /** Resolve `versionAsOf` / `timestampAsOf` to a concrete version. */
+  def resolveAsOf(table: String, conf: Configuration,
+      versionAsOf: Option[Long], timestampAsOf: Option[Long]): Long = {
+    require(versionAsOf.isEmpty || timestampAsOf.isEmpty,
+      "specify versionAsOf or timestampAsOf, not both")
+    val recs = records(table, conf)
+    versionAsOf match {
+      case Some(v) =>
+        require(recs.exists(_.version == v),
+          s"version $v does not exist on $table " +
+            s"(history: ${recs.headOption.map(_.version).getOrElse(0L)}.." +
+            s"${recs.lastOption.map(_.version).getOrElse(0L)})")
+        v
+      case None =>
+        val ts = timestampAsOf.getOrElse(
+          throw new IllegalArgumentException(
+            "time travel needs versionAsOf or timestampAsOf"))
+        recs.filter(_.ts <= ts).map(_.version).maxOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"no version of $table at or before timestamp $ts"))
+    }
+  }
+
+  /** The file set at `version`: (table-relative original path, absolute
+    * physical path today). A file never removed since still lives at its
+    * original path; a removed one resolves at the retired path of its
+    * FIRST removal after `version` (an earlier removal of the same name
+    * was a previous incarnation).
+    */
+  def snapshotAt(table: String, conf: Configuration,
+      version: Long): Seq[(String, String)] = {
+    val recs = records(table, conf)
+    require(recs.exists(_.version == version),
+      s"version $version does not exist on $table")
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    recs.filter(_.version <= version).foreach { r =>
+      r.removes.foreach { case (rel, _) => live -= rel }
+      r.adds.foreach(live += _)
+    }
+    val laterRemovals: Map[String, String] = recs
+      .filter(_.version > version)
+      .flatMap(r => r.removes.map { case (rel, t) => (rel, t) })
+      .groupBy(_._1).view.mapValues(_.head._2).toMap // first removal wins
+    val (fs, _) = ColeIO.resolve(table, conf)
+    live.toSeq.map { rel =>
+      val phys = laterRemovals.get(rel) match {
+        case Some(retiredRel) =>
+          fs.makeQualified(new HPath(vdir(table), retiredRel)).toString
+        case None => fs.makeQualified(new HPath(table, rel)).toString
+      }
+      (rel, phys)
+    }
+  }
+
+  /** Footer-backed [[ColeMetaCache.FileInfo]]s for a snapshot, partition
+    * values parsed from the ORIGINAL relative path (a retired file keeps
+    * its hive `key=value` meaning wherever its bytes now sit). Fails
+    * loudly when a version's file is gone (vacuumed, or lost to a
+    * crash-recovery roll-forward).
+    */
+  def snapshotInfos(table: String, conf: Configuration,
+      version: Long): Seq[ColeMetaCache.FileInfo] = {
+    val files = snapshotAt(table, conf, version).map { case (rel, phys) =>
+      val parts = rel.split('/').dropRight(1).toSeq.flatMap { seg =>
+        seg.split("=", 2) match {
+          case Array(k, v) if k.nonEmpty => Some(k -> ColeIO.unescape(v))
+          case _ => None
+        }
+      }
+      (phys, parts)
+    }
+    try ColeMetaCache.infosAt(files, conf)
+    catch {
+      case e: java.io.FileNotFoundException =>
+        throw new IllegalStateException(
+          s"version $version of $table is no longer readable: ${e.getMessage} " +
+            "(retired file vacuumed, or lost to crash recovery)", e)
+    }
+  }
+
+  /** Log-vs-disk drift check: (in the log but not on disk, on disk but
+    * not in the log), both table-relative. Non-empty means a commit's
+    * record was lost (crash inside the swap window) or files were
+    * mutated outside the connector.
+    */
+  def audit(table: String, conf: Configuration): (Seq[String], Seq[String]) = {
+    val (fs, _) = ColeIO.resolve(table, conf)
+    val logged = snapshotAt(table, conf, currentVersion(table, conf))
+      .map(_._1).toSet
+    val actual = ColeIO.listPartitioned(table, conf)
+      .map { case (st, _) => relOf(fs, table, st.getPath.toString) }.toSet
+    ((logged -- actual).toSeq.sorted, (actual -- logged).toSeq.sorted)
+  }
+
+  /** Restore the table to `version` as a NEW commit (history is
+    * append-only — the rolled-over versions stay readable): files live
+    * now but absent then retire; files retired since COPY back to their
+    * original paths (copy, not rename — the retired bytes keep backing
+    * the older versions that reference them).
+    */
+  def rollback(table: String, conf: Configuration, version: Long): Long = {
+    val (fs, _) = ColeIO.resolve(table, conf)
+    val target = snapshotAt(table, conf, version)
+    val current = snapshotAt(table, conf, currentVersion(table, conf))
+    val targetRels = target.map(_._1).toSet
+    val currentRels = current.map(_._1).toSet
+    val stamp = java.lang.Long.toHexString(System.nanoTime())
+    val removes = current.collect {
+      case (rel, phys) if !targetRels.contains(rel) ||
+          target.exists { case (r, p) => r == rel && p != phys } =>
+        retireOrDelete(fs, table, conf, phys, stamp).get
+    }
+    val adds = target.collect {
+      case (rel, phys) if !currentRels.contains(rel) ||
+          removes.exists(_._1 == rel) =>
+        val dst = new HPath(table, rel)
+        fs.mkdirs(dst.getParent)
+        org.apache.hadoop.fs.FileUtil.copy(fs, new HPath(phys), fs, dst,
+          false, true, fs.getConf)
+        rel
+    }
+    writeRecord(fs, table, "rollback", adds, removes)
+  }
+
+  /** TTL vacuum of retired bytes: versions whose files were removed
+    * before the cutoff are declared expired — their retired files
+    * delete, and time travel to them fails loudly thereafter. Live data
+    * and younger retired files are never touched. Returns files deleted.
+    */
+  def vacuumRetired(table: String, conf: Configuration,
+      olderThanMs: Long): Int = {
+    val (fs, _) = ColeIO.resolve(table, conf)
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    var removed = 0
+    records(table, conf).filter(_.ts < cutoff).foreach { r =>
+      r.removes.foreach { case (_, retiredRel) =>
+        val p = new HPath(vdir(table), retiredRel)
+        if (fs.exists(p)) { fs.delete(p, false); removed += 1 }
+      }
+    }
+    // sweep now-empty stamp directories so the retired tree stays tidy
+    val rdir = retiredDir(table)
+    if (fs.exists(rdir)) fs.listStatus(rdir).foreach { st =>
+      if (st.isDirectory && !fs.listFiles(st.getPath, true).hasNext)
+        fs.delete(st.getPath, true)
+    }
+    removed
+  }
+}
