@@ -973,6 +973,69 @@ object ColeSuite {
               FROM lineitem WHERE l_returnflag <> 'R' GROUP BY l_returnflag
               ORDER BY src, l_returnflag""")),
 
+    // #142 incremental change feed (ColeVersions.changedFiles): the batch
+    // twin of the tailing streaming source — `changesFrom`/`changesTo`
+    // read options serve exactly the rows that ARRIVED in a version
+    // range, resolving later-compacted files at their retired paths, and
+    // refusing row-level DML ranges loudly. The nightly-pipeline shape:
+    // process only what landed since the version you last handled.
+    Q("cole_changefeed", (s, d) => {
+      val wh = "/tmp/graft_cole/warehouse"
+      val ns = s"v${writerFingerprint}_cdc_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val dir = s"$wh/$ns/li"
+      writeOnce(dir) {
+        val src = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_returnflag")
+        src.filter(col("l_orderkey") % 3 === 0)
+          .write.format("cole").mode("overwrite").save(dir)
+        graft.sources.cole.ColeVersions.enable(dir,
+          graft.sources.cole.ColeIO.driverConf()) // v1 = baseline
+        src.filter(col("l_orderkey") % 3 === 1)
+          .write.format("cole").mode("append").save(dir) // v2
+        src.filter(col("l_orderkey") % 3 === 2)
+          .write.format("cole").mode("append").save(dir) // v3
+      }
+      s.read.format("cole")
+        .option("changesFrom", "1").option("changesTo", "3").load(dir)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("l_linenumber").as("sum_line"),
+          min("l_orderkey").as("mn_key"))
+        .orderBy("l_returnflag")
+    },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+                CAST(SUM(l_linenumber) AS BIGINT) AS sum_line,
+                MIN(l_orderkey) AS mn_key
+              FROM lineitem WHERE l_orderkey % 3 <> 0
+              GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // #143 ALTER TABLE DROP COLUMN (metadata-only): the name leaves the
+    // resolved schema via the _tablespec dropped-list — no data file is
+    // rewritten (byte-identity spec'd in ColeCatalogSpec), stale values
+    // cannot resurrect (re-ADD and path-append of the name are rejected).
+    // At 100 TB, dropping a column must not cost a table-sized IO pass.
+    Q("cole_drop_column", (s, d) => {
+      val wh = "/tmp/graft_cole/warehouse"
+      s.conf.set("spark.sql.catalog.cole", "graft.sources.cole.ColeCatalog")
+      s.conf.set("spark.sql.catalog.cole.warehouse", wh)
+      val ns = s"v${writerFingerprint}_drop_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val dir = s"$wh/$ns/li"
+      writeOnce(dir) {
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_partkey", "l_linenumber", "l_returnflag")
+          .write.format("cole").mode("overwrite").save(dir)
+        s.sql(s"ALTER TABLE cole.$ns.li DROP COLUMN l_partkey")
+      }
+      s.table(s"cole.$ns.li")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("l_linenumber").as("sum_line"),
+          max("l_orderkey").as("mx_key"))
+        .orderBy("l_returnflag")
+    },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+                CAST(SUM(l_linenumber) AS BIGINT) AS sum_line,
+                MAX(l_orderkey) AS mx_key
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // #141 SQL MERGE INTO (graft.sources.cole.ColeRowLevelOperation): the
     // upsert every CDC/warehouse pipeline needs — matched rows update,
     // unmatched source rows insert, in ONE group-based copy-on-write

@@ -303,16 +303,27 @@ object ColeCatalog {
   val TableSpecFile = "_tablespec"
 
   def writeTableSpec(table: String, conf: Configuration,
-      schema: StructType, partCols: Seq[String]): Unit = {
+      schema: StructType, partCols: Seq[String],
+      dropped: Seq[String] = Seq.empty): Unit = {
     val (fs, p) = ColeIO.resolve(s"$table/$TableSpecFile", conf)
     val out = fs.create(p, true)
-    try out.write(s"1\n${schema.json}\n${partCols.mkString(",")}\n"
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(
+      s"1\n${schema.json}\n${partCols.mkString(",")}\n${dropped.mkString(",")}\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
 
   def readTableSpec(table: String,
-      conf: Configuration): Option[(StructType, Seq[String])] = {
+      conf: Configuration): Option[(StructType, Seq[String])] =
+    readTableSpecFull(table, conf).map { case (s, p, _) => (s, p) }
+
+  /** (declared schema, partition columns, DROPPED column names). Dropped
+    * columns may still sit in old file footers — resolution excludes
+    * them, and re-adding a dropped name is rejected (the stale stored
+    * values would silently resurrect).
+    */
+  def readTableSpecFull(table: String, conf: Configuration)
+      : Option[(StructType, Seq[String], Seq[String])] = {
     val (fs, p) = ColeIO.resolve(s"$table/$TableSpecFile", conf)
     if (!fs.exists(p)) None
     else {
@@ -322,12 +333,16 @@ object ColeCatalog {
       val lines = txt.split('\n')
       require(lines.length >= 2 && lines(0) == "1", s"unreadable $TableSpecFile at $table")
       val schema = DataType.fromJson(lines(1)).asInstanceOf[StructType]
-      val partCols =
-        if (lines.length < 3 || lines(2).isEmpty) Seq.empty[String]
-        else lines(2).split(',').toSeq
-      Some((schema, partCols))
+      def csv(i: Int): Seq[String] =
+        if (lines.length <= i || lines(i).isEmpty) Seq.empty
+        else lines(i).split(',').toSeq
+      Some((schema, csv(2), csv(3)))
     }
   }
+
+  /** Dropped column names of a table (empty without a sidecar). */
+  def droppedColumns(table: String, conf: Configuration): Seq[String] =
+    readTableSpecFull(table, conf).map(_._3).getOrElse(Seq.empty)
 }
 
 class ColeCatalog extends TableCatalog with FunctionCatalog with SupportsNamespaces {
@@ -381,7 +396,11 @@ class ColeCatalog extends TableCatalog with FunctionCatalog with SupportsNamespa
           case _ => StringType
         }, nullable = false)
       }
+    // ALTER TABLE DROP COLUMN is metadata-only: old footers still carry
+    // the column, resolution excludes it
+    val dropped = ColeCatalog.droppedColumns(path, conf).toSet
     val fileFields = ColeUtil.toSparkSchemaOf(infos).fields.toSeq
+      .filterNot(f => dropped.contains(f.name))
     // ALTER TABLE ADD COLUMN before any data carries it: the _tablespec
     // holds declared-but-not-yet-written columns — surface them (nullable;
     // reads NULL-backfill through the schema-evolution machinery) between
@@ -390,7 +409,7 @@ class ColeCatalog extends TableCatalog with FunctionCatalog with SupportsNamespa
     val declaredExtras = ColeCatalog.readTableSpec(path, conf).toSeq
       .flatMap(_._1.fields)
       .filterNot(f => fileFields.exists(_.name == f.name) ||
-        partFields.exists(_.name == f.name))
+        partFields.exists(_.name == f.name) || dropped.contains(f.name))
       .map(_.copy(nullable = true))
     val schema = StructType(fileFields ++ declaredExtras ++ partFields)
     new ColeTable(schema, partFields.map(_.name),
@@ -495,7 +514,8 @@ class ColeCatalog extends TableCatalog with FunctionCatalog with SupportsNamespa
       case s if s.nonEmpty => s
       case _ => ColeCatalog.readTableSpec(path, conf).map(_._2).getOrElse(Seq.empty)
     }
-    val added = changes.map {
+    val alreadyDropped = ColeCatalog.droppedColumns(path, conf)
+    val added = changes.collect {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           "COLE supports only top-level ADD COLUMN (no nested fields)")
@@ -504,18 +524,55 @@ class ColeCatalog extends TableCatalog with FunctionCatalog with SupportsNamespa
             "rows NULL-backfill it")
         require(!current.schema().fieldNames.contains(a.fieldNames.head),
           s"column '${a.fieldNames.head}' already exists")
+        // old footers still carry a dropped column's values: re-adding
+        // the name would silently resurrect them as live data
+        require(!alreadyDropped.contains(a.fieldNames.head),
+          s"column '${a.fieldNames.head}' was previously dropped; old " +
+            "files still store its values — pick a new name, or rewrite " +
+            "the table to purge the stored column first")
         val f = StructField(a.fieldNames.head, a.dataType, nullable = true)
         ColeUtil.toColeColumns(StructType(Seq(f))) // type supported, or loud
         f
-      case other => throw new UnsupportedOperationException(
-        s"COLE tables support ALTER TABLE ADD COLUMN only; for " +
-          s"$other rewrite the table (read-time union handles file-level evolution)")
     }
+    // ALTER TABLE DROP COLUMN: metadata-only — the name leaves the
+    // resolved schema (old footers keep the bytes, invisible), new writes
+    // no longer carry it, stats/bloom entries for it simply stop being
+    // consulted. No rewrite: at 100 TB "drop a column" must not cost a
+    // table-sized IO pass. Layout-load-bearing columns are protected.
+    val droppedNow = changes.collect {
+      case dc: TableChange.DeleteColumn =>
+        require(dc.fieldNames.length == 1,
+          "COLE supports only top-level DROP COLUMN")
+        val name = dc.fieldNames.head
+        require(current.schema().fieldNames.contains(name),
+          s"column '$name' does not exist")
+        require(!partCols.contains(name),
+          s"cannot drop partition column '$name'")
+        ColeBucket.readSpec(path, conf).foreach { case (_, cs) =>
+          require(!cs.contains(name),
+            s"cannot drop bucket column '$name': the layout routes by it") }
+        ColeBucket.readDerivation(path, conf).foreach { case (synth, srcs) =>
+          require(name != synth && !srcs.contains(name),
+            s"cannot drop '$name': the synthetic-key layout derives from it") }
+        name
+    }
+    val unsupported = changes.filterNot(c =>
+      c.isInstanceOf[TableChange.AddColumn] ||
+        c.isInstanceOf[TableChange.DeleteColumn])
+    require(unsupported.isEmpty,
+      s"COLE tables support ALTER TABLE ADD/DROP COLUMN only; for " +
+        s"${unsupported.mkString(", ")} rewrite the table (read-time union " +
+        "handles file-level evolution)")
+    val remaining = current.schema().fields
+      .filterNot(f => droppedNow.contains(f.name))
+    require(remaining.exists(f => !partCols.contains(f.name)) || added.nonEmpty,
+      "cannot drop every data column")
     // persist: data columns + new columns, partition columns kept last
-    val dataFields = current.schema().fields.filterNot(f => partCols.contains(f.name))
-    val partFields = partCols.flatMap(c => current.schema().fields.find(_.name == c))
+    val dataFields = remaining.filterNot(f => partCols.contains(f.name))
+    val partFields = partCols.flatMap(c => remaining.find(_.name == c))
     ColeCatalog.writeTableSpec(path, conf,
-      StructType(dataFields ++ added ++ partFields), partCols)
+      StructType(dataFields ++ added ++ partFields), partCols,
+      alreadyDropped ++ droppedNow)
     loadTable(ident)
   }
 

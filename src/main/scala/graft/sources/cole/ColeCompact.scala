@@ -107,10 +107,11 @@ object ColeCompact {
         // data files, and rebuild over the compacted layout
         val indexedCols = sts.flatMap(s =>
           ColeBloomIndex.indexedColumns(s._1.getPath.toString, conf)).distinct
+        val versioned = ColeVersions.enabled(table, conf)
         val verRemoves = sts.flatMap { s =>
           fs.delete(new HPath(ColeBloomIndex.sidecarPath(s._1.getPath.toString)), false)
-          ColeVersions.retireOrDelete(fs, table, conf,
-            s._1.getPath.toString, stamp)
+          ColeVersions.retireOrDelete(fs, table,
+            s._1.getPath.toString, stamp, versioned)
         }
         fs.delete(tmp, true)
         fs.delete(manifestPath(dir), false)

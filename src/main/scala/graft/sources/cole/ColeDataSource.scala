@@ -39,7 +39,8 @@ class ColeDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     // time travel infers from the SNAPSHOT's footers: a column added
     // after the requested version is absent, exactly as it was then
-    val infos = ColeUtil.timeTravelVersion(options, ColeUtil.path(options)) match {
+    val ttVersion = ColeUtil.timeTravelVersion(options, ColeUtil.path(options))
+    val infos = ttVersion match {
       case Some(v) =>
         ColeVersions.snapshotInfos(ColeUtil.path(options), ColeIO.driverConf(), v)
       case None =>
@@ -59,7 +60,15 @@ class ColeDataSource extends TableProvider with DataSourceRegister {
         case _ => StringType
       }, nullable = false)
     }
-    StructType(ColeUtil.toSparkSchemaOf(infos).fields.toSeq ++ partFields)
+    // DROP COLUMN is metadata-only: old footers still carry the column,
+    // LIVE reads exclude it (time travel keeps the snapshot's physical
+    // schema — the past had the column)
+    val dropped: Set[String] =
+      if (ttVersion.isDefined) Set.empty
+      else ColeCatalog.droppedColumns(ColeUtil.path(options),
+        ColeIO.driverConf()).toSet
+    StructType(ColeUtil.toSparkSchemaOf(infos).fields.toSeq
+      .filterNot(f => dropped.contains(f.name)) ++ partFields)
   }
 
   /** Streaming writes can't use `writeStream.partitionBy` — Spark's V2
@@ -263,13 +272,14 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
     ColeCatalog.writeTableSpec(path, conf,
       StructType(schema.filterNot(f => writePartCols.contains(f.name))
         .toArray ++ schema.filter(f => writePartCols.contains(f.name))),
-      writePartCols)
+      writePartCols, ColeCatalog.droppedColumns(path, conf))
     val (fs, _) = ColeIO.resolve(path, conf)
     val stamp = java.lang.Long.toHexString(System.nanoTime())
+    val versioned = ColeVersions.enabled(path, conf)
     val removed = ColeIO.listPartitioned(path, conf).flatMap { case (st, _) =>
       fs.delete(new org.apache.hadoop.fs.Path(
         ColeBloomIndex.sidecarPath(st.getPath.toString)), false)
-      ColeVersions.retireOrDelete(fs, path, conf, st.getPath.toString, stamp)
+      ColeVersions.retireOrDelete(fs, path, st.getPath.toString, stamp, versioned)
     }
     ColeVersions.commitIfEnabled(path, conf, "truncate", Seq.empty, removed)
     true
@@ -308,10 +318,21 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
     }
     // time travel: versionAsOf/timestampAsOf read options, or the pinned
     // version a catalog FOR VERSION AS OF load installed as a property —
-    // either way the snapshot's file set replaces the live listing
+    // either way the snapshot's file set replaces the live listing.
+    // changesFrom[/changesTo]: the incremental INSERT feed between two
+    // versions (files whose rows arrived in the range; see
+    // ColeVersions.changedFiles) — the batch twin of the tailing source.
+    val changesFrom = Option(options.get("changesFrom")).map(_.toLong)
     val snapshot = ColeUtil.timeTravelVersion(options, path)
       .orElse(properties.get("versionAsOf").map(_.toLong))
       .map(v => ColeVersions.snapshotInfos(path, conf, v))
+      .orElse(changesFrom.map { from =>
+        val to = Option(options.get("changesTo")).map(_.toLong)
+          .getOrElse(ColeVersions.currentVersion(path, conf))
+        ColeVersions.infosFor(path, conf,
+          ColeVersions.changedFiles(path, conf, from, to),
+          s"change feed ($from, $to]")
+      })
     // partition columns come from the DIRECTORY structure (key=value
     // nesting), never from "absent from footers": a column the footers
     // don't carry can also be a schema-evolution or ALTER-declared DATA
@@ -3164,6 +3185,13 @@ class ColeBatchWrite(schema: StructType, path: String, rowGroupSize: Int,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     // validate the schema (and the partition columns) eagerly on the driver
     ColeUtil.toColeColumns(schema)
+    // a DROPPED column name must not come back through a path-based append:
+    // old footers still store its former values and resolution would
+    // interleave stale and new data under one name
+    ColeCatalog.droppedColumns(path, conf).intersect(schema.fieldNames)
+      .foreach(c => throw new IllegalArgumentException(
+        s"column '$c' was dropped from this table; old files still store " +
+          "its values — pick a new name or rewrite the table"))
     partCols.foreach(c => require(schema.fieldNames.contains(c),
       s"partition column '$c' not in write schema"))
     require(partCols.size < schema.size,
@@ -3190,10 +3218,11 @@ class ColeBatchWrite(schema: StructType, path: String, rowGroupSize: Int,
     }
     val (fs, dir) = ColeIO.resolve(path, conf)
     if (!fs.exists(dir)) fs.mkdirs(dir)
+    val versioned = ColeVersions.enabled(path, conf)
     if (truncate)
       ColeIO.listPartitioned(path, conf).foreach { case (s, _) =>
-        retired ++= ColeVersions.retireOrDelete(fs, path, conf,
-          s.getPath.toString, retireStamp)
+        retired ++= ColeVersions.retireOrDelete(fs, path,
+          s.getPath.toString, retireStamp, versioned)
       }
     // static-partition OVERWRITE: drop files of exactly the matching
     // partitions before any new data lands; the rest of the table is
@@ -3205,8 +3234,8 @@ class ColeBatchWrite(schema: StructType, path: String, rowGroupSize: Int,
         val pv = parts.toMap
         if (preds.forall(p => pv.get(p.column).exists(
             ColePredicate.partitionKeeps(p, _)))) {
-          retired ++= ColeVersions.retireOrDelete(fs, path, conf,
-            st.getPath.toString, retireStamp)
+          retired ++= ColeVersions.retireOrDelete(fs, path,
+            st.getPath.toString, retireStamp, versioned)
           fs.delete(new org.apache.hadoop.fs.Path(
             ColeBloomIndex.sidecarPath(st.getPath.toString)), false)
         }
@@ -3227,6 +3256,7 @@ class ColeBatchWrite(schema: StructType, path: String, rowGroupSize: Int,
       case _ => Seq.empty
     }
     val (fs, _) = ColeIO.resolve(path, conf)
+    val versioned = ColeVersions.enabled(path, conf)
     if (dynamicOverwrite) {
       // replace exactly the partitions the new data landed in: per
       // touched directory, the pre-existing .col files (everything NOT
@@ -3245,8 +3275,8 @@ class ColeBatchWrite(schema: StructType, path: String, rowGroupSize: Int,
           .filter(st => st.isFile && st.getPath.getName.endsWith(".col") &&
             !keep.contains(st.getPath.getName))
           .foreach { st =>
-            retired ++= ColeVersions.retireOrDelete(fs, path, conf,
-              st.getPath.toString, retireStamp)
+            retired ++= ColeVersions.retireOrDelete(fs, path,
+              st.getPath.toString, retireStamp, versioned)
             fs.delete(new org.apache.hadoop.fs.Path(
               ColeBloomIndex.sidecarPath(st.getPath.toString)), false)
           }
@@ -3968,6 +3998,10 @@ class ColeStreamingWrite(schema: StructType, path: String, rowGroupSize: Int,
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     ColeUtil.toColeColumns(schema)
+    ColeCatalog.droppedColumns(path, conf).intersect(schema.fieldNames)
+      .foreach(c => throw new IllegalArgumentException(
+        s"column '$c' was dropped from this table; old files still store " +
+          "its values — pick a new name or rewrite the table"))
     partCols.foreach(c => require(schema.fieldNames.contains(c),
       s"partition column '$c' not in write schema"))
     require(partCols.size < schema.size,

@@ -152,6 +152,7 @@ object ColeDelete {
     // record for the whole DELETE, written after every directory swapped
     val verAdds = scala.collection.mutable.ArrayBuffer.empty[String]
     val verRemoves = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val versioned = ColeVersions.enabled(table, conf)
     byDir.toSeq.sortBy(_._1.toString).foreach { case (dir, files) =>
       // concurrent-write race check: every file this delete decided over
       // must still be exactly the bytes the decision read. Abort BEFORE
@@ -187,7 +188,7 @@ object ColeDelete {
         ColeBloomIndex.indexedColumns(i.path, conf) }.distinct
       files.foreach { case (i, _) =>
         fs.delete(new HPath(ColeBloomIndex.sidecarPath(i.path)), false)
-        verRemoves ++= ColeVersions.retireOrDelete(fs, table, conf, i.path, stamp)
+        verRemoves ++= ColeVersions.retireOrDelete(fs, table, i.path, stamp, versioned)
       }
       fs.delete(scratch, true)
       fs.delete(ColeCompact.manifestPath(dir), false)
@@ -214,7 +215,7 @@ object ColeDelete {
         }
       ColeCatalog.writeTableSpec(table, conf,
         StructType(ColeUtil.toSparkSchemaOf(infos).fields.toSeq ++ partFields),
-        partFields.map(_.name))
+        partFields.map(_.name), ColeCatalog.droppedColumns(table, conf))
     }
 
     Stats(infos.size,

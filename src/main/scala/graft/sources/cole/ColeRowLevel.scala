@@ -334,9 +334,10 @@ class ColeReplaceWrite(op: ColeRowLevelOperation, schema: StructType,
         s"replace-commit rename failed: $f")
     }
     val stamp = java.lang.Long.toHexString(System.nanoTime())
+    val versioned = ColeVersions.enabled(path, conf)
     val verRemoves = replaced.flatMap { case (p, _, _) =>
       fs.delete(new HPath(ColeBloomIndex.sidecarPath(p)), false)
-      ColeVersions.retireOrDelete(fs, path, conf, p, stamp)
+      ColeVersions.retireOrDelete(fs, path, p, stamp, versioned)
     }
     if (newDotted.nonEmpty || verRemoves.nonEmpty)
       ColeVersions.commitIfEnabled(path, conf,

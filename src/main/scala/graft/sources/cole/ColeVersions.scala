@@ -97,10 +97,18 @@ object ColeVersions {
     * off). Returns the (rel, retiredRel) record entry when retired.
     * The caller groups one `stamp` per commit so a rel path retired
     * twice across the table's life never collides.
+    *
+    * Multi-file operations should probe [[enabled]] ONCE and use the
+    * explicit-flag overload: one existence check per commit, not one
+    * RPC per removed file of a large DELETE.
     */
   def retireOrDelete(fs: FileSystem, table: String, conf: Configuration,
       abs: String, stamp: String): Option[(String, String)] =
-    if (!enabled(table, conf)) { fs.delete(new HPath(abs), false); None }
+    retireOrDelete(fs, table, abs, stamp, enabled(table, conf))
+
+  def retireOrDelete(fs: FileSystem, table: String, abs: String,
+      stamp: String, versioned: Boolean): Option[(String, String)] =
+    if (!versioned) { fs.delete(new HPath(abs), false); None }
     else {
       val rel = relOf(fs, table, abs)
       val dst = new HPath(new HPath(retiredDir(table), stamp), rel)
@@ -184,6 +192,14 @@ object ColeVersions {
     maxSeq(fs, table)
   }
 
+  // Complete records are immutable once written, so the driver parses
+  // each record file ONCE per JVM: a query on a versioned table costs
+  // one directory listing plus reads of only the records that appeared
+  // since the last access — the log read stays O(new commits), not
+  // O(table history), on a long-lived table.
+  private val recordCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[Long, Record]]()
+
   /** All complete records in sequence order. An in-flight record (no
     * terminal `end` yet) at the TAIL is ignored; a torn record below the
     * tail fails loudly (history must not silently skip a delta).
@@ -191,24 +207,30 @@ object ColeVersions {
   def records(table: String, conf: Configuration): Seq[Record] = {
     val (fs, _) = ColeIO.resolve(table, conf)
     require(fs.exists(vdir(table)), s"versioning is not enabled on $table")
+    val cacheKey = fs.makeQualified(vdir(table)).toString
+    val cached = recordCache.getOrDefault(cacheKey, Map.empty)
     val names = fs.listStatus(vdir(table))
       .flatMap(s => seqOf(s.getPath.getName).map(_ -> s.getPath))
       .sortBy(_._1).toSeq
-    val parsed = names.map { case (seq, p) =>
-      val in = fs.open(p)
-      val lines = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
-        .split('\n').toSeq
-      finally in.close()
-      val complete = lines.lastOption.contains("end")
-      def tagged(tag: String): Seq[String] =
-        lines.filter(_.startsWith(tag + ":")).map(_.drop(tag.length + 1))
-      (seq, complete, Record(seq,
-        tagged("ts").headOption.flatMap(_.toLongOption).getOrElse(0L),
-        tagged("op").headOption.getOrElse("?"),
-        tagged("add"),
-        tagged("rm").map { l =>
-          val i = l.indexOf('|'); (l.substring(0, i), l.substring(i + 1))
-        }))
+    val parsed: Seq[(Long, Boolean, Record)] = names.map { case (seq, p) =>
+      cached.get(seq) match {
+        case Some(r) => (seq, true, r)
+        case None =>
+          val in = fs.open(p)
+          val lines = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+            .split('\n').toSeq
+          finally in.close()
+          val complete = lines.lastOption.contains("end")
+          def tagged(tag: String): Seq[String] =
+            lines.filter(_.startsWith(tag + ":")).map(_.drop(tag.length + 1))
+          (seq, complete, Record(seq,
+            tagged("ts").headOption.flatMap(_.toLongOption).getOrElse(0L),
+            tagged("op").headOption.getOrElse("?"),
+            tagged("add"),
+            tagged("rm").map { l =>
+              val i = l.indexOf('|'); (l.substring(0, i), l.substring(i + 1))
+            }))
+      }
     }
     // drop in-flight tail records; any incomplete record BELOW a complete
     // one is corruption, not an in-flight commit
@@ -217,7 +239,9 @@ object ColeVersions {
       require(complete || seq > lastComplete,
         s"torn version record v$seq in $table (crash during commit?)")
     }
-    parsed.filter(_._2).map(_._3)
+    val complete = parsed.filter(_._2).map(_._3)
+    recordCache.put(cacheKey, complete.map(r => r.version -> r).toMap)
+    complete
   }
 
   /** Resolve `versionAsOf` / `timestampAsOf` to a concrete version. */
@@ -281,8 +305,17 @@ object ColeVersions {
     * crash-recovery roll-forward).
     */
   def snapshotInfos(table: String, conf: Configuration,
-      version: Long): Seq[ColeMetaCache.FileInfo] = {
-    val files = snapshotAt(table, conf, version).map { case (rel, phys) =>
+      version: Long): Seq[ColeMetaCache.FileInfo] =
+    infosFor(table, conf, snapshotAt(table, conf, version),
+      s"version $version")
+
+  /** Footer-backed infos for (original rel, physical) pairs, partition
+    * values parsed from the ORIGINAL relative path. Loud when a file is
+    * gone (vacuumed, or lost to a crash-recovery roll-forward).
+    */
+  def infosFor(table: String, conf: Configuration,
+      files: Seq[(String, String)], what: String): Seq[ColeMetaCache.FileInfo] = {
+    val resolved = files.map { case (rel, phys) =>
       val parts = rel.split('/').dropRight(1).toSeq.flatMap { seg =>
         seg.split("=", 2) match {
           case Array(k, v) if k.nonEmpty => Some(k -> ColeIO.unescape(v))
@@ -291,13 +324,60 @@ object ColeVersions {
       }
       (phys, parts)
     }
-    try ColeMetaCache.infosAt(files, conf)
+    try ColeMetaCache.infosAt(resolved, conf)
     catch {
       case e: java.io.FileNotFoundException =>
         throw new IllegalStateException(
-          s"version $version of $table is no longer readable: ${e.getMessage} " +
+          s"$what of $table is no longer readable: ${e.getMessage} " +
             "(retired file vacuumed, or lost to crash recovery)", e)
     }
+  }
+
+  /** Incremental change feed: the files whose ROWS arrived after
+    * `fromExclusive` and at or before `toInclusive` — the batch twin of
+    * the streaming source's tailing ("process only what landed since
+    * the version I last handled"). Row-preserving commits (compaction)
+    * contribute nothing and are skipped; row-level DML and rollback in
+    * the range cannot be expressed as an insert feed and fail loudly
+    * rather than emit rewritten old rows as if they were new. Files
+    * later compacted away resolve at their retired paths, so the feed
+    * stays readable after maintenance passes.
+    */
+  def changedFiles(table: String, conf: Configuration,
+      fromExclusive: Long, toInclusive: Long): Seq[(String, String)] = {
+    val recs = records(table, conf)
+    require(fromExclusive <= toInclusive,
+      s"changesFrom ($fromExclusive) must be <= changesTo ($toInclusive)")
+    require(fromExclusive == 0 || recs.exists(_.version == fromExclusive),
+      s"version $fromExclusive does not exist on $table")
+    require(recs.exists(_.version == toInclusive),
+      s"version $toInclusive does not exist on $table")
+    val inRange = recs.filter(r =>
+      r.version > fromExclusive && r.version <= toInclusive)
+    val rowLevel = inRange.filter(r =>
+      Set("delete", "update", "merge", "rollback").contains(r.op))
+    require(rowLevel.isEmpty,
+      s"change feed range ($fromExclusive, $toInclusive] of $table contains " +
+        s"row-level commits ${rowLevel.map(r => s"v${r.version}:${r.op}")
+          .mkString(", ")}: rewritten files mix old and changed rows, so " +
+        "they cannot be served as an insert feed — read the versions " +
+        "directly and diff, or narrow the range")
+    val laterRemovals: Seq[(Long, String, String)] = recs
+      .flatMap(r => r.removes.map { case (rel, t) => (r.version, rel, t) })
+    val (fs, _) = ColeIO.resolve(table, conf)
+    inRange.filterNot(_.op == "compact").flatMap { r =>
+      r.adds.map { rel =>
+        // the incarnation added at r.version retires at its FIRST removal
+        // after r.version (an earlier removal was a previous incarnation)
+        val phys = laterRemovals
+          .collectFirst { case (v, `rel`, t) if v > r.version => t } match {
+          case Some(retiredRel) =>
+            fs.makeQualified(new HPath(vdir(table), retiredRel)).toString
+          case None => fs.makeQualified(new HPath(table, rel)).toString
+        }
+        (rel, phys)
+      }
+    }.distinct
   }
 
   /** Log-vs-disk drift check: (in the log but not on disk, on disk but
@@ -330,7 +410,7 @@ object ColeVersions {
     val removes = current.collect {
       case (rel, phys) if !targetRels.contains(rel) ||
           target.exists { case (r, p) => r == rel && p != phys } =>
-        retireOrDelete(fs, table, conf, phys, stamp).get
+        retireOrDelete(fs, table, phys, stamp, versioned = true).get
     }
     val adds = target.collect {
       case (rel, phys) if !currentRels.contains(rel) ||

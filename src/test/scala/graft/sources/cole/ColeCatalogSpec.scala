@@ -211,9 +211,11 @@ class ColeCatalogSpec extends AnyFunSuite {
     assert(back.agg(sum("score")).head.getDouble(0) === 9.5)
     // a claimed filter on the added column prunes pre-evolution files whole
     assert(back.filter(col("score") > 1.0).count() === 1)
-    // drops / type changes stay loud
-    val e = intercept[Exception](spark.sql("ALTER TABLE cwh.db.alt DROP COLUMN tag"))
-    assert(e.getMessage.contains("ADD COLUMN only"), e.getMessage)
+    // type changes / renames stay loud (drops are supported — see the
+    // DROP COLUMN test)
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE cwh.db.alt RENAME COLUMN tag TO label"))
+    assert(e.getMessage.contains("ADD/DROP COLUMN only"), e.getMessage)
     // non-nullable adds are rejected (cannot backfill)
     val e2 = intercept[Exception](
       spark.sql("ALTER TABLE cwh.db.alt ADD COLUMN req INT NOT NULL"))
@@ -238,6 +240,50 @@ class ColeCatalogSpec extends AnyFunSuite {
     assert(got.filter(col("note") === "hello")
       .select("part").head.getString(0) === "p9")
     assert(got.filter(col("part") === "p0").count() === 20)
+  }
+
+  test("ALTER TABLE DROP COLUMN: metadata-only, stale values cannot resurrect") {
+    val s = spark
+    import s.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cwh.db")
+    (0L until 50L).map(i => (i, s"t$i", i * 2.0)).toDF("id", "tag", "score")
+      .createOrReplaceTempView("drop_src")
+    spark.sql("CREATE TABLE cwh.db.dropt AS SELECT * FROM drop_src")
+    val dir = s"$warehouse/db/dropt"
+    val before = ColeIO.listStatus(dir, ColeIO.driverConf())
+      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+
+    spark.sql("ALTER TABLE cwh.db.dropt DROP COLUMN tag")
+    // the column left the schema; no data file was rewritten
+    val t = spark.table("cwh.db.dropt")
+    assert(t.schema.fieldNames.toSeq === Seq("id", "score"))
+    assert(t.count() === 50)
+    assert(t.agg(sum("id")).head.getLong(0) === (0L until 50L).sum)
+    val after = ColeIO.listStatus(dir, ColeIO.driverConf())
+      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+    assert(after === before, "DROP COLUMN must not touch data files")
+    // SELECT of the dropped name fails like any unknown column
+    intercept[Exception](spark.sql("SELECT tag FROM cwh.db.dropt").collect())
+    // inserts at the new arity land
+    spark.sql("INSERT INTO cwh.db.dropt VALUES (99, 3.5)")
+    assert(spark.table("cwh.db.dropt").count() === 51)
+    // re-ADDing the dropped name is rejected: old footers still store it
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE cwh.db.dropt ADD COLUMN tag STRING"))
+    assert(e.getMessage.contains("previously dropped"), e.getMessage)
+    // ... and a path-based append cannot smuggle it back either
+    val e2 = intercept[Exception] {
+      Seq((1L, "x", 1.0)).toDF("id", "tag", "score")
+        .write.format("cole").mode("append").save(dir)
+    }
+    assert(e2.getMessage.contains("was dropped"), e2.getMessage)
+    // layout-load-bearing columns are protected
+    spark.sql("CREATE TABLE cwh.db.dropb (k BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO cwh.db.dropb VALUES (1, 1.0)")
+    val e3 = intercept[Exception](
+      spark.sql("ALTER TABLE cwh.db.dropb DROP COLUMN k"))
+    assert(e3.getMessage.contains("bucket column"), e3.getMessage)
   }
 
   test("SHOW NAMESPACES IN an existing namespace returns its (empty) children") {

@@ -225,6 +225,71 @@ class ColeVersionsSpec extends AnyFunSuite {
     assert(missing.isEmpty && unexpected.isEmpty)
   }
 
+  test("streaming epochs commit versions: mid-stream snapshots readable") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("cole_ver_stream").toString
+    val cp = Files.createTempDirectory("cole_ver_stream_cp").toString
+    ColeVersions.enable(dir, conf) // v1 = empty baseline
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[SinkRow](spark)
+    val q = source.toDF().writeStream.format("cole")
+      .option("path", dir).option("checkpointLocation", cp)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    source.addData((0 until 100).map(i => SinkRow(i.toLong, s"g${i % 3}", i.toLong)))
+    q.processAllAvailable()
+    source.addData((100 until 250).map(i => SinkRow(i.toLong, s"g${i % 3}", i.toLong)))
+    q.processAllAvailable()
+    q.stop()
+
+    val recs = ColeVersions.records(dir, conf)
+    assert(recs.map(_.op) === Seq("baseline", "epoch-0", "epoch-1"))
+    assert(readAsOf(dir, 2).count() === 100L) // the table as of epoch 0
+    assert(readAsOf(dir, 3).count() === 250L)
+    assert(spark.read.format("cole").load(dir).count() === 250L)
+  }
+
+  test("change feed: appends stream out, compaction contributes nothing") {
+    val dir = Files.createTempDirectory("cole_ver_cdc").toString
+    li.filter(col("l_orderkey") <= 500).coalesce(2)
+      .write.format("cole").mode("overwrite").save(dir)
+    ColeVersions.enable(dir, conf) // v1
+    li.filter(col("l_orderkey") > 500 && col("l_orderkey") <= 1000).coalesce(2)
+      .write.format("cole").mode("append").save(dir) // v2
+    li.filter(col("l_orderkey") > 1000).coalesce(2)
+      .write.format("cole").mode("append").save(dir) // v3
+
+    def feed(from: Long, to: Option[Long] = None) = {
+      val r = spark.read.format("cole").option("changesFrom", from.toString)
+      to.fold(r)(t => r.option("changesTo", t.toString)).load(dir)
+    }
+    assert(feed(1, Some(2)).count() ===
+      li.filter(col("l_orderkey") > 500 && col("l_orderkey") <= 1000).count())
+    assert(feed(1).count() === li.filter(col("l_orderkey") > 500).count())
+    assert(feed(3).count() === 0L) // nothing after v3 yet
+
+    // compaction (v4) rewrites rows it does not create: feed(3) stays
+    // empty, and the PRE-compaction feed still reads — its files resolve
+    // at their retired paths
+    ColeCompact.compact(spark, dir, targetBytes = 1L << 30)
+    assert(ColeVersions.currentVersion(dir, conf) === 4L)
+    assert(feed(3).count() === 0L)
+    assert(feed(1, Some(3)).count() === li.filter(col("l_orderkey") > 500).count())
+  }
+
+  test("change feed refuses ranges containing row-level DML") {
+    val dir = Files.createTempDirectory("cole_ver_cdc_dml").toString
+    li.coalesce(1).write.format("cole").mode("overwrite").save(dir)
+    ColeVersions.enable(dir, conf)
+    ColeDelete.deleteWhere(spark, dir,
+      Array(org.apache.spark.sql.sources.GreaterThan("l_orderkey", 750L)),
+      Seq.empty, conf) // v2 = delete
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("cole").option("changesFrom", "1").load(dir).count()
+    }
+    assert(e.getMessage.contains("row-level commits"))
+  }
+
   test("unversioned tables: no log, no retire, versionAsOf fails loudly") {
     val dir = Files.createTempDirectory("cole_ver_off").toString
     li.limit(100).coalesce(1).write.format("cole").mode("overwrite").save(dir)
