@@ -35,6 +35,45 @@ object Cli {
       case "query" =>
         val df = buildQuery(spark, args(1), args.drop(2))
         df.show(df.schema.length max 20, truncate = false)
+      // ---- engine-own maintenance surface (beyond the reference CLI):
+      // the table-ops a warehouse operator runs from cron
+      case "versioning" =>
+        val v = graft.sources.cole.ColeVersions.enable(args(1),
+          graft.sources.cole.ColeIO.driverConf())
+        println(s"versioning enabled on ${args(1)} at v$v")
+      case "history" =>
+        graft.sources.cole.ColeVersions
+          .records(args(1), graft.sources.cole.ColeIO.driverConf())
+          .foreach { r =>
+            println(f"v${r.version}%-6d ${new java.sql.Timestamp(r.ts)}  " +
+              f"${r.op}%-10s +${r.adds.size}%-5d -${r.removes.size}%d")
+          }
+      case "rollback" =>
+        val v = graft.sources.cole.ColeVersions.rollback(args(1),
+          graft.sources.cole.ColeIO.driverConf(), args(2).toLong)
+        println(s"rolled ${args(1)} back to v${args(2)} as new v$v")
+      case "audit" =>
+        val (missing, unexpected) = graft.sources.cole.ColeVersions
+          .audit(args(1), graft.sources.cole.ColeIO.driverConf())
+        missing.foreach(m => println(s"MISSING (in log, not on disk): $m"))
+        unexpected.foreach(u => println(s"UNTRACKED (on disk, not in log): $u"))
+        if (missing.isEmpty && unexpected.isEmpty) println("clean")
+        else sys.exit(1)
+      case "vacuum" =>
+        val conf = graft.sources.cole.ColeIO.driverConf()
+        val ttlMs = (if (args.length > 2) args(2).toLong else 168L) * 3600_000L
+        val crash = graft.sources.cole.ColeCompact.vacuum(args(1), conf, ttlMs)
+        val retired =
+          if (graft.sources.cole.ColeVersions.enabled(args(1), conf))
+            graft.sources.cole.ColeVersions.vacuumRetired(args(1), conf, ttlMs)
+          else 0
+        println(s"removed $crash crash leftovers, expired $retired retired files")
+      case "compact" =>
+        val target = (if (args.length > 2) args(2).toLong else 128L) << 20
+        val st = graft.sources.cole.ColeCompact.compact(spark, args(1), target)
+        println(s"compacted ${st.compactedDirs}/${st.dirs} dirs: " +
+          s"${st.filesBefore} -> ${st.filesAfter} files, " +
+          s"${st.bytesBefore} -> ${st.bytesAfter} bytes")
       case other =>
         System.err.println(s"Unknown command: $other"); usage(); sys.exit(2)
     } finally spark.stop()
@@ -45,7 +84,13 @@ object Cli {
       |  write <output.col> <num_rows> [seed]
       |  scan <input.col>
       |  query <input.col> [--select c1,c2,..] [--where col op value]...
-      |        [--agg func col] [--groupby col]""".stripMargin)
+      |        [--agg func col] [--groupby col]
+      |  versioning <table>              enable snapshot versioning
+      |  history <table>                 version log (one line per commit)
+      |  rollback <table> <version>     restore as a NEW commit
+      |  audit <table>                   version log vs directory drift
+      |  vacuum <table> [ttl_hours]      crash leftovers + expired retired files
+      |  compact <table> [target_mb]     small-file compaction""".stripMargin)
 
   /** Synthetic table with the reference generator's shape (reference:
     * src/cli.cpp createSyntheticSchema/generateSyntheticData): id INT64

@@ -2201,7 +2201,8 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
     snapshot: Option[Seq[ColeMetaCache.FileInfo]] = None)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   private val hconf = new ColeHadoopConf(conf)
 
@@ -2262,6 +2263,41 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
             org.apache.spark.sql.connector.expressions.Expressions.identity(k._1)).toArray,
           tableInfos.map(_.partValues).distinct.size)
     }
+
+  /** Sorted-bucket layouts REPORT their order, so a sort-merge join (or
+    * sort-based aggregation) over co-bucketed tables skips its Sort
+    * nodes entirely — on top of the zero-Exchange storage-partitioned
+    * join, the scan's output is already the SMJ's required ordering. At
+    * 100 TB that turns "shuffle nothing, then sort everything" into
+    * "shuffle nothing, sort nothing".
+    *
+    * Truthfulness bound: each bucket file is written sorted (the write's
+    * RequiresDistributionAndOrdering), and an InputPartition never spans
+    * files — but Spark's key-grouped execution CONCATENATES the
+    * partitions of a bucket, so the claim is only valid when every
+    * bucket directory holds exactly ONE file: the POST-COMPACTION steady
+    * state (synthetic-key compaction re-sorts by the natural tuple). A
+    * multi-task clustered write leaves one file per task per bucket, and
+    * appends add more — both silently withdraw the claim and the Sort
+    * comes back, the safe fallback; ColeCompact restores it. Sort
+    * columns: the natural key tuple for synthetic-key layouts (what the
+    * files are physically ordered by), the bucket columns otherwise.
+    */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions => E, SortDirection}
+    if (snapshot.isDefined || bucketSpec.isEmpty) return Array.empty
+    val sortCols = bucketDerive.map(_._2).getOrElse(bucketSpec.get._2)
+    val infos = tableInfos
+    val oneFilePerBucket = infos.nonEmpty &&
+      partKeySchema.map(_._1) == Seq(ColeBucket.DirKey) &&
+      infos.groupBy(_.partValues).forall(_._2.size == 1)
+    // only claim columns the pruned output actually carries — Spark
+    // resolves the references against the scan's output attributes
+    if (oneFilePerBucket && sortCols.forall(required.fieldNames.contains))
+      sortCols.map(c => E.sort(E.column(c), SortDirection.ASCENDING)).toArray
+    else Array.empty
+  }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this

@@ -125,6 +125,63 @@ class ColeSpjBucketedSpec extends AnyFunSuite {
     }
   }
 
+  private def countSorts(df: DataFrame): Int = {
+    df.collect()
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      (if (p.isInstanceOf[org.apache.spark.sql.execution.SortExec]) 1 else 0) +
+        p.children.map(walk).sum +
+        (p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            walk(q.plan)
+          case _ => 0
+        })
+    walk(df.queryExecution.executedPlan)
+  }
+
+  test("sorted bucket files report their order: SMJ with zero Sort") {
+    written
+    // compaction guarantees the single-file-per-bucket steady state the
+    // ordering claim requires (a multi-task clustered write may leave one
+    // file per TASK per bucket — whether the tiny fixture write coalesced
+    // to one task depends on AQE, which another suite may have toggled)
+    ColeCompact.compact(spark, s"$warehouse/ord", targetBytes = 1L << 30)
+    ColeCompact.compact(spark, s"$warehouse/li", targetBytes = 1L << 30)
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val o = spark.table("bwh.ord")
+      val li = spark.table("bwh.li")
+      def join = o.join(li, o("okey") === li("lkey"))
+        .select(o("okey"), li("lid"), li("lval"))
+      // one file per bucket: the scan reports its sort order and the
+      // SMJ's Sorts vanish along with the Exchanges
+      assert(countSorts(join) === 0,
+        s"sorted bucket scan must satisfy SMJ ordering:\n${join.queryExecution.executedPlan}")
+      assert(countShuffles(join) === 0)
+      val before = join.collect().map(_.toSeq).toSet
+
+      // an append puts a SECOND file in each bucket: concatenated reads
+      // are no longer sorted, the claim withdraws, the Sort comes back —
+      // and the results stay exact
+      val s = spark
+      import s.implicits._
+      Seq((20000L, 500000L, 1.0), (20001L, 500001L, 2.0))
+        .toDF("lkey", "lid", "lval")
+        .write.format("cole").mode("append").save(s"$warehouse/li")
+      val li2 = spark.table("bwh.li")
+      def join2 = o.join(li2, o("okey") === li2("lkey"))
+        .select(o("okey"), li2("lid"), li2("lval"))
+      assert(countSorts(join2) > 0,
+        "multi-file buckets must withdraw the ordering claim")
+      assert(join2.collect().map(_.toSeq).toSet === before,
+        "appended keys have no orders match; join content unchanged")
+      // restore the single-file-per-bucket steady state via compaction
+      ColeCompact.compact(spark, s"$warehouse/li", targetBytes = 1L << 30)
+      assert(countSorts(join2) === 0,
+        "compaction restores one file per bucket and the claim returns")
+    }
+  }
+
   test("bucketed join result matches the shuffled plan exactly") {
     written
     val o = spark.table("bwh.ord")
