@@ -607,6 +607,9 @@ object ColeSuite {
         Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_quantity")
           .write.format("cole").mode("overwrite")
           .option("bucketBy", "16:l_orderkey").save(liDir)
+        // steady state: one sorted file per bucket, so the scan can report
+        // its order (SupportsReportOrdering) and SMJs need no Sort
+        graft.sources.cole.ColeCompact.compact(s, liDir, targetBytes = 1L << 30)
       }
       s.read.format("cole").load(liDir)
         .filter(col("l_orderkey").isin(1L, 7L, 500L, 4999L, 12345L))
@@ -636,6 +639,9 @@ object ColeSuite {
         Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_quantity")
           .write.format("cole").mode("overwrite")
           .option("bucketBy", "16:l_orderkey").save(liDir)
+        // steady state: one sorted file per bucket, so the scan can report
+        // its order (SupportsReportOrdering) and SMJs need no Sort
+        graft.sources.cole.ColeCompact.compact(s, liDir, targetBytes = 1L << 30)
       }
       s.read.format("cole").load(liDir)
         .filter(col("l_orderkey") >= 1000L && col("l_orderkey") < 1400L)
@@ -767,11 +773,15 @@ object ColeSuite {
         Tables.orders(s, d).select("o_orderkey", "o_totalprice")
           .write.format("cole").mode("overwrite")
           .option("bucketBy", "16:o_orderkey").save(ordDir)
+        graft.sources.cole.ColeCompact.compact(s, ordDir, targetBytes = 1L << 30)
       }
       writeOnce(liDir) {
         Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_quantity")
           .write.format("cole").mode("overwrite")
           .option("bucketBy", "16:l_orderkey").save(liDir)
+        // steady state: one sorted file per bucket, so the scan can report
+        // its order (SupportsReportOrdering) and SMJs need no Sort
+        graft.sources.cole.ColeCompact.compact(s, liDir, targetBytes = 1L << 30)
       }
       val o = s.table(s"cole.$ns.ord")
       val li = s.table(s"cole.$ns.li")
@@ -1007,6 +1017,41 @@ object ColeSuite {
                 MIN(l_orderkey) AS mn_key
               FROM lineitem WHERE l_orderkey % 3 <> 0
               GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // #144 `$history` metadata table (ColeMetaTable): the version log as
+    // plain SQL — `SELECT ... FROM cole.ns.`t$history`` composes with
+    // joins/aggregates for "what changed last night?" ops questions.
+    // The fixture's history is fully deterministic (coalesce(1) writes,
+    // one-file rewrite DELETE), so the oracle is a VALUES literal.
+    Q("cole_history", (s, d) => {
+      val wh = "/tmp/graft_cole/warehouse"
+      s.conf.set("spark.sql.catalog.cole", "graft.sources.cole.ColeCatalog")
+      s.conf.set("spark.sql.catalog.cole.warehouse", wh)
+      val ns = s"v${writerFingerprint}_hist_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val dir = s"$wh/$ns/li"
+      writeOnce(dir) {
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_returnflag").coalesce(1)
+          .write.format("cole").mode("overwrite").save(dir)
+        graft.sources.cole.ColeVersions.enable(dir,
+          graft.sources.cole.ColeIO.driverConf()) // v1: baseline, 1 file
+        s.sql(s"DELETE FROM cole.$ns.li WHERE l_returnflag = 'R'") // v2: 1->1
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_returnflag")
+          .filter(col("l_returnflag") === "R").coalesce(1)
+          .write.format("cole").mode("append").save(dir) // v3: +1
+      }
+      s.table(s"cole.$ns.`li$$history`")
+        .select(col("version"), col("operation"),
+          col("files_added").as("n_add"), col("files_removed").as("n_rm"))
+        .orderBy("version")
+    },
+      Some("""SELECT * FROM (VALUES
+                (CAST(1 AS BIGINT), 'baseline', 1, 0),
+                (CAST(2 AS BIGINT), 'delete',   1, 1),
+                (CAST(3 AS BIGINT), 'append',   1, 0))
+                AS t(version, operation, n_add, n_rm)
+              ORDER BY version""")),
 
     // #143 ALTER TABLE DROP COLUMN (metadata-only): the name leaves the
     // resolved schema via the _tablespec dropped-list — no data file is

@@ -372,6 +372,16 @@ class ColeCatalog extends TableCatalog with FunctionCatalog with SupportsNamespa
   }
 
   override def loadTable(ident: Identifier): Table = {
+    // Iceberg-style metadata tables: `SELECT * FROM cole.ns.`t$history``
+    // (version log) and `t$files` (live file inventory) — warehouse
+    // introspection as plain SQL, no API required
+    if (ident.name().endsWith("$history") || ident.name().endsWith("$files")) {
+      val dollar = ident.name().lastIndexOf('$')
+      val base = Identifier.of(ident.namespace(), ident.name().substring(0, dollar))
+      val kind = ident.name().substring(dollar + 1)
+      loadTable(base) // resolves, or NoSuchTableException
+      return new ColeMetaTable(tablePath(base), kind, conf)
+    }
     val path = tablePath(ident)
     val infos = ColeMetaCache.infos(path, conf)
     val bucketSpec = ColeBucket.readSpec(path, conf)

@@ -1,0 +1,104 @@
+package graft.sources.cole
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Read-only metadata tables resolved by [[ColeCatalog]] under
+  * Iceberg-style `$`-suffixed identifiers:
+  *
+  *   - `` cole.ns.`t$history` `` — the version log: one row per commit
+  *     (version, timestamp, operation, files added/removed). Requires
+  *     versioning; resolves empty-schema-safe either way.
+  *   - `` cole.ns.`t$files` `` — the live file inventory: one row per
+  *     data file (path, partition, size, rows, row groups).
+  *
+  * Warehouse introspection as plain SQL — "what changed last night?" and
+  * "how fragmented is this table?" compose with joins and aggregates
+  * instead of needing an API. Rows are computed on the DRIVER at scan
+  * time from the same cached metadata planning already holds (the
+  * version log / footer cache) and shipped as one partition — these
+  * tables are commit-count / file-count sized, never data-sized.
+  */
+class ColeMetaTable(path: String, kind: String, conf: Configuration)
+    extends Table with SupportsRead {
+
+  override def name(): String = s"cole:$path$$$kind"
+
+  override def schema(): StructType = kind match {
+    case "history" => StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("committed_at", TimestampType, nullable = false),
+      StructField("operation", StringType, nullable = false),
+      StructField("files_added", IntegerType, nullable = false),
+      StructField("files_removed", IntegerType, nullable = false)))
+    case "files" => StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("partition", StringType, nullable = false),
+      StructField("size_bytes", LongType, nullable = false),
+      StructField("row_count", LongType, nullable = false),
+      StructField("row_groups", IntegerType, nullable = false)))
+    case other => throw new IllegalArgumentException(
+      s"unknown COLE metadata table '$$${other}' (history|files)")
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new ColeMetaTableScan(path, kind, schema(), conf)
+}
+
+class ColeMetaTableScan(path: String, kind: String, tschema: StructType,
+    conf: Configuration) extends Scan with Batch {
+
+  override def readSchema(): StructType = tschema
+  override def toBatch: Batch = this
+  override def description(): String = s"ColeMetaTableScan $path$$$kind"
+
+  // driver-side: KB-scale metadata, one partition
+  override def planInputPartitions(): Array[InputPartition] = {
+    val rows: Array[Array[Any]] = kind match {
+      case "history" =>
+        if (!ColeVersions.enabled(path, conf)) Array.empty
+        else ColeVersions.records(path, conf).map(r =>
+          Array[Any](r.version, r.ts * 1000L, r.op,
+            r.adds.size, r.removes.size)).toArray
+      case "files" =>
+        ColeMetaCache.infos(path, conf).map { i =>
+          val part = i.partValues.map { case (k, v) => s"$k=$v" }.mkString("/")
+          Array[Any](i.path, part, i.len, i.meta.totalRows,
+            i.meta.rowGroups.size)
+        }.toArray
+    }
+    Array(ColeMetaRows(rows))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ColeMetaReaderFactory(tschema)
+}
+
+final case class ColeMetaRows(rows: Array[Array[Any]]) extends InputPartition
+
+class ColeMetaReaderFactory(tschema: StructType) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val rows = p.asInstanceOf[ColeMetaRows].rows
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = InternalRow.fromSeq(
+        rows(i).toSeq.map {
+          case s: String => UTF8String.fromString(s)
+          case v => v
+        })
+      override def close(): Unit = ()
+    }
+}

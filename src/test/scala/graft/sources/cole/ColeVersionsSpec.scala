@@ -209,6 +209,33 @@ class ColeVersionsSpec extends AnyFunSuite {
       e.getMessage.toLowerCase.contains("syntax"))
   }
 
+  test("metadata tables: $history mirrors the log, $files the live inventory") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS colev.ns")
+    spark.sql(
+      """CREATE TABLE colev.ns.mt (id BIGINT, flag STRING)
+        |USING cole TBLPROPERTIES ('versioned'='true')""".stripMargin)
+    spark.sql("INSERT INTO colev.ns.mt VALUES (1, 'A'), (2, 'B')")
+    spark.sql("INSERT INTO colev.ns.mt VALUES (3, 'C')")
+
+    val hist = spark.sql(
+      "SELECT version, operation, files_added FROM colev.ns.`mt$history` ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(hist.map(_._2).toSeq === Seq("baseline", "append", "append"))
+    assert(hist.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(hist.drop(1).forall(_._3 >= 1))
+    // metadata composes with SQL like any table
+    val appends = spark.sql(
+      "SELECT COUNT(*) FROM colev.ns.`mt$history` WHERE operation = 'append'")
+      .head().getLong(0)
+    assert(appends === 2L)
+
+    val files = spark.sql(
+      "SELECT file, size_bytes, row_count FROM colev.ns.`mt$files`")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(files.map(_._3).sum === 3L)
+    assert(files.forall(f => f._1.endsWith(".col") && f._2 > 0))
+  }
+
   test("compaction of a versioned table: pre-compact version still reads") {
     val dir = Files.createTempDirectory("cole_ver_compact").toString
     li.repartition(6).write.format("cole").mode("overwrite").save(dir)
