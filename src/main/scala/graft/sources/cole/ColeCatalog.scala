@@ -345,7 +345,8 @@ object ColeCatalog {
     readTableSpecFull(table, conf).map(_._3).getOrElse(Seq.empty)
 }
 
-class ColeCatalog extends TableCatalog with FunctionCatalog with SupportsNamespaces {
+class ColeCatalog extends TableCatalog with FunctionCatalog
+    with SupportsNamespaces with ProcedureCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -584,6 +585,99 @@ class ColeCatalog extends TableCatalog with FunctionCatalog with SupportsNamespa
       StructType(dataFields ++ added ++ partFields), partCols,
       alreadyDropped ++ droppedNow)
     loadTable(ident)
+  }
+
+  // ---- `CALL cole.system.<proc>(...)`: maintenance as SQL — the ops a
+  // warehouse runs from cron (rollback, retention, compaction, audit)
+  // without any driver-side API, each returning its outcome as rows
+
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+
+  private def procedure(procName: String, params: Seq[(String, DataType)],
+      out: StructType)(body: InternalRow => Array[Array[Any]]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = s"COLE maintenance: $procName"
+      override def bind(input: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = procName
+        override def description(): String = s"COLE maintenance: $procName"
+        override def parameters(): Array[ProcedureParameter] =
+          params.map { case (n, t) => ProcedureParameter.in(n, t).build() }.toArray
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow)
+            : util.Iterator[org.apache.spark.sql.connector.read.Scan] =
+          util.List.of[org.apache.spark.sql.connector.read.Scan](
+            new ColeLocalScan(out, body(input))).iterator()
+      }
+    }
+
+  /** `'ns.t'` (dot-separated, catalog-relative) → warehouse path. */
+  private def procTablePath(arg: String): String = {
+    val parts = arg.split('.')
+    tablePath(Identifier.of(parts.dropRight(1), parts.last))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.toSeq == Seq("system"))
+      Array("versioning", "rollback", "expire_versions", "vacuum", "compact",
+        "audit").map(Identifier.of(Array("system"), _))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().toSeq == Seq("system"),
+      s"unknown procedure namespace ${ident.namespace().mkString(".")}")
+    val tableArg = Seq("table" -> (StringType: DataType))
+    ident.name() match {
+      case "versioning" => procedure("versioning", tableArg,
+        StructType(Seq(StructField("version", LongType)))) { in =>
+        Array(Array[Any](
+          ColeVersions.enable(procTablePath(in.getString(0)), conf)))
+      }
+      case "rollback" => procedure("rollback",
+        tableArg :+ ("version" -> (LongType: DataType)),
+        StructType(Seq(StructField("new_version", LongType)))) { in =>
+        Array(Array[Any](ColeVersions.rollback(
+          procTablePath(in.getString(0)), conf, in.getLong(1))))
+      }
+      case "expire_versions" => procedure("expire_versions",
+        tableArg :+ ("older_than_hours" -> (LongType: DataType)),
+        StructType(Seq(StructField("expired_files", LongType)))) { in =>
+        Array(Array[Any](ColeVersions.vacuumRetired(
+          procTablePath(in.getString(0)), conf,
+          in.getLong(1) * 3600_000L).toLong))
+      }
+      case "vacuum" => procedure("vacuum",
+        tableArg :+ ("older_than_hours" -> (LongType: DataType)),
+        StructType(Seq(StructField("removed", LongType)))) { in =>
+        Array(Array[Any](ColeCompact.vacuum(
+          procTablePath(in.getString(0)), conf,
+          in.getLong(1) * 3600_000L).toLong))
+      }
+      case "compact" => procedure("compact",
+        tableArg :+ ("target_mb" -> (LongType: DataType)),
+        StructType(Seq(
+          StructField("compacted_dirs", LongType),
+          StructField("files_before", LongType),
+          StructField("files_after", LongType)))) { in =>
+        val st = ColeCompact.compact(
+          org.apache.spark.sql.SparkSession.active,
+          procTablePath(in.getString(0)), in.getLong(1) << 20)
+        Array(Array[Any](st.compactedDirs.toLong, st.filesBefore.toLong,
+          st.filesAfter.toLong))
+      }
+      case "audit" => procedure("audit", tableArg,
+        StructType(Seq(
+          StructField("problem", StringType),
+          StructField("file", StringType)))) { in =>
+        val (missing, untracked) =
+          ColeVersions.audit(procTablePath(in.getString(0)), conf)
+        (missing.map(f => Array[Any]("missing", f)) ++
+          untracked.map(f => Array[Any]("untracked", f))).toArray
+      }
+      case other => throw new IllegalArgumentException(
+        s"unknown procedure cole.system.$other (versioning|rollback|" +
+          "expire_versions|vacuum|compact|audit)")
+    }
   }
 
   override def dropTable(ident: Identifier): Boolean = {

@@ -88,6 +88,20 @@ class ColeMetaTableScan(path: String, kind: String, tschema: StructType,
 
 final case class ColeMetaRows(rows: Array[Array[Any]]) extends InputPartition
 
+/** Driver-computed row set as a LocalScan — the result surface of
+  * `CALL cole.system.*` procedures (Spark requires procedure output to
+  * be a local scan; these are stats-row sized).
+  */
+class ColeLocalScan(tschema: StructType, rawRows: Array[Array[Any]])
+    extends org.apache.spark.sql.connector.read.LocalScan {
+  override def readSchema(): StructType = tschema
+  override def rows(): Array[InternalRow] = rawRows.map(r =>
+    InternalRow.fromSeq(r.toSeq.map {
+      case s: String => UTF8String.fromString(s)
+      case v => v
+    }))
+}
+
 class ColeMetaReaderFactory(tschema: StructType) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {

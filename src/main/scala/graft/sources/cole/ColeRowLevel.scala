@@ -276,13 +276,20 @@ class ColeReplaceWrite(op: ColeRowLevelOperation, schema: StructType,
       partCols, bucketSpec, bucketDerive)
   }
 
-  /** `dir/.NAME.inprogress` → `dir/NAME` (the deferred task-commit name). */
+  /** `dir/.NAME.inprogress` → `dir/replace-<stamp>-NAME`. The stamp makes
+    * the final name unique across SESSIONS: task ids restart per
+    * application, so a later replace write can otherwise mint the exact
+    * `part-<pid>-<tid>.col` name of a file it is replacing — and the
+    * rename-before-delete swap would collide with it.
+    */
+  private val stamp = java.lang.Long.toHexString(System.nanoTime())
+
   private def finalOf(dotted: String): String = {
     val slash = dotted.lastIndexOf('/')
     val name = dotted.substring(slash + 1)
     require(name.startsWith(".") && name.endsWith(".inprogress"),
       s"not a deferred in-progress file: $dotted")
-    dotted.substring(0, slash + 1) +
+    dotted.substring(0, slash + 1) + s"replace-$stamp-" +
       name.substring(1, name.length - ".inprogress".length)
   }
 
@@ -323,7 +330,6 @@ class ColeReplaceWrite(op: ColeRowLevelOperation, schema: StructType,
       // replacement of rows they already processed: the compaction
       // record (QUALIFIED final-name outs → replaced ins) goes durable
       // BEFORE any replacement file becomes visible
-      val stamp = java.lang.Long.toHexString(System.nanoTime())
       ColeCompact.writeCompactionRecord(fs, path, s"replace-$stamp",
         newDotted.toSeq.map(f =>
           fs.makeQualified(new HPath(finalOf(f))).toString),
@@ -333,7 +339,6 @@ class ColeReplaceWrite(op: ColeRowLevelOperation, schema: StructType,
       require(fs.rename(new HPath(f), new HPath(finalOf(f))),
         s"replace-commit rename failed: $f")
     }
-    val stamp = java.lang.Long.toHexString(System.nanoTime())
     val versioned = ColeVersions.enabled(path, conf)
     val verRemoves = replaced.flatMap { case (p, _, _) =>
       fs.delete(new HPath(ColeBloomIndex.sidecarPath(p)), false)

@@ -236,6 +236,35 @@ class ColeVersionsSpec extends AnyFunSuite {
     assert(files.forall(f => f._1.endsWith(".col") && f._2 > 0))
   }
 
+  test("CALL cole.system.*: maintenance procedures as SQL") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS colev.ns")
+    spark.sql("CREATE TABLE colev.ns.pt (id BIGINT, flag STRING) USING cole")
+    spark.sql("INSERT INTO colev.ns.pt VALUES (1, 'A'), (2, 'B')")
+    // enable versioning via CALL, mutate, roll back via CALL
+    val v0 = spark.sql("CALL colev.system.versioning('ns.pt')").head().getLong(0)
+    assert(v0 === 1L)
+    spark.sql("INSERT INTO colev.ns.pt VALUES (3, 'C')")
+    assert(spark.table("colev.ns.pt").count() === 3L)
+    val v2 = spark.sql("CALL colev.system.rollback('ns.pt', 1)").head().getLong(0)
+    assert(v2 === 3L)
+    assert(spark.table("colev.ns.pt").count() === 2L)
+    // audit returns no drift rows; compact reports its file movement
+    assert(spark.sql("CALL colev.system.audit('ns.pt')").collect().isEmpty)
+    val comp = spark.sql("CALL colev.system.compact('ns.pt', 1024)").head()
+    assert(comp.getLong(1) >= comp.getLong(2),
+      "files_before >= files_after")
+    // retention: expire everything, then v1 is gone loudly
+    val expired = spark.sql(
+      "CALL colev.system.expire_versions('ns.pt', -1)").head().getLong(0)
+    assert(expired >= 1L)
+    val e = intercept[Exception] {
+      spark.read.format("cole").option("versionAsOf", "1")
+        .load(s"${spark.conf.get("spark.sql.catalog.colev.warehouse")}/ns/pt")
+        .count()
+    }
+    assert(e.getMessage.contains("no longer readable"))
+  }
+
   test("compaction of a versioned table: pre-compact version still reads") {
     val dir = Files.createTempDirectory("cole_ver_compact").toString
     li.repartition(6).write.format("cole").mode("overwrite").save(dir)
