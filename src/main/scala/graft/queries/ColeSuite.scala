@@ -1100,9 +1100,19 @@ object ColeSuite {
             round(col("l_quantity") * 100).cast(LongType).as("qty_c"))
           .write.format("cole").mode("overwrite").save(dir)
       }
+      // CDC steady state: keys this merge already processed (flagged
+      // 'U'/'M') leave the source via an anti-join, so a re-run's group
+      // scan finds NO join matches and rewrites NOTHING — without this,
+      // every re-run rewrites each file containing a matched row (the
+      // runtime group filter sees join-condition matches even when no
+      // clause applies) and repeated DML fragments the table
+      val t0 = s.table(s"cole.$ns.li")
       Tables.orders(s, d).select(col("o_orderkey").as("k"))
         .filter(col("o_orderkey") % 20 === 3)
         .withColumn("ln", lit(1))
+        .join(t0.filter(col("l_returnflag").isin("U", "M"))
+            .select(col("l_orderkey").as("k"), col("l_linenumber").as("ln")),
+          Seq("k", "ln"), "left_anti")
         .createOrReplaceTempView("graft_merge_src")
       s.sql(
         s"""MERGE INTO cole.$ns.li t USING graft_merge_src src
