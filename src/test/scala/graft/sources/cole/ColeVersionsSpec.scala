@@ -236,6 +236,23 @@ class ColeVersionsSpec extends AnyFunSuite {
     assert(files.forall(f => f._1.endsWith(".col") && f._2 > 0))
   }
 
+  test("catalog reads honor versionAsOf/timestampAsOf as plain options") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS colev.ns")
+    spark.sql(
+      """CREATE TABLE colev.ns.ot (id BIGINT, v BIGINT)
+        |USING cole TBLPROPERTIES ('versioned'='true')""".stripMargin)
+    spark.sql("INSERT INTO colev.ns.ot VALUES (1, 10), (2, 20)") // v2
+    spark.sql("INSERT INTO colev.ns.ot VALUES (3, 30)") // v3
+
+    // DataFrameReader options flow to the catalog table's scan builder:
+    // the option spelling and the SQL VERSION AS OF spelling agree
+    assert(spark.read.option("versionAsOf", "2").table("colev.ns.ot")
+      .count() === 2L)
+    assert(spark.read.table("colev.ns.ot").count() === 3L)
+    assert(spark.read.option("versionAsOf", "2").table("colev.ns.ot")
+      .agg(sum("v")).head().getLong(0) === 30L)
+  }
+
   test("CALL cole.system.*: maintenance procedures as SQL") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS colev.ns")
     spark.sql("CREATE TABLE colev.ns.pt (id BIGINT, flag STRING) USING cole")
