@@ -1100,19 +1100,14 @@ object ColeSuite {
             round(col("l_quantity") * 100).cast(LongType).as("qty_c"))
           .write.format("cole").mode("overwrite").save(dir)
       }
-      // CDC steady state: keys this merge already processed (flagged
-      // 'U'/'M') leave the source via an anti-join, so a re-run's group
-      // scan finds NO join matches and rewrites NOTHING — without this,
-      // every re-run rewrites each file containing a matched row (the
-      // runtime group filter sees join-condition matches even when no
-      // clause applies) and repeated DML fragments the table
-      val t0 = s.table(s"cole.$ns.li")
+      // CDC steady state comes from the ENGINE, not the query: a re-run
+      // matches every already-processed key ('U'/'M' rows), no WHEN
+      // clause changes anything, and the replace commit's fingerprint
+      // comparison (ColeRowHash) discards the byte-identical replacement
+      // — zero files rewrite, the table never fragments
       Tables.orders(s, d).select(col("o_orderkey").as("k"))
         .filter(col("o_orderkey") % 20 === 3)
         .withColumn("ln", lit(1))
-        .join(t0.filter(col("l_returnflag").isin("U", "M"))
-            .select(col("l_orderkey").as("k"), col("l_linenumber").as("ln")),
-          Seq("k", "ln"), "left_anti")
         .createOrReplaceTempView("graft_merge_src")
       s.sql(
         s"""MERGE INTO cole.$ns.li t USING graft_merge_src src
@@ -1153,6 +1148,65 @@ object ColeSuite {
               SELECT l_returnflag, COUNT(*) AS n,
                 CAST(SUM(qty_c) AS BIGINT) AS sum_qty_c,
                 CAST(SUM(l_orderkey) AS BIGINT) AS sum_key
-              FROM m GROUP BY l_returnflag ORDER BY l_returnflag"""))
+              FROM m GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // #145 row-level change feed (ColeChangeFeed): CDC over a MUTABLE
+    // table — the surface the plain insert feed (#142) refuses. The
+    // range spans an append AND an UPDATE; the feed serves the append's
+    // rows as inserts and the UPDATE as delete(old image)+insert(new
+    // image) by diffing the commit's retired incarnations against its
+    // replacements (delta-sized exceptAll, never a table scan). The
+    // reconstruction contract T(v1) - deletes + inserts = T(v3) is what
+    // the oracle checks in aggregate.
+    Q("cole_changefeed_dml", (s, d) => {
+      val wh = "/tmp/graft_cole/warehouse"
+      s.conf.set("spark.sql.catalog.cole", "graft.sources.cole.ColeCatalog")
+      s.conf.set("spark.sql.catalog.cole.warehouse", wh)
+      val ns = s"v${writerFingerprint}_cfd_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val dir = s"$wh/$ns/li"
+      writeOnce(dir) {
+        val src = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_returnflag")
+        src.filter(col("l_orderkey") % 3 === 0)
+          .write.format("cole").mode("overwrite").save(dir)
+        graft.sources.cole.ColeVersions.enable(dir,
+          graft.sources.cole.ColeIO.driverConf()) // v1 = baseline
+        src.filter(col("l_orderkey") % 3 === 1)
+          .write.format("cole").mode("append").save(dir) // v2 = append
+        s.sql(s"UPDATE cole.$ns.li SET l_returnflag = 'X' " +
+          "WHERE l_orderkey % 10 = 7") // v3 = row-level UPDATE
+      }
+      graft.sources.cole.ColeChangeFeed.read(s, dir, 1L, 3L)
+        .groupBy(col("_change_type").as("change_type"),
+          col("_commit_version").as("commit_version"), col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum("l_orderkey").as("sum_key"),
+          sum("l_linenumber").as("sum_line"))
+        .orderBy("commit_version", "change_type", "l_returnflag")
+    },
+      Some("""WITH t AS (
+                SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem),
+              v2ins AS (
+                SELECT 'insert' AS change_type, 2 AS commit_version,
+                  l_returnflag, l_orderkey, l_linenumber
+                FROM t WHERE l_orderkey % 3 = 1),
+              upd AS (
+                SELECT l_orderkey, l_linenumber, l_returnflag FROM t
+                WHERE l_orderkey % 10 = 7 AND l_orderkey % 3 <> 2),
+              v3del AS (
+                SELECT 'delete' AS change_type, 3 AS commit_version,
+                  l_returnflag, l_orderkey, l_linenumber FROM upd),
+              v3ins AS (
+                SELECT 'insert' AS change_type, 3 AS commit_version,
+                  'X' AS l_returnflag, l_orderkey, l_linenumber FROM upd),
+              feed AS (
+                SELECT * FROM v2ins UNION ALL
+                SELECT * FROM v3del UNION ALL
+                SELECT * FROM v3ins)
+              SELECT change_type, CAST(commit_version AS BIGINT) AS commit_version,
+                l_returnflag, COUNT(*) AS n,
+                CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+                CAST(SUM(l_linenumber) AS BIGINT) AS sum_line
+              FROM feed GROUP BY 1, 2, 3
+              ORDER BY commit_version, change_type, l_returnflag"""))
   )
 }

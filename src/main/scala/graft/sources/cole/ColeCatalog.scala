@@ -189,6 +189,26 @@ object ColeBucket {
     finally out.close()
   }
 
+  /** Parse `_bucketspec` CONTENT (also recorded per-version in the
+    * commit log for time-travel layout resolution).
+    */
+  def parseSpecContent(txt: String, where: String): (Int, Seq[String]) = {
+    val lines = txt.split('\n')
+    require(lines.length >= 3 && lines(0) == "1",
+      s"unreadable $SpecFile at $where")
+    (lines(1).toInt,
+      lines(2).split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+  }
+
+  def parseDeriveContent(txt: String, where: String): Option[(String, Seq[String])] =
+    txt.split('\n').find(_.startsWith("derive:")).map { line =>
+      val body = line.stripPrefix("derive:")
+      val i = body.indexOf('=')
+      require(i > 0, s"unreadable derive line in $SpecFile at $where")
+      (body.substring(0, i),
+        body.substring(i + 1).split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    }
+
   def readSpec(table: String, conf: Configuration): Option[(Int, Seq[String])] = {
     val (fs, p) = ColeIO.resolve(specPath(table), conf)
     if (!fs.exists(p)) None
@@ -196,11 +216,7 @@ object ColeBucket {
       val in = fs.open(p)
       val txt = try new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-      val lines = txt.split('\n')
-      require(lines.length >= 3 && lines(0) == "1",
-        s"unreadable $SpecFile at $table")
-      Some((lines(1).toInt,
-        lines(2).split(',').map(_.trim).filter(_.nonEmpty).toSeq))
+      Some(parseSpecContent(txt, table))
     }
   }
 
@@ -218,13 +234,7 @@ object ColeBucket {
       val in = fs.open(p)
       val txt = try new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-      txt.split('\n').find(_.startsWith("derive:")).map { line =>
-        val body = line.stripPrefix("derive:")
-        val i = body.indexOf('=')
-        require(i > 0, s"unreadable derive line in $SpecFile at $table")
-        (body.substring(0, i),
-          body.substring(i + 1).split(',').map(_.trim).filter(_.nonEmpty).toSeq)
-      }
+      parseDeriveContent(txt, table)
     }
   }
 }
@@ -447,7 +457,15 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
 
   private def loadSnapshot(ident: Identifier, version: Long): Table = {
     val path = tablePath(ident)
-    if (!ColeVersions.enabled(path, conf)) throw new NoSuchTableException(ident)
+    // NOT NoSuchTableException: the table exists, versioning doesn't —
+    // reporting "table not found" misleads, and callers/rules may fall
+    // through to other resolution paths on NoSuchTableException
+    if (!ColeVersions.enabled(path, conf))
+      throw new IllegalArgumentException(
+        s"time travel needs versioning, which is not enabled on " +
+          s"${ident.namespace().mkString(".")}.${ident.name()} — enable it " +
+          "with CALL <catalog>.system.versioning('<ns.table>') or " +
+          "TBLPROPERTIES ('versioned'='true') at CREATE TABLE")
     val infos = ColeVersions.snapshotInfos(path, conf, version)
     val partFields = ColeMetaCache.partitionSchema(infos)
       .filterNot(_._1 == ColeBucket.DirKey)
@@ -620,7 +638,7 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.toSeq == Seq("system"))
       Array("versioning", "rollback", "expire_versions", "vacuum", "compact",
-        "audit").map(Identifier.of(Array("system"), _))
+        "audit", "repair").map(Identifier.of(Array("system"), _))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
@@ -674,14 +692,22 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
         (missing.map(f => Array[Any]("missing", f)) ++
           untracked.map(f => Array[Any]("untracked", f))).toArray
       }
+      case "repair" => procedure("repair", tableArg,
+        StructType(Seq(StructField("quarantined", StringType)))) { in =>
+        ColeVersions.repairTorn(procTablePath(in.getString(0)), conf)
+          .map(f => Array[Any](f)).toArray
+      }
       case other => throw new IllegalArgumentException(
         s"unknown procedure cole.system.$other (versioning|rollback|" +
-          "expire_versions|vacuum|compact|audit)")
+          "expire_versions|vacuum|compact|audit|repair)")
     }
   }
 
   override def dropTable(ident: Identifier): Boolean = {
     val (fs, p) = ColeIO.resolve(tablePath(ident), conf)
+    // the version-record cache is path-keyed: a re-CREATE at this path
+    // must never see this table's cached deltas
+    ColeVersions.invalidateCache(fs, tablePath(ident))
     fs.exists(p) && fs.delete(p, true)
   }
 

@@ -40,11 +40,19 @@ class ColeDataSource extends TableProvider with DataSourceRegister {
     // time travel infers from the SNAPSHOT's footers: a column added
     // after the requested version is absent, exactly as it was then
     val ttVersion = ColeUtil.timeTravelVersion(options, ColeUtil.path(options))
+    val feedFiles = Option(options.get(ColeChangeFeed.FeedFilesOption))
     val infos = ttVersion match {
       case Some(v) =>
         ColeVersions.snapshotInfos(ColeUtil.path(options), ColeIO.driverConf(), v)
-      case None =>
-        ColeMetaCache.infos(ColeUtil.path(options), ColeIO.driverConf())
+      case None => feedFiles match {
+        case Some(enc) =>
+          // exact-file-set read (change feed): schema from those footers,
+          // live dropped-column discipline still applies below
+          ColeVersions.infosFor(ColeUtil.path(options), ColeIO.driverConf(),
+            ColeChangeFeed.decodeFiles(enc), "change feed file set")
+        case None =>
+          ColeMetaCache.infos(ColeUtil.path(options), ColeIO.driverConf())
+      }
     }
     require(infos.nonEmpty, s"No .col files at ${ColeUtil.path(options)}")
     // hive-style layout: partition columns (from key=value directories)
@@ -323,22 +331,36 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
     // versions (files whose rows arrived in the range; see
     // ColeVersions.changedFiles) — the batch twin of the tailing source.
     val changesFrom = Option(options.get("changesFrom")).map(_.toLong)
-    val snapshot = ColeUtil.timeTravelVersion(options, path)
+    val snapshot: Option[ColeSnapshot] = ColeUtil.timeTravelVersion(options, path)
       .orElse(properties.get("versionAsOf").map(_.toLong))
-      .map(v => ColeVersions.snapshotInfos(path, conf, v))
+      .map { v =>
+        // resolve the bucket-layout sidecar AS OF the pinned version
+        // (recorded in the commit log), so the snapshot read keeps
+        // bucket pruning, SPJ reporting, and aggregate pushdown
+        val spec = ColeVersions.specAsOf(path, conf, v)
+        ColeSnapshot(ColeVersions.snapshotInfos(path, conf, v),
+          spec.map(t => ColeBucket.parseSpecContent(t, s"$path@v$v")),
+          spec.flatMap(t => ColeBucket.parseDeriveContent(t, s"$path@v$v")))
+      }
+      .orElse(Option(options.get(ColeChangeFeed.FeedFilesOption)).map { enc =>
+        // exact-file-set read minted by ColeChangeFeed: one commit's
+        // added or retired incarnations (delta-sized)
+        ColeSnapshot(ColeVersions.infosFor(path, conf,
+          ColeChangeFeed.decodeFiles(enc), "change feed file set"))
+      })
       .orElse(changesFrom.map { from =>
         val to = Option(options.get("changesTo")).map(_.toLong)
           .getOrElse(ColeVersions.currentVersion(path, conf))
-        ColeVersions.infosFor(path, conf,
+        ColeSnapshot(ColeVersions.infosFor(path, conf,
           ColeVersions.changedFiles(path, conf, from, to),
-          s"change feed ($from, $to]")
+          s"change feed ($from, $to]"))
       })
     // partition columns come from the DIRECTORY structure (key=value
     // nesting), never from "absent from footers": a column the footers
     // don't carry can also be a schema-evolution or ALTER-declared DATA
     // column, which reads as NULL through the evolution machinery — only
     // directory keys have per-file constant values to serve
-    val infos = snapshot.getOrElse(ColeMetaCache.infos(path, conf))
+    val infos = snapshot.map(_.infos).getOrElse(ColeMetaCache.infos(path, conf))
     val dirCols: Set[String] =
       if (infos.isEmpty) writePartCols.toSet
       else ColeMetaCache.partitionSchema(infos).map(_._1)
@@ -406,9 +428,21 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
 
 // ------------------------------------------------------------------ read
 
+/** A pinned (time-travel / change-feed) read: the version's file set
+  * plus the bucket-layout sidecar AS OF that version (resolved from the
+  * commit record that snapshot it) — what lets a pinned read keep
+  * bucket pruning, SPJ reporting and aggregate pushdown instead of
+  * degrading to a flat scan because the live sidecars describe the
+  * present. Feed reads carry no layout (no pruning claims on arbitrary
+  * file sets).
+  */
+final case class ColeSnapshot(infos: Seq[ColeMetaCache.FileInfo],
+    bucketSpec: Option[(Int, Seq[String])] = None,
+    bucketDerive: Option[(String, Seq[String])] = None)
+
 class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration,
     partCols: Set[String] = Set.empty,
-    snapshot: Option[Seq[ColeMetaCache.FileInfo]] = None)
+    snapshot: Option[ColeSnapshot] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownLimit with SupportsPushDownTopN {
@@ -595,8 +629,8 @@ class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration,
     // true with zero aggs would break Spark's column-count contract)
     if (aggregation.aggregateExpressions.isEmpty) return false
     // time travel: ColeAggScan plans from the LIVE listing — declining
-    // keeps the snapshot-pinned row scan (Spark aggregates above it)
-    if (snapshot.isDefined) return false
+    // snapshot-pinned reads push too (r9): every check below consults
+    // the SNAPSHOT's file set, and the agg scan plans over it
     // claimed filters are applied row-exactly inside the agg readers, so
     // filtered aggregation still pushes (Spark guarantees no residuals
     // remain when it offers the aggregation)
@@ -613,21 +647,57 @@ class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration,
     // to sweep, so those shapes fall back to the vectorized scan.
     def aggRef(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       ref(e).filter(n => !partCols.contains(n))
+    // Decimal SUM partials must fit the ORIGINAL DecimalType(p, s):
+    // Spark's partial-pushdown rewrite builds the final aggregate as
+    // Sum(CAST(partial AS child.dataType)) — a partial needing more than
+    // p digits overflows that cast (ANSI error) where the unpushed plan
+    // (p+10 buffer) succeeds. Provable from footers alone: every file's
+    // rows × max|unscaled| < 10^p bounds every per-partition partial
+    // (partitions never span files). Unprovable (stats missing, or a
+    // genuinely ledger-sized sum) → decline, the vectorized scan
+    // aggregates with full headroom.
+    def decimalSumFits(n: String, dt: DecimalType): Boolean = {
+      val limit = java.math.BigInteger.TEN.pow(dt.precision)
+      snapshot.map(_.infos).getOrElse(ColeMetaCache.infos(path, conf)).forall { i =>
+        val ci = i.meta.columns.indexWhere(_.name == n)
+        ci < 0 || { // absent column: all NULL, contributes 0
+          val m = i.meta
+          m.rowGroups.indices.forall { rg =>
+            val rows = java.math.BigInteger.valueOf(m.rowGroups(rg).numRows.toLong)
+            val maxAbs: Option[java.math.BigInteger] =
+              if (isWide(m.columns(ci).colType))
+                m.statsMinMaxW(rg, ci).map { case ((aHi, aLo), (bHi, bLo)) =>
+                  ColeFormat.wideToBigInteger(aHi, aLo).abs
+                    .max(ColeFormat.wideToBigInteger(bHi, bLo).abs)
+                }
+              else m.statsMinMax(rg, ci).map { case (mn, mx) =>
+                java.math.BigInteger.valueOf(mn).abs
+                  .max(java.math.BigInteger.valueOf(mx).abs)
+              }
+            // bound the FILE total, not just this row group: a partition
+            // may pack every row group of the file
+            maxAbs.exists(_.multiply(java.math.BigInteger.valueOf(
+              m.totalRows)).compareTo(limit) < 0)
+          }
+        }
+      }
+    }
     def sumOk(n: String): Boolean = fullSchema(n).dataType match {
       case IntegerType | LongType | DoubleType => true
-      // unscaled-long accumulation; emitted as Decimal at the partial row.
-      // Wide (>18) decimals fall back to the vectorized scan: their sums
-      // need int128 accumulators the sweep readers don't carry.
-      case dt: DecimalType => dt.precision <= 18
+      // ≤18: unscaled-long accumulation; 19–38: the int128 two-lane
+      // WideAgg sweep — both emit Decimal partials, both pushed only
+      // when footer stats PROVE every partial fits DecimalType(p, s)
+      case dt: DecimalType if dt.precision <= 38 => decimalSumFits(n, dt)
       case _ => false
     }
     // string MIN/MAX pushes globally (answered from dictionary entries or
     // a value sweep) and grouped (byte-array accumulator slots per key);
-    // timestamps and doubles min/max from their typed page stats/sweeps
+    // timestamps and doubles min/max from their typed page stats/sweeps;
+    // wide decimals min/max from (hi,lo) page stats or lane sweeps
     def minMaxOk(n: String): Boolean = fullSchema(n).dataType match {
       case IntegerType | LongType | TimestampType | TimestampNTZType |
         DoubleType | StringType => true
-      case dt: DecimalType => dt.precision <= 18 // wide: vectorized scan
+      case dt: DecimalType => dt.precision <= 38
       case _ => false
     }
     // null-bearing v2 tables push too: encoded page values cover present
@@ -663,7 +733,8 @@ class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration,
     val referenced = (groups.flatten ++ specs.flatten.flatMap(s => Option(s.column)) ++
       pushed.flatMap(ColePredicate.fromFilter).map(_.column))
       .filterNot(partCols.contains).toSet
-    if (referenced.nonEmpty && ColeMetaCache.infos(path, conf).exists { i =>
+    if (referenced.nonEmpty && snapshot.map(_.infos)
+        .getOrElse(ColeMetaCache.infos(path, conf)).exists { i =>
         val have = i.meta.columns.map(_.name).toSet
         referenced.exists(!have.contains(_))
       }) return false
@@ -698,7 +769,7 @@ class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration,
   override def build(): Scan =
     if (pushedAggs.nonEmpty)
       new ColeAggScan(path, conf, pushedGroupCols, pushedAggs, aggSchema,
-        pushed.flatMap(ColePredicate.fromFilter), partCols)
+        pushed.flatMap(ColePredicate.fromFilter), partCols, snapshot)
     else new ColeScan(fullSchema, required, path, conf, pushed, limit, topN, partCols,
       skipOnly, snapshot)
 }
@@ -725,6 +796,26 @@ private[cole] object ColeAggGuards {
           "spark.sql.files.maxPartitionBytes (or the writer rowGroupSize) " +
           "so each partial covers fewer rows, or aggregate without pushdown")
   }
+
+  /** Wide twin: the int128 sum accumulator must provably fit both 128
+    * bits (no silent lane wrap) and the partial's DecimalType(sumPrec, s)
+    * — |sum| ≤ count · max(|min|,|max|) < 10^sumPrec covers both, since
+    * 10^38 < 2^127. Exact O(1) BigInteger arithmetic at emission only.
+    */
+  def checkWideSumBound(count: Long, minHi: Long, minLo: Long,
+      maxHi: Long, maxLo: Long, sumPrec: Int): Unit = {
+    if (count <= 0) return
+    val mn = ColeFormat.wideToBigInteger(minHi, minLo).abs
+    val mx = ColeFormat.wideToBigInteger(maxHi, maxLo).abs
+    val bound = mn.max(mx).multiply(java.math.BigInteger.valueOf(count))
+    if (bound.compareTo(java.math.BigInteger.TEN.pow(sumPrec)) >= 0)
+      throw new ColeFormatException(
+        s"pushed wide-DECIMAL SUM may exceed DECIMAL($sumPrec) in the " +
+          s"unscaled domain ($count values up to unscaled |${mn.max(mx)}|): " +
+          "reduce spark.sql.files.maxPartitionBytes (or the writer " +
+          "rowGroupSize) so each partial covers fewer rows, or aggregate " +
+          "without pushdown")
+  }
 }
 
 /** One pushed aggregate: kind ∈ {count_star, count, min, max, sum};
@@ -745,7 +836,8 @@ final case class ColeAggSpec(kind: String, column: String)
 class ColeAggScan(path: String, conf: Configuration, groupCols: Seq[String],
     aggs: Seq[ColeAggSpec], schema: StructType,
     allPreds: Array[ColePredicate] = Array.empty,
-    partCols: Set[String] = Set.empty)
+    partCols: Set[String] = Set.empty,
+    snapshot: Option[ColeSnapshot] = None)
     extends Scan with Batch {
 
   // Deliberately NOT SupportsReportPartitioning: the aggregate-pushdown
@@ -786,12 +878,14 @@ class ColeAggScan(path: String, conf: Configuration, groupCols: Seq[String],
   override def planInputPartitions(): Array[InputPartition] = {
     val target = ColePack.targetBytes
     // planning is metadata-only: footers come from the driver cache, no
-    // data file is opened here
-    val infos = ColeMetaCache.infos(path, conf)
+    // data file is opened here (snapshot reads plan the PINNED file set)
+    val infos = snapshot.map(_.infos).getOrElse(ColeMetaCache.infos(path, conf))
     // bucket pruning, same as the row scan: a filtered aggregate whose
     // claimed predicate pins the bucket column sweeps 1/n of the table
+    // (snapshots resolve the spec as of their version)
     val bucketKeep: Option[Set[String]] =
-      ColeBucket.readSpec(path, conf).flatMap { case (n, cs) =>
+      snapshot.fold(ColeBucket.readSpec(path, conf))(_.bucketSpec)
+        .flatMap { case (n, cs) =>
         ColeBucket.prunedBuckets(
           cs.map(c => preds.filter(_.column == c).toSeq), n)
           .map(_.map(_.toString))
@@ -911,6 +1005,9 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
     allValueCols.filter(ci => meta.columns(ci).colType == TDouble)
   private val strValueCols: Array[Int] =
     allValueCols.filter(ci => meta.columns(ci).colType == TString)
+  // wide decimals: int128 lane accumulators, 7 long slots per column
+  private val wideValueCols: Array[Int] =
+    allValueCols.filter(ci => isWide(meta.columns(ci).colType))
   // COUNT(col) columns: per-group null-skipping counts, fed by validity
   // bitmaps alone (dense chunks — footer-proven — count every row free)
   private val cntCols: Array[Int] = aggs.collect {
@@ -919,9 +1016,12 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
   private val slotOf: Map[Int, Int] = valueCols.zipWithIndex.toMap
   private val dblSlotOf: Map[Int, Int] = dblValueCols.zipWithIndex.toMap
   private val strSlotOf: Map[Int, Int] = strValueCols.zipWithIndex.toMap
+  private val wideSlotOf: Map[Int, Int] = wideValueCols.zipWithIndex.toMap
   private val cntSlotOf: Map[Int, Int] = cntCols.zipWithIndex.toMap
   private val slotWidth = 4 // count, sum, min, max per numeric value column
   private val DblSlotWidth = 3 // sum, min, max (counts live in dblCnt)
+  // count, sumHi, sumLo, minHi, minLo, maxHi, maxLo per wide column
+  private val WideSlotWidth = 7
   private def newAccs(): Array[Long] = {
     val a = new Array[Long](1 + slotWidth * valueCols.length)
     var s = 0
@@ -942,6 +1042,17 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
     }
     a
   }
+  private def newWideAccs(): Array[Long] = {
+    val a = new Array[Long](WideSlotWidth * wideValueCols.length)
+    var s = 0
+    while (s < wideValueCols.length) {
+      val b = s * WideSlotWidth
+      a(b + 3) = Long.MaxValue; a(b + 4) = -1L // min = +inf (largest int128)
+      a(b + 5) = Long.MinValue; a(b + 6) = 0L // max = -inf (smallest int128)
+      s += 1
+    }
+    a
+  }
 
   /** Per-key accumulator: primitive slots for numeric aggregates (with a
     * non-null count per column so all-NULL groups emit NULL), double
@@ -955,6 +1066,7 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
       if (dblValueCols.isEmpty) null else new Array[Long](dblValueCols.length)
     val str: Array[Array[Byte]] =
       if (strValueCols.isEmpty) null else new Array[Array[Byte]](2 * strValueCols.length)
+    val wide: Array[Long] = if (wideValueCols.isEmpty) null else newWideAccs()
     val cnt: Array[Long] = if (cntCols.isEmpty) null else new Array[Long](cntCols.length)
   }
 
@@ -979,6 +1091,17 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
     if (v > a(base + 2)) a(base + 2) = v
   }
 
+  @inline private def bumpWide(a: Array[Long], slot: Int, hi: Long, lo: Long): Unit = {
+    val b = slot * WideSlotWidth
+    a(b) += 1 // non-null count
+    val nl = a(b + 2) + lo
+    if (java.lang.Long.compareUnsigned(nl, a(b + 2)) < 0) a(b + 1) += 1
+    a(b + 2) = nl
+    a(b + 1) += hi
+    if (cmp128(hi, lo, a(b + 3), a(b + 4)) < 0) { a(b + 3) = hi; a(b + 4) = lo }
+    if (cmp128(hi, lo, a(b + 5), a(b + 6)) > 0) { a(b + 5) = hi; a(b + 6) = lo }
+  }
+
   // unsigned byte order — Spark's and DuckDB's binary string collation
   @inline private def bumpStr(str: Array[Array[Byte]], slot: Int, v: Array[Byte]): Unit = {
     val b = 2 * slot
@@ -1000,6 +1123,7 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
   private var valueDataCur: Array[ColumnData] = null
   private var dblValueDataCur: Array[ColumnData] = null
   private var strValueDataCur: Array[ColumnData] = null
+  private var wideValueDataCur: Array[ColumnData] = null
   private var cntValidityCur: Array[Array[Boolean]] = null
   private var groupDataCur: Array[ColumnData] = null
   private var dictEntriesCur: Array[Array[Byte]] = null
@@ -1015,12 +1139,14 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
     valueDataCur = valueCols.map(ci => reader.readChunk(rgIdx, ci))
     dblValueDataCur = dblValueCols.map(ci => reader.readChunk(rgIdx, ci))
     strValueDataCur = strValueCols.map(ci => reader.readChunk(rgIdx, ci))
+    wideValueDataCur = wideValueCols.map(ci => reader.readChunk(rgIdx, ci))
     // COUNT(col): reuse null flags from an already-decoded value chunk;
     // otherwise validity bitmaps alone (nothing read for dense chunks)
     cntValidityCur = cntCols.map { ci =>
       slotOf.get(ci).map(valueDataCur(_).nulls)
         .orElse(dblSlotOf.get(ci).map(dblValueDataCur(_).nulls))
         .orElse(strSlotOf.get(ci).map(strValueDataCur(_).nulls))
+        .orElse(wideSlotOf.get(ci).map(wideValueDataCur(_).nulls))
         .getOrElse(reader.chunkValidity(rgIdx, ci))
     }
     // dict fast path: single string FILE group column, all-DICT chunk —
@@ -1107,6 +1233,13 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
       s += 1
     }
     s = 0
+    while (s < wideValueCols.length) {
+      val cd = wideValueDataCur(s)
+      if (cd.nulls == null || !cd.nulls(r))
+        bumpWide(a.wide, s, cd.wides(2 * r), cd.wides(2 * r + 1))
+      s += 1
+    }
+    s = 0
     while (s < cntCols.length) {
       val nulls = cntValidityCur(s)
       if (nulls == null || !nulls(r)) a.cnt(s) += 1
@@ -1134,7 +1267,8 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
     }
     curActive = false
     selCur = null; valueDataCur = null; dblValueDataCur = null
-    strValueDataCur = null; cntValidityCur = null; groupDataCur = null
+    strValueDataCur = null; wideValueDataCur = null
+    cntValidityCur = null; groupDataCur = null
     dictEntriesCur = null; dictIdsCur = null; dictLocalCur = null
   }
 
@@ -1165,6 +1299,25 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
       s += 1
     }
     s = 0
+    while (s < wideValueCols.length) {
+      val b = s * WideSlotWidth
+      into.wide(b) += from.wide(b) // non-null count
+      val nl = into.wide(b + 2) + from.wide(b + 2) // 128-bit sum merge
+      if (java.lang.Long.compareUnsigned(nl, into.wide(b + 2)) < 0)
+        into.wide(b + 1) += 1
+      into.wide(b + 2) = nl
+      into.wide(b + 1) += from.wide(b + 1)
+      if (cmp128(from.wide(b + 3), from.wide(b + 4),
+          into.wide(b + 3), into.wide(b + 4)) < 0) {
+        into.wide(b + 3) = from.wide(b + 3); into.wide(b + 4) = from.wide(b + 4)
+      }
+      if (cmp128(from.wide(b + 5), from.wide(b + 6),
+          into.wide(b + 5), into.wide(b + 6)) > 0) {
+        into.wide(b + 5) = from.wide(b + 5); into.wide(b + 6) = from.wide(b + 6)
+      }
+      s += 1
+    }
+    s = 0
     while (s < cntCols.length) { into.cnt(s) += from.cnt(s); s += 1 }
   }
 
@@ -1190,6 +1343,29 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
                 case "min" => a.dbl(b + 1)
                 case "max" => a.dbl(b + 2)
               }
+            }
+          case kind if isWide(meta.columns(ci).colType) =>
+            val b = wideSlotOf(ci) * WideSlotWidth
+            if (a.wide(b) == 0) null // all-NULL group
+            else {
+              val (p, sc) = meta.columns(ci).colType match {
+                case TDecimalWide(p0, s0) => (p0, s0)
+                case t => throw new IllegalStateException(s"not wide: $t")
+              }
+              val prec = if (kind == "sum") math.min(38, p + 10) else p
+              val bi = kind match {
+                case "sum" =>
+                  // final aggregate casts partials back to (p, s)
+                  ColeAggGuards.checkWideSumBound(a.wide(b), a.wide(b + 3),
+                    a.wide(b + 4), a.wide(b + 5), a.wide(b + 6), p)
+                  ColeFormat.wideToBigInteger(a.wide(b + 1), a.wide(b + 2))
+                case "min" =>
+                  ColeFormat.wideToBigInteger(a.wide(b + 3), a.wide(b + 4))
+                case "max" =>
+                  ColeFormat.wideToBigInteger(a.wide(b + 5), a.wide(b + 6))
+              }
+              org.apache.spark.sql.types.Decimal(
+                new java.math.BigDecimal(bi, sc), prec, sc)
             }
           case kind =>
             if (a.num(base) == 0) null // all-NULL group
@@ -1226,7 +1402,7 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
     // (COUNT(col) additionally reads the footer's nullCounts, still no
     // chunk bytes)
     if (fileGroupIdx.isEmpty && valueCols.isEmpty && dblValueCols.isEmpty &&
-        strValueCols.isEmpty && part.preds.isEmpty) {
+        strValueCols.isEmpty && wideValueCols.isEmpty && part.preds.isEmpty) {
       if (!done) {
         done = true
         val a = new Acc
@@ -1291,11 +1467,14 @@ class ColeAggReader(part: ColeInputPartition, aggs: Seq[ColeAggSpec],
       val nameToIdx = meta.columns.map(_.name).zipWithIndex.toMap
       val accs = scala.collection.mutable.Map.empty[Int, ColeCodec.NumAgg]
       val dblAccs = scala.collection.mutable.Map.empty[Int, ColeCodec.DblAgg]
+      val wideAccs = scala.collection.mutable.Map.empty[Int, ColeCodec.WideAgg]
       // string min/max accumulators: value = Array(minBytes, maxBytes),
       // unsigned byte order (Spark's and DuckDB's binary string collation)
       val strAccs = scala.collection.mutable.Map.empty[Int, Array[Array[Byte]]]
       def isStrCol(ci: Int): Boolean = meta.columns(ci).colType == TString
       def isDblCol(ci: Int): Boolean = meta.columns(ci).colType == TDouble
+      def isWideCol(ci: Int): Boolean =
+        meta.columns(ci).colType.isInstanceOf[TDecimalWide]
       def bumpStr(mm: Array[Array[Byte]], v: Array[Byte]): Unit = {
         if (mm(0) == null || java.util.Arrays.compareUnsigned(v, mm(0)) < 0) mm(0) = v
         if (mm(1) == null || java.util.Arrays.compareUnsigned(v, mm(1)) > 0) mm(1) = v
@@ -1400,6 +1579,41 @@ class ColeAggReader(part: ColeInputPartition, aggs: Seq[ColeAggSpec],
           }
           a
         }
+        // wide decimals: (hi,lo) page stats answer min/max without
+        // touching values; a sum sweeps the interleaved lane pairs with
+        // the int128 accumulator
+        def fillWide(ci: Int): ColeCodec.WideAgg = {
+          val a = new ColeCodec.WideAgg
+          var i = 0
+          while (i < part.rowGroups.length) {
+            val rgIdx = part.rowGroups(i)
+            def sweep(): Unit = {
+              val cd = reader.readChunk(rgIdx, ci)
+              val nulls = cd.nulls
+              var r = 0
+              val n = cd.wides.length / 2
+              while (r < n) {
+                if (nulls == null || !nulls(r))
+                  a.add(cd.wides(2 * r), cd.wides(2 * r + 1))
+                r += 1
+              }
+            }
+            if (needSum(ci)) sweep()
+            else meta.statsMinMaxW(rgIdx, ci) match {
+              case Some(((mnHi, mnLo), (mxHi, mxLo))) =>
+                a.count += meta.rowGroups(rgIdx).numRows - meta.chunkNullCount(rgIdx, ci)
+                if (ColeFormat.cmp128(mnHi, mnLo, a.minHi, a.minLo) < 0) {
+                  a.minHi = mnHi; a.minLo = mnLo
+                }
+                if (ColeFormat.cmp128(mxHi, mxLo, a.maxHi, a.maxLo) > 0) {
+                  a.maxHi = mxHi; a.maxLo = mxLo
+                }
+              case None => sweep()
+            }
+            i += 1
+          }
+          a
+        }
         // counts are answered by rowCounts alone — only sum/min/max
         // specs touch stats or pages
         aggs.foreach {
@@ -1407,6 +1621,7 @@ class ColeAggReader(part: ColeInputPartition, aggs: Seq[ColeAggSpec],
             val ci = nameToIdx(c)
             if (isStrCol(ci)) strAccs.getOrElseUpdate(ci, fillStr(ci))
             else if (isDblCol(ci)) dblAccs.getOrElseUpdate(ci, fillDbl(ci))
+            else if (isWideCol(ci)) wideAccs.getOrElseUpdate(ci, fillWide(ci))
             else accs.getOrElseUpdate(ci, fill(ci))
           case _ => ()
         }
@@ -1459,6 +1674,15 @@ class ColeAggReader(part: ColeInputPartition, aggs: Seq[ColeAggSpec],
                 if (nulls == null || !nulls(r)) a.add(cd.doubles(r))
                 j += 1
               }
+            } else if (isWideCol(ci)) {
+              val a = wideAccs.getOrElseUpdate(ci, new ColeCodec.WideAgg)
+              var j = 0
+              while (j < sel.length) {
+                val r = sel(j)
+                if (nulls == null || !nulls(r))
+                  a.add(cd.wides(2 * r), cd.wides(2 * r + 1))
+                j += 1
+              }
             } else {
               val a = accs.getOrElseUpdate(ci, new ColeCodec.NumAgg)
               var j = 0
@@ -1493,6 +1717,29 @@ class ColeAggReader(part: ColeInputPartition, aggs: Seq[ColeAggSpec],
                 case "min" => a.min
                 case "max" => a.max
               }
+            }
+          case kind if isWideCol(nameToIdx(sp.column)) =>
+            val ci = nameToIdx(sp.column)
+            wideAccs.get(ci).filter(_.count > 0) match {
+              case None => null
+              case Some(a) =>
+                val (p, sc) = meta.columns(ci).colType match {
+                  case TDecimalWide(p0, s0) => (p0, s0)
+                  case t => throw new IllegalStateException(s"not wide: $t")
+                }
+                val prec = if (kind == "sum") math.min(38, p + 10) else p
+                val bi = kind match {
+                  case "sum" =>
+                    // the final aggregate casts this partial back to
+                    // DecimalType(p, s) — guard against p, not p+10
+                    ColeAggGuards.checkWideSumBound(a.count, a.minHi, a.minLo,
+                      a.maxHi, a.maxLo, p)
+                    ColeFormat.wideToBigInteger(a.sumHi, a.sumLo)
+                  case "min" => ColeFormat.wideToBigInteger(a.minHi, a.minLo)
+                  case "max" => ColeFormat.wideToBigInteger(a.maxHi, a.maxLo)
+                }
+                org.apache.spark.sql.types.Decimal(
+                  new java.math.BigDecimal(bi, sc), prec, sc)
             }
           case kind =>
             val ci = nameToIdx(sp.column)
@@ -2195,10 +2442,11 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
     /** Time travel: a pinned file set from [[ColeVersions.snapshotInfos]]
       * replaces the live listing everywhere this scan consults file
       * metadata. Stats/limit/topN skipping work unchanged (they are
-      * per-footer); bucket pruning and key-grouped reporting are OFF (the
-      * layout sidecars describe the CURRENT table, not the snapshot).
+      * per-footer); bucket pruning, SPJ reporting and sorted-order
+      * claims ride the AS-OF bucket spec the commit log recorded (r9) —
+      * absent for pre-r9 logs and feed reads, which then plan flat.
       */
-    snapshot: Option[Seq[ColeMetaCache.FileInfo]] = None)
+    snapshot: Option[ColeSnapshot] = None)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning
@@ -2207,7 +2455,7 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
   private val hconf = new ColeHadoopConf(conf)
 
   private def tableInfos: Seq[ColeMetaCache.FileInfo] =
-    snapshot.getOrElse(ColeMetaCache.infos(path, conf))
+    snapshot.map(_.infos).getOrElse(ColeMetaCache.infos(path, conf))
 
   /** Hive-layout partition keys in directory-nesting order, with their
     * inferred types — the scan's reported clustering. A table partitioned
@@ -2240,14 +2488,14 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
     * just can't resolve the transform and falls back to shuffling.
     */
   private lazy val bucketSpec: Option[(Int, Seq[String])] =
-    if (snapshot.isDefined) None else ColeBucket.readSpec(path, conf)
+    snapshot.fold(ColeBucket.readSpec(path, conf))(_.bucketSpec)
 
   /** Synthetic-key derivation (bucketKey layouts): lets composite point
     * lookups prune buckets from equality on the SOURCE key tuple, with
     * no reference to the stored synth column.
     */
   private lazy val bucketDerive: Option[(String, Seq[String])] =
-    if (snapshot.isDefined) None else ColeBucket.readDerivation(path, conf)
+    snapshot.fold(ColeBucket.readDerivation(path, conf))(_.bucketDerive)
 
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
     bucketSpec match {
@@ -2286,7 +2534,7 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
   override def outputOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
     import org.apache.spark.sql.connector.expressions.{Expressions => E, SortDirection}
-    if (snapshot.isDefined || bucketSpec.isEmpty) return Array.empty
+    if (bucketSpec.isEmpty) return Array.empty
     val sortCols = bucketDerive.map(_._2).getOrElse(bucketSpec.get._2)
     val infos = tableInfos
     val oneFilePerBucket = infos.nonEmpty &&

@@ -2,6 +2,8 @@ package graft.sources.cole
 
 import java.util
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -63,10 +65,28 @@ class ColeRowLevelOperation(cmd: RowLevelOperation.Command, path: String,
   @volatile private[cole] var plannedFiles: Seq[(String, Long, Long)] = Seq.empty
   @volatile private var plannedLocked = false
 
+  /** No-op detection state from the authoritative planning: which slice
+    * indices each planned file packed into, the accumulator its readers
+    * fold scan-side fingerprints into, and the name-sorted hash column
+    * list the fingerprints cover (must equal the write side's or the
+    * fingerprints are incomparable).
+    */
+  @volatile private[cole] var fileSlices: Map[String, Seq[Int]] = Map.empty
+  @volatile private[cole] var scanAcc
+      : org.apache.spark.util.CollectionAccumulator[ColeRowHash.ScanSlice] = null
+  @volatile private[cole] var scanHashNames: Seq[String] = Seq.empty
+
   private[cole] def recordPlanned(files: Seq[(String, Long, Long)],
-      authoritative: Boolean): Unit = synchronized {
-    if (authoritative) { plannedFiles = files; plannedLocked = true }
-    else if (!plannedLocked) plannedFiles = files
+      slices: Map[String, Seq[Int]],
+      acc: org.apache.spark.util.CollectionAccumulator[ColeRowHash.ScanSlice],
+      hashNames: Seq[String], authoritative: Boolean): Unit = synchronized {
+    if (authoritative || !plannedLocked) {
+      plannedFiles = files
+      fileSlices = slices
+      scanAcc = acc
+      scanHashNames = hashNames
+      if (authoritative) plannedLocked = true
+    }
   }
 
   override def command(): RowLevelOperation.Command = cmd
@@ -132,6 +152,22 @@ class ColeGroupScan(op: ColeRowLevelOperation, required: StructType,
 
   private val hconf = new ColeHadoopConf(conf)
 
+  /** Scan-side fingerprint channel for no-op rewrite detection: each
+    * reader folds the rows it delivers into a per-slice fingerprint and
+    * reports it here (successful tasks only — Spark discards failed-task
+    * accumulator updates, and the commit dedups by slice index against
+    * stage retries). Created eagerly on the driver; null outside an
+    * active session, which simply disables detection.
+    */
+  private val sliceAcc
+      : org.apache.spark.util.CollectionAccumulator[ColeRowHash.ScanSlice] =
+    try {
+      val acc = new org.apache.spark.util.CollectionAccumulator[ColeRowHash.ScanSlice]
+      org.apache.spark.sql.SparkSession.active.sparkContext
+        .register(acc, "cole-replace-scan-fp")
+      acc
+    } catch { case _: Throwable => null }
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -189,26 +225,109 @@ class ColeGroupScan(op: ColeRowLevelOperation, required: StructType,
             ColePredicate.skipRowGroup(rg, nameToIdx, dataPreds)))
         }
     }
-    // the replacement contract: commit swaps EXACTLY what was planned
-    op.recordPlanned(candidates.map(i => (i.path, i.len, i.mtime)),
-      authoritative = runtimeFiles.isDefined)
-    candidates.flatMap { info =>
+    val perFile: Seq[(String, Seq[ColeInputPartition])] = candidates.map { info =>
       val meta = info.meta
       val nameToIdx = meta.columns.map(_.name).zipWithIndex.toMap
       val colIndices = fileRequired.fieldNames.map(nameToIdx.getOrElse(_, -1))
       val pv = (info.partValues :+ (ColeUtil.FileMetaCol -> info.path)).toArray
       // whole file, every row group, NO selection predicates — rows of a
       // replaced group that don't match the condition must survive
-      ColePack.pack(info.path, colIndices,
+      info.path -> ColePack.pack(info.path, colIndices,
         meta.rowGroups.zipWithIndex.map { case (rg, rgIdx) =>
           (rgIdx, rg.numRows,
             colIndices.filter(_ >= 0).map(ci => rg.chunks(ci).totalSize).sum)
         }, ColePack.targetBytes, Array.empty, pv)
-    }.toArray[InputPartition]
+    }
+    // slice indices = positions in the returned array; the per-file map
+    // lets commit fold slice fingerprints back into per-file ones
+    var next = 0
+    val slices = perFile.map { case (f, ps) =>
+      val idxs = ps.indices.map(_ + next); next += ps.size; f -> idxs
+    }.toMap
+    // the replacement contract: commit swaps EXACTLY what was planned
+    op.recordPlanned(candidates.map(i => (i.path, i.len, i.mtime)), slices,
+      sliceAcc, ColeRowHash.hashableNames(required),
+      authoritative = runtimeFiles.isDefined)
+    perFile.flatMap(_._2).zipWithIndex.map { case (p, i) =>
+      ColeSlicedPartition(i, p): InputPartition
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ColeReaderFactory(required, hconf)
+    new ColeHashingReaderFactory(new ColeReaderFactory(required, hconf),
+      required, sliceAcc)
+}
+
+/** A group-scan slice: the underlying partition plus its position in the
+  * planned array (the fingerprint join key back to write-task ids).
+  */
+final case class ColeSlicedPartition(idx: Int, inner: ColeInputPartition)
+    extends InputPartition
+
+/** Reader factory decorator that folds every delivered row into a
+  * per-slice fingerprint and reports it on reader close. Pure
+  * passthrough when `acc` is null (no active session at scan build).
+  */
+class ColeHashingReaderFactory(inner: ColeReaderFactory, required: StructType,
+    acc: org.apache.spark.util.CollectionAccumulator[ColeRowHash.ScanSlice])
+    extends PartitionReaderFactory {
+
+  import org.apache.spark.sql.connector.read.PartitionReader
+  import org.apache.spark.sql.vectorized.ColumnarBatch
+
+  private def unwrap(p: InputPartition): (Int, InputPartition) = p match {
+    case ColeSlicedPartition(i, ip) => (i, ip)
+    case other => (-1, other)
+  }
+
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val (idx, ip) = unwrap(partition)
+    val r = inner.createReader(ip)
+    if (acc == null || idx < 0) r
+    else new PartitionReader[InternalRow] {
+      private val hasher = new ColeRowHash.RowHasher(required)
+      private var row: InternalRow = _
+      override def next(): Boolean = {
+        val has = r.next()
+        if (has) { row = r.get(); hasher.add(row) }
+        has
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = {
+        acc.add(ColeRowHash.ScanSlice(idx, ColeRowHash.Fp.of(hasher)))
+        r.close()
+      }
+    }
+  }
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    inner.supportColumnarReads(unwrap(partition)._2)
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[ColumnarBatch] = {
+    val (idx, ip) = unwrap(partition)
+    val r = inner.createColumnarReader(ip)
+    if (acc == null || idx < 0) r
+    else new PartitionReader[ColumnarBatch] {
+      private val hasher = new ColeRowHash.RowHasher(required)
+      private var batch: ColumnarBatch = _
+      override def next(): Boolean = {
+        val has = r.next()
+        if (has) {
+          batch = r.get()
+          val it = batch.rowIterator()
+          while (it.hasNext) hasher.add(it.next())
+        }
+        has
+      }
+      override def get(): ColumnarBatch = batch
+      override def close(): Unit = {
+        acc.add(ColeRowHash.ScanSlice(idx, ColeRowHash.Fp.of(hasher)))
+        r.close()
+      }
+    }
+  }
 }
 
 /** The ReplaceData write: layout-preserving rewrite of the planned
@@ -272,8 +391,9 @@ class ColeReplaceWrite(op: ColeRowLevelOperation, schema: StructType,
     // commit and job commit would replay every replaced row
     val wconf = new Configuration(conf)
     wconf.setBoolean(ColeFileWriter.DeferRenameKey, true)
-    new ColeWriterFactory(schema, path, rowGroupSize, new ColeHadoopConf(wconf),
-      partCols, bucketSpec, bucketDerive)
+    new ColeHashingWriterFactory(
+      new ColeWriterFactory(schema, path, rowGroupSize, new ColeHadoopConf(wconf),
+        partCols, bucketSpec, bucketDerive), schema)
   }
 
   /** `dir/.NAME.inprogress` → `dir/replace-<stamp>-NAME`. The stamp makes
@@ -294,8 +414,9 @@ class ColeReplaceWrite(op: ColeRowLevelOperation, schema: StructType,
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val allNew = messages.flatMap {
-      case ColeCommitMessage(fs0) => fs0
+    val tasks: Seq[(Int, ColeRowHash.Fp, Seq[String])] = messages.toSeq.flatMap {
+      case ColeHashedCommitMessage(fs0, pid, fp) => Seq((pid, fp, fs0))
+      case ColeCommitMessage(fs0) => Seq((-1, ColeRowHash.Fp.zero, fs0))
       case _ => Seq.empty
     }
     val (fs, _) = ColeIO.resolve(path, conf)
@@ -303,16 +424,18 @@ class ColeReplaceWrite(op: ColeRowLevelOperation, schema: StructType,
     // (zero-match condition, or every row of its slice deleted) commits
     // an EMPTY (still-dotted) .col file — drop those instead of
     // littering the table
-    val newDotted = allNew.filter { f =>
+    def dropEmpty(f: String): Boolean = {
       val r = new ColeFileReader(f, conf)
       val rows = try r.meta.totalRows finally r.close()
       if (rows == 0L) { fs.delete(new HPath(f), false); false } else true
     }
-    val replaced = op.plannedFiles
+    val taskFiles: Map[Int, Seq[String]] =
+      tasks.map { case (pid, _, fs0) => pid -> fs0.filter(dropEmpty) }.toMap
+    val planned = op.plannedFiles
     // concurrent-write race check while the replacement is still fully
     // INVISIBLE (dotted): every replaced file must still be exactly the
     // bytes the group scan read — on rejection the table is untouched
-    replaced.foreach { case (p, len, mtime) =>
+    planned.foreach { case (p, len, mtime) =>
       val ok = try {
         val st = fs.getFileStatus(new HPath(p))
         st.getLen == len && st.getModificationTime == mtime
@@ -325,6 +448,58 @@ class ColeReplaceWrite(op: ColeRowLevelOperation, schema: StructType,
             "other writer commits")
       }
     }
+    // ---- no-op rewrite detection: a planned file whose replacement rows
+    // fingerprint-match the rows the scan read from it did not change —
+    // keep the ORIGINAL byte-identical and discard its (still invisible)
+    // replacement. A conditional re-run MERGE/UPDATE whose matched rows
+    // change nothing then rewrites ZERO files instead of fragmenting the
+    // table on every run. Per-file matching rides the slice-index ↔
+    // write-partition-id alignment of the shuffle-free rewrite plan; when
+    // an exchange breaks alignment, fingerprints mismatch (never falsely
+    // match content that differs) and a whole-operation total comparison
+    // still catches the all-files-unchanged case.
+    val (noopFiles: Set[String], discardTasks: Set[Int]) = {
+      val slices = Option(op.scanAcc).map(_.value)
+        .map(_.asScala.groupBy(_.idx).view.mapValues(_.head.fp).toMap)
+        .getOrElse(Map.empty[Int, ColeRowHash.Fp])
+      val taskFp: Map[Int, ColeRowHash.Fp] =
+        tasks.map { case (pid, fp, _) => pid -> fp }.toMap
+      if (slices.isEmpty || taskFp.contains(-1) ||
+          op.scanHashNames != ColeRowHash.hashableNames(schema))
+        (Set.empty[String], Set.empty[Int])
+      else {
+        def fpSum(m: Map[Int, ColeRowHash.Fp], idxs: Seq[Int]): ColeRowHash.Fp =
+          idxs.foldLeft(ColeRowHash.Fp.zero)((a, i) =>
+            a + m.getOrElse(i, ColeRowHash.Fp.zero))
+        val totalScan = slices.values.foldLeft(ColeRowHash.Fp.zero)(_ + _)
+        val totalWrite = taskFp.values.foldLeft(ColeRowHash.Fp.zero)(_ + _)
+        if (totalScan.count > 0 && totalScan == totalWrite)
+          // whole operation changed nothing (alignment-independent):
+          // every original stays, every replacement file is discarded
+          (planned.map(_._1).toSet, taskFiles.keySet)
+        else {
+          // per-file: a file is unchanged when the write tasks aligned
+          // with its slices produced exactly its rows — discard only
+          // those tasks' files; everything else (changed files, insert
+          // rows) commits normally
+          val perFile = planned.map(_._1).filter { f =>
+            op.fileSlices.get(f).exists { idxs =>
+              idxs.forall(slices.contains) && {
+                val s = fpSum(slices, idxs)
+                s.count > 0 && s == fpSum(taskFp, idxs)
+              }
+            }
+          }.toSet
+          (perFile, perFile.flatMap(f => op.fileSlices.getOrElse(f, Seq.empty)))
+        }
+      }
+    }
+    discardTasks.foreach(pid => taskFiles.getOrElse(pid, Seq.empty)
+      .foreach(f => fs.delete(new HPath(f), false)))
+    val newDotted: Seq[String] = taskFiles.toSeq.sortBy(_._1).collect {
+      case (pid, fs0) if !discardTasks.contains(pid) => fs0
+    }.flatten
+    val replaced = planned.filterNot { case (p, _, _) => noopFiles.contains(p) }
     if (replaced.nonEmpty) {
       // streaming sources tailing this table must not re-emit the
       // replacement of rows they already processed: the compaction
@@ -353,12 +528,55 @@ class ColeReplaceWrite(op: ColeRowLevelOperation, schema: StructType,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case ColeCommitMessage(files) => files.foreach { f =>
-        val (fs, p) = ColeIO.resolve(f, conf)
-        fs.delete(p, false)
-      }
+      case m: WriterCommitMessage =>
+        val files = m match {
+          case ColeHashedCommitMessage(fs0, _, _) => fs0
+          case ColeCommitMessage(fs0) => fs0
+          case _ => Seq.empty
+        }
+        files.foreach { f =>
+          val (fs, p) = ColeIO.resolve(f, conf)
+          fs.delete(p, false)
+        }
       case _ => ()
     }
+}
+
+/** Replace-path commit message: the task's files plus the fingerprint of
+  * every row it wrote (the write side of no-op rewrite detection).
+  */
+final case class ColeHashedCommitMessage(files: Seq[String], partitionId: Int,
+    fp: ColeRowHash.Fp) extends WriterCommitMessage
+
+/** Writer-factory decorator for the replace path: folds each written row
+  * into the task fingerprint and stamps it (with the partition id) onto
+  * the commit message. Rows are hashed BEFORE the bucketed writer's
+  * in-place synthetic-key override — the stored synth value the scan
+  * hashed only differs from the recomputed one when a source key column
+  * changed, which already changes the fingerprint through that column.
+  */
+class ColeHashingWriterFactory(inner: ColeWriterFactory, schema: StructType)
+    extends DataWriterFactory {
+  import org.apache.spark.sql.connector.write.DataWriter
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] = {
+    val w = inner.createWriter(partitionId, taskId)
+    new DataWriter[InternalRow] {
+      private val hasher = new ColeRowHash.RowHasher(schema)
+      override def write(record: InternalRow): Unit = {
+        hasher.add(record)
+        w.write(record)
+      }
+      override def commit(): WriterCommitMessage = w.commit() match {
+        case ColeCommitMessage(files) =>
+          ColeHashedCommitMessage(files, partitionId, ColeRowHash.Fp.of(hasher))
+        case other => other
+      }
+      override def abort(): Unit = w.abort()
+      override def close(): Unit = w.close()
+    }
+  }
 }
 
 /** Delegating [[InternalRow]] that overrides ONE long field in place —

@@ -55,8 +55,16 @@ object ColeVersions {
   val DirName = "_cole_versions"
   private val RetiredName = "retired"
 
+  /** `spec` carries the `_bucketspec` sidecar CONTENT as of this commit
+    * (base64 line in the record file; None when the table is unbucketed
+    * or the record predates r9) — what lets a time-travel read keep
+    * bucket pruning, SPJ reporting, and aggregate pushdown instead of
+    * degrading to a flat scan because the live sidecar describes the
+    * present.
+    */
   final case class Record(version: Long, ts: Long, op: String,
-      adds: Seq[String], removes: Seq[(String, String)])
+      adds: Seq[String], removes: Seq[(String, String)],
+      spec: Option[String] = None)
 
   private def vdir(table: String): HPath = new HPath(table, DirName)
   private def retiredDir(table: String): HPath =
@@ -76,10 +84,13 @@ object ColeVersions {
     val (fs, root) = ColeIO.resolve(table, conf)
     if (!fs.exists(root)) fs.mkdirs(root)
     if (fs.exists(vdir(table))) return currentVersion(table, conf)
+    // a fresh log at a previously-versioned path (DROP + re-CREATE)
+    // must never see the old table's cached records
+    invalidateCache(fs, table)
     fs.mkdirs(retiredDir(table))
     val live = ColeIO.listPartitioned(table, conf)
       .map { case (st, _) => relOf(fs, table, st.getPath.toString) }
-    writeRecord(fs, table, "baseline", live, Seq.empty)
+    writeRecord(fs, conf, table, "baseline", live, Seq.empty)
   }
 
   /** Table-relative path of an absolute file path (partition
@@ -136,7 +147,7 @@ object ColeVersions {
       adds: Seq[String], removes: Seq[(String, String)]): Option[Long] = {
     if (!enabled(table, conf)) return None
     val (fs, _) = ColeIO.resolve(table, conf)
-    Some(writeRecord(fs, table, op, adds, removes))
+    Some(writeRecord(fs, conf, table, op, adds, removes))
   }
 
   private def recordName(seq: Long): String = f"v$seq%012d"
@@ -151,31 +162,58 @@ object ColeVersions {
   private val tableLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  private def writeRecord(fs: FileSystem, table: String, op: String,
-      adds: Seq[String], removes: Seq[(String, String)]): Long =
+  private def writeRecord(fs: FileSystem, conf: Configuration, table: String,
+      op: String, adds: Seq[String], removes: Seq[(String, String)]): Long =
     tableLocks.computeIfAbsent(
       fs.makeQualified(new HPath(table)).toString, _ => new Object)
-      .synchronized { writeRecordLocked(fs, table, op, adds, removes) }
+      .synchronized { writeRecordLocked(fs, conf, table, op, adds, removes) }
 
-  private def writeRecordLocked(fs: FileSystem, table: String, op: String,
+  private def writeRecordLocked(fs: FileSystem, conf: Configuration,
+      table: String, op: String,
       adds: Seq[String], removes: Seq[(String, String)]): Long = {
     val dir = vdir(table)
+    // snapshot the bucket-layout sidecar INTO the record (KB-scale):
+    // time travel then resolves the layout as of the version instead of
+    // trusting the live sidecar
+    val specLine: Seq[String] = {
+      val sp = new HPath(table, ColeBucket.SpecFile)
+      if (!fs.exists(sp)) Seq.empty
+      else {
+        val in = fs.open(sp)
+        val bytes = try in.readAllBytes() finally in.close()
+        Seq("spec:" + java.util.Base64.getEncoder.encodeToString(bytes))
+      }
+    }
     val body = (Seq(s"ts:${System.currentTimeMillis()}", s"op:$op") ++
+      specLine ++
       removes.map { case (r, t) => s"rm:$r|$t" } ++
       adds.map("add:" + _) :+ "end").mkString("\n")
       .getBytes(StandardCharsets.UTF_8)
     var attempt = 0
     while (attempt < 1000) {
       val seq = maxSeq(fs, table) + 1
+      val p = new HPath(dir, recordName(seq))
+      // a failure AFTER a successful exclusive create leaves a partial
+      // record that would permanently poison the log once a later commit
+      // lands above it ("torn record" on every read) — delete our own
+      // partial before retrying with the next number. A create that
+      // failed because the file EXISTS is the CAS loser and must never
+      // delete the winner's record.
+      var created = false
       try {
         // exclusive create IS the CAS: two committers racing on the same
         // sequence number — only one create succeeds, the loser re-reads
         // the max and retries on the next number
-        val out = fs.create(new HPath(dir, recordName(seq)), false)
+        val out = ColeCommitPrimitives.of(conf).exclusiveCreate(fs, p)
+        created = true
         try out.write(body) finally out.close()
         return seq
       } catch {
-        case _: java.io.IOException => attempt += 1
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          attempt += 1
+        case _: java.io.IOException =>
+          if (created) try fs.delete(p, false) catch { case _: Exception => () }
+          attempt += 1
       }
     }
     throw new IllegalStateException(
@@ -196,13 +234,21 @@ object ColeVersions {
   // each record file ONCE per JVM: a query on a versioned table costs
   // one directory listing plus reads of only the records that appeared
   // since the last access — the log read stays O(new commits), not
-  // O(table history), on a long-lived table.
+  // O(table history), on a long-lived table. Cache entries validate
+  // against the record file's (len, mtime) — a DROP TABLE + re-CREATE at
+  // the same path (new log, overlapping sequence numbers) then re-parses
+  // instead of serving the old table's deltas (same discipline as
+  // ColeMetaCache).
   private val recordCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Map[Long, Record]]()
+    new java.util.concurrent.ConcurrentHashMap[String, Map[Long, (Long, Long, Record)]]()
+
+  private[cole] def invalidateCache(fs: FileSystem, table: String): Unit =
+    recordCache.remove(fs.makeQualified(vdir(table)).toString)
 
   /** All complete records in sequence order. An in-flight record (no
     * terminal `end` yet) at the TAIL is ignored; a torn record below the
-    * tail fails loudly (history must not silently skip a delta).
+    * tail fails loudly (history must not silently skip a delta) — see
+    * [[repairTorn]] for the recovery path.
     */
   def records(table: String, conf: Configuration): Seq[Record] = {
     val (fs, _) = ColeIO.resolve(table, conf)
@@ -210,39 +256,89 @@ object ColeVersions {
     val cacheKey = fs.makeQualified(vdir(table)).toString
     val cached = recordCache.getOrDefault(cacheKey, Map.empty)
     val names = fs.listStatus(vdir(table))
-      .flatMap(s => seqOf(s.getPath.getName).map(_ -> s.getPath))
+      .flatMap(s => seqOf(s.getPath.getName)
+        .map(seq => (seq, s.getPath, s.getLen, s.getModificationTime)))
       .sortBy(_._1).toSeq
-    val parsed: Seq[(Long, Boolean, Record)] = names.map { case (seq, p) =>
-      cached.get(seq) match {
-        case Some(r) => (seq, true, r)
-        case None =>
-          val in = fs.open(p)
-          val lines = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
-            .split('\n').toSeq
-          finally in.close()
-          val complete = lines.lastOption.contains("end")
-          def tagged(tag: String): Seq[String] =
-            lines.filter(_.startsWith(tag + ":")).map(_.drop(tag.length + 1))
-          (seq, complete, Record(seq,
-            tagged("ts").headOption.flatMap(_.toLongOption).getOrElse(0L),
-            tagged("op").headOption.getOrElse("?"),
-            tagged("add"),
-            tagged("rm").map { l =>
-              val i = l.indexOf('|'); (l.substring(0, i), l.substring(i + 1))
-            }))
+    val parsed: Seq[(Long, Boolean, (Long, Long, Record))] =
+      names.map { case (seq, p, len, mtime) =>
+        cached.get(seq) match {
+          case Some(e @ (cLen, cMtime, _)) if cLen == len && cMtime == mtime =>
+            (seq, true, e)
+          case _ =>
+            val in = fs.open(p)
+            val lines = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+              .split('\n').toSeq
+            finally in.close()
+            val complete = lines.lastOption.contains("end")
+            def tagged(tag: String): Seq[String] =
+              lines.filter(_.startsWith(tag + ":")).map(_.drop(tag.length + 1))
+            (seq, complete, (len, mtime, Record(seq,
+              tagged("ts").headOption.flatMap(_.toLongOption).getOrElse(0L),
+              tagged("op").headOption.getOrElse("?"),
+              tagged("add"),
+              tagged("rm").map { l =>
+                val i = l.indexOf('|'); (l.substring(0, i), l.substring(i + 1))
+              },
+              tagged("spec").headOption.map(b => new String(
+                java.util.Base64.getDecoder.decode(b), StandardCharsets.UTF_8)))))
+        }
       }
-    }
     // drop in-flight tail records; any incomplete record BELOW a complete
     // one is corruption, not an in-flight commit
     val lastComplete = parsed.filter(_._2).map(_._1).maxOption.getOrElse(0L)
     parsed.foreach { case (seq, complete, _) =>
       require(complete || seq > lastComplete,
-        s"torn version record v$seq in $table (crash during commit?)")
+        s"torn version record v$seq in $table (crash during commit?); " +
+          "run repairTorn / CALL <catalog>.system.repair to quarantine it")
     }
-    val complete = parsed.filter(_._2).map(_._3)
-    recordCache.put(cacheKey, complete.map(r => r.version -> r).toMap)
-    complete
+    val complete = parsed.filter(_._2)
+    recordCache.put(cacheKey,
+      complete.map { case (seq, _, e) => seq -> e }.toMap)
+    complete.map(_._3._3)
   }
+
+  /** Recovery path for a torn record below the tail (a crash inside the
+    * record write, followed by a later successful commit): quarantines
+    * the partial file by renaming it aside (`v<seq>.torn`), after which
+    * the log reads again. Safe because a record only goes durable AFTER
+    * its mutation's swap — a torn record never had its delta applied to
+    * any reader's view, and the mutation's files (if the swap completed)
+    * surface through [[audit]] as on-disk-but-not-logged drift for the
+    * operator to re-commit or remove. Returns the quarantined names.
+    */
+  def repairTorn(table: String, conf: Configuration): Seq[String] = {
+    val (fs, _) = ColeIO.resolve(table, conf)
+    require(fs.exists(vdir(table)), s"versioning is not enabled on $table")
+    val entries = fs.listStatus(vdir(table))
+      .flatMap(s => seqOf(s.getPath.getName).map(_ -> s.getPath)).sortBy(_._1)
+    def isComplete(p: HPath): Boolean = {
+      val in = fs.open(p)
+      val lines = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        .split('\n').toSeq
+      finally in.close()
+      lines.lastOption.contains("end")
+    }
+    val completeSeqs = entries.filter { case (_, p) => isComplete(p) }.map(_._1)
+    val lastComplete = completeSeqs.maxOption.getOrElse(0L)
+    val quarantined = entries.collect {
+      case (seq, p) if seq < lastComplete && !isComplete(p) =>
+        val dst = new HPath(p.getParent, p.getName + ".torn")
+        require(fs.rename(p, dst), s"quarantine rename failed: $p")
+        p.getName
+    }.toSeq
+    if (quarantined.nonEmpty) invalidateCache(fs, table)
+    quarantined
+  }
+
+  /** The `_bucketspec` sidecar content AS OF `version`: the latest
+    * in-log snapshot at or before it. None = unbucketed at that version,
+    * or a pre-r9 log (which never recorded specs) — callers then keep
+    * the conservative no-bucket-features snapshot read.
+    */
+  def specAsOf(table: String, conf: Configuration,
+      version: Long): Option[String] =
+    records(table, conf).filter(_.version <= version)
+      .flatMap(_.spec).lastOption
 
   /** Resolve `versionAsOf` / `timestampAsOf` to a concrete version. */
   def resolveAsOf(table: String, conf: Configuration,
@@ -354,30 +450,43 @@ object ColeVersions {
       s"version $toInclusive does not exist on $table")
     val inRange = recs.filter(r =>
       r.version > fromExclusive && r.version <= toInclusive)
-    val rowLevel = inRange.filter(r =>
-      Set("delete", "update", "merge", "rollback").contains(r.op))
-    require(rowLevel.isEmpty,
+    // a commit that REMOVED rows cannot be served as an insert feed —
+    // guard by the record's shape (non-empty removes), not an op
+    // allowlist: overwrite, truncate, rollback and any future removing
+    // op fail loudly by construction; only the row-preserving 'compact'
+    // removes without removing ROWS
+    val removing = inRange.filter(r => r.removes.nonEmpty && r.op != "compact")
+    require(removing.isEmpty,
       s"change feed range ($fromExclusive, $toInclusive] of $table contains " +
-        s"row-level commits ${rowLevel.map(r => s"v${r.version}:${r.op}")
-          .mkString(", ")}: rewritten files mix old and changed rows, so " +
-        "they cannot be served as an insert feed — read the versions " +
-        "directly and diff, or narrow the range")
-    val laterRemovals: Seq[(Long, String, String)] = recs
-      .flatMap(r => r.removes.map { case (rel, t) => (r.version, rel, t) })
+        s"row-removing commits ${removing.map(r => s"v${r.version}:${r.op}")
+          .mkString(", ")}: their removed rows cannot be expressed as an " +
+        "insert feed — use the row-level change feed " +
+        "(ColeChangeFeed.read / readChangeFeed) which emits " +
+        "_change_type insert/delete rows, or narrow the range")
+    inRange.filterNot(_.op == "compact")
+      .flatMap(r => resolveAdds(table, conf, recs, r)).distinct
+  }
+
+  /** (rel, physical-today) of ONE record's added files: the incarnation
+    * added at `r.version` lives at its original path unless removed
+    * since, in which case it resolves at the retired path of its FIRST
+    * removal after `r.version` (an earlier removal was a previous
+    * incarnation).
+    */
+  def resolveAdds(table: String, conf: Configuration, recs: Seq[Record],
+      r: Record): Seq[(String, String)] = {
     val (fs, _) = ColeIO.resolve(table, conf)
-    inRange.filterNot(_.op == "compact").flatMap { r =>
-      r.adds.map { rel =>
-        // the incarnation added at r.version retires at its FIRST removal
-        // after r.version (an earlier removal was a previous incarnation)
-        val phys = laterRemovals
-          .collectFirst { case (v, `rel`, t) if v > r.version => t } match {
-          case Some(retiredRel) =>
-            fs.makeQualified(new HPath(vdir(table), retiredRel)).toString
-          case None => fs.makeQualified(new HPath(table, rel)).toString
-        }
-        (rel, phys)
+    val laterRemovals: Seq[(Long, String, String)] = recs
+      .flatMap(x => x.removes.map { case (rel, t) => (x.version, rel, t) })
+    r.adds.map { rel =>
+      val phys = laterRemovals
+        .collectFirst { case (v, `rel`, t) if v > r.version => t } match {
+        case Some(retiredRel) =>
+          fs.makeQualified(new HPath(vdir(table), retiredRel)).toString
+        case None => fs.makeQualified(new HPath(table, rel)).toString
       }
-    }.distinct
+      (rel, phys)
+    }
   }
 
   /** Log-vs-disk drift check: (in the log but not on disk, on disk but
@@ -410,6 +519,10 @@ object ColeVersions {
     val removes = current.collect {
       case (rel, phys) if !targetRels.contains(rel) ||
           target.exists { case (r, p) => r == rel && p != phys } =>
+        // the bloom sidecar describes THIS incarnation's bytes: delete it
+        // with the retire (every other removal path does), or a later
+        // same-named file would be pruned by a stale stranger's filter
+        fs.delete(new HPath(ColeBloomIndex.sidecarPath(phys)), false)
         retireOrDelete(fs, table, phys, stamp, versioned = true).get
     }
     val adds = target.collect {
@@ -419,9 +532,13 @@ object ColeVersions {
         fs.mkdirs(dst.getParent)
         org.apache.hadoop.fs.FileUtil.copy(fs, new HPath(phys), fs, dst,
           false, true, fs.getConf)
+        // defensive: a restored copy must not inherit a stale sidecar
+        // (none should exist — removal paths delete them — but a stray
+        // one would mis-prune); indexes rebuild via ColeBloomIndex.build
+        fs.delete(new HPath(ColeBloomIndex.sidecarPath(dst.toString)), false)
         rel
     }
-    writeRecord(fs, table, "rollback", adds, removes)
+    writeRecord(fs, conf, table, "rollback", adds, removes)
   }
 
   /** TTL vacuum of retired bytes: versions whose files were removed

@@ -266,23 +266,33 @@ class ColeAggFuzzSpec extends AnyFunSuite {
     }
   }
 
-  test("pushed decimal SUM refuses loudly when the unscaled bound could wrap int64") {
+  test("decimal SUM pushdown declines when partials could exceed DecimalType(p)") {
     val s = spark
     import s.implicits._
     import org.apache.spark.sql.types.DecimalType
-    // 20 values of ~9.2e17 unscaled: the true sum (~1.8e19) exceeds
-    // Long.MaxValue — a silent wrap would be a plausible wrong answer
+    // 20 values of ~9.2e17 unscaled: the true sum (~1.8e19) needs more
+    // digits than DECIMAL(18, 0) holds. Spark's partial-pushdown rewrite
+    // casts pushed partials back to the COLUMN type, so pushing here
+    // would overflow (ANSI error) where the unpushed plan succeeds —
+    // planning must prove rows × max|unscaled| < 10^p from footer stats
+    // and DECLINE, and the Spark-side aggregate must stay exact
     val df = (0 until 20).map(_ => BigDecimal(920000000000000000L))
       .toDF("m").select(col("m").cast(DecimalType(18, 0)).as("m"))
     val dir = Files.createTempDirectory("cole_decoverflow").toString
     df.coalesce(1).write.format("cole").mode("overwrite").save(dir)
-    val e = intercept[Exception] {
-      s.read.format("cole").load(dir).agg(sum("m")).collect()
-    }
-    def chain(t: Throwable): Seq[String] =
-      if (t == null) Seq.empty else t.getMessage +: chain(t.getCause)
-    assert(chain(e).exists(m => m != null && m.contains("unscaled domain")),
-      s"expected the loud overflow refusal, got: ${chain(e).mkString(" | ")}")
+    val q = s.read.format("cole").load(dir).agg(sum("m").as("s"))
+    assert(!q.queryExecution.executedPlan.toString.contains("PushedAggregates"),
+      "a sum that cannot prove its partials fit must not push")
+    assert(q.head() === df.agg(sum("m").as("s")).head())
+    // and a provably-fitting sum on the same precision still pushes
+    val small = (0 until 1000).map(i => BigDecimal(i.toLong)).toDF("m")
+      .select(col("m").cast(DecimalType(18, 0)).as("m"))
+    val dir2 = Files.createTempDirectory("cole_decfits").toString
+    small.coalesce(1).write.format("cole").mode("overwrite").save(dir2)
+    val q2 = s.read.format("cole").load(dir2).agg(sum("m").as("s"))
+    assert(q2.queryExecution.executedPlan.toString.contains("PushedAggregates"),
+      "a provably-fitting sum must push")
+    assert(q2.head() === small.agg(sum("m").as("s")).head())
   }
 
   test("wide decimal (precision>18) fuzz: roundtrip, claimed predicates, aggregates") {
@@ -335,17 +345,26 @@ class ColeAggFuzzSpec extends AnyFunSuite {
       assert(cole.collect().map(_.toSeq).toSet === df.collect().map(_.toSeq).toSet,
         s"wide decimal roundtrip diverged (seed=$seed n=$n)")
 
-      // aggregates are Spark-side (wide columns decline agg pushdown) but
-      // must agree exactly; SUM(DECIMAL(25,4)) has 35-digit headroom
+      // wide aggregates push down when planning can PROVE the partials
+      // fit DECIMAL(p) (rows × max|unscaled| < 10^p); this adversarial
+      // data saturates 25 digits, so SUM correctly declines for larger n
+      // while MIN/MAX (always p-sized) push — either way values must
+      // agree exactly with the DataFrame twin
       def aggSet(d: org.apache.spark.sql.DataFrame) = d.agg(
         count(lit(1)).as("c"), count(col("w")).as("cw"),
         sum("w").as("s"), min("w").as("mn"), max("w").as("mx"),
         min("ww").as("wmn"), max("ww").as("wmx")).head()
       assert(aggSet(cole) === aggSet(df),
         s"wide decimal agg diverged (seed=$seed n=$n)")
-      assert(!cole.agg(sum("w")).queryExecution.executedPlan.toString
-        .contains("PushedAggregates"),
-        "wide decimal SUM must fall back to the scan path, not push a long sweep")
+      assert(cole.agg(min("w"), max("w")).queryExecution.executedPlan
+        .toString.contains("PushedAggregates"),
+        "wide decimal MIN/MAX must push down (int128 lane stats)")
+      // grouped wide aggregates agree exactly (pushed where provable)
+      def gAggSet(d: org.apache.spark.sql.DataFrame) = d.groupBy("grp")
+        .agg(count(lit(1)).as("c"), sum("w").as("s"), min("w").as("mn"),
+          max("ww").as("wmx")).collect().map(_.toSeq).toSet
+      assert(gAggSet(cole) === gAggSet(df),
+        s"grouped wide decimal agg diverged (seed=$seed n=$n)")
 
       // claimed predicates in the int128 unscaled domain: row-exact
       // through stats skipping + selection vectors

@@ -339,4 +339,42 @@ class ColeAggPushdownSpec extends AnyFunSuite {
     assert(pushed.getLong(2) === 9998L)
     assert(pushed.getLong(3) === 5000L)
   }
+
+  test("wide DECIMAL(25,4): SUM/MIN/MAX push down via the int128 sweep") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val d = Files.createTempDirectory("cole_aggpush_wide").toString
+    // unscaled magnitudes beyond int64 (ledger-sized), negatives included
+    val df = (0 until 20000).map { i =>
+      (i.toLong, s"acct_${i % 4}",
+        (BigDecimal(123456789012345678L, 4) * (i % 7 - 3)) +
+          BigDecimal(i.toLong, 4))
+    }.toDF("id", "acct", "amt")
+      .select(col("id"), col("acct"), col("amt").cast(DecimalType(25, 4)).as("amt"))
+    df.coalesce(1).write.format("cole").mode("overwrite")
+      .option("rowGroupSize", "4096").save(d)
+    val cole = spark.read.format("cole").load(d)
+    // global: pushed, exact
+    val g = cole.agg(sum("amt").as("s"), min("amt").as("mn"), max("amt").as("mx"))
+    assert(scanOf(g).isInstanceOf[ColeAggScan], "wide agg must push")
+    assert(g.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+    assert(g.head() === df.agg(sum("amt"), min("amt"), max("amt")).head())
+    // grouped: pushed, exact per key
+    val gg = cole.groupBy("acct").agg(sum("amt").as("s"), min("amt").as("mn"))
+    assert(scanOf(gg).isInstanceOf[ColeAggScan], "grouped wide agg must push")
+    assert(gg.collect().map(_.toSeq).toSet ===
+      df.groupBy("acct").agg(sum("amt").as("s"), min("amt").as("mn"))
+        .collect().map(_.toSeq).toSet)
+    // filtered: claimed wide predicate + pushed aggregate compose
+    val f = cole.filter(col("amt") > lit(BigDecimal("0.0000")))
+      .agg(sum("amt").as("s"), count(lit(1)).as("c"))
+    assert(scanOf(f).isInstanceOf[ColeAggScan])
+    assert(f.head() === df.filter(col("amt") > lit(BigDecimal("0.0000")))
+      .agg(sum("amt"), count(lit(1))).head())
+    // min/max WITHOUT sum answers from (hi,lo) page stats alone
+    val mm = cole.agg(min("amt").as("mn"), max("amt").as("mx"))
+    assert(scanOf(mm).isInstanceOf[ColeAggScan])
+    assert(mm.head() === df.agg(min("amt"), max("amt")).head())
+  }
 }

@@ -360,7 +360,53 @@ class ColeVersionsSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] {
       spark.read.format("cole").option("changesFrom", "1").load(dir).count()
     }
-    assert(e.getMessage.contains("row-level commits"))
+    assert(e.getMessage.contains("row-removing"))
+  }
+
+  test("a failed record write cleans up after itself; repairTorn recovers a crash") {
+    val dir = Files.createTempDirectory("cole_ver_torn").toString
+    li.limit(100).coalesce(1).write.format("cole").mode("overwrite").save(dir)
+    ColeVersions.enable(dir, conf) // v1
+    li.limit(20).coalesce(1).write.format("cole").mode("append").save(dir) // v2
+    // simulate a crash MID-RECORD-WRITE: a partial record (no terminal
+    // 'end') below later commits poisons every log read...
+    val (fs, _) = ColeIO.resolve(dir, conf)
+    val vd = new org.apache.hadoop.fs.Path(dir, ColeVersions.DirName)
+    val torn = new org.apache.hadoop.fs.Path(vd, "v000000000003")
+    val out = fs.create(torn, false)
+    out.write("ts:123\nop:append\nadd:partial.col".getBytes); out.close()
+    li.limit(10).coalesce(1).write.format("cole").mode("append").save(dir) // v4
+    val e = intercept[IllegalArgumentException] {
+      ColeVersions.records(dir, conf)
+    }
+    assert(e.getMessage.contains("torn version record v3"))
+    // ...until repairTorn quarantines it; history then reads again with
+    // the gap, and later versions resolve
+    val q = ColeVersions.repairTorn(dir, conf)
+    assert(q === Seq("v000000000003"))
+    assert(!fs.exists(torn))
+    val recs = ColeVersions.records(dir, conf)
+    assert(recs.map(_.version) === Seq(1L, 2L, 4L))
+    assert(readAsOf(dir, 2).count() === 120)
+    assert(spark.read.format("cole").load(dir).count() === 130)
+  }
+
+  test("record cache revalidates: a re-created log at the same path never serves stale deltas") {
+    val dir = Files.createTempDirectory("cole_ver_stale").toString
+    li.limit(100).coalesce(1).write.format("cole").mode("overwrite").save(dir)
+    ColeVersions.enable(dir, conf) // v1: baseline of 1 file
+    li.limit(30).coalesce(1).write.format("cole").mode("append").save(dir) // v2
+    assert(ColeVersions.records(dir, conf).size === 2) // cache warm
+    // wipe the table + log (out-of-band DROP) and re-create at the path
+    val (fs, p) = ColeIO.resolve(dir, conf)
+    fs.delete(p, true)
+    li.limit(40).repartition(2).write.format("cole").mode("overwrite").save(dir)
+    ColeVersions.enable(dir, conf) // NEW v1: baseline of 2 files
+    val recs = ColeVersions.records(dir, conf)
+    assert(recs.map(_.version) === Seq(1L))
+    assert(recs.head.adds.size === 2,
+      "cache served the OLD table's v1 record (stale delta)")
+    assert(readAsOf(dir, 1).count() === 40)
   }
 
   test("unversioned tables: no log, no retire, versionAsOf fails loudly") {
