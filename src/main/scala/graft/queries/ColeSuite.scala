@@ -1207,6 +1207,85 @@ object ColeSuite {
                 CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
                 CAST(SUM(l_linenumber) AS BIGINT) AS sum_line
               FROM feed GROUP BY 1, 2, 3
-              ORDER BY commit_version, change_type, l_returnflag"""))
+              ORDER BY commit_version, change_type, l_returnflag""")),
+
+    // #146 read-time type widening (ColeUtil.widen + ColeWiden): part
+    // files written as INT32/DECIMAL(12,2) coexist with later
+    // INT64/DECIMAL(16,2) files under the WIDEST type — per-file lanes
+    // adapt at decode, claimed predicates stay row-exact across both
+    // (same unscaled domain), and no rewrite ever happens. The oracle
+    // recomputes the same aggregate over the parquet source, proving the
+    // mixed-lane read is value-exact.
+    Q("cole_type_widening", (s, d) => {
+      import org.apache.spark.sql.types.{DecimalType, IntegerType, LongType}
+      val dir = dirFor(d, "type_widening")
+      writeOnce(dir) {
+        val base = Tables.lineitem(s, d).select(col("l_orderkey"),
+          col("l_returnflag"),
+          round(col("l_quantity") * 100).cast(LongType).as("qty_c"),
+          (round(col("l_extendedprice") * 100).cast(DecimalType(14, 0)) /
+            lit(100).cast(DecimalType(3, 0))).cast(DecimalType(12, 2))
+            .as("price"))
+        base.filter(col("l_orderkey") % 2 === 0)
+          .select(col("l_orderkey").cast(IntegerType).as("l_orderkey"),
+            col("l_returnflag"), col("qty_c").cast(IntegerType).as("qty_c"),
+            col("price"))
+          .write.format("cole").mode("overwrite").save(dir)
+        base.filter(col("l_orderkey") % 2 === 1)
+          .select(col("l_orderkey"), col("l_returnflag"), col("qty_c"),
+            col("price").cast(DecimalType(16, 2)).as("price"))
+          .write.format("cole").mode("append").save(dir)
+      }
+      s.read.format("cole").load(dir)
+        .filter(col("qty_c") < 3000L) // claimed across INT32 and INT64 files
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum("l_orderkey").as("sum_key"),
+          sum("qty_c").as("sum_qty_c"),
+          sum("price").cast("string").as("sum_price"))
+        .orderBy("l_returnflag")
+    },
+      Some("""WITH t AS (SELECT l_orderkey, l_returnflag,
+                  CAST(ROUND(l_quantity * 100) AS BIGINT) AS qty_c,
+                  CAST(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    AS DECIMAL(14,0)) / 100 AS DECIMAL(16,2)) AS price
+                FROM lineitem)
+              SELECT l_returnflag, COUNT(*) AS n,
+                CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+                CAST(SUM(qty_c) AS BIGINT) AS sum_qty_c,
+                CAST(SUM(price) AS VARCHAR) AS sum_price
+              FROM t WHERE qty_c < 3000
+              GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // #147 ALTER TABLE RENAME COLUMN, metadata-only (rename map in the
+    // `_tablespec`, applied at resolution): zero data rewrites, old
+    // files' bytes resolve under the new name, appends write the new
+    // name. The oracle reads the SAME data under the ORIGINAL parquet
+    // names — the renamed read must be value-identical.
+    Q("cole_rename_column", (s, d) => {
+      val wh = "/tmp/graft_cole/warehouse"
+      s.conf.set("spark.sql.catalog.cole", "graft.sources.cole.ColeCatalog")
+      s.conf.set("spark.sql.catalog.cole.warehouse", wh)
+      val ns = s"v${writerFingerprint}_ren_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val dir = s"$wh/$ns/li"
+      writeOnce(dir) {
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_returnflag"), col("l_linenumber"))
+          .write.format("cole").mode("overwrite").save(dir)
+      }
+      // idempotent across cached-fixture re-runs: rename only when the
+      // old name is still the resolved one
+      if (s.table(s"cole.$ns.li").columns.contains("l_returnflag"))
+        s.sql(s"ALTER TABLE cole.$ns.li RENAME COLUMN l_returnflag TO flag")
+      s.table(s"cole.$ns.li")
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n"), sum("l_orderkey").as("sum_key"),
+          max("l_linenumber").as("mx_line"))
+        .orderBy("flag")
+    },
+      Some("""SELECT l_returnflag AS flag, COUNT(*) AS n,
+                CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+                MAX(l_linenumber) AS mx_line
+              FROM lineitem GROUP BY 1 ORDER BY flag"""))
   )
 }

@@ -314,13 +314,16 @@ object ColeCatalog {
 
   def writeTableSpec(table: String, conf: Configuration,
       schema: StructType, partCols: Seq[String],
-      dropped: Seq[String] = Seq.empty): Unit = {
+      dropped: Seq[String] = Seq.empty,
+      renames: Map[String, String] = Map.empty): Unit = {
     val (fs, p) = ColeIO.resolve(s"$table/$TableSpecFile", conf)
     val out = fs.create(p, true)
+    val renameLine = renames.map { case (nw, old) => s"$nw=$old" }.mkString(",")
     try out.write(
-      s"1\n${schema.json}\n${partCols.mkString(",")}\n${dropped.mkString(",")}\n"
+      s"1\n${schema.json}\n${partCols.mkString(",")}\n${dropped.mkString(",")}\n$renameLine\n"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    renameCache.remove(fs.makeQualified(p).toString)
   }
 
   def readTableSpec(table: String,
@@ -353,6 +356,44 @@ object ColeCatalog {
   /** Dropped column names of a table (empty without a sidecar). */
   def droppedColumns(table: String, conf: Configuration): Seq[String] =
     readTableSpecFull(table, conf).map(_._3).getOrElse(Seq.empty)
+
+  // rename map is consulted on EVERY metadata listing (ColeMetaCache
+  // applies it to footers), so it caches with (mtime, len) validation
+  private val renameCache = new LruCache[String, (Long, Long, Map[String, String])](4096)
+
+  /** `ALTER TABLE RENAME COLUMN` map: current name → stored (footer)
+    * name. Metadata-only — old files keep the bytes under the old name,
+    * resolution remaps them; chains compose at rename time (b→a then
+    * b→c stores c→a). Empty without a sidecar.
+    */
+  def renames(table: String, conf: Configuration): Map[String, String] = {
+    val (fs, p) = ColeIO.resolve(s"$table/$TableSpecFile", conf)
+    val key = fs.makeQualified(p).toString
+    val st = try Some(fs.getFileStatus(p))
+      catch { case _: java.io.FileNotFoundException => None }
+    st match {
+      case None => Map.empty
+      case Some(status) =>
+        renameCache.get(key) match {
+          case Some((m1, l1, m)) if m1 == status.getModificationTime &&
+              l1 == status.getLen => m
+          case _ =>
+            val in = fs.open(p)
+            val txt = try new String(in.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+            val lines = txt.split('\n')
+            val m: Map[String, String] =
+              if (lines.length <= 4 || lines(4).isEmpty) Map.empty
+              else lines(4).split(',').toSeq.map { e =>
+                val i = e.indexOf('=')
+                (e.substring(0, i), e.substring(i + 1))
+              }.toMap
+            renameCache.put(key,
+              (status.getModificationTime, status.getLen, m))
+            m
+        }
+    }
+  }
 }
 
 class ColeCatalog extends TableCatalog with FunctionCatalog
@@ -585,14 +626,59 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
             s"cannot drop '$name': the synthetic-key layout derives from it") }
         name
     }
+    // ALTER TABLE RENAME COLUMN: metadata-only — a rename map entry
+    // (new → stored footer name) in the _tablespec, applied at every
+    // metadata resolution (ColeMetaCache), NO data rewrite. Chains
+    // compose (b→a then b→c stores c→a); layout-load-bearing columns are
+    // protected (the sidecars and derivations name them physically).
+    val priorRenames = ColeCatalog.renames(path, conf)
+    var renameMap = priorRenames
+    val renamedNow = changes.collect {
+      case rc: TableChange.RenameColumn =>
+        require(rc.fieldNames.length == 1,
+          "COLE supports only top-level RENAME COLUMN")
+        val old = rc.fieldNames.head
+        val nw = rc.newName()
+        require(current.schema().fieldNames.contains(old),
+          s"column '$old' does not exist")
+        require(!current.schema().fieldNames.contains(nw),
+          s"cannot rename '$old' to '$nw': column '$nw' already exists")
+        require(!alreadyDropped.contains(nw),
+          s"cannot rename to '$nw': the name was previously dropped and " +
+            "old files still store its values")
+        require(!partCols.contains(old),
+          s"cannot rename partition column '$old': directory names carry it")
+        ColeBucket.readSpec(path, conf).foreach { case (_, cs) =>
+          require(!cs.contains(old),
+            s"cannot rename bucket column '$old': the layout routes by it") }
+        ColeBucket.readDerivation(path, conf).foreach { case (synth, srcs) =>
+          require(old != synth && !srcs.contains(old),
+            s"cannot rename '$old': the synthetic-key layout derives from it") }
+        // compose chains so each entry points at the PHYSICAL name
+        val physical = renameMap.getOrElse(old, old)
+        renameMap = (renameMap - old) + (nw -> physical)
+        (old, nw)
+    }
     val unsupported = changes.filterNot(c =>
       c.isInstanceOf[TableChange.AddColumn] ||
-        c.isInstanceOf[TableChange.DeleteColumn])
+        c.isInstanceOf[TableChange.DeleteColumn] ||
+        c.isInstanceOf[TableChange.RenameColumn])
     require(unsupported.isEmpty,
-      s"COLE tables support ALTER TABLE ADD/DROP COLUMN only; for " +
+      s"COLE tables support ALTER TABLE ADD/DROP/RENAME COLUMN only; for " +
         s"${unsupported.mkString(", ")} rewrite the table (read-time union " +
         "handles file-level evolution)")
-    val remaining = current.schema().fields
+    // a new column must not collide with a rename SOURCE still stored in
+    // old footers: its stale values would resurrect under the old name
+    added.foreach { f =>
+      require(!renameMap.values.toSet.contains(f.name),
+        s"column '${f.name}' is the stored name of a renamed column; old " +
+          "files still carry its values — pick a new name or rewrite")
+    }
+    val renamedFields = current.schema().fields.map { f =>
+      renamedNow.collectFirst { case (old, nw) if old == f.name => nw }
+        .fold(f)(nw => f.copy(name = nw))
+    }
+    val remaining = renamedFields
       .filterNot(f => droppedNow.contains(f.name))
     require(remaining.exists(f => !partCols.contains(f.name)) || added.nonEmpty,
       "cannot drop every data column")
@@ -601,7 +687,7 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
     val partFields = partCols.flatMap(c => remaining.find(_.name == c))
     ColeCatalog.writeTableSpec(path, conf,
       StructType(dataFields ++ added ++ partFields), partCols,
-      alreadyDropped ++ droppedNow)
+      alreadyDropped ++ droppedNow, renameMap)
     loadTable(ident)
   }
 

@@ -152,6 +152,42 @@ private[cole] object ColeUtil {
 
   def listFiles(path: String): Seq[String] = listFiles(path, ColeIO.driverConf())
 
+  /** Columns stored in DIFFERENT decimal lanes across part files (i64
+    * unscaled in some, int128 in others — a widened table mid-rewrite):
+    * claims and the metadata DELETE fast path must decline on them (a
+    * wide predicate cannot evaluate against a narrow chunk); reads adapt
+    * per file (ColeWiden), so correctness never depends on uniformity.
+    */
+  def laneMixedCols(infos: Seq[ColeMetaCache.FileInfo]): Set[String] = {
+    val lanes = scala.collection.mutable.Map.empty[String, Int]
+    infos.foreach(_.meta.columns.foreach { c =>
+      val bit = c.colType match {
+        case _: TDecimal => 1
+        case _: TDecimalWide => 2
+        case _ => 0
+      }
+      if (bit != 0) lanes(c.name) = lanes.getOrElse(c.name, 0) | bit
+    })
+    lanes.collect { case (n, 3) => n }.toSet
+  }
+
+  /** Columns whose STORED type differs anywhere across part files (any
+    * widening pair): aggregate pushdown declines on them — the sweep
+    * accumulators and partial emission assume one physical type per
+    * column, and a compaction pass restores homogeneity (and pushdown).
+    */
+  def typeMixedCols(infos: Seq[ColeMetaCache.FileInfo]): Set[String] = {
+    val types = scala.collection.mutable.Map.empty[String, ColeType]
+    val mixed = scala.collection.mutable.Set.empty[String]
+    infos.foreach(_.meta.columns.foreach { c =>
+      types.get(c.name) match {
+        case None => types(c.name) = c.colType
+        case Some(t) => if (t != c.colType) mixed += c.name
+      }
+    })
+    mixed.toSet
+  }
+
   def sparkType(t: ColeType): DataType = t match {
     case TInt32 => IntegerType
     case TInt64 => LongType
@@ -166,22 +202,48 @@ private[cole] object ColeUtil {
     case TFloatVec => ArrayType(FloatType, containsNull = false)
   }
 
+  /** WIDENING union of two stored types for one column name (read-time
+    * type evolution, r9): INT32 widens to INT64, and a DECIMAL widens to
+    * a higher precision at the SAME scale — across the int64/int128 lane
+    * boundary too (the unscaled domain is unchanged, only the container
+    * grows). Anything else is not evolution and fails loudly: a scale
+    * change or an int↔string flip silently reinterprets stored values.
+    */
+  def widen(a: ColeType, b: ColeType): Option[ColeType] = (a, b) match {
+    case _ if a == b => Some(a)
+    case (TInt32, TInt64) | (TInt64, TInt32) => Some(TInt64)
+    case (TDecimal(p1, s1), TDecimal(p2, s2)) if s1 == s2 =>
+      Some(TDecimal(math.max(p1, p2), s1))
+    case (TDecimal(p1, s1), TDecimalWide(p2, s2)) if s1 == s2 =>
+      Some(TDecimalWide(math.max(p1, p2), s1))
+    case (TDecimalWide(p1, s1), TDecimal(p2, s2)) if s1 == s2 =>
+      Some(TDecimalWide(math.max(p1, p2), s1))
+    case (TDecimalWide(p1, s1), TDecimalWide(p2, s2)) if s1 == s2 =>
+      Some(TDecimalWide(math.max(p1, p2), s1))
+    case _ => None
+  }
+
   /** Table schema = the UNION of every part file's columns, in first-seen
     * order — schema evolution for long-lived tables: a part file written
     * before a column existed reads that column as NULL (and a claimed
     * filter on it prunes the whole file at planning). Nullability is per
     * column across the WHOLE listing: a null-bearing v2 page OR any file
-    * missing the column makes it nullable. A type change for an existing
-    * name is NOT evolution — it fails loudly.
+    * missing the column makes it nullable. Type changes WIDEN when safe
+    * (see [[widen]]): INT32→INT64 and same-scale DECIMAL precision
+    * growth read under the widest type, per-file values adapted at
+    * decode; any other change fails loudly.
     */
   def toSparkSchemaOf(infos: Seq[ColeMetaCache.FileInfo]): StructType = {
     val order = scala.collection.mutable.LinkedHashMap[String, ColeType]()
     infos.foreach(i => i.meta.columns.foreach { c =>
       order.get(c.name) match {
         case None => order(c.name) = c.colType
-        case Some(t) => require(t == c.colType,
-          s"schema evolution cannot change column '${c.name}' from $t to " +
-            s"${c.colType} (file ${i.path}); rewrite the table instead")
+        case Some(t) => order(c.name) = widen(t, c.colType).getOrElse(
+          throw new IllegalArgumentException(
+            s"schema evolution cannot change column '${c.name}' from $t to " +
+              s"${c.colType} (file ${i.path}); only INT32→INT64 and " +
+              "same-scale DECIMAL precision growth widen — rewrite the " +
+              "table for other changes"))
       }
     })
     StructType(order.toSeq.map { case (name, t) =>
@@ -262,7 +324,16 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
     * conjunctions are rejected at analysis (canDeleteWhere false).
     */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    filters.nonEmpty && filters.forall(f => ColePredicate.fromFilter(f).isDefined)
+    filters.nonEmpty && filters.forall(f => ColePredicate.fromFilter(f).isDefined) && {
+      // a lane-mixed (widened) or renamed-in-some-file predicate column
+      // would make the fast path misevaluate against raw executor chunks
+      // — route to the group-based row-level DELETE instead (always
+      // exact: its scan never claims row filters)
+      val cols = filters.flatMap(ColePredicate.fromFilter).map(_.column).toSet
+      val infos = ColeMetaCache.infos(properties("path"), ColeIO.driverConf())
+      (ColeUtil.laneMixedCols(infos) & cols).isEmpty &&
+        infos.forall(i => (i.renamed.keySet & cols).isEmpty)
+    }
 
   override def deleteWhere(filters: Array[Filter]): Unit =
     ColeDelete.deleteWhere(org.apache.spark.sql.SparkSession.active,
@@ -280,7 +351,8 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
     ColeCatalog.writeTableSpec(path, conf,
       StructType(schema.filterNot(f => writePartCols.contains(f.name))
         .toArray ++ schema.filter(f => writePartCols.contains(f.name))),
-      writePartCols, ColeCatalog.droppedColumns(path, conf))
+      writePartCols, ColeCatalog.droppedColumns(path, conf),
+      ColeCatalog.renames(path, conf))
     val (fs, _) = ColeIO.resolve(path, conf)
     val stamp = java.lang.Long.toHexString(System.nanoTime())
     val versioned = ColeVersions.enabled(path, conf)
@@ -513,26 +585,44 @@ class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration,
     * only pushes aggregation when no post-scan filter remains. Everything
     * else stays residual.
     */
+  private lazy val laneMixed: Set[String] = ColeUtil.laneMixedCols(
+    snapshot.map(_.infos).getOrElse(ColeMetaCache.infos(path, conf)))
+
+  /** Columns some live file stores under a RENAMED-AWAY old name:
+    * executor-side name resolution (claimed filters, pushed aggregates)
+    * declines on them — executors see raw footers; driver-side planning
+    * (stat skipping, packing indices) already resolves current names
+    * through the renamed metadata. Compaction rewrites files under
+    * current names and the declines lift.
+    */
+  private lazy val renamedCols: Set[String] =
+    snapshot.map(_.infos).getOrElse(ColeMetaCache.infos(path, conf))
+      .flatMap(_.renamed.keySet).toSet
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     def colType(c: String): Option[DataType] =
       if (fullSchema.fieldNames.contains(c)) Some(fullSchema(c).dataType) else None
     def claimable(f: Filter): Boolean = f match {
       // claimed and ENFORCED: null rows fail every claimed predicate in
       // the selection loop (v1 chunks have no nulls, so it is free there)
-      case IsNotNull(c) => fullSchema.fieldNames.contains(c)
+      case IsNotNull(c) => fullSchema.fieldNames.contains(c) && !renamedCols(c)
       case _ => ColePredicate.fromFilter(f).exists { p =>
-        colType(p.column) match {
+        if (renamedCols(p.column)) false
+        else colType(p.column) match {
           case Some(IntegerType | LongType | TimestampType | TimestampNTZType) =>
             !p.isString && !p.isDouble && !p.isWideOp
           case Some(dt: DecimalType) if dt.precision <= 18 =>
             !p.isString && !p.isDouble && !p.isWideOp
           // wide decimal: claim only when the literal's scale equals the
-          // column's — then the unscaled int128 compare IS the value compare
+          // column's — then the unscaled int128 compare IS the value
+          // compare — and only when EVERY file stores the wide lane (a
+          // widened table mid-rewrite has i64 chunks the wide evaluator
+          // cannot read; those stay residual, skip-only stats still safe)
           case Some(dt: DecimalType) =>
             def scaleOk(q: ColePredicate): Boolean =
               if (q.op == "or") q.orChildren.forall(scaleOk)
               else q.wScale == dt.scale
-            p.isWideOp && scaleOk(p)
+            p.isWideOp && scaleOk(p) && !laneMixed(p.column)
           case Some(DoubleType) => p.isDouble
           case Some(StringType) => p.isString
           case _ => false
@@ -733,11 +823,23 @@ class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration,
     val referenced = (groups.flatten ++ specs.flatten.flatMap(s => Option(s.column)) ++
       pushed.flatMap(ColePredicate.fromFilter).map(_.column))
       .filterNot(partCols.contains).toSet
-    if (referenced.nonEmpty && snapshot.map(_.infos)
-        .getOrElse(ColeMetaCache.infos(path, conf)).exists { i =>
+    if (referenced.nonEmpty) {
+      val infos = snapshot.map(_.infos).getOrElse(ColeMetaCache.infos(path, conf))
+      if (infos.exists { i =>
         val have = i.meta.columns.map(_.name).toSet
         referenced.exists(!have.contains(_))
       }) return false
+      // read-time type widening: a referenced column stored under
+      // DIFFERENT physical types across files (INT32/INT64 mix, decimal
+      // precision growth) falls back to the row scan — the sweep
+      // accumulators and partial emission assume one type per column;
+      // compaction homogenizes and pushdown returns
+      if ((ColeUtil.typeMixedCols(infos) & referenced).nonEmpty) return false
+      // renamed columns: agg readers resolve names against RAW executor
+      // footers — decline until compaction rewrites under current names
+      if (infos.exists(i => (i.renamed.keySet & referenced).nonEmpty))
+        return false
+    }
     pushedGroupCols = groups.flatten.toSeq
     pushedAggs = specs.flatten.toSeq
     // positional contract: group-by fields first, then one field per
@@ -3037,7 +3139,7 @@ class ColeColumnarReader(part: ColeInputPartition, required: StructType,
       if (part.preds.isEmpty) null
       else ColePredicate.buildSelection(reader, rgIdx, part.rowCounts(i),
         nameToIdx, part.preds)
-    columns = part.colIndices.map { ci =>
+    columns = part.colIndices.zipWithIndex.map { case (ci, pos) =>
       if (ci < 0) null // schema-evolution column absent from this file
       else {
       val dict = reader.readStringChunkDict(rgIdx, ci)
@@ -3051,7 +3153,10 @@ class ColeColumnarReader(part: ColeInputPartition, required: StructType,
           (entries, g)
         }
       } else {
-        val cd = reader.readChunk(rgIdx, ci)
+        // read-time type widening: a file narrower than the union schema
+        // adapts its decoded lane here (INT32→long, i64 decimal→int128)
+        val cd = ColeWiden.adapt(reader.readChunk(rgIdx, ci),
+          required.fields(pos).dataType)
         if (sel == null) cd
         else {
           // claimed predicates never select a null row of a FILTERED
@@ -3257,9 +3362,13 @@ class ColeRowReader(part: ColeInputPartition, required: StructType,
       sel = if (part.preds.isEmpty) null
         else ColePredicate.buildSelection(reader, rgIdx, part.rowCounts(rgPos),
           nameToIdx, part.preds)
-      // -1 = schema-evolution column absent from this file: NULL for every row
-      columns = part.colIndices.map(ci =>
-        if (ci < 0) null else reader.readChunk(rgIdx, ci))
+      // -1 = schema-evolution column absent from this file: NULL for every
+      // row; present columns adapt narrower stored lanes to the union type
+      columns = part.colIndices.zipWithIndex.map { case (ci, pos) =>
+        if (ci < 0) null
+        else ColeWiden.adapt(reader.readChunk(rgIdx, ci),
+          required.fields(pos).dataType)
+      }
       rgRows = if (sel == null) part.rowCounts(rgPos) else sel.length
       row = 0
     }
@@ -3476,6 +3585,13 @@ class ColeBatchWrite(schema: StructType, path: String, rowGroupSize: Int,
       .foreach(c => throw new IllegalArgumentException(
         s"column '$c' was dropped from this table; old files still store " +
           "its values — pick a new name or rewrite the table"))
+    // a RENAME source name must not come back either: old footers still
+    // store the renamed column under it, and resolution would remap the
+    // new data away (or interleave it with the renamed column)
+    ColeCatalog.renames(path, conf).values.toSet.intersect(schema.fieldNames.toSet)
+      .foreach(c => throw new IllegalArgumentException(
+        s"column '$c' is the stored name of a renamed column; old files " +
+          "still carry its values — write under the current name"))
     partCols.foreach(c => require(schema.fieldNames.contains(c),
       s"partition column '$c' not in write schema"))
     require(partCols.size < schema.size,

@@ -215,7 +215,8 @@ object ColeDelete {
         }
       ColeCatalog.writeTableSpec(table, conf,
         StructType(ColeUtil.toSparkSchemaOf(infos).fields.toSeq ++ partFields),
-        partFields.map(_.name), ColeCatalog.droppedColumns(table, conf))
+        partFields.map(_.name), ColeCatalog.droppedColumns(table, conf),
+        ColeCatalog.renames(table, conf))
     }
 
     Stats(infos.size,

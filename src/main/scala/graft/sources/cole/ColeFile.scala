@@ -19,6 +19,53 @@ final case class ColumnData(ints: Array[Int], longs: Array[Long],
     /** TDecimalWide lane: interleaved [hi,lo] i64 pairs, length 2×rows. */
     wides: Array[Long] = null)
 
+/** Read-time type widening (r9): adapt a file's decoded chunk to the
+  * UNION schema's wider container — INT32 values under an INT64 union
+  * widen to longs, and ≤18-precision decimal longs under a wide (>18)
+  * union widen to sign-extended int128 lane pairs. The unscaled DOMAIN
+  * never changes (same scale), only the container, so stats, claimed
+  * same-lane predicates, and encodings stay valid per file.
+  */
+object ColeWiden {
+  /** Normalize `cd` to the lane the required Spark type expects. */
+  def adapt(cd: ColumnData, required: org.apache.spark.sql.types.DataType): ColumnData = {
+    import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType, TimestampType}
+    required match {
+      case LongType | TimestampType | TimestampNTZType if cd.ints != null =>
+        cd.copy(ints = null, longs = widenInts(cd.ints))
+      case dt: DecimalType if dt.precision > 18 =>
+        if (cd.longs != null) cd.copy(longs = null, wides = widenLongs(cd.longs))
+        else if (cd.ints != null)
+          cd.copy(ints = null, wides = widenLongs(widenInts(cd.ints)))
+        else cd
+      case dt: DecimalType if dt.precision > 9 && cd.ints != null =>
+        // narrow-decimal union reads an INT-lane chunk (can only arise
+        // from a widened INT32 read through a decimal-typed projection;
+        // defensive — schema union never produces it today)
+        cd.copy(ints = null, longs = widenInts(cd.ints))
+      case _ => cd
+    }
+  }
+
+  private def widenInts(a: Array[Int]): Array[Long] = {
+    val g = new Array[Long](a.length)
+    var i = 0
+    while (i < a.length) { g(i) = a(i).toLong; i += 1 }
+    g
+  }
+
+  private def widenLongs(a: Array[Long]): Array[Long] = {
+    val g = new Array[Long](2 * a.length)
+    var i = 0
+    while (i < a.length) {
+      g(2 * i) = a(i) >> 63 // sign extension into the hi lane
+      g(2 * i + 1) = a(i)
+      i += 1
+    }
+    g
+  }
+}
+
 /** Single-file reader: footer → metadata → per-chunk decode.
   * (Reading algorithm per reference docs/FORMAT.md "Reading Algorithm".)
   *

@@ -149,8 +149,17 @@ private[cole] final class LruCache[K, V](maxEntries: Int) {
   * filesystem call beyond the listing itself.
   */
 object ColeMetaCache {
+  /** `renamed`: current-name → stored-footer-name for columns this FILE
+    * carries under an old name (ALTER TABLE RENAME COLUMN is
+    * metadata-only; the meta here is presented POST-RENAME so every
+    * driver-side consumer — schema union, stats, packing indices —
+    * resolves current names; executors read by INDEX, so only name-based
+    * executor paths (claimed filters, pushed aggregates) must decline on
+    * files where this is non-empty).
+    */
   final case class FileInfo(path: String, len: Long, mtime: Long,
-      meta: FileMeta, partValues: Seq[(String, String)] = Seq.empty)
+      meta: FileMeta, partValues: Seq[(String, String)] = Seq.empty,
+      renamed: Map[String, String] = Map.empty)
 
   // Footer metadata is KB-scale, so the bound is generous: it exists to
   // keep a long-lived driver that has planned over MANY tables from
@@ -168,10 +177,34 @@ object ColeMetaCache {
   def infos(table: String, conf: Configuration): Seq[FileInfo] = {
     val statuses = ColeIO.listPartitioned(table, conf)
     import scala.collection.parallel.CollectionConverters._
-    statuses.par.map { case (st, parts) =>
+    val raw = statuses.par.map { case (st, parts) =>
       infoOf(st.getPath.toString, st.getModificationTime, st.getLen, parts, conf)
     }.seq.toSeq
+    applyRenames(raw, ColeCatalog.renames(table, conf))
   }
+
+  /** Present footers under the table's CURRENT column names: a column
+    * the rename map tracks remaps old→new per file (indices untouched);
+    * files already carrying the new name pass through. Applied by
+    * [[infos]] and the time-travel/feed resolution, so renames behave
+    * like Delta column mapping: the name travels, the bytes do not.
+    */
+  def applyRenames(fis: Seq[FileInfo],
+      renames: Map[String, String]): Seq[FileInfo] =
+    if (renames.isEmpty) fis
+    else {
+      val oldToNew = renames.map(_.swap)
+      fis.map { fi =>
+        val names = fi.meta.columns.map(_.name).toSet
+        val applicable = oldToNew.filter { case (old, nw) =>
+          names.contains(old) && !names.contains(nw) }
+        if (applicable.isEmpty) fi
+        else fi.copy(
+          meta = fi.meta.copy(columns = fi.meta.columns.map(c =>
+            applicable.get(c.name).fold(c)(nw => c.copy(name = nw)))),
+          renamed = applicable.map(_.swap))
+      }
+    }
 
   /** Footer-backed infos for an EXPLICIT file list with caller-supplied
     * partition values — how a time-travel scan plans a pinned snapshot

@@ -420,7 +420,8 @@ object ColeVersions {
       }
       (phys, parts)
     }
-    try ColeMetaCache.infosAt(resolved, conf)
+    try ColeMetaCache.applyRenames(ColeMetaCache.infosAt(resolved, conf),
+      ColeCatalog.renames(table, conf))
     catch {
       case e: java.io.FileNotFoundException =>
         throw new IllegalStateException(

@@ -211,11 +211,14 @@ class ColeCatalogSpec extends AnyFunSuite {
     assert(back.agg(sum("score")).head.getDouble(0) === 9.5)
     // a claimed filter on the added column prunes pre-evolution files whole
     assert(back.filter(col("score") > 1.0).count() === 1)
-    // type changes / renames stay loud (drops are supported — see the
-    // DROP COLUMN test)
+    // renames are metadata-only since r9 (ColeRenameColumnSpec pins the
+    // semantics); in-place type changes stay loud
+    spark.sql("ALTER TABLE cwh.db.alt RENAME COLUMN tag TO label")
+    assert(spark.table("cwh.db.alt").schema.fieldNames.toSeq ===
+      Seq("id", "label", "score"))
     val e = intercept[Exception](
-      spark.sql("ALTER TABLE cwh.db.alt RENAME COLUMN tag TO label"))
-    assert(e.getMessage.contains("ADD/DROP COLUMN only"), e.getMessage)
+      spark.sql("ALTER TABLE cwh.db.alt ALTER COLUMN id TYPE STRING"))
+    assert(e.getMessage.contains("ADD/DROP/RENAME COLUMN only"), e.getMessage)
     // non-nullable adds are rejected (cannot backfill)
     val e2 = intercept[Exception](
       spark.sql("ALTER TABLE cwh.db.alt ADD COLUMN req INT NOT NULL"))
