@@ -63,9 +63,30 @@ object Bench {
     val full = runs.map { case (k, ts) =>
       "\"" + k + "\":[" + ts.mkString(",") + "]"
     }.mkString("{", ",", "}")
+    // DML write-amplification probe: the file counts of the mutable
+    // fixture tables AFTER the bench loop. The no-op rewrite detection
+    // (r9) makes re-run MERGE/UPDATE rewrite zero files, so these counts
+    // must stay FLAT across bench runs — a regression (rewrite
+    // amplification / fragmentation) surfaces here as a growing number.
+    val dmlFiles: String = {
+      def countCol(f: java.io.File): Int = {
+        val kids = Option(f.listFiles()).getOrElse(Array.empty)
+        kids.count(c => c.isFile && c.getName.endsWith(".col")) +
+          kids.filter(_.isDirectory).map(countCol).sum
+      }
+      val wh = new java.io.File("/tmp/graft_cole/warehouse")
+      val tags = Seq("mrg", "updq", "del", "cfd")
+      val entries = Option(wh.listFiles()).getOrElse(Array.empty)
+        .filter(ns => ns.isDirectory &&
+          tags.exists(t => ns.getName.contains(s"_${t}_")))
+        .map(ns => "\"" + ns.getName + "\":" + countCol(ns))
+      entries.sorted.mkString("{", ",", "}")
+    }
     try {
       val w = new java.io.PrintWriter("BENCH_LOCAL.json")
-      try w.println(s"""{"sf":"$sfDir","best":$fullQs,"runs":$full}""") finally w.close()
+      try w.println(
+        s"""{"sf":"$sfDir","best":$fullQs,"dmlFiles":$dmlFiles,"runs":$full}""")
+      finally w.close()
     } catch { case _: Exception => () }
     println(line)
     spark.stop()
