@@ -82,6 +82,19 @@ class ColeRowLevelFuzzSpec extends AnyFunSuite {
         assert(got === want,
           s"DML divergence (seed=$seed layout=$layout step=$step): " +
             s"${(got diff want).take(3)} extra, ${(want diff got).take(3)} missing")
+        // no-op replay (r9 fingerprint discard): an identity UPDATE whose
+        // condition MATCHES rows but changes nothing must leave every
+        // file byte-identical in EVERY layout — per-file discard on
+        // shuffle-free plans, whole-operation total under the bucketed
+        // clustered-write exchange
+        def stampsNow: Set[(String, Long, Long)] =
+          ColeIO.listPartitioned(dir, ColeIO.driverConf()).map { case (st, _) =>
+            (st.getPath.toString, st.getLen, st.getModificationTime)
+          }.toSet
+        val stamps = stampsNow
+        spark.sql(s"UPDATE $tname SET v = v WHERE id >= $lo AND id < $hi")
+        assert(stampsNow === stamps,
+          s"identity UPDATE rewrote files (seed=$seed layout=$layout step=$step)")
       }
       // layout invariants survive the whole sequence
       layout match {

@@ -131,6 +131,27 @@ class ColeTypeWideningSpec extends AnyFunSuite {
     assert(spark.table("tww.db.wide").filter(col("k") === 400L).count() === 1L)
   }
 
+  test("time travel keeps the PAST's narrower type; live reads widen") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("cole_tw_tt").toString
+    (0 until 300).map(i => (i, i * 2)).toDF("k", "v")
+      .select(col("k").cast(IntegerType), col("v").cast(IntegerType))
+      .coalesce(1).write.format("cole").mode("overwrite").save(dir)
+    ColeVersions.enable(dir, ColeIO.driverConf()) // v1: all INT32
+    (300 until 400).map(i => (i.toLong, i.toLong)).toDF("k", "v")
+      .coalesce(1).write.format("cole").mode("append").save(dir) // v2 widens
+    val live = spark.read.format("cole").load(dir)
+    assert(live.schema("k").dataType === LongType)
+    assert(live.count() === 400L)
+    // the snapshot's schema is the UNION of ITS files: still INT32
+    val v1 = spark.read.format("cole").option("versionAsOf", "1").load(dir)
+    assert(v1.schema("k").dataType === IntegerType,
+      "a pinned pre-widening snapshot must keep the narrower type")
+    assert(v1.count() === 300L)
+    assert(v1.agg(sum("v")).head.getLong(0) === (0 until 300).map(_ * 2L).sum)
+  }
+
   test("non-widening changes still fail loudly") {
     val s = spark
     import s.implicits._
