@@ -724,7 +724,8 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.toSeq == Seq("system"))
       Array("versioning", "rollback", "expire_versions", "vacuum", "compact",
-        "audit", "repair").map(Identifier.of(Array("system"), _))
+        "audit", "repair", "zorder", "bloom_index")
+        .map(Identifier.of(Array("system"), _))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
@@ -783,9 +784,32 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
         ColeVersions.repairTorn(procTablePath(in.getString(0)), conf)
           .map(f => Array[Any](f)).toArray
       }
+      case "zorder" => procedure("zorder",
+        tableArg ++ Seq("col_a" -> (StringType: DataType),
+          "col_b" -> (StringType: DataType),
+          "target_mb" -> (LongType: DataType)),
+        StructType(Seq(
+          StructField("rewritten_dirs", LongType),
+          StructField("files_before", LongType),
+          StructField("files_after", LongType)))) { in =>
+        val st = ColeCompact.zorder(
+          org.apache.spark.sql.SparkSession.active,
+          procTablePath(in.getString(0)),
+          in.getString(1), in.getString(2), in.getLong(3) << 20)
+        Array(Array[Any](st.compactedDirs.toLong, st.filesBefore.toLong,
+          st.filesAfter.toLong))
+      }
+      case "bloom_index" => procedure("bloom_index",
+        tableArg :+ ("columns" -> (StringType: DataType)),
+        StructType(Seq(StructField("indexed_files", LongType)))) { in =>
+        Array(Array[Any](ColeBloomIndex.build(
+          procTablePath(in.getString(0)),
+          in.getString(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+          conf).toLong))
+      }
       case other => throw new IllegalArgumentException(
         s"unknown procedure cole.system.$other (versioning|rollback|" +
-          "expire_versions|vacuum|compact|audit|repair)")
+          "expire_versions|vacuum|compact|audit|repair|zorder|bloom_index)")
     }
   }
 

@@ -31,7 +31,39 @@ object ColeCompact {
 
   def compact(spark: SparkSession, table: String,
       targetBytes: Long = 128L << 20, rowGroupSize: Int = 65536,
+      compress: Option[String] = None): Stats =
+    rewriteDirs(spark, table, targetBytes, rowGroupSize, compress,
+      skipWhenFewFiles = true, transform = None)
+
+  /** Re-cluster the whole table on the z-order of two columns, in place,
+    * through the SAME crash-safe two-phase swap as [[compact]] — row
+    * groups then cover small rectangles of the (a, b) key plane and
+    * footer stats prune on EITHER dimension. Row-preserving (commits as
+    * a compaction for the version log and streaming sources). Rejected
+    * on bucketed tables: their layout routes rows by the bucket hash and
+    * a z-range repartition would break it (they have their own sorted
+    * order).
+    */
+  def zorder(spark: SparkSession, table: String, colA: String, colB: String,
+      targetBytes: Long = 128L << 20, rowGroupSize: Int = 65536,
       compress: Option[String] = None): Stats = {
+    val conf = ColeIO.driverConf()
+    require(ColeBucket.readSpec(table, conf).isEmpty,
+      s"zorder on a BUCKETED table would break its hash routing; " +
+        "compact preserves the sorted bucket layout instead")
+    rewriteDirs(spark, table, targetBytes, rowGroupSize, compress,
+      skipWhenFewFiles = false,
+      transform = Some((df, n) =>
+        graft.operators.Zorder.cluster(df,
+          org.apache.spark.sql.functions.col(colA),
+          org.apache.spark.sql.functions.col(colB), n)))
+  }
+
+  private def rewriteDirs(spark: SparkSession, table: String,
+      targetBytes: Long, rowGroupSize: Int, compress: Option[String],
+      skipWhenFewFiles: Boolean,
+      transform: Option[(org.apache.spark.sql.DataFrame, Int) =>
+        org.apache.spark.sql.DataFrame]): Stats = {
     val conf = ColeIO.driverConf()
     val (fs, _) = ColeIO.resolve(table, conf)
     val dirs = ColeIO.listPartitioned(table, conf)
@@ -50,7 +82,7 @@ object ColeCompact {
       val bytes = sts.map(_._1.getLen).sum
       bytesBefore += bytes
       val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-      if (sts.size <= nOut) {
+      if (sts.isEmpty || (skipWhenFewFiles && sts.size <= nOut)) {
         filesAfter += sts.size; bytesAfter += bytes
       } else {
         val stamp = java.lang.Long.toHexString(System.nanoTime())
@@ -70,10 +102,14 @@ object ColeCompact {
         // on the natural key prune by.
         val sortCols = ColeBucket.readDerivation(table, conf).map(_._2)
           .orElse(ColeBucket.readSpec(table, conf).map(_._2)).getOrElse(Seq.empty)
-        val src0 = spark.read.format("cole").load(dir.toString).coalesce(nOut)
-        val src = if (sortCols.isEmpty) src0
-          else src0.sortWithinPartitions(sortCols.map(
-            org.apache.spark.sql.functions.col): _*)
+        val src = transform match {
+          case Some(t) => t(spark.read.format("cole").load(dir.toString), nOut)
+          case None =>
+            val src0 = spark.read.format("cole").load(dir.toString).coalesce(nOut)
+            if (sortCols.isEmpty) src0
+            else src0.sortWithinPartitions(sortCols.map(
+              org.apache.spark.sql.functions.col): _*)
+        }
         var w = src
           .write.format("cole").mode("overwrite")
           .option("rowGroupSize", rowGroupSize.toString)
