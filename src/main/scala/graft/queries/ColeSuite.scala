@@ -1286,6 +1286,43 @@ object ColeSuite {
       Some("""SELECT l_returnflag AS flag, COUNT(*) AS n,
                 CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
                 MAX(l_linenumber) AS mx_line
-              FROM lineitem GROUP BY 1 ORDER BY flag"""))
+              FROM lineitem GROUP BY 1 ORDER BY flag""")),
+
+    // #148 merge-on-read DELETE via deletion vectors (ColeDv,
+    // delete_mode='vector'): the DELETE writes per-file sidecars of
+    // deleted row ordinals — data files stay BYTE-IDENTICAL (at 100 TB a
+    // targeted delete costs KB of sidecar writes, not a table rewrite) —
+    // and scans subtract them. Fixture is idempotent: the re-run's
+    // matched rows are already in the vector, so nothing rewrites. The
+    // oracle recomputes the post-delete state from parquet.
+    Q("cole_delete_vector", (s, d) => {
+      val wh = "/tmp/graft_cole/warehouse"
+      s.conf.set("spark.sql.catalog.cole", "graft.sources.cole.ColeCatalog")
+      s.conf.set("spark.sql.catalog.cole.warehouse", wh)
+      val ns = s"v${writerFingerprint}_dvq_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val dir = s"$wh/$ns/li"
+      writeOnce(dir) {
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            col("l_linestatus"))
+          .write.format("cole").mode("overwrite").save(dir)
+        s.sql(s"CALL cole.system.delete_mode('$ns.li', 'vector')")
+      }
+      // idempotent by the vector itself: a re-run's matching ordinals
+      // are already deleted, so no sidecar rewrites
+      s.sql(s"DELETE FROM cole.$ns.li " +
+        "WHERE l_returnflag = 'R' AND l_orderkey < 30000")
+      s.table(s"cole.$ns.li")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("l_orderkey").as("sum_key"),
+          max("l_linenumber").as("mx_line"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+                MAX(l_linenumber) AS mx_line
+              FROM lineitem
+              WHERE NOT (l_returnflag = 'R' AND l_orderkey < 30000)
+              GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus"""))
   )
 }

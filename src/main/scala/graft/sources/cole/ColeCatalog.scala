@@ -724,7 +724,7 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.toSeq == Seq("system"))
       Array("versioning", "rollback", "expire_versions", "vacuum", "compact",
-        "audit", "repair", "zorder", "bloom_index")
+        "audit", "repair", "zorder", "bloom_index", "delete_mode")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -807,9 +807,17 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
           in.getString(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq,
           conf).toLong))
       }
+      case "delete_mode" => procedure("delete_mode",
+        tableArg :+ ("mode" -> (StringType: DataType)),
+        StructType(Seq(StructField("mode", StringType)))) { in =>
+        val path = procTablePath(in.getString(0))
+        ColeDv.setMode(path, conf, in.getString(1))
+        Array(Array[Any](if (ColeDv.vectorMode(path, conf)) "vector" else "copy"))
+      }
       case other => throw new IllegalArgumentException(
         s"unknown procedure cole.system.$other (versioning|rollback|" +
-          "expire_versions|vacuum|compact|audit|repair|zorder|bloom_index)")
+          "expire_versions|vacuum|compact|audit|repair|zorder|bloom_index|" +
+          "delete_mode)")
     }
   }
 

@@ -82,7 +82,12 @@ object ColeCompact {
       val bytes = sts.map(_._1.getLen).sum
       bytesBefore += bytes
       val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-      if (sts.isEmpty || (skipWhenFewFiles && sts.size <= nOut)) {
+      // a directory whose files carry deletion vectors must rewrite even
+      // when its file count is already small: compaction is what
+      // MATERIALIZES the vectors (and what unblocks delete_mode='copy')
+      def hasDv = sts.exists { s =>
+        fs.exists(new HPath(ColeDv.sidecarPath(s._1.getPath.toString))) }
+      if (sts.isEmpty || (skipWhenFewFiles && sts.size <= nOut && !hasDv)) {
         filesAfter += sts.size; bytesAfter += bytes
       } else {
         val stamp = java.lang.Long.toHexString(System.nanoTime())
@@ -146,6 +151,7 @@ object ColeCompact {
         val versioned = ColeVersions.enabled(table, conf)
         val verRemoves = sts.flatMap { s =>
           fs.delete(new HPath(ColeBloomIndex.sidecarPath(s._1.getPath.toString)), false)
+          ColeDv.drop(fs, s._1.getPath.toString) // vectors materialized
           ColeVersions.retireOrDelete(fs, table,
             s._1.getPath.toString, stamp, versioned)
         }
@@ -255,6 +261,7 @@ object ColeCompact {
       fs.delete(new HPath(dir, n), false)
       fs.delete(new HPath(ColeBloomIndex.sidecarPath(
         new HPath(dir, n).toString)), false)
+      ColeDv.drop(fs, new HPath(dir, n).toString)
     }
     else news.foreach(n => fs.delete(new HPath(dir, n), false))
     fs.delete(mp, false)

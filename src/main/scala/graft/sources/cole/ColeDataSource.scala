@@ -720,7 +720,12 @@ class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration,
     if (aggregation.aggregateExpressions.isEmpty) return false
     // time travel: ColeAggScan plans from the LIVE listing — declining
     // snapshot-pinned reads push too (r9): every check below consults
-    // the SNAPSHOT's file set, and the agg scan plans over it
+    // the SNAPSHOT's file set, and the agg scan plans over it.
+    // Merge-on-read DELETE (vector mode): footer counts and sweeps
+    // describe PHYSICAL rows — every pushed aggregate would over-count
+    // deleted rows, so the whole surface declines until compaction
+    // materializes the vectors (or the table switches back to copy mode)
+    if (snapshot.isEmpty && ColeDv.vectorMode(path, conf)) return false
     // claimed filters are applied row-exactly inside the agg readers, so
     // filtered aggregation still pushes (Spark guarantees no residuals
     // remain when it offers the aggregation)
@@ -2474,7 +2479,12 @@ final case class ColeInputPartition(file: String, rowGroups: Array[Int],
     colIndices: Array[Int], rowCounts: Array[Int],
     preds: Array[ColePredicate] = Array.empty,
     partValues: Array[(String, String)] = Array.empty,
-    partKey: InternalRow = null) extends InputPartition with HasPartitionKey {
+    partKey: InternalRow = null,
+    /** Deletion-vector ordinals per packed row group (parallel to
+      * `rowGroups`; null = no deletions): LOCAL row positions the readers
+      * subtract from every selection. Merge-on-read DELETE (ColeDv).
+      */
+    deleted: Array[Array[Int]] = null) extends InputPartition with HasPartitionKey {
   /** Typed hive-partition values, set only when the owning scan reports
     * [[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]]
     * — Spark then groups partitions by this key and co-partitioned joins /
@@ -2492,14 +2502,17 @@ private[cole] object ColePack {
   def pack(file: String, colIndices: Array[Int],
       rgs: Seq[(Int, Int, Long)], targetBytes: Long,
       preds: Array[ColePredicate] = Array.empty,
-      partValues: Array[(String, String)] = Array.empty): Seq[ColeInputPartition] = {
+      partValues: Array[(String, String)] = Array.empty,
+      deletedOf: Int => Array[Int] = _ => null): Seq[ColeInputPartition] = {
     val out = scala.collection.mutable.ArrayBuffer[ColeInputPartition]()
     val idxs = scala.collection.mutable.ArrayBuffer[Int]()
     val rows = scala.collection.mutable.ArrayBuffer[Int]()
     var acc = 0L
     def flush(): Unit = if (idxs.nonEmpty) {
+      val dels = idxs.map(deletedOf)
       out += ColeInputPartition(file, idxs.toArray, colIndices, rows.toArray, preds,
-        partValues)
+        partValues,
+        deleted = if (dels.forall(_ == null)) null else dels.toArray)
       idxs.clear(); rows.clear(); acc = 0L
     }
     rgs.foreach { case (rgIdx, nRows, bytes) =>
@@ -2591,6 +2604,15 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
     */
   private lazy val bucketSpec: Option[(Int, Seq[String])] =
     snapshot.fold(ColeBucket.readSpec(path, conf))(_.bucketSpec)
+
+  /** Merge-on-read DELETE: vector mode loads per-file deletion vectors
+    * at planning (one existence probe for the marker, sidecar reads
+    * cached) and every count-exact fast path (limit truncation, TopN
+    * threshold pruning) turns off — footer counts describe physical,
+    * not live, rows. Zero cost when the table never opted in.
+    */
+  private lazy val dvMode: Boolean =
+    snapshot.isEmpty && ColeDv.vectorMode(path, conf)
 
   /** Synthetic-key derivation (bucketKey layouts): lets composite point
     * lookups prune buckets from equality on the SOURCE key tuple, with
@@ -2772,7 +2794,25 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
         case (a, b) => a.orElse(b)
       }).map(_.map(_.toString))
     }
-    val survivors = tableInfos.filter(i => fileKeep(i.path)).flatMap { info =>
+    val dvOf: Map[String, Array[Array[Int]]] =
+      if (!dvMode) Map.empty
+      else {
+        val (dfs, _) = ColeIO.resolve(path, conf)
+        tableInfos.flatMap { i =>
+          ColeDv.read(dfs, i.path, i.len, i.mtime).map(ords =>
+            i.path -> ColeDv.localize(i.meta, ords))
+        }.toMap
+      }
+    // a file whose vector covers every row is dead: skip it whole (it
+    // lingers byte-identical until compaction sweeps it)
+    val dvDead: Set[String] =
+      if (dvOf.isEmpty) Set.empty
+      else tableInfos.filter { i =>
+        dvOf.get(i.path).exists(_.iterator.map(a =>
+          if (a == null) 0 else a.length).sum == i.meta.totalRows)
+      }.map(_.path).toSet
+    val survivors = tableInfos.filter(i =>
+      fileKeep(i.path) && !dvDead(i.path)).flatMap { info =>
       val pv = info.partValues.toMap
       if (bucketKeep.exists(ks =>
           !pv.get(ColeBucket.DirKey).exists(ks.contains))) Seq.empty
@@ -2827,6 +2867,9 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
     // every filter are credited toward the n (partially-passing groups are
     // retained but never counted), so the threshold stays conservative.
     val afterTopN = topN match {
+      // deletion vectors make row counts physical, not live: the top-n
+      // credit could over-count and prune needed groups — keep all
+      case Some(_) if dvOf.nonEmpty => survivors
       case Some((_, desc, n)) =>
         val withStats = survivors.filter(r => r._6.isDefined && r._7)
         // Ordering.reverse, NOT negation: -Long.MinValue overflows and
@@ -2852,7 +2895,8 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
       case (file, rgs) =>
         ColePack.pack(file, rgs.head._2,
           rgs.map(r => (r._3, r._4, r._5)).sortBy(_._1), target,
-          predsOf.getOrElse(file, preds), rgs.head._8.toArray)
+          predsOf.getOrElse(file, preds), rgs.head._8.toArray,
+          deletedOf = rg => dvOf.get(file).map(_(rg)).orNull)
     }
     // typed partition keys make every InputPartition key-groupable —
     // outputPartitioning() reports the clustering these keys realize
@@ -2866,7 +2910,8 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
     // and partition predicates fully keep every surviving file.
     // skipOnly nonempty means a row-dropping residual filter exists above
     // the scan — never stop planning early on a pushed limit then
-    if (limit >= 0 && preds.isEmpty && dataRuntime.isEmpty && skipOnly.isEmpty) {
+    if (limit >= 0 && preds.isEmpty && dataRuntime.isEmpty && skipOnly.isEmpty &&
+        dvOf.isEmpty) {
       val out = scala.collection.mutable.ArrayBuffer[ColeInputPartition]()
       var covered = 0L
       val it = parts.iterator
@@ -3072,7 +3117,8 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
     override def columnStats(): util.Map[
         org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
-      if (org.apache.spark.sql.internal.SQLConf.get.cboEnabled) colStatsMap
+      if (org.apache.spark.sql.internal.SQLConf.get.cboEnabled && !dvMode)
+        colStatsMap
       else java.util.Collections.emptyMap()
   }
 }
@@ -3135,10 +3181,13 @@ class ColeColumnarReader(part: ColeInputPartition, required: StructType,
     */
   private def loadRowGroup(i: Int): Unit = {
     val rgIdx = part.rowGroups(i)
-    val sel: Array[Int] =
+    val selP: Array[Int] =
       if (part.preds.isEmpty) null
       else ColePredicate.buildSelection(reader, rgIdx, part.rowCounts(i),
         nameToIdx, part.preds)
+    // deletion vectors: subtract this row group's deleted ordinals
+    val sel: Array[Int] = ColeDv.applyTo(selP,
+      if (part.deleted == null) null else part.deleted(i), part.rowCounts(i))
     columns = part.colIndices.zipWithIndex.map { case (ci, pos) =>
       if (ci < 0) null // schema-evolution column absent from this file
       else {
@@ -3359,9 +3408,13 @@ class ColeRowReader(part: ColeInputPartition, required: StructType,
       if (rgPos + 1 >= part.rowGroups.length) return false
       rgPos += 1
       val rgIdx = part.rowGroups(rgPos)
-      sel = if (part.preds.isEmpty) null
+      val selP = if (part.preds.isEmpty) null
         else ColePredicate.buildSelection(reader, rgIdx, part.rowCounts(rgPos),
           nameToIdx, part.preds)
+      // deletion vectors: subtract this row group's deleted ordinals
+      sel = ColeDv.applyTo(selP,
+        if (part.deleted == null) null else part.deleted(rgPos),
+        part.rowCounts(rgPos))
       // -1 = schema-evolution column absent from this file: NULL for every
       // row; present columns adapt narrower stored lanes to the union type
       columns = part.colIndices.zipWithIndex.map { case (ci, pos) =>
@@ -3638,6 +3691,7 @@ class ColeBatchWrite(schema: StructType, path: String, rowGroupSize: Int,
             st.getPath.toString, retireStamp, versioned)
           fs.delete(new org.apache.hadoop.fs.Path(
             ColeBloomIndex.sidecarPath(st.getPath.toString)), false)
+          ColeDv.drop(fs, st.getPath.toString)
         }
       }
     }

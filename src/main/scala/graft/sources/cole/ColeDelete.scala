@@ -117,6 +117,16 @@ object ColeDelete {
     if (dropped.isEmpty && rewrites.isEmpty)
       return Stats(infos.size, infos.size, 0, 0, 0L)
 
+    // merge-on-read (vector) mode: no file is rewritten or dropped —
+    // each affected file gets (or extends) a deletion-vector sidecar of
+    // its matching LIVE row ordinals, and scans subtract them. Deleting
+    // 100 rows from a 100 TB table then costs a read of the candidate
+    // files and KB-scale sidecar writes, zero data-file IO on the write
+    // side; compaction later materializes the vectors.
+    if (ColeDv.vectorMode(table, conf))
+      return deleteVector(spark, table, dropped ++ rewrites, dataPreds,
+        conf, infos.size)
+
     val stamp = java.lang.Long.toHexString(System.nanoTime())
     // ---- distributed rewrite: one task per affected file, zero shuffle
     val hconf = new ColeHadoopConf(conf)
@@ -188,6 +198,7 @@ object ColeDelete {
         ColeBloomIndex.indexedColumns(i.path, conf) }.distinct
       files.foreach { case (i, _) =>
         fs.delete(new HPath(ColeBloomIndex.sidecarPath(i.path)), false)
+        ColeDv.drop(fs, i.path)
         verRemoves ++= ColeVersions.retireOrDelete(fs, table, i.path, stamp, versioned)
       }
       fs.delete(scratch, true)
@@ -327,5 +338,60 @@ object ColeDelete {
     }
     ColumnData(takeI(cd.ints), takeL(cd.longs), takeS(cd.strings),
       takeD(cd.doubles), takeB(cd.nulls), takeV(cd.vecs), takeW(cd.wides))
+  }
+
+  /** Merge-on-read DELETE: one task per candidate file computes the
+    * matching LIVE row ordinals (claimed-predicate selection minus the
+    * existing vector), race-checks the data file against the
+    * classification snapshot, and writes the merged sidecar ON THE
+    * EXECUTOR (temp+rename; per-file sidecars are task-exclusive, and
+    * ordinals never travel to the driver — a billion-row delete moves
+    * counts, not vectors). Data files stay byte-identical.
+    */
+  private def deleteVector(spark: SparkSession, table: String,
+      files: Seq[ColeMetaCache.FileInfo], dataPreds: Array[ColePredicate],
+      conf: Configuration, totalFiles: Int): Stats = {
+    val hconf = new ColeHadoopConf(conf)
+    val tasks = files.map(i => (i.path, i.len, i.mtime))
+    val sc = spark.sparkContext
+    val perFile: Array[(String, Long)] =
+      sc.parallelize(tasks, math.max(1, tasks.size)).map { case (f, len, mtime) =>
+        val c = hconf.value
+        val (ffs, fp) = ColeIO.resolve(f, c)
+        // race check: the file must still be the bytes classification read
+        val st = ffs.getFileStatus(fp)
+        require(st.getLen == len && st.getModificationTime == mtime,
+          s"concurrent write detected on $f during DELETE (vector mode); " +
+            "aborted with no changes — retry after the other writer commits")
+        val existing = ColeDv.read(ffs, f, len, mtime).getOrElse(Array.empty[Int])
+        val reader = new ColeFileReader(f, c)
+        val added = try {
+          val meta = reader.meta
+          val nameToIdx = meta.columns.map(_.name).zipWithIndex.toMap
+          val exLocal = ColeDv.localize(meta, existing)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+          var base = 0L
+          meta.rowGroups.zipWithIndex.foreach { case (rg, rgIdx) =>
+            if (!(dataPreds.nonEmpty &&
+                ColePredicate.skipRowGroup(rg, nameToIdx, dataPreds))) {
+              // matching rows (empty preds = partition-only condition:
+              // every row matches) minus the already-deleted
+              val matched =
+                if (dataPreds.isEmpty) Array.tabulate(rg.numRows)(identity)
+                else ColePredicate.buildSelection(reader, rgIdx, rg.numRows,
+                  nameToIdx, dataPreds)
+              val fresh = ColeDv.applyTo(matched, exLocal(rgIdx), rg.numRows)
+              if (fresh != null) fresh.foreach(r => out += (base + r).toInt)
+            }
+            base += rg.numRows
+          }
+          out.toArray
+        } finally reader.close()
+        if (added.nonEmpty)
+          ColeDv.write(ffs, f, len, mtime, ColeDv.merge(existing, added))
+        (f, added.length.toLong)
+      }.collect()
+    val touched = perFile.count(_._2 > 0)
+    Stats(totalFiles, totalFiles - touched, 0, 0, perFile.map(_._2).sum)
   }
 }

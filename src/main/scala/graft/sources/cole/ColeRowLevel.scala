@@ -225,18 +225,28 @@ class ColeGroupScan(op: ColeRowLevelOperation, required: StructType,
             ColePredicate.skipRowGroup(rg, nameToIdx, dataPreds)))
         }
     }
+    // merge-on-read deletion vectors apply to the group scan too: a
+    // rewrite materializes only LIVE rows (and the replace commit drops
+    // the replaced files' vectors with the files)
+    val dvMode = ColeDv.vectorMode(path, conf)
+    val (dfs, _) = ColeIO.resolve(path, conf)
     val perFile: Seq[(String, Seq[ColeInputPartition])] = candidates.map { info =>
       val meta = info.meta
       val nameToIdx = meta.columns.map(_.name).zipWithIndex.toMap
       val colIndices = fileRequired.fieldNames.map(nameToIdx.getOrElse(_, -1))
       val pv = (info.partValues :+ (ColeUtil.FileMetaCol -> info.path)).toArray
+      val dv: Array[Array[Int]] =
+        if (!dvMode) null
+        else ColeDv.read(dfs, info.path, info.len, info.mtime)
+          .map(ColeDv.localize(meta, _)).orNull
       // whole file, every row group, NO selection predicates — rows of a
       // replaced group that don't match the condition must survive
       info.path -> ColePack.pack(info.path, colIndices,
         meta.rowGroups.zipWithIndex.map { case (rg, rgIdx) =>
           (rgIdx, rg.numRows,
             colIndices.filter(_ >= 0).map(ci => rg.chunks(ci).totalSize).sum)
-        }, ColePack.targetBytes, Array.empty, pv)
+        }, ColePack.targetBytes, Array.empty, pv,
+        deletedOf = rg => if (dv == null) null else dv(rg))
     }
     // slice indices = positions in the returned array; the per-file map
     // lets commit fold slice fingerprints back into per-file ones
@@ -517,6 +527,7 @@ class ColeReplaceWrite(op: ColeRowLevelOperation, schema: StructType,
     val versioned = ColeVersions.enabled(path, conf)
     val verRemoves = replaced.flatMap { case (p, _, _) =>
       fs.delete(new HPath(ColeBloomIndex.sidecarPath(p)), false)
+      ColeDv.drop(fs, p)
       ColeVersions.retireOrDelete(fs, path, p, stamp, versioned)
     }
     if (newDotted.nonEmpty || verRemoves.nonEmpty)

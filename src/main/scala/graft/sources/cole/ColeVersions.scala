@@ -84,6 +84,13 @@ object ColeVersions {
     val (fs, root) = ColeIO.resolve(table, conf)
     if (!fs.exists(root)) fs.mkdirs(root)
     if (fs.exists(vdir(table))) return currentVersion(table, conf)
+    // deletion vectors and versioning are mutually exclusive: time
+    // travel reconstructs retired FILES and has no as-of story for
+    // mutable sidecars — compact (materializing the vectors) and switch
+    // delete_mode back to 'copy' first
+    require(!ColeDv.vectorMode(table, conf),
+      s"cannot enable versioning on $table: delete_mode is 'vector' — " +
+        "CALL <catalog>.system.compact then delete_mode('ns.t','copy') first")
     // a fresh log at a previously-versioned path (DROP + re-CREATE)
     // must never see the old table's cached records
     invalidateCache(fs, table)

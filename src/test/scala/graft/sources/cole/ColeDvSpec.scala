@@ -1,0 +1,235 @@
+package graft.sources.cole
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Merge-on-read DELETE via deletion vectors (ColeDv): with
+  * `delete_mode='vector'`, a DELETE writes per-file sidecars of deleted
+  * row ordinals and every scan subtracts them — data files stay
+  * byte-identical (deleting 100 rows from a 100 TB table costs KB of
+  * sidecar writes), compaction materializes, and every count-exact fast
+  * path (agg pushdown, LIMIT truncation, TopN pruning, CBO stats)
+  * declines while vectors can exist.
+  */
+class ColeDvSpec extends AnyFunSuite {
+
+  private lazy val warehouse = Files.createTempDirectory("cole_dv_wh").toString
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.conf.set("spark.sql.catalog.dvw", "graft.sources.cole.ColeCatalog")
+    s.conf.set("spark.sql.catalog.dvw.warehouse", warehouse)
+    s
+  }
+
+  private def conf = ColeIO.driverConf()
+
+  private def fileStamps(dir: String): Set[(String, Long, Long)] =
+    ColeIO.listPartitioned(dir, conf).map { case (st, _) =>
+      (st.getPath.toString, st.getLen, st.getModificationTime)
+    }.toSet
+
+  private def sidecars(dir: String): Seq[String] = {
+    val (fs, _) = ColeIO.resolve(dir, conf)
+    ColeIO.listPartitioned(dir, conf).map(_._1.getPath.toString)
+      .filter(f => fs.exists(new org.apache.hadoop.fs.Path(
+        ColeDv.sidecarPath(f))))
+  }
+
+  test("vector DELETE: data files byte-identical, reads exact, pushdowns decline") {
+    val s = spark
+    import s.implicits._
+    val t = s"$warehouse/db/v"
+    (0 until 4000).map(i => (i.toLong, (i % 7).toLong, s"t$i"))
+      .toDF("k", "g", "tag").coalesce(2)
+      .write.format("cole").mode("overwrite")
+      .option("rowGroupSize", "512").save(t)
+    spark.sql("CALL dvw.system.delete_mode('db.v', 'vector')")
+    val before = fileStamps(t)
+    spark.sql("DELETE FROM dvw.db.v WHERE k >= 1000 AND k < 1500")
+    assert(fileStamps(t) === before,
+      "vector DELETE must leave every data file byte-identical")
+    assert(sidecars(t).nonEmpty, "affected files must carry .dv sidecars")
+    val back = spark.table("dvw.db.v")
+    assert(back.count() === 3500L)
+    assert(back.filter(col("k") === 1200L).count() === 0L)
+    assert(back.filter(col("k") === 999L).count() === 1L)
+    // claimed filters compose with the vector
+    assert(back.filter(col("k") < 2000L).count() === 1500L)
+    // aggregates exact (Spark-side: pushdown declines in vector mode)
+    val agg = back.agg(count(lit(1)).as("c"), sum("k").as("s"),
+      min("k").as("mn"), max("k").as("mx"))
+    assert(!agg.queryExecution.executedPlan.toString.contains("PushedAggregates"),
+      "vector mode must decline aggregate pushdown (counts are physical)")
+    val r = agg.head()
+    assert(r.getLong(0) === 3500L)
+    assert(r.getLong(1) === (0L until 4000L).sum - (1000L until 1500L).sum)
+    assert(r.getLong(2) === 0L && r.getLong(3) === 3999L)
+    // LIMIT and TopN stay exact (their pruning is off under vectors)
+    assert(back.orderBy(col("k")).limit(3).collect().map(_.getLong(0)).toSeq
+      === Seq(0L, 1L, 2L))
+    assert(back.orderBy(col("k").desc).limit(1).head.getLong(0) === 3999L)
+    assert(back.filter(col("k") >= 998L).orderBy("k").limit(4)
+      .collect().map(_.getLong(0)).toSeq === Seq(998L, 999L, 1500L, 1501L))
+  }
+
+  test("repeat DELETEs merge; a fully-matched re-run writes nothing") {
+    val s = spark
+    import s.implicits._
+    val t = s"$warehouse/db/m"
+    (0 until 1000).map(i => (i.toLong, i.toLong)).toDF("k", "v").coalesce(1)
+      .write.format("cole").mode("overwrite").save(t)
+    spark.sql("CALL dvw.system.delete_mode('db.m', 'vector')")
+    spark.sql("DELETE FROM dvw.db.m WHERE k < 100")
+    spark.sql("DELETE FROM dvw.db.m WHERE k >= 50 AND k < 150") // overlaps
+    assert(spark.table("dvw.db.m").count() === 850L)
+    assert(spark.table("dvw.db.m").agg(min("k")).head.getLong(0) === 150L)
+    // re-running a fully-covered DELETE adds no ordinals: sidecar untouched
+    val (fs, _) = ColeIO.resolve(t, conf)
+    val sc0 = sidecars(t).head
+    val p = new org.apache.hadoop.fs.Path(ColeDv.sidecarPath(sc0))
+    val m0 = fs.getFileStatus(p).getModificationTime
+    spark.sql("DELETE FROM dvw.db.m WHERE k < 150")
+    assert(fs.getFileStatus(p).getModificationTime === m0,
+      "a DELETE whose rows are already deleted must not rewrite the vector")
+    assert(spark.table("dvw.db.m").count() === 850L)
+  }
+
+  test("fully-deleted files are skipped whole at planning") {
+    val s = spark
+    import s.implicits._
+    val t = s"$warehouse/db/f"
+    // two files with disjoint ranges
+    (0 until 2).foreach { part =>
+      (part * 500 until (part + 1) * 500).map(i => (i.toLong, i.toLong))
+        .toDF("k", "v").coalesce(1)
+        .write.format("cole").mode(if (part == 0) "overwrite" else "append").save(t)
+    }
+    spark.sql("CALL dvw.system.delete_mode('db.f', 'vector')")
+    spark.sql("DELETE FROM dvw.db.f WHERE k < 500") // kills file A entirely
+    assert(fileStamps(t).size === 2, "dead file lingers until compaction")
+    ColeIO.opens.set(0)
+    assert(spark.table("dvw.db.f").count() === 500L)
+    // planning must not open the dead file's data
+    assert(spark.table("dvw.db.f").filter(col("k") === 10L).count() === 0L)
+  }
+
+  test("UPDATE on a vectored table materializes live rows and drops the vector") {
+    val s = spark
+    import s.implicits._
+    val t = s"$warehouse/db/u"
+    (0 until 1000).map(i => (i.toLong, i.toLong)).toDF("k", "v").coalesce(1)
+      .write.format("cole").mode("overwrite").save(t)
+    spark.sql("CALL dvw.system.delete_mode('db.u', 'vector')")
+    spark.sql("DELETE FROM dvw.db.u WHERE k < 100")
+    assert(sidecars(t).size === 1)
+    spark.sql("UPDATE dvw.db.u SET v = v + 1000000 WHERE k >= 900")
+    assert(sidecars(t).isEmpty,
+      "the copy-on-write rewrite must materialize and drop the vector")
+    val back = spark.table("dvw.db.u")
+    assert(back.count() === 900L)
+    assert(back.filter(col("k") === 50L).count() === 0L,
+      "deleted rows must not resurrect through the rewrite")
+    assert(back.filter(col("k") === 950L).select("v").head.getLong(0) === 1000950L)
+  }
+
+  test("compaction materializes vectors; delete_mode can then revert to copy") {
+    val s = spark
+    import s.implicits._
+    val t = s"$warehouse/db/c"
+    (0 until 2000).map(i => (i.toLong, i.toLong)).toDF("k", "v").coalesce(4)
+      .write.format("cole").mode("overwrite").option("rowGroupSize", "256").save(t)
+    spark.sql("CALL dvw.system.delete_mode('db.c', 'vector')")
+    // convertible condition: the vector fast path serves it (a
+    // non-convertible one routes to the copy-on-write group rewrite,
+    // which clears vectors as it goes)
+    spark.sql("DELETE FROM dvw.db.c WHERE k >= 300 AND k < 966")
+    val expect = 2000L - 666L
+    assert(spark.table("dvw.db.c").count() === expect)
+    assert(sidecars(t).nonEmpty)
+    // copy mode refuses while vectors are live
+    val e = intercept[Exception] {
+      spark.sql("CALL dvw.system.delete_mode('db.c', 'copy')").collect()
+    }
+    assert(e.getMessage.contains("deletion vectors"))
+    ColeCompact.compact(s, t, 512L << 20)
+    assert(sidecars(t).isEmpty, "compaction must clear the vectors")
+    assert(spark.table("dvw.db.c").count() === expect)
+    spark.sql("CALL dvw.system.delete_mode('db.c', 'copy')")
+    // pushdown returns with copy mode and no vectors
+    val agg = spark.table("dvw.db.c").agg(sum("v"))
+    assert(agg.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+    assert(agg.head.getLong(0) ===
+      (0L until 2000L).filterNot(k => k >= 300L && k < 966L).sum)
+  }
+
+  test("compaction materializes vectors even in already-small directories") {
+    val s = spark
+    import s.implicits._
+    val t = s"$warehouse/db/c1"
+    (0 until 500).map(i => (i.toLong, i.toLong)).toDF("k", "v").coalesce(1)
+      .write.format("cole").mode("overwrite").save(t)
+    spark.sql("CALL dvw.system.delete_mode('db.c1', 'vector')")
+    spark.sql("DELETE FROM dvw.db.c1 WHERE k < 200")
+    assert(sidecars(t).size === 1)
+    // one file, already under target size — compaction must STILL
+    // rewrite it (it is what materializes the vector)
+    ColeCompact.compact(s, t, 512L << 20)
+    assert(sidecars(t).isEmpty)
+    assert(spark.table("dvw.db.c1").count() === 300L)
+    spark.sql("CALL dvw.system.delete_mode('db.c1', 'copy')")
+  }
+
+  test("vector mode and versioning are mutually exclusive, both directions") {
+    val s = spark
+    import s.implicits._
+    val t = s"$warehouse/db/x"
+    (0 until 100).map(i => (i.toLong, i.toLong)).toDF("k", "v")
+      .write.format("cole").mode("overwrite").save(t)
+    ColeVersions.enable(t, conf)
+    val e1 = intercept[Exception] {
+      spark.sql("CALL dvw.system.delete_mode('db.x', 'vector')").collect()
+    }
+    assert(e1.getMessage.contains("versioning"))
+    val t2 = s"$warehouse/db/x2"
+    (0 until 100).map(i => (i.toLong, i.toLong)).toDF("k", "v")
+      .write.format("cole").mode("overwrite").save(t2)
+    spark.sql("CALL dvw.system.delete_mode('db.x2', 'vector')")
+    val e2 = intercept[Exception] { ColeVersions.enable(t2, conf) }
+    assert(e2.getMessage.contains("delete_mode"))
+  }
+
+  test("partitioned and bucketed layouts: vector DELETE stays exact") {
+    val s = spark
+    import s.implicits._
+    val tp = s"$warehouse/db/p"
+    (0 until 1200).map(i => (i.toLong, (i % 3).toString, i.toLong))
+      .toDF("k", "part", "v")
+      .write.format("cole").mode("overwrite").partitionBy("part").save(tp)
+    spark.sql("CALL dvw.system.delete_mode('db.p', 'vector')")
+    spark.sql("DELETE FROM dvw.db.p WHERE part = '1' AND k < 600")
+    assert(spark.table("dvw.db.p").count() ===
+      1200L - (0 until 600).count(_ % 3 == 1))
+    assert(spark.table("dvw.db.p").filter(col("part") === "1").count() ===
+      (600 until 1200).count(_ % 3 == 1).toLong)
+    val tb = s"$warehouse/db/b"
+    (0 until 1600).map(i => (i.toLong, i.toLong)).toDF("k", "v")
+      .write.format("cole").mode("overwrite").option("bucketBy", "4:k").save(tb)
+    spark.sql("CALL dvw.system.delete_mode('db.b', 'vector')")
+    val before = fileStamps(tb)
+    spark.sql("DELETE FROM dvw.db.b WHERE k IN (7, 177, 533, 1201, 1599)")
+    assert(fileStamps(tb) === before)
+    assert(spark.table("dvw.db.b").count() === 1595L)
+    // bucket point lookup still prunes AND respects the vector
+    assert(spark.table("dvw.db.b").filter(col("k") === 7L).count() === 0L)
+    assert(spark.table("dvw.db.b").filter(col("k") === 8L).count() === 1L)
+  }
+}
