@@ -1323,6 +1323,74 @@ object ColeSuite {
                 MAX(l_linenumber) AS mx_line
               FROM lineitem
               WHERE NOT (l_returnflag = 'R' AND l_orderkey < 30000)
-              GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus"""))
+              GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""")),
+
+    // #149 merge-on-read MERGE (ColeDeltaOperation, SupportsDelta): on a
+    // vector-mode table the matched rows' (_cole_file, _cole_pos) ids
+    // vector away and the new images land in NEW files — the files that
+    // merely shared a row group with a match stay byte-identical, so a
+    // MERGE touching 0.1% of a 100 TB table writes KB-scale sidecars
+    // plus files proportional to the CHANGED rows. Idempotent re-runs:
+    // the WHEN MATCHED condition excludes processed rows, so the delta
+    // plan produces zero changes (nothing written at all — stronger than
+    // the copy path's discard).
+    Q("cole_merge_mor", (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val wh = "/tmp/graft_cole/warehouse"
+      s.conf.set("spark.sql.catalog.cole", "graft.sources.cole.ColeCatalog")
+      s.conf.set("spark.sql.catalog.cole.warehouse", wh)
+      val ns = s"v${writerFingerprint}_mor_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val dir = s"$wh/$ns/li"
+      writeOnce(dir) {
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            round(col("l_quantity") * 100).cast(LongType).as("qty_c"))
+          .write.format("cole").mode("overwrite").save(dir)
+        s.sql(s"CALL cole.system.delete_mode('$ns.li', 'vector')")
+      }
+      Tables.orders(s, d).select(col("o_orderkey").as("k"))
+        .filter(col("o_orderkey") % 20 === 11)
+        .withColumn("ln", lit(1))
+        .createOrReplaceTempView("graft_mor_src")
+      s.sql(
+        s"""MERGE INTO cole.$ns.li t USING graft_mor_src src
+           |ON t.l_orderkey = src.k AND t.l_linenumber = src.ln
+           |WHEN MATCHED AND t.l_returnflag NOT IN ('U', 'M') THEN
+           |  UPDATE SET qty_c = t.qty_c + 7000, l_returnflag = 'U'
+           |WHEN NOT MATCHED THEN
+           |  INSERT (l_orderkey, l_linenumber, l_returnflag, qty_c)
+           |  VALUES (src.k, src.ln, 'M', 0)""".stripMargin)
+      s.table(s"cole.$ns.li")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("qty_c").as("sum_qty_c"),
+          sum("l_orderkey").as("sum_key"))
+        .orderBy("l_returnflag")
+    },
+      Some("""WITH src AS (
+                SELECT o_orderkey AS k, 1 AS ln FROM orders
+                WHERE o_orderkey % 20 = 11),
+              t AS (
+                SELECT l_orderkey, l_linenumber, l_returnflag,
+                  CAST(ROUND(l_quantity * 100) AS BIGINT) AS qty_c
+                FROM lineitem),
+              upd AS (
+                SELECT t.l_orderkey, t.l_linenumber,
+                  CASE WHEN s.k IS NOT NULL THEN 'U' ELSE t.l_returnflag END
+                    AS l_returnflag,
+                  t.qty_c + CASE WHEN s.k IS NOT NULL THEN 7000 ELSE 0 END
+                    AS qty_c
+                FROM t LEFT JOIN src s
+                  ON t.l_orderkey = s.k AND t.l_linenumber = s.ln),
+              ins AS (
+                SELECT s.k AS l_orderkey, s.ln AS l_linenumber,
+                  'M' AS l_returnflag, CAST(0 AS BIGINT) AS qty_c
+                FROM src s WHERE NOT EXISTS (
+                  SELECT 1 FROM t
+                  WHERE t.l_orderkey = s.k AND t.l_linenumber = s.ln)),
+              m AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+              SELECT l_returnflag, COUNT(*) AS n,
+                CAST(SUM(qty_c) AS BIGINT) AS sum_qty_c,
+                CAST(SUM(l_orderkey) AS BIGINT) AS sum_key
+              FROM m GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

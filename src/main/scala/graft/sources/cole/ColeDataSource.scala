@@ -116,6 +116,13 @@ private[cole] object ColeUtil {
     */
   val FileMetaCol = "_cole_file"
 
+  /** Metadata column exposing each row's PHYSICAL position within its
+    * source file — with [[FileMetaCol]] it forms the row id of
+    * merge-on-read (delta) UPDATE/MERGE: a deleted row id becomes one
+    * deletion-vector ordinal. Generated by the readers (never stored).
+    */
+  val PosMetaCol = "_cole_pos"
+
   def path(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
     require(p != null, "COLE source requires a path")
@@ -303,6 +310,11 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
       override def dataType(): DataType = StringType
       override def isNullable: Boolean = false
       override def comment(): String = "source .col file of the row"
+    }, new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = ColeUtil.PosMetaCol
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String = "physical row position within the source file"
     })
 
   /** SQL `UPDATE` / `MERGE INTO` (and `DELETE` whose condition the
@@ -314,8 +326,20 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    new ColeRowLevelOperationBuilder(info, properties("path"), writePartCols,
-      65536, ColeIO.driverConf())
+    new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
+      override def build(): org.apache.spark.sql.connector.write.RowLevelOperation = {
+        val p = properties("path")
+        val conf = ColeIO.driverConf()
+        // vector-mode tables run DML merge-on-read (SupportsDelta):
+        // changed row ids become deletion-vector ordinals, new images
+        // land in new files — no rewrite of co-resident unmatched rows.
+        // Copy-on-write group rewrite otherwise.
+        if (ColeDv.vectorMode(p, conf))
+          new ColeDeltaOperation(info.command(), p, writePartCols, 65536, conf)
+        else
+          new ColeRowLevelOperation(info.command(), p, writePartCols, 65536, conf)
+      }
+    }
 
   /** SQL `DELETE FROM t WHERE ...` — copy-on-write row-level delete
     * (ColeDelete): stats-classified per file, file-parallel rewrite of
@@ -2765,7 +2789,8 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
     // through the partition-value mechanism, never a footer column
     val wantFileCol = required.fieldNames.contains(ColeUtil.FileMetaCol)
     val fileRequired = StructType(required.filterNot(f =>
-      partCols.contains(f.name) || f.name == ColeUtil.FileMetaCol))
+      partCols.contains(f.name) || f.name == ColeUtil.FileMetaCol ||
+        f.name == ColeUtil.PosMetaCol))
     val target = ColePack.targetBytes
     // per-file claimed-predicate sets (IsNotNull dropped where vacuous)
     val predsOf = scala.collection.mutable.HashMap.empty[String, Array[ColePredicate]]
@@ -3172,6 +3197,17 @@ class ColeColumnarReader(part: ColeInputPartition, required: StructType,
   private var rgRows = 0
   private var offset = 0
   private var batch: ColumnarBatch = _
+  // physical row positions (file-wide) of the surviving rows — built
+  // only when the `_cole_pos` metadata column is requested
+  private val wantPos = required.fieldNames.contains(ColeUtil.PosMetaCol)
+  private var curPos: Array[Long] = _
+  private lazy val rgStarts: Array[Long] = {
+    val a = new Array[Long](reader.meta.rowGroups.length)
+    var acc = 0L
+    var i = 0
+    while (i < a.length) { a(i) = acc; acc += reader.meta.rowGroups(i).numRows; i += 1 }
+    a
+  }
 
   /** Per column: either a materialized chunk, or the raw dictionary view
     * (entries + ids) for all-DICTIONARY string chunks — handed to Spark's
@@ -3188,6 +3224,15 @@ class ColeColumnarReader(part: ColeInputPartition, required: StructType,
     // deletion vectors: subtract this row group's deleted ordinals
     val sel: Array[Int] = ColeDv.applyTo(selP,
       if (part.deleted == null) null else part.deleted(i), part.rowCounts(i))
+    if (wantPos) {
+      val base = rgStarts(rgIdx)
+      val n = if (sel == null) part.rowCounts(i) else sel.length
+      curPos = new Array[Long](n)
+      var j = 0
+      while (j < n) {
+        curPos(j) = base + (if (sel == null) j else sel(j)); j += 1
+      }
+    }
     columns = part.colIndices.zipWithIndex.map { case (ci, pos) =>
       if (ci < 0) null // schema-evolution column absent from this file
       else {
@@ -3350,17 +3395,23 @@ class ColeColumnarReader(part: ColeInputPartition, required: StructType,
     // dictionary, so no per-row byte copies
     while (i < required.length) {
       val f = required.fields(i)
-      val raw = part.partValues.collectFirst { case (k, v) if k == f.name => v }
-        .getOrElse(throw new IllegalStateException(
-          s"missing partition value for '${f.name}' in ${part.file}"))
       val v = new OnHeapColumnVector(n, f.dataType)
-      f.dataType match {
-        case IntegerType => v.putInts(0, n, raw.toInt)
-        case LongType => v.putLongs(0, n, raw.toLong)
-        case _ =>
-          v.setDictionary(new ColeVectorDictionary(
-            Array(raw.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
-          v.reserveDictionaryIds(n).putInts(0, n, 0)
+      if (f.name == ColeUtil.PosMetaCol) {
+        // per-row physical position (file-wide) of the surviving rows
+        var r = 0
+        while (r < n) { v.putLong(r, curPos(offset + r)); r += 1 }
+      } else {
+        val raw = part.partValues.collectFirst { case (k, pv) if k == f.name => pv }
+          .getOrElse(throw new IllegalStateException(
+            s"missing partition value for '${f.name}' in ${part.file}"))
+        f.dataType match {
+          case IntegerType => v.putInts(0, n, raw.toInt)
+          case LongType => v.putLongs(0, n, raw.toLong)
+          case _ =>
+            v.setDictionary(new ColeVectorDictionary(
+              Array(raw.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+            v.reserveDictionaryIds(n).putInts(0, n, 0)
+        }
       }
       vecs(i) = v
       i += 1
@@ -3429,18 +3480,31 @@ class ColeRowReader(part: ColeInputPartition, required: StructType,
   }
 
   // partition columns are the required fields past the file columns,
-  // constant per file from the directory values
+  // constant per file from the directory values; the `_cole_pos`
+  // metadata column is generated per row instead (marker = null here)
   private val partConsts: Array[Any] =
     required.fields.drop(part.colIndices.length).map { f =>
-      val raw = part.partValues.collectFirst { case (k, v) if k == f.name => v }
-        .getOrElse(throw new IllegalStateException(
-          s"missing partition value for '${f.name}' in ${part.file}"))
-      f.dataType match {
-        case IntegerType => raw.toInt
-        case LongType => raw.toLong
-        case _ => UTF8String.fromString(raw)
+      if (f.name == ColeUtil.PosMetaCol) null
+      else {
+        val raw = part.partValues.collectFirst { case (k, v) if k == f.name => v }
+          .getOrElse(throw new IllegalStateException(
+            s"missing partition value for '${f.name}' in ${part.file}"))
+        f.dataType match {
+          case IntegerType => raw.toInt
+          case LongType => raw.toLong
+          case _ => UTF8String.fromString(raw)
+        }
       }
     }
+  private val posIdx: Int = required.fields.drop(part.colIndices.length)
+    .indexWhere(_.name == ColeUtil.PosMetaCol)
+  private lazy val rgStarts: Array[Long] = {
+    val a = new Array[Long](reader.meta.rowGroups.length)
+    var acc = 0L
+    var i = 0
+    while (i < a.length) { a(i) = acc; acc += reader.meta.rowGroups(i).numRows; i += 1 }
+    a
+  }
 
   override def get(): InternalRow = {
     val r = if (sel == null) row else sel(row)
@@ -3473,6 +3537,8 @@ class ColeRowReader(part: ColeInputPartition, required: StructType,
     }
     var p = 0
     while (p < partConsts.length) { values(i + p) = partConsts(p); p += 1 }
+    if (posIdx >= 0)
+      values(i + posIdx) = rgStarts(part.rowGroups(rgPos)) + r
     InternalRow.fromSeq(values.toIndexedSeq)
   }
 

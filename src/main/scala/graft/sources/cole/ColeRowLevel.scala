@@ -208,7 +208,8 @@ class ColeGroupScan(op: ColeRowLevelOperation, required: StructType,
         }).map(_.map(_.toString))
       }
     val fileRequired = StructType(required.filterNot(f =>
-      partCols.contains(f.name) || f.name == ColeUtil.FileMetaCol))
+      partCols.contains(f.name) || f.name == ColeUtil.FileMetaCol ||
+        f.name == ColeUtil.PosMetaCol))
     val candidates = infos.filter { info =>
       val pv = info.partValues.toMap
       runtimeFiles.forall(_.contains(info.path)) &&

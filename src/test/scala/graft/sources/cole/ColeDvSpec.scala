@@ -122,7 +122,7 @@ class ColeDvSpec extends AnyFunSuite {
     assert(spark.table("dvw.db.f").filter(col("k") === 10L).count() === 0L)
   }
 
-  test("UPDATE on a vectored table materializes live rows and drops the vector") {
+  test("UPDATE on a vectored table runs merge-on-read: old file byte-identical") {
     val s = spark
     import s.implicits._
     val t = s"$warehouse/db/u"
@@ -131,14 +131,27 @@ class ColeDvSpec extends AnyFunSuite {
     spark.sql("CALL dvw.system.delete_mode('db.u', 'vector')")
     spark.sql("DELETE FROM dvw.db.u WHERE k < 100")
     assert(sidecars(t).size === 1)
+    val before = fileStamps(t)
+    // merge-on-read UPDATE (SupportsDelta): the matched rows' ids vector
+    // away, the new images land in a NEW file — the original data file
+    // stays byte-identical
     spark.sql("UPDATE dvw.db.u SET v = v + 1000000 WHERE k >= 900")
-    assert(sidecars(t).isEmpty,
-      "the copy-on-write rewrite must materialize and drop the vector")
+    assert((before -- fileStamps(t)).isEmpty,
+      "merge-on-read UPDATE must not rewrite or remove the original file")
+    assert(fileStamps(t).size === before.size + 1,
+      "updated images must land in one new file")
     val back = spark.table("dvw.db.u")
     assert(back.count() === 900L)
     assert(back.filter(col("k") === 50L).count() === 0L,
-      "deleted rows must not resurrect through the rewrite")
+      "deleted rows must not resurrect through the update")
     assert(back.filter(col("k") === 950L).select("v").head.getLong(0) === 1000950L)
+    assert(back.filter(col("k") === 500L).select("v").head.getLong(0) === 500L)
+    // no duplicate images: the old rows are in the vector
+    assert(back.groupBy("k").count().filter(col("count") > 1).count() === 0L)
+    // compaction still materializes everything
+    ColeCompact.compact(s, t, 512L << 20)
+    assert(sidecars(t).isEmpty)
+    assert(spark.table("dvw.db.u").count() === 900L)
   }
 
   test("compaction materializes vectors; delete_mode can then revert to copy") {
