@@ -749,7 +749,7 @@ class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration,
     // describe PHYSICAL rows — every pushed aggregate would over-count
     // deleted rows, so the whole surface declines until compaction
     // materializes the vectors (or the table switches back to copy mode)
-    if (snapshot.isEmpty && ColeDv.vectorMode(path, conf)) return false
+    if (snapshot.isEmpty && ColeDv.vectorModeFor(path, conf)) return false
     // claimed filters are applied row-exactly inside the agg readers, so
     // filtered aggregation still pushes (Spark guarantees no residuals
     // remain when it offers the aggregation)
@@ -2636,7 +2636,7 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
     * not live, rows. Zero cost when the table never opted in.
     */
   private lazy val dvMode: Boolean =
-    snapshot.isEmpty && ColeDv.vectorMode(path, conf)
+    snapshot.isEmpty && ColeDv.vectorModeFor(path, conf)
 
   /** Synthetic-key derivation (bucketKey layouts): lets composite point
     * lookups prune buckets from equality on the SOURCE key tuple, with

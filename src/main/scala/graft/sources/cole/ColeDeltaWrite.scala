@@ -78,19 +78,26 @@ class ColeDeltaWriteImpl(op: ColeRowLevelOperation, schema: StructType,
   private val bucketDerive = ColeBucket.readDerivation(path, conf)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
-    ColeUtil.toColeColumns(schema)
-    partCols.foreach(c => require(schema.fieldNames.contains(c),
-      s"partition column '$c' not in delta-write schema"))
+    // a pure-DELETE delta carries NO row schema (only row ids flow):
+    // the insert-side writer is then never needed and must not validate
+    val hasRows = schema.nonEmpty
+    if (hasRows) {
+      ColeUtil.toColeColumns(schema)
+      partCols.foreach(c => require(schema.fieldNames.contains(c),
+        s"partition column '$c' not in delta-write schema"))
+    }
     // inserted/updated rows stay invisible (dotted) until commit has
     // race-checked and ordered the swap — same discipline as the
     // replace write
     val wconf = new Configuration(conf)
     wconf.setBoolean(ColeFileWriter.DeferRenameKey, true)
-    val inner = new ColeWriterFactory(schema, path, rowGroupSize,
-      new ColeHadoopConf(wconf), partCols, bucketSpec,
-      // delta INSERTS are new rows: a synthetic bucket key derives fresh
-      // (not recomputed in place — the incoming row does not carry it)
-      bucketDerive)
+    val inner: Option[ColeWriterFactory] =
+      if (!hasRows) None
+      else Some(new ColeWriterFactory(schema, path, rowGroupSize,
+        new ColeHadoopConf(wconf), partCols, bucketSpec,
+        // the delta row schema carries the table's stored columns —
+        // synthetic bucket keys recompute in place like the replace path
+        bucketDerive))
     new ColeDeltaWriterFactory(inner)
   }
 
@@ -160,11 +167,20 @@ class ColeDeltaWriteImpl(op: ColeRowLevelOperation, schema: StructType,
     }
 }
 
-class ColeDeltaWriterFactory(inner: ColeWriterFactory) extends DeltaWriterFactory {
+class ColeDeltaWriterFactory(inner: Option[ColeWriterFactory])
+    extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
-      : DeltaWriter[InternalRow] = {
-    val w = inner.createWriter(partitionId, taskId)
+      : DeltaWriter[InternalRow] =
     new DeltaWriter[InternalRow] {
+      // insert-side writer, created on first inserted/updated row (a
+      // pure-DELETE delta never opens one — and never emits a file)
+      private var w: org.apache.spark.sql.connector.write.DataWriter[InternalRow] = _
+      private def writer() = {
+        if (w == null) w = inner.getOrElse(throw new IllegalStateException(
+          "delta write received a row but carries no row schema"))
+          .createWriter(partitionId, taskId)
+        w
+      }
       // file -> deleted ordinals (unsorted while accumulating)
       private val dels = mutable.HashMap.empty[String, mutable.ArrayBuffer[Int]]
 
@@ -181,13 +197,13 @@ class ColeDeltaWriterFactory(inner: ColeWriterFactory) extends DeltaWriterFactor
       override def update(meta: InternalRow, id: InternalRow,
           row: InternalRow): Unit = {
         recordDelete(id)
-        w.write(row)
+        writer().write(row)
       }
 
-      override def insert(row: InternalRow): Unit = w.write(row)
+      override def insert(row: InternalRow): Unit = writer().write(row)
 
       override def commit(): WriterCommitMessage = {
-        val files = w.commit() match {
+        val files = if (w == null) Seq.empty else w.commit() match {
           case ColeCommitMessage(fs0) => fs0
           case _ => Seq.empty
         }
@@ -195,8 +211,7 @@ class ColeDeltaWriterFactory(inner: ColeWriterFactory) extends DeltaWriterFactor
           dels.view.mapValues(_.toArray.sorted.distinct).toMap)
       }
 
-      override def abort(): Unit = w.abort()
-      override def close(): Unit = w.close()
+      override def abort(): Unit = if (w != null) w.abort()
+      override def close(): Unit = if (w != null) w.close()
     }
-  }
 }

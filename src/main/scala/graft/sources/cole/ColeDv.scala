@@ -52,6 +52,25 @@ object ColeDv {
     fs.exists(new HPath(table, ModeFile))
   }
 
+  /** Scan-side mode resolution: a PARTITION (or bucket) subdirectory of
+    * a vectored table can be loaded directly — compaction does exactly
+    * that per directory — and must still apply the vectors. The marker
+    * lives at the TABLE root, so walk up through `key=value` / `_bucket=`
+    * segments (the only shapes a COLE layout nests) until a non-layout
+    * segment bounds the search. Missing this walk would RESURRECT
+    * deleted rows on any subdirectory read.
+    */
+  def vectorModeFor(path: String, conf: Configuration): Boolean = {
+    val (fs, _) = ColeIO.resolve(path, conf)
+    var p = new HPath(path)
+    if (fs.exists(new HPath(p, ModeFile))) return true
+    while (p.getName.contains("=") && p.getParent != null) {
+      p = p.getParent
+      if (fs.exists(new HPath(p, ModeFile))) return true
+    }
+    false
+  }
+
   def setMode(table: String, conf: Configuration, mode: String): Unit = {
     val (fs, root) = ColeIO.resolve(table, conf)
     require(fs.exists(root), s"no table at $table")

@@ -233,6 +233,11 @@ class ColeDvSpec extends AnyFunSuite {
       1200L - (0 until 600).count(_ % 3 == 1))
     assert(spark.table("dvw.db.p").filter(col("part") === "1").count() ===
       (600 until 1200).count(_ % 3 == 1).toLong)
+    // a DIRECT read of the partition subdirectory must still apply the
+    // vectors (the mode marker is at the table root — the fuzz caught a
+    // compaction path resurrecting deleted rows through exactly this)
+    assert(spark.read.format("cole").load(s"$tp/part=1").count() ===
+      (600 until 1200).count(_ % 3 == 1).toLong)
     val tb = s"$warehouse/db/b"
     (0 until 1600).map(i => (i.toLong, i.toLong)).toDF("k", "v")
       .write.format("cole").mode("overwrite").option("bucketBy", "4:k").save(tb)
