@@ -746,10 +746,18 @@ class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration,
     // snapshot-pinned reads push too (r9): every check below consults
     // the SNAPSHOT's file set, and the agg scan plans over it.
     // Merge-on-read DELETE (vector mode): footer counts and sweeps
-    // describe PHYSICAL rows — every pushed aggregate would over-count
-    // deleted rows, so the whole surface declines until compaction
-    // materializes the vectors (or the table switches back to copy mode)
-    if (snapshot.isEmpty && ColeDv.vectorModeFor(path, conf)) return false
+    // describe PHYSICAL rows — pushed aggregates would over-count
+    // deleted rows. ONE shape stays metadata-exact: a global unfiltered
+    // COUNT(*), answered as footer rows MINUS each file's vector count
+    // (the agg scan subtracts at planning). Everything else declines
+    // until compaction materializes the vectors.
+    if (snapshot.isEmpty && ColeDv.vectorModeFor(path, conf)) {
+      val countStarOnly =
+        aggregation.groupByExpressions.isEmpty && pushed.isEmpty &&
+          aggregation.aggregateExpressions.nonEmpty &&
+          aggregation.aggregateExpressions.forall(_.isInstanceOf[CountStar])
+      if (!countStarOnly) return false
+    }
     // claimed filters are applied row-exactly inside the agg readers, so
     // filtered aggregation still pushes (Spark guarantees no residuals
     // remain when it offers the aggregation)
@@ -1011,6 +1019,18 @@ class ColeAggScan(path: String, conf: Configuration, groupCols: Seq[String],
     // planning is metadata-only: footers come from the driver cache, no
     // data file is opened here (snapshot reads plan the PINNED file set)
     val infos = snapshot.map(_.infos).getOrElse(ColeMetaCache.infos(path, conf))
+    // vector-mode COUNT(*): subtract each file's deletion-vector count
+    // from the planned row counts (the only aggregate shape the builder
+    // pushes on a vectored table — exact from metadata alone)
+    val dvLocal: Map[String, Array[Array[Int]]] =
+      if (snapshot.isDefined || !ColeDv.vectorModeFor(path, conf)) Map.empty
+      else {
+        val (dfs, _) = ColeIO.resolve(path, conf)
+        infos.flatMap { i =>
+          ColeDv.read(dfs, i.path, i.len, i.mtime).map(ords =>
+            i.path -> ColeDv.localize(i.meta, ords))
+        }.toMap
+      }
     // bucket pruning, same as the row scan: a filtered aggregate whose
     // claimed predicate pins the bucket column sweeps 1/n of the table
     // (snapshots resolve the spec as of their version)
@@ -1040,13 +1060,16 @@ class ColeAggScan(path: String, conf: Configuration, groupCols: Seq[String],
         val colIndices = (groupCols.filterNot(partCols.contains) ++
             aggs.flatMap(a => Option(a.column))).distinct
           .map(nameToIdx(_)).toArray
+        val fileDv = dvLocal.get(info.path)
         val rgs = meta.rowGroups.zipWithIndex.collect {
           case (rg, rgIdx) if rg.numRows > 0 &&
               !ColePredicate.skipRowGroup(rg, nameToIdx, filePreds) &&
               // advisory bloom sidecar, same as the row scan: a filtered
               // aggregate's string point probe prunes row groups too
               !ColeBloomIndex.skips(info.path, info.len, info.mtime, rgIdx, filePreds, conf) =>
-            (rgIdx, rg.numRows, colIndices.map(ci => rg.chunks(ci).totalSize).sum)
+            val dvN = fileDv.map(a =>
+              if (a(rgIdx) == null) 0 else a(rgIdx).length).getOrElse(0)
+            (rgIdx, rg.numRows - dvN, colIndices.map(ci => rg.chunks(ci).totalSize).sum)
         }
         ColePack.pack(info.path, colIndices, rgs, target, filePreds, info.partValues.toArray)
       }

@@ -45,7 +45,12 @@ class ColeMetaTable(path: String, kind: String, conf: Configuration)
       StructField("partition", StringType, nullable = false),
       StructField("size_bytes", LongType, nullable = false),
       StructField("row_count", LongType, nullable = false),
-      StructField("row_groups", IntegerType, nullable = false)))
+      StructField("row_groups", IntegerType, nullable = false),
+      // merge-on-read visibility: rows vectored away (0 = no vector) and
+      // the LIVE count after subtraction — "how much latent rewrite debt
+      // does this table carry?" is a SQL aggregate away
+      StructField("deleted_rows", LongType, nullable = false),
+      StructField("live_rows", LongType, nullable = false)))
     case other => throw new IllegalArgumentException(
       s"unknown COLE metadata table '$$${other}' (history|files)")
   }
@@ -73,10 +78,13 @@ class ColeMetaTableScan(path: String, kind: String, tschema: StructType,
           Array[Any](r.version, r.ts * 1000L, r.op,
             r.adds.size, r.removes.size)).toArray
       case "files" =>
+        val (dfs, _) = ColeIO.resolve(path, conf)
         ColeMetaCache.infos(path, conf).map { i =>
           val part = i.partValues.map { case (k, v) => s"$k=$v" }.mkString("/")
+          val dv = ColeDv.read(dfs, i.path, i.len, i.mtime)
+            .map(_.length.toLong).getOrElse(0L)
           Array[Any](i.path, part, i.len, i.meta.totalRows,
-            i.meta.rowGroups.size)
+            i.meta.rowGroups.size, dv, i.meta.totalRows - dv)
         }.toArray
     }
     Array(ColeMetaRows(rows))

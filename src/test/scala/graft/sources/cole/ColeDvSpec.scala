@@ -73,6 +73,19 @@ class ColeDvSpec extends AnyFunSuite {
     assert(r.getLong(0) === 3500L)
     assert(r.getLong(1) === (0L until 4000L).sum - (1000L until 1500L).sum)
     assert(r.getLong(2) === 0L && r.getLong(3) === 3999L)
+    // ...EXCEPT the one metadata-exact shape: a global unfiltered
+    // COUNT(*) pushes as footer rows MINUS vector counts
+    val cnt = back.groupBy().count()
+    assert(cnt.queryExecution.executedPlan.toString.contains("PushedAggregates"),
+      "global COUNT(*) must stay metadata-only on a vectored table")
+    assert(cnt.head.getLong(0) === 3500L)
+    // $files surfaces the vector debt per file
+    val filesMeta = spark.sql(
+      "SELECT deleted_rows, live_rows, row_count FROM dvw.db.`v$files`")
+      .collect()
+    assert(filesMeta.map(_.getLong(0)).sum === 500L)
+    assert(filesMeta.map(_.getLong(1)).sum === 3500L)
+    assert(filesMeta.map(_.getLong(2)).sum === 4000L)
     // LIMIT and TopN stay exact (their pruning is off under vectors)
     assert(back.orderBy(col("k")).limit(3).collect().map(_.getLong(0)).toSeq
       === Seq(0L, 1L, 2L))
