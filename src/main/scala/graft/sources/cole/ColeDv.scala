@@ -119,8 +119,16 @@ object ColeDv {
     val tmp = new HPath(p.getParent, "." + p.getName + ".tmp")
     val out = fs.create(tmp, true)
     try out.write(bos.toByteArray) finally out.close()
-    fs.delete(p, false)
-    require(fs.rename(tmp, p), s"deletion-vector rename failed: $p")
+    // POSIX rename(2) overwrites atomically — a concurrent reader sees
+    // the old vector or the new one, never NO vector (which would
+    // transiently RESURRECT rows deleted by earlier commits). Stores
+    // whose rename refuses an existing destination (HDFS) fall back to
+    // delete+rename: the no-vector window there is bounded by two
+    // metadata ops and covered by the engine's single-writer discipline.
+    if (!fs.rename(tmp, p)) {
+      fs.delete(p, false)
+      require(fs.rename(tmp, p), s"deletion-vector rename failed: $p")
+    }
   }
 
   /** The deletion vector for `dataFile` (None = no sidecar). The data
