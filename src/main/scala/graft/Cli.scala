@@ -74,6 +74,26 @@ object Cli {
         println(s"compacted ${st.compactedDirs}/${st.dirs} dirs: " +
           s"${st.filesBefore} -> ${st.filesAfter} files, " +
           s"${st.bytesBefore} -> ${st.bytesAfter} bytes")
+      case "zorder" =>
+        val target = (if (args.length > 4) args(4).toLong else 128L) << 20
+        val st = graft.sources.cole.ColeCompact.zorder(spark, args(1),
+          args(2), args(3), target)
+        println(s"z-ordered ${st.compactedDirs}/${st.dirs} dirs on " +
+          s"(${args(2)}, ${args(3)}): ${st.filesBefore} -> ${st.filesAfter} files")
+      case "bloom-index" =>
+        val n = graft.sources.cole.ColeBloomIndex.build(args(1),
+          args(2).split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+          graft.sources.cole.ColeIO.driverConf())
+        println(s"indexed $n files on [${args(2)}]")
+      case "delete-mode" =>
+        graft.sources.cole.ColeDv.setMode(args(1),
+          graft.sources.cole.ColeIO.driverConf(), args(2))
+        println(s"delete_mode(${args(1)}) = ${args(2)}")
+      case "repair" =>
+        val q = graft.sources.cole.ColeVersions.repairTorn(args(1),
+          graft.sources.cole.ColeIO.driverConf())
+        if (q.isEmpty) println("no torn version records")
+        else q.foreach(r => println(s"quarantined $r"))
       case other =>
         System.err.println(s"Unknown command: $other"); usage(); sys.exit(2)
     } finally spark.stop()
@@ -87,6 +107,10 @@ object Cli {
       |        [--agg func col] [--groupby col]
       |  versioning <table>              enable snapshot versioning
       |  history <table>                 version log (one line per commit)
+      |  repair <table>                  quarantine torn version records
+      |  zorder <table> <colA> <colB> [target_mb]   re-cluster in place
+      |  bloom-index <table> <c1,c2,..>  build string point-lookup sidecars
+      |  delete-mode <table> vector|copy merge-on-read DML toggle
       |  rollback <table> <version>     restore as a NEW commit
       |  audit <table>                   version log vs directory drift
       |  vacuum <table> [ttl_hours]      crash leftovers + expired retired files
