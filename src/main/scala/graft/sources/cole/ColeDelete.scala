@@ -367,6 +367,9 @@ object ColeDelete {
         val reader = new ColeFileReader(f, c)
         val added = try {
           val meta = reader.meta
+          require(meta.totalRows <= Int.MaxValue,
+            s"$f exceeds ${Int.MaxValue} rows; deletion-vector ordinals " +
+              "are int32 — split the file (compact with a smaller target)")
           val nameToIdx = meta.columns.map(_.name).zipWithIndex.toMap
           val exLocal = ColeDv.localize(meta, existing)
           val out = scala.collection.mutable.ArrayBuffer.empty[Int]

@@ -24,6 +24,13 @@ import org.apache.spark.sql.types.StructType
   * — it additionally serves `_cole_pos`, and its planned (len, mtime)
   * snapshot is the commit's race baseline.
   *
+  * Insert-only CONSUMERS (tailing streams, the `changesFrom` feed) have
+  * no exact story for merge-on-read tables: a delta commit's new files
+  * look like appends and the vectored-away old images are invisible to
+  * them — use the versioned change feed (copy-on-write tables) when
+  * downstream needs row-level change semantics; vector mode and
+  * versioning are mutually exclusive by design.
+  *
   * Commit ordering: new files rename in FIRST, vectors extend second —
   * a crash between the two leaves transient DUPLICATES of updated rows
   * (old image not yet vectored away), the recoverable direction (re-run

@@ -284,6 +284,9 @@ object ColeDv {
       base = hi
       rg += 1
     }
+    require(oi == ordinals.length,
+      s"deletion vector carries ${ordinals.length - oi} ordinal(s) beyond " +
+        s"the file's $base rows — corrupt or foreign sidecar")
     out
   }
 }
