@@ -1391,6 +1391,97 @@ object ColeSuite {
               SELECT l_returnflag, COUNT(*) AS n,
                 CAST(SUM(qty_c) AS BIGINT) AS sum_qty_c,
                 CAST(SUM(l_orderkey) AS BIGINT) AS sum_key
-              FROM m GROUP BY l_returnflag ORDER BY l_returnflag"""))
+              FROM m GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // #150 VERSIONED deletion vectors (r10): vector mode and snapshot
+    // versioning compose — the vector DELETE commits a record pinning an
+    // immutable sidecar copy under the log, so `versionAsOf 1`
+    // reconstructs the PRE-delete table while the live read subtracts
+    // the vector, with ZERO data-file writes in between (the delete cost
+    // KB of sidecars; time travel costs nothing). Both reads keep
+    // aggregate pushdown (the pinned snapshot masks with its pinned
+    // vector). Fixture idempotent: delete inside writeOnce.
+    Q("cole_dv_time_travel", (s, d) => {
+      val wh = "/tmp/graft_cole/warehouse"
+      s.conf.set("spark.sql.catalog.cole", "graft.sources.cole.ColeCatalog")
+      s.conf.set("spark.sql.catalog.cole.warehouse", wh)
+      val ns = s"v${writerFingerprint}_dvtt_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val dir = s"$wh/$ns/li"
+      writeOnce(dir) {
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_returnflag")
+          .write.format("cole").mode("overwrite").save(dir)
+        graft.sources.cole.ColeVersions.enable(dir,
+          graft.sources.cole.ColeIO.driverConf()) // v1 = baseline
+        s.sql(s"CALL cole.system.delete_mode('$ns.li', 'vector')")
+        s.sql(s"DELETE FROM cole.$ns.li WHERE l_returnflag = 'R'") // v2
+      }
+      val v1 = s.read.format("cole").option("versionAsOf", "1").load(dir)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("l_linenumber").as("sum_line"))
+        .withColumn("src", lit("v1"))
+      val cur = s.table(s"cole.$ns.li")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("l_linenumber").as("sum_line"))
+        .withColumn("src", lit("cur"))
+      v1.unionByName(cur).orderBy("src", "l_returnflag")
+    },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+                CAST(SUM(l_linenumber) AS BIGINT) AS sum_line, 'v1' AS src
+              FROM lineitem GROUP BY l_returnflag
+              UNION ALL
+              SELECT l_returnflag, COUNT(*) AS n,
+                CAST(SUM(l_linenumber) AS BIGINT) AS sum_line, 'cur' AS src
+              FROM lineitem WHERE l_returnflag <> 'R' GROUP BY l_returnflag
+              ORDER BY src, l_returnflag""")),
+
+    // #151 change feed over VECTOR commits (r10): on a versioned
+    // vector-mode table the row-level feed serves each DELETE's rows
+    // from the commit's pinned ordinals MINUS the previous version's —
+    // delta-exact, no exceptAll diff at all (the Delta-CDF-with-change-
+    // files cost class). The v3 condition overlaps v2's (every k%10=7
+    // row also has k%5=2), so v3 must emit ONLY the newly-deleted
+    // k%10=2 rows — re-emitting the overlap is the bug this key pins.
+    Q("cole_changefeed_vector", (s, d) => {
+      val wh = "/tmp/graft_cole/warehouse"
+      s.conf.set("spark.sql.catalog.cole", "graft.sources.cole.ColeCatalog")
+      s.conf.set("spark.sql.catalog.cole.warehouse", wh)
+      val ns = s"v${writerFingerprint}_cfv_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val dir = s"$wh/$ns/li"
+      writeOnce(dir) {
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_returnflag")
+          .write.format("cole").mode("overwrite").save(dir)
+        graft.sources.cole.ColeVersions.enable(dir,
+          graft.sources.cole.ColeIO.driverConf()) // v1 = baseline
+        s.sql(s"CALL cole.system.delete_mode('$ns.li', 'vector')")
+        s.sql(s"DELETE FROM cole.$ns.li WHERE l_orderkey % 10 = 7") // v2
+        s.sql(s"DELETE FROM cole.$ns.li WHERE l_orderkey % 5 = 2") // v3
+      }
+      graft.sources.cole.ColeChangeFeed.read(s, dir, 1L, 3L)
+        .groupBy(col("_change_type").as("change_type"),
+          col("_commit_version").as("commit_version"), col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum("l_orderkey").as("sum_key"),
+          sum("l_linenumber").as("sum_line"))
+        .orderBy("commit_version", "change_type", "l_returnflag")
+    },
+      Some("""WITH t AS (
+                SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem),
+              v2del AS (
+                SELECT 'delete' AS change_type, 2 AS commit_version,
+                  l_returnflag, l_orderkey, l_linenumber
+                FROM t WHERE l_orderkey % 10 = 7),
+              v3del AS (
+                SELECT 'delete' AS change_type, 3 AS commit_version,
+                  l_returnflag, l_orderkey, l_linenumber
+                FROM t WHERE l_orderkey % 5 = 2 AND l_orderkey % 10 <> 7),
+              feed AS (
+                SELECT * FROM v2del UNION ALL SELECT * FROM v3del)
+              SELECT change_type, CAST(commit_version AS BIGINT) AS commit_version,
+                l_returnflag, COUNT(*) AS n,
+                CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+                CAST(SUM(l_linenumber) AS BIGINT) AS sum_line
+              FROM feed GROUP BY 1, 2, 3
+              ORDER BY commit_version, change_type, l_returnflag"""))
   )
 }

@@ -15,6 +15,10 @@ import org.apache.spark.sql.functions.{col, lit}
   *   - row-preserving commits (`compact`) contribute nothing;
   *   - pure-add commits (append, baseline, streaming epochs) emit their
   *     added files' rows as inserts — no diff work at all;
+  *   - merge-on-read commits (vector DELETE, delta UPDATE/MERGE; r10)
+  *     are DELTA-EXACT with no diff join: the deleted rows ARE the
+  *     commit's pinned vector ordinals minus the previous version's,
+  *     read back by `_cole_pos`; new image files are plain inserts;
   *   - removing commits (UPDATE / DELETE / MERGE / overwrite / truncate)
   *     emit the multiset diff of the rows in the REPLACED files (their
   *     retired incarnations, named by the commit record) against the
@@ -90,23 +94,109 @@ object ColeChangeFeed {
         .option(FeedFilesOption, encodeFiles(files))
         .load())
 
+    // physical-today path of rel's incarnation as of `version` (live
+    // unless removed since; then the retired path of the FIRST removal
+    // after `version`)
+    def resolveRel(rel: String, version: Long): String = {
+      val (fs, _) = ColeIO.resolve(table, conf)
+      recs.flatMap(x => x.removes.collect {
+        case (`rel`, t) if x.version > version => (x.version, t) })
+        .sortBy(_._1).headOption match {
+        case Some((_, retiredRel)) =>
+          fs.makeQualified(new org.apache.hadoop.fs.Path(
+            new org.apache.hadoop.fs.Path(table, ColeVersions.DirName),
+            retiredRel)).toString
+        case None => fs.makeQualified(
+          new org.apache.hadoop.fs.Path(table, rel)).toString
+      }
+    }
+
+    // the rows of `rel` at the given PHYSICAL ordinals — a FeedFiles
+    // read is physical by design, so `_cole_pos` addresses stored rows
+    // exactly; the ordinal set is delta-sized (one commit's deletes) and
+    // broadcast-joins, never a literal IN list
+    def rowsAtOrdinals(rel: String, phys: String,
+        ords: Array[Int]): Option[DataFrame] =
+      if (ords.isEmpty) None
+      else readFiles(Seq(rel -> phys)).map { df =>
+        import spark.implicits._
+        val sel = df.select((df.columns.map(col) :+
+          col(ColeUtil.PosMetaCol)): _*)
+        val probe = ords.map(_.toLong).toSeq.toDF("_dv_ord")
+        sel.join(org.apache.spark.sql.functions.broadcast(probe),
+            sel(ColeUtil.PosMetaCol) === probe("_dv_ord"), "leftsemi")
+          .drop(ColeUtil.PosMetaCol)
+      }
+
+    // pinned-vector ordinals of rel as of `version` (empty when none)
+    def dvOrdsAt(version: Long, rel: String): Array[Int] = {
+      val (fs, _) = ColeIO.resolve(table, conf)
+      ColeVersions.dvAsOf(table, conf, version).get(rel) match {
+        case None | Some(ColeVersions.DvCleared) => Array.empty[Int]
+        case Some(dvRel) =>
+          val p = ColeVersions.dvPath(table, dvRel)
+          if (!fs.exists(p)) throw new IllegalStateException(
+            s"pinned deletion vector $dvRel of $table/$rel is gone " +
+              "(vacuumed?): the change feed range is no longer " +
+              "reconstructible")
+          ColeDv.parsePinned(fs, p)._3
+      }
+    }
+
     val parts: Seq[DataFrame] = inRange.filterNot(_.op == "compact").flatMap { r =>
       val adds = ColeVersions.resolveAdds(table, conf, recs, r)
-      if (r.removes.isEmpty) {
+      if (r.removes.isEmpty && r.dvs.isEmpty) {
         // pure-add commit: every added row is an insert, no diff needed
         readFiles(adds).map(df => df
           .withColumn(ChangeTypeCol, lit("insert"))
           .withColumn(CommitVersionCol, lit(r.version)))
+      } else if (r.removes.isEmpty) {
+        // merge-on-read commit (vector DELETE / delta UPDATE / MERGE):
+        // the DELETE side is EXACT from the pinned ordinals — this
+        // commit's vector minus the previous version's — no diff join at
+        // all; new image files (if any) are plain inserts
+        val deletes = r.dvs.flatMap { case (rel, dvRel) =>
+          if (dvRel == ColeVersions.DvCleared) None
+          else {
+            val prev = dvOrdsAt(r.version - 1, rel).toSet
+            val fresh = dvOrdsAt(r.version, rel).filterNot(prev)
+            rowsAtOrdinals(rel, resolveRel(rel, r.version), fresh)
+              .map(_.withColumn(ChangeTypeCol, lit("delete"))
+                .withColumn(CommitVersionCol, lit(r.version)))
+          }
+        }
+        val inserts = readFiles(adds).map(df => df
+          .withColumn(ChangeTypeCol, lit("insert"))
+          .withColumn(CommitVersionCol, lit(r.version)))
+        deletes ++ inserts.toSeq
       } else {
         // removing commit: old images live at the retired paths the
-        // record names; diff against the replacement rows
+        // record names; diff against the replacement rows. A replaced
+        // file that carried a deletion vector at v-1 masks those
+        // ordinals — its physical rows include rows deleted in EARLIER
+        // versions, which are not part of THIS commit's delta
         val oldFiles = r.removes.map { case (rel, retiredRel) =>
           val (fs, _) = ColeIO.resolve(table, conf)
           (rel, fs.makeQualified(new org.apache.hadoop.fs.Path(
             new org.apache.hadoop.fs.Path(table, ColeVersions.DirName),
             retiredRel)).toString)
         }
-        val oldDf = readFiles(oldFiles)
+        val (oldVectored, oldPlain) = oldFiles.partition { case (rel, _) =>
+          dvOrdsAt(r.version - 1, rel).nonEmpty }
+        val oldMasked: Seq[DataFrame] = oldVectored.flatMap { case (rel, phys) =>
+          readFiles(Seq(rel -> phys)).map { df =>
+            import spark.implicits._
+            val prev = dvOrdsAt(r.version - 1, rel)
+            val sel = df.select((df.columns.map(col) :+
+              col(ColeUtil.PosMetaCol)): _*)
+            val probe = prev.map(_.toLong).toSeq.toDF("_dv_ord")
+            sel.join(org.apache.spark.sql.functions.broadcast(probe),
+                sel(ColeUtil.PosMetaCol) === probe("_dv_ord"), "left_anti")
+              .drop(ColeUtil.PosMetaCol)
+          }
+        }
+        val oldDf = (readFiles(oldPlain).toSeq ++ oldMasked)
+          .reduceLeftOption(_.unionByName(_))
         val newDf = readFiles(adds)
         // align on the common column set by NAME (schema evolution can
         // differ across the boundary); the diff is exact multiset

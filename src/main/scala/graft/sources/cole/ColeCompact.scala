@@ -26,6 +26,15 @@ import org.apache.spark.sql.SparkSession
   */
 object ColeCompact {
 
+  /** Test seam: runs after the table-level compaction record is durable
+    * and BEFORE the outputs rename into the data dir — the other half of
+    * the r9 race window. Interleaving specs run a live stream trigger
+    * here to prove record-before-rename protects a concurrent reader.
+    * No-op in production.
+    */
+  val betweenRecordAndRenameHook =
+    new java.util.concurrent.atomic.AtomicReference[Runnable](() => ())
+
   final case class Stats(dirs: Int, compactedDirs: Int, filesBefore: Int,
       filesAfter: Int, bytesBefore: Long, bytesAfter: Long)
 
@@ -139,6 +148,9 @@ object ColeCompact {
         writeCompactionRecord(fs, table, stamp,
           newNames.map(n => fs.makeQualified(new HPath(dir, n)).toString),
           oldNames.map(n => fs.makeQualified(new HPath(dir, n)).toString))
+        // test seam: the record is durable, the outputs are not yet
+        // renamed — interleaving specs run a stream trigger here
+        ColeCompact.betweenRecordAndRenameHook.get().run()
         outs.zip(newNames).foreach { case (s, name) =>
           require(fs.rename(s.getPath, new HPath(dir, name)),
             s"rename failed for ${s.getPath}")

@@ -436,7 +436,10 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
         val spec = ColeVersions.specAsOf(path, conf, v)
         ColeSnapshot(ColeVersions.snapshotInfos(path, conf, v),
           spec.map(t => ColeBucket.parseSpecContent(t, s"$path@v$v")),
-          spec.flatMap(t => ColeBucket.parseDeriveContent(t, s"$path@v$v")))
+          spec.flatMap(t => ColeBucket.parseDeriveContent(t, s"$path@v$v")),
+          // vector-mode composition (r10): the version's PINNED deletion
+          // vectors, applied by the scans in place of the live sidecars
+          ColeVersions.snapshotDvs(path, conf, v))
       }
       .orElse(Option(options.get(ColeChangeFeed.FeedFilesOption)).map { enc =>
         // exact-file-set read minted by ColeChangeFeed: one commit's
@@ -534,7 +537,12 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
   */
 final case class ColeSnapshot(infos: Seq[ColeMetaCache.FileInfo],
     bucketSpec: Option[(Int, Seq[String])] = None,
-    bucketDerive: Option[(String, Seq[String])] = None)
+    bucketDerive: Option[(String, Seq[String])] = None,
+    // PINNED deletion vectors as of the version (physical path →
+    // file-wide ordinals), identity-verified at snapshot build; empty
+    // for feed file-set reads (those read PHYSICAL rows by design — the
+    // change feed applies prior-version vectors itself, by ordinal)
+    dvs: Map[String, Array[Int]] = Map.empty)
 
 class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration,
     partCols: Set[String] = Set.empty,
@@ -745,19 +753,14 @@ class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration,
     // time travel: ColeAggScan plans from the LIVE listing — declining
     // snapshot-pinned reads push too (r9): every check below consults
     // the SNAPSHOT's file set, and the agg scan plans over it.
-    // Merge-on-read DELETE (vector mode): footer counts and sweeps
-    // describe PHYSICAL rows — pushed aggregates would over-count
-    // deleted rows. ONE shape stays metadata-exact: a global unfiltered
-    // COUNT(*), answered as footer rows MINUS each file's vector count
-    // (the agg scan subtracts at planning). Everything else declines
-    // until compaction materializes the vectors.
-    if (snapshot.isEmpty && ColeDv.vectorModeFor(path, conf)) {
-      val countStarOnly =
-        aggregation.groupByExpressions.isEmpty && pushed.isEmpty &&
-          aggregation.aggregateExpressions.nonEmpty &&
-          aggregation.aggregateExpressions.forall(_.isInstanceOf[CountStar])
-      if (!countStarOnly) return false
-    }
+    // Merge-on-read DELETE (vector mode) keeps aggregate pushdown ON
+    // (r10): the planner ships each file's deletion-vector ordinals in
+    // the InputPartition (same plumbing as the row scan), and the agg
+    // readers subtract them — COUNT stays metadata-exact (planned rows
+    // minus vector counts, no data bytes), COUNT(col)/SUM/MIN/MAX on a
+    // DV-bearing file fall off the footer/stat fast paths onto the
+    // vector-masked chunk sweep (a stat min/max could name a DELETED
+    // row's value). Files without vectors keep every fast path.
     // claimed filters are applied row-exactly inside the agg readers, so
     // filtered aggregation still pushes (Spark guarantees no residuals
     // remain when it offers the aggregation)
@@ -1019,18 +1022,30 @@ class ColeAggScan(path: String, conf: Configuration, groupCols: Seq[String],
     // planning is metadata-only: footers come from the driver cache, no
     // data file is opened here (snapshot reads plan the PINNED file set)
     val infos = snapshot.map(_.infos).getOrElse(ColeMetaCache.infos(path, conf))
-    // vector-mode COUNT(*): subtract each file's deletion-vector count
-    // from the planned row counts (the only aggregate shape the builder
-    // pushes on a vectored table — exact from metadata alone)
-    val dvLocal: Map[String, Array[Array[Int]]] =
-      if (snapshot.isDefined || !ColeDv.vectorModeFor(path, conf)) Map.empty
-      else {
+    // vector mode: ship each file's deletion-vector ordinals to the
+    // readers (per row group, local ordinals — the row scan's plumbing).
+    // COUNT answers stay metadata-exact (physical rows minus vector
+    // counts, no data bytes); value sweeps mask with the vector.
+    val dvLocal: Map[String, Array[Array[Int]]] = snapshot match {
+      case Some(s) if s.dvs.nonEmpty => // pinned vectors as of the version
+        infos.flatMap(i => s.dvs.get(i.path).map(ords =>
+          i.path -> ColeDv.localize(i.meta, ords))).toMap
+      case Some(_) => Map.empty
+      case None if ColeDv.vectorModeFor(path, conf) =>
         val (dfs, _) = ColeIO.resolve(path, conf)
         infos.flatMap { i =>
           ColeDv.read(dfs, i.path, i.len, i.mtime).map(ords =>
             i.path -> ColeDv.localize(i.meta, ords))
         }.toMap
-      }
+      case None => Map.empty
+    }
+    // a file whose vector covers every row is dead: skip it whole
+    val dvDead: Set[String] =
+      if (dvLocal.isEmpty) Set.empty
+      else infos.filter { i =>
+        dvLocal.get(i.path).exists(_.iterator.map(a =>
+          if (a == null) 0 else a.length).sum == i.meta.totalRows)
+      }.map(_.path).toSet
     // bucket pruning, same as the row scan: a filtered aggregate whose
     // claimed predicate pins the bucket column sweeps 1/n of the table
     // (snapshots resolve the spec as of their version)
@@ -1041,7 +1056,7 @@ class ColeAggScan(path: String, conf: Configuration, groupCols: Seq[String],
           cs.map(c => preds.filter(_.column == c).toSeq), n)
           .map(_.map(_.toString))
       }
-    infos.flatMap { info =>
+    infos.filterNot(i => dvDead(i.path)).flatMap { info =>
       val pv = info.partValues.toMap
       if (bucketKeep.exists(ks =>
           !pv.get(ColeBucket.DirKey).exists(ks.contains))) Seq.empty
@@ -1061,17 +1076,20 @@ class ColeAggScan(path: String, conf: Configuration, groupCols: Seq[String],
             aggs.flatMap(a => Option(a.column))).distinct
           .map(nameToIdx(_)).toArray
         val fileDv = dvLocal.get(info.path)
+        // PHYSICAL row counts (the readers need them to build selections
+        // over every stored row); the vector rides the partition and the
+        // readers subtract it — same contract as the row scan
         val rgs = meta.rowGroups.zipWithIndex.collect {
           case (rg, rgIdx) if rg.numRows > 0 &&
               !ColePredicate.skipRowGroup(rg, nameToIdx, filePreds) &&
               // advisory bloom sidecar, same as the row scan: a filtered
               // aggregate's string point probe prunes row groups too
               !ColeBloomIndex.skips(info.path, info.len, info.mtime, rgIdx, filePreds, conf) =>
-            val dvN = fileDv.map(a =>
-              if (a(rgIdx) == null) 0 else a(rgIdx).length).getOrElse(0)
-            (rgIdx, rg.numRows - dvN, colIndices.map(ci => rg.chunks(ci).totalSize).sum)
+            (rgIdx, rg.numRows, colIndices.map(ci => rg.chunks(ci).totalSize).sum)
         }
-        ColePack.pack(info.path, colIndices, rgs, target, filePreds, info.partValues.toArray)
+        ColePack.pack(info.path, colIndices, rgs, target, filePreds,
+          info.partValues.toArray,
+          deletedOf = rg => fileDv.map(_(rg)).orNull)
       }
     }.toArray match {
       // a fully-pruned (or empty) table still needs ONE partial row for a
@@ -1284,10 +1302,15 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
   private var dictIdsCur: Array[Int] = null
   private var dictLocalCur: Array[Acc] = null
 
-  private def decodeRowGroup(rgIdx: Int, nRows: Int): Unit = {
-    // claimed filters: selection vector decides which rows accumulate
-    selCur = if (part.preds.isEmpty) null
+  private def decodeRowGroup(pos: Int): Unit = {
+    val rgIdx = part.rowGroups(pos)
+    val nRows = part.rowCounts(pos)
+    // claimed filters: selection vector decides which rows accumulate;
+    // the row group's deletion-vector ordinals (if any) subtract from it
+    val selP = if (part.preds.isEmpty) null
       else ColePredicate.buildSelection(reader, rgIdx, nRows, nameToIdx, part.preds)
+    selCur = ColeDv.applyTo(selP,
+      if (part.deleted == null) null else part.deleted(pos), nRows)
     endCur = if (selCur == null) nRows else selCur.length
     if (endCur == 0) return
     valueDataCur = valueCols.map(ci => reader.readChunk(rgIdx, ci))
@@ -1556,7 +1579,8 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
     // (COUNT(col) additionally reads the footer's nullCounts, still no
     // chunk bytes)
     if (fileGroupIdx.isEmpty && valueCols.isEmpty && dblValueCols.isEmpty &&
-        strValueCols.isEmpty && wideValueCols.isEmpty && part.preds.isEmpty) {
+        strValueCols.isEmpty && wideValueCols.isEmpty && part.preds.isEmpty &&
+        part.deleted == null) { // DV partitions sweep: footer counts are physical
       if (!done) {
         done = true
         val a = new Acc
@@ -1584,7 +1608,7 @@ class ColeGroupAggReader(part: ColeInputPartition, groupCols: Seq[String],
         processSlice()
         if (accs.size > FlushGroups) flush()
       } else if (rgPos < part.rowGroups.length) {
-        decodeRowGroup(part.rowGroups(rgPos), part.rowCounts(rgPos))
+        decodeRowGroup(rgPos)
         rgPos += 1
       } else {
         flush()
@@ -1640,7 +1664,12 @@ class ColeAggReader(part: ColeInputPartition, aggs: Seq[ColeAggSpec],
       val cntAccs = scala.collection.mutable.Map.empty[Int, Long]
       val cntCols = aggs.collect { case ColeAggSpec("count", c) => nameToIdx(c) }.distinct
 
-      if (part.preds.isEmpty) {
+      // footer/stat fast paths require BOTH no claimed filters and no
+      // deletion vector in the partition: footer counts/nullCounts and
+      // page stats describe PHYSICAL rows — a stat min/max could name a
+      // deleted row's value. DV-bearing partitions take the masked-sweep
+      // branch below (the vector rides `part.deleted`).
+      if (part.preds.isEmpty && part.deleted == null) {
         totalRows = part.rowCounts.map(_.toLong).sum
         cntCols.foreach { ci =>
           var n = 0L
@@ -1789,8 +1818,16 @@ class ColeAggReader(part: ColeInputPartition, aggs: Seq[ColeAggSpec],
         var i = 0
         while (i < part.rowGroups.length) {
           val rgIdx = part.rowGroups(i)
-          val sel = ColePredicate.buildSelection(reader, rgIdx,
-            part.rowCounts(i), nameToIdx, part.preds)
+          // selection = claimed filters (if any) minus this row group's
+          // deleted ordinals; preds-empty + DV-only yields the live-row
+          // complement, never the physical range
+          val sel0 = if (part.preds.isEmpty) null
+            else ColePredicate.buildSelection(reader, rgIdx,
+              part.rowCounts(i), nameToIdx, part.preds)
+          val sel1 = ColeDv.applyTo(sel0,
+            if (part.deleted == null) null else part.deleted(i),
+            part.rowCounts(i))
+          val sel = if (sel1 == null) Array.range(0, part.rowCounts(i)) else sel1
           totalRows += sel.length
           // COUNT(col) over the selection: dense chunks (footer-proven)
           // count every selected row without touching a byte; null-bearing
@@ -2842,15 +2879,21 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
         case (a, b) => a.orElse(b)
       }).map(_.map(_.toString))
     }
-    val dvOf: Map[String, Array[Array[Int]]] =
-      if (!dvMode) Map.empty
-      else {
+    val dvOf: Map[String, Array[Array[Int]]] = snapshot match {
+      // time-travel read: PINNED vectors (resolved + identity-checked as
+      // of the version by the snapshot builder), never the live sidecars
+      case Some(s) if s.dvs.nonEmpty =>
+        tableInfos.flatMap(i => s.dvs.get(i.path).map(ords =>
+          i.path -> ColeDv.localize(i.meta, ords))).toMap
+      case Some(_) => Map.empty
+      case None if dvMode =>
         val (dfs, _) = ColeIO.resolve(path, conf)
         tableInfos.flatMap { i =>
           ColeDv.read(dfs, i.path, i.len, i.mtime).map(ords =>
             i.path -> ColeDv.localize(i.meta, ords))
         }.toMap
-      }
+      case None => Map.empty
+    }
     // a file whose vector covers every row is dead: skip it whole (it
     // lingers byte-identical until compaction sweeps it)
     val dvDead: Set[String] =
@@ -3165,7 +3208,8 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
     override def columnStats(): util.Map[
         org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
-      if (org.apache.spark.sql.internal.SQLConf.get.cboEnabled && !dvMode)
+      if (org.apache.spark.sql.internal.SQLConf.get.cboEnabled && !dvMode &&
+          snapshot.forall(_.dvs.isEmpty)) // pinned vectors: counts physical
         colStatsMap
       else java.util.Collections.emptyMap()
   }
@@ -4296,6 +4340,16 @@ object ColeMicroBatchStream {
     * were already processed) — spec-visible.
     */
   val compactionSkips = new AtomicLong(0)
+
+  /** Test seam: runs between the data-dir listing and the compaction-
+    * records refresh inside `latestOffset()` — the exact window the r9
+    * race lived in. Interleaving specs inject a full offline compaction
+    * here to prove the listing ORDER (data first, records second) makes
+    * a recordless-output admission structurally impossible. No-op in
+    * production.
+    */
+  val betweenListingsHook =
+    new java.util.concurrent.atomic.AtomicReference[Runnable](() => ())
 }
 
 class ColeMicroBatchStream(scan: ColeScan, path: String, conf: Configuration,
@@ -4326,6 +4380,13 @@ class ColeMicroBatchStream(scan: ColeScan, path: String, conf: Configuration,
   // compaction records: output -> inputs, re-read incrementally by name
   private val compSeen = scala.collection.mutable.HashSet[String]()
   private val compInputs = scala.collection.mutable.HashMap[String, Seq[String]]()
+  // candidates discovered but not yet admitted: manifest-mode entries
+  // beyond the per-trigger cap, and compaction outputs that must be
+  // SERVED because some input was never admitted (the swap deleted the
+  // originals — the output holds the only copy; manifest tailing would
+  // otherwise never surface it). In-memory only, restart-safe: warm-up
+  // relists the table and records are re-read by a fresh stream.
+  private val carry = scala.collection.mutable.TreeSet[String]()
 
   private def entryPath(s: Long): HPath = new HPath(logDir, s.toString)
   private def snapPath(s: Long): HPath = new HPath(logDir, s"$s.snap")
@@ -4371,6 +4432,12 @@ class ColeMicroBatchStream(scan: ColeScan, path: String, conf: Configuration,
         val outs = lines.collect { case l if l.startsWith("out:") => l.drop(4) }
         val ins = lines.collect { case l if l.startsWith("in:") => l.drop(3) }
         outs.foreach(o => compInputs(o) = ins)
+        // the swap deleted (or is deleting) the inputs: any not yet
+        // served resolve through the outputs now — drop them from the
+        // carry-over and make the outputs candidates (manifest tailing
+        // never lists them; full listings dedup via the set)
+        carry --= ins
+        carry ++= outs
       }
     }
   }
@@ -4378,12 +4445,18 @@ class ColeMicroBatchStream(scan: ColeScan, path: String, conf: Configuration,
   /** A file's rows were already emitted if the file itself was logged, or
     * (transitively) if it is a compaction output over already-processed
     * inputs — skipping it is what keeps an offline compaction from
-    * replaying every old row into the stream.
+    * replaying every old row into the stream. The skip requires EVERY
+    * input seen: a stream mid-backlog (maxFilesPerTrigger armed, some
+    * inputs not yet served) that races an offline compaction must ADMIT
+    * the output — it holds the only remaining copy of the unserved rows
+    * (the swap deleted the originals). Transient duplicates of the
+    * already-served part are the documented compaction posture
+    * (ColeCompact 2-phase-swap comment); silent row loss is not.
     */
   private def effectivelySeen(f: String): Boolean =
     seen.contains(f) || {
       compInputs.get(f).exists { ins =>
-        val dup = ins.exists(effectivelySeen)
+        val dup = ins.nonEmpty && ins.forall(effectivelySeen)
         if (dup) ColeMicroBatchStream.compactionSkips.incrementAndGet()
         dup
       }
@@ -4428,12 +4501,42 @@ class ColeMicroBatchStream(scan: ColeScan, path: String, conf: Configuration,
   override def initialOffset(): Offset = ColeSourceOffset(-1L)
 
   override def latestOffset(): Offset = synchronized {
+    // vector-mode tables have NO tailing-stream story: deletion vectors
+    // modify files this source already served, and an insert-only stream
+    // would silently never observe the DELETEs. Refuse loudly (checked
+    // per trigger — the mode can flip on mid-stream), same discipline as
+    // the insert feed's refuse-by-record-shape. One marker existence
+    // probe per trigger.
+    require(!ColeDv.vectorModeFor(path, conf),
+      s"cannot tail $path as a stream: delete_mode is 'vector' — " +
+        "deletion vectors delete rows from already-served files, which " +
+        "an insert-only stream cannot express. Use the row-level change " +
+        "feed (ColeChangeFeed.read) for CDC over a vector-mode table, " +
+        "or compact + delete_mode('ns.t','copy') to stream it")
     load()
+    // LIST THE DATA DIR FIRST, records second. ColeCompact writes the
+    // compaction record BEFORE renaming outputs into place, so any output
+    // this listing can see already has its record on disk when the
+    // records refresh runs AFTER it. The reverse order (records first)
+    // opens a race: a trigger whose records listing lands just before the
+    // record write and whose data listing lands just after the rename
+    // admits the output recordless and replays every already-served row,
+    // permanently (observed as a real parallel-suite failure, r9).
+    val listed = candidates()
+    ColeMicroBatchStream.betweenListingsHook.get().run()
     refreshCompactionRecords()
-    val now = candidates()
+    carry ++= listed
+    // effectivelySeen is monotone (seen and compInputs only grow), so
+    // retired entries — admitted files and skip-able compaction
+    // outputs — drop out for good and the set stays backlog-sized
+    carry.filterInPlace(f => !effectivelySeen(f))
     // deterministic admission order + per-trigger cap: a backlog drains
-    // over successive bounded batches instead of one unbounded plan
-    val fresh = now.filterNot(effectivelySeen).sorted.take(maxFilesPerTrigger)
+    // over successive bounded batches instead of one unbounded plan.
+    // The existence filter covers carry entries from a compaction record
+    // whose outputs are not yet renamed into place (record-before-rename
+    // window) — they stay carried and admit on a later trigger.
+    val fresh = carry.toSeq.take(maxFilesPerTrigger)
+      .filter(f => tableFs.exists(new HPath(f)))
     if (fresh.nonEmpty) {
       // write-ahead: the entry must be durable before the offset escapes.
       // Temp + rename so a crash mid-write can never leave a torn entry

@@ -395,6 +395,20 @@ object ColeDelete {
         (f, added.length.toLong)
       }.collect()
     val touched = perFile.count(_._2 > 0)
+    // versioned table: pin an immutable copy of each extended sidecar
+    // under the log and commit ONE record carrying the dv entries — time
+    // travel and the row-level change feed resolve this DELETE from the
+    // pins (per-affected-FILE driver work, KB-scale copies)
+    if (touched > 0 && ColeVersions.enabled(table, conf)) {
+      val (tfs, _) = ColeIO.resolve(table, conf)
+      val stamp = java.lang.Long.toHexString(System.nanoTime())
+      val dvs = perFile.collect { case (f, n) if n > 0 =>
+        val rel = ColeVersions.relOf(tfs, table, f)
+        rel -> ColeVersions.pinVector(tfs, table, stamp, rel, f)
+      }.toSeq
+      ColeVersions.commitIfEnabled(table, conf, "delete", Seq.empty,
+        Seq.empty, dvs)
+    }
     Stats(totalFiles, totalFiles - touched, 0, 0, perFile.map(_._2).sum)
   }
 }

@@ -27,9 +27,12 @@ import org.apache.spark.sql.types.StructType
   * Insert-only CONSUMERS (tailing streams, the `changesFrom` feed) have
   * no exact story for merge-on-read tables: a delta commit's new files
   * look like appends and the vectored-away old images are invisible to
-  * them — use the versioned change feed (copy-on-write tables) when
-  * downstream needs row-level change semantics; vector mode and
-  * versioning are mutually exclusive by design.
+  * them — the tailing stream REFUSES vector-mode tables loudly, the
+  * insert feed refuses dv-bearing commits by record shape. Versioned
+  * vector tables (r10) get row-level change semantics through
+  * [[ColeChangeFeed]]: this commit pins sidecar copies + new files in
+  * one record, and the feed serves the DELETE side from the pinned
+  * ordinals delta-exactly.
   *
   * Commit ordering: new files rename in FIRST, vectors extend second —
   * a crash between the two leaves transient DUPLICATES of updated rows
@@ -152,15 +155,31 @@ class ColeDeltaWriteImpl(op: ColeRowLevelOperation, schema: StructType,
       }
     }
     // 1. new rows become visible
-    newDotted.foreach { f =>
-      require(fs.rename(new HPath(f), new HPath(finalOf(f))),
+    val finals = newDotted.map { f =>
+      val dst = finalOf(f)
+      require(fs.rename(new HPath(f), new HPath(dst)),
         s"delta-commit rename failed: $f")
+      dst
     }
     // 2. old images vector away (extending any existing vector)
     delByFile.foreach { case (f, ords) =>
       val (len, mtime) = planned(f)
       val existing = ColeDv.read(fs, f, len, mtime).getOrElse(Array.empty[Int])
       ColeDv.write(fs, f, len, mtime, ColeDv.merge(existing, ords))
+    }
+    // 3. versioned table: one commit record — new image files as adds,
+    // pinned copies of the extended vectors as dv entries (time travel
+    // and the change feed resolve this DML from them)
+    if ((finals.nonEmpty || delByFile.nonEmpty) &&
+        ColeVersions.enabled(path, conf)) {
+      val pinStamp = java.lang.Long.toHexString(System.nanoTime())
+      val dvs = delByFile.keys.toSeq.sorted.map { f =>
+        val rel = ColeVersions.relOf(fs, path, f)
+        rel -> ColeVersions.pinVector(fs, path, pinStamp, rel, f)
+      }
+      ColeVersions.commitIfEnabled(path, conf,
+        s"${op.command().toString.toLowerCase}-delta",
+        finals.map(ColeVersions.relOf(fs, path, _)), Seq.empty, dvs)
     }
   }
 

@@ -27,9 +27,11 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   *     bucket/bloom pruning) and declines the count-exact ones:
   *     aggregate pushdown, LIMIT row-group truncation, TopN threshold
   *     pruning, CBO column stats;
-  *   - vector mode requires versioning OFF (time travel reconstructs
-  *     retired FILES; it has no as-of story for mutable sidecars), and
-  *     versioning cannot be enabled while vectors exist;
+  *   - versioning COMPOSES (r10): every vector commit pins an immutable
+  *     sidecar copy under `_cole_versions/dv/<stamp>/` and records it
+  *     (`dv:` lines), so time travel resolves each file's vector AS OF
+  *     the version, rollback restores vector state, and the change feed
+  *     serves vector DELETEs from the pinned ordinals delta-exactly;
   *   - switching back to copy mode requires no live vectors (compact
   *     first) — the copy-path rewrite evaluates footers it would
   *     otherwise have to merge with vectors;
@@ -77,11 +79,9 @@ object ColeDv {
     val p = new HPath(table, ModeFile)
     mode match {
       case "vector" =>
-        require(!ColeVersions.enabled(table, conf),
-          "deletion vectors require versioning OFF: time travel " +
-            "reconstructs retired files and has no as-of story for " +
-            "mutable sidecars — keep copy-on-write DELETE on versioned " +
-            "tables")
+        // versioned tables compose (r10): every vector commit pins an
+        // immutable sidecar copy under the log, so time travel resolves
+        // vectors AS OF the version — no exclusion needed
         val out = fs.create(p, true)
         try out.write("vector\n".getBytes) finally out.close()
       case "copy" =>
@@ -153,35 +153,45 @@ object ColeDv {
             checkIdentity(dataFile, dLen, dMtime, len, mtime)
             Some(v)
           case _ =>
-            val in = fs.open(p)
-            val bytes = try in.readAllBytes() finally in.close()
-            require(bytes.length >= 24 &&
-              java.util.Arrays.equals(bytes.take(4), Magic),
-              s"unreadable deletion vector at $p")
-            val bb = java.nio.ByteBuffer.wrap(bytes, 4, 20)
-            val (dLen, dMtime, n) = (bb.getLong, bb.getLong, bb.getInt)
+            val (dLen, dMtime, out) = parsePinned(fs, p)
             checkIdentity(dataFile, dLen, dMtime, len, mtime)
-            val out = new Array[Int](n)
-            var pos = 24
-            var prev = 0L
-            var i = 0
-            while (i < n) {
-              var shift = 0
-              var v = 0L
-              var b = 0
-              do {
-                b = bytes(pos) & 0xFF; pos += 1
-                v |= (b & 0x7FL) << shift; shift += 7
-              } while ((b & 0x80) != 0)
-              prev += v
-              out(i) = prev.toInt
-              i += 1
-            }
             cache.put(key,
               (status.getModificationTime, status.getLen, dLen, dMtime, out))
             Some(out)
         }
     }
+  }
+
+  /** Parse any sidecar file (live or a versioning PIN copy): the
+    * recorded data-file identity plus the ordinals. Callers decide what
+    * to verify the identity against (a pin verifies the snapshot's
+    * resolved physical file; rollback re-pins to a fresh incarnation).
+    */
+  def parsePinned(fs: FileSystem, p: HPath): (Long, Long, Array[Int]) = {
+    val in = fs.open(p)
+    val bytes = try in.readAllBytes() finally in.close()
+    require(bytes.length >= 24 &&
+      java.util.Arrays.equals(bytes.take(4), Magic),
+      s"unreadable deletion vector at $p")
+    val bb = java.nio.ByteBuffer.wrap(bytes, 4, 20)
+    val (dLen, dMtime, n) = (bb.getLong, bb.getLong, bb.getInt)
+    val out = new Array[Int](n)
+    var pos = 24
+    var prev = 0L
+    var i = 0
+    while (i < n) {
+      var shift = 0
+      var v = 0L
+      var b = 0
+      do {
+        b = bytes(pos) & 0xFF; pos += 1
+        v |= (b & 0x7FL) << shift; shift += 7
+      } while ((b & 0x80) != 0)
+      prev += v
+      out(i) = prev.toInt
+      i += 1
+    }
+    (dLen, dMtime, out)
   }
 
   private def checkIdentity(dataFile: String, recLen: Long, recMtime: Long,

@@ -62,13 +62,26 @@ object ColeVersions {
     * degrading to a flat scan because the live sidecar describes the
     * present.
     */
+  /** `dvs` (r10) pins the DELETION-VECTOR state this commit left each
+    * file in: `(rel, dvRel)` where dvRel is an immutable copy of the
+    * sidecar under `_cole_versions/dv/<stamp>/`, or [[DvCleared]] when
+    * the commit cleared the file's vector. Time travel resolves a file's
+    * vector AS OF a version by folding these entries (scoped to the
+    * file's incarnation — an add resets them), which is what lets vector
+    * mode and versioning compose: live sidecars mutate, pinned copies
+    * never do.
+    */
   final case class Record(version: Long, ts: Long, op: String,
       adds: Seq[String], removes: Seq[(String, String)],
-      spec: Option[String] = None)
+      spec: Option[String] = None, dvs: Seq[(String, String)] = Nil)
+
+  /** dvRel marker for "this commit cleared the file's vector". */
+  val DvCleared = "-"
 
   private def vdir(table: String): HPath = new HPath(table, DirName)
   private def retiredDir(table: String): HPath =
     new HPath(vdir(table), RetiredName)
+  private val DvName = "dv"
 
   def enabled(table: String, conf: Configuration): Boolean = {
     val (fs, _) = ColeIO.resolve(table, conf)
@@ -84,20 +97,91 @@ object ColeVersions {
     val (fs, root) = ColeIO.resolve(table, conf)
     if (!fs.exists(root)) fs.mkdirs(root)
     if (fs.exists(vdir(table))) return currentVersion(table, conf)
-    // deletion vectors and versioning are mutually exclusive: time
-    // travel reconstructs retired FILES and has no as-of story for
-    // mutable sidecars — compact (materializing the vectors) and switch
-    // delete_mode back to 'copy' first
-    require(!ColeDv.vectorMode(table, conf),
-      s"cannot enable versioning on $table: delete_mode is 'vector' — " +
-        "CALL <catalog>.system.compact then delete_mode('ns.t','copy') first")
     // a fresh log at a previously-versioned path (DROP + re-CREATE)
     // must never see the old table's cached records
     invalidateCache(fs, table)
     fs.mkdirs(retiredDir(table))
-    val live = ColeIO.listPartitioned(table, conf)
-      .map { case (st, _) => relOf(fs, table, st.getPath.toString) }
-    writeRecord(fs, conf, table, "baseline", live, Seq.empty)
+    val liveSts = ColeIO.listPartitioned(table, conf)
+    val live = liveSts.map { case (st, _) => relOf(fs, table, st.getPath.toString) }
+    // a vector-mode table enables cleanly (r10): the baseline pins the
+    // CURRENT sidecar of every vectored file, so version 1 resolves the
+    // same live rows the table serves today
+    val stamp = java.lang.Long.toHexString(System.nanoTime())
+    val dvs = liveSts.flatMap { case (st, _) =>
+      val f = st.getPath.toString
+      if (!fs.exists(new HPath(ColeDv.sidecarPath(f)))) None
+      else Some(relOf(fs, table, f) ->
+        pinVector(fs, table, stamp, relOf(fs, table, f), f))
+    }
+    writeRecord(fs, conf, table, "baseline", live, Seq.empty, dvs)
+  }
+
+  /** Copy the LIVE sidecar of `<table>/<rel>` (at absolute `abs`) to an
+    * immutable pin under `_cole_versions/dv/<stamp>/<rel>.dv`; returns
+    * the dvRel to record. The pin preserves the sidecar's recorded
+    * (len, mtime) data-file identity — snapshot reads re-verify it
+    * against the physical file they resolve.
+    */
+  def pinVector(fs: FileSystem, table: String, stamp: String, rel: String,
+      abs: String): String = {
+    val src = new HPath(ColeDv.sidecarPath(abs))
+    val dvRel = s"$DvName/$stamp/$rel.dv"
+    val dst = new HPath(vdir(table), dvRel)
+    fs.mkdirs(dst.getParent)
+    require(org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst,
+      false, true, fs.getConf), s"deletion-vector pin copy failed: $src")
+    dvRel
+  }
+
+  /** The effective pinned-vector map at `version`: live rel → dvRel.
+    * Scoped to incarnations — an add (rewrite/restore) of a rel resets
+    * its vector state, a [[DvCleared]] entry clears it.
+    */
+  def dvAsOf(table: String, conf: Configuration,
+      version: Long): Map[String, String] = {
+    val cur = scala.collection.mutable.HashMap.empty[String, String]
+    records(table, conf).filter(_.version <= version).foreach { r =>
+      r.removes.foreach { case (rel, _) => cur -= rel }
+      r.adds.foreach(cur -= _)
+      r.dvs.foreach { case (rel, dvRel) =>
+        if (dvRel == DvCleared) cur -= rel else cur(rel) = dvRel
+      }
+    }
+    cur.toMap
+  }
+
+  /** Absolute path of a pinned vector. */
+  def dvPath(table: String, dvRel: String): HPath =
+    new HPath(vdir(table), dvRel)
+
+  /** Pinned deletion vectors of a snapshot: resolved PHYSICAL path →
+    * file-wide ordinals. Each pin's recorded data-file identity is
+    * verified against the physical file the snapshot resolves (retire
+    * renames preserve (len, mtime)); a vacuumed pin or an identity drift
+    * fails loudly — partial row resurrection is never an option.
+    */
+  def snapshotDvs(table: String, conf: Configuration,
+      version: Long): Map[String, Array[Int]] = {
+    val dv = dvAsOf(table, conf, version)
+    if (dv.isEmpty) return Map.empty
+    val phys = snapshotAt(table, conf, version).toMap
+    val (fs, _) = ColeIO.resolve(table, conf)
+    dv.flatMap { case (rel, dvRel) =>
+      phys.get(rel).map { p =>
+        val pin = dvPath(table, dvRel)
+        if (!fs.exists(pin)) throw new IllegalStateException(
+          s"pinned deletion vector $dvRel of $table/$rel is gone " +
+            "(vacuumed?): version " + version + " is no longer " +
+            "reconstructible")
+        val (dLen, dMtime, ords) = ColeDv.parsePinned(fs, pin)
+        val st = fs.getFileStatus(new HPath(p))
+        require(st.getLen == dLen && st.getModificationTime == dMtime,
+          s"pinned deletion vector $dvRel describes a different " +
+            s"incarnation of $rel (recorded len=$dLen mtime=$dMtime, " +
+            s"resolved len=${st.getLen} mtime=${st.getModificationTime})")
+        fs.makeQualified(new HPath(p)).toString -> ords
+      }
+    }
   }
 
   /** Table-relative path of an absolute file path (partition
@@ -151,10 +235,11 @@ object ColeVersions {
     * off. `adds`/`removes` are table-relative.
     */
   def commitIfEnabled(table: String, conf: Configuration, op: String,
-      adds: Seq[String], removes: Seq[(String, String)]): Option[Long] = {
+      adds: Seq[String], removes: Seq[(String, String)],
+      dvs: Seq[(String, String)] = Nil): Option[Long] = {
     if (!enabled(table, conf)) return None
     val (fs, _) = ColeIO.resolve(table, conf)
-    Some(writeRecord(fs, conf, table, op, adds, removes))
+    Some(writeRecord(fs, conf, table, op, adds, removes, dvs))
   }
 
   private def recordName(seq: Long): String = f"v$seq%012d"
@@ -170,14 +255,16 @@ object ColeVersions {
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   private def writeRecord(fs: FileSystem, conf: Configuration, table: String,
-      op: String, adds: Seq[String], removes: Seq[(String, String)]): Long =
+      op: String, adds: Seq[String], removes: Seq[(String, String)],
+      dvs: Seq[(String, String)] = Nil): Long =
     tableLocks.computeIfAbsent(
       fs.makeQualified(new HPath(table)).toString, _ => new Object)
-      .synchronized { writeRecordLocked(fs, conf, table, op, adds, removes) }
+      .synchronized { writeRecordLocked(fs, conf, table, op, adds, removes, dvs) }
 
   private def writeRecordLocked(fs: FileSystem, conf: Configuration,
       table: String, op: String,
-      adds: Seq[String], removes: Seq[(String, String)]): Long = {
+      adds: Seq[String], removes: Seq[(String, String)],
+      dvs: Seq[(String, String)]): Long = {
     val dir = vdir(table)
     // snapshot the bucket-layout sidecar INTO the record (KB-scale):
     // time travel then resolves the layout as of the version instead of
@@ -194,7 +281,8 @@ object ColeVersions {
     val body = (Seq(s"ts:${System.currentTimeMillis()}", s"op:$op") ++
       specLine ++
       removes.map { case (r, t) => s"rm:$r|$t" } ++
-      adds.map("add:" + _) :+ "end").mkString("\n")
+      adds.map("add:" + _) ++
+      dvs.map { case (r, t) => s"dv:$r|$t" } :+ "end").mkString("\n")
       .getBytes(StandardCharsets.UTF_8)
     var attempt = 0
     while (attempt < 1000) {
@@ -287,7 +375,10 @@ object ColeVersions {
                 val i = l.indexOf('|'); (l.substring(0, i), l.substring(i + 1))
               },
               tagged("spec").headOption.map(b => new String(
-                java.util.Base64.getDecoder.decode(b), StandardCharsets.UTF_8)))))
+                java.util.Base64.getDecoder.decode(b), StandardCharsets.UTF_8)),
+              tagged("dv").map { l =>
+                val i = l.lastIndexOf('|'); (l.substring(0, i), l.substring(i + 1))
+              })))
         }
       }
     // drop in-flight tail records; any incomplete record BELOW a complete
@@ -463,7 +554,9 @@ object ColeVersions {
     // allowlist: overwrite, truncate, rollback and any future removing
     // op fail loudly by construction; only the row-preserving 'compact'
     // removes without removing ROWS
-    val removing = inRange.filter(r => r.removes.nonEmpty && r.op != "compact")
+    // dv entries remove ROWS without removing files — shape-refused too
+    val removing = inRange.filter(r =>
+      (r.removes.nonEmpty || r.dvs.exists(_._2 != DvCleared)) && r.op != "compact")
     require(removing.isEmpty,
       s"change feed range ($fromExclusive, $toInclusive] of $table contains " +
         s"row-removing commits ${removing.map(r => s"v${r.version}:${r.op}")
@@ -529,8 +622,11 @@ object ColeVersions {
           target.exists { case (r, p) => r == rel && p != phys } =>
         // the bloom sidecar describes THIS incarnation's bytes: delete it
         // with the retire (every other removal path does), or a later
-        // same-named file would be pruned by a stale stranger's filter
+        // same-named file would be pruned by a stale stranger's filter.
+        // The live DELETION vector drops too — pinned copies under the
+        // log keep backing the older versions
         fs.delete(new HPath(ColeBloomIndex.sidecarPath(phys)), false)
+        ColeDv.drop(fs, phys)
         retireOrDelete(fs, table, phys, stamp, versioned = true).get
     }
     val adds = target.collect {
@@ -544,9 +640,50 @@ object ColeVersions {
         // (none should exist — removal paths delete them — but a stray
         // one would mis-prune); indexes rebuild via ColeBloomIndex.build
         fs.delete(new HPath(ColeBloomIndex.sidecarPath(dst.toString)), false)
+        fs.delete(new HPath(ColeDv.sidecarPath(dst.toString)), false)
         rel
     }
-    writeRecord(fs, conf, table, "rollback", adds, removes)
+    // restore each surviving file's DELETION-VECTOR state to the target
+    // version: re-pin restored copies (their identity changed with the
+    // copy), rewrite drifted live sidecars, clear extras — so the new
+    // head serves exactly the target's live rows
+    val targetDv = dvAsOf(table, conf, version)
+    val addSet = adds.toSet
+    val dvEntries = target.flatMap { case (rel, _) =>
+      val live = new HPath(table, rel)
+      val liveStatus = fs.getFileStatus(live)
+      val want: Option[Array[Int]] = targetDv.get(rel).map(dvRel =>
+        readPinnedOrdinals(fs, table, dvRel, rel))
+      val haveNow: Option[Array[Int]] =
+        if (addSet.contains(rel)) None // fresh copy, sidecars dropped above
+        else ColeDv.read(fs, live.toString, liveStatus.getLen,
+          liveStatus.getModificationTime)
+      (want, haveNow) match {
+        case (None, None) => None
+        case (Some(w), Some(h)) if java.util.Arrays.equals(w, h) => None
+        case (Some(w), _) =>
+          ColeDv.write(fs, live.toString, liveStatus.getLen,
+            liveStatus.getModificationTime, w)
+          Some(rel -> pinVector(fs, table, stamp, rel, live.toString))
+        case (None, Some(_)) =>
+          ColeDv.drop(fs, live.toString)
+          Some(rel -> DvCleared)
+      }
+    }
+    writeRecord(fs, conf, table, "rollback", adds, removes, dvEntries)
+  }
+
+  /** Ordinals of a pinned vector, identity-checked against nothing (the
+    * caller re-pins to a fresh incarnation) — loud when the pin was
+    * vacuumed.
+    */
+  private def readPinnedOrdinals(fs: FileSystem, table: String,
+      dvRel: String, rel: String): Array[Int] = {
+    val p = dvPath(table, dvRel)
+    if (!fs.exists(p)) throw new IllegalStateException(
+      s"pinned deletion vector $dvRel of $table/$rel is gone " +
+        "(vacuumed?): the requested version is no longer reconstructible")
+    ColeDv.parsePinned(fs, p)._3
   }
 
   /** TTL vacuum of retired bytes: versions whose files were removed
@@ -559,10 +696,27 @@ object ColeVersions {
     val (fs, _) = ColeIO.resolve(table, conf)
     val cutoff = System.currentTimeMillis() - olderThanMs
     var removed = 0
-    records(table, conf).filter(_.ts < cutoff).foreach { r =>
+    val recs = records(table, conf)
+    recs.filter(_.ts < cutoff).foreach { r =>
       r.removes.foreach { case (_, retiredRel) =>
         val p = new HPath(vdir(table), retiredRel)
         if (fs.exists(p)) { fs.delete(p, false); removed += 1 }
+      }
+      // a pinned deletion vector expires only when SUPERSEDED (a later
+      // commit re-vectored, rewrote, or removed its file) and that
+      // superseding commit is itself past the cutoff — the CURRENT
+      // vector state of an untouched file must stay reconstructible
+      r.dvs.foreach { case (rel, dvRel) =>
+        if (dvRel != DvCleared) {
+          val superseded = recs.exists(r2 => r2.version > r.version &&
+            r2.ts < cutoff &&
+            (r2.removes.exists(_._1 == rel) || r2.adds.contains(rel) ||
+              r2.dvs.exists(_._1 == rel)))
+          if (superseded) {
+            val p = dvPath(table, dvRel)
+            if (fs.exists(p)) { fs.delete(p, false); removed += 1 }
+          }
+        }
       }
     }
     // sweep now-empty stamp directories so the retired tree stays tidy

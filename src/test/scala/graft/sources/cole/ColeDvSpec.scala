@@ -10,9 +10,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * `delete_mode='vector'`, a DELETE writes per-file sidecars of deleted
   * row ordinals and every scan subtracts them — data files stay
   * byte-identical (deleting 100 rows from a 100 TB table costs KB of
-  * sidecar writes), compaction materializes, and every count-exact fast
-  * path (agg pushdown, LIMIT truncation, TopN pruning, CBO stats)
-  * declines while vectors can exist.
+  * sidecar writes), compaction materializes. Aggregate pushdown stays ON
+  * (r10): COUNT answers metadata-exact (planned rows minus vector
+  * counts), value sweeps mask with the vector; the remaining count-exact
+  * fast paths (LIMIT truncation, TopN pruning, CBO stats) decline while
+  * vectors can exist.
   */
 class ColeDvSpec extends AnyFunSuite {
 
@@ -44,7 +46,7 @@ class ColeDvSpec extends AnyFunSuite {
         ColeDv.sidecarPath(f))))
   }
 
-  test("vector DELETE: data files byte-identical, reads exact, pushdowns decline") {
+  test("vector DELETE: data files byte-identical, reads exact, aggregates push masked") {
     val s = spark
     import s.implicits._
     val t = s"$warehouse/db/v"
@@ -64,21 +66,36 @@ class ColeDvSpec extends AnyFunSuite {
     assert(back.filter(col("k") === 999L).count() === 1L)
     // claimed filters compose with the vector
     assert(back.filter(col("k") < 2000L).count() === 1500L)
-    // aggregates exact (Spark-side: pushdown declines in vector mode)
+    // aggregates PUSH and stay exact (r10): the vector rides the
+    // InputPartition, COUNT subtracts it, min/max/sum sweep masked —
+    // a stat-answered min/max would otherwise name the deleted k=1000
     val agg = back.agg(count(lit(1)).as("c"), sum("k").as("s"),
       min("k").as("mn"), max("k").as("mx"))
-    assert(!agg.queryExecution.executedPlan.toString.contains("PushedAggregates"),
-      "vector mode must decline aggregate pushdown (counts are physical)")
+    assert(agg.queryExecution.executedPlan.toString.contains("PushedAggregates"),
+      "vector mode must keep aggregate pushdown (vector-masked sweeps)")
     val r = agg.head()
     assert(r.getLong(0) === 3500L)
     assert(r.getLong(1) === (0L until 4000L).sum - (1000L until 1500L).sum)
     assert(r.getLong(2) === 0L && r.getLong(3) === 3999L)
-    // ...EXCEPT the one metadata-exact shape: a global unfiltered
-    // COUNT(*) pushes as footer rows MINUS vector counts
+    // the metadata-exact shape: a global unfiltered COUNT(*) pushes as
+    // footer rows MINUS vector counts, zero data bytes
     val cnt = back.groupBy().count()
     assert(cnt.queryExecution.executedPlan.toString.contains("PushedAggregates"),
       "global COUNT(*) must stay metadata-only on a vectored table")
     assert(cnt.head.getLong(0) === 3500L)
+    // grouped + filtered aggregates push and mask too (min of group g=6
+    // inside the deleted band moves: 1000+? — exactness is the point)
+    val ga = back.filter(col("k") >= 500L).groupBy("g")
+      .agg(count(lit(1)).as("c"), sum("k").as("s"), min("k").as("mn"))
+    assert(ga.queryExecution.executedPlan.toString.contains("PushedAggregates"),
+      "grouped filtered aggregate must push on a vectored table")
+    val live = (500 until 4000).filterNot(k => k >= 1000 && k < 1500)
+    val exp = live.groupBy(_ % 7).view.mapValues(ks =>
+      (ks.size.toLong, ks.map(_.toLong).sum, ks.min.toLong)).toMap
+    ga.collect().foreach { row =>
+      val (c, s2, mn) = exp(row.getLong(0).toInt)
+      assert(row.getLong(1) === c && row.getLong(2) === s2 && row.getLong(3) === mn)
+    }
     // $files surfaces the vector debt per file
     val filesMeta = spark.sql(
       "SELECT deleted_rows, live_rows, row_count FROM dvw.db.`v$files`")
@@ -214,23 +231,30 @@ class ColeDvSpec extends AnyFunSuite {
     spark.sql("CALL dvw.system.delete_mode('db.c1', 'copy')")
   }
 
-  test("vector mode and versioning are mutually exclusive, both directions") {
+  test("vector mode and versioning compose, both enablement orders (r10)") {
     val s = spark
     import s.implicits._
+    // versioning first, vector mode second
     val t = s"$warehouse/db/x"
     (0 until 100).map(i => (i.toLong, i.toLong)).toDF("k", "v")
       .write.format("cole").mode("overwrite").save(t)
     ColeVersions.enable(t, conf)
-    val e1 = intercept[Exception] {
-      spark.sql("CALL dvw.system.delete_mode('db.x', 'vector')").collect()
-    }
-    assert(e1.getMessage.contains("versioning"))
+    spark.sql("CALL dvw.system.delete_mode('db.x', 'vector')")
+    spark.sql("DELETE FROM dvw.db.x WHERE k < 10")
+    assert(spark.table("dvw.db.x").count() === 90L)
+    assert(spark.read.format("cole").option("versionAsOf", "1").load(t)
+      .count() === 100L)
+    // vector mode first, versioning second (ColeDvVersionsSpec covers
+    // the baseline-pins-existing-vectors depth)
     val t2 = s"$warehouse/db/x2"
     (0 until 100).map(i => (i.toLong, i.toLong)).toDF("k", "v")
       .write.format("cole").mode("overwrite").save(t2)
     spark.sql("CALL dvw.system.delete_mode('db.x2', 'vector')")
-    val e2 = intercept[Exception] { ColeVersions.enable(t2, conf) }
-    assert(e2.getMessage.contains("delete_mode"))
+    ColeVersions.enable(t2, conf)
+    spark.sql("DELETE FROM dvw.db.x2 WHERE k < 20")
+    assert(spark.table("dvw.db.x2").count() === 80L)
+    assert(spark.read.format("cole").option("versionAsOf", "1").load(t2)
+      .count() === 100L)
   }
 
   test("partitioned and bucketed layouts: vector DELETE stays exact") {
