@@ -74,6 +74,15 @@ object Cli {
         println(s"compacted ${st.compactedDirs}/${st.dirs} dirs: " +
           s"${st.filesBefore} -> ${st.filesAfter} files, " +
           s"${st.bytesBefore} -> ${st.bytesAfter} bytes")
+      case "compact-debt" =>
+        val target = (if (args.length > 2) args(2).toLong else 128L) << 20
+        val pct = if (args.length > 3) args(3).toDouble / 100.0 else 0.1
+        val minSmall = if (args.length > 4) args(4).toInt else 4
+        val st = graft.sources.cole.ColeCompact.compactDebt(spark, args(1),
+          target, pct, minSmall)
+        println(s"compacted ${st.compactedDirs}/${st.dirs} debtor dirs: " +
+          s"${st.filesBefore} -> ${st.filesAfter} files, " +
+          s"${st.bytesBefore} -> ${st.bytesAfter} bytes")
       case "zorder" =>
         val target = (if (args.length > 4) args(4).toLong else 128L) << 20
         val st = graft.sources.cole.ColeCompact.zorder(spark, args(1),
@@ -114,7 +123,10 @@ object Cli {
       |  rollback <table> <version>     restore as a NEW commit
       |  audit <table>                   version log vs directory drift
       |  vacuum <table> [ttl_hours]      crash leftovers + expired retired files
-      |  compact <table> [target_mb]     small-file compaction""".stripMargin)
+      |  compact <table> [target_mb]     small-file compaction
+      |  compact-debt <table> [target_mb] [min_deleted_pct] [min_small_files]
+      |                                  rewrite only directories over a
+      |                                  vector-debt or small-file threshold""".stripMargin)
 
   /** Synthetic table with the reference generator's shape (reference:
     * src/cli.cpp createSyntheticSchema/generateSyntheticData): id INT64

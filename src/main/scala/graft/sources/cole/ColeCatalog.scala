@@ -724,7 +724,8 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.toSeq == Seq("system"))
       Array("versioning", "rollback", "expire_versions", "vacuum", "compact",
-        "audit", "repair", "zorder", "bloom_index", "delete_mode")
+        "compact_debt", "audit", "repair", "zorder", "bloom_index",
+        "delete_mode")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -767,6 +768,21 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
         val st = ColeCompact.compact(
           org.apache.spark.sql.SparkSession.active,
           procTablePath(in.getString(0)), in.getLong(1) << 20)
+        Array(Array[Any](st.compactedDirs.toLong, st.filesBefore.toLong,
+          st.filesAfter.toLong))
+      }
+      case "compact_debt" => procedure("compact_debt",
+        tableArg ++ Seq("target_mb" -> (LongType: DataType),
+          "min_deleted_pct" -> (LongType: DataType),
+          "min_small_files" -> (LongType: DataType)),
+        StructType(Seq(
+          StructField("compacted_dirs", LongType),
+          StructField("files_before", LongType),
+          StructField("files_after", LongType)))) { in =>
+        val st = ColeCompact.compactDebt(
+          org.apache.spark.sql.SparkSession.active,
+          procTablePath(in.getString(0)), in.getLong(1) << 20,
+          in.getLong(2).toDouble / 100.0, in.getLong(3).toInt)
         Array(Array[Any](st.compactedDirs.toLong, st.filesBefore.toLong,
           st.filesAfter.toLong))
       }

@@ -9,7 +9,9 @@ import org.apache.spark.sql.functions.{col, lit}
 /** Row-level change feed over a versioned COLE table: the CDC surface
   * that serves EVERY commit kind — including row-level DML — as
   * `_change_type ∈ (insert, delete)` rows with a `_commit_version`
-  * column, where the plain `changesFrom` insert feed must refuse.
+  * column, where the plain `changesFrom` insert feed must refuse. With
+  * a `pairKey` armed it upgrades to the Delta-CDF four-type shape:
+  * updates pair as `update_preimage` / `update_postimage` by key.
   *
   * Per in-range commit record:
   *   - row-preserving commits (`compact`) contribute nothing;
@@ -67,9 +69,18 @@ object ColeChangeFeed {
   /** The change rows of commits in `(fromExclusive, toInclusive]`.
     * Output schema: the table's live data columns plus
     * `_change_type` (string) and `_commit_version` (long).
+    *
+    * `pairKey` (r10): a PRIMARY-KEY column list that upgrades the feed
+    * to the Delta-CDF four-type shape — within each commit, a delete and
+    * an insert sharing the key pair as `update_preimage` /
+    * `update_postimage`; unmatched rows stay `delete` / `insert`. Works
+    * uniformly over copy-on-write diffs and merge-on-read ordinal
+    * deltas. The key must be row-unique per version (a real primary
+    * key): duplicate keys pair many-to-many and the feed rejects none of
+    * it — same contract as key-based CDC reconstruction anywhere.
     */
   def read(spark: SparkSession, table: String, fromExclusive: Long,
-      toInclusive: Long): DataFrame = {
+      toInclusive: Long, pairKey: Seq[String] = Nil): DataFrame = {
     val conf = ColeIO.driverConf()
     val recs = ColeVersions.records(table, conf)
     require(fromExclusive <= toInclusive,
@@ -143,10 +154,36 @@ object ColeChangeFeed {
       }
     }
 
+    // label one commit's raw delete/insert sides, pairing updates by key
+    // when a pairKey is armed: a delete and an insert sharing the key
+    // within the SAME commit are the two images of an UPDATE
+    def emit(version: Long, del: Option[DataFrame],
+        ins: Option[DataFrame]): Seq[DataFrame] = {
+      def tag(df: DataFrame, t: String): DataFrame = df
+        .withColumn(ChangeTypeCol, lit(t))
+        .withColumn(CommitVersionCol, lit(version))
+      (del, ins) match {
+        case (Some(d), Some(i)) if pairKey.nonEmpty =>
+          pairKey.foreach(k => require(
+            d.columns.contains(k) && i.columns.contains(k),
+            s"pairKey column '$k' is not in the change feed's column set"))
+          // keys present on BOTH sides of this commit = updated rows
+          val both = d.select(pairKey.map(col): _*)
+            .intersect(i.select(pairKey.map(col): _*))
+          Seq(tag(d.join(both, pairKey, "leftsemi"), "update_preimage"),
+            tag(d.join(both, pairKey, "left_anti"), "delete"),
+            tag(i.join(both, pairKey, "leftsemi"), "update_postimage"),
+            tag(i.join(both, pairKey, "left_anti"), "insert"))
+        case _ =>
+          del.map(tag(_, "delete")).toSeq ++ ins.map(tag(_, "insert")).toSeq
+      }
+    }
+
     val parts: Seq[DataFrame] = inRange.filterNot(_.op == "compact").flatMap { r =>
       val adds = ColeVersions.resolveAdds(table, conf, recs, r)
       if (r.removes.isEmpty && r.dvs.isEmpty) {
         // pure-add commit: every added row is an insert, no diff needed
+        // (and no pairing — nothing was deleted)
         readFiles(adds).map(df => df
           .withColumn(ChangeTypeCol, lit("insert"))
           .withColumn(CommitVersionCol, lit(r.version)))
@@ -161,14 +198,9 @@ object ColeChangeFeed {
             val prev = dvOrdsAt(r.version - 1, rel).toSet
             val fresh = dvOrdsAt(r.version, rel).filterNot(prev)
             rowsAtOrdinals(rel, resolveRel(rel, r.version), fresh)
-              .map(_.withColumn(ChangeTypeCol, lit("delete"))
-                .withColumn(CommitVersionCol, lit(r.version)))
           }
-        }
-        val inserts = readFiles(adds).map(df => df
-          .withColumn(ChangeTypeCol, lit("insert"))
-          .withColumn(CommitVersionCol, lit(r.version)))
-        deletes ++ inserts.toSeq
+        }.reduceLeftOption(_.unionByName(_, allowMissingColumns = true))
+        emit(r.version, deletes, readFiles(adds))
       } else {
         // removing commit: old images live at the retired paths the
         // record names; diff against the replacement rows. A replaced
@@ -218,10 +250,7 @@ object ColeChangeFeed {
           case (None, Some(n)) => Some(proj(n))
           case _ => None
         }
-        deletes.map(_.withColumn(ChangeTypeCol, lit("delete"))
-            .withColumn(CommitVersionCol, lit(r.version))).toSeq ++
-          inserts.map(_.withColumn(ChangeTypeCol, lit("insert"))
-            .withColumn(CommitVersionCol, lit(r.version))).toSeq
+        emit(r.version, deletes, inserts)
       }
     }
     parts.reduceLeftOption { (a, b) =>

@@ -49,6 +49,87 @@ final class FsCommitPrimitives extends ColeCommitPrimitives {
     fs.create(path, false)
 }
 
+/** Reference object-store coordinator: CONDITIONAL-PUT semantics (S3
+  * `PUT If-None-Match: *`, GCS `x-goog-if-generation-match: 0`) realized
+  * over any Hadoop filesystem.
+  *
+  * An object store has no streaming create-if-absent: the object appears
+  * WHOLE at PUT completion, and the precondition is evaluated THEN. This
+  * coordinator reproduces exactly that shape:
+  *
+  *   1. `exclusiveCreate` opens a hidden staging object (never visible
+  *      to readers — dotted name, filtered by every COLE listing);
+  *   2. the caller streams the record body into it;
+  *   3. `close()` PUBLISHES atomically-if-absent: a POSIX hard link
+  *      (`link(2)` fails `EEXIST` atomically, cross-process — the local
+  *      twin of the conditional PUT) where the store supports it, a
+  *      non-overwriting rename elsewhere; the loser's staging object is
+  *      deleted and [[org.apache.hadoop.fs.FileAlreadyExistsException]]
+  *      propagates out of `close()` — inside the window
+  *      [[ColeVersions]]' CAS loop already handles.
+  *
+  * Two properties FALL OUT of publish-at-close, matching real object
+  * stores: at most one committer per sequence number succeeds even
+  * across PROCESSES on a local filesystem (the default primitives only
+  * guarantee same-JVM there), and a crash mid-write leaves NO torn
+  * record — the destination either holds the complete body or nothing
+  * (the orphaned staging object is dotted, invisible to the log reader
+  * and to every COLE listing).
+  *
+  * Recipe for real S3: subclass and implement `publish` with a
+  * conditional PUT of the staged bytes (SDK `ifNoneMatch("*")`), mapping
+  * HTTP 412 to `FileAlreadyExistsException`; everything else in the
+  * commit protocol (stamped retire renames, immutable record bodies)
+  * already tolerates copy+delete rename semantics — see the trait doc.
+  * Arm with `graft.cole.commit.primitives=<class>` in the Hadoop conf.
+  */
+class ConditionalPutCommitPrimitives extends ColeCommitPrimitives {
+
+  override def exclusiveCreate(fs: FileSystem, path: HPath): FSDataOutputStream = {
+    // fast-fail probe (an existing object can never lose its race); the
+    // ATOMICITY comes from publish at close, not from this check
+    if (fs.exists(path))
+      throw new org.apache.hadoop.fs.FileAlreadyExistsException(path.toString)
+    val tmp = new HPath(path.getParent,
+      "." + path.getName + ".put-" + java.util.UUID.randomUUID().toString)
+    val inner = fs.create(tmp, false)
+    val wrapped = new java.io.FilterOutputStream(inner) {
+      private var closed = false
+      // FilterOutputStream.write(b[],off,len) degrades to per-byte
+      // writes; delegate for real throughput
+      override def write(b: Array[Byte], off: Int, len: Int): Unit =
+        inner.write(b, off, len)
+      override def close(): Unit = {
+        if (closed) return
+        closed = true
+        inner.close()
+        publish(fs, tmp, path)
+      }
+    }
+    new FSDataOutputStream(wrapped, null)
+  }
+
+  /** Make the staged object visible at `dst` iff `dst` does not exist;
+    * throw [[org.apache.hadoop.fs.FileAlreadyExistsException]] (staging
+    * deleted) when it does. Local filesystems get the POSIX hard link —
+    * `link(2)` is atomic create-if-absent across processes; other
+    * stores fall back to non-overwriting rename.
+    */
+  protected def publish(fs: FileSystem, tmp: HPath, dst: HPath): Unit = {
+    val local = fs.getUri.getScheme == "file"
+    val lost =
+      if (local) {
+        val tmpFile = java.nio.file.Paths.get(tmp.toUri.getPath)
+        val dstFile = java.nio.file.Paths.get(dst.toUri.getPath)
+        try { java.nio.file.Files.createLink(dstFile, tmpFile); false }
+        catch { case _: java.nio.file.FileAlreadyExistsException => true }
+      } else !fs.rename(tmp, dst)
+    if (local || lost) fs.delete(tmp, false)
+    if (lost)
+      throw new org.apache.hadoop.fs.FileAlreadyExistsException(dst.toString)
+  }
+}
+
 object ColeCommitPrimitives {
   val ConfKey = "graft.cole.commit.primitives"
 

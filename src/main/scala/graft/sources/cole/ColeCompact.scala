@@ -44,6 +44,46 @@ object ColeCompact {
     rewriteDirs(spark, table, targetBytes, rowGroupSize, compress,
       skipWhenFewFiles = true, transform = None)
 
+  /** DEBT-DRIVEN compaction (r10): rewrite only the directories whose
+    * maintenance debt crosses a threshold — deletion-vector debt
+    * (deleted rows / total rows ≥ `minDeletedRatio`, the `$files`
+    * deleted_rows/row_count ratio) or small-file accumulation (at least
+    * `minSmallFiles` files under `targetBytes`, the streaming sink's
+    * epoch-per-file shape). The selection is a DRIVER-SIDE metadata
+    * decision — cached footers plus sidecar counts, no data bytes — so
+    * a nightly cron pays for exactly the directories that need work: on
+    * a 100 TB table where one partition takes the write traffic,
+    * whole-table compact re-reads everything to rewrite one directory;
+    * this reads only the debtors.
+    */
+  def compactDebt(spark: SparkSession, table: String,
+      targetBytes: Long = 128L << 20, minDeletedRatio: Double = 0.1,
+      minSmallFiles: Int = 4, rowGroupSize: Int = 65536,
+      compress: Option[String] = None): Stats = {
+    require(minDeletedRatio > 0.0 && minDeletedRatio <= 1.0,
+      s"minDeletedRatio must be in (0, 1], got $minDeletedRatio")
+    require(minSmallFiles >= 2,
+      s"minSmallFiles must be >= 2 (one small file has nothing to merge)")
+    val conf = ColeIO.driverConf()
+    val (fs, _) = ColeIO.resolve(table, conf)
+    val byDir = ColeMetaCache.infos(table, conf)
+      .groupBy(i => new HPath(i.path).getParent.toString)
+    val eligible = byDir.collect { case (dir, is)
+        if {
+          val rows = is.map(_.meta.totalRows).sum
+          val deleted = is.map(i =>
+            ColeDv.read(fs, i.path, i.len, i.mtime)
+              .map(_.length.toLong).getOrElse(0L)).sum
+          val small = is.count(_.len < targetBytes)
+          (deleted > 0 && rows > 0 &&
+            deleted.toDouble / rows >= minDeletedRatio) ||
+            small >= minSmallFiles
+        } => dir
+    }.toSet
+    rewriteDirs(spark, table, targetBytes, rowGroupSize, compress,
+      skipWhenFewFiles = true, transform = None, onlyDirs = Some(eligible))
+  }
+
   /** Re-cluster the whole table on the z-order of two columns, in place,
     * through the SAME crash-safe two-phase swap as [[compact]] — row
     * groups then cover small rectangles of the (a, b) key plane and
@@ -72,11 +112,15 @@ object ColeCompact {
       targetBytes: Long, rowGroupSize: Int, compress: Option[String],
       skipWhenFewFiles: Boolean,
       transform: Option[(org.apache.spark.sql.DataFrame, Int) =>
-        org.apache.spark.sql.DataFrame]): Stats = {
+        org.apache.spark.sql.DataFrame],
+      onlyDirs: Option[Set[String]] = None): Stats = {
     val conf = ColeIO.driverConf()
     val (fs, _) = ColeIO.resolve(table, conf)
     val dirs = ColeIO.listPartitioned(table, conf)
       .map(_._1.getPath.getParent).distinct.sortBy(_.toString)
+      // debt-driven selection: directories under threshold are never
+      // listed, recovered, or read — their files stay byte-identical
+      .filter(d => onlyDirs.forall(_.contains(fs.makeQualified(d).toString)))
     var (compacted, filesBefore, filesAfter, bytesBefore, bytesAfter) =
       (0, 0, 0, 0L, 0L)
     dirs.foreach { dir =>

@@ -163,6 +163,61 @@ class ColeChangeFeedSpec extends AnyFunSuite {
     assert(ColeChangeFeed.read(s, t, 1L, 2L).count() === 20)
   }
 
+  test("pairKey upgrades a COW UPDATE to update_preimage/postimage pairs") {
+    val s = spark
+    import s.implicits._
+    val t = s"$warehouse/db/pk"
+    (0 until 200).map(i => (i.toLong, i.toLong)).toDF("k", "v").coalesce(1)
+      .write.format("cole").mode("overwrite").save(t)
+    ColeVersions.enable(t, conf) // v1
+    spark.sql("UPDATE cfw.db.pk SET v = v + 1000 WHERE k >= 150") // v2 (COW)
+    spark.sql("DELETE FROM cfw.db.pk WHERE k < 10")               // v3 (COW)
+    val feed = ColeChangeFeed.read(s, t, 1L, 3L, pairKey = Seq("k"))
+    def rows(t0: String, v: Long) = feed
+      .filter(col("_change_type") === t0 && col("_commit_version") === v)
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows("update_preimage", 2L) ===
+      (150 until 200).map(i => (i.toLong, i.toLong)).toSet)
+    assert(rows("update_postimage", 2L) ===
+      (150 until 200).map(i => (i.toLong, i.toLong + 1000)).toSet)
+    assert(rows("delete", 2L).isEmpty && rows("insert", 2L).isEmpty,
+      "a pure UPDATE commit must pair every image")
+    // the DELETE commit has no insert side: rows stay plain deletes
+    assert(rows("delete", 3L) === (0 until 10).map(i => (i.toLong, i.toLong)).toSet)
+    assert(rows("update_preimage", 3L).isEmpty)
+    // without a pairKey the same range serves the two-type shape
+    val plain = ColeChangeFeed.read(s, t, 1L, 3L)
+    assert(plain.select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSet === Set("insert", "delete"))
+  }
+
+  test("pairKey over a merge-on-read MERGE: updates pair, genuine inserts stay") {
+    val s = spark
+    import s.implicits._
+    val t = s"$warehouse/db/pkm"
+    (0 until 100).map(i => (i.toLong, i.toLong)).toDF("k", "v").coalesce(1)
+      .write.format("cole").mode("overwrite").save(t)
+    ColeVersions.enable(t, conf) // v1
+    spark.sql("CALL cfw.system.delete_mode('db.pkm', 'vector')")
+    (80 until 120).map(i => (i.toLong, i.toLong + 5000)).toDF("k", "v")
+      .createOrReplaceTempView("pkm_src")
+    spark.sql("""MERGE INTO cfw.db.pkm t USING pkm_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""") // v2 (MOR)
+    val feed = ColeChangeFeed.read(s, t, 1L, 2L, pairKey = Seq("k"))
+    def rows(t0: String) = feed.filter(col("_change_type") === t0)
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows("update_preimage") ===
+      (80 until 100).map(i => (i.toLong, i.toLong)).toSet,
+      "MOR update old images must come from the pinned ordinals")
+    assert(rows("update_postimage") ===
+      (80 until 100).map(i => (i.toLong, i.toLong + 5000)).toSet)
+    assert(rows("insert") ===
+      (100 until 120).map(i => (i.toLong, i.toLong + 5000)).toSet,
+      "unmatched source rows are genuine inserts, not update images")
+    assert(rows("delete").isEmpty)
+  }
+
   test("empty range yields an empty, correctly-shaped frame") {
     val s = spark
     import s.implicits._

@@ -99,4 +99,69 @@ class ColeMaintenanceProcSpec extends AnyFunSuite {
       .filter(col("url") === "u-absent").count()
     assert(probe === 0L)
   }
+
+  private def stampsByDir(t: String): Map[String, Set[(String, Long, Long)]] =
+    ColeIO.listPartitioned(t, ColeIO.driverConf())
+      .map { case (st, _) => (st.getPath.getParent.getName,
+        (st.getPath.getName, st.getLen, st.getModificationTime)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  test("CALL compact_debt: only small-file debtor directories rewrite") {
+    val s = spark
+    import s.implicits._
+    val t = s"$warehouse/db/dbt"
+    // partition a: 4 small files (debtor); partition b: 1 file (clean)
+    (0 until 4).foreach(k =>
+      (k * 100 until (k + 1) * 100).map(i => (i.toLong, "a", i.toLong))
+        .toDF("k", "p", "v").coalesce(1).write.format("cole")
+        .mode(if (k == 0) "overwrite" else "append").partitionBy("p").save(t))
+    (1000 until 1400).map(i => (i.toLong, "b", i.toLong))
+      .toDF("k", "p", "v").coalesce(1).write.format("cole")
+      .mode("append").partitionBy("p").save(t)
+    val before = stampsByDir(t)
+    assert(before("p=a").size === 4 && before("p=b").size === 1)
+    val r = spark.sql(
+      "CALL mxw.system.compact_debt('db.dbt', 512, 10, 3)").head()
+    assert(r.getLong(0) === 1L, "exactly one debtor directory must rewrite")
+    val after = stampsByDir(t)
+    assert(after("p=a").size === 1, "debtor directory must compact to one file")
+    assert(after("p=b") === before("p=b"),
+      "the under-threshold directory must stay byte-identical")
+    assert(spark.read.format("cole").load(t).count() === 800L)
+  }
+
+  test("CALL compact_debt: vector-debt directories rewrite, clean ones do not") {
+    val s = spark
+    import s.implicits._
+    val t = s"$warehouse/db/dbv"
+    (0 until 500).map(i => (i.toLong, "a", i.toLong)).toDF("k", "p", "v")
+      .coalesce(1).write.format("cole").mode("overwrite")
+      .partitionBy("p").save(t)
+    (500 until 1000).map(i => (i.toLong, "b", i.toLong)).toDF("k", "p", "v")
+      .coalesce(1).write.format("cole").mode("append")
+      .partitionBy("p").save(t)
+    spark.sql("CALL mxw.system.delete_mode('db.dbv', 'vector')")
+    // 40% vector debt in p=a only
+    spark.sql("DELETE FROM mxw.db.dbv WHERE p = 'a' AND k < 200")
+    val before = stampsByDir(t)
+    // threshold 20%: p=a (40%) rewrites and materializes its vector,
+    // p=b (0%) never listed
+    val r = spark.sql(
+      "CALL mxw.system.compact_debt('db.dbv', 512, 20, 99)").head()
+    assert(r.getLong(0) === 1L)
+    val after = stampsByDir(t)
+    assert(after("p=b") === before("p=b"))
+    assert(after("p=a") !== before("p=a"))
+    val (fs, _) = ColeIO.resolve(t, ColeIO.driverConf())
+    assert(!ColeIO.listPartitioned(t, ColeIO.driverConf()).exists { case (st, _) =>
+      fs.exists(new org.apache.hadoop.fs.Path(
+        ColeDv.sidecarPath(st.getPath.toString))) },
+      "compacting the debtor must materialize its vector")
+    assert(spark.read.format("cole").load(t).count() === 800L)
+    // below both thresholds now: a second run touches nothing
+    val r2 = spark.sql(
+      "CALL mxw.system.compact_debt('db.dbv', 512, 20, 99)").head()
+    assert(r2.getLong(0) === 0L)
+    assert(stampsByDir(t) === after)
+  }
 }
