@@ -2957,10 +2957,15 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
     // With predicates claimed, only row groups the stats prove fully pass
     // every filter are credited toward the n (partially-passing groups are
     // retained but never counted), so the threshold stays conservative.
+    // deletion vectors: the planner holds each row group's EXACT deleted
+    // count, so live-row lower bounds stay available for the counting
+    // prunes below (r10 — these used to switch off entirely under
+    // vectors). Stats remain physical: a deleted row may still supply a
+    // group's min/max, which only makes thresholds MORE conservative.
+    def liveRows(path: String, rgIdx: Int, rows: Int): Long =
+      rows - dvOf.get(path).map(a =>
+        if (a(rgIdx) == null) 0 else a(rgIdx).length).getOrElse(0).toLong
     val afterTopN = topN match {
-      // deletion vectors make row counts physical, not live: the top-n
-      // credit could over-count and prune needed groups — keep all
-      case Some(_) if dvOf.nonEmpty => survivors
       case Some((_, desc, n)) =>
         val withStats = survivors.filter(r => r._6.isDefined && r._7)
         // Ordering.reverse, NOT negation: -Long.MinValue overflows and
@@ -2971,7 +2976,10 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
         var threshold: Option[Long] = None
         ranked.foreach { r =>
           if (threshold.isEmpty) {
-            cum += r._4
+            // credit only LIVE rows: every live row of a fully-passing
+            // group is ≥ its physical min (desc case), so the count is a
+            // sound lower bound on filter-surviving rows past the stat
+            cum += liveRows(r._1, r._3, r._4)
             if (cum >= n) threshold = Some(if (desc) r._6.get._1 else r._6.get._2)
           }
         }
@@ -3000,9 +3008,11 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
     // preds, not the raw Filter array: a claimed IsNotNull drops nothing,
     // and partition predicates fully keep every surviving file.
     // skipOnly nonempty means a row-dropping residual filter exists above
-    // the scan — never stop planning early on a pushed limit then
-    if (limit >= 0 && preds.isEmpty && dataRuntime.isEmpty && skipOnly.isEmpty &&
-        dvOf.isEmpty) {
+    // the scan — never stop planning early on a pushed limit then.
+    // Deletion vectors compose (r10): a row group delivers EXACTLY
+    // rows − deleted(rg) rows when no predicate is claimed, so the
+    // covered count uses live rows and the truncation stays exact
+    if (limit >= 0 && preds.isEmpty && dataRuntime.isEmpty && skipOnly.isEmpty) {
       val out = scala.collection.mutable.ArrayBuffer[ColeInputPartition]()
       var covered = 0L
       val it = parts.iterator
@@ -3010,12 +3020,14 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
         val p = it.next()
         var keep = 0
         while (keep < p.rowGroups.length && covered < limit) {
-          covered += p.rowCounts(keep)
+          covered += p.rowCounts(keep) - (if (p.deleted == null ||
+            p.deleted(keep) == null) 0 else p.deleted(keep).length)
           keep += 1
         }
         out += (if (keep == p.rowGroups.length) p
           else p.copy(rowGroups = p.rowGroups.take(keep),
-            rowCounts = p.rowCounts.take(keep)))
+            rowCounts = p.rowCounts.take(keep),
+            deleted = if (p.deleted == null) null else p.deleted.take(keep)))
       }
       out.toArray
     } else parts.toArray
@@ -3056,7 +3068,19 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
     */
   private lazy val tableTotals: (Long, Long) = {
     val infos = tableInfos
-    (infos.map(_.len).sum, infos.map(_.meta.totalRows).sum)
+    // deletion vectors: report LIVE row counts to AQE/CBO (exact —
+    // footer rows minus each file's vector count; sidecar reads are
+    // cached), so join-strategy decisions see the table's real size
+    val deleted: Long =
+      if (!dvMode) snapshot.map(_.dvs.valuesIterator.map(_.length.toLong).sum)
+        .getOrElse(0L)
+      else {
+        val (dfs, _) = ColeIO.resolve(path, conf)
+        infos.iterator.map(i =>
+          ColeDv.read(dfs, i.path, i.len, i.mtime)
+            .map(_.length.toLong).getOrElse(0L)).sum
+      }
+    (infos.map(_.len).sum, infos.map(_.meta.totalRows).sum - deleted)
   }
 
   /** Per-column statistics for Spark's CBO, from footers alone (the same

@@ -103,12 +103,47 @@ class ColeDvSpec extends AnyFunSuite {
     assert(filesMeta.map(_.getLong(0)).sum === 500L)
     assert(filesMeta.map(_.getLong(1)).sum === 3500L)
     assert(filesMeta.map(_.getLong(2)).sum === 4000L)
-    // LIMIT and TopN stay exact (their pruning is off under vectors)
+    // LIMIT and TopN stay exact (r10: their pruning is back ON under
+    // vectors — credits count LIVE rows, stats stay physical)
     assert(back.orderBy(col("k")).limit(3).collect().map(_.getLong(0)).toSeq
       === Seq(0L, 1L, 2L))
     assert(back.orderBy(col("k").desc).limit(1).head.getLong(0) === 3999L)
     assert(back.filter(col("k") >= 998L).orderBy("k").limit(4)
       .collect().map(_.getLong(0)).toSeq === Seq(998L, 999L, 1500L, 1501L))
+  }
+
+  test("LIMIT and TopN boundaries under vectors: dead prefixes and deleted extremes") {
+    val s = spark
+    import s.implicits._
+    val t = s"$warehouse/db/lt"
+    (0 until 4000).map(i => (i.toLong, i.toLong)).toDF("k", "v").coalesce(1)
+      .write.format("cole").mode("overwrite")
+      .option("rowGroupSize", "256").save(t)
+    spark.sql("CALL dvw.system.delete_mode('db.lt', 'vector')")
+    // kill the whole PREFIX (first row groups fully dead) and the
+    // physical MAX (the top-1 desc stat threshold names a deleted row)
+    spark.sql("DELETE FROM dvw.db.lt WHERE k < 1000 OR k >= 3995")
+    val back = spark.table("dvw.db.lt")
+    // LIMIT planning truncates by LIVE counts: the dead prefix cannot
+    // satisfy it, rows must come from the live middle
+    assert(back.limit(5).collect().map(_.getLong(0)).forall(k =>
+      k >= 1000L && k < 3995L))
+    assert(back.orderBy("k").limit(3).collect().map(_.getLong(0)).toSeq
+      === Seq(1000L, 1001L, 1002L))
+    // TopN desc: the physical max (3999) is deleted — the credit counts
+    // live rows only and the result is the top LIVE value
+    assert(back.orderBy(col("k").desc).limit(2).collect()
+      .map(_.getLong(0)).toSeq === Seq(3994L, 3993L))
+    // filtered TopN composes with the vector
+    assert(back.filter(col("k") >= 990L).orderBy("k").limit(2).collect()
+      .map(_.getLong(0)).toSeq === Seq(1000L, 1001L))
+    // AQE/CBO row estimate is live-exact
+    val stats = back.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.computeStats().rowCount
+    }.head
+    assert(stats.contains(BigInt(4000 - 1000 - 5)),
+      s"scan row estimate must subtract vector counts, got $stats")
   }
 
   test("repeat DELETEs merge; a fully-matched re-run writes nothing") {
