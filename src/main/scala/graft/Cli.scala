@@ -103,6 +103,16 @@ object Cli {
           graft.sources.cole.ColeIO.driverConf())
         if (q.isEmpty) println("no torn version records")
         else q.foreach(r => println(s"quarantined $r"))
+      case "materialize-cdf" =>
+        val conf = graft.sources.cole.ColeIO.driverConf()
+        val versions =
+          if (args.length > 2) Seq(args(2).toLong)
+          else graft.sources.cole.ColeVersions.records(args(1), conf)
+            .filter(r => r.removes.nonEmpty && r.op != "compact" &&
+              r.op != "rollback").map(_.version)
+        val n = versions.count(
+          graft.sources.cole.ColeChangeFeed.materialize(spark, args(1), _))
+        println(s"materialized change data of $n commit(s)")
       case other =>
         System.err.println(s"Unknown command: $other"); usage(); sys.exit(2)
     } finally spark.stop()
@@ -126,7 +136,10 @@ object Cli {
       |  compact <table> [target_mb]     small-file compaction
       |  compact-debt <table> [target_mb] [min_deleted_pct] [min_small_files]
       |                                  rewrite only directories over a
-      |                                  vector-debt or small-file threshold""".stripMargin)
+      |                                  vector-debt or small-file threshold
+      |  materialize-cdf <table> [version]
+      |                                  persist change-data images of
+      |                                  copy-on-write commits (all, or one)""".stripMargin)
 
   /** Synthetic table with the reference generator's shape (reference:
     * src/cli.cpp createSyntheticSchema/generateSyntheticData): id INT64

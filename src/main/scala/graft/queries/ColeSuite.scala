@@ -1555,6 +1555,74 @@ object ColeSuite {
               SELECT change_type, COUNT(*) AS n,
                 CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
                 CAST(SUM(qty_c) AS BIGINT) AS sum_qty_c
-              FROM feed GROUP BY change_type ORDER BY change_type"""))
+              FROM feed GROUP BY change_type ORDER BY change_type""")),
+
+    // #153 STREAMING change feed (r10): `readStream` with
+    // `changeFeed=true` serves every commit of a versioned table as
+    // `_change_type`/`_commit_version` rows — commit-version offsets,
+    // delta-sized per-trigger planning. This key streams a
+    // baseline + vector-DELETE + append history to exhaustion into a
+    // memory sink and aggregates it: the vector commit's deletes come
+    // from the pinned ordinals (the serve-side answer to the
+    // vector-mode tailing refusal), the appends as plain inserts. The
+    // oracle reconstructs the full feed relationally.
+    Q("cole_cdf_stream", (s, d) => {
+      val wh = "/tmp/graft_cole/warehouse"
+      s.conf.set("spark.sql.catalog.cole", "graft.sources.cole.ColeCatalog")
+      s.conf.set("spark.sql.catalog.cole.warehouse", wh)
+      val ns = s"v${writerFingerprint}_cds_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val dir = s"$wh/$ns/li"
+      writeOnce(dir) {
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_returnflag")
+          .write.format("cole").mode("overwrite").save(dir)
+        graft.sources.cole.ColeVersions.enable(dir,
+          graft.sources.cole.ColeIO.driverConf()) // v1 = baseline
+        s.sql(s"CALL cole.system.delete_mode('$ns.li', 'vector')")
+        s.sql(s"DELETE FROM cole.$ns.li WHERE l_orderkey % 10 = 3") // v2
+        Tables.lineitem(s, d)
+          .filter(col("l_orderkey") % 100 === 1)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            lit("Z").as("l_returnflag"))
+          .write.format("cole").mode("append").save(dir) // v3 append
+      }
+      val sinkName = ns + "_sink"
+      s.catalog.dropTempView(sinkName)
+      val cp = java.nio.file.Files
+        .createTempDirectory("graft_cdf_stream_cp").toString
+      val q = s.readStream.format("cole").option("changeFeed", "true")
+        .load(dir)
+        .writeStream.format("memory").queryName(sinkName)
+        .option("checkpointLocation", cp).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sinkName)
+        .groupBy(col("_change_type").as("change_type"),
+          col("_commit_version").as("commit_version"), col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum("l_orderkey").as("sum_key"),
+          sum("l_linenumber").as("sum_line"))
+        .orderBy("commit_version", "change_type", "l_returnflag")
+    },
+      Some("""WITH t AS (
+                SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem),
+              v1ins AS (
+                SELECT 'insert' AS change_type, 1 AS commit_version,
+                  l_returnflag, l_orderkey, l_linenumber FROM t),
+              v2del AS (
+                SELECT 'delete' AS change_type, 2 AS commit_version,
+                  l_returnflag, l_orderkey, l_linenumber
+                FROM t WHERE l_orderkey % 10 = 3),
+              v3ins AS (
+                SELECT 'insert' AS change_type, 3 AS commit_version,
+                  'Z' AS l_returnflag, l_orderkey, l_linenumber
+                FROM t WHERE l_orderkey % 100 = 1),
+              feed AS (
+                SELECT * FROM v1ins UNION ALL SELECT * FROM v2del
+                UNION ALL SELECT * FROM v3ins)
+              SELECT change_type, CAST(commit_version AS BIGINT) AS commit_version,
+                l_returnflag, COUNT(*) AS n,
+                CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+                CAST(SUM(l_linenumber) AS BIGINT) AS sum_line
+              FROM feed GROUP BY 1, 2, 3
+              ORDER BY commit_version, change_type, l_returnflag"""))
   )
 }

@@ -725,7 +725,7 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
     if (namespace.toSeq == Seq("system"))
       Array("versioning", "rollback", "expire_versions", "vacuum", "compact",
         "compact_debt", "audit", "repair", "zorder", "bloom_index",
-        "delete_mode")
+        "delete_mode", "materialize_cdf")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -830,10 +830,27 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
         ColeDv.setMode(path, conf, in.getString(1))
         Array(Array[Any](if (ColeDv.vectorMode(path, conf)) "vector" else "copy"))
       }
+      // backfill change-data materialization: version <= 0 sweeps every
+      // copy-on-write commit still reconstructible (the streaming CDF
+      // source needs them; pure-add/MOR commits have nothing to write)
+      case "materialize_cdf" => procedure("materialize_cdf",
+        tableArg :+ ("version" -> (LongType: DataType)),
+        StructType(Seq(StructField("materialized_commits", LongType)))) { in =>
+        val path = procTablePath(in.getString(0))
+        val spark = org.apache.spark.sql.SparkSession.active
+        val v = in.getLong(1)
+        val versions =
+          if (v > 0) Seq(v)
+          else ColeVersions.records(path, conf)
+            .filter(r => r.removes.nonEmpty && r.op != "compact" &&
+              r.op != "rollback").map(_.version)
+        Array(Array[Any](versions
+          .count(ColeChangeFeed.materialize(spark, path, _)).toLong))
+      }
       case other => throw new IllegalArgumentException(
         s"unknown procedure cole.system.$other (versioning|rollback|" +
           "expire_versions|vacuum|compact|audit|repair|zorder|bloom_index|" +
-          "delete_mode)")
+          "delete_mode|materialize_cdf)")
     }
   }
 

@@ -1,0 +1,283 @@
+package graft.sources.cole
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `readStream.format("cole").option("changeFeed", "true")` — the
+  * STREAMING row-level change feed: every commit of a versioned table
+  * arrives as `_change_type` / `_commit_version`-tagged rows, exactly
+  * the batch feed's ([[ColeChangeFeed.read]]) semantics served
+  * incrementally. This is the serve-side answer to the vector-mode
+  * tailing refusal: deletion vectors delete rows from files the plain
+  * insert stream already served, which an insert-only stream cannot
+  * express — but a CDC stream CAN: the deleted rows are the commit's
+  * pinned ordinals, emitted as `delete` rows (the same delta-exact
+  * no-diff read as the batch feed).
+  *
+  * Offsets are commit VERSIONS — constant-size, like the insert
+  * source's file-log sequence. Per commit kind:
+  *   - pure-add commits: added files scan as `insert` partitions;
+  *   - merge-on-read commits (vector DELETE, delta UPDATE/MERGE): fresh
+  *     pinned-vector ordinals select `delete` rows from the (physical)
+  *     file read, added image files scan as inserts;
+  *   - copy-on-write removing commits (UPDATE/DELETE/MERGE/overwrite/
+  *     truncate) serve their MATERIALIZED change files
+  *     ([[ColeChangeFeed.materialize]]) — a micro-batch plans file
+  *     partitions, it cannot run the old-vs-new `exceptAll` diff, so an
+  *     un-materialized removing commit refuses loudly with the two ways
+  *     out (materialize_cdf backfill, or arm
+  *     `graft.cole.cdf.materialize` so DML commits write them);
+  *   - `compact` is row-preserving: contributes nothing;
+  *   - `rollback` refuses loudly (resynchronize), as in the batch feed.
+  *
+  * Scale shape: per-trigger planning is O(commits in range), each
+  * commit contributing only its OWN files (delta-sized, never a table
+  * listing); `maxCommitsPerTrigger` paces a backlog. Readers are the
+  * same row readers as batch scans, plus an O(log d) sorted-ordinal
+  * membership probe per row on delete partitions.
+  */
+object ColeCdfStream {
+  /** Read option that turns a cole stream (or errors a batch read
+    * toward the batch API) into the change-data feed.
+    */
+  val OptionKey = "changeFeed"
+
+  /** First commit version to serve (inclusive); default 1 — the full
+    * history, matching `ColeChangeFeed.read(spark, t, 0, current)`.
+    */
+  val StartingVersionKey = "startingVersion"
+
+  /** Commits per micro-batch cap — the CDF twin of the insert source's
+    * `maxFilesPerTrigger` backlog pacing.
+    */
+  val MaxCommitsKey = "maxCommitsPerTrigger"
+
+  /** The two CDF columns appended after the table's data columns. */
+  def cdfFields: Seq[StructField] = Seq(
+    StructField(ColeChangeFeed.ChangeTypeCol, StringType, nullable = false),
+    StructField(ColeChangeFeed.CommitVersionCol, LongType, nullable = false))
+
+  def stripCdfFields(schema: StructType): StructType = {
+    val names = cdfFields.map(_.name).toSet
+    StructType(schema.fields.filterNot(f => names.contains(f.name)))
+  }
+}
+
+/** Offset of the CDF source: the last served commit version. */
+final case class ColeCdfOffset(version: Long) extends Offset {
+  override def json(): String = version.toString
+}
+
+/** One streamed change partition: an ordinary [[ColeInputPartition]]
+  * (packed row groups of ONE commit-named file) plus the change label.
+  * `keepOrdinals` (sorted, file-wide physical positions) restricts a
+  * merge-on-read delete partition to exactly the commit's freshly
+  * deleted rows; null serves every row.
+  */
+final case class ColeCdfPartition(inner: ColeInputPartition,
+    changeType: String, version: Long,
+    keepOrdinals: Array[Long]) extends InputPartition
+
+class ColeCdfReaderFactory(dataSchema: StructType, hconf: ColeHadoopConf)
+    extends PartitionReaderFactory {
+
+  // inner rows carry the data columns plus `_cole_pos` (last), so delete
+  // partitions can address the commit's ordinals on PHYSICAL rows
+  private val innerSchema =
+    StructType(dataSchema.fields :+ StructField(ColeUtil.PosMetaCol, LongType))
+  private val inner = new ColeReaderFactory(innerSchema, hconf)
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val cp = partition.asInstanceOf[ColeCdfPartition]
+    val delegate = inner.createReader(cp.inner)
+    val width = dataSchema.length
+    val types = dataSchema.fields.map(_.dataType)
+    val changeType = UTF8String.fromString(cp.changeType)
+    new PartitionReader[InternalRow] {
+      private var row: InternalRow = _
+      override def next(): Boolean = {
+        while (delegate.next()) {
+          val in = delegate.get()
+          if (cp.keepOrdinals == null ||
+              java.util.Arrays.binarySearch(cp.keepOrdinals, in.getLong(width)) >= 0) {
+            // copy defensively: the delegate may reuse its row buffer
+            val safe = in.copy()
+            val vals = new Array[Any](width + 2)
+            var i = 0
+            while (i < width) { vals(i) = safe.get(i, types(i)); i += 1 }
+            vals(width) = changeType
+            vals(width + 1) = cp.version
+            row = new GenericInternalRow(vals)
+            return true
+          }
+        }
+        false
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = delegate.close()
+    }
+  }
+}
+
+/** The streaming-only Scan the table hands Spark when the `changeFeed`
+  * option is armed. Batch reads route to the batch API (which also
+  * serves update pairing) rather than half-implementing it here.
+  */
+class ColeCdfScan(dataSchema: StructType, path: String, conf: Configuration)
+    extends Scan {
+
+  override def readSchema(): StructType =
+    StructType(dataSchema.fields ++ ColeCdfStream.cdfFields)
+
+  override def description(): String = s"ColeCdfScan path=$path"
+
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    throw new UnsupportedOperationException(
+      "changeFeed=true is a STREAMING read option (readStream). For a " +
+        "batch change feed use ColeChangeFeed.read(spark, table, from, " +
+        "to) — it additionally supports update pairing via pairKey")
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    val starting = Option(conf.get(ColeCdfStreamConf.StartKey)).map(_.toLong)
+    val maxCommits = conf.getLong(ColeCdfStreamConf.MaxKey, Long.MaxValue)
+    new ColeCdfMicroBatchStream(dataSchema, path, conf, starting, maxCommits)
+  }
+}
+
+/** Option plumbing: the scan builder threads read options to the stream
+  * through the conf, the same zero-signature route the insert source's
+  * `maxFilesPerTrigger` takes.
+  */
+object ColeCdfStreamConf {
+  val StartKey = "graft.cole.cdf.startingVersion"
+  val MaxKey = "graft.cole.cdf.maxCommitsPerTrigger"
+}
+
+class ColeCdfMicroBatchStream(dataSchema: StructType, path: String,
+    conf: Configuration, startingVersion: Option[Long], maxCommits: Long)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  require(maxCommits > 0, "maxCommitsPerTrigger must be positive")
+
+  override def initialOffset(): Offset = {
+    require(ColeVersions.enabled(path, conf),
+      s"cannot stream the change feed of $path: versioning is not " +
+        "enabled (CALL cole.system.versioning('ns.t') first — the feed " +
+        "is reconstructed from commit records)")
+    val cur = ColeVersions.currentVersion(path, conf)
+    val fromExclusive = startingVersion match {
+      case Some(v) =>
+        require(v >= 1 && v <= cur + 1,
+          s"startingVersion $v out of range [1, ${cur + 1}] on $path")
+        v - 1
+      case None => 0L
+    }
+    ColeCdfOffset(fromExclusive)
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) — this source paces by commit count")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[ColeCdfOffset].version
+    val cur = ColeVersions.currentVersion(path, conf)
+    // saturating: the uncapped default is Long.MaxValue and s + it wraps
+    val capped =
+      if (maxCommits > Long.MaxValue - s) Long.MaxValue else s + maxCommits
+    ColeCdfOffset(math.max(s, math.min(cur, capped)))
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ColeCdfOffset].version
+    val e = end.asInstanceOf[ColeCdfOffset].version
+    if (e <= s) return Array.empty
+    val recs = ColeVersions.records(path, conf)
+    recs.filter(r => r.version > s && r.version <= e)
+      .flatMap(r => commitPartitions(recs, r)).toArray
+  }
+
+  /** Plan one file set through the ordinary scan machinery (packed
+    * row-group partitions, schema evolution, physical rows — feed reads
+    * never apply live vectors).
+    */
+  private def innerParts(files: Seq[(String, String)],
+      what: String): Seq[ColeInputPartition] =
+    if (files.isEmpty) Seq.empty
+    else {
+      val infos = ColeVersions.infosFor(path, conf, files, what)
+      val partCols = ColeMetaCache.partitionSchema(infos).map(_._1)
+        .filterNot(_ == ColeBucket.DirKey).toSet
+      val required =
+        StructType(dataSchema.fields :+ StructField(ColeUtil.PosMetaCol, LongType))
+      new ColeScan(dataSchema, required, path, conf, Array.empty,
+        partCols = dataSchema.fieldNames.filter(partCols).toSet,
+        snapshot = Some(ColeSnapshot(infos)))
+        .planInputPartitions().map(_.asInstanceOf[ColeInputPartition]).toSeq
+    }
+
+  private def commitPartitions(recs: Seq[ColeVersions.Record],
+      r: ColeVersions.Record): Seq[InputPartition] = r.op match {
+    case "compact" => Seq.empty // row-preserving
+    case "rollback" => throw new IllegalStateException(
+      s"change feed stream of $path hit rollback commit v${r.version}: " +
+        "a rollback restores older content whose delta spans the whole " +
+        "rolled-over range — resynchronize from a snapshot (restart the " +
+        s"stream with startingVersion=${r.version + 1} after reloading)")
+    case _ =>
+      val adds = ColeVersions.resolveAdds(path, conf, recs, r)
+      def inserts(files: Seq[(String, String)], what: String): Seq[InputPartition] =
+        innerParts(files, what).map(ColeCdfPartition(_, "insert", r.version, null))
+      if (r.removes.isEmpty && r.dvs.isEmpty) {
+        inserts(adds, s"cdf stream v${r.version} of $path")
+      } else if (r.removes.isEmpty) {
+        // merge-on-read: delete rows are EXACTLY the commit's fresh
+        // pinned ordinals — no diff, just an ordinal-selected file read
+        val dels = ColeChangeFeed.freshDvOrdinals(path, conf, r)
+          .filter(_._2.nonEmpty).flatMap { case (rel, fresh) =>
+            val phys = ColeChangeFeed.resolveRel(path, conf, recs, rel, r.version)
+            val keep = fresh.map(_.toLong).sorted
+            innerParts(Seq(rel -> phys), s"cdf stream v${r.version} of $path")
+              .map(ColeCdfPartition(_, "delete", r.version, keep))
+          }
+        dels ++ inserts(adds, s"cdf stream v${r.version} of $path")
+      } else if (ColeChangeFeed.isMaterialized(path, conf, r.version)) {
+        // copy-on-write removing commit, images already on disk: plain
+        // delta-sized file scans, zero diff work
+        ColeChangeFeed.materializedServes.incrementAndGet()
+        val sides = ColeChangeFeed.materializedFiles(path, conf, r.version)
+        val what = s"materialized cdf v${r.version} of $path"
+        innerParts(sides.getOrElse("del", Seq.empty), what)
+          .map(ColeCdfPartition(_, "delete", r.version, null)) ++
+          innerParts(sides.getOrElse("ins", Seq.empty), what)
+            .map(ColeCdfPartition(_, "insert", r.version, null))
+      } else {
+        throw new IllegalStateException(
+          s"change feed stream of $path hit copy-on-write commit " +
+            s"v${r.version} (op '${r.op}') whose change data is not " +
+            "materialized: a micro-batch plans file partitions and " +
+            "cannot run the old-vs-new diff join. Backfill with CALL " +
+            s"cole.system.materialize_cdf('ns.t', ${r.version}), or arm " +
+            s"${ColeChangeFeed.MaterializeKey}=true so DML commits " +
+            "write change files — or consume the batch feed " +
+            "(ColeChangeFeed.read)")
+      }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ColeCdfReaderFactory(dataSchema, new ColeHadoopConf(conf))
+
+  override def deserializeOffset(json: String): Offset =
+    ColeCdfOffset(json.trim.toLong)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}

@@ -3,6 +3,8 @@ package graft.sources.cole
 import java.net.{URLDecoder, URLEncoder}
 import java.nio.charset.StandardCharsets
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
 
@@ -66,6 +68,234 @@ object ColeChangeFeed {
         URLDecoder.decode(p.substring(i + 1), StandardCharsets.UTF_8))
     }
 
+  /** Conf key: when `true`, every removing (copy-on-write) DML commit
+    * MATERIALIZES its change data — the delete/insert images land as
+    * COLE files under `_cole_versions/cdf/v<version>/` at commit time,
+    * so feed reads (and the streaming CDF source, which cannot run a
+    * diff join inside partition planning) serve them as plain file
+    * scans with zero `exceptAll` work. The same trade Delta Lake's
+    * `delta.enableChangeDataFeed` makes: pay O(delta) extra write bytes
+    * once, read the delta for free forever.
+    */
+  val MaterializeKey = "graft.cole.cdf.materialize"
+
+  /** Feed reads served from materialized change files instead of a live
+    * diff — spec-visible.
+    */
+  val materializedServes = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def cdfDir(table: String, version: Long): HPath =
+    new HPath(new HPath(new HPath(table, ColeVersions.DirName), "cdf"),
+      f"v$version%012d")
+
+  private def cdfMarker(dir: HPath): HPath = new HPath(dir, "_done")
+
+  /** Whether commit `version`'s change data is materialized (complete —
+    * the `_done` marker is written last).
+    */
+  def isMaterialized(table: String, conf: Configuration, version: Long): Boolean = {
+    val (fs, _) = ColeIO.resolve(table, conf)
+    fs.exists(cdfMarker(cdfDir(table, version)))
+  }
+
+  /** The materialized (side → data files) of commit `version`: sides
+    * with zero rows were never written and are absent. Fails loudly on
+    * an incomplete materialization (no marker).
+    */
+  private[cole] def materializedFiles(table: String, conf: Configuration,
+      version: Long): Map[String, Seq[(String, String)]] = {
+    val (fs, _) = ColeIO.resolve(table, conf)
+    val dir = cdfDir(table, version)
+    require(fs.exists(cdfMarker(dir)),
+      s"change data of $table v$version is not materialized")
+    Seq("del", "ins").flatMap { side =>
+      val d = new HPath(dir, side)
+      if (!fs.exists(d)) None
+      else Some(side -> fs.listStatus(d).toSeq
+        .filter(st => st.getPath.getName.endsWith(".col"))
+        .map(st => (st.getPath.getName,
+          fs.makeQualified(st.getPath).toString)))
+    }.toMap
+  }
+
+  /** Materialize commit `version`'s change data: compute the commit's
+    * delete/insert images ONCE and persist them as COLE files under
+    * `_cole_versions/cdf/v<version>/{del,ins}/`, marker written last
+    * (a crash mid-write leaves no marker; readers fall back to the live
+    * diff and a retry overwrites cleanly). Only removing (copy-on-write)
+    * commits have anything to materialize — pure-add and merge-on-read
+    * commits are already delta-exact from the record itself; those and
+    * `compact`/`rollback` return false untouched. Idempotent.
+    */
+  def materialize(spark: SparkSession, table: String, version: Long): Boolean = {
+    val conf = ColeIO.driverConf()
+    val recs = ColeVersions.records(table, conf)
+    val r = recs.find(_.version == version).getOrElse(
+      throw new IllegalArgumentException(
+        s"version $version does not exist on $table"))
+    if (r.removes.isEmpty || r.op == "compact" || r.op == "rollback")
+      return false
+    val (fs, _) = ColeIO.resolve(table, conf)
+    val dir = cdfDir(table, version)
+    if (fs.exists(cdfMarker(dir))) return true
+    fs.delete(dir, true) // torn previous attempt (no marker): restart clean
+    val (del, ins) = cowImages(spark, table, conf, recs, r)
+    def side(name: String, df: Option[DataFrame]): Unit = df.foreach { d =>
+      d.write.format("cole").mode("overwrite")
+        .save(new HPath(dir, name).toString)
+    }
+    side("del", del)
+    side("ins", ins)
+    val out = fs.create(cdfMarker(dir), true)
+    try out.write("done".getBytes(StandardCharsets.UTF_8)) finally out.close()
+    true
+  }
+
+  /** Exact-file-set read through the table's scan machinery (delta-sized
+    * by construction — one commit's files).
+    */
+  private def readFiles(spark: SparkSession, table: String,
+      files: Seq[(String, String)]): Option[DataFrame] =
+    if (files.isEmpty) None
+    else Some(spark.read.format("cole")
+      .option("path", table)
+      .option(FeedFilesOption, encodeFiles(files))
+      .load())
+
+  /** Physical-today path of rel's incarnation as of `version` (live
+    * unless removed since; then the retired path of the FIRST removal
+    * after `version`).
+    */
+  private[cole] def resolveRel(table: String, conf: Configuration,
+      recs: Seq[ColeVersions.Record], rel: String, version: Long): String = {
+    val (fs, _) = ColeIO.resolve(table, conf)
+    recs.flatMap(x => x.removes.collect {
+      case (`rel`, t) if x.version > version => (x.version, t) })
+      .sortBy(_._1).headOption match {
+      case Some((_, retiredRel)) =>
+        fs.makeQualified(new HPath(
+          new HPath(table, ColeVersions.DirName), retiredRel)).toString
+      case None => fs.makeQualified(new HPath(table, rel)).toString
+    }
+  }
+
+  /** Rows of the given files AT (`keep = true`) or EXCLUDING
+    * (`keep = false`) per-file PHYSICAL ordinals, as ONE scan plus ONE
+    * join on `(_cole_file, _cole_pos)` — O(1) plan branches however
+    * many files the commit touched. A FeedFiles read is physical by
+    * design, so `_cole_pos` addresses stored rows exactly.
+    *
+    * The ordinal probe is PARALLELIZED, never a plan-embedded literal:
+    * a LocalRelation of a large delete's ordinals (sf1 measured: 1.2 M
+    * rows ≈ 7.4 MiB) would ship inside EVERY task binary of every stage
+    * above it, and the per-file-DataFrame shape this replaces multiplied
+    * that by the file count (32 files × per-file broadcast exchange =
+    * a plan the driver spent minutes just serializing). Here the probe
+    * rows live in their own RDD partitions and the join strategy is
+    * AQE's choice: small deltas broadcast, large ones shuffle — both
+    * delta-sized.
+    */
+  private def rowsAtOrdinalsOf(spark: SparkSession, table: String,
+      files: Seq[(String, String, Array[Int])],
+      keep: Boolean): Option[DataFrame] =
+    if (files.isEmpty) None
+    else readFiles(spark, table, files.map(f => f._1 -> f._2)).map { df =>
+      import spark.implicits._
+      val sel = df.select((df.columns.map(col) :+
+        col(ColeUtil.FileMetaCol) :+ col(ColeUtil.PosMetaCol)): _*)
+      val pairs = files.flatMap { case (_, phys, ords) =>
+        ords.iterator.map(o => (phys, o.toLong)) }
+      val slices = math.max(1, math.min(
+        spark.sparkContext.defaultParallelism, 1 + pairs.length / 65536))
+      val probe = spark.sparkContext.parallelize(pairs, slices)
+        .toDF("_dv_file", "_dv_ord")
+      sel.join(probe,
+          sel(ColeUtil.FileMetaCol) === probe("_dv_file") &&
+            sel(ColeUtil.PosMetaCol) === probe("_dv_ord"),
+          if (keep) "leftsemi" else "left_anti")
+        .drop(ColeUtil.FileMetaCol).drop(ColeUtil.PosMetaCol)
+    }
+
+  /** Pinned-vector ordinals of rel as of `version` (empty when none);
+    * fails loudly when the pinned sidecar was vacuumed.
+    */
+  private[cole] def dvOrdsAt(table: String, conf: Configuration,
+      version: Long, rel: String): Array[Int] = {
+    val (fs, _) = ColeIO.resolve(table, conf)
+    ColeVersions.dvAsOf(table, conf, version).get(rel) match {
+      case None | Some(ColeVersions.DvCleared) => Array.empty[Int]
+      case Some(dvRel) =>
+        val p = ColeVersions.dvPath(table, dvRel)
+        if (!fs.exists(p)) throw new IllegalStateException(
+          s"pinned deletion vector $dvRel of $table/$rel is gone " +
+            "(vacuumed?): the change feed range is no longer " +
+            "reconstructible")
+        ColeDv.parsePinned(fs, p)._3
+    }
+  }
+
+  /** Fresh deletion-vector ordinals of one MOR commit: the commit's
+    * pinned vector minus the previous version's — the EXACT delete set,
+    * no diff join. Shared by the batch feed and the streaming source.
+    */
+  private[cole] def freshDvOrdinals(table: String, conf: Configuration,
+      r: ColeVersions.Record): Seq[(String, Array[Int])] =
+    r.dvs.flatMap { case (rel, dvRel) =>
+      if (dvRel == ColeVersions.DvCleared) None
+      else {
+        val prev = dvOrdsAt(table, conf, r.version - 1, rel).toSet
+        Some(rel -> dvOrdsAt(table, conf, r.version, rel).filterNot(prev))
+      }
+    }
+
+  /** One removing (copy-on-write) commit's (delete images, insert
+    * images): the multiset diff of the replaced files' rows (old
+    * incarnations at their retired paths, earlier-version vector
+    * ordinals masked) against the replacement files' rows.
+    */
+  private def cowImages(spark: SparkSession, table: String,
+      conf: Configuration, recs: Seq[ColeVersions.Record],
+      r: ColeVersions.Record): (Option[DataFrame], Option[DataFrame]) = {
+    val adds = ColeVersions.resolveAdds(table, conf, recs, r)
+    // old images live at the retired paths the record names. A replaced
+    // file that carried a deletion vector at v-1 masks those ordinals —
+    // its physical rows include rows deleted in EARLIER versions, which
+    // are not part of THIS commit's delta
+    val oldFiles = r.removes.map { case (rel, retiredRel) =>
+      val (fs, _) = ColeIO.resolve(table, conf)
+      (rel, fs.makeQualified(new HPath(
+        new HPath(table, ColeVersions.DirName), retiredRel)).toString)
+    }
+    val withPrev = oldFiles.map { case (rel, phys) =>
+      (rel, phys, dvOrdsAt(table, conf, r.version - 1, rel)) }
+    val (oldVectored, oldPlain) = withPrev.partition(_._3.nonEmpty)
+    val oldMasked = rowsAtOrdinalsOf(spark, table, oldVectored, keep = false)
+    val oldDf = (readFiles(spark, table,
+        oldPlain.map(f => f._1 -> f._2)).toSeq ++ oldMasked.toSeq)
+      .reduceLeftOption(_.unionByName(_))
+    val newDf = readFiles(spark, table, adds)
+    // align on the common column set by NAME (schema evolution can
+    // differ across the boundary); the diff is exact multiset
+    val cols: Seq[String] = (oldDf, newDf) match {
+      case (Some(o), Some(n)) => o.columns.toSeq.filter(n.columns.toSet)
+      case (Some(o), None) => o.columns.toSeq
+      case (None, Some(n)) => n.columns.toSeq
+      case (None, None) => Seq.empty
+    }
+    def proj(df: DataFrame): DataFrame = df.select(cols.map(col): _*)
+    val deletes = (oldDf, newDf) match {
+      case (Some(o), Some(n)) => Some(proj(o).exceptAll(proj(n)))
+      case (Some(o), None) => Some(proj(o))
+      case _ => None
+    }
+    val inserts = (oldDf, newDf) match {
+      case (Some(o), Some(n)) => Some(proj(n).exceptAll(proj(o)))
+      case (None, Some(n)) => Some(proj(n))
+      case _ => None
+    }
+    (deletes, inserts)
+  }
+
   /** The change rows of commits in `(fromExclusive, toInclusive]`.
     * Output schema: the table's live data columns plus
     * `_change_type` (string) and `_commit_version` (long).
@@ -98,62 +328,6 @@ object ColeChangeFeed {
         "a rollback restores older content whose delta spans the whole " +
         "rolled-over range — resynchronize from a snapshot instead")
 
-    def readFiles(files: Seq[(String, String)]): Option[DataFrame] =
-      if (files.isEmpty) None
-      else Some(spark.read.format("cole")
-        .option("path", table)
-        .option(FeedFilesOption, encodeFiles(files))
-        .load())
-
-    // physical-today path of rel's incarnation as of `version` (live
-    // unless removed since; then the retired path of the FIRST removal
-    // after `version`)
-    def resolveRel(rel: String, version: Long): String = {
-      val (fs, _) = ColeIO.resolve(table, conf)
-      recs.flatMap(x => x.removes.collect {
-        case (`rel`, t) if x.version > version => (x.version, t) })
-        .sortBy(_._1).headOption match {
-        case Some((_, retiredRel)) =>
-          fs.makeQualified(new org.apache.hadoop.fs.Path(
-            new org.apache.hadoop.fs.Path(table, ColeVersions.DirName),
-            retiredRel)).toString
-        case None => fs.makeQualified(
-          new org.apache.hadoop.fs.Path(table, rel)).toString
-      }
-    }
-
-    // the rows of `rel` at the given PHYSICAL ordinals — a FeedFiles
-    // read is physical by design, so `_cole_pos` addresses stored rows
-    // exactly; the ordinal set is delta-sized (one commit's deletes) and
-    // broadcast-joins, never a literal IN list
-    def rowsAtOrdinals(rel: String, phys: String,
-        ords: Array[Int]): Option[DataFrame] =
-      if (ords.isEmpty) None
-      else readFiles(Seq(rel -> phys)).map { df =>
-        import spark.implicits._
-        val sel = df.select((df.columns.map(col) :+
-          col(ColeUtil.PosMetaCol)): _*)
-        val probe = ords.map(_.toLong).toSeq.toDF("_dv_ord")
-        sel.join(org.apache.spark.sql.functions.broadcast(probe),
-            sel(ColeUtil.PosMetaCol) === probe("_dv_ord"), "leftsemi")
-          .drop(ColeUtil.PosMetaCol)
-      }
-
-    // pinned-vector ordinals of rel as of `version` (empty when none)
-    def dvOrdsAt(version: Long, rel: String): Array[Int] = {
-      val (fs, _) = ColeIO.resolve(table, conf)
-      ColeVersions.dvAsOf(table, conf, version).get(rel) match {
-        case None | Some(ColeVersions.DvCleared) => Array.empty[Int]
-        case Some(dvRel) =>
-          val p = ColeVersions.dvPath(table, dvRel)
-          if (!fs.exists(p)) throw new IllegalStateException(
-            s"pinned deletion vector $dvRel of $table/$rel is gone " +
-              "(vacuumed?): the change feed range is no longer " +
-              "reconstructible")
-          ColeDv.parsePinned(fs, p)._3
-      }
-    }
-
     // label one commit's raw delete/insert sides, pairing updates by key
     // when a pairKey is armed: a delete and an insert sharing the key
     // within the SAME commit are the two images of an UPDATE
@@ -184,72 +358,30 @@ object ColeChangeFeed {
       if (r.removes.isEmpty && r.dvs.isEmpty) {
         // pure-add commit: every added row is an insert, no diff needed
         // (and no pairing — nothing was deleted)
-        readFiles(adds).map(df => df
+        readFiles(spark, table, adds).map(df => df
           .withColumn(ChangeTypeCol, lit("insert"))
           .withColumn(CommitVersionCol, lit(r.version)))
       } else if (r.removes.isEmpty) {
         // merge-on-read commit (vector DELETE / delta UPDATE / MERGE):
         // the DELETE side is EXACT from the pinned ordinals — this
-        // commit's vector minus the previous version's — no diff join at
-        // all; new image files (if any) are plain inserts
-        val deletes = r.dvs.flatMap { case (rel, dvRel) =>
-          if (dvRel == ColeVersions.DvCleared) None
-          else {
-            val prev = dvOrdsAt(r.version - 1, rel).toSet
-            val fresh = dvOrdsAt(r.version, rel).filterNot(prev)
-            rowsAtOrdinals(rel, resolveRel(rel, r.version), fresh)
-          }
-        }.reduceLeftOption(_.unionByName(_, allowMissingColumns = true))
-        emit(r.version, deletes, readFiles(adds))
+        // commit's vector minus the previous version's — served by one
+        // scan over the vectored files + one ordinal join; new image
+        // files (if any) are plain inserts
+        val withOrds = freshDvOrdinals(table, conf, r)
+          .filter(_._2.nonEmpty).map { case (rel, fresh) =>
+            (rel, resolveRel(table, conf, recs, rel, r.version), fresh) }
+        val deletes = rowsAtOrdinalsOf(spark, table, withOrds, keep = true)
+        emit(r.version, deletes, readFiles(spark, table, adds))
+      } else if (isMaterialized(table, conf, r.version)) {
+        // materialized removing commit: the images are already on disk —
+        // plain delta-sized file scans, zero diff work
+        materializedServes.incrementAndGet()
+        val sides = materializedFiles(table, conf, r.version)
+        emit(r.version,
+          sides.get("del").flatMap(readFiles(spark, table, _)),
+          sides.get("ins").flatMap(readFiles(spark, table, _)))
       } else {
-        // removing commit: old images live at the retired paths the
-        // record names; diff against the replacement rows. A replaced
-        // file that carried a deletion vector at v-1 masks those
-        // ordinals — its physical rows include rows deleted in EARLIER
-        // versions, which are not part of THIS commit's delta
-        val oldFiles = r.removes.map { case (rel, retiredRel) =>
-          val (fs, _) = ColeIO.resolve(table, conf)
-          (rel, fs.makeQualified(new org.apache.hadoop.fs.Path(
-            new org.apache.hadoop.fs.Path(table, ColeVersions.DirName),
-            retiredRel)).toString)
-        }
-        val (oldVectored, oldPlain) = oldFiles.partition { case (rel, _) =>
-          dvOrdsAt(r.version - 1, rel).nonEmpty }
-        val oldMasked: Seq[DataFrame] = oldVectored.flatMap { case (rel, phys) =>
-          readFiles(Seq(rel -> phys)).map { df =>
-            import spark.implicits._
-            val prev = dvOrdsAt(r.version - 1, rel)
-            val sel = df.select((df.columns.map(col) :+
-              col(ColeUtil.PosMetaCol)): _*)
-            val probe = prev.map(_.toLong).toSeq.toDF("_dv_ord")
-            sel.join(org.apache.spark.sql.functions.broadcast(probe),
-                sel(ColeUtil.PosMetaCol) === probe("_dv_ord"), "left_anti")
-              .drop(ColeUtil.PosMetaCol)
-          }
-        }
-        val oldDf = (readFiles(oldPlain).toSeq ++ oldMasked)
-          .reduceLeftOption(_.unionByName(_))
-        val newDf = readFiles(adds)
-        // align on the common column set by NAME (schema evolution can
-        // differ across the boundary); the diff is exact multiset
-        val cols: Seq[String] = (oldDf, newDf) match {
-          case (Some(o), Some(n)) =>
-            o.columns.toSeq.filter(n.columns.toSet)
-          case (Some(o), None) => o.columns.toSeq
-          case (None, Some(n)) => n.columns.toSeq
-          case (None, None) => Seq.empty
-        }
-        def proj(df: DataFrame): DataFrame = df.select(cols.map(col): _*)
-        val deletes = (oldDf, newDf) match {
-          case (Some(o), Some(n)) => Some(proj(o).exceptAll(proj(n)))
-          case (Some(o), None) => Some(proj(o))
-          case _ => None
-        }
-        val inserts = (oldDf, newDf) match {
-          case (Some(o), Some(n)) => Some(proj(n).exceptAll(proj(o)))
-          case (None, Some(n)) => Some(proj(n))
-          case _ => None
-        }
+        val (deletes, inserts) = cowImages(spark, table, conf, recs, r)
         emit(r.version, deletes, inserts)
       }
     }

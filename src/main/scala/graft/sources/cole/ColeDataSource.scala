@@ -75,8 +75,12 @@ class ColeDataSource extends TableProvider with DataSourceRegister {
       if (ttVersion.isDefined) Set.empty
       else ColeCatalog.droppedColumns(ColeUtil.path(options),
         ColeIO.driverConf()).toSet
-    StructType(ColeUtil.toSparkSchemaOf(infos).fields.toSeq
+    val base = StructType(ColeUtil.toSparkSchemaOf(infos).fields.toSeq
       .filterNot(f => dropped.contains(f.name)) ++ partFields)
+    // the streaming change feed appends its two labeling columns
+    if (options.getBoolean(ColeCdfStream.OptionKey, false))
+      StructType(base.fields ++ ColeCdfStream.cdfFields)
+    else base
   }
 
   /** Streaming writes can't use `writeStream.partitionBy` — Spark's V2
@@ -418,6 +422,18 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
         val c = new Configuration(ColeIO.driverConf())
         c.setInt(ColeMicroBatchStream.MaxFilesKey, maxFiles.toInt)
         c
+      }
+    }
+    // the streaming change feed: its own Scan, commit-version offsets
+    if (options.getBoolean(ColeCdfStream.OptionKey, false)) {
+      val c = new Configuration(conf)
+      Option(options.get(ColeCdfStream.StartingVersionKey))
+        .foreach(v => c.set(ColeCdfStreamConf.StartKey, v))
+      Option(options.get(ColeCdfStream.MaxCommitsKey))
+        .foreach(v => c.set(ColeCdfStreamConf.MaxKey, v))
+      val dataSchema = ColeCdfStream.stripCdfFields(schema)
+      return new ScanBuilder {
+        override def build(): Scan = new ColeCdfScan(dataSchema, path, c)
       }
     }
     // time travel: versionAsOf/timestampAsOf read options, or the pinned
@@ -4534,9 +4550,10 @@ class ColeMicroBatchStream(scan: ColeScan, path: String, conf: Configuration,
     require(!ColeDv.vectorModeFor(path, conf),
       s"cannot tail $path as a stream: delete_mode is 'vector' — " +
         "deletion vectors delete rows from already-served files, which " +
-        "an insert-only stream cannot express. Use the row-level change " +
-        "feed (ColeChangeFeed.read) for CDC over a vector-mode table, " +
-        "or compact + delete_mode('ns.t','copy') to stream it")
+        "an insert-only stream cannot express. Stream the row-level " +
+        "change feed instead (readStream option changeFeed=true, or " +
+        "batch ColeChangeFeed.read) — it serves vector DELETEs as " +
+        "delete rows — or compact + delete_mode('ns.t','copy')")
     load()
     // LIST THE DATA DIR FIRST, records second. ColeCompact writes the
     // compaction record BEFORE renaming outputs into place, so any output

@@ -239,7 +239,19 @@ object ColeVersions {
       dvs: Seq[(String, String)] = Nil): Option[Long] = {
     if (!enabled(table, conf)) return None
     val (fs, _) = ColeIO.resolve(table, conf)
-    Some(writeRecord(fs, conf, table, op, adds, removes, dvs))
+    val v = writeRecord(fs, conf, table, op, adds, removes, dvs)
+    // CDF materialization (opt-in): removing (copy-on-write) commits
+    // persist their delete/insert images NOW, while the retired bytes
+    // are certainly still readable — feed reads then skip the diff and
+    // the streaming CDF source can serve the commit at all. Runs AFTER
+    // the record is durable: the commit itself never depends on it, and
+    // a failure here leaves the feed on its diff fallback, not the
+    // table in a broken state.
+    if (removes.nonEmpty && op != "compact" && op != "rollback" &&
+        conf.getBoolean(ColeChangeFeed.MaterializeKey, false))
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .foreach(spark => ColeChangeFeed.materialize(spark, table, v))
+    Some(v)
   }
 
   private def recordName(seq: Long): String = f"v$seq%012d"

@@ -1,0 +1,253 @@
+package graft.sources.cole
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The streaming row-level change feed (r10):
+  * `readStream.format("cole").option("changeFeed", "true")` serves every
+  * commit of a versioned table as `_change_type`/`_commit_version` rows
+  * with the batch feed's exact semantics —
+  *   - pure-add commits as inserts,
+  *   - merge-on-read commits delta-exactly from pinned ordinals (the
+  *     serve-side answer to the vector-mode tailing refusal),
+  *   - copy-on-write commits from MATERIALIZED change files
+  *     ([[ColeChangeFeed.materialize]]): refused loudly when absent,
+  *     served after `materialize_cdf` backfill or with the
+  *     `graft.cole.cdf.materialize` conf armed at DML time,
+  *   - offsets are commit versions: restart resumes, backlog paces by
+  *     `maxCommitsPerTrigger`.
+  * Materialized change data is also self-contained: it outlives
+  * `expire_versions` of the retired bytes the live diff would need.
+  */
+class ColeCdfStreamSpec extends AnyFunSuite {
+
+  private lazy val warehouse = Files.createTempDirectory("cole_cdf_wh").toString
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.conf.set("spark.sql.catalog.cdf", "graft.sources.cole.ColeCatalog")
+    s.conf.set("spark.sql.catalog.cdf.warehouse", warehouse)
+    s
+  }
+
+  private def conf = ColeIO.driverConf()
+
+  /** Run the CDF stream to exhaustion into a memory sink, return its
+    * rows.
+    */
+  private def streamAll(dir: String, name: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val cp = Files.createTempDirectory(s"cole_cdf_cp_$name").toString
+    val reader = spark.readStream.format("cole")
+      .option("changeFeed", "true")
+    options.foreach { case (k, v) => reader.option(k, v) }
+    val q = reader.load(dir)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", cp).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  private def canon(df: DataFrame): Seq[Row] = {
+    val cols = df.columns.sorted.toSeq
+    df.select(cols.map(col): _*).collect()
+      .sortBy(_.mkString("|")).toSeq
+  }
+
+  test("append-only history streams as inserts, parity with the batch feed") {
+    val s = spark
+    import s.implicits._
+    val t = s"$warehouse/db/ins"
+    (0 until 100).map(i => (i.toLong, i % 7)).toDF("k", "g").coalesce(1)
+      .write.format("cole").mode("overwrite").save(t)
+    spark.sql("CALL cdf.system.versioning('db.ins')") // v1 baseline
+    (100 until 130).map(i => (i.toLong, i % 7)).toDF("k", "g").coalesce(1)
+      .write.format("cole").mode("append").save(t)    // v2 append
+    val out = streamAll(t, "cdf_ins")
+    assert(out.count() === 130L)
+    assert(out.filter(col(ColeChangeFeed.ChangeTypeCol) =!= "insert").count() === 0L)
+    assert(out.filter(col(ColeChangeFeed.CommitVersionCol) === 2L).count() === 30L)
+    val batch = ColeChangeFeed.read(spark, t, 0L,
+      ColeVersions.currentVersion(t, conf))
+    assert(canon(out) === canon(batch), "stream must equal the batch feed")
+  }
+
+  test("vector DELETE streams delta-exact delete rows (the vector-mode serve path)") {
+    val s = spark
+    import s.implicits._
+    val t = s"$warehouse/db/vdel"
+    (0 until 200).map(i => (i.toLong, i % 3)).toDF("k", "g").coalesce(1)
+      .write.format("cole").mode("overwrite").save(t)
+    spark.sql("CALL cdf.system.versioning('db.vdel')")
+    spark.sql("CALL cdf.system.delete_mode('db.vdel', 'vector')")
+    spark.sql("DELETE FROM cdf.db.vdel WHERE k >= 150") // v2: pure-vector commit
+    val out = streamAll(t, "cdf_vdel")
+    val dels = out.filter(col(ColeChangeFeed.ChangeTypeCol) === "delete")
+    assert(dels.count() === 50L)
+    assert(dels.agg(min("k"), max("k")).head() === Row(150L, 199L))
+    assert(dels.filter(col(ColeChangeFeed.CommitVersionCol) === 2L).count() === 50L)
+    val batch = ColeChangeFeed.read(spark, t, 0L,
+      ColeVersions.currentVersion(t, conf))
+    assert(canon(out) === canon(batch))
+  }
+
+  test("merge-on-read MERGE streams deletes from fresh ordinals plus image inserts") {
+    val s = spark
+    import s.implicits._
+    val t = s"$warehouse/db/mor"
+    (0 until 100).map(i => (i.toLong, 0L)).toDF("k", "v").coalesce(1)
+      .write.format("cole").mode("overwrite").save(t)
+    spark.sql("CALL cdf.system.versioning('db.mor')")
+    spark.sql("CALL cdf.system.delete_mode('db.mor', 'vector')")
+    (40 until 60).map(i => (i.toLong, 1L)).toDF("k", "v")
+      .createOrReplaceTempView("cdf_mor_src")
+    spark.sql(
+      """MERGE INTO cdf.db.mor t USING cdf_mor_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin) // v2: dvs + adds
+    val out = streamAll(t, "cdf_mor")
+    val v2 = out.filter(col(ColeChangeFeed.CommitVersionCol) === 2L)
+    assert(v2.filter(col(ColeChangeFeed.ChangeTypeCol) === "delete")
+      .agg(count(lit(1)), sum("v")).head() === Row(20L, 0L),
+      "deletes are the 20 OLD images")
+    assert(v2.filter(col(ColeChangeFeed.ChangeTypeCol) === "insert")
+      .agg(count(lit(1)), sum("v")).head() === Row(20L, 20L),
+      "inserts are the 20 NEW images")
+    val batch = ColeChangeFeed.read(spark, t, 0L,
+      ColeVersions.currentVersion(t, conf))
+    assert(canon(out) === canon(batch))
+  }
+
+  test("copy-on-write UPDATE: refused un-materialized, served after materialize_cdf backfill") {
+    val s = spark
+    import s.implicits._
+    val t = s"$warehouse/db/cow"
+    (0 until 100).map(i => (i.toLong, 0L)).toDF("k", "v").coalesce(1)
+      .write.format("cole").mode("overwrite").save(t)
+    spark.sql("CALL cdf.system.versioning('db.cow')")
+    spark.sql("UPDATE cdf.db.cow SET v = 5 WHERE k < 10") // v2: COW rewrite
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      streamAll(t, "cdf_cow_refuse")
+    }
+    def rootMsg(e: Throwable): String =
+      if (e.getCause == null) e.getMessage else e.getMessage + rootMsg(e.getCause)
+    assert(rootMsg(err).contains("materialize"),
+      "un-materialized COW commit must refuse with the way out")
+    val n = spark.sql("CALL cdf.system.materialize_cdf('db.cow', 0)")
+      .head().getLong(0)
+    assert(n === 1L, "exactly the COW commit materializes")
+    val out = streamAll(t, "cdf_cow")
+    val v2 = out.filter(col(ColeChangeFeed.CommitVersionCol) === 2L)
+    assert(v2.filter(col(ColeChangeFeed.ChangeTypeCol) === "delete")
+      .agg(count(lit(1)), sum("v")).head() === Row(10L, 0L))
+    assert(v2.filter(col(ColeChangeFeed.ChangeTypeCol) === "insert")
+      .agg(count(lit(1)), sum("v")).head() === Row(10L, 50L))
+    // the batch feed serves the same rows FROM the materialized files
+    val before = ColeChangeFeed.materializedServes.get()
+    val batch = ColeChangeFeed.read(spark, t, 0L,
+      ColeVersions.currentVersion(t, conf))
+    assert(canon(out) === canon(batch))
+    assert(ColeChangeFeed.materializedServes.get() > before,
+      "batch feed must serve the materialized images, not re-diff")
+  }
+
+  test("graft.cole.cdf.materialize: DML commits write change files, stream needs no backfill") {
+    val s = spark
+    import s.implicits._
+    val t = s"$warehouse/db/auto"
+    (0 until 100).map(i => (i.toLong, i.toLong)).toDF("k", "v").coalesce(1)
+      .write.format("cole").mode("overwrite").save(t)
+    spark.sql("CALL cdf.system.versioning('db.auto')")
+    spark.conf.set(ColeChangeFeed.MaterializeKey, "true")
+    try {
+      spark.sql("DELETE FROM cdf.db.auto WHERE k >= 90") // v2: COW delete
+      assert(ColeChangeFeed.isMaterialized(t, conf, 2L),
+        "the DML commit must have materialized its images")
+      val out = streamAll(t, "cdf_auto")
+      val dels = out.filter(col(ColeChangeFeed.ChangeTypeCol) === "delete")
+      assert(dels.count() === 10L)
+      assert(dels.agg(min("k")).head().getLong(0) === 90L)
+    } finally spark.conf.unset(ColeChangeFeed.MaterializeKey)
+  }
+
+  test("startingVersion skips history; maxCommitsPerTrigger paces the backlog") {
+    val s = spark
+    import s.implicits._
+    val t = s"$warehouse/db/pace"
+    (0 until 10).map(i => (i.toLong, 1)).toDF("k", "b").coalesce(1)
+      .write.format("cole").mode("overwrite").save(t) // v1 via baseline
+    spark.sql("CALL cdf.system.versioning('db.pace')")
+    (2 to 4).foreach { b =>
+      (0 until 10).map(i => (i.toLong, b)).toDF("k", "b").coalesce(1)
+        .write.format("cole").mode("append").save(t) // v2..v4
+    }
+    val out = streamAll(t, "cdf_pace",
+      Map("startingVersion" -> "3", "maxCommitsPerTrigger" -> "1"))
+    assert(out.count() === 20L, "only v3 and v4 serve")
+    assert(out.agg(min(ColeChangeFeed.CommitVersionCol),
+      max(ColeChangeFeed.CommitVersionCol)).head() === Row(3L, 4L))
+    // pacing: 1 commit per micro-batch → the two commits arrive in two
+    // distinct batches (memory sink records batchIds via progress)
+    val cp = Files.createTempDirectory("cole_cdf_cp_pace2").toString
+    val q = spark.readStream.format("cole").option("changeFeed", "true")
+      .option("startingVersion", "1").option("maxCommitsPerTrigger", "1")
+      .load(t)
+      .writeStream.format("memory").queryName("cdf_pace2")
+      .option("checkpointLocation", cp).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("cdf_pace2").count() === 40L)
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 4,
+      "four commits at one per trigger need at least four non-empty batches")
+  }
+
+  test("restart from checkpoint resumes at the next commit (file sink, no replay)") {
+    val s = spark
+    import s.implicits._
+    val t = s"$warehouse/db/resume"
+    val sink = Files.createTempDirectory("cole_cdf_sink").toString
+    val cp = Files.createTempDirectory("cole_cdf_cp_resume").toString
+    (0 until 10).map(i => (i.toLong, 1)).toDF("k", "b").coalesce(1)
+      .write.format("cole").mode("overwrite").save(t)
+    spark.sql("CALL cdf.system.versioning('db.resume')") // v1
+    def run(): Unit = {
+      val q = spark.readStream.format("cole").option("changeFeed", "true")
+        .load(t)
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", cp).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    (10 until 20).map(i => (i.toLong, 2)).toDF("k", "b").coalesce(1)
+      .write.format("cole").mode("append").save(t) // v2 while offline
+    run()
+    val rows = spark.read.parquet(sink)
+    assert(rows.count() === 20L, "each commit exactly once across restarts")
+    assert(rows.groupBy(ColeChangeFeed.CommitVersionCol).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap ===
+      Map(1L -> 10L, 2L -> 10L))
+  }
+
+  test("materialized change data outlives expire_versions of the retired bytes") {
+    val s = spark
+    import s.implicits._
+    val t = s"$warehouse/db/keep"
+    (0 until 50).map(i => (i.toLong, 0L)).toDF("k", "v").coalesce(1)
+      .write.format("cole").mode("overwrite").save(t)
+    spark.sql("CALL cdf.system.versioning('db.keep')")
+    spark.sql("UPDATE cdf.db.keep SET v = 1 WHERE k < 5") // v2 COW
+    spark.sql("CALL cdf.system.materialize_cdf('db.keep', 2)")
+    spark.sql("CALL cdf.system.expire_versions('db.keep', 0)")
+    // the commit's own delta still serves — from the materialized files
+    val feed = ColeChangeFeed.read(spark, t, 1L, 2L)
+    assert(feed.filter(col(ColeChangeFeed.ChangeTypeCol) === "delete").count() === 5L)
+    assert(feed.filter(col(ColeChangeFeed.ChangeTypeCol) === "insert").count() === 5L)
+  }
+}
