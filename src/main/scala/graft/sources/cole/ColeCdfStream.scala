@@ -4,7 +4,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -160,9 +160,23 @@ object ColeCdfStreamConf {
 
 class ColeCdfMicroBatchStream(dataSchema: StructType, path: String,
     conf: Configuration, startingVersion: Option[Long], maxCommits: Long)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   require(maxCommits > 0, "maxCommitsPerTrigger must be positive")
+
+  /** `Trigger.AvailableNow`: the run drains up to the version that was
+    * current when the query STARTED, then terminates — commits landing
+    * mid-run wait for the next scheduled run, the trigger's contract.
+    */
+  private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(ColeVersions.currentVersion(path, conf))
+
+  override def reportLatestOffset(): Offset =
+    ColeCdfOffset(availableNowCap.getOrElse(
+      ColeVersions.currentVersion(path, conf)))
 
   override def initialOffset(): Offset = {
     require(ColeVersions.enabled(path, conf),
@@ -188,7 +202,9 @@ class ColeCdfMicroBatchStream(dataSchema: StructType, path: String,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[ColeCdfOffset].version
-    val cur = ColeVersions.currentVersion(path, conf)
+    val cur = availableNowCap.fold(
+      ColeVersions.currentVersion(path, conf))(
+      math.min(_, ColeVersions.currentVersion(path, conf)))
     // saturating: the uncapped default is Long.MaxValue and s + it wraps
     val capped =
       if (maxCommits > Long.MaxValue - s) Long.MaxValue else s + maxCommits

@@ -235,6 +235,52 @@ class ColeCdfStreamSpec extends AnyFunSuite {
       Map(1L -> 10L, 2L -> 10L))
   }
 
+  test("Trigger.AvailableNow drains the backlog and terminates on its own") {
+    val s = spark
+    import s.implicits._
+    val t = s"$warehouse/db/avnow"
+    (0 until 60).map(i => (i.toLong, i % 3)).toDF("k", "g").coalesce(1)
+      .write.format("cole").mode("overwrite").save(t)
+    spark.sql("CALL cdf.system.versioning('db.avnow')")
+    spark.sql("CALL cdf.system.delete_mode('db.avnow', 'vector')")
+    spark.sql("DELETE FROM cdf.db.avnow WHERE k < 6") // v2
+    val cp = Files.createTempDirectory("cole_cdf_cp_avnow").toString
+    val q = spark.readStream.format("cole").option("changeFeed", "true")
+      .option("maxCommitsPerTrigger", "1") // forces multiple batches
+      .load(t)
+      .writeStream.format("memory").queryName("cdf_avnow")
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(60000), "AvailableNow must self-terminate")
+    val out = spark.table("cdf_avnow")
+    assert(out.count() === 66L) // 60 inserts + 6 deletes
+    assert(out.filter(col(ColeChangeFeed.ChangeTypeCol) === "delete")
+      .count() === 6L)
+  }
+
+  test("vector feed plans ONE scan per commit — ordinal probes never plan-embedded") {
+    val s = spark
+    import s.implicits._
+    val t = s"$warehouse/db/shape"
+    // four files, so a per-file-DataFrame shape would show 4+ scans and
+    // 4 embedded local relations per commit — the sf1 wedge this pins
+    (0 until 4000).map(i => (i.toLong, i % 7)).toDF("k", "g").repartition(4)
+      .write.format("cole").mode("overwrite").save(t)
+    spark.sql("CALL cdf.system.versioning('db.shape')")
+    spark.sql("CALL cdf.system.delete_mode('db.shape', 'vector')")
+    spark.sql("DELETE FROM cdf.db.shape WHERE k % 10 = 3") // v2, all 4 files
+    spark.sql("DELETE FROM cdf.db.shape WHERE k % 10 = 4") // v3, all 4 files
+    val feed = ColeChangeFeed.read(spark, t, 1L, 3L)
+    val plan = feed.queryExecution.optimizedPlan.toString
+    val scans = "cole:".r.findAllIn(plan).length
+    assert(scans <= 2, s"expected one cole scan per vector commit, got $scans:\n$plan")
+    assert(!plan.contains("LocalRelation"),
+      "ordinal probes must not be plan-embedded local relations")
+    // and the rows stay exact
+    assert(feed.count() === 800L)
+  }
+
   test("materialized change data outlives expire_versions of the retired bytes") {
     val s = spark
     import s.implicits._
