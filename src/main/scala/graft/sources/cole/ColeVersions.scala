@@ -731,6 +731,21 @@ object ColeVersions {
         }
       }
     }
+    // materialized change data of expired commits expires with them —
+    // without this the cdf tree grows for the table's lifetime. The
+    // change feed fails loudly on the expired range either way (the
+    // retired bytes its diff fallback would need are gone too); younger
+    // materializations stay, including their outlives-expiry property
+    // for in-horizon commits.
+    recs.filter(_.ts < cutoff).foreach { r =>
+      val cdir = new HPath(new HPath(vdir(table), "cdf"), f"v${r.version}%012d")
+      if (fs.exists(cdir)) {
+        val it = fs.listFiles(cdir, true)
+        while (it.hasNext)
+          if (it.next().getPath.getName.endsWith(".col")) removed += 1
+        fs.delete(cdir, true)
+      }
+    }
     // sweep now-empty stamp directories so the retired tree stays tidy
     val rdir = retiredDir(table)
     if (fs.exists(rdir)) fs.listStatus(rdir).foreach { st =>

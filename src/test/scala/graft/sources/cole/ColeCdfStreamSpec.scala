@@ -19,8 +19,10 @@ import org.scalatest.funsuite.AnyFunSuite
   *     `graft.cole.cdf.materialize` conf armed at DML time,
   *   - offsets are commit versions: restart resumes, backlog paces by
   *     `maxCommitsPerTrigger`.
-  * Materialized change data is also self-contained: it outlives
-  * `expire_versions` of the retired bytes the live diff would need.
+  * Materialized change data follows the `expire_versions` horizon: an
+  * expired commit drops its images with its retired bytes (one
+  * retention policy, no unbounded cdf growth) and the feed fails
+  * loudly on the expired range.
   */
 class ColeCdfStreamSpec extends AnyFunSuite {
 
@@ -281,7 +283,7 @@ class ColeCdfStreamSpec extends AnyFunSuite {
     assert(feed.count() === 800L)
   }
 
-  test("materialized change data outlives expire_versions of the retired bytes") {
+  test("materialized change data follows the expire_versions horizon") {
     val s = spark
     import s.implicits._
     val t = s"$warehouse/db/keep"
@@ -290,10 +292,24 @@ class ColeCdfStreamSpec extends AnyFunSuite {
     spark.sql("CALL cdf.system.versioning('db.keep')")
     spark.sql("UPDATE cdf.db.keep SET v = 1 WHERE k < 5") // v2 COW
     spark.sql("CALL cdf.system.materialize_cdf('db.keep', 2)")
-    spark.sql("CALL cdf.system.expire_versions('db.keep', 0)")
-    // the commit's own delta still serves — from the materialized files
+    // a horizon that expires nothing keeps the images — the feed serves
+    spark.sql("CALL cdf.system.expire_versions('db.keep', 1)")
+    assert(ColeChangeFeed.isMaterialized(t, conf, 2L))
     val feed = ColeChangeFeed.read(spark, t, 1L, 2L)
     assert(feed.filter(col(ColeChangeFeed.ChangeTypeCol) === "delete").count() === 5L)
     assert(feed.filter(col(ColeChangeFeed.ChangeTypeCol) === "insert").count() === 5L)
+    // expiring the commit expires its change data WITH its retired
+    // bytes (one horizon — the cdf tree cannot grow unbounded), and the
+    // feed on the expired range fails loudly rather than half-serves
+    spark.sql("CALL cdf.system.expire_versions('db.keep', 0)")
+    assert(!ColeChangeFeed.isMaterialized(t, conf, 2L),
+      "expired commits must drop their materialized change data")
+    val err = intercept[Exception] {
+      ColeChangeFeed.read(spark, t, 1L, 2L)
+        .filter(col(ColeChangeFeed.ChangeTypeCol) === "delete").count()
+    }
+    assert(err.getMessage.contains("no longer readable") ||
+      err.getMessage.contains("reconstructible"),
+      s"expected a loud expiry error, got: ${err.getMessage}")
   }
 }
