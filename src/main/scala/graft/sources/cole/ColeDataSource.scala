@@ -4420,6 +4420,15 @@ class ColeMicroBatchStream(scan: ColeScan, path: String, conf: Configuration,
   // compaction records: output -> inputs, re-read incrementally by name
   private val compSeen = scala.collection.mutable.HashSet[String]()
   private val compInputs = scala.collection.mutable.HashMap[String, Seq[String]]()
+  // records whose SWAP is not yet confirmed on disk (outputs not all
+  // present). The record is written BEFORE the renames, and a crashed
+  // swap can roll BACK (recover() deletes the partial outputs and keeps
+  // the inputs) — so the carry-set handover (inputs out, outputs in)
+  // must wait until the outputs actually exist: doing it on record READ
+  // would drop unserved inputs a manifest-mode stream never re-lists,
+  // silently losing their rows for the life of the stream.
+  private val pendingSwaps =
+    scala.collection.mutable.LinkedHashMap[String, (Seq[String], Seq[String])]()
   // candidates discovered but not yet admitted: manifest-mode entries
   // beyond the per-trigger cap, and compaction outputs that must be
   // SERVED because some input was never admitted (the swap deleted the
@@ -4471,15 +4480,44 @@ class ColeMicroBatchStream(scan: ColeScan, path: String, conf: Configuration,
         }
         val outs = lines.collect { case l if l.startsWith("out:") => l.drop(4) }
         val ins = lines.collect { case l if l.startsWith("in:") => l.drop(3) }
+        // the skip map is safe to populate immediately: effectivelySeen
+        // only consults it for outputs that EXIST (were listed/admitted),
+        // which a rolled-back swap's outputs never do
         outs.foreach(o => compInputs(o) = ins)
-        // the swap deleted (or is deleting) the inputs: any not yet
-        // served resolve through the outputs now — drop them from the
-        // carry-over and make the outputs candidates (manifest tailing
-        // never lists them; full listings dedup via the set)
-        carry --= ins
-        carry ++= outs
+        pendingSwaps(name) = (outs, ins)
       }
     }
+    resolvePendingSwaps()
+  }
+
+  /** Carry-set handover for swaps whose outputs have LANDED: once every
+    * output exists, unserved inputs resolve through the outputs (the
+    * swap deleted, or is deleting, the originals) — drop the inputs from
+    * the carry-over and make the outputs candidates (manifest tailing
+    * never lists them; full listings dedup via the set). Until then the
+    * inputs stay admissible: the record-before-rename window and a
+    * crashed-then-rolled-back swap both leave the inputs as the only
+    * live copy. A record whose swap provably rolled back (its
+    * `.compact-manifest` is gone — recover() deletes it last — yet the
+    * outputs never arrived) is dropped for good, so its phantom outputs
+    * can never occupy admission slots.
+    */
+  private def resolvePendingSwaps(): Unit = {
+    val resolved = pendingSwaps.iterator.flatMap { case (name, (outs, ins)) =>
+      if (outs.isEmpty) Some(name)
+      else if (outs.forall(o => tableFs.exists(new HPath(o)))) {
+        carry --= ins
+        carry ++= outs
+        Some(name)
+      } else if (!tableFs.exists(
+          ColeCompact.manifestPath(new HPath(outs.head).getParent))) {
+        // no manifest, outputs missing: the swap rolled back (or its
+        // outputs were already consumed by a LATER swap, whose own
+        // record serves the rows) — the inputs stay admissible
+        Some(name)
+      } else None // swap in flight: keep waiting
+    }.toSeq
+    pendingSwaps --= resolved
   }
 
   /** A file's rows were already emitted if the file itself was logged, or
@@ -4573,11 +4611,25 @@ class ColeMicroBatchStream(scan: ColeScan, path: String, conf: Configuration,
     carry.filterInPlace(f => !effectivelySeen(f))
     // deterministic admission order + per-trigger cap: a backlog drains
     // over successive bounded batches instead of one unbounded plan.
-    // The existence filter covers carry entries from a compaction record
-    // whose outputs are not yet renamed into place (record-before-rename
-    // window) — they stay carried and admit on a later trigger.
-    val fresh = carry.toSeq.take(maxFilesPerTrigger)
-      .filter(f => tableFs.exists(new HPath(f)))
+    // Existence filters BEFORE the cap (a non-existent entry must never
+    // occupy an admission slot — phantoms sorting early would otherwise
+    // starve real files behind them), and a probe miss REMOVES the
+    // entry: a vanished carry entry is either an input a completed swap
+    // deleted (its rows resolve through the swap's outputs — the record
+    // confirmation path re-adds those) or a file deleted out-of-band;
+    // neither can ever be served again under this name, and keeping it
+    // would re-probe it every trigger forever.
+    val fresh = {
+      val admitted = scala.collection.mutable.ArrayBuffer[String]()
+      val dead = scala.collection.mutable.ArrayBuffer[String]()
+      val it = carry.iterator
+      while (admitted.size < maxFilesPerTrigger && it.hasNext) {
+        val f = it.next()
+        if (tableFs.exists(new HPath(f))) admitted += f else dead += f
+      }
+      carry --= dead
+      admitted.toSeq
+    }
     if (fresh.nonEmpty) {
       // write-ahead: the entry must be durable before the offset escapes.
       // Temp + rename so a crash mid-write can never leave a torn entry
