@@ -1623,6 +1623,94 @@ object ColeSuite {
                 CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
                 CAST(SUM(l_linenumber) AS BIGINT) AS sum_line
               FROM feed GROUP BY 1, 2, 3
-              ORDER BY commit_version, change_type, l_returnflag"""))
+              ORDER BY commit_version, change_type, l_returnflag""")),
+
+    // #154 STREAMED update pairing (r11): the Delta-CDF four-type shape
+    // on the STREAM — `ColeCdfStream.pairUpdates` inside `foreachBatch`
+    // pairs each micro-batch's delete/insert rows into update_preimage /
+    // update_postimage by primary key (offsets are commit versions, so a
+    // batch holds whole commits and per-batch pairing is exact; the
+    // commit version joins the key so multi-commit batches never pair
+    // across commits). This is what CDC stream consumers previously
+    // re-derived with their own stateful join. Also the BOUNDED-range
+    // consumption shape: `startingVersion` serves one commit's delta,
+    // never the full history — the bootstrap recipe's streaming half.
+    Q("cole_cdf_stream_pairs", (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val wh = "/tmp/graft_cole/warehouse"
+      s.conf.set("spark.sql.catalog.cole", "graft.sources.cole.ColeCatalog")
+      s.conf.set("spark.sql.catalog.cole.warehouse", wh)
+      val ns = s"v${writerFingerprint}_csp_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val dir = s"$wh/$ns/li"
+      writeOnce(dir) {
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            round(col("l_quantity") * 100).cast(LongType).as("qty_c"))
+          .write.format("cole").mode("overwrite").save(dir)
+        graft.sources.cole.ColeVersions.enable(dir,
+          graft.sources.cole.ColeIO.driverConf()) // v1 = baseline
+        s.sql(s"CALL cole.system.delete_mode('$ns.li', 'vector')")
+        Tables.orders(s, d).select(col("o_orderkey").as("k"))
+          .filter(col("o_orderkey") % 20 === 11)
+          .withColumn("ln", lit(1))
+          .createOrReplaceTempView("graft_csp_src")
+        s.sql(
+          s"""MERGE INTO cole.$ns.li t USING graft_csp_src src
+             |ON t.l_orderkey = src.k AND t.l_linenumber = src.ln
+             |WHEN MATCHED THEN
+             |  UPDATE SET qty_c = t.qty_c + 7000, l_returnflag = 'U'
+             |WHEN NOT MATCHED THEN
+             |  INSERT (l_orderkey, l_linenumber, l_returnflag, qty_c)
+             |  VALUES (src.k, src.ln, 'M', 0)""".stripMargin) // v2 (MOR)
+      }
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_cdf_spairs_out").toString
+      val cp = java.nio.file.Files
+        .createTempDirectory("graft_cdf_spairs_cp").toString
+      val q = s.readStream.format("cole").option("changeFeed", "true")
+        .option("startingVersion", "2").load(dir)
+        .writeStream.foreachBatch {
+          (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            graft.sources.cole.ColeCdfStream
+              .pairUpdates(b, Seq("l_orderkey", "l_linenumber"))
+              .write.mode("append").parquet(out); ()
+        }
+        .option("checkpointLocation", cp).start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(out)
+        .groupBy(col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n"), sum("l_orderkey").as("sum_key"),
+          sum("qty_c").as("sum_qty_c"))
+        .orderBy("change_type")
+    },
+      Some("""WITH src AS (
+                SELECT o_orderkey AS k, 1 AS ln FROM orders
+                WHERE o_orderkey % 20 = 11),
+              t AS (
+                SELECT l_orderkey, l_linenumber,
+                  CAST(ROUND(l_quantity * 100) AS BIGINT) AS qty_c
+                FROM lineitem),
+              matched AS (
+                SELECT t.l_orderkey, t.l_linenumber, t.qty_c
+                FROM t JOIN src s
+                  ON t.l_orderkey = s.k AND t.l_linenumber = s.ln),
+              ins AS (
+                SELECT s.k AS l_orderkey, s.ln AS l_linenumber,
+                  CAST(0 AS BIGINT) AS qty_c
+                FROM src s WHERE NOT EXISTS (
+                  SELECT 1 FROM t
+                  WHERE t.l_orderkey = s.k AND t.l_linenumber = s.ln)),
+              feed AS (
+                SELECT 'update_preimage' AS change_type, l_orderkey, qty_c
+                  FROM matched
+                UNION ALL
+                SELECT 'update_postimage', l_orderkey, qty_c + 7000
+                  FROM matched
+                UNION ALL
+                SELECT 'insert', l_orderkey, qty_c FROM ins)
+              SELECT change_type, COUNT(*) AS n,
+                CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+                CAST(SUM(qty_c) AS BIGINT) AS sum_qty_c
+              FROM feed GROUP BY change_type ORDER BY change_type"""))
   )
 }

@@ -49,6 +49,23 @@ object ColeCdfStream {
 
   /** First commit version to serve (inclusive); default 1 — the full
     * history, matching `ColeChangeFeed.read(spark, t, 0, current)`.
+    *
+    * THE NEW-CONSUMER BOOTSTRAP RECIPE: never stream a large table's
+    * full history. Batch-load the snapshot, then stream only what
+    * follows —
+    * {{{
+    * val N    = ColeVersions.currentVersion(table, conf)
+    * val snap = spark.read.format("cole")
+    *   .option("versionAsOf", N.toString).load(table)   // bounded scan
+    * val feed = spark.readStream.format("cole")
+    *   .option("changeFeed", "true")
+    *   .option("startingVersion", (N + 1).toString).load(table)
+    * }}}
+    * The seam is GAP-FREE and OVERLAP-FREE (spec-pinned in
+    * ColeCdfStreamSpec: snapshot ∪ streamed inserts minus streamed
+    * deletes equals the live table, and no streamed commit is ≤ N) —
+    * commits are atomic version records, the snapshot resolves exactly
+    * versions [1, N], and the stream serves exactly (N, ∞).
     */
   val StartingVersionKey = "startingVersion"
 
@@ -65,6 +82,64 @@ object ColeCdfStream {
   def stripCdfFields(schema: StructType): StructType = {
     val names = cdfFields.map(_.name).toSet
     StructType(schema.fields.filterNot(f => names.contains(f.name)))
+  }
+
+  /** Row groups planned into merge-on-read DELETE partitions across the
+    * JVM — spec-visible: a commit that deleted rows from k of a file's
+    * row groups must plan O(k) groups, not the whole file (O(delta)
+    * serving, not O(file)).
+    */
+  val deleteRowGroupsPlanned = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Pair a CDF micro-batch's delete/insert rows into the Delta-CDF
+    * four-type shape — the streaming twin of the batch feed's `pairKey`:
+    * within each `_commit_version`, a delete and an insert sharing the
+    * key become `update_preimage` / `update_postimage`; unmatched rows
+    * keep their type. Offsets are commit versions, so a micro-batch
+    * always holds WHOLE commits and per-batch pairing is exact — use it
+    * inside `foreachBatch` (intersect/self-join are not streamable
+    * operators, so the pairing cannot run inside the continuous plan):
+    *
+    * {{{
+    * readStream.format("cole").option("changeFeed", "true").load(t)
+    *   .writeStream.foreachBatch { (b, _) =>
+    *     val paired = ColeCdfStream.pairUpdates(b, Seq("id"))
+    *     ... // upsert/audit from the four-type rows
+    *   }.start()
+    * }}}
+    *
+    * Same key contract as the batch feed: `pairKey` must be row-unique
+    * per version (a real primary key). Rows already typed as update
+    * images pass through untouched, so the transform is idempotent.
+    */
+  def pairUpdates(df: org.apache.spark.sql.DataFrame,
+      pairKey: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(pairKey.nonEmpty, "pairUpdates needs at least one key column")
+    pairKey.foreach(k => require(df.columns.contains(k),
+      s"pairKey column '$k' is not in the change feed's column set"))
+    val keyCols = ColeChangeFeed.CommitVersionCol +: pairKey
+    val d = df.filter(col(ColeChangeFeed.ChangeTypeCol) === "delete")
+    val i = df.filter(col(ColeChangeFeed.ChangeTypeCol) === "insert")
+    val rest = df.filter(col(ColeChangeFeed.ChangeTypeCol) =!= "delete" &&
+      col(ColeChangeFeed.ChangeTypeCol) =!= "insert")
+    // keys present on BOTH sides of the same commit = updated rows —
+    // the batch feed's per-commit intersect, with the commit version as
+    // part of the key so one batch can carry many commits
+    val both = d.select(keyCols.map(col): _*)
+      .intersect(i.select(keyCols.map(col): _*))
+    def retype(side: org.apache.spark.sql.DataFrame, matchType: String,
+        elseType: String) = {
+      val cols = df.columns.toSeq
+      val m = side.join(both, keyCols, "leftsemi")
+        .withColumn(ColeChangeFeed.ChangeTypeCol, lit(matchType))
+      val u = side.join(both, keyCols, "left_anti")
+        .withColumn(ColeChangeFeed.ChangeTypeCol, lit(elseType))
+      m.select(cols.map(col): _*).unionByName(u.select(cols.map(col): _*))
+    }
+    retype(d, "update_preimage", "delete")
+      .unionByName(retype(i, "update_postimage", "insert"))
+      .unionByName(rest)
   }
 }
 
@@ -227,17 +302,62 @@ class ColeCdfMicroBatchStream(dataSchema: StructType, path: String,
   private def innerParts(files: Seq[(String, String)],
       what: String): Seq[ColeInputPartition] =
     if (files.isEmpty) Seq.empty
-    else {
-      val infos = ColeVersions.infosFor(path, conf, files, what)
-      val partCols = ColeMetaCache.partitionSchema(infos).map(_._1)
-        .filterNot(_ == ColeBucket.DirKey).toSet
-      val required =
-        StructType(dataSchema.fields :+ StructField(ColeUtil.PosMetaCol, LongType))
-      new ColeScan(dataSchema, required, path, conf, Array.empty,
-        partCols = dataSchema.fieldNames.filter(partCols).toSet,
-        snapshot = Some(ColeSnapshot(infos)))
-        .planInputPartitions().map(_.asInstanceOf[ColeInputPartition]).toSeq
+    else innerPartsOf(ColeVersions.infosFor(path, conf, files, what))
+
+  private def innerPartsOf(
+      infos: Seq[ColeMetaCache.FileInfo]): Seq[ColeInputPartition] = {
+    val partCols = ColeMetaCache.partitionSchema(infos).map(_._1)
+      .filterNot(_ == ColeBucket.DirKey).toSet
+    val required =
+      StructType(dataSchema.fields :+ StructField(ColeUtil.PosMetaCol, LongType))
+    new ColeScan(dataSchema, required, path, conf, Array.empty,
+      partCols = dataSchema.fieldNames.filter(partCols).toSet,
+      snapshot = Some(ColeSnapshot(infos)))
+      .planInputPartitions().map(_.asInstanceOf[ColeInputPartition]).toSeq
+  }
+
+  /** Delete partitions of one merge-on-read commit, O(delta) on both
+    * axes: row groups containing NO fresh ordinal are dropped from the
+    * plan (their [base, base+numRows) ranges are known at planning — a
+    * commit that deleted rows from k of a file's groups opens k groups,
+    * not the file), and each surviving partition ships only ITS OWN
+    * groups' ordinal slice — never the commit's file-wide vector, whose
+    * per-partition task-serialized copies were exactly the plan-weight
+    * shape the batch feed's probe-join comment warns about (sf1
+    * measured ~1.2 M ordinals ≈ 7-10 MB, times every partition).
+    */
+  private def morDeleteParts(rel: String, phys: String, fresh: Array[Int],
+      version: Long, what: String): Seq[InputPartition] = {
+    val infos = ColeVersions.infosFor(path, conf, Seq(rel -> phys), what)
+    val meta = infos.head.meta
+    val local = ColeDv.localize(meta, fresh.sorted)
+    val bases = new Array[Long](meta.rowGroups.length)
+    var acc = 0L
+    var g = 0
+    while (g < bases.length) {
+      bases(g) = acc; acc += meta.rowGroups(g).numRows; g += 1
     }
+    innerPartsOf(infos).flatMap { p =>
+      val kept = p.rowGroups.indices.filter(i => local(p.rowGroups(i)) != null)
+      if (kept.isEmpty) None
+      else {
+        val pruned = p.copy(
+          rowGroups = kept.map(p.rowGroups).toArray,
+          rowCounts = kept.map(p.rowCounts).toArray,
+          deleted = if (p.deleted == null) null
+            else kept.map(p.deleted).toArray)
+        // groups ascend within a partition and ordinals ascend within a
+        // group, so the concatenated slice stays sorted for the reader's
+        // binary search
+        val slice = kept.iterator.flatMap { i =>
+          val rg = p.rowGroups(i)
+          local(rg).iterator.map(bases(rg) + _.toLong)
+        }.toArray
+        ColeCdfStream.deleteRowGroupsPlanned.addAndGet(pruned.rowGroups.length)
+        Some(ColeCdfPartition(pruned, "delete", version, slice))
+      }
+    }
+  }
 
   private def commitPartitions(recs: Seq[ColeVersions.Record],
       r: ColeVersions.Record): Seq[InputPartition] = r.op match {
@@ -255,13 +375,13 @@ class ColeCdfMicroBatchStream(dataSchema: StructType, path: String,
         inserts(adds, s"cdf stream v${r.version} of $path")
       } else if (r.removes.isEmpty) {
         // merge-on-read: delete rows are EXACTLY the commit's fresh
-        // pinned ordinals — no diff, just an ordinal-selected file read
+        // pinned ordinals — no diff, just an ordinal-selected file read,
+        // pruned to the row groups the ordinals actually touch
         val dels = ColeChangeFeed.freshDvOrdinals(path, conf, r)
           .filter(_._2.nonEmpty).flatMap { case (rel, fresh) =>
             val phys = ColeChangeFeed.resolveRel(path, conf, recs, rel, r.version)
-            val keep = fresh.map(_.toLong).sorted
-            innerParts(Seq(rel -> phys), s"cdf stream v${r.version} of $path")
-              .map(ColeCdfPartition(_, "delete", r.version, keep))
+            morDeleteParts(rel, phys, fresh, r.version,
+              s"cdf stream v${r.version} of $path")
           }
         dels ++ inserts(adds, s"cdf stream v${r.version} of $path")
       } else if (ColeChangeFeed.isMaterialized(path, conf, r.version)) {

@@ -68,6 +68,30 @@ object ColeChangeFeed {
         URLDecoder.decode(p.substring(i + 1), StandardCharsets.UTF_8))
     }
 
+  /** Companion option to [[FeedFilesOption]]: per-file row-group
+    * restriction (`rel|i1;i2,…`) for ordinal-addressed reads — the scan
+    * then plans ONLY the groups a merge-on-read delta's ordinals touch,
+    * so serving a handful of deleted rows opens a handful of row groups
+    * instead of decoding the whole vectored file set. Internal, KB-scale
+    * (group indices, never ordinals).
+    */
+  val FeedRowGroupsOption = "feedRowGroups"
+
+  def encodeRowGroups(m: Map[String, Seq[Int]]): String =
+    m.toSeq.sortBy(_._1).map { case (rel, idxs) =>
+      URLEncoder.encode(rel, StandardCharsets.UTF_8) + "|" +
+        idxs.mkString(";")
+    }.mkString(",")
+
+  def decodeRowGroups(s: String): Map[String, Seq[Int]] =
+    s.split(',').toSeq.filter(_.nonEmpty).map { p =>
+      val i = p.indexOf('|')
+      val idxs = p.substring(i + 1)
+      (URLDecoder.decode(p.substring(0, i), StandardCharsets.UTF_8),
+        if (idxs.isEmpty) Seq.empty[Int]
+        else idxs.split(';').toSeq.map(_.toInt))
+    }.toMap
+
   /** Conf key: when `true`, every removing (copy-on-write) DML commit
     * MATERIALIZES its change data — the delete/insert images land as
     * COLE files under `_cole_versions/cdf/v<version>/` at commit time,
@@ -155,12 +179,17 @@ object ColeChangeFeed {
     * by construction — one commit's files).
     */
   private def readFiles(spark: SparkSession, table: String,
-      files: Seq[(String, String)]): Option[DataFrame] =
+      files: Seq[(String, String)],
+      rgKeep: Map[String, Seq[Int]] = Map.empty): Option[DataFrame] =
     if (files.isEmpty) None
-    else Some(spark.read.format("cole")
-      .option("path", table)
-      .option(FeedFilesOption, encodeFiles(files))
-      .load())
+    else {
+      var r = spark.read.format("cole")
+        .option("path", table)
+        .option(FeedFilesOption, encodeFiles(files))
+      if (rgKeep.nonEmpty)
+        r = r.option(FeedRowGroupsOption, encodeRowGroups(rgKeep))
+      Some(r.load())
+    }
 
   /** Physical-today path of rel's incarnation as of `version` (live
     * unless removed since; then the retired path of the FIRST removal
@@ -199,7 +228,26 @@ object ColeChangeFeed {
       files: Seq[(String, String, Array[Int])],
       keep: Boolean): Option[DataFrame] =
     if (files.isEmpty) None
-    else readFiles(spark, table, files.map(f => f._1 -> f._2)).map { df =>
+    else {
+      // keep = true serves a DELTA (the commit's freshly deleted rows):
+      // restrict the scan to the row groups the ordinals touch — a
+      // vector DELETE of k rows then opens O(k) groups, not the whole
+      // vectored file set. keep = false MASKS a delta out of a full
+      // file read; no groups can be dropped there.
+      val rgKeep: Map[String, Seq[Int]] =
+        if (!keep) Map.empty
+        else {
+          val conf = ColeIO.driverConf()
+          val metaOf = ColeVersions.infosFor(table, conf,
+            files.map(f => f._1 -> f._2), "change feed ordinal read")
+            .map(i => i.path -> i.meta).toMap
+          files.map { case (rel, phys, ords) =>
+            val local = ColeDv.localize(metaOf(phys), ords.sorted)
+            rel -> local.indices.filter(local(_) != null)
+          }.toMap
+        }
+      readFiles(spark, table, files.map(f => f._1 -> f._2), rgKeep)
+    }.map { df =>
       import spark.implicits._
       val sel = df.select((df.columns.map(col) :+
         col(ColeUtil.FileMetaCol) :+ col(ColeUtil.PosMetaCol)): _*)

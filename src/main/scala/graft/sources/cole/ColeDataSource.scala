@@ -459,9 +459,16 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
       }
       .orElse(Option(options.get(ColeChangeFeed.FeedFilesOption)).map { enc =>
         // exact-file-set read minted by ColeChangeFeed: one commit's
-        // added or retired incarnations (delta-sized)
-        ColeSnapshot(ColeVersions.infosFor(path, conf,
-          ColeChangeFeed.decodeFiles(enc), "change feed file set"))
+        // added or retired incarnations (delta-sized), optionally
+        // restricted to the row groups an ordinal read will touch
+        val pairs = ColeChangeFeed.decodeFiles(enc)
+        val relToPhys = pairs.toMap
+        val rgKeep = Option(options.get(ColeChangeFeed.FeedRowGroupsOption))
+          .map(ColeChangeFeed.decodeRowGroups).getOrElse(Map.empty[String, Seq[Int]])
+          .flatMap { case (rel, idxs) =>
+            relToPhys.get(rel).map(_ -> idxs.toSet) }
+        ColeSnapshot(ColeVersions.infosFor(path, conf, pairs,
+          "change feed file set"), rgKeep = rgKeep)
       })
       .orElse(changesFrom.map { from =>
         val to = Option(options.get("changesTo")).map(_.toLong)
@@ -558,7 +565,13 @@ final case class ColeSnapshot(infos: Seq[ColeMetaCache.FileInfo],
     // file-wide ordinals), identity-verified at snapshot build; empty
     // for feed file-set reads (those read PHYSICAL rows by design — the
     // change feed applies prior-version vectors itself, by ordinal)
-    dvs: Map[String, Array[Int]] = Map.empty)
+    dvs: Map[String, Array[Int]] = Map.empty,
+    // Row-group restriction for ordinal-addressed feed reads (physical
+    // path → allowed row-group indices): a merge-on-read delete serve
+    // knows at planning which groups the commit's ordinals touch, and
+    // every other group of the file is dead weight — drop it before a
+    // byte decodes. Empty = no restriction (every other snapshot kind).
+    rgKeep: Map[String, Set[Int]] = Map.empty)
 
 class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration,
     partCols: Set[String] = Set.empty,
@@ -2945,8 +2958,12 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
         // -1 = column absent from THIS file (pre-evolution): readers emit
         // NULL vectors for it, zero bytes projected
         val colIndices = fileRequired.fieldNames.map(nameToIdx.getOrElse(_, -1))
+        // ordinal-addressed feed reads (rgKeep): only the row groups the
+        // delta's ordinals touch plan at all — O(delta) group opens
+        val rgAllowed = snapshot.flatMap(_.rgKeep.get(info.path))
         meta.rowGroups.zipWithIndex.collect {
-          case (rg, rgIdx) if !skipRowGroup(rg, nameToIdx, filePreds) &&
+          case (rg, rgIdx) if rgAllowed.forall(_.contains(rgIdx)) &&
+              !skipRowGroup(rg, nameToIdx, filePreds) &&
               !skipRowGroupIn(rg, nameToIdx, dataRuntime) &&
               !skipOnly.exists(_.skips(rg, nameToIdx, pv)) &&
               // advisory bloom sidecar: string point lookups drop row
@@ -3255,6 +3272,14 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
   }
 }
 
+/** Row groups actually decoded by readers across this JVM — spec-visible
+  * in local mode (executors share the JVM): O(delta) serving paths
+  * assert decode counts proportional to TOUCHED groups, not file size.
+  */
+object ColeReaderMetrics {
+  val rowGroupsDecoded = new AtomicLong(0)
+}
+
 class ColeReaderFactory(required: StructType, hconf: ColeHadoopConf)
     extends PartitionReaderFactory {
 
@@ -3323,6 +3348,7 @@ class ColeColumnarReader(part: ColeInputPartition, required: StructType,
     * batch is built, so downstream codegen sees only surviving rows.
     */
   private def loadRowGroup(i: Int): Unit = {
+    ColeReaderMetrics.rowGroupsDecoded.incrementAndGet()
     val rgIdx = part.rowGroups(i)
     val selP: Array[Int] =
       if (part.preds.isEmpty) null
@@ -3565,6 +3591,7 @@ class ColeRowReader(part: ColeInputPartition, required: StructType,
     while (rgPos < 0 || row >= rgRows) {
       if (rgPos + 1 >= part.rowGroups.length) return false
       rgPos += 1
+      ColeReaderMetrics.rowGroupsDecoded.incrementAndGet()
       val rgIdx = part.rowGroups(rgPos)
       val selP = if (part.preds.isEmpty) null
         else ColePredicate.buildSelection(reader, rgIdx, part.rowCounts(rgPos),

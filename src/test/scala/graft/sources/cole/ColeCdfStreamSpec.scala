@@ -312,4 +312,96 @@ class ColeCdfStreamSpec extends AnyFunSuite {
       err.getMessage.contains("reconstructible"),
       s"expected a loud expiry error, got: ${err.getMessage}")
   }
+
+  test("pairUpdates: streamed four-type shape matches the batch pairKey feed, at commit boundaries and across multi-commit batches") {
+    val s = spark
+    import s.implicits._
+    val t = s"$warehouse/db/pairs"
+    (0 until 300).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+      .coalesce(2).write.format("cole").mode("overwrite").save(t)
+    s.sql("CALL cdf.system.versioning('db.pairs')") // v1 baseline
+    s.sql("CALL cdf.system.delete_mode('db.pairs', 'vector')")
+    (250 until 350).map(i => (i.toLong, i.toLong * 10)).toDF("id", "nv")
+      .createOrReplaceTempView("cdf_pairs_src")
+    s.sql("""MERGE INTO cdf.db.pairs t USING cdf_pairs_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.nv
+      WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.nv)""") // v2 MOR
+    (400 until 420).map(i => (i.toLong, 0L)).toDF("id", "v")
+      .write.format("cole").mode("append").save(t) // v3 pure add
+    s.sql("DELETE FROM cdf.db.pairs WHERE id % 50 = 3") // v4 vector delete
+
+    val expected = ColeChangeFeed.read(s, t, 0L, 4L, pairKey = Seq("id"))
+      .select("id", "v", ColeChangeFeed.ChangeTypeCol,
+        ColeChangeFeed.CommitVersionCol)
+      .collect().map(_.toSeq).sortBy(_.toString)
+
+    def streamedPairs(name: String, opts: Map[String, String]): Array[Seq[Any]] = {
+      val cp = Files.createTempDirectory(s"cole_cdf_pairs_$name").toString
+      val buf = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+      val reader = spark.readStream.format("cole").option("changeFeed", "true")
+      opts.foreach { case (k, v) => reader.option(k, v) }
+      val q = reader.load(t)
+        .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+          val p = ColeCdfStream.pairUpdates(b, Seq("id"))
+            .select("id", "v", ColeChangeFeed.ChangeTypeCol,
+              ColeChangeFeed.CommitVersionCol).collect()
+          buf.synchronized { buf ++= p.map(_.toSeq) }; ()
+        }
+        .option("checkpointLocation", cp).start()
+      try q.processAllAvailable() finally q.stop()
+      buf.sortBy(_.toString).toArray
+    }
+
+    // one commit per micro-batch: pairing is commit-local by
+    // construction, so per-batch pairing is exact at every boundary
+    assert(streamedPairs("paced",
+      Map("maxCommitsPerTrigger" -> "1")).toSeq === expected.toSeq)
+    // the whole history in one batch: the commit version participates
+    // in the pairing key, so commits never pair across each other
+    assert(streamedPairs("wide", Map.empty).toSeq === expected.toSeq)
+    // idempotent: re-pairing already-paired rows is the identity
+    val once = ColeCdfStream.pairUpdates(
+      ColeChangeFeed.read(s, t, 0L, 4L), Seq("id"))
+    val twice = ColeCdfStream.pairUpdates(once, Seq("id"))
+    assert(once.groupBy(ColeChangeFeed.ChangeTypeCol).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      twice.groupBy(ColeChangeFeed.ChangeTypeCol).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+  }
+
+  test("bootstrap recipe: versionAsOf N + startingVersion N+1 reconstructs the live table, gap-free and overlap-free") {
+    val s = spark
+    import s.implicits._
+    val t = s"$warehouse/db/boot"
+    (0 until 400).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+      .coalesce(2).write.format("cole").mode("overwrite").save(t)
+    s.sql("CALL cdf.system.versioning('db.boot')") // v1
+    s.sql("CALL cdf.system.delete_mode('db.boot', 'vector')")
+    s.sql("DELETE FROM cdf.db.boot WHERE id < 40") // v2 (before the seam)
+    val N = ColeVersions.currentVersion(t, conf) // = 2
+    // history continues past the seam: an append and another delete
+    (500 until 560).map(i => (i.toLong, 1L)).toDF("id", "v")
+      .write.format("cole").mode("append").save(t) // v3
+    s.sql("DELETE FROM cdf.db.boot WHERE id % 100 = 50") // v4
+
+    // THE new-consumer recipe: batch-load the snapshot AS OF N, then
+    // stream changes with startingVersion N+1 — never the full history
+    val snap = spark.read.format("cole")
+      .option("versionAsOf", N.toString).load(t)
+    val changes = streamAll(t, "cdf_boot_changes",
+      Map("startingVersion" -> (N + 1).toString))
+
+    // overlap-free: no streamed commit at or below N
+    assert(changes.agg(min(col(ColeChangeFeed.CommitVersionCol))).head.getLong(0) === N + 1)
+    // gap-free: snapshot ∪ inserts minus deletes == live table (multiset)
+    val ins = changes.filter(col(ColeChangeFeed.ChangeTypeCol) === "insert")
+      .select("id", "v")
+    val del = changes.filter(col(ColeChangeFeed.ChangeTypeCol) === "delete")
+      .select("id", "v")
+    val rebuilt = snap.select("id", "v").unionByName(ins).exceptAll(del)
+    val live = spark.read.format("cole").load(t).select("id", "v")
+    assert(rebuilt.exceptAll(live).count() === 0L)
+    assert(live.exceptAll(rebuilt).count() === 0L)
+    assert(rebuilt.count() === live.count())
+  }
 }
