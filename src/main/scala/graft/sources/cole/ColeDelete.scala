@@ -354,6 +354,13 @@ object ColeDelete {
     val hconf = new ColeHadoopConf(conf)
     val tasks = files.map(i => (i.path, i.len, i.mtime))
     val sc = spark.sparkContext
+    // commit stamp fixed BEFORE the job: each task derives its pin path
+    // deterministically and writes the pin ITSELF from the ordinal set
+    // it computed — the pin is exactly this commit's view even when a
+    // concurrent vector DML from another process extends the live
+    // sidecar between the task's write and the driver's record
+    val versioned = ColeVersions.enabled(table, conf)
+    val stamp = java.lang.Long.toHexString(System.nanoTime())
     val perFile: Array[(String, Long)] =
       sc.parallelize(tasks, math.max(1, tasks.size)).map { case (f, len, mtime) =>
         val c = hconf.value
@@ -390,21 +397,38 @@ object ColeDelete {
           }
           out.toArray
         } finally reader.close()
-        if (added.nonEmpty)
-          ColeDv.write(ffs, f, len, mtime, ColeDv.merge(existing, added))
+        if (added.nonEmpty) {
+          val merged = ColeDv.merge(existing, added)
+          ColeDv.write(ffs, f, len, mtime, merged)
+          // versioned table: the task writes its own pin from the
+          // ordinal set it just computed (ordinals never transit the
+          // driver; the pin cannot absorb a concurrent committer's rows)
+          if (versioned) {
+            val rel = ColeVersions.relOf(ffs, table, f)
+            val pin = ColeVersions.dvPath(table,
+              ColeVersions.dvRelOf(stamp, rel))
+            ffs.mkdirs(pin.getParent)
+            ColeDv.writeAt(ffs, pin, len, mtime, merged)
+          }
+        }
         (f, added.length.toLong)
       }.collect()
     val touched = perFile.count(_._2 > 0)
-    // versioned table: pin an immutable copy of each extended sidecar
-    // under the log and commit ONE record carrying the dv entries — time
-    // travel and the row-level change feed resolve this DELETE from the
-    // pins (per-affected-FILE driver work, KB-scale copies)
-    if (touched > 0 && ColeVersions.enabled(table, conf)) {
+    // versioned table: ONE record carrying the dv entries the tasks
+    // pinned — time travel and the row-level change feed resolve this
+    // DELETE from the pins (per-affected-FILE driver work, names only).
+    // CRASH WINDOW (same ordering note as the delta write's step 2/3):
+    // the live sidecars became visible on the executors ABOVE, before
+    // this record — a crash in between leaves the delete applied to the
+    // live table but absent from the log, so time travel to the head
+    // and the change feed do not observe it until a later commit; the
+    // pins are log-internal and unreferenced until the record lands —
+    // a crash orphans KB-scale files that are never read, not state.
+    if (touched > 0 && versioned) {
       val (tfs, _) = ColeIO.resolve(table, conf)
-      val stamp = java.lang.Long.toHexString(System.nanoTime())
       val dvs = perFile.collect { case (f, n) if n > 0 =>
         val rel = ColeVersions.relOf(tfs, table, f)
-        rel -> ColeVersions.pinVector(tfs, table, stamp, rel, f)
+        rel -> ColeVersions.dvRelOf(stamp, rel)
       }.toSeq
       ColeVersions.commitIfEnabled(table, conf, "delete", Seq.empty,
         Seq.empty, dvs)

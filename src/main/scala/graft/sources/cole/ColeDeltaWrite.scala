@@ -161,21 +161,33 @@ class ColeDeltaWriteImpl(op: ColeRowLevelOperation, schema: StructType,
         s"delta-commit rename failed: $f")
       dst
     }
-    // 2. old images vector away (extending any existing vector)
-    delByFile.foreach { case (f, ords) =>
+    // 2. old images vector away (extending any existing vector); keep
+    // the merged sets — they are the commit's exact vector state
+    val mergedByFile = delByFile.map { case (f, ords) =>
       val (len, mtime) = planned(f)
       val existing = ColeDv.read(fs, f, len, mtime).getOrElse(Array.empty[Int])
-      ColeDv.write(fs, f, len, mtime, ColeDv.merge(existing, ords))
+      val merged = ColeDv.merge(existing, ords)
+      ColeDv.write(fs, f, len, mtime, merged)
+      f -> merged
     }
     // 3. versioned table: one commit record — new image files as adds,
-    // pinned copies of the extended vectors as dv entries (time travel
-    // and the change feed resolve this DML from them)
+    // pins of the extended vectors as dv entries (time travel and the
+    // change feed resolve this DML from them). Pins are written from
+    // the merged sets computed ABOVE, never by re-reading the live
+    // sidecar: a concurrent vector DML from another process could have
+    // extended it in between, and a copy would fold ITS ordinals into
+    // this commit's pin (misattributed deletes in the change feed).
     if ((finals.nonEmpty || delByFile.nonEmpty) &&
         ColeVersions.enabled(path, conf)) {
       val pinStamp = java.lang.Long.toHexString(System.nanoTime())
-      val dvs = delByFile.keys.toSeq.sorted.map { f =>
+      val dvs = mergedByFile.toSeq.sortBy(_._1).map { case (f, merged) =>
         val rel = ColeVersions.relOf(fs, path, f)
-        rel -> ColeVersions.pinVector(fs, path, pinStamp, rel, f)
+        val dvRel = ColeVersions.dvRelOf(pinStamp, rel)
+        val pin = ColeVersions.dvPath(path, dvRel)
+        fs.mkdirs(pin.getParent)
+        val (len, mtime) = planned(f)
+        ColeDv.writeAt(fs, pin, len, mtime, merged)
+        rel -> dvRel
       }
       ColeVersions.commitIfEnabled(path, conf,
         s"${op.command().toString.toLowerCase}-delta",

@@ -104,6 +104,17 @@ object ColeDv {
     * row positions.
     */
   def write(fs: FileSystem, dataFile: String, len: Long, mtime: Long,
+      ordinals: Array[Int]): Unit =
+    writeAt(fs, new HPath(sidecarPath(dataFile)), len, mtime, ordinals)
+
+  /** Write a vector in the sidecar format at an ARBITRARY path — how a
+    * commit writes its PINNED copy under the version log from the exact
+    * ordinal set it computed, instead of re-reading the live (mutable)
+    * sidecar whose content a concurrent vector DML from another process
+    * could have extended in between (misattributing foreign deletes to
+    * this commit in the change feed).
+    */
+  def writeAt(fs: FileSystem, p: HPath, len: Long, mtime: Long,
       ordinals: Array[Int]): Unit = {
     val bos = new java.io.ByteArrayOutputStream()
     bos.write(Magic)
@@ -115,7 +126,6 @@ object ColeDv {
       writeUvarint(bos, o.toLong - prev)
       prev = o.toLong
     }
-    val p = new HPath(sidecarPath(dataFile))
     val tmp = new HPath(p.getParent, "." + p.getName + ".tmp")
     val out = fs.create(tmp, true)
     try out.write(bos.toByteArray) finally out.close()

@@ -125,13 +125,21 @@ object ColeVersions {
   def pinVector(fs: FileSystem, table: String, stamp: String, rel: String,
       abs: String): String = {
     val src = new HPath(ColeDv.sidecarPath(abs))
-    val dvRel = s"$DvName/$stamp/$rel.dv"
+    val dvRel = dvRelOf(stamp, rel)
     val dst = new HPath(vdir(table), dvRel)
     fs.mkdirs(dst.getParent)
     require(org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst,
       false, true, fs.getConf), s"deletion-vector pin copy failed: $src")
     dvRel
   }
+
+  /** The log-relative pin path of (commit stamp, file rel) —
+    * deterministic, so an executor can write its file's pin directly
+    * ([[ColeDv.writeAt]] from its computed ordinal set, never a copy of
+    * the mutable live sidecar) and the driver can independently name the
+    * same path in the commit record.
+    */
+  def dvRelOf(stamp: String, rel: String): String = s"$DvName/$stamp/$rel.dv"
 
   /** The effective pinned-vector map at `version`: live rel → dvRel.
     * Scoped to incarnations — an add (rewrite/restore) of a rel resets
