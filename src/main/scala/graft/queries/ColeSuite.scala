@@ -17,7 +17,7 @@ object ColeSuite {
     * or format change yields a new fixture directory, so cached .col
     * fixtures can never mask a write-path regression.
     */
-  private lazy val writerFingerprint: String = {
+  private[queries] lazy val writerFingerprint: String = {
     val crc = new java.util.zip.CRC32()
     Seq("graft/sources/cole/ColeDataWriter.class",
         "graft/sources/cole/ColeBucketedDataWriter.class",
@@ -31,7 +31,7 @@ object ColeSuite {
     java.lang.Long.toHexString(crc.getValue)
   }
 
-  private def dirFor(sfDir: String, tag: String): String =
+  private[queries] def dirFor(sfDir: String, tag: String): String =
     s"/tmp/graft_cole/v${writerFingerprint}_${tag}_" +
       sfDir.replaceAll("[^a-zA-Z0-9]", "_")
 
@@ -39,7 +39,7 @@ object ColeSuite {
     * the measured query is a READ (re-materializing storage inside every
     * "read" would be the wrong shape at scale, and it distorts the bench).
     */
-  private def writeOnce(dir: String)(write: => Unit): Unit = {
+  private[queries] def writeOnce(dir: String)(write: => Unit): Unit = {
     // partitioned fixtures keep their .col files under key=value
     // subdirectories — recurse, or the "read" query re-writes per run
     def hasCol(f: java.io.File): Boolean = {
@@ -1624,6 +1624,33 @@ object ColeSuite {
                 CAST(SUM(l_linenumber) AS BIGINT) AS sum_line
               FROM feed GROUP BY 1, 2, 3
               ORDER BY commit_version, change_type, l_returnflag""")),
+
+    // #155 format v2 BINARY (r11): opaque variable-length bytes as a
+    // native .col column — the multimodal payload type (pages reuse the
+    // PLAIN/DICT strings layout; the layout never assumed UTF-8). The
+    // documents' text encodes to UTF-8 payload bytes, round-trips
+    // through .col, and is verified per row by byte length + md5 digest
+    // — DuckDB's md5 over the VARCHAR hashes the same UTF-8 bytes, so a
+    // hash match proves byte-exact storage (the embedding-key
+    // checksum-projection discipline).
+    Q("cole_roundtrip_binary", (s, d) => {
+      val dir = dirFor(d, "roundtrip_bin")
+      writeOnce(dir) {
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            encode(col("text"), "UTF-8").as("payload"))
+          .write.format("cole").mode("overwrite").save(dir)
+      }
+      s.read.format("cole").load(dir)
+        .select(col("doc_id"), col("lang"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          md5(col("payload")).as("digest"))
+        .orderBy("doc_id")
+    },
+      Some("""SELECT doc_id, lang,
+                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                md5(text) AS digest
+              FROM documents ORDER BY doc_id""")),
 
     // #154 STREAMED update pairing (r11): the Delta-CDF four-type shape
     // on the STREAM — `ColeCdfStream.pairUpdates` inside `foreachBatch`

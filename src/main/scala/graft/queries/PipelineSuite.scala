@@ -301,9 +301,11 @@ object PipelineSuite {
 
     // #49 multimodal plumbing (rows-only): binary payload + typed metadata
     // struct through a batch-shaped mapPartitions "decoder" (deterministic
-    // stub — see Multimodal); per-asset byte features out.
+    // stub — see Multimodal); per-asset byte features out. The payload
+    // table lives NATIVELY in .col since r11 (format v2 BINARY column) —
+    // the one pipeline table that previously still required parquet.
     Q("multimodal_meta", (s, d) => {
-      val media = Multimodal.withPayload(Tables.documents(s, d))
+      val media = mediaFromCole(s, d)
       Multimodal.extractFeatures(media).toDF()
         .join(media.select(col("doc_id"), col("meta.width").as("width"),
           col("meta.height").as("height"), col("meta.sample_rate").as("sample_rate")),
@@ -315,7 +317,7 @@ object PipelineSuite {
     // windows per asset, seek offsets computed from metadata — the
     // video/audio curation shape; per-frame rollup proves the explode.
     Q("multimodal_framesample", (s, d) => {
-      val media = Multimodal.withPayload(Tables.documents(s, d))
+      val media = mediaFromCole(s, d)
       Multimodal.sampleFrames(media).toDF()
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_frames"),
@@ -323,4 +325,27 @@ object PipelineSuite {
         .orderBy("doc_id")
     }, None)
   )
+
+  /** The media table SERVED FROM .col: payload bytes in a native v2
+    * BINARY column, metadata flat beside them (structs flatten at the
+    * storage boundary, like every columnar format), re-nested on read to
+    * the pipeline's (doc_id, payload, meta) shape.
+    */
+  private def mediaFromCole(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val dir = ColeSuite.dirFor(d, "media_payload")
+    ColeSuite.writeOnce(dir) {
+      Multimodal.withPayload(Tables.documents(s, d))
+        .select(col("doc_id"), col("payload"),
+          col("meta.modality").as("modality"), col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          col("meta.sample_rate").as("sample_rate"),
+          col("meta.n_bytes").as("n_bytes"))
+        .write.format("cole").mode("overwrite").save(dir)
+    }
+    s.read.format("cole").load(dir)
+      .select(col("doc_id"), col("payload"),
+        struct(col("modality"), col("width"), col("height"),
+          col("sample_rate"), col("n_bytes")).as("meta"))
+  }
 }

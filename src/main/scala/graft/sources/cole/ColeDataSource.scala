@@ -211,6 +211,7 @@ private[cole] object ColeUtil {
     // vector elements are dense by design: a missing embedding is a NULL
     // row, not a vector with null slots
     case TFloatVec => ArrayType(FloatType, containsNull = false)
+    case TBinary => BinaryType
   }
 
   /** WIDENING union of two stored types for one column name (read-time
@@ -279,13 +280,14 @@ private[cole] object ColeUtil {
         case TimestampType => (TTimestamp, Plain)
         case TimestampNTZType => (TTimestampNtz, Plain)
         case ArrayType(FloatType, _) => (TFloatVec, Plain)
+        case BinaryType => (TBinary, Plain)
         case dt: DecimalType if dt.precision <= 18 && dt.scale >= 0 =>
           (TDecimal(dt.precision, dt.scale), Plain)
         case dt: DecimalType if dt.precision <= 38 && dt.scale >= 0 =>
           (TDecimalWide(dt.precision, dt.scale), Plain)
         case other => throw new IllegalArgumentException(
           s"COLE format supports INT32/INT64/STRING (v1) + DOUBLE/TIMESTAMP/" +
-            s"DECIMAL(<=38)/ARRAY<FLOAT> (v2); column '${f.name}' is $other " +
+            s"DECIMAL(<=38)/ARRAY<FLOAT>/BINARY (v2); column '${f.name}' is $other " +
             "(cast unsupported types before writing)")
       }
       ColeColumn(f.name, t, e)
@@ -3666,6 +3668,7 @@ class ColeRowReader(part: ColeInputPartition, required: StructType,
             ColeFormat.wideToBigInteger(c.wides(2 * r), c.wides(2 * r + 1)),
             dt.scale), dt.precision, dt.scale)
         }
+        else if (required.fields(i).dataType == BinaryType) c.strings(r)
         else UTF8String.fromBytes(c.strings(r))
       i += 1
     }
@@ -4239,6 +4242,7 @@ class ColeDataWriter(schema: StructType, file: String, rowGroupSize: Int,
           wideBufs(i)(2 * buffered + 1) = lo
         case TDouble => dblBufs(i)(buffered) = record.getDouble(i)
         case TString => strBufs(i)(buffered) = record.getUTF8String(i).getBytes
+        case TBinary => strBufs(i)(buffered) = record.getBinary(i)
         case TFloatVec =>
           if (vecBufs(i) == null) vecBufs(i) = new Array[Array[Float]](rowGroupSize)
           val a = record.getArray(i)
@@ -4272,7 +4276,7 @@ class ColeDataWriter(schema: StructType, file: String, rowGroupSize: Int,
         case TDouble =>
           val a = java.util.Arrays.copyOf(dblBufs(i), buffered)
           (ColumnData(null, null, null, a, nulls), Plain)
-        case TString =>
+        case TString | TBinary =>
           val a = java.util.Arrays.copyOf(strBufs(i), buffered)
           (ColumnData(null, null, a, null, nulls),
             if (nulls == null) chooseStrEnc(a) else Plain)

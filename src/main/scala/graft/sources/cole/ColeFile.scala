@@ -174,7 +174,7 @@ final class ColeFileReader(path: String, conf: Configuration) extends AutoClosea
         case TInt32 => intParts += expandInt(decodeIntPage(pageData, ph, present), isNull, ph.numValues)
         case t if isLongBacked(t) =>
           longParts += expandLong(decodeLongPage(pageData, ph, present), isNull, ph.numValues)
-        case TString =>
+        case TString | TBinary =>
           strParts += expandRef(decodeStringPage(pageData, ph, present), isNull, ph.numValues)
         case TDouble =>
           dblParts += expandDouble(decodeDoublePage(pageData, ph, present), isNull, ph.numValues)
@@ -197,7 +197,8 @@ final class ColeFileReader(path: String, conf: Configuration) extends AutoClosea
     col.colType match {
       case TInt32 => ColumnData(intParts.flatten.toArray, null, null, null, nulls)
       case t if isLongBacked(t) => ColumnData(null, longParts.flatten.toArray, null, null, nulls)
-      case TString => ColumnData(null, null, strParts.flatten.toArray, null, nulls)
+      case TString | TBinary =>
+        ColumnData(null, null, strParts.flatten.toArray, null, nulls)
       case TDouble => ColumnData(null, null, null, dblParts.flatten.toArray, nulls)
       case TFloatVec => ColumnData(null, null, null, null, nulls, vecParts.flatten.toArray)
       case t if isWide(t) =>
@@ -554,12 +555,12 @@ final class ColeFileWriter(path: String, columns: Seq[ColeColumn],
           val st = if (vals.isEmpty) PageStats(None, None, nullCount)
             else PageStats(None, None, nullCount, Some(vals.min), Some(vals.max))
           (bytes, st)
-        case TString =>
+        case TString | TBinary =>
           val vals = presentStrs
           val bytes = col.encoding match {
             case Plain => encodePlainStrings(vals)
             case Dict => encodeDictStrings(vals)
-            case other => throw new ColeFormatException(s"$other not valid for STRING")
+            case other => throw new ColeFormatException(s"$other not valid for STRING/BINARY")
           }
           (bytes, PageStats(None, None, nullCount))
         case TFloatVec =>

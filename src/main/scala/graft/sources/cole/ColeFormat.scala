@@ -77,6 +77,15 @@ object ColeFormat {
       s"COLE WIDE DECIMAL needs 19<=precision<=38, 0<=scale<=precision; " +
         s"got ($precision,$scale) — use DECIMAL (type 7) below precision 19")
   }
+  /** v2 only: opaque variable-length bytes (the multimodal payload
+    * column type — image/audio/video blobs with typed metadata beside
+    * them). Pages reuse the PLAIN-strings layout verbatim ([offsets u32
+    * x (n+1)][bytes]; DICTIONARY works byte-wise too) — the layout never
+    * assumed UTF-8, only the Spark-facing type does. No value stats, no
+    * predicate claims, no aggregate pushdown: bytes are payload, not
+    * keys.
+    */
+  case object TBinary extends ColeType(9)
   def typeOf(id: Int): ColeType = id match {
     case 0 => TInt32
     case 1 => TInt64
@@ -85,6 +94,7 @@ object ColeFormat {
     case 4 => TTimestamp
     case 5 => TTimestampNtz
     case 6 => TFloatVec
+    case 9 => TBinary
     case 7 | 8 => throw new ColeFormatException(
       "DECIMAL column types carry precision/scale: only readMetadata decodes them")
     case other => throw new ColeFormatException(s"Unknown column type id: $other")
@@ -93,6 +103,7 @@ object ColeFormat {
   /** True for types only format v2 can carry. */
   def requiresV2(t: ColeType): Boolean =
     t == TDouble || t == TTimestamp || t == TTimestampNtz || t == TFloatVec ||
+      t == TBinary ||
       t.isInstanceOf[TDecimal] || t.isInstanceOf[TDecimalWide]
 
   /** Types stored as int64 values (sharing every int64 encode/agg path).

@@ -36,6 +36,7 @@ object ColeMeta {
     case TTimestamp => "TIMESTAMP"
     case TTimestampNtz => "TIMESTAMP_NTZ"
     case TFloatVec => "FLOAT_VECTOR"
+    case TBinary => "BINARY"
     case TDecimal(p, s) => s"DECIMAL($p,$s)"
     case TDecimalWide(p, s) => s"DECIMAL($p,$s)" // wide lane, same SQL face
   }

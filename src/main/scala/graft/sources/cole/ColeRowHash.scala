@@ -86,6 +86,7 @@ object ColeRowHash {
         case DoubleType => mix(java.lang.Double.doubleToLongBits(row.getDouble(ord)))
         case FloatType => mix(java.lang.Float.floatToIntBits(row.getFloat(ord)).toLong)
         case StringType => foldBytes(0x73747268L, row.getUTF8String(ord).getBytes)
+        case BinaryType => foldBytes(0x62696E68L, row.getBinary(ord))
         case dt: DecimalType =>
           val d = row.getDecimal(ord, dt.precision, dt.scale)
           // scale is fixed by the schema, so the unscaled value is the
