@@ -361,6 +361,14 @@ object ColeDelete {
     // sidecar between the task's write and the driver's record
     val versioned = ColeVersions.enabled(table, conf)
     val stamp = java.lang.Long.toHexString(System.nanoTime())
+    // the whole classify→extend-sidecars→record sequence holds the
+    // per-table JVM lock: two same-JVM vector DELETEs would otherwise
+    // read-merge-write the same sidecar concurrently and lose one side's
+    // ordinals (cross-process stays guarded by the (len,mtime) race
+    // check against the data file, single-writer per table for vector
+    // DML — see ColeDv's rename note)
+    val (lockFs, _) = ColeIO.resolve(table, conf)
+    ColeVersions.withTableLock(lockFs, table) {
     val perFile: Array[(String, Long)] =
       sc.parallelize(tasks, math.max(1, tasks.size)).map { case (f, len, mtime) =>
         val c = hconf.value
@@ -434,5 +442,6 @@ object ColeDelete {
         Seq.empty, dvs)
     }
     Stats(totalFiles, totalFiles - touched, 0, 0, perFile.map(_._2).sum)
+    } // withTableLock
   }
 }

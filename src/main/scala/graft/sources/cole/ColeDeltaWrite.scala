@@ -137,8 +137,11 @@ class ColeDeltaWriteImpl(op: ColeRowLevelOperation, schema: StructType,
         vs.map(_._2).reduce(ColeDv.merge)
       }.toMap
     // race check against the group scan's planning snapshot, while every
-    // mutation is still invisible
+    // mutation is still invisible; check-then-mutate holds the per-table
+    // JVM lock so overlapping same-JVM committers serialize (see
+    // ColeVersions.withTableLock)
     val planned = op.plannedFiles.map(f => f._1 -> (f._2, f._3)).toMap
+    ColeVersions.withTableLock(fs, path) {
     delByFile.keys.foreach { f =>
       val ok = planned.get(f).exists { case (len, mtime) =>
         try {
@@ -193,6 +196,7 @@ class ColeDeltaWriteImpl(op: ColeRowLevelOperation, schema: StructType,
         s"${op.command().toString.toLowerCase}-delta",
         finals.map(ColeVersions.relOf(fs, path, _)), Seq.empty, dvs)
     }
+    } // withTableLock
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -294,13 +294,13 @@ class ColeHashingReaderFactory(inner: ColeReaderFactory, required: StructType,
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val (idx, ip) = unwrap(partition)
-    val r = inner.createReader(ip)
-    if (acc == null || idx < 0) r
+    val r = loud(inner.createReader(ip))
+    if (acc == null || idx < 0) loudReader(r)
     else new PartitionReader[InternalRow] {
       private val hasher = new ColeRowHash.RowHasher(required)
       private var row: InternalRow = _
       override def next(): Boolean = {
-        val has = r.next()
+        val has = loud(r.next())
         if (has) { row = r.get(); hasher.add(row) }
         has
       }
@@ -312,19 +312,47 @@ class ColeHashingReaderFactory(inner: ColeReaderFactory, required: StructType,
     }
   }
 
+  /** A planned file vanishing mid-rewrite means a CONCURRENT committer
+    * replaced it (retire renames it away) — surface the same loud,
+    * actionable rejection the commit-time (len,mtime) check gives,
+    * never a bare FileNotFoundException from deep in a task. The losing
+    * statement aborts with nothing visible (its replacement files are
+    * still dotted); file-DISJOINT concurrent DML never trips this —
+    * ColeDmlRaceSpec pins both contracts.
+    */
+  private def loud[T](body: => T): T =
+    try body catch {
+      case e: java.io.FileNotFoundException => throw new IllegalStateException(
+        s"concurrent write detected during row-level rewrite " +
+          s"(${e.getMessage}): another committer replaced a planned file; " +
+          "aborted with nothing visible — retry after the other writer " +
+          "commits", e)
+    }
+
+  /** The vanish can also surface mid-READ (the local filesystem's
+    * checksum layer re-opens the file inside readFully) — wrap every
+    * next() of the delegate, not just its construction.
+    */
+  private def loudReader[T](r: PartitionReader[T]): PartitionReader[T] =
+    new PartitionReader[T] {
+      override def next(): Boolean = loud(r.next())
+      override def get(): T = r.get()
+      override def close(): Unit = r.close()
+    }
+
   override def supportColumnarReads(partition: InputPartition): Boolean =
     inner.supportColumnarReads(unwrap(partition)._2)
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[ColumnarBatch] = {
     val (idx, ip) = unwrap(partition)
-    val r = inner.createColumnarReader(ip)
-    if (acc == null || idx < 0) r
+    val r = loud(inner.createColumnarReader(ip))
+    if (acc == null || idx < 0) loudReader(r)
     else new PartitionReader[ColumnarBatch] {
       private val hasher = new ColeRowHash.RowHasher(required)
       private var batch: ColumnarBatch = _
       override def next(): Boolean = {
-        val has = r.next()
+        val has = loud(r.next())
         if (has) {
           batch = r.get()
           val it = batch.rowIterator()
@@ -443,6 +471,11 @@ class ColeReplaceWrite(op: ColeRowLevelOperation, schema: StructType,
     val taskFiles: Map[Int, Seq[String]] =
       tasks.map { case (pid, _, fs0) => pid -> fs0.filter(dropEmpty) }.toMap
     val planned = op.plannedFiles
+    // check-then-mutate runs ATOMICALLY per table (same-JVM lock): two
+    // overlapping committers must serialize so the loser's re-check sees
+    // the winner's renames — without the lock both pass the check first
+    // and both commit, duplicating every replaced row
+    ColeVersions.withTableLock(fs, path) {
     // concurrent-write race check while the replacement is still fully
     // INVISIBLE (dotted): every replaced file must still be exactly the
     // bytes the group scan read — on rejection the table is untouched
@@ -536,6 +569,7 @@ class ColeReplaceWrite(op: ColeRowLevelOperation, schema: StructType,
         op.command().toString.toLowerCase,
         newDotted.toSeq.map(f => ColeVersions.relOf(fs, path, finalOf(f))),
         verRemoves)
+    } // withTableLock
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -274,6 +274,23 @@ object ColeVersions {
   private val tableLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Run `body` holding this JVM's per-table commit lock — how a
+    * row-level commit makes its check-then-mutate sequence (replaced-set
+    * verification → replacement renames → retires → record) ATOMIC
+    * against same-JVM concurrent committers: without it, two overlapping
+    * DMLs can BOTH pass the replaced-set check before either renames,
+    * and both commit — duplicating every replaced row (the second
+    * retire's delete fails silently). Cross-process overlap on a
+    * versioned table still fails loudly (retire renames require their
+    * source); on a log-less table it is best-effort, like any
+    * directory-of-files format. File-DISJOINT committers only contend
+    * for the lock's duration, never reject. ColeDmlRaceSpec pins both.
+    */
+  def withTableLock[T](fs: FileSystem, table: String)(body: => T): T =
+    tableLocks.computeIfAbsent(
+      fs.makeQualified(new HPath(table)).toString, _ => new Object)
+      .synchronized(body)
+
   private def writeRecord(fs: FileSystem, conf: Configuration, table: String,
       op: String, adds: Seq[String], removes: Seq[(String, String)],
       dvs: Seq[(String, String)] = Nil): Long =
