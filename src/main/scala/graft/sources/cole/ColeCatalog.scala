@@ -698,7 +698,11 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
   import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 
   private def procedure(procName: String, params: Seq[(String, DataType)],
-      out: StructType)(body: InternalRow => Array[Array[Any]]): UnboundProcedure =
+      out: StructType,
+      // optional trailing parameters: name → default-value SQL literal
+      // (Spark fills absent args from the default at bind time)
+      defaults: Map[String, String] = Map.empty)(
+      body: InternalRow => Array[Array[Any]]): UnboundProcedure =
     new UnboundProcedure {
       override def name(): String = procName
       override def description(): String = s"COLE maintenance: $procName"
@@ -706,7 +710,11 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
         override def name(): String = procName
         override def description(): String = s"COLE maintenance: $procName"
         override def parameters(): Array[ProcedureParameter] =
-          params.map { case (n, t) => ProcedureParameter.in(n, t).build() }.toArray
+          params.map { case (n, t) =>
+            val b = ProcedureParameter.in(n, t)
+            defaults.get(n).foreach(b.defaultValue)
+            b.build()
+          }.toArray
         override def isDeterministic: Boolean = false
         override def call(input: InternalRow)
             : util.Iterator[org.apache.spark.sql.connector.read.Scan] =
@@ -746,11 +754,17 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
           procTablePath(in.getString(0)), conf, in.getLong(1))))
       }
       case "expire_versions" => procedure("expire_versions",
-        tableArg :+ ("older_than_hours" -> (LongType: DataType)),
-        StructType(Seq(StructField("expired_files", LongType)))) { in =>
+        tableArg ++ Seq("older_than_hours" -> (LongType: DataType),
+          // retention floor for live CDC consumers: the most recent
+          // keep_last_versions never expire regardless of age — size it
+          // to consumer lag and a nightly cron can never expire a
+          // lagging stream's unread range
+          "keep_last_versions" -> (LongType: DataType)),
+        StructType(Seq(StructField("expired_files", LongType))),
+        defaults = Map("keep_last_versions" -> "0")) { in =>
         Array(Array[Any](ColeVersions.vacuumRetired(
           procTablePath(in.getString(0)), conf,
-          in.getLong(1) * 3600_000L).toLong))
+          in.getLong(1) * 3600_000L, in.getLong(2).toInt).toLong))
       }
       case "vacuum" => procedure("vacuum",
         tableArg :+ ("older_than_hours" -> (LongType: DataType)),

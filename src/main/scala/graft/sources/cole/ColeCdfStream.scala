@@ -266,6 +266,18 @@ class ColeCdfMicroBatchStream(dataSchema: StructType, path: String,
         v - 1
       case None => 0L
     }
+    // retention guard: a range at or below the expiry horizon is no
+    // longer guaranteed reconstructible — refuse UP FRONT with the safe
+    // floor, instead of a mid-stream missing-file error. Maintenance
+    // sets the floor side: expire_versions' keep_last_versions keeps a
+    // lagging consumer's unread range alive.
+    val horizon = ColeVersions.expiryHorizon(path, conf)
+    require(fromExclusive >= horizon,
+      s"startingVersion ${fromExclusive + 1} of $path is expired " +
+        s"(expiry horizon v$horizon): the earliest un-expired version " +
+        s"is v${horizon + 1}. Bootstrap with a versionAsOf batch load + " +
+        s"startingVersion=${horizon + 1}, and size expire_versions' " +
+        "keep_last_versions floor to consumer lag")
     ColeCdfOffset(fromExclusive)
   }
 

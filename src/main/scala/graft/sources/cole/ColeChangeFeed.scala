@@ -363,6 +363,15 @@ object ColeChangeFeed {
     val recs = ColeVersions.records(table, conf)
     require(fromExclusive <= toInclusive,
       s"changesFrom ($fromExclusive) must be <= changesTo ($toInclusive)")
+    // retention guard: refuse expired ranges up front with the earliest
+    // un-expired version, not a missing-file error mid-diff
+    val horizon = ColeVersions.expiryHorizon(table, conf)
+    require(fromExclusive >= horizon,
+      s"change feed range ($fromExclusive, $toInclusive] of $table " +
+        s"starts at or below the expiry horizon v$horizon and is no " +
+        s"longer reconstructible: the earliest un-expired version is " +
+        s"v${horizon + 1} — resynchronize from a snapshot (versionAsOf) " +
+        "and read changes from there")
     require(fromExclusive == 0 || recs.exists(_.version == fromExclusive),
       s"version $fromExclusive does not exist on $table")
     require(recs.exists(_.version == toInclusive),

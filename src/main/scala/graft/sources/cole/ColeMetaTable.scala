@@ -39,7 +39,12 @@ class ColeMetaTable(path: String, kind: String, conf: Configuration)
       StructField("committed_at", TimestampType, nullable = false),
       StructField("operation", StringType, nullable = false),
       StructField("files_added", IntegerType, nullable = false),
-      StructField("files_removed", IntegerType, nullable = false)))
+      StructField("files_removed", IntegerType, nullable = false),
+      // retention visibility for CDC consumers: versions at or below the
+      // expiry horizon are no longer guaranteed reconstructible — the
+      // earliest un-expired version is `MIN(version) WHERE NOT expired`,
+      // the safe floor for a new stream's startingVersion
+      StructField("expired", BooleanType, nullable = false)))
     case "files" => StructType(Seq(
       StructField("file", StringType, nullable = false),
       StructField("partition", StringType, nullable = false),
@@ -74,9 +79,12 @@ class ColeMetaTableScan(path: String, kind: String, tschema: StructType,
     val rows: Array[Array[Any]] = kind match {
       case "history" =>
         if (!ColeVersions.enabled(path, conf)) Array.empty
-        else ColeVersions.records(path, conf).map(r =>
-          Array[Any](r.version, r.ts * 1000L, r.op,
-            r.adds.size, r.removes.size)).toArray
+        else {
+          val horizon = ColeVersions.expiryHorizon(path, conf)
+          ColeVersions.records(path, conf).map(r =>
+            Array[Any](r.version, r.ts * 1000L, r.op,
+              r.adds.size, r.removes.size, r.version <= horizon)).toArray
+        }
       case "files" =>
         val (dfs, _) = ColeIO.resolve(path, conf)
         ColeMetaCache.infos(path, conf).map { i =>

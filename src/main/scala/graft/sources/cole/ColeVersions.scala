@@ -723,18 +723,67 @@ object ColeVersions {
     ColeDv.parsePinned(fs, p)._3
   }
 
+  /** The expiry HORIZON: the highest version a vacuum run has declared
+    * expired — versions at or below it are no longer guaranteed
+    * reconstructible (time travel and feed reads fail loudly there);
+    * `horizon + 1` is the EARLIEST UN-EXPIRED version, the safe floor
+    * for a new CDF consumer's `startingVersion` and the value `$history`
+    * surfaces per row as `expired`. 0 = nothing ever expired. Written
+    * monotonically (temp + rename) by [[vacuumRetired]].
+    */
+  def expiryHorizon(table: String, conf: Configuration): Long = {
+    val (fs, _) = ColeIO.resolve(table, conf)
+    val p = new HPath(vdir(table), HorizonFile)
+    if (!fs.exists(p)) return 0L
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong
+    finally in.close()
+  }
+
+  private val HorizonFile = "_expiry_horizon"
+
+  private def writeHorizon(fs: FileSystem, table: String, v: Long): Unit = {
+    val p = new HPath(vdir(table), HorizonFile)
+    val tmp = new HPath(vdir(table), s".$HorizonFile.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, p)) {
+      fs.delete(p, false)
+      require(fs.rename(tmp, p), s"expiry-horizon write failed for $table")
+    }
+  }
+
   /** TTL vacuum of retired bytes: versions whose files were removed
     * before the cutoff are declared expired — their retired files
     * delete, and time travel to them fails loudly thereafter. Live data
     * and younger retired files are never touched. Returns files deleted.
+    *
+    * `keepLast` is the RETENTION FLOOR for live CDF consumers: the most
+    * recent `keepLast` versions never expire regardless of age, so a
+    * maintenance cron with a floor sized to consumer lag can never
+    * expire a lagging stream's unread range out from under it
+    * (`expire_versions('ns.t', hours, keep_last_versions)`). The run
+    * also advances the [[expiryHorizon]] marker, making "earliest
+    * un-expired version" cheap to serve.
     */
   def vacuumRetired(table: String, conf: Configuration,
-      olderThanMs: Long): Int = {
+      olderThanMs: Long, keepLast: Int = 0): Int = {
     val (fs, _) = ColeIO.resolve(table, conf)
     val cutoff = System.currentTimeMillis() - olderThanMs
     var removed = 0
-    val recs = records(table, conf)
-    recs.filter(_.ts < cutoff).foreach { r =>
+    val allRecs = records(table, conf)
+    // the floor: the last keepLast versions stay out of EVERY expiry
+    // pass below (retired bytes, superseded pins, materialized cdf)
+    val floor: Set[Long] =
+      allRecs.sortBy(_.version).takeRight(math.max(0, keepLast))
+        .map(_.version).toSet
+    val recs = allRecs.filterNot(r => floor.contains(r.version))
+    val expired = recs.filter(_.ts < cutoff)
+    expired.map(_.version).maxOption.foreach { h =>
+      if (h > expiryHorizon(table, conf)) writeHorizon(fs, table, h)
+    }
+    expired.foreach { r =>
       r.removes.foreach { case (_, retiredRel) =>
         val p = new HPath(vdir(table), retiredRel)
         if (fs.exists(p)) { fs.delete(p, false); removed += 1 }
@@ -762,7 +811,7 @@ object ColeVersions {
     // retired bytes its diff fallback would need are gone too); younger
     // materializations stay, including their outlives-expiry property
     // for in-horizon commits.
-    recs.filter(_.ts < cutoff).foreach { r =>
+    expired.foreach { r =>
       val cdir = new HPath(new HPath(vdir(table), "cdf"), f"v${r.version}%012d")
       if (fs.exists(cdir)) {
         val it = fs.listFiles(cdir, true)
