@@ -170,7 +170,8 @@ object ColeBucket {
         s"COLE buckets on plain columns, got $t")
       Right((n, t.references.map(_.fieldNames.head).toSeq))
     case other => throw new IllegalArgumentException(
-      s"COLE supports identity and bucket partition transforms, not $other")
+      s"COLE supports identity, bucket, and years/months/days/hours " +
+        s"partition transforms, not $other")
   }
 
   /** Persist the bucket spec sidecar (idempotent overwrite); columns
@@ -443,14 +444,15 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
       // the two); once files exist they are the source of truth
       ColeCatalog.readTableSpec(path, conf) match {
         case Some((schema, partCols)) =>
-          return new ColeTable(schema, partCols, Map("path" -> path), bucketSpec)
+          return new ColeTable(schema, partCols,
+            Map("path" -> path) ++ checkProps(path), bucketSpec)
         case None => throw new NoSuchTableException(ident)
       }
     }
     // hive partition columns append after data columns; the reserved
     // _bucket directory key is layout, not schema
     val partFields = ColeMetaCache.partitionSchema(infos)
-      .filterNot(_._1 == ColeBucket.DirKey)
+      .filterNot(f => ColeTemporal.isLayoutKey(f._1))
       .map { case (k, t) =>
         StructField(k, t match {
           case "int" => IntegerType
@@ -475,8 +477,16 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
       .map(_.copy(nullable = true))
     val schema = StructType(fileFields ++ declaredExtras ++ partFields)
     new ColeTable(schema, partFields.map(_.name),
-      Map("path" -> path), bucketSpec)
+      Map("path" -> path) ++ checkProps(path), bucketSpec)
   }
+
+  /** CHECK constraints as `check.<name>` table properties — DESCRIBE
+    * EXTENDED surfaces what every write enforces.
+    */
+  private def checkProps(path: String): Map[String, String] =
+    ColeChecks.read(path, conf).map { case (n, sql) =>
+      (ColeChecks.PropPrefix + n, sql)
+    }.toMap
 
   /** SQL time travel — `SELECT ... FROM t VERSION AS OF <n>`: the
     * returned table carries the pinned version as a property, its schema
@@ -509,7 +519,7 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
           "TBLPROPERTIES ('versioned'='true') at CREATE TABLE")
     val infos = ColeVersions.snapshotInfos(path, conf, version)
     val partFields = ColeMetaCache.partitionSchema(infos)
-      .filterNot(_._1 == ColeBucket.DirKey)
+      .filterNot(f => ColeTemporal.isLayoutKey(f._1))
       .map { case (k, t) =>
         StructField(k, t match {
           case "int" => IntegerType
@@ -530,11 +540,20 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
         ColeCatalog.readTableSpec(path, conf).isDefined))
       throw new TableAlreadyExistsException(ident)
     if (!fs.exists(p)) fs.mkdirs(p)
-    // decode transforms: identity → hive partition columns, bucket → spec
+    // decode transforms: identity → hive partition columns, bucket →
+    // spec, years/months/days/hours → temporal derivation
     var partCols = Vector.empty[String]
     var bucketSpec: Option[(Int, Seq[String])] = None
+    var temporal: Option[ColeTemporal.Spec] = None
     partitions.foreach { t =>
-      ColeBucket.decodeTransform(t) match {
+      if (ColeTemporal.Fns.contains(t.name())) {
+        require(temporal.isEmpty, "at most one temporal transform")
+        require(t.references.length == 1 &&
+          t.references.head.fieldNames.length == 1,
+          s"temporal transforms take one plain column, got $t")
+        temporal = Some(ColeTemporal.Spec(t.name(),
+          t.references.head.fieldNames.head))
+      } else ColeBucket.decodeTransform(t) match {
         case Left(c) => partCols = partCols :+ c
         case Right(spec) =>
           require(bucketSpec.isEmpty, "at most one bucket transform")
@@ -546,6 +565,19 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
     // INSERT is a trap) — reject the combination at declaration time
     require(partCols.isEmpty || bucketSpec.isEmpty,
       "COLE tables are either hive-partitioned or hash-bucketed, not both")
+    require(temporal.isEmpty || bucketSpec.isEmpty,
+      "COLE tables are either temporally partitioned or hash-bucketed, not both")
+    temporal.foreach { sp =>
+      // the source stays a DATA column; validate its declaration eagerly
+      val f = schema.fields.find(_.name == sp.src).getOrElse(
+        throw new IllegalArgumentException(
+          s"temporal partition source '${sp.src}' not in the table schema"))
+      require(f.dataType == TimestampType || f.dataType == TimestampNTZType,
+        s"temporal partition source '${sp.src}' must be a timestamp, is ${f.dataType}")
+      require(!partCols.contains(sp.src),
+        s"'${sp.src}' cannot be both an identity and a temporal partition column")
+      ColeTemporal.writeSpec(path, conf, sp)
+    }
     bucketSpec.foreach { case (n, cs) => ColeBucket.writeSpec(path, conf, n, cs) }
     // normalize partition columns to the END of the declared schema: once
     // data lands, loadTable resolves partition columns after data columns
@@ -565,6 +597,18 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
     // timestampAsOf reads time-travel it (see ColeVersions)
     if (properties.asScala.get("versioned").exists(_.equalsIgnoreCase("true")))
       ColeVersions.enable(path, conf)
+    // TBLPROPERTIES ('check.<name>' = '<boolean expr>'): CHECK
+    // constraints from birth — compile-validated against the declared
+    // schema here (a CREATE that only fails at first INSERT is a trap),
+    // persisted in the _checks sidecar, enforced on every write path
+    val declaredChecks = properties.asScala.toSeq.collect {
+      case (k, v) if k.startsWith(ColeChecks.PropPrefix) =>
+        (k.stripPrefix(ColeChecks.PropPrefix), v)
+    }.sortBy(_._1)
+    if (declaredChecks.nonEmpty) {
+      ColeChecks.compile(normalized, declaredChecks)
+      ColeChecks.write(path, conf, declaredChecks)
+    }
     new ColeTable(normalized, partCols, properties.asScala.toMap + ("path" -> path),
       bucketSpec)
   }
@@ -580,11 +624,52 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
     val path = tablePath(ident)
     val current = loadTable(ident).asInstanceOf[ColeTable]
     val partCols = ColeMetaCache.partitionSchema(ColeMetaCache.infos(path, conf))
-      .map(_._1).filterNot(_ == ColeBucket.DirKey) match {
+      .map(_._1).filterNot(ColeTemporal.isLayoutKey) match {
       case s if s.nonEmpty => s
       case _ => ColeCatalog.readTableSpec(path, conf).map(_._2).getOrElse(Seq.empty)
     }
     val alreadyDropped = ColeCatalog.droppedColumns(path, conf)
+    // `ALTER TABLE t SET/UNSET TBLPROPERTIES ('check.<name>' = ...)`:
+    // add or drop CHECK constraints after creation. Adding one to a
+    // POPULATED table first validates every existing row (one scan) and
+    // rejects if any violates — a declared constraint is a trusted
+    // invariant from the moment it exists, Delta's ADD CONSTRAINT
+    // discipline.
+    val checkSets = changes.collect {
+      case sp: TableChange.SetProperty
+          if sp.property.startsWith(ColeChecks.PropPrefix) =>
+        (sp.property.stripPrefix(ColeChecks.PropPrefix), sp.value)
+    }
+    val checkRemoves = changes.collect {
+      case rp: TableChange.RemoveProperty
+          if rp.property.startsWith(ColeChecks.PropPrefix) =>
+        rp.property.stripPrefix(ColeChecks.PropPrefix)
+    }
+    if (checkSets.nonEmpty || checkRemoves.nonEmpty) {
+      checkRemoves.foreach { n =>
+        require(ColeChecks.read(path, conf).exists(_._1 == n),
+          s"no CHECK constraint named '$n' on ${ident.name()}")
+      }
+      checkSets.foreach { case (n, sql) =>
+        ColeChecks.compile(current.schema(), Seq((n, sql)))
+        if (ColeMetaCache.infos(path, conf).nonEmpty) {
+          val bad = org.apache.spark.sql.SparkSession.active.read
+            .format("cole").load(path).where(s"($sql) <=> false").count()
+          require(bad == 0, s"cannot add CHECK constraint '$n' ($sql) to " +
+            s"${ident.name()}: $bad existing rows violate it — clean the " +
+            "data first, a declared constraint must already hold")
+        }
+      }
+      val merged = ColeChecks.read(path, conf)
+        .filterNot { case (n, _) =>
+          checkRemoves.contains(n) || checkSets.exists(_._1 == n) } ++
+        checkSets
+      ColeChecks.write(path, conf, merged)
+      // property-only ALTER: done — don't touch the column machinery
+      if (changes.forall(c => c.isInstanceOf[TableChange.SetProperty] ||
+          c.isInstanceOf[TableChange.RemoveProperty]))
+        return loadTable(ident)
+    }
     val added = changes.collect {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
@@ -662,9 +747,17 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
     val unsupported = changes.filterNot(c =>
       c.isInstanceOf[TableChange.AddColumn] ||
         c.isInstanceOf[TableChange.DeleteColumn] ||
-        c.isInstanceOf[TableChange.RenameColumn])
+        c.isInstanceOf[TableChange.RenameColumn] ||
+        (c match { // CHECK-constraint properties, handled above
+          case sp: TableChange.SetProperty =>
+            sp.property.startsWith(ColeChecks.PropPrefix)
+          case rp: TableChange.RemoveProperty =>
+            rp.property.startsWith(ColeChecks.PropPrefix)
+          case _ => false
+        }))
     require(unsupported.isEmpty,
-      s"COLE tables support ALTER TABLE ADD/DROP/RENAME COLUMN only; for " +
+      s"COLE tables support ALTER TABLE ADD/DROP/RENAME COLUMN and " +
+        s"SET/UNSET TBLPROPERTIES ('check.*') only; for " +
         s"${unsupported.mkString(", ")} rewrite the table (read-time union " +
         "handles file-level evolution)")
     // a new column must not collide with a rename SOURCE still stored in
@@ -685,6 +778,20 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
     // persist: data columns + new columns, partition columns kept last
     val dataFields = remaining.filterNot(f => partCols.contains(f.name))
     val partFields = partCols.flatMap(c => remaining.find(_.name == c))
+    // a DROP/RENAME must not orphan a CHECK constraint: every declared
+    // check has to still compile against the post-alter schema — the
+    // alternative is a constraint that silently stops guarding and then
+    // fails some unrelated INSERT with a resolution error
+    ColeChecks.read(path, conf).foreach { case (n, sql) =>
+      try ColeChecks.compile(
+        StructType(dataFields ++ added ++ partFields), Seq((n, sql)))
+      catch {
+        case e: IllegalArgumentException => throw new IllegalArgumentException(
+          s"cannot alter ${ident.name()}: CHECK constraint '$n' ($sql) " +
+            "references an altered column — drop the constraint first " +
+            s"(ALTER TABLE ... UNSET TBLPROPERTIES ('check.$n'))", e)
+      }
+    }
     ColeCatalog.writeTableSpec(path, conf,
       StructType(dataFields ++ added ++ partFields), partCols,
       alreadyDropped ++ droppedNow, renameMap)
@@ -733,7 +840,8 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
     if (namespace.toSeq == Seq("system"))
       Array("versioning", "rollback", "expire_versions", "vacuum", "compact",
         "compact_debt", "audit", "repair", "zorder", "bloom_index",
-        "delete_mode", "materialize_cdf")
+        "delete_mode", "materialize_cdf", "cdf_consumers",
+        "unregister_cdf_consumer")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -765,6 +873,20 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
         Array(Array[Any](ColeVersions.vacuumRetired(
           procTablePath(in.getString(0)), conf,
           in.getLong(1) * 3600_000L, in.getLong(2).toInt).toLong))
+      }
+      case "cdf_consumers" => procedure("cdf_consumers", tableArg,
+        StructType(Seq(
+          StructField("consumer_id", StringType),
+          StructField("last_committed_version", LongType)))) { in =>
+        ColeVersions.consumerWatermarks(procTablePath(in.getString(0)), conf)
+          .toArray.sortBy(_._1).map { case (id, v) =>
+            Array[Any](UTF8String.fromString(id), v) }
+      }
+      case "unregister_cdf_consumer" => procedure("unregister_cdf_consumer",
+        tableArg :+ ("consumer_id" -> (StringType: DataType)),
+        StructType(Seq(StructField("existed", BooleanType)))) { in =>
+        Array(Array[Any](ColeVersions.unregisterConsumer(
+          procTablePath(in.getString(0)), conf, in.getString(1))))
       }
       case "vacuum" => procedure("vacuum",
         tableArg :+ ("older_than_hours" -> (LongType: DataType)),

@@ -74,6 +74,18 @@ object ColeCdfStream {
     */
   val MaxCommitsKey = "maxCommitsPerTrigger"
 
+  /** Named-consumer registration: when set, every committed micro-batch
+    * advances this consumer's low-watermark in the table's version log
+    * (`ColeVersions.registerConsumer`), and `expire_versions` then never
+    * expires a version above the slowest registered consumer — the
+    * retention floor tracks actual consumer progress instead of a
+    * hand-sized `keep_last_versions`. Decommissioned pipelines must
+    * `CALL cole.system.unregister_cdf_consumer('ns.t', 'id')` or they
+    * pin retention forever; `CALL cole.system.cdf_consumers('ns.t')`
+    * lists registrations.
+    */
+  val ConsumerIdKey = "consumerId"
+
   /** The two CDF columns appended after the table's data columns. */
   def cdfFields: Seq[StructField] = Seq(
     StructField(ColeChangeFeed.ChangeTypeCol, StringType, nullable = false),
@@ -220,7 +232,9 @@ class ColeCdfScan(dataSchema: StructType, path: String, conf: Configuration)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     val starting = Option(conf.get(ColeCdfStreamConf.StartKey)).map(_.toLong)
     val maxCommits = conf.getLong(ColeCdfStreamConf.MaxKey, Long.MaxValue)
-    new ColeCdfMicroBatchStream(dataSchema, path, conf, starting, maxCommits)
+    val consumerId = Option(conf.get(ColeCdfStreamConf.ConsumerKey))
+    new ColeCdfMicroBatchStream(dataSchema, path, conf, starting, maxCommits,
+      consumerId)
   }
 }
 
@@ -231,10 +245,12 @@ class ColeCdfScan(dataSchema: StructType, path: String, conf: Configuration)
 object ColeCdfStreamConf {
   val StartKey = "graft.cole.cdf.startingVersion"
   val MaxKey = "graft.cole.cdf.maxCommitsPerTrigger"
+  val ConsumerKey = "graft.cole.cdf.consumerId"
 }
 
 class ColeCdfMicroBatchStream(dataSchema: StructType, path: String,
-    conf: Configuration, startingVersion: Option[Long], maxCommits: Long)
+    conf: Configuration, startingVersion: Option[Long], maxCommits: Long,
+    consumerId: Option[String] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -319,7 +335,7 @@ class ColeCdfMicroBatchStream(dataSchema: StructType, path: String,
   private def innerPartsOf(
       infos: Seq[ColeMetaCache.FileInfo]): Seq[ColeInputPartition] = {
     val partCols = ColeMetaCache.partitionSchema(infos).map(_._1)
-      .filterNot(_ == ColeBucket.DirKey).toSet
+      .filterNot(ColeTemporal.isLayoutKey).toSet
     val required =
       StructType(dataSchema.fields :+ StructField(ColeUtil.PosMetaCol, LongType))
     new ColeScan(dataSchema, required, path, conf, Array.empty,
@@ -425,7 +441,19 @@ class ColeCdfMicroBatchStream(dataSchema: StructType, path: String,
   override def deserializeOffset(json: String): Offset =
     ColeCdfOffset(json.trim.toLong)
 
-  override def commit(end: Offset): Unit = ()
+  /** Spark calls this once a micro-batch is durably committed to the
+    * sink — the exact moment `end` becomes this consumer's safe
+    * low-watermark. A named consumer advances its registration here, so
+    * retention (`expire_versions`) tracks real progress; anonymous
+    * streams rely on `keep_last_versions` sizing instead. Note the
+    * micro-batch protocol delivers this when the NEXT batch is
+    * constructed, so the registered watermark trails the in-flight
+    * batch by one — conservative in the safe direction (retention pins
+    * slightly MORE than strictly needed, never less).
+    */
+  override def commit(end: Offset): Unit =
+    consumerId.foreach(id => ColeVersions.registerConsumer(
+      path, conf, id, end.asInstanceOf[ColeCdfOffset].version))
 
   override def stop(): Unit = ()
 }

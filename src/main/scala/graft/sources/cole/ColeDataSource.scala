@@ -61,7 +61,7 @@ class ColeDataSource extends TableProvider with DataSourceRegister {
     // table stores its bucket column in the data files (the hash is
     // lossy), so the directory key must not surface as a column.
     val partFields = ColeMetaCache.partitionSchema(infos)
-      .filterNot(_._1 == ColeBucket.DirKey).map { case (k, t) =>
+      .filterNot(f => ColeTemporal.isLayoutKey(f._1)).map { case (k, t) =>
       StructField(k, t match {
         case "int" => IntegerType
         case "long" => LongType
@@ -295,7 +295,7 @@ private[cole] object ColeUtil {
 }
 
 class ColeTable(schema: StructType, writePartCols: Seq[String],
-    properties: Map[String, String],
+    props: Map[String, String],
     bucketSpec: Option[(Int, Seq[String])] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.TruncatableTable
@@ -305,6 +305,14 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
 
   def this(schema: StructType, properties: Map[String, String]) =
     this(schema, Seq.empty, properties)
+
+  /** Surface table properties (path, CHECK constraints, pinned
+    * versions) — what DESCRIBE TABLE EXTENDED shows.
+    */
+  override def properties(): java.util.Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    props.asJava
+  }
 
   /** `_cole_file`: the row's source file — the group id of row-level
     * UPDATE/MERGE/DELETE, also selectable directly.
@@ -334,7 +342,7 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
       override def build(): org.apache.spark.sql.connector.write.RowLevelOperation = {
-        val p = properties("path")
+        val p = props("path")
         val conf = ColeIO.driverConf()
         // vector-mode tables run DML merge-on-read (SupportsDelta):
         // changed row ids become deletion-vector ordinals, new images
@@ -360,21 +368,21 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
       // — route to the group-based row-level DELETE instead (always
       // exact: its scan never claims row filters)
       val cols = filters.flatMap(ColePredicate.fromFilter).map(_.column).toSet
-      val infos = ColeMetaCache.infos(properties("path"), ColeIO.driverConf())
+      val infos = ColeMetaCache.infos(props("path"), ColeIO.driverConf())
       (ColeUtil.laneMixedCols(infos) & cols).isEmpty &&
         infos.forall(i => (i.renamed.keySet & cols).isEmpty)
     }
 
   override def deleteWhere(filters: Array[Filter]): Unit =
     ColeDelete.deleteWhere(org.apache.spark.sql.SparkSession.active,
-      properties("path"), filters, writePartCols, ColeIO.driverConf())
+      props("path"), filters, writePartCols, ColeIO.driverConf())
 
   /** SQL `TRUNCATE TABLE`: drop every data file (and bloom sidecar),
     * keep the layout sidecars — the emptied table re-fills under the
     * same partitioning/bucketing contract.
     */
   override def truncateTable(): Boolean = {
-    val path = properties("path")
+    val path = props("path")
     val conf = ColeIO.driverConf()
     // persist the current schema first: once the files (the usual source
     // of truth) are gone, the emptied table must still RESOLVE
@@ -395,7 +403,7 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
     true
   }
 
-  override def name(): String = s"cole:${properties.getOrElse("path", "?")}"
+  override def name(): String = s"cole:${props.getOrElse("path", "?")}"
   override def schema(): StructType = schema
   override def partitioning(): Array[Transform] =
     writePartCols.map(c =>
@@ -412,7 +420,7 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
     // catalog-resolved relations carry no read options — the path then
     // comes from the table properties the catalog installed
     val path = Option(options.get("path"))
-      .orElse(properties.get("path"))
+      .orElse(props.get("path"))
       .getOrElse(ColeUtil.path(options))
     // streaming rate limit rides the conf to the micro-batch stream (the
     // same zero-signature route the writer's compression codec takes)
@@ -433,6 +441,8 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
         .foreach(v => c.set(ColeCdfStreamConf.StartKey, v))
       Option(options.get(ColeCdfStream.MaxCommitsKey))
         .foreach(v => c.set(ColeCdfStreamConf.MaxKey, v))
+      Option(options.get(ColeCdfStream.ConsumerIdKey))
+        .foreach(v => c.set(ColeCdfStreamConf.ConsumerKey, v))
       val dataSchema = ColeCdfStream.stripCdfFields(schema)
       return new ScanBuilder {
         override def build(): Scan = new ColeCdfScan(dataSchema, path, c)
@@ -446,7 +456,7 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
     // ColeVersions.changedFiles) — the batch twin of the tailing source.
     val changesFrom = Option(options.get("changesFrom")).map(_.toLong)
     val snapshot: Option[ColeSnapshot] = ColeUtil.timeTravelVersion(options, path)
-      .orElse(properties.get("versionAsOf").map(_.toLong))
+      .orElse(props.get("versionAsOf").map(_.toLong))
       .map { v =>
         // resolve the bucket-layout sidecar AS OF the pinned version
         // (recorded in the commit log), so the snapshot read keeps
@@ -488,13 +498,13 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
     val dirCols: Set[String] =
       if (infos.isEmpty) writePartCols.toSet
       else ColeMetaCache.partitionSchema(infos).map(_._1)
-        .filterNot(_ == ColeBucket.DirKey).toSet
+        .filterNot(ColeTemporal.isLayoutKey).toSet
     new ColeScanBuilder(schema, path, conf,
       schema.fieldNames.filter(dirCols).toSet, snapshot)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    require(!properties.contains("versionAsOf"),
+    require(!props.contains("versionAsOf"),
       "cannot write to a time-travel snapshot; write to the live table")
     // the compression codec rides the Hadoop conf to the task-side file
     // writers (see ColeFileWriter.CompressKey); default stays the
@@ -514,7 +524,7 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
         c
       }
     }
-    val path = properties.getOrElse("path", info.options().get("path"))
+    val path = props.getOrElse("path", info.options().get("path"))
     // hashed-bucket layout: an explicit bucketBy=<n>:<col> option, the
     // catalog-declared spec, or (append into an existing bucketed table)
     // the _bucketspec sidecar already on disk — later writers MUST route
@@ -544,9 +554,26 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
     }
     require(buckets.isEmpty || writePartCols.isEmpty,
       "COLE tables are either hive-partitioned or hash-bucketed, not both")
+    // temporal layout: the explicit partitionByTemporal=<fn>:<col> option
+    // (first write defines it), or the _temporalspec sidecar an earlier
+    // write / CREATE TABLE persisted — appends must keep the layout
+    val temporal = {
+      val declared = Option(info.options().get(ColeTemporal.OptionKey))
+        .map(ColeTemporal.parseOption)
+      val existing = ColeTemporal.readSpec(path, conf)
+      (declared, existing) match {
+        case (Some(d), Some(e)) =>
+          require(d == e, s"write declares temporal layout ${d.fn}:${d.src} " +
+            s"but the table at $path is laid out ${e.fn}:${e.src}")
+          Some(d)
+        case (d, e) => d.orElse(e)
+      }
+    }
+    require(temporal.isEmpty || buckets.isEmpty,
+      "COLE tables are either temporally partitioned or hash-bucketed, not both")
     new ColeWriteBuilder(info.schema(), path,
       info.options().getInt("rowGroupSize", 65536),
-      conf, writePartCols, buckets, derive)
+      conf, writePartCols, buckets, derive, temporal)
   }
 }
 
@@ -1034,6 +1061,12 @@ class ColeAggScan(path: String, conf: Configuration, groupCols: Seq[String],
   private val (partPreds, preds) =
     allPreds.partition(p => partCols.contains(p.column))
 
+  // temporal layout: the same derived-ordinal pruning as the row scan —
+  // a filtered pushed aggregate over a ts range plans only touched
+  // directories (conservative; original preds stay in the data set)
+  private val temporalPreds = ColeTemporal.derivePartPreds(
+    preds.toSeq, ColeTemporal.readSpec(path, conf))
+
   private def partitionKeeps(p: ColePredicate, raw: String): Boolean =
     ColePredicate.partitionKeeps(p, raw)
 
@@ -1093,6 +1126,8 @@ class ColeAggScan(path: String, conf: Configuration, groupCols: Seq[String],
           !pv.get(ColeBucket.DirKey).exists(ks.contains))) Seq.empty
       else if (!partPreds.forall(p => pv.get(p.column).exists(partitionKeeps(p, _))))
         Seq.empty
+      else if (!temporalPreds.forall(p =>
+          pv.get(p.column).forall(partitionKeeps(p, _)))) Seq.empty
       else {
         val meta = info.meta
         val nameToIdx = meta.columns.map(_.name).zipWithIndex.toMap
@@ -2743,7 +2778,14 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
           Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(n, cs: _*)),
           tableInfos.map(_.partValues).distinct.size)
       case _ =>
-        if (partKeySchema.isEmpty)
+        // a temporal-derived key is not a schema column: an identity
+        // report on it would fail resolution, and a days()/hours()
+        // transform report would claim Spark's OWN transform value
+        // domain (session-timezone epoch units, Int-typed) for our
+        // UTC-Long ordinals — withdraw the SPJ claim instead; dir
+        // pruning (the layout's actual point) is unaffected
+        if (partKeySchema.isEmpty ||
+            partKeySchema.exists(k => ColeTemporal.isDerivedKey(k._1)))
           new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
         else new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
           partKeySchema.map(k =>
@@ -2876,6 +2918,14 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
     val (partPreds, preds) =
       filters.flatMap(ColePredicate.fromFilter).partition(p => partCols.contains(p.column))
     val (partRuntime, dataRuntime) = runtimeIn.partition(p => partCols.contains(p.column))
+    // temporal layout: claimed predicates on the source timestamp imply
+    // predicates on its derived unit-ordinal directory — a ts range over
+    // a years-long table plans only the touched days' directories. The
+    // ORIGINAL predicates stay in the data set (stats + row-exact
+    // selection make the boundary exact); files without the derived key
+    // (pre-layout tail of a path-based table) are never pruned by these
+    val temporalPreds = ColeTemporal.derivePartPreds(
+      (preds ++ dataRuntime).toSeq, ColeTemporal.readSpec(path, conf))
     // `_cole_file` (SupportsMetadataColumns): a per-file constant served
     // through the partition-value mechanism, never a footer column
     val wantFileCol = required.fieldNames.contains(ColeUtil.FileMetaCol)
@@ -2940,6 +2990,10 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
           !pv.get(ColeBucket.DirKey).exists(ks.contains))) Seq.empty
       else if (!(partPreds ++ partRuntime).forall(p =>
           pv.get(p.column).exists(partitionKeeps(p, _)))) Seq.empty
+      // derived temporal preds: prune only files CARRYING the derived
+      // key (forall on the option — absent key keeps the file)
+      else if (!temporalPreds.forall(p =>
+          pv.get(p.column).forall(partitionKeeps(p, _)))) Seq.empty
       else {
         val meta = info.meta
         val nameToIdx = meta.columns.map(_.name).zipWithIndex.toMap
@@ -3687,7 +3741,8 @@ class ColeRowReader(part: ColeInputPartition, required: StructType,
 class ColeWriteBuilder(schema: StructType, path: String, rowGroupSize: Int,
     conf: Configuration, partCols: Seq[String] = Seq.empty,
     bucketSpec: Option[(Int, Seq[String])] = None,
-    bucketDerive: Option[(String, Seq[String])] = None)
+    bucketDerive: Option[(String, Seq[String])] = None,
+    temporal: Option[ColeTemporal.Spec] = None)
     extends WriteBuilder with SupportsTruncate with SupportsOverwrite
     with SupportsDynamicOverwrite {
 
@@ -3803,12 +3858,13 @@ class ColeWriteBuilder(schema: StructType, path: String, rowGroupSize: Int,
       case None => new Write {
         override def toBatch: BatchWrite =
           new ColeBatchWrite(schema, path, rowGroupSize, doTruncate, conf, partCols,
-            bucketSpec, dynamicOverwrite, overwriteFilters)
+            bucketSpec, dynamicOverwrite, overwriteFilters, temporal = temporal)
         override def toStreaming: StreamingWrite = {
           if (doTruncate || dynamicOverwrite || overwriteFilters.nonEmpty)
             throw new UnsupportedOperationException(
               "the cole streaming sink supports Append output mode only")
-          new ColeStreamingWrite(schema, path, rowGroupSize, conf, partCols, bucketSpec)
+          new ColeStreamingWrite(schema, path, rowGroupSize, conf, partCols,
+            bucketSpec, temporal = temporal)
         }
       }
     }
@@ -3822,7 +3878,8 @@ class ColeBatchWrite(schema: StructType, path: String, rowGroupSize: Int,
     bucketSpec: Option[(Int, Seq[String])] = None,
     dynamicOverwrite: Boolean = false,
     overwriteFilters: Array[Filter] = Array.empty,
-    bucketDerive: Option[(String, Seq[String])] = None)
+    bucketDerive: Option[(String, Seq[String])] = None,
+    temporal: Option[ColeTemporal.Spec] = None)
     extends BatchWrite {
 
   // versioning bookkeeping (no-ops on unversioned tables): files the
@@ -3898,13 +3955,24 @@ class ColeBatchWrite(schema: StructType, path: String, rowGroupSize: Int,
         }
       }
     }
-    // the layout self-describes: persist the bucket spec BEFORE any data
-    // lands, so a concurrent reader never sees bucketed files without the
-    // sidecar that explains them
+    temporal.foreach { sp =>
+      val f = schema.fields.find(_.name == sp.src).getOrElse(
+        throw new IllegalArgumentException(
+          s"temporal partition source '${sp.src}' not in write schema"))
+      require(f.dataType == TimestampType || f.dataType == TimestampNTZType,
+        s"temporal partition source '${sp.src}' must be a timestamp, is ${f.dataType}")
+    }
+    // the layout self-describes: persist the bucket/temporal spec BEFORE
+    // any data lands, so a concurrent reader never sees derived-layout
+    // files without the sidecar that explains them
     bucketSpec.foreach { case (n, cs) =>
       ColeBucket.writeSpec(path, conf, n, cs, bucketDerive) }
+    temporal.foreach(ColeTemporal.writeSpec(path, conf, _))
     new ColeWriterFactory(schema, path, rowGroupSize, new ColeHadoopConf(conf),
-      partCols, bucketSpec, bucketDerive)
+      partCols, bucketSpec, bucketDerive,
+      // CHECK constraints compile once here on the driver; executors
+      // evaluate bound predicates per row (identity when none declared)
+      ColeChecks.forWrite(path, conf, schema), temporal)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -3964,21 +4032,23 @@ class ColeBatchWrite(schema: StructType, path: String, rowGroupSize: Int,
 class ColeWriterFactory(schema: StructType, path: String, rowGroupSize: Int,
     hconf: ColeHadoopConf, partCols: Seq[String] = Seq.empty,
     bucketSpec: Option[(Int, Seq[String])] = None,
-    bucketDerive: Option[(String, Seq[String])] = None)
+    bucketDerive: Option[(String, Seq[String])] = None,
+    checks: Array[CompiledCheck] = Array.empty,
+    temporal: Option[ColeTemporal.Spec] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    bucketSpec match {
+    ColeChecks.wrap(bucketSpec match {
       case Some((n, c)) =>
         new ColeBucketedDataWriter(schema, path, partitionId, taskId,
           rowGroupSize, hconf.value, n,
           bucketDerive.map(_._2).getOrElse(c), bucketDerive.map(_._1))
-      case None if partCols.isEmpty =>
+      case None if partCols.isEmpty && temporal.isEmpty =>
         new ColeDataWriter(schema, f"$path/part-$partitionId%05d-$taskId.col",
           rowGroupSize, hconf.value)
       case None =>
         new ColePartitionedDataWriter(schema, path, partitionId, taskId,
-          rowGroupSize, hconf.value, partCols)
-    }
+          rowGroupSize, hconf.value, partCols, temporal)
+    }, checks, schema)
 }
 
 /** Hashed-bucket writer: routes each row to `_bucket=<b>/` by the shared
@@ -4093,7 +4163,8 @@ object ColePartitionedDataWriter { val MaxOpenWriters = 256 }
 class ColePartitionedDataWriter(schema: StructType, protected val baseDir: String,
     protected val partitionId: Int, protected val taskId: Long,
     rowGroupSize: Int, conf: Configuration,
-    partCols: Seq[String]) extends DataWriter[InternalRow] {
+    partCols: Seq[String],
+    temporal: Option[ColeTemporal.Spec] = None) extends DataWriter[InternalRow] {
 
   /** Name of the k-th file this task opens under partition directory
     * `dir` — the streaming writer overrides this with epoch-deterministic
@@ -4107,11 +4178,26 @@ class ColePartitionedDataWriter(schema: StructType, protected val baseDir: Strin
     schema.fields.indices.filterNot(partIdx.contains(_)).toArray
   private val dataSchema = StructType(dataIdx.map(schema.fields(_)))
 
+  // temporal transform: the source timestamp column STAYS a data column
+  // (stored in the files); only its derived unit ordinal routes the row
+  // to a `_t_<fn>_<col>=<ordinal>/` layout directory
+  private val temporalIdx: Int = temporal.fold(-1) { t =>
+    val i = schema.fieldIndex(t.src)
+    schema.fields(i).dataType match {
+      case TimestampType | TimestampNTZType => ()
+      case other => throw new IllegalArgumentException(
+        s"temporal partition source '${t.src}' must be a timestamp, is $other")
+    }
+    require(!partCols.contains(t.src),
+      s"'${t.src}' cannot be both an identity and a temporal partition column")
+    i
+  }
+
   private val writers = scala.collection.mutable.LinkedHashMap.empty[String, ColeDataWriter]
   private val closedFiles = scala.collection.mutable.ArrayBuffer.empty[String]
 
-  private def partDir(record: InternalRow): String =
-    partIdx.zipWithIndex.map { case (fi, i) =>
+  private def partDir(record: InternalRow): String = {
+    val identity = partIdx.zipWithIndex.map { case (fi, i) =>
       if (record.isNullAt(fi))
         throw new ColeFormatException(
           s"COLE format does not support NULLs (partition column '${partCols(i)}')")
@@ -4123,7 +4209,15 @@ class ColePartitionedDataWriter(schema: StructType, protected val baseDir: Strin
           s"COLE partition columns must be INT/LONG/STRING; '${partCols(i)}' is $other")
       }
       s"${partCols(i)}=${ColeIO.escape(raw)}"
-    }.mkString("/")
+    }
+    val derived = temporal.map { t =>
+      if (record.isNullAt(temporalIdx))
+        throw new ColeFormatException(
+          s"COLE format does not support NULLs (temporal partition source '${t.src}')")
+      s"${t.dirKey}=${t.ordinal(record.getLong(temporalIdx))}"
+    }
+    (identity ++ derived).mkString("/")
+  }
 
   override def write(record: InternalRow): Unit = {
     val dir = partDir(record)
@@ -4763,7 +4857,8 @@ object ColeStreamingWrite {
 class ColeStreamingWrite(schema: StructType, path: String, rowGroupSize: Int,
     conf: Configuration, partCols: Seq[String],
     bucketSpec: Option[(Int, Seq[String])] = None,
-    bucketDerive: Option[(String, Seq[String])] = None) extends StreamingWrite {
+    bucketDerive: Option[(String, Seq[String])] = None,
+    temporal: Option[ColeTemporal.Spec] = None) extends StreamingWrite {
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
@@ -4801,8 +4896,12 @@ class ColeStreamingWrite(schema: StructType, path: String, rowGroupSize: Int,
     // tailing the growing table can prove co-partitioning from epoch one
     bucketSpec.foreach { case (n, cs) =>
       ColeBucket.writeSpec(path, conf, n, cs, bucketDerive) }
+    temporal.foreach(ColeTemporal.writeSpec(path, conf, _))
     new ColeStreamingWriterFactory(schema, path, rowGroupSize,
-      new ColeHadoopConf(conf), partCols, bucketSpec, bucketDerive)
+      new ColeHadoopConf(conf), partCols, bucketSpec, bucketDerive,
+      // CHECK constraints hold for streamed rows too — compiled once per
+      // epoch's factory on the driver, enforced before any byte lands
+      ColeChecks.forWrite(path, conf, schema), temporal)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -4870,24 +4969,26 @@ object ColeStreaming {
 class ColeStreamingWriterFactory(schema: StructType, path: String,
     rowGroupSize: Int, hconf: ColeHadoopConf, partCols: Seq[String],
     bucketSpec: Option[(Int, Seq[String])] = None,
-    bucketDerive: Option[(String, Seq[String])] = None)
+    bucketDerive: Option[(String, Seq[String])] = None,
+    checks: Array[CompiledCheck] = Array.empty,
+    temporal: Option[ColeTemporal.Spec] = None)
     extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    bucketSpec match {
+    ColeChecks.wrap(bucketSpec match {
       case Some((n, c)) =>
         new ColeStreamingBucketedDataWriter(schema, path, partitionId, taskId,
           rowGroupSize, hconf.value, n,
           bucketDerive.map(_._2).getOrElse(c), epochId, bucketDerive.map(_._1))
-      case None if partCols.isEmpty =>
+      case None if partCols.isEmpty && temporal.isEmpty =>
         val tmp =
           f"$path/.part-e$epochId%d-p$partitionId%05d-0.col.inprogress-$taskId"
         new ColeStreamingDataWriter(schema, tmp, taskId, rowGroupSize, hconf.value)
       case None =>
         new ColeStreamingPartitionedDataWriter(schema, path, partitionId, taskId,
-          rowGroupSize, hconf.value, partCols, epochId)
-    }
+          rowGroupSize, hconf.value, partCols, epochId, temporal)
+    }, checks, schema)
 }
 
 /** Unpartitioned streaming task writer: one dotted in-progress file,
@@ -4934,9 +5035,10 @@ class ColeStreamingBucketedDataWriter(schema: StructType, baseDir0: String,
   */
 class ColeStreamingPartitionedDataWriter(schema: StructType, baseDir: String,
     partitionId: Int, taskId: Long, rowGroupSize: Int, conf: Configuration,
-    partCols: Seq[String], epochId: Long)
+    partCols: Seq[String], epochId: Long,
+    temporal: Option[ColeTemporal.Spec] = None)
     extends ColePartitionedDataWriter(schema, baseDir, partitionId, taskId,
-      rowGroupSize, conf, partCols) {
+      rowGroupSize, conf, partCols, temporal) {
 
   override protected def fileName(dir: String, k: Int): String =
     f"$baseDir/$dir/.part-e$epochId%d-p$partitionId%05d-$k%d.col.inprogress-$taskId"

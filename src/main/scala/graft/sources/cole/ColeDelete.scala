@@ -216,7 +216,7 @@ object ColeDelete {
     if (dropped.size + emptied.size == infos.size) {
       import org.apache.spark.sql.types._
       val partFields = ColeMetaCache.partitionSchema(infos)
-        .filterNot(_._1 == ColeBucket.DirKey)
+        .filterNot(f => ColeTemporal.isLayoutKey(f._1))
         .map { case (k, t) =>
           StructField(k, t match {
             case "int" => IntegerType

@@ -107,7 +107,12 @@ class ColeDeltaWriteImpl(op: ColeRowLevelOperation, schema: StructType,
         new ColeHadoopConf(wconf), partCols, bucketSpec,
         // the delta row schema carries the table's stored columns —
         // synthetic bucket keys recompute in place like the replace path
-        bucketDerive))
+        bucketDerive,
+        // CHECK constraints hold for merge-on-read DML too: inserted and
+        // post-image rows validate before any delta file lands
+        ColeChecks.forWrite(path, conf, schema),
+        // temporal layouts re-derive for new-image files
+        ColeTemporal.readSpec(path, conf)))
     new ColeDeltaWriterFactory(inner)
   }
 

@@ -432,7 +432,14 @@ class ColeReplaceWrite(op: ColeRowLevelOperation, schema: StructType,
     wconf.setBoolean(ColeFileWriter.DeferRenameKey, true)
     new ColeHashingWriterFactory(
       new ColeWriterFactory(schema, path, rowGroupSize, new ColeHadoopConf(wconf),
-        partCols, bucketSpec, bucketDerive), schema)
+        partCols, bucketSpec, bucketDerive,
+        // CHECK constraints hold through UPDATE/MERGE rewrites: every
+        // written row (updated or copied) re-validates before commit
+        ColeChecks.forWrite(path, conf, schema),
+        // temporal layouts re-derive: a rewritten row routes back to its
+        // unit directory (or its NEW one when the UPDATE moved the
+        // timestamp) — layout invariants survive DML
+        ColeTemporal.readSpec(path, conf)), schema)
   }
 
   /** `dir/.NAME.inprogress` → `dir/replace-<stamp>-NAME`. The stamp makes

@@ -742,6 +742,63 @@ object ColeVersions {
 
   private val HorizonFile = "_expiry_horizon"
 
+  private val ConsumersDir = "_consumers"
+
+  /** Register (or advance) a named CDF consumer's low-watermark: the
+    * highest commit version the consumer has durably PROCESSED.
+    * Versions at or below the minimum registered watermark are fair
+    * game for retention; everything above it is pinned — so a
+    * maintenance cron can run `expire_versions` with an aggressive TTL
+    * and still never expire a lagging stream's unread range. The CDF
+    * stream advances this automatically per committed micro-batch when
+    * opened with the `consumerId` option; monotonic (a replayed batch
+    * never regresses it), one tiny file per consumer, temp + rename.
+    */
+  def registerConsumer(table: String, conf: Configuration, id: String,
+      version: Long): Unit = {
+    require(id.nonEmpty && id.forall(c => c.isLetterOrDigit || "._-".contains(c)),
+      s"consumerId '$id' must be non-empty [A-Za-z0-9._-]")
+    val (fs, _) = ColeIO.resolve(table, conf)
+    val dir = new HPath(vdir(table), ConsumersDir)
+    val p = new HPath(dir, id)
+    val cur = consumerWatermarks(table, conf).getOrElse(id, -1L)
+    if (version <= cur) return
+    fs.mkdirs(dir)
+    val tmp = new HPath(dir, s".$id.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(version.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, p)) {
+      fs.delete(p, false)
+      require(fs.rename(tmp, p), s"consumer watermark write failed for $id")
+    }
+  }
+
+  /** Registered CDF consumers: id → last durably processed version. */
+  def consumerWatermarks(table: String,
+      conf: Configuration): Map[String, Long] = {
+    val (fs, _) = ColeIO.resolve(table, conf)
+    val dir = new HPath(vdir(table), ConsumersDir)
+    if (!fs.exists(dir)) return Map.empty
+    fs.listStatus(dir).iterator
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("."))
+      .map { st =>
+        val in = fs.open(st.getPath)
+        val v = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+          .trim.toLong finally in.close()
+        (st.getPath.getName, v)
+      }.toMap
+  }
+
+  /** Drop a consumer's registration (a decommissioned pipeline must not
+    * pin retention forever). Returns whether it existed.
+    */
+  def unregisterConsumer(table: String, conf: Configuration,
+      id: String): Boolean = {
+    val (fs, _) = ColeIO.resolve(table, conf)
+    fs.delete(new HPath(new HPath(vdir(table), ConsumersDir), id), false)
+  }
+
   private def writeHorizon(fs: FileSystem, table: String, v: Long): Unit = {
     val p = new HPath(vdir(table), HorizonFile)
     val tmp = new HPath(vdir(table), s".$HorizonFile.tmp")
@@ -778,8 +835,13 @@ object ColeVersions {
     val floor: Set[Long] =
       allRecs.sortBy(_.version).takeRight(math.max(0, keepLast))
         .map(_.version).toSet
+    // registered CDF consumers pin everything ABOVE the slowest one's
+    // watermark: a lagging stream's unread range survives any TTL
+    // without the operator having to size keepLast by hand
+    val consumerCap: Long = consumerWatermarks(table, conf).values
+      .minOption.getOrElse(Long.MaxValue)
     val recs = allRecs.filterNot(r => floor.contains(r.version))
-    val expired = recs.filter(_.ts < cutoff)
+    val expired = recs.filter(r => r.ts < cutoff && r.version <= consumerCap)
     expired.map(_.version).maxOption.foreach { h =>
       if (h > expiryHorizon(table, conf)) writeHorizon(fs, table, h)
     }

@@ -218,7 +218,7 @@ class ColeCatalogSpec extends AnyFunSuite {
       Seq("id", "label", "score"))
     val e = intercept[Exception](
       spark.sql("ALTER TABLE cwh.db.alt ALTER COLUMN id TYPE STRING"))
-    assert(e.getMessage.contains("ADD/DROP/RENAME COLUMN only"), e.getMessage)
+    assert(e.getMessage.contains("ADD/DROP/RENAME COLUMN"), e.getMessage)
     // non-nullable adds are rejected (cannot backfill)
     val e2 = intercept[Exception](
       spark.sql("ALTER TABLE cwh.db.alt ADD COLUMN req INT NOT NULL"))
