@@ -426,9 +426,10 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
 
   override def loadTable(ident: Identifier): Table = {
     // Iceberg-style metadata tables: `SELECT * FROM cole.ns.`t$history``
-    // (version log) and `t$files` (live file inventory) — warehouse
-    // introspection as plain SQL, no API required
-    if (ident.name().endsWith("$history") || ident.name().endsWith("$files")) {
+    // (version log), `t$files` (live file inventory), and `t$partitions`
+    // (per-directory rollup) — warehouse introspection as plain SQL
+    if (ident.name().endsWith("$history") || ident.name().endsWith("$files") ||
+        ident.name().endsWith("$partitions")) {
       val dollar = ident.name().lastIndexOf('$')
       val base = Identifier.of(ident.namespace(), ident.name().substring(0, dollar))
       val kind = ident.name().substring(dollar + 1)

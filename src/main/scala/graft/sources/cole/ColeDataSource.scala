@@ -571,9 +571,21 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
     }
     require(temporal.isEmpty || buckets.isEmpty,
       "COLE tables are either temporally partitioned or hash-bucketed, not both")
+    // sortBy=<col1>[,col2...]: request in-partition ordering for this
+    // write — each emitted file lands SORTED on the key, so DELTA
+    // encodings and tight page stats make range predicates prune row
+    // groups inside every file (the bucketBy().sortBy() benefit without
+    // buckets; bucketed layouts already sort via their own required
+    // ordering). Opt-in per write: no layout state, no append coupling.
+    val sortBy = Option(info.options().get("sortBy")).toSeq
+      .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+    sortBy.foreach(c => require(info.schema().fieldNames.contains(c),
+      s"sortBy column '$c' not in write schema"))
+    require(sortBy.isEmpty || buckets.isEmpty,
+      "bucketed writes already sort by their bucket keys; drop sortBy")
     new ColeWriteBuilder(info.schema(), path,
       info.options().getInt("rowGroupSize", 65536),
-      conf, writePartCols, buckets, derive, temporal)
+      conf, writePartCols, buckets, derive, temporal, sortBy)
   }
 }
 
@@ -3742,7 +3754,8 @@ class ColeWriteBuilder(schema: StructType, path: String, rowGroupSize: Int,
     conf: Configuration, partCols: Seq[String] = Seq.empty,
     bucketSpec: Option[(Int, Seq[String])] = None,
     bucketDerive: Option[(String, Seq[String])] = None,
-    temporal: Option[ColeTemporal.Spec] = None)
+    temporal: Option[ColeTemporal.Spec] = None,
+    sortBy: Seq[String] = Seq.empty)
     extends WriteBuilder with SupportsTruncate with SupportsOverwrite
     with SupportsDynamicOverwrite {
 
@@ -3855,7 +3868,36 @@ class ColeWriteBuilder(schema: StructType, path: String, rowGroupSize: Int,
               bucketSpec, bucketDerive)
           }
         }
-      case None => new Write {
+      case None =>
+        // in-partition ordering request: partition keys first (each
+        // task's rows arrive grouped per directory — one open sub-writer
+        // at a time), then the sort keys — every emitted file lands
+        // sorted without any exchange (SortExec per task)
+        val ordering: Seq[String] = (if (sortBy.nonEmpty)
+          partCols ++ temporal.map(_.src).filterNot(partCols.contains)
+        else Seq.empty) ++ sortBy
+        if (ordering.nonEmpty)
+          new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+            import org.apache.spark.sql.connector.expressions.{Expressions => E}
+            override def requiredDistribution()
+                : org.apache.spark.sql.connector.distributions.Distribution =
+              org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+            override def requiredOrdering()
+                : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+              ordering.distinct.map(c => E.sort(E.column(c),
+                org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
+            override def toBatch: BatchWrite =
+              new ColeBatchWrite(schema, path, rowGroupSize, doTruncate, conf, partCols,
+                bucketSpec, dynamicOverwrite, overwriteFilters, temporal = temporal)
+            override def toStreaming: StreamingWrite = {
+              if (doTruncate || dynamicOverwrite || overwriteFilters.nonEmpty)
+                throw new UnsupportedOperationException(
+                  "the cole streaming sink supports Append output mode only")
+              new ColeStreamingWrite(schema, path, rowGroupSize, conf, partCols,
+                bucketSpec, temporal = temporal)
+            }
+          }
+        else new Write {
         override def toBatch: BatchWrite =
           new ColeBatchWrite(schema, path, rowGroupSize, doTruncate, conf, partCols,
             bucketSpec, dynamicOverwrite, overwriteFilters, temporal = temporal)

@@ -56,8 +56,18 @@ class ColeMetaTable(path: String, kind: String, conf: Configuration)
       // does this table carry?" is a SQL aggregate away
       StructField("deleted_rows", LongType, nullable = false),
       StructField("live_rows", LongType, nullable = false)))
+    // the per-PARTITION rollup of $files: layout health at directory
+    // grain — "which days are fragmented / carry vector debt / are
+    // oversized?" for identity, bucket, and temporal layouts alike
+    case "partitions" => StructType(Seq(
+      StructField("partition", StringType, nullable = false),
+      StructField("files", IntegerType, nullable = false),
+      StructField("size_bytes", LongType, nullable = false),
+      StructField("row_count", LongType, nullable = false),
+      StructField("deleted_rows", LongType, nullable = false),
+      StructField("live_rows", LongType, nullable = false)))
     case other => throw new IllegalArgumentException(
-      s"unknown COLE metadata table '$$${other}' (history|files)")
+      s"unknown COLE metadata table '$$${other}' (history|files|partitions)")
   }
 
   override def capabilities(): util.Set[TableCapability] =
@@ -94,6 +104,16 @@ class ColeMetaTableScan(path: String, kind: String, tschema: StructType,
           Array[Any](i.path, part, i.len, i.meta.totalRows,
             i.meta.rowGroups.size, dv, i.meta.totalRows - dv)
         }.toArray
+      case "partitions" =>
+        val (dfs, _) = ColeIO.resolve(path, conf)
+        ColeMetaCache.infos(path, conf)
+          .groupBy(_.partValues.map { case (k, v) => s"$k=$v" }.mkString("/"))
+          .toArray.sortBy(_._1).map { case (part, is) =>
+            val rows = is.map(_.meta.totalRows).sum
+            val dv = is.map(i => ColeDv.read(dfs, i.path, i.len, i.mtime)
+              .map(_.length.toLong).getOrElse(0L)).sum
+            Array[Any](part, is.size, is.map(_.len).sum, rows, dv, rows - dv)
+          }
     }
     Array(ColeMetaRows(rows))
   }

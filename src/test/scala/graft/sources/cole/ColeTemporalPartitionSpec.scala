@@ -26,8 +26,8 @@ class ColeTemporalPartitionSpec extends AnyFunSuite {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
-    s.conf.set("spark.sql.catalog.twh", "graft.sources.cole.ColeCatalog")
-    s.conf.set("spark.sql.catalog.twh.warehouse", warehouse)
+    s.conf.set("spark.sql.catalog.tpw", "graft.sources.cole.ColeCatalog")
+    s.conf.set("spark.sql.catalog.tpw.warehouse", warehouse)
     s
   }
 
@@ -47,9 +47,9 @@ class ColeTemporalPartitionSpec extends AnyFunSuite {
 
   test("days(ts) routes rows to unit directories; the derived key is layout, not schema") {
     val s = spark
-    s.sql("CREATE TABLE twh.db.ev (id BIGINT, ts TIMESTAMP, v INT) " +
+    s.sql("CREATE TABLE tpw.db.ev (id BIGINT, ts TIMESTAMP, v INT) " +
       "PARTITIONED BY (days(ts))")
-    fill("twh.db.ev")
+    fill("tpw.db.ev")
     val t = s"$warehouse/db/ev"
     assert(ColeTemporal.readSpec(t, conf) == Some(ColeTemporal.Spec("days", "ts")))
     val dirs = new java.io.File(t).listFiles().filter(_.isDirectory)
@@ -57,16 +57,16 @@ class ColeTemporalPartitionSpec extends AnyFunSuite {
     // 2024-03-01 = epoch day 19783; ten consecutive days
     assert(dirs.toSeq == (19783L until 19793L).map(d => s"_t_days_ts=$d"))
     // schema: the derived key is NOT a column
-    assert(s.table("twh.db.ev").schema.fieldNames.toSeq == Seq("id", "ts", "v"))
+    assert(s.table("tpw.db.ev").schema.fieldNames.toSeq == Seq("id", "ts", "v"))
     // every row routed to ITS day
-    val mis = s.table("twh.db.ev")
+    val mis = s.table("tpw.db.ev")
       .withColumn("f", col("_cole_file"))
       .collect().count { r =>
         val day = r.getTimestamp(1).toInstant.getEpochSecond / 86400
         !r.getString(3).contains(s"_t_days_ts=$day/")
       }
     assert(mis == 0)
-    assert(s.table("twh.db.ev").count() == 200)
+    assert(s.table("tpw.db.ev").count() == 200)
   }
 
   test("ts predicates prune whole day directories at planning; results stay exact") {
@@ -97,7 +97,7 @@ class ColeTemporalPartitionSpec extends AnyFunSuite {
     // results are row-exact at the boundary (the original predicate
     // still evaluates; the 00:30 base means day 19786 has rows < lo? no:
     // all of 03-04's rows are >= 00:00, so counts must match the full scan)
-    val expect = spark.table("twh.db.ev")
+    val expect = spark.table("tpw.db.ev")
       .filter(col("ts") >= lit(lo) && col("ts") < lit(hi)).count()
     assert(expect == 40)
     assert(spark.read.format("cole").load(t)
@@ -121,21 +121,21 @@ class ColeTemporalPartitionSpec extends AnyFunSuite {
 
   test("parity: identical results to an unpartitioned twin; DML rewrites keep the layout") {
     val s = spark
-    s.sql("CREATE TABLE twh.db.twin (id BIGINT, ts TIMESTAMP, v INT)")
-    fill("twh.db.twin")
-    val a = s.table("twh.db.ev").select("id", "ts", "v").orderBy("id").collect().toSeq
-    val b = s.table("twh.db.twin").select("id", "ts", "v").orderBy("id").collect().toSeq
+    s.sql("CREATE TABLE tpw.db.twin (id BIGINT, ts TIMESTAMP, v INT)")
+    fill("tpw.db.twin")
+    val a = s.table("tpw.db.ev").select("id", "ts", "v").orderBy("id").collect().toSeq
+    val b = s.table("tpw.db.twin").select("id", "ts", "v").orderBy("id").collect().toSeq
     assert(a == b)
     // copy-on-write UPDATE: rewritten rows re-derive their day directory
-    s.sql("UPDATE twh.db.ev SET v = -1 WHERE id = 65")
-    val upd = s.table("twh.db.ev").filter(col("id") === 65)
+    s.sql("UPDATE tpw.db.ev SET v = -1 WHERE id = 65")
+    val upd = s.table("tpw.db.ev").filter(col("id") === 65)
       .withColumn("f", col("_cole_file")).collect()(0)
     assert(upd.getInt(2) == -1)
     assert(upd.getString(3).contains("_t_days_ts=19786/"), upd.getString(3))
-    assert(s.table("twh.db.ev").count() == 200)
+    assert(s.table("tpw.db.ev").count() == 200)
     // an UPDATE that MOVES the timestamp moves the row's directory
-    s.sql("UPDATE twh.db.ev SET ts = TIMESTAMP '2024-04-01 12:00:00Z' WHERE id = 66")
-    val moved = s.table("twh.db.ev").filter(col("id") === 66)
+    s.sql("UPDATE tpw.db.ev SET ts = TIMESTAMP '2024-04-01 12:00:00Z' WHERE id = 66")
+    val moved = s.table("tpw.db.ev").filter(col("id") === 66)
       .withColumn("f", col("_cole_file")).collect()(0)
     assert(moved.getString(3).contains(s"_t_days_ts=${19783 + 31}/"),
       moved.getString(3))
@@ -144,20 +144,20 @@ class ColeTemporalPartitionSpec extends AnyFunSuite {
   test("identity + temporal compose: region dirs nest day dirs") {
     val s = spark
     import s.implicits._
-    s.sql("CREATE TABLE twh.db.rg (id BIGINT, ts TIMESTAMP, region STRING) " +
+    s.sql("CREATE TABLE tpw.db.rg (id BIGINT, ts TIMESTAMP, region STRING) " +
       "PARTITIONED BY (region, days(ts))")
     val base = Instant.parse("2024-01-01T06:00:00Z")
     (0 until 40).map(i => (i.toLong,
         java.sql.Timestamp.from(base.plusSeconds(((i / 2) % 4) * 86400L)),
         if (i % 2 == 0) "eu" else "us"))
-      .toDF("id", "ts", "region").writeTo("twh.db.rg").append()
+      .toDF("id", "ts", "region").writeTo("tpw.db.rg").append()
     val t = s"$warehouse/db/rg"
     val eu = new java.io.File(s"$t/region=eu").listFiles().filter(_.isDirectory)
       .map(_.getName).sorted
     assert(eu.toSeq == (19723L until 19727L).map(d => s"_t_days_ts=$d"))
-    assert(s.table("twh.db.rg").schema.fieldNames.toSeq.sorted ==
+    assert(s.table("tpw.db.rg").schema.fieldNames.toSeq.sorted ==
       Seq("id", "region", "ts"))
-    assert(s.table("twh.db.rg").filter(col("region") === "eu").count() == 20)
+    assert(s.table("tpw.db.rg").filter(col("region") === "eu").count() == 20)
   }
 
   test("path-based writes declare the layout once; appends keep it, conflicts reject") {
@@ -182,6 +182,53 @@ class ColeTemporalPartitionSpec extends AnyFunSuite {
     def chain(x: Throwable): String =
       if (x == null) "" else x.getMessage + " | " + chain(x.getCause)
     assert(chain(e).contains("laid out days:ts"), chain(e))
+  }
+
+  test("$partitions rolls the file inventory up to directory grain") {
+    val rows = spark.sql(
+      "SELECT partition, files, row_count, live_rows " +
+        "FROM tpw.db.`ev$partitions` ORDER BY partition").collect()
+    assert(rows.length == 11, rows.mkString(", ")) // 10 days + the moved row's
+    assert(rows.map(_.getLong(2)).sum == 200)
+    assert(rows.forall(r => r.getString(0).startsWith("_t_days_ts=") &&
+      r.getInt(1) >= 1 && r.getLong(2) == r.getLong(3)))
+    // agrees with $files
+    val fromFiles = spark.sql(
+      "SELECT partition, COUNT(*) c, SUM(row_count) rc " +
+        "FROM tpw.db.`ev$files` GROUP BY partition ORDER BY partition").collect()
+    assert(fromFiles.map(r => (r.getString(0), r.getLong(1).toInt, r.getLong(2))).toSeq ==
+      rows.map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq)
+  }
+
+  test("retention DELETE drops whole day directories without rewriting a byte") {
+    val s = spark
+    s.sql("CREATE TABLE tpw.db.ret (id BIGINT, ts TIMESTAMP, v INT) " +
+      "PARTITIONED BY (days(ts))")
+    fill("tpw.db.ret")
+    val t = s"$warehouse/db/ret"
+    def colFiles(): Map[String, (Long, Long)] = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        d.listFiles().toSeq.flatMap(f =>
+          if (f.isDirectory) walk(f) else Seq(f))
+      walk(new java.io.File(t)).filter(_.getName.endsWith(".col"))
+        .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    }
+    val before = colFiles()
+    // the retention shape: drop the first 3 of 10 days. Footer stats
+    // prove every row of those days' files matches (their max ts <
+    // cutoff), so classification is driver-side metadata and the files
+    // DROP whole — nothing is rewritten, surviving files byte-identical
+    s.sql("DELETE FROM tpw.db.ret WHERE ts < TIMESTAMP '2024-03-04 00:00:00'")
+    assert(s.table("tpw.db.ret").count() == 140)
+    val after = colFiles()
+    val surviving = after.keySet
+    assert(surviving.forall(f => !f.contains("_t_days_ts=19783/") &&
+      !f.contains("_t_days_ts=19784/") && !f.contains("_t_days_ts=19785/")))
+    // zero rewrites: every surviving file is the SAME file
+    surviving.foreach(f => assert(after(f) == before(f), s"$f was rewritten"))
+    assert(before.keySet -- surviving ==
+      before.keySet.filter(f => f.contains("=19783/") ||
+        f.contains("=19784/") || f.contains("=19785/")))
   }
 
   test("ordinal math: hours/months/years, negative epochs, boundaries") {
