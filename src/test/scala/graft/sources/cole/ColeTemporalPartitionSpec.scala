@@ -231,6 +231,32 @@ class ColeTemporalPartitionSpec extends AnyFunSuite {
         f.contains("=19784/") || f.contains("=19785/")))
   }
 
+  test("hours/months/years transforms resolve through SQL DDL and route correctly") {
+    val s = spark
+    import s.implicits._
+    for ((fn, table, expectDirs) <- Seq(
+        ("hours", "hr", Seq("_t_hours_ts=481728", "_t_hours_ts=481729")),
+        ("months", "mo", Seq("_t_months_ts=24299", "_t_months_ts=24300")),
+        ("years", "yr", Seq("_t_years_ts=2024", "_t_years_ts=2025")))) {
+      s.sql(s"CREATE TABLE tpw.db.$table (id BIGINT, ts TIMESTAMP) " +
+        s"PARTITIONED BY ($fn(ts))")
+      // 2024-01-15T00:30Z and one unit later
+      val base = Instant.parse("2024-12-15T00:30:00Z")
+      val step = fn match {
+        case "hours" => 3600L
+        case "months" => 31L * 86400L
+        case "years" => 366L * 86400L
+      }
+      Seq((1L, java.sql.Timestamp.from(base)),
+          (2L, java.sql.Timestamp.from(base.plusSeconds(step))))
+        .toDF("id", "ts").writeTo(s"tpw.db.$table").append()
+      val dirs = new java.io.File(s"$warehouse/db/$table").listFiles()
+        .filter(_.isDirectory).map(_.getName).sorted.toSeq
+      assert(dirs == expectDirs.sorted, s"$fn: $dirs")
+      assert(s.table(s"tpw.db.$table").count() == 2)
+    }
+  }
+
   test("ordinal math: hours/months/years, negative epochs, boundaries") {
     import ColeTemporal.Spec
     val d = Spec("days", "ts"); val h = Spec("hours", "ts")
