@@ -566,8 +566,9 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
     // INSERT is a trap) — reject the combination at declaration time
     require(partCols.isEmpty || bucketSpec.isEmpty,
       "COLE tables are either hive-partitioned or hash-bucketed, not both")
-    require(temporal.isEmpty || bucketSpec.isEmpty,
-      "COLE tables are either temporally partitioned or hash-bucketed, not both")
+    // temporal + bucket compose (r12): `PARTITIONED BY (days(ts),
+    // bucket(n, k))` — unit directories holding bucket subdirectories,
+    // the Iceberg-standard time-series fact layout
     temporal.foreach { sp =>
       // the source stays a DATA column; validate its declaration eagerly
       val f = schema.fields.find(_.name == sp.src).getOrElse(

@@ -569,8 +569,10 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
         case (d, e) => d.orElse(e)
       }
     }
-    require(temporal.isEmpty || buckets.isEmpty,
-      "COLE tables are either temporally partitioned or hash-bucketed, not both")
+    // temporal + bucket COMPOSE (r12): `days(ts)` unit directories holding
+    // `_bucket=<b>` subdirectories — the standard time-series fact layout
+    // (prune by day AND storage-partition-join by key). Identity hive
+    // partitioning with buckets stays rejected above.
     // sortBy=<col1>[,col2...]: request in-partition ordering for this
     // write — each emitted file lands SORTED on the key, so DELTA
     // encodings and tight page stats make range predicates prune row
@@ -2744,9 +2746,23 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
   private lazy val partKeySchema: Seq[(String, String)] =
     ColeMetaCache.partitionSchema(tableInfos)
 
+  /** Keys participating in the REPORTED partitioning. Under a composed
+    * temporal+bucket layout the temporal ordinal prunes directories but
+    * is withdrawn from the SPJ claim (its value domain is
+    * engine-internal, see [[outputPartitioning]]), so the clustering is
+    * `bucket(n, col)` alone — the partitions of one bucket across unit
+    * directories then group into ONE key partition, and a ts-filtered
+    * join on the bucket key still plans zero Exchange.
+    */
+  private lazy val reportedKeySchema: Seq[(String, String)] =
+    if (bucketSpec.isDefined && partKeySchema.map(_._1)
+        .filterNot(ColeTemporal.isDerivedKey) == Seq(ColeBucket.DirKey))
+      partKeySchema.filter(_._1 == ColeBucket.DirKey)
+    else partKeySchema
+
   private[cole] def partKeyRow(pv: Array[(String, String)]): InternalRow = {
     val m = pv.toMap
-    InternalRow.fromSeq(partKeySchema.map { case (k, tpe) =>
+    InternalRow.fromSeq(reportedKeySchema.map { case (k, tpe) =>
       val raw = m(k)
       tpe match {
         case "int" => raw.toInt
@@ -2785,10 +2801,15 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
 
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
     bucketSpec match {
-      case Some((n, cs)) if partKeySchema.map(_._1) == Seq(ColeBucket.DirKey) =>
+      case Some((n, cs)) if reportedKeySchema.map(_._1) == Seq(ColeBucket.DirKey) =>
+        // bucket-only, or temporal+bucket composed (the temporal ordinal
+        // withdrawn — each bucket's partitions across unit directories
+        // share one reported key): distinct BUCKET values, not distinct
+        // directory tuples
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
           Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(n, cs: _*)),
-          tableInfos.map(_.partValues).distinct.size)
+          tableInfos.flatMap(_.partValues.collectFirst {
+            case (k, v) if k == ColeBucket.DirKey => v }).distinct.size)
       case _ =>
         // a temporal-derived key is not a schema column: an identity
         // report on it would fail resolution, and a days()/hours()
@@ -3846,6 +3867,12 @@ class ColeWriteBuilder(schema: StructType, path: String, rowGroupSize: Int,
         // bucketBy().sortBy() layout, self-describing). One extra
         // exchange at write time buys clustered scans for the table's
         // whole read life.
+        // composed temporal+bucket layout: order by the timestamp FIRST
+        // (its unit ordinal is monotone in it, so each task's rows arrive
+        // unit-directory-grouped and the per-(unit, bucket) sub-writer
+        // map stays small), then the bucket keys
+        val orderCols = temporal.map(_.src).filterNot(bucketCols.contains)
+          .toSeq ++ bucketCols
         new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
           import org.apache.spark.sql.connector.expressions.{Expressions => E}
           override def requiredDistribution()
@@ -3855,17 +3882,18 @@ class ColeWriteBuilder(schema: StructType, path: String, rowGroupSize: Int,
                 : org.apache.spark.sql.connector.expressions.Expression).toArray)
           override def requiredOrdering()
               : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-            bucketCols.map(c => E.sort(E.column(c),
+            orderCols.map(c => E.sort(E.column(c),
               org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
           override def toBatch: BatchWrite =
             new ColeBatchWrite(schema, path, rowGroupSize, doTruncate, conf,
-              partCols, bucketSpec, dynamicOverwrite, overwriteFilters, bucketDerive)
+              partCols, bucketSpec, dynamicOverwrite, overwriteFilters,
+              bucketDerive, temporal = temporal)
           override def toStreaming: StreamingWrite = {
             if (doTruncate || dynamicOverwrite || overwriteFilters.nonEmpty)
               throw new UnsupportedOperationException(
                 "the cole streaming sink supports Append output mode only")
             new ColeStreamingWrite(schema, path, rowGroupSize, conf, partCols,
-              bucketSpec, bucketDerive)
+              bucketSpec, bucketDerive, temporal = temporal)
           }
         }
       case None =>
@@ -4083,7 +4111,7 @@ class ColeWriterFactory(schema: StructType, path: String, rowGroupSize: Int,
       case Some((n, c)) =>
         new ColeBucketedDataWriter(schema, path, partitionId, taskId,
           rowGroupSize, hconf.value, n,
-          bucketDerive.map(_._2).getOrElse(c), bucketDerive.map(_._1))
+          bucketDerive.map(_._2).getOrElse(c), bucketDerive.map(_._1), temporal)
       case None if partCols.isEmpty && temporal.isEmpty =>
         new ColeDataWriter(schema, f"$path/part-$partitionId%05d-$taskId.col",
           rowGroupSize, hconf.value)
@@ -4112,12 +4140,34 @@ class ColeBucketedDataWriter(schema: StructType, protected val baseDir: String,
       * column alone, which is what Spark's single-reference SPJ
       * resolution needs for composite-key zero-Exchange joins.
       */
-    deriveKey: Option[String] = None) extends DataWriter[InternalRow] {
+    deriveKey: Option[String] = None,
+    /** Composed temporal+bucket layout (r12): rows route to
+      * `_t_<fn>_<col>=<ordinal>/_bucket=<b>/` — prune by unit directory
+      * AND storage-partition-join by bucket key. The sub-writer map is
+      * keyed by (unit ordinal, bucket) with the partitioned writer's
+      * eviction bound; the write's required ordering puts the timestamp
+      * first, so units arrive grouped and the map stays near size
+      * numBuckets in practice.
+      */
+    temporal: Option[ColeTemporal.Spec] = None) extends DataWriter[InternalRow] {
 
   private val kis: Array[Int] = bucketCols.map(schema.fieldIndex).toArray
   private val keyTypes: Array[DataType] = kis.map(schema.fields(_).dataType)
   private val writers = new Array[ColeDataWriter](numBuckets)
   private val closedFiles = scala.collection.mutable.ArrayBuffer.empty[String]
+  private val temporalIdx: Int = temporal.fold(-1) { t =>
+    val i = schema.fieldIndex(t.src)
+    schema.fields(i).dataType match {
+      case TimestampType | TimestampNTZType => ()
+      case other => throw new IllegalArgumentException(
+        s"temporal partition source '${t.src}' must be a timestamp, is $other")
+    }
+    require(!bucketCols.contains(t.src),
+      s"'${t.src}' cannot be both a bucket key and a temporal partition source")
+    i
+  }
+  private val temporalWriters =
+    scala.collection.mutable.LinkedHashMap.empty[(Long, Int), ColeDataWriter]
   // appends derive a NEW synth column (appended last); the replace path
   // reads rows back FROM the table, so the synth column is already in
   // the schema and is RECOMPUTED in place — an UPDATE that changes a
@@ -4141,6 +4191,49 @@ class ColeBucketedDataWriter(schema: StructType, protected val baseDir: String,
   protected def fileName(b: Int): String =
     f"$baseDir/${ColeBucket.DirKey}=$b/part-$partitionId%05d-$taskId.col"
 
+  /** The k-th file this task opens under (unit directory `prefix`,
+    * bucket `b`) of a composed temporal+bucket layout — `k` keeps names
+    * unique past sub-writer eviction. Streaming overrides.
+    */
+  protected def temporalFileName(prefix: String, b: Int, k: Int): String =
+    f"$baseDir/$prefix/${ColeBucket.DirKey}=$b/part-$partitionId%05d-$taskId-$k%d.col"
+
+  /** Sub-writer for bucket `b` of the row's (possibly temporal-derived)
+    * unit directory. Flat layouts stay on the array fast path; composed
+    * layouts key a bounded LinkedHashMap by (ordinal, bucket), evicting
+    * the least-recently-created writer (its file commits as-is; several
+    * part files per directory are fine).
+    */
+  private def writerFor(record: InternalRow, b: Int): ColeDataWriter =
+    if (temporalIdx < 0) {
+      var w = writers(b)
+      if (w == null) {
+        w = new ColeDataWriter(fileSchema, fileName(b), rowGroupSize, conf)
+        writers(b) = w
+      }
+      w
+    } else {
+      val t = temporal.get
+      if (record.isNullAt(temporalIdx))
+        throw new ColeFormatException(
+          s"COLE format does not support NULLs (temporal partition source '${t.src}')")
+      val ord = t.ordinal(record.getLong(temporalIdx))
+      temporalWriters.get((ord, b)) match {
+        case Some(w) => w
+        case None =>
+          if (temporalWriters.size >= ColePartitionedDataWriter.MaxOpenWriters) {
+            val (oldKey, oldest) = temporalWriters.head
+            closedFiles ++= oldest.commitFiles()
+            temporalWriters.remove(oldKey)
+          }
+          val fresh = new ColeDataWriter(fileSchema,
+            temporalFileName(s"${t.dirKey}=$ord", b,
+              temporalWriters.size + closedFiles.size), rowGroupSize, conf)
+          temporalWriters.put((ord, b), fresh)
+          fresh
+      }
+    }
+
   override def write(record: InternalRow): Unit = {
     var h = 0L
     var i = 0
@@ -4162,11 +4255,7 @@ class ColeBucketedDataWriter(schema: StructType, protected val baseDir: String,
     // avalanche) — byte-for-byte the single-column layout on synth
     val b = if (deriveKey.isEmpty) ColeBucket.bucketOfHash(h, numBuckets)
       else ColeBucket.bucketOf(h, numBuckets)
-    var w = writers(b)
-    if (w == null) {
-      w = new ColeDataWriter(fileSchema, fileName(b), rowGroupSize, conf)
-      writers(b) = w
-    }
+    val w = writerFor(record, b)
     if (deriveKey.isEmpty) w.write(record)
     else if (synthInSchema >= 0) w.write(overrideRow.set(record, h))
     else {
@@ -4178,11 +4267,14 @@ class ColeBucketedDataWriter(schema: StructType, protected val baseDir: String,
   override def commit(): WriterCommitMessage = {
     writers.foreach(w => if (w != null) closedFiles ++= w.commitFiles())
     java.util.Arrays.fill(writers.asInstanceOf[Array[AnyRef]], null)
+    temporalWriters.values.foreach(closedFiles ++= _.commitFiles())
+    temporalWriters.clear()
     ColeCommitMessage(closedFiles.toSeq)
   }
 
   override def abort(): Unit = {
     writers.foreach(w => if (w != null) w.abort())
+    temporalWriters.values.foreach(_.abort())
     closedFiles.foreach { f =>
       val (fs, p) = ColeIO.resolve(f, conf)
       fs.delete(p, false)
@@ -5022,7 +5114,8 @@ class ColeStreamingWriterFactory(schema: StructType, path: String,
       case Some((n, c)) =>
         new ColeStreamingBucketedDataWriter(schema, path, partitionId, taskId,
           rowGroupSize, hconf.value, n,
-          bucketDerive.map(_._2).getOrElse(c), epochId, bucketDerive.map(_._1))
+          bucketDerive.map(_._2).getOrElse(c), epochId, bucketDerive.map(_._1),
+          temporal)
       case None if partCols.isEmpty && temporal.isEmpty =>
         val tmp =
           f"$path/.part-e$epochId%d-p$partitionId%05d-0.col.inprogress-$taskId"
@@ -5057,13 +5150,18 @@ class ColeStreamingDataWriter(schema: StructType, tmp: String, taskId: Long,
 class ColeStreamingBucketedDataWriter(schema: StructType, baseDir0: String,
     partitionId0: Int, taskId0: Long, rowGroupSize: Int, conf: Configuration,
     numBuckets: Int, bucketCols: Seq[String], epochId: Long,
-    deriveKey0: Option[String] = None)
+    deriveKey0: Option[String] = None,
+    temporal0: Option[ColeTemporal.Spec] = None)
     extends ColeBucketedDataWriter(schema, baseDir0, partitionId0, taskId0,
-      rowGroupSize, conf, numBuckets, bucketCols, deriveKey0) {
+      rowGroupSize, conf, numBuckets, bucketCols, deriveKey0, temporal0) {
 
   override protected def fileName(b: Int): String =
     f"$baseDir/${ColeBucket.DirKey}=$b/" +
       f".part-e$epochId%d-p$partitionId%05d-0.col.inprogress-$taskId"
+
+  override protected def temporalFileName(prefix: String, b: Int, k: Int): String =
+    f"$baseDir/$prefix/${ColeBucket.DirKey}=$b/" +
+      f".part-e$epochId%d-p$partitionId%05d-$k%d.col.inprogress-$taskId"
 
   override def commit(): WriterCommitMessage = super.commit() match {
     case ColeCommitMessage(files) =>
