@@ -361,14 +361,15 @@ object ColeDelete {
     // sidecar between the task's write and the driver's record
     val versioned = ColeVersions.enabled(table, conf)
     val stamp = java.lang.Long.toHexString(System.nanoTime())
-    // the whole classify→extend-sidecars→record sequence holds the
-    // per-table JVM lock: two same-JVM vector DELETEs would otherwise
+    // the whole classify→extend-sidecars→record sequence holds per-file
+    // storage claims (ColeClaims — cross-PROCESS, unlike r11's JVM table
+    // lock): two vector DELETEs touching a shared file would otherwise
     // read-merge-write the same sidecar concurrently and lose one side's
-    // ordinals (cross-process stays guarded by the (len,mtime) race
-    // check against the data file, single-writer per table for vector
-    // DML — see ColeDv's rename note)
+    // ordinals; claims on disjoint file sets never contend
     val (lockFs, _) = ColeIO.resolve(table, conf)
-    ColeVersions.withTableLock(lockFs, table) {
+    val claims = ColeClaims.acquire(lockFs, conf, table,
+      files.map(i => ColeVersions.relOf(lockFs, table, i.path)), "delete-vector")
+    try {
     val perFile: Array[(String, Long)] =
       sc.parallelize(tasks, math.max(1, tasks.size)).map { case (f, len, mtime) =>
         val c = hconf.value
@@ -442,6 +443,6 @@ object ColeDelete {
         Seq.empty, dvs)
     }
     Stats(totalFiles, totalFiles - touched, 0, 0, perFile.map(_._2).sum)
-    } // withTableLock
+    } finally claims.release()
   }
 }

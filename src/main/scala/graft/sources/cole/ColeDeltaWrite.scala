@@ -142,11 +142,15 @@ class ColeDeltaWriteImpl(op: ColeRowLevelOperation, schema: StructType,
         vs.map(_._2).reduce(ColeDv.merge)
       }.toMap
     // race check against the group scan's planning snapshot, while every
-    // mutation is still invisible; check-then-mutate holds the per-table
-    // JVM lock so overlapping same-JVM committers serialize (see
-    // ColeVersions.withTableLock)
+    // mutation is still invisible; check-then-mutate holds per-file
+    // storage claims (ColeClaims — cross-process) on the files whose
+    // vectors this commit extends, so overlapping committers serialize
+    // and file-disjoint ones run fully concurrent
     val planned = op.plannedFiles.map(f => f._1 -> (f._2, f._3)).toMap
-    ColeVersions.withTableLock(fs, path) {
+    val claims = ColeClaims.acquire(fs, conf, path,
+      delByFile.keys.toSeq.map(ColeVersions.relOf(fs, path, _)),
+      s"${op.command().toString.toLowerCase}-delta")
+    try {
     delByFile.keys.foreach { f =>
       val ok = planned.get(f).exists { case (len, mtime) =>
         try {
@@ -201,7 +205,7 @@ class ColeDeltaWriteImpl(op: ColeRowLevelOperation, schema: StructType,
         s"${op.command().toString.toLowerCase}-delta",
         finals.map(ColeVersions.relOf(fs, path, _)), Seq.empty, dvs)
     }
-    } // withTableLock
+    } finally claims.release()
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

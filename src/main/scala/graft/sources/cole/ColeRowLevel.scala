@@ -478,11 +478,16 @@ class ColeReplaceWrite(op: ColeRowLevelOperation, schema: StructType,
     val taskFiles: Map[Int, Seq[String]] =
       tasks.map { case (pid, _, fs0) => pid -> fs0.filter(dropEmpty) }.toMap
     val planned = op.plannedFiles
-    // check-then-mutate runs ATOMICALLY per table (same-JVM lock): two
-    // overlapping committers must serialize so the loser's re-check sees
-    // the winner's renames — without the lock both pass the check first
-    // and both commit, duplicating every replaced row
-    ColeVersions.withTableLock(fs, path) {
+    // check-then-mutate is made atomic PER AFFECTED FILE by storage-level
+    // claims (ColeClaims — cross-PROCESS, unlike r11's JVM table lock):
+    // overlapping committers serialize so the loser's re-check sees the
+    // winner's renames — without this both pass the check first and both
+    // commit, duplicating every replaced row. File-disjoint committers
+    // hold disjoint claims and never contend at all.
+    val claims = ColeClaims.acquire(fs, conf, path,
+      planned.map(p => ColeVersions.relOf(fs, path, p._1)),
+      op.command().toString.toLowerCase)
+    try {
     // concurrent-write race check while the replacement is still fully
     // INVISIBLE (dotted): every replaced file must still be exactly the
     // bytes the group scan read — on rejection the table is untouched
@@ -576,7 +581,7 @@ class ColeReplaceWrite(op: ColeRowLevelOperation, schema: StructType,
         op.command().toString.toLowerCase,
         newDotted.toSeq.map(f => ColeVersions.relOf(fs, path, finalOf(f))),
         verRemoves)
-    } // withTableLock
+    } finally claims.release()
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
