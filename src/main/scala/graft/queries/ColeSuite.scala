@@ -1777,6 +1777,149 @@ object ColeSuite {
               FROM events
               WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
                 AND ts < TIMESTAMP '2024-01-13 00:00:00'
-              GROUP BY event_type ORDER BY event_type"""))
+              GROUP BY event_type ORDER BY event_type""")),
+
+    // applyChanges (r12): one-call CDF-to-table replication — the
+    // composition every consumer of the four-type feed was hand-writing
+    // (Delta's applyChanges/DLT recipe). A mutating history (baseline,
+    // vector DELETE, MOR MERGE) streams through the CDF source; inside
+    // foreachBatch, ColeCdfStream.applyChanges pairs updates, keeps each
+    // key's latest action, MERGEs into the downstream COLE table, and
+    // advances a _commit_version watermark for exactly-once under
+    // micro-batch replay (idempotence + crash windows spec-pinned in
+    // ColeApplyChangesSpec). The oracle recomputes the source's final
+    // state relationally — target == source at HEAD is the whole point.
+    Q("cole_apply_changes", (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val wh = "/tmp/graft_cole/warehouse"
+      s.conf.set("spark.sql.catalog.cole", "graft.sources.cole.ColeCatalog")
+      s.conf.set("spark.sql.catalog.cole.warehouse", wh)
+      val ns = s"v${writerFingerprint}_apl_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val srcDir = s"$wh/$ns/li"
+      val tgtDir = s"$wh/$ns/tgt"
+      writeOnce(srcDir) {
+        Tables.lineitem(s, d).filter(col("l_orderkey") % 3 === 0)
+          .groupBy("l_orderkey", "l_linenumber")
+          .agg(min(col("l_returnflag")).as("flag"),
+            sum(round(col("l_quantity") * 100).cast(LongType)).as("qty_c"))
+          .write.format("cole").mode("overwrite").save(srcDir)
+        graft.sources.cole.ColeVersions.enable(srcDir,
+          graft.sources.cole.ColeIO.driverConf()) // v1 = baseline
+        s.sql(s"CALL cole.system.delete_mode('$ns.li', 'vector')")
+        s.sql(s"DELETE FROM cole.$ns.li WHERE l_orderkey % 30 = 3") // v2
+        Tables.orders(s, d).select(col("o_orderkey").as("k"))
+          .filter(col("o_orderkey") % 15 === 6).withColumn("ln", lit(1))
+          .createOrReplaceTempView("graft_apply_src")
+        s.sql(
+          s"""MERGE INTO cole.$ns.li t USING graft_apply_src x
+             |ON t.l_orderkey = x.k AND t.l_linenumber = x.ln
+             |WHEN MATCHED THEN UPDATE SET qty_c = t.qty_c + 5000, flag = 'U'
+             |WHEN NOT MATCHED THEN
+             |  INSERT (l_orderkey, l_linenumber, flag, qty_c)
+             |  VALUES (x.k, x.ln, 'M', 0)""".stripMargin) // v3: MOR merge
+      }
+      writeOnce(tgtDir) {
+        s.sql(s"CREATE TABLE IF NOT EXISTS cole.$ns.tgt " +
+          "(l_orderkey BIGINT, l_linenumber INT, flag STRING, qty_c BIGINT)")
+        val cp = java.nio.file.Files
+          .createTempDirectory("graft_apply_cp").toString
+        val q = s.readStream.format("cole").option("changeFeed", "true")
+          .load(srcDir)
+          .writeStream.foreachBatch {
+            (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              graft.sources.cole.ColeCdfStream.applyChanges(
+                b, s"cole.$ns.tgt", Seq("l_orderkey", "l_linenumber")); ()
+          }.option("checkpointLocation", cp).start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table(s"cole.$ns.tgt")
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n"), sum("qty_c").as("sum_qty_c"),
+          sum("l_orderkey").as("sum_key"))
+        .orderBy("flag")
+    },
+      Some("""WITH base AS (
+                SELECT l_orderkey, l_linenumber, MIN(l_returnflag) AS flag,
+                  CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                    AS qty_c
+                FROM lineitem WHERE l_orderkey % 3 = 0 GROUP BY 1, 2),
+              afterdel AS (
+                SELECT * FROM base WHERE l_orderkey % 30 <> 3),
+              src AS (
+                SELECT o_orderkey AS k, 1 AS ln FROM orders
+                WHERE o_orderkey % 15 = 6),
+              upd AS (
+                SELECT t.l_orderkey, t.l_linenumber,
+                  CASE WHEN s.k IS NOT NULL THEN 'U' ELSE t.flag END AS flag,
+                  t.qty_c + CASE WHEN s.k IS NOT NULL THEN 5000 ELSE 0 END
+                    AS qty_c
+                FROM afterdel t LEFT JOIN src s
+                  ON t.l_orderkey = s.k AND t.l_linenumber = s.ln),
+              ins AS (
+                SELECT s.k AS l_orderkey, s.ln AS l_linenumber,
+                  'M' AS flag, CAST(0 AS BIGINT) AS qty_c
+                FROM src s WHERE NOT EXISTS (
+                  SELECT 1 FROM afterdel t
+                  WHERE t.l_orderkey = s.k AND t.l_linenumber = s.ln)),
+              fin AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+              SELECT flag, COUNT(*) AS n,
+                CAST(SUM(qty_c) AS BIGINT) AS sum_qty_c,
+                CAST(SUM(l_orderkey) AS BIGINT) AS sum_key
+              FROM fin GROUP BY flag ORDER BY flag""")),
+
+    // Composed temporal + bucket layout (r12): `days(ts)` unit
+    // directories holding `_bucket=<b>` subdirectories — the standard
+    // time-series fact layout (Iceberg's `days(ts), bucket(n, k)`). The
+    // ts range prunes whole day directories, the per-user profile join
+    // is a storage-partitioned join on the bucket key (the scan reports
+    // bucket(8, user_id) with the temporal ordinal withdrawn, so one
+    // bucket's partitions across days group into ONE key partition —
+    // ColeTemporalBucketedSpec pins zero Exchange on the join and the
+    // days x bucket file-open compose). At 100 TB this is the events
+    // table's layout: scan a weekend, join by user, shuffle nothing.
+    Q("cole_temporal_bucketed", (s, d) => {
+      val wh = "/tmp/graft_cole/warehouse"
+      s.conf.set("spark.sql.catalog.cole", "graft.sources.cole.ColeCatalog")
+      s.conf.set("spark.sql.catalog.cole.warehouse", wh)
+      val ns = s"v${writerFingerprint}_tpb_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val factDir = s"$wh/$ns/ev"
+      val dimDir = s"$wh/$ns/usr"
+      writeOnce(factDir) {
+        Tables.events(s, d)
+          .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+          .write.format("cole").mode("overwrite")
+          .option("partitionByTemporal", "days:ts")
+          .option("bucketBy", "8:user_id").save(factDir)
+      }
+      writeOnce(dimDir) {
+        Tables.events(s, d).groupBy("user_id")
+          .agg(count(lit(1)).as("n_total"), min("event_type").as("first_type"))
+          .write.format("cole").mode("overwrite")
+          .option("bucketBy", "8:user_id").save(dimDir)
+      }
+      val f = s.table(s"cole.$ns.ev")
+      val u = s.table(s"cole.$ns.usr")
+      f.filter(col("ts") >= to_timestamp(lit("2024-01-08 00:00:00")) &&
+          col("ts") < to_timestamp(lit("2024-01-12 00:00:00")))
+        .join(u, f("user_id") === u("user_id"))
+        .groupBy(col("first_type"), (col("n_total") % 5).as("cohort"))
+        .agg(count(lit(1)).as("n"),
+          min(f("user_id")).as("mn_user"), max(f("user_id")).as("mx_user"),
+          sum(col("n_total")).as("sum_total"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy("first_type", "cohort")
+    },
+      Some(s"""WITH usr AS (
+                SELECT user_id, COUNT(*) AS n_total,
+                  MIN(event_type) AS first_type
+                FROM events GROUP BY user_id)
+              SELECT first_type, n_total % 5 AS cohort, COUNT(*) AS n,
+                MIN(e.user_id) AS mn_user, MAX(e.user_id) AS mx_user,
+                CAST(SUM(n_total) AS BIGINT) AS sum_total,
+                ${dsumSql("value")} AS sum_value
+              FROM events e JOIN usr ON e.user_id = usr.user_id
+              WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+                AND ts < TIMESTAMP '2024-01-12 00:00:00'
+              GROUP BY 1, 2 ORDER BY first_type, cohort"""))
   )
 }

@@ -153,6 +153,130 @@ object ColeCdfStream {
       .unionByName(retype(i, "update_postimage", "insert"))
       .unionByName(rest)
   }
+
+  /** One-call CDF-to-table replication — the composition every
+    * downstream consumer of the four-type feed was hand-writing
+    * (Delta's `applyChanges` / DLT recipe): inside `foreachBatch`,
+    *
+    * {{{
+    * spark.readStream.format("cole").option("changeFeed", "true").load(src)
+    *   .writeStream.foreachBatch { (b, _) =>
+    *     ColeCdfStream.applyChanges(b, "cole.db.target", Seq("id")); ()
+    *   }.option("checkpointLocation", cp).start()
+    * }}}
+    *
+    * keeps `target` an exact replica of the feed's source: per batch it
+    * pairs updates ([[pairUpdates]] — so a within-commit delete+insert
+    * of one key collapses to its postimage), keeps each key's LATEST
+    * action (max `_commit_version`; offsets are commit versions, so a
+    * batch holds whole commits and the collapse is exact), and MERGEs —
+    * matched deletes delete, matched images update, unmatched non-delete
+    * images insert.
+    *
+    * EXACTLY-ONCE under micro-batch replay rides a `_commit_version`
+    * low-watermark persisted in the target table's directory
+    * (`_cole_applied/<applyId>`, advanced monotonically AFTER the MERGE
+    * lands): a batch replayed from the checkpoint after a restart
+    * re-arrives with versions at or below the watermark and filters to
+    * nothing. A crash BETWEEN the MERGE and the watermark advance
+    * replays a batch whose re-MERGE is a row-for-row no-op (same keys to
+    * the same images; deletes of already-absent keys match nothing) —
+    * both windows converge to the same target bytes, spec-pinned in
+    * ColeApplyChangesSpec.
+    *
+    * `target` must be a COLE catalog table (`cat.ns.t` — MERGE INTO
+    * needs the catalog, and the watermark lives beside the table's
+    * data). Returns the new watermark (unchanged when the batch held
+    * nothing fresh). Key contract as [[pairUpdates]]: `pairKey` is a
+    * real primary key of the source.
+    */
+  def applyChanges(batch: org.apache.spark.sql.DataFrame, target: String,
+      pairKey: Seq[String], applyId: String = "default"): Long = {
+    import org.apache.spark.sql.functions.{col, max, row_number}
+    val spark = batch.sparkSession
+    require(pairKey.nonEmpty, "applyChanges needs at least one key column")
+    val parts = spark.sessionState.sqlParser.parseMultipartIdentifier(target)
+    require(parts.length >= 2, s"'$target' must be catalog-qualified " +
+      "(cat.ns.table): MERGE INTO resolves through the catalog")
+    val conf = ColeIO.driverConf()
+    val path = spark.conf.getOption(s"spark.sql.catalog.${parts.head}.warehouse")
+      .map(wh => (wh +: parts.tail).mkString("/"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"catalog '${parts.head}' has no warehouse setting — is it a " +
+          "cole catalog? applyChanges stores its watermark beside the " +
+          "target table"))
+    val wm = appliedWatermark(path, conf, applyId)
+    val fresh = batch.filter(col(ColeChangeFeed.CommitVersionCol) > wm)
+    val maxRow = fresh.agg(max(col(ColeChangeFeed.CommitVersionCol))).head()
+    if (maxRow.isNullAt(0)) return wm // fully below the watermark (replay)
+    val maxV = maxRow.getLong(0)
+    val dataCols = batch.columns.filterNot(c =>
+      c == ColeChangeFeed.ChangeTypeCol || c == ColeChangeFeed.CommitVersionCol)
+    // latest action per key: pairing first, so a within-commit
+    // delete+insert is one postimage row and (key, version) is unique
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pairKey.map(col): _*)
+      .orderBy(col(ColeChangeFeed.CommitVersionCol).desc)
+    val latest = pairUpdates(fresh, pairKey)
+      .filter(col(ColeChangeFeed.ChangeTypeCol) =!= "update_preimage")
+      .withColumn("_cole_rn", row_number().over(w))
+      .filter(col("_cole_rn") === 1).drop("_cole_rn")
+    val view = "cole_apply_" +
+      java.lang.Long.toHexString(System.nanoTime())
+    latest.createOrReplaceTempView(view)
+    try {
+      val onCond = pairKey.map(k => s"t.`$k` <=> s.`$k`").mkString(" AND ")
+      val setList = dataCols.map(c => s"t.`$c` = s.`$c`").mkString(", ")
+      val ct = s"s.`${ColeChangeFeed.ChangeTypeCol}`"
+      spark.sql(
+        s"""MERGE INTO $target t USING $view s ON $onCond
+           |WHEN MATCHED AND $ct = 'delete' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET $setList
+           |WHEN NOT MATCHED AND $ct <> 'delete' THEN
+           |  INSERT (${dataCols.map(c => s"`$c`").mkString(", ")})
+           |  VALUES (${dataCols.map(c => s"s.`$c`").mkString(", ")})""".stripMargin)
+    } finally spark.catalog.dropTempView(view)
+    writeApplied(path, conf, applyId, maxV)
+    maxV
+  }
+
+  private val AppliedDir = "_cole_applied"
+
+  /** Highest `_commit_version` durably applied into `table` under
+    * `applyId`; 0 = nothing applied yet.
+    */
+  def appliedWatermark(table: String, conf: Configuration,
+      applyId: String): Long = {
+    val (fs, _) = ColeIO.resolve(table, conf)
+    val p = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(table, AppliedDir), applyId)
+    if (!fs.exists(p)) return 0L
+    val in = fs.open(p)
+    try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    finally in.close()
+  }
+
+  private def writeApplied(table: String, conf: Configuration,
+      applyId: String, version: Long): Unit = {
+    require(applyId.nonEmpty &&
+      applyId.forall(c => c.isLetterOrDigit || "._-".contains(c)),
+      s"applyId '$applyId' must be non-empty [A-Za-z0-9._-]")
+    val (fs, _) = ColeIO.resolve(table, conf)
+    if (version <= appliedWatermark(table, conf, applyId)) return // monotonic
+    val dir = new org.apache.hadoop.fs.Path(table, AppliedDir)
+    fs.mkdirs(dir)
+    val p = new org.apache.hadoop.fs.Path(dir, applyId)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".$applyId.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(version.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, p)) {
+      fs.delete(p, false)
+      require(fs.rename(tmp, p), s"applied-watermark write failed for $applyId")
+    }
+  }
 }
 
 /** Offset of the CDF source: the last served commit version. */
