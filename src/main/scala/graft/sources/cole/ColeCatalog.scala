@@ -843,7 +843,7 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
       Array("versioning", "rollback", "expire_versions", "vacuum", "compact",
         "compact_debt", "audit", "repair", "zorder", "bloom_index",
         "delete_mode", "materialize_cdf", "cdf_consumers",
-        "unregister_cdf_consumer")
+        "unregister_cdf_consumer", "evolve_temporal")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -960,6 +960,18 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
           procTablePath(in.getString(0)),
           in.getString(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq,
           conf).toLong))
+      }
+      // partition spec evolution (r12): re-declare the temporal
+      // transform on a grown table — zero rewrites, old-era files prune
+      // under their own spec, new writes route by the new one
+      case "evolve_temporal" => procedure("evolve_temporal",
+        tableArg :+ ("transform" -> (StringType: DataType)),
+        StructType(Seq(StructField("history", StringType)))) { in =>
+        val path = procTablePath(in.getString(0))
+        val evolved = ColeTemporal.evolve(path, conf,
+          ColeTemporal.parseOption(in.getString(1)))
+        Array(Array[Any](UTF8String.fromString(
+          evolved.map(s => s"${s.fn}:${s.src}").mkString(" -> "))))
       }
       case "delete_mode" => procedure("delete_mode",
         tableArg :+ ("mode" -> (StringType: DataType)),

@@ -467,7 +467,10 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
           spec.flatMap(t => ColeBucket.parseDeriveContent(t, s"$path@v$v")),
           // vector-mode composition (r10): the version's PINNED deletion
           // vectors, applied by the scans in place of the live sidecars
-          ColeVersions.snapshotDvs(path, conf, v))
+          ColeVersions.snapshotDvs(path, conf, v),
+          // temporal spec HISTORY as of the version (r12 evolution); a
+          // pre-r12 record falls back to the live (superset) history
+          temporalSpecs = ColeVersions.temporalSpecsAsOf(path, conf, v))
       }
       .orElse(Option(options.get(ColeChangeFeed.FeedFilesOption)).map { enc =>
         // exact-file-set read minted by ColeChangeFeed: one commit's
@@ -614,7 +617,10 @@ final case class ColeSnapshot(infos: Seq[ColeMetaCache.FileInfo],
     // knows at planning which groups the commit's ordinals touch, and
     // every other group of the file is dead weight — drop it before a
     // byte decodes. Empty = no restriction (every other snapshot kind).
-    rgKeep: Map[String, Set[Int]] = Map.empty)
+    rgKeep: Map[String, Set[Int]] = Map.empty,
+    // Temporal spec HISTORY as of the pinned version (r12 evolution) —
+    // None = resolve the live sidecar (non-time-travel snapshots)
+    temporalSpecs: Option[Seq[ColeTemporal.Spec]] = None)
 
 class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration,
     partCols: Set[String] = Set.empty,
@@ -1078,8 +1084,8 @@ class ColeAggScan(path: String, conf: Configuration, groupCols: Seq[String],
   // temporal layout: the same derived-ordinal pruning as the row scan —
   // a filtered pushed aggregate over a ts range plans only touched
   // directories (conservative; original preds stay in the data set)
-  private val temporalPreds = ColeTemporal.derivePartPreds(
-    preds.toSeq, ColeTemporal.readSpec(path, conf))
+  private val temporalPreds = ColeTemporal.derivePartPreds(preds.toSeq,
+    snapshot.flatMap(_.temporalSpecs).getOrElse(ColeTemporal.readSpecs(path, conf)))
 
   private def partitionKeeps(p: ColePredicate, raw: String): Boolean =
     ColePredicate.partitionKeeps(p, raw)
@@ -2956,9 +2962,14 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
     // a years-long table plans only the touched days' directories. The
     // ORIGINAL predicates stay in the data set (stats + row-exact
     // selection make the boundary exact); files without the derived key
-    // (pre-layout tail of a path-based table) are never pruned by these
+    // (pre-layout tail of a path-based table) are never pruned by these.
+    // Derivation covers the whole spec HISTORY (r12 evolution): each
+    // era's files prune by their own transform; time-travel snapshots
+    // resolve the history as-of their version.
     val temporalPreds = ColeTemporal.derivePartPreds(
-      (preds ++ dataRuntime).toSeq, ColeTemporal.readSpec(path, conf))
+      (preds ++ dataRuntime).toSeq,
+      snapshot.flatMap(_.temporalSpecs)
+        .getOrElse(ColeTemporal.readSpecs(path, conf)))
     // `_cole_file` (SupportsMetadataColumns): a per-file constant served
     // through the partition-value mechanism, never a footer column
     val wantFileCol = required.fieldNames.contains(ColeUtil.FileMetaCol)
@@ -3332,9 +3343,24 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
           case DoubleType if haveBounds && nonNull > 0 =>
             Some(stat(None, Some(mnD), Some(mxD), Some(nulls), Some(8L), Some(8L)))
           case StringType if nonNull > 0 =>
+            // NDV upper bound from DICTIONARY page headers (r12): every
+            // distinct value appears in at least one page's dictionary,
+            // so the summed entry counts bound the column's NDV — string
+            // join keys (brands, types, flags) then get a join-reorder
+            // estimate instead of none. Declined (None) when any page is
+            // non-dictionary or compressed: bounds are never guessed.
+            val ndv = {
+              val perFile = infos.map { i =>
+                val ci = i.meta.columns.indexWhere(_.name == f.name)
+                if (ci < 0) Some(0L) // pre-evolution file: all-NULL
+                else ColeNdv.dictNdvUpperBound(i, ci, conf)
+              }
+              if (perFile.contains(None)) None
+              else Some(math.min(perFile.flatten.sum, nonNull))
+            }
             // avg width from stored chunk bytes (offsets overhead included:
             // a slight overestimate, safe for sizing)
-            Some(stat(None, None, None, Some(nulls),
+            Some(stat(ndv, None, None, Some(nulls),
               Some(math.max(1L, strBytes / nonNull)), None))
           case _ if rows > 0 => Some(stat(None, None, None, Some(nulls), None, None))
           case _ => None
@@ -4037,7 +4063,11 @@ class ColeBatchWrite(schema: StructType, path: String, rowGroupSize: Int,
     // files without the sidecar that explains them
     bucketSpec.foreach { case (n, cs) =>
       ColeBucket.writeSpec(path, conf, n, cs, bucketDerive) }
-    temporal.foreach(ColeTemporal.writeSpec(path, conf, _))
+    // first declaration only: an append into an EVOLVED table resolves
+    // the active spec, and re-persisting it as a singleton would wipe
+    // the evolution history the old-era files still prune by
+    if (ColeTemporal.readSpecs(path, conf).isEmpty)
+      temporal.foreach(ColeTemporal.writeSpec(path, conf, _))
     new ColeWriterFactory(schema, path, rowGroupSize, new ColeHadoopConf(conf),
       partCols, bucketSpec, bucketDerive,
       // CHECK constraints compile once here on the driver; executors
@@ -5030,7 +5060,9 @@ class ColeStreamingWrite(schema: StructType, path: String, rowGroupSize: Int,
     // tailing the growing table can prove co-partitioning from epoch one
     bucketSpec.foreach { case (n, cs) =>
       ColeBucket.writeSpec(path, conf, n, cs, bucketDerive) }
-    temporal.foreach(ColeTemporal.writeSpec(path, conf, _))
+    // first declaration only — never clobber an evolved spec history
+    if (ColeTemporal.readSpecs(path, conf).isEmpty)
+      temporal.foreach(ColeTemporal.writeSpec(path, conf, _))
     new ColeStreamingWriterFactory(schema, path, rowGroupSize,
       new ColeHadoopConf(conf), partCols, bucketSpec, bucketDerive,
       // CHECK constraints hold for streamed rows too — compiled once per

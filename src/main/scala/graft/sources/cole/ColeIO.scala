@@ -240,15 +240,28 @@ object ColeMetaCache {
     * sequence, typed INT if every value across files parses as an Int,
     * else LONG if every value parses as a Long, else STRING. Empty for
     * flat (unpartitioned) tables.
+    *
+    * DERIVED layout keys (`_t_*` temporal ordinals) may differ across
+    * files — a spec EVOLUTION (r12) leaves `_t_days_ts` era files beside
+    * `_t_hours_ts` ones. Only keys present in EVERY file participate
+    * here (partition-constant serving needs a value per file; pruning on
+    * era-specific derived keys runs per file against partValues
+    * directly, not through this schema). Non-derived keys must still be
+    * consistent — mixed hive layouts are corruption, not evolution.
     */
   def partitionSchema(infos: Seq[FileInfo]): Seq[(String, String)] = {
     if (infos.isEmpty || infos.head.partValues.isEmpty) return Seq.empty
     val keys = infos.head.partValues.map(_._1)
-    require(infos.forall(_.partValues.map(_._1) == keys),
+    val identity = keys.filterNot(ColeTemporal.isDerivedKey)
+    require(infos.forall(
+      _.partValues.map(_._1).filterNot(ColeTemporal.isDerivedKey) == identity),
       s"inconsistent partition directory structure under a COLE table: " +
-        s"expected keys $keys")
-    keys.zipWithIndex.map { case (k, i) =>
-      val vals = infos.map(_.partValues(i)._2)
+        s"expected keys $identity")
+    val shared = keys.filter(k =>
+      infos.forall(_.partValues.exists(_._1 == k)))
+    shared.map { k =>
+      val vals = infos.map(_.partValues.collectFirst {
+        case (`k`, v) => v }.get)
       val tpe =
         if (vals.forall(v => v.toIntOption.isDefined)) "int"
         else if (vals.forall(v => v.toLongOption.isDefined)) "long"

@@ -84,24 +84,76 @@ object ColeTemporal {
     Spec(v.substring(0, i), v.substring(i + 1))
   }
 
-  def writeSpec(table: String, conf: Configuration, spec: Spec): Unit = {
+  def writeSpec(table: String, conf: Configuration, spec: Spec): Unit =
+    writeSpecs(table, conf, Seq(spec))
+
+  private def writeSpecs(table: String, conf: Configuration,
+      specs: Seq[Spec]): Unit = {
     val (fs, p) = ColeIO.resolve(s"$table/$SpecFile", conf)
-    val out = fs.create(p, true)
-    try out.write(s"1\n${spec.fn}:${spec.src}\n"
+    val tmp = new org.apache.hadoop.fs.Path(table, s".$SpecFile.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(("1\n" + specs.map(s => s"${s.fn}:${s.src}\n").mkString)
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    if (!fs.rename(tmp, p)) {
+      fs.delete(p, false)
+      require(fs.rename(tmp, p), s"temporal spec write failed at $table")
+    }
   }
 
-  def readSpec(table: String, conf: Configuration): Option[Spec] = {
+  /** The ACTIVE transform (writers route by it). */
+  def readSpec(table: String, conf: Configuration): Option[Spec] =
+    readSpecs(table, conf).lastOption
+
+  /** The full transform HISTORY, oldest first (r12 — partition spec
+    * evolution): one line per declaration, the last being active. Files
+    * written under an earlier spec keep their directories forever; the
+    * read side derives pruning predicates for EVERY spec in the history
+    * and each file is pruned only by the spec whose derived key its
+    * directory actually carries — conservative across the evolution
+    * boundary by construction, zero rewrites.
+    */
+  def readSpecs(table: String, conf: Configuration): Seq[Spec] = {
     val (fs, p) = ColeIO.resolve(s"$table/$SpecFile", conf)
-    if (!fs.exists(p)) return None
+    if (!fs.exists(p)) return Seq.empty
     val in = fs.open(p)
     val txt = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
       finally in.close()
-    val lines = txt.split('\n')
+    parseSpecContent(txt, table)
+  }
+
+  /** Parse `_temporalspec` file content (also stored base64 in commit
+    * records for as-of resolution).
+    */
+  def parseSpecContent(txt: String, what: String): Seq[Spec] = {
+    val lines = txt.split('\n').map(_.trim).filter(_.nonEmpty)
     require(lines.length >= 2 && lines(0) == "1",
-      s"unreadable $SpecFile at $table")
-    Some(parseOption(lines(1).trim))
+      s"unreadable $SpecFile at $what")
+    lines.drop(1).toSeq.map(parseOption)
+  }
+
+  /** EVOLVE the layout: re-declare the temporal transform on a grown
+    * table without rewriting a byte — `days(ts)` history stays under its
+    * day directories, new writes route by the new transform (Iceberg's
+    * partition spec evolution). The new spec appends to the history; a
+    * versioned table additionally records the change as a commit, so
+    * time travel resolves the spec as-of a version. Re-declaring the
+    * active spec is rejected (a no-op evolution is a mistake, not a
+    * request).
+    */
+  def evolve(table: String, conf: Configuration, next: Spec): Seq[Spec] = {
+    val history = readSpecs(table, conf)
+    require(history.nonEmpty,
+      s"$table has no temporal layout to evolve — declare one with " +
+        s"$OptionKey (or PARTITIONED BY) first")
+    require(history.last != next,
+      s"table at $table already routes by ${next.fn}:${next.src}")
+    val evolved = history :+ next
+    writeSpecs(table, conf, evolved)
+    if (ColeVersions.enabled(table, conf))
+      ColeVersions.commitIfEnabled(table, conf, "evolve-temporal",
+        Seq.empty, Seq.empty)
+    evolved
   }
 
   /** Derived partition predicates implied by claimed predicates on the
@@ -114,8 +166,16 @@ object ColeTemporal {
     */
   def derivePartPreds(preds: Seq[ColePredicate],
       spec: Option[Spec]): Seq[ColePredicate] =
-    spec.fold(Seq.empty[ColePredicate])(s =>
-      preds.flatMap(p => translate(p, s)))
+    derivePartPreds(preds, spec.toSeq)
+
+  /** Spec-history overload (r12 evolution): derive for EVERY spec — each
+    * file carries exactly one spec's derived key, and the pruning check
+    * keeps files that lack a predicate's key, so mixed-era tables prune
+    * each era by its own transform and never wrongly.
+    */
+  def derivePartPreds(preds: Seq[ColePredicate],
+      specs: Seq[Spec]): Seq[ColePredicate] =
+    specs.flatMap(s => preds.flatMap(p => translate(p, s)))
 
   private def translate(p: ColePredicate, s: Spec): Option[ColePredicate] = {
     if (p.column != s.src) return None

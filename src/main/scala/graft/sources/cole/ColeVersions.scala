@@ -71,9 +71,15 @@ object ColeVersions {
     * mode and versioning compose: live sidecars mutate, pinned copies
     * never do.
     */
+  /** `tspec` (r12) snapshots the `_temporalspec` sidecar content the
+    * same way `spec` snapshots `_bucketspec` — time travel resolves the
+    * temporal transform HISTORY as of the version (partition spec
+    * evolution appends to it).
+    */
   final case class Record(version: Long, ts: Long, op: String,
       adds: Seq[String], removes: Seq[(String, String)],
-      spec: Option[String] = None, dvs: Seq[(String, String)] = Nil)
+      spec: Option[String] = None, dvs: Seq[(String, String)] = Nil,
+      tspec: Option[String] = None)
 
   /** dvRel marker for "this commit cleared the file's vector". */
   val DvCleared = "-"
@@ -274,17 +280,15 @@ object ColeVersions {
   private val tableLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  /** Run `body` holding this JVM's per-table commit lock — how a
-    * row-level commit makes its check-then-mutate sequence (replaced-set
-    * verification → replacement renames → retires → record) ATOMIC
-    * against same-JVM concurrent committers: without it, two overlapping
-    * DMLs can BOTH pass the replaced-set check before either renames,
-    * and both commit — duplicating every replaced row (the second
-    * retire's delete fails silently). Cross-process overlap on a
-    * versioned table still fails loudly (retire renames require their
-    * source); on a log-less table it is best-effort, like any
-    * directory-of-files format. File-DISJOINT committers only contend
-    * for the lock's duration, never reject. ColeDmlRaceSpec pins both.
+  /** Run `body` holding this JVM's per-table commit lock. Since r12 the
+    * row-level DML commit sequence no longer relies on this — its mutual
+    * exclusion is per-AFFECTED-FILE storage claims ([[ColeClaims]]),
+    * which hold across PROCESSES (ColeDmlRaceSpec pins disjoint-success
+    * and overlap-reject without any JVM lock on the path). This lock
+    * remains only as the local-filesystem belt under [[writeRecord]]'s
+    * exclusive-create CAS (HDFS-class stores are atomic there anyway;
+    * cross-process local-FS record CAS is
+    * [[ConditionalPutCommitPrimitives]]'s job).
     */
   def withTableLock[T](fs: FileSystem, table: String)(body: => T): T =
     tableLocks.computeIfAbsent(
@@ -306,15 +310,17 @@ object ColeVersions {
     // snapshot the bucket-layout sidecar INTO the record (KB-scale):
     // time travel then resolves the layout as of the version instead of
     // trusting the live sidecar
-    val specLine: Seq[String] = {
-      val sp = new HPath(table, ColeBucket.SpecFile)
+    def sidecarLine(file: String, tag: String): Seq[String] = {
+      val sp = new HPath(table, file)
       if (!fs.exists(sp)) Seq.empty
       else {
         val in = fs.open(sp)
         val bytes = try in.readAllBytes() finally in.close()
-        Seq("spec:" + java.util.Base64.getEncoder.encodeToString(bytes))
+        Seq(tag + ":" + java.util.Base64.getEncoder.encodeToString(bytes))
       }
     }
+    val specLine = sidecarLine(ColeBucket.SpecFile, "spec") ++
+      sidecarLine(ColeTemporal.SpecFile, "tspec")
     val body = (Seq(s"ts:${System.currentTimeMillis()}", s"op:$op") ++
       specLine ++
       removes.map { case (r, t) => s"rm:$r|$t" } ++
@@ -415,7 +421,9 @@ object ColeVersions {
                 java.util.Base64.getDecoder.decode(b), StandardCharsets.UTF_8)),
               tagged("dv").map { l =>
                 val i = l.lastIndexOf('|'); (l.substring(0, i), l.substring(i + 1))
-              })))
+              },
+              tagged("tspec").headOption.map(b => new String(
+                java.util.Base64.getDecoder.decode(b), StandardCharsets.UTF_8)))))
         }
       }
     // drop in-flight tail records; any incomplete record BELOW a complete
@@ -474,6 +482,19 @@ object ColeVersions {
       version: Long): Option[String] =
     records(table, conf).filter(_.version <= version)
       .flatMap(_.spec).lastOption
+
+  /** The temporal transform HISTORY as of `version` (r12 partition spec
+    * evolution): the latest in-log `_temporalspec` snapshot at or before
+    * it. None = no temporal layout then, or a pre-r12 log — callers then
+    * fall back to the live sidecar (a superset history: pruning stays
+    * conservative because each file is only pruned by the spec whose
+    * derived key it carries).
+    */
+  def temporalSpecsAsOf(table: String, conf: Configuration,
+      version: Long): Option[Seq[ColeTemporal.Spec]] =
+    records(table, conf).filter(_.version <= version)
+      .flatMap(_.tspec).lastOption
+      .map(ColeTemporal.parseSpecContent(_, s"$table@v$version"))
 
   /** Resolve `versionAsOf` / `timestampAsOf` to a concrete version. */
   def resolveAsOf(table: String, conf: Configuration,

@@ -115,4 +115,86 @@ class ColeCboStatsSpec extends AnyFunSuite {
     }
     assert(rows === base && rows.nonEmpty)
   }
+
+  /** r12: string NDV from DICTIONARY page headers — a sound upper bound
+    * (sum of per-page dictionary entry counts), cached per file
+    * incarnation, reported only when every page of the column is an
+    * uncompressed dictionary page.
+    */
+  private lazy val strDirs: (String, String, String) = {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("cole_cbo_str").toString
+    // 40k rows over a 200-value string key: dictionary-encoded
+    (0 until 40000).map(i => (s"c${i % 200}", i.toLong, s"p$i"))
+      .toDF("cat", "n", "payload")
+      .coalesce(1).write.format("cole").mode("overwrite").save(s"$base/sbig")
+    (0 until 200).map(i => (s"c$i", (i % 7).toDouble)).toDF("mcat", "mv")
+      .coalesce(1).write.format("cole").mode("overwrite").save(s"$base/smid")
+    (0 until 5).map(i => (s"c${i * 37}", s"s$i")).toDF("scat", "sv")
+      .coalesce(1).write.format("cole").mode("overwrite").save(s"$base/ssmall")
+    (s"$base/sbig", s"$base/smid", s"$base/ssmall")
+  }
+
+  test("string NDV: dictionary-page bound is sound, tight, and cached") {
+    val (sbig, _, _) = strDirs
+    withConf("spark.sql.cbo.enabled" -> "true") {
+      val df = spark.read.format("cole").load(sbig)
+      val byName = df.queryExecution.optimizedPlan.stats.attributeStats
+        .map { case (a, cs) => a.name -> cs }
+      val cat = byName("cat")
+      assert(cat.distinctCount.isDefined, "dictionary key must report NDV")
+      val ndv = cat.distinctCount.get
+      // sound (>= true 200) and far tighter than the 40k rowcount
+      assert(ndv >= BigInt(200) && ndv <= BigInt(4000),
+        s"cat NDV bound out of range: $ndv")
+      // high-cardinality payload is PLAIN-encoded: no bound, never a guess
+      assert(byName("payload").distinctCount.isEmpty)
+      // the probe is cached per file incarnation: re-planning reads nothing
+      val before = ColeNdv.probeReads.get()
+      spark.read.format("cole").load(sbig)
+        .queryExecution.optimizedPlan.stats
+      assert(ColeNdv.probeReads.get() === before,
+        "repeated planning must serve NDV bounds from the cache")
+    }
+  }
+
+  test("string-keyed 3-way join reorders under CBO, results unchanged") {
+    val (sbig, smid, ssmall) = strDirs
+    def query = {
+      val b = spark.read.format("cole").load(sbig)
+      val m = spark.read.format("cole").load(smid)
+      val sm = spark.read.format("cole").load(ssmall)
+      // declared order: (sbig ⋈ smid) ⋈ ssmall — the selective 5-row
+      // string-keyed join is declared LAST
+      b.join(m, b("cat") === m("mcat"))
+        .join(sm, b("cat") === sm("scat"))
+        .select(col("n"), col("mv"), col("sv"))
+    }
+    def innermostJoinTables(plan: LogicalPlan): Set[String] = {
+      val joins = plan.collect { case j: Join => j }
+      joins.last.children.flatMap(_.output.map(_.name)).toSet
+    }
+    val reordered = withConf(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true") {
+      innermostJoinTables(query.queryExecution.optimizedPlan)
+    }
+    val declared = withConf("spark.sql.cbo.enabled" -> "false") {
+      innermostJoinTables(query.queryExecution.optimizedPlan)
+    }
+    assert(declared.contains("mcat") && !declared.contains("scat"),
+      s"without CBO the declared (sbig ⋈ smid) order should stand: $declared")
+    assert(reordered.contains("scat") && !reordered.contains("mcat"),
+      s"string NDV should let the CBO join the 5-row side first: $reordered")
+    val rows = withConf(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true") {
+      query.collect().map(_.toSeq).toSet
+    }
+    val base = withConf("spark.sql.cbo.enabled" -> "false") {
+      query.collect().map(_.toSeq).toSet
+    }
+    assert(rows === base && rows.nonEmpty)
+  }
 }
