@@ -23,8 +23,32 @@ object Bench {
     */
   private val MapBudget = 1700
 
+  /** Sweep the project's own accumulated /tmp scratch before measuring
+    * (r12 — the r11 bench measured ~22k leftover per-session test dirs
+    * costing ~10% wall on byte-identical code; make the mitigation
+    * mechanical instead of a manual note). Only test-suite prefixes are
+    * swept: never the bench's own fixture cache (/tmp/graft_cole),
+    * scaling data (/tmp/graft_sf1), or the spark-/blockmgr-prefixed
+    * dirs owned by live JVMs.
+    */
+  private def cleanScratch(): Unit = {
+    val prefixes = Seq("cole_", "race_", "cli_write", "graft_cdf_",
+      "graft_apply_", "apply_cp", "dbg_ndv")
+    def rm(x: java.io.File): Unit = {
+      Option(x.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+      x.delete()
+    }
+    Option(new java.io.File("/tmp").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .foreach { f =>
+        if (prefixes.exists(f.getName.startsWith))
+          try rm(f) catch { case _: Exception => () }
+      }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cleanScratch()
     val spark = Engine.session()
     def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -39,6 +63,10 @@ object Bench {
       // observed as one arbitrary victim query measuring 3× slower in
       // the suite than in isolation.
       System.gc()
+      // stderr marker BEFORE the runs: Spark's own warnings (e.g. "task
+      // of very large size") land on stderr too, so the interleaving
+      // attributes them to a query without touching the stdout contract
+      System.err.println(s"[bench-query] $name")
       once(fn) // warm-up: plan compilation + codegen JIT, untimed
       name -> Seq.fill(TimedRuns)(once(fn))
     }

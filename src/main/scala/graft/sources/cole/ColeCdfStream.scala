@@ -103,6 +103,40 @@ object ColeCdfStream {
     */
   val deleteRowGroupsPlanned = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Per-task ordinal budget for merge-on-read delete partitions: the
+    * slice rides the task binary (and Spark may GROUP several input
+    * partitions into one task), so partitions split at ~48k ordinals —
+    * with delta-varint packing that is ~50-100 KB per partition,
+    * bounded regardless of delta size.
+    */
+  val OrdinalsPerTask = 49152
+
+  /** Delta-varint pack of a SORTED ordinal slice: dense delete patterns
+    * encode at ~1-2 bytes/ordinal vs 8 raw — a whole-table 10% delete's
+    * per-partition slice drops from ~150 KB to ~20 KB, keeping task
+    * binaries small even when Spark coalesces input partitions.
+    */
+  def packOrdinals(sorted: Array[Long]): Array[Byte] = {
+    val out = new ColeCodec.Out(sorted.length + 8)
+    out.uvarint(sorted.length.toLong)
+    var prev = 0L
+    var i = 0
+    while (i < sorted.length) {
+      out.uvarint(sorted(i) - prev); prev = sorted(i); i += 1
+    }
+    out.toBytes
+  }
+
+  def unpackOrdinals(packed: Array[Byte]): Array[Long] = {
+    val c = new ColeCodec.Cursor(packed, 0)
+    val n = c.uvarint().toInt
+    val out = new Array[Long](n)
+    var prev = 0L
+    var i = 0
+    while (i < n) { prev += c.uvarint(); out(i) = prev; i += 1 }
+    out
+  }
+
   /** Pair a CDF micro-batch's delete/insert rows into the Delta-CDF
     * four-type shape — the streaming twin of the batch feed's `pairKey`:
     * within each `_commit_version`, a delete and an insert sharing the
@@ -286,13 +320,14 @@ final case class ColeCdfOffset(version: Long) extends Offset {
 
 /** One streamed change partition: an ordinary [[ColeInputPartition]]
   * (packed row groups of ONE commit-named file) plus the change label.
-  * `keepOrdinals` (sorted, file-wide physical positions) restricts a
-  * merge-on-read delete partition to exactly the commit's freshly
-  * deleted rows; null serves every row.
+  * `keepPacked` (delta-varint of sorted file-wide physical positions —
+  * see [[ColeCdfStream.packOrdinals]]) restricts a merge-on-read delete
+  * partition to exactly the commit's freshly deleted rows; null serves
+  * every row.
   */
 final case class ColeCdfPartition(inner: ColeInputPartition,
     changeType: String, version: Long,
-    keepOrdinals: Array[Long]) extends InputPartition
+    keepPacked: Array[Byte]) extends InputPartition
 
 class ColeCdfReaderFactory(dataSchema: StructType, hconf: ColeHadoopConf)
     extends PartitionReaderFactory {
@@ -309,13 +344,18 @@ class ColeCdfReaderFactory(dataSchema: StructType, hconf: ColeHadoopConf)
     val width = dataSchema.length
     val types = dataSchema.fields.map(_.dataType)
     val changeType = UTF8String.fromString(cp.changeType)
+    // unpack once per reader: the packed form exists for the task
+    // binary, the probe wants a plain sorted array
+    val keepOrdinals: Array[Long] =
+      if (cp.keepPacked == null) null
+      else ColeCdfStream.unpackOrdinals(cp.keepPacked)
     new PartitionReader[InternalRow] {
       private var row: InternalRow = _
       override def next(): Boolean = {
         while (delegate.next()) {
           val in = delegate.get()
-          if (cp.keepOrdinals == null ||
-              java.util.Arrays.binarySearch(cp.keepOrdinals, in.getLong(width)) >= 0) {
+          if (keepOrdinals == null ||
+              java.util.Arrays.binarySearch(keepOrdinals, in.getLong(width)) >= 0) {
             // copy defensively: the delegate may reuse its row buffer
             val safe = in.copy()
             val vals = new Array[Any](width + 2)
@@ -491,22 +531,43 @@ class ColeCdfMicroBatchStream(dataSchema: StructType, path: String,
     }
     innerPartsOf(infos).flatMap { p =>
       val kept = p.rowGroups.indices.filter(i => local(p.rowGroups(i)) != null)
-      if (kept.isEmpty) None
+      if (kept.isEmpty) Seq.empty
       else {
-        val pruned = p.copy(
-          rowGroups = kept.map(p.rowGroups).toArray,
-          rowCounts = kept.map(p.rowCounts).toArray,
-          deleted = if (p.deleted == null) null
-            else kept.map(p.deleted).toArray)
-        // groups ascend within a partition and ordinals ascend within a
-        // group, so the concatenated slice stays sorted for the reader's
-        // binary search
-        val slice = kept.iterator.flatMap { i =>
-          val rg = p.rowGroups(i)
-          local(rg).iterator.map(bases(rg) + _.toLong)
-        }.toArray
-        ColeCdfStream.deleteRowGroupsPlanned.addAndGet(pruned.rowGroups.length)
-        Some(ColeCdfPartition(pruned, "delete", version, slice))
+        // the ordinal slice ships INSIDE the task binary — bound it per
+        // partition (r12): chunk the kept groups so no task carries more
+        // than ~48k ordinals (~384 KB of longs); a whole-table 10%
+        // delete at sf1 otherwise packed ~200k ordinals ≈ 1.6 MB into
+        // one task ("task of very large size"). Extra partitions are
+        // row-group-proportional scan work — exactly what scales out.
+        val runs = scala.collection.mutable.ArrayBuffer(
+          scala.collection.mutable.ArrayBuffer.empty[Int])
+        var acc = 0
+        kept.foreach { i =>
+          val n = local(p.rowGroups(i)).length
+          if (acc + n > ColeCdfStream.OrdinalsPerTask && runs.last.nonEmpty) {
+            runs += scala.collection.mutable.ArrayBuffer.empty[Int]
+            acc = 0
+          }
+          runs.last += i
+          acc += n
+        }
+        runs.filter(_.nonEmpty).map { run =>
+          val pruned = p.copy(
+            rowGroups = run.map(p.rowGroups).toArray,
+            rowCounts = run.map(p.rowCounts).toArray,
+            deleted = if (p.deleted == null) null
+              else run.map(p.deleted).toArray)
+          // groups ascend within a partition and ordinals ascend within
+          // a group, so the concatenated slice stays sorted for the
+          // reader's binary search
+          val slice = run.iterator.flatMap { i =>
+            val rg = p.rowGroups(i)
+            local(rg).iterator.map(bases(rg) + _.toLong)
+          }.toArray
+          ColeCdfStream.deleteRowGroupsPlanned.addAndGet(pruned.rowGroups.length)
+          ColeCdfPartition(pruned, "delete", version,
+            ColeCdfStream.packOrdinals(slice))
+        }.toSeq
       }
     }
   }

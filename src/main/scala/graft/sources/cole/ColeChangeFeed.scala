@@ -48,6 +48,13 @@ object ColeChangeFeed {
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"
 
+  /** Slices for the ordinal-probe parallelize: ~16k (path, ordinal)
+    * pairs per slice keeps every task binary a few hundred KB (measured
+    * ~25 B/pair serialized) — bounded per task regardless of delta
+    * size, spec-pinned.
+    */
+  def probeSlices(nPairs: Int): Int = math.max(1, 1 + nPairs / 16384)
+
   /** The option [[ColeDataSource]] accepts for an exact-file-set read:
     * URL-encoded `rel|phys` pairs joined by ','. Internal — minted here,
     * consumed by the scan builder; delta-sized (the files of one
@@ -253,9 +260,14 @@ object ColeChangeFeed {
         col(ColeUtil.FileMetaCol) :+ col(ColeUtil.PosMetaCol)): _*)
       val pairs = files.flatMap { case (_, phys, ords) =>
         ords.iterator.map(o => (phys, o.toLong)) }
-      val slices = math.max(1, math.min(
-        spark.sparkContext.defaultParallelism, 1 + pairs.length / 65536))
-      val probe = spark.sparkContext.parallelize(pairs, slices)
+      // a ParallelCollectionRDD ships each slice's rows INSIDE the task
+      // binary — slice by PAYLOAD, not core count, or a large delta rides
+      // one multi-MB task (r11's "task of very large size" warning,
+      // attributed r12: 60k pairs in one slice ≈ 1.4 MiB). Capped slices
+      // keep every task's closure KB-scale; the extra tasks are
+      // row-count-proportional map work, exactly what should scale out.
+      val probe = spark.sparkContext
+        .parallelize(pairs, probeSlices(pairs.length))
         .toDF("_dv_file", "_dv_ord")
       sel.join(probe,
           sel(ColeUtil.FileMetaCol) === probe("_dv_file") &&

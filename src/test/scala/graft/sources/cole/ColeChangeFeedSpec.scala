@@ -230,4 +230,19 @@ class ColeChangeFeedSpec extends AnyFunSuite {
     assert(feed.columns.toSet ===
       Set("k", "v", "_change_type", "_commit_version"))
   }
+
+  test("ordinal-probe slicing bounds the per-task payload regardless of delta size") {
+    // ~16k pairs/slice at ~25 B/pair serialized ≈ a few hundred KB per
+    // task binary — the r12 fix for the bench's "task of very large
+    // size" warning (one slice used to carry a whole 60k-pair delta)
+    assert(ColeChangeFeed.probeSlices(0) === 1)
+    assert(ColeChangeFeed.probeSlices(16000) === 1)
+    assert(ColeChangeFeed.probeSlices(64000) >= 4)
+    assert(ColeChangeFeed.probeSlices(1200000) >= 73) // sf1-scale delta
+    // monotone, and never more slices than ~1-per-16k-pairs + 1
+    (1 to 20).foreach { i =>
+      val n = i * 50000
+      assert(ColeChangeFeed.probeSlices(n) <= n / 16384 + 1)
+    }
+  }
 }
