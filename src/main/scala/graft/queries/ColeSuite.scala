@@ -1586,23 +1586,30 @@ object ColeSuite {
             lit("Z").as("l_returnflag"))
           .write.format("cole").mode("append").save(dir) // v3 append
       }
-      val sinkName = ns + "_sink"
-      s.catalog.dropTempView(sinkName)
       val cp = java.nio.file.Files
         .createTempDirectory("graft_cdf_stream_cp").toString
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_cdf_stream_out").toString + "/feed"
       // BOUNDED range, the bootstrap recipe's shape (never stream a large
       // table's full history — batch-load the snapshot, stream what
       // follows): the bench then measures per-commit DELTA serving, the
       // engine path, not the deliberately history-sized oracle harness
       // that dominated r10's headline bench. Full-history backfill parity
-      // stays spec-pinned in ColeCdfStreamSpec.
+      // stays spec-pinned in ColeCdfStreamSpec. The sink is a parquet
+      // spill via foreachBatch (r12) — the DISTRIBUTED consumption shape;
+      // the r10/r11 memory sink materialized the whole feed driver-side
+      // and its LocalTableScan readback shipped MB-scale task closures
+      // (the bench's "task of very large size" warning, attributed r12).
       val q = s.readStream.format("cole").option("changeFeed", "true")
         .option("startingVersion", "2")
         .load(dir)
-        .writeStream.format("memory").queryName(sinkName)
+        .writeStream.foreachBatch {
+          (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.write.mode("append").parquet(out); ()
+        }
         .option("checkpointLocation", cp).start()
       try q.processAllAvailable() finally q.stop()
-      s.table(sinkName)
+      s.read.parquet(out)
         .groupBy(col("_change_type").as("change_type"),
           col("_commit_version").as("commit_version"), col("l_returnflag"))
         .agg(count(lit(1)).as("n"), sum("l_orderkey").as("sum_key"),
@@ -1920,6 +1927,51 @@ object ColeSuite {
               FROM events e JOIN usr ON e.user_id = usr.user_id
               WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
                 AND ts < TIMESTAMP '2024-01-12 00:00:00'
-              GROUP BY 1, 2 ORDER BY first_type, cohort"""))
+              GROUP BY 1, 2 ORDER BY first_type, cohort""")),
+
+    // Temporal partition spec EVOLUTION (r12): the first 15 days land
+    // under days(ts); `CALL cole.system.evolve_temporal` flips the
+    // active transform to hours(ts) with ZERO rewrites (the sidecar
+    // becomes an append-only history); the rest of the month appends
+    // under hour directories. The measured query spans the evolution
+    // boundary: era-1 files prune by their day ordinals, era-2 files by
+    // their hour ordinals, each era only by the spec its directories
+    // carry — conservative by construction (byte-identity, cross-era
+    // file-open counts, and as-of resolution pinned in
+    // ColeTemporalEvolveSpec). This is Iceberg's partition-spec
+    // evolution on the 100 TB events table: re-grain the layout as data
+    // density grows, never rewrite history.
+    Q("cole_temporal_evolved", (s, d) => {
+      val wh = "/tmp/graft_cole/warehouse"
+      s.conf.set("spark.sql.catalog.cole", "graft.sources.cole.ColeCatalog")
+      s.conf.set("spark.sql.catalog.cole.warehouse", wh)
+      val ns = s"v${writerFingerprint}_tpe_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val dir = s"$wh/$ns/ev"
+      writeOnce(dir) {
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        ev.filter(col("ts") < to_timestamp(lit("2024-01-16 00:00:00")))
+          .write.format("cole").mode("overwrite")
+          .option("partitionByTemporal", "days:ts").save(dir)
+        s.sql(s"CALL cole.system.evolve_temporal('$ns.ev', 'hours:ts')")
+        ev.filter(col("ts") >= to_timestamp(lit("2024-01-16 00:00:00")))
+          .write.format("cole").mode("append").save(dir)
+      }
+      s.read.format("cole").load(dir)
+        .filter(col("ts") >= to_timestamp(lit("2024-01-14 00:00:00")) &&
+          col("ts") < to_timestamp(lit("2024-01-18 00:00:00")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    },
+      Some(s"""SELECT event_type, COUNT(*) AS n,
+                MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+                ${dsumSql("value")} AS sum_value
+              FROM events
+              WHERE ts >= TIMESTAMP '2024-01-14 00:00:00'
+                AND ts < TIMESTAMP '2024-01-18 00:00:00'
+              GROUP BY event_type ORDER BY event_type"""))
   )
 }
