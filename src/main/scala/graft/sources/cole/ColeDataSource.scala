@@ -3926,8 +3926,14 @@ class ColeWriteBuilder(schema: StructType, path: String, rowGroupSize: Int,
         // in-partition ordering request: partition keys first (each
         // task's rows arrive grouped per directory — one open sub-writer
         // at a time), then the sort keys — every emitted file lands
-        // sorted without any exchange (SortExec per task)
-        val ordering: Seq[String] = (if (sortBy.nonEmpty)
+        // sorted without any exchange (SortExec per task). TEMPORAL
+        // writes request this UNCONDITIONALLY (r12): the unit ordinal is
+        // monotone in the timestamp, so ordered rows open one unit
+        // directory's writer at a time — unordered, a month-of-hours
+        // append holds up to MaxOpenWriters row-group buffers per task
+        // (measured: heap exhaustion at sf1). Identity-only hive writes
+        // keep Spark's own pre-write clustering.
+        val ordering: Seq[String] = (if (sortBy.nonEmpty || temporal.isDefined)
           partCols ++ temporal.map(_.src).filterNot(partCols.contains)
         else Seq.empty) ++ sortBy
         if (ordering.nonEmpty)
@@ -4460,11 +4466,22 @@ class ColeDataWriter(schema: StructType, file: String, rowGroupSize: Int,
     else file.substring(0, file.lastIndexOf('/') + 1) + s".$fileName.inprogress"
   private val writer = new ColeFileWriter(writePath, coleCols, conf)
   // primitive row-group buffers: a boxing ArrayBuffer[Int/Long] would box
-  // every cell of every numeric column on the write path
-  private val intBufs = Array.fill(schema.length)(new Array[Int](rowGroupSize))
-  private val longBufs = Array.fill(schema.length)(new Array[Long](rowGroupSize))
-  private val strBufs = Array.fill(schema.length)(new Array[Array[Byte]](rowGroupSize))
-  private val dblBufs = Array.fill(schema.length)(new Array[Double](rowGroupSize))
+  // every cell of every numeric column on the write path. Allocated per
+  // column TYPE only (r12): a blanket fill of all four kinds costs
+  // ~28 B x rowGroupSize per column (~7 MB for a 4-column schema), and a
+  // partitioned/bucketed task can hold dozens of open sub-writers —
+  // measured as sf1 heap exhaustion before this narrowed to one
+  // rowGroupSize-sized buffer per column.
+  private val intBufs = Array.tabulate(schema.length)(i =>
+    if (coleCols(i).colType == TInt32) new Array[Int](rowGroupSize) else null)
+  private val longBufs = Array.tabulate(schema.length)(i =>
+    if (ColeFormat.isLongBacked(coleCols(i).colType))
+      new Array[Long](rowGroupSize) else null)
+  private val strBufs = Array.tabulate(schema.length)(i =>
+    if (coleCols(i).colType == TString || coleCols(i).colType == TBinary)
+      new Array[Array[Byte]](rowGroupSize) else null)
+  private val dblBufs = Array.tabulate(schema.length)(i =>
+    if (coleCols(i).colType == TDouble) new Array[Double](rowGroupSize) else null)
   // vector columns are rare (usually one embedding column); allocate lazily
   private val vecBufs = new Array[Array[Array[Float]]](schema.length)
   // wide decimal lanes: interleaved [hi,lo] pairs, 2 slots per row;
