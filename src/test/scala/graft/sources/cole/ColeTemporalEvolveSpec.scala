@@ -160,4 +160,43 @@ class ColeTemporalEvolveSpec extends AnyFunSuite {
     assert(got === 99.0)
     assert(spark.read.format("cole").load(t).count() === 50)
   }
+
+  test("compaction heals the hour-grain era: layout and history preserved, results identical") {
+    val t = s"$warehouse/db/ev3"
+    // multi-task writes leave several part files per unit directory —
+    // the small-file shape an hour-grain era accumulates
+    rows("2024-03-01", 2, 20, 0L).repartition(6)
+      .write.format("cole").mode("overwrite")
+      .option("partitionByTemporal", "days:ts").save(t)
+    ColeTemporal.evolve(t, conf, ColeTemporal.Spec("hours", "ts"))
+    rows("2024-03-03", 1, 20, 5000L).repartition(6)
+      .write.format("cole").mode("append").save(t)
+    val q = () => spark.read.format("cole").load(t)
+      .filter(col("ts") >= to_timestamp(lit("2024-03-02 00:00:00")) &&
+        col("ts") < to_timestamp(lit("2024-03-03 12:00:00")))
+      .agg(count(lit(1)), sum("v"), min("id"), max("id"))
+      .head().toSeq
+    val before = q()
+    val filesBefore = ColeIO.listPartitioned(t, conf).size
+    val stats = ColeCompact.compact(spark, t, targetBytes = 1L << 30)
+    assert(stats.filesAfter < filesBefore, s"no compaction happened: $stats")
+    // layout intact: every file still under its era's unit directory,
+    // history sidecar untouched
+    val files = ColeIO.listPartitioned(t, conf)
+    assert(files.map(_._2.map(_._1)).distinct.toSet ===
+      Set(Seq("_t_days_ts"), Seq("_t_hours_ts")))
+    assert(ColeTemporal.readSpecs(t, conf) ===
+      Seq(ColeTemporal.Spec("days", "ts"), ColeTemporal.Spec("hours", "ts")))
+    val spec = ColeTemporal.Spec("hours", "ts")
+    files.filter(_._2.head._1 == "_t_hours_ts").foreach { case (st, parts) =>
+      spark.read.format("cole").load(st.getPath.toString)
+        .select("ts").collect().foreach { r =>
+          assert(spec.ordinal(r.getTimestamp(0).getTime * 1000L).toString
+            === parts.toMap.apply("_t_hours_ts"),
+            "compaction moved a row out of its hour directory")
+        }
+    }
+    assert(q() === before, "compaction changed query results")
+    assert(spark.read.format("cole").load(t).count() === 60)
+  }
 }
