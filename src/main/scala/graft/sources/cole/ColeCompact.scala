@@ -143,6 +143,29 @@ object ColeCompact {
       if (sts.isEmpty || (skipWhenFewFiles && sts.size <= nOut && !hasDv)) {
         filesAfter += sts.size; bytesAfter += bytes
       } else {
+        // compaction participates in the DML claim protocol (r12): it
+        // claims this directory's input files for the whole read→swap
+        // window, so a row-level commit can never land in between and be
+        // silently undone by the swap (rows resurrected from the
+        // pre-DML bytes the rewrite read). Overlapping DML parks on the
+        // claims and — once the swap lands — rejects loudly on its own
+        // (len,mtime) check; a directory whose files drifted between the
+        // listing and the claim is SKIPPED this pass (counted
+        // uncompacted; the next maintenance run picks it up).
+        val claims = ColeClaims.acquire(fs, conf, table,
+          sts.map(s => ColeVersions.relOf(fs, table, s._1.getPath.toString)),
+          "compact")
+        val drifted = sts.exists { s =>
+          try {
+            val now = fs.getFileStatus(s._1.getPath)
+            now.getLen != s._1.getLen ||
+              now.getModificationTime != s._1.getModificationTime
+          } catch { case _: java.io.FileNotFoundException => true }
+        }
+        if (drifted) {
+          claims.release()
+          filesAfter += sts.size; bytesAfter += bytes
+        } else try {
         val stamp = java.lang.Long.toHexString(System.nanoTime())
         val tmp = new HPath(dir, s".compact-$stamp")
         // carry the source's format version: a v2 table (nullable/double
@@ -222,6 +245,7 @@ object ColeCompact {
         compacted += 1
         filesAfter += outs.length
         bytesAfter += outs.map(_.getLen).sum
+        } finally claims.release()
       }
     }
     Stats(dirs.size, compacted, filesBefore, filesAfter, bytesBefore, bytesAfter)
