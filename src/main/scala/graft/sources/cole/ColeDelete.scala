@@ -164,6 +164,13 @@ object ColeDelete {
     val verRemoves = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val versioned = ColeVersions.enabled(table, conf)
     byDir.toSeq.sortBy(_._1.toString).foreach { case (dir, files) =>
+      // check-then-swap holds per-file storage claims (ColeClaims, r12 —
+      // cross-process): without them two overlapping committers could
+      // both pass the (len,mtime) check below before either renames
+      val claims = ColeClaims.acquire(fs, conf, table,
+        files.map { case (i, _) => ColeVersions.relOf(fs, table, i.path) },
+        "delete")
+      try {
       // concurrent-write race check: every file this delete decided over
       // must still be exactly the bytes the decision read. Abort BEFORE
       // any mutation — the table is untouched on rejection (speculative
@@ -205,6 +212,7 @@ object ColeDelete {
       fs.delete(ColeCompact.manifestPath(dir), false)
       if (indexedCols.nonEmpty)
         ColeBloomIndex.build(dir.toString, indexedCols, conf)
+      } finally claims.release()
     }
     dropScratch() // dirs whose every rewrite was a no-op never swapped
     if (verAdds.nonEmpty || verRemoves.nonEmpty)
