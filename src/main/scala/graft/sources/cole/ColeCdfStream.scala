@@ -229,6 +229,9 @@ object ColeCdfStream {
     import org.apache.spark.sql.functions.{col, max, row_number}
     val spark = batch.sparkSession
     require(pairKey.nonEmpty, "applyChanges needs at least one key column")
+    validateApplyId(applyId) // BEFORE any path is built from it — a
+    // malformed id must be rejected before the watermark read, not after
+    // the MERGE already executed (ADVICE r12)
     val parts = spark.sessionState.sqlParser.parseMultipartIdentifier(target)
     require(parts.length >= 2, s"'$target' must be catalog-qualified " +
       "(cat.ns.table): MERGE INTO resolves through the catalog")
@@ -279,8 +282,14 @@ object ColeCdfStream {
   /** Highest `_commit_version` durably applied into `table` under
     * `applyId`; 0 = nothing applied yet.
     */
+  private def validateApplyId(applyId: String): Unit =
+    require(applyId.nonEmpty &&
+      applyId.forall(c => c.isLetterOrDigit || "._-".contains(c)),
+      s"applyId '$applyId' must be non-empty [A-Za-z0-9._-]")
+
   def appliedWatermark(table: String, conf: Configuration,
       applyId: String): Long = {
+    validateApplyId(applyId) // this builds a path from the id
     val (fs, _) = ColeIO.resolve(table, conf)
     val p = new org.apache.hadoop.fs.Path(
       new org.apache.hadoop.fs.Path(table, AppliedDir), applyId)
@@ -293,9 +302,7 @@ object ColeCdfStream {
 
   private def writeApplied(table: String, conf: Configuration,
       applyId: String, version: Long): Unit = {
-    require(applyId.nonEmpty &&
-      applyId.forall(c => c.isLetterOrDigit || "._-".contains(c)),
-      s"applyId '$applyId' must be non-empty [A-Za-z0-9._-]")
+    validateApplyId(applyId)
     val (fs, _) = ColeIO.resolve(table, conf)
     if (version <= appliedWatermark(table, conf, applyId)) return // monotonic
     val dir = new org.apache.hadoop.fs.Path(table, AppliedDir)

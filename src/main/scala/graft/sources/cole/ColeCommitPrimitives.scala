@@ -41,6 +41,14 @@ trait ColeCommitPrimitives {
     * when the path already exists (the CAS-loser signal).
     */
   def exclusiveCreate(fs: FileSystem, path: HPath): FSDataOutputStream
+
+  /** True when `path` only becomes visible at a successful `close()`
+    * (object-store PUT semantics); false when `exclusiveCreate` itself
+    * makes it visible (direct namenode create). Callers that clean up
+    * their own orphan after a failed write need to know whose file the
+    * destination is — see ColeClaims.tryCreate.
+    */
+  def publishAtClose: Boolean = false
 }
 
 /** Default primitives: the filesystem's own `create(overwrite=false)`. */
@@ -84,6 +92,8 @@ final class FsCommitPrimitives extends ColeCommitPrimitives {
   * Arm with `graft.cole.commit.primitives=<class>` in the Hadoop conf.
   */
 class ConditionalPutCommitPrimitives extends ColeCommitPrimitives {
+
+  override def publishAtClose: Boolean = true
 
   override def exclusiveCreate(fs: FileSystem, path: HPath): FSDataOutputStream = {
     // fast-fail probe (an existing object can never lose its race); the

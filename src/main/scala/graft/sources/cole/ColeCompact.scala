@@ -155,7 +155,7 @@ object ColeCompact {
         val claims = ColeClaims.acquire(fs, conf, table,
           sts.map(s => ColeVersions.relOf(fs, table, s._1.getPath.toString)),
           "compact")
-        val drifted = sts.exists { s =>
+        def drifted = sts.exists { s =>
           try {
             val now = fs.getFileStatus(s._1.getPath)
             now.getLen != s._1.getLen ||
@@ -197,6 +197,16 @@ object ColeCompact {
           .option("formatVersion", srcVersion.toString)
         compress.foreach(c => w = w.option("compress", c))
         w.save(tmp.toString)
+        // belt under the claim heartbeat (r13): the rewrite window is
+        // data-proportional, and the claim-time drift check alone cannot
+        // see a DML that landed after a claim was (wrongly) broken —
+        // re-stat the inputs IMMEDIATELY before the swap intent commits
+        // and abort on any drift, so the swap can never resurrect a
+        // concurrent DML's rows even if the claims were lost (ADVICE r12)
+        if (drifted) {
+          fs.delete(tmp, true) // claims released by the enclosing finally
+          filesAfter += sts.size; bytesAfter += bytes
+        } else {
         val outs = fs.listStatus(tmp).filter(_.getPath.getName.endsWith(".col"))
         val newNames = outs.indices.map(i => s"compact-$stamp-$i.col")
         // 2-phase swap: the manifest (old names to delete + new names
@@ -245,6 +255,7 @@ object ColeCompact {
         compacted += 1
         filesAfter += outs.length
         bytesAfter += outs.map(_.getLen).sum
+        }
         } finally claims.release()
       }
     }

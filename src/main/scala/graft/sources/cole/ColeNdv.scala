@@ -39,8 +39,14 @@ object ColeNdv {
       conf: Configuration): Option[Long] =
     cache.getOrElseUpdate(s"${info.path}|${info.len}|${info.mtime}|$colIdx") {
       val meta = info.meta
-      val eligible = meta.rowGroups.forall(_.chunks(colIdx).pages.forall(ph =>
-        ph.encoding == Dict && ph.compressedSize == ph.uncompressedSize))
+      val colType = meta.columns(colIdx).colType
+      // the header-skip re-serialization below is only exact when fed the
+      // column's REAL type flags; additionally gate to TString — the only
+      // type this bound is defined for — so a future non-string caller
+      // gets a sound None, not silently wrong offsets (ADVICE r12)
+      val eligible = colType == TString &&
+        meta.rowGroups.forall(_.chunks(colIdx).pages.forall(ph =>
+          ph.encoding == Dict && ph.compressedSize == ph.uncompressedSize))
       if (!eligible) None
       else {
         probeReads.incrementAndGet()
@@ -58,7 +64,8 @@ object ColeNdv {
               // header, so re-serializing it gives the exact skip
               val hdr = {
                 val o = new ColeCodec.Out()
-                writePageHeader(o, ph, meta.version)
+                writePageHeader(o, ph, meta.version,
+                  colType == TDouble, isWide(colType))
                 o.toBytes.length
               }
               // v2 null-bearing pages prefix a validity bitmap to the

@@ -201,11 +201,13 @@ class ColeDmlRaceSpec extends AnyFunSuite {
     }
     assert(ok.forall(_.get(60, TimeUnit.SECONDS)))
     pool.shutdown()
-    // a crash-orphaned marker (nobody releases it) breaks after the TTL
+    // a crash-orphaned marker (its PROCESS died — abandon() stops the
+    // heartbeat without releasing, the same-JVM stand-in) breaks after
+    // the TTL
     val orphanConf = new org.apache.hadoop.conf.Configuration(conf)
     orphanConf.setLong(ColeClaims.TtlKey, 300L)
     orphanConf.setLong(ColeClaims.WaitKey, 20000L)
-    ColeClaims.acquire(fs, orphanConf, t, Seq("dead.col"), "crashed") // never released
+    ColeClaims.acquire(fs, orphanConf, t, Seq("dead.col"), "crashed").abandon()
     Thread.sleep(400)
     val before = ColeClaims.staleBreaks.get()
     val c2 = ColeClaims.acquire(fs, orphanConf, t, Seq("dead.col"), "breaker")
@@ -221,5 +223,213 @@ class ColeDmlRaceSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("held by a concurrent committer"))
     live.release()
+  }
+
+  test("heartbeat: a LIVE holder stalled past the TTL keeps its claims; only a dead one expires") {
+    val t = Files.createTempDirectory("cole_claims_hb").toString
+    val conf = new org.apache.hadoop.conf.Configuration(ColeIO.driverConf())
+    conf.setLong(ColeClaims.TtlKey, 400L) // heartbeat defaults to ttl/3
+    conf.setLong(ColeClaims.WaitKey, 300L)
+    val (fs, _) = ColeIO.resolve(t, conf)
+    val holder = ColeClaims.acquire(fs, conf, t, Seq("slow.col"), "slow-commit")
+    // the commit "runs long": 4x the TTL elapses while the holder lives
+    Thread.sleep(1600)
+    val before = ColeClaims.staleBreaks.get()
+    // a second committer must PARK (and here time out) — never break the
+    // live claim, even though its creation is long past the TTL
+    val e = intercept[IllegalStateException] {
+      ColeClaims.acquire(fs, conf, t, Seq("slow.col"), "contender")
+    }
+    assert(e.getMessage.contains("held by a concurrent committer"))
+    assert(ColeClaims.staleBreaks.get() === before,
+      "a heartbeating holder must never be broken as stale")
+    holder.release()
+    // whereas a holder whose process DIED (heartbeat gone) expires
+    ColeClaims.acquire(fs, conf, t, Seq("slow.col"), "victim").abandon()
+    Thread.sleep(600)
+    val c = ColeClaims.acquire(fs, conf, t, Seq("slow.col"), "reaper")
+    assert(ColeClaims.staleBreaks.get() > before)
+    c.release()
+  }
+
+  test("racing breakers on one stale marker: never two holders, no fresh claim ever stolen") {
+    // the r12 TOCTOU (ADVICE): two breakers both observe a stale marker;
+    // the slower one must not delete the faster one's freshly re-created
+    // claim. The break-lock re-check serializes stale-check -> delete, so
+    // across many rounds at most one committer holds at any instant.
+    val t = Files.createTempDirectory("cole_claims_brk").toString
+    val conf = new org.apache.hadoop.conf.Configuration(ColeIO.driverConf())
+    conf.setLong(ColeClaims.TtlKey, 500L)
+    conf.setLong(ColeClaims.WaitKey, 30000L)
+    val (fs, _) = ColeIO.resolve(t, conf)
+    val marker = new org.apache.hadoop.fs.Path(s"$t/${ColeClaims.DirName}/hot.col.claim")
+    val holders = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+    (0 until 10).foreach { _ =>
+      // plant a crash-orphaned marker, aged past the TTL
+      fs.mkdirs(marker.getParent)
+      val out = fs.create(marker, true)
+      try out.write("op:crashed\n".getBytes) finally out.close()
+      fs.setTimes(marker, System.currentTimeMillis() - 2000L, -1)
+      val pool = Executors.newFixedThreadPool(4)
+      val start = new CountDownLatch(1)
+      val fails = (0 until 4).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Option[Throwable]] {
+          override def call(): Option[Throwable] = {
+            start.await()
+            try {
+              val c = ColeClaims.acquire(fs, conf, t, Seq("hot.col"), "breaker")
+              val n = holders.incrementAndGet()
+              maxSeen.updateAndGet(m => math.max(m, n))
+              Thread.sleep(20) // widen any double-hold window
+              holders.decrementAndGet()
+              c.release()
+              None
+            } catch { case e: Throwable => Some(e) }
+          }
+        })
+      }
+      start.countDown()
+      val errs = fails.flatMap(_.get(60, TimeUnit.SECONDS))
+      pool.shutdown()
+      assert(errs.isEmpty, s"breaker failed: ${errs.map(_.getMessage)}")
+    }
+    assert(maxSeen.get() === 1,
+      s"mutual exclusion violated: ${maxSeen.get()} simultaneous holders")
+  }
+
+  test("claims under the conditional-PUT coordinator: disjoint succeed, overlap serializes (object-store semantics)") {
+    // the r12 weak: raw create(overwrite=false) is check-then-act on
+    // S3A-class stores. Claims now route through ColeCommitPrimitives, so
+    // arming the conditional-PUT coordinator (the r10 contract harness
+    // that reproduces object-store PUT-if-absent semantics over any FS)
+    // must preserve both claim properties.
+    val t = Files.createTempDirectory("cole_claims_cp").toString
+    val conf = new org.apache.hadoop.conf.Configuration(ColeIO.driverConf())
+    conf.set(ColeCommitPrimitives.ConfKey,
+      classOf[ConditionalPutCommitPrimitives].getName)
+    conf.setLong(ColeClaims.WaitKey, 30000L)
+    val (fs, _) = ColeIO.resolve(t, conf)
+    // disjoint sets across 8 threads x 10 rounds: all proceed unassisted
+    val pool = Executors.newFixedThreadPool(8)
+    val start = new CountDownLatch(1)
+    val disjoint = (0 until 8).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Boolean] {
+        override def call(): Boolean = {
+          start.await()
+          (0 until 10).foreach { r =>
+            val c = ColeClaims.acquire(fs, conf, t, Seq(s"d$i-$r.col"), "cp")
+            c.release()
+          }
+          true
+        }
+      })
+    }
+    start.countDown()
+    assert(disjoint.forall(_.get(60, TimeUnit.SECONDS)))
+    pool.shutdown()
+    // overlap: one hot path, 8 threads — exactly one holder at a time
+    val holders = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool2 = Executors.newFixedThreadPool(8)
+    val start2 = new CountDownLatch(1)
+    val overlap = (0 until 8).map { _ =>
+      pool2.submit(new java.util.concurrent.Callable[Option[Throwable]] {
+        override def call(): Option[Throwable] = {
+          start2.await()
+          try {
+            (0 until 5).foreach { _ =>
+              val c = ColeClaims.acquire(fs, conf, t, Seq("hot.col"), "cp")
+              val n = holders.incrementAndGet()
+              maxSeen.updateAndGet(m => math.max(m, n))
+              Thread.sleep(5)
+              holders.decrementAndGet()
+              c.release()
+            }
+            None
+          } catch { case e: Throwable => Some(e) }
+        }
+      })
+    }
+    start2.countDown()
+    val errs = overlap.flatMap(_.get(120, TimeUnit.SECONDS))
+    pool2.shutdown()
+    assert(errs.isEmpty, s"overlap acquire failed: ${errs.map(_.getMessage)}")
+    assert(maxSeen.get() === 1,
+      s"conditional-PUT claims let ${maxSeen.get()} holders in at once")
+  }
+
+  test("DML races run unchanged with the conditional-PUT coordinator armed") {
+    val s = spark
+    import s.implicits._
+    val hc = s.sparkContext.hadoopConfiguration
+    hc.set(ColeCommitPrimitives.ConfKey,
+      classOf[ConditionalPutCommitPrimitives].getName)
+    try {
+      val shards = 4
+      shardedTable("cp_disjoint", shards)
+      val pool = Executors.newFixedThreadPool(shards)
+      val start = new CountDownLatch(1)
+      val results = (0 until shards).map { sh =>
+        pool.submit(new java.util.concurrent.Callable[Option[Throwable]] {
+          override def call(): Option[Throwable] = {
+            start.await()
+            try {
+              val src = s"race_cp_$sh"
+              (0 until 200).map(i => ((sh * 1000 + i * 5).toLong, (sh + 1).toLong))
+                .toDF("id", "nv").createOrReplaceTempView(src)
+              s.sql(s"""MERGE INTO race.db.cp_disjoint t USING $src x ON t.id = x.id
+                WHEN MATCHED THEN UPDATE SET v = x.nv""")
+              None
+            } catch { case e: Throwable => Some(e) }
+          }
+        })
+      }
+      start.countDown()
+      val failures = results.flatMap(_.get(300, TimeUnit.SECONDS))
+      pool.shutdown()
+      assert(failures.isEmpty, s"disjoint MERGEs under conditional-PUT " +
+        s"failed: ${failures.map(_.getMessage).mkString("; ")}")
+      val got = s.table("race.db.cp_disjoint")
+        .groupBy("v").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expect = (1 to shards).map(sh => sh.toLong -> 200L).toMap +
+        (0L -> (shards * 1000L - shards * 200L))
+      assert(got === expect)
+      // overlap: winners commit, losers reject loudly — same contract
+      shardedTable("cp_overlap", 1)
+      val pool2 = Executors.newFixedThreadPool(4)
+      val start2 = new CountDownLatch(1)
+      val outcome = (0 until 4).map { k =>
+        pool2.submit(new java.util.concurrent.Callable[Either[Throwable, Unit]] {
+          override def call(): Either[Throwable, Unit] = {
+            start2.await()
+            try {
+              val src = s"race_cpov_$k"
+              (0 until 100).map(i => (i.toLong * 7, (k + 1).toLong * 100))
+                .toDF("id", "nv").createOrReplaceTempView(src)
+              s.sql(s"""MERGE INTO race.db.cp_overlap t USING $src x ON t.id = x.id
+                WHEN MATCHED THEN UPDATE SET v = v + x.nv""")
+              Right(())
+            } catch { case e: Throwable => Left(e) }
+          }
+        })
+      }
+      start2.countDown()
+      val res = outcome.map(_.get(300, TimeUnit.SECONDS))
+      pool2.shutdown()
+      assert(res.count(_.isRight) >= 1)
+      res.collect { case Left(e) => e }.foreach { e =>
+        def chain(t: Throwable): Seq[String] =
+          if (t == null) Seq.empty else t.getMessage +: chain(t.getCause)
+        assert(chain(e).exists(m => m != null &&
+          m.contains("concurrent write detected")),
+          s"unexpected failure kind under conditional-PUT: ${e.getMessage}")
+      }
+      val matched = (0 until 100).map(_.toLong * 7).filter(_ < 1000)
+      val rows = s.table("race.db.cp_overlap").filter(col("id").isin(matched: _*))
+        .select("v").collect().map(_.getLong(0)).distinct
+      assert(rows.length === 1, s"matched rows diverged: ${rows.toSeq}")
+      assert(rows.head % 100 === 0 && rows.head > 0)
+    } finally hc.unset(ColeCommitPrimitives.ConfKey)
   }
 }
