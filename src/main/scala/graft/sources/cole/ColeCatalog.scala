@@ -843,7 +843,7 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
       Array("versioning", "rollback", "expire_versions", "vacuum", "compact",
         "compact_debt", "audit", "repair", "zorder", "bloom_index",
         "delete_mode", "materialize_cdf", "cdf_consumers",
-        "unregister_cdf_consumer", "evolve_temporal")
+        "unregister_cdf_consumer", "evolve_temporal", "checkpoint")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -869,12 +869,26 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
           // keep_last_versions never expire regardless of age — size it
           // to consumer lag and a nightly cron can never expire a
           // lagging stream's unread range
-          "keep_last_versions" -> (LongType: DataType)),
+          "keep_last_versions" -> (LongType: DataType),
+          // prune_log (r13): checkpoint at the expiry horizon and delete
+          // the record files at or below it — bounds the log on
+          // long-lived tables; expired versions already fail loudly
+          "prune_log" -> (BooleanType: DataType)),
         StructType(Seq(StructField("expired_files", LongType))),
-        defaults = Map("keep_last_versions" -> "0")) { in =>
+        defaults = Map("keep_last_versions" -> "0",
+          "prune_log" -> "false")) { in =>
         Array(Array[Any](ColeVersions.vacuumRetired(
           procTablePath(in.getString(0)), conf,
-          in.getLong(1) * 3600_000L, in.getLong(2).toInt).toLong))
+          in.getLong(1) * 3600_000L, in.getLong(2).toInt,
+          in.getBoolean(3)).toLong))
+      }
+      // fold the version log into a checkpoint NOW (also written
+      // automatically every graft.cole.checkpoint.intervalCommits):
+      // cold drivers then plan from checkpoint + tail, not table birth
+      case "checkpoint" => procedure("checkpoint", tableArg,
+        StructType(Seq(StructField("version", LongType)))) { in =>
+        Array(Array[Any](ColeVersions.checkpoint(
+          procTablePath(in.getString(0)), conf)))
       }
       case "cdf_consumers" => procedure("cdf_consumers", tableArg,
         StructType(Seq(
@@ -1000,7 +1014,7 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
       case other => throw new IllegalArgumentException(
         s"unknown procedure cole.system.$other (versioning|rollback|" +
           "expire_versions|vacuum|compact|audit|repair|zorder|bloom_index|" +
-          "delete_mode|materialize_cdf)")
+          "delete_mode|materialize_cdf|checkpoint)")
     }
   }
 

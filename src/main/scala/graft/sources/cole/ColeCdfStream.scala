@@ -489,7 +489,10 @@ class ColeCdfMicroBatchStream(dataSchema: StructType, path: String,
     val s = start.asInstanceOf[ColeCdfOffset].version
     val e = end.asInstanceOf[ColeCdfOffset].version
     if (e <= s) return Array.empty
-    val recs = ColeVersions.records(path, conf)
+    // tail-bounded: the batch only needs records above its start offset —
+    // resolveAdds looks at LATER removals only, so a cold restart of a
+    // long-lived table's stream never re-parses the checkpointed prefix
+    val recs = ColeVersions.recordsFrom(path, conf, s)
     recs.filter(r => r.version > s && r.version <= e)
       .flatMap(r => commitPartitions(recs, r)).toArray
   }

@@ -152,17 +152,8 @@ object ColeVersions {
     * its vector state, a [[DvCleared]] entry clears it.
     */
   def dvAsOf(table: String, conf: Configuration,
-      version: Long): Map[String, String] = {
-    val cur = scala.collection.mutable.HashMap.empty[String, String]
-    records(table, conf).filter(_.version <= version).foreach { r =>
-      r.removes.foreach { case (rel, _) => cur -= rel }
-      r.adds.foreach(cur -= _)
-      r.dvs.foreach { case (rel, dvRel) =>
-        if (dvRel == DvCleared) cur -= rel else cur(rel) = dvRel
-      }
-    }
-    cur.toMap
-  }
+      version: Long): Map[String, String] =
+    foldAt(table, conf, version).dvs
 
   /** Absolute path of a pinned vector. */
   def dvPath(table: String, dvRel: String): HPath =
@@ -345,6 +336,7 @@ object ColeVersions {
         val out = ColeCommitPrimitives.of(conf).exclusiveCreate(fs, p)
         created = true
         try out.write(body) finally out.close()
+        maybeAutoCheckpoint(fs, conf, table, seq)
         return seq
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
@@ -380,15 +372,32 @@ object ColeVersions {
   private val recordCache =
     new java.util.concurrent.ConcurrentHashMap[String, Map[Long, (Long, Long, Record)]]()
 
-  private[cole] def invalidateCache(fs: FileSystem, table: String): Unit =
+  /** Record-file parses that actually hit the filesystem — spec-visible:
+    * a cold driver planning the current state of a CHECKPOINTED table
+    * must grow this by O(records since the checkpoint), not O(history).
+    */
+  val recordReads = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private[cole] def invalidateCache(fs: FileSystem, table: String): Unit = {
     recordCache.remove(fs.makeQualified(vdir(table)).toString)
+    val prefix = fs.makeQualified(vdir(table)).toString + "/"
+    ckptCache.keySet.removeIf(_.startsWith(prefix))
+  }
 
   /** All complete records in sequence order. An in-flight record (no
     * terminal `end` yet) at the TAIL is ignored; a torn record below the
     * tail fails loudly (history must not silently skip a delta) — see
     * [[repairTorn]] for the recovery path.
     */
-  def records(table: String, conf: Configuration): Seq[Record] = {
+  def records(table: String, conf: Configuration): Seq[Record] =
+    recordsFrom(table, conf, 0L)
+
+  /** Complete records with version > `fromExclusive`, in sequence order —
+    * the tail read a caller with a known fold base (a checkpoint, a
+    * stream offset) uses instead of parsing the table's whole history.
+    */
+  def recordsFrom(table: String, conf: Configuration,
+      fromExclusive: Long): Seq[Record] = {
     val (fs, _) = ColeIO.resolve(table, conf)
     require(fs.exists(vdir(table)), s"versioning is not enabled on $table")
     val cacheKey = fs.makeQualified(vdir(table)).toString
@@ -396,6 +405,7 @@ object ColeVersions {
     val names = fs.listStatus(vdir(table))
       .flatMap(s => seqOf(s.getPath.getName)
         .map(seq => (seq, s.getPath, s.getLen, s.getModificationTime)))
+      .filter(_._1 > fromExclusive)
       .sortBy(_._1).toSeq
     val parsed: Seq[(Long, Boolean, (Long, Long, Record))] =
       names.map { case (seq, p, len, mtime) =>
@@ -403,6 +413,7 @@ object ColeVersions {
           case Some(e @ (cLen, cMtime, _)) if cLen == len && cMtime == mtime =>
             (seq, true, e)
           case _ =>
+            recordReads.incrementAndGet()
             val in = fs.open(p)
             val lines = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
               .split('\n').toSeq
@@ -435,9 +446,184 @@ object ColeVersions {
           "run repairTorn / CALL <catalog>.system.repair to quarantine it")
     }
     val complete = parsed.filter(_._2)
+    // MERGE into the cached map (a bounded recordsFrom must not evict the
+    // prefix a later full read would then re-parse); entries re-validate
+    // against (len, mtime) on every use, so stale ones are inert
     recordCache.put(cacheKey,
-      complete.map { case (seq, _, e) => seq -> e }.toMap)
+      cached ++ complete.map { case (seq, _, e) => seq -> e })
     complete.map(_._3._3)
+  }
+
+  // ---- version-log checkpoints (r13): bound cold-start planning ----
+  //
+  // A long-lived table accumulates one record per commit; without a fold
+  // base, every cold driver's first versioned read parses the whole
+  // history. A CHECKPOINT `_cole_versions/ckpt-v<seq>` persists the
+  // FOLDED state as of version <seq> — live file set, effective pinned
+  // deletion-vector map, latest bucket/temporal sidecar snapshots — so
+  // any fold at version v >= seq starts from the checkpoint and reads
+  // only the record TAIL. Checkpoints are pure derived data (the fold of
+  // records 1..seq): idempotent to rewrite, racing writers produce
+  // byte-identical bodies and the exclusive create keeps one.
+  //
+  // Written automatically every `graft.cole.checkpoint.intervalCommits`
+  // commits (best-effort, never fails the commit) and on demand via
+  // CALL <catalog>.system.checkpoint('ns.t'). `expire_versions` with
+  // prune_log=true may then DELETE record files at or below a checkpoint
+  // that sits at the expiry horizon: those versions are already
+  // unreconstructible (their retired bytes are vacuumed; reads fail
+  // loudly), so dropping their records only shrinks the log — the fold
+  // continuity check below turns any read that would need a pruned
+  // record into a loud error instead of a silent partial fold.
+
+  val CheckpointIntervalKey = "graft.cole.checkpoint.intervalCommits"
+  val DefaultCheckpointInterval: Long = 100L
+
+  final case class Checkpoint(asOf: Long, ts: Long, live: Seq[String],
+      dvs: Seq[(String, String)], spec: Option[String], tspec: Option[String])
+
+  private def ckptName(seq: Long): String = f"ckpt-v$seq%012d"
+  private def ckptSeqOf(name: String): Option[Long] =
+    if (name.startsWith("ckpt-v")) name.drop(6).toLongOption else None
+
+  // checkpoint bodies are immutable once complete: cache per (len, mtime)
+  private val ckptCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Checkpoint)]()
+
+  /** Folded table state as of a version — the shared shape behind
+    * [[snapshotAt]] / [[dvAsOf]] / [[specAsOf]] / [[temporalSpecsAsOf]].
+    */
+  private final case class Folded(live: Seq[String],
+      dvs: Map[String, String], spec: Option[String], tspec: Option[String])
+
+  /** Fold the state at `version` from the best checkpoint base plus the
+    * record tail. Sequence numbers are DENSE (the CAS allocates
+    * max+1), so `tail.size == version - base` proves the fold read every
+    * delta; anything else — a pruned record, an in-flight tail, a
+    * version that never existed — fails loudly here.
+    */
+  private def foldAt(table: String, conf: Configuration,
+      version: Long): Folded = {
+    require(version >= 0, s"version $version")
+    val base = baseFor(table, conf, version)
+    val baseAsOf = base.map(_.asOf).getOrElse(0L)
+    val tail = recordsFrom(table, conf, baseAsOf).filter(_.version <= version)
+    require(baseAsOf + tail.size == version,
+      s"version $version of $table is not reconstructible: the log holds " +
+        s"${tail.size} records above fold base v$baseAsOf, expected " +
+        s"${version - baseAsOf} (pruned below a checkpoint, or the " +
+        "version never existed / is still in flight)")
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    val dvs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var spec = base.flatMap(_.spec)
+    var tspec = base.flatMap(_.tspec)
+    base.foreach { c => live ++= c.live; dvs ++= c.dvs }
+    tail.foreach { r =>
+      r.removes.foreach { case (rel, _) => live -= rel; dvs -= rel }
+      r.adds.foreach { a => live += a; dvs -= a }
+      r.dvs.foreach { case (rel, dvRel) =>
+        if (dvRel == DvCleared) dvs -= rel else dvs(rel) = dvRel
+      }
+      r.spec.foreach(s => spec = Some(s))
+      r.tspec.foreach(s => tspec = Some(s))
+    }
+    Folded(live.toSeq, dvs.toMap, spec, tspec)
+  }
+
+  /** The best complete checkpoint at or below `version` (a torn one — a
+    * crash mid-write on direct-create stores — is skipped, never trusted).
+    */
+  private def baseFor(table: String, conf: Configuration,
+      version: Long): Option[Checkpoint] = {
+    val (fs, _) = ColeIO.resolve(table, conf)
+    if (!fs.exists(vdir(table))) return None
+    val cands = fs.listStatus(vdir(table)).iterator.flatMap { s =>
+      ckptSeqOf(s.getPath.getName).filter(_ <= version)
+        .map(seq => (seq, s.getPath, s.getLen, s.getModificationTime))
+    }.toSeq.sortBy(-_._1)
+    cands.iterator.flatMap { case (seq, p, len, mtime) =>
+      val key = fs.makeQualified(p).toString
+      Option(ckptCache.get(key)) match {
+        case Some((cLen, cMtime, c)) if cLen == len && cMtime == mtime =>
+          Some(c)
+        case _ =>
+          val in = fs.open(p)
+          val lines = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+            .split('\n').toSeq
+          finally in.close()
+          if (!lines.lastOption.contains("end")) None // torn: skip
+          else {
+            def tagged(tag: String): Seq[String] = lines
+              .filter(_.startsWith(tag + ":")).map(_.drop(tag.length + 1))
+            val c = Checkpoint(seq,
+              tagged("ts").headOption.flatMap(_.toLongOption).getOrElse(0L),
+              tagged("live"),
+              tagged("dv").map { l =>
+                val i = l.lastIndexOf('|'); (l.substring(0, i), l.substring(i + 1))
+              },
+              tagged("spec").headOption.map(b => new String(
+                java.util.Base64.getDecoder.decode(b), StandardCharsets.UTF_8)),
+              tagged("tspec").headOption.map(b => new String(
+                java.util.Base64.getDecoder.decode(b), StandardCharsets.UTF_8)))
+            ckptCache.put(key, (len, mtime, c))
+            Some(c)
+          }
+      }
+    }.nextOption()
+  }
+
+  /** Sequence numbers of the table's complete checkpoints. */
+  def checkpointSeqs(table: String, conf: Configuration): Seq[Long] = {
+    val (fs, _) = ColeIO.resolve(table, conf)
+    if (!fs.exists(vdir(table))) return Seq.empty
+    fs.listStatus(vdir(table)).iterator
+      .flatMap(s => ckptSeqOf(s.getPath.getName)).toSeq.sorted
+  }
+
+  /** Checkpoint the CURRENT version; returns the version checkpointed
+    * (0 = empty log, nothing to do). Idempotent per version.
+    */
+  def checkpoint(table: String, conf: Configuration): Long = {
+    val v = currentVersion(table, conf)
+    if (v > 0) writeCheckpointAt(table, conf, v)
+    v
+  }
+
+  private def writeCheckpointAt(table: String, conf: Configuration,
+      asOf: Long): Unit = {
+    val (fs, _) = ColeIO.resolve(table, conf)
+    val p = new HPath(vdir(table), ckptName(asOf))
+    if (fs.exists(p)) return
+    val st = foldAt(table, conf, asOf)
+    def b64(s: String): String = java.util.Base64.getEncoder
+      .encodeToString(s.getBytes(StandardCharsets.UTF_8))
+    val body = (Seq(s"ts:${System.currentTimeMillis()}", s"asof:$asOf") ++
+      st.spec.map("spec:" + b64(_)) ++
+      st.tspec.map("tspec:" + b64(_)) ++
+      st.live.map("live:" + _) ++
+      st.dvs.toSeq.sortBy(_._1).map { case (r, t) => s"dv:$r|$t" } :+
+      "end").mkString("\n").getBytes(StandardCharsets.UTF_8)
+    try {
+      val out = ColeCommitPrimitives.of(conf).exclusiveCreate(fs, p)
+      try out.write(body) finally out.close()
+    } catch {
+      // a racing checkpointer wrote the identical fold — keep theirs
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
+    }
+  }
+
+  /** Auto-checkpoint after a commit when the tail since the last
+    * checkpoint reached the configured interval. Best-effort: a failure
+    * here never fails the commit that triggered it.
+    */
+  private def maybeAutoCheckpoint(fs: FileSystem, conf: Configuration,
+      table: String, seq: Long): Unit = {
+    val interval = conf.getLong(CheckpointIntervalKey, DefaultCheckpointInterval)
+    if (interval <= 0) return
+    try {
+      val last = checkpointSeqs(table, conf).lastOption.getOrElse(0L)
+      if (seq - last >= interval) writeCheckpointAt(table, conf, seq)
+    } catch { case _: Exception => () }
   }
 
   /** Recovery path for a torn record below the tail (a crash inside the
@@ -480,8 +666,7 @@ object ColeVersions {
     */
   def specAsOf(table: String, conf: Configuration,
       version: Long): Option[String] =
-    records(table, conf).filter(_.version <= version)
-      .flatMap(_.spec).lastOption
+    foldAt(table, conf, version).spec
 
   /** The temporal transform HISTORY as of `version` (r12 partition spec
     * evolution): the latest in-log `_temporalspec` snapshot at or before
@@ -492,8 +677,7 @@ object ColeVersions {
     */
   def temporalSpecsAsOf(table: String, conf: Configuration,
       version: Long): Option[Seq[ColeTemporal.Spec]] =
-    records(table, conf).filter(_.version <= version)
-      .flatMap(_.tspec).lastOption
+    foldAt(table, conf, version).tspec
       .map(ColeTemporal.parseSpecContent(_, s"$table@v$version"))
 
   /** Resolve `versionAsOf` / `timestampAsOf` to a concrete version. */
@@ -527,20 +711,18 @@ object ColeVersions {
     */
   def snapshotAt(table: String, conf: Configuration,
       version: Long): Seq[(String, String)] = {
-    val recs = records(table, conf)
-    require(recs.exists(_.version == version),
-      s"version $version does not exist on $table")
-    val live = scala.collection.mutable.LinkedHashSet.empty[String]
-    recs.filter(_.version <= version).foreach { r =>
-      r.removes.foreach { case (rel, _) => live -= rel }
-      r.adds.foreach(live += _)
-    }
-    val laterRemovals: Map[String, String] = recs
-      .filter(_.version > version)
-      .flatMap(r => r.removes.map { case (rel, t) => (rel, t) })
-      .groupBy(_._1).view.mapValues(_.head._2).toMap // first removal wins
+    require(version >= 1, s"version $version does not exist on $table")
+    // fold base (checkpoint) + tail up to `version`; the records ABOVE
+    // `version` (needed only for retired-path resolution) are a bounded
+    // recordsFrom — so planning the CURRENT state of a checkpointed
+    // table reads O(tail since checkpoint) records, not O(history)
+    val live = foldAt(table, conf, version).live
+    val laterRemovals: Map[String, String] =
+      recordsFrom(table, conf, version)
+        .flatMap(r => r.removes.map { case (rel, t) => (rel, t) })
+        .groupBy(_._1).view.mapValues(_.head._2).toMap // first removal wins
     val (fs, _) = ColeIO.resolve(table, conf)
-    live.toSeq.map { rel =>
+    live.map { rel =>
       val phys = laterRemovals.get(rel) match {
         case Some(retiredRel) =>
           fs.makeQualified(new HPath(vdir(table), retiredRel)).toString
@@ -601,12 +783,20 @@ object ColeVersions {
     val recs = records(table, conf)
     require(fromExclusive <= toInclusive,
       s"changesFrom ($fromExclusive) must be <= changesTo ($toInclusive)")
-    require(fromExclusive == 0 || recs.exists(_.version == fromExclusive),
+    require(fromExclusive == 0 || recs.exists(_.version == fromExclusive) ||
+      checkpointSeqs(table, conf).contains(fromExclusive),
       s"version $fromExclusive does not exist on $table")
     require(recs.exists(_.version == toInclusive),
       s"version $toInclusive does not exist on $table")
     val inRange = recs.filter(r =>
       r.version > fromExclusive && r.version <= toInclusive)
+    // dense-sequence continuity: a range whose interior records were
+    // pruned (expire_versions prune_log) must refuse loudly, never skip
+    require(inRange.size == toInclusive - fromExclusive,
+      s"change feed range ($fromExclusive, $toInclusive] of $table holds " +
+        s"${inRange.size} records, expected ${toInclusive - fromExclusive}" +
+        ": part of the range was pruned below a checkpoint and is no " +
+        "longer reconstructible — resynchronize from a snapshot")
     // a commit that REMOVED rows cannot be served as an insert feed —
     // guard by the record's shape (non-empty removes), not an op
     // allowlist: overwrite, truncate, rollback and any future removing
@@ -844,9 +1034,16 @@ object ColeVersions {
     * (`expire_versions('ns.t', hours, keep_last_versions)`). The run
     * also advances the [[expiryHorizon]] marker, making "earliest
     * un-expired version" cheap to serve.
+    *
+    * `pruneLog` (r13, opt-in): additionally checkpoint the table at the
+    * expiry horizon and DELETE the record files at or below it. Those
+    * versions are already unreconstructible (their retired bytes are
+    * gone; reads fail loudly either way), so pruning only bounds the log:
+    * `$history` thereafter starts at the floor, and the checkpoint keeps
+    * every fold above it exact. Never prunes when the horizon is 0.
     */
   def vacuumRetired(table: String, conf: Configuration,
-      olderThanMs: Long, keepLast: Int = 0): Int = {
+      olderThanMs: Long, keepLast: Int = 0, pruneLog: Boolean = false): Int = {
     val (fs, _) = ColeIO.resolve(table, conf)
     val cutoff = System.currentTimeMillis() - olderThanMs
     var removed = 0
@@ -908,6 +1105,22 @@ object ColeVersions {
     if (fs.exists(rdir)) fs.listStatus(rdir).foreach { st =>
       if (st.isDirectory && !fs.listFiles(st.getPath, true).hasNext)
         fs.delete(st.getPath, true)
+    }
+    if (pruneLog) {
+      val floor = expiryHorizon(table, conf)
+      if (floor > 0) {
+        // the checkpoint AT the floor is the fold base that replaces the
+        // pruned prefix — written (from the still-present records) BEFORE
+        // anything is deleted, so a crash between the two leaves a log
+        // that still folds from either base
+        writeCheckpointAt(table, conf, floor)
+        fs.listStatus(vdir(table)).foreach { st =>
+          seqOf(st.getPath.getName).foreach { seq =>
+            if (seq <= floor) fs.delete(st.getPath, false)
+          }
+        }
+        invalidateCache(fs, table)
+      }
     }
     removed
   }

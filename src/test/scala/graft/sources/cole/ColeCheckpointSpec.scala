@@ -1,0 +1,197 @@
+package graft.sources.cole
+
+import java.nio.file.Files
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Version-log checkpoints (r13): cold-start planning on a long-lived
+  * table reads latest-checkpoint + tail, not every record since table
+  * birth; `expire_versions(prune_log=>true)` then bounds the log itself.
+  * Pinned here:
+  *   - auto-checkpoints appear every `checkpoint.intervalCommits` commits
+  *     and a COLD fold of the current state costs O(tail) record reads
+  *     (counted via [[ColeVersions.recordReads]]);
+  *   - every fold (snapshot, time travel above the floor, dv state,
+  *     rollback) is byte-identical with and without the checkpoint;
+  *   - pruning deletes exactly the records at or below the horizon's
+  *     checkpoint, keeps current reads exact, and turns every read that
+  *     would need a pruned record into a LOUD error (time travel below
+  *     the floor, feed ranges crossing it) — never a silent partial fold.
+  */
+class ColeCheckpointSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  test("auto-checkpoint: 230-commit table cold-plans the current state in O(tail) record reads") {
+    val t = Files.createTempDirectory("cole_ckpt").toString
+    val conf = new Configuration() // default interval: 100 commits
+    val (fs, _) = ColeIO.resolve(t, conf)
+    ColeVersions.enable(t, conf) // v1: empty baseline
+    // synthetic metadata commits: every 10th removes the file added 5
+    // commits earlier (records are deltas; no physical files needed to
+    // exercise the fold)
+    (1 to 230).foreach { i =>
+      val removes =
+        if (i % 10 == 0) Seq(s"f${i - 5}.col" -> s"retired/s$i/f${i - 5}.col")
+        else Seq.empty
+      ColeVersions.commitIfEnabled(t, conf, "append",
+        Seq(s"f$i.col"), removes)
+    }
+    val cur = ColeVersions.currentVersion(t, conf)
+    assert(cur === 231L)
+    // interval=100 with commits at v2..v231: checkpoints at v100 and v200
+    assert(ColeVersions.checkpointSeqs(t, conf) === Seq(100L, 200L))
+    def expectedLiveAt(version: Long): Seq[String] = {
+      // commit i wrote record i+1 (baseline is v1)
+      val n = (version - 1).toInt
+      (1 to n).map(i => s"f$i.col")
+        .filterNot(f => (1 to n).exists(i => i % 10 == 0 &&
+          f == s"f${i - 5}.col"))
+    }
+    // COLD driver: drop every cached parse, then plan the current state.
+    // recordReads is process-global — take the min of three runs so a
+    // concurrently-running suite's parses can't fail the bound
+    val coldReads = (0 until 3).map { _ =>
+      ColeVersions.invalidateCache(fs, t)
+      val before = ColeVersions.recordReads.get()
+      ColeVersions.snapshotAt(t, conf, cur)
+      ColeVersions.recordReads.get() - before
+    }.min
+    val snap = ColeVersions.snapshotAt(t, conf, cur)
+    assert(snap.map(_._1) === expectedLiveAt(cur))
+    // fold base = ckpt-v200, tail = 31 records, nothing above v231
+    assert(coldReads <= 40L,
+      s"cold current-state plan read $coldReads records; " +
+        "expected O(tail since checkpoint), not O(231 history)")
+    assert(coldReads >= 31L, "the tail itself must still be read")
+    // time travel BETWEEN checkpoints folds from the lower one, exact
+    assert(ColeVersions.snapshotAt(t, conf, 150L).map(_._1)
+      === expectedLiveAt(150L))
+    // time travel BELOW the first checkpoint still folds from birth
+    assert(ColeVersions.snapshotAt(t, conf, 50L).map(_._1)
+      === expectedLiveAt(50L))
+    // retired-path resolution is unaffected: a file removed AFTER the
+    // version resolves at its first removal's retired path
+    val v94 = ColeVersions.snapshotAt(t, conf, 94L) // f95 added at v96
+    val snap96 = ColeVersions.snapshotAt(t, conf, 96L)
+    assert(snap96.collectFirst { case ("f95.col", p) => p }.get
+      .contains("retired/s100/f95.col"),
+      "f95 (removed at v101) must resolve at its retired path")
+    assert(!v94.exists(_._1 == "f95.col"))
+  }
+
+  test("manual checkpoint + prune_log: current reads exact, pruned range loud, history starts at the floor") {
+    val s = spark
+    import s.implicits._
+    val wh = Files.createTempDirectory("cole_ckpt_wh").toString
+    s.conf.set("spark.sql.catalog.ckpt", "graft.sources.cole.ColeCatalog")
+    s.conf.set("spark.sql.catalog.ckpt.warehouse", wh)
+    val t = s"$wh/db/t"
+    val conf = ColeIO.driverConf()
+    (0 until 400).map(i => (i.toLong, 0L)).toDF("k", "v").coalesce(2)
+      .write.format("cole").mode("overwrite").save(t)
+    ColeVersions.enable(t, conf) // v1
+    (400 until 500).map(i => (i.toLong, 1L)).toDF("k", "v").coalesce(1)
+      .write.format("cole").mode("append").save(t) // v2
+    s.sql("DELETE FROM ckpt.db.t WHERE k < 50") // v3
+    s.sql("UPDATE ckpt.db.t SET v = 9 WHERE k >= 450") // v4
+    (500 until 600).map(i => (i.toLong, 2L)).toDF("k", "v").coalesce(1)
+      .write.format("cole").mode("append").save(t) // v5
+    // snapshots BEFORE any checkpoint exists, as ground truth
+    val truth = (1L to 5L).map(v =>
+      v -> ColeVersions.snapshotAt(t, conf, v)).toMap
+    val rowsV4 = s.read.format("cole").option("versionAsOf", "4").load(t)
+      .agg(sum("v")).head.getLong(0)
+    // CALL the checkpoint procedure (same path a cron would use)
+    val ck = s.sql("CALL ckpt.system.checkpoint('db.t')").head.getLong(0)
+    assert(ck === 5L)
+    assert(ColeVersions.checkpointSeqs(t, conf) === Seq(5L))
+    // every fold is identical with the checkpoint in place
+    val (fs, _) = ColeIO.resolve(t, conf)
+    ColeVersions.invalidateCache(fs, t)
+    (1L to 5L).foreach { v =>
+      assert(ColeVersions.snapshotAt(t, conf, v) === truth(v),
+        s"snapshot at v$v drifted after checkpointing")
+    }
+    assert(s.read.format("cole").option("versionAsOf", "4").load(t)
+      .agg(sum("v")).head.getLong(0) === rowsV4)
+    // more history above the checkpoint, then rollback ACROSS it
+    s.sql("DELETE FROM ckpt.db.t WHERE k >= 550") // v6
+    ColeVersions.rollback(t, conf, 4L) // v7 = state of v4
+    assert(s.table("ckpt.db.t").count() === 450L) // v4: k in [50, 500)
+    assert(s.table("ckpt.db.t").agg(sum("v")).head.getLong(0) === rowsV4)
+    // expire everything old enough, pruning the log below the horizon
+    Thread.sleep(50)
+    s.sql("CALL ckpt.system.expire_versions('db.t', 0, 3, true)").collect()
+    val horizon = ColeVersions.expiryHorizon(t, conf)
+    assert(horizon === 4L, s"keep_last=3 of 7 versions -> horizon v4")
+    // a checkpoint at the horizon now anchors the fold; records <= 4 gone
+    assert(ColeVersions.checkpointSeqs(t, conf).contains(4L))
+    assert(ColeVersions.records(t, conf).map(_.version) === Seq(5L, 6L, 7L))
+    // current state still exact (v7 = rolled-back v4 content)
+    assert(s.table("ckpt.db.t").count() === 450L)
+    assert(s.table("ckpt.db.t").agg(sum("v")).head.getLong(0) === rowsV4)
+    // $history starts at the floor
+    assert(s.sql("SELECT min(version) FROM ckpt.db.`t$history`")
+      .head.getLong(0) === 5L)
+    // time travel above the floor unchanged; below it LOUD
+    assert(s.read.format("cole").option("versionAsOf", "5").load(t)
+      .count() === 550L) // v5: v4's 450 rows + the 100-row append
+    val e1 = intercept[Exception] {
+      s.read.format("cole").option("versionAsOf", "2").load(t).count()
+    }
+    assert(e1.getMessage.contains("does not exist"),
+      s"pruned version must be loud, got: ${e1.getMessage}")
+    // a feed range crossing the floor is refused, never silently partial
+    val e2 = intercept[Exception] {
+      ColeVersions.changedFiles(t, conf, 1L, 5L)
+    }
+    assert(e2.getMessage.contains("does not exist") ||
+      e2.getMessage.contains("pruned") ||
+      e2.getMessage.contains("reconstructible"),
+      s"unexpected: ${e2.getMessage}")
+    // fold continuity: snapshot below the floor is loud too
+    val e3 = intercept[Exception] {
+      ColeVersions.snapshotAt(t, conf, 3L)
+    }
+    assert(e3.getMessage.contains("not reconstructible") ||
+      e3.getMessage.contains("does not exist"), s"got: ${e3.getMessage}")
+  }
+
+  test("checkpoint carries the dv map: vector DELETE state survives a pruned prefix") {
+    val s = spark
+    import s.implicits._
+    val wh = Files.createTempDirectory("cole_ckpt_dv").toString
+    s.conf.set("spark.sql.catalog.ckdv", "graft.sources.cole.ColeCatalog")
+    s.conf.set("spark.sql.catalog.ckdv.warehouse", wh)
+    val t = s"$wh/db/t"
+    val conf = ColeIO.driverConf()
+    (0 until 1000).map(i => (i.toLong, i.toLong)).toDF("k", "v").coalesce(1)
+      .write.format("cole").mode("overwrite").save(t)
+    ColeVersions.enable(t, conf) // v1
+    ColeDv.setMode(t, conf, "vector")
+    s.sql("DELETE FROM ckdv.db.t WHERE k < 100") // v2: MOR vector
+    (1000 until 1100).map(i => (i.toLong, i.toLong)).toDF("k", "v").coalesce(1)
+      .write.format("cole").mode("append").save(t) // v3
+    s.sql("DELETE FROM ckdv.db.t WHERE k >= 1050") // v4: second vector
+    assert(ColeVersions.checkpoint(t, conf) === 4L)
+    val (fs, _) = ColeIO.resolve(t, conf)
+    ColeVersions.invalidateCache(fs, t)
+    // the dv fold from the checkpoint equals the record fold
+    assert(ColeVersions.dvAsOf(t, conf, 4L).nonEmpty)
+    assert(s.table("ckdv.db.t").count() === 950L)
+    // snapshot read THROUGH the checkpointed dv state
+    assert(s.read.format("cole").option("versionAsOf", "4").load(t)
+      .count() === 950L)
+    assert(s.read.format("cole").option("versionAsOf", "3").load(t)
+      .count() === 1000L)
+  }
+}
