@@ -21,6 +21,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.registrations.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => new graft.plans.TopKPerKeyStrategy)
+    // operation-level auto-retry for overlapping COLE row-level DML:
+    // a conflict abort re-plans the same statement against the fresh
+    // snapshot (bounded) instead of surfacing the manual re-run
+    ext.injectPlannerStrategy(_ =>
+      new graft.sources.cole.ColeDmlRetryStrategy)
   }
 }
 

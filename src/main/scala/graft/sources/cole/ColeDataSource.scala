@@ -373,9 +373,16 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
         infos.forall(i => (i.renamed.keySet & cols).isEmpty)
     }
 
-  override def deleteWhere(filters: Array[Filter]): Unit =
-    ColeDelete.deleteWhere(org.apache.spark.sql.SparkSession.active,
-      props("path"), filters, writePartCols, ColeIO.driverConf())
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    // self-contained re-plan per attempt (fresh listing + classification)
+    // and idempotent on a partially-swapped state — the auto-retry heals
+    // a concurrent-write abort instead of surfacing the manual re-run
+    val conf = ColeIO.driverConf()
+    ColeDmlRetry.withRetries(conf, "delete") {
+      ColeDelete.deleteWhere(org.apache.spark.sql.SparkSession.active,
+        props("path"), filters, writePartCols, conf)
+    }
+  }
 
   /** SQL `TRUNCATE TABLE`: drop every data file (and bloom sidecar),
     * keep the layout sidecars — the emptied table re-fills under the

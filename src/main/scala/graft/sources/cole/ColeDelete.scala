@@ -254,6 +254,21 @@ object ColeDelete {
     */
   private def rewriteFile(file: String, stamp: String,
       preds: Array[ColePredicate], hconf: ColeHadoopConf)
+      : (String, (String, Long, Long)) =
+    // a candidate vanishing mid-rewrite = a concurrent committer's swap
+    // retired it: surface the loud, RETRYABLE conflict (the auto-retry
+    // re-plans from a fresh listing), never a bare FileNotFoundException
+    try rewriteFileInner(file, stamp, preds, hconf)
+    catch {
+      case e: java.io.FileNotFoundException => throw new IllegalStateException(
+        s"concurrent write detected during DELETE rewrite " +
+          s"(${e.getMessage}): another committer replaced a candidate " +
+          "file; aborted with no changes — retry after the other writer " +
+          "commits", e)
+    }
+
+  private def rewriteFileInner(file: String, stamp: String,
+      preds: Array[ColePredicate], hconf: ColeHadoopConf)
       : (String, (String, Long, Long)) = {
     val conf = hconf.value
     val reader = new ColeFileReader(file, conf)

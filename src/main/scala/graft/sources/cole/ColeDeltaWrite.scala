@@ -157,6 +157,19 @@ class ColeDeltaWriteImpl(op: ColeRowLevelOperation, schema: StructType,
           val st = fs.getFileStatus(new HPath(f))
           st.getLen == len && st.getModificationTime == mtime
         } catch { case _: java.io.FileNotFoundException => false }
+      } && {
+        // a concurrent MERGE-ON-READ commit mutates only the SIDECAR —
+        // invisible to the data file's (len, mtime) — so the vector
+        // state must also still be what the scan planned from, or this
+        // commit's delete ordinals and post-images were computed from
+        // rows the other committer already replaced (r13; overlap spec
+        // pins the serializable outcome)
+        val nowDv =
+          try {
+            val st = fs.getFileStatus(new HPath(ColeDv.sidecarPath(f)))
+            Some((st.getLen, st.getModificationTime))
+          } catch { case _: java.io.FileNotFoundException => None }
+        op.plannedDvs.getOrElse(f, None) == nowDv
       }
       if (!ok) {
         abort(messages)

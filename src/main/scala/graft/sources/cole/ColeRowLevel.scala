@@ -65,6 +65,17 @@ class ColeRowLevelOperation(cmd: RowLevelOperation.Command, path: String,
   @volatile private[cole] var plannedFiles: Seq[(String, Long, Long)] = Seq.empty
   @volatile private var plannedLocked = false
 
+  /** Deletion-vector SIDECAR identity (len, mtime) per planned file at
+    * scan time; None = no sidecar then. A merge-on-read commit mutates
+    * only the sidecar — the data file's (len, mtime) cannot see it — so
+    * the delta commit's drift check compares THIS against the live
+    * sidecar: without it, two overlapping MOR committers would both pass
+    * the data-file check and silently interleave (lost update /
+    * duplicated images).
+    */
+  @volatile private[cole] var plannedDvs: Map[String, Option[(Long, Long)]] =
+    Map.empty
+
   /** No-op detection state from the authoritative planning: which slice
     * indices each planned file packed into, the accumulator its readers
     * fold scan-side fingerprints into, and the name-sorted hash column
@@ -79,12 +90,14 @@ class ColeRowLevelOperation(cmd: RowLevelOperation.Command, path: String,
   private[cole] def recordPlanned(files: Seq[(String, Long, Long)],
       slices: Map[String, Seq[Int]],
       acc: org.apache.spark.util.CollectionAccumulator[ColeRowHash.ScanSlice],
-      hashNames: Seq[String], authoritative: Boolean): Unit = synchronized {
+      hashNames: Seq[String], authoritative: Boolean,
+      dvs: Map[String, Option[(Long, Long)]] = Map.empty): Unit = synchronized {
     if (authoritative || !plannedLocked) {
       plannedFiles = files
       fileSlices = slices
       scanAcc = acc
       scanHashNames = hashNames
+      plannedDvs = dvs
       if (authoritative) plannedLocked = true
     }
   }
@@ -231,11 +244,21 @@ class ColeGroupScan(op: ColeRowLevelOperation, required: StructType,
     // the replaced files' vectors with the files)
     val dvMode = ColeDv.vectorMode(path, conf)
     val (dfs, _) = ColeIO.resolve(path, conf)
+    // sidecar identities, statted BEFORE the ordinal read: a commit
+    // landing in between leaves a recorded identity OLDER than the live
+    // sidecar, so the delta commit's drift check rejects (conservative
+    // direction — never a stale plan passing as fresh)
+    val dvIdent = scala.collection.mutable.HashMap.empty[String, Option[(Long, Long)]]
     val perFile: Seq[(String, Seq[ColeInputPartition])] = candidates.map { info =>
       val meta = info.meta
       val nameToIdx = meta.columns.map(_.name).zipWithIndex.toMap
       val colIndices = fileRequired.fieldNames.map(nameToIdx.getOrElse(_, -1))
       val pv = (info.partValues :+ (ColeUtil.FileMetaCol -> info.path)).toArray
+      if (dvMode) dvIdent(info.path) =
+        try {
+          val st = dfs.getFileStatus(new HPath(ColeDv.sidecarPath(info.path)))
+          Some((st.getLen, st.getModificationTime))
+        } catch { case _: java.io.FileNotFoundException => None }
       val dv: Array[Array[Int]] =
         if (!dvMode) null
         else ColeDv.read(dfs, info.path, info.len, info.mtime)
@@ -258,7 +281,7 @@ class ColeGroupScan(op: ColeRowLevelOperation, required: StructType,
     // the replacement contract: commit swaps EXACTLY what was planned
     op.recordPlanned(candidates.map(i => (i.path, i.len, i.mtime)), slices,
       sliceAcc, ColeRowHash.hashableNames(required),
-      authoritative = runtimeFiles.isDefined)
+      authoritative = runtimeFiles.isDefined, dvs = dvIdent.toMap)
     perFile.flatMap(_._2).zipWithIndex.map { case (p, i) =>
       ColeSlicedPartition(i, p): InputPartition
     }.toArray
