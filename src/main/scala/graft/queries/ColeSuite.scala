@@ -654,6 +654,45 @@ object ColeSuite {
                 MIN(l_extendedprice) AS mn_ep, MAX(l_extendedprice) AS mx_ep
               FROM lineitem WHERE l_orderkey >= 1000 AND l_orderkey < 1400""")),
 
+    // Bucket spec EVOLUTION (r13): the table grew, so its 8-way layout is
+    // re-declared 16-way with ZERO rewrites — era-0 files stay
+    // byte-identical under _bucket=, the post-evolution half routes to
+    // _bucket1=, and a point lookup spanning the boundary prunes EACH era
+    // by its own spec (the era-0 keys resolve mod 8, the era-1 keys mod
+    // 16; a file is only judged by the key its directory carries). At
+    // 100 TB this is how a bucketed table scales its layout without a
+    // petabyte rewrite: evolve now, rebucket (or let maintenance) later.
+    Q("cole_bucket_evolved", (s, d) => {
+      val wh = "/tmp/graft_cole/warehouse"
+      s.conf.set("spark.sql.catalog.cole", "graft.sources.cole.ColeCatalog")
+      s.conf.set("spark.sql.catalog.cole.warehouse", wh)
+      val ns = s"v${writerFingerprint}_bev_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val liDir = s"$wh/$ns/li"
+      writeOnce(liDir) {
+        val li = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_extendedprice", "l_quantity")
+        li.filter(col("l_orderkey") < 3000L)
+          .write.format("cole").mode("overwrite")
+          .option("bucketBy", "8:l_orderkey").save(liDir)
+        graft.sources.cole.ColeBucket.evolve(liDir,
+          graft.sources.cole.ColeIO.driverConf(), 16, Seq("l_orderkey"))
+        li.filter(col("l_orderkey") >= 3000L)
+          .write.format("cole").mode("append").save(liDir)
+      }
+      s.read.format("cole").load(liDir)
+        .filter(col("l_orderkey")
+          .isin(1L, 7L, 500L, 2999L, 3000L, 4999L, 12345L))
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+          min("l_extendedprice").as("mn_ep"), max("l_extendedprice").as("mx_ep"))
+        .orderBy("l_orderkey")
+    },
+      Some("""SELECT l_orderkey, COUNT(*) AS n_items,
+                MIN(l_extendedprice) AS mn_ep, MAX(l_extendedprice) AS mx_ep
+              FROM lineitem
+              WHERE l_orderkey IN (1, 7, 500, 2999, 3000, 4999, 12345)
+              GROUP BY l_orderkey ORDER BY l_orderkey""")),
+
     // COLE v2 DECIMAL: exact money in the NATIVE format — the engine's
     // whole oracle discipline is decimal money math (SURVEY §4), and until
     // now .col round-tripped money as DOUBLE. lineitem's price/quantity

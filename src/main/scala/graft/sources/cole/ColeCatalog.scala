@@ -36,6 +36,26 @@ object ColeBucket {
   val DirKey = "_bucket"
   val SpecFile = "_bucketspec"
 
+  /** One era of the bucket layout (r13 — bucket spec evolution): the
+    * `idx`-th declaration in the `_bucketspec` history. Files written
+    * under era i carry directory key [[dirKeyOf]]`(i)` (`_bucket` for the
+    * original era, `_bucket<i>` after), so mixed-era tables prune each
+    * era by ITS OWN spec — the same per-era key discipline as temporal
+    * partition-spec evolution, and a wrong prune is structurally
+    * impossible (a file is only ever judged by the key its directory
+    * actually carries).
+    */
+  final case class Era(idx: Int, n: Int, cols: Seq[String],
+      derive: Option[(String, Seq[String])]) {
+    def dirKey: String = dirKeyOf(idx)
+  }
+
+  def dirKeyOf(era: Int): String = if (era == 0) DirKey else s"$DirKey$era"
+
+  /** `_bucket`, `_bucket1`, `_bucket2`, ... — every era's layout key. */
+  def isBucketKey(name: String): Boolean =
+    name.startsWith(DirKey) && name.drop(DirKey.length).forall(_.isDigit)
+
   /** 64-bit avalanche mix (the murmur3 fmix64 constants — public domain).
     * Writer routing and the catalog's `bucket` V2 function MUST agree on
     * this: partition-value correctness of every bucketed join rests on
@@ -191,24 +211,148 @@ object ColeBucket {
   }
 
   /** Parse `_bucketspec` CONTENT (also recorded per-version in the
-    * commit log for time-travel layout resolution).
+    * commit log for time-travel layout resolution) — the ACTIVE era's
+    * (n, columns): the last declaration in the history.
     */
   def parseSpecContent(txt: String, where: String): (Int, Seq[String]) = {
-    val lines = txt.split('\n')
-    require(lines.length >= 3 && lines(0) == "1",
-      s"unreadable $SpecFile at $where")
-    (lines(1).toInt,
-      lines(2).split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    val e = parseHistoryContent(txt, where).last
+    (e.n, e.cols)
   }
 
+  /** The ACTIVE era's synthetic-key derivation from spec content. */
   def parseDeriveContent(txt: String, where: String): Option[(String, Seq[String])] =
-    txt.split('\n').find(_.startsWith("derive:")).map { line =>
-      val body = line.stripPrefix("derive:")
-      val i = body.indexOf('=')
-      require(i > 0, s"unreadable derive line in $SpecFile at $where")
-      (body.substring(0, i),
-        body.substring(i + 1).split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    parseHistoryContent(txt, where).last.derive
+
+  private def parseDeriveLine(line: String, where: String): (String, Seq[String]) = {
+    val body = line.stripPrefix("derive:")
+    val i = body.indexOf('=')
+    require(i > 0, s"unreadable derive line in $SpecFile at $where")
+    (body.substring(0, i),
+      body.substring(i + 1).split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+  }
+
+  /** The full era HISTORY from `_bucketspec` content, oldest first. The
+    * base block (`1\nn\ncols[\nderive:...]`) is era 0 — byte-compatible
+    * with every pre-r13 sidecar; each `evolve:<n>:<cols>` line (its own
+    * optional `derive:` line following) appends one era. The last era is
+    * ACTIVE: writers route by it, appends pick it up.
+    */
+  def parseHistoryContent(txt: String, where: String): Seq[Era] = {
+    val lines = txt.split('\n').map(_.trim).filter(_.nonEmpty)
+    require(lines.length >= 3 && lines(0) == "1",
+      s"unreadable $SpecFile at $where")
+    val base = Era(0, lines(1).toInt,
+      lines(2).split(',').map(_.trim).filter(_.nonEmpty).toSeq, None)
+    var eras = Vector(base)
+    lines.drop(3).foreach {
+      case l if l.startsWith("evolve:") =>
+        val body = l.stripPrefix("evolve:")
+        val i = body.indexOf(':')
+        require(i > 0 && i < body.length - 1,
+          s"unreadable evolve line in $SpecFile at $where")
+        eras = eras :+ Era(eras.size, body.substring(0, i).trim.toInt,
+          body.substring(i + 1).split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+          None)
+      case l if l.startsWith("derive:") =>
+        val last = eras.last
+        eras = eras.init :+ last.copy(derive = Some(parseDeriveLine(l, where)))
+      case other => throw new IllegalArgumentException(
+        s"unreadable $SpecFile line '$other' at $where")
     }
+    eras
+  }
+
+  /** The era history of the table's live sidecar; empty = unbucketed. */
+  def readHistory(table: String, conf: Configuration): Seq[Era] = {
+    val (fs, p) = ColeIO.resolve(specPath(table), conf)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      val txt = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      parseHistoryContent(txt, table)
+    }
+  }
+
+  /** Directory key the ACTIVE era routes by (new writes). */
+  def activeDirKey(table: String, conf: Configuration): String =
+    readHistory(table, conf).lastOption.map(_.dirKey).getOrElse(DirKey)
+
+  /** EVOLVE the bucket layout: re-declare (n, columns[, synthetic key])
+    * on a grown table without rewriting a byte — old files stay under
+    * their era's directories and prune by their era's spec; appends
+    * route by the new one. Mixed-era tables withdraw SPJ reporting
+    * (different eras are not co-bucketed) until `rebucket` rewrites the
+    * old eras into the active layout. Versioned tables record the change
+    * as a commit (the spec snapshot rides every record already).
+    * Re-declaring the active era is rejected.
+    */
+  def evolve(table: String, conf: Configuration, n: Int, cols: Seq[String],
+      derive: Option[(String, Seq[String])] = None): Seq[Era] = {
+    val history = readHistory(table, conf)
+    require(history.nonEmpty,
+      s"$table has no bucket layout to evolve — create it bucketed " +
+        "(bucketBy / PARTITIONED BY bucket) first")
+    require(n > 0 && n <= 65536, s"bucket count must be in [1, 65536], got $n")
+    require(cols.nonEmpty, "evolve_bucket needs at least one column")
+    derive.foreach { case (synth, srcs) =>
+      require(srcs.length >= 2,
+        "a synthetic bucket key is for COMPOSITE keys (2+ source columns)")
+      require(!srcs.contains(synth),
+        s"synthetic key column '$synth' cannot be one of the source columns")
+      require(cols == Seq(synth),
+        "a synthetic-key era buckets on the synth column alone")
+    }
+    val last = history.last
+    require((last.n, last.cols, last.derive) != ((n, cols, derive)),
+      s"table at $table already routes by this exact layout")
+    val (fs, p) = ColeIO.resolve(specPath(table), conf)
+    val in = fs.open(p)
+    val txt = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    val appended = (if (txt.endsWith("\n")) txt else txt + "\n") +
+      s"evolve:$n:${cols.mkString(",")}\n" +
+      derive.fold("") { case (synth, srcs) =>
+        s"derive:$synth=${srcs.mkString(",")}\n" }
+    val tmp = new org.apache.hadoop.fs.Path(table, s".$SpecFile.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(appended.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, p)) {
+      fs.delete(p, false)
+      require(fs.rename(tmp, p), s"bucket spec write failed at $table")
+    }
+    if (ColeVersions.enabled(table, conf))
+      ColeVersions.commitIfEnabled(table, conf, "evolve-bucket",
+        Seq.empty, Seq.empty)
+    parseHistoryContent(appended, table)
+  }
+
+  /** Per-era keep sets from claimed predicates: era dirKey → the bucket
+    * ids any matching row could live in (entries only for eras whose
+    * columns the predicates fully pin). Conservative per era — a file is
+    * pruned only when its directory CARRIES an era's key with a value
+    * outside that era's keep set; files lacking the key are kept.
+    */
+  def keepsByEra(history: Seq[Era],
+      preds: Seq[ColePredicate]): Map[String, Set[String]] =
+    history.flatMap { era =>
+      val direct = prunedBuckets(
+        era.cols.map(c => preds.filter(_.column == c)), era.n)
+      val derived = era.derive.flatMap { case (_, srcs) =>
+        candidateKeyHashes(srcs.map(c => preds.filter(_.column == c)))
+          .map(_.map(bucketOf(_, era.n)))
+      }
+      ((direct, derived) match {
+        case (Some(a), Some(b)) => Some(a intersect b)
+        case (a, b) => a.orElse(b)
+      }).map(ks => era.dirKey -> ks.map(_.toString))
+    }.toMap
+
+  /** True = the file's bucket directory key proves no row can match. */
+  def pruneFile(pv: Map[String, String],
+      keeps: Map[String, Set[String]]): Boolean =
+    keeps.exists { case (k, ks) => pv.get(k).exists(v => !ks.contains(v)) }
 
   def readSpec(table: String, conf: Configuration): Option[(Int, Seq[String])] = {
     val (fs, p) = ColeIO.resolve(specPath(table), conf)
@@ -843,7 +987,8 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
       Array("versioning", "rollback", "expire_versions", "vacuum", "compact",
         "compact_debt", "audit", "repair", "zorder", "bloom_index",
         "delete_mode", "materialize_cdf", "cdf_consumers",
-        "unregister_cdf_consumer", "evolve_temporal", "checkpoint")
+        "unregister_cdf_consumer", "evolve_temporal", "checkpoint",
+        "evolve_bucket", "rebucket")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -986,6 +1131,42 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
           ColeTemporal.parseOption(in.getString(1)))
         Array(Array[Any](UTF8String.fromString(
           evolved.map(s => s"${s.fn}:${s.src}").mkString(" -> "))))
+      }
+      // bucket spec evolution (r13): re-declare (n, cols[, synthetic
+      // key]) on a grown table — zero rewrites, old eras prune under
+      // their own specs, appends route by the new one; SPJ withdraws on
+      // the mixed table until rebucket
+      case "evolve_bucket" => procedure("evolve_bucket",
+        tableArg ++ Seq("transform" -> (StringType: DataType),
+          // optional synthetic combined-key column for composite keys
+          // (the bucketKey write option's evolution twin); '' = none
+          "bucket_key" -> (StringType: DataType)),
+        StructType(Seq(StructField("history", StringType))),
+        defaults = Map("bucket_key" -> "''")) { in =>
+        val path = procTablePath(in.getString(0))
+        val (n, cols) = ColeBucket.parseOption(in.getString(1))
+        val synth = in.getString(2)
+        val (eraCols, derive) =
+          if (synth.isEmpty) (cols, None)
+          else (Seq(synth), Some(synth -> cols))
+        val evolved = ColeBucket.evolve(path, conf, n, eraCols, derive)
+        Array(Array[Any](UTF8String.fromString(
+          evolved.map(e => s"${e.n}:${e.cols.mkString(",")}")
+            .mkString(" -> "))))
+      }
+      // rewrite old bucket eras into the active layout: SPJ returns once
+      // every file carries the active era's key
+      case "rebucket" => procedure("rebucket", tableArg,
+        StructType(Seq(
+          StructField("files_rewritten", LongType),
+          StructField("files_kept", LongType),
+          StructField("files_out", LongType),
+          StructField("rows", LongType)))) { in =>
+        val st = ColeRebucket.rebucket(
+          org.apache.spark.sql.SparkSession.active,
+          procTablePath(in.getString(0)))
+        Array(Array[Any](st.filesRewritten.toLong, st.filesKept.toLong,
+          st.filesOut.toLong, st.rows))
       }
       case "delete_mode" => procedure("delete_mode",
         tableArg :+ ("mode" -> (StringType: DataType)),

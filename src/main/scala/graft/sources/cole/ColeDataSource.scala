@@ -472,6 +472,8 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
         ColeSnapshot(ColeVersions.snapshotInfos(path, conf, v),
           spec.map(t => ColeBucket.parseSpecContent(t, s"$path@v$v")),
           spec.flatMap(t => ColeBucket.parseDeriveContent(t, s"$path@v$v")),
+          bucketHistory = spec.map(t =>
+            ColeBucket.parseHistoryContent(t, s"$path@v$v")).getOrElse(Nil),
           // vector-mode composition (r10): the version's PINNED deletion
           // vectors, applied by the scans in place of the live sidecars
           ColeVersions.snapshotDvs(path, conf, v),
@@ -614,6 +616,9 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
 final case class ColeSnapshot(infos: Seq[ColeMetaCache.FileInfo],
     bucketSpec: Option[(Int, Seq[String])] = None,
     bucketDerive: Option[(String, Seq[String])] = None,
+    // Bucket era HISTORY as of the pinned version (r13 spec evolution):
+    // per-era pruning keys mixed-era snapshot files by their own spec
+    bucketHistory: Seq[ColeBucket.Era] = Nil,
     // PINNED deletion vectors as of the version (physical path →
     // file-wide ordinals), identity-verified at snapshot build; empty
     // for feed file-set reads (those read PHYSICAL rows by design — the
@@ -1138,19 +1143,15 @@ class ColeAggScan(path: String, conf: Configuration, groupCols: Seq[String],
           if (a == null) 0 else a.length).sum == i.meta.totalRows)
       }.map(_.path).toSet
     // bucket pruning, same as the row scan: a filtered aggregate whose
-    // claimed predicate pins the bucket column sweeps 1/n of the table
-    // (snapshots resolve the spec as of their version)
-    val bucketKeep: Option[Set[String]] =
-      snapshot.fold(ColeBucket.readSpec(path, conf))(_.bucketSpec)
-        .flatMap { case (n, cs) =>
-        ColeBucket.prunedBuckets(
-          cs.map(c => preds.filter(_.column == c).toSeq), n)
-          .map(_.map(_.toString))
-      }
+    // claimed predicate pins the bucket column sweeps 1/n of the table,
+    // per ERA on evolved layouts (snapshots resolve the spec history as
+    // of their version)
+    val bucketKeeps: Map[String, Set[String]] = ColeBucket.keepsByEra(
+      snapshot.fold(ColeBucket.readHistory(path, conf))(_.bucketHistory),
+      preds.toSeq)
     infos.filterNot(i => dvDead(i.path)).flatMap { info =>
       val pv = info.partValues.toMap
-      if (bucketKeep.exists(ks =>
-          !pv.get(ColeBucket.DirKey).exists(ks.contains))) Seq.empty
+      if (ColeBucket.pruneFile(pv, bucketKeeps)) Seq.empty
       else if (!partPreds.forall(p => pv.get(p.column).exists(partitionKeeps(p, _))))
         Seq.empty
       else if (!temporalPreds.forall(p =>
@@ -2769,8 +2770,8 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
     */
   private lazy val reportedKeySchema: Seq[(String, String)] =
     if (bucketSpec.isDefined && partKeySchema.map(_._1)
-        .filterNot(ColeTemporal.isDerivedKey) == Seq(ColeBucket.DirKey))
-      partKeySchema.filter(_._1 == ColeBucket.DirKey)
+        .filterNot(ColeTemporal.isDerivedKey) == Seq(activeBucketKey))
+      partKeySchema.filter(_._1 == activeBucketKey)
     else partKeySchema
 
   private[cole] def partKeyRow(pv: Array[(String, String)]): InternalRow = {
@@ -2793,6 +2794,19 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
     * suited nation-grade keys. Non-catalog reads still plan fine — Spark
     * just can't resolve the transform and falls back to shuffling.
     */
+  private lazy val bucketHistory: Seq[ColeBucket.Era] =
+    snapshot.fold(ColeBucket.readHistory(path, conf))(_.bucketHistory)
+
+  /** The ACTIVE era's directory key — what SPJ reporting compares the
+    * listed partition keys against: a mixed-era table (old eras not yet
+    * rebucketed) lists several bucket keys, fails the comparison, and
+    * the co-partitioning claim withdraws automatically (different eras
+    * are NOT co-bucketed); once `rebucket` rewrites the old eras the
+    * claim returns, also automatically.
+    */
+  private lazy val activeBucketKey: String =
+    bucketHistory.lastOption.map(_.dirKey).getOrElse(ColeBucket.DirKey)
+
   private lazy val bucketSpec: Option[(Int, Seq[String])] =
     snapshot.fold(ColeBucket.readSpec(path, conf))(_.bucketSpec)
 
@@ -2814,7 +2828,7 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
 
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
     bucketSpec match {
-      case Some((n, cs)) if reportedKeySchema.map(_._1) == Seq(ColeBucket.DirKey) =>
+      case Some((n, cs)) if reportedKeySchema.map(_._1) == Seq(activeBucketKey) =>
         // bucket-only, or temporal+bucket composed (the temporal ordinal
         // withdrawn — each bucket's partitions across unit directories
         // share one reported key): distinct BUCKET values, not distinct
@@ -2822,16 +2836,20 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
           Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(n, cs: _*)),
           tableInfos.flatMap(_.partValues.collectFirst {
-            case (k, v) if k == ColeBucket.DirKey => v }).distinct.size)
+            case (k, v) if k == activeBucketKey => v }).distinct.size)
       case _ =>
         // a temporal-derived key is not a schema column: an identity
         // report on it would fail resolution, and a days()/hours()
         // transform report would claim Spark's OWN transform value
         // domain (session-timezone epoch units, Int-typed) for our
         // UTC-Long ordinals — withdraw the SPJ claim instead; dir
-        // pruning (the layout's actual point) is unaffected
+        // pruning (the layout's actual point) is unaffected. A bucket
+        // key landing here means a MIXED-ERA table (evolution without
+        // rebucket yet): withdraw too — eras are not co-bucketed, and
+        // an identity report would even crash on files lacking a key
         if (partKeySchema.isEmpty ||
-            partKeySchema.exists(k => ColeTemporal.isDerivedKey(k._1)))
+            partKeySchema.exists(k => ColeTemporal.isDerivedKey(k._1) ||
+              ColeBucket.isBucketKey(k._1)))
           new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
         else new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
           partKeySchema.map(k =>
@@ -2865,7 +2883,7 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
     val sortCols = bucketDerive.map(_._2).getOrElse(bucketSpec.get._2)
     val infos = tableInfos
     val oneFilePerBucket = infos.nonEmpty &&
-      partKeySchema.map(_._1) == Seq(ColeBucket.DirKey) &&
+      partKeySchema.map(_._1) == Seq(activeBucketKey) &&
       infos.groupBy(_.partValues).forall(_._2.size == 1)
     // only claim columns the pruned output actually carries — Spark
     // resolves the references against the scan's output attributes
@@ -2991,26 +3009,15 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
     // second planning pass), stats prune without opening any data file
     // (file, colIndices, rgIdx, rows, bytes, topN column min/max,
     //  guaranteed = stats prove every row survives all filters, partValues)
-    // bucket pruning: equality/IN on the bucket column pins the hash
-    // bucket(s) — only those _bucket=N directories' files plan at all
-    // (runtime IN-filters from joins prune the same way on the re-plan)
-    val bucketKeep: Option[Set[String]] = bucketSpec.flatMap { case (n, cs) =>
-      val all = preds ++ dataRuntime
-      val direct = ColeBucket.prunedBuckets(
-        cs.map(c => all.filter(_.column == c).toSeq), n)
-      // derived layout: equality/IN pinning every SOURCE key column pins
-      // the synthetic value, hence the bucket — one more avalanche, the
-      // same route the stored synth column takes through bucketOf
-      val derived = bucketDerive.flatMap { case (_, srcs) =>
-        ColeBucket.candidateKeyHashes(
-          srcs.map(c => all.filter(_.column == c).toSeq))
-          .map(_.map(ColeBucket.bucketOf(_, n)))
-      }
-      ((direct, derived) match {
-        case (Some(a), Some(b)) => Some(a intersect b)
-        case (a, b) => a.orElse(b)
-      }).map(_.map(_.toString))
-    }
+    // bucket pruning: equality/IN on the bucket column(s) pins the hash
+    // bucket(s) — only those _bucket<era>=N directories' files plan at
+    // all (runtime IN-filters from joins prune the same way on the
+    // re-plan). Per ERA on evolved layouts: each era's keep set keys its
+    // own directory key, derived synthetic keys pin through one more
+    // avalanche (the same route a stored synth column takes), and a file
+    // is only ever judged by the key its directory carries.
+    val bucketKeeps: Map[String, Set[String]] =
+      ColeBucket.keepsByEra(bucketHistory, (preds ++ dataRuntime).toSeq)
     val dvOf: Map[String, Array[Array[Int]]] = snapshot match {
       // time-travel read: PINNED vectors (resolved + identity-checked as
       // of the version by the snapshot builder), never the live sidecars
@@ -3037,8 +3044,7 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
     val survivors = tableInfos.filter(i =>
       fileKeep(i.path) && !dvDead(i.path)).flatMap { info =>
       val pv = info.partValues.toMap
-      if (bucketKeep.exists(ks =>
-          !pv.get(ColeBucket.DirKey).exists(ks.contains))) Seq.empty
+      if (ColeBucket.pruneFile(pv, bucketKeeps)) Seq.empty
       else if (!(partPreds ++ partRuntime).forall(p =>
           pv.get(p.column).exists(partitionKeeps(p, _)))) Seq.empty
       // derived temporal preds: prune only files CARRYING the derived
@@ -4073,9 +4079,14 @@ class ColeBatchWrite(schema: StructType, path: String, rowGroupSize: Int,
     }
     // the layout self-describes: persist the bucket/temporal spec BEFORE
     // any data lands, so a concurrent reader never sees derived-layout
-    // files without the sidecar that explains them
-    bucketSpec.foreach { case (n, cs) =>
-      ColeBucket.writeSpec(path, conf, n, cs, bucketDerive) }
+    // files without the sidecar that explains them. First declaration
+    // (or a truncating overwrite, which legitimately resets the layout)
+    // only: an append into an EVOLVED table resolves the active era, and
+    // re-persisting it as a singleton would wipe the era history the
+    // old-era files still prune by (r13)
+    if (truncate || ColeBucket.readHistory(path, conf).isEmpty)
+      bucketSpec.foreach { case (n, cs) =>
+        ColeBucket.writeSpec(path, conf, n, cs, bucketDerive) }
     // first declaration only: an append into an EVOLVED table resolves
     // the active spec, and re-persisting it as a singleton would wipe
     // the evolution history the old-era files still prune by
@@ -4149,12 +4160,18 @@ class ColeWriterFactory(schema: StructType, path: String, rowGroupSize: Int,
     checks: Array[CompiledCheck] = Array.empty,
     temporal: Option[ColeTemporal.Spec] = None)
     extends DataWriterFactory {
+  // resolved on the DRIVER at factory construction (one sidecar read),
+  // serialized to tasks: writers route by the ACTIVE era's directory key
+  private val bucketDirKey: String =
+    if (bucketSpec.isEmpty) ColeBucket.DirKey
+    else ColeBucket.activeDirKey(path, hconf.value)
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     ColeChecks.wrap(bucketSpec match {
       case Some((n, c)) =>
         new ColeBucketedDataWriter(schema, path, partitionId, taskId,
           rowGroupSize, hconf.value, n,
-          bucketDerive.map(_._2).getOrElse(c), bucketDerive.map(_._1), temporal)
+          bucketDerive.map(_._2).getOrElse(c), bucketDerive.map(_._1), temporal,
+          bucketDirKey)
       case None if partCols.isEmpty && temporal.isEmpty =>
         new ColeDataWriter(schema, f"$path/part-$partitionId%05d-$taskId.col",
           rowGroupSize, hconf.value)
@@ -4192,7 +4209,13 @@ class ColeBucketedDataWriter(schema: StructType, protected val baseDir: String,
       * first, so units arrive grouped and the map stays near size
       * numBuckets in practice.
       */
-    temporal: Option[ColeTemporal.Spec] = None) extends DataWriter[InternalRow] {
+    temporal: Option[ColeTemporal.Spec] = None,
+    /** Directory key of the ACTIVE bucket era (r13 spec evolution):
+      * `_bucket` for a never-evolved layout, `_bucket<era>` after —
+      * resolved once on the driver by the factory.
+      */
+    protected val bucketDirKey: String = ColeBucket.DirKey)
+    extends DataWriter[InternalRow] {
 
   private val kis: Array[Int] = bucketCols.map(schema.fieldIndex).toArray
   private val keyTypes: Array[DataType] = kis.map(schema.fields(_).dataType)
@@ -4232,14 +4255,14 @@ class ColeBucketedDataWriter(schema: StructType, protected val baseDir: String,
     * with epoch-deterministic dotted in-progress names.
     */
   protected def fileName(b: Int): String =
-    f"$baseDir/${ColeBucket.DirKey}=$b/part-$partitionId%05d-$taskId.col"
+    f"$baseDir/$bucketDirKey=$b/part-$partitionId%05d-$taskId.col"
 
   /** The k-th file this task opens under (unit directory `prefix`,
     * bucket `b`) of a composed temporal+bucket layout — `k` keeps names
     * unique past sub-writer eviction. Streaming overrides.
     */
   protected def temporalFileName(prefix: String, b: Int, k: Int): String =
-    f"$baseDir/$prefix/${ColeBucket.DirKey}=$b/part-$partitionId%05d-$taskId-$k%d.col"
+    f"$baseDir/$prefix/$bucketDirKey=$b/part-$partitionId%05d-$taskId-$k%d.col"
 
   /** Sub-writer for bucket `b` of the row's (possibly temporal-derived)
     * unit directory. Flat layouts stay on the array fast path; composed
@@ -5164,6 +5187,10 @@ class ColeStreamingWriterFactory(schema: StructType, path: String,
     temporal: Option[ColeTemporal.Spec] = None)
     extends StreamingDataWriterFactory {
 
+  private val bucketDirKey: String =
+    if (bucketSpec.isEmpty) ColeBucket.DirKey
+    else ColeBucket.activeDirKey(path, hconf.value)
+
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     ColeChecks.wrap(bucketSpec match {
@@ -5171,7 +5198,7 @@ class ColeStreamingWriterFactory(schema: StructType, path: String,
         new ColeStreamingBucketedDataWriter(schema, path, partitionId, taskId,
           rowGroupSize, hconf.value, n,
           bucketDerive.map(_._2).getOrElse(c), epochId, bucketDerive.map(_._1),
-          temporal)
+          temporal, bucketDirKey)
       case None if partCols.isEmpty && temporal.isEmpty =>
         val tmp =
           f"$path/.part-e$epochId%d-p$partitionId%05d-0.col.inprogress-$taskId"
@@ -5207,16 +5234,18 @@ class ColeStreamingBucketedDataWriter(schema: StructType, baseDir0: String,
     partitionId0: Int, taskId0: Long, rowGroupSize: Int, conf: Configuration,
     numBuckets: Int, bucketCols: Seq[String], epochId: Long,
     deriveKey0: Option[String] = None,
-    temporal0: Option[ColeTemporal.Spec] = None)
+    temporal0: Option[ColeTemporal.Spec] = None,
+    bucketDirKey0: String = ColeBucket.DirKey)
     extends ColeBucketedDataWriter(schema, baseDir0, partitionId0, taskId0,
-      rowGroupSize, conf, numBuckets, bucketCols, deriveKey0, temporal0) {
+      rowGroupSize, conf, numBuckets, bucketCols, deriveKey0, temporal0,
+      bucketDirKey0) {
 
   override protected def fileName(b: Int): String =
-    f"$baseDir/${ColeBucket.DirKey}=$b/" +
+    f"$baseDir/$bucketDirKey=$b/" +
       f".part-e$epochId%d-p$partitionId%05d-0.col.inprogress-$taskId"
 
   override protected def temporalFileName(prefix: String, b: Int, k: Int): String =
-    f"$baseDir/$prefix/${ColeBucket.DirKey}=$b/" +
+    f"$baseDir/$prefix/$bucketDirKey=$b/" +
       f".part-e$epochId%d-p$partitionId%05d-$k%d.col.inprogress-$taskId"
 
   override def commit(): WriterCommitMessage = super.commit() match {

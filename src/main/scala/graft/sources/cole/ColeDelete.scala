@@ -69,25 +69,11 @@ object ColeDelete {
       .foreach(ColeCompact.recover(fs, _))
 
     val infos = ColeMetaCache.infos(table, conf)
-    // equality/IN on the bucket column pins hash buckets: files in other
-    // buckets cannot contain a matching row regardless of stats
-    val bucketKeep: Option[Set[String]] =
-      ColeBucket.readSpec(table, conf).flatMap { case (n, cs) =>
-        val direct = ColeBucket.prunedBuckets(
-          cs.map(c => dataPreds.filter(_.column == c).toSeq), n)
-        // synthetic-key layouts: equality on the source key tuple pins
-        // the bucket the same way the scan's planner prunes
-        val derived = ColeBucket.readDerivation(table, conf)
-          .flatMap { case (_, srcs) =>
-            ColeBucket.candidateKeyHashes(
-              srcs.map(c => dataPreds.filter(_.column == c).toSeq))
-              .map(_.map(ColeBucket.bucketOf(_, n)))
-          }
-        ((direct, derived) match {
-          case (Some(a), Some(b)) => Some(a intersect b)
-          case (a, b) => a.orElse(b)
-        }).map(_.map(_.toString))
-      }
+    // equality/IN on the bucket column(s) pins hash buckets: files in
+    // other buckets cannot contain a matching row regardless of stats —
+    // per ERA on evolved layouts, each era judged by its own key
+    val bucketKeeps: Map[String, Set[String]] = ColeBucket.keepsByEra(
+      ColeBucket.readHistory(table, conf), dataPreds.toSeq)
     val Untouched = 0; val Drop = 1; val Rewrite = 2
     val classified = infos.map { info =>
       val pv = info.partValues.toMap
@@ -95,8 +81,7 @@ object ColeDelete {
         pv.get(p.column).exists(ColePredicate.partitionKeeps(p, _)))
       val cls =
         if (!partHit) Untouched
-        else if (bucketKeep.exists(ks =>
-            !pv.get(ColeBucket.DirKey).exists(ks.contains))) Untouched
+        else if (ColeBucket.pruneFile(pv, bucketKeeps)) Untouched
         else {
           val meta = info.meta
           val nameToIdx = meta.columns.map(_.name).zipWithIndex.toMap

@@ -109,7 +109,7 @@ final class ColeFileReader(path: String, conf: Configuration) extends AutoClosea
       if (bodyCrc(withCrc, 0, metaLen) != stored)
         throw new ColeFormatException(
           s"$path: metadata checksum mismatch (corrupt footer metadata)")
-      readMetadata(new Cursor(withCrc, 0), version)
+      readMetadata(new Cursor(withCrc, 0), version, metaLen)
     } else {
       val metaBytes = readAt(metaOffset, (fileLen - 12 - metaOffset).toInt)
       readMetadata(new Cursor(metaBytes, 0), version)
@@ -473,6 +473,12 @@ final class ColeFileWriter(path: String, columns: Seq[ColeColumn],
     ColeIO.opens.incrementAndGet()
     fs.create(hPath, true)
   }
+
+  // per-column NDV bound accumulation (v2 footers, TString+Dict columns):
+  // the writer knows every page's dictionary size — the CBO then answers
+  // string NDV from the cached footer with zero positioned reads
+  private val ndvSums = Array.fill(columns.size)(0L)
+  private val ndvSound = Array.fill(columns.size)(true)
   private val out = new BufferedOutputStream(stream, 1 << 16)
   private var position = 0L
   private val rowGroups = scala.collection.mutable.ArrayBuffer[RowGroupMeta]()
@@ -559,9 +565,22 @@ final class ColeFileWriter(path: String, columns: Seq[ColeColumn],
           val vals = presentStrs
           val bytes = col.encoding match {
             case Plain => encodePlainStrings(vals)
-            case Dict => encodeDictStrings(vals)
+            case Dict =>
+              val b = encodeDictStrings(vals)
+              // the body's leading u32 IS the dictionary entry count —
+              // accumulate it so the footer can carry a metadata-only
+              // NDV upper bound for this column (r13; sum over pages is
+              // sound: every distinct value appears in some dictionary)
+              if (col.colType == TString)
+                ndvSums(i) += (b(0) & 0xffL) | ((b(1) & 0xffL) << 8) |
+                  ((b(2) & 0xffL) << 16) | ((b(3) & 0xffL) << 24)
+              b
             case other => throw new ColeFormatException(s"$other not valid for STRING/BINARY")
           }
+          // a non-dictionary page breaks the bound (per-group encoding
+          // overrides allow mixing): this column reports none
+          if (col.colType == TString && col.encoding != Dict)
+            ndvSound(i) = false
           (bytes, PageStats(None, None, nullCount))
         case TFloatVec =>
           val vals =
@@ -667,7 +686,11 @@ final class ColeFileWriter(path: String, columns: Seq[ColeColumn],
     closed = true
     val metaOffset = position
     val mo = new Out()
-    writeMetadata(mo, FileMeta(columns, rowGroups.toSeq, totalRows, version))
+    val ndv: Seq[Long] =
+      if (version < Version2) Seq.empty
+      else columns.indices.map(i =>
+        if (columns(i).colType == TString && ndvSound(i)) ndvSums(i) else -1L)
+    writeMetadata(mo, FileMeta(columns, rowGroups.toSeq, totalRows, version, ndv))
     val metaBytes = mo.toBytes
     val o = new Out()
     o.raw(metaBytes)

@@ -180,8 +180,22 @@ object ColeFormat {
       pages: Seq[PageHeader])
   final case class RowGroupMeta(numRows: Int, chunks: Seq[ColumnChunkMeta])
   final case class ColeColumn(name: String, colType: ColeType, encoding: Enc)
+  /** Magic of the OPTIONAL v2 metadata-tail extension carrying per-column
+    * NDV upper bounds ("DICT"). v1 footers never carry it (byte-compat
+    * with the reference layout); a v2 reader detects it by remaining
+    * metadata bytes + magic, so pre-extension v2 files parse unchanged.
+    */
+  val NdvExtMagic = 0x54434944
+
   final case class FileMeta(columns: Seq[ColeColumn], rowGroups: Seq[RowGroupMeta],
-      totalRows: Long, version: Int = 1) {
+      totalRows: Long, version: Int = 1,
+      /** Per-column distinct-count upper bounds, aligned to `columns`
+        * (-1 = not derivable); written by the v2 writer from its own
+        * dictionary sizes, so the CBO's string NDV is METADATA-ONLY —
+        * zero positioned reads (ColeNdv's page probe remains the
+        * fallback for files predating the extension). Empty = absent.
+        */
+      ndvBounds: Seq[Long] = Seq.empty) {
     /** Min/max for one chunk from page stats alone; None when any page
       * lacks stats. Metadata-only, so planning can stat-prune straight
       * from the footer cache without opening the file.
@@ -349,9 +363,24 @@ object ColeFormat {
       throw new ColeFormatException(
         s"COLE total_rows is uint32; ${meta.totalRows} rows exceed one file's capacity")
     out.u32(meta.totalRows.toInt)
+    // v2 metadata-tail extension: per-column NDV upper bounds. Appended
+    // AFTER the reference-shaped block, detected by magic — v1 stays
+    // byte-identical to the reference, pre-extension v2 files (no tail)
+    // parse unchanged.
+    if (meta.version >= Version2 && meta.ndvBounds.nonEmpty) {
+      require(meta.ndvBounds.size == meta.columns.size,
+        "ndvBounds must align to columns")
+      out.u32(NdvExtMagic)
+      out.u32(meta.ndvBounds.size)
+      meta.ndvBounds.foreach(out.i64)
+    }
   }
 
-  def readMetadata(c: Cursor, version: Int = 1): FileMeta = {
+  /** `endPos`: end of the metadata block inside the cursor's buffer when
+    * known (the v2 reader slices [metadata][crc]) — what bounds the
+    * optional tail-extension probe; -1 = no extensions read.
+    */
+  def readMetadata(c: Cursor, version: Int = 1, endPos: Int = -1): FileMeta = {
     val nCols = c.u32()
     val cols = Seq.fill(nCols) {
       val nameLen = c.u32()
@@ -385,6 +414,16 @@ object ColeFormat {
       }
       RowGroupMeta(numRows, chunks)
     }
-    FileMeta(cols, rgs, (c.u32().toLong) & 0xffffffffL, version)
+    val totalRows = (c.u32().toLong) & 0xffffffffL
+    val ndv: Seq[Long] =
+      if (version >= Version2 && endPos >= 0 && endPos - c.pos >= 8 && {
+        val save = c.pos; val m = c.u32(); c.pos = save; m == NdvExtMagic
+      }) {
+        c.u32() // magic
+        val n = c.u32()
+        require(n == nCols, s"NDV extension declares $n columns, file has $nCols")
+        Seq.fill(n)(c.i64())
+      } else Seq.empty
+    FileMeta(cols, rgs, totalRows, version, ndv)
   }
 }

@@ -241,20 +241,21 @@ object ColeMetaCache {
     * else LONG if every value parses as a Long, else STRING. Empty for
     * flat (unpartitioned) tables.
     *
-    * DERIVED layout keys (`_t_*` temporal ordinals) may differ across
-    * files — a spec EVOLUTION (r12) leaves `_t_days_ts` era files beside
-    * `_t_hours_ts` ones. Only keys present in EVERY file participate
-    * here (partition-constant serving needs a value per file; pruning on
-    * era-specific derived keys runs per file against partValues
-    * directly, not through this schema). Non-derived keys must still be
+    * LAYOUT keys (`_t_*` temporal ordinals, `_bucket*` hash eras) may
+    * differ across files — a spec EVOLUTION (r12 temporal, r13 bucket)
+    * leaves `_t_days_ts` / `_bucket` era files beside `_t_hours_ts` /
+    * `_bucket1` ones. Only keys present in EVERY file participate here
+    * (partition-constant serving needs a value per file; pruning on
+    * era-specific layout keys runs per file against partValues directly,
+    * not through this schema). Identity hive keys must still be
     * consistent — mixed hive layouts are corruption, not evolution.
     */
   def partitionSchema(infos: Seq[FileInfo]): Seq[(String, String)] = {
     if (infos.isEmpty || infos.head.partValues.isEmpty) return Seq.empty
     val keys = infos.head.partValues.map(_._1)
-    val identity = keys.filterNot(ColeTemporal.isDerivedKey)
+    val identity = keys.filterNot(ColeTemporal.isLayoutKey)
     require(infos.forall(
-      _.partValues.map(_._1).filterNot(ColeTemporal.isDerivedKey) == identity),
+      _.partValues.map(_._1).filterNot(ColeTemporal.isLayoutKey) == identity),
       s"inconsistent partition directory structure under a COLE table: " +
         s"expected keys $identity")
     val shared = keys.filter(k =>

@@ -36,7 +36,12 @@ object ColeNdv {
     * DICTIONARY page (no sound bound is derivable from metadata then).
     */
   def dictNdvUpperBound(info: ColeMetaCache.FileInfo, colIdx: Int,
-      conf: Configuration): Option[Long] =
+      conf: Configuration): Option[Long] = {
+    // v2 footers carry the writer's own dictionary entry counts (r13):
+    // the bound answers from the cached footer, ZERO positioned reads —
+    // the page probe below remains the fallback for pre-extension files
+    val footerBound = info.meta.ndvBounds.lift(colIdx).filter(_ >= 0L)
+    if (footerBound.isDefined) return footerBound
     cache.getOrElseUpdate(s"${info.path}|${info.len}|${info.mtime}|$colIdx") {
       val meta = info.meta
       val colType = meta.columns(colIdx).colType
@@ -82,4 +87,5 @@ object ColeNdv {
         } finally in.close()
       }
     }
+  }
 }

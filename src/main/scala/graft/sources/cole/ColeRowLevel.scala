@@ -205,29 +205,15 @@ class ColeGroupScan(op: ColeRowLevelOperation, required: StructType,
     val infos = ColeMetaCache.infos(path, conf)
     val (partPreds, dataPreds) =
       classifiers.partition(p => partCols.contains(p.column))
-    val bucketKeep: Option[Set[String]] =
-      ColeBucket.readSpec(path, conf).flatMap { case (n, cs) =>
-        val direct = ColeBucket.prunedBuckets(
-          cs.map(c => dataPreds.filter(_.column == c).toSeq), n)
-        val derived = ColeBucket.readDerivation(path, conf)
-          .flatMap { case (_, srcs) =>
-            ColeBucket.candidateKeyHashes(
-              srcs.map(c => dataPreds.filter(_.column == c).toSeq))
-              .map(_.map(ColeBucket.bucketOf(_, n)))
-          }
-        ((direct, derived) match {
-          case (Some(a), Some(b)) => Some(a intersect b)
-          case (a, b) => a.orElse(b)
-        }).map(_.map(_.toString))
-      }
+    val bucketKeeps: Map[String, Set[String]] = ColeBucket.keepsByEra(
+      ColeBucket.readHistory(path, conf), dataPreds.toSeq)
     val fileRequired = StructType(required.filterNot(f =>
       partCols.contains(f.name) || f.name == ColeUtil.FileMetaCol ||
         f.name == ColeUtil.PosMetaCol))
     val candidates = infos.filter { info =>
       val pv = info.partValues.toMap
       runtimeFiles.forall(_.contains(info.path)) &&
-        !bucketKeep.exists(ks =>
-          !pv.get(ColeBucket.DirKey).exists(ks.contains)) &&
+        !ColeBucket.pruneFile(pv, bucketKeeps) &&
         partPreds.forall(p =>
           pv.get(p.column).exists(ColePredicate.partitionKeeps(p, _))) && {
           val meta = info.meta

@@ -75,7 +75,7 @@ object ColeTemporal {
     * data they derive from is stored in the files themselves).
     */
   def isLayoutKey(name: String): Boolean =
-    name == ColeBucket.DirKey || isDerivedKey(name)
+    ColeBucket.isBucketKey(name) || isDerivedKey(name)
 
   def parseOption(v: String): Spec = {
     val i = v.indexOf(':')

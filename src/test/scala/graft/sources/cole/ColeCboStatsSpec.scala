@@ -159,6 +159,35 @@ class ColeCboStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("string NDV on v2 files is metadata-only: footer bounds, zero probe reads from COLD") {
+    // r13: the v2 writer records its own dictionary entry counts in the
+    // footer's NDV extension — the CBO bound then needs no positioned
+    // read at all, even on first touch; the page probe remains the
+    // fallback for pre-extension files (the v1 test above pins it)
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("cole_cbo_v2").toString + "/v2s"
+    (0 until 30000).map(i => (s"k${i % 150}", i.toLong))
+      .toDF("cat", "n")
+      .coalesce(1).write.format("cole").mode("overwrite")
+      .option("formatVersion", "2").save(dir)
+    val info = ColeMetaCache.infos(dir, ColeIO.driverConf()).head
+    assert(info.meta.version === 2)
+    assert(info.meta.ndvBounds.nonEmpty, "v2 footer must carry NDV bounds")
+    withConf("spark.sql.cbo.enabled" -> "true") {
+      val before = ColeNdv.probeReads.get()
+      val byName = spark.read.format("cole").load(dir)
+        .queryExecution.optimizedPlan.stats.attributeStats
+        .map { case (a, cs) => a.name -> cs }
+      val ndv = byName("cat").distinctCount
+      assert(ndv.isDefined, "v2 dictionary key must report NDV")
+      assert(ndv.get >= BigInt(150) && ndv.get <= BigInt(3000),
+        s"v2 cat NDV bound out of range: ${ndv.get}")
+      assert(ColeNdv.probeReads.get() === before,
+        "v2 footer bounds must cost ZERO positioned reads, cold included")
+    }
+  }
+
   test("string-keyed 3-way join reorders under CBO, results unchanged") {
     val (sbig, smid, ssmall) = strDirs
     def query = {
