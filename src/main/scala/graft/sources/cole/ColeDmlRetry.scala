@@ -52,6 +52,17 @@ object ColeDmlRetry {
   val MaxRetriesKey = "graft.cole.dml.maxRetries"
   val DefaultMaxRetries = 3
 
+  /** Kill switch for the whole strategy (SQL conf, default on): false
+    * plans row-level DML exactly as without the extensions — the r12
+    * loud-reject behavior, and an attribution lever for benchmarks.
+    */
+  val EnabledKey = "graft.cole.dml.retry.enabled"
+
+  private[cole] def strategyEnabled: Boolean =
+    try org.apache.spark.sql.internal.SQLConf.get
+      .getConfString(EnabledKey, "true") == "true"
+    catch { case _: Exception => true }
+
   /** Conflict re-executions performed — spec-visible. */
   val retries = new AtomicLong(0)
 
@@ -69,6 +80,16 @@ object ColeDmlRetry {
     replanning.set(true)
     try body finally replanning.set(false)
   }
+
+  /** Marks a ReplaceData/WriteDelta the strategy already wrapped, so the
+    * SAME planner pass's planLater() plans the vanilla exec under it —
+    * attempt 0 then executes a SINGLE-planned delegate (no second
+    * optimizer run on the no-conflict path); only an actual conflict
+    * pays a full re-plan.
+    */
+  private[cole] val PlannedTag =
+    new org.apache.spark.sql.catalyst.trees.TreeNodeTag[Boolean](
+      "coleDmlRetryPlanned")
 
   /** True when `t` (or any cause) is the connector's loud
     * concurrent-write rejection — the only failure a retry can fix.
@@ -113,23 +134,35 @@ class ColeDmlRetryStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case rd: ReplaceData
         if rd.operation.isInstanceOf[ColeRowLevelOperation] &&
-          !ColeDmlRetry.isReplanning =>
-      Seq(ColeDmlRetryExec(rd, rd.operation.asInstanceOf[ColeRowLevelOperation]))
+          rd.getTagValue(ColeDmlRetry.PlannedTag).isEmpty &&
+          !ColeDmlRetry.isReplanning && ColeDmlRetry.strategyEnabled =>
+      rd.setTagValue(ColeDmlRetry.PlannedTag, true)
+      Seq(ColeDmlRetryExec(rd,
+        rd.operation.asInstanceOf[ColeRowLevelOperation], planLater(rd)))
     case wd: WriteDelta
         if wd.operation.isInstanceOf[ColeRowLevelOperation] &&
-          !ColeDmlRetry.isReplanning =>
-      Seq(ColeDmlRetryExec(wd, wd.operation.asInstanceOf[ColeRowLevelOperation]))
+          wd.getTagValue(ColeDmlRetry.PlannedTag).isEmpty &&
+          !ColeDmlRetry.isReplanning && ColeDmlRetry.strategyEnabled =>
+      wd.setTagValue(ColeDmlRetry.PlannedTag, true)
+      Seq(ColeDmlRetryExec(wd,
+        wd.operation.asInstanceOf[ColeRowLevelOperation], planLater(wd)))
     case _ => Nil
   }
 }
 
-/** Executes the row-level command, re-planning the logical through a
-  * fresh nested QueryExecution on each conflict abort (bounded).
+/** Executes the row-level command: attempt 0 runs `child` — the vanilla
+  * exec planned in the SAME planner pass (zero extra planning on the
+  * no-conflict path) — and each conflict abort re-plans the logical
+  * through a fresh nested QueryExecution (bounded).
   */
-case class ColeDmlRetryExec(logical: LogicalPlan, op: ColeRowLevelOperation)
-    extends V2CommandExec with LeafExecNode {
+case class ColeDmlRetryExec(logical: LogicalPlan, op: ColeRowLevelOperation,
+    child: SparkPlan)
+    extends V2CommandExec with org.apache.spark.sql.execution.UnaryExecNode {
 
   override def output: Seq[Attribute] = Nil
+
+  override protected def withNewChildInternal(newChild: SparkPlan)
+      : ColeDmlRetryExec = copy(child = newChild)
 
   override def run(): Seq[InternalRow] = {
     ColeDmlRetry.executions.incrementAndGet()
@@ -139,7 +172,8 @@ case class ColeDmlRetryExec(logical: LogicalPlan, op: ColeRowLevelOperation)
     var attempt = 0
     while (true) {
       try {
-        ColeDmlRetry.suppressed {
+        if (attempt == 0) child.executeCollect()
+        else ColeDmlRetry.suppressed {
           // commandExecuted forces the command eagerly through the
           // standard path: fresh optimization, fresh physical plan,
           // fresh scan listing — a true re-plan, not a job re-run
