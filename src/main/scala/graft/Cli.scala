@@ -113,6 +113,26 @@ object Cli {
         val n = versions.count(
           graft.sources.cole.ColeChangeFeed.materialize(spark, args(1), _))
         println(s"materialized change data of $n commit(s)")
+      case "checkpoint" =>
+        val v = graft.sources.cole.ColeVersions.checkpoint(args(1),
+          graft.sources.cole.ColeIO.driverConf())
+        println(s"checkpointed ${args(1)} at v$v")
+      case "evolve-bucket" =>
+        val conf = graft.sources.cole.ColeIO.driverConf()
+        val (n, cols) = graft.sources.cole.ColeBucket.parseOption(args(2))
+        val synth = if (args.length > 3) Some(args(3)) else None
+        val eras = synth match {
+          case Some(s) => graft.sources.cole.ColeBucket.evolve(
+            args(1), conf, n, Seq(s), Some(s -> cols))
+          case None => graft.sources.cole.ColeBucket.evolve(
+            args(1), conf, n, cols)
+        }
+        println(eras.map(e => s"${e.n}:${e.cols.mkString(",")}")
+          .mkString(" -> "))
+      case "rebucket" =>
+        val st = graft.sources.cole.ColeRebucket.rebucket(spark, args(1))
+        println(s"rebucketed ${st.filesRewritten} old-era file(s) into " +
+          s"${st.filesOut} (${st.rows} rows); ${st.filesKept} already active")
       case other =>
         System.err.println(s"Unknown command: $other"); usage(); sys.exit(2)
     } finally spark.stop()
@@ -139,7 +159,14 @@ object Cli {
       |                                  vector-debt or small-file threshold
       |  materialize-cdf <table> [version]
       |                                  persist change-data images of
-      |                                  copy-on-write commits (all, or one)""".stripMargin)
+      |                                  copy-on-write commits (all, or one)
+      |  checkpoint <table>              fold the version log (cold reads
+      |                                  then cost checkpoint + tail)
+      |  evolve-bucket <table> <n:cols> [synthCol]
+      |                                  re-declare the hash layout, zero
+      |                                  rewrites (new era)
+      |  rebucket <table>                rewrite old bucket eras into the
+      |                                  active layout (SPJ returns)""".stripMargin)
 
   /** Synthetic table with the reference generator's shape (reference:
     * src/cli.cpp createSyntheticSchema/generateSyntheticData): id INT64

@@ -215,6 +215,54 @@ class ColeBucketEvolveSpec extends AnyFunSuite {
     assert(opened < allFiles, "composite lookups must bucket-prune per era")
   }
 
+  test("temporal + bucket evolution compose: per-era prunes, rebucket keeps the unit layout") {
+    val s = spark
+    import s.implicits._
+    val t = s"$warehouse/db/tb"
+    val day = 86400L * 1000000L // micros
+    def rows(lo: Int, hi: Int) = (lo until hi).map { i =>
+      (new java.sql.Timestamp((i % 8) * day / 1000L + 1000L), i.toLong, i.toLong % 100)
+    }.toDF("ts", "k", "v")
+    rows(0, 8000).write.format("cole").mode("overwrite")
+      .option("partitionByTemporal", "days:ts")
+      .option("bucketBy", "4:k").save(t)
+    s.sql("CALL bev.system.evolve_bucket('db.tb', '8:k')").collect()
+    rows(8000, 12000).write.format("cole").mode("append").save(t)
+    val conf = ColeIO.driverConf()
+    val full = s.read.format("cole").load(t)
+    assert(full.count() === 12000L)
+    // both prunes compose across the era boundary: a (day, key) point
+    // read opens only the pinned day's pinned buckets — one per era
+    val k = 4321L // day ordinal (4321 % 8) = 1
+    val dayOrd = "1"
+    val infos = ColeMetaCache.infos(t, conf)
+    val expectOpen = infos.count { i =>
+      val pv = i.partValues.toMap
+      pv.get("_t_days_ts").contains(dayOrd) && (
+        pv.get(ColeBucket.DirKey).contains(ColeBucket.bucketOf(k, 4).toString) ||
+        pv.get(ColeBucket.dirKeyOf(1)).contains(ColeBucket.bucketOf(k, 8).toString))
+    }
+    val before = ColeIO.opens.get()
+    assert(full.filter(col("k") === k &&
+      col("ts") === new java.sql.Timestamp((k % 8) * day / 1000L + 1000L))
+      .count() === 1L)
+    val opened = ColeIO.opens.get() - before
+    assert(opened <= expectOpen,
+      s"composed point read opened $opened files, pruning allows $expectOpen")
+    assert(expectOpen < infos.size)
+    // rebucket rewrites old-era files INTO the composed layout: unit
+    // directories preserved (the writer re-derives from the stored ts)
+    val st = s.sql("CALL bev.system.rebucket('db.tb')").head
+    assert(st.getLong(0) > 0L)
+    val after = ColeMetaCache.infos(t, conf)
+    assert(after.forall(_.partValues.toMap.contains(ColeBucket.dirKeyOf(1))))
+    assert(after.forall(_.partValues.toMap.contains("_t_days_ts")),
+      "rebucket must keep the temporal unit layout")
+    assert(s.read.format("cole").load(t).count() === 12000L)
+    assert(s.read.format("cole").load(t)
+      .filter(col("k") === k).head.getLong(2) === k % 100)
+  }
+
   test("loud rejections: unbucketed table, identical re-declaration") {
     val s = spark
     import s.implicits._
