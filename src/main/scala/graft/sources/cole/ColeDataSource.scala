@@ -3144,9 +3144,23 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
           deletedOf = rg => dvOf.get(file).map(_(rg)).orNull)
     }
     // typed partition keys make every InputPartition key-groupable —
-    // outputPartitioning() reports the clustering these keys realize
+    // outputPartitioning() reports the clustering these keys realize.
+    // All-or-none per planning: the STREAMING source shares one scan
+    // across a long-lived query, and a layout evolution mid-stream
+    // (evolve_bucket / evolve_temporal) can land files whose directories
+    // no longer carry the schema this scan first inferred — those
+    // plannings withdraw the key claim for the batch instead of
+    // crashing on a missing key (batch scans are constructed fresh per
+    // query and never see the mismatch)
+    val keyable = partKeySchema.nonEmpty && {
+      val keys = reportedKeySchema.map(_._1)
+      packed.forall { p =>
+        val m = p.partValues.toMap
+        keys.forall(m.contains)
+      }
+    }
     val parts =
-      if (partKeySchema.isEmpty) packed
+      if (!keyable) packed
       else packed.map(p => p.copy(partKey = partKeyRow(p.partValues)))
     // a pushed LIMIT with no row-dropping predicates can stop planning
     // once enough rows are covered, truncated at row-group granularity
