@@ -493,8 +493,20 @@ class ColeCdfMicroBatchStream(dataSchema: StructType, path: String,
     // resolveAdds looks at LATER removals only, so a cold restart of a
     // long-lived table's stream never re-parses the checkpointed prefix
     val recs = ColeVersions.recordsFrom(path, conf, s)
-    recs.filter(r => r.version > s && r.version <= e)
-      .flatMap(r => commitPartitions(recs, r)).toArray
+    val inRange = recs.filter(r => r.version > s && r.version <= e)
+    // dense-sequence continuity (r13): a stream restarted from a
+    // checkpoint BELOW the log's prune floor (expire_versions prune_log
+    // while it was down, no consumer watermark registered) must refuse
+    // loudly — serving only the surviving records would silently skip
+    // the pruned commits' rows. initialOffset's horizon guard covers
+    // fresh starts; this covers checkpoint resumes.
+    require(inRange.size == e - s,
+      s"change feed commits ($s, $e] of $path are no longer all present " +
+        s"(${inRange.size} of ${e - s} records; log pruned/expired while " +
+        "the stream was down — register a consumerId to pin retention): " +
+        "resynchronize from a snapshot (versionAsOf) and restart with " +
+        "startingVersion above the expiry horizon")
+    inRange.flatMap(r => commitPartitions(recs, r)).toArray
   }
 
   /** Plan one file set through the ordinary scan machinery (packed

@@ -166,6 +166,57 @@ class ColeCheckpointSpec extends AnyFunSuite {
       e3.getMessage.contains("does not exist"), s"got: ${e3.getMessage}")
   }
 
+  test("CDF stream resumed from a checkpoint below the prune floor refuses loudly (never a silent skip)") {
+    val s = spark
+    import s.implicits._
+    val wh = Files.createTempDirectory("cole_ckpt_cdf").toString
+    s.conf.set("spark.sql.catalog.ckcdf", "graft.sources.cole.ColeCatalog")
+    s.conf.set("spark.sql.catalog.ckcdf.warehouse", wh)
+    val t = s"$wh/db/t"
+    val conf = ColeIO.driverConf()
+    (0 until 100).map(i => (i.toLong, 0L)).toDF("k", "v").coalesce(1)
+      .write.format("cole").mode("overwrite").save(t)
+    ColeVersions.enable(t, conf) // v1
+    (100 until 200).map(i => (i.toLong, 1L)).toDF("k", "v").coalesce(1)
+      .write.format("cole").mode("append").save(t) // v2
+    // stream the feed to v2, checkpointed; no consumerId — retention is
+    // NOT pinned, exactly the misconfiguration the guard protects
+    val cp = Files.createTempDirectory("cole_ckpt_cdf_cp").toString
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    def run(): Unit = {
+      val q = s.readStream.format("cole").option("changeFeed", "true")
+        .load(t)
+        .writeStream.foreachBatch {
+          (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            seen.addAndGet(b.count()); ()
+        }
+        .option("checkpointLocation", cp)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(seen.get() === 200L)
+    // while the stream is DOWN: more commits, then expire + prune the
+    // log below a floor ABOVE the stream's checkpointed offset
+    (200 until 300).map(i => (i.toLong, 2L)).toDF("k", "v").coalesce(1)
+      .write.format("cole").mode("append").save(t) // v3
+    (300 until 400).map(i => (i.toLong, 3L)).toDF("k", "v").coalesce(1)
+      .write.format("cole").mode("append").save(t) // v4
+    Thread.sleep(50)
+    ColeVersions.vacuumRetired(t, conf, 0L, keepLast = 1, pruneLog = true)
+    assert(ColeVersions.expiryHorizon(t, conf) === 3L)
+    assert(ColeVersions.records(t, conf).map(_.version) === Seq(4L))
+    // the resume must refuse loudly — commit v3's rows are gone from the
+    // log; serving only v4 would silently skip them
+    val e = intercept[Exception] { run() }
+    def chain(x: Throwable): Seq[String] =
+      Iterator.iterate(x)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(m => m.contains("no longer all present")),
+      s"expected the loud continuity refusal, got: ${e.getMessage}")
+    assert(seen.get() === 200L, "no partial batch may have been served")
+  }
+
   test("checkpoint carries the dv map: vector DELETE state survives a pruned prefix") {
     val s = spark
     import s.implicits._
