@@ -1107,7 +1107,11 @@ object ColeVersions {
         fs.delete(st.getPath, true)
     }
     if (pruneLog) {
-      val floor = expiryHorizon(table, conf)
+      // the newest record must ALWAYS survive: it anchors maxSeq, and
+      // pruning it would let the commit CAS re-mint already-used
+      // sequence numbers (version aliasing against the checkpoint)
+      val floor = math.min(expiryHorizon(table, conf),
+        maxSeq(fs, table) - 1)
       if (floor > 0) {
         // the checkpoint AT the floor is the fold base that replaces the
         // pruned prefix — written (from the still-present records) BEFORE
@@ -1117,6 +1121,12 @@ object ColeVersions {
         fs.listStatus(vdir(table)).foreach { st =>
           seqOf(st.getPath.getName).foreach { seq =>
             if (seq <= floor) fs.delete(st.getPath, false)
+          }
+          // checkpoints strictly below the floor are dead weight too —
+          // every version they could base is unreconstructible; the
+          // floor checkpoint itself is the fold anchor and stays
+          ckptSeqOf(st.getPath.getName).foreach { seq =>
+            if (seq < floor) fs.delete(st.getPath, false)
           }
         }
         invalidateCache(fs, table)

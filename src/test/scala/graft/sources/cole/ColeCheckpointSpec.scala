@@ -164,6 +164,18 @@ class ColeCheckpointSpec extends AnyFunSuite {
     }
     assert(e3.getMessage.contains("not reconstructible") ||
       e3.getMessage.contains("does not exist"), s"got: ${e3.getMessage}")
+    // an aggressive prune (keep_last 0, everything expired) must still
+    // keep the NEWEST record: it anchors the commit CAS — pruning it
+    // would re-mint used sequence numbers against the checkpoint
+    Thread.sleep(50)
+    s.sql("CALL ckpt.system.expire_versions('db.t', 0, 0, true)").collect()
+    val recsLeft = ColeVersions.records(t, conf).map(_.version)
+    assert(recsLeft.nonEmpty && recsLeft.max === 7L,
+      s"newest record must survive any prune, got $recsLeft")
+    (600 until 650).map(i => (i.toLong, 9L)).toDF("k", "v").coalesce(1)
+      .write.format("cole").mode("append").save(t) // v8, NOT v1
+    assert(ColeVersions.currentVersion(t, conf) === 8L)
+    assert(s.table("ckpt.db.t").count() === 500L)
   }
 
   test("CDF stream resumed from a checkpoint below the prune floor refuses loudly (never a silent skip)") {
