@@ -40,6 +40,14 @@ import org.apache.spark.sql.SparkSession
   */
 object ColeRebucket {
 
+  /** Test seam: runs with the input claims HELD, after the drift check
+    * and before the rewrite — interleaving specs launch concurrent DML
+    * here to pin the park→conflict→auto-retry composition. No-op in
+    * production.
+    */
+  val afterClaimsHook =
+    new java.util.concurrent.atomic.AtomicReference[Runnable](() => ())
+
   final case class Stats(filesRewritten: Int, filesKept: Int,
       filesOut: Int, rows: Long)
 
@@ -72,6 +80,7 @@ object ColeRebucket {
         } catch { case _: java.io.FileNotFoundException => true }
       }
       if (drifted) return Stats(0, kept, 0, 0L) // next run picks it up
+      afterClaimsHook.get().run()
       val stamp = java.lang.Long.toHexString(System.nanoTime())
       val scratch = new HPath(root, s".rebucket-$stamp")
       fs.mkdirs(scratch)

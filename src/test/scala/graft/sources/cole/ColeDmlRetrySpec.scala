@@ -136,6 +136,44 @@ class ColeDmlRetrySpec extends AnyFunSuite {
     }
   }
 
+  test("UPDATE racing a rebucket parks on its claims, then auto-retries against the rewritten layout") {
+    val s = spark
+    import s.implicits._
+    val t = s"$warehouse/db/rbk"
+    (0 until 2000).map(i => (i.toLong, 0L)).toDF("id", "v")
+      .write.format("cole").mode("overwrite").option("bucketBy", "2:id").save(t)
+    ColeBucket.evolve(t, ColeIO.driverConf(), 4, Seq("id"))
+    // the rebucket holds claims on every era-0 file for its whole
+    // read→swap window; the UPDATE launched inside that window must
+    // park at its commit, lose the (len,mtime) race once the swap
+    // lands, and RE-PLAN against the rewritten files — landing with no
+    // user action and exact values
+    val updateDone = new java.util.concurrent.atomic.AtomicReference[Option[Throwable]](None)
+    val updater = new Thread(() => {
+      org.apache.spark.sql.SparkSession.setActiveSession(s)
+      try s.sql("UPDATE retry.db.rbk SET v = v + 7 WHERE id < 500")
+      catch { case e: Throwable => updateDone.set(Some(e)) }
+    })
+    ColeRebucket.afterClaimsHook.set(() => {
+      updater.start()
+      Thread.sleep(800) // let the UPDATE plan + rewrite + park at commit
+    })
+    try {
+      val st = ColeRebucket.rebucket(s, t)
+      assert(st.filesRewritten > 0)
+    } finally ColeRebucket.afterClaimsHook.set(() => ())
+    updater.join(120000)
+    assert(!updater.isAlive, "UPDATE never completed")
+    assert(updateDone.get().isEmpty,
+      s"UPDATE must auto-retry after the rebucket: ${updateDone.get().map(_.getMessage)}")
+    assert(s.table("retry.db.rbk").filter(col("v") === 7L).count() === 500L)
+    assert(s.table("retry.db.rbk").filter(col("v") === 0L).count() === 1500L)
+    // the rewrite and the update composed: every file is active-era
+    val conf = ColeIO.driverConf()
+    assert(ColeMetaCache.infos(t, conf)
+      .forall(_.partValues.toMap.contains(ColeBucket.dirKeyOf(1))))
+  }
+
   test("maxRetries=0 restores the loud reject; a genuinely persistent conflict is never spun on") {
     val s = spark
     import s.implicits._
