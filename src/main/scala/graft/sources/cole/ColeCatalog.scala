@@ -303,25 +303,38 @@ object ColeBucket {
       require(cols == Seq(synth),
         "a synthetic-key era buckets on the synth column alone")
     }
-    val last = history.last
-    require((last.n, last.cols, last.derive) != ((n, cols, derive)),
-      s"table at $table already routes by this exact layout")
     val (fs, p) = ColeIO.resolve(specPath(table), conf)
-    val in = fs.open(p)
-    val txt = try new String(in.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-    val appended = (if (txt.endsWith("\n")) txt else txt + "\n") +
-      s"evolve:$n:${cols.mkString(",")}\n" +
-      derive.fold("") { case (synth, srcs) =>
-        s"derive:$synth=${srcs.mkString(",")}\n" }
-    val tmp = new org.apache.hadoop.fs.Path(table, s".$SpecFile.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(appended.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    if (!fs.rename(tmp, p)) {
-      fs.delete(p, false)
-      require(fs.rename(tmp, p), s"bucket spec write failed at $table")
-    }
+    // the append is a read-modify-write of the sidecar: serialize
+    // concurrent evolvers through the claims protocol (cross-process,
+    // same seam as DML) — two unserialized evolves would each append to
+    // the SAME base text and the loser's era would silently vanish
+    val claims = ColeClaims.acquire(fs, conf, table, Seq(SpecFile),
+      "evolve-bucket")
+    val appended = try {
+      val current = readHistory(table, conf) // re-read UNDER the claim
+      val last = current.last
+      require((last.n, last.cols, last.derive) != ((n, cols, derive)),
+        s"table at $table already routes by this exact layout")
+      val in = fs.open(p)
+      val txt = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      val body = (if (txt.endsWith("\n")) txt else txt + "\n") +
+        s"evolve:$n:${cols.mkString(",")}\n" +
+        derive.fold("") { case (synth, srcs) =>
+          s"derive:$synth=${srcs.mkString(",")}\n" }
+      // unique temp name: concurrent writers can never clobber each
+      // other's staging even outside the claim (belt)
+      val tmp = new org.apache.hadoop.fs.Path(table,
+        s".$SpecFile.tmp-${java.lang.Long.toHexString(System.nanoTime())}")
+      val out = fs.create(tmp, true)
+      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (!fs.rename(tmp, p)) {
+        fs.delete(p, false)
+        require(fs.rename(tmp, p), s"bucket spec write failed at $table")
+      }
+      body
+    } finally claims.release()
     if (ColeVersions.enabled(table, conf))
       ColeVersions.commitIfEnabled(table, conf, "evolve-bucket",
         Seq.empty, Seq.empty)

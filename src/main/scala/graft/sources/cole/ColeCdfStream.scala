@@ -499,8 +499,11 @@ class ColeCdfMicroBatchStream(dataSchema: StructType, path: String,
     // while it was down, no consumer watermark registered) must refuse
     // loudly — serving only the surviving records would silently skip
     // the pruned commits' rows. initialOffset's horizon guard covers
-    // fresh starts; this covers checkpoint resumes.
-    require(inRange.size == e - s,
+    // fresh starts; this covers checkpoint resumes. Quarantined torn
+    // records count as present-but-empty (their deltas never committed).
+    val torn = ColeVersions.quarantinedSeqs(path, conf)
+      .count(q => q > s && q <= e)
+    require(inRange.size + torn == e - s,
       s"change feed commits ($s, $e] of $path are no longer all present " +
         s"(${inRange.size} of ${e - s} records; log pruned/expired while " +
         "the stream was down — register a consumerId to pin retention): " +

@@ -108,14 +108,30 @@ object ColeClaims {
       else Some(heartbeats.scheduleWithFixedDelay(() => touch(),
         heartbeatMs, heartbeatMs, TimeUnit.MILLISECONDS))
     private def touch(): Unit = if (!released) markers.foreach { p =>
-      try fs.setTimes(p, System.currentTimeMillis(), -1)
-      catch { case _: Exception => () }
+      try {
+        // setTimes is the cheap beat — but Hadoop's FileSystem default
+        // (and S3A) implements it as a NO-OP. VERIFY the mtime actually
+        // advanced; where it did not, beat through an overwritten `.hb`
+        // sidecar instead — its PUT time carries liveness, and
+        // [[liveMtime]] folds it into every staleness observation. The
+        // sidecar has exactly one writer (marker exclusivity).
+        val before = fs.getFileStatus(p).getModificationTime
+        val now = System.currentTimeMillis()
+        try fs.setTimes(p, now, -1) catch { case _: Exception => () }
+        val after = fs.getFileStatus(p).getModificationTime
+        if (after <= before && now - before >= heartbeatMs) {
+          val out = fs.create(hbPath(p), true)
+          try out.write(now.toString.getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+        }
+      } catch { case _: Exception => () }
     }
     def release(): Unit = {
       released = true
       beat.foreach(_.cancel(false))
       markers.foreach { p =>
         try fs.delete(p, false) catch { case _: Exception => () }
+        try fs.delete(hbPath(p), false) catch { case _: Exception => () }
       }
     }
     /** TEST SEAM: stop heartbeating but leave the markers behind —
@@ -130,6 +146,20 @@ object ColeClaims {
 
   private def markerOf(table: String, rel: String): HPath =
     new HPath(new HPath(table, DirName), rel + ".claim")
+
+  private def hbPath(p: HPath): HPath =
+    new HPath(p.getParent, p.getName + ".hb")
+
+  /** Liveness mtime of a marker: its own mtime, or its heartbeat
+    * sidecar's when newer (stores whose setTimes is a no-op — S3A —
+    * beat through the sidecar instead). Throws FileNotFoundException
+    * when the MARKER is gone, like a bare stat.
+    */
+  private def liveMtime(fs: FileSystem, p: HPath): Long = {
+    val base = fs.getFileStatus(p).getModificationTime
+    try math.max(base, fs.getFileStatus(hbPath(p)).getModificationTime)
+    catch { case _: java.io.FileNotFoundException => base }
+  }
 
   /** Atomic create-if-absent through the commit-primitives seam: true =
     * this committer owns the marker. Local FS with default primitives
@@ -203,14 +233,15 @@ object ColeClaims {
         // file we observed, 2 = live (re-created/heartbeated since)
         val verdict =
           try {
-            val st = fs.getFileStatus(p)
-            if (st.getModificationTime == observedMtime &&
-              System.currentTimeMillis() - st.getModificationTime > ttl) 1
+            val mt = liveMtime(fs, p)
+            if (mt == observedMtime &&
+              System.currentTimeMillis() - mt > ttl) 1
             else 2
           } catch { case _: java.io.FileNotFoundException => 0 }
         if (verdict == 1) {
           staleBreaks.incrementAndGet()
           try fs.delete(p, false) catch { case _: Exception => () }
+          try fs.delete(hbPath(p), false) catch { case _: Exception => () }
         }
         verdict != 2
       } finally {
@@ -256,7 +287,7 @@ object ColeClaims {
         if (tryCreate(fs, conf, p, body)) held += p
         else {
           val observed: Option[Long] =
-            try Some(fs.getFileStatus(p).getModificationTime)
+            try Some(liveMtime(fs, p))
             catch { case _: java.io.FileNotFoundException => None }
           observed match {
             case None => // holder released between our create and stat

@@ -465,21 +465,26 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
     val snapshot: Option[ColeSnapshot] = ColeUtil.timeTravelVersion(options, path)
       .orElse(props.get("versionAsOf").map(_.toLong))
       .map { v =>
-        // resolve the bucket-layout sidecar AS OF the pinned version
-        // (recorded in the commit log), so the snapshot read keeps
-        // bucket pruning, SPJ reporting, and aggregate pushdown
-        val spec = ColeVersions.specAsOf(path, conf, v)
-        ColeSnapshot(ColeVersions.snapshotInfos(path, conf, v),
-          spec.map(t => ColeBucket.parseSpecContent(t, s"$path@v$v")),
-          spec.flatMap(t => ColeBucket.parseDeriveContent(t, s"$path@v$v")),
-          bucketHistory = spec.map(t =>
+        // ONE fold serves the whole snapshot build (r13): file set,
+        // pinned-dv map, and the bucket/temporal sidecar snapshots —
+        // the pre-bundle code re-folded (and re-listed the version
+        // directory) four to five times per time-travel planning
+        val st = ColeVersions.snapshotState(path, conf, v)
+        ColeSnapshot(
+          ColeVersions.infosFor(path, conf, st.files, s"version $v"),
+          // the bucket-layout sidecar AS OF the pinned version keeps
+          // bucket pruning, SPJ reporting, and aggregate pushdown
+          st.spec.map(t => ColeBucket.parseSpecContent(t, s"$path@v$v")),
+          st.spec.flatMap(t => ColeBucket.parseDeriveContent(t, s"$path@v$v")),
+          bucketHistory = st.spec.map(t =>
             ColeBucket.parseHistoryContent(t, s"$path@v$v")).getOrElse(Nil),
           // vector-mode composition (r10): the version's PINNED deletion
           // vectors, applied by the scans in place of the live sidecars
-          ColeVersions.snapshotDvs(path, conf, v),
+          ColeVersions.resolveSnapshotDvs(path, conf, st),
           // temporal spec HISTORY as of the version (r12 evolution); a
           // pre-r12 record falls back to the live (superset) history
-          temporalSpecs = ColeVersions.temporalSpecsAsOf(path, conf, v))
+          temporalSpecs = st.tspec.map(
+            ColeTemporal.parseSpecContent(_, s"$path@v$v")))
       }
       .orElse(Option(options.get(ColeChangeFeed.FeedFilesOption)).map { enc =>
         // exact-file-set read minted by ColeChangeFeed: one commit's

@@ -73,7 +73,7 @@ object ColeRebucket {
     val claims = ColeClaims.acquire(fs, conf, table,
       old.map(i => ColeVersions.relOf(fs, table, i.path)), "rebucket")
     try {
-      val drifted = old.exists { i =>
+      def drifted = old.exists { i =>
         try {
           val st = fs.getFileStatus(new HPath(i.path))
           st.getLen != i.len || st.getModificationTime != i.mtime
@@ -97,9 +97,25 @@ object ColeRebucket {
       // directory key), so per-directory reads cover exactly the old
       // rows; schemas may differ per era under column evolution — union
       // by name, missing columns null (the same semantics a whole-table
-      // read serves)
+      // read serves). Leaf reads bypass the TABLE-ROOT rename/drop
+      // sidecar (it lives beside the root, not the leaf), so apply it
+      // here: RENAMED columns surface under their stored names in
+      // pre-rename files — unify to the current name or the union
+      // null-splits the column; DROPPED columns must not resurrect.
+      val renames = ColeCatalog.renames(table, conf) // current -> stored
+      val dropped = ColeCatalog.droppedColumns(table, conf).toSet
+      def normalize(df0: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame = {
+        var df = df0
+        dropped.foreach(c => if (df.columns.contains(c)) df = df.drop(c))
+        renames.foreach { case (cur, stored) =>
+          if (df.columns.contains(stored) && !df.columns.contains(cur))
+            df = df.withColumnRenamed(stored, cur)
+        }
+        df
+      }
       val dirs = old.map(i => new HPath(i.path).getParent.toString).distinct
-      val df = dirs.map(spark.read.format("cole").load(_))
+      val df = dirs.map(d => normalize(spark.read.format("cole").load(d)))
         .reduce(_.unionByName(_, allowMissingColumns = true))
       val srcVersion = old.map(_.meta.version).max
       df.write.format("cole").mode("append")
@@ -144,6 +160,15 @@ object ColeRebucket {
         if (slash < 0) s"rebucket-$stamp-$rel"
         else rel.substring(0, slash + 1) + s"rebucket-$stamp-" +
           rel.substring(slash + 1)
+      }
+      // belt under the claim heartbeat (same discipline as ColeCompact):
+      // the rewrite window is data-proportional — re-stat the inputs
+      // IMMEDIATELY before the swap intent commits and abort on drift,
+      // so even a wrongly broken claim can never let the swap resurrect
+      // a concurrent DML's rows
+      if (drifted) {
+        fs.delete(scratch, true)
+        return Stats(0, kept, 0, 0L)
       }
       val oldRels = old.map(i => ColeVersions.relOf(fs, table, i.path))
       // swap intent at the TABLE ROOT (outputs span directories; the

@@ -90,7 +90,8 @@ object ColeTemporal {
   private def writeSpecs(table: String, conf: Configuration,
       specs: Seq[Spec]): Unit = {
     val (fs, p) = ColeIO.resolve(s"$table/$SpecFile", conf)
-    val tmp = new org.apache.hadoop.fs.Path(table, s".$SpecFile.tmp")
+    val tmp = new org.apache.hadoop.fs.Path(table,
+      s".$SpecFile.tmp-${java.lang.Long.toHexString(System.nanoTime())}")
     val out = fs.create(tmp, true)
     try out.write(("1\n" + specs.map(s => s"${s.fn}:${s.src}\n").mkString)
       .getBytes(StandardCharsets.UTF_8))
@@ -142,14 +143,23 @@ object ColeTemporal {
     * request).
     */
   def evolve(table: String, conf: Configuration, next: Spec): Seq[Spec] = {
-    val history = readSpecs(table, conf)
-    require(history.nonEmpty,
-      s"$table has no temporal layout to evolve — declare one with " +
-        s"$OptionKey (or PARTITIONED BY) first")
-    require(history.last != next,
-      s"table at $table already routes by ${next.fn}:${next.src}")
-    val evolved = history :+ next
-    writeSpecs(table, conf, evolved)
+    val (fs, _) = ColeIO.resolve(table, conf)
+    // serialize concurrent evolvers (r13, same seam as DML claims): the
+    // append is a read-modify-write of the sidecar, and two unserialized
+    // evolves would silently drop one era
+    val claims = ColeClaims.acquire(fs, conf, table, Seq(SpecFile),
+      "evolve-temporal")
+    val evolved = try {
+      val history = readSpecs(table, conf) // re-read UNDER the claim
+      require(history.nonEmpty,
+        s"$table has no temporal layout to evolve — declare one with " +
+          s"$OptionKey (or PARTITIONED BY) first")
+      require(history.last != next,
+        s"table at $table already routes by ${next.fn}:${next.src}")
+      val ev = history :+ next
+      writeSpecs(table, conf, ev)
+      ev
+    } finally claims.release()
     if (ColeVersions.enabled(table, conf))
       ColeVersions.commitIfEnabled(table, conf, "evolve-temporal",
         Seq.empty, Seq.empty)

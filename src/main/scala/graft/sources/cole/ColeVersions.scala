@@ -166,28 +166,8 @@ object ColeVersions {
     * fails loudly — partial row resurrection is never an option.
     */
   def snapshotDvs(table: String, conf: Configuration,
-      version: Long): Map[String, Array[Int]] = {
-    val dv = dvAsOf(table, conf, version)
-    if (dv.isEmpty) return Map.empty
-    val phys = snapshotAt(table, conf, version).toMap
-    val (fs, _) = ColeIO.resolve(table, conf)
-    dv.flatMap { case (rel, dvRel) =>
-      phys.get(rel).map { p =>
-        val pin = dvPath(table, dvRel)
-        if (!fs.exists(pin)) throw new IllegalStateException(
-          s"pinned deletion vector $dvRel of $table/$rel is gone " +
-            "(vacuumed?): version " + version + " is no longer " +
-            "reconstructible")
-        val (dLen, dMtime, ords) = ColeDv.parsePinned(fs, pin)
-        val st = fs.getFileStatus(new HPath(p))
-        require(st.getLen == dLen && st.getModificationTime == dMtime,
-          s"pinned deletion vector $dvRel describes a different " +
-            s"incarnation of $rel (recorded len=$dLen mtime=$dMtime, " +
-            s"resolved len=${st.getLen} mtime=${st.getModificationTime})")
-        fs.makeQualified(new HPath(p)).toString -> ords
-      }
-    }
-  }
+      version: Long): Map[String, Array[Int]] =
+    resolveSnapshotDvs(table, conf, snapshotState(table, conf, version))
 
   /** Table-relative path of an absolute file path (partition
     * subdirectories included).
@@ -496,11 +476,26 @@ object ColeVersions {
   private final case class Folded(live: Seq[String],
       dvs: Map[String, String], spec: Option[String], tspec: Option[String])
 
+  /** Sequence numbers consumed by QUARANTINED torn records
+    * (`v<seq>.torn`, [[repairTorn]]): their deltas never went durable
+    * (the record lacked its terminal line), so folds and feed
+    * continuity treat them as present-but-EMPTY — a repaired table must
+    * keep time-traveling, checkpointing and streaming across the gap.
+    */
+  def quarantinedSeqs(table: String, conf: Configuration): Set[Long] = {
+    val (fs, _) = ColeIO.resolve(table, conf)
+    if (!fs.exists(vdir(table))) return Set.empty
+    fs.listStatus(vdir(table)).iterator.flatMap { s =>
+      val n = s.getPath.getName
+      if (n.endsWith(".torn")) seqOf(n.stripSuffix(".torn")) else None
+    }.toSet
+  }
+
   /** Fold the state at `version` from the best checkpoint base plus the
     * record tail. Sequence numbers are DENSE (the CAS allocates
-    * max+1), so `tail.size == version - base` proves the fold read every
-    * delta; anything else — a pruned record, an in-flight tail, a
-    * version that never existed — fails loudly here.
+    * max+1), so `tail + quarantined-torn == version - base` proves the
+    * fold read every durable delta; anything else — a pruned record, an
+    * in-flight tail, a version that never existed — fails loudly here.
     */
   private def foldAt(table: String, conf: Configuration,
       version: Long): Folded = {
@@ -508,11 +503,13 @@ object ColeVersions {
     val base = baseFor(table, conf, version)
     val baseAsOf = base.map(_.asOf).getOrElse(0L)
     val tail = recordsFrom(table, conf, baseAsOf).filter(_.version <= version)
-    require(baseAsOf + tail.size == version,
+    val torn = quarantinedSeqs(table, conf)
+      .count(q => q > baseAsOf && q <= version)
+    require(baseAsOf + tail.size + torn == version,
       s"version $version of $table is not reconstructible: the log holds " +
-        s"${tail.size} records above fold base v$baseAsOf, expected " +
-        s"${version - baseAsOf} (pruned below a checkpoint, or the " +
-        "version never existed / is still in flight)")
+        s"${tail.size} records (+$torn quarantined) above fold base " +
+        s"v$baseAsOf, expected ${version - baseAsOf} (pruned below a " +
+        "checkpoint, or the version never existed / is still in flight)")
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     val dvs = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var spec = base.flatMap(_.spec)
@@ -709,26 +706,69 @@ object ColeVersions {
     * FIRST removal after `version` (an earlier removal of the same name
     * was a previous incarnation).
     */
-  def snapshotAt(table: String, conf: Configuration,
-      version: Long): Seq[(String, String)] = {
+  /** Everything a time-travel snapshot build needs, from ONE fold: the
+    * (rel, physical-today) file set, the effective pinned-dv map, and
+    * the bucket/temporal sidecar snapshots — the scan builder previously
+    * recomputed the same fold four to five times (specAsOf +
+    * temporalSpecsAsOf + snapshotAt + dvAsOf + snapshotAt again), each
+    * re-listing the version directory; on object stores those listings
+    * are network round trips on the planning path.
+    */
+  final case class SnapshotState(files: Seq[(String, String)],
+      dvRels: Map[String, String], spec: Option[String],
+      tspec: Option[String])
+
+  def snapshotState(table: String, conf: Configuration,
+      version: Long): SnapshotState = {
     require(version >= 1, s"version $version does not exist on $table")
     // fold base (checkpoint) + tail up to `version`; the records ABOVE
     // `version` (needed only for retired-path resolution) are a bounded
     // recordsFrom — so planning the CURRENT state of a checkpointed
     // table reads O(tail since checkpoint) records, not O(history)
-    val live = foldAt(table, conf, version).live
+    val folded = foldAt(table, conf, version)
     val laterRemovals: Map[String, String] =
       recordsFrom(table, conf, version)
         .flatMap(r => r.removes.map { case (rel, t) => (rel, t) })
         .groupBy(_._1).view.mapValues(_.head._2).toMap // first removal wins
     val (fs, _) = ColeIO.resolve(table, conf)
-    live.map { rel =>
+    val files = folded.live.map { rel =>
       val phys = laterRemovals.get(rel) match {
         case Some(retiredRel) =>
           fs.makeQualified(new HPath(vdir(table), retiredRel)).toString
         case None => fs.makeQualified(new HPath(table, rel)).toString
       }
       (rel, phys)
+    }
+    SnapshotState(files, folded.dvs, folded.spec, folded.tspec)
+  }
+
+  def snapshotAt(table: String, conf: Configuration,
+      version: Long): Seq[(String, String)] =
+    snapshotState(table, conf, version).files
+
+  /** Pinned deletion vectors resolved over an already-built
+    * [[SnapshotState]] — the shared verification body of
+    * [[snapshotDvs]], foldless for callers that hold the state.
+    */
+  def resolveSnapshotDvs(table: String, conf: Configuration,
+      st: SnapshotState): Map[String, Array[Int]] = {
+    if (st.dvRels.isEmpty) return Map.empty
+    val phys = st.files.toMap
+    val (fs, _) = ColeIO.resolve(table, conf)
+    st.dvRels.flatMap { case (rel, dvRel) =>
+      phys.get(rel).map { p =>
+        val pin = dvPath(table, dvRel)
+        if (!fs.exists(pin)) throw new IllegalStateException(
+          s"pinned deletion vector $dvRel of $table/$rel is gone " +
+            "(vacuumed?): the snapshot is no longer reconstructible")
+        val (dLen, dMtime, ords) = ColeDv.parsePinned(fs, pin)
+        val stt = fs.getFileStatus(new HPath(p))
+        require(stt.getLen == dLen && stt.getModificationTime == dMtime,
+          s"pinned deletion vector $dvRel describes a different " +
+            s"incarnation of $rel (recorded len=$dLen mtime=$dMtime, " +
+            s"resolved len=${stt.getLen} mtime=${stt.getModificationTime})")
+        fs.makeQualified(new HPath(p)).toString -> ords
+      }
     }
   }
 
@@ -791,12 +831,17 @@ object ColeVersions {
     val inRange = recs.filter(r =>
       r.version > fromExclusive && r.version <= toInclusive)
     // dense-sequence continuity: a range whose interior records were
-    // pruned (expire_versions prune_log) must refuse loudly, never skip
-    require(inRange.size == toInclusive - fromExclusive,
+    // pruned (expire_versions prune_log) must refuse loudly, never skip.
+    // Quarantined torn records count as present-but-empty: their deltas
+    // never went durable, so a feed without them is exact.
+    val torn = quarantinedSeqs(table, conf)
+      .count(q => q > fromExclusive && q <= toInclusive)
+    require(inRange.size + torn == toInclusive - fromExclusive,
       s"change feed range ($fromExclusive, $toInclusive] of $table holds " +
-        s"${inRange.size} records, expected ${toInclusive - fromExclusive}" +
-        ": part of the range was pruned below a checkpoint and is no " +
-        "longer reconstructible — resynchronize from a snapshot")
+        s"${inRange.size} records (+$torn quarantined), expected " +
+        s"${toInclusive - fromExclusive}: part of the range was pruned " +
+        "below a checkpoint and is no longer reconstructible — " +
+        "resynchronize from a snapshot")
     // a commit that REMOVED rows cannot be served as an insert feed —
     // guard by the record's shape (non-empty removes), not an op
     // allowlist: overwrite, truncate, rollback and any future removing
@@ -1119,9 +1164,15 @@ object ColeVersions {
         // that still folds from either base
         writeCheckpointAt(table, conf, floor)
         fs.listStatus(vdir(table)).foreach { st =>
-          seqOf(st.getPath.getName).foreach { seq =>
+          val name = st.getPath.getName
+          seqOf(name).foreach { seq =>
             if (seq <= floor) fs.delete(st.getPath, false)
           }
+          // quarantined torn records below the floor go with their era
+          if (name.endsWith(".torn"))
+            seqOf(name.stripSuffix(".torn")).foreach { seq =>
+              if (seq <= floor) fs.delete(st.getPath, false)
+            }
           // checkpoints strictly below the floor are dead weight too —
           // every version they could base is unreconstructible; the
           // floor checkpoint itself is the fold anchor and stays

@@ -263,6 +263,65 @@ class ColeBucketEvolveSpec extends AnyFunSuite {
       .filter(col("k") === k).head.getLong(2) === k % 100)
   }
 
+  test("concurrent evolves serialize under the claims seam: no era ever lost") {
+    val s = spark
+    import s.implicits._
+    val t = s"$warehouse/db/crace"
+    (0 until 1000).map(i => (i.toLong, i.toLong)).toDF("k", "v")
+      .write.format("cole").mode("overwrite").option("bucketBy", "4:k").save(t)
+    val conf = ColeIO.driverConf()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val ns = Seq(8, 16, 32, 64)
+    val futs = ns.map { n =>
+      pool.submit(new java.util.concurrent.Callable[Option[Throwable]] {
+        override def call(): Option[Throwable] = {
+          start.await()
+          try { ColeBucket.evolve(t, conf, n, Seq("k")); None }
+          catch { case e: Throwable => Some(e) }
+        }
+      })
+    }
+    start.countDown()
+    val errs = futs.flatMap(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(errs.isEmpty, s"concurrent evolves failed: ${errs.map(_.getMessage)}")
+    // the read-modify-write serialized: base era + ALL four appended, in
+    // SOME order, each under its own era index — nothing silently lost
+    val hist = ColeBucket.readHistory(t, conf)
+    assert(hist.size === 5, s"expected 5 eras, got $hist")
+    assert(hist.head.n === 4)
+    assert(hist.tail.map(_.n).toSet === ns.toSet)
+    assert(hist.map(_.idx) === (0 until 5))
+  }
+
+  test("rebucket unifies renamed/dropped columns across eras (leaf reads apply the table-root mapping)") {
+    val s = spark
+    import s.implicits._
+    // catalog table so ALTER TABLE works; bucketed via DDL transform
+    s.sql("CREATE TABLE bev.db.rn (k BIGINT, v BIGINT) USING cole " +
+      "PARTITIONED BY (bucket(4, k))")
+    s.sql("INSERT INTO bev.db.rn SELECT id, id * 3 FROM range(0, 1000)")
+    s.sql("ALTER TABLE bev.db.rn RENAME COLUMN v TO w")
+    val t = s"$warehouse/db/rn"
+    val conf = ColeIO.driverConf()
+    ColeBucket.evolve(t, conf, 8, Seq("k"))
+    s.sql("INSERT INTO bev.db.rn SELECT id, id * 3 FROM range(1000, 1500)")
+    val st = s.sql("CALL bev.system.rebucket('db.rn')").head
+    assert(st.getLong(0) > 0L)
+    // the rewrite must NOT null-split the renamed column: pre-rename
+    // files store 'v', post-rename ones 'w' — the leaf reads unify
+    // through the table-root rename map before the union
+    val back = s.table("bev.db.rn")
+    assert(back.count() === 1500L)
+    assert(back.filter(col("w").isNull).count() === 0L,
+      "rebucket null-split the renamed column")
+    assert(back.filter(col("k") === 100L).select("w").head.getLong(0) === 300L)
+    assert(back.filter(col("k") === 1200L).select("w").head.getLong(0) === 3600L)
+    assert(back.agg(sum("w")).head.getLong(0) ===
+      (0L until 1500L).map(_ * 3).sum)
+  }
+
   test("loud rejections: unbucketed table, identical re-declaration") {
     val s = spark
     import s.implicits._

@@ -229,6 +229,51 @@ class ColeCheckpointSpec extends AnyFunSuite {
     assert(seen.get() === 200L, "no partial batch may have been served")
   }
 
+  test("a repairTorn gap stays foldable: time travel, checkpoints and feeds work across the quarantined seq") {
+    val s = spark
+    import s.implicits._
+    val wh = Files.createTempDirectory("cole_ckpt_torn").toString
+    s.conf.set("spark.sql.catalog.cktorn", "graft.sources.cole.ColeCatalog")
+    s.conf.set("spark.sql.catalog.cktorn.warehouse", wh)
+    val t = s"$wh/db/t"
+    val conf = ColeIO.driverConf()
+    (0 until 100).map(i => (i.toLong, 0L)).toDF("k", "v").coalesce(1)
+      .write.format("cole").mode("overwrite").save(t)
+    ColeVersions.enable(t, conf) // v1
+    (100 until 200).map(i => (i.toLong, 1L)).toDF("k", "v").coalesce(1)
+      .write.format("cole").mode("append").save(t) // v2
+    // a crash mid-record-write leaves a TORN v3 (no terminal line)...
+    val (fs, _) = ColeIO.resolve(t, conf)
+    val tornP = new org.apache.hadoop.fs.Path(
+      s"$t/${ColeVersions.DirName}/v000000000003")
+    val out = fs.create(tornP, false)
+    try out.write("ts:1\nop:crashed\nadd:ghost.col".getBytes)
+    finally out.close()
+    // ...a later commit lands ABOVE it (the CAS skips to the next seq)
+    (200 until 300).map(i => (i.toLong, 2L)).toDF("k", "v").coalesce(1)
+      .write.format("cole").mode("append").save(t) // v4
+    // reads below the torn record refuse loudly until repair
+    intercept[Exception] { ColeVersions.records(t, conf) }
+    assert(ColeVersions.repairTorn(t, conf) === Seq("v000000000003"))
+    // the quarantined seq is a permanent GAP — every fold above it must
+    // keep working (its delta never committed, so skipping it is exact)
+    assert(ColeVersions.snapshotAt(t, conf, 4L).size === 3)
+    assert(s.read.format("cole").option("versionAsOf", "4").load(t)
+      .count() === 300L)
+    assert(s.read.format("cole").option("versionAsOf", "2").load(t)
+      .count() === 200L)
+    assert(ColeVersions.changedFiles(t, conf, 2L, 4L).size === 1)
+    assert(ColeVersions.checkpoint(t, conf) === 4L)
+    // folds FROM the checkpoint keep working, and new commits land
+    val (fs2, _) = ColeIO.resolve(t, conf)
+    ColeVersions.invalidateCache(fs2, t)
+    assert(ColeVersions.snapshotAt(t, conf, 4L).size === 3)
+    (300 until 350).map(i => (i.toLong, 3L)).toDF("k", "v").coalesce(1)
+      .write.format("cole").mode("append").save(t) // v5
+    assert(ColeVersions.currentVersion(t, conf) === 5L)
+    assert(s.table("cktorn.db.t").count() === 350L)
+  }
+
   test("checkpoint carries the dv map: vector DELETE state survives a pruned prefix") {
     val s = spark
     import s.implicits._

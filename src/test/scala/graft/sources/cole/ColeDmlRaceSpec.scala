@@ -252,6 +252,39 @@ class ColeDmlRaceSpec extends AnyFunSuite {
     c.release()
   }
 
+  test("heartbeat survives a setTimes-no-op filesystem (S3A-class) via the .hb sidecar") {
+    // Hadoop's FileSystem.setTimes defaults to a NO-OP and S3A keeps it
+    // that way — the beat must detect the ineffective touch and carry
+    // liveness through an overwritten sidecar instead, or live holders
+    // on object stores would be broken as stale (the exact failure the
+    // heartbeat exists to prevent)
+    val t = Files.createTempDirectory("cole_claims_noopts").toString
+    val conf = new org.apache.hadoop.conf.Configuration(ColeIO.driverConf())
+    conf.setLong(ColeClaims.TtlKey, 500L)
+    conf.setLong(ColeClaims.WaitKey, 400L)
+    val (real, _) = ColeIO.resolve(t, conf)
+    val noTouch = new org.apache.hadoop.fs.FilterFileSystem(real) {
+      override def setTimes(p: org.apache.hadoop.fs.Path,
+          mtime: Long, atime: Long): Unit = () // S3A semantics
+    }
+    val holder = ColeClaims.acquire(noTouch, conf, t, Seq("obj.col"), "slow")
+    Thread.sleep(1800) // 3+ TTLs; the marker's own mtime never advances
+    val before = ColeClaims.staleBreaks.get()
+    val e = intercept[IllegalStateException] {
+      ColeClaims.acquire(noTouch, conf, t, Seq("obj.col"), "contender")
+    }
+    assert(e.getMessage.contains("held by a concurrent committer"))
+    assert(ColeClaims.staleBreaks.get() === before,
+      "live holder on a no-op-setTimes store must never be broken")
+    holder.release()
+    // a DEAD holder on the same store still expires (hb stops advancing)
+    ColeClaims.acquire(noTouch, conf, t, Seq("obj.col"), "victim").abandon()
+    Thread.sleep(700)
+    val c = ColeClaims.acquire(noTouch, conf, t, Seq("obj.col"), "reaper")
+    assert(ColeClaims.staleBreaks.get() > before)
+    c.release()
+  }
+
   test("racing breakers on one stale marker: never two holders, no fresh claim ever stolen") {
     // the r12 TOCTOU (ADVICE): two breakers both observe a stale marker;
     // the slower one must not delete the faster one's freshly re-created
