@@ -311,13 +311,14 @@ object ColeBucket {
     val claims = ColeClaims.acquire(fs, conf, table, Seq(SpecFile),
       "evolve-bucket")
     val appended = try {
-      val current = readHistory(table, conf) // re-read UNDER the claim
-      val last = current.last
-      require((last.n, last.cols, last.derive) != ((n, cols, derive)),
-        s"table at $table already routes by this exact layout")
+      // ONE read under the claim serves both the duplicate-layout check
+      // and the append base
       val in = fs.open(p)
       val txt = try new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      val last = parseHistoryContent(txt, table).last
+      require((last.n, last.cols, last.derive) != ((n, cols, derive)),
+        s"table at $table already routes by this exact layout")
       val body = (if (txt.endsWith("\n")) txt else txt + "\n") +
         s"evolve:$n:${cols.mkString(",")}\n" +
         derive.fold("") { case (synth, srcs) =>
@@ -329,15 +330,15 @@ object ColeBucket {
       val out = fs.create(tmp, true)
       try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      if (!fs.rename(tmp, p)) {
-        fs.delete(p, false)
-        require(fs.rename(tmp, p), s"bucket spec write failed at $table")
-      }
+      ColeIO.replaceFile(fs, tmp, p, s"bucket spec write at $table")
+      // the version record snapshots the LIVE sidecar: commit while the
+      // claim still holds, or a concurrent evolver's newer spec could be
+      // pinned to THIS evolve's version (wrong as-of layout resolution)
+      if (ColeVersions.enabled(table, conf))
+        ColeVersions.commitIfEnabled(table, conf, "evolve-bucket",
+          Seq.empty, Seq.empty)
       body
     } finally claims.release()
-    if (ColeVersions.enabled(table, conf))
-      ColeVersions.commitIfEnabled(table, conf, "evolve-bucket",
-        Seq.empty, Seq.empty)
     parseHistoryContent(appended, table)
   }
 

@@ -500,15 +500,19 @@ class ColeCdfMicroBatchStream(dataSchema: StructType, path: String,
     // loudly — serving only the surviving records would silently skip
     // the pruned commits' rows. initialOffset's horizon guard covers
     // fresh starts; this covers checkpoint resumes. Quarantined torn
-    // records count as present-but-empty (their deltas never committed).
-    val torn = ColeVersions.quarantinedSeqs(path, conf)
-      .count(q => q > s && q <= e)
+    // records count as present-but-empty (their deltas never committed;
+    // listed only when the dense count fails — torn gaps are rare).
+    val torn =
+      if (inRange.size == e - s) 0
+      else ColeVersions.quarantinedSeqs(path, conf)
+        .count(q => q > s && q <= e)
     require(inRange.size + torn == e - s,
       s"change feed commits ($s, $e] of $path are no longer all present " +
-        s"(${inRange.size} of ${e - s} records; log pruned/expired while " +
-        "the stream was down — register a consumerId to pin retention): " +
-        "resynchronize from a snapshot (versionAsOf) and restart with " +
-        "startingVersion above the expiry horizon")
+        s"(${inRange.size} records + $torn quarantined of ${e - s}; log " +
+        "pruned/expired while the stream was down — register a " +
+        "consumerId to pin retention): resynchronize from a snapshot " +
+        "(versionAsOf) and restart with startingVersion above the " +
+        "expiry horizon")
     inRange.flatMap(r => commitPartitions(recs, r)).toArray
   }
 

@@ -34,6 +34,29 @@ object ColeIO {
     (p.getFileSystem(conf), p)
   }
 
+  /** Publish `tmp` at `dst`, REPLACING any existing file — atomically
+    * where the filesystem can (FileContext's OVERWRITE rename: local +
+    * HDFS-class), falling back to delete-then-rename elsewhere. The
+    * atomic path means a concurrent reader of a sidecar never observes
+    * the no-file window the plain fallback has (a bucketed table whose
+    * spec momentarily "vanished" would plan as unbucketed).
+    */
+  def replaceFile(fs: FileSystem, tmp: HPath, dst: HPath,
+      what: String): Unit = {
+    val atomically =
+      try {
+        org.apache.hadoop.fs.FileContext
+          .getFileContext(fs.getUri, fs.getConf)
+          .rename(fs.makeQualified(tmp), fs.makeQualified(dst),
+            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        true
+      } catch { case _: Exception => false }
+    if (!atomically && !fs.rename(tmp, dst)) {
+      fs.delete(dst, false)
+      require(fs.rename(tmp, dst), s"$what: publish rename failed")
+    }
+  }
+
   /** A table is a single `.col` file or a directory of part files. Sorted
     * for deterministic planning order across filesystems.
     */

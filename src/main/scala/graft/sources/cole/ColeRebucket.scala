@@ -106,12 +106,17 @@ object ColeRebucket {
       val dropped = ColeCatalog.droppedColumns(table, conf).toSet
       def normalize(df0: org.apache.spark.sql.DataFrame)
           : org.apache.spark.sql.DataFrame = {
+        // RENAMES FIRST, drops second — the read path's order
+        // (applyRenames then the dropped filter): dropped names are the
+        // CURRENT names at drop time, so a renamed-then-dropped column
+        // must reach the drop filter under its current name, or the
+        // rewrite would resurrect its stored values from pre-rename eras
         var df = df0
-        dropped.foreach(c => if (df.columns.contains(c)) df = df.drop(c))
         renames.foreach { case (cur, stored) =>
           if (df.columns.contains(stored) && !df.columns.contains(cur))
             df = df.withColumnRenamed(stored, cur)
         }
+        dropped.foreach(c => if (df.columns.contains(c)) df = df.drop(c))
         df
       }
       val dirs = old.map(i => new HPath(i.path).getParent.toString).distinct

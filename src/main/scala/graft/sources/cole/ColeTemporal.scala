@@ -96,10 +96,7 @@ object ColeTemporal {
     try out.write(("1\n" + specs.map(s => s"${s.fn}:${s.src}\n").mkString)
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (!fs.rename(tmp, p)) {
-      fs.delete(p, false)
-      require(fs.rename(tmp, p), s"temporal spec write failed at $table")
-    }
+    ColeIO.replaceFile(fs, tmp, p, s"temporal spec write at $table")
   }
 
   /** The ACTIVE transform (writers route by it). */
@@ -158,11 +155,14 @@ object ColeTemporal {
         s"table at $table already routes by ${next.fn}:${next.src}")
       val ev = history :+ next
       writeSpecs(table, conf, ev)
+      // commit while the claim holds: the record snapshots the LIVE
+      // sidecar, and releasing first could pin a concurrent evolver's
+      // newer spec to THIS evolve's version
+      if (ColeVersions.enabled(table, conf))
+        ColeVersions.commitIfEnabled(table, conf, "evolve-temporal",
+          Seq.empty, Seq.empty)
       ev
     } finally claims.release()
-    if (ColeVersions.enabled(table, conf))
-      ColeVersions.commitIfEnabled(table, conf, "evolve-temporal",
-        Seq.empty, Seq.empty)
     evolved
   }
 

@@ -503,8 +503,12 @@ object ColeVersions {
     val base = baseFor(table, conf, version)
     val baseAsOf = base.map(_.asOf).getOrElse(0L)
     val tail = recordsFrom(table, conf, baseAsOf).filter(_.version <= version)
-    val torn = quarantinedSeqs(table, conf)
-      .count(q => q > baseAsOf && q <= version)
+    // torn gaps are rare: pay the quarantine listing only when the dense
+    // count fails (the common case costs no extra round trip)
+    val torn =
+      if (baseAsOf + tail.size == version) 0
+      else quarantinedSeqs(table, conf)
+        .count(q => q > baseAsOf && q <= version)
     require(baseAsOf + tail.size + torn == version,
       s"version $version of $table is not reconstructible: the log holds " +
         s"${tail.size} records (+$torn quarantined) above fold base " +
@@ -833,9 +837,12 @@ object ColeVersions {
     // dense-sequence continuity: a range whose interior records were
     // pruned (expire_versions prune_log) must refuse loudly, never skip.
     // Quarantined torn records count as present-but-empty: their deltas
-    // never went durable, so a feed without them is exact.
-    val torn = quarantinedSeqs(table, conf)
-      .count(q => q > fromExclusive && q <= toInclusive)
+    // never went durable, so a feed without them is exact. (Listed only
+    // when the dense count fails — torn gaps are rare.)
+    val torn =
+      if (inRange.size == toInclusive - fromExclusive) 0
+      else quarantinedSeqs(table, conf)
+        .count(q => q > fromExclusive && q <= toInclusive)
     require(inRange.size + torn == toInclusive - fromExclusive,
       s"change feed range ($fromExclusive, $toInclusive] of $table holds " +
         s"${inRange.size} records (+$torn quarantined), expected " +

@@ -320,6 +320,34 @@ class ColeBucketEvolveSpec extends AnyFunSuite {
     assert(back.filter(col("k") === 1200L).select("w").head.getLong(0) === 3600L)
     assert(back.agg(sum("w")).head.getLong(0) ===
       (0L until 1500L).map(_ * 3).sum)
+
+    // renamed-THEN-DROPPED: the drop filter must see the column under
+    // its current name (renames apply first), or pre-rename eras would
+    // resurrect the dropped column's stored values into the rewrite
+    s.sql("CREATE TABLE bev.db.rn2 (k BIGINT, v BIGINT, x BIGINT) " +
+      "USING cole PARTITIONED BY (bucket(4, k))")
+    s.sql("INSERT INTO bev.db.rn2 SELECT id, id * 3, id FROM range(0, 400)")
+    s.sql("ALTER TABLE bev.db.rn2 RENAME COLUMN v TO w")
+    val t2 = s"$warehouse/db/rn2"
+    ColeBucket.evolve(t2, conf, 8, Seq("k"))
+    s.sql("INSERT INTO bev.db.rn2 SELECT id, id * 3, id FROM range(400, 600)")
+    s.sql("ALTER TABLE bev.db.rn2 DROP COLUMN w")
+    assert(s.sql("CALL bev.system.rebucket('db.rn2')").head.getLong(0) > 0L)
+    val back2 = s.table("bev.db.rn2")
+    assert(back2.columns.toSeq === Seq("k", "x"))
+    assert(back2.count() === 600L)
+    assert(back2.agg(sum("x")).head.getLong(0) === (0L until 600L).sum)
+    // the REBUCKETED outputs must not physically carry the dropped
+    // column under EITHER of its names (files already in the active era
+    // keep their bytes — DROP is metadata-only until a rewrite)
+    val outs = ColeMetaCache.infos(t2, conf)
+      .filter(_.path.contains("/rebucket-"))
+    assert(outs.nonEmpty)
+    outs.foreach { i =>
+      val names = i.meta.columns.map(_.name).toSet
+      assert(!names.contains("v") && !names.contains("w"),
+        s"${i.path} resurrected the dropped column: $names")
+    }
   }
 
   test("loud rejections: unbucketed table, identical re-declaration") {
