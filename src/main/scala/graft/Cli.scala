@@ -133,6 +133,47 @@ object Cli {
         val st = graft.sources.cole.ColeRebucket.rebucket(spark, args(1))
         println(s"rebucketed ${st.filesRewritten} old-era file(s) into " +
           s"${st.filesOut} (${st.rows} rows); ${st.filesKept} already active")
+      case "tag" =>
+        val conf = graft.sources.cole.ColeIO.driverConf()
+        val v = graft.sources.cole.ColeRefs.createTag(args(1), conf, args(2),
+          if (args.length > 3) Some(args(3).toLong) else None)
+        println(s"tagged ${args(1)} v$v as '${args(2)}'")
+      case "drop-tag" =>
+        val existed = graft.sources.cole.ColeRefs.dropTag(args(1),
+          graft.sources.cole.ColeIO.driverConf(), args(2))
+        println(if (existed) s"dropped tag '${args(2)}'"
+          else s"no tag '${args(2)}'")
+      case "branch" =>
+        val fork = graft.sources.cole.ColeRefs.createBranch(args(1),
+          graft.sources.cole.ColeIO.driverConf(), args(2),
+          if (args.length > 3) Some(args(3).toLong) else None)
+        println(s"branched ${args(1)} at v$fork as '${args(2)}'")
+      case "drop-branch" =>
+        val existed = graft.sources.cole.ColeRefs.dropBranch(args(1),
+          graft.sources.cole.ColeIO.driverConf(), args(2))
+        println(if (existed) s"dropped branch '${args(2)}' and its staging"
+          else s"no branch '${args(2)}'")
+      case "publish" =>
+        val (n, v) = graft.sources.cole.ColeRefs.fastForward(args(1),
+          graft.sources.cole.ColeIO.driverConf(), args(2),
+          allowDiverged = args.length > 3 && args(3) == "--allow-diverged")
+        println(s"published $n file(s) of branch '${args(2)}' as v$v")
+      case "refs" =>
+        val conf = graft.sources.cole.ColeIO.driverConf()
+        graft.sources.cole.ColeRefs.tags(args(1), conf).toSeq.sorted
+          .foreach { case (n, v) => println(f"tag    $n%-24s v$v") }
+        graft.sources.cole.ColeRefs.branches(args(1), conf).foreach { b =>
+          println(f"branch ${b.name}%-24s fork v${b.fork} head v${b.head} " +
+            s"(${b.stagedFiles} staged file(s))")
+        }
+      case "remove-orphans" =>
+        val hours = if (args.length > 2) args(2).toLong else 72L
+        val dry = args.length > 3 && args(3) == "--dry-run"
+        val orphans = graft.sources.cole.ColeOrphans.removeOrphans(args(1),
+          graft.sources.cole.ColeIO.driverConf(), hours * 3600_000L, dry)
+        orphans.foreach(o => println(s"${o.path}\t${o.sizeBytes}"))
+        println(s"${if (dry) "would remove" else "removed"} " +
+          s"${orphans.size} orphan(s)")
       case other =>
         System.err.println(s"Unknown command: $other"); usage(); sys.exit(2)
     } finally spark.stop()
@@ -166,7 +207,17 @@ object Cli {
       |                                  re-declare the hash layout, zero
       |                                  rewrites (new era)
       |  rebucket <table>                rewrite old bucket eras into the
-      |                                  active layout (SPJ returns)""".stripMargin)
+      |                                  active layout (SPJ returns)
+      |  tag <table> <name> [version]    pin a version under an immutable
+      |                                  name (VERSION AS OF 'name')
+      |  drop-tag <table> <name>         release the name + retention pin
+      |  branch <table> <name> [version] fork a write-audit-publish branch
+      |  drop-branch <table> <name>      discard a branch and its staging
+      |  publish <table> <name> [--allow-diverged]
+      |                                  fast-forward a branch onto main
+      |  refs <table>                    list tags and branches
+      |  remove-orphans <table> [hours] [--dry-run]
+      |                                  age-guarded crash-leftover sweep""".stripMargin)
 
   /** Synthetic table with the reference generator's shape (reference:
     * src/cli.cpp createSyntheticSchema/generateSyntheticData): id INT64

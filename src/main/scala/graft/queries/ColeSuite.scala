@@ -693,6 +693,97 @@ object ColeSuite {
               WHERE l_orderkey IN (1, 7, 500, 2999, 3000, 4999, 12345)
               GROUP BY l_orderkey ORDER BY l_orderkey""")),
 
+    // #161 named TAGS (r14 refs): an immutable name over a version —
+    // `versionAsOf='half'` / SQL `VERSION AS OF 'half'` resolve it, and
+    // retention can never expire the tagged snapshot out from under its
+    // name. One result proves BOTH sides of the pin: the tagged read
+    // serves exactly the pre-append state while the live read serves
+    // everything — same table, same planning, two file sets.
+    Q("cole_tag_read", (s, d) => {
+      val dir = dirFor(d, "tagread")
+      val conf = graft.sources.cole.ColeIO.driverConf()
+      writeOnce(dir) {
+        val li = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        li.filter(col("l_orderkey") % 2 === 0)
+          .write.format("cole").mode("overwrite").save(dir)
+        graft.sources.cole.ColeVersions.enable(dir, conf) // v1 = evens
+        graft.sources.cole.ColeRefs.createTag(dir, conf, "half", Some(1L))
+        li.filter(col("l_orderkey") % 2 === 1)
+          .write.format("cole").mode("append").save(dir) // v2 = all
+      }
+      def agg(df: org.apache.spark.sql.DataFrame, label: String) =
+        df.agg(lit(label).as("which"), count(lit(1)).as("n"),
+          min("l_orderkey").as("mn_key"), max("l_orderkey").as("mx_key"),
+          min("l_extendedprice").as("mn_ep"), max("l_extendedprice").as("mx_ep"))
+      agg(s.read.format("cole").option("versionAsOf", "half").load(dir),
+        "tagged")
+        .unionAll(agg(s.read.format("cole").load(dir), "live"))
+        .orderBy("which")
+    },
+      Some("""SELECT 'tagged' AS which, COUNT(*) AS n,
+                MIN(l_orderkey) AS mn_key, MAX(l_orderkey) AS mx_key,
+                MIN(l_extendedprice) AS mn_ep, MAX(l_extendedprice) AS mx_ep
+              FROM lineitem WHERE l_orderkey % 2 = 0
+              UNION ALL
+              SELECT 'live' AS which, COUNT(*) AS n,
+                MIN(l_orderkey) AS mn_key, MAX(l_orderkey) AS mx_key,
+                MIN(l_extendedprice) AS mn_ep, MAX(l_extendedprice) AS mx_ep
+              FROM lineitem
+              ORDER BY which""")),
+
+    // #162 BRANCHES / write-audit-publish (r14 refs): odd-key rows stage
+    // onto branch 'audit' INVISIBLY (main still serves evens only), the
+    // branch read serves fork+staged — the exact bytes an audit query
+    // sees — and `fast_forward` publishes them as pure renames under one
+    // commit. One result pins all three states: the un-published main,
+    // the branch, and a second table whose identical branch WAS
+    // published. At 100 TB the staged files are the only new bytes and
+    // publish is a metadata move — audit-then-release costs no rewrite.
+    Q("cole_branch_wap", (s, d) => {
+      val conf = graft.sources.cole.ColeIO.driverConf()
+      val stagedDir = dirFor(d, "wap_staged")
+      val pubDir = dirFor(d, "wap_published")
+      def build(dir: String, publish: Boolean): Unit = writeOnce(dir) {
+        val li = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        li.filter(col("l_orderkey") % 2 === 0)
+          .write.format("cole").mode("overwrite").save(dir)
+        graft.sources.cole.ColeVersions.enable(dir, conf)
+        graft.sources.cole.ColeRefs.createBranch(dir, conf, "audit")
+        li.filter(col("l_orderkey") % 2 === 1)
+          .write.format("cole").mode("append")
+          .option("branch", "audit").save(dir)
+        if (publish) graft.sources.cole.ColeRefs.fastForward(dir, conf, "audit")
+      }
+      build(stagedDir, publish = false)
+      build(pubDir, publish = true)
+      def agg(df: org.apache.spark.sql.DataFrame, label: String) =
+        df.agg(lit(label).as("which"), count(lit(1)).as("n"),
+          min("l_orderkey").as("mn_key"), max("l_orderkey").as("mx_key"),
+          min("l_extendedprice").as("mn_ep"), max("l_extendedprice").as("mx_ep"))
+      agg(s.read.format("cole").load(stagedDir), "1_main_unpublished")
+        .unionAll(agg(s.read.format("cole").option("branch", "audit")
+          .load(stagedDir), "2_branch"))
+        .unionAll(agg(s.read.format("cole").load(pubDir), "3_published"))
+        .orderBy("which")
+    },
+      Some("""SELECT '1_main_unpublished' AS which, COUNT(*) AS n,
+                MIN(l_orderkey) AS mn_key, MAX(l_orderkey) AS mx_key,
+                MIN(l_extendedprice) AS mn_ep, MAX(l_extendedprice) AS mx_ep
+              FROM lineitem WHERE l_orderkey % 2 = 0
+              UNION ALL
+              SELECT '2_branch' AS which, COUNT(*) AS n,
+                MIN(l_orderkey) AS mn_key, MAX(l_orderkey) AS mx_key,
+                MIN(l_extendedprice) AS mn_ep, MAX(l_extendedprice) AS mx_ep
+              FROM lineitem
+              UNION ALL
+              SELECT '3_published' AS which, COUNT(*) AS n,
+                MIN(l_orderkey) AS mn_key, MAX(l_orderkey) AS mx_key,
+                MIN(l_extendedprice) AS mn_ep, MAX(l_extendedprice) AS mx_ep
+              FROM lineitem
+              ORDER BY which""")),
+
     // COLE v2 DECIMAL: exact money in the NATIVE format — the engine's
     // whole oracle discipline is decimal money math (SURVEY §4), and until
     // now .col round-tripped money as DOUBLE. lineitem's price/quantity

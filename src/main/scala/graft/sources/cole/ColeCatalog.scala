@@ -587,7 +587,7 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
     // (version log), `t$files` (live file inventory), and `t$partitions`
     // (per-directory rollup) — warehouse introspection as plain SQL
     if (ident.name().endsWith("$history") || ident.name().endsWith("$files") ||
-        ident.name().endsWith("$partitions")) {
+        ident.name().endsWith("$partitions") || ident.name().endsWith("$refs")) {
       val dollar = ident.name().lastIndexOf('$')
       val base = Identifier.of(ident.namespace(), ident.name().substring(0, dollar))
       val kind = ident.name().substring(dollar + 1)
@@ -654,10 +654,21 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
     * are rejected.
     */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
-      s"VERSION AS OF takes a COLE version number, got '$version'"))
-    loadSnapshot(ident, ColeVersions.resolveAsOf(tablePath(ident), conf,
-      Some(v), None))
+    version.toLongOption match {
+      case Some(v) =>
+        loadSnapshot(ident, ColeVersions.resolveAsOf(tablePath(ident), conf,
+          Some(v), None))
+      case None =>
+        // named refs (r14): `VERSION AS OF 'release-1'` resolves a TAG to
+        // its pinned version; a BRANCH name plans the branch's state
+        // (main-as-of-fork + staged appends)
+        val path = tablePath(ident)
+        requireVersioned(ident, path)
+        ColeRefs.resolve(path, conf, version) match {
+          case Right(tagVersion) => loadSnapshot(ident, tagVersion)
+          case Left(branch) => loadBranch(ident, branch)
+        }
+    }
   }
 
   /** `TIMESTAMP AS OF` — Spark hands micros since epoch. */
@@ -665,17 +676,41 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
     loadSnapshot(ident, ColeVersions.resolveAsOf(tablePath(ident), conf,
       None, Some(timestampMicros / 1000L)))
 
-  private def loadSnapshot(ident: Identifier, version: Long): Table = {
-    val path = tablePath(ident)
-    // NOT NoSuchTableException: the table exists, versioning doesn't —
-    // reporting "table not found" misleads, and callers/rules may fall
-    // through to other resolution paths on NoSuchTableException
+  // NOT NoSuchTableException: the table exists, versioning doesn't —
+  // reporting "table not found" misleads, and callers/rules may fall
+  // through to other resolution paths on NoSuchTableException
+  private def requireVersioned(ident: Identifier, path: String): Unit =
     if (!ColeVersions.enabled(path, conf))
       throw new IllegalArgumentException(
         s"time travel needs versioning, which is not enabled on " +
           s"${ident.namespace().mkString(".")}.${ident.name()} — enable it " +
           "with CALL <catalog>.system.versioning('<ns.table>') or " +
           "TBLPROPERTIES ('versioned'='true') at CREATE TABLE")
+
+  /** `VERSION AS OF '<branch>'`: a read-only handle over the branch's
+    * state — writes go through the `branch` WRITE option on the base
+    * table (the handle pins a read, exactly like a snapshot load).
+    */
+  private def loadBranch(ident: Identifier, name: String): Table = {
+    val path = tablePath(ident)
+    val (infos, _) = ColeRefs.branchInfos(path, conf, name)
+    val partFields = ColeMetaCache.partitionSchema(infos)
+      .filterNot(f => ColeTemporal.isLayoutKey(f._1))
+      .map { case (k, t) =>
+        StructField(k, t match {
+          case "int" => IntegerType
+          case "long" => LongType
+          case _ => StringType
+        }, nullable = false)
+      }
+    val schema = StructType(ColeUtil.toSparkSchemaOf(infos).fields.toSeq ++ partFields)
+    new ColeTable(schema, partFields.map(_.name),
+      Map("path" -> path, "branch" -> name), bucketSpec = None)
+  }
+
+  private def loadSnapshot(ident: Identifier, version: Long): Table = {
+    val path = tablePath(ident)
+    requireVersioned(ident, path)
     val infos = ColeVersions.snapshotInfos(path, conf, version)
     val partFields = ColeMetaCache.partitionSchema(infos)
       .filterNot(f => ColeTemporal.isLayoutKey(f._1))
@@ -1002,7 +1037,9 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
         "compact_debt", "audit", "repair", "zorder", "bloom_index",
         "delete_mode", "materialize_cdf", "cdf_consumers",
         "unregister_cdf_consumer", "evolve_temporal", "checkpoint",
-        "evolve_bucket", "rebucket")
+        "evolve_bucket", "rebucket", "create_tag", "drop_tag",
+        "create_branch", "drop_branch", "fast_forward",
+        "remove_orphan_files")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -1206,10 +1243,73 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
         Array(Array[Any](versions
           .count(ColeChangeFeed.materialize(spark, path, _)).toLong))
       }
+      // ---- named refs (r14): tags + branches (write-audit-publish) ----
+      // tag a version (0 = current) under an immutable name: `VERSION AS
+      // OF 'name'` resolves it and retention never expires at/above it
+      case "create_tag" => procedure("create_tag",
+        tableArg ++ Seq("name" -> (StringType: DataType),
+          "version" -> (LongType: DataType)),
+        StructType(Seq(StructField("version", LongType))),
+        defaults = Map("version" -> "0")) { in =>
+        val v = in.getLong(2)
+        Array(Array[Any](ColeRefs.createTag(procTablePath(in.getString(0)),
+          conf, in.getString(1), if (v > 0) Some(v) else None)))
+      }
+      case "drop_tag" => procedure("drop_tag",
+        tableArg :+ ("name" -> (StringType: DataType)),
+        StructType(Seq(StructField("existed", BooleanType)))) { in =>
+        Array(Array[Any](ColeRefs.dropTag(procTablePath(in.getString(0)),
+          conf, in.getString(1))))
+      }
+      // fork a writable branch at a version (0 = current): appends with
+      // the `branch` write option stage invisibly until fast_forward
+      case "create_branch" => procedure("create_branch",
+        tableArg ++ Seq("name" -> (StringType: DataType),
+          "version" -> (LongType: DataType)),
+        StructType(Seq(StructField("fork", LongType))),
+        defaults = Map("version" -> "0")) { in =>
+        val v = in.getLong(2)
+        Array(Array[Any](ColeRefs.createBranch(procTablePath(in.getString(0)),
+          conf, in.getString(1), if (v > 0) Some(v) else None)))
+      }
+      case "drop_branch" => procedure("drop_branch",
+        tableArg :+ ("name" -> (StringType: DataType)),
+        StructType(Seq(StructField("existed", BooleanType)))) { in =>
+        Array(Array[Any](ColeRefs.dropBranch(procTablePath(in.getString(0)),
+          conf, in.getString(1))))
+      }
+      // publish a branch onto main: staged files rename to their live
+      // paths under one commit; rejects when main diverged from the fork
+      // unless allow_diverged (appends compose with any interleaving)
+      case "fast_forward" => procedure("fast_forward",
+        tableArg ++ Seq("name" -> (StringType: DataType),
+          "allow_diverged" -> (BooleanType: DataType)),
+        StructType(Seq(
+          StructField("published_files", LongType),
+          StructField("version", LongType))),
+        defaults = Map("allow_diverged" -> "false")) { in =>
+        val (n, v) = ColeRefs.fastForward(procTablePath(in.getString(0)),
+          conf, in.getString(1), in.getBoolean(2))
+        Array(Array[Any](n.toLong, v))
+      }
+      // crash-leftover cleanup: unreferenced data files / dead dotted
+      // temps older than the age horizon; dry_run lists without deleting
+      case "remove_orphan_files" => procedure("remove_orphan_files",
+        tableArg ++ Seq("older_than_hours" -> (LongType: DataType),
+          "dry_run" -> (BooleanType: DataType)),
+        StructType(Seq(
+          StructField("file", StringType),
+          StructField("size_bytes", LongType))),
+        defaults = Map("older_than_hours" -> "72", "dry_run" -> "false")) { in =>
+        ColeOrphans.removeOrphans(procTablePath(in.getString(0)), conf,
+          in.getLong(1) * 3600_000L, in.getBoolean(2))
+          .map(o => Array[Any](o.path, o.sizeBytes)).toArray
+      }
       case other => throw new IllegalArgumentException(
         s"unknown procedure cole.system.$other (versioning|rollback|" +
           "expire_versions|vacuum|compact|audit|repair|zorder|bloom_index|" +
-          "delete_mode|materialize_cdf|checkpoint)")
+          "delete_mode|materialize_cdf|checkpoint|create_tag|drop_tag|" +
+          "create_branch|drop_branch|fast_forward|remove_orphan_files)")
     }
   }
 

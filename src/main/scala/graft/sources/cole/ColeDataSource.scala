@@ -140,8 +140,15 @@ private[cole] object ColeUtil {
   def timeTravelVersion(options: CaseInsensitiveStringMap,
       tablePath: String): Option[Long] = {
     val v = Option(options.get("versionAsOf")).map { s =>
-      s.toLongOption.getOrElse(throw new IllegalArgumentException(
-        s"versionAsOf must be a version number, got '$s'"))
+      // a non-numeric versionAsOf is a TAG name (r14 named refs); a
+      // branch name is a different kind of read — the `branch` option
+      s.toLongOption.getOrElse(
+        ColeRefs.resolve(tablePath, ColeIO.driverConf(), s) match {
+          case Right(tagVersion) => tagVersion
+          case Left(branch) => throw new IllegalArgumentException(
+            s"'$branch' is a BRANCH of $tablePath — read it with " +
+              s"""option("branch", "$branch"), not versionAsOf""")
+        })
     }
     val ts = Option(options.get("timestampAsOf")).map { s =>
       s.toLongOption.getOrElse {
@@ -331,6 +338,21 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
       override def comment(): String = "physical row position within the source file"
     })
 
+  /** A branch-pinned handle (`VERSION AS OF '<branch>'`) is a read view
+    * plus the append staging route. The row-level DML / truncate paths
+    * below resolve the LIVE table from `props("path")` and never see the
+    * branch prop — running them through a branch handle would silently
+    * mutate main. Loud rejection instead: branches are append-only
+    * (write-audit-publish) by design.
+    */
+  private def rejectOnBranch(op: String): Unit =
+    props.get("branch").foreach { b =>
+      throw new UnsupportedOperationException(
+        s"$op through branch '$b' is not supported: branches are " +
+          "append-only (write-audit-publish) — run it on the live table, " +
+          "or fast_forward first")
+    }
+
   /** SQL `UPDATE` / `MERGE INTO` (and `DELETE` whose condition the
     * metadata fast path can't convert): group-based copy-on-write
     * through [[ColeRowLevelOperation]] — stats classify candidate files,
@@ -342,6 +364,7 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
       override def build(): org.apache.spark.sql.connector.write.RowLevelOperation = {
+        rejectOnBranch(s"${info.command()}")
         val p = props("path")
         val conf = ColeIO.driverConf()
         // vector-mode tables run DML merge-on-read (SupportsDelta):
@@ -374,6 +397,7 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
     }
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
+    rejectOnBranch("DELETE")
     // self-contained re-plan per attempt (fresh listing + classification)
     // and idempotent on a partially-swapped state — the auto-retry heals
     // a concurrent-write abort instead of surfacing the manual re-run
@@ -389,6 +413,7 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
     * same partitioning/bucketing contract.
     */
   override def truncateTable(): Boolean = {
+    rejectOnBranch("TRUNCATE")
     val path = props("path")
     val conf = ColeIO.driverConf()
     // persist the current schema first: once the files (the usual source
@@ -462,6 +487,29 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
     // versions (files whose rows arrived in the range; see
     // ColeVersions.changedFiles) — the batch twin of the tailing source.
     val changesFrom = Option(options.get("changesFrom")).map(_.toLong)
+    // branch read (r14 named refs): main-as-of-fork plus the branch's
+    // invisible staged appends — pinned like a time-travel snapshot
+    // (footer skipping / pruning / pushdown intact). Bucket-layout
+    // CLAIMS are withdrawn (no SPJ, no bucket pruning): the staged files
+    // may straddle a spec evolution relative to the fork, and a branch
+    // read is audit-sized — conservative beats clever here. Temporal
+    // pruning stays (each file is judged only by the key its directory
+    // carries, so a wrong prune is structurally impossible).
+    val branchOpt = Option(options.get("branch")).orElse(props.get("branch"))
+    branchOpt.foreach { name =>
+      require(ColeUtil.timeTravelVersion(options, path).isEmpty &&
+        changesFrom.isEmpty,
+        "branch reads do not compose with versionAsOf/timestampAsOf/" +
+          "changesFrom: a branch IS a pinned state")
+      val (infos, dvs) = ColeRefs.branchInfos(path, conf, name)
+      val dirCols: Set[String] =
+        if (infos.isEmpty) Set.empty
+        else ColeMetaCache.partitionSchema(infos).map(_._1)
+          .filterNot(ColeTemporal.isLayoutKey).toSet
+      return new ColeScanBuilder(schema, path, conf,
+        schema.fieldNames.filter(dirCols).toSet,
+        Some(ColeSnapshot(infos, dvs = dvs)))
+    }
     val snapshot: Option[ColeSnapshot] = ColeUtil.timeTravelVersion(options, path)
       .orElse(props.get("versionAsOf").map(_.toLong))
       .map { v =>
@@ -602,9 +650,26 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
       s"sortBy column '$c' not in write schema"))
     require(sortBy.isEmpty || buckets.isEmpty,
       "bucketed writes already sort by their bucket keys; drop sortBy")
+    // branch writes (r14 WAP): the explicit write option wins; a
+    // branch-pinned catalog handle (VERSION AS OF '<branch>') stages its
+    // appends onto its branch; otherwise the session-level
+    // `graft.cole.write.branch` conf routes every VERSIONED append in
+    // the session to the branch (the write-audit-publish switch — point
+    // the ingest job at a branch without touching its sinks). The conf
+    // deliberately skips unversioned targets: branches only exist on
+    // versioned tables, and the connector's own scratch writes
+    // (compaction, rebucket, CDF materialize) must keep working while
+    // the switch is set — only the explicit option/handle is loud there.
+    val branch = Option(info.options().get("branch"))
+      .orElse(props.get("branch"))
+      .orElse(org.apache.spark.sql.SparkSession.getActiveSession
+        .flatMap(s => Option(s.conf.get(ColeRefs.WapBranchConfKey, null)))
+        .filter(_.nonEmpty)
+        .filter(_ => ColeVersions.enabled(path, conf)))
+    branch.foreach(b => ColeRefs.branchFork(path, conf, b)) // exists, or loud
     new ColeWriteBuilder(info.schema(), path,
       info.options().getInt("rowGroupSize", 65536),
-      conf, writePartCols, buckets, derive, temporal, sortBy)
+      conf, writePartCols, buckets, derive, temporal, sortBy, branch)
   }
 }
 
@@ -3223,8 +3288,8 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(snapshot.isEmpty,
-      "versionAsOf/timestampAsOf is a batch read option: a stream tails " +
-        "the live table, not a pinned snapshot")
+      "versionAsOf/timestampAsOf/branch is a batch read option: a stream " +
+        "tails the live table, not a pinned state")
     new ColeMicroBatchStream(this, path, conf, checkpointLocation)
   }
 
@@ -3834,7 +3899,8 @@ class ColeWriteBuilder(schema: StructType, path: String, rowGroupSize: Int,
     bucketSpec: Option[(Int, Seq[String])] = None,
     bucketDerive: Option[(String, Seq[String])] = None,
     temporal: Option[ColeTemporal.Spec] = None,
-    sortBy: Seq[String] = Seq.empty)
+    sortBy: Seq[String] = Seq.empty,
+    branch: Option[String] = None)
     extends WriteBuilder with SupportsTruncate with SupportsOverwrite
     with SupportsDynamicOverwrite {
 
@@ -3945,11 +4011,13 @@ class ColeWriteBuilder(schema: StructType, path: String, rowGroupSize: Int,
           override def toBatch: BatchWrite =
             new ColeBatchWrite(schema, path, rowGroupSize, doTruncate, conf,
               partCols, bucketSpec, dynamicOverwrite, overwriteFilters,
-              bucketDerive, temporal = temporal)
+              bucketDerive, temporal = temporal, branch = branch)
           override def toStreaming: StreamingWrite = {
             if (doTruncate || dynamicOverwrite || overwriteFilters.nonEmpty)
               throw new UnsupportedOperationException(
                 "the cole streaming sink supports Append output mode only")
+            require(branch.isEmpty,
+              "branch writes are batch appends; a stream tails the live table")
             new ColeStreamingWrite(schema, path, rowGroupSize, conf, partCols,
               bucketSpec, bucketDerive, temporal = temporal)
           }
@@ -3980,11 +4048,14 @@ class ColeWriteBuilder(schema: StructType, path: String, rowGroupSize: Int,
                 org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
             override def toBatch: BatchWrite =
               new ColeBatchWrite(schema, path, rowGroupSize, doTruncate, conf, partCols,
-                bucketSpec, dynamicOverwrite, overwriteFilters, temporal = temporal)
+                bucketSpec, dynamicOverwrite, overwriteFilters, temporal = temporal,
+                branch = branch)
             override def toStreaming: StreamingWrite = {
               if (doTruncate || dynamicOverwrite || overwriteFilters.nonEmpty)
                 throw new UnsupportedOperationException(
                   "the cole streaming sink supports Append output mode only")
+              require(branch.isEmpty,
+                "branch writes are batch appends; a stream tails the live table")
               new ColeStreamingWrite(schema, path, rowGroupSize, conf, partCols,
                 bucketSpec, temporal = temporal)
             }
@@ -3992,11 +4063,14 @@ class ColeWriteBuilder(schema: StructType, path: String, rowGroupSize: Int,
         else new Write {
         override def toBatch: BatchWrite =
           new ColeBatchWrite(schema, path, rowGroupSize, doTruncate, conf, partCols,
-            bucketSpec, dynamicOverwrite, overwriteFilters, temporal = temporal)
+            bucketSpec, dynamicOverwrite, overwriteFilters, temporal = temporal,
+            branch = branch)
         override def toStreaming: StreamingWrite = {
           if (doTruncate || dynamicOverwrite || overwriteFilters.nonEmpty)
             throw new UnsupportedOperationException(
               "the cole streaming sink supports Append output mode only")
+          require(branch.isEmpty,
+            "branch writes are batch appends; a stream tails the live table")
           new ColeStreamingWrite(schema, path, rowGroupSize, conf, partCols,
             bucketSpec, temporal = temporal)
         }
@@ -4013,7 +4087,8 @@ class ColeBatchWrite(schema: StructType, path: String, rowGroupSize: Int,
     dynamicOverwrite: Boolean = false,
     overwriteFilters: Array[Filter] = Array.empty,
     bucketDerive: Option[(String, Seq[String])] = None,
-    temporal: Option[ColeTemporal.Spec] = None)
+    temporal: Option[ColeTemporal.Spec] = None,
+    branch: Option[String] = None)
     extends BatchWrite {
 
   // versioning bookkeeping (no-ops on unversioned tables): files the
@@ -4066,6 +4141,22 @@ class ColeBatchWrite(schema: StructType, path: String, rowGroupSize: Int,
     val (fs, dir) = ColeIO.resolve(path, conf)
     if (!fs.exists(dir)) fs.mkdirs(dir)
     val versioned = ColeVersions.enabled(path, conf)
+    // branch writes (r14 WAP) stage APPENDS into the invisible branch
+    // root with the table's exact layout; anything that would mutate
+    // main (truncate, overwrite, layout declaration) rejects loudly —
+    // the publish is a pure rename with no conflict surface
+    branch.foreach { b =>
+      require(!truncate && !dynamicOverwrite && overwriteFilters.isEmpty,
+        s"branch '$b' writes are append-only (write-audit-publish): " +
+          "truncate/overwrite mutate the live table — run them on main")
+      require(bucketSpec.isEmpty || ColeBucket.readHistory(path, conf).nonEmpty,
+        s"a branch write cannot DECLARE a bucket layout (the sidecar " +
+          "lives on main): lay the table out first, then branch")
+      require(temporal.isEmpty || ColeTemporal.readSpecs(path, conf).nonEmpty,
+        s"a branch write cannot DECLARE a temporal layout (the sidecar " +
+          "lives on main): lay the table out first, then branch")
+      ColeRefs.branchFork(path, conf, b) // still exists, or loud
+    }
     if (truncate)
       ColeIO.listPartitioned(path, conf).foreach { case (s, _) =>
         retired ++= ColeVersions.retireOrDelete(fs, path,
@@ -4111,11 +4202,17 @@ class ColeBatchWrite(schema: StructType, path: String, rowGroupSize: Int,
     // the evolution history the old-era files still prune by
     if (ColeTemporal.readSpecs(path, conf).isEmpty)
       temporal.foreach(ColeTemporal.writeSpec(path, conf, _))
+    // branch writes place files under the staging root (layout subpaths
+    // mirror the table's 1:1 — publish is a rename per file); sidecars,
+    // checks and the active bucket era still resolve from the TABLE path
+    branch.foreach(b => fs.mkdirs(new org.apache.hadoop.fs.Path(
+      ColeRefs.branchDataRoot(path, b))))
     new ColeWriterFactory(schema, path, rowGroupSize, new ColeHadoopConf(conf),
       partCols, bucketSpec, bucketDerive,
       // CHECK constraints compile once here on the driver; executors
       // evaluate bound predicates per row (identity when none declared)
-      ColeChecks.forWrite(path, conf, schema), temporal)
+      ColeChecks.forWrite(path, conf, schema), temporal,
+      dataRoot = branch.map(ColeRefs.branchDataRoot(path, _)))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -4150,11 +4247,20 @@ class ColeBatchWrite(schema: StructType, path: String, rowGroupSize: Int,
           }
       }
     }
-    val op =
-      if (truncate || dynamicOverwrite || overwriteFilters.nonEmpty) "overwrite"
-      else "append"
-    ColeVersions.commitIfEnabled(path, conf, op,
-      newFiles.toSeq.map(f => ColeVersions.relOf(fs, path, f)), retired.toSeq)
+    branch match {
+      case Some(b) =>
+        // staged files commit to the BRANCH log (rels relative to the
+        // staging root == the table-relative paths they publish to);
+        // main's log and live layout are untouched
+        ColeRefs.commitBranchAppend(path, conf, b, newFiles.toSeq
+          .map(f => ColeVersions.relOf(fs, ColeRefs.branchDataRoot(path, b), f)))
+      case None =>
+        val op =
+          if (truncate || dynamicOverwrite || overwriteFilters.nonEmpty) "overwrite"
+          else "append"
+        ColeVersions.commitIfEnabled(path, conf, op,
+          newFiles.toSeq.map(f => ColeVersions.relOf(fs, path, f)), retired.toSeq)
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -4177,25 +4283,30 @@ class ColeWriterFactory(schema: StructType, path: String, rowGroupSize: Int,
     bucketSpec: Option[(Int, Seq[String])] = None,
     bucketDerive: Option[(String, Seq[String])] = None,
     checks: Array[CompiledCheck] = Array.empty,
-    temporal: Option[ColeTemporal.Spec] = None)
+    temporal: Option[ColeTemporal.Spec] = None,
+    // branch writes (r14): files PLACE under the staging root while every
+    // table-level resolution (sidecars, active era, checks) keeps using
+    // `path` — layout subpaths mirror the table's, so publish renames 1:1
+    dataRoot: Option[String] = None)
     extends DataWriterFactory {
   // resolved on the DRIVER at factory construction (one sidecar read),
   // serialized to tasks: writers route by the ACTIVE era's directory key
   private val bucketDirKey: String =
     if (bucketSpec.isEmpty) ColeBucket.DirKey
     else ColeBucket.activeDirKey(path, hconf.value)
+  private val root: String = dataRoot.getOrElse(path)
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     ColeChecks.wrap(bucketSpec match {
       case Some((n, c)) =>
-        new ColeBucketedDataWriter(schema, path, partitionId, taskId,
+        new ColeBucketedDataWriter(schema, root, partitionId, taskId,
           rowGroupSize, hconf.value, n,
           bucketDerive.map(_._2).getOrElse(c), bucketDerive.map(_._1), temporal,
           bucketDirKey)
       case None if partCols.isEmpty && temporal.isEmpty =>
-        new ColeDataWriter(schema, f"$path/part-$partitionId%05d-$taskId.col",
+        new ColeDataWriter(schema, f"$root/part-$partitionId%05d-$taskId.col",
           rowGroupSize, hconf.value)
       case None =>
-        new ColePartitionedDataWriter(schema, path, partitionId, taskId,
+        new ColePartitionedDataWriter(schema, root, partitionId, taskId,
           rowGroupSize, hconf.value, partCols, temporal)
     }, checks, schema)
 }

@@ -66,8 +66,16 @@ class ColeMetaTable(path: String, kind: String, conf: Configuration)
       StructField("row_count", LongType, nullable = false),
       StructField("deleted_rows", LongType, nullable = false),
       StructField("live_rows", LongType, nullable = false)))
+    // named refs (r14): tags and branches — "what's pinned, what's
+    // staged?" as SQL; `staged_files` counts a branch's unpublished files
+    case "refs" => StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("type", StringType, nullable = false),
+      StructField("version", LongType, nullable = false),
+      StructField("head", LongType, nullable = false),
+      StructField("staged_files", IntegerType, nullable = false)))
     case other => throw new IllegalArgumentException(
-      s"unknown COLE metadata table '$$${other}' (history|files|partitions)")
+      s"unknown COLE metadata table '$$${other}' (history|files|partitions|refs)")
   }
 
   override def capabilities(): util.Set[TableCapability] =
@@ -114,6 +122,14 @@ class ColeMetaTableScan(path: String, kind: String, tschema: StructType,
               .map(_.length.toLong).getOrElse(0L)).sum
             Array[Any](part, is.size, is.map(_.len).sum, rows, dv, rows - dv)
           }
+      case "refs" =>
+        val tags = ColeRefs.tags(path, conf).toSeq.sorted.map { case (n, v) =>
+          Array[Any](n, "tag", v, v, 0)
+        }
+        val branches = ColeRefs.branches(path, conf).map { b =>
+          Array[Any](b.name, "branch", b.fork, b.head, b.stagedFiles)
+        }
+        (tags ++ branches).toArray
     }
     Array(ColeMetaRows(rows))
   }

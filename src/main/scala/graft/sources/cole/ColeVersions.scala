@@ -1110,8 +1110,16 @@ object ColeVersions {
     // without the operator having to size keepLast by hand
     val consumerCap: Long = consumerWatermarks(table, conf).values
       .minOption.getOrElse(Long.MaxValue)
+    // named refs pin the same way (r14): a tag at version T (or a branch
+    // forked there) needs every removal ABOVE T kept — the retired bytes
+    // of a post-T rewrite are exactly what reconstructs T's snapshot.
+    // Only records at or below the oldest ref may expire; dropping the
+    // ref releases the pin.
+    val refCap: Long = ColeRefs.pinVersions(table, conf)
+      .minOption.getOrElse(Long.MaxValue)
+    val cap = math.min(consumerCap, refCap)
     val recs = allRecs.filterNot(r => floor.contains(r.version))
-    val expired = recs.filter(r => r.ts < cutoff && r.version <= consumerCap)
+    val expired = recs.filter(r => r.ts < cutoff && r.version <= cap)
     expired.map(_.version).maxOption.foreach { h =>
       if (h > expiryHorizon(table, conf)) writeHorizon(fs, table, h)
     }
@@ -1122,12 +1130,13 @@ object ColeVersions {
       }
       // a pinned deletion vector expires only when SUPERSEDED (a later
       // commit re-vectored, rewrote, or removed its file) and that
-      // superseding commit is itself past the cutoff — the CURRENT
-      // vector state of an untouched file must stay reconstructible
+      // superseding commit is ITSELF EXPIRED — the current vector state
+      // of an untouched file must stay reconstructible, and (r14) a
+      // superseding commit above a ref/consumer pin must not count:
+      // the pinned version between the two still folds to r's pin
       r.dvs.foreach { case (rel, dvRel) =>
         if (dvRel != DvCleared) {
-          val superseded = recs.exists(r2 => r2.version > r.version &&
-            r2.ts < cutoff &&
+          val superseded = expired.exists(r2 => r2.version > r.version &&
             (r2.removes.exists(_._1 == rel) || r2.adds.contains(rel) ||
               r2.dvs.exists(_._1 == rel)))
           if (superseded) {
