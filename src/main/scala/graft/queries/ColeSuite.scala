@@ -784,6 +784,56 @@ object ColeSuite {
               FROM lineitem
               ORDER BY which""")),
 
+    // #163 incremental MATERIALIZED VIEW (r14, ColeMv): the MV is created
+    // at v1 (partial data), the source then takes an append AND a delete,
+    // and refresh_mv folds the change feed into the stored per-key state —
+    // count/sum/avg differentially, min/max re-aggregating exactly the
+    // keys that saw a delete. The result is the MV's CONTENT, which must
+    // hash-match DuckDB's full aggregate over the final logical state: the
+    // incremental path is exact (decimal sum lanes), not approximately
+    // convergent. At 100 TB the refresh reads the day's commits + the
+    // touched keys, never the table.
+    Q("cole_mv_incremental", (s, d) => {
+      val wh = "/tmp/graft_cole/warehouse"
+      s.conf.set("spark.sql.catalog.cole", "graft.sources.cole.ColeCatalog")
+      s.conf.set("spark.sql.catalog.cole.warehouse", wh)
+      val ns = s"v${writerFingerprint}_mv_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val srcDir = s"$wh/$ns/li"
+      val mvDir = s"$wh/$ns/mvli"
+      val conf = graft.sources.cole.ColeIO.driverConf()
+      writeOnce(mvDir) {
+        // reset partial source state from an interrupted materialization:
+        // the whole sequence below is one fixture
+        val (fs, sp) = graft.sources.cole.ColeIO.resolve(srcDir, conf)
+        fs.delete(sp, true)
+        val li = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_returnflag", "l_quantity",
+            "l_extendedprice")
+        li.filter(col("l_orderkey") % 3 =!= 0)
+          .write.format("cole").mode("overwrite").save(srcDir)
+        graft.sources.cole.ColeVersions.enable(srcDir, conf) // v1
+        s.sql(s"CALL cole.system.create_mv('$ns.li', '$ns.mvli', " +
+          "'l_returnflag', 'count:*:n, sum:l_quantity:sum_qty, " +
+          "avg:l_quantity:avg_qty, min:l_extendedprice:mn_ep, " +
+          "max:l_extendedprice:mx_ep')")
+        li.filter(col("l_orderkey") % 3 === 0)
+          .write.format("cole").mode("append").save(srcDir) // v2
+        s.sql(s"DELETE FROM cole.$ns.li WHERE l_quantity < 5") // v3
+        s.sql(s"CALL cole.system.refresh_mv('$ns.mvli')").collect()
+      }
+      s.table(s"cole.$ns.mvli").select(
+        col("l_returnflag"), col("n"),
+        col("sum_qty").cast("double").as("sum_qty"),
+        col("avg_qty"), col("mn_ep"), col("mx_ep"))
+        .orderBy("l_returnflag")
+    },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE)/COUNT(*) AS avg_qty,
+                MIN(l_extendedprice) AS mn_ep, MAX(l_extendedprice) AS mx_ep
+              FROM lineitem WHERE l_quantity >= 5
+              GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // COLE v2 DECIMAL: exact money in the NATIVE format — the engine's
     // whole oracle discipline is decimal money math (SURVEY §4), and until
     // now .col round-tripped money as DOUBLE. lineitem's price/quantity

@@ -1039,7 +1039,7 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
         "unregister_cdf_consumer", "evolve_temporal", "checkpoint",
         "evolve_bucket", "rebucket", "create_tag", "drop_tag",
         "create_branch", "drop_branch", "fast_forward",
-        "remove_orphan_files")
+        "remove_orphan_files", "create_mv", "refresh_mv")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -1292,6 +1292,39 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
           conf, in.getString(1), in.getBoolean(2))
         Array(Array[Any](n.toLong, v))
       }
+      // ---- incremental materialized views over the change feed ----
+      // create: materialize the grouped aggregate as-of the source's
+      // current version; aggs = "kind:col[:out], ..." (count|sum|avg use
+      // differential maintenance, min|max re-aggregate deleted keys)
+      case "create_mv" => procedure("create_mv",
+        tableArg ++ Seq("mv" -> (StringType: DataType),
+          "group_by" -> (StringType: DataType),
+          "aggs" -> (StringType: DataType)),
+        StructType(Seq(StructField("version", LongType)))) { in =>
+        val spark = org.apache.spark.sql.SparkSession.active
+        Array(Array[Any](ColeMv.create(spark,
+          procTablePath(in.getString(0)), procTablePath(in.getString(1)),
+          in.getString(2).split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+          ColeMv.parseAggs(in.getString(3)))))
+      }
+      // refresh: fold the feed since the watermark into the stored
+      // per-key state — O(changed rows + touched keys), never the table;
+      // full => true resynchronizes by recompute (rollback escape hatch)
+      case "refresh_mv" => procedure("refresh_mv",
+        tableArg :+ ("full" -> (BooleanType: DataType)),
+        StructType(Seq(
+          StructField("from_version", LongType),
+          StructField("to_version", LongType),
+          StructField("keys_touched", LongType),
+          StructField("keys_recomputed", LongType),
+          StructField("rows_reaggregated", LongType))),
+        defaults = Map("full" -> "false")) { in =>
+        val spark = org.apache.spark.sql.SparkSession.active
+        val st = ColeMv.refresh(spark, procTablePath(in.getString(0)),
+          s"$catalogName.${in.getString(0)}", in.getBoolean(1))
+        Array(Array[Any](st.fromVersion, st.toVersion, st.keysTouched,
+          st.keysRecomputed, st.rowsReaggregated))
+      }
       // crash-leftover cleanup: unreferenced data files / dead dotted
       // temps older than the age horizon; dry_run lists without deleting
       case "remove_orphan_files" => procedure("remove_orphan_files",
@@ -1309,7 +1342,8 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
         s"unknown procedure cole.system.$other (versioning|rollback|" +
           "expire_versions|vacuum|compact|audit|repair|zorder|bloom_index|" +
           "delete_mode|materialize_cdf|checkpoint|create_tag|drop_tag|" +
-          "create_branch|drop_branch|fast_forward|remove_orphan_files)")
+          "create_branch|drop_branch|fast_forward|remove_orphan_files|" +
+          "create_mv|refresh_mv)")
     }
   }
 

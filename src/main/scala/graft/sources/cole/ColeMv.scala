@@ -1,0 +1,466 @@
+package graft.sources.cole
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Incrementally-maintained MATERIALIZED VIEWS over the change feed —
+  * `CALL cole.system.create_mv / refresh_mv`, the Delta "incremental
+  * MV" / Materialize-style capability on top of [[ColeChangeFeed]].
+  *
+  * An MV is a grouped aggregate of one COLE source table, materialized
+  * as a COLE table of its own. `refresh_mv` advances it from the
+  * source's change feed: the delta since the applied watermark folds
+  * into the stored per-key state, so a refresh costs O(changed rows +
+  * touched keys) — at 100 TB, maintaining `sales_by_region` after a
+  * day's ingest reads the day's commits, never the table.
+  *
+  * Aggregate algebra (the standard self-maintainability split):
+  *
+  *   - `count` / `sum` / `avg` are DIFFERENTIAL: inserts add, deletes
+  *     subtract (an update in the feed is a delete+insert pair, which
+  *     the math absorbs without pairing). Sums are maintained in exact
+  *     DECIMAL(25,4)-cast arithmetic — order- and batching-independent,
+  *     so an incremental state is value-identical to a full recompute.
+  *     `avg` rides a hidden exact sum plus the hidden live-row count.
+  *   - `min` / `max` are differential on INSERTS ONLY (fold via
+  *     least/greatest); a delete can retire the current extreme, so a
+  *     key that saw any delete is RE-AGGREGATED from the source as-of
+  *     the refresh version — but only those keys, located via a
+  *     key-pushed scan (per-column IN prefilter when the key set is
+  *     small enough to push, exact null-safe join either way).
+  *   - a key whose live-row count reaches zero is DELETED from the MV.
+  *
+  * The write-back is one keyed MERGE INTO (update / insert / delete in
+  * a single commit); the merge source is staged to `_cole_mv_stage/`
+  * first so the MERGE never re-reads its own target mid-rewrite.
+  *
+  * Definition + applied watermark live in a `_cole_mv` sidecar in the
+  * MV's directory (atomic replace on advance; `_`-prefixed, so scans
+  * and the orphan sweep never see it). Crash safety: the differential
+  * MERGE reads the MV's own pre-merge state, so replaying it would
+  * double-apply — instead every refresh writes an `inflight:<v>` intent
+  * into the sidecar BEFORE merging and clears it with the watermark
+  * advance after. A refresh that finds a leftover intent first RECOVERS
+  * it: the touched keys of the in-flight range are re-aggregated from
+  * the source ABSOLUTELY (no MV state in the math) and merged — that
+  * merge is idempotent whether or not the crashed one landed. Refreshes
+  * serialize on a [[ColeClaims]] claim over the sidecar, so two
+  * refreshers can't interleave their intents.
+  *
+  * A rollback on the source inside the unapplied range is refused by
+  * the feed (its delta spans the rolled-over history); `refresh_mv(mv,
+  * full => true)` resynchronizes by full recompute and watermark reset.
+  */
+object ColeMv {
+
+  /** Sidecar file name, inside the MV table's directory. */
+  val SidecarName = "_cole_mv"
+  /** Hidden live-row count per key — drives key death and `avg`. */
+  val CntCol = "_cole_mv_cnt"
+  /** Hidden exact sum backing an `avg` output column. */
+  def avgSumCol(out: String): String = s"_cole_mv_avgsum_$out"
+  private val DeadCol = "_cole_mv_dead"
+
+  /** Collected-key ceiling for the per-column IN prefilter on the
+    * re-aggregation scan: below it the key values travel in the plan
+    * (stat skipping prunes source files), above it only the null-safe
+    * join filters (a full source scan of the affected columns).
+    */
+  val InPushLimit = 10000
+
+  sealed trait Agg { def out: String }
+  final case class CountAgg(out: String) extends Agg
+  final case class SumAgg(c: String, out: String) extends Agg
+  final case class AvgAgg(c: String, out: String) extends Agg
+  final case class MinAgg(c: String, out: String) extends Agg
+  final case class MaxAgg(c: String, out: String) extends Agg
+
+  /** `count:*:n, sum:l_quantity:sum_qty, min:price, avg:x:avg_x` —
+    * kind:column[:output]; output defaults to `kind_column` (`n` for
+    * count). Unknown kinds are loud.
+    */
+  def parseAggs(spec: String): Seq[Agg] = {
+    val aggs = spec.split(',').map(_.trim).filter(_.nonEmpty).toSeq.map { s =>
+      val parts = s.split(':')
+      require(parts.length == 2 || parts.length == 3,
+        s"aggregate '$s' must be kind:column[:output]")
+      val (kind, c) = (parts(0).trim, parts(1).trim)
+      val out = if (parts.length == 3) parts(2).trim
+        else if (kind == "count") "n" else s"${kind}_$c"
+      kind match {
+        case "count" =>
+          require(c == "*", s"count aggregates rows: write count:*[:name]")
+          CountAgg(out)
+        case "sum" => SumAgg(c, out)
+        case "avg" => AvgAgg(c, out)
+        case "min" => MinAgg(c, out)
+        case "max" => MaxAgg(c, out)
+        case other => throw new IllegalArgumentException(
+          s"unknown aggregate kind '$other' (count|sum|avg|min|max)")
+      }
+    }
+    require(aggs.nonEmpty, "an MV needs at least one aggregate")
+    val dup = aggs.groupBy(_.out).collectFirst { case (o, as) if as.size > 1 => o }
+    dup.foreach(o => throw new IllegalArgumentException(
+      s"duplicate output column '$o' in the aggregate list"))
+    aggs
+  }
+
+  final case class Definition(source: String, groupBy: Seq[String],
+      aggs: Seq[Agg], appliedVersion: Long, inflight: Option[Long] = None)
+
+  private def sidecar(mv: String): HPath = new HPath(mv, SidecarName)
+
+  private def encodeAgg(a: Agg): String = a match {
+    case CountAgg(o) => s"count|*|$o"
+    case SumAgg(c, o) => s"sum|$c|$o"
+    case AvgAgg(c, o) => s"avg|$c|$o"
+    case MinAgg(c, o) => s"min|$c|$o"
+    case MaxAgg(c, o) => s"max|$c|$o"
+  }
+
+  private def decodeAgg(s: String): Agg = s.split('|') match {
+    case Array("count", "*", o) => CountAgg(o)
+    case Array("sum", c, o) => SumAgg(c, o)
+    case Array("avg", c, o) => AvgAgg(c, o)
+    case Array("min", c, o) => MinAgg(c, o)
+    case Array("max", c, o) => MaxAgg(c, o)
+    case _ => throw new IllegalStateException(s"corrupt MV aggregate '$s'")
+  }
+
+  def writeDefinition(mv: String, conf: Configuration, d: Definition): Unit = {
+    val (fs, _) = ColeIO.resolve(mv, conf)
+    val body = (Seq(s"source:${d.source}",
+      s"groupby:${d.groupBy.mkString(",")}") ++
+      d.aggs.map(a => s"agg:${encodeAgg(a)}") ++
+      Seq(s"appliedv:${d.appliedVersion}") ++
+      d.inflight.map(v => s"inflight:$v").toSeq ++
+      Seq("end"))
+      .mkString("\n").getBytes(StandardCharsets.UTF_8)
+    val tmp = new HPath(mv, s".$SidecarName.${System.nanoTime()}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body) finally out.close()
+    ColeIO.replaceFile(fs, tmp, sidecar(mv), "MV definition")
+  }
+
+  def isMv(mv: String, conf: Configuration): Boolean = {
+    val (fs, _) = ColeIO.resolve(mv, conf)
+    fs.exists(sidecar(mv))
+  }
+
+  def readDefinition(mv: String, conf: Configuration): Definition = {
+    val (fs, _) = ColeIO.resolve(mv, conf)
+    require(fs.exists(sidecar(mv)),
+      s"$mv is not a materialized view (no $SidecarName sidecar) — " +
+        "create one with CALL <catalog>.system.create_mv")
+    val in = fs.open(sidecar(mv))
+    val lines = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+      .split('\n').toSeq finally in.close()
+    require(lines.lastOption.contains("end"), s"torn MV sidecar on $mv")
+    def one(k: String): String = lines.collectFirst {
+      case l if l.startsWith(k + ":") => l.drop(k.length + 1)
+    }.getOrElse(throw new IllegalStateException(s"MV sidecar of $mv lacks $k"))
+    Definition(one("source"),
+      one("groupby").split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+      lines.filter(_.startsWith("agg:")).map(l => decodeAgg(l.drop(4))),
+      one("appliedv").toLong,
+      lines.collectFirst {
+        case l if l.startsWith("inflight:") => l.drop(9).toLong
+      })
+  }
+
+  // ------------------------------------------------------------- algebra
+
+  /** Exact decimal lane for maintained sums: (25,4) inputs like the
+    * engine's whole oracle discipline; Spark types sum(DECIMAL(25,4)) as
+    * DECIMAL(35,4) — the stored column type.
+    */
+  private def dec(c: Column): Column = c.cast(DecimalType(25, 4))
+  private val SumType = DecimalType(35, 4)
+
+  /** The full (non-incremental) aggregate of `df` — used at create, for
+    * full refresh, and per affected key on the re-aggregation paths.
+    * Column order: groupBy, visible outputs, hidden cnt, hidden avg sums.
+    */
+  def fullAggregate(df: DataFrame, groupBy: Seq[String],
+      aggs: Seq[Agg]): DataFrame = {
+    val visible: Seq[Column] = aggs.map {
+      case CountAgg(o) => count(lit(1)).as(o)
+      case SumAgg(c, o) => sum(dec(col(c))).cast(SumType).as(o)
+      case AvgAgg(c, o) =>
+        (sum(dec(col(c))).cast(DoubleType) / count(lit(1))).as(o)
+      case MinAgg(c, o) => min(col(c)).as(o)
+      case MaxAgg(c, o) => max(col(c)).as(o)
+    }
+    val hidden: Seq[Column] = count(lit(1)).cast(LongType).as(CntCol) +:
+      aggs.collect { case AvgAgg(c, o) =>
+        sum(dec(col(c))).cast(SumType).as(avgSumCol(o))
+      }
+    df.groupBy(groupBy.map(col): _*).agg(visible.head,
+      (visible.tail ++ hidden): _*)
+  }
+
+  /** Create the MV: materialize the full aggregate of the source AS OF
+    * its current version and record (definition, watermark). Returns
+    * the source version the MV now reflects.
+    */
+  def create(spark: SparkSession, source: String, mv: String,
+      groupBy: Seq[String], aggs: Seq[Agg]): Long = {
+    val conf = ColeIO.driverConf()
+    require(ColeVersions.enabled(source, conf),
+      s"incremental MV maintenance reads the change feed of $source — " +
+        "enable versioning on the source first " +
+        "(CALL <catalog>.system.versioning)")
+    require(groupBy.nonEmpty, "an MV needs at least one group-by column")
+    require(!isMv(mv, conf), s"$mv is already an MV")
+    val v = ColeVersions.currentVersion(source, conf)
+    val snap = spark.read.format("cole")
+      .option("versionAsOf", v.toString).load(source)
+    fullAggregate(snap, groupBy, aggs)
+      .write.format("cole").mode("overwrite").save(mv)
+    writeDefinition(mv, conf, Definition(source, groupBy, aggs, v))
+    v
+  }
+
+  final case class RefreshStats(fromVersion: Long, toVersion: Long,
+      keysTouched: Long, keysRecomputed: Long, rowsReaggregated: Long)
+
+  /** Advance the MV to the source's current version. `full` recomputes
+    * from scratch (the rollback / expired-feed escape hatch); otherwise
+    * the change feed since the watermark folds in incrementally. One
+    * refresher at a time per MV (claim-serialized); a leftover crashed
+    * refresh is recovered first.
+    */
+  def refresh(spark: SparkSession, mv: String, mvQualified: String,
+      full: Boolean = false): RefreshStats = {
+    val conf = ColeIO.driverConf()
+    val (fs, _) = ColeIO.resolve(mv, conf)
+    val claim = ColeClaims.acquire(fs, conf, mv, Seq(SidecarName),
+      "mv-refresh")
+    try {
+      var d = readDefinition(mv, conf)
+      // a crashed refresh left its intent: recover it absolutely before
+      // anything differential runs against an unknown MV state
+      d.inflight.foreach { toV =>
+        recoverInflight(spark, mv, mvQualified, d, toV)
+        d = d.copy(appliedVersion = toV, inflight = None)
+      }
+      val cv = ColeVersions.currentVersion(d.source, conf)
+      if (!full && cv == d.appliedVersion)
+        return RefreshStats(d.appliedVersion, cv, 0, 0, 0)
+      require(full || cv > d.appliedVersion,
+        s"MV watermark v${d.appliedVersion} is AHEAD of the source's " +
+          s"current v$cv — was the source rolled back? resynchronize " +
+          "with refresh_mv(..., full => true)")
+      val snap = spark.read.format("cole")
+        .option("versionAsOf", cv.toString).load(d.source)
+      if (full) {
+        // intent first: a crash between the overwrite and the watermark
+        // would otherwise re-apply the whole range differentially on top
+        // of already-recomputed state
+        writeDefinition(mv, conf, d.copy(inflight = Some(cv)))
+        fullAggregate(snap, d.groupBy, d.aggs)
+          .write.format("cole").mode("overwrite").save(mv)
+        writeDefinition(mv, conf,
+          d.copy(appliedVersion = cv, inflight = None))
+        return RefreshStats(d.appliedVersion, cv, -1, -1, -1)
+      }
+
+      // ---- the incremental path ----
+      // the feed's update pairs are irrelevant to grouped aggregates: a
+      // delete+insert pair IS the correct differential, so no pairKey
+      val feed = ColeChangeFeed.read(spark, d.source, d.appliedVersion, cv)
+      val isIns = col(ColeChangeFeed.ChangeTypeCol) === "insert"
+      val signed: Column => Column = c => when(isIns, c).otherwise(-c)
+      val deltaCols: Seq[Column] =
+        sum(when(isIns, 1L).otherwise(-1L)).as("_d_cnt") +:
+        max(when(isIns, lit(0)).otherwise(lit(1))).as("_d_hasdel") +:
+        d.aggs.flatMap {
+          case SumAgg(c, o) => Seq(sum(signed(dec(col(c)))).cast(SumType)
+            .as(s"_d_sum_$o"))
+          case AvgAgg(c, o) => Seq(sum(signed(dec(col(c)))).cast(SumType)
+            .as(s"_d_sum_$o"))
+          case MinAgg(c, o) => Seq(min(when(isIns, col(c))).as(s"_d_min_$o"))
+          case MaxAgg(c, o) => Seq(max(when(isIns, col(c))).as(s"_d_max_$o"))
+          case CountAgg(_) => Nil
+        }
+      val delta = feed.groupBy(d.groupBy.map(col): _*)
+        .agg(deltaCols.head, deltaCols.tail: _*)
+        .persist()
+      try {
+        val hasMinMax = d.aggs.exists {
+          case _: MinAgg | _: MaxAgg => true; case _ => false
+        }
+        val keyEq = d.groupBy.map(k => col(s"m.`$k`") <=> col(s"d.`$k`"))
+          .reduce(_ && _)
+        val mvNow = spark.read.format("cole").load(mv).alias("m")
+
+        // keys whose delta alone decides them (no delete, or no min/max)
+        val deltaOnly = delta.filter(
+          if (hasMinMax) col("_d_hasdel") === 0 else lit(true)).alias("d")
+        val joined = deltaOnly.join(mvNow, keyEq, "left")
+        def newCnt = coalesce(col(s"m.`$CntCol`"), lit(0L)) + col("_d_cnt")
+        val deltaOut: Seq[Column] = d.aggs.map {
+          case CountAgg(o) => newCnt.as(o)
+          case SumAgg(_, o) =>
+            (coalesce(col(s"m.`$o`"), lit(0).cast(SumType)) +
+              col(s"_d_sum_$o")).cast(SumType).as(o)
+          case AvgAgg(_, o) =>
+            ((coalesce(col(s"m.`${avgSumCol(o)}`"), lit(0).cast(SumType)) +
+              col(s"_d_sum_$o")).cast(DoubleType) / newCnt).as(o)
+          case MinAgg(_, o) => least(col(s"m.`$o`"), col(s"_d_min_$o")).as(o)
+          case MaxAgg(_, o) =>
+            greatest(col(s"m.`$o`"), col(s"_d_max_$o")).as(o)
+        } ++ (newCnt.as(CntCol) +: d.aggs.collect { case AvgAgg(_, o) =>
+          (coalesce(col(s"m.`${avgSumCol(o)}`"), lit(0).cast(SumType)) +
+            col(s"_d_sum_$o")).cast(SumType).as(avgSumCol(o))
+        })
+        val deltaRows = joined.select(
+          d.groupBy.map(k => col(s"d.`$k`").as(k)) ++ deltaOut ++
+            Seq((newCnt <= 0).as(DeadCol)): _*)
+
+        // keys that saw a delete under min/max: re-aggregate them from
+        // the source as-of cv — delta math can't un-delete an extreme
+        val (recomputeRows, nRecompute, nReagg) =
+          if (!hasMinMax) (None, 0L, 0L)
+          else {
+            val recKeys = delta.filter(col("_d_hasdel") === 1)
+              .select(d.groupBy.map(col): _*)
+            absoluteRows(spark, snap, recKeys, d) match {
+              case None => (None, 0L, 0L)
+              case some => some.get match { case (rows, nk, nr) =>
+                (Some(rows), nk, nr) }
+            }
+          }
+        val mergeSource = recomputeRows.fold(deltaRows)(deltaRows.unionByName)
+
+        // intent BEFORE the merge: replaying a differential merge would
+        // double-apply, so a crash in here must route the next refresh
+        // through the absolute recovery, never through this path again
+        writeDefinition(mv, conf, d.copy(inflight = Some(cv)))
+        val nTouched = mergeRows(spark, mv, mvQualified, conf, d, mergeSource)
+        writeDefinition(mv, conf,
+          d.copy(appliedVersion = cv, inflight = None))
+        RefreshStats(d.appliedVersion, cv, nTouched, nRecompute, nReagg)
+      } finally delta.unpersist()
+    } finally claim.release()
+  }
+
+  /** Re-apply the touched keys of a crashed refresh's range ABSOLUTELY:
+    * their state is re-aggregated from the source as-of the in-flight
+    * version with no reference to current MV values, so the merge is
+    * idempotent whether or not the crashed merge landed.
+    */
+  private def recoverInflight(spark: SparkSession, mv: String,
+      mvQualified: String, d: Definition, toV: Long): Unit = {
+    val conf = ColeIO.driverConf()
+    val feed = ColeChangeFeed.read(spark, d.source, d.appliedVersion, toV)
+    val keys = feed.select(d.groupBy.map(col): _*).distinct()
+    val snap = spark.read.format("cole")
+      .option("versionAsOf", toV.toString).load(d.source)
+    absoluteRows(spark, snap, keys, d)
+      .foreach(r => mergeRows(spark, mv, mvQualified, conf, d, r._1))
+    writeDefinition(mv, conf, d.copy(appliedVersion = toV, inflight = None))
+  }
+
+  /** Absolute (MV-state-free) merge rows for `keysDf`: each key's full
+    * re-aggregate over `snap`, plus explicit dead rows for keys with no
+    * surviving source rows. None when the key set is empty. Returns
+    * (rows, keys, source rows re-aggregated).
+    */
+  private def absoluteRows(spark: SparkSession, snap: DataFrame,
+      keysDf: DataFrame, d: Definition)
+      : Option[(DataFrame, Long, Long)] = {
+    val keys = keysDf.persist()
+    try {
+      val nKeys = keys.count()
+      if (nKeys == 0) return None
+      // per-column IN prefilter when the key set is small enough to
+      // travel in the plan (stat skipping prunes source files); the
+      // null-safe join below is what makes the key match exact
+      val srcAliased = snap.alias("s")
+      val prefiltered =
+        if (nKeys <= InPushLimit) {
+          val keyRows = keys.collect()
+          d.groupBy.zipWithIndex.foldLeft(srcAliased) { case (df, (k, i)) =>
+            val vals = keyRows.map(_.get(i)).distinct
+            val nonNull = vals.filter(_ != null)
+            val cond =
+              if (nonNull.length == vals.length)
+                col(s"s.`$k`").isin(nonNull.toIndexedSeq: _*)
+              else if (nonNull.isEmpty) col(s"s.`$k`").isNull
+              else col(s"s.`$k`").isin(nonNull.toIndexedSeq: _*) ||
+                col(s"s.`$k`").isNull
+            df.filter(cond)
+          }
+        } else srcAliased
+      val recKeyEq = d.groupBy.map(k => col(s"s.`$k`") <=> col(s"r.`$k`"))
+        .reduce(_ && _)
+      val affected = prefiltered.join(keys.alias("r"), recKeyEq, "leftsemi")
+      val recAgg = fullAggregate(affected, d.groupBy, d.aggs).persist()
+      val alive = recAgg.withColumn(DeadCol, lit(false))
+      // a key with NO surviving source rows is dead — the aggregate
+      // can't emit its key, so anti-join it back in
+      val aliveKeyEq = d.groupBy.map(k => col(s"r.`$k`") <=> col(s"a.`$k`"))
+        .reduce(_ && _)
+      val deadKeys = keys.alias("r")
+        .join(recAgg.alias("a"), aliveKeyEq, "left_anti")
+      val dead = deadKeys.select(
+        d.groupBy.map(k => col(s"r.`$k`").as(k)) ++
+          d.aggs.map(a => lit(null).cast(
+            recAgg.schema(a.out).dataType).as(a.out)) ++
+          (lit(0L).as(CntCol) +: d.aggs.collect { case AvgAgg(_, o) =>
+            lit(null).cast(SumType).as(avgSumCol(o)) }) :+
+          lit(true).as(DeadCol): _*)
+      val reagg = recAgg.agg(sum(col(CntCol))).head()
+      val nRows = if (reagg.isNullAt(0)) 0L else reagg.getLong(0)
+      Some((alive.unionByName(dead), nKeys, nRows))
+    } finally keys.unpersist()
+  }
+
+  /** Stage `rows` beside the MV and MERGE them in (update / insert /
+    * delete by the hidden dead flag). Returns the staged row count.
+    */
+  private def mergeRows(spark: SparkSession, mv: String,
+      mvQualified: String, conf: Configuration, d: Definition,
+      rows: DataFrame): Long = {
+    // stage the merge source OUTSIDE the MERGE: its lineage reads the
+    // MV itself, and a source that re-reads its own mid-rewrite target
+    // is exactly the self-reference MERGE forbids
+    val stage =
+      s"$mv/_cole_mv_stage/${java.lang.Long.toHexString(System.nanoTime())}"
+    rows.write.mode("overwrite").parquet(stage)
+    try {
+      val staged = spark.read.parquet(stage)
+      val nTouched = staged.count()
+      val view = "cole_mv_" + java.lang.Long.toHexString(System.nanoTime())
+      staged.createOrReplaceTempView(view)
+      try {
+        val onCond = d.groupBy.map(k => s"t.`$k` <=> s.`$k`")
+          .mkString(" AND ")
+        val allCols = d.aggs.map(_.out) ++ (CntCol +:
+          d.aggs.collect { case AvgAgg(_, o) => avgSumCol(o) })
+        val setList = allCols.map(c => s"t.`$c` = s.`$c`").mkString(", ")
+        val insCols = (d.groupBy ++ allCols).map(c => s"`$c`").mkString(", ")
+        val insVals = (d.groupBy ++ allCols).map(c => s"s.`$c`")
+          .mkString(", ")
+        spark.sql(
+          s"""MERGE INTO $mvQualified t USING $view s
+             |ON $onCond
+             |WHEN MATCHED AND s.`$DeadCol` THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET $setList
+             |WHEN NOT MATCHED AND NOT s.`$DeadCol` THEN
+             |  INSERT ($insCols) VALUES ($insVals)""".stripMargin)
+        nTouched
+      } finally spark.catalog.dropTempView(view)
+    } finally {
+      val (fs, _) = ColeIO.resolve(mv, conf)
+      fs.delete(new HPath(s"$mv/_cole_mv_stage"), true)
+    }
+  }
+}
