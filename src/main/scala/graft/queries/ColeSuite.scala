@@ -834,6 +834,44 @@ object ColeSuite {
               FROM lineitem WHERE l_quantity >= 5
               GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // #164 MERGE WITH SCHEMA EVOLUTION (r14): the merge source carries a
+    // column the table lacks (integer cents derived from l_quantity); the
+    // analyzer routes it through the catalog's alterTable (the connector
+    // advertises AUTOMATIC_SCHEMA_EVOLUTION) and the merge then updates
+    // matched rows and inserts unmatched ones WITH the new column, while
+    // rows in files written before the evolution serve NULL for it — no
+    // rewrite of untouched data. The result pins all three populations.
+    Q("cole_merge_evolve", (s, d) => {
+      val wh = "/tmp/graft_cole/warehouse"
+      s.conf.set("spark.sql.catalog.cole", "graft.sources.cole.ColeCatalog")
+      s.conf.set("spark.sql.catalog.cole.warehouse", wh)
+      val ns = s"v${writerFingerprint}_mev_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val tdir = s"$wh/$ns/ord"
+      writeOnce(tdir) {
+        val ord = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        ord.filter(col("o_orderkey") % 3 =!= 0)
+          .write.format("cole").mode("overwrite").save(tdir)
+        ord.filter(col("o_orderkey") % 2 === 1)
+          .withColumn("price_c",
+            round(col("o_totalprice") * 100).cast("long"))
+          .createOrReplaceTempView("graft_mev_src")
+        s.sql(
+          s"""MERGE WITH SCHEMA EVOLUTION INTO cole.$ns.ord t
+             |USING graft_mev_src s
+             |ON t.o_orderkey = s.o_orderkey
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      }
+      s.table(s"cole.$ns.ord").orderBy("o_orderkey")
+    },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+                CASE WHEN o_orderkey % 2 = 1
+                  THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END AS price_c
+              FROM orders
+              WHERE o_orderkey % 3 <> 0 OR o_orderkey % 2 = 1
+              ORDER BY o_orderkey""")),
+
     // COLE v2 DECIMAL: exact money in the NATIVE format — the engine's
     // whole oracle discipline is decimal money math (SURVEY §4), and until
     // now .col round-tripped money as DOUBLE. lineitem's price/quantity

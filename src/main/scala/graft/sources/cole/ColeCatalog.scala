@@ -629,12 +629,30 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
     // reads NULL-backfill through the schema-evolution machinery) between
     // the file columns and the partition columns, the position INSERTs
     // will write them at. Footers govern any name both declare.
-    val declaredExtras = ColeCatalog.readTableSpec(path, conf).toSeq
+    val specFields = ColeCatalog.readTableSpec(path, conf).toSeq
       .flatMap(_._1.fields)
+    val declaredExtras = specFields
       .filterNot(f => fileFields.exists(_.name == f.name) ||
         partFields.exists(_.name == f.name) || dropped.contains(f.name))
       .map(_.copy(nullable = true))
-    val schema = StructType(fileFields ++ declaredExtras ++ partFields)
+    // widening ALTER COLUMN TYPE is metadata-only: when the spec declares
+    // a LEGAL widening of a file-declared column (INT→BIGINT, same-scale
+    // decimal precision growth), the spec's wide type governs — the scan
+    // reads the narrow lanes through the same per-file union that mixed
+    // files already use. Anything else: footers govern, as before.
+    val declaredTypes = specFields.map(f => f.name -> f.dataType).toMap
+    val fileFieldsWidened = fileFields.map { f =>
+      declaredTypes.get(f.name).filter(_ != f.dataType).fold(f) { dt =>
+        val legal = try {
+          val oldT = ColeUtil.toColeColumns(StructType(Seq(f))).head.colType
+          val newT = ColeUtil.toColeColumns(StructType(Seq(
+            f.copy(dataType = dt)))).head.colType
+          ColeUtil.widen(oldT, newT).contains(newT)
+        } catch { case _: Exception => false }
+        if (legal) f.copy(dataType = dt) else f
+      }
+    }
+    val schema = StructType(fileFieldsWidened ++ declaredExtras ++ partFields)
     new ColeTable(schema, partFields.map(_.name),
       Map("path" -> path) ++ checkProps(path), bucketSpec)
   }
@@ -939,10 +957,43 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
         renameMap = (renameMap - old) + (nw -> physical)
         (old, nw)
     }
+    // ALTER TABLE ALTER COLUMN TYPE — metadata-only for the widenings
+    // the read path already unions per file (INT32→INT64, same-scale
+    // DECIMAL precision growth): the spec persists the wide type, old
+    // files keep serving through the lane-widening decode, new writes
+    // carry the wide lanes. Also what MERGE WITH SCHEMA EVOLUTION emits
+    // when the source is wider. Anything non-widening stays a rewrite.
+    val widenedNow: Map[String, DataType] = changes.collect {
+      case uc: TableChange.UpdateColumnType =>
+        require(uc.fieldNames.length == 1,
+          "COLE supports only top-level ALTER COLUMN TYPE")
+        val name = uc.fieldNames.head
+        val f = current.schema().fields.find(_.name == name).getOrElse(
+          throw new IllegalArgumentException(s"column '$name' does not exist"))
+        require(!partCols.contains(name),
+          s"cannot widen partition column '$name': directory values are " +
+            "typed by it")
+        ColeBucket.readSpec(path, conf).foreach { case (_, cs) =>
+          require(!cs.contains(name),
+            s"cannot widen bucket column '$name': the layout routes by it") }
+        ColeBucket.readDerivation(path, conf).foreach { case (synth, srcs) =>
+          require(name != synth && !srcs.contains(name),
+            s"cannot widen '$name': the synthetic-key layout derives from it") }
+        val oldT = ColeUtil.toColeColumns(StructType(Seq(f))).head.colType
+        val newT = ColeUtil.toColeColumns(StructType(Seq(
+          StructField(name, uc.newDataType, f.nullable)))).head.colType
+        require(ColeUtil.widen(oldT, newT).contains(newT),
+          s"cannot change column '$name' from ${f.dataType.simpleString} " +
+            s"to ${uc.newDataType.simpleString}: only INT→BIGINT and " +
+            "same-scale DECIMAL precision growth widen in place — rewrite " +
+            "the table for other changes")
+        (name, uc.newDataType)
+    }.toMap
     val unsupported = changes.filterNot(c =>
       c.isInstanceOf[TableChange.AddColumn] ||
         c.isInstanceOf[TableChange.DeleteColumn] ||
         c.isInstanceOf[TableChange.RenameColumn] ||
+        c.isInstanceOf[TableChange.UpdateColumnType] ||
         (c match { // CHECK-constraint properties, handled above
           case sp: TableChange.SetProperty =>
             sp.property.startsWith(ColeChecks.PropPrefix)
@@ -951,10 +1002,10 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
           case _ => false
         }))
     require(unsupported.isEmpty,
-      s"COLE tables support ALTER TABLE ADD/DROP/RENAME COLUMN and " +
-        s"SET/UNSET TBLPROPERTIES ('check.*') only; for " +
-        s"${unsupported.mkString(", ")} rewrite the table (read-time union " +
-        "handles file-level evolution)")
+      s"COLE tables support ALTER TABLE ADD/DROP/RENAME COLUMN, widening " +
+        s"ALTER COLUMN TYPE, and SET/UNSET TBLPROPERTIES ('check.*') " +
+        s"only; for ${unsupported.mkString(", ")} rewrite the table " +
+        "(read-time union handles file-level evolution)")
     // a new column must not collide with a rename SOURCE still stored in
     // old footers: its stale values would resurrect under the old name
     added.foreach { f =>
@@ -962,7 +1013,8 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
         s"column '${f.name}' is the stored name of a renamed column; old " +
           "files still carry its values — pick a new name or rewrite")
     }
-    val renamedFields = current.schema().fields.map { f =>
+    val renamedFields = current.schema().fields.map { f0 =>
+      val f = widenedNow.get(f0.name).fold(f0)(dt => f0.copy(dataType = dt))
       renamedNow.collectFirst { case (old, nw) if old == f.name => nw }
         .fold(f)(nw => f.copy(name = nw))
     }

@@ -277,6 +277,32 @@ private[cole] object ColeUtil {
   def toSparkSchema(cols: Seq[ColeColumn]): StructType =
     StructType(cols.map(c => StructField(c.name, sparkType(c.colType), nullable = false)))
 
+  /** Writes into a table with EVOLVED columns — present in the write
+    * schema but absent from at least one live file (ALTER/MERGE-evolution
+    * ADD COLUMN) — inevitably carry NULLs for them, which format v1
+    * rejects per value. Auto-select v2 for exactly those writes, so an
+    * evolved table stays writable without a hand-passed option; tables
+    * with no evolved columns keep their reference-byte-compatible v1
+    * writes. An explicit formatVersion always wins.
+    */
+  def evolvedWriteConf(conf: Configuration, path: String,
+      schema: StructType, partCols: Seq[String]): Configuration = {
+    if (conf.get(ColeFileWriter.VersionKey) != null) return conf
+    val stored = schema.fieldNames.filterNot(partCols.contains)
+    val infos =
+      try ColeMetaCache.infos(path, conf)
+      catch { case _: Exception => Seq.empty } // empty/new table: no files
+    val evolved = infos.nonEmpty && stored.exists(n =>
+      infos.exists(i => !i.meta.columns.exists(_.name == n) &&
+        !i.renamed.contains(n)))
+    if (!evolved) conf
+    else {
+      val c = new Configuration(conf)
+      c.set(ColeFileWriter.VersionKey, "2")
+      c
+    }
+  }
+
   def toColeColumns(schema: StructType): Seq[ColeColumn] =
     schema.fields.map { f =>
       val (t, e) = f.dataType match {
@@ -446,7 +472,13 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.OVERWRITE_DYNAMIC, TableCapability.STREAMING_WRITE,
-      TableCapability.MICRO_BATCH_READ).asJava
+      TableCapability.MICRO_BATCH_READ,
+      // `MERGE INTO ... WITH SCHEMA EVOLUTION`: the analyzer diffs the
+      // source schema against ours and routes new columns / widenings
+      // through the catalog's alterTable — the same ADD COLUMN and
+      // type-widening paths DDL uses, so old files keep serving (nulls
+      // for missing columns, widened lanes per file)
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // catalog-resolved relations carry no read options — the path then
@@ -4207,7 +4239,11 @@ class ColeBatchWrite(schema: StructType, path: String, rowGroupSize: Int,
     // checks and the active bucket era still resolve from the TABLE path
     branch.foreach(b => fs.mkdirs(new org.apache.hadoop.fs.Path(
       ColeRefs.branchDataRoot(path, b))))
-    new ColeWriterFactory(schema, path, rowGroupSize, new ColeHadoopConf(conf),
+    new ColeWriterFactory(schema, path, rowGroupSize,
+      // evolved tables auto-write v2 (new columns carry NULLs for rows
+      // landing beside pre-evolution files); others stay v1-compatible
+      new ColeHadoopConf(ColeUtil.evolvedWriteConf(conf, path, schema,
+        partCols)),
       partCols, bucketSpec, bucketDerive,
       // CHECK constraints compile once here on the driver; executors
       // evaluate bound predicates per row (identity when none declared)

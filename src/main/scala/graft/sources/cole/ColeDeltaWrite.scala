@@ -99,7 +99,10 @@ class ColeDeltaWriteImpl(op: ColeRowLevelOperation, schema: StructType,
     // inserted/updated rows stay invisible (dotted) until commit has
     // race-checked and ordered the swap — same discipline as the
     // replace write
-    val wconf = new Configuration(conf)
+    // evolved columns (in the write schema, absent from some live file)
+    // make NULLs unavoidable in new-image files — auto-select v2 for them
+    val wconf = new Configuration(
+      ColeUtil.evolvedWriteConf(conf, path, schema, partCols))
     wconf.setBoolean(ColeFileWriter.DeferRenameKey, true)
     val inner: Option[ColeWriterFactory] =
       if (!hasRows) None

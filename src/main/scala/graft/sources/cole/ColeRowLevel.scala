@@ -437,7 +437,10 @@ class ColeReplaceWrite(op: ColeRowLevelOperation, schema: StructType,
     // commit has race-checked the replaced set and made the compaction
     // record durable — without this, a stream triggering between task
     // commit and job commit would replay every replaced row
-    val wconf = new Configuration(conf)
+    // evolved columns (in the write schema, absent from some live file)
+    // make NULLs unavoidable in the rewrite — auto-select v2 for it
+    val wconf = new Configuration(
+      ColeUtil.evolvedWriteConf(conf, path, schema, partCols))
     wconf.setBoolean(ColeFileWriter.DeferRenameKey, true)
     new ColeHashingWriterFactory(
       new ColeWriterFactory(schema, path, rowGroupSize, new ColeHadoopConf(wconf),

@@ -212,13 +212,14 @@ class ColeCatalogSpec extends AnyFunSuite {
     // a claimed filter on the added column prunes pre-evolution files whole
     assert(back.filter(col("score") > 1.0).count() === 1)
     // renames are metadata-only since r9 (ColeRenameColumnSpec pins the
-    // semantics); in-place type changes stay loud
+    // semantics); non-widening type changes stay loud (r14 allows the
+    // lane-widening subset — ColeMergeEvolveSpec pins it)
     spark.sql("ALTER TABLE cwh.db.alt RENAME COLUMN tag TO label")
     assert(spark.table("cwh.db.alt").schema.fieldNames.toSeq ===
       Seq("id", "label", "score"))
     val e = intercept[Exception](
       spark.sql("ALTER TABLE cwh.db.alt ALTER COLUMN id TYPE STRING"))
-    assert(e.getMessage.contains("ADD/DROP/RENAME COLUMN"), e.getMessage)
+    assert(e.getMessage.contains("widen"), e.getMessage)
     // non-nullable adds are rejected (cannot backfill)
     val e2 = intercept[Exception](
       spark.sql("ALTER TABLE cwh.db.alt ADD COLUMN req INT NOT NULL"))
