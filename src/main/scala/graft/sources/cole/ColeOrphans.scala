@@ -66,12 +66,35 @@ object ColeOrphans {
     }
 
     val found = scala.collection.mutable.ArrayBuffer.empty[Orphan]
+    val dirs = scala.collection.mutable.ArrayBuffer.empty[String]
+    // newest mtime anywhere under `st` (incl. the dir itself): the age
+    // gate for removing a dotted scratch tree WHOLE — a live maintenance
+    // job keeps landing files in its scratch, so its newest stays fresh
+    def newestMtime(st: org.apache.hadoop.fs.FileStatus): Long =
+      if (!st.isDirectory) st.getModificationTime
+      else (st.getModificationTime +:
+        fs.listStatus(st.getPath).map(newestMtime).toSeq).max
     def walk(dir: HPath): Unit = fs.listStatus(dir).foreach { st =>
       val name = st.getPath.getName
       if (st.isDirectory) {
+        if (name.startsWith(".")) {
+          // dotted directories are maintenance scratch (.compact-*,
+          // .rebucket-*): invisible to every reader, so an ABANDONED one
+          // (crashed job) is pure debris — removable whole once nothing
+          // under it is younger than the horizon
+          if (newestMtime(st) < cutoff) {
+            val rel = fs.makeQualified(st.getPath).toString
+              .stripPrefix(rootQ + "/")
+            def treeSize(s: org.apache.hadoop.fs.FileStatus): Long =
+              if (!s.isDirectory) s.getLen
+              else fs.listStatus(s.getPath).map(treeSize).sum
+            found += Orphan(rel, treeSize(st))
+            dirs += rel
+          }
+        }
         // `_`-prefixed trees are the connector's own state (version log,
         // claims, refs) with their own lifecycles — never scanned
-        if (!name.startsWith("_") && !name.startsWith(".")) walk(st.getPath)
+        else if (!name.startsWith("_")) walk(st.getPath)
       } else if (!name.startsWith("_")) {
         // `_`-prefixed FILES at any level are sidecars-of-the-layout
         // (_bucketspec, _temporalspec, _checks, _tablespec…) — kept
@@ -83,7 +106,8 @@ object ColeOrphans {
     }
     walk(root)
     val sorted = found.sortBy(_.path).toSeq
-    if (!dryRun) sorted.foreach(o => fs.delete(new HPath(root, o.path), false))
+    if (!dryRun) sorted.foreach(o =>
+      fs.delete(new HPath(root, o.path), dirs.contains(o.path)))
     sorted
   }
 }

@@ -124,6 +124,45 @@ class ColeOrphansSpec extends AnyFunSuite {
 
     // unversioned: every .col is live by definition; junk goes
     val u = s"$warehouse/db/orph3"
+    mkJunkTable(u)
+  }
+
+  test("abandoned dotted scratch dirs sweep whole; live ones stay") {
+    val s = spark
+    import s.implicits._
+    val t = s"$warehouse/db/orph4"
+    (0 until 10).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+      .coalesce(1).write.format("cole").mode("append").save(t)
+    ColeVersions.enable(t, conf)
+    val (fs, root) = ColeIO.resolve(t, conf)
+    // an ABANDONED compaction/rebucket scratch: a dotted dir whose
+    // contents all aged past the horizon — pure crash debris, invisible
+    // to every reader, removable whole
+    val dead = new HPath(root, ".compact-dead")
+    fs.mkdirs(dead)
+    plant(fs, new HPath(dead, "part-0.col"), "bytes", old = true)
+    plant(fs, new HPath(dead, "part-1.col"), "bytes", old = true)
+    fs.setTimes(dead, System.currentTimeMillis() - 10 * 3600_000L, -1)
+    // a LIVE scratch: one fresh file keeps the whole tree (a running
+    // maintenance job keeps landing files there)
+    val liveDir = new HPath(root, ".compact-live")
+    fs.mkdirs(liveDir)
+    plant(fs, new HPath(liveDir, "part-old.col"), "bytes", old = true)
+    plant(fs, new HPath(liveDir, "part-new.col"), "bytes", old = false)
+    fs.setTimes(liveDir, System.currentTimeMillis() - 10 * 3600_000L, -1)
+    val swept = ColeOrphans.removeOrphans(t, conf, 3600_000L, dryRun = false)
+    assert(swept.map(_.path) === Seq(".compact-dead"))
+    assert(swept.head.sizeBytes === 10L) // both files counted
+    assert(!fs.exists(dead))
+    assert(fs.exists(new HPath(liveDir, "part-old.col")),
+      "a live scratch survives whole — even its old files")
+    assert(spark.read.format("cole").load(t).count() === 10L)
+    fs.delete(liveDir, true)
+  }
+
+  private def mkJunkTable(u: String): Unit = {
+    val s = spark
+    import s.implicits._
     (0 until 10).map(i => (i.toLong, s"r$i")).toDF("id", "s")
       .coalesce(1).write.format("cole").mode("append").save(u)
     val (ufs, uroot) = ColeIO.resolve(u, conf)
