@@ -417,6 +417,13 @@ object ColeCdfStreamConf {
   val StartKey = "graft.cole.cdf.startingVersion"
   val MaxKey = "graft.cole.cdf.maxCommitsPerTrigger"
   val ConsumerKey = "graft.cole.cdf.consumerId"
+  /** How long a materialize-armed stream waits for a COW commit's change
+    * files before giving up on them (the committer evidently died
+    * between its record and its images — the loud backfill error then
+    * names the fix).
+    */
+  val MaterializeGraceKey = "graft.cole.cdf.materialize.graceMs"
+  val DefaultMaterializeGraceMs = 600000L
 }
 
 class ColeCdfMicroBatchStream(dataSchema: StructType, path: String,
@@ -482,7 +489,30 @@ class ColeCdfMicroBatchStream(dataSchema: StructType, path: String,
     // saturating: the uncapped default is Long.MaxValue and s + it wraps
     val capped =
       if (maxCommits > Long.MaxValue - s) Long.MaxValue else s + maxCommits
-    ColeCdfOffset(math.max(s, math.min(cur, capped)))
+    var end = math.max(s, math.min(cur, capped))
+    // materialize-armed defer (r14): with `graft.cole.cdf.materialize`
+    // the committer writes a removing commit's change files right AFTER
+    // its record becomes visible — a poll landing in that window must
+    // WAIT for the images (cap the batch just below the commit and pick
+    // it up next trigger), not die planning a diff it can't run. The
+    // grace bounds the wait: a commit still image-less past it was left
+    // by a dead committer — admit it and let planning raise the loud
+    // backfill error that names the fix. Unarmed streams keep the
+    // immediate loud behavior (no declared intent to wait on).
+    if (end > s &&
+        conf.getBoolean(ColeChangeFeed.MaterializeKey, false)) {
+      val grace = conf.getLong(ColeCdfStreamConf.MaterializeGraceKey,
+        ColeCdfStreamConf.DefaultMaterializeGraceMs)
+      val now = System.currentTimeMillis()
+      val pending = ColeVersions.recordsFrom(path, conf, s)
+        .filter(r => r.version > s && r.version <= end)
+        .sortBy(_.version)
+        .find(r => r.removes.nonEmpty && r.op != "compact" &&
+          r.op != "rollback" && now - r.ts < grace &&
+          !ColeChangeFeed.isMaterialized(path, conf, r.version))
+      pending.foreach(r => end = r.version - 1)
+    }
+    ColeCdfOffset(end)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

@@ -180,6 +180,50 @@ class ColeCdfStreamSpec extends AnyFunSuite {
     } finally spark.conf.unset(ColeChangeFeed.MaterializeKey)
   }
 
+  test("materialize-armed stream DEFERS an image-less COW commit instead of dying") {
+    val s = spark
+    import s.implicits._
+    val t = s"$warehouse/db/defer"
+    (0 until 100).map(i => (i.toLong, i % 5)).toDF("k", "g").coalesce(1)
+      .write.format("cole").mode("overwrite").save(t)
+    spark.sql("CALL cdf.system.versioning('db.defer')") // v1
+    // an ARMED stream: it declares the intent "every COW commit will be
+    // materialized by its committer — wait for the images"
+    spark.conf.set(ColeChangeFeed.MaterializeKey, "true")
+    val cp = Files.createTempDirectory("cole_cdf_cp_defer").toString
+    val q = spark.readStream.format("cole").option("changeFeed", "true")
+      .load(t)
+      .writeStream.format("memory").queryName("cdf_defer")
+      .option("checkpointLocation", cp).start()
+    try {
+      q.processAllAvailable() // v1 served
+      assert(spark.table("cdf_defer").count() === 100L)
+      // the race window, held open: a COW delete whose committer has
+      // written its record but NOT YET its change files (simulated by
+      // running the DML with the materialize conf off — the stream's
+      // own conf stays armed from its creation)
+      spark.conf.unset(ColeChangeFeed.MaterializeKey)
+      spark.sql("DELETE FROM cdf.db.defer WHERE k >= 90") // v2, image-less
+      assert(!ColeChangeFeed.isMaterialized(t, conf, 2L))
+      // pre-fix the stream DIED here planning v2; now it must WAIT —
+      // caught up with nothing served past v1, and still alive
+      q.processAllAvailable()
+      assert(q.isActive, "an armed stream must defer, not die")
+      assert(spark.table("cdf_defer")
+        .filter(col(ColeChangeFeed.ChangeTypeCol) === "delete").count() === 0L)
+      // the committer's images land (backfill == the delayed write)
+      spark.sql("CALL cdf.system.materialize_cdf('db.defer', 2)")
+      q.processAllAvailable()
+      val dels = spark.table("cdf_defer")
+        .filter(col(ColeChangeFeed.ChangeTypeCol) === "delete")
+      assert(dels.count() === 10L)
+      assert(dels.agg(min("k")).head().getLong(0) === 90L)
+    } finally {
+      q.stop()
+      spark.conf.unset(ColeChangeFeed.MaterializeKey)
+    }
+  }
+
   test("startingVersion skips history; maxCommitsPerTrigger paces the backlog") {
     val s = spark
     import s.implicits._

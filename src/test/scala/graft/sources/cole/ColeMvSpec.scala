@@ -180,6 +180,38 @@ class ColeMvSpec extends AnyFunSuite {
     assert(st2.keysTouched === 0L)
   }
 
+  test("an MV stays fresh under a CDF-driven stream (continuous maintenance)") {
+    val src = mkSource("mv_stream", 0 until 100)
+    val mv = s"$warehouse/db/mv_stream_agg"
+    ColeMv.create(spark, src, mv, Seq("k"), aggs)
+    // the change-feed stream is the TRIGGER; each micro-batch advances
+    // the MV from its own watermark (batch replays are harmless — the
+    // watermark makes them no-ops), so the MV tracks the source with
+    // O(delta) work per trigger and exactly-once state
+    val cp = Files.createTempDirectory("mv_stream_cp").toString
+    // a STREAMED feed needs DML commits to write change files (the batch
+    // feed the refresh itself uses runs the diff join instead)
+    spark.conf.set("graft.cole.cdf.materialize", "true")
+    val q = spark.readStream.format("cole").option("changeFeed", "true")
+      .load(src)
+      .writeStream.foreachBatch {
+        (_: org.apache.spark.sql.DataFrame, _: Long) =>
+          ColeMv.refresh(spark, mv, "mvw.db.mv_stream_agg"); ()
+      }.option("checkpointLocation", cp).start()
+    try {
+      rows(100 until 200).coalesce(1).write.format("cole").mode("append")
+        .save(src)
+      q.processAllAvailable()
+      assert(actual(mv) === expected(src))
+      spark.sql("DELETE FROM mvw.db.mv_stream WHERE k = 'k2' AND p > 9")
+      q.processAllAvailable()
+      assert(actual(mv) === expected(src))
+    } finally {
+      q.stop()
+      spark.conf.unset("graft.cole.cdf.materialize")
+    }
+  }
+
   test("guardrails: unversioned source, double create, not-an-mv refresh") {
     val plain = s"$warehouse/db/mv_plain"
     rows(0 until 10).coalesce(1).write.format("cole").mode("overwrite")
