@@ -245,8 +245,12 @@ object ColeMv {
     try {
       var d = readDefinition(mv, conf)
       // a crashed refresh left its intent: recover it absolutely before
-      // anything differential runs against an unknown MV state
-      d.inflight.foreach { toV =>
+      // anything differential runs against an unknown MV state. A FULL
+      // refresh skips the recovery — the overwrite supersedes any
+      // half-applied state absolutely, and recovery must not be able to
+      // block the escape hatch (its own feed read fails on exactly the
+      // rollback/expired ranges full exists to resynchronize past).
+      if (!full) d.inflight.foreach { toV =>
         recoverInflight(spark, mv, mvQualified, d, toV)
         d = d.copy(appliedVersion = toV, inflight = None)
       }
@@ -298,11 +302,19 @@ object ColeMv {
         }
         val keyEq = d.groupBy.map(k => col(s"m.`$k`") <=> col(s"d.`$k`"))
           .reduce(_ && _)
-        val mvNow = spark.read.format("cole").load(mv).alias("m")
 
         // keys whose delta alone decides them (no delete, or no min/max)
-        val deltaOnly = delta.filter(
-          if (hasMinMax) col("_d_hasdel") === 0 else lit(true)).alias("d")
+        val deltaOnlyCond =
+          if (hasMinMax) col("_d_hasdel") === 0 else lit(true)
+        val deltaOnly = delta.filter(deltaOnlyCond).alias("d")
+        // the old-values lookup must not scan the whole MV for a small
+        // delta: the same per-column IN prefilter the recompute scan
+        // uses lets the MV's stat skipping prune untouched files
+        val dKeyRows = smallKeyRows(
+          delta.filter(deltaOnlyCond).select(d.groupBy.map(col): _*))
+        val mvNow = keyPrefilter(
+          spark.read.format("cole").load(mv).alias("m"), "m",
+          d.groupBy, dKeyRows)
         val joined = deltaOnly.join(mvNow, keyEq, "left")
         def newCnt = coalesce(col(s"m.`$CntCol`"), lit(0L)) + col("_d_cnt")
         val deltaOut: Seq[Column] = d.aggs.map {
@@ -368,6 +380,37 @@ object ColeMv {
     writeDefinition(mv, conf, d.copy(appliedVersion = toV, inflight = None))
   }
 
+  /** The touched-key rows when there are few enough to push into scans
+    * (one bounded collect), None above the limit.
+    */
+  private def smallKeyRows(keys: DataFrame)
+      : Option[Array[org.apache.spark.sql.Row]] = {
+    val rows = keys.limit(InPushLimit + 1).collect()
+    if (rows.length > InPushLimit) None else Some(rows)
+  }
+
+  /** Per-column IN prefilter over `df`'s aliased key columns — the
+    * stat-skipping prune for key-targeted scans; identity when the key
+    * set was too large to travel ([[smallKeyRows]] returned None). The
+    * caller's null-safe join keeps the match exact either way.
+    */
+  private def keyPrefilter(df: DataFrame, alias: String,
+      groupBy: Seq[String],
+      keyRows: Option[Array[org.apache.spark.sql.Row]]): DataFrame =
+    keyRows.fold(df) { rows =>
+      groupBy.zipWithIndex.foldLeft(df) { case (acc, (k, i)) =>
+        val vals = rows.map(_.get(i)).distinct
+        val nonNull = vals.filter(_ != null)
+        val cond =
+          if (nonNull.isEmpty) col(s"$alias.`$k`").isNull
+          else if (nonNull.length == vals.length)
+            col(s"$alias.`$k`").isin(nonNull.toIndexedSeq: _*)
+          else col(s"$alias.`$k`").isin(nonNull.toIndexedSeq: _*) ||
+            col(s"$alias.`$k`").isNull
+        acc.filter(cond)
+      }
+    }
+
   /** Absolute (MV-state-free) merge rows for `keysDf`: each key's full
     * re-aggregate over `snap`, plus explicit dead rows for keys with no
     * surviving source rows. None when the key set is empty. Returns
@@ -380,25 +423,8 @@ object ColeMv {
     try {
       val nKeys = keys.count()
       if (nKeys == 0) return None
-      // per-column IN prefilter when the key set is small enough to
-      // travel in the plan (stat skipping prunes source files); the
-      // null-safe join below is what makes the key match exact
-      val srcAliased = snap.alias("s")
-      val prefiltered =
-        if (nKeys <= InPushLimit) {
-          val keyRows = keys.collect()
-          d.groupBy.zipWithIndex.foldLeft(srcAliased) { case (df, (k, i)) =>
-            val vals = keyRows.map(_.get(i)).distinct
-            val nonNull = vals.filter(_ != null)
-            val cond =
-              if (nonNull.length == vals.length)
-                col(s"s.`$k`").isin(nonNull.toIndexedSeq: _*)
-              else if (nonNull.isEmpty) col(s"s.`$k`").isNull
-              else col(s"s.`$k`").isin(nonNull.toIndexedSeq: _*) ||
-                col(s"s.`$k`").isNull
-            df.filter(cond)
-          }
-        } else srcAliased
+      val prefiltered = keyPrefilter(snap.alias("s"), "s", d.groupBy,
+        if (nKeys <= InPushLimit) Some(keys.collect()) else None)
       val recKeyEq = d.groupBy.map(k => col(s"s.`$k`") <=> col(s"r.`$k`"))
         .reduce(_ && _)
       val affected = prefiltered.join(keys.alias("r"), recKeyEq, "leftsemi")

@@ -180,6 +180,27 @@ class ColeMvSpec extends AnyFunSuite {
     assert(st2.keysTouched === 0L)
   }
 
+  test("full refresh escapes a leftover inflight whose recovery can't run") {
+    val src = mkSource("mv_esc", 0 until 60)
+    val mv = s"$warehouse/db/mv_esc_agg"
+    ColeMv.create(spark, src, mv, Seq("k"), aggs) // wm = 1
+    rows(60 until 90).coalesce(1).write.format("cole").mode("append")
+      .save(src) // v2
+    spark.sql("CALL mvw.system.rollback('db.mv_esc', 1)") // v3 = rollback
+    // a crashed refresh's intent spanning the rollback: its recovery
+    // feed read (1, 3] refuses — the FULL escape hatch must still work
+    val d = ColeMv.readDefinition(mv, conf)
+    ColeMv.writeDefinition(mv, conf, d.copy(inflight = Some(3L)))
+    val loud = intercept[Exception] {
+      ColeMv.refresh(spark, mv, "mvw.db.mv_esc_agg")
+    }
+    assert(loud.getMessage.contains("rollback"))
+    ColeMv.refresh(spark, mv, "mvw.db.mv_esc_agg", full = true)
+    assert(actual(mv) === expected(src))
+    val after = ColeMv.readDefinition(mv, conf)
+    assert(after.appliedVersion === 3L && after.inflight.isEmpty)
+  }
+
   test("an MV stays fresh under a CDF-driven stream (continuous maintenance)") {
     val src = mkSource("mv_stream", 0 until 100)
     val mv = s"$warehouse/db/mv_stream_agg"
