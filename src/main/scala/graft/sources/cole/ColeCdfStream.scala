@@ -483,9 +483,19 @@ class ColeCdfMicroBatchStream(dataSchema: StructType, path: String,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[ColeCdfOffset].version
-    val cur = availableNowCap.fold(
-      ColeVersions.currentVersion(path, conf))(
-      math.min(_, ColeVersions.currentVersion(path, conf)))
+    // the offset ceiling comes from the COMPLETE records, never from the
+    // raw sequence listing: a commit's record file is listable the moment
+    // its exclusive create lands, BEFORE its body (and terminal `end`)
+    // is written — a poll in that window would otherwise advance the
+    // offset past a commit recordsFrom cannot yet see, skipping the
+    // materialize-armed defer below (and, on an unlucky unarmed poll,
+    // tripping planInputPartitions' dense-continuity require on a batch
+    // whose only record is still in flight). Same listing cost as
+    // maxSeq; new records parse once into the cache that planning reads
+    // anyway.
+    val recs = ColeVersions.recordsFrom(path, conf, s)
+    val newest = recs.lastOption.map(_.version).getOrElse(s)
+    val cur = availableNowCap.fold(newest)(math.min(_, newest))
     // saturating: the uncapped default is Long.MaxValue and s + it wraps
     val capped =
       if (maxCommits > Long.MaxValue - s) Long.MaxValue else s + maxCommits
@@ -504,7 +514,7 @@ class ColeCdfMicroBatchStream(dataSchema: StructType, path: String,
       val grace = conf.getLong(ColeCdfStreamConf.MaterializeGraceKey,
         ColeCdfStreamConf.DefaultMaterializeGraceMs)
       val now = System.currentTimeMillis()
-      val pending = ColeVersions.recordsFrom(path, conf, s)
+      val pending = recs
         .filter(r => r.version > s && r.version <= end)
         .sortBy(_.version)
         .find(r => r.removes.nonEmpty && r.op != "compact" &&

@@ -64,6 +64,46 @@ class ColeCdfStreamSpec extends AnyFunSuite {
       .sortBy(_.mkString("|")).toSeq
   }
 
+  test("latestOffset never advances past an IN-FLIGHT commit record") {
+    val s = spark
+    import s.implicits._
+    val t = s"$warehouse/db/inflight"
+    (0 until 20).map(i => (i.toLong, 1)).toDF("k", "b").coalesce(1)
+      .write.format("cole").mode("overwrite").save(t)
+    spark.sql("CALL cdf.system.versioning('db.inflight')") // v1
+    // a committer's record file is LISTABLE the moment its exclusive
+    // create lands, before the body (and terminal `end`) flushes — hold
+    // that window open by hand: a v2 record with no `end`
+    val inflight = java.nio.file.Paths.get(
+      s"$t/${ColeVersions.DirName}/v${"%012d".format(2)}")
+    java.nio.file.Files.writeString(inflight,
+      s"ts:${System.currentTimeMillis()}\nop:delete\nrm:a|retired/x/a\n")
+    try {
+      val schema = spark.read.format("cole").load(t).schema
+      val stream = new ColeCdfScan(schema, t, conf)
+        .toMicroBatchStream(Files.createTempDirectory("cdf_inflight_cp").toString)
+        .asInstanceOf[ColeCdfMicroBatchStream]
+      // a poll in the window must cap at v1 (the last COMPLETE record),
+      // never at the raw max sequence — pre-fix it returned 2 and the
+      // batch (1, 2] then planned a commit recordsFrom cannot yet see
+      // (flaky defer skips / spurious dense-continuity failures)
+      val end = stream.latestOffset(ColeCdfOffset(1L),
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+      assert(end.asInstanceOf[ColeCdfOffset].version === 1L,
+        "offset must not advance past an in-flight record")
+    } finally java.nio.file.Files.delete(inflight)
+    // window closed (commit completed): the next poll admits it
+    (20 until 30).map(i => (i.toLong, 2)).toDF("k", "b").coalesce(1)
+      .write.format("cole").mode("append").save(t) // a real v2
+    val stream2 = new ColeCdfScan(
+      spark.read.format("cole").load(t).schema, t, conf)
+      .toMicroBatchStream(Files.createTempDirectory("cdf_inflight_cp2").toString)
+      .asInstanceOf[ColeCdfMicroBatchStream]
+    val end2 = stream2.latestOffset(ColeCdfOffset(1L),
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+    assert(end2.asInstanceOf[ColeCdfOffset].version === 2L)
+  }
+
   test("append-only history streams as inserts, parity with the batch feed") {
     val s = spark
     import s.implicits._
