@@ -2190,6 +2190,109 @@ object ColeSuite {
               FROM events
               WHERE ts >= TIMESTAMP '2024-01-14 00:00:00'
                 AND ts < TIMESTAMP '2024-01-18 00:00:00'
-              GROUP BY event_type ORDER BY event_type"""))
+              GROUP BY event_type ORDER BY event_type""")),
+
+    // #165 column DEFAULT values (graft.sources.cole.ColeDefaults): two
+    // thirds of orders land, then `ALTER TABLE ADD COLUMN ... DEFAULT`
+    // declares cls/bonus — pre-evolution rows READ the exists-default
+    // (folded at ADD time, no rewrite); the last third inserts half with
+    // explicit values and half through an INSERT that OMITS the columns
+    // (Spark's analyzer fills the current default via the catalog
+    // capability). The grouped aggregate spans all three populations —
+    // pre-evolution fill, explicit values, and INSERT-side defaults —
+    // and the oracle reconstructs them with CASE arithmetic.
+    Q("cole_default_values", (s, d) => {
+      val wh = "/tmp/graft_cole/warehouse"
+      s.conf.set("spark.sql.catalog.cole", "graft.sources.cole.ColeCatalog")
+      s.conf.set("spark.sql.catalog.cole.warehouse", wh)
+      val ns = s"v${writerFingerprint}_dflt_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val dir = s"$wh/$ns/ord"
+      writeOnce(dir) {
+        val ord = Tables.orders(s, d)
+          .select(col("o_orderkey"),
+            round(col("o_totalprice") * 100).cast("long").as("price_c"))
+        ord.filter(col("o_orderkey") % 3 =!= 0)
+          .write.format("cole").mode("overwrite").save(dir)
+        s.sql(s"ALTER TABLE cole.$ns.ord ADD COLUMN cls STRING DEFAULT 'std'")
+        s.sql(s"ALTER TABLE cole.$ns.ord ADD COLUMN bonus BIGINT DEFAULT 5")
+        ord.filter(col("o_orderkey") % 3 === 0 && col("o_orderkey") % 2 === 0)
+          .withColumn("cls", lit("exp"))
+          .withColumn("bonus", col("o_orderkey") % 7)
+          .createOrReplaceTempView("graft_dflt_exp")
+        s.sql(s"INSERT INTO cole.$ns.ord SELECT * FROM graft_dflt_exp")
+        ord.filter(col("o_orderkey") % 3 === 0 && col("o_orderkey") % 2 === 1)
+          .createOrReplaceTempView("graft_dflt_std")
+        s.sql(s"INSERT INTO cole.$ns.ord (o_orderkey, price_c) " +
+          "SELECT * FROM graft_dflt_std")
+      }
+      s.table(s"cole.$ns.ord")
+        .groupBy("cls")
+        .agg(count(lit(1)).as("n"), sum("price_c").as("sum_price_c"),
+          sum("bonus").as("sum_bonus"),
+          min("o_orderkey").as("mn_key"), max("o_orderkey").as("mx_key"))
+        .orderBy("cls")
+    },
+      Some("""WITH t AS (SELECT o_orderkey,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c,
+                  CASE WHEN o_orderkey % 3 <> 0 OR o_orderkey % 2 = 1
+                       THEN 'std' ELSE 'exp' END AS cls,
+                  CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 2 = 0
+                       THEN o_orderkey % 7 ELSE 5 END AS bonus
+                FROM orders)
+              SELECT cls, COUNT(*) AS n,
+                CAST(SUM(price_c) AS BIGINT) AS sum_price_c,
+                CAST(SUM(bonus) AS BIGINT) AS sum_bonus,
+                MIN(o_orderkey) AS mn_key, MAX(o_orderkey) AS mx_key
+              FROM t GROUP BY cls ORDER BY cls""")),
+
+    // #166 zero-copy CLONE (graft.sources.cole.ColeClone): three quarters
+    // of lineitem land versioned, `CALL cole.system.clone` materializes
+    // an instant dev copy that holds NO data bytes (a pin ref in the
+    // source + a pointer sidecar), the SOURCE then churns — row-level
+    // DELETE (retiring files), compaction, version expiry — while the
+    // clone keeps serving its pinned snapshot through the source's
+    // retired-path resolution, and the last quarter APPENDS to the clone
+    // as ordinary local files. The measured aggregate spans foreign +
+    // local; the oracle is the full table (pinned 3/4 + appended 1/4).
+    Q("cole_clone", (s, d) => {
+      val wh = "/tmp/graft_cole/warehouse"
+      s.conf.set("spark.sql.catalog.cole", "graft.sources.cole.ColeCatalog")
+      s.conf.set("spark.sql.catalog.cole.warehouse", wh)
+      val ns = s"v${writerFingerprint}_cln_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val srcDir = s"$wh/$ns/li"
+      val dstDir = s"$wh/$ns/dev"
+      val conf = graft.sources.cole.ColeIO.driverConf()
+      writeOnce(dstDir) {
+        // reset partial source state: the whole sequence is one fixture
+        val (fs, sp) = graft.sources.cole.ColeIO.resolve(srcDir, conf)
+        fs.delete(sp, true)
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            round(col("l_quantity") * 100).cast("long").as("qty_c"))
+        li.filter(col("l_orderkey") % 4 =!= 0)
+          .write.format("cole").mode("overwrite").save(srcDir)
+        graft.sources.cole.ColeVersions.enable(srcDir, conf) // v1
+        s.sql(s"CALL cole.system.clone('$ns.li', '$ns.dev')")
+        // source churn the clone must be immune to
+        s.sql(s"DELETE FROM cole.$ns.li WHERE l_returnflag = 'R'") // v2
+        s.sql(s"CALL cole.system.compact('$ns.li', 64)")
+        s.sql(s"CALL cole.system.expire_versions('$ns.li', 1)")
+        li.filter(col("l_orderkey") % 4 === 0)
+          .write.format("cole").mode("append").save(dstDir)
+      }
+      s.table(s"cole.$ns.dev")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("qty_c").as("sum_qty_c"),
+          sum("l_linenumber").as("sum_line"),
+          min("l_orderkey").as("mn_key"), max("l_orderkey").as("mx_key"))
+        .orderBy("l_returnflag")
+    },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+                CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_qty_c,
+                CAST(SUM(l_linenumber) AS BIGINT) AS sum_line,
+                MIN(l_orderkey) AS mn_key, MAX(l_orderkey) AS mx_key
+              FROM lineitem
+              GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

@@ -556,8 +556,19 @@ object ColeCatalog {
 }
 
 class ColeCatalog extends TableCatalog with FunctionCatalog
-    with SupportsNamespaces with ProcedureCatalog {
+    with SupportsNamespaces with ProcedureCatalog with StagingTableCatalog {
   private var catalogName: String = _
+
+  /** Column DEFAULT values (ANSI `DEFAULT`): declaring the capability is
+    * what makes Spark's analyzer resolve `INSERT INTO t (a, b)` subsets
+    * and the `DEFAULT` keyword against the CURRENT_DEFAULT metadata the
+    * schema carries — the connector never sees a missing column on the
+    * write path (see [[ColeDefaults]] for the read-side exists default).
+    */
+  override def capabilities(): util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
   private var warehouse: String = _
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
@@ -579,6 +590,9 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
     val (fs, p) = ColeIO.resolve(dir, conf)
     if (!fs.exists(p)) throw new NoSuchNamespaceException(namespace)
     fs.listStatus(p).filter(_.isDirectory)
+      // dotted dirs are connector scratch (CTAS staging, swap tombstones),
+      // never tables
+      .filterNot(_.getPath.getName.startsWith("."))
       .map(s => Identifier.of(namespace, s.getPath.getName))
   }
 
@@ -652,7 +666,14 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
         if (legal) f.copy(dataType = dt) else f
       }
     }
-    val schema = StructType(fileFieldsWidened ++ declaredExtras ++ partFields)
+    // column DEFAULT metadata lives only in the _tablespec (footers never
+    // carry it): re-attach by name, so CURRENT_DEFAULT drives INSERT
+    // resolution and EXISTS_DEFAULT drives the read-side fill for files
+    // that predate the column (ColeDefaults)
+    val defaulted = specFields.filter(ColeDefaults.hasDefaultKeys)
+      .map(f => f.name -> f.metadata).toMap
+    val schema = StructType((fileFieldsWidened ++ declaredExtras ++ partFields)
+      .map(f => defaulted.get(f.name).fold(f)(m => f.copy(metadata = m))))
     new ColeTable(schema, partFields.map(_.name),
       Map("path" -> path) ++ checkProps(path), bucketSpec)
   }
@@ -751,6 +772,17 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
     if (fs.exists(p) && (ColeIO.listPartitioned(path, conf).nonEmpty ||
         ColeCatalog.readTableSpec(path, conf).isDefined))
       throw new TableAlreadyExistsException(ident)
+    materializeTable(path, schema, partitions, properties)
+  }
+
+  /** The body of CREATE TABLE at an explicit directory — shared by the
+    * direct path and the atomic-CTAS staging path ([[stageCreate]]),
+    * which materializes into a dotted sibling and renames in at commit.
+    */
+  private def materializeTable(path: String, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): ColeTable = {
+    val (fs, p) = ColeIO.resolve(path, conf)
     if (!fs.exists(p)) fs.mkdirs(p)
     // decode transforms: identity → hive partition columns, bucket →
     // spec, years/months/days/hours → temporal derivation
@@ -792,6 +824,24 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
       ColeTemporal.writeSpec(path, conf, sp)
     }
     bucketSpec.foreach { case (n, cs) => ColeBucket.writeSpec(path, conf, n, cs) }
+    // column DEFAULT values (`c INT DEFAULT 5`): arrive as CURRENT_DEFAULT
+    // / EXISTS_DEFAULT field metadata. Validate at declaration — supported
+    // type, constant, castable, and never on a layout column (partition
+    // directories, bucket routing and temporal derivation read the REAL
+    // value; a default there is a routing trap)
+    schema.fields.filter(ColeDefaults.hasDefaultKeys).foreach { f =>
+      require(!partCols.contains(f.name) &&
+          !bucketSpec.exists(_._2.contains(f.name)) &&
+          !temporal.exists(_.src == f.name),
+        s"DEFAULT is not supported on partition/bucket/temporal column " +
+          s"'${f.name}'")
+      require(ColeDefaults.supported(f.dataType),
+        s"DEFAULT is supported on INT/BIGINT/STRING/DOUBLE/TIMESTAMP/" +
+          s"DECIMAL columns; '${f.name}' is ${f.dataType.simpleString}")
+      if (f.metadata.contains(ColeDefaults.CurrentKey))
+        ColeDefaults.eval(f.metadata.getString(ColeDefaults.CurrentKey),
+          f.dataType) // loud now, not at first INSERT
+    }
     // normalize partition columns to the END of the declared schema: once
     // data lands, loadTable resolves partition columns after data columns
     // (directory keys are not in the footers) — persisting the declared
@@ -824,6 +874,54 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
     }
     new ColeTable(normalized, partCols, properties.asScala.toMap + ("path" -> path),
       bucketSpec)
+  }
+
+  // ---- atomic CTAS / RTAS (StagingTableCatalog): the table materializes
+  // in a DOTTED sibling directory (invisible to listTables and table
+  // resolution), the CTAS write lands there, and commitStagedChanges
+  // renames it into place — a failed or killed CTAS never leaves a
+  // half-written visible table, and REPLACE TABLE AS SELECT never
+  // exposes an intermediate empty table. Spark's default-method chain
+  // (TableInfo → Column[] → StructType) funnels every variant here with
+  // column DEFAULT metadata intact.
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    if (physicalTableExists(ident)) throw new TableAlreadyExistsException(ident)
+    stage(ident, schema, partitions, properties, ColeStagedTable.Create)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    if (!physicalTableExists(ident))
+      throw new NoSuchTableException(ident)
+    stage(ident, schema, partitions, properties, ColeStagedTable.Replace)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties, ColeStagedTable.CreateOrReplace)
+
+  private def physicalTableExists(ident: Identifier): Boolean = {
+    val path = tablePath(ident)
+    val (fs, p) = ColeIO.resolve(path, conf)
+    fs.exists(p) && (ColeIO.listPartitioned(path, conf).nonEmpty ||
+      ColeCatalog.readTableSpec(path, conf).isDefined)
+  }
+
+  private def stage(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String],
+      mode: ColeStagedTable.Mode): StagedTable = {
+    val target = tablePath(ident)
+    val slash = target.lastIndexOf('/')
+    val nonce = java.lang.Long.toHexString(System.nanoTime())
+    val scratch = target.substring(0, slash + 1) +
+      s".${target.substring(slash + 1)}.staging-$nonce"
+    val inner = materializeTable(scratch, schema, partitions, properties)
+    new ColeStagedTable(inner, ident, target, scratch, mode, conf)
   }
 
   /** `ALTER TABLE ADD COLUMN(S)`: appended nullable columns only — the
@@ -898,9 +996,13 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
           s"column '${a.fieldNames.head}' was previously dropped; old " +
             "files still store its values — pick a new name, or rewrite " +
             "the table to purge the stored column first")
-        val f = StructField(a.fieldNames.head, a.dataType, nullable = true)
-        ColeUtil.toColeColumns(StructType(Seq(f))) // type supported, or loud
-        f
+        val f0 = StructField(a.fieldNames.head, a.dataType, nullable = true)
+        ColeUtil.toColeColumns(StructType(Seq(f0))) // type supported, or loud
+        // ADD COLUMN ... DEFAULT d: CURRENT_DEFAULT = the declared SQL
+        // (future INSERTs), EXISTS_DEFAULT = d folded to a literal NOW —
+        // what every pre-existing row reads, immutable from here on
+        // (SET DEFAULT later changes only the INSERT side)
+        Option(a.defaultValue()).fold(f0)(ColeDefaults.withDefault(f0, _))
     }
     // ALTER TABLE DROP COLUMN: metadata-only — the name leaves the
     // resolved schema (old footers keep the bytes, invisible), new writes
@@ -989,11 +1091,27 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
             "the table for other changes")
         (name, uc.newDataType)
     }.toMap
+    // ALTER COLUMN SET/DROP DEFAULT — metadata-only: updates the CURRENT
+    // default (future INSERTs); the EXISTS default pre-existing rows read
+    // was folded at ADD time and never moves (standard initial-default
+    // semantics — a SET DEFAULT must not rewrite history)
+    val defaultUpdates: Map[String, Option[String]] = changes.collect {
+      case u: TableChange.UpdateColumnDefaultValue =>
+        require(u.fieldNames.length == 1,
+          "COLE supports only top-level ALTER COLUMN SET/DROP DEFAULT")
+        val name = u.fieldNames.head
+        require(current.schema().fieldNames.contains(name),
+          s"column '$name' does not exist")
+        require(!partCols.contains(name),
+          s"DEFAULT is not supported on partition column '$name'")
+        name -> Option(u.newDefaultValue()).filter(_.trim.nonEmpty)
+    }.toMap
     val unsupported = changes.filterNot(c =>
       c.isInstanceOf[TableChange.AddColumn] ||
         c.isInstanceOf[TableChange.DeleteColumn] ||
         c.isInstanceOf[TableChange.RenameColumn] ||
         c.isInstanceOf[TableChange.UpdateColumnType] ||
+        c.isInstanceOf[TableChange.UpdateColumnDefaultValue] ||
         (c match { // CHECK-constraint properties, handled above
           case sp: TableChange.SetProperty =>
             sp.property.startsWith(ColeChecks.PropPrefix)
@@ -1014,7 +1132,9 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
           "files still carry its values — pick a new name or rewrite")
     }
     val renamedFields = current.schema().fields.map { f0 =>
-      val f = widenedNow.get(f0.name).fold(f0)(dt => f0.copy(dataType = dt))
+      val f1 = widenedNow.get(f0.name).fold(f0)(dt => f0.copy(dataType = dt))
+      val f = defaultUpdates.get(f1.name)
+        .fold(f1)(ColeDefaults.withCurrentDefault(f1, _))
       renamedNow.collectFirst { case (old, nw) if old == f.name => nw }
         .fold(f)(nw => f.copy(name = nw))
     }
@@ -1379,6 +1499,25 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
       }
       // crash-leftover cleanup: unreferenced data files / dead dotted
       // temps older than the age horizon; dry_run lists without deleting
+      case "clone" => procedure("clone",
+        Seq("source" -> (StringType: DataType),
+          "dest" -> (StringType: DataType),
+          "version" -> (LongType: DataType),
+          "deep" -> (BooleanType: DataType)),
+        StructType(Seq(
+          StructField("pinned_version", LongType),
+          StructField("foreign_files", LongType))),
+        defaults = Map("version" -> "0", "deep" -> "false")) { in =>
+        val v = if (in.getLong(2) == 0L) None else Some(in.getLong(2))
+        val (pv, n) = ColeClone.clone(procTablePath(in.getString(0)),
+          procTablePath(in.getString(1)), v, in.getBoolean(3), conf)
+        Array(Array[Any](pv, n.toLong))
+      }
+      case "localize" => procedure("localize", tableArg,
+        StructType(Seq(StructField("copied_files", LongType)))) { in =>
+        Array(Array[Any](
+          ColeClone.localize(procTablePath(in.getString(0)), conf).toLong))
+      }
       case "remove_orphan_files" => procedure("remove_orphan_files",
         tableArg ++ Seq("older_than_hours" -> (LongType: DataType),
           "dry_run" -> (BooleanType: DataType)),
@@ -1391,7 +1530,7 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
           .map(o => Array[Any](o.path, o.sizeBytes)).toArray
       }
       case other => throw new IllegalArgumentException(
-        s"unknown procedure cole.system.$other (versioning|rollback|" +
+        s"unknown procedure cole.system.$other (versioning|rollback|clone|localize|" +
           "expire_versions|vacuum|compact|audit|repair|zorder|bloom_index|" +
           "delete_mode|materialize_cdf|checkpoint|create_tag|drop_tag|" +
           "create_branch|drop_branch|fast_forward|remove_orphan_files|" +
@@ -1401,6 +1540,9 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
 
   override def dropTable(ident: Identifier): Boolean = {
     val (fs, p) = ColeIO.resolve(tablePath(ident), conf)
+    // dropping a zero-copy clone releases its pin in the SOURCE — the
+    // pinned history becomes expirable again
+    ColeClone.onDrop(tablePath(ident), conf)
     // the version-record cache is path-keyed: a re-CREATE at this path
     // must never see this table's cached deltas
     ColeVersions.invalidateCache(fs, tablePath(ident))
@@ -1471,4 +1613,96 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
     else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   override def functionExists(ident: Identifier): Boolean = ident.name() == "bucket"
+}
+
+object ColeStagedTable {
+  sealed trait Mode
+  /** CTAS: the target must not exist at commit. */
+  case object Create extends Mode
+  /** RTAS: the target must exist (checked at stage time). */
+  case object Replace extends Mode
+  /** CREATE OR REPLACE TABLE AS SELECT: either way. */
+  case object CreateOrReplace extends Mode
+}
+
+/** A staged CTAS/RTAS table ([[ColeCatalog.stageCreate]]): a fully
+  * functional [[ColeTable]] rooted in a dotted staging directory — the
+  * CTAS write lands there with the table's declared layout (partitions,
+  * buckets, CHECKs, defaults, versioning) — plus the commit/abort pair.
+  *
+  * Commit is rename-based: CREATE renames the staging directory to the
+  * target (a concurrent creator is detected loudly — either the rename
+  * fails, or Hadoop rename-into-existing-dir nests the dotted staging
+  * dir inside the winner's table, which the nested-path check catches
+  * and undoes); REPLACE retires the current directory to a dotted
+  * tombstone, renames the staging dir in, then deletes the tombstone.
+  * A crash between the two REPLACE renames leaves the table ABSENT with
+  * both dotted dirs intact (recoverable by hand, never a silent
+  * half-state); the dotted dirs are invisible to listTables and
+  * resolution either way. Aborts delete the staging directory.
+  */
+class ColeStagedTable(inner: ColeTable, ident: Identifier, target: String,
+    scratch: String, mode: ColeStagedTable.Mode, conf: Configuration)
+    extends StagedTable with SupportsWrite {
+
+  import org.apache.hadoop.fs.{Path => HPath}
+
+  override def name(): String = ident.toString
+  override def schema(): StructType = inner.schema()
+  override def partitioning(): Array[Transform] = inner.partitioning()
+  override def properties(): util.Map[String, String] = inner.properties()
+  override def capabilities(): util.Set[TableCapability] = inner.capabilities()
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    inner.newWriteBuilder(info)
+
+  override def abortStagedChanges(): Unit = {
+    val (fs, sp) = ColeIO.resolve(scratch, conf)
+    fs.delete(sp, true)
+  }
+
+  override def commitStagedChanges(): Unit = {
+    val (fs, sp) = ColeIO.resolve(scratch, conf)
+    val (_, tp) = ColeIO.resolve(target, conf)
+    if (fs.exists(tp)) {
+      if (mode == ColeStagedTable.Create) {
+        fs.delete(sp, true)
+        throw new TableAlreadyExistsException(ident)
+      }
+      // REPLACE swap: the target is a NEW table from here — the old
+      // directory (data, version log, sidecars) retires whole. Tombstone
+      // first so a failed rename-in can restore the original.
+      val tomb = new HPath(tp.getParent,
+        s".${tp.getName}.replaced-${java.lang.Long.toHexString(System.nanoTime())}")
+      require(fs.rename(tp, tomb),
+        s"REPLACE TABLE: cannot retire current directory $tp")
+      if (!fs.rename(sp, tp)) {
+        fs.rename(tomb, tp) // restore; staging stays for inspection
+        throw new IllegalStateException(
+          s"REPLACE TABLE: staged directory $sp failed to move into place " +
+            s"— original table restored, staged data left at $sp")
+      }
+      fs.delete(tomb, true)
+    } else {
+      if (mode == ColeStagedTable.Replace) {
+        fs.delete(sp, true)
+        throw new NoSuchTableException(ident)
+      }
+      if (!fs.rename(sp, tp)) {
+        val lost = fs.exists(tp)
+        fs.delete(sp, true)
+        if (lost) throw new TableAlreadyExistsException(ident)
+        throw new IllegalStateException(
+          s"CTAS commit: cannot rename $sp to $tp")
+      }
+      // Hadoop rename into a CONCURRENTLY-created existing directory can
+      // nest the source inside it instead of failing — detect, undo, loud
+      val nested = new HPath(tp, sp.getName)
+      if (fs.exists(nested)) {
+        fs.delete(nested, true)
+        throw new TableAlreadyExistsException(ident)
+      }
+    }
+  }
 }

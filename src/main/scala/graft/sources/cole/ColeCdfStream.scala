@@ -690,7 +690,10 @@ class ColeCdfMicroBatchStream(dataSchema: StructType, path: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ColeCdfReaderFactory(dataSchema, new ColeHadoopConf(conf))
+    // exists-defaults fill absent columns of pre-evolution files in the
+    // feed too — a CDF consumer sees the same values a batch read serves
+    new ColeCdfReaderFactory(ColeDefaults.attach(dataSchema, path, conf),
+      new ColeHadoopConf(conf))
 
   override def deserializeOffset(json: String): Offset =
     ColeCdfOffset(json.trim.toLong)

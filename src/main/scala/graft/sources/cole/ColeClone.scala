@@ -1,0 +1,224 @@
+package graft.sources.cole
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileUtil, Path => HPath}
+
+/** Zero-copy table CLONE — `CALL cole.system.clone('ns.src', 'ns.dst'
+  * [, version][, deep])`.
+  *
+  * A clone materializes INSTANTLY at any table size: no data bytes move.
+  * The destination holds only sidecars — the source's table spec, CHECKs
+  * and layout histories, plus a `_clonesrc` pointer (source path + pinned
+  * version) — and every read plans the destination's own files UNION the
+  * source's file set AS OF the pinned version, resolved through the
+  * source's version log exactly like a time-travel read (retired paths
+  * included, so source-side DML/compaction after the clone never
+  * perturbs it). The pin is a first-class ref in the SOURCE
+  * (`_refs/clone/`, visible in `$refs` as type 'clone'), so
+  * `expire_versions` cannot reap the pinned history while the clone
+  * lives — the Delta shallow-clone dangling-file hazard is closed by
+  * construction.
+  *
+  * The v1 write surface is append-only: new data lands as ordinary LOCAL
+  * files (dev/test pipelines write their outputs immediately); row-level
+  * DML / truncate / overwrite / compaction — anything that would have to
+  * mutate or retire a file the SOURCE owns — rejects loudly until
+  * `CALL cole.system.localize('ns.dst')` copies the remaining foreign
+  * bytes in (cost ∝ foreign bytes, distributed, incremental and
+  * crash-safe: a locally-present path SHADOWS its foreign twin, so a
+  * re-run copies only what's missing), deletes the pointer and releases
+  * the pin — after which the clone is a plain table (versioning,
+  * DML, streams all available). `deep => true` clones and localizes in
+  * one call. Clone sources must be versioned and vector-debt-free at the
+  * pinned version (compact first — a deletion-vector pin crosses table
+  * boundaries, which serving would make silently un-droppable).
+  */
+object ColeClone {
+
+  val SidecarName = "_clonesrc"
+
+  final case class CloneSrc(src: String, version: Long, pin: String)
+
+  private def sidecar(table: String): String = s"$table/$SidecarName"
+
+  // consulted on EVERY metadata listing — cache on (mtime, len); absence
+  // is cached too (the overwhelmingly common case costs one getFileStatus)
+  private val cache = new LruCache[String, (Long, Long, CloneSrc)](4096)
+
+  /** The clone pointer of `table`, when it still references source files. */
+  def read(table: String, conf: Configuration): Option[CloneSrc] = {
+    val (fs, p) = ColeIO.resolve(sidecar(table), conf)
+    val st = try Some(fs.getFileStatus(p))
+      catch { case _: java.io.FileNotFoundException => None }
+    st match {
+      case None => None
+      case Some(status) =>
+        val key = fs.makeQualified(p).toString
+        cache.get(key) match {
+          case Some((m1, l1, c)) if m1 == status.getModificationTime &&
+              l1 == status.getLen => Some(c)
+          case _ =>
+            val in = fs.open(p)
+            val lines = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+              .split('\n').toSeq finally in.close()
+            require(lines.length >= 5 && lines.head == "1" &&
+                lines(4) == "end",
+              s"unreadable $SidecarName at $table")
+            val c = CloneSrc(lines(1), lines(2).toLong, lines(3))
+            cache.put(key, (status.getModificationTime, status.getLen, c))
+            Some(c)
+        }
+    }
+  }
+
+  /** Loud guard for operations a clone-with-foreign-files cannot honor. */
+  def requireLocal(table: String, conf: Configuration, op: String): Unit =
+    read(table, conf).foreach { cs =>
+      throw new IllegalStateException(
+        s"$op is not supported on a zero-copy clone that still references " +
+          s"source files (${cs.src} @ v${cs.version}) — run " +
+          "CALL <catalog>.system.localize('<ns.table>') first, or clone " +
+          "with deep => true")
+    }
+
+  /** The foreign half of the clone's file set: the source's files as of
+    * the pinned version, resolved at their CURRENT physical paths
+    * (retired included), minus any rel the destination already holds
+    * locally (localize shadowing). Partition values come from the
+    * ORIGINAL relative paths; the DESTINATION's rename map applies (the
+    * clone's spec was copied at clone time and evolves independently).
+    */
+  def foreignInfos(table: String, cs: CloneSrc, localRels: Set[String],
+      conf: Configuration): Seq[ColeMetaCache.FileInfo] = {
+    val files = ColeVersions.snapshotState(cs.src, conf, cs.version).files
+      .filterNot { case (rel, _) => localRels(rel) }
+    val resolved = files.map { case (rel, phys) =>
+      val parts = rel.split('/').dropRight(1).toSeq.flatMap { seg =>
+        seg.split("=", 2) match {
+          case Array(k, v) if k.nonEmpty => Some(k -> ColeIO.unescape(v))
+          case _ => None
+        }
+      }
+      (phys, parts)
+    }
+    try ColeMetaCache.applyRenames(ColeMetaCache.infosAt(resolved, conf),
+      ColeCatalog.renames(table, conf))
+    catch {
+      case e: java.io.FileNotFoundException =>
+        throw new IllegalStateException(
+          s"clone source ${cs.src} @ v${cs.version} is no longer readable: " +
+            s"${e.getMessage} — was the pin '${cs.pin}' force-dropped and " +
+            "the version expired?", e)
+    }
+  }
+
+  /** CALL cole.system.clone: pin, copy sidecars, activate. Returns
+    * (pinned version, foreign file count).
+    */
+  def clone(src: String, dst: String, version: Option[Long],
+      deep: Boolean, conf: Configuration): (Long, Int) = {
+    require(ColeVersions.enabled(src, conf),
+      s"clone needs a versioned source — enable versioning on $src first " +
+        "(a clone pins a snapshot; an unversioned table has none)")
+    val (fs, dstP) = ColeIO.resolve(dst, conf)
+    require(!fs.exists(dstP) || (fs.listStatus(dstP).isEmpty),
+      s"clone destination $dst already exists")
+    val v = version.getOrElse(ColeVersions.currentVersion(src, conf))
+    val state = ColeVersions.snapshotState(src, conf, v)
+    require(state.dvRels.isEmpty,
+      s"clone source $src carries deletion vectors at v$v — run " +
+        "CALL <catalog>.system.compact to materialize them first (a " +
+        "cross-table vector pin would make the source's debt un-droppable)")
+    // pin FIRST: from here the snapshot cannot expire; a crash before the
+    // pointer lands leaves only a droppable pin, never a broken clone
+    val pin = s"clone-${dst.replaceAll("[^A-Za-z0-9._-]", "_")
+      .takeRight(80)}-${java.lang.Long.toHexString(System.nanoTime())}"
+    ColeRefs.createClonePin(src, conf, pin, v)
+    fs.mkdirs(dstP)
+    // the pointer is the activation switch — written before the layout
+    // sidecars, so a crash mid-copy leaves a READABLE clone (layout
+    // claims absent = conservative), never a visible empty table
+    val body = s"1\n$src\n$v\n$pin\nend"
+    val out = fs.create(new HPath(dst, SidecarName), false)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    // sidecars: layout histories as-of the pin (commit-record snapshots);
+    // spec/checks verbatim — they resolve and evolve independently now
+    state.spec.foreach(writeRaw(fs, dst, ColeBucket.SpecFile, _))
+    state.tspec.foreach(writeRaw(fs, dst, ColeTemporal.SpecFile, _))
+    copyIfExists(fs, src, dst, ColeChecks.SidecarFile)
+    copyIfExists(fs, src, dst, ColeCatalog.TableSpecFile)
+    val n = state.files.size
+    if (deep) localize(dst, conf)
+    (v, n)
+  }
+
+  private def writeRaw(fs: org.apache.hadoop.fs.FileSystem, table: String,
+      name: String, content: String): Unit = {
+    val out = fs.create(new HPath(table, name), true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def copyIfExists(fs: org.apache.hadoop.fs.FileSystem, src: String,
+      dst: String, name: String): Unit = {
+    val s = new HPath(src, name)
+    if (fs.exists(s))
+      require(FileUtil.copy(fs, s, fs, new HPath(dst, name), false, true,
+        fs.getConf), s"clone sidecar copy failed: $s")
+  }
+
+  /** Copy the remaining foreign bytes in and graduate to a plain table.
+    * Distributed (one task per file), incremental (locally-present rels
+    * shadow foreign twins — a re-run after a crash copies only what's
+    * missing) and atomic per file (dotted temp + rename). Returns the
+    * number of files copied.
+    */
+  def localize(table: String, conf: Configuration): Int = {
+    val cs = read(table, conf).getOrElse(return 0) // already local: no-op
+    val (fs, root) = ColeIO.resolve(table, conf)
+    val localRels = ColeIO.listPartitioned(table, conf)
+      .map { case (st, _) => ColeVersions.relOf(fs, table, st.getPath.toString) }
+      .toSet
+    val todo = ColeVersions.snapshotState(cs.src, conf, cs.version).files
+      .filterNot { case (rel, _) => localRels(rel) }
+    val rootStr = fs.makeQualified(root).toString
+    if (todo.nonEmpty) {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val hconf = new ColeHadoopConf(conf)
+      spark.sparkContext.parallelize(todo, math.min(todo.size, 64))
+        .foreach { case (rel, phys) =>
+          val c = hconf.value
+          val (tfs, from) = ColeIO.resolve(phys, c)
+          val dest = new HPath(s"$rootStr/$rel")
+          tfs.mkdirs(dest.getParent)
+          val tmp = new HPath(dest.getParent,
+            s".${dest.getName}.localize-${java.lang.Long.toHexString(System.nanoTime())}")
+          require(FileUtil.copy(tfs, from, tfs, tmp, false, true, c),
+            s"localize copy failed: $phys")
+          if (!tfs.rename(tmp, dest)) {
+            tfs.delete(tmp, false) // a concurrent localize won this file
+            require(tfs.exists(dest), s"localize rename failed: $dest")
+          }
+          // the bytes are identical, so the source's advisory bloom
+          // sidecar stays valid — carry it (cheap, keeps skipping)
+          val bsrc = new HPath(phys + ".bloom")
+          if (tfs.exists(bsrc) && !tfs.exists(new HPath(s"$dest.bloom")))
+            FileUtil.copy(tfs, bsrc, tfs, new HPath(s"$dest.bloom"),
+              false, true, c)
+        }
+    }
+    // graduation: pointer gone, pin released — a plain table remains
+    fs.delete(new HPath(table, SidecarName), false)
+    ColeRefs.dropClonePin(cs.src, conf, cs.pin)
+    todo.size
+  }
+
+  /** DROP TABLE of a clone releases its source pin. */
+  def onDrop(table: String, conf: Configuration): Unit =
+    read(table, conf).foreach { cs =>
+      try ColeRefs.dropClonePin(cs.src, conf, cs.pin)
+      catch { case _: Exception => () } // source itself may be gone
+    }
+}

@@ -114,6 +114,9 @@ object ColeCompact {
       transform: Option[(org.apache.spark.sql.DataFrame, Int) =>
         org.apache.spark.sql.DataFrame],
       onlyDirs: Option[Set[String]] = None): Stats = {
+    // compaction retires its inputs — a clone's foreign inputs belong
+    // to the SOURCE; localize first
+    ColeClone.requireLocal(table, ColeIO.driverConf(), "compact/zorder")
     val conf = ColeIO.driverConf()
     val (fs, _) = ColeIO.resolve(table, conf)
     val dirs = ColeIO.listPartitioned(table, conf)

@@ -393,6 +393,8 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
         rejectOnBranch(s"${info.command()}")
         val p = props("path")
         val conf = ColeIO.driverConf()
+        // a zero-copy clone cannot rewrite/retire files the SOURCE owns
+        ColeClone.requireLocal(p, conf, s"${info.command()}")
         // vector-mode tables run DML merge-on-read (SupportsDelta):
         // changed row ids become deletion-vector ordinals, new images
         // land in new files — no rewrite of co-resident unmatched rows.
@@ -418,12 +420,26 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
       // exact: its scan never claims row filters)
       val cols = filters.flatMap(ColePredicate.fromFilter).map(_.column).toSet
       val infos = ColeMetaCache.infos(props("path"), ColeIO.driverConf())
+      // an exists-defaulted predicate column absent from some file also
+      // routes to the row-level path: the fast path's "absent column
+      // never matches" classification is wrong there (those rows read
+      // the default, which the condition may select)
+      val defaultedMissing = {
+        val defs = ColeDefaults.existsDefaults(props("path"),
+          ColeIO.driverConf()).keySet & cols
+        defs.exists(c => infos.exists { i =>
+          val stored = i.renamed.getOrElse(c, c)
+          !i.meta.columns.exists(_.name == stored)
+        })
+      }
       (ColeUtil.laneMixedCols(infos) & cols).isEmpty &&
-        infos.forall(i => (i.renamed.keySet & cols).isEmpty)
+        infos.forall(i => (i.renamed.keySet & cols).isEmpty) &&
+        !defaultedMissing
     }
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     rejectOnBranch("DELETE")
+    ColeClone.requireLocal(props("path"), ColeIO.driverConf(), "DELETE")
     // self-contained re-plan per attempt (fresh listing + classification)
     // and idempotent on a partially-swapped state — the auto-retry heals
     // a concurrent-write abort instead of surfacing the manual re-run
@@ -442,6 +458,9 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
     rejectOnBranch("TRUNCATE")
     val path = props("path")
     val conf = ColeIO.driverConf()
+    // truncate deletes the LISTED (local) files — on a clone the foreign
+    // half would survive, a silently wrong "empty" table
+    ColeClone.requireLocal(path, conf, "TRUNCATE")
     // persist the current schema first: once the files (the usual source
     // of truth) are gone, the emptied table must still RESOLVE
     ColeCatalog.writeTableSpec(path, conf,
@@ -823,15 +842,38 @@ class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration,
     snapshot.map(_.infos).getOrElse(ColeMetaCache.infos(path, conf))
       .flatMap(_.renamed.keySet).toSet
 
+  /** Exists-defaulted columns ABSENT from at least one planned file:
+    * the absent-column fast paths (whole-file predicate drop, all-NULL
+    * aggregate credit) assume NULL, but these rows read their DEFAULT —
+    * claimed filters and aggregate pushdown decline on them, Spark
+    * evaluates above the default-filled vectors exactly. Tables whose
+    * files all carry the column (or after compaction materializes it)
+    * keep full pushdown.
+    */
+  private lazy val defaultedMissing: Set[String] = {
+    val defs = ColeDefaults.existsDefaults(path, conf).keySet
+    if (defs.isEmpty) Set.empty
+    else {
+      val infos = snapshot.map(_.infos).getOrElse(ColeMetaCache.infos(path, conf))
+      defs.filter { c =>
+        infos.exists { i =>
+          val stored = i.renamed.getOrElse(c, c)
+          !i.meta.columns.exists(_.name == stored)
+        }
+      }
+    }
+  }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     def colType(c: String): Option[DataType] =
       if (fullSchema.fieldNames.contains(c)) Some(fullSchema(c).dataType) else None
     def claimable(f: Filter): Boolean = f match {
       // claimed and ENFORCED: null rows fail every claimed predicate in
       // the selection loop (v1 chunks have no nulls, so it is free there)
-      case IsNotNull(c) => fullSchema.fieldNames.contains(c) && !renamedCols(c)
+      case IsNotNull(c) => fullSchema.fieldNames.contains(c) &&
+        !renamedCols(c) && !defaultedMissing(c)
       case _ => ColePredicate.fromFilter(f).exists { p =>
-        if (renamedCols(p.column)) false
+        if (renamedCols(p.column) || defaultedMissing(p.column)) false
         else colType(p.column) match {
           case Some(IntegerType | LongType | TimestampType | TimestampNTZType) =>
             !p.isString && !p.isDouble && !p.isWideOp
@@ -959,7 +1001,11 @@ class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration,
     def ref(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case nr: NamedReference if nr.fieldNames.length == 1 =>
+          // defaulted columns missing from some file decline: the agg
+          // readers credit absent columns as all-NULL, these rows read
+          // their DEFAULT — the vectorized scan (which fills it) serves
           Some(nr.fieldNames.head).filter(fullSchema.fieldNames.contains)
+            .filterNot(defaultedMissing)
         case _ => None
       }
     // GROUPING BY a partition column is fine — the key is a per-file
@@ -3315,7 +3361,9 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
     ColePredicate.skipRowGroup(rg, nameToIdx, preds)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ColeReaderFactory(required, hconf)
+    // exists-defaults ride the required schema's field metadata into the
+    // readers (re-attached here: Spark's pruning may rebuild fields bare)
+    new ColeReaderFactory(ColeDefaults.attach(required, path, conf), hconf)
 
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
@@ -3566,6 +3614,9 @@ class ColeColumnarReader(part: ColeInputPartition, required: StructType,
 
   private val reader = new ColeFileReader(part.file, conf)
   private lazy val nameToIdx = reader.meta.columns.map(_.name).zipWithIndex.toMap
+  // exists defaults (ColeDefaults): what an absent column's rows read
+  // instead of NULL — null entry = no default, the plain NULL backfill
+  private lazy val fieldDefaults: Array[Any] = ColeDefaults.rowValues(required)
   // row groups decode lazily, one at a time — a packed partition never
   // holds more than one row group's chunks in memory
   private var rgPos = -1
@@ -3761,8 +3812,27 @@ class ColeColumnarReader(part: ColeInputPartition, required: StructType,
         case (entries: Array[Array[Byte]], ids: Array[Int]) =>
           v.setDictionary(new ColeVectorDictionary(entries))
           v.reserveDictionaryIds(n).putInts(0, n, ids, offset)
-        case null => // schema evolution: column absent from this file
-          v.putNulls(0, n)
+        case null => // schema evolution: column absent from this file —
+          // NULL, or the column's exists-default when the ALTER declared one
+          fieldDefaults(i) match {
+            case null => v.putNulls(0, n)
+            case d: Int => v.putInts(0, n, d)
+            case d: Long => v.putLongs(0, n, d)
+            case d: Double => v.putDoubles(0, n, d)
+            case d: org.apache.spark.sql.types.Decimal =>
+              val p = required.fields(i).dataType.asInstanceOf[DecimalType].precision
+              var r = 0
+              while (r < n) { v.putDecimal(r, d, p); r += 1 }
+            case d: UTF8String =>
+              // constant string: a 1-entry dictionary, no per-row copies
+              v.setDictionary(new ColeVectorDictionary(Array(d.getBytes)))
+              v.reserveDictionaryIds(n).putInts(0, n, 0)
+            case other =>
+              var r = 0
+              while (r < n) {
+                v.putByteArray(r, other.asInstanceOf[Array[Byte]]); r += 1
+              }
+          }
       }
       vecs(i) = v
       i += 1
@@ -3824,6 +3894,9 @@ class ColeRowReader(part: ColeInputPartition, required: StructType,
 
   private val reader = new ColeFileReader(part.file, conf)
   private lazy val nameToIdx = reader.meta.columns.map(_.name).zipWithIndex.toMap
+  // exists defaults (ColeDefaults): what an absent column's rows read
+  // instead of NULL — null entry = no default, the plain NULL backfill
+  private lazy val fieldDefaults: Array[Any] = ColeDefaults.rowValues(required)
   private var rgPos = -1
   private var columns: Array[ColumnData] = _
   private var sel: Array[Int] = _ // claimed-filter selection; null = all rows
@@ -3891,7 +3964,9 @@ class ColeRowReader(part: ColeInputPartition, required: StructType,
     while (i < columns.length) {
       val c = columns(i)
       values(i) =
-        if (c == null) null // column absent from this file (schema evolution)
+        // column absent from this file (schema evolution): NULL, or the
+        // column's exists-default when the ALTER declared one
+        if (c == null) fieldDefaults(i)
         else if (c.nulls != null && c.nulls(r)) null
         else if (c.ints != null) c.ints(r)
         else if (c.longs != null) required.fields(i).dataType match {
@@ -3940,7 +4015,12 @@ class ColeWriteBuilder(schema: StructType, path: String, rowGroupSize: Int,
   private var dynamicOverwrite = false
   private var overwriteFilters: Array[Filter] = Array.empty
 
-  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def truncate(): WriteBuilder = {
+    // overwrite deletes the LISTED (local) files — on a zero-copy clone
+    // the foreign half would survive the "overwrite"
+    ColeClone.requireLocal(path, conf, "overwrite/truncate writes")
+    doTruncate = true; this
+  }
 
   /** INSERT OVERWRITE with a static partition spec (or an explicit
     * overwrite condition): supported when every predicate targets hive
@@ -3949,6 +4029,7 @@ class ColeWriteBuilder(schema: StructType, path: String, rowGroupSize: Int,
     * rejected (COLE rewrites partitions, not rows).
     */
   override def overwrite(filters0: Array[Filter]): WriteBuilder = {
+    ColeClone.requireLocal(path, conf, "INSERT OVERWRITE")
     if (filters0.isEmpty || filters0.forall(_.isInstanceOf[AlwaysTrue])) return truncate()
     // a static partition spec arrives as null-safe equality; partition
     // values are never null, so it is plain equality here
@@ -3970,6 +4051,7 @@ class ColeWriteBuilder(schema: StructType, path: String, rowGroupSize: Int,
     * replace exactly the partitions the incoming data lands in.
     */
   override def overwriteDynamicPartitions(): WriteBuilder = {
+    ColeClone.requireLocal(path, conf, "dynamic partition OVERWRITE")
     require(partCols.nonEmpty,
       "dynamic partition overwrite needs a hive-partitioned COLE table")
     require(bucketSpec.isEmpty,
@@ -5094,6 +5176,10 @@ class ColeMicroBatchStream(scan: ColeScan, path: String, conf: Configuration,
         "change feed instead (readStream option changeFeed=true, or " +
         "batch ColeChangeFeed.read) — it serves vector DELETEs as " +
         "delete rows — or compact + delete_mode('ns.t','copy')")
+    // a clone's foreign files live outside this directory: a tailing
+    // stream would silently skip the cloned content — refuse until
+    // localize makes the table self-contained (checked per trigger)
+    ColeClone.requireLocal(path, conf, "tailing this table as a stream")
     load()
     // LIST THE DATA DIR FIRST, records second. ColeCompact writes the
     // compaction record BEFORE renaming outputs into place, so any output

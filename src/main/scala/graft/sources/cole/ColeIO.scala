@@ -203,7 +203,21 @@ object ColeMetaCache {
     val raw = statuses.par.map { case (st, parts) =>
       infoOf(st.getPath.toString, st.getModificationTime, st.getLen, parts, conf)
     }.seq.toSeq
-    applyRenames(raw, ColeCatalog.renames(table, conf))
+    val local = applyRenames(raw, ColeCatalog.renames(table, conf))
+    // zero-copy clones (ColeClone): the live file set is local files ++
+    // the source's files as of the pinned version — resolved here, the
+    // one choke point every planning surface (scans, stats, metadata
+    // tables, DML classification) already funnels through. Locally
+    // present rels shadow their foreign twins (localize in progress).
+    ColeClone.read(table, conf) match {
+      case None => local
+      case Some(cs) =>
+        val (fs, _) = ColeIO.resolve(table, conf)
+        val localRels = statuses
+          .map { case (st, _) =>
+            ColeVersions.relOf(fs, table, st.getPath.toString) }.toSet
+        local ++ ColeClone.foreignInfos(table, cs, localRels, conf)
+    }
   }
 
   /** Present footers under the table's CURRENT column names: a column

@@ -129,7 +129,10 @@ class ColeMetaTableScan(path: String, kind: String, tschema: StructType,
         val branches = ColeRefs.branches(path, conf).map { b =>
           Array[Any](b.name, "branch", b.fork, b.head, b.stagedFiles)
         }
-        (tags ++ branches).toArray
+        // zero-copy clone pins: which external clones hold my history
+        val clones = ColeRefs.clonePins(path, conf).toSeq.sorted
+          .map { case (n, v) => Array[Any](n, "clone", v, v, 0) }
+        (tags ++ branches ++ clones).toArray
     }
     Array(ColeMetaRows(rows))
   }

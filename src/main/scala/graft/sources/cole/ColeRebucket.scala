@@ -53,6 +53,7 @@ object ColeRebucket {
 
   def rebucket(spark: SparkSession, table: String,
       rowGroupSize: Int = 65536): Stats = {
+    ColeClone.requireLocal(table, ColeIO.driverConf(), "rebucket")
     val conf = ColeIO.driverConf()
     val (fs, root) = ColeIO.resolve(table, conf)
     val history = ColeBucket.readHistory(table, conf)

@@ -179,6 +179,40 @@ object ColeRefs {
     listRefs(fs, new HPath(refsDir(table), "tag"), "version")
   }
 
+  // --------------------------------------------------------- clone pins
+
+  private def clonePath(table: String, name: String): HPath =
+    new HPath(new HPath(refsDir(table), "clone"), name)
+
+  /** Pin `version` for a zero-copy clone ([[ColeClone]]): exactly a tag
+    * under `_refs/clone/` — `expire_versions` caps at the oldest ref, so
+    * the clone's file set stays reconstructible until the pin drops
+    * (localize, or dropping the clone table). Visible in `$refs` as type
+    * 'clone', but never resolvable by `VERSION AS OF`.
+    */
+  def createClonePin(table: String, conf: Configuration, name: String,
+      version: Long): Unit = {
+    validateName(name)
+    val (fs, _) = ColeIO.resolve(table, conf)
+    require(fs.exists(vdir(table)),
+      s"refs need versioning, which is not enabled on $table")
+    ColeVersions.snapshotAt(table, conf, version) // reconstructible, or loud
+    writeRef(fs, conf, clonePath(table, name), "version", version,
+      s"clone pin '$name'")
+  }
+
+  /** Release a clone pin; returns whether it existed. */
+  def dropClonePin(table: String, conf: Configuration, name: String): Boolean = {
+    val (fs, _) = ColeIO.resolve(table, conf)
+    fs.delete(clonePath(table, name), false)
+  }
+
+  /** All clone pins: name → pinned version. */
+  def clonePins(table: String, conf: Configuration): Map[String, Long] = {
+    val (fs, _) = ColeIO.resolve(table, conf)
+    listRefs(fs, new HPath(refsDir(table), "clone"), "version")
+  }
+
   // ------------------------------------------------------------ branches
 
   final case class Branch(name: String, fork: Long, head: Long,
@@ -491,6 +525,7 @@ object ColeRefs {
     // branch pins INCLUDE dotted publish markers: a crashed mid-publish
     // branch must keep its fork reconstructible until the resume
     (listRefs(fs, new HPath(refsDir(table), "tag"), "version").values ++
+      listRefs(fs, new HPath(refsDir(table), "clone"), "version").values ++
       listRefs(fs, new HPath(refsDir(table), "branch"), "fork",
         includeDotted = true).values).toSeq
   }

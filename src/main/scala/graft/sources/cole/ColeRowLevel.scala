@@ -203,6 +203,7 @@ class ColeGroupScan(op: ColeRowLevelOperation, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val infos = ColeMetaCache.infos(path, conf)
+    val defaulted = ColeDefaults.existsDefaults(path, conf).keySet
     val (partPreds, dataPreds) =
       classifiers.partition(p => partCols.contains(p.column))
     val bucketKeeps: Map[String, Set[String]] = ColeBucket.keepsByEra(
@@ -219,8 +220,13 @@ class ColeGroupScan(op: ColeRowLevelOperation, required: StructType,
           val meta = info.meta
           val nameToIdx = meta.columns.map(_.name).zipWithIndex.toMap
           // a predicate column this file predates stores NULL everywhere:
-          // no row can match, the file stays untouched
-          if (dataPreds.exists(p => !nameToIdx.contains(p.column))) false
+          // no row can match, the file stays untouched — UNLESS the column
+          // carries an exists-default (its rows read that constant, which
+          // the condition may match): then the pred just can't classify,
+          // the file stays a candidate and Spark's residual condition
+          // decides row-exactly above the default-filled scan
+          if (dataPreds.exists(p => !nameToIdx.contains(p.column) &&
+              !defaulted(p.column))) false
           else !(dataPreds.nonEmpty && meta.rowGroups.forall(rg =>
             ColePredicate.skipRowGroup(rg, nameToIdx, dataPreds)))
         }
@@ -273,9 +279,14 @@ class ColeGroupScan(op: ColeRowLevelOperation, required: StructType,
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new ColeHashingReaderFactory(new ColeReaderFactory(required, hconf),
-      required, sliceAcc)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // exists-defaults ride the required schema into the readers: a DML
+    // rewrite of a pre-evolution file must materialize the default, not
+    // NULL (the same fill every read surface serves)
+    val req = ColeDefaults.attach(required, path, conf)
+    new ColeHashingReaderFactory(new ColeReaderFactory(req, hconf),
+      req, sliceAcc)
+  }
 }
 
 /** A group-scan slice: the underlying partition plus its position in the

@@ -100,6 +100,9 @@ object ColeVersions {
     * Returns the current version.
     */
   def enable(table: String, conf: Configuration): Long = {
+    // a clone's baseline would record only the LOCAL listing — the
+    // foreign half would vanish from every snapshot; localize first
+    ColeClone.requireLocal(table, conf, "enabling versioning")
     val (fs, root) = ColeIO.resolve(table, conf)
     if (!fs.exists(root)) fs.mkdirs(root)
     if (fs.exists(vdir(table))) return currentVersion(table, conf)
