@@ -166,6 +166,19 @@ object Cli {
           println(f"branch ${b.name}%-24s fork v${b.fork} head v${b.head} " +
             s"(${b.stagedFiles} staged file(s))")
         }
+      case "clone" =>
+        val version =
+          if (args.length > 3 && args(3) != "--deep") Some(args(3).toLong)
+          else None
+        val deep = args.contains("--deep")
+        val (v, n) = graft.sources.cole.ColeClone.clone(args(1), args(2),
+          version, deep, graft.sources.cole.ColeIO.driverConf())
+        println(s"cloned ${args(1)} @ v$v into ${args(2)} " +
+          s"(${if (deep) s"$n file(s) copied" else s"$n foreign file(s), zero-copy"})")
+      case "localize" =>
+        val n = graft.sources.cole.ColeClone.localize(args(1),
+          graft.sources.cole.ColeIO.driverConf())
+        println(s"localized ${args(1)}: $n file(s) copied in")
       case "remove-orphans" =>
         val hours = if (args.length > 2) args(2).toLong else 72L
         val dry = args.length > 3 && args(3) == "--dry-run"
@@ -215,6 +228,11 @@ object Cli {
       |  drop-branch <table> <name>      discard a branch and its staging
       |  publish <table> <name> [--allow-diverged]
       |                                  fast-forward a branch onto main
+      |  clone <src> <dst> [version] [--deep]
+      |                                  zero-copy snapshot clone (pins the
+      |                                  version; --deep copies bytes too)
+      |  localize <table>                copy a clone's foreign bytes in,
+      |                                  release the pin (full DML returns)
       |  refs <table>                    list tags and branches
       |  remove-orphans <table> [hours] [--dry-run]
       |                                  age-guarded crash-leftover sweep""".stripMargin)

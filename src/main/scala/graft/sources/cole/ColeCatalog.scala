@@ -1684,6 +1684,11 @@ class ColeStagedTable(inner: ColeTable, ident: Identifier, target: String,
             s"— original table restored, staged data left at $sp")
       }
       fs.delete(tomb, true)
+      // a NEW version log now sits at the old table's path: the record
+      // cache must never serve the replaced table's deltas (same-second
+      // mtime + same length would defeat its per-record validation —
+      // the dropTable discipline)
+      ColeVersions.invalidateCache(fs, target)
     } else {
       if (mode == ColeStagedTable.Replace) {
         fs.delete(sp, true)

@@ -201,12 +201,11 @@ object ColeClone {
             tfs.delete(tmp, false) // a concurrent localize won this file
             require(tfs.exists(dest), s"localize rename failed: $dest")
           }
-          // the bytes are identical, so the source's advisory bloom
-          // sidecar stays valid — carry it (cheap, keeps skipping)
-          val bsrc = new HPath(phys + ".bloom")
-          if (tfs.exists(bsrc) && !tfs.exists(new HPath(s"$dest.bloom")))
-            FileUtil.copy(tfs, bsrc, tfs, new HPath(s"$dest.bloom"),
-              false, true, c)
+          // NOT carrying the source's bloom sidecar: it pins the indexed
+          // file's (len, mtime, fingerprint) and the copy resets mtime,
+          // so a carried index could never validate — dead weight. While
+          // files are still FOREIGN the source's sidecars validate and
+          // skip as usual; re-run bloom_index after localize.
         }
     }
     // graduation: pointer gone, pin released — a plain table remains
