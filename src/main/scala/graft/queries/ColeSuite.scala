@@ -2293,6 +2293,61 @@ object ColeSuite {
                 CAST(SUM(l_linenumber) AS BIGINT) AS sum_line,
                 MIN(l_orderkey) AS mn_key, MAX(l_orderkey) AS mx_key
               FROM lineitem
-              GROUP BY l_returnflag ORDER BY l_returnflag"""))
+              GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // #167 row-level DML ON a zero-copy clone (mask-don't-retire,
+    // graft.sources.cole.ColeClone.mask): the clone UPDATEs one segment
+    // and DELETEs another — both conditions hit files the SOURCE owns, so
+    // the rewrite lands replacement rows as local files and HIDES the
+    // originals behind the pointer (the source's bytes never move; the
+    // source still reads its own full state) — then appends the last
+    // quarter. At 100 TB this is the dev-clone workflow: test real
+    // UPDATE/MERGE/DELETE against production data minutes after cloning
+    // it, no copy, no risk to the source.
+    Q("cole_clone_dml", (s, d) => {
+      val wh = "/tmp/graft_cole/warehouse"
+      s.conf.set("spark.sql.catalog.cole", "graft.sources.cole.ColeCatalog")
+      s.conf.set("spark.sql.catalog.cole.warehouse", wh)
+      val ns = s"v${writerFingerprint}_cdm_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val srcDir = s"$wh/$ns/ord"
+      val dstDir = s"$wh/$ns/dev"
+      val conf = graft.sources.cole.ColeIO.driverConf()
+      writeOnce(dstDir) {
+        // reset both halves: the whole sequence is one fixture
+        val (fs, sp) = graft.sources.cole.ColeIO.resolve(srcDir, conf)
+        fs.delete(sp, true)
+        val (_, dp) = graft.sources.cole.ColeIO.resolve(dstDir, conf)
+        fs.delete(dp, true)
+        val ord = Tables.orders(s, d)
+          .select(col("o_orderkey"),
+            round(col("o_totalprice") * 100).cast("long").as("price_c"),
+            (col("o_orderkey") % 5).as("seg"))
+        ord.filter(col("o_orderkey") % 4 =!= 0)
+          .write.format("cole").mode("overwrite").save(srcDir)
+        graft.sources.cole.ColeVersions.enable(srcDir, conf) // v1
+        s.sql(s"CALL cole.system.clone('$ns.ord', '$ns.dev')")
+        s.sql(s"UPDATE cole.$ns.dev SET price_c = price_c + 100 WHERE seg = 2")
+        s.sql(s"DELETE FROM cole.$ns.dev WHERE seg = 4")
+        ord.filter(col("o_orderkey") % 4 === 0)
+          .write.format("cole").mode("append").save(dstDir)
+      }
+      s.table(s"cole.$ns.dev")
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"), sum("price_c").as("sum_pc"),
+          min("o_orderkey").as("mn_key"), max("o_orderkey").as("mx_key"))
+        .orderBy("seg")
+    },
+      Some("""WITH t AS (SELECT o_orderkey AS k,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS pc,
+                  o_orderkey % 5 AS seg
+                FROM orders),
+              u AS (SELECT k, seg,
+                  CASE WHEN k % 4 <> 0 AND seg = 2 THEN pc + 100
+                       ELSE pc END AS pc
+                FROM t
+                WHERE (k % 4 <> 0 AND seg <> 4) OR k % 4 = 0)
+              SELECT seg, COUNT(*) AS n, CAST(SUM(pc) AS BIGINT) AS sum_pc,
+                MIN(k) AS mn_key, MAX(k) AS mx_key
+              FROM u GROUP BY seg ORDER BY seg"""))
   )
 }

@@ -39,7 +39,14 @@ object ColeClone {
 
   val SidecarName = "_clonesrc"
 
-  final case class CloneSrc(src: String, version: Long, pin: String)
+  /** `masked`: source rels this clone has DELETED or REPLACED via
+    * row-level DML (mask-don't-retire — the SOURCE owns the bytes, so a
+    * clone's DML can never move them; it hides them instead and its
+    * replacement rows land as ordinary local files). Resolution excludes
+    * them; localize never copies them.
+    */
+  final case class CloneSrc(src: String, version: Long, pin: String,
+      masked: Set[String] = Set.empty)
 
   private def sidecar(table: String): String = s"$table/$SidecarName"
 
@@ -49,6 +56,13 @@ object ColeClone {
 
   /** The clone pointer of `table`, when it still references source files. */
   def read(table: String, conf: Configuration): Option[CloneSrc] = {
+    val (fs0, _) = ColeIO.resolve(sidecar(table), conf)
+    readPointer(table, conf).map(c =>
+      c.copy(masked = maskedRels(table, fs0)))
+  }
+
+  private def readPointer(table: String,
+      conf: Configuration): Option[CloneSrc] = {
     val (fs, p) = ColeIO.resolve(sidecar(table), conf)
     val st = try Some(fs.getFileStatus(p))
       catch { case _: java.io.FileNotFoundException => None }
@@ -64,7 +78,7 @@ object ColeClone {
             val lines = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
               .split('\n').toSeq finally in.close()
             require(lines.length >= 5 && lines.head == "1" &&
-                lines(4) == "end",
+                lines.lastOption.contains("end"),
               s"unreadable $SidecarName at $table")
             val c = CloneSrc(lines(1), lines(2).toLong, lines(3))
             cache.put(key, (status.getModificationTime, status.getLen, c))
@@ -72,6 +86,86 @@ object ColeClone {
         }
     }
   }
+
+  private def sidecarBody(cs: CloneSrc): String =
+    (Seq("1", cs.src, cs.version.toString, cs.pin) :+ "end").mkString("\n")
+
+  /** Mask entries live as APPEND-ONLY files under `_clonemask/`, one per
+    * DML commit — the pointer file itself is immutable after clone, so a
+    * reader can never catch it mid-replace (an earlier single-file
+    * design rewrote the pointer per mask and a concurrent read in the
+    * replace window saw "not a clone": planned foreign files then fell
+    * through to the under-root assertion). Exclusive create per commit;
+    * the [[MaskClaimRel]] claim already serializes writers, the
+    * append-only shape just removes the read-side window entirely.
+    */
+  private val MaskDirName = "_clonemask"
+
+  private val maskCache = new LruCache[String, (Long, Long, Set[String])](4096)
+
+  private def maskedRels(table: String, fs: org.apache.hadoop.fs.FileSystem)
+      : Set[String] = {
+    val dir = new HPath(table, MaskDirName)
+    val sts = try fs.listStatus(dir)
+      catch { case _: java.io.FileNotFoundException => return Set.empty }
+    sts.iterator.filter(_.isFile).flatMap { st =>
+      val key = fs.makeQualified(st.getPath).toString
+      maskCache.get(key) match {
+        case Some((m1, l1, rels)) if m1 == st.getModificationTime &&
+            l1 == st.getLen => rels
+        case _ =>
+          val in = fs.open(st.getPath)
+          val lines = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+            .split('\n').toSeq finally in.close()
+          // a torn mask file (no terminal end) is an aborted commit's
+          // leftover: its replacement files never became visible, so
+          // ignoring it is exact
+          if (!lines.lastOption.contains("end")) Set.empty[String]
+          else {
+            val rels = lines.dropRight(1).toSet
+            maskCache.put(key, (st.getModificationTime, st.getLen, rels))
+            rels
+          }
+      }
+    }.toSet
+  }
+
+  /** Record DML-replaced/deleted source rels. Caller MUST hold the
+    * [[MaskClaimRel]] claim (and the files' own claims). Loud when the
+    * pointer is gone — a concurrent localize graduated the table and the
+    * caller's plan is stale.
+    */
+  def mask(table: String, conf: Configuration, rels: Set[String]): Unit = {
+    if (rels.isEmpty) return
+    require(read(table, conf).isDefined,
+      s"$table is not a clone — nothing to mask")
+    val (fs, _) = ColeIO.resolve(table, conf)
+    val dir = new HPath(table, MaskDirName)
+    fs.mkdirs(dir)
+    val p = new HPath(dir,
+      s"m-${java.lang.Long.toHexString(System.nanoTime())}")
+    val out = fs.create(p, false)
+    try out.write((rels.toSeq.sorted :+ "end").mkString("\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The claim rel every mask writer (and localize) serializes on —
+    * acquired ALONGSIDE the affected files' claims in one sorted
+    * all-or-nothing acquisition, so the pointer's read-modify-write
+    * never races.
+    */
+  val MaskClaimRel = SidecarName
+
+  /** phys → src-rel over the clone's WHOLE pinned file set (mask NOT
+    * applied — a commit that planned a file which a concurrent committer
+    * masked in between still needs its name, to detect exactly that
+    * conflict) — how a DML commit names claims and mask entries for
+    * planned files that live outside the table root.
+    */
+  def foreignRelOf(cs: CloneSrc, conf: Configuration): Map[String, String] =
+    ColeVersions.snapshotState(cs.src, conf, cs.version).files
+      .map { case (rel, phys) => phys -> rel }.toMap
 
   /** Loud guard for operations a clone-with-foreign-files cannot honor. */
   def requireLocal(table: String, conf: Configuration, op: String): Unit =
@@ -93,7 +187,7 @@ object ColeClone {
   def foreignInfos(table: String, cs: CloneSrc, localRels: Set[String],
       conf: Configuration): Seq[ColeMetaCache.FileInfo] = {
     val files = ColeVersions.snapshotState(cs.src, conf, cs.version).files
-      .filterNot { case (rel, _) => localRels(rel) }
+      .filterNot { case (rel, _) => localRels(rel) || cs.masked(rel) }
     val resolved = files.map { case (rel, phys) =>
       val parts = rel.split('/').dropRight(1).toSeq.flatMap { seg =>
         seg.split("=", 2) match {
@@ -140,9 +234,10 @@ object ColeClone {
     // the pointer is the activation switch — written before the layout
     // sidecars, so a crash mid-copy leaves a READABLE clone (layout
     // claims absent = conservative), never a visible empty table
-    val body = s"1\n$src\n$v\n$pin\nend"
     val out = fs.create(new HPath(dst, SidecarName), false)
-    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    try out.write(sidecarBody(CloneSrc(src, v, pin))
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
     // sidecars: layout histories as-of the pin (commit-record snapshots);
     // spec/checks verbatim — they resolve and evolve independently now
     state.spec.foreach(writeRaw(fs, dst, ColeBucket.SpecFile, _))
@@ -176,13 +271,21 @@ object ColeClone {
     * number of files copied.
     */
   def localize(table: String, conf: Configuration): Int = {
-    val cs = read(table, conf).getOrElse(return 0) // already local: no-op
+    val cs0 = read(table, conf).getOrElse(return 0) // already local: no-op
     val (fs, root) = ColeIO.resolve(table, conf)
+    // serialize with DML mask writers: a rel masked between our listing
+    // and our copy would be RESURRECTED by the copy (its replacement
+    // rows already landed locally) — hold the pointer claim for the
+    // whole copy-and-delete window
+    val claims = ColeClaims.acquire(fs, conf, table, Seq(MaskClaimRel),
+      "localize")
+    try {
+    val cs = read(table, conf).getOrElse(return 0)
     val localRels = ColeIO.listPartitioned(table, conf)
       .map { case (st, _) => ColeVersions.relOf(fs, table, st.getPath.toString) }
       .toSet
     val todo = ColeVersions.snapshotState(cs.src, conf, cs.version).files
-      .filterNot { case (rel, _) => localRels(rel) }
+      .filterNot { case (rel, _) => localRels(rel) || cs.masked(rel) }
     val rootStr = fs.makeQualified(root).toString
     if (todo.nonEmpty) {
       val spark = org.apache.spark.sql.SparkSession.active
@@ -208,10 +311,14 @@ object ColeClone {
           // skip as usual; re-run bloom_index after localize.
         }
     }
-    // graduation: pointer gone, pin released — a plain table remains
+    // graduation: pointer gone FIRST (the table is purely local from
+    // that instant), then the mask entries (cosmetic once the pointer
+    // is gone), then the pin
     fs.delete(new HPath(table, SidecarName), false)
+    fs.delete(new HPath(table, MaskDirName), true)
     ColeRefs.dropClonePin(cs.src, conf, cs.pin)
     todo.size
+    } finally claims.release()
   }
 
   /** DROP TABLE of a clone releases its source pin. */

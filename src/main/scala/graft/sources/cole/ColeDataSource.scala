@@ -393,8 +393,14 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
         rejectOnBranch(s"${info.command()}")
         val p = props("path")
         val conf = ColeIO.driverConf()
-        // a zero-copy clone cannot rewrite/retire files the SOURCE owns
-        ColeClone.requireLocal(p, conf, s"${info.command()}")
+        // zero-copy clones run row-level DML copy-on-write with
+        // mask-don't-retire (ColeClone.mask) — but never merge-on-read:
+        // a DV sidecar sits NEXT TO its data file, which for a foreign
+        // file is the SOURCE's tree
+        if (ColeDv.vectorMode(p, conf))
+          ColeClone.requireLocal(p, conf,
+            "merge-on-read DML (delete_mode 'vector'); set delete_mode " +
+              "'copy' for copy-on-write DML on the clone, or")
         // vector-mode tables run DML merge-on-read (SupportsDelta):
         // changed row ids become deletion-vector ordinals, new images
         // land in new files — no rewrite of co-resident unmatched rows.
@@ -434,7 +440,10 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
       }
       (ColeUtil.laneMixedCols(infos) & cols).isEmpty &&
         infos.forall(i => (i.renamed.keySet & cols).isEmpty) &&
-        !defaultedMissing
+        !defaultedMissing &&
+        // clones route to the row-level path too: its commit knows how
+        // to MASK foreign files instead of retiring them
+        ColeClone.read(props("path"), ColeIO.driverConf()).isEmpty
     }
 
   override def deleteWhere(filters: Array[Filter]): Unit = {

@@ -501,16 +501,57 @@ class ColeReplaceWrite(op: ColeRowLevelOperation, schema: StructType,
     val taskFiles: Map[Int, Seq[String]] =
       tasks.map { case (pid, _, fs0) => pid -> fs0.filter(dropEmpty) }.toMap
     val planned = op.plannedFiles
+    // zero-copy clone DML (mask-don't-retire): planned files outside the
+    // table root are the SOURCE's — they claim/mask under their src-rel
+    // and are HIDDEN by the pointer at commit instead of retired
+    val cloneCs = ColeClone.read(path, conf)
+    val foreignRel: Map[String, String] =
+      cloneCs.fold(Map.empty[String, String])(ColeClone.foreignRelOf(_, conf))
+    def claimRelOf(p: String): String =
+      foreignRel.getOrElse(p, ColeVersions.relOf(fs, path, p))
+    val anyForeign = planned.exists(p => foreignRel.contains(p._1))
     // check-then-mutate is made atomic PER AFFECTED FILE by storage-level
     // claims (ColeClaims — cross-PROCESS, unlike r11's JVM table lock):
     // overlapping committers serialize so the loser's re-check sees the
     // winner's renames — without this both pass the check first and both
     // commit, duplicating every replaced row. File-disjoint committers
-    // hold disjoint claims and never contend at all.
+    // hold disjoint claims and never contend at all. Commits that will
+    // mask foreign files also claim the pointer (its read-modify-write
+    // serializes with other maskers and with localize).
     val claims = ColeClaims.acquire(fs, conf, path,
-      planned.map(p => ColeVersions.relOf(fs, path, p._1)),
+      planned.map(p => claimRelOf(p._1)) ++
+        (if (anyForeign) Seq(ColeClone.MaskClaimRel) else Nil),
       op.command().toString.toLowerCase)
     try {
+    // a foreign file's BYTES never change when a concurrent clone-DML
+    // wins (masking doesn't touch the source) — the (len, mtime) check
+    // below is blind to it, so the mask itself is re-read under the
+    // claims: a planned rel already masked means our scan read rows that
+    // are no longer live. Loud conflict; the DML auto-retry re-plans
+    // from the fresh pointer and re-executes cleanly.
+    if (anyForeign) {
+      val freshCs = ColeClone.read(path, conf)
+      if (freshCs.isEmpty) {
+        // a concurrent localize GRADUATED the table: our plan's foreign
+        // files now have live local twins — committing would duplicate
+        // their rows. Conflict; the retry re-plans over the local copies.
+        abort(messages)
+        throw new IllegalStateException(
+          s"concurrent write detected during ${op.command()}: the clone " +
+            "was localized while this statement ran; aborted with the " +
+            "replacement rolled back — retry re-plans the local table")
+      }
+      val maskedNow = freshCs.map(_.masked).getOrElse(Set.empty)
+      planned.map(_._1).flatMap(foreignRel.get).find(maskedNow) match {
+        case Some(rel) =>
+          abort(messages)
+          throw new IllegalStateException(
+            s"concurrent write detected on cloned file $rel during " +
+              s"${op.command()}; aborted with the replacement rolled " +
+              "back — retry after the other writer commits")
+        case None => ()
+      }
+    }
     // concurrent-write race check while the replacement is still fully
     // INVISIBLE (dotted): every replaced file must still be exactly the
     // bytes the group scan read — on rejection the table is untouched
@@ -594,11 +635,20 @@ class ColeReplaceWrite(op: ColeRowLevelOperation, schema: StructType,
         s"replace-commit rename failed: $f")
     }
     val versioned = ColeVersions.enabled(path, conf)
-    val verRemoves = replaced.flatMap { case (p, _, _) =>
+    val (replacedForeign, replacedLocal) =
+      replaced.partition { case (p, _, _) => foreignRel.contains(p) }
+    val verRemoves = replacedLocal.flatMap { case (p, _, _) =>
       fs.delete(new HPath(ColeBloomIndex.sidecarPath(p)), false)
       ColeDv.drop(fs, p)
       ColeVersions.retireOrDelete(fs, path, p, stamp, versioned)
     }
+    // mask-don't-retire: the SOURCE owns these bytes — hide them behind
+    // the pointer (their replacement rows just became visible above;
+    // the crash window between rename-in and mask parallels the
+    // unversioned COW rename-in → delete window, and clones are
+    // unversioned by construction)
+    ColeClone.mask(path, conf,
+      replacedForeign.map { case (p, _, _) => foreignRel(p) }.toSet)
     if (newDotted.nonEmpty || verRemoves.nonEmpty)
       ColeVersions.commitIfEnabled(path, conf,
         op.command().toString.toLowerCase,

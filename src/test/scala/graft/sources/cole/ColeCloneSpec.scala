@@ -106,7 +106,7 @@ class ColeCloneSpec extends AnyFunSuite {
     assert(t.filter(col("id") < 100).count() === 100)
   }
 
-  test("DML, truncate, overwrite and streams reject until localize") {
+  test("truncate, overwrite, compaction and versioning reject until localize") {
     makeSrc("s5")
     spark.sql("CALL ckc.system.clone('db.s5', 'db.c5')")
     def rejects(f: => Any): Unit = {
@@ -117,8 +117,9 @@ class ColeCloneSpec extends AnyFunSuite {
       assert(msgs(e).exists(_.contains("localize")),
         s"expected the localize hint, got: ${e.getMessage}")
     }
-    rejects(spark.sql("DELETE FROM ckc.db.c5 WHERE id = 1"))
-    rejects(spark.sql("UPDATE ckc.db.c5 SET tag = 'x' WHERE id = 1"))
+    // row-level DML works (mask-don't-retire, ColeCloneDmlSpec) — the
+    // rejections are the operations that RETIRE files wholesale or must
+    // observe the whole directory
     rejects(spark.sql("TRUNCATE TABLE ckc.db.c5"))
     rejects {
       val s = spark
