@@ -64,7 +64,11 @@ object ColeDefaults {
         case e: Exception => throw new IllegalArgumentException(
           s"DEFAULT expression does not parse: $sql", e)
       }
-    require(expr.foldable, s"DEFAULT must be a constant expression: $sql")
+    // UnresolvedFunction (CURRENT_TIMESTAMP etc.) throws from .foldable —
+    // fold it into the same loud, actionable rejection
+    val constant = try expr.foldable catch { case _: Exception => false }
+    require(constant, s"DEFAULT must be a constant expression: $sql " +
+      "(function-valued defaults like CURRENT_TIMESTAMP are not supported)")
     val v = expr.eval(InternalRow.empty)
     val cast = Cast(Literal.create(v, expr.dataType), dt,
       Some(java.util.TimeZone.getDefault.getID))
