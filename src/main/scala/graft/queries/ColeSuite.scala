@@ -2263,9 +2263,13 @@ object ColeSuite {
       val dstDir = s"$wh/$ns/dev"
       val conf = graft.sources.cole.ColeIO.driverConf()
       writeOnce(dstDir) {
-        // reset partial source state: the whole sequence is one fixture
+        // reset BOTH halves: the whole sequence is one fixture (a crashed
+        // run leaves dev holding _clonesrc but no .col — re-entering with
+        // only the source reset would fail clone's exists check forever)
         val (fs, sp) = graft.sources.cole.ColeIO.resolve(srcDir, conf)
         fs.delete(sp, true)
+        val (_, dp0) = graft.sources.cole.ColeIO.resolve(dstDir, conf)
+        fs.delete(dp0, true)
         val li = Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
             round(col("l_quantity") * 100).cast("long").as("qty_c"))

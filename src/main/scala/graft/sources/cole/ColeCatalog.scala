@@ -767,12 +767,8 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    val path = tablePath(ident)
-    val (fs, p) = ColeIO.resolve(path, conf)
-    if (fs.exists(p) && (ColeIO.listPartitioned(path, conf).nonEmpty ||
-        ColeCatalog.readTableSpec(path, conf).isDefined))
-      throw new TableAlreadyExistsException(ident)
-    materializeTable(path, schema, partitions, properties)
+    if (physicalTableExists(ident)) throw new TableAlreadyExistsException(ident)
+    materializeTable(tablePath(ident), schema, partitions, properties)
   }
 
   /** The body of CREATE TABLE at an explicit directory — shared by the
@@ -905,11 +901,18 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
       properties: util.Map[String, String]): StagedTable =
     stage(ident, schema, partitions, properties, ColeStagedTable.CreateOrReplace)
 
+  /** A table EXISTS at this identifier when its directory holds data
+    * files, a declared schema, or a clone pointer (a just-cloned table
+    * may hold ONLY `_clonesrc` — clobbering it with CREATE would merge
+    * foreign pinned rows into the new table's state). Shared by direct
+    * CREATE and the staged-CTAS paths.
+    */
   private def physicalTableExists(ident: Identifier): Boolean = {
     val path = tablePath(ident)
     val (fs, p) = ColeIO.resolve(path, conf)
     fs.exists(p) && (ColeIO.listPartitioned(path, conf).nonEmpty ||
-      ColeCatalog.readTableSpec(path, conf).isDefined)
+      ColeCatalog.readTableSpec(path, conf).isDefined ||
+      ColeClone.read(path, conf).isDefined)
   }
 
   private def stage(ident: Identifier, schema: StructType,
@@ -1518,6 +1521,12 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
         Array(Array[Any](
           ColeClone.localize(procTablePath(in.getString(0)), conf).toLong))
       }
+      case "drop_clone_pin" => procedure("drop_clone_pin",
+        tableArg :+ ("pin" -> (StringType: DataType)),
+        StructType(Seq(StructField("dropped", BooleanType)))) { in =>
+        Array(Array[Any](ColeRefs.dropClonePin(
+          procTablePath(in.getString(0)), conf, in.getString(1))))
+      }
       case "remove_orphan_files" => procedure("remove_orphan_files",
         tableArg ++ Seq("older_than_hours" -> (LongType: DataType),
           "dry_run" -> (BooleanType: DataType)),
@@ -1540,6 +1549,12 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
 
   override def dropTable(ident: Identifier): Boolean = {
     val (fs, p) = ColeIO.resolve(tablePath(ident), conf)
+    // a table other clones still PIN must not vanish under them — their
+    // every read resolves through this directory. Drop (or localize)
+    // the clones first; force-release with drop_clone_pin if a clone
+    // was lost. This is the other half of "the dangling-file hazard is
+    // closed by construction".
+    ColeStagedTable.requireNoClonePins(tablePath(ident), conf, "DROP TABLE")
     // dropping a zero-copy clone releases its pin in the SOURCE — the
     // pinned history becomes expirable again
     ColeClone.onDrop(tablePath(ident), conf)
@@ -1616,6 +1631,20 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
 }
 
 object ColeStagedTable {
+  /** Loud when live clones still pin `table` — used by DROP TABLE and
+    * the RTAS swap, which retire the directory every dependent clone
+    * resolves through.
+    */
+  def requireNoClonePins(table: String,
+      conf: org.apache.hadoop.conf.Configuration, op: String): Unit = {
+    val pins = ColeRefs.clonePins(table, conf)
+    require(pins.isEmpty,
+      s"$op: ${pins.size} zero-copy clone(s) still pin this table " +
+        s"(${pins.keys.toSeq.sorted.mkString(", ")}) — drop or localize " +
+        "the clones first, or force-release a lost clone's pin with " +
+        "CALL <catalog>.system.drop_clone_pin('<ns.table>', '<pin>')")
+  }
+
   sealed trait Mode
   /** CTAS: the target must not exist at commit. */
   case object Create extends Mode
@@ -1670,9 +1699,14 @@ class ColeStagedTable(inner: ColeTable, ident: Identifier, target: String,
         fs.delete(sp, true)
         throw new TableAlreadyExistsException(ident)
       }
-      // REPLACE swap: the target is a NEW table from here — the old
-      // directory (data, version log, sidecars) retires whole. Tombstone
-      // first so a failed rename-in can restore the original.
+      // REPLACE retires the current directory WHOLE — apply the same
+      // dependency guards dropTable applies: a table other clones pin
+      // must not vanish under them, and a clone being replaced must
+      // release its own pin in ITS source (both while the pointer/refs
+      // are still readable at the live path)
+      ColeStagedTable.requireNoClonePins(target, conf, "REPLACE")
+      ColeClone.onDrop(target, conf)
+      // Tombstone first so a failed rename-in can restore the original.
       val tomb = new HPath(tp.getParent,
         s".${tp.getName}.replaced-${java.lang.Long.toHexString(System.nanoTime())}")
       require(fs.rename(tp, tomb),
@@ -1682,6 +1716,22 @@ class ColeStagedTable(inner: ColeTable, ident: Identifier, target: String,
         throw new IllegalStateException(
           s"REPLACE TABLE: staged directory $sp failed to move into place " +
             s"— original table restored, staged data left at $sp")
+      }
+      // Hadoop rename into an existing directory NESTS the source inside
+      // it — a concurrent creator re-making tp in the tombstone window
+      // would otherwise swallow the staging dir AND lose the original to
+      // the tombstone delete below (same defense as the CREATE branch)
+      val nestedR = new HPath(tp, sp.getName)
+      if (fs.exists(nestedR)) {
+        // a concurrent creator owns the target now; restoring the
+        // original over it would nest again — keep the original SAFE at
+        // the tombstone and say exactly where it is
+        fs.delete(nestedR, true)
+        throw new IllegalStateException(
+          s"REPLACE TABLE: a concurrent writer recreated $tp mid-swap. " +
+            s"The replacement was rolled back; the ORIGINAL table is " +
+            s"preserved at $tomb — resolve the conflict and rename it " +
+            "back (or drop it) by hand")
       }
       fs.delete(tomb, true)
       // a NEW version log now sits at the old table's path: the record

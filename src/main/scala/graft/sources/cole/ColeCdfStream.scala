@@ -481,6 +481,10 @@ class ColeCdfMicroBatchStream(dataSchema: StructType, path: String,
     throw new UnsupportedOperationException(
       "latestOffset(start, limit) — this source paces by commit count")
 
+  // consecutive polls that saw a transiently-torn log (see latestOffset)
+  private var tornPolls = 0
+  private val TornPollGrace = 50
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[ColeCdfOffset].version
     // the offset ceiling comes from the COMPLETE records, never from the
@@ -493,7 +497,23 @@ class ColeCdfMicroBatchStream(dataSchema: StructType, path: String,
     // whose only record is still in flight). Same listing cost as
     // maxSeq; new records parse once into the cache that planning reads
     // anyway.
-    val recs = ColeVersions.recordsFrom(path, conf, s)
+    // a record below a COMPLETE one that is still being written (two
+    // disjoint committers: A created its record, B committed a later
+    // one before A's body flushed) parses as "torn" for the microseconds
+    // of A's write — an idle POLL must not kill the stream over it.
+    // Tolerate it boundedly: hold the offset and re-probe next trigger;
+    // a GENUINELY torn log keeps failing and surfaces loudly after the
+    // grace (and immediately at planning, whose loudness is unchanged).
+    val recs =
+      try ColeVersions.recordsFrom(path, conf, s)
+      catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null && e.getMessage.contains("torn") =>
+          tornPolls += 1
+          if (tornPolls > TornPollGrace) throw e
+          return start
+      }
+    tornPolls = 0
     val newest = recs.lastOption.map(_.version).getOrElse(s)
     val cur = availableNowCap.fold(newest)(math.min(_, newest))
     // saturating: the uncapped default is Long.MaxValue and s + it wraps

@@ -430,14 +430,8 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
       // routes to the row-level path: the fast path's "absent column
       // never matches" classification is wrong there (those rows read
       // the default, which the condition may select)
-      val defaultedMissing = {
-        val defs = ColeDefaults.existsDefaults(props("path"),
-          ColeIO.driverConf()).keySet & cols
-        defs.exists(c => infos.exists { i =>
-          val stored = i.renamed.getOrElse(c, c)
-          !i.meta.columns.exists(_.name == stored)
-        })
-      }
+      val defaultedMissing = ColeDefaults.missingFromSomeFile(
+        props("path"), ColeIO.driverConf(), infos, cols).nonEmpty
       (ColeUtil.laneMixedCols(infos) & cols).isEmpty &&
         infos.forall(i => (i.renamed.keySet & cols).isEmpty) &&
         !defaultedMissing &&
@@ -862,15 +856,8 @@ class ColeScanBuilder(fullSchema: StructType, path: String, conf: Configuration,
   private lazy val defaultedMissing: Set[String] = {
     val defs = ColeDefaults.existsDefaults(path, conf).keySet
     if (defs.isEmpty) Set.empty
-    else {
-      val infos = snapshot.map(_.infos).getOrElse(ColeMetaCache.infos(path, conf))
-      defs.filter { c =>
-        infos.exists { i =>
-          val stored = i.renamed.getOrElse(c, c)
-          !i.meta.columns.exists(_.name == stored)
-        }
-      }
-    }
+    else ColeDefaults.missingFromSomeFile(path, conf,
+      snapshot.map(_.infos).getOrElse(ColeMetaCache.infos(path, conf)), defs)
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {

@@ -164,6 +164,25 @@ object ColeDefaults {
     }
   }
 
+  /** Exists-defaulted columns among `cols` that are ABSENT from at least
+    * one of `infos`' footers (rename-aware): where the absent-column
+    * fast paths (all-NULL credit, whole-file predicate drop) would be
+    * WRONG — shared by the scan builder's pushdown declines and the
+    * metadata-DELETE routing.
+    */
+  def missingFromSomeFile(table: String, conf: Configuration,
+      infos: Seq[ColeMetaCache.FileInfo],
+      cols: Set[String]): Set[String] = {
+    val defs = existsDefaults(table, conf).keySet & cols
+    if (defs.isEmpty) Set.empty
+    else defs.filter { c =>
+      infos.exists { i =>
+        val stored = i.renamed.getOrElse(c, c)
+        !i.meta.columns.exists(_.name == stored)
+      }
+    }
+  }
+
   /** Re-attach default metadata to a PRUNED required schema by name —
     * Spark's column pruning may rebuild fields without connector
     * metadata, and path-based loads never had it. Driver-side, once per

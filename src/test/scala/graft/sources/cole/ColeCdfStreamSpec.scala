@@ -102,6 +102,43 @@ class ColeCdfStreamSpec extends AnyFunSuite {
     val end2 = stream2.latestOffset(ColeCdfOffset(1L),
       org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
     assert(end2.asInstanceOf[ColeCdfOffset].version === 2L)
+    // an in-flight record BELOW a complete one (disjoint committer B
+    // landed v3 while A's v2... er, v3 while v2's body was unflushed)
+    // parses as "torn" for microseconds — an idle poll must HOLD, not
+    // kill the stream; the commit completing lets the next poll advance
+    (30 until 40).map(i => (i.toLong, 3)).toDF("k", "b").coalesce(1)
+      .write.format("cole").mode("append").save(t) // a real v3
+    val interior = java.nio.file.Paths.get(
+      s"$t/${ColeVersions.DirName}/v${"%012d".format(3)}")
+    val bytes = java.nio.file.Files.readAllBytes(interior)
+    val txt = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    // out-of-band mutation: drop the Hadoop checksum sidecar too
+    val crc = interior.getParent.resolve(s".${interior.getFileName}.crc")
+    def mutate(content: String): Unit = {
+      java.nio.file.Files.writeString(interior, content)
+      java.nio.file.Files.deleteIfExists(crc)
+    }
+    mutate(txt.stripSuffix("end")) // reopen the window: v3 loses its terminal
+    try {
+      val stream3 = new ColeCdfScan(
+        spark.read.format("cole").load(t).schema, t, conf)
+        .toMicroBatchStream(Files.createTempDirectory("cdf_inflight_cp3").toString)
+        .asInstanceOf[ColeCdfMicroBatchStream]
+      // v4 complete above the in-flight v3 → recordsFrom sees torn
+      (40 until 50).map(i => (i.toLong, 4)).toDF("k", "b").coalesce(1)
+        .write.format("cole").mode("append").save(t)
+      val held = stream3.latestOffset(ColeCdfOffset(2L),
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+      assert(held.asInstanceOf[ColeCdfOffset].version === 2L,
+        "a poll over a transiently-torn log must hold, not throw")
+      // the window closes: the next poll advances over everything
+      mutate(txt)
+      val after = stream3.latestOffset(ColeCdfOffset(2L),
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+      assert(after.asInstanceOf[ColeCdfOffset].version === 4L)
+    } finally {
+      mutate(txt) // restore regardless
+    }
   }
 
   test("append-only history streams as inserts, parity with the batch feed") {

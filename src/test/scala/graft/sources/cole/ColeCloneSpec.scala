@@ -190,6 +190,53 @@ class ColeCloneSpec extends AnyFunSuite {
     assert(ColeRefs.clonePins(s"$warehouse/db/s9", conf).isEmpty)
   }
 
+  test("a pinned SOURCE refuses DROP TABLE until its clones release") {
+    makeSrc("s12")
+    spark.sql("CALL ckc.system.clone('db.s12', 'db.c12')")
+    val e = intercept[Exception] { spark.sql("DROP TABLE ckc.db.s12") }
+    assert(e.getMessage.contains("clone") &&
+      e.getMessage.contains("drop_clone_pin"),
+      s"expected the pinned-source rejection, got ${e.getMessage}")
+    // the clone still reads through the intact source
+    assert(spark.table("ckc.db.c12").count() === 1000)
+    // releasing the pin (drop the clone) unlocks the drop
+    spark.sql("DROP TABLE ckc.db.c12")
+    spark.sql("DROP TABLE ckc.db.s12")
+    intercept[Exception] { spark.table("ckc.db.s12").count() }
+  }
+
+  test("CREATE TABLE cannot clobber a spec-less clone; RTAS of a clone releases its pin") {
+    makeSrc("s13")
+    spark.sql("CALL ckc.system.clone('db.s13', 'db.c13')")
+    // the clone holds ONLY _clonesrc (+ copied sidecars): still a table
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE ckc.db.c13 (x BIGINT)")
+    }
+    assert(e.getMessage.toLowerCase.contains("exists") ||
+      e.getMessage.toLowerCase.contains("already"))
+    // REPLACE TABLE AS SELECT retires the clone wholesale — and must
+    // release its pin in the source like DROP does
+    spark.sql("REPLACE TABLE ckc.db.c13 AS SELECT id FROM range(5)")
+    assert(spark.table("ckc.db.c13").count() === 5)
+    assert(ColeRefs.clonePins(s"$warehouse/db/s13", conf).isEmpty,
+      "RTAS of a clone must release the source pin")
+  }
+
+  test("drop_clone_pin force-releases a lost clone's pin") {
+    makeSrc("s14")
+    spark.sql("CALL ckc.system.clone('db.s14', 'db.c14')")
+    val pin = ColeRefs.clonePins(s"$warehouse/db/s14", conf).keys.head
+    // simulate a LOST clone (directory removed out-of-band, pin leaked)
+    val (fs, dp) = ColeIO.resolve(s"$warehouse/db/c14", conf)
+    fs.delete(dp, true)
+    assert(ColeRefs.clonePins(s"$warehouse/db/s14", conf).size === 1)
+    val dropped = spark.sql(
+      s"CALL ckc.system.drop_clone_pin('db.s14', '$pin')").head().getBoolean(0)
+    assert(dropped)
+    assert(ColeRefs.clonePins(s"$warehouse/db/s14", conf).isEmpty)
+    spark.sql("DROP TABLE ckc.db.s14") // now unpinned — drops cleanly
+  }
+
   test("guardrails: unversioned source, existing dest, vector debt") {
     val s = spark
     import s.implicits._
