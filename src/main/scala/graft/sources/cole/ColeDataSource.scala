@@ -1200,6 +1200,174 @@ private[cole] object ColeAggGuards {
   */
 final case class ColeAggSpec(kind: String, column: String)
 
+/** Plans an unfiltered, ungrouped, vector-free aggregate entirely from
+  * the driver's cached footers: counts from row/null counts, min/max
+  * from page stats, SUM from the v2 SUMS footer tail (wrapped per-chunk
+  * sums — Long addition is associative mod 2^64, so the fold is
+  * bit-identical to the page sweep in any order). The query then ships
+  * ONE task carrying the finished partials: zero data files opened,
+  * zero pages decoded, O(row groups) driver work over metadata the
+  * planner already cached. None when any agg needs evidence footers
+  * can't give (string min/max, double/wide sums, a pre-extension file,
+  * a decimal bound that can't prove exactness) — the partitioned sweep
+  * remains the fallback.
+  */
+private[cole] object ColeAggFold {
+  /** Spec-visible: plans answered without scheduling a sweep. */
+  val foldedPlans = new java.util.concurrent.atomic.AtomicLong(0)
+
+  def tryFold(survivors: Seq[ColeMetaCache.FileInfo],
+      aggs: Seq[ColeAggSpec]): Option[Array[Any]] = {
+    if (survivors.isEmpty)
+      return Some(aggs.map {
+        case ColeAggSpec("count_star" | "count", _) => 0L
+        case _ => null
+      }.toArray[Any])
+    val head = survivors.head.meta
+    val out = new Array[Any](aggs.length)
+    var ai = 0
+    while (ai < aggs.length) {
+      val sp = aggs(ai)
+      sp.kind match {
+        case "count_star" =>
+          out(ai) = survivors.iterator.map(_.meta.totalRows).sum
+        case "count" =>
+          var n = 0L
+          survivors.foreach { f =>
+            val ci = f.meta.columns.indexWhere(_.name == sp.column)
+            f.meta.rowGroups.indices.foreach(rg =>
+              n += f.meta.rowGroups(rg).numRows - f.meta.chunkNullCount(rg, ci))
+          }
+          out(ai) = n
+        case kind =>
+          val tpe = head.columns(head.columns.indexWhere(_.name == sp.column)).colType
+          tpe match {
+            case TString => return None // no string stats in footers
+            case TDouble =>
+              if (kind == "sum") return None // float addition is order-sensitive
+              var pres = 0L
+              var mn = Double.MaxValue
+              var mx = Double.MinValue
+              survivors.foreach { f =>
+                val ci = f.meta.columns.indexWhere(_.name == sp.column)
+                f.meta.rowGroups.indices.foreach { rg =>
+                  val p = f.meta.rowGroups(rg).numRows - f.meta.chunkNullCount(rg, ci)
+                  if (p > 0) f.meta.statsMinMaxD(rg, ci) match {
+                    case Some((lo, hi)) =>
+                      pres += p
+                      if (lo < mn) mn = lo
+                      if (hi > mx) mx = hi
+                    case None => return None
+                  }
+                }
+              }
+              out(ai) = if (pres == 0) null else if (kind == "min") mn else mx
+            case w: TDecimalWide =>
+              if (kind == "sum") return None // int128 sums need the page sweep
+              var pres = 0L
+              var mnHi = 0L; var mnLo = 0L; var mxHi = 0L; var mxLo = 0L
+              survivors.foreach { f =>
+                val ci = f.meta.columns.indexWhere(_.name == sp.column)
+                f.meta.rowGroups.indices.foreach { rg =>
+                  val p = f.meta.rowGroups(rg).numRows - f.meta.chunkNullCount(rg, ci)
+                  if (p > 0) f.meta.statsMinMaxW(rg, ci) match {
+                    case Some(((loHi, loLo), (hiHi, hiLo))) =>
+                      if (pres == 0) {
+                        mnHi = loHi; mnLo = loLo; mxHi = hiHi; mxLo = hiLo
+                      } else {
+                        if (ColeFormat.cmp128(loHi, loLo, mnHi, mnLo) < 0) {
+                          mnHi = loHi; mnLo = loLo
+                        }
+                        if (ColeFormat.cmp128(hiHi, hiLo, mxHi, mxLo) > 0) {
+                          mxHi = hiHi; mxLo = hiLo
+                        }
+                      }
+                      pres += p
+                    case None => return None
+                  }
+                }
+              }
+              out(ai) =
+                if (pres == 0) null
+                else {
+                  val (hi, lo) = if (kind == "min") (mnHi, mnLo) else (mxHi, mxLo)
+                  org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(
+                    ColeFormat.wideToBigInteger(hi, lo), w.scale), w.precision, w.scale)
+                }
+            case _ => // TInt32 / long-backed (incl. narrow decimal, timestamps)
+              var pres = 0L
+              var sum = 0L
+              var mn = Long.MaxValue
+              var mx = Long.MinValue
+              survivors.foreach { f =>
+                val ci = f.meta.columns.indexWhere(_.name == sp.column)
+                val sums = if (kind == "sum") {
+                  val s = f.meta.chunkSums.get(ci)
+                  if (s.isEmpty) return None // file predates the SUMS tail
+                  s.get
+                } else null
+                f.meta.rowGroups.indices.foreach { rg =>
+                  val p = f.meta.rowGroups(rg).numRows - f.meta.chunkNullCount(rg, ci)
+                  if (p > 0) {
+                    f.meta.statsMinMax(rg, ci) match {
+                      case Some((lo, hi)) =>
+                        if (lo < mn) mn = lo
+                        if (hi > mx) mx = hi
+                      case None => return None
+                    }
+                    if (kind == "sum") sum += sums(rg)
+                    pres += p
+                  }
+                }
+              }
+              out(ai) =
+                if (pres == 0) null
+                else (tpe, kind) match {
+                  case (TDecimal(p, sc), "sum") =>
+                    // the emission guard, non-throwing: a table-wide
+                    // bound that can't prove exactness falls back to the
+                    // partitioned sweep (whose per-partition bounds are
+                    // tighter), never refuses a query the sweep serves
+                    val maxAbs = math.max(math.abs(math.max(mn, -Long.MaxValue)),
+                      math.abs(math.max(mx, -Long.MaxValue)))
+                    if (maxAbs > 0 && pres > Long.MaxValue / maxAbs) return None
+                    org.apache.spark.sql.types.Decimal.createUnsafe(
+                      sum, math.min(38, p + 10), sc)
+                  case (TDecimal(p, sc), _) =>
+                    org.apache.spark.sql.types.Decimal.createUnsafe(
+                      if (kind == "min") mn else mx, p, sc)
+                  case (TInt32, "min") => mn.toInt
+                  case (TInt32, "max") => mx.toInt
+                  case (_, "sum") => sum
+                  case (_, "min") => mn
+                  case (_, "max") => mx
+                  case _ => return None // unknown kind: never fold
+                }
+          }
+      }
+      ai += 1
+    }
+    Some(out)
+  }
+}
+
+/** The single partition of a metadata-folded global aggregate: carries
+  * the finished partial values computed at planning (Long/Int/Double/
+  * Decimal/null — all serializable).
+  */
+final case class ColeFoldedAggPartition(values: Array[Any]) extends InputPartition
+
+class ColeFoldedAggReader(part: ColeFoldedAggPartition)
+    extends PartitionReader[InternalRow] {
+  private var emitted = false
+  override def next(): Boolean = !emitted
+  override def get(): InternalRow = {
+    emitted = true
+    InternalRow.fromSeq(part.values.toIndexedSeq)
+  }
+  override def close(): Unit = ()
+}
+
 /** Scan produced when an aggregation is pushed: partitions are packed
   * row-group runs (same packing as the data scan). Ungrouped, each
   * partition emits ONE row of partial aggregate values computed from page
@@ -1286,6 +1454,23 @@ class ColeAggScan(path: String, conf: Configuration, groupCols: Seq[String],
         dvLocal.get(i.path).exists(_.iterator.map(a =>
           if (a == null) 0 else a.length).sum == i.meta.totalRows)
       }.map(_.path).toSet
+    // metadata fold: an unfiltered (partition predicates still prune
+    // files, exactly), ungrouped, vector-free aggregate answers from the
+    // footer cache alone — ONE task ships the finished partials and no
+    // data file is ever opened (the v2 SUMS tail carries exact wrapped
+    // chunk sums; counts and min/max were already metadata)
+    if (groupCols.isEmpty && preds.isEmpty && dvLocal.isEmpty &&
+        snapshot.forall(_.rgKeep.isEmpty)) {
+      val survivors = infos.filter { info =>
+        val pv = info.partValues.toMap
+        partPreds.forall(p => pv.get(p.column).exists(partitionKeeps(p, _)))
+      }
+      val folded = ColeAggFold.tryFold(survivors, aggs)
+      if (folded.isDefined) {
+        ColeAggFold.foldedPlans.incrementAndGet()
+        return Array(ColeFoldedAggPartition(folded.get))
+      }
+    }
     // bucket pruning, same as the row scan: a filtered aggregate whose
     // claimed predicate pins the bucket column sweeps 1/n of the table,
     // per ERA on evolved layouts (snapshots resolve the spec history as
@@ -1352,11 +1537,13 @@ class ColeAggReaderFactory(groupCols: Seq[String], aggs: Seq[ColeAggSpec],
     hconf: ColeHadoopConf, aggSchema: StructType, partCols: Set[String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    if (groupCols.isEmpty)
-      new ColeAggReader(partition.asInstanceOf[ColeInputPartition], aggs, hconf.value)
-    else
-      new ColeGroupAggReader(partition.asInstanceOf[ColeInputPartition], groupCols,
-        aggs, hconf.value, aggSchema, partCols)
+    partition match {
+      case f: ColeFoldedAggPartition => new ColeFoldedAggReader(f)
+      case p: ColeInputPartition =>
+        if (groupCols.isEmpty) new ColeAggReader(p, aggs, hconf.value)
+        else new ColeGroupAggReader(p, groupCols, aggs, hconf.value,
+          aggSchema, partCols)
+    }
 }
 
 /** Grouped partial aggregation inside the source: per row group, decode
@@ -1930,10 +2117,30 @@ class ColeAggReader(part: ColeInputPartition, aggs: Seq[ColeAggSpec],
           while (i < part.rowGroups.length) {
             val rgIdx = part.rowGroups(i)
             if (needSum(ci)) {
-              val rg = reader.aggChunk(rgIdx, ci)
-              a.sum += rg.sum; a.count += rg.count
-              if (rg.min < a.min) a.min = rg.min
-              if (rg.max > a.max) a.max = rg.max
+              // the v2 SUMS footer tail + page stats reproduce the
+              // sweep's exact (wrapped) accumulation without touching a
+              // page; any gap (pre-extension file, stat-less page) falls
+              // back to the sweep
+              val pres = meta.rowGroups(rgIdx).numRows -
+                meta.chunkNullCount(rgIdx, ci)
+              val fast = meta.chunkSum(rgIdx, ci) match {
+                case Some(_) if pres == 0 => true // all-null chunk
+                case Some(s) => reader.statsMinMax(rgIdx, ci) match {
+                  case Some((mn, mx)) =>
+                    a.sum += s; a.count += pres
+                    if (mn < a.min) a.min = mn
+                    if (mx > a.max) a.max = mx
+                    true
+                  case None => false
+                }
+                case None => false
+              }
+              if (!fast) {
+                val rg = reader.aggChunk(rgIdx, ci)
+                a.sum += rg.sum; a.count += rg.count
+                if (rg.min < a.min) a.min = rg.min
+                if (rg.max > a.max) a.max = rg.max
+              }
             } else reader.statsMinMax(rgIdx, ci) match {
               case Some((mn, mx)) =>
                 // stats describe present rows only — count them, so an

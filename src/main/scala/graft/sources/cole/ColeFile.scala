@@ -479,6 +479,12 @@ final class ColeFileWriter(path: String, columns: Seq[ColeColumn],
   // string NDV from the cached footer with zero positioned reads
   private val ndvSums = Array.fill(columns.size)(0L)
   private val ndvSound = Array.fill(columns.size)(true)
+  // per-chunk wrapped present-value sums (v2 footers, integral columns):
+  // one Array[Long] per row group, aligned to columns — the footer's
+  // SUMS tail then answers unfiltered SUM pushdown metadata-only
+  private val chunkSumRows = scala.collection.mutable.ArrayBuffer[Array[Long]]()
+  private val sumEligible: Array[Boolean] =
+    columns.map(c => c.colType == TInt32 || isLongBacked(c.colType)).toArray
   private val out = new BufferedOutputStream(stream, 1 << 16)
   private var position = 0L
   private val rowGroups = scala.collection.mutable.ArrayBuffer[RowGroupMeta]()
@@ -503,6 +509,7 @@ final class ColeFileWriter(path: String, columns: Seq[ColeColumn],
       encodings: Seq[Enc] = null): Unit = {
     require(cols.size == columns.size, "column count mismatch")
     val encs = if (encodings == null) columns.map(_.encoding) else encodings
+    val rgSums = new Array[Long](columns.size)
     val chunkMetas = columns.indices.map { i =>
       val col = columns(i).copy(encoding = encs(i))
       val data = cols(i)
@@ -530,6 +537,10 @@ final class ColeFileWriter(path: String, columns: Seq[ColeColumn],
       val (encoded, stats) = col.colType match {
         case TInt32 =>
           val vals = presentInts
+          var s = 0L
+          var k = 0
+          while (k < vals.length) { s += vals(k); k += 1 }
+          rgSums(i) = s
           val bytes = col.encoding match {
             case Plain => encodePlainInt(vals)
             case Rle => encodeRleInt(vals)
@@ -541,6 +552,10 @@ final class ColeFileWriter(path: String, columns: Seq[ColeColumn],
           (bytes, st)
         case t if isLongBacked(t) =>
           val vals = presentLongs
+          var s = 0L
+          var k = 0
+          while (k < vals.length) { s += vals(k); k += 1 }
+          rgSums(i) = s
           val bytes = col.encoding match {
             case Plain => encodePlainLong(vals)
             case Rle => encodeRleLong(vals)
@@ -633,6 +648,7 @@ final class ColeFileWriter(path: String, columns: Seq[ColeColumn],
       ColumnChunkMeta(offset, position - offset, Seq(ph))
     }
     rowGroups += RowGroupMeta(numRows, chunkMetas)
+    chunkSumRows += rgSums
     totalRows += numRows
   }
 
@@ -690,7 +706,13 @@ final class ColeFileWriter(path: String, columns: Seq[ColeColumn],
       if (version < Version2) Seq.empty
       else columns.indices.map(i =>
         if (columns(i).colType == TString && ndvSound(i)) ndvSums(i) else -1L)
-    writeMetadata(mo, FileMeta(columns, rowGroups.toSeq, totalRows, version, ndv))
+    val sums: Map[Int, Array[Long]] =
+      if (version < Version2) Map.empty
+      else columns.indices.collect {
+        case i if sumEligible(i) => i -> chunkSumRows.map(_(i)).toArray
+      }.toMap
+    writeMetadata(mo,
+      FileMeta(columns, rowGroups.toSeq, totalRows, version, ndv, sums))
     val metaBytes = mo.toBytes
     val o = new Out()
     o.raw(metaBytes)

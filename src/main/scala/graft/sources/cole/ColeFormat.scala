@@ -187,6 +187,17 @@ object ColeFormat {
     */
   val NdvExtMagic = 0x54434944
 
+  /** Magic of the OPTIONAL v2 metadata-tail extension carrying per-chunk
+    * integral SUMs ("SUMS"). Written after the NDV tail (both optional,
+    * each detected by magic). Sums are the wrapped (mod 2^64) sums of
+    * each chunk's PRESENT values — exactly what the page sweep
+    * accumulates, in any order, because Long addition is associative mod
+    * 2^64 — so a footer-answered SUM is bit-identical to the sweep and
+    * an unfiltered global aggregate can answer from the driver's footer
+    * cache without opening a single data file.
+    */
+  val SumExtMagic = 0x534d5553
+
   final case class FileMeta(columns: Seq[ColeColumn], rowGroups: Seq[RowGroupMeta],
       totalRows: Long, version: Int = 1,
       /** Per-column distinct-count upper bounds, aligned to `columns`
@@ -195,7 +206,19 @@ object ColeFormat {
         * zero positioned reads (ColeNdv's page probe remains the
         * fallback for files predating the extension). Empty = absent.
         */
-      ndvBounds: Seq[Long] = Seq.empty) {
+      ndvBounds: Seq[Long] = Seq.empty,
+      /** colIdx → per-row-group wrapped present-value sums (v2 writer,
+        * TInt32 and long-backed columns). Empty = file predates the
+        * extension; readers fall back to the page sweep.
+        */
+      chunkSums: Map[Int, Array[Long]] = Map.empty) {
+
+    /** The footer-recorded sum of one chunk's present values (wrapped,
+      * identical to what aggChunk's sweep would accumulate); None for
+      * files predating the SUMS extension or non-integral columns.
+      */
+    def chunkSum(rgIdx: Int, colIdx: Int): Option[Long] =
+      chunkSums.get(colIdx).map(_(rgIdx))
     /** Min/max for one chunk from page stats alone; None when any page
       * lacks stats. Metadata-only, so planning can stat-prune straight
       * from the footer cache without opening the file.
@@ -374,6 +397,18 @@ object ColeFormat {
       out.u32(meta.ndvBounds.size)
       meta.ndvBounds.foreach(out.i64)
     }
+    // second optional tail: per-chunk integral sums, sorted by column
+    // index (deterministic bytes — the metadata CRC covers this block)
+    if (meta.version >= Version2 && meta.chunkSums.nonEmpty) {
+      out.u32(SumExtMagic)
+      out.u32(meta.chunkSums.size)
+      meta.chunkSums.toSeq.sortBy(_._1).foreach { case (ci, sums) =>
+        require(sums.length == meta.rowGroups.size,
+          "chunkSums must align to row groups")
+        out.u32(ci)
+        sums.foreach(out.i64)
+      }
+    }
   }
 
   /** `endPos`: end of the metadata block inside the cursor's buffer when
@@ -424,6 +459,18 @@ object ColeFormat {
         require(n == nCols, s"NDV extension declares $n columns, file has $nCols")
         Seq.fill(n)(c.i64())
       } else Seq.empty
-    FileMeta(cols, rgs, totalRows, version, ndv)
+    val sums: Map[Int, Array[Long]] =
+      if (version >= Version2 && endPos >= 0 && endPos - c.pos >= 8 && {
+        val save = c.pos; val m = c.u32(); c.pos = save; m == SumExtMagic
+      }) {
+        c.u32() // magic
+        val n = c.u32()
+        Seq.fill(n) {
+          val ci = c.u32()
+          require(ci < nCols, s"SUMS extension names column $ci of $nCols")
+          ci -> Array.fill(nRgs)(c.i64())
+        }.toMap
+      } else Map.empty
+    FileMeta(cols, rgs, totalRows, version, ndv, sums)
   }
 }

@@ -61,6 +61,31 @@ object RefCompareScaled {
     bench("aggregation SUM(value)")(df.agg(sum("value")).head())
     bench("group by region")(df.groupBy("region")
       .agg(count(lit(1)), sum("value")).head())
+    // the same four ops over the ENGINE-NATIVE v2 layout (CRC-verified
+    // pages + the SUMS footer tail): what a user of THIS engine gets on
+    // tables it writes for itself — v1 above stays the byte-compatible
+    // apples-to-apples row. SUM answers from the metadata fold here.
+    val dir2 = dir + "_v2"
+    if (!new java.io.File(dir2).exists())
+      spark.read.format("cole").load(dir).write.format("cole")
+        .option("formatVersion", "2").mode("overwrite").save(dir2)
+    val mb2 = new java.io.File(dir2).listFiles().map(_.length()).sum / 1e6
+    def df2 = spark.read.format("cole").load(dir2)
+    def bench2(label: String, warm: Int = 2)(f: => Any): Unit = {
+      (1 to warm).foreach(_ => f)
+      val ms = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
+      }.min
+      println(f"[refcmp] $label%-28s ${ms}%8.1f ms  ${mb2 / (ms / 1000)}%8.1f MB/s")
+    }
+    println(f"[refcmp] v2 dir: $dir2 ($mb2%.1f MB)")
+    bench2("v2 full scan (all cols)")(df2.agg(sum("id"), sum("value"),
+      sum("category"), count("region"), count("status")).head())
+    bench2("v2 filtered value>5000")(df2.filter(col("value") > 5000)
+      .agg(sum("id"), sum("value"), count("region")).head())
+    bench2("v2 SUM(value) [fold]")(df2.agg(sum("value")).head())
+    bench2("v2 group by region")(df2.groupBy("region")
+      .agg(count(lit(1)), sum("value")).head())
     spark.stop()
   }
 }
