@@ -131,6 +131,41 @@ object ColeSuite {
                      MIN(l_linenumber) AS mn_ln, MAX(l_linenumber) AS mx_ln
               FROM lineitem""")),
 
+    // aggregate FOLD (r15, bonus): over a v2 fixture the same global
+    // aggregate answers entirely from the driver's cached footers — the
+    // SUMS metadata tail carries exact wrapped per-chunk sums, counts and
+    // min/max were already footer material — so ONE task ships the
+    // finished partials and no data file is opened. Hash-checked against
+    // DuckDB like every other key: metadata-only must still mean exact,
+    // including the decimal sum lane (plan shape pinned in
+    // ColeFooterSumSpec via the foldedPlans/opens counters).
+    Q("cole_agg_fold", (s, d) => {
+      val dir = dirFor(d, "aggfold")
+      writeOnce(dir) {
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_linenumber"),
+            col("l_quantity"),
+            col("l_partkey").cast("decimal(12,2)").as("dec_pk"))
+          .write.format("cole").option("formatVersion", "2")
+          .mode("overwrite").save(dir)
+      }
+      s.read.format("cole").load(dir).agg(
+        sum("l_orderkey").as("sum_ok"),
+        count(col("l_suppkey")).as("n_rows"),
+        min("l_linenumber").as("mn_ln"), max("l_linenumber").as("mx_ln"),
+        min("l_quantity").as("mn_q"), max("l_quantity").as("mx_q"),
+        sum("dec_pk").cast("decimal(30,2)").as("sum_pk"),
+        min("dec_pk").as("mn_pk"), max("dec_pk").as("mx_pk"))
+    },
+      Some("""SELECT CAST(SUM(l_orderkey) AS BIGINT) AS sum_ok,
+                     COUNT(l_suppkey) AS n_rows,
+                     MIN(l_linenumber) AS mn_ln, MAX(l_linenumber) AS mx_ln,
+                     MIN(l_quantity) AS mn_q, MAX(l_quantity) AS mx_q,
+                     CAST(SUM(CAST(l_partkey AS DECIMAL(12,2))) AS DECIMAL(30,2)) AS sum_pk,
+                     CAST(MIN(l_partkey) AS DECIMAL(12,2)) AS mn_pk,
+                     CAST(MAX(l_partkey) AS DECIMAL(12,2)) AS mx_pk
+              FROM lineitem""")),
+
     // #91 TopN pushdown: ORDER BY + LIMIT over the .col table prunes row
     // groups whose stat range cannot reach the top-n threshold (plan
     // shape asserted in PlanAuditSpec); values must still match the
@@ -833,6 +868,71 @@ object ColeSuite {
                 MIN(l_extendedprice) AS mn_ep, MAX(l_extendedprice) AS mx_ep
               FROM lineitem WHERE l_quantity >= 5
               GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // FILTERED + EXPRESSION-KEY MV (r15, verdict ask #1): the MV every
+    // user writes first — `SELECT k, aggs FROM t WHERE pred GROUP BY k`
+    // with a derived key. The WHERE filters the change feed BEFORE the
+    // differential fold (an UPDATE moving rows across the boundary
+    // arrives as a delete+insert pair of which exactly the in-filter
+    // sides apply); derived keys are computed from source rows on every
+    // path. Sequence: create at v1 → append both sides of the filter →
+    // boundary-crossing UPDATEs both directions → min/max-touching
+    // DELETE → refresh. Content must hash-match DuckDB's full aggregate
+    // over the final filtered logical state.
+    Q("cole_mv_filtered", (s, d) => {
+      val wh = "/tmp/graft_cole/warehouse"
+      s.conf.set("spark.sql.catalog.cole", "graft.sources.cole.ColeCatalog")
+      s.conf.set("spark.sql.catalog.cole.warehouse", wh)
+      val ns = s"v${writerFingerprint}_mvf_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val srcDir = s"$wh/$ns/li"
+      val mvDir = s"$wh/$ns/mvli"
+      val conf = graft.sources.cole.ColeIO.driverConf()
+      writeOnce(mvDir) {
+        val (fs, sp) = graft.sources.cole.ColeIO.resolve(srcDir, conf)
+        fs.delete(sp, true) // the whole sequence below is one fixture
+        val li = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_shipdate", "l_returnflag",
+            "l_quantity", "l_extendedprice")
+        li.filter(col("l_orderkey") % 3 =!= 0)
+          .write.format("cole").mode("overwrite").save(srcDir)
+        graft.sources.cole.ColeVersions.enable(srcDir, conf) // v1
+        s.sql(s"CALL cole.system.create_mv('$ns.li', '$ns.mvli', " +
+          "'l_returnflag, mkey := cast(month(l_shipdate) as int)', " +
+          "'count:*:n, sum:l_quantity:sum_qty, avg:l_quantity:avg_qty, " +
+          "min:l_extendedprice:mn_ep, max:l_extendedprice:mx_ep', " +
+          "where => 'l_quantity >= 10')")
+        li.filter(col("l_orderkey") % 3 === 0)
+          .write.format("cole").mode("append").save(srcDir) // v2
+        // rows moving OUT of the filter, then rows moving IN
+        s.sql(s"UPDATE cole.$ns.li SET l_quantity = 3 " +
+          "WHERE l_orderkey % 17 = 0") // v3
+        s.sql(s"UPDATE cole.$ns.li SET l_quantity = 20 " +
+          "WHERE l_orderkey % 23 = 1") // v4
+        s.sql(s"DELETE FROM cole.$ns.li WHERE l_extendedprice < 2000") // v5
+        s.sql(s"CALL cole.system.refresh_mv('$ns.mvli')").collect()
+      }
+      s.table(s"cole.$ns.mvli").select(
+        col("l_returnflag"), col("mkey"), col("n"),
+        col("sum_qty").cast("double").as("sum_qty"),
+        col("avg_qty"), col("mn_ep"), col("mx_ep"))
+        .orderBy("l_returnflag", "mkey")
+    },
+      Some("""WITH upd AS (
+                SELECT l_returnflag, CAST(month(l_shipdate) AS INT) AS mkey,
+                       l_extendedprice,
+                       CASE WHEN l_orderkey % 23 = 1 THEN 20
+                            WHEN l_orderkey % 17 = 0 THEN 3
+                            ELSE l_quantity END AS q
+                FROM lineitem),
+              fin AS (
+                SELECT * FROM upd
+                WHERE l_extendedprice >= 2000 AND q >= 10)
+              SELECT l_returnflag, mkey, COUNT(*) AS n,
+                CAST(SUM(CAST(q AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty,
+                CAST(SUM(CAST(q AS DECIMAL(25,4))) AS DOUBLE)/COUNT(*) AS avg_qty,
+                MIN(l_extendedprice) AS mn_ep, MAX(l_extendedprice) AS mx_ep
+              FROM fin GROUP BY l_returnflag, mkey
+              ORDER BY l_returnflag, mkey""")),
 
     // #164 MERGE WITH SCHEMA EVOLUTION (r14): the merge source carries a
     // column the table lacks (integer cents derived from l_quantity); the

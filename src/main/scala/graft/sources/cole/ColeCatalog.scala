@@ -1474,13 +1474,19 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
       case "create_mv" => procedure("create_mv",
         tableArg ++ Seq("mv" -> (StringType: DataType),
           "group_by" -> (StringType: DataType),
-          "aggs" -> (StringType: DataType)),
-        StructType(Seq(StructField("version", LongType)))) { in =>
+          "aggs" -> (StringType: DataType),
+          "where" -> (StringType: DataType)),
+        StructType(Seq(StructField("version", LongType))),
+        defaults = Map("where" -> "''")) { in =>
         val spark = org.apache.spark.sql.SparkSession.active
+        // group_by entries: plain columns or `name := expr` derived keys
+        // (days/substr/date_trunc — any deterministic row expression);
+        // where: a deterministic filter applied to source AND feed rows
+        val (names, exprs) = ColeMv.parseGroupBy(in.getString(2))
+        val where = Option(in.getString(4)).map(_.trim).filter(_.nonEmpty)
         Array(Array[Any](ColeMv.create(spark,
           procTablePath(in.getString(0)), procTablePath(in.getString(1)),
-          in.getString(2).split(',').map(_.trim).filter(_.nonEmpty).toSeq,
-          ColeMv.parseAggs(in.getString(3)))))
+          names, ColeMv.parseAggs(in.getString(3)), where, exprs)))
       }
       // refresh: fold the feed since the watermark into the stored
       // per-key state — O(changed rows + touched keys), never the table;

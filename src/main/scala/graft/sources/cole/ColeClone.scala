@@ -144,10 +144,26 @@ object ColeClone {
     fs.mkdirs(dir)
     val p = new HPath(dir,
       s"m-${java.lang.Long.toHexString(System.nanoTime())}")
-    val out = fs.create(p, false)
+    // exclusivity comes from the MaskClaimRel claim + the writer-unique
+    // name, but every exclusive create in a commit path routes through
+    // the commit-primitives seam — object-store deployments then get one
+    // consistent conditional-PUT story (r13 verdict nit)
+    val out = ColeCommitPrimitives.of(conf).exclusiveCreate(fs, p)
     try out.write((rels.toSeq.sorted :+ "end").mkString("\n")
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  /** True when `file` lies outside `table`'s own tree — a clone's
+    * FOREIGN (source-owned) file. Belt-and-braces for read surfaces that
+    * consult per-file sidecars adjacent to the physical path: a foreign
+    * file's adjacent sidecars belong to the SOURCE's live state, never
+    * to the clone's pinned snapshot.
+    */
+  def isForeign(table: String, file: String, conf: Configuration): Boolean = {
+    val (fs, root) = ColeIO.resolve(table, conf)
+    val prefix = fs.makeQualified(root).toString.stripSuffix("/") + "/"
+    !fs.makeQualified(new HPath(file)).toString.startsWith(prefix)
   }
 
   /** The claim rel every mask writer (and localize) serializes on —

@@ -1441,8 +1441,13 @@ class ColeAggScan(path: String, conf: Configuration, groupCols: Seq[String],
       case Some(_) => Map.empty
       case None if ColeDv.vectorModeFor(path, conf) =>
         val (dfs, _) = ColeIO.resolve(path, conf)
+        // same foreign-file discipline as the row scan (ADVICE r13)
+        val foreign: String => Boolean =
+          if (ColeClone.read(path, conf).isEmpty) _ => false
+          else ColeClone.isForeign(path, _, conf)
         infos.flatMap { i =>
-          ColeDv.read(dfs, i.path, i.len, i.mtime).map(ords =>
+          if (foreign(i.path)) None
+          else ColeDv.read(dfs, i.path, i.len, i.mtime).map(ords =>
             i.path -> ColeDv.localize(i.meta, ords))
         }.toMap
       case None => Map.empty
@@ -3378,8 +3383,16 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
       case Some(_) => Map.empty
       case None if dvMode =>
         val (dfs, _) = ColeIO.resolve(path, conf)
+        // belt-and-braces (ADVICE r13): never consult sidecars adjacent
+        // to a clone's FOREIGN files — those are the source's live
+        // state, not this table's pinned snapshot (setMode also rejects
+        // vector mode on clones, so this can't normally arise)
+        val foreign: String => Boolean =
+          if (ColeClone.read(path, conf).isEmpty) _ => false
+          else ColeClone.isForeign(path, _, conf)
         tableInfos.flatMap { i =>
-          ColeDv.read(dfs, i.path, i.len, i.mtime).map(ords =>
+          if (foreign(i.path)) None
+          else ColeDv.read(dfs, i.path, i.len, i.mtime).map(ords =>
             i.path -> ColeDv.localize(i.meta, ords))
         }.toMap
       case None => Map.empty

@@ -56,6 +56,14 @@ object ColeDefaults {
     * Loud on non-constant or non-castable SQL — a DDL that only fails at
     * first read is a trap. Returns the CATALYST value (null allowed: an
     * explicit `DEFAULT NULL` is just the no-op default).
+    *
+    * Two disciplines (ADVICE r13):
+    *   - the cast folds with Spark's SESSION timezone (what the analyzer
+    *     uses for INSERT-side defaults), never the JVM default — a
+    *     timestamp default must fill the same instant on every surface;
+    *   - the cast is ANSI: a castable-but-invalid default (`DEFAULT
+    *     'abc'` on BIGINT) fails AT DECLARATION instead of silently
+    *     folding to NULL and persisting a wrong EXISTS default.
     */
   def eval(sql: String, dt: DataType): Any = {
     val expr =
@@ -70,19 +78,34 @@ object ColeDefaults {
     require(constant, s"DEFAULT must be a constant expression: $sql " +
       "(function-valued defaults like CURRENT_TIMESTAMP are not supported)")
     val v = expr.eval(InternalRow.empty)
-    val cast = Cast(Literal.create(v, expr.dataType), dt,
-      Some(java.util.TimeZone.getDefault.getID))
     require(Cast.canCast(expr.dataType, dt),
       s"DEFAULT $sql (${expr.dataType.simpleString}) cannot cast to " +
         dt.simpleString)
-    cast.eval(InternalRow.empty)
+    val tz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+    val cast = Cast(Literal.create(v, expr.dataType), dt, Some(tz),
+      org.apache.spark.sql.catalyst.expressions.EvalMode.ANSI)
+    try cast.eval(InternalRow.empty)
+    catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"DEFAULT $sql does not convert to ${dt.simpleString}: " +
+          e.getMessage, e)
+    }
   }
 
   /** Canonical literal SQL of an evaluated default — what EXISTS_DEFAULT
     * persists, so read-side evaluation is a literal parse, not a re-fold
-    * of arbitrary SQL.
+    * of arbitrary SQL. Timestamp values persist with an EXPLICIT UTC
+    * offset (ISO-8601 `Z`): executors re-evaluate this SQL, and a
+    * zone-free rendering would re-parse against whatever timezone that
+    * JVM resolves — the same instant must come back everywhere.
     */
-  def literalSql(value: Any, dt: DataType): String = Literal(value, dt).sql
+  def literalSql(value: Any, dt: DataType): String = dt match {
+    case TimestampType if value != null =>
+      val inst = java.time.Instant.EPOCH.plus(value.asInstanceOf[Long],
+        java.time.temporal.ChronoUnit.MICROS)
+      s"TIMESTAMP '$inst'"
+    case _ => Literal(value, dt).sql
+  }
 
   /** Field metadata for `ADD COLUMN ... DEFAULT` / CREATE TABLE defaults:
     * CURRENT_DEFAULT = the user's SQL (re-shown by DESCRIBE, applied to

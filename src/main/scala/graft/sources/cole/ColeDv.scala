@@ -79,6 +79,12 @@ object ColeDv {
     val p = new HPath(table, ModeFile)
     mode match {
       case "vector" =>
+        // a zero-copy clone must NOT enter vector mode: its foreign files
+        // resolve in the SOURCE's tree, so vector-mode scans would pick
+        // up .dv sidecars the source writes AFTER the clone — silently
+        // dropping rows from the pinned snapshot (ADVICE r13). Localize
+        // first; the guard matches compact/rebucket.
+        ColeClone.requireLocal(table, conf, "delete_mode('vector')")
         // versioned tables compose (r10): every vector commit pins an
         // immutable sidecar copy under the log, so time travel resolves
         // vectors AS OF the version — no exclusion needed

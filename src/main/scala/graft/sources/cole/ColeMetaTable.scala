@@ -105,21 +105,21 @@ class ColeMetaTableScan(path: String, kind: String, tschema: StructType,
         }
       case "files" =>
         val (dfs, _) = ColeIO.resolve(path, conf)
+        val dvCount = dvCounter(dfs)
         ColeMetaCache.infos(path, conf).map { i =>
           val part = i.partValues.map { case (k, v) => s"$k=$v" }.mkString("/")
-          val dv = ColeDv.read(dfs, i.path, i.len, i.mtime)
-            .map(_.length.toLong).getOrElse(0L)
+          val dv = dvCount(i)
           Array[Any](i.path, part, i.len, i.meta.totalRows,
             i.meta.rowGroups.size, dv, i.meta.totalRows - dv)
         }.toArray
       case "partitions" =>
         val (dfs, _) = ColeIO.resolve(path, conf)
+        val dvCount = dvCounter(dfs)
         ColeMetaCache.infos(path, conf)
           .groupBy(_.partValues.map { case (k, v) => s"$k=$v" }.mkString("/"))
           .toArray.sortBy(_._1).map { case (part, is) =>
             val rows = is.map(_.meta.totalRows).sum
-            val dv = is.map(i => ColeDv.read(dfs, i.path, i.len, i.mtime)
-              .map(_.length.toLong).getOrElse(0L)).sum
+            val dv = is.map(dvCount).sum
             Array[Any](part, is.size, is.map(_.len).sum, rows, dv, rows - dv)
           }
       case "refs" =>
@@ -135,6 +135,21 @@ class ColeMetaTableScan(path: String, kind: String, tschema: StructType,
         (tags ++ branches ++ clones).toArray
     }
     Array(ColeMetaRows(rows))
+  }
+
+  /** Deleted-row count of one file from its adjacent .dv sidecar —
+    * except a clone's FOREIGN files, whose adjacent sidecars are the
+    * SOURCE's live state (written after the pin, they do not apply to
+    * this table's snapshot; ADVICE r13): those report 0.
+    */
+  private def dvCounter(dfs: org.apache.hadoop.fs.FileSystem)
+      : ColeMetaCache.FileInfo => Long = {
+    val foreign: String => Boolean =
+      if (ColeClone.read(path, conf).isEmpty) _ => false
+      else ColeClone.isForeign(path, _, conf)
+    i => if (foreign(i.path)) 0L
+      else ColeDv.read(dfs, i.path, i.len, i.mtime)
+        .map(_.length.toLong).getOrElse(0L)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

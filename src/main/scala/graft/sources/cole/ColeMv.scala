@@ -111,8 +111,67 @@ object ColeMv {
     aggs
   }
 
+  /** `groupBy` holds the MV's stored key column NAMES; a name present in
+    * `groupExprs` is DERIVED — computed from the source row by the
+    * recorded deterministic expression (e.g. `substr(k,1,2)`,
+    * `date_trunc('day', ts)`) on every path that reads source/feed rows.
+    * `where` filters source and feed rows BEFORE the differential fold:
+    * the math is unchanged — a row outside the filter simply never
+    * contributes, and an update moving a row across the boundary arrives
+    * as a delete+insert pair of which exactly the in-filter sides fold.
+    */
   final case class Definition(source: String, groupBy: Seq[String],
-      aggs: Seq[Agg], appliedVersion: Long, inflight: Option[Long] = None)
+      aggs: Seq[Agg], appliedVersion: Long, inflight: Option[Long] = None,
+      where: Option[String] = None,
+      groupExprs: Map[String, String] = Map.empty)
+
+  /** Split on `sep` outside parentheses/quotes — group-by entries and
+    * the WHERE may carry function calls with commas.
+    */
+  private def splitTop(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var quote = false
+    s.foreach { ch =>
+      if (ch == '\'') { quote = !quote; cur += ch }
+      else if (!quote && ch == '(') { depth += 1; cur += ch }
+      else if (!quote && ch == ')') { depth -= 1; cur += ch }
+      else if (!quote && depth == 0 && ch == sep) {
+        out += cur.toString; cur.clear()
+      }
+      else cur += ch
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Parse a group-by spec: entries are plain column names or
+    * `name := expr` derived keys. Returns (stored key names, name →
+    * expression SQL for the derived ones).
+    */
+  def parseGroupBy(spec: String): (Seq[String], Map[String, String]) = {
+    val entries = splitTop(spec, ',')
+    require(entries.nonEmpty, "an MV needs at least one group-by column")
+    val parsed = entries.map { e =>
+      e.split(":=") match {
+        case Array(n, ex) =>
+          val name = n.trim
+          require(name.nonEmpty && name.forall(c => c.isLetterOrDigit ||
+            c == '_'), s"derived key name '$name' must be an identifier")
+          (name, Some(ex.trim))
+        case Array(n) => (n.trim, None)
+        case _ => throw new IllegalArgumentException(
+          s"group-by entry '$e' must be a column or name := expression")
+      }
+    }
+    val names = parsed.map(_._1)
+    val dup = names.groupBy(identity).collectFirst {
+      case (n, ns) if ns.size > 1 => n }
+    dup.foreach(n => throw new IllegalArgumentException(
+      s"duplicate group-by key '$n'"))
+    (names, parsed.collect { case (n, Some(ex)) => n -> ex }.toMap)
+  }
 
   private def sidecar(mv: String): HPath = new HPath(mv, SidecarName)
 
@@ -137,6 +196,9 @@ object ColeMv {
     val (fs, _) = ColeIO.resolve(mv, conf)
     val body = (Seq(s"source:${d.source}",
       s"groupby:${d.groupBy.mkString(",")}") ++
+      d.groupExprs.toSeq.sortBy(_._1).map { case (n, ex) =>
+        s"groupexpr:$n|$ex" } ++
+      d.where.map(w => s"where:$w").toSeq ++
       d.aggs.map(a => s"agg:${encodeAgg(a)}") ++
       Seq(s"appliedv:${d.appliedVersion}") ++
       d.inflight.map(v => s"inflight:$v").toSeq ++
@@ -171,7 +233,55 @@ object ColeMv {
       one("appliedv").toLong,
       lines.collectFirst {
         case l if l.startsWith("inflight:") => l.drop(9).toLong
-      })
+      },
+      lines.collectFirst {
+        case l if l.startsWith("where:") => l.drop(6)
+      },
+      lines.filter(_.startsWith("groupexpr:")).map { l =>
+        val body = l.drop(10)
+        val i = body.indexOf('|')
+        require(i > 0, s"corrupt MV group expression '$l'")
+        body.take(i) -> body.drop(i + 1)
+      }.toMap)
+  }
+
+  /** Source/feed rows as the MV's aggregate sees them: the WHERE filter
+    * applied, derived key columns projected. Every path that folds or
+    * re-aggregates source data goes through here — create, full refresh,
+    * the feed delta, the affected-key recompute, and crash recovery.
+    */
+  private def prepare(df: DataFrame, d: Definition): DataFrame = {
+    val filtered = d.where.fold(df)(w => df.filter(expr(w)))
+    d.groupExprs.toSeq.sortBy(_._1).foldLeft(filtered) {
+      case (acc, (n, ex)) => acc.withColumn(n, expr(ex))
+    }
+  }
+
+  /** Loud validation of a WHERE / derived-key expression at CREATE: must
+    * resolve against the source, be deterministic (a `rand()` key would
+    * make refresh and recompute disagree), and carry no subquery (a
+    * second table's changes would silently invalidate the differential
+    * math — the feed only watches ONE source).
+    */
+  private def validateExpr(df: DataFrame, sql: String, what: String): Unit = {
+    val analyzed =
+      try df.select(expr(sql)).queryExecution.analyzed
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"MV $what '$sql' does not resolve against the source: " +
+            e.getMessage, e)
+      }
+    require(analyzed.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project],
+      s"MV $what '$sql' must be a row-level expression (no aggregates, " +
+        "no generators)")
+    val e = analyzed.expressions.last
+    require(e.deterministic,
+      s"MV $what '$sql' is non-deterministic — refresh and recompute " +
+        "would disagree; use deterministic expressions only")
+    require(!e.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]),
+      s"MV $what '$sql' contains a subquery — an MV is maintained from " +
+        "ONE source's change feed; changes to other tables would be missed")
   }
 
   // ------------------------------------------------------------- algebra
@@ -210,7 +320,8 @@ object ColeMv {
     * the source version the MV now reflects.
     */
   def create(spark: SparkSession, source: String, mv: String,
-      groupBy: Seq[String], aggs: Seq[Agg]): Long = {
+      groupBy: Seq[String], aggs: Seq[Agg], where: Option[String] = None,
+      groupExprs: Map[String, String] = Map.empty): Long = {
     val conf = ColeIO.driverConf()
     require(ColeVersions.enabled(source, conf),
       s"incremental MV maintenance reads the change feed of $source — " +
@@ -218,12 +329,24 @@ object ColeMv {
         "(CALL <catalog>.system.versioning)")
     require(groupBy.nonEmpty, "an MV needs at least one group-by column")
     require(!isMv(mv, conf), s"$mv is already an MV")
+    require(where.forall(w => !w.contains('\n') && w.trim.nonEmpty),
+      "MV WHERE must be a non-empty single-line expression")
     val v = ColeVersions.currentVersion(source, conf)
     val snap = spark.read.format("cole")
       .option("versionAsOf", v.toString).load(source)
-    fullAggregate(snap, groupBy, aggs)
+    // every expression is validated LOUDLY at declaration — an MV whose
+    // filter/key only fails at first refresh is a trap
+    where.foreach(validateExpr(snap, _, "WHERE"))
+    groupExprs.toSeq.sortBy(_._1).foreach { case (n, ex) =>
+      require(!snap.columns.contains(n),
+        s"derived key '$n' shadows a source column — pick another name")
+      validateExpr(snap, ex, s"derived key '$n'")
+    }
+    val d = Definition(source, groupBy, aggs, v, where = where,
+      groupExprs = groupExprs)
+    fullAggregate(prepare(snap, d), groupBy, aggs)
       .write.format("cole").mode("overwrite").save(mv)
-    writeDefinition(mv, conf, Definition(source, groupBy, aggs, v))
+    writeDefinition(mv, conf, d)
     v
   }
 
@@ -261,8 +384,8 @@ object ColeMv {
         s"MV watermark v${d.appliedVersion} is AHEAD of the source's " +
           s"current v$cv — was the source rolled back? resynchronize " +
           "with refresh_mv(..., full => true)")
-      val snap = spark.read.format("cole")
-        .option("versionAsOf", cv.toString).load(d.source)
+      val snap = prepare(spark.read.format("cole")
+        .option("versionAsOf", cv.toString).load(d.source), d)
       if (full) {
         // intent first: a crash between the overwrite and the watermark
         // would otherwise re-apply the whole range differentially on top
@@ -277,8 +400,14 @@ object ColeMv {
 
       // ---- the incremental path ----
       // the feed's update pairs are irrelevant to grouped aggregates: a
-      // delete+insert pair IS the correct differential, so no pairKey
-      val feed = ColeChangeFeed.read(spark, d.source, d.appliedVersion, cv)
+      // delete+insert pair IS the correct differential, so no pairKey.
+      // The WHERE filters the feed BEFORE the fold (out-of-filter rows
+      // never contributed, so their changes never fold; a row moving
+      // ACROSS the boundary arrives as a delete+insert pair of which
+      // exactly the in-filter sides apply) — the differential math is
+      // unchanged, the feed just shrinks.
+      val feed = prepare(
+        ColeChangeFeed.read(spark, d.source, d.appliedVersion, cv), d)
       val isIns = col(ColeChangeFeed.ChangeTypeCol) === "insert"
       val signed: Column => Column = c => when(isIns, c).otherwise(-c)
       val deltaCols: Seq[Column] =
@@ -371,10 +500,11 @@ object ColeMv {
   private def recoverInflight(spark: SparkSession, mv: String,
       mvQualified: String, d: Definition, toV: Long): Unit = {
     val conf = ColeIO.driverConf()
-    val feed = ColeChangeFeed.read(spark, d.source, d.appliedVersion, toV)
+    val feed = prepare(
+      ColeChangeFeed.read(spark, d.source, d.appliedVersion, toV), d)
     val keys = feed.select(d.groupBy.map(col): _*).distinct()
-    val snap = spark.read.format("cole")
-      .option("versionAsOf", toV.toString).load(d.source)
+    val snap = prepare(spark.read.format("cole")
+      .option("versionAsOf", toV.toString).load(d.source), d)
     absoluteRows(spark, snap, keys, d)
       .foreach(r => mergeRows(spark, mv, mvQualified, conf, d, r._1))
     writeDefinition(mv, conf, d.copy(appliedVersion = toV, inflight = None))

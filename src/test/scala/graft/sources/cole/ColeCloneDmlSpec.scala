@@ -190,23 +190,39 @@ class ColeCloneDmlSpec extends AnyFunSuite {
     assert(spark.table("cdml.db.cr1").count() === 1000L)
   }
 
-  test("merge-on-read (vector) DML rejects on a clone with foreign files") {
+  test("merge-on-read (vector) mode rejects on a clone with foreign files") {
     makeSrc("v1t")
     spark.sql("CALL cdml.system.clone('db.v1t', 'db.cv1')")
-    spark.sql("CALL cdml.system.delete_mode('db.cv1', 'vector')")
+    // vector mode is rejected AT THE MODE SWITCH (ADVICE r13): with the
+    // mode file present, scans would read .dv sidecars adjacent to the
+    // clone's FOREIGN files — the SOURCE's live tree — so vectors the
+    // source writes after the clone would silently drop rows from the
+    // pinned snapshot. Reject before the trap can exist.
     val e = intercept[Exception] {
-      spark.sql("UPDATE cdml.db.cv1 SET v = 0 WHERE id = 1")
+      spark.sql("CALL cdml.system.delete_mode('db.cv1', 'vector')")
     }
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x =>
         Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(m => m.contains("localize") &&
       m.contains("delete_mode")),
-      s"expected the copy-mode/localize hint, got ${e.getMessage}")
-    // copy mode works
-    spark.sql("CALL cdml.system.delete_mode('db.cv1', 'copy')")
+      s"expected the localize hint, got ${e.getMessage}")
+    // copy-mode DML works (mask-don't-retire)
     spark.sql("UPDATE cdml.db.cv1 SET v = 0 WHERE id = 1")
     assert(spark.table("cdml.db.cv1")
       .filter(col("id") === 1).head().getLong(2) === 0L)
+    // and a SOURCE-side vector delete after the clone never leaks into
+    // the clone's snapshot: the source shrinks, the clone's pinned rows
+    // and its $files debt accounting stay untouched even with live .dv
+    // sidecars now adjacent to the foreign files
+    val srcN = spark.table("cdml.db.v1t").count()
+    spark.sql("CALL cdml.system.delete_mode('db.v1t', 'vector')")
+    spark.sql("DELETE FROM cdml.db.v1t WHERE id = 2")
+    assert(spark.table("cdml.db.v1t").count() == srcN - 1)
+    assert(spark.table("cdml.db.cv1").count() == srcN,
+      "a post-clone source vector DELETE leaked into the pinned snapshot")
+    assert(spark.sql("SELECT sum(deleted_rows) FROM cdml.db.cv1.`$files`")
+      .head().getLong(0) == 0L,
+      "$files charged the source's post-clone vectors to the clone")
   }
 }
