@@ -819,6 +819,57 @@ object ColeSuite {
               FROM lineitem
               ORDER BY which""")),
 
+    // BRANCH ROW-LEVEL DML (r15, verdict ask #3): with the WAP session
+    // conf set, UPDATE and DELETE run against the BRANCH —
+    // mask-don't-retire against main-as-of-fork, replacements staged —
+    // and fast_forward publishes the audited state atomically, retiring
+    // the masked files in the publish commit. The key pins the
+    // pre-publish snapshot (time travel: the original rows survive the
+    // publish in history) and the published state, hash-checked against
+    // DuckDB's reconstruction of update-then-delete over orders.
+    Q("cole_branch_dml", (s, d) => {
+      val wh = "/tmp/graft_cole/warehouse"
+      s.conf.set("spark.sql.catalog.cole", "graft.sources.cole.ColeCatalog")
+      s.conf.set("spark.sql.catalog.cole.warehouse", wh)
+      val ns = s"v${writerFingerprint}_bdml_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val tdir = s"$wh/$ns/ord"
+      val conf = graft.sources.cole.ColeIO.driverConf()
+      writeOnce(tdir) {
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .write.format("cole").mode("overwrite").save(tdir)
+        graft.sources.cole.ColeVersions.enable(tdir, conf) // v1
+        s.sql(s"CALL cole.system.create_branch('$ns.ord', 'fix')")
+        s.conf.set(graft.sources.cole.ColeRefs.WapBranchConfKey, "fix")
+        try {
+          s.sql(s"UPDATE cole.$ns.ord SET o_totalprice = 0.0 " +
+            "WHERE o_orderkey % 19 = 0")
+          s.sql(s"DELETE FROM cole.$ns.ord WHERE o_custkey % 7 = 3")
+        } finally s.conf.unset(graft.sources.cole.ColeRefs.WapBranchConfKey)
+        s.sql(s"CALL cole.system.fast_forward('$ns.ord', 'fix')")
+      }
+      def agg(df: org.apache.spark.sql.DataFrame, label: String) =
+        df.agg(lit(label).as("which"), count(lit(1)).as("n"),
+          min("o_orderkey").as("mn_key"), max("o_orderkey").as("mx_key"),
+          sum(col("o_totalprice").cast("decimal(25,4)")).cast("double")
+            .as("sum_tp"))
+      agg(s.read.format("cole").option("versionAsOf", "1").load(tdir),
+          "1_prepublish")
+        .unionAll(agg(s.read.format("cole").load(tdir), "2_published"))
+        .orderBy("which")
+    },
+      Some("""SELECT '1_prepublish' AS which, COUNT(*) AS n,
+                MIN(o_orderkey) AS mn_key, MAX(o_orderkey) AS mx_key,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) AS sum_tp
+              FROM orders
+              UNION ALL
+              SELECT '2_published' AS which, COUNT(*) AS n,
+                MIN(o_orderkey) AS mn_key, MAX(o_orderkey) AS mx_key,
+                CAST(SUM(CAST(CASE WHEN o_orderkey % 19 = 0 THEN 0.0
+                  ELSE o_totalprice END AS DECIMAL(25,4))) AS DOUBLE) AS sum_tp
+              FROM orders WHERE o_custkey % 7 <> 3
+              ORDER BY which""")),
+
     // #163 incremental MATERIALIZED VIEW (r14, ColeMv): the MV is created
     // at v1 (partial data), the source then takes an append AND a delete,
     // and refresh_mv folds the change feed into the stored per-key state —

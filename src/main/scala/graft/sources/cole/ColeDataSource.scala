@@ -393,6 +393,22 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
         rejectOnBranch(s"${info.command()}")
         val p = props("path")
         val conf = ColeIO.driverConf()
+        // write-audit-publish row-level DML (r15): with the session's
+        // `graft.cole.write.branch` conf set (and the branch existing on
+        // this versioned table), UPDATE/MERGE/DELETE read the BRANCH
+        // state and commit to the branch — replaced fork files are
+        // masked, replacements land staged, main is untouched until
+        // publish. Copy-on-write only: a MOR delta's DV sidecar would
+        // sit next to MAIN's data files.
+        val wap = wapBranch(conf)
+        if (wap.isDefined) {
+          require(!ColeDv.vectorMode(p, conf),
+            s"row-level DML on branch '${wap.get}' requires copy-on-write " +
+              "(delete_mode 'copy'): a merge-on-read vector would mutate " +
+              "sidecars in MAIN's tree")
+          return new ColeRowLevelOperation(info.command(), p, writePartCols,
+            65536, conf, wap)
+        }
         // zero-copy clones run row-level DML copy-on-write with
         // mask-don't-retire (ColeClone.mask) — but never merge-on-read:
         // a DV sidecar sits NEXT TO its data file, which for a foreign
@@ -411,6 +427,18 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
           new ColeRowLevelOperation(info.command(), p, writePartCols, 65536, conf)
       }
     }
+
+  /** The session's write-audit-publish branch, when it applies to THIS
+    * table: `graft.cole.write.branch` set, the table versioned, and the
+    * branch existing (loud when it doesn't — a WAP-routed statement must
+    * never silently fall through to main).
+    */
+  private def wapBranch(conf: Configuration): Option[String] =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(s => Option(s.conf.get(ColeRefs.WapBranchConfKey, null)))
+      .filter(_.nonEmpty)
+      .filter(_ => ColeVersions.enabled(props("path"), conf))
+      .map { b => ColeRefs.branchFork(props("path"), conf, b); b }
 
   /** SQL `DELETE FROM t WHERE ...` — copy-on-write row-level delete
     * (ColeDelete): stats-classified per file, file-parallel rewrite of
@@ -437,7 +465,10 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
         !defaultedMissing &&
         // clones route to the row-level path too: its commit knows how
         // to MASK foreign files instead of retiring them
-        ColeClone.read(props("path"), ColeIO.driverConf()).isEmpty
+        ColeClone.read(props("path"), ColeIO.driverConf()).isEmpty &&
+        // WAP-routed DELETEs take the row-level path: the metadata fast
+        // path deletes MAIN's files, a branch delete must mask instead
+        wapBranch(ColeIO.driverConf()).isEmpty
     }
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
@@ -461,6 +492,12 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
     rejectOnBranch("TRUNCATE")
     val path = props("path")
     val conf = ColeIO.driverConf()
+    // TRUNCATE drops MAIN's files — under the WAP conf that would
+    // silently bypass the branch the session asked for. Loud instead.
+    wapBranch(conf).foreach(b => throw new IllegalStateException(
+      s"TRUNCATE under graft.cole.write.branch='$b' is not supported " +
+        "(branches cannot truncate main-owned files) — unset the conf " +
+        "to truncate main, or DELETE on the branch"))
     // truncate deletes the LISTED (local) files — on a clone the foreign
     // half would survive, a silently wrong "empty" table
     ColeClone.requireLocal(path, conf, "TRUNCATE")
@@ -550,6 +587,23 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
     // pruning stays (each file is judged only by the key its directory
     // carries, so a wrong prune is structurally impossible).
     val branchOpt = Option(options.get("branch")).orElse(props.get("branch"))
+      .orElse {
+        // WAP session conf (r15): reads follow the branch too — audit
+        // queries and the row-level DML's matching-row subquery see the
+        // staged + DML'd state through the table's NORMAL name, the
+        // Iceberg wap.branch read semantics. Only when nothing explicit
+        // pinned the read elsewhere, and soft on tables where the branch
+        // doesn't exist (one session conf drives a multi-table job).
+        if (ColeUtil.timeTravelVersion(options, path).nonEmpty ||
+            props.contains("versionAsOf") ||
+            options.get("changesFrom") != null ||
+            options.get(ColeChangeFeed.FeedFilesOption) != null) None
+        else org.apache.spark.sql.SparkSession.getActiveSession
+          .flatMap(s => Option(s.conf.get(ColeRefs.WapBranchConfKey, null)))
+          .filter(_.nonEmpty)
+          .filter(b => ColeVersions.enabled(path, conf) &&
+            ColeRefs.branchExists(path, conf, b))
+      }
     branchOpt.foreach { name =>
       require(ColeUtil.timeTravelVersion(options, path).isEmpty &&
         changesFrom.isEmpty,

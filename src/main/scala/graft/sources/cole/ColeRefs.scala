@@ -235,6 +235,17 @@ object ColeRefs {
     fork
   }
 
+  /** Does `name` exist as a branch of `table`? (Non-throwing — the
+    * WAP-conf READ route falls back to main when the branch doesn't
+    * exist on a table, so one session conf can drive a multi-table job
+    * where only some tables are branched.)
+    */
+  def branchExists(table: String, conf: Configuration,
+      name: String): Boolean = {
+    val (fs, _) = ColeIO.resolve(table, conf)
+    readRef(fs, branchPath(table, name), "fork").isDefined
+  }
+
   /** Fork version of a live branch — loud when it doesn't exist. */
   def branchFork(table: String, conf: Configuration, name: String): Long = {
     val (fs, _) = ColeIO.resolve(table, conf)
@@ -250,18 +261,28 @@ object ColeRefs {
     listRefs(fs, new HPath(refsDir(table), "branch"), "fork").toSeq.sorted
       .map { case (name, fork) =>
         val recs = branchRecords(fs, table, name, fork)
-        Branch(name, fork, fork + recs.size, recs.map(_._2.size).sum)
+        Branch(name, fork, fork + recs.size, foldRecords(recs)._1.size)
       }
   }
 
   private def branchRecName(seq: Long): String = f"v$seq%012d"
 
-  /** Complete branch records in order: (seq, adds). An in-flight tail
-    * record (no terminal line) is ignored; a torn interior one is loud —
-    * the same discipline as the main log.
+  /** One complete branch record: staged-path `adds`, branch-local
+    * `removes` of earlier staged files (a branch DML replaced them), and
+    * `masks` — table-relative rels of FORK (main-owned) files the branch's
+    * row-level DML replaced. A masked file is hidden from branch reads
+    * and RETIRED by the publish commit; the branch never touches main's
+    * bytes (mask-don't-retire, the clone-DML pattern's third use).
+    */
+  final case class BranchRec(seq: Long, adds: Seq[String],
+      removes: Seq[String], masks: Seq[String])
+
+  /** Complete branch records in order. An in-flight tail record (no
+    * terminal line) is ignored; a torn interior one is loud — the same
+    * discipline as the main log.
     */
   private def branchRecords(fs: FileSystem, table: String, name: String,
-      fork: Long): Seq[(Long, Seq[String])] = {
+      fork: Long): Seq[BranchRec] = {
     val dir = branchLogDir(table, name)
     if (!fs.exists(dir)) return Seq.empty
     val parsed = fs.listStatus(dir).iterator.flatMap { st =>
@@ -272,7 +293,10 @@ object ColeRefs {
         val lines = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
           .split('\n').toSeq finally in.close()
         (seq, lines.lastOption.contains("end"),
-          lines.filter(_.startsWith("add:")).map(_.drop(4)))
+          BranchRec(seq,
+            lines.filter(_.startsWith("add:")).map(_.drop(4)),
+            lines.filter(_.startsWith("remove:")).map(_.drop(7)),
+            lines.filter(_.startsWith("mask:")).map(_.drop(5))))
       }
     }.toSeq.sortBy(_._1)
     val lastComplete = parsed.filter(_._2).map(_._1).maxOption.getOrElse(0L)
@@ -281,7 +305,43 @@ object ColeRefs {
         s"torn branch record v$seq on branch '$name' of $table " +
           "(crash during commit?); drop and recreate the branch")
     }
-    parsed.filter(_._2).map(p => (p._1, p._3))
+    parsed.filter(_._2).map(_._3)
+  }
+
+  /** The branch's LIVE staged rels (adds minus later removes, in commit
+    * order) and its accumulated fork-file masks.
+    */
+  private def foldRecords(recs: Seq[BranchRec])
+      : (Seq[String], Set[String]) = {
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    recs.foreach { r =>
+      r.removes.foreach(live -= _)
+      live ++= r.adds
+    }
+    (live.toSeq, recs.flatMap(_.masks).toSet)
+  }
+
+  /** Fork-file rels this branch's row-level DML has masked. */
+  def branchMasks(table: String, conf: Configuration,
+      name: String): Set[String] = {
+    val (fs, _) = ColeIO.resolve(table, conf)
+    foldRecords(branchRecords(fs, table, name,
+      branchFork(table, conf, name)))._2
+  }
+
+  /** Table-relative rel of the branch claim — exposed for the row-level
+    * commit, which holds it across its re-check + renames + record.
+    */
+  def branchClaimRelOf(name: String): String = branchClaimRel(name)
+
+  /** Staged-root prefix check: is `file` one of the branch's own staged
+    * files (vs a fork-owned one)?
+    */
+  def isStaged(table: String, name: String, fs: FileSystem,
+      file: String): Boolean = {
+    val prefix = fs.makeQualified(
+      new HPath(branchDataRoot(table, name))).toString.stripSuffix("/") + "/"
+    fs.makeQualified(new HPath(file)).toString.startsWith(prefix)
   }
 
   /** Commit one branch append: CAS the next record onto the branch log.
@@ -298,10 +358,36 @@ object ColeRefs {
       Seq(branchClaimRel(name)), s"branch-append:$name")
     try {
       val fork = branchFork(table, conf, name) // re-check under the claim
+      commitBranchRecord(fs, conf, table, name, fork, "append",
+        adds, Seq.empty, Seq.empty)
+    } finally claim.release()
+  }
+
+  /** Commit one branch row-level DML record: `adds` (new staged files),
+    * `removes` (replaced branch-staged rels) and `masks` (replaced
+    * fork-owned rels). CALLER MUST HOLD the branch claim — the DML
+    * commit holds it across its whole re-check + rename + record window.
+    */
+  def commitBranchDml(table: String, conf: Configuration, name: String,
+      adds: Seq[String], removes: Seq[String], masks: Seq[String]): Long = {
+    val (fs, _) = ColeIO.resolve(table, conf)
+    val fork = branchFork(table, conf, name)
+    commitBranchRecord(fs, conf, table, name, fork,
+      "rowlevel", adds, removes, masks)
+  }
+
+  /** CAS the next record onto the branch log (no claim here — every
+    * caller already serializes on the branch claim).
+    */
+  private def commitBranchRecord(fs: FileSystem, conf: Configuration,
+      table: String, name: String, fork: Long, op: String,
+      adds: Seq[String], removes: Seq[String], masks: Seq[String]): Long = {
+    {
       val dir = branchLogDir(table, name)
       fs.mkdirs(dir)
-      val body = (Seq(s"ts:${System.currentTimeMillis()}", "op:append") ++
-        adds.map("add:" + _) :+ "end").mkString("\n")
+      val body = (Seq(s"ts:${System.currentTimeMillis()}", s"op:$op") ++
+        adds.map("add:" + _) ++ removes.map("remove:" + _) ++
+        masks.map("mask:" + _) :+ "end").mkString("\n")
         .getBytes(StandardCharsets.UTF_8)
       var attempt = 0
       while (attempt < 1000) {
@@ -336,12 +422,13 @@ object ColeRefs {
       throw new IllegalStateException(
         s"could not commit branch record on '$name' of $table " +
           "after 1000 attempts")
-    } finally claim.release()
+    }
   }
 
   /** The branch's file set: main as of the fork (retired-path resolution
     * included — a file main rewrote since the fork reads from its
-    * retired bytes) plus the branch's staged appends.
+    * retired bytes) MINUS the branch's DML masks, plus the branch's live
+    * staged files.
     */
   def branchFiles(table: String, conf: Configuration,
       name: String): (ColeVersions.SnapshotState, Seq[(String, String)]) = {
@@ -349,10 +436,13 @@ object ColeRefs {
     val fork = branchFork(table, conf, name)
     val st = ColeVersions.snapshotState(table, conf, fork)
     val root = branchDataRoot(table, name)
-    val staged = branchRecords(fs, table, name, fork).flatMap(_._2)
-      .map(rel => (rel,
-        fs.makeQualified(new HPath(root, rel)).toString))
-    (st, staged)
+    val (live, masks) = foldRecords(branchRecords(fs, table, name, fork))
+    val visible =
+      if (masks.isEmpty) st
+      else st.copy(files = st.files.filterNot { case (rel, _) => masks(rel) })
+    val staged = live.map(rel => (rel,
+      fs.makeQualified(new HPath(root, rel)).toString))
+    (visible, staged)
   }
 
   /** Footer-backed infos + pinned deletion vectors of a branch read —
@@ -427,7 +517,21 @@ object ColeRefs {
       // under a half-published log)
       var renamedAny = false
       try {
-        val adds = branchRecords(fs, table, name, fork).flatMap(_._2)
+        val (adds, masks) = foldRecords(branchRecords(fs, table, name, fork))
+        // a branch carrying row-level DML retires MAIN files at publish:
+        // that is only sound against exactly the state that was audited.
+        // With a diverged main a masked file may already be rewritten or
+        // retired — publishing would lose main's newer rows — so masks
+        // force the strict head==fork rule regardless of allow_diverged.
+        if (masks.nonEmpty && !resuming) {
+          val head = ColeVersions.currentVersion(table, conf)
+          require(head == fork,
+            s"branch '$name' carries row-level DML (masked files) and " +
+              s"main advanced past its fork (fork v$fork, head v$head): " +
+              "retiring the masked files is no longer sound — re-audit " +
+              "on a fresh branch or drop this one (allow_diverged does " +
+              "not apply to DML branches)")
+        }
         // validate only what's still staged: on a resume, files already
         // renamed passed validation in the original attempt (validation
         // runs before the first rename)
@@ -447,6 +551,30 @@ object ColeRefs {
             s"staged file missing: $rel (branch '$name' of $table has " +
               "neither a staged nor a live copy — audit the table)")
         }
+        // retire the masked fork files (mask-don't-retire pays off here:
+        // the branch never moved main's bytes, so the publish applies
+        // the audited DML as ordinary retirements). Deterministic stamp:
+        // a resume finds a half-retired set and completes it instead of
+        // failing on the already-moved files.
+        val retireStamp = s"publish-$name-$fork"
+        if (masks.nonEmpty) renamedAny = true
+        val verRemoves = masks.toSeq.sorted.flatMap { rel =>
+          val live = new HPath(table, rel)
+          if (fs.exists(live)) {
+            fs.delete(new HPath(ColeBloomIndex.sidecarPath(live.toString)),
+              false)
+            ColeDv.drop(fs, live.toString)
+            ColeVersions.retireOrDelete(fs, table, live.toString,
+              retireStamp, versioned = true)
+          } else {
+            // resume: this rel was already retired by the crashed attempt
+            val retiredRel = ColeVersions.retiredRelOf(retireStamp, rel)
+            require(ColeVersions.retiredExists(fs, table, retireStamp, rel),
+              s"masked file missing: $rel (branch '$name' of $table has " +
+                "neither a live nor a retired copy — audit the table)")
+            Seq(rel -> retiredRel)
+          }
+        }
         // exactly-once commit: a resume whose crash was post-commit finds
         // the record (matched by op AND adds — a same-named branch
         // published long ago can never satisfy it) instead of re-adding
@@ -456,7 +584,7 @@ object ColeRefs {
                 (adds.isEmpty || r.adds.toSet == adds.toSet)).map(_.version)
           else None)
           .getOrElse(ColeVersions.commitIfEnabled(table, conf,
-            s"publish-$name", adds, Seq.empty).getOrElse(
+            s"publish-$name", adds, verRemoves).getOrElse(
             throw new IllegalStateException(s"versioning disabled on $table?")))
         // the branch is consumed: its log and (now empty) staging dir go
         fs.delete(branchLogDir(table, name), true)

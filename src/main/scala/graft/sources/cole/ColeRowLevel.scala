@@ -48,7 +48,16 @@ import graft.sources.cole.ColeFormat._
   * file snapshot, the write replaces exactly that set.
   */
 class ColeRowLevelOperation(cmd: RowLevelOperation.Command, path: String,
-    partCols: Seq[String], rowGroupSize: Int, conf: Configuration)
+    partCols: Seq[String], rowGroupSize: Int, conf: Configuration,
+    /** Write-audit-publish routing (r15): with the session's
+      * `graft.cole.write.branch` conf set, row-level DML reads the
+      * BRANCH state (fork snapshot minus masks, plus staged files) and
+      * commits to the branch — replaced fork-owned files are MASKED
+      * (mask-don't-retire, the clone-DML pattern), replaced staged files
+      * retire branch-locally, replacement rows land staged. Main is
+      * untouched until publish.
+      */
+    val branch: Option[String] = None)
     extends RowLevelOperation {
 
   /** (path, len, mtime) of the files the group scan finally planned —
@@ -111,7 +120,8 @@ class ColeRowLevelOperation(cmd: RowLevelOperation.Command, path: String,
     new ColeGroupScanBuilder(this, path, conf, partCols)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new ColeReplaceWrite(this, info.schema(), path, rowGroupSize, conf, partCols)
+    new ColeReplaceWrite(this, info.schema(), path, rowGroupSize, conf,
+      partCols, branch)
 
   override def description(): String = s"ColeRowLevel[$cmd] $path"
 }
@@ -202,7 +212,20 @@ class ColeGroupScan(op: ColeRowLevelOperation, required: StructType,
     }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val infos = ColeMetaCache.infos(path, conf)
+    // branch DML (WAP): plan the BRANCH's visible file set — fork
+    // snapshot minus DML masks, plus live staged files. A fork snapshot
+    // carrying deletion vectors is rejected (a group rewrite blind to
+    // them would resurrect vectored-away rows): compact main first.
+    val infos = op.branch match {
+      case None => ColeMetaCache.infos(path, conf)
+      case Some(b) =>
+        val (is, dvs) = ColeRefs.branchInfos(path, conf, b)
+        require(dvs.isEmpty,
+          s"row-level DML on branch '$b' is not supported while the fork " +
+            "snapshot carries deletion vectors — run " +
+            "CALL <catalog>.system.compact on main, re-branch, and retry")
+        is
+    }
     val defaulted = ColeDefaults.existsDefaults(path, conf).keySet
     val (partPreds, dataPreds) =
       classifiers.partition(p => partCols.contains(p.column))
@@ -394,7 +417,7 @@ class ColeHashingReaderFactory(inner: ColeReaderFactory, required: StructType,
   */
 class ColeReplaceWrite(op: ColeRowLevelOperation, schema: StructType,
     path: String, rowGroupSize: Int, conf: Configuration,
-    partCols: Seq[String])
+    partCols: Seq[String], branch: Option[String] = None)
     extends WriteBuilder
     with Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering
     with BatchWrite {
@@ -453,6 +476,14 @@ class ColeReplaceWrite(op: ColeRowLevelOperation, schema: StructType,
     val wconf = new Configuration(
       ColeUtil.evolvedWriteConf(conf, path, schema, partCols))
     wconf.setBoolean(ColeFileWriter.DeferRenameKey, true)
+    // branch DML (WAP): replacement rows land STAGED under the branch's
+    // data root (layout subpaths mirror the table's 1:1, same as branch
+    // appends) — main's tree is never written
+    val dataRoot = branch.map(ColeRefs.branchDataRoot(path, _))
+    dataRoot.foreach { r =>
+      val (bfs, bp) = ColeIO.resolve(r, conf)
+      bfs.mkdirs(bp)
+    }
     new ColeHashingWriterFactory(
       new ColeWriterFactory(schema, path, rowGroupSize, new ColeHadoopConf(wconf),
         partCols, bucketSpec, bucketDerive,
@@ -462,7 +493,8 @@ class ColeReplaceWrite(op: ColeRowLevelOperation, schema: StructType,
         // temporal layouts re-derive: a rewritten row routes back to its
         // unit directory (or its NEW one when the UPDATE moved the
         // timestamp) — layout invariants survive DML
-        ColeTemporal.readSpec(path, conf)), schema)
+        ColeTemporal.readSpec(path, conf),
+        dataRoot = dataRoot), schema)
   }
 
   /** `dir/.NAME.inprogress` → `dir/replace-<stamp>-NAME`. The stamp makes
@@ -501,6 +533,10 @@ class ColeReplaceWrite(op: ColeRowLevelOperation, schema: StructType,
     val taskFiles: Map[Int, Seq[String]] =
       tasks.map { case (pid, _, fs0) => pid -> fs0.filter(dropEmpty) }.toMap
     val planned = op.plannedFiles
+    if (branch.isDefined) {
+      commitToBranch(branch.get, fs, tasks, taskFiles, planned, messages)
+      return
+    }
     // zero-copy clone DML (mask-don't-retire): planned files outside the
     // table root are the SOURCE's — they claim/mask under their src-rel
     // and are HIDDEN by the pointer at commit instead of retired
@@ -578,42 +614,8 @@ class ColeReplaceWrite(op: ColeRowLevelOperation, schema: StructType,
     // an exchange breaks alignment, fingerprints mismatch (never falsely
     // match content that differs) and a whole-operation total comparison
     // still catches the all-files-unchanged case.
-    val (noopFiles: Set[String], discardTasks: Set[Int]) = {
-      val slices = Option(op.scanAcc).map(_.value)
-        .map(_.asScala.groupBy(_.idx).view.mapValues(_.head.fp).toMap)
-        .getOrElse(Map.empty[Int, ColeRowHash.Fp])
-      val taskFp: Map[Int, ColeRowHash.Fp] =
-        tasks.map { case (pid, fp, _) => pid -> fp }.toMap
-      if (slices.isEmpty || taskFp.contains(-1) ||
-          op.scanHashNames != ColeRowHash.hashableNames(schema))
-        (Set.empty[String], Set.empty[Int])
-      else {
-        def fpSum(m: Map[Int, ColeRowHash.Fp], idxs: Seq[Int]): ColeRowHash.Fp =
-          idxs.foldLeft(ColeRowHash.Fp.zero)((a, i) =>
-            a + m.getOrElse(i, ColeRowHash.Fp.zero))
-        val totalScan = slices.values.foldLeft(ColeRowHash.Fp.zero)(_ + _)
-        val totalWrite = taskFp.values.foldLeft(ColeRowHash.Fp.zero)(_ + _)
-        if (totalScan.count > 0 && totalScan == totalWrite)
-          // whole operation changed nothing (alignment-independent):
-          // every original stays, every replacement file is discarded
-          (planned.map(_._1).toSet, taskFiles.keySet)
-        else {
-          // per-file: a file is unchanged when the write tasks aligned
-          // with its slices produced exactly its rows — discard only
-          // those tasks' files; everything else (changed files, insert
-          // rows) commits normally
-          val perFile = planned.map(_._1).filter { f =>
-            op.fileSlices.get(f).exists { idxs =>
-              idxs.forall(slices.contains) && {
-                val s = fpSum(slices, idxs)
-                s.count > 0 && s == fpSum(taskFp, idxs)
-              }
-            }
-          }.toSet
-          (perFile, perFile.flatMap(f => op.fileSlices.getOrElse(f, Seq.empty)))
-        }
-      }
-    }
+    val (noopFiles: Set[String], discardTasks: Set[Int]) =
+      noopDetection(tasks, taskFiles, planned)
     discardTasks.foreach(pid => taskFiles.getOrElse(pid, Seq.empty)
       .foreach(f => fs.delete(new HPath(f), false)))
     val newDotted: Seq[String] = taskFiles.toSeq.sortBy(_._1).collect {
@@ -654,6 +656,137 @@ class ColeReplaceWrite(op: ColeRowLevelOperation, schema: StructType,
         op.command().toString.toLowerCase,
         newDotted.toSeq.map(f => ColeVersions.relOf(fs, path, finalOf(f))),
         verRemoves)
+    } finally claims.release()
+  }
+
+  /** No-op rewrite detection (shared by the main and branch commit
+    * lanes): which planned files' replacement rows fingerprint-match the
+    * rows the scan read from them (keep the original byte-identical,
+    * discard the invisible replacement), and which write tasks' files to
+    * discard with them.
+    */
+  private def noopDetection(tasks: Seq[(Int, ColeRowHash.Fp, Seq[String])],
+      taskFiles: Map[Int, Seq[String]],
+      planned: Seq[(String, Long, Long)]): (Set[String], Set[Int]) = {
+    val slices = Option(op.scanAcc).map(_.value)
+      .map(_.asScala.groupBy(_.idx).view.mapValues(_.head.fp).toMap)
+      .getOrElse(Map.empty[Int, ColeRowHash.Fp])
+    val taskFp: Map[Int, ColeRowHash.Fp] =
+      tasks.map { case (pid, fp, _) => pid -> fp }.toMap
+    if (slices.isEmpty || taskFp.contains(-1) ||
+        op.scanHashNames != ColeRowHash.hashableNames(schema))
+      (Set.empty[String], Set.empty[Int])
+    else {
+      def fpSum(m: Map[Int, ColeRowHash.Fp], idxs: Seq[Int]): ColeRowHash.Fp =
+        idxs.foldLeft(ColeRowHash.Fp.zero)((a, i) =>
+          a + m.getOrElse(i, ColeRowHash.Fp.zero))
+      val totalScan = slices.values.foldLeft(ColeRowHash.Fp.zero)(_ + _)
+      val totalWrite = taskFp.values.foldLeft(ColeRowHash.Fp.zero)(_ + _)
+      if (totalScan.count > 0 && totalScan == totalWrite)
+        // whole operation changed nothing (alignment-independent):
+        // every original stays, every replacement file is discarded
+        (planned.map(_._1).toSet, taskFiles.keySet)
+      else {
+        // per-file: a file is unchanged when the write tasks aligned
+        // with its slices produced exactly its rows — discard only
+        // those tasks' files; everything else (changed files, insert
+        // rows) commits normally
+        val perFile = planned.map(_._1).filter { f =>
+          op.fileSlices.get(f).exists { idxs =>
+            idxs.forall(slices.contains) && {
+              val s = fpSum(slices, idxs)
+              s.count > 0 && s == fpSum(taskFp, idxs)
+            }
+          }
+        }.toSet
+        (perFile, perFile.flatMap(f => op.fileSlices.getOrElse(f, Seq.empty)))
+      }
+    }
+  }
+
+  /** The branch commit lane (WAP row-level DML): serialize entirely on
+    * the branch claim (branch DML is audit-sized — whole-branch
+    * serialization beats per-file claim bookkeeping here), re-check the
+    * planned set against the FRESH branch state, swap inside the staging
+    * root, then land ONE branch record carrying adds + staged removes +
+    * fork masks. Main's tree and the main version log are untouched.
+    */
+  private def commitToBranch(b: String,
+      fs: org.apache.hadoop.fs.FileSystem,
+      tasks: Seq[(Int, ColeRowHash.Fp, Seq[String])],
+      taskFiles: Map[Int, Seq[String]],
+      planned: Seq[(String, Long, Long)],
+      messages: Array[WriterCommitMessage]): Unit = {
+    val claims = ColeClaims.acquire(fs, conf, path,
+      Seq(ColeRefs.branchClaimRelOf(b)),
+      s"branch-${op.command().toString.toLowerCase}")
+    try {
+      // the branch may have been published or dropped while this
+      // statement ran — loud (the staged/mask targets are gone)
+      ColeRefs.branchFork(path, conf, b)
+      // FRESH branch state under the claim: a concurrent DML that
+      // committed between planning and here masked/removed files this
+      // plan read — conflict, retryably (auto-retry re-plans)
+      val (freshSt, freshStaged) = ColeRefs.branchFiles(path, conf, b)
+      val visibleNow: Set[String] =
+        (freshSt.files.map(_._2) ++ freshStaged.map(_._2))
+          .map(p => fs.makeQualified(new HPath(p)).toString).toSet
+      val forkRelOf: Map[String, String] = freshSt.files.map {
+        case (rel, phys) => fs.makeQualified(new HPath(phys)).toString -> rel
+      }.toMap
+      val stagedRelOf: Map[String, String] = freshStaged.map {
+        case (rel, phys) => fs.makeQualified(new HPath(phys)).toString -> rel
+      }.toMap
+      planned.foreach { case (p, len, mtime) =>
+        val q = fs.makeQualified(new HPath(p)).toString
+        val ok = visibleNow(q) && {
+          try {
+            val st = fs.getFileStatus(new HPath(p))
+            st.getLen == len && st.getModificationTime == mtime
+          } catch { case _: java.io.FileNotFoundException => false }
+        }
+        if (!ok) {
+          abort(messages)
+          throw new IllegalStateException(
+            s"concurrent write detected on $p during ${op.command()} on " +
+              s"branch '$b'; aborted with the replacement rolled back — " +
+              "retry after the other writer commits")
+        }
+      }
+      val (noopFiles, discardTasks) = noopDetection(tasks, taskFiles, planned)
+      discardTasks.foreach(pid => taskFiles.getOrElse(pid, Seq.empty)
+        .foreach(f => fs.delete(new HPath(f), false)))
+      val newDotted: Seq[String] = taskFiles.toSeq.sortBy(_._1).collect {
+        case (pid, fs0) if !discardTasks.contains(pid) => fs0
+      }.flatten
+      // replacements become visible inside the staging root — invisible
+      // to every read surface until the branch record lands below
+      newDotted.foreach { f =>
+        require(fs.rename(new HPath(f), new HPath(finalOf(f))),
+          s"branch replace-commit rename failed: $f")
+      }
+      val stagingPrefix = fs.makeQualified(
+        new HPath(ColeRefs.branchDataRoot(path, b))).toString
+        .stripSuffix("/") + "/"
+      val adds = newDotted.map { f =>
+        val q = fs.makeQualified(new HPath(finalOf(f))).toString
+        require(q.startsWith(stagingPrefix),
+          s"branch replacement landed outside the staging root: $q")
+        q.drop(stagingPrefix.length)
+      }
+      val replaced = planned.map(_._1)
+        .filterNot(noopFiles)
+        .map(p => fs.makeQualified(new HPath(p)).toString)
+      val (replacedStaged, replacedFork) = replaced.partition(stagedRelOf.contains)
+      // record FIRST (readers fold records — an unrecorded state change
+      // is invisible), physical staged deletes after
+      ColeRefs.commitBranchDml(path, conf, b, adds,
+        replacedStaged.map(stagedRelOf),
+        replacedFork.map(q => forkRelOf.getOrElse(q,
+          throw new IllegalStateException(
+            s"planned file $q is neither staged nor in the fork snapshot " +
+              s"of branch '$b' — audit the branch log"))))
+      replacedStaged.foreach(q => fs.delete(new HPath(q), false))
     } finally claims.release()
   }
 

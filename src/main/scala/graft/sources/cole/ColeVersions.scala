@@ -207,6 +207,18 @@ object ColeVersions {
       Some(rel -> s"$RetiredName/$stamp/$rel")
     }
 
+  /** The retired-rel token [[retireOrDelete]] would mint for (stamp,
+    * rel) — what a crash-resuming publisher records for a file its
+    * earlier attempt already moved.
+    */
+  def retiredRelOf(stamp: String, rel: String): String =
+    s"$RetiredName/$stamp/$rel"
+
+  /** Is (stamp, rel)'s retired copy on disk? (Publish-resume probe.) */
+  def retiredExists(fs: FileSystem, table: String, stamp: String,
+      rel: String): Boolean =
+    fs.exists(new HPath(new HPath(retiredDir(table), stamp), rel))
+
   /** Roll a [[retireOrDelete]] back (write-job abort before its commit
     * record went durable): the retired file returns to its live path.
     */

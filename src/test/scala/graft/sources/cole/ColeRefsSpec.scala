@@ -335,12 +335,21 @@ class ColeRefsSpec extends AnyFunSuite {
       // rewrite while the switch is set — the r14 regression this pins
       ColeCompact.compact(spark, t, targetBytes = 1L << 30)
       assert(spark.read.format("cole").load(t).count() === 16L)
-      // the switch still routes the versioned table's appends
+      // the switch still routes the versioned table's appends — and
+      // (r15, Iceberg wap.branch read semantics) plain READS of the
+      // branched table now follow the branch too, so the audit job sees
+      // its own staged rows through the table's normal name; an explicit
+      // version pin still reads main's history
       writeRows(t, 16, 4)
-      assert(spark.read.format("cole").load(t).count() === 16L)
+      assert(spark.read.format("cole").load(t).count() === 20L)
       assert(spark.read.format("cole").option("branch", "w").load(t)
         .count() === 20L)
+      val vMain = ColeVersions.currentVersion(t, conf)
+      assert(spark.read.format("cole")
+        .option("versionAsOf", vMain.toString).load(t).count() === 16L)
     } finally spark.conf.unset(ColeRefs.WapBranchConfKey)
+    // outside the switch, the table reads main again
+    assert(spark.read.format("cole").load(t).count() === 16L)
     ColeRefs.dropBranch(t, conf, "w")
   }
 
