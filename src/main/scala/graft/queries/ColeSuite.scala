@@ -2459,6 +2459,65 @@ object ColeSuite {
     // quarter. At 100 TB this is the dev-clone workflow: test real
     // UPDATE/MERGE/DELETE against production data minutes after cloning
     // it, no copy, no risk to the source.
+    // VERSIONED CLONE (r15, verdict ask #4): versioning enabled on the
+    // clone's LOCAL commit stream before localize — the baseline covers
+    // the foreign half through the pointer, a clone DML copy-retires the
+    // replaced foreign file under the clone's own log, and time travel
+    // then reads the pre-DML snapshot while live reads serve the
+    // replacement. The key pins snapshot + live side by side (and the
+    // source's untouched count), hash-checked against DuckDB.
+    Q("cole_clone_versions", (s, d) => {
+      val wh = "/tmp/graft_cole/warehouse"
+      s.conf.set("spark.sql.catalog.cole", "graft.sources.cole.ColeCatalog")
+      s.conf.set("spark.sql.catalog.cole.warehouse", wh)
+      val ns = s"v${writerFingerprint}_clv_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val srcDir = s"$wh/$ns/ord"
+      val dstDir = s"$wh/$ns/dev"
+      val conf = graft.sources.cole.ColeIO.driverConf()
+      writeOnce(dstDir) {
+        val (fs, sp) = graft.sources.cole.ColeIO.resolve(srcDir, conf)
+        fs.delete(sp, true) // the whole sequence is one fixture
+        val (_, dp) = graft.sources.cole.ColeIO.resolve(dstDir, conf)
+        fs.delete(dp, true)
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"),
+            round(col("o_totalprice") * 100).cast("long").as("price_c"))
+          .write.format("cole").mode("overwrite").save(srcDir)
+        graft.sources.cole.ColeVersions.enable(srcDir, conf)
+        s.sql(s"CALL cole.system.clone('$ns.ord', '$ns.dev')")
+        s.sql(s"CALL cole.system.versioning('$ns.dev')") // v1: foreign baseline
+        s.sql(s"UPDATE cole.$ns.dev SET price_c = 0 " +
+          "WHERE o_orderkey % 13 = 0") // v2: copy-retire + replacement
+        s.sql(s"DELETE FROM cole.$ns.dev WHERE o_custkey % 11 = 2") // v3
+      }
+      def agg(df: org.apache.spark.sql.DataFrame, label: String) =
+        df.agg(lit(label).as("which"), count(lit(1)).as("n"),
+          sum("price_c").as("sum_pc"), max("o_orderkey").as("mx_key"))
+      agg(s.read.format("cole").option("versionAsOf", "1").load(dstDir),
+          "1_snapshot")
+        .unionAll(agg(s.read.format("cole").load(dstDir), "2_live"))
+        .unionAll(agg(s.read.format("cole").load(srcDir), "3_source"))
+        .orderBy("which")
+    },
+      Some("""WITH base AS (
+                SELECT o_orderkey, o_custkey,
+                       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+                FROM orders)
+              SELECT '1_snapshot' AS which, COUNT(*) AS n,
+                CAST(SUM(price_c) AS BIGINT) AS sum_pc,
+                MAX(o_orderkey) AS mx_key FROM base
+              UNION ALL
+              SELECT '2_live' AS which, COUNT(*) AS n,
+                CAST(SUM(CASE WHEN o_orderkey % 13 = 0 THEN 0
+                    ELSE price_c END) AS BIGINT) AS sum_pc,
+                MAX(o_orderkey) AS mx_key
+              FROM base WHERE o_custkey % 11 <> 2
+              UNION ALL
+              SELECT '3_source' AS which, COUNT(*) AS n,
+                CAST(SUM(price_c) AS BIGINT) AS sum_pc,
+                MAX(o_orderkey) AS mx_key FROM base
+              ORDER BY which""")),
+
     Q("cole_clone_dml", (s, d) => {
       val wh = "/tmp/graft_cole/warehouse"
       s.conf.set("spark.sql.catalog.cole", "graft.sources.cole.ColeCatalog")

@@ -54,12 +54,40 @@ object ColeClone {
   // is cached too (the overwhelmingly common case costs one getFileStatus)
   private val cache = new LruCache[String, (Long, Long, CloneSrc)](4096)
 
-  /** The clone pointer of `table`, when it still references source files. */
+  /** The clone pointer of `table`, when it still references source files.
+    * `masked` unions the append-only `_clonemask/` entries (unversioned
+    * clones' DML) with the VERSION-LOG-derived masks of a versioned
+    * clone (r15): there a DML records its foreign replacements as
+    * ordinary removes — the live masked set is "foreign rels absent from
+    * the current fold", so rollback restores them with zero extra
+    * machinery.
+    */
   def read(table: String, conf: Configuration): Option[CloneSrc] = {
     val (fs0, _) = ColeIO.resolve(sidecar(table), conf)
-    readPointer(table, conf).map(c =>
-      c.copy(masked = maskedRels(table, fs0)))
+    readPointer(table, conf).map { c =>
+      val fileMasks = maskedRels(table, fs0)
+      val logMasks: Set[String] =
+        if (!ColeVersions.enabled(table, conf)) Set.empty
+        else {
+          val cv = ColeVersions.currentVersion(table, conf)
+          if (cv < 1) Set.empty // mid-enable: the log exists, no baseline yet
+          else {
+            val live = ColeVersions.snapshotLiveRels(table, conf, cv)
+            ColeVersions.snapshotState(c.src, conf, c.version).files
+              .iterator.map(_._1).filterNot(live).toSet
+          }
+        }
+      c.copy(masked = fileMasks ++ logMasks)
+    }
   }
+
+  /** The raw pointer WITHOUT the masked-set computation — what
+    * [[ColeVersions]]' own resolution hooks call (the masked set of a
+    * versioned clone derives FROM the version fold; computing it there
+    * would recurse).
+    */
+  def readPointerOnly(table: String, conf: Configuration): Option[CloneSrc] =
+    readPointer(table, conf)
 
   private def readPointer(table: String,
       conf: Configuration): Option[CloneSrc] = {

@@ -644,18 +644,25 @@ class ColeReplaceWrite(op: ColeRowLevelOperation, schema: StructType,
       ColeDv.drop(fs, p)
       ColeVersions.retireOrDelete(fs, path, p, stamp, versioned)
     }
-    // mask-don't-retire: the SOURCE owns these bytes — hide them behind
-    // the pointer (their replacement rows just became visible above;
-    // the crash window between rename-in and mask parallels the
-    // unversioned COW rename-in → delete window, and clones are
-    // unversioned by construction)
-    ColeClone.mask(path, conf,
-      replacedForeign.map { case (p, _, _) => foreignRel(p) }.toSet)
-    if (newDotted.nonEmpty || verRemoves.nonEmpty)
+    // mask-don't-retire: the SOURCE owns these bytes. On an UNVERSIONED
+    // clone they hide behind append-only `_clonemask/` entries; on a
+    // VERSIONED clone (r15) the replacement is an ordinary remove whose
+    // bytes COPY-retire under this table's own log — masking then
+    // derives from the fold (ColeClone.read), so time travel, rollback
+    // and the change feed cover clone DML with zero extra machinery.
+    val foreignRemoves: Seq[(String, String)] =
+      if (!versioned) {
+        ColeClone.mask(path, conf,
+          replacedForeign.map { case (p, _, _) => foreignRel(p) }.toSet)
+        Seq.empty
+      } else replacedForeign.map { case (p, _, _) =>
+        ColeVersions.copyRetire(fs, path, p, foreignRel(p), stamp)
+      }
+    if (newDotted.nonEmpty || verRemoves.nonEmpty || foreignRemoves.nonEmpty)
       ColeVersions.commitIfEnabled(path, conf,
         op.command().toString.toLowerCase,
         newDotted.toSeq.map(f => ColeVersions.relOf(fs, path, finalOf(f))),
-        verRemoves)
+        verRemoves ++ foreignRemoves)
     } finally claims.release()
   }
 

@@ -100,9 +100,6 @@ object ColeVersions {
     * Returns the current version.
     */
   def enable(table: String, conf: Configuration): Long = {
-    // a clone's baseline would record only the LOCAL listing — the
-    // foreign half would vanish from every snapshot; localize first
-    ColeClone.requireLocal(table, conf, "enabling versioning")
     val (fs, root) = ColeIO.resolve(table, conf)
     if (!fs.exists(root)) fs.mkdirs(root)
     if (fs.exists(vdir(table))) return currentVersion(table, conf)
@@ -111,7 +108,21 @@ object ColeVersions {
     invalidateCache(fs, table)
     fs.mkdirs(retiredDir(table))
     val liveSts = ColeIO.listPartitioned(table, conf)
-    val live = liveSts.map { case (st, _) => relOf(fs, table, st.getPath.toString) }
+    val localRels = liveSts.map { case (st, _) =>
+      relOf(fs, table, st.getPath.toString) }
+    // VERSIONED CLONES (r15): the baseline records the foreign half too
+    // (the pinned source set minus masks, shadowed by local rels), so
+    // the fold covers the whole visible file set and time travel /
+    // rollback / the change feed work over clone-local commits. The
+    // foreign rels resolve through the pointer until localize copies
+    // them in ([[snapshotState]]'s clone hook); a clone-DML "retire" of
+    // a foreign file COPIES its bytes under the clone's own retired dir
+    // (the source owns the original), after which every remove token is
+    // an ordinary retired path.
+    val live = localRels ++ ColeClone.read(table, conf).toSeq.flatMap { cs =>
+      ColeClone.foreignRelOf(cs, conf).values.toSeq.sorted
+        .filterNot(r => localRels.contains(r) || cs.masked(r))
+    }
     // a vector-mode table enables cleanly (r10): the baseline pins the
     // CURRENT sidecar of every vectored file, so version 1 resolves the
     // same live rows the table serves today
@@ -206,6 +217,22 @@ object ColeVersions {
       require(fs.rename(new HPath(abs), dst), s"retire rename failed: $abs")
       Some(rel -> s"$RetiredName/$stamp/$rel")
     }
+
+  /** COPY-retire: the retired entry for a file this table cannot move
+    * (a versioned clone's foreign, source-owned file) — bytes copy under
+    * the clone's own retired dir so every later consumer (time travel,
+    * rollback, the change feed, vacuum) sees an ordinary retired path.
+    * The copy is the honest price of history on a clone, paid only for
+    * the files DML actually touches.
+    */
+  def copyRetire(fs: FileSystem, table: String, phys: String, rel: String,
+      stamp: String): (String, String) = {
+    val dst = new HPath(new HPath(retiredDir(table), stamp), rel)
+    fs.mkdirs(dst.getParent)
+    require(org.apache.hadoop.fs.FileUtil.copy(fs, new HPath(phys), fs,
+      dst, false, true, fs.getConf), s"copy-retire failed: $phys")
+    rel -> s"$RetiredName/$stamp/$rel"
+  }
 
   /** The retired-rel token [[retireOrDelete]] would mint for (stamp,
     * rel) — what a crash-resuming publisher records for a file its
@@ -750,11 +777,24 @@ object ColeVersions {
         .flatMap(r => r.removes.map { case (rel, t) => (rel, t) })
         .groupBy(_._1).view.mapValues(_.head._2).toMap // first removal wins
     val (fs, _) = ColeIO.resolve(table, conf)
+    // versioned clone: a live foreign rel has no file under the table
+    // root until localize — resolve it through the pointer (local
+    // presence shadows, exactly the live-read rule)
+    lazy val foreignPhys: Map[String, String] =
+      ColeClone.readPointerOnly(table, conf)
+        .fold(Map.empty[String, String])(cs =>
+          ColeClone.foreignRelOf(cs, conf).map(_.swap))
     val files = folded.live.map { rel =>
       val phys = laterRemovals.get(rel) match {
         case Some(retiredRel) =>
           fs.makeQualified(new HPath(vdir(table), retiredRel)).toString
-        case None => fs.makeQualified(new HPath(table, rel)).toString
+        case None =>
+          val local = new HPath(table, rel)
+          foreignPhys.get(rel) match {
+            case Some(fp) if !fs.exists(local) =>
+              fs.makeQualified(new HPath(fp)).toString
+            case _ => fs.makeQualified(local).toString
+          }
       }
       (rel, phys)
     }
@@ -764,6 +804,14 @@ object ColeVersions {
   def snapshotAt(table: String, conf: Configuration,
       version: Long): Seq[(String, String)] =
     snapshotState(table, conf, version).files
+
+  /** The fold's live rel set alone — no physical resolution, no
+    * existence probes. What the versioned-clone masked-set derivation
+    * reads (resolution there would recurse through the pointer).
+    */
+  def snapshotLiveRels(table: String, conf: Configuration,
+      version: Long): Set[String] =
+    foldAt(table, conf, version).live.toSet
 
   /** Pinned deletion vectors resolved over an already-built
     * [[SnapshotState]] — the shared verification body of
@@ -894,12 +942,24 @@ object ColeVersions {
     val (fs, _) = ColeIO.resolve(table, conf)
     val laterRemovals: Seq[(Long, String, String)] = recs
       .flatMap(x => x.removes.map { case (rel, t) => (x.version, rel, t) })
+    // versioned clone: a still-foreign add resolves through the pointer
+    // (same shadowing rule as snapshotState)
+    lazy val foreignPhys: Map[String, String] =
+      ColeClone.readPointerOnly(table, conf)
+        .fold(Map.empty[String, String])(cs =>
+          ColeClone.foreignRelOf(cs, conf).map(_.swap))
     r.adds.map { rel =>
       val phys = laterRemovals
         .collectFirst { case (v, `rel`, t) if v > r.version => t } match {
         case Some(retiredRel) =>
           fs.makeQualified(new HPath(vdir(table), retiredRel)).toString
-        case None => fs.makeQualified(new HPath(table, rel)).toString
+        case None =>
+          val local = new HPath(table, rel)
+          foreignPhys.get(rel) match {
+            case Some(fp) if !fs.exists(local) =>
+              fs.makeQualified(new HPath(fp)).toString
+            case _ => fs.makeQualified(local).toString
+          }
       }
       (rel, phys)
     }
@@ -914,9 +974,17 @@ object ColeVersions {
     val (fs, _) = ColeIO.resolve(table, conf)
     val logged = snapshotAt(table, conf, currentVersion(table, conf))
       .map(_._1).toSet
+    // a versioned clone's foreign rels are never listable: a LIVE logged
+    // foreign rel is attested through the pointer (not "missing"), and a
+    // source-side file is never a stray of THIS table (masked rels stay
+    // at the source by design — their retired copies back the history)
+    val foreign: Set[String] = ColeClone.readPointerOnly(table, conf)
+      .fold(Set.empty[String])(cs =>
+        ColeClone.foreignRelOf(cs, conf).values.toSet)
     val actual = ColeIO.listPartitioned(table, conf)
       .map { case (st, _) => relOf(fs, table, st.getPath.toString) }.toSet
-    ((logged -- actual).toSeq.sorted, (actual -- logged).toSeq.sorted)
+    ((logged -- actual -- foreign).toSeq.sorted,
+      (actual -- logged).toSeq.sorted)
   }
 
   /** Restore the table to `version` as a NEW commit (history is
@@ -932,31 +1000,51 @@ object ColeVersions {
     val targetRels = target.map(_._1).toSet
     val currentRels = current.map(_._1).toSet
     val stamp = java.lang.Long.toHexString(System.nanoTime())
+    // versioned clone (r15): a foreign (source-owned) file must never be
+    // renamed or have sidecars touched — its "retire" COPIES the bytes
+    // under this table's own retired dir (the clone-DML discipline), and
+    // a foreign rel that only needs to become VISIBLE again is a pure
+    // log change (its bytes never moved)
+    val rootPrefix = fs.makeQualified(
+      new HPath(table)).toString.stripSuffix("/") + "/"
+    def foreignPhys(phys: String): Boolean =
+      !fs.makeQualified(new HPath(phys)).toString.startsWith(rootPrefix)
     val removes = current.collect {
       case (rel, phys) if !targetRels.contains(rel) ||
           target.exists { case (r, p) => r == rel && p != phys } =>
-        // the bloom sidecar describes THIS incarnation's bytes: delete it
-        // with the retire (every other removal path does), or a later
-        // same-named file would be pruned by a stale stranger's filter.
-        // The live DELETION vector drops too — pinned copies under the
-        // log keep backing the older versions
-        fs.delete(new HPath(ColeBloomIndex.sidecarPath(phys)), false)
-        ColeDv.drop(fs, phys)
-        retireOrDelete(fs, table, phys, stamp, versioned = true).get
+        if (foreignPhys(phys)) {
+          copyRetire(fs, table, phys, rel, stamp)
+        } else {
+          // the bloom sidecar describes THIS incarnation's bytes: delete
+          // it with the retire (every other removal path does), or a
+          // later same-named file would be pruned by a stale stranger's
+          // filter. The live DELETION vector drops too — pinned copies
+          // under the log keep backing the older versions
+          fs.delete(new HPath(ColeBloomIndex.sidecarPath(phys)), false)
+          ColeDv.drop(fs, phys)
+          retireOrDelete(fs, table, phys, stamp, versioned = true).get
+        }
     }
     val adds = target.collect {
-      case (rel, phys) if !currentRels.contains(rel) ||
-          removes.exists(_._1 == rel) =>
-        val dst = new HPath(table, rel)
-        fs.mkdirs(dst.getParent)
-        org.apache.hadoop.fs.FileUtil.copy(fs, new HPath(phys), fs, dst,
-          false, true, fs.getConf)
-        // defensive: a restored copy must not inherit a stale sidecar
-        // (none should exist — removal paths delete them — but a stray
-        // one would mis-prune); indexes rebuild via ColeBloomIndex.build
-        fs.delete(new HPath(ColeBloomIndex.sidecarPath(dst.toString)), false)
-        fs.delete(new HPath(ColeDv.sidecarPath(dst.toString)), false)
-        rel
+      case (rel, phys) if (!currentRels.contains(rel) ||
+          removes.exists(_._1 == rel)) =>
+        if (foreignPhys(phys)) {
+          // restoring a masked foreign rel: visibility is fold-driven,
+          // the source still holds the bytes — record the add, copy
+          // nothing (the pointer resolves it)
+          rel
+        } else {
+          val dst = new HPath(table, rel)
+          fs.mkdirs(dst.getParent)
+          org.apache.hadoop.fs.FileUtil.copy(fs, new HPath(phys), fs, dst,
+            false, true, fs.getConf)
+          // defensive: a restored copy must not inherit a stale sidecar
+          // (none should exist — removal paths delete them — but a stray
+          // one would mis-prune); indexes rebuild via ColeBloomIndex.build
+          fs.delete(new HPath(ColeBloomIndex.sidecarPath(dst.toString)), false)
+          fs.delete(new HPath(ColeDv.sidecarPath(dst.toString)), false)
+          rel
+        }
     }
     // restore each surviving file's DELETION-VECTOR state to the target
     // version: re-pin restored copies (their identity changed with the
@@ -964,7 +1052,13 @@ object ColeVersions {
     // head serves exactly the target's live rows
     val targetDv = dvAsOf(table, conf, version)
     val addSet = adds.toSet
-    val dvEntries = target.flatMap { case (rel, _) =>
+    val dvEntries = target.flatMap { case (rel, relPhys) =>
+      // a still-foreign rel (versioned clone) has no local file and can
+      // carry no vector (clone sources are vector-debt-free at pin and
+      // clones reject vector mode) — nothing to reconcile
+      if (foreignPhys(relPhys) && !fs.exists(new HPath(table, rel)))
+        None
+      else {
       val live = new HPath(table, rel)
       val liveStatus = fs.getFileStatus(live)
       val want: Option[Array[Int]] = targetDv.get(rel).map(dvRel =>
@@ -983,6 +1077,7 @@ object ColeVersions {
         case (None, Some(_)) =>
           ColeDv.drop(fs, live.toString)
           Some(rel -> DvCleared)
+      }
       }
     }
     writeRecord(fs, conf, table, "rollback", adds, removes, dvEntries)

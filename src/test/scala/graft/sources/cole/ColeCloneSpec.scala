@@ -106,7 +106,7 @@ class ColeCloneSpec extends AnyFunSuite {
     assert(t.filter(col("id") < 100).count() === 100)
   }
 
-  test("truncate, overwrite, compaction and versioning reject until localize") {
+  test("truncate, overwrite and compaction reject until localize") {
     makeSrc("s5")
     spark.sql("CALL ckc.system.clone('db.s5', 'db.c5')")
     def rejects(f: => Any): Unit = {
@@ -117,9 +117,10 @@ class ColeCloneSpec extends AnyFunSuite {
       assert(msgs(e).exists(_.contains("localize")),
         s"expected the localize hint, got: ${e.getMessage}")
     }
-    // row-level DML works (mask-don't-retire, ColeCloneDmlSpec) — the
-    // rejections are the operations that RETIRE files wholesale or must
-    // observe the whole directory
+    // row-level DML works (mask-don't-retire, ColeCloneDmlSpec) and
+    // versioning works (ColeCloneVersionsSpec, r15) — the rejections are
+    // the operations that RETIRE files wholesale or must observe the
+    // whole directory
     rejects(spark.sql("TRUNCATE TABLE ckc.db.c5"))
     rejects {
       val s = spark
@@ -128,7 +129,6 @@ class ColeCloneSpec extends AnyFunSuite {
         .write.format("cole").mode("overwrite").save(s"$warehouse/db/c5")
     }
     rejects(spark.sql("CALL ckc.system.compact('db.c5', 64)"))
-    rejects(ColeVersions.enable(s"$warehouse/db/c5", conf))
   }
 
   test("localize copies exactly the missing foreign bytes and graduates") {
