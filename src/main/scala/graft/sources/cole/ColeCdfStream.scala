@@ -424,6 +424,13 @@ object ColeCdfStreamConf {
     */
   val MaterializeGraceKey = "graft.cole.cdf.materialize.graceMs"
   val DefaultMaterializeGraceMs = 600000L
+
+  /** Injectable clock for the materialize-grace decision — specs pin the
+    * defer and the grace-expiry admit DETERMINISTICALLY instead of
+    * racing wall time (the r13 verdict's deflake ask). Production code
+    * never touches this.
+    */
+  @volatile var clock: () => Long = () => System.currentTimeMillis()
 }
 
 class ColeCdfMicroBatchStream(dataSchema: StructType, path: String,
@@ -533,7 +540,7 @@ class ColeCdfMicroBatchStream(dataSchema: StructType, path: String,
         conf.getBoolean(ColeChangeFeed.MaterializeKey, false)) {
       val grace = conf.getLong(ColeCdfStreamConf.MaterializeGraceKey,
         ColeCdfStreamConf.DefaultMaterializeGraceMs)
-      val now = System.currentTimeMillis()
+      val now = ColeCdfStreamConf.clock()
       val pending = recs
         .filter(r => r.version > s && r.version <= end)
         .sortBy(_.version)

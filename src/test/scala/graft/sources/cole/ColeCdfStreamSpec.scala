@@ -282,6 +282,12 @@ class ColeCdfStreamSpec extends AnyFunSuite {
       spark.conf.unset(ColeChangeFeed.MaterializeKey)
       spark.sql("DELETE FROM cdf.db.defer WHERE k >= 90") // v2, image-less
       assert(!ColeChangeFeed.isMaterialized(t, conf, 2L))
+      // FREEZE the grace clock at the commit's own stamp (r15 deflake):
+      // the defer decision is `now - r.ts < grace`, and on a loaded box
+      // real polls could land arbitrarily late — the injected clock
+      // makes the in-grace window a fact, not a race
+      val recTs = ColeVersions.records(t, conf).find(_.version == 2L).get.ts
+      ColeCdfStreamConf.clock = () => recTs + 1
       // pre-fix the stream DIED here planning v2; now it must WAIT —
       // caught up with nothing served past v1, and still alive
       q.processAllAvailable()
@@ -297,6 +303,45 @@ class ColeCdfStreamSpec extends AnyFunSuite {
       assert(dels.agg(min("k")).head().getLong(0) === 90L)
     } finally {
       q.stop()
+      ColeCdfStreamConf.clock = () => System.currentTimeMillis()
+      spark.conf.unset(ColeChangeFeed.MaterializeKey)
+    }
+  }
+
+  test("materialize-armed stream ADMITS an image-less commit past the grace — loudly") {
+    val s = spark
+    import s.implicits._
+    val t = s"$warehouse/db/defergrace"
+    (0 until 50).map(i => (i.toLong, i % 5)).toDF("k", "g").coalesce(1)
+      .write.format("cole").mode("overwrite").save(t)
+    spark.sql("CALL cdf.system.versioning('db.defergrace')") // v1
+    spark.conf.set(ColeChangeFeed.MaterializeKey, "true")
+    val cp = Files.createTempDirectory("cole_cdf_cp_defergrace").toString
+    val q = spark.readStream.format("cole").option("changeFeed", "true")
+      .load(t)
+      .writeStream.format("memory").queryName("cdf_defergrace")
+      .option("checkpointLocation", cp).start()
+    try {
+      q.processAllAvailable() // v1 served
+      spark.conf.unset(ColeChangeFeed.MaterializeKey)
+      spark.sql("DELETE FROM cdf.db.defergrace WHERE k >= 40") // image-less
+      // the injected clock jumps PAST the grace: the committer evidently
+      // died — the stream must admit the commit and fail LOUDLY with the
+      // backfill recipe, deterministically (no sleeping through a real
+      // ten-minute grace)
+      val recTs = ColeVersions.records(t, conf)
+        .find(_.version == 2L).get.ts
+      val grace = ColeCdfStreamConf.DefaultMaterializeGraceMs
+      ColeCdfStreamConf.clock = () => recTs + grace + 1
+      val e = intercept[Exception](q.processAllAvailable())
+      def msgs(x: Throwable): Seq[String] = Option(x).toSeq.flatMap(y =>
+        Option(y.getMessage).toSeq ++ msgs(y.getCause))
+      assert(msgs(e).exists(_.contains("materialize_cdf")),
+        s"expected the backfill recipe in the loud admit, got: " +
+          msgs(e).mkString(" | "))
+    } finally {
+      q.stop()
+      ColeCdfStreamConf.clock = () => System.currentTimeMillis()
       spark.conf.unset(ColeChangeFeed.MaterializeKey)
     }
   }
