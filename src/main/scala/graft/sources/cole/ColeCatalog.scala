@@ -967,8 +967,11 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
       checkSets.foreach { case (n, sql) =>
         ColeChecks.compile(current.schema(), Seq((n, sql)))
         if (ColeMetaCache.infos(path, conf).nonEmpty) {
+          // branch="" opts out of the WAP read route: the constraint is
+          // declared on MAIN's rows (publish re-validates staged data)
           val bad = org.apache.spark.sql.SparkSession.active.read
-            .format("cole").load(path).where(s"($sql) <=> false").count()
+            .format("cole").option("branch", "")
+            .load(path).where(s"($sql) <=> false").count()
           require(bad == 0, s"cannot add CHECK constraint '$n' ($sql) to " +
             s"${ident.name()}: $bad existing rows violate it — clean the " +
             "data first, a declared constraint must already hold")

@@ -186,10 +186,14 @@ object ColeCompact {
         // on the natural key prune by.
         val sortCols = ColeBucket.readDerivation(table, conf).map(_._2)
           .orElse(ColeBucket.readSpec(table, conf).map(_._2)).getOrElse(Seq.empty)
+        // branch="" opts out of the WAP read route: compaction rewrites
+        // MAIN and must never fold unaudited branch rows into it
         val src = transform match {
-          case Some(t) => t(spark.read.format("cole").load(dir.toString), nOut)
+          case Some(t) => t(spark.read.format("cole").option("branch", "")
+            .load(dir.toString), nOut)
           case None =>
-            val src0 = spark.read.format("cole").load(dir.toString).coalesce(nOut)
+            val src0 = spark.read.format("cole").option("branch", "")
+              .load(dir.toString).coalesce(nOut)
             if (sortCols.isEmpty) src0
             else src0.sortWithinPartitions(sortCols.map(
               org.apache.spark.sql.functions.col): _*)

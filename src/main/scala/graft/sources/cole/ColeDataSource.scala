@@ -586,7 +586,10 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
     // read is audit-sized — conservative beats clever here. Temporal
     // pruning stays (each file is judged only by the key its directory
     // carries, so a wrong prune is structurally impossible).
-    val branchOpt = Option(options.get("branch")).orElse(props.get("branch"))
+    val branchOpt = Option(options.get("branch")).filter(_.nonEmpty)
+      // path-based reads mirror their options into props — the empty
+      // opt-out marker must not resurface as a branch name here
+      .orElse(props.get("branch").filter(_.nonEmpty))
       .orElse {
         // WAP session conf (r15): reads follow the branch too — audit
         // queries and the row-level DML's matching-row subquery see the
@@ -594,7 +597,13 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
         // Iceberg wap.branch read semantics. Only when nothing explicit
         // pinned the read elsewhere, and soft on tables where the branch
         // doesn't exist (one session conf drives a multi-table job).
-        if (ColeUtil.timeTravelVersion(options, path).nonEmpty ||
+        // An EXPLICIT EMPTY branch option opts out entirely — the
+        // engine's own maintenance reads (compaction, rebucket, MV state
+        // lookups, constraint declaration scans) read MAIN through it;
+        // routing those through the branch would compact unaudited
+        // staged rows into main.
+        if (options.containsKey("branch") ||
+            ColeUtil.timeTravelVersion(options, path).nonEmpty ||
             props.contains("versionAsOf") ||
             options.get("changesFrom") != null ||
             options.get(ColeChangeFeed.FeedFilesOption) != null) None

@@ -442,7 +442,10 @@ object ColeMv {
         val dKeyRows = smallKeyRows(
           delta.filter(deltaOnlyCond).select(d.groupBy.map(col): _*))
         val mvNow = keyPrefilter(
-          spark.read.format("cole").load(mv).alias("m"), "m",
+          // branch="" opts out of the WAP read route: the differential
+          // fold reads the MV's own MAIN state
+          spark.read.format("cole").option("branch", "").load(mv)
+            .alias("m"), "m",
           d.groupBy, dKeyRows)
         val joined = deltaOnly.join(mvNow, keyEq, "left")
         def newCnt = coalesce(col(s"m.`$CntCol`"), lit(0L)) + col("_d_cnt")

@@ -121,7 +121,9 @@ object ColeRebucket {
         df
       }
       val dirs = old.map(i => new HPath(i.path).getParent.toString).distinct
-      val df = dirs.map(d => normalize(spark.read.format("cole").load(d)))
+      // branch="" opts out of the WAP read route (rebucket rewrites MAIN)
+      val df = dirs.map(d => normalize(spark.read.format("cole")
+        .option("branch", "").load(d)))
         .reduce(_.unionByName(_, allowMissingColumns = true))
       val srcVersion = old.map(_.meta.version).max
       df.write.format("cole").mode("append")

@@ -532,6 +532,25 @@ object ColeRefs {
               "on a fresh branch or drop this one (allow_diverged does " +
               "not apply to DML branches)")
         }
+        // a RESUMING DML-branch publish re-checks the same rule: the
+        // crashed attempt's claim TTL-broke, so a main commit could have
+        // landed in the window and a masked rel's LIVE file may now be a
+        // NEWER incarnation — retiring it would lose main's rows. The
+        // only main commit that may exist is the publish's own (a
+        // post-commit crash), which the exactly-once lookup below finds.
+        val publishedVersion: Option[Long] =
+          if (!resuming) None
+          else ColeVersions.records(table, conf).find(r =>
+            r.version > fork && r.op == s"publish-$name" &&
+              (adds.isEmpty || r.adds.toSet == adds.toSet)).map(_.version)
+        if (masks.nonEmpty && resuming && publishedVersion.isEmpty) {
+          val head = ColeVersions.currentVersion(table, conf)
+          require(head == fork,
+            s"main advanced (fork v$fork, head v$head) during a crashed " +
+              s"publish of DML branch '$name': the masked files' live " +
+              "incarnations are no longer the audited ones — audit " +
+              "_cole_versions/_refs and the retired dir before retrying")
+        }
         // validate only what's still staged: on a resume, files already
         // renamed passed validation in the original attempt (validation
         // runs before the first rename)
@@ -560,7 +579,12 @@ object ColeRefs {
         if (masks.nonEmpty) renamedAny = true
         val verRemoves = masks.toSeq.sorted.flatMap { rel =>
           val live = new HPath(table, rel)
-          if (fs.exists(live)) {
+          if (publishedVersion.isDefined) {
+            // post-commit crash: retirement already happened and the
+            // commit is durable — never touch live files here (a
+            // post-publish commit may have re-minted a same-named rel)
+            Seq(rel -> ColeVersions.retiredRelOf(retireStamp, rel))
+          } else if (fs.exists(live)) {
             fs.delete(new HPath(ColeBloomIndex.sidecarPath(live.toString)),
               false)
             ColeDv.drop(fs, live.toString)
@@ -575,14 +599,10 @@ object ColeRefs {
             Seq(rel -> retiredRel)
           }
         }
-        // exactly-once commit: a resume whose crash was post-commit finds
-        // the record (matched by op AND adds — a same-named branch
+        // exactly-once commit: a resume whose crash was post-commit found
+        // the record above (matched by op AND adds — a same-named branch
         // published long ago can never satisfy it) instead of re-adding
-        val v = (if (resuming)
-            ColeVersions.records(table, conf).find(r =>
-              r.version > fork && r.op == s"publish-$name" &&
-                (adds.isEmpty || r.adds.toSet == adds.toSet)).map(_.version)
-          else None)
+        val v = publishedVersion
           .getOrElse(ColeVersions.commitIfEnabled(table, conf,
             s"publish-$name", adds, verRemoves).getOrElse(
             throw new IllegalStateException(s"versioning disabled on $table?")))

@@ -30,12 +30,17 @@ class ColeBranchDmlSpec extends AnyFunSuite {
   private lazy val warehouse = Files.createTempDirectory("cole_bdml_wh").toString
 
   private lazy val spark: SparkSession = {
+    // force a session WITH GraftExtensions even when an earlier suite
+    // created the shared one without them — the concurrent-DML case
+    // needs the ColeDmlRetry strategy (the ColeDmlRetrySpec pattern)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     val s = SparkSession.builder()
       .master("local[4]")
+      .withExtensions(new graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     s.conf.set("spark.sql.catalog.bdml", "graft.sources.cole.ColeCatalog")
     s.conf.set("spark.sql.catalog.bdml.warehouse", warehouse)
@@ -179,6 +184,39 @@ class ColeBranchDmlSpec extends AnyFunSuite {
       assert(msgs(e).exists(_.contains("copy-on-write")),
         s"expected the MOR rejection, got: ${e.getMessage}")
     }
+  }
+
+  test("concurrent branch DMLs on ONE fork file all commit (claim + retry)") {
+    val t = mkTable("conc")
+    spark.sql("CALL bdml.system.create_branch('db.conc', 'b')")
+    // three writers target DISJOINT rows of the same fork file: each
+    // masks the file its plan read — the branch claim serializes the
+    // commits and the DML auto-retry re-plans the losers over the
+    // winner's replacement
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    try {
+      spark.conf.set(ColeRefs.WapBranchConfKey, "b")
+      val futures = (0 until 3).map { k =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit =
+            spark.sql(s"UPDATE bdml.db.conc SET s = 'W$k' WHERE g = $k")
+        })
+      }
+      futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      val br = spark.read.format("cole").option("branch", "b").load(t)
+      (0 until 3).foreach { k =>
+        assert(br.filter(col("s") === s"W$k").count() === 20L,
+          s"writer $k's rows lost in the concurrent branch DML")
+      }
+      assert(br.count() === 100L)
+    } finally {
+      spark.conf.unset(ColeRefs.WapBranchConfKey)
+      pool.shutdownNow()
+    }
+    spark.sql("CALL bdml.system.fast_forward('db.conc', 'b')")
+    val main = spark.table("bdml.db.conc")
+    (0 until 3).foreach(k =>
+      assert(main.filter(col("s") === s"W$k").count() === 20L))
   }
 
   test("MERGE INTO on a branch: update + insert land branched; publish applies") {

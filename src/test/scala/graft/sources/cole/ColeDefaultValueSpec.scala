@@ -183,4 +183,34 @@ class ColeDefaultValueSpec extends AnyFunSuite {
       "snapshot before the ADD must not carry the column")
     assert(spark.table("dfw.db.g1").filter(col("tier") === "std").count() === 1)
   }
+
+  test("timestamp defaults are timezone-stable; invalid casts reject at DDL (ANSI)") {
+    spark.sql("CREATE TABLE dfw.db.tz1 (id BIGINT) USING cole")
+    spark.sql("INSERT INTO dfw.db.tz1 VALUES (1)")
+    // the exists default folds ONCE with the session timezone (UTC here)
+    // and persists with an EXPLICIT UTC offset, so re-evaluation on any
+    // executor JVM yields the same instant (ADVICE r13)
+    spark.sql("ALTER TABLE dfw.db.tz1 ADD COLUMN ts TIMESTAMP " +
+      "DEFAULT TIMESTAMP '2024-03-01 12:30:00'")
+    val sidecar = ColeCatalog.readTableSpec(s"$warehouse/db/tz1",
+      ColeIO.driverConf()).get._1
+    val persisted = sidecar("ts").metadata.getString(ColeDefaults.ExistsKey)
+    assert(persisted.contains("Z"),
+      s"EXISTS default must persist with an explicit UTC offset: $persisted")
+    spark.sql("INSERT INTO dfw.db.tz1 VALUES (2, DEFAULT)")
+    val rows = spark.table("dfw.db.tz1").orderBy("id")
+      .select(col("ts").cast("string")).collect().map(_.getString(0))
+    assert(rows.toSeq === Seq("2024-03-01 12:30:00", "2024-03-01 12:30:00"),
+      "exists-fill and INSERT-side default must be the same instant")
+    // a castable-but-INVALID default fails AT DECLARATION under the ANSI
+    // fold — it must never silently persist NULL (ADVICE r13)
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE dfw.db.tz1 ALTER COLUMN id SET DEFAULT 'abc'")
+    }
+    def msgs(t: Throwable): Seq[String] = Option(t).toSeq.flatMap(x =>
+      Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(m => m.contains("abc") || m.contains("convert") ||
+      m.toLowerCase.contains("cast")),
+      s"expected a loud invalid-default rejection, got: ${e.getMessage}")
+  }
 }

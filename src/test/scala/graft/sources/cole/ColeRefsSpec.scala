@@ -332,18 +332,25 @@ class ColeRefsSpec extends AnyFunSuite {
       writeRows(plain, 0, 3)
       assert(spark.read.format("cole").load(plain).count() === 3L)
       // maintenance on a versioned table runs its (unversioned) scratch
-      // rewrite while the switch is set — the r14 regression this pins
+      // rewrite while the switch is set — the r14 regression this pins.
+      // The branch CARRIES rows first (r15): compaction reads MAIN
+      // through the WAP-bypass option, so it must never fold unaudited
+      // staged rows into the rewritten files
+      writeRows(t, 900, 5, branch = Some("w"))
       ColeCompact.compact(spark, t, targetBytes = 1L << 30)
-      assert(spark.read.format("cole").load(t).count() === 16L)
+      val vPin = ColeVersions.currentVersion(t, conf)
+      assert(spark.read.format("cole")
+        .option("versionAsOf", vPin.toString).load(t).count() === 16L,
+        "compaction under the WAP conf folded branch rows into main")
       // the switch still routes the versioned table's appends — and
       // (r15, Iceberg wap.branch read semantics) plain READS of the
       // branched table now follow the branch too, so the audit job sees
       // its own staged rows through the table's normal name; an explicit
       // version pin still reads main's history
-      writeRows(t, 16, 4)
-      assert(spark.read.format("cole").load(t).count() === 20L)
+      writeRows(t, 16, 4) // routed to the branch: 16 main + 5 + 4 staged
+      assert(spark.read.format("cole").load(t).count() === 25L)
       assert(spark.read.format("cole").option("branch", "w").load(t)
-        .count() === 20L)
+        .count() === 25L)
       val vMain = ColeVersions.currentVersion(t, conf)
       assert(spark.read.format("cole")
         .option("versionAsOf", vMain.toString).load(t).count() === 16L)
