@@ -13,8 +13,19 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // engagement counters per key in the run log: the r14 driver fail
+      // (cole_agg_fold hash-only miss) was undiagnosable because the
+      // artifact couldn't show whether the metadata fold engaged or the
+      // sweep ran — make both visible (verdict r14 ask #1b)
+      val folds0 = graft.sources.cole.ColeAggFold.foldedPlans.get()
+      val opens0 = graft.sources.cole.ColeIO.opens.get()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        System.err.println(s"[verify] $name ok foldedPlans=" +
+          s"${graft.sources.cole.ColeAggFold.foldedPlans.get() - folds0} " +
+          s"opens=${graft.sources.cole.ColeIO.opens.get() - opens0}")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -31,23 +31,70 @@ object ColeSuite {
     java.lang.Long.toHexString(crc.getValue)
   }
 
-  private[queries] def dirFor(sfDir: String, tag: String): String =
-    s"/tmp/graft_cole/v${writerFingerprint}_${tag}_" +
+  // every fixture dir is minted here — remember which sfDir it derives
+  // from so writeOnce can validate the cached fixture against the SOURCE
+  private val dirSource = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val dirLocks  = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private[queries] def dirFor(sfDir: String, tag: String): String = {
+    val dir = s"/tmp/graft_cole/v${writerFingerprint}_${tag}_" +
       sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    dirSource.put(dir, sfDir)
+    dir
+  }
+
+  /** Identity of the fixture's SOURCE: (name, length, mtime) of every
+    * parquet in the sfDir. The driver regenerates /root/testdata between
+    * rounds — a fixture written from an older generation has matching
+    * rows/schema but wrong VALUES, exactly the one unexplained driver
+    * fail signature of r14 (`cole_agg_fold` hash-only miss).
+    */
+  private def sourceIdentity(sfDir: String): String = {
+    val files = Option(new java.io.File(sfDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).sortBy(_.getName)
+    (Seq("graft-fixture-v1", writerFingerprint) ++
+      files.map(f => s"${f.getName}:${f.length()}:${f.lastModified()}"))
+      .mkString("\n")
+  }
 
   /** The .col layout is deterministic for a given sfDir — write once, so
     * the measured query is a READ (re-materializing storage inside every
     * "read" would be the wrong shape at scale, and it distorts the bench).
+    *
+    * Content-validated, not existence-checked: a sibling manifest records
+    * the source-parquet identity and is written only AFTER the thunk
+    * completes, so a PARTIAL fixture (crashed write → no manifest) or a
+    * STALE one (source parquet regenerated → identity mismatch) is
+    * deleted and rebuilt instead of silently served.
     */
   private[queries] def writeOnce(dir: String)(write: => Unit): Unit = {
-    // partitioned fixtures keep their .col files under key=value
-    // subdirectories — recurse, or the "read" query re-writes per run
-    def hasCol(f: java.io.File): Boolean = {
-      val children = Option(f.listFiles()).getOrElse(Array.empty)
-      children.exists(c => c.isFile && c.getName.endsWith(".col")) ||
-        children.exists(c => c.isDirectory && hasCol(c))
+    val lock = dirLocks.computeIfAbsent(dir, _ => new Object)
+    lock.synchronized {
+      val manifest = new java.io.File(dir + ".manifest")
+      val expected = Option(dirSource.get(dir)).map(sourceIdentity).orNull
+      val valid = manifest.isFile && {
+        val got = new String(
+          java.nio.file.Files.readAllBytes(manifest.toPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+        expected == null || got == expected
+      }
+      if (!valid) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(dir)); manifest.delete()
+        write
+        if (expected != null)
+          java.nio.file.Files.write(manifest.toPath, expected.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+        else // dir minted outside dirFor (shouldn't happen): completion marker
+          java.nio.file.Files.write(manifest.toPath,
+            "graft-fixture-v1".getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+      }
     }
-    if (!hasCol(new java.io.File(dir))) write
   }
 
   private val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",

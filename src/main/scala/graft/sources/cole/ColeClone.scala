@@ -62,6 +62,15 @@ object ColeClone {
     * the current fold", so rollback restores them with zero extra
     * machinery.
     */
+  // the derived masked set costs two full log folds and read() sits on
+  // hot planning paths (ColeScan/ColeAggScan dv exclusion, metadata
+  // counters, canDeleteWhere) — cache it keyed on (table, clone current
+  // version, pinned source version): any clone state change bumps cv
+  // (commits only append), and the rel set of a PINNED source snapshot
+  // is immutable, so a hit can never serve a stale mask
+  private val logMaskCache =
+    new LruCache[(String, Long, Long), Set[String]](4096)
+
   def read(table: String, conf: Configuration): Option[CloneSrc] = {
     val (fs0, _) = ColeIO.resolve(sidecar(table), conf)
     readPointer(table, conf).map { c =>
@@ -71,7 +80,7 @@ object ColeClone {
         else {
           val cv = ColeVersions.currentVersion(table, conf)
           if (cv < 1) Set.empty // mid-enable: the log exists, no baseline yet
-          else {
+          else logMaskCache.getOrElseUpdate((table, cv, c.version)) {
             val live = ColeVersions.snapshotLiveRels(table, conf, cv)
             ColeVersions.snapshotState(c.src, conf, c.version).files
               .iterator.map(_._1).filterNot(live).toSet

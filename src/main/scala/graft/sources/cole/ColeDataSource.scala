@@ -1275,12 +1275,20 @@ final case class ColeAggSpec(kind: String, column: String)
   * a decimal bound that can't prove exactness) — the partitioned sweep
   * remains the fallback.
   */
-private[cole] object ColeAggFold {
+private[graft] object ColeAggFold {
   /** Spec-visible: plans answered without scheduling a sweep. */
   val foldedPlans = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Test seam for the fold-vs-sweep differential spec: when set, tryFold
+    * declines every shape so the partitioned sweep answers the same query
+    * and the two row sets can be compared exactly. Never set in
+    * production paths.
+    */
+  @volatile private[graft] var disableForTest: Boolean = false
+
   def tryFold(survivors: Seq[ColeMetaCache.FileInfo],
       aggs: Seq[ColeAggSpec]): Option[Array[Any]] = {
+    if (disableForTest) return None
     if (survivors.isEmpty)
       return Some(aggs.map {
         case ColeAggSpec("count_star" | "count", _) => 0L

@@ -153,16 +153,30 @@ object ColeMv {
   def parseGroupBy(spec: String): (Seq[String], Map[String, String]) = {
     val entries = splitTop(spec, ',')
     require(entries.nonEmpty, "an MV needs at least one group-by column")
+    // split on the FIRST unquoted ':=' only — the expression side may
+    // itself contain ':=' inside a string literal
+    def sepAt(e: String): Int = {
+      var quote = false
+      var i = 0
+      while (i < e.length - 1) {
+        val ch = e.charAt(i)
+        if (ch == '\'') quote = !quote
+        else if (!quote && ch == ':' && e.charAt(i + 1) == '=') return i
+        i += 1
+      }
+      -1
+    }
     val parsed = entries.map { e =>
-      e.split(":=") match {
-        case Array(n, ex) =>
-          val name = n.trim
+      sepAt(e) match {
+        case -1 => (e.trim, Option.empty[String])
+        case i =>
+          val name = e.substring(0, i).trim
+          val ex = e.substring(i + 2).trim
           require(name.nonEmpty && name.forall(c => c.isLetterOrDigit ||
             c == '_'), s"derived key name '$name' must be an identifier")
-          (name, Some(ex.trim))
-        case Array(n) => (n.trim, None)
-        case _ => throw new IllegalArgumentException(
-          s"group-by entry '$e' must be a column or name := expression")
+          require(ex.nonEmpty,
+            s"group-by entry '$e' must be a column or name := expression")
+          (name, Some(ex))
       }
     }
     val names = parsed.map(_._1)

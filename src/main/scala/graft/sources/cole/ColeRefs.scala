@@ -334,15 +334,6 @@ object ColeRefs {
     */
   def branchClaimRelOf(name: String): String = branchClaimRel(name)
 
-  /** Staged-root prefix check: is `file` one of the branch's own staged
-    * files (vs a fork-owned one)?
-    */
-  def isStaged(table: String, name: String, fs: FileSystem,
-      file: String): Boolean = {
-    val prefix = fs.makeQualified(
-      new HPath(branchDataRoot(table, name))).toString.stripSuffix("/") + "/"
-    fs.makeQualified(new HPath(file)).toString.startsWith(prefix)
-  }
 
   /** Commit one branch append: CAS the next record onto the branch log.
     * Serialized against publish/drop via the branch claim — an append
@@ -367,6 +358,13 @@ object ColeRefs {
     * `removes` (replaced branch-staged rels) and `masks` (replaced
     * fork-owned rels). CALLER MUST HOLD the branch claim — the DML
     * commit holds it across its whole re-check + rename + record window.
+    *
+    * On a versioned CLONE, masks may name SOURCE-owned rels; the record
+    * keeps them undistinguished on purpose — publish resolves
+    * foreignness through the live clone pointer at retire time
+    * (fastForward's copy-retire lane), so a localize between the DML and
+    * the publish graduates the mask to an ordinary local retirement
+    * with no record rewrite.
     */
   def commitBranchDml(table: String, conf: Configuration, name: String,
       adds: Seq[String], removes: Seq[String], masks: Seq[String]): Long = {
@@ -577,6 +575,17 @@ object ColeRefs {
         // failing on the already-moved files.
         val retireStamp = s"publish-$name-$fork"
         if (masks.nonEmpty) renamedAny = true
+        // a VERSIONED CLONE's branch DML masks rels the SOURCE owns: the
+        // publish cannot move those bytes. Resolve each masked rel's
+        // current physical path through the pointer and COPY-retire it
+        // under this table's own log — the versioned-clone main-lane
+        // discipline (ColeRowLevel), so the publish commit's remove
+        // references an ordinary retired path and the derived mask
+        // (ColeClone.read's log fold) hides the source rel from then on.
+        lazy val clonePhys: Map[String, String] =
+          ColeClone.readPointerOnly(table, conf)
+            .fold(Map.empty[String, String])(cs =>
+              ColeClone.foreignRelOf(cs, conf).map(_.swap))
         val verRemoves = masks.toSeq.sorted.flatMap { rel =>
           val live = new HPath(table, rel)
           if (publishedVersion.isDefined) {
@@ -590,6 +599,13 @@ object ColeRefs {
             ColeDv.drop(fs, live.toString)
             ColeVersions.retireOrDelete(fs, table, live.toString,
               retireStamp, versioned = true)
+          } else if (clonePhys.contains(rel)) {
+            // foreign mask — copy, don't move. Runs on RESUME too (no
+            // retiredExists skip): FileUtil.copy is not atomic and a
+            // crashed attempt may have left a torn retired copy; the
+            // copy is idempotent, overwrite finishes it
+            Seq(ColeVersions.copyRetire(fs, table, clonePhys(rel), rel,
+              retireStamp))
           } else {
             // resume: this rel was already retired by the crashed attempt
             val retiredRel = ColeVersions.retiredRelOf(retireStamp, rel)

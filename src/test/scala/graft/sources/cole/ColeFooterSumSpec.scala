@@ -205,4 +205,24 @@ class ColeFooterSumSpec extends AnyFunSuite {
     assert(ColeAggFold.foldedPlans.get() > folds0)
     assert(rn.isNullAt(0) && rn.getLong(1) == 0L)
   }
+
+  test("fold vs sweep differential: the cole_agg_fold query, both paths") {
+    // the REAL driver query over the REAL sf0.01 fixture — the fold path
+    // and the forced page-sweep path must emit byte-identical rows, not
+    // merely each pass their own oracle (verdict r14 ask #1c)
+    val sfDir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$sfDir/lineitem.parquet").isFile)
+    val q = graft.SparkEntry.queries("cole_agg_fold")
+    def run(): org.apache.spark.sql.Row = q(spark, sfDir).head()
+    run() // fixture write + footer-cache warm outside the measured paths
+    val folds0 = ColeAggFold.foldedPlans.get()
+    val folded = run()
+    assert(ColeAggFold.foldedPlans.get() > folds0,
+      "fold did not engage on the driver query")
+    val swept =
+      try { ColeAggFold.disableForTest = true; run() }
+      finally ColeAggFold.disableForTest = false
+    assert(folded == swept,
+      s"fold/sweep divergence:\n  fold:  $folded\n  sweep: $swept")
+  }
 }
