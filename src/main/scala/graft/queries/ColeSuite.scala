@@ -2390,6 +2390,47 @@ object ColeSuite {
                 AND ts < TIMESTAMP '2024-01-18 00:00:00'
               GROUP BY event_type ORDER BY event_type""")),
 
+    // identity partition-spec evolution (r16, verdict ask #3): half of
+    // lineitem lands UNPARTITIONED (l_returnflag is ordinary data inside
+    // those files), `CALL cole.system.evolve_partition` re-declares
+    // l_returnflag as the hive partition column with ZERO rewrites, the
+    // other half appends under `l_returnflag=` directories (not stored
+    // in the new files). The query filters on BOTH an evolved column
+    // (directory-pruned on new-era files, stats/row-filtered on old) and
+    // a data column, and groups across the era boundary — exact against
+    // the single-table oracle.
+    Q("cole_part_evolved", (s, d) => {
+      val wh = "/tmp/graft_cole/warehouse"
+      s.conf.set("spark.sql.catalog.cole", "graft.sources.cole.ColeCatalog")
+      s.conf.set("spark.sql.catalog.cole.warehouse", wh)
+      val ns = s"v${writerFingerprint}_pev_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val dir = s"$wh/$ns/li"
+      writeOnce(dir) {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_returnflag"), col("l_linestatus"))
+        li.filter(col("l_orderkey") % 2 === 0)
+          .write.format("cole").mode("overwrite").save(dir)
+        s.sql(s"CALL cole.system.evolve_partition('$ns.li', 'l_returnflag')")
+        li.filter(col("l_orderkey") % 2 =!= 0)
+          .write.format("cole").mode("append").save(dir)
+      }
+      s.read.format("cole").load(dir)
+        .filter(col("l_returnflag") =!= "R" && col("l_linenumber") <= 4)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          min(col("l_orderkey")).as("min_ok"), max(col("l_orderkey")).as("max_ok"),
+          dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+      Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok,
+                ${dsumSql("l_quantity")} AS sum_qty
+              FROM lineitem
+              WHERE l_returnflag <> 'R' AND l_linenumber <= 4
+              GROUP BY l_returnflag, l_linestatus
+              ORDER BY l_returnflag, l_linestatus""")),
+
     // #165 column DEFAULT values (graft.sources.cole.ColeDefaults): two
     // thirds of orders land, then `ALTER TABLE ADD COLUMN ... DEFAULT`
     // declares cls/bonus — pre-evolution rows READ the exists-default

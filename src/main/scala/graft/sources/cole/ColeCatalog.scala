@@ -624,7 +624,8 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
     }
     // hive partition columns append after data columns; the reserved
     // _bucket directory key is layout, not schema
-    val partFields = ColeMetaCache.partitionSchema(infos)
+    val partFields = ColeMetaCache.partitionSchema(infos,
+        ColePartEvolve.evolvedCols(path, conf))
       .filterNot(f => ColeTemporal.isLayoutKey(f._1))
       .map { case (k, t) =>
         StructField(k, t match {
@@ -674,7 +675,12 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
       .map(f => f.name -> f.metadata).toMap
     val schema = StructType((fileFieldsWidened ++ declaredExtras ++ partFields)
       .map(f => defaulted.get(f.name).fold(f)(m => f.copy(metadata = m))))
-    new ColeTable(schema, partFields.map(_.name),
+    // identity partition-spec evolution: the ACTIVE era declares what
+    // NEW writes partition by, overriding directory inference — existing
+    // files keep their layout and self-describe to the scan
+    val declaredParts = ColePartEvolve.activeCols(path, conf)
+      .map(_.filter(schema.fieldNames.contains))
+    new ColeTable(schema, declaredParts.getOrElse(partFields.map(_.name)),
       Map("path" -> path) ++ checkProps(path), bucketSpec)
   }
 
@@ -733,7 +739,8 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
   private def loadBranch(ident: Identifier, name: String): Table = {
     val path = tablePath(ident)
     val (infos, _) = ColeRefs.branchInfos(path, conf, name)
-    val partFields = ColeMetaCache.partitionSchema(infos)
+    val partFields = ColeMetaCache.partitionSchema(infos,
+        ColePartEvolve.evolvedCols(path, conf))
       .filterNot(f => ColeTemporal.isLayoutKey(f._1))
       .map { case (k, t) =>
         StructField(k, t match {
@@ -751,7 +758,8 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
     val path = tablePath(ident)
     requireVersioned(ident, path)
     val infos = ColeVersions.snapshotInfos(path, conf, version)
-    val partFields = ColeMetaCache.partitionSchema(infos)
+    val partFields = ColeMetaCache.partitionSchema(infos,
+        ColePartEvolve.evolvedCols(path, conf))
       .filterNot(f => ColeTemporal.isLayoutKey(f._1))
       .map { case (k, t) =>
         StructField(k, t match {
@@ -937,7 +945,9 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val path = tablePath(ident)
     val current = loadTable(ident).asInstanceOf[ColeTable]
-    val partCols = ColeMetaCache.partitionSchema(ColeMetaCache.infos(path, conf))
+    val partCols = ColeMetaCache.partitionSchema(
+        ColeMetaCache.infos(path, conf),
+        ColePartEvolve.evolvedCols(path, conf))
       .map(_._1).filterNot(ColeTemporal.isLayoutKey) match {
       case s if s.nonEmpty => s
       case _ => ColeCatalog.readTableSpec(path, conf).map(_._2).getOrElse(Seq.empty)
@@ -1215,7 +1225,8 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
         "compact_debt", "audit", "repair", "zorder", "bloom_index",
         "delete_mode", "materialize_cdf", "cdf_consumers",
         "unregister_cdf_consumer", "evolve_temporal", "checkpoint",
-        "evolve_bucket", "rebucket", "create_tag", "drop_tag",
+        "evolve_bucket", "rebucket", "evolve_partition",
+        "create_tag", "drop_tag",
         "create_branch", "drop_branch", "fast_forward",
         "remove_orphan_files", "create_mv", "refresh_mv")
         .map(Identifier.of(Array("system"), _))
@@ -1360,6 +1371,46 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
           ColeTemporal.parseOption(in.getString(1)))
         Array(Array[Any](UTF8String.fromString(
           evolved.map(s => s"${s.fn}:${s.src}").mkString(" -> "))))
+      }
+      // identity partition-spec evolution (r16): re-declare the hive
+      // partition columns with zero rewrites — old files keep the
+      // column as DATA (it varies within them), new files serve it from
+      // their directory; the scan resolves placement per file. '' drops
+      // partitioning for new writes entirely.
+      case "evolve_partition" => procedure("evolve_partition",
+        tableArg :+ ("columns" -> (StringType: DataType)),
+        StructType(Seq(StructField("history", StringType)))) { in =>
+        val path = procTablePath(in.getString(0))
+        val cols = in.getString(1).split(',').map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        val table = loadTable(Identifier.of(
+          in.getString(0).split('.').dropRight(1),
+          in.getString(0).split('.').last)).asInstanceOf[ColeTable]
+        val schema = table.schema()
+        cols.foreach { c =>
+          require(schema.fieldNames.contains(c),
+            s"evolve_partition: '$c' is not a column of ${in.getString(0)}")
+          schema(c).dataType match {
+            case IntegerType | LongType | StringType => ()
+            case other => throw new IllegalArgumentException(
+              s"COLE partition columns must be INT/LONG/STRING; '$c' is $other")
+          }
+        }
+        // derived layouts keep their own machinery — an identity spec
+        // must not collide with the temporal source or bucket columns
+        ColeTemporal.readSpecs(path, conf).lastOption.foreach(t =>
+          require(!cols.contains(t.src),
+            s"'${t.src}' is the temporal partition source — evolve the " +
+              "temporal layout instead"))
+        ColeBucket.readSpec(path, conf).foreach { case (_, _) =>
+          require(cols.isEmpty,
+            "COLE tables are either hive-partitioned or hash-bucketed, " +
+              "not both — evolve_partition on a bucketed table can only " +
+              "drop partitioning ('')")
+        }
+        val evolved = ColePartEvolve.evolve(path, conf, cols)
+        Array(Array[Any](UTF8String.fromString(
+          evolved.map(e => s"[${e.cols.mkString(",")}]").mkString(" -> "))))
       }
       // bucket spec evolution (r13): re-declare (n, cols[, synthetic
       // key]) on a grown table — zero rewrites, old eras prune under

@@ -594,7 +594,8 @@ class ColeCdfMicroBatchStream(dataSchema: StructType, path: String,
 
   private def innerPartsOf(
       infos: Seq[ColeMetaCache.FileInfo]): Seq[ColeInputPartition] = {
-    val partCols = ColeMetaCache.partitionSchema(infos).map(_._1)
+    val partCols = ColeMetaCache.partitionSchema(infos,
+        ColePartEvolve.evolvedCols(path, conf)).map(_._1)
       .filterNot(ColeTemporal.isLayoutKey).toSet
     val required =
       StructType(dataSchema.fields :+ StructField(ColeUtil.PosMetaCol, LongType))

@@ -60,7 +60,8 @@ class ColeDataSource extends TableProvider with DataSourceRegister {
     // reserved _bucket directory key is LAYOUT, not schema: a bucketed
     // table stores its bucket column in the data files (the hash is
     // lossy), so the directory key must not surface as a column.
-    val partFields = ColeMetaCache.partitionSchema(infos)
+    val partFields = ColeMetaCache.partitionSchema(infos,
+      ColePartEvolve.evolvedCols(ColeUtil.path(options), ColeIO.driverConf()))
       .filterNot(f => ColeTemporal.isLayoutKey(f._1)).map { case (k, t) =>
       StructField(k, t match {
         case "int" => IntegerType
@@ -119,6 +120,16 @@ private[cole] object ColeUtil {
     * reads through the catalog).
     */
   val FileMetaCol = "_cole_file"
+
+  /** colIndices sentinel: this required field is CONSTANT-served by name
+    * (a partition directory value, `_cole_file`, or `_cole_pos`) for
+    * this file — vs `-1` (column absent: NULL/exists-default) and `>= 0`
+    * (decode that footer column). A colIndices SHORTER than the required
+    * schema is the legacy shape: its missing tail is all ConstSrc
+    * (partition columns were always trailing before spec evolution made
+    * placement per-file).
+    */
+  val ConstSrc: Int = -2
 
   /** Metadata column exposing each row's PHYSICAL position within its
     * source file — with [[FileMetaCol]] it forms the row id of
@@ -621,7 +632,8 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
       val (infos, dvs) = ColeRefs.branchInfos(path, conf, name)
       val dirCols: Set[String] =
         if (infos.isEmpty) Set.empty
-        else ColeMetaCache.partitionSchema(infos).map(_._1)
+        else ColeMetaCache.partitionSchema(infos,
+          ColePartEvolve.evolvedCols(path, conf)).map(_._1)
           .filterNot(ColeTemporal.isLayoutKey).toSet
       return new ColeScanBuilder(schema, path, conf,
         schema.fieldNames.filter(dirCols).toSet,
@@ -679,7 +691,8 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
     val infos = snapshot.map(_.infos).getOrElse(ColeMetaCache.infos(path, conf))
     val dirCols: Set[String] =
       if (infos.isEmpty) writePartCols.toSet
-      else ColeMetaCache.partitionSchema(infos).map(_._1)
+      else ColeMetaCache.partitionSchema(infos,
+        ColePartEvolve.evolvedCols(path, conf)).map(_._1)
         .filterNot(ColeTemporal.isLayoutKey).toSet
     new ColeScanBuilder(schema, path, conf,
       schema.fieldNames.filter(dirCols).toSet, snapshot)
@@ -784,9 +797,15 @@ class ColeTable(schema: StructType, writePartCols: Seq[String],
         .filter(_.nonEmpty)
         .filter(_ => ColeVersions.enabled(path, conf)))
     branch.foreach(b => ColeRefs.branchFork(path, conf, b)) // exists, or loud
+    // identity partition-spec evolution: the ACTIVE era governs every
+    // write — path-based appends included (the catalog path already
+    // resolved it into writePartCols; this covers direct .save(dir))
+    val effPartCols = ColePartEvolve.activeCols(path, conf)
+      .map(_.filter(info.schema().fieldNames.contains))
+      .getOrElse(writePartCols)
     new ColeWriteBuilder(info.schema(), path,
       info.options().getInt("rowGroupSize", 65536),
-      conf, writePartCols, buckets, derive, temporal, sortBy, branch)
+      conf, effPartCols, buckets, derive, temporal, sortBy, branch)
   }
 }
 
@@ -3185,7 +3204,8 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
     * fact-fact join from a full-corpus shuffle into zero.
     */
   private lazy val partKeySchema: Seq[(String, String)] =
-    ColeMetaCache.partitionSchema(tableInfos)
+    ColeMetaCache.partitionSchema(tableInfos,
+      ColePartEvolve.evolvedCols(path, conf))
 
   /** Keys participating in the REPORTED partitioning. Under a composed
     * temporal+bucket layout the temporal ordinal prunes directories but
@@ -3425,9 +3445,6 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
     // `_cole_file` (SupportsMetadataColumns): a per-file constant served
     // through the partition-value mechanism, never a footer column
     val wantFileCol = required.fieldNames.contains(ColeUtil.FileMetaCol)
-    val fileRequired = StructType(required.filterNot(f =>
-      partCols.contains(f.name) || f.name == ColeUtil.FileMetaCol ||
-        f.name == ColeUtil.PosMetaCol))
     val target = ColePack.targetBytes
     // per-file claimed-predicate sets (IsNotNull dropped where vacuous)
     val predsOf = scala.collection.mutable.HashMap.empty[String, Array[ColePredicate]]
@@ -3489,23 +3506,37 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
       else {
         val meta = info.meta
         val nameToIdx = meta.columns.map(_.name).zipWithIndex.toMap
+        // partition-spec duality (ColePartEvolve): a pred column THIS
+        // FILE serves from its directory prunes/keeps the whole file by
+        // that value (it is not in the file's footers); for files that
+        // CARRY the column as data it stays an ordinary stats/selection
+        // predicate. Pure tables have no dir-served columns on the data
+        // side (partCols already routed those), so dirPreds is empty
+        // and this is byte-for-byte the old path.
+        val (dirPreds, dataPreds) = preds.partition(p => pv.contains(p.column))
+        if (!dirPreds.forall(p => partitionKeeps(p, pv(p.column)))) Seq.empty
         // schema evolution: a file written before a claimed-filter column
         // existed stores NULL for it on every row, and every claimed
         // predicate (comparisons, IN, IsNotNull) rejects NULL — the whole
         // file drops from planning, no byte read. `WHERE added_col > 0`
         // thus prunes the entire pre-evolution tail of a 100 TB table.
-        if (preds.exists(p => !nameToIdx.contains(p.column))) Seq.empty
+        else if (dataPreds.exists(p => !nameToIdx.contains(p.column))) Seq.empty
         else {
         // a claimed IsNotNull is vacuous over null-free chunks; dropping
         // it PER FILE keeps the preds-empty fast paths (metadata counts,
         // guaranteed credit) intact for v1 tables while nullable v2
         // files still enforce it row-exactly
-        val filePreds = preds.filter(p => !p.isNotNullClaim ||
+        val filePreds = dataPreds.filter(p => !p.isNotNullClaim ||
           nameToIdx.get(p.column).exists(meta.columnHasNulls))
         predsOf(info.path) = filePreds
-        // -1 = column absent from THIS file (pre-evolution): readers emit
-        // NULL vectors for it, zero bytes projected
-        val colIndices = fileRequired.fieldNames.map(nameToIdx.getOrElse(_, -1))
+        // per-field source over the WHOLE required schema: ConstSrc for
+        // metadata columns and anything THIS file's directory carries,
+        // -1 for absent (pre-evolution NULL/default), footer index else
+        val colIndices = required.fieldNames.map { n =>
+          if (n == ColeUtil.FileMetaCol || n == ColeUtil.PosMetaCol ||
+            pv.contains(n)) ColeUtil.ConstSrc
+          else nameToIdx.getOrElse(n, -1)
+        }
         // ordinal-addressed feed reads (rgKeep): only the row groups the
         // delta's ordinals touch plan at all — O(delta) group opens
         val rgAllowed = snapshot.flatMap(_.rgKeep.get(info.path))
@@ -3889,6 +3920,13 @@ class ColeReaderFactory(required: StructType, hconf: ColeHadoopConf)
       hconf.value)
 }
 
+object ColeColumnarReader {
+  /** loadRowGroup marker for a ConstSrc field: get() serves it as a
+    * constant vector from the file's partition values / metadata.
+    */
+  private[cole] object ConstCol
+}
+
 class ColeColumnarReader(part: ColeInputPartition, required: StructType,
     conf: Configuration)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
@@ -3904,6 +3942,15 @@ class ColeColumnarReader(part: ColeInputPartition, required: StructType,
   // exists defaults (ColeDefaults): what an absent column's rows read
   // instead of NULL — null entry = no default, the plain NULL backfill
   private lazy val fieldDefaults: Array[Any] = ColeDefaults.rowValues(required)
+  // per-field source, normalized to one entry per required field: the
+  // legacy short shape's implicit trailing constants become explicit
+  // ConstSrc entries, so constant-served fields may sit at ANY position
+  // (partition-spec evolution moves a column between file and directory
+  // placement per file)
+  private val fieldSrc: Array[Int] =
+    if (part.colIndices.length >= required.length) part.colIndices
+    else part.colIndices ++ Array.fill(
+      required.length - part.colIndices.length)(ColeUtil.ConstSrc)
   // row groups decode lazily, one at a time — a packed partition never
   // holds more than one row group's chunks in memory
   private var rgPos = -1
@@ -3948,8 +3995,9 @@ class ColeColumnarReader(part: ColeInputPartition, required: StructType,
         curPos(j) = base + (if (sel == null) j else sel(j)); j += 1
       }
     }
-    columns = part.colIndices.zipWithIndex.map { case (ci, pos) =>
-      if (ci < 0) null // schema-evolution column absent from this file
+    columns = fieldSrc.zipWithIndex.map { case (ci, pos) =>
+      if (ci == ColeUtil.ConstSrc) ColeColumnarReader.ConstCol
+      else if (ci < 0) null // schema-evolution column absent from this file
       else {
       val dict = reader.readStringChunkDict(rgIdx, ci)
       if (dict != null) {
@@ -4099,6 +4147,28 @@ class ColeColumnarReader(part: ColeInputPartition, required: StructType,
         case (entries: Array[Array[Byte]], ids: Array[Int]) =>
           v.setDictionary(new ColeVectorDictionary(entries))
           v.reserveDictionaryIds(n).putInts(0, n, ids, offset)
+        case ColeColumnarReader.ConstCol =>
+          // constant-served field: the file's directory value (a 1-entry
+          // dictionary for strings — no per-row byte copies), or the
+          // per-row `_cole_pos` physical position
+          val f = required.fields(i)
+          if (f.name == ColeUtil.PosMetaCol) {
+            var r = 0
+            while (r < n) { v.putLong(r, curPos(offset + r)); r += 1 }
+          } else {
+            val raw = part.partValues.collectFirst {
+              case (k, pv) if k == f.name => pv }
+              .getOrElse(throw new IllegalStateException(
+                s"missing partition value for '${f.name}' in ${part.file}"))
+            f.dataType match {
+              case IntegerType => v.putInts(0, n, raw.toInt)
+              case LongType => v.putLongs(0, n, raw.toLong)
+              case _ =>
+                v.setDictionary(new ColeVectorDictionary(
+                  Array(raw.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+                v.reserveDictionaryIds(n).putInts(0, n, 0)
+            }
+          }
         case null => // schema evolution: column absent from this file —
           // NULL, or the column's exists-default when the ALTER declared one
           fieldDefaults(i) match {
@@ -4124,32 +4194,8 @@ class ColeColumnarReader(part: ColeInputPartition, required: StructType,
       vecs(i) = v
       i += 1
     }
-    // partition columns (required fields past the file columns): constant
-    // vectors from the file's directory values — strings as a 1-entry
-    // dictionary, so no per-row byte copies
-    while (i < required.length) {
-      val f = required.fields(i)
-      val v = new OnHeapColumnVector(n, f.dataType)
-      if (f.name == ColeUtil.PosMetaCol) {
-        // per-row physical position (file-wide) of the surviving rows
-        var r = 0
-        while (r < n) { v.putLong(r, curPos(offset + r)); r += 1 }
-      } else {
-        val raw = part.partValues.collectFirst { case (k, pv) if k == f.name => pv }
-          .getOrElse(throw new IllegalStateException(
-            s"missing partition value for '${f.name}' in ${part.file}"))
-        f.dataType match {
-          case IntegerType => v.putInts(0, n, raw.toInt)
-          case LongType => v.putLongs(0, n, raw.toLong)
-          case _ =>
-            v.setDictionary(new ColeVectorDictionary(
-              Array(raw.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
-            v.reserveDictionaryIds(n).putInts(0, n, 0)
-        }
-      }
-      vecs(i) = v
-      i += 1
-    }
+    // every field is served by the loop above (fieldSrc covers the whole
+    // required schema; constant fields ride the ConstCol lane)
     offset += n
     if (batch != null) batch.close()
     batch = new ColumnarBatch(vecs, n)
@@ -4184,6 +4230,13 @@ class ColeRowReader(part: ColeInputPartition, required: StructType,
   // exists defaults (ColeDefaults): what an absent column's rows read
   // instead of NULL — null entry = no default, the plain NULL backfill
   private lazy val fieldDefaults: Array[Any] = ColeDefaults.rowValues(required)
+  // per-field source, one entry per required field (legacy short shape:
+  // implicit trailing constants become explicit ConstSrc — see
+  // ColeUtil.ConstSrc)
+  private val fieldSrc: Array[Int] =
+    if (part.colIndices.length >= required.length) part.colIndices
+    else part.colIndices ++ Array.fill(
+      required.length - part.colIndices.length)(ColeUtil.ConstSrc)
   private var rgPos = -1
   private var columns: Array[ColumnData] = _
   private var sel: Array[Int] = _ // claimed-filter selection; null = all rows
@@ -4205,8 +4258,9 @@ class ColeRowReader(part: ColeInputPartition, required: StructType,
         if (part.deleted == null) null else part.deleted(rgPos),
         part.rowCounts(rgPos))
       // -1 = schema-evolution column absent from this file: NULL for every
-      // row; present columns adapt narrower stored lanes to the union type
-      columns = part.colIndices.zipWithIndex.map { case (ci, pos) =>
+      // row; ConstSrc fields serve from partValues in get(); present
+      // columns adapt narrower stored lanes to the union type
+      columns = fieldSrc.zipWithIndex.map { case (ci, pos) =>
         if (ci < 0) null
         else ColeWiden.adapt(reader.readChunk(rgIdx, ci),
           required.fields(pos).dataType)
@@ -4217,12 +4271,12 @@ class ColeRowReader(part: ColeInputPartition, required: StructType,
     true
   }
 
-  // partition columns are the required fields past the file columns,
-  // constant per file from the directory values; the `_cole_pos`
-  // metadata column is generated per row instead (marker = null here)
-  private val partConsts: Array[Any] =
-    required.fields.drop(part.colIndices.length).map { f =>
-      if (f.name == ColeUtil.PosMetaCol) null
+  // ConstSrc fields are constant per file from the directory values; the
+  // `_cole_pos` metadata column is generated per row instead (null here)
+  private val constVals: Array[Any] =
+    required.fields.zipWithIndex.map { case (f, i) =>
+      if (fieldSrc(i) != ColeUtil.ConstSrc ||
+          f.name == ColeUtil.PosMetaCol) null
       else {
         val raw = part.partValues.collectFirst { case (k, v) if k == f.name => v }
           .getOrElse(throw new IllegalStateException(
@@ -4234,8 +4288,8 @@ class ColeRowReader(part: ColeInputPartition, required: StructType,
         }
       }
     }
-  private val posIdx: Int = required.fields.drop(part.colIndices.length)
-    .indexWhere(_.name == ColeUtil.PosMetaCol)
+  private val posIdx: Int = required.fields.indexWhere(f =>
+    f.name == ColeUtil.PosMetaCol)
   private lazy val rgStarts: Array[Long] = {
     val a = new Array[Long](reader.meta.rowGroups.length)
     var acc = 0L
@@ -4246,14 +4300,19 @@ class ColeRowReader(part: ColeInputPartition, required: StructType,
 
   override def get(): InternalRow = {
     val r = if (sel == null) row else sel(row)
-    val values = new Array[Any](columns.length + partConsts.length)
+    val values = new Array[Any](required.length)
     var i = 0
     while (i < columns.length) {
       val c = columns(i)
       values(i) =
+        // constant-served field (directory value; `_cole_pos` per row)
+        if (fieldSrc(i) == ColeUtil.ConstSrc) {
+          if (i == posIdx) rgStarts(part.rowGroups(rgPos)) + r
+          else constVals(i)
+        }
         // column absent from this file (schema evolution): NULL, or the
         // column's exists-default when the ALTER declared one
-        if (c == null) fieldDefaults(i)
+        else if (c == null) fieldDefaults(i)
         else if (c.nulls != null && c.nulls(r)) null
         else if (c.ints != null) c.ints(r)
         else if (c.longs != null) required.fields(i).dataType match {
@@ -4276,10 +4335,6 @@ class ColeRowReader(part: ColeInputPartition, required: StructType,
         else UTF8String.fromBytes(c.strings(r))
       i += 1
     }
-    var p = 0
-    while (p < partConsts.length) { values(i + p) = partConsts(p); p += 1 }
-    if (posIdx >= 0)
-      values(i + posIdx) = rgStarts(part.rowGroups(rgPos)) + r
     InternalRow.fromSeq(values.toIndexedSeq)
   }
 

@@ -79,26 +79,36 @@ object ColeDelete {
       val pv = info.partValues.toMap
       val partHit = partPreds.forall(p =>
         pv.get(p.column).exists(ColePredicate.partitionKeeps(p, _)))
+      // partition-spec duality (ColePartEvolve): a pred column THIS file
+      // serves from its directory decides the whole file by that value —
+      // constant-true for survivors, so row matching uses the remaining
+      // file-local preds only
+      val (dirPs, filePs) = dataPreds.partition(p => pv.contains(p.column))
       val cls =
         if (!partHit) Untouched
+        else if (!dirPs.forall(p =>
+          ColePredicate.partitionKeeps(p, pv(p.column)))) Untouched
         else if (ColeBucket.pruneFile(pv, bucketKeeps)) Untouched
         else {
           val meta = info.meta
           val nameToIdx = meta.columns.map(_.name).zipWithIndex.toMap
           // a file written before a predicate column existed stores NULL
           // for it on every row; NULL never satisfies a condition
-          if (dataPreds.exists(p => !nameToIdx.contains(p.column))) Untouched
-          else if (dataPreds.nonEmpty && meta.rowGroups.forall(rg =>
-              ColePredicate.skipRowGroup(rg, nameToIdx, dataPreds))) Untouched
-          else if (dataPreds.isEmpty || meta.rowGroups.forall(rg =>
-              ColePredicate.fullyKeepsRowGroup(rg, nameToIdx, dataPreds)))
+          if (filePs.exists(p => !nameToIdx.contains(p.column))) Untouched
+          else if (filePs.nonEmpty && meta.rowGroups.forall(rg =>
+              ColePredicate.skipRowGroup(rg, nameToIdx, filePs))) Untouched
+          else if (filePs.isEmpty || meta.rowGroups.forall(rg =>
+              ColePredicate.fullyKeepsRowGroup(rg, nameToIdx, filePs)))
             Drop
           else Rewrite
         }
-      (info, cls)
+      (info, cls, filePs)
     }
-    val dropped = classified.collect { case (i, c) if c == Drop => i }
-    val rewrites = classified.collect { case (i, c) if c == Rewrite => i }
+    val dropped = classified.collect { case (i, c, _) if c == Drop => i }
+    val rewrites = classified.collect { case (i, c, _) if c == Rewrite => i }
+    val filePredsOf: Map[String, Array[ColePredicate]] =
+      classified.collect { case (i, c, ps) if c != Untouched => i.path -> ps }
+        .toMap
     if (dropped.isEmpty && rewrites.isEmpty)
       return Stats(infos.size, infos.size, 0, 0, 0L)
 
@@ -109,7 +119,7 @@ object ColeDelete {
     // files and KB-scale sidecar writes, zero data-file IO on the write
     // side; compaction later materializes the vectors.
     if (ColeDv.vectorMode(table, conf))
-      return deleteVector(spark, table, dropped ++ rewrites, dataPreds,
+      return deleteVector(spark, table, dropped ++ rewrites, filePredsOf,
         conf, infos.size)
 
     val stamp = java.lang.Long.toHexString(System.nanoTime())
@@ -118,10 +128,10 @@ object ColeDelete {
     val rewritten: Map[String, (String, Long, Long)] =
       if (rewrites.isEmpty) Map.empty
       else {
-        val tasks = rewrites.map(_.path)
+        val tasks = rewrites.map(i => (i.path, filePredsOf(i.path)))
         val sc = spark.sparkContext
         sc.parallelize(tasks, tasks.size)
-          .map(f => rewriteFile(f, stamp, dataPreds, hconf))
+          .map { case (f, ps) => rewriteFile(f, stamp, ps, hconf) }
           .collect().toMap
       }
     raceWindow()
@@ -208,7 +218,8 @@ object ColeDelete {
     // table still resolves (files are the usual source of truth)
     if (dropped.size + emptied.size == infos.size) {
       import org.apache.spark.sql.types._
-      val partFields = ColeMetaCache.partitionSchema(infos)
+      val partFields = ColeMetaCache.partitionSchema(infos,
+          ColePartEvolve.evolvedCols(table, conf))
         .filterNot(f => ColeTemporal.isLayoutKey(f._1))
         .map { case (k, t) =>
           StructField(k, t match {
@@ -357,10 +368,11 @@ object ColeDelete {
     * counts, not vectors). Data files stay byte-identical.
     */
   private def deleteVector(spark: SparkSession, table: String,
-      files: Seq[ColeMetaCache.FileInfo], dataPreds: Array[ColePredicate],
+      files: Seq[ColeMetaCache.FileInfo],
+      filePredsOf: Map[String, Array[ColePredicate]],
       conf: Configuration, totalFiles: Int): Stats = {
     val hconf = new ColeHadoopConf(conf)
-    val tasks = files.map(i => (i.path, i.len, i.mtime))
+    val tasks = files.map(i => (i.path, i.len, i.mtime, filePredsOf(i.path)))
     val sc = spark.sparkContext
     // commit stamp fixed BEFORE the job: each task derives its pin path
     // deterministically and writes the pin ITSELF from the ordinal set
@@ -379,7 +391,7 @@ object ColeDelete {
       files.map(i => ColeVersions.relOf(lockFs, table, i.path)), "delete-vector")
     try {
     val perFile: Array[(String, Long)] =
-      sc.parallelize(tasks, math.max(1, tasks.size)).map { case (f, len, mtime) =>
+      sc.parallelize(tasks, math.max(1, tasks.size)).map { case (f, len, mtime, dataPreds) =>
         val c = hconf.value
         val (ffs, fp) = ColeIO.resolve(f, c)
         // race check: the file must still be the bytes classification read

@@ -287,15 +287,30 @@ object ColeMetaCache {
     * not through this schema). Identity hive keys must still be
     * consistent — mixed hive layouts are corruption, not evolution.
     */
-  def partitionSchema(infos: Seq[FileInfo]): Seq[(String, String)] = {
-    if (infos.isEmpty || infos.head.partValues.isEmpty) return Seq.empty
-    val keys = infos.head.partValues.map(_._1)
-    val identity = keys.filterNot(ColeTemporal.isLayoutKey)
-    require(infos.forall(
-      _.partValues.map(_._1).filterNot(ColeTemporal.isLayoutKey) == identity),
+  def partitionSchema(infos: Seq[FileInfo]): Seq[(String, String)] =
+    partitionSchema(infos, Set.empty)
+
+  /** `evolved`: identity columns a DECLARED partition-spec evolution
+    * (ColePartEvolve history) moved between directory and data placement
+    * — exempt from the consistency check, and participating here only
+    * when every file still carries them (mixed placement prunes/serves
+    * per file instead, through the scan's duality lanes).
+    */
+  def partitionSchema(infos: Seq[FileInfo],
+      evolved: Set[String]): Seq[(String, String)] = {
+    if (infos.isEmpty) return Seq.empty
+    val keys = infos.iterator.flatMap(_.partValues.iterator.map(_._1))
+      .distinct.toSeq
+    if (keys.isEmpty) return Seq.empty
+    val identity = keys.filterNot(k =>
+      ColeTemporal.isLayoutKey(k) || evolved.contains(k))
+    require(infos.forall(i => identity.forall(k =>
+        i.partValues.exists(_._1 == k))),
       s"inconsistent partition directory structure under a COLE table: " +
         s"expected keys $identity")
-    val shared = keys.filter(k =>
+    val ordered = infos.iterator.map(_.partValues.map(_._1))
+      .maxBy(_.length) // nesting order from the deepest layout
+    val shared = ordered.filter(k =>
       infos.forall(_.partValues.exists(_._1 == k)))
     shared.map { k =>
       val vals = infos.map(_.partValues.collectFirst {

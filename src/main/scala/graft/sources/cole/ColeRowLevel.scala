@@ -227,13 +227,18 @@ class ColeGroupScan(op: ColeRowLevelOperation, required: StructType,
         is
     }
     val defaulted = ColeDefaults.existsDefaults(path, conf).keySet
+    // split on the columns EVERY file serves from its directory, not the
+    // table's declared partCols: under identity partition-spec evolution
+    // (ColePartEvolve) a declared partition column may still be DATA in
+    // pre-evolution files — those resolve per file below
+    val dirAlways: Set[String] =
+      if (infos.isEmpty) partCols.toSet
+      else infos.iterator.map(_.partValues.iterator.map(_._1).toSet)
+        .reduce(_ & _)
     val (partPreds, dataPreds) =
-      classifiers.partition(p => partCols.contains(p.column))
+      classifiers.partition(p => dirAlways.contains(p.column))
     val bucketKeeps: Map[String, Set[String]] = ColeBucket.keepsByEra(
       ColeBucket.readHistory(path, conf), dataPreds.toSeq)
-    val fileRequired = StructType(required.filterNot(f =>
-      partCols.contains(f.name) || f.name == ColeUtil.FileMetaCol ||
-        f.name == ColeUtil.PosMetaCol))
     val candidates = infos.filter { info =>
       val pv = info.partValues.toMap
       runtimeFiles.forall(_.contains(info.path)) &&
@@ -242,16 +247,21 @@ class ColeGroupScan(op: ColeRowLevelOperation, required: StructType,
           pv.get(p.column).exists(ColePredicate.partitionKeeps(p, _))) && {
           val meta = info.meta
           val nameToIdx = meta.columns.map(_.name).zipWithIndex.toMap
+          // duality lanes: a pred column THIS file dir-serves decides
+          // the whole file by its directory value
+          val (dirPs, dataPs) = dataPreds.partition(p => pv.contains(p.column))
+          if (!dirPs.forall(p =>
+              ColePredicate.partitionKeeps(p, pv(p.column)))) false
           // a predicate column this file predates stores NULL everywhere:
           // no row can match, the file stays untouched — UNLESS the column
           // carries an exists-default (its rows read that constant, which
           // the condition may match): then the pred just can't classify,
           // the file stays a candidate and Spark's residual condition
           // decides row-exactly above the default-filled scan
-          if (dataPreds.exists(p => !nameToIdx.contains(p.column) &&
+          else if (dataPs.exists(p => !nameToIdx.contains(p.column) &&
               !defaulted(p.column))) false
-          else !(dataPreds.nonEmpty && meta.rowGroups.forall(rg =>
-            ColePredicate.skipRowGroup(rg, nameToIdx, dataPreds)))
+          else !(dataPs.nonEmpty && meta.rowGroups.forall(rg =>
+            ColePredicate.skipRowGroup(rg, nameToIdx, dataPs)))
         }
     }
     // merge-on-read deletion vectors apply to the group scan too: a
@@ -267,7 +277,14 @@ class ColeGroupScan(op: ColeRowLevelOperation, required: StructType,
     val perFile: Seq[(String, Seq[ColeInputPartition])] = candidates.map { info =>
       val meta = info.meta
       val nameToIdx = meta.columns.map(_.name).zipWithIndex.toMap
-      val colIndices = fileRequired.fieldNames.map(nameToIdx.getOrElse(_, -1))
+      val dirKeys = info.partValues.iterator.map(_._1).toSet
+      // per-field source (see ColeUtil.ConstSrc): directory-served
+      // columns are per-file under spec evolution
+      val colIndices = required.fieldNames.map { n =>
+        if (n == ColeUtil.FileMetaCol || n == ColeUtil.PosMetaCol ||
+          dirKeys.contains(n)) ColeUtil.ConstSrc
+        else nameToIdx.getOrElse(n, -1)
+      }
       val pv = (info.partValues :+ (ColeUtil.FileMetaCol -> info.path)).toArray
       if (dvMode) dvIdent(info.path) =
         try {
