@@ -917,6 +917,65 @@ object ColeSuite {
               FROM orders WHERE o_custkey % 7 <> 3
               ORDER BY which""")),
 
+    // streamed WAP ingest (r16, verdict ask #4): the second half of
+    // orders arrives as a STREAM staged onto a branch (epochs land under
+    // the branch staging root with branch-local records — main's file
+    // set, version and tailing manifest untouched), is audit-read on the
+    // branch, then fast_forward publishes every staged epoch in ONE main
+    // commit. The key pins the pre-publish main (first half only) and
+    // the published state (everything) side by side, hash-checked.
+    Q("cole_branch_stream", (s, d) => {
+      val wh = "/tmp/graft_cole/warehouse"
+      s.conf.set("spark.sql.catalog.cole", "graft.sources.cole.ColeCatalog")
+      s.conf.set("spark.sql.catalog.cole.warehouse", wh)
+      val ns = s"v${writerFingerprint}_bstr_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val tdir = s"$wh/$ns/ord"
+      val conf = graft.sources.cole.ColeIO.driverConf()
+      writeOnce(tdir) {
+        val ord = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"),
+            round(col("o_totalprice") * 100).cast("long").as("price_c"))
+        ord.filter(col("o_orderkey") % 2 === 0)
+          .write.format("cole").mode("overwrite").save(tdir)
+        graft.sources.cole.ColeVersions.enable(tdir, conf) // v1
+        s.sql(s"CALL cole.system.create_branch('$ns.ord', 'ingest')")
+        // the arriving half staged as .col files, tailed as a stream
+        val srcDir = s"$wh/$ns/arriving"
+        ord.filter(col("o_orderkey") % 2 =!= 0)
+          .write.format("cole").mode("overwrite").save(srcDir)
+        val q = s.readStream.format("cole").load(srcDir)
+          .writeStream.format("cole")
+          .option("path", tdir)
+          .option("checkpointLocation", s"$wh/$ns/cp")
+          .option("branch", "ingest")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        // staged, not landed: main is still v1's half
+        require(s.read.format("cole").load(tdir)
+          .count() * 2 <= Tables.orders(s, d).count() + 1,
+          "branch stream leaked into main before publish")
+        s.sql(s"CALL cole.system.fast_forward('$ns.ord', 'ingest')")
+      }
+      def agg(df: org.apache.spark.sql.DataFrame, label: String) =
+        df.agg(lit(label).as("which"), count(lit(1)).as("n"),
+          min("o_orderkey").as("mn_key"), max("o_orderkey").as("mx_key"),
+          sum("price_c").as("sum_c"))
+      agg(s.read.format("cole").option("versionAsOf", "1").load(tdir),
+          "1_prepublish")
+        .unionAll(agg(s.read.format("cole").load(tdir), "2_published"))
+        .orderBy("which")
+    },
+      Some("""SELECT '1_prepublish' AS which, COUNT(*) AS n,
+                MIN(o_orderkey) AS mn_key, MAX(o_orderkey) AS mx_key,
+                CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_c
+              FROM orders WHERE o_orderkey % 2 = 0
+              UNION ALL
+              SELECT '2_published' AS which, COUNT(*) AS n,
+                MIN(o_orderkey) AS mn_key, MAX(o_orderkey) AS mx_key,
+                CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_c
+              FROM orders
+              ORDER BY which""")),
+
     // #163 incremental MATERIALIZED VIEW (r14, ColeMv): the MV is created
     // at v1 (partial data), the source then takes an append AND a delete,
     // and refresh_mv folds the change feed into the stored per-key state —

@@ -54,8 +54,17 @@ object Dsl {
   def psum(product: Column): Column =
     sum(product).cast(DecimalType(38, 6)).cast(DoubleType)
 
-  def dmoneySql(x: String): String = s"CAST($x AS DECIMAL(18,4))"
-  def dfracSql(x: String): String = s"CAST($x AS DECIMAL(8,6))"
+  // DuckDB-side decimals built from INTEGER UNITS (r16, verdict ask
+  // #6): a double→decimal cast whose decimal SURFACES in the result (or
+  // feeds a decimal-domain comparison) inherits the cast's
+  // version-dependent rounding — DuckDB has drifted on half-ulp ties
+  // across releases. The source data is exactly k-decimal, so
+  // ROUND(x·10^k) is an exact BIGINT and the scale shift multiplies by
+  // an exact decimal LITERAL: the same value, built drift-free.
+  def dmoneySql(x: String): String =
+    s"CAST(CAST(ROUND(($x) * 100) AS BIGINT) * 0.0100 AS DECIMAL(18,4))"
+  def dfracSql(x: String): String =
+    s"CAST(CAST(ROUND(($x) * 1000000) AS BIGINT) * 0.000001 AS DECIMAL(8,6))"
   def revenueSql: String = s"${dmoneySql("l_extendedprice")} * ${dfracSql("1 - l_discount")}"
   def psumSql(x: String): String = s"CAST(CAST(SUM($x) AS DECIMAL(38,6)) AS DOUBLE)"
 }

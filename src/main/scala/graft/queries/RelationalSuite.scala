@@ -116,7 +116,7 @@ object RelationalSuite {
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     },
       Some("""SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
-                CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4)))
+                CAST(SUM(CAST(CAST(ROUND((o_totalprice) * 100) AS BIGINT) * 0.0100 AS DECIMAL(25,4)))
                      OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
                   AS running_spend,
@@ -173,8 +173,8 @@ object RelationalSuite {
         .agg(dsum(col("l_quantity")))
         .orderBy("l_returnflag"),
       Some(s"""SELECT l_returnflag,
-               CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(25,4)) END) AS DOUBLE) AS "F",
-               CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(25,4)) END) AS DOUBLE) AS "O"
+               CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(CAST(ROUND(l_quantity) AS BIGINT) AS DECIMAL(25,4)) END) AS DOUBLE) AS "F",
+               CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(CAST(ROUND(l_quantity) AS BIGINT) AS DECIMAL(25,4)) END) AS DOUBLE) AS "O"
                FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // #23 scalar + IN subqueries (Catalyst rewrites IN to a semi join and
@@ -574,11 +574,11 @@ object RelationalSuite {
       Some(s"""SELECT ${psumSql(dmoneySql("l_extendedprice"))} / 7.0 AS avg_yearly
                FROM lineitem JOIN part ON l_partkey = p_partkey
                  JOIN (SELECT l_partkey AS agg_pk,
-                              CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DECIMAL(38,4)) AS qty_sum,
+                              CAST(SUM(CAST(CAST(ROUND(l_quantity) AS BIGINT) AS DECIMAL(25,4))) AS DECIMAL(38,4)) AS qty_sum,
                               COUNT(*) AS qty_n
                        FROM lineitem GROUP BY l_partkey) ON l_partkey = agg_pk
                WHERE p_brand = 'Brand#3' AND p_size <= 20
-                 AND CAST(l_quantity AS DECIMAL(25,4)) * 5 * qty_n < qty_sum""")),
+                 AND CAST(CAST(ROUND(l_quantity) AS BIGINT) AS DECIMAL(25,4)) * 5 * qty_n < qty_sum""")),
 
     // #99 TPC-H Q18 large-volume customers: orders whose total quantity
     // clears a threshold (exact decimal compare), top by order value.
@@ -601,9 +601,9 @@ object RelationalSuite {
                      CAST(sum_qty_dec AS DOUBLE) AS sum_qty
               FROM orders
                 JOIN (SELECT l_orderkey AS big_ok,
-                             CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DECIMAL(38,4)) AS sum_qty_dec
+                             CAST(SUM(CAST(CAST(ROUND(l_quantity) AS BIGINT) AS DECIMAL(25,4))) AS DECIMAL(38,4)) AS sum_qty_dec
                       FROM lineitem GROUP BY l_orderkey
-                      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DECIMAL(38,4)) > 300)
+                      HAVING CAST(SUM(CAST(CAST(ROUND(l_quantity) AS BIGINT) AS DECIMAL(25,4))) AS DECIMAL(38,4)) > 300)
                   ON o_orderkey = big_ok
                 JOIN customer ON o_custkey = c_custkey
               ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
@@ -740,7 +740,7 @@ object RelationalSuite {
     },
       Some(s"""SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS INT) AS o_year,
                       ${psumSql(s"CAST($revenueSql AS DECIMAL(20,6)) - " +
-                        s"CAST(${dmoneySql("p_retailprice")} * CAST(l_quantity AS DECIMAL(12,2)) * " +
+                        s"CAST(${dmoneySql("p_retailprice")} * CAST(CAST(ROUND(l_quantity) AS BIGINT) AS DECIMAL(12,2)) * " +
                         "CAST(0.6 AS DECIMAL(2,1)) AS DECIMAL(20,6))")} AS sum_profit
                FROM lineitem JOIN part ON l_partkey = p_partkey
                  JOIN orders ON l_orderkey = o_orderkey
@@ -846,9 +846,9 @@ object RelationalSuite {
                                       WHERE p_name LIKE 'red%')
                   GROUP BY l_partkey, l_suppkey
                   HAVING CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
-                                       THEN CAST(l_quantity AS DECIMAL(25,4)) END)
+                                       THEN CAST(CAST(ROUND(l_quantity) AS BIGINT) AS DECIMAL(25,4)) END)
                               AS DECIMAL(38,4)) * 2
-                         > CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DECIMAL(38,4)))
+                         > CAST(SUM(CAST(CAST(ROUND(l_quantity) AS BIGINT) AS DECIMAL(25,4))) AS DECIMAL(38,4)))
               ORDER BY s_name""")),
 
     // #107 TPC-H Q21 (adapted) suppliers who kept orders waiting: for
@@ -923,12 +923,12 @@ object RelationalSuite {
                  SELECT c_custkey, c_acctbal, CAST(c_nationkey % 5 AS INT) AS cntrycode
                  FROM customer WHERE c_nationkey % 5 IN (0, 2, 4)),
                t AS (
-                 SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS tot_bal,
+                 SELECT CAST(SUM(CAST(CAST(ROUND((c_acctbal) * 100) AS BIGINT) * 0.0100 AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS tot_bal,
                         COUNT(*) AS n_pos
                  FROM cust WHERE c_acctbal > 0)
                SELECT cntrycode, COUNT(*) AS numcust, ${dsumSql("c_acctbal")} AS totacctbal
                FROM cust, t
-               WHERE CAST(c_acctbal AS DECIMAL(12,4)) * n_pos > tot_bal
+               WHERE CAST(CAST(ROUND((c_acctbal) * 100) AS BIGINT) * 0.0100 AS DECIMAL(12,4)) * n_pos > tot_bal
                  AND NOT EXISTS (SELECT 1 FROM orders
                                  WHERE o_custkey = c_custkey
                                    AND o_orderpriority = '1-URGENT')

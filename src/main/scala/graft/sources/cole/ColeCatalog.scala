@@ -1311,15 +1311,20 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
       case "compact_debt" => procedure("compact_debt",
         tableArg ++ Seq("target_mb" -> (LongType: DataType),
           "min_deleted_pct" -> (LongType: DataType),
-          "min_small_files" -> (LongType: DataType)),
+          "min_small_files" -> (LongType: DataType),
+          // fold_debt => 1: also migrate pre-SUMS (v1) stragglers to v2
+          // so the metadata-only aggregate path engages (r16)
+          "fold_debt" -> (LongType: DataType)),
         StructType(Seq(
           StructField("compacted_dirs", LongType),
           StructField("files_before", LongType),
-          StructField("files_after", LongType)))) { in =>
+          StructField("files_after", LongType))),
+        defaults = Map("fold_debt" -> "0")) { in =>
         val st = ColeCompact.compactDebt(
           org.apache.spark.sql.SparkSession.active,
           procTablePath(in.getString(0)), in.getLong(1) << 20,
-          in.getLong(2).toDouble / 100.0, in.getLong(3).toInt)
+          in.getLong(2).toDouble / 100.0, in.getLong(3).toInt,
+          foldDebt = in.getLong(4) != 0L)
         Array(Array[Any](st.compactedDirs.toLong, st.filesBefore.toLong,
           st.filesAfter.toLong))
       }

@@ -59,7 +59,7 @@ object ColeCompact {
   def compactDebt(spark: SparkSession, table: String,
       targetBytes: Long = 128L << 20, minDeletedRatio: Double = 0.1,
       minSmallFiles: Int = 4, rowGroupSize: Int = 65536,
-      compress: Option[String] = None): Stats = {
+      compress: Option[String] = None, foldDebt: Boolean = false): Stats = {
     require(minDeletedRatio > 0.0 && minDeletedRatio <= 1.0,
       s"minDeletedRatio must be in (0, 1], got $minDeletedRatio")
     require(minSmallFiles >= 2,
@@ -80,8 +80,25 @@ object ColeCompact {
             small >= minSmallFiles
         } => dir
     }.toSet
+    // FOLD debt (r16, verdict ask #5): any file lacking the v2 SUMS
+    // footer tail forfeits the metadata-only aggregate path for the
+    // whole table (the fold is all-or-nothing per query). With
+    // `fold_debt => true`, exactly the directories holding pre-SUMS
+    // stragglers rewrite — FORCED to v2 (the auto version choice would
+    // re-emit v1 for plain integral schemas) and rewritten even when
+    // already a single right-sized file — so an incrementally-migrated
+    // 100 TB table converges to the fold path instead of forfeiting it
+    // to one old file.
+    val foldDirs: Set[String] =
+      if (!foldDebt) Set.empty
+      else byDir.collect { case (dir, is)
+        if is.exists(_.meta.chunkSums.isEmpty) => dir }.toSet
     rewriteDirs(spark, table, targetBytes, rowGroupSize, compress,
-      skipWhenFewFiles = true, transform = None, onlyDirs = Some(eligible))
+      skipWhenFewFiles = true, transform = None,
+      onlyDirs = Some(eligible ++ foldDirs),
+      alwaysRewrite = foldDirs.map(d =>
+        fs.makeQualified(new HPath(d)).toString),
+      forceVersion = if (foldDebt) Some(2) else None)
   }
 
   /** Re-cluster the whole table on the z-order of two columns, in place,
@@ -113,7 +130,11 @@ object ColeCompact {
       skipWhenFewFiles: Boolean,
       transform: Option[(org.apache.spark.sql.DataFrame, Int) =>
         org.apache.spark.sql.DataFrame],
-      onlyDirs: Option[Set[String]] = None): Stats = {
+      onlyDirs: Option[Set[String]] = None,
+      // fold-debt migration: these (qualified) dirs rewrite even when
+      // already a single right-sized file, at the forced format version
+      alwaysRewrite: Set[String] = Set.empty,
+      forceVersion: Option[Int] = None): Stats = {
     // compaction retires its inputs — a clone's foreign inputs belong
     // to the SOURCE; localize first
     ColeClone.requireLocal(table, ColeIO.driverConf(), "compact/zorder")
@@ -143,7 +164,9 @@ object ColeCompact {
       // MATERIALIZES the vectors (and what unblocks delete_mode='copy')
       def hasDv = sts.exists { s =>
         fs.exists(new HPath(ColeDv.sidecarPath(s._1.getPath.toString))) }
-      if (sts.isEmpty || (skipWhenFewFiles && sts.size <= nOut && !hasDv)) {
+      val mustRewrite = alwaysRewrite.contains(fs.makeQualified(dir).toString)
+      if (sts.isEmpty ||
+          (skipWhenFewFiles && sts.size <= nOut && !hasDv && !mustRewrite)) {
         filesAfter += sts.size; bytesAfter += bytes
       } else {
         // compaction participates in the DML claim protocol (r12): it
@@ -175,8 +198,9 @@ object ColeCompact {
         // columns) must not be re-written as v1 — the auto choice sees
         // only the Spark schema, which can't distinguish "nullable" from
         // "has actual nulls"
-        val srcVersion = ColeMetaCache.infos(dir.toString, conf)
-          .map(_.meta.version).maxOption.getOrElse(1)
+        val srcVersion = forceVersion.getOrElse(
+          ColeMetaCache.infos(dir.toString, conf)
+            .map(_.meta.version).maxOption.getOrElse(1))
         // bucketed tables write SORTED bucket files; a plain coalesce
         // would concatenate the sorted runs and loosen every page stat —
         // re-sort within partitions so compaction PRESERVES the

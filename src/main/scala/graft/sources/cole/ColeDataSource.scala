@@ -4472,10 +4472,8 @@ class ColeWriteBuilder(schema: StructType, path: String, rowGroupSize: Int,
             if (doTruncate || dynamicOverwrite || overwriteFilters.nonEmpty)
               throw new UnsupportedOperationException(
                 "the cole streaming sink supports Append output mode only")
-            require(branch.isEmpty,
-              "branch writes are batch appends; a stream tails the live table")
             new ColeStreamingWrite(schema, path, rowGroupSize, conf, partCols,
-              bucketSpec, bucketDerive, temporal = temporal)
+              bucketSpec, bucketDerive, temporal = temporal, branch = branch)
           }
         }
       case None =>
@@ -4510,10 +4508,8 @@ class ColeWriteBuilder(schema: StructType, path: String, rowGroupSize: Int,
               if (doTruncate || dynamicOverwrite || overwriteFilters.nonEmpty)
                 throw new UnsupportedOperationException(
                   "the cole streaming sink supports Append output mode only")
-              require(branch.isEmpty,
-                "branch writes are batch appends; a stream tails the live table")
               new ColeStreamingWrite(schema, path, rowGroupSize, conf, partCols,
-                bucketSpec, temporal = temporal)
+                bucketSpec, temporal = temporal, branch = branch)
             }
           }
         else new Write {
@@ -4525,10 +4521,8 @@ class ColeWriteBuilder(schema: StructType, path: String, rowGroupSize: Int,
           if (doTruncate || dynamicOverwrite || overwriteFilters.nonEmpty)
             throw new UnsupportedOperationException(
               "the cole streaming sink supports Append output mode only")
-          require(branch.isEmpty,
-            "branch writes are batch appends; a stream tails the live table")
           new ColeStreamingWrite(schema, path, rowGroupSize, conf, partCols,
-            bucketSpec, temporal = temporal)
+            bucketSpec, temporal = temporal, branch = branch)
         }
       }
     }
@@ -5663,7 +5657,24 @@ class ColeStreamingWrite(schema: StructType, path: String, rowGroupSize: Int,
     conf: Configuration, partCols: Seq[String],
     bucketSpec: Option[(Int, Seq[String])] = None,
     bucketDerive: Option[(String, Seq[String])] = None,
-    temporal: Option[ColeTemporal.Spec] = None) extends StreamingWrite {
+    temporal: Option[ColeTemporal.Spec] = None,
+    /** WAP branch staging (r16): epochs land under the branch's staging
+      * root with branch-local `append` records — a streaming ingest can
+      * be audited before publish exactly like a batch one. Replay
+      * idempotence is preserved on both surfaces: the epoch-
+      * deterministic finals overwrite in place, and the branch-record
+      * fold is a SET, so a replayed epoch's re-recorded rels converge.
+      * Main's tree, log, and manifest dir are untouched until
+      * fast_forward.
+      */
+    branch: Option[String] = None) extends StreamingWrite {
+
+  /** Files land here: the table root, or the branch staging root (whose
+    * layout mirrors the table's, so staged rels ARE their publish
+    * destinations).
+    */
+  private val dataRoot: String =
+    branch.fold(path)(ColeRefs.branchDataRoot(path, _))
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
@@ -5695,20 +5706,38 @@ class ColeStreamingWrite(schema: StructType, path: String, rowGroupSize: Int,
       }
       require(n > 0 && n <= 65536, s"bucket count must be in [1, 65536], got $n")
     }
-    val (fs, dir) = ColeIO.resolve(path, conf)
+    val (fs, dir) = ColeIO.resolve(dataRoot, conf)
     if (!fs.exists(dir)) fs.mkdirs(dir)
-    // sidecar BEFORE any epoch lands (idempotent overwrite), so a reader
-    // tailing the growing table can prove co-partitioning from epoch one
-    bucketSpec.foreach { case (n, cs) =>
-      ColeBucket.writeSpec(path, conf, n, cs, bucketDerive) }
-    // first declaration only — never clobber an evolved spec history
-    if (ColeTemporal.readSpecs(path, conf).isEmpty)
-      temporal.foreach(ColeTemporal.writeSpec(path, conf, _))
-    new ColeStreamingWriterFactory(schema, path, rowGroupSize,
+    if (branch.isEmpty) {
+      // sidecar BEFORE any epoch lands (idempotent overwrite), so a reader
+      // tailing the growing table can prove co-partitioning from epoch one
+      bucketSpec.foreach { case (n, cs) =>
+        ColeBucket.writeSpec(path, conf, n, cs, bucketDerive) }
+      // first declaration only — never clobber an evolved spec history
+      if (ColeTemporal.readSpecs(path, conf).isEmpty)
+        temporal.foreach(ColeTemporal.writeSpec(path, conf, _))
+    } else {
+      // a branch stream STAGES data — it must not mutate the table's
+      // layout sidecars pre-audit. Declaring a NEW layout through a
+      // branch stream is rejected; an EXISTING table layout routes the
+      // staged files identically (the staging root mirrors it).
+      bucketSpec.foreach { case (n, cs) =>
+        require(ColeBucket.readSpec(path, conf).contains((n, cs)),
+          "a branch stream cannot declare a NEW bucket layout — create " +
+            "the table bucketed first, then stream onto the branch") }
+      temporal.foreach { t =>
+        require(ColeTemporal.readSpecs(path, conf).lastOption.contains(t),
+          "a branch stream cannot declare a NEW temporal layout — " +
+            "declare it on the table first, then stream onto the branch") }
+    }
+    new ColeStreamingWriterFactory(schema, dataRoot, rowGroupSize,
       new ColeHadoopConf(conf), partCols, bucketSpec, bucketDerive,
       // CHECK constraints hold for streamed rows too — compiled once per
       // epoch's factory on the driver, enforced before any byte lands
-      ColeChecks.forWrite(path, conf, schema), temporal)
+      ColeChecks.forWrite(path, conf, schema), temporal,
+      // bucket-era routing resolves against the TABLE's history, not the
+      // staging root
+      dirKeyPath = path)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -5722,6 +5751,17 @@ class ColeStreamingWrite(schema: StructType, path: String, rowGroupSize: Int,
         fs.makeQualified(f).toString
       }
       case _ => Seq.empty
+    }
+    if (branch.isDefined) {
+      // branch staging: ONE branch `append` record per epoch, rels
+      // relative to the staging root (== publish destinations). No
+      // manifest entry and no main version commit — staged epochs are
+      // invisible to main and to tailing sources until fast_forward.
+      // A replayed epoch re-records the same rels: the fold is a set.
+      val (bfs, _) = ColeIO.resolve(path, conf)
+      ColeRefs.commitBranchAppend(path, conf, branch.get, finals.toSeq.map(
+        f => ColeVersions.relOf(bfs, ColeRefs.branchDataRoot(path, branch.get), f)))
+      return
     }
     // per-epoch manifest entry AFTER the renames: listed files are always
     // readable. Epoch-deterministic name + full overwrite = a replayed
@@ -5778,12 +5818,18 @@ class ColeStreamingWriterFactory(schema: StructType, path: String,
     bucketSpec: Option[(Int, Seq[String])] = None,
     bucketDerive: Option[(String, Seq[String])] = None,
     checks: Array[CompiledCheck] = Array.empty,
-    temporal: Option[ColeTemporal.Spec] = None)
+    temporal: Option[ColeTemporal.Spec] = None,
+    /** Where layout sidecars live — the TABLE root. Differs from `path`
+      * only for branch staging, where files land under the staging root
+      * but era routing still follows the table's history.
+      */
+    dirKeyPath: String = null)
     extends StreamingDataWriterFactory {
 
   private val bucketDirKey: String =
     if (bucketSpec.isEmpty) ColeBucket.DirKey
-    else ColeBucket.activeDirKey(path, hconf.value)
+    else ColeBucket.activeDirKey(
+      if (dirKeyPath == null) path else dirKeyPath, hconf.value)
 
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =

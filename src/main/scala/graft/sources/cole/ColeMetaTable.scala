@@ -55,7 +55,12 @@ class ColeMetaTable(path: String, kind: String, conf: Configuration)
       // the LIVE count after subtraction — "how much latent rewrite debt
       // does this table carry?" is a SQL aggregate away
       StructField("deleted_rows", LongType, nullable = false),
-      StructField("live_rows", LongType, nullable = false)))
+      StructField("live_rows", LongType, nullable = false),
+      // FOLD debt (r16): the file's footer lacks the v2 SUMS tail, so
+      // its presence forfeits the metadata-only aggregate path for the
+      // whole table (the fold is all-or-nothing per query) —
+      // `compact_debt(fold_debt => true)` migrates exactly these
+      StructField("sums_missing", BooleanType, nullable = false)))
     // the per-PARTITION rollup of $files: layout health at directory
     // grain — "which days are fragmented / carry vector debt / are
     // oversized?" for identity, bucket, and temporal layouts alike
@@ -65,7 +70,9 @@ class ColeMetaTable(path: String, kind: String, conf: Configuration)
       StructField("size_bytes", LongType, nullable = false),
       StructField("row_count", LongType, nullable = false),
       StructField("deleted_rows", LongType, nullable = false),
-      StructField("live_rows", LongType, nullable = false)))
+      StructField("live_rows", LongType, nullable = false),
+      // count of pre-SUMS files in the directory (fold debt, r16)
+      StructField("sums_missing", IntegerType, nullable = false)))
     // named refs (r14): tags and branches — "what's pinned, what's
     // staged?" as SQL; `staged_files` counts a branch's unpublished files
     case "refs" => StructType(Seq(
@@ -110,7 +117,8 @@ class ColeMetaTableScan(path: String, kind: String, tschema: StructType,
           val part = i.partValues.map { case (k, v) => s"$k=$v" }.mkString("/")
           val dv = dvCount(i)
           Array[Any](i.path, part, i.len, i.meta.totalRows,
-            i.meta.rowGroups.size, dv, i.meta.totalRows - dv)
+            i.meta.rowGroups.size, dv, i.meta.totalRows - dv,
+            i.meta.chunkSums.isEmpty)
         }.toArray
       case "partitions" =>
         val (dfs, _) = ColeIO.resolve(path, conf)
@@ -120,7 +128,8 @@ class ColeMetaTableScan(path: String, kind: String, tschema: StructType,
           .toArray.sortBy(_._1).map { case (part, is) =>
             val rows = is.map(_.meta.totalRows).sum
             val dv = is.map(dvCount).sum
-            Array[Any](part, is.size, is.map(_.len).sum, rows, dv, rows - dv)
+            Array[Any](part, is.size, is.map(_.len).sum, rows, dv, rows - dv,
+              is.count(_.meta.chunkSums.isEmpty))
           }
       case "refs" =>
         val tags = ColeRefs.tags(path, conf).toSeq.sorted.map { case (n, v) =>
