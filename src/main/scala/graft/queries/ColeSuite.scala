@@ -1026,6 +1026,51 @@ object ColeSuite {
               FROM lineitem WHERE l_quantity >= 5
               GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // STREAM-STATIC DIM MV (r16, verdict ask #8): the star-schema rollup
+    // every warehouse runs — `fact ⋈ dim GROUP BY dim.attr` — as an
+    // incrementally-maintained MV: customer (broadcast-sized) LEFT-joins
+    // onto every orders row/feed row before the fold, two thirds of the
+    // fact at create, the rest folded by an incremental refresh with the
+    // dim fingerprint-stable; the MV content hash-checks against
+    // DuckDB's full join-aggregate.
+    Q("cole_mv_dim", (s, d) => {
+      val wh = "/tmp/graft_cole/warehouse"
+      s.conf.set("spark.sql.catalog.cole", "graft.sources.cole.ColeCatalog")
+      s.conf.set("spark.sql.catalog.cole.warehouse", wh)
+      val ns = s"v${writerFingerprint}_mvd_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val factDir = s"$wh/$ns/ord"
+      val dimDir = s"$wh/$ns/cust"
+      val mvDir = s"$wh/$ns/mv"
+      val conf = graft.sources.cole.ColeIO.driverConf()
+      writeOnce(factDir) {
+        Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+          .write.format("cole").mode("overwrite").save(dimDir)
+        val ord = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        ord.filter(col("o_orderkey") % 3 =!= 0)
+          .write.format("cole").mode("overwrite").save(factDir)
+        graft.sources.cole.ColeVersions.enable(factDir, conf) // v1
+        s.sql(s"CALL cole.system.create_mv('$ns.ord', '$ns.mv', " +
+          "'c_mktsegment', 'count:*:n, sum:o_totalprice:sum_tp, " +
+          "min:o_orderkey:mn_key, max:o_orderkey:mx_key', " +
+          s"dim => '$ns.cust', dim_on => 'o_custkey = c_custkey')")
+        ord.filter(col("o_orderkey") % 3 === 0)
+          .write.format("cole").mode("append").save(factDir) // v2
+        s.sql(s"CALL cole.system.refresh_mv('$ns.mv')").collect()
+      }
+      s.table(s"cole.$ns.mv").select(
+        col("c_mktsegment"), col("n"),
+        col("sum_tp").cast("double").as("sum_tp"),
+        col("mn_key").cast("long").as("mn_key"),
+        col("mx_key").cast("long").as("mx_key"))
+        .orderBy("c_mktsegment")
+    },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) AS sum_tp,
+                MIN(o_orderkey) AS mn_key, MAX(o_orderkey) AS mx_key
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     // FILTERED + EXPRESSION-KEY MV (r15, verdict ask #1): the MV every
     // user writes first — `SELECT k, aggs FROM t WHERE pred GROUP BY k`
     // with a derived key. The WHERE filters the change feed BEFORE the

@@ -1534,18 +1534,30 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
         tableArg ++ Seq("mv" -> (StringType: DataType),
           "group_by" -> (StringType: DataType),
           "aggs" -> (StringType: DataType),
-          "where" -> (StringType: DataType)),
+          "where" -> (StringType: DataType),
+          // stream-static star-schema rollup (r16): one broadcast-sized
+          // dimension LEFT-joined on `dim_on` before the fold — the dim
+          // must stay stable between incremental refreshes
+          // (fingerprint-checked; full => true resynchronizes)
+          "dim" -> (StringType: DataType),
+          "dim_on" -> (StringType: DataType)),
         StructType(Seq(StructField("version", LongType))),
-        defaults = Map("where" -> "''")) { in =>
+        defaults = Map("where" -> "''", "dim" -> "''", "dim_on" -> "''")) { in =>
         val spark = org.apache.spark.sql.SparkSession.active
         // group_by entries: plain columns or `name := expr` derived keys
         // (days/substr/date_trunc — any deterministic row expression);
         // where: a deterministic filter applied to source AND feed rows
         val (names, exprs) = ColeMv.parseGroupBy(in.getString(2))
         val where = Option(in.getString(4)).map(_.trim).filter(_.nonEmpty)
+        val dimName = Option(in.getString(5)).map(_.trim).filter(_.nonEmpty)
+        val dimOn = Option(in.getString(6)).map(_.trim).filter(_.nonEmpty)
+        require(dimName.isDefined == dimOn.isDefined,
+          "dim and dim_on come together: the dimension table and its " +
+            "join condition")
         Array(Array[Any](ColeMv.create(spark,
           procTablePath(in.getString(0)), procTablePath(in.getString(1)),
-          names, ColeMv.parseAggs(in.getString(3)), where, exprs)))
+          names, ColeMv.parseAggs(in.getString(3)), where, exprs,
+          dim = dimName.map(n => (procTablePath(n), dimOn.get)))))
       }
       // refresh: fold the feed since the watermark into the stored
       // per-key state — O(changed rows + touched keys), never the table;

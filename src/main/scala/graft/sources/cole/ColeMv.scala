@@ -123,7 +123,18 @@ object ColeMv {
   final case class Definition(source: String, groupBy: Seq[String],
       aggs: Seq[Agg], appliedVersion: Long, inflight: Option[Long] = None,
       where: Option[String] = None,
-      groupExprs: Map[String, String] = Map.empty)
+      groupExprs: Map[String, String] = Map.empty,
+      /** Stream-static star-schema enrichment (r16): ONE broadcast-sized
+        * dimension (path, join condition) LEFT-joined onto every
+        * source/feed row before the WHERE/keys/fold — the differential
+        * math stays single-source because the dim is REQUIRED STABLE
+        * between incremental refreshes (fingerprint-checked; a changed
+        * dim refuses loudly and `full => true` resynchronizes under the
+        * new enrichment).
+        */
+      dim: Option[(String, String)] = None,
+      /** The dimension's content fingerprint at the last apply. */
+      dimFp: Option[String] = None)
 
   /** Split on `sep` outside parentheses/quotes — group-by entries and
     * the WHERE may carry function calls with commas.
@@ -213,6 +224,9 @@ object ColeMv {
       d.groupExprs.toSeq.sortBy(_._1).map { case (n, ex) =>
         s"groupexpr:$n|$ex" } ++
       d.where.map(w => s"where:$w").toSeq ++
+      d.dim.map { case (p, on) => s"dim:$p" }.toSeq ++
+      d.dim.map { case (p, on) => s"dimon:$on" }.toSeq ++
+      d.dimFp.map(fp => s"dimfp:$fp").toSeq ++
       d.aggs.map(a => s"agg:${encodeAgg(a)}") ++
       Seq(s"appliedv:${d.appliedVersion}") ++
       d.inflight.map(v => s"inflight:$v").toSeq ++
@@ -256,7 +270,18 @@ object ColeMv {
         val i = body.indexOf('|')
         require(i > 0, s"corrupt MV group expression '$l'")
         body.take(i) -> body.drop(i + 1)
-      }.toMap)
+      }.toMap,
+      dim = lines.collectFirst {
+        case l if l.startsWith("dim:") => l.drop(4)
+      }.map { p =>
+        (p, lines.collectFirst {
+          case l if l.startsWith("dimon:") => l.drop(6)
+        }.getOrElse(throw new IllegalStateException(
+          s"MV sidecar of $mv declares a dim without its join condition")))
+      },
+      dimFp = lines.collectFirst {
+        case l if l.startsWith("dimfp:") => l.drop(6)
+      })
   }
 
   /** Source/feed rows as the MV's aggregate sees them: the WHERE filter
@@ -265,11 +290,36 @@ object ColeMv {
     * the feed delta, the affected-key recompute, and crash recovery.
     */
   private def prepare(df: DataFrame, d: Definition): DataFrame = {
-    val filtered = d.where.fold(df)(w => df.filter(expr(w)))
+    // stream-static enrichment FIRST: WHERE and derived keys may
+    // reference dimension columns. LEFT join — row membership stays
+    // fact-determined (an unmatched fact keeps NULL enrichment), so a
+    // dim edit can never silently change which rows contribute.
+    val enriched = d.dim.fold(df) { case (dimPath, on) =>
+      df.join(broadcast(
+        df.sparkSession.read.format("cole").load(dimPath)), expr(on), "left")
+    }
+    val filtered = d.where.fold(enriched)(w => enriched.filter(expr(w)))
     d.groupExprs.toSeq.sortBy(_._1).foldLeft(filtered) {
       case (acc, (n, ex)) => acc.withColumn(n, expr(ex))
     }
   }
+
+  /** Content fingerprint of the dimension: its version when versioned,
+    * else a CRC of the file listing identity. Incremental refreshes
+    * REQUIRE it unchanged — folding a fact's delete under a different
+    * enrichment than its insert would corrupt the differential state.
+    */
+  def dimFingerprint(path: String, conf: Configuration): String =
+    if (ColeVersions.enabled(path, conf))
+      s"v${ColeVersions.currentVersion(path, conf)}"
+    else {
+      val crc = new java.util.zip.CRC32()
+      ColeIO.listPartitioned(path, conf)
+        .map { case (st, _) =>
+          s"${st.getPath}:${st.getLen}:${st.getModificationTime}" }
+        .sorted.foreach(s => crc.update(s.getBytes(StandardCharsets.UTF_8)))
+      java.lang.Long.toHexString(crc.getValue)
+    }
 
   /** Loud validation of a WHERE / derived-key expression at CREATE: must
     * resolve against the source, be deterministic (a `rand()` key would
@@ -333,9 +383,17 @@ object ColeMv {
     * its current version and record (definition, watermark). Returns
     * the source version the MV now reflects.
     */
+  /** Dimension byte cap: an MV dim is broadcast onto every source/feed
+    * read, so only genuinely dimension-sized tables qualify — a fact
+    * table here is both un-broadcastable AND un-maintainable (its own
+    * changes would be silently missed).
+    */
+  val DimMaxBytesKey = "graft.cole.mv.dimMaxBytes"
+
   def create(spark: SparkSession, source: String, mv: String,
       groupBy: Seq[String], aggs: Seq[Agg], where: Option[String] = None,
-      groupExprs: Map[String, String] = Map.empty): Long = {
+      groupExprs: Map[String, String] = Map.empty,
+      dim: Option[(String, String)] = None): Long = {
     val conf = ColeIO.driverConf()
     require(ColeVersions.enabled(source, conf),
       s"incremental MV maintenance reads the change feed of $source — " +
@@ -348,19 +406,51 @@ object ColeMv {
     val v = ColeVersions.currentVersion(source, conf)
     val snap = spark.read.format("cole")
       .option("versionAsOf", v.toString).load(source)
-    // every expression is validated LOUDLY at declaration — an MV whose
-    // filter/key only fails at first refresh is a trap
-    where.foreach(validateExpr(snap, _, "WHERE"))
-    groupExprs.toSeq.sortBy(_._1).foreach { case (n, ex) =>
-      require(!snap.columns.contains(n),
-        s"derived key '$n' shadows a source column — pick another name")
-      validateExpr(snap, ex, s"derived key '$n'")
+    // stream-static dim validation — every rejection is at DECLARATION:
+    dim.foreach { case (dimPath, on) =>
+      val (dfs, dp) = ColeIO.resolve(dimPath, conf)
+      require(dfs.makeQualified(dp).toString !=
+        ColeIO.resolve(source, conf)._1.makeQualified(
+          ColeIO.resolve(source, conf)._2).toString,
+        "an MV dim cannot be its own source — a self-join MV is a " +
+          "fact-fact shape, whose second side's changes the feed cannot " +
+          "see; maintainable MVs join ONE stable dimension")
+      val bytes = ColeIO.listPartitioned(dimPath, conf).map(_._1.getLen).sum
+      val cap = conf.getLong(DimMaxBytesKey, 128L << 20)
+      require(bytes <= cap,
+        s"MV dim at $dimPath is ${bytes >> 20} MB — beyond the " +
+          s"broadcast cap (${cap >> 20} MB, $DimMaxBytesKey). A table " +
+          "this size is a FACT, and a fact-fact MV is not maintainable " +
+          "from one change feed")
+      require(on.trim.nonEmpty && !on.contains('\n'),
+        "dim join condition must be a non-empty single-line expression")
+      val dimDf = spark.read.format("cole").load(dimPath)
+      val overlap = dimDf.columns.toSet & snap.columns.toSet
+      require(overlap.isEmpty,
+        s"dim columns ${overlap.mkString(", ")} collide with source " +
+          "columns — rename them (the enrichment is a plain LEFT join, " +
+          "expressions could not disambiguate)")
+      validateExpr(snap.join(dimDf, expr("1=1"), "left"), on,
+        "dim join condition")
     }
-    val d = Definition(source, groupBy, aggs, v, where = where,
-      groupExprs = groupExprs)
-    fullAggregate(prepare(snap, d), groupBy, aggs)
+    // every expression is validated LOUDLY at declaration — an MV whose
+    // filter/key only fails at first refresh is a trap. WHERE and
+    // derived keys validate against the ENRICHED frame (they may
+    // reference dim columns).
+    val d = Definition(source, groupBy, aggs, v, where = None,
+      groupExprs = Map.empty, dim = dim)
+    val enriched = prepare(snap, d)
+    where.foreach(validateExpr(enriched, _, "WHERE"))
+    groupExprs.toSeq.sortBy(_._1).foreach { case (n, ex) =>
+      require(!enriched.columns.contains(n),
+        s"derived key '$n' shadows a source column — pick another name")
+      validateExpr(enriched, ex, s"derived key '$n'")
+    }
+    val full = d.copy(where = where, groupExprs = groupExprs,
+      dimFp = dim.map(x => dimFingerprint(x._1, conf)))
+    fullAggregate(prepare(snap, full), groupBy, aggs)
       .write.format("cole").mode("overwrite").save(mv)
-    writeDefinition(mv, conf, d)
+    writeDefinition(mv, conf, full)
     v
   }
 
@@ -381,6 +471,18 @@ object ColeMv {
       "mv-refresh")
     try {
       var d = readDefinition(mv, conf)
+      // stream-static dim: an INCREMENTAL refresh requires the dim
+      // unchanged since the last apply — a fact's delete folding under a
+      // different enrichment than its insert would corrupt the state.
+      // Checked before recovery too (recovery re-aggregates with the
+      // current dim). `full => true` resynchronizes under the new dim.
+      if (!full) d.dim.foreach { case (dimPath, _) =>
+        val fp = dimFingerprint(dimPath, conf)
+        require(d.dimFp.contains(fp),
+          s"the dimension at $dimPath changed since this MV's last " +
+            "refresh — the differential fold would mix enrichments; " +
+            "resynchronize with refresh_mv(..., full => true)")
+      }
       // a crashed refresh left its intent: recover it absolutely before
       // anything differential runs against an unknown MV state. A FULL
       // refresh skips the recovery — the overwrite supersedes any
@@ -408,7 +510,8 @@ object ColeMv {
         fullAggregate(snap, d.groupBy, d.aggs)
           .write.format("cole").mode("overwrite").save(mv)
         writeDefinition(mv, conf,
-          d.copy(appliedVersion = cv, inflight = None))
+          d.copy(appliedVersion = cv, inflight = None,
+            dimFp = d.dim.map(x => dimFingerprint(x._1, conf))))
         return RefreshStats(d.appliedVersion, cv, -1, -1, -1)
       }
 

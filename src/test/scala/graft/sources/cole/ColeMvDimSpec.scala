@@ -1,0 +1,164 @@
+package graft.sources.cole
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Stream-static dimension joins for incremental MVs (r16, verdict ask
+  * #8): `create_mv(..., dim => 'ns.d', dim_on => 'fk = pk')` LEFT-joins
+  * ONE broadcast-sized dimension onto every source/feed row before the
+  * WHERE/keys/fold — the common star-schema rollup (`fact ⋈ dim GROUP BY
+  * dim.attr`) with the differential math still single-source. Pinned:
+  *   - create materializes the join-aggregate; incremental refresh over
+  *     fact appends AND deletes (min recompute path included) matches a
+  *     full recompute exactly;
+  *   - a CHANGED dim refuses the incremental refresh loudly (the
+  *     fingerprint check — folding deletes under a different enrichment
+  *     would corrupt state) and `full => true` resynchronizes under the
+  *     new dim;
+  *   - fact-fact shapes reject at create: the source as its own dim,
+  *     and any dim beyond the broadcast byte cap;
+  *   - dim/source column collisions and dangling dim_on reject at create.
+  */
+class ColeMvDimSpec extends AnyFunSuite {
+
+  private lazy val warehouse = Files.createTempDirectory("cole_mvd_wh").toString
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.conf.set("spark.sql.catalog.mvd", "graft.sources.cole.ColeCatalog")
+    s.conf.set("spark.sql.catalog.mvd.warehouse", warehouse)
+    s
+  }
+
+  private def conf = ColeIO.driverConf()
+
+  private def mkDim(name: String, n: Int = 10): String = {
+    val s = spark
+    import s.implicits._
+    val dir = s"$warehouse/db/$name"
+    (0 until n).map(i => (i.toLong, s"grp${i % 3}")).toDF("d_key", "d_grp")
+      .coalesce(1).write.format("cole").mode("overwrite").save(dir)
+    dir
+  }
+
+  private def mkFact(name: String, from: Int, until: Int): String = {
+    val s = spark
+    import s.implicits._
+    val dir = s"$warehouse/db/$name"
+    (from until until).map(i => (i.toLong, (i % 10).toLong, i.toLong * 2))
+      .toDF("id", "fk", "amt")
+      .coalesce(2).write.format("cole").mode("overwrite").save(dir)
+    spark.sql(s"CALL mvd.system.versioning('db.$name')")
+    dir
+  }
+
+  private def expected(fact: String, dim: String) =
+    spark.read.format("cole").load(fact).alias("f")
+      .join(spark.read.format("cole").load(dim).alias("d"),
+        col("fk") === col("d_key"), "left")
+      .groupBy("d_grp")
+      .agg(count(lit(1)).as("n"),
+        sum(col("amt").cast("decimal(25,4)")).cast("decimal(35,4)").as("s"),
+        min("amt").as("mn"))
+      .orderBy("d_grp")
+      .collect().toSeq
+
+  private def mvContent(mv: String) =
+    spark.read.format("cole").load(mv)
+      .select(col("d_grp"), col("n"), col("s"), col("mn"))
+      .orderBy("d_grp").collect().toSeq
+
+  test("create + incremental refresh over appends and deletes match recompute") {
+    val s = spark
+    import s.implicits._
+    val fact = mkFact("f1", 0, 200)
+    val dim = mkDim("d1")
+    val mv = s"$warehouse/db/mv1"
+    spark.sql("CALL mvd.system.create_mv('db.f1', 'db.mv1', 'd_grp', " +
+      "'count:*:n, sum:amt:s, min:amt:mn', " +
+      "dim => 'db.d1', dim_on => 'fk = d_key')")
+    assert(mvContent(mv) === expected(fact, dim))
+    // fact append + delete (min path forces per-key recompute — which
+    // must re-enrich through the dim)
+    (200 until 260).map(i => (i.toLong, (i % 10).toLong, i.toLong * 2))
+      .toDF("id", "fk", "amt")
+      .write.format("cole").mode("append").save(fact)
+    spark.sql("DELETE FROM mvd.db.f1 WHERE id % 7 = 0")
+    val st = spark.sql("CALL mvd.system.refresh_mv('db.mv1')").collect().head
+    assert(st.getLong(3) > 0, s"expected min-recompute keys: $st")
+    assert(mvContent(mv) === expected(fact, dim))
+  }
+
+  test("a changed dim refuses incremental refresh; full resynchronizes") {
+    val s = spark
+    import s.implicits._
+    val fact = mkFact("f2", 0, 100)
+    val dim = mkDim("d2")
+    val mv = s"$warehouse/db/mv2"
+    spark.sql("CALL mvd.system.create_mv('db.f2', 'db.mv2', 'd_grp', " +
+      "'count:*:n, sum:amt:s, min:amt:mn', " +
+      "dim => 'db.d2', dim_on => 'fk = d_key')")
+    // re-map the dim: every key's group changes
+    (0 until 10).map(i => (i.toLong, s"grp${(i + 1) % 3}"))
+      .toDF("d_key", "d_grp")
+      .coalesce(1).write.format("cole").mode("overwrite").save(dim)
+    (100 until 120).map(i => (i.toLong, (i % 10).toLong, i.toLong * 2))
+      .toDF("id", "fk", "amt")
+      .write.format("cole").mode("append").save(fact)
+    val e = intercept[Exception](
+      spark.sql("CALL mvd.system.refresh_mv('db.mv2')").collect())
+    assert(e.getMessage.contains("dimension") &&
+      e.getMessage.contains("full => true"), s"got: ${e.getMessage}")
+    spark.sql("CALL mvd.system.refresh_mv('db.mv2', full => true)").collect()
+    assert(mvContent(mv) === expected(fact, dim))
+    // and the incremental path works again under the new fingerprint
+    (120 until 140).map(i => (i.toLong, (i % 10).toLong, i.toLong * 2))
+      .toDF("id", "fk", "amt")
+      .write.format("cole").mode("append").save(fact)
+    spark.sql("CALL mvd.system.refresh_mv('db.mv2')").collect()
+    assert(mvContent(mv) === expected(fact, dim))
+  }
+
+  test("fact-fact shapes and malformed dims reject at create") {
+    val s = spark
+    import s.implicits._
+    mkFact("f3", 0, 50)
+    mkDim("d3")
+    def fails(sql: String, frag: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql).collect())
+      assert(e.getMessage.contains(frag), s"got: ${e.getMessage}")
+    }
+    // the source as its own dim = a self-join fact-fact shape
+    fails("CALL mvd.system.create_mv('db.f3', 'db.mvx', 'fk', " +
+      "'count:*:n', dim => 'db.f3', dim_on => 'fk = id')",
+      "fact-fact")
+    // byte cap: shrink it below the dim's size → "that's a fact"
+    spark.sparkContext.hadoopConfiguration.setLong(ColeMv.DimMaxBytesKey, 1L)
+    try fails("CALL mvd.system.create_mv('db.f3', 'db.mvx', 'd_grp', " +
+      "'count:*:n', dim => 'db.d3', dim_on => 'fk = d_key')",
+      "broadcast cap")
+    finally spark.sparkContext.hadoopConfiguration.unset(ColeMv.DimMaxBytesKey)
+    // column collision
+    (0 until 5).map(i => (i.toLong, i.toLong)).toDF("fk", "extra")
+      .write.format("cole").mode("overwrite")
+      .save(s"$warehouse/db/dcoll")
+    fails("CALL mvd.system.create_mv('db.f3', 'db.mvx', 'extra', " +
+      "'count:*:n', dim => 'db.dcoll', dim_on => 'id = fk')",
+      "collide")
+    // dangling join condition
+    fails("CALL mvd.system.create_mv('db.f3', 'db.mvx', 'd_grp', " +
+      "'count:*:n', dim => 'db.d3', dim_on => 'fk = nope')",
+      "does not resolve")
+    // dim without dim_on
+    fails("CALL mvd.system.create_mv('db.f3', 'db.mvx', 'd_grp', " +
+      "'count:*:n', dim => 'db.d3')", "come together")
+  }
+}
