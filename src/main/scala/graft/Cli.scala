@@ -78,8 +78,9 @@ object Cli {
         val target = (if (args.length > 2) args(2).toLong else 128L) << 20
         val pct = if (args.length > 3) args(3).toDouble / 100.0 else 0.1
         val minSmall = if (args.length > 4) args(4).toInt else 4
+        val fold = args.length > 5 && (args(5) == "fold" || args(5) == "true")
         val st = graft.sources.cole.ColeCompact.compactDebt(spark, args(1),
-          target, pct, minSmall)
+          target, pct, minSmall, foldDebt = fold)
         println(s"compacted ${st.compactedDirs}/${st.dirs} debtor dirs: " +
           s"${st.filesBefore} -> ${st.filesAfter} files, " +
           s"${st.bytesBefore} -> ${st.bytesAfter} bytes")
@@ -129,6 +130,13 @@ object Cli {
         }
         println(eras.map(e => s"${e.n}:${e.cols.mkString(",")}")
           .mkString(" -> "))
+      case "evolve-partition" =>
+        val conf = graft.sources.cole.ColeIO.driverConf()
+        val cols = if (args.length > 2)
+          args(2).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        else Seq.empty
+        val eras = graft.sources.cole.ColePartEvolve.evolve(args(1), conf, cols)
+        println(eras.map(e => s"[${e.cols.mkString(",")}]").mkString(" -> "))
       case "rebucket" =>
         val st = graft.sources.cole.ColeRebucket.rebucket(spark, args(1))
         println(s"rebucketed ${st.filesRewritten} old-era file(s) into " +
@@ -208,9 +216,11 @@ object Cli {
       |  audit <table>                   version log vs directory drift
       |  vacuum <table> [ttl_hours]      crash leftovers + expired retired files
       |  compact <table> [target_mb]     small-file compaction
-      |  compact-debt <table> [target_mb] [min_deleted_pct] [min_small_files]
+      |  compact-debt <table> [target_mb] [min_deleted_pct] [min_small_files] [fold]
       |                                  rewrite only directories over a
-      |                                  vector-debt or small-file threshold
+      |                                  vector-debt or small-file threshold;
+      |                                  'fold' also migrates pre-SUMS (v1)
+      |                                  stragglers so aggregates fold
       |  materialize-cdf <table> [version]
       |                                  persist change-data images of
       |                                  copy-on-write commits (all, or one)
@@ -219,6 +229,9 @@ object Cli {
       |  evolve-bucket <table> <n:cols> [synthCol]
       |                                  re-declare the hash layout, zero
       |                                  rewrites (new era)
+      |  evolve-partition <table> [cols] re-declare the identity hive
+      |                                  partition columns, zero rewrites
+      |                                  (omit cols to drop partitioning)
       |  rebucket <table>                rewrite old bucket eras into the
       |                                  active layout (SPJ returns)
       |  tag <table> <name> [version]    pin a version under an immutable
