@@ -297,6 +297,11 @@ object ColeClone {
     state.tspec.foreach(writeRaw(fs, dst, ColeTemporal.SpecFile, _))
     copyIfExists(fs, src, dst, ColeChecks.SidecarFile)
     copyIfExists(fs, src, dst, ColeCatalog.TableSpecFile)
+    // identity partition-spec history (verbatim, like checks/tablespec):
+    // without it a clone of a mixed-era source is UNREADABLE — the
+    // mixed-layout corruption check only exempts declared-evolution
+    // columns, and the declaration must travel with the file set
+    copyIfExists(fs, src, dst, ColePartEvolve.SpecFile)
     val n = state.files.size
     if (deep) localize(dst, conf)
     (v, n)

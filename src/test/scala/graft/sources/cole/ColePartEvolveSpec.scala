@@ -158,6 +158,129 @@ class ColePartEvolveSpec extends AnyFunSuite {
     assert(spark.table("pev.db.ed").filter(col("g") === "g0").count() === 0L)
   }
 
+  test("composes with a temporal layout: identity dirs nest beside unit ordinals") {
+    val s = spark
+    import s.implicits._
+    val t = s"$warehouse/db/et"
+    // era 0: temporal-only (days ordinals); region is data
+    (0 until 96).map(i => (i.toLong, s"r${i % 2}",
+      java.sql.Timestamp.valueOf(f"2024-01-${1 + i / 24}%02d ${i % 24}%02d:00:00")))
+      .toDF("id", "region", "ts")
+      .write.format("cole").option("partitionByTemporal", "days:ts")
+      .mode("overwrite").save(t)
+    spark.sql("CALL pev.system.versioning('db.et')")
+    val preBytes = fileState(t)
+    spark.sql("CALL pev.system.evolve_partition('db.et', 'region')")
+    assert(fileState(t) === preBytes)
+    // era 1: identity dirs compose with the SAME temporal layout
+    (96 until 144).map(i => (i.toLong, s"r${i % 2}",
+      java.sql.Timestamp.valueOf(f"2024-01-${1 + i / 24}%02d ${i % 24}%02d:00:00")))
+      .toDF("id", "region", "ts")
+      .repartition(1).write.format("cole").mode("append")
+      .saveAsTable("pev.db.et")
+    val newFiles = fileState(t).keySet -- preBytes.keySet
+    assert(newFiles.nonEmpty &&
+      newFiles.forall(f => f.contains("region=") && f.contains("_t_days_ts=")),
+      s"appends lost a layout half: $newFiles")
+    val df = spark.table("pev.db.et")
+    assert(df.count() === 144L)
+    // dual filter + temporal filter together, both lanes
+    assert(df.filter(col("region") === "r1" &&
+      col("ts") >= java.sql.Timestamp.valueOf("2024-01-05 00:00:00"))
+      .count() === (96 until 144).count(i => i % 2 == 1).toLong)
+    assert(df.filter(col("region") === "r0").count() === 72L)
+  }
+
+  test("vector-mode DELETE applies duality lanes per file") {
+    val s = spark
+    import s.implicits._
+    val t = s"$warehouse/db/evv"
+    (0 until 120).map(i => (i.toLong, s"g${i % 2}", i.toLong))
+      .toDF("id", "g", "v")
+      .write.format("cole").partitionBy("g").mode("overwrite").save(t)
+    spark.sql("CALL pev.system.versioning('db.evv')")
+    spark.sql("CALL pev.system.evolve_partition('db.evv', '')") // DROP
+    (120 until 160).map(i => (i.toLong, s"g${i % 2}", i.toLong))
+      .toDF("id", "g", "v")
+      .repartition(1).write.format("cole").mode("append")
+      .saveAsTable("pev.db.evv")
+    spark.sql("CALL pev.system.delete_mode('db.evv', 'vector')")
+    val bytesBefore = fileState(t)
+    // g is DIRECTORY-served in old files (whole-file dir decision:
+    // every row matches → full vector) and DATA in the new file
+    // (row-exact selection)
+    spark.sql("DELETE FROM pev.db.evv WHERE g = 'g0' AND id < 130")
+    assert(fileState(t) === bytesBefore, "vector DELETE rewrote data files")
+    val df = spark.table("pev.db.evv")
+    assert(df.count() === 160L - 65L)
+    assert(df.filter(col("g") === "g0").count() === 15L)
+    assert(df.filter(col("g") === "g0").agg(min("id")).head().getLong(0) === 130L)
+  }
+
+  test("a clone of a mixed-era source stays readable and writes by the active spec") {
+    val s = spark
+    import s.implicits._
+    val t = s"$warehouse/db/ec"
+    (0 until 100).map(i => (i.toLong, s"r${i % 2}", i.toLong))
+      .toDF("id", "region", "v")
+      .coalesce(1).write.format("cole").mode("overwrite").save(t)
+    spark.sql("CALL pev.system.versioning('db.ec')")
+    spark.sql("CALL pev.system.evolve_partition('db.ec', 'region')")
+    (100 until 140).map(i => (i.toLong, s"r${i % 2}", i.toLong))
+      .toDF("id", "region", "v")
+      .repartition(1).write.format("cole").mode("append")
+      .saveAsTable("pev.db.ec")
+    spark.sql("CALL pev.system.clone('db.ec', 'db.ecc')")
+    // the clone resolves the mixed layout (the _partspec exemption
+    // traveled) and serves both lanes
+    val c = spark.table("pev.db.ecc")
+    assert(c.count() === 140L)
+    assert(c.filter(col("region") === "r1").count() === 70L)
+    // clone-local appends follow the ACTIVE spec
+    (140 until 150).map(i => (i.toLong, s"r${i % 2}", i.toLong))
+      .toDF("id", "region", "v")
+      .repartition(1).write.format("cole").mode("append")
+      .saveAsTable("pev.db.ecc")
+    val cdir = s"$warehouse/db/ecc"
+    val local = ColeIO.listPartitioned(cdir, conf).map(_._1.getPath.toString)
+    assert(local.nonEmpty && local.forall(_.contains("region=")),
+      s"clone append ignored the active spec: $local")
+    assert(spark.table("pev.db.ecc").count() === 150L)
+    assert(spark.table("pev.db.ec").count() === 140L, "clone write leaked")
+  }
+
+  test("WAP branch DML over a mixed-era table: both lanes staged, published exactly") {
+    val s = spark
+    import s.implicits._
+    val t = s"$warehouse/db/eb"
+    (0 until 100).map(i => (i.toLong, s"r${i % 2}", i.toLong))
+      .toDF("id", "region", "v")
+      .coalesce(1).write.format("cole").mode("overwrite").save(t)
+    spark.sql("CALL pev.system.versioning('db.eb')")
+    spark.sql("CALL pev.system.evolve_partition('db.eb', 'region')")
+    (100 until 140).map(i => (i.toLong, s"r${i % 2}", i.toLong))
+      .toDF("id", "region", "v")
+      .repartition(1).write.format("cole").mode("append")
+      .saveAsTable("pev.db.eb")
+    spark.sql("CALL pev.system.create_branch('db.eb', 'fix')")
+    val mainBefore = fileState(t)
+    spark.conf.set(ColeRefs.WapBranchConfKey, "fix")
+    try {
+      // hits BOTH lanes: r1 rows live as data in the old file and under
+      // region=r1 in the new one
+      spark.sql("UPDATE pev.db.eb SET v = -5 WHERE region = 'r1' AND id < 120")
+      val br = spark.read.format("cole").option("branch", "fix").load(t)
+      assert(br.filter(col("v") === -5).count() === 60L)
+    } finally spark.conf.unset(ColeRefs.WapBranchConfKey)
+    assert(fileState(t) === mainBefore, "branch DML touched main")
+    assert(spark.table("pev.db.eb").filter(col("v") === -5).count() === 0L)
+    spark.sql("CALL pev.system.fast_forward('db.eb', 'fix')")
+    val main = spark.table("pev.db.eb")
+    assert(main.count() === 140L)
+    assert(main.filter(col("v") === -5).count() === 60L)
+    assert(main.filter(col("region") === "r1").count() === 70L)
+  }
+
   test("validation: unknown column, bad type, re-declare, undeclared mix stays loud") {
     val s = spark
     import s.implicits._
