@@ -127,6 +127,38 @@ class ColeMvDimSpec extends AnyFunSuite {
     assert(mvContent(mv) === expected(fact, dim))
   }
 
+  test("dim + WHERE + derived key compose: enrichment precedes both") {
+    val s = spark
+    import s.implicits._
+    val fact = mkFact("f4", 0, 150)
+    mkDim("d4")
+    val mv = s"$warehouse/db/mv4"
+    // the WHERE and the derived key BOTH reference the dim column —
+    // only legal because enrichment runs first on every path
+    spark.sql("CALL mvd.system.create_mv('db.f4', 'db.mv4', " +
+      "\"dk := substr(d_grp, 1, 4)\", 'count:*:n, sum:amt:s', " +
+      "where => \"d_grp <> 'grp2'\", " +
+      "dim => 'db.d4', dim_on => 'fk = d_key')")
+    def expect() = spark.read.format("cole").load(fact)
+      .join(spark.read.format("cole").load(s"$warehouse/db/d4"),
+        col("fk") === col("d_key"), "left")
+      .filter(col("d_grp") =!= "grp2")
+      .withColumn("dk", substring(col("d_grp"), 1, 4))
+      .groupBy("dk")
+      .agg(count(lit(1)).as("n"),
+        sum(col("amt").cast("decimal(25,4)")).cast("decimal(35,4)").as("s"))
+      .orderBy("dk").collect().toSeq
+    def got() = spark.read.format("cole").load(mv)
+      .select(col("dk"), col("n"), col("s")).orderBy("dk").collect().toSeq
+    assert(got() === expect())
+    (150 until 200).map(i => (i.toLong, (i % 10).toLong, i.toLong * 2))
+      .toDF("id", "fk", "amt")
+      .write.format("cole").mode("append").save(fact)
+    spark.sql("DELETE FROM mvd.db.f4 WHERE id % 9 = 0")
+    spark.sql("CALL mvd.system.refresh_mv('db.mv4')").collect()
+    assert(got() === expect())
+  }
+
   test("fact-fact shapes and malformed dims reject at create") {
     val s = spark
     import s.implicits._

@@ -130,6 +130,35 @@ class ColeStreamBranchSpec extends AnyFunSuite {
     assert(spark.read.format("cole").load(t).count() === 20L)
   }
 
+  test("the WAP session conf routes a stream to the branch like a batch append") {
+    val s = spark
+    import s.implicits._
+    val t = s"$warehouse/db/cnf"
+    (0 until 30).map(i => BrRow(i.toLong, "g", i.toLong)).toDF()
+      .write.format("cole").mode("overwrite").save(t)
+    spark.sql("CALL sbr.system.versioning('db.cnf')")
+    spark.sql("CALL sbr.system.create_branch('db.cnf', 'w')")
+    val vBefore = ColeVersions.currentVersion(t, conf)
+    spark.conf.set(ColeRefs.WapBranchConfKey, "w")
+    try {
+      val cp = Files.createTempDirectory("cole_sbr_cnf_cp").toString
+      val source = MemoryStream[BrRow](spark)
+      val q = source.toDF().writeStream.format("cole")
+        .option("path", t).option("checkpointLocation", cp)
+        .outputMode(OutputMode.Append).start() // no branch option: the conf routes
+      source.addData((30 until 50).map(i => BrRow(i.toLong, "g", i.toLong)))
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.conf.unset(ColeRefs.WapBranchConfKey)
+    assert(ColeVersions.currentVersion(t, conf) === vBefore,
+      "conf-routed stream committed to main")
+    assert(spark.read.format("cole").load(t).count() === 30L)
+    assert(spark.read.format("cole").option("branch", "w").load(t)
+      .count() === 50L)
+    spark.sql("CALL sbr.system.fast_forward('db.cnf', 'w')")
+    assert(spark.read.format("cole").load(t).count() === 50L)
+  }
+
   test("a branch stream cannot declare a NEW layout") {
     val s = spark
     import s.implicits._
