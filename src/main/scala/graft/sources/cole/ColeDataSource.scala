@@ -276,12 +276,16 @@ private[cole] object ColeUtil {
               "table for other changes"))
       }
     })
+    // data columns are ALWAYS nullable, like Spark's parquet source:
+    // "no nulls stored today" is a statistic, not a declaration, and a
+    // table schema derived from it breaks legal DML — a MERGE/UPDATE
+    // that introduces the first NULL (e.g. an MV absorbing a NULL group
+    // key from a LEFT-join enrichment) would trip Spark's runtime
+    // non-null assert on the target attributes. Null-freeness still
+    // powers the per-file planning paths (vacuous-IsNotNull drops,
+    // chunk null counts) where it belongs.
     StructType(order.toSeq.map { case (name, t) =>
-      val nullable = infos.exists { i =>
-        val ci = i.meta.columns.indexWhere(_.name == name)
-        ci < 0 || i.meta.columnHasNulls(ci)
-      }
-      StructField(name, sparkType(t), nullable)
+      StructField(name, sparkType(t), nullable = true)
     })
   }
 

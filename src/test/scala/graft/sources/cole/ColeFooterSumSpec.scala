@@ -225,4 +225,23 @@ class ColeFooterSumSpec extends AnyFunSuite {
     assert(folded == swept,
       s"fold/sweep divergence:\n  fold:  $folded\n  sweep: $swept")
   }
+
+  test("the cole_agg_fold_sweep bisection twin declines the fold and " +
+      "matches the fold key row-for-row") {
+    // the twin's always-true claimed predicate must route it through the
+    // page sweep (preds non-empty → fold gate declines), and both driver
+    // keys must emit the identical surfaced row — that's what makes the
+    // next driver run a free bisection of the r14/r15 hash-red.
+    val sfDir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$sfDir/lineitem.parquet").isFile)
+    val fold = graft.SparkEntry.queries("cole_agg_fold")
+    val twin = graft.SparkEntry.queries("cole_agg_fold_sweep")
+    val foldRow = fold(spark, sfDir).head() // fixture write + cache warm
+    val folds0 = ColeAggFold.foldedPlans.get()
+    val twinRow = twin(spark, sfDir).head()
+    assert(ColeAggFold.foldedPlans.get() == folds0,
+      "the sweep twin must NOT fold (its predicate has to force the sweep)")
+    assert(foldRow == twinRow,
+      s"fold/twin divergence:\n  fold: $foldRow\n  twin: $twinRow")
+  }
 }

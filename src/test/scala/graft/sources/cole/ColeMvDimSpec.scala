@@ -159,6 +159,116 @@ class ColeMvDimSpec extends AnyFunSuite {
     assert(got() === expect())
   }
 
+  test("a VERSIONED dim edit syncs incrementally at O(affected keys)") {
+    val s = spark
+    import s.implicits._
+    val fact = mkFact("f5", 0, 200)
+    val dim = mkDim("d5")
+    spark.sql("CALL mvd.system.versioning('db.d5')")
+    val mv = s"$warehouse/db/mv5"
+    spark.sql("CALL mvd.system.create_mv('db.f5', 'db.mv5', 'd_grp', " +
+      "'count:*:n, sum:amt:s, min:amt:mn', " +
+      "dim => 'db.d5', dim_on => 'fk = d_key')")
+    assert(mvContent(mv) === expected(fact, dim))
+    // dim UPDATE moving two keys to a brand-new group: the refresh must
+    // NOT refuse, must NOT full-rebuild, and must touch exactly the two
+    // affected MV keys (old group 'grp2' + new group 'grpX')
+    spark.sql("UPDATE mvd.db.d5 SET d_grp = 'grpX' WHERE d_key IN (2, 5)")
+    val st = spark.sql("CALL mvd.system.refresh_mv('db.mv5')").collect().head
+    assert(st.getLong(3) == 2L,
+      s"dim update of 2 keys must recompute exactly 2 MV keys: $st")
+    assert(mvContent(mv) === expected(fact, dim))
+    // dim DELETE: affected facts fall back to NULL enrichment (LEFT
+    // join) — old key 'grp1' re-aggregates, the NULL group absorbs
+    spark.sql("DELETE FROM mvd.db.d5 WHERE d_key = 7")
+    val st2 = spark.sql("CALL mvd.system.refresh_mv('db.mv5')").collect().head
+    assert(st2.getLong(3) == 2L,
+      s"dim delete of 1 key must recompute its old + NULL keys: $st2")
+    assert(mvContent(mv) === expected(fact, dim))
+    // composition: a dim edit AND fact changes land in ONE refresh — the
+    // dim sync runs first at the fact's applied watermark, then the fact
+    // feed folds under the new enrichment
+    spark.sql("UPDATE mvd.db.d5 SET d_grp = 'grpY' WHERE d_key = 1")
+    (200 until 240).map(i => (i.toLong, (i % 10).toLong, i.toLong * 2))
+      .toDF("id", "fk", "amt")
+      .write.format("cole").mode("append").save(fact)
+    spark.sql("DELETE FROM mvd.db.f5 WHERE id % 11 = 0")
+    spark.sql("CALL mvd.system.refresh_mv('db.mv5')").collect()
+    assert(mvContent(mv) === expected(fact, dim))
+    // and a subsequent plain incremental refresh still works (the
+    // fingerprint advanced to the dim's new version)
+    (240 until 250).map(i => (i.toLong, (i % 10).toLong, i.toLong * 2))
+      .toDF("id", "fk", "amt")
+      .write.format("cole").mode("append").save(fact)
+    spark.sql("CALL mvd.system.refresh_mv('db.mv5')").collect()
+    assert(mvContent(mv) === expected(fact, dim))
+  }
+
+  test("a dim edit re-enriches across WHERE and derived keys") {
+    val s = spark
+    import s.implicits._
+    val fact = mkFact("f6", 0, 120)
+    mkDim("d6")
+    spark.sql("CALL mvd.system.versioning('db.d6')")
+    val mv = s"$warehouse/db/mv6"
+    // WHERE and derived key BOTH read the dim column: a dim edit can
+    // move facts across the filter boundary AND between derived keys
+    spark.sql("CALL mvd.system.create_mv('db.f6', 'db.mv6', " +
+      "\"dk := substr(d_grp, 1, 4)\", 'count:*:n, sum:amt:s', " +
+      "where => \"d_grp <> 'grp2'\", " +
+      "dim => 'db.d6', dim_on => 'fk = d_key')")
+    def expect() = spark.read.format("cole").load(fact)
+      .join(spark.read.format("cole").load(s"$warehouse/db/d6"),
+        col("fk") === col("d_key"), "left")
+      .filter(col("d_grp") =!= "grp2")
+      .withColumn("dk", substring(col("d_grp"), 1, 4))
+      .groupBy("dk")
+      .agg(count(lit(1)).as("n"),
+        sum(col("amt").cast("decimal(25,4)")).cast("decimal(35,4)").as("s"))
+      .orderBy("dk").collect().toSeq
+    def got() = spark.read.format("cole").load(mv)
+      .select(col("dk"), col("n"), col("s")).orderBy("dk").collect().toSeq
+    assert(got() === expect())
+    // INTO the filter: grp2 rows (filtered out) become grp9 (kept)
+    spark.sql("UPDATE mvd.db.d6 SET d_grp = 'grp9' WHERE d_key = 2")
+    spark.sql("CALL mvd.system.refresh_mv('db.mv6')").collect()
+    assert(got() === expect())
+    // OUT of the filter: a kept group becomes the excluded grp2
+    spark.sql("UPDATE mvd.db.d6 SET d_grp = 'grp2' WHERE d_key = 4")
+    spark.sql("CALL mvd.system.refresh_mv('db.mv6')").collect()
+    assert(got() === expect())
+  }
+
+  test("a rolled-back dim refuses the delta and full resynchronizes") {
+    val s = spark
+    import s.implicits._
+    val fact = mkFact("f7", 0, 60)
+    val dim = mkDim("d7")
+    spark.sql("CALL mvd.system.versioning('db.d7')")
+    val mv = s"$warehouse/db/mv7"
+    spark.sql("CALL mvd.system.create_mv('db.f7', 'db.mv7', 'd_grp', " +
+      "'count:*:n, sum:amt:s', dim => 'db.d7', dim_on => 'fk = d_key')")
+    spark.sql("UPDATE mvd.db.d7 SET d_grp = 'grpZ' WHERE d_key = 3") // v2
+    spark.sql("CALL mvd.system.refresh_mv('db.mv7')").collect() // fp -> v2
+    spark.sql("CALL mvd.system.rollback('db.d7', 1)")
+    val e = intercept[Exception](
+      spark.sql("CALL mvd.system.refresh_mv('db.mv7')").collect())
+    assert(e.getMessage.contains("dimension") &&
+      e.getMessage.contains("full => true"), s"got: ${e.getMessage}")
+    spark.sql("CALL mvd.system.refresh_mv('db.mv7', full => true)").collect()
+    val got = spark.read.format("cole").load(mv)
+      .select(col("d_grp"), col("n"), col("s")).orderBy("d_grp")
+      .collect().toSeq
+    val want = spark.read.format("cole").load(fact)
+      .join(spark.read.format("cole").load(dim),
+        col("fk") === col("d_key"), "left")
+      .groupBy("d_grp")
+      .agg(count(lit(1)).as("n"),
+        sum(col("amt").cast("decimal(25,4)")).cast("decimal(35,4)").as("s"))
+      .orderBy("d_grp").collect().toSeq
+    assert(got === want)
+  }
+
   test("fact-fact shapes and malformed dims reject at create") {
     val s = spark
     import s.implicits._
