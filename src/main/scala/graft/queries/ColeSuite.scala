@@ -273,6 +273,39 @@ object ColeSuite {
                      CAST(CAST(MAX(l_partkey) AS DECIMAL(12,2)) AS VARCHAR) AS mx_pk
               FROM lineitem WHERE l_orderkey >= 0""")),
 
+    // STRING-bounds FOLD (r17, verdict ask #4): the v2 footer's STRB
+    // tail carries EXACT per-chunk string min/max (byte-wise unsigned =
+    // UTF8String order), so an all-column profile query — string MIN/MAX
+    // beside counts and integral sums — answers METADATA-ONLY from the
+    // cached footers: one task, zero data files opened (the r16 fold
+    // declined TString; now only over-cap extremes and pre-extension
+    // files fall back to the sweep). Hash-checked vs DuckDB.
+    Q("cole_agg_fold_str", (s, d) => {
+      val dir = dirFor(d, "aggfoldstr")
+      writeOnce(dir) {
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_returnflag"), col("l_linestatus"),
+            concat(col("l_returnflag"), lit("-"),
+              lpad((col("l_orderkey") % 1000).cast("string"), 4, "0"))
+              .as("tag"))
+          .write.format("cole").option("formatVersion", "2")
+          .mode("overwrite").save(dir)
+      }
+      s.read.format("cole").load(dir).agg(
+        count(lit(1)).as("n_rows"),
+        min("l_returnflag").as("mn_rf"), max("l_returnflag").as("mx_rf"),
+        min("l_linestatus").as("mn_ls"), max("l_linestatus").as("mx_ls"),
+        min("tag").as("mn_tag"), max("tag").as("mx_tag"),
+        sum("l_orderkey").as("sum_ok"))
+    },
+      Some("""SELECT COUNT(*) AS n_rows,
+                     MIN(l_returnflag) AS mn_rf, MAX(l_returnflag) AS mx_rf,
+                     MIN(l_linestatus) AS mn_ls, MAX(l_linestatus) AS mx_ls,
+                     MIN(l_returnflag || '-' || lpad(CAST(l_orderkey % 1000 AS VARCHAR), 4, '0')) AS mn_tag,
+                     MAX(l_returnflag || '-' || lpad(CAST(l_orderkey % 1000 AS VARCHAR), 4, '0')) AS mx_tag,
+                     CAST(SUM(l_orderkey) AS BIGINT) AS sum_ok
+              FROM lineitem""")),
+
     // #91 TopN pushdown: ORDER BY + LIMIT over the .col table prunes row
     // groups whose stat range cannot reach the top-n threshold (plan
     // shape asserted in PlanAuditSpec); values must still match the
@@ -1145,6 +1178,60 @@ object ColeSuite {
                 MIN(o_orderkey) AS mn_key, MAX(o_orderkey) AS mx_key
               FROM orders JOIN cust ON o_custkey = c_custkey
               GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // FACT-FACT JOIN MV (r17, verdict ask #3): revenue-per-customer —
+    // `lineitem ⋈ orders GROUP BY o_custkey` — as an incrementally-
+    // maintained MV over BOTH change feeds (the two-term differential
+    // algebra Δ(A⋈B) = ΔA⋈B@new ∪ A@old⋈ΔB; each term a commit-sized
+    // delta ⋈ fact join, never a fact-fact shuffle at refresh).
+    // Sequence: create at (2/3 lineitem, 1/2 orders) → append the rest
+    // of BOTH sides → DELETE on lineitem (A feed) → DELETE on orders
+    // (B feed, retiring whole orders' joined rows) → one refresh folds
+    // it all. MV content hash-checks against DuckDB's full
+    // join-aggregate over the final state of both tables.
+    Q("cole_mv_join", (s, d) => {
+      val wh = "/tmp/graft_cole/warehouse"
+      s.conf.set("spark.sql.catalog.cole", "graft.sources.cole.ColeCatalog")
+      s.conf.set("spark.sql.catalog.cole.warehouse", wh)
+      val ns = s"v${writerFingerprint}_mvj_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val liDir = s"$wh/$ns/li"
+      val ordDir = s"$wh/$ns/ord"
+      val mvDir = s"$wh/$ns/mv"
+      val conf = graft.sources.cole.ColeIO.driverConf()
+      writeOnce(liDir) {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            round(col("l_extendedprice") * 100).cast("long").as("price_c"))
+        val ord = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"))
+        li.filter(col("l_orderkey") % 3 =!= 0)
+          .write.format("cole").mode("overwrite").save(liDir)
+        graft.sources.cole.ColeVersions.enable(liDir, conf) // A v1
+        ord.filter(col("o_orderkey") % 2 =!= 0)
+          .write.format("cole").mode("overwrite").save(ordDir)
+        graft.sources.cole.ColeVersions.enable(ordDir, conf) // B v1
+        s.sql(s"CALL cole.system.create_mv('$ns.li', '$ns.mv', " +
+          "'o_custkey', 'count:*:n, sum:price_c:rev_c, min:l_orderkey:mn_ok', " +
+          s"join => '$ns.ord', join_on => 'l_orderkey = o_orderkey')")
+        li.filter(col("l_orderkey") % 3 === 0)
+          .write.format("cole").mode("append").save(liDir) // A v2
+        ord.filter(col("o_orderkey") % 2 === 0)
+          .write.format("cole").mode("append").save(ordDir) // B v2
+        s.sql(s"DELETE FROM cole.$ns.li WHERE l_quantity < 3") // A v3
+        s.sql(s"DELETE FROM cole.$ns.ord WHERE o_orderkey % 40 = 0") // B v3
+        s.sql(s"CALL cole.system.refresh_mv('$ns.mv')").collect()
+      }
+      s.table(s"cole.$ns.mv").select(
+        col("o_custkey"), col("n"),
+        col("rev_c").cast("long").as("rev_c"), col("mn_ok"))
+        .orderBy("o_custkey")
+    },
+      Some("""SELECT o_custkey, COUNT(*) AS n,
+                CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_c,
+                MIN(l_orderkey) AS mn_ok
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE l_quantity >= 3 AND o_orderkey % 40 <> 0
+              GROUP BY o_custkey ORDER BY o_custkey""")),
 
     // FILTERED + EXPRESSION-KEY MV (r15, verdict ask #1): the MV every
     // user writes first — `SELECT k, aggs FROM t WHERE pred GROUP BY k`

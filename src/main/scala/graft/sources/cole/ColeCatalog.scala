@@ -1540,9 +1540,15 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
           // must stay stable between incremental refreshes
           // (fingerprint-checked; full => true resynchronizes)
           "dim" -> (StringType: DataType),
-          "dim_on" -> (StringType: DataType)),
+          "dim_on" -> (StringType: DataType),
+          // fact-fact join MV (r17): a SECOND versioned source
+          // inner-joined on `join_on`, maintained differentially from
+          // BOTH change feeds (mutually exclusive with dim)
+          "join" -> (StringType: DataType),
+          "join_on" -> (StringType: DataType)),
         StructType(Seq(StructField("version", LongType))),
-        defaults = Map("where" -> "''", "dim" -> "''", "dim_on" -> "''")) { in =>
+        defaults = Map("where" -> "''", "dim" -> "''", "dim_on" -> "''",
+          "join" -> "''", "join_on" -> "''")) { in =>
         val spark = org.apache.spark.sql.SparkSession.active
         // group_by entries: plain columns or `name := expr` derived keys
         // (days/substr/date_trunc — any deterministic row expression);
@@ -1551,13 +1557,19 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
         val where = Option(in.getString(4)).map(_.trim).filter(_.nonEmpty)
         val dimName = Option(in.getString(5)).map(_.trim).filter(_.nonEmpty)
         val dimOn = Option(in.getString(6)).map(_.trim).filter(_.nonEmpty)
+        val joinName = Option(in.getString(7)).map(_.trim).filter(_.nonEmpty)
+        val joinOn = Option(in.getString(8)).map(_.trim).filter(_.nonEmpty)
         require(dimName.isDefined == dimOn.isDefined,
           "dim and dim_on come together: the dimension table and its " +
             "join condition")
+        require(joinName.isDefined == joinOn.isDefined,
+          "join and join_on come together: the second source table and " +
+            "its join condition")
         Array(Array[Any](ColeMv.create(spark,
           procTablePath(in.getString(0)), procTablePath(in.getString(1)),
           names, ColeMv.parseAggs(in.getString(3)), where, exprs,
-          dim = dimName.map(n => (procTablePath(n), dimOn.get)))))
+          dim = dimName.map(n => (procTablePath(n), dimOn.get)),
+          join = joinName.map(n => (procTablePath(n), joinOn.get)))))
       }
       // refresh: fold the feed since the watermark into the stored
       // per-key state — O(changed rows + touched keys), never the table;

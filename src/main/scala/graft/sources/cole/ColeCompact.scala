@@ -89,10 +89,16 @@ object ColeCompact {
     // already a single right-sized file — so an incrementally-migrated
     // 100 TB table converges to the fold path instead of forfeiting it
     // to one old file.
+    // r17: the STRB tail (exact per-chunk string bounds) is fold debt
+    // too — a string-column file written before the extension forfeits
+    // metadata-only string MIN/MAX the same way a pre-SUMS file
+    // forfeits SUM
     val foldDirs: Set[String] =
       if (!foldDebt) Set.empty
       else byDir.collect { case (dir, is)
-        if is.exists(_.meta.chunkSums.isEmpty) => dir }.toSet
+        if is.exists(i => i.meta.chunkSums.isEmpty ||
+          (i.meta.columns.exists(_.colType == ColeFormat.TString) &&
+            i.meta.chunkStrBounds.isEmpty)) => dir }.toSet
     rewriteDirs(spark, table, targetBytes, rowGroupSize, compress,
       skipWhenFewFiles = true, transform = None,
       onlyDirs = Some(eligible ++ foldDirs),

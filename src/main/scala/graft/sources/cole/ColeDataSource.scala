@@ -1336,7 +1336,43 @@ private[graft] object ColeAggFold {
         case kind =>
           val tpe = head.columns(head.columns.indexWhere(_.name == sp.column)).colType
           tpe match {
-            case TString => return None // no string stats in footers
+            case TString =>
+              // r17: the STRB footer tail carries EXACT per-chunk string
+              // bounds (byte-wise unsigned = UTF8String order), so string
+              // MIN/MAX folds metadata-only too; any chunk without
+              // recorded bounds (pre-extension file, all-null chunk
+              // handled by present-count, over-cap extreme) falls back
+              if (kind == "sum") return None
+              var pres = 0L
+              var mn: Array[Byte] = null
+              var mx: Array[Byte] = null
+              def cmp(a: Array[Byte], b: Array[Byte]): Int = {
+                val n = math.min(a.length, b.length)
+                var i = 0
+                while (i < n) {
+                  val dd = (a(i) & 0xff) - (b(i) & 0xff)
+                  if (dd != 0) return dd
+                  i += 1
+                }
+                a.length - b.length
+              }
+              survivors.foreach { f =>
+                val ci = f.meta.columns.indexWhere(_.name == sp.column)
+                f.meta.rowGroups.indices.foreach { rg =>
+                  val p = f.meta.rowGroups(rg).numRows - f.meta.chunkNullCount(rg, ci)
+                  if (p > 0) f.meta.statsMinMaxS(rg, ci) match {
+                    case Some((lo, hi)) =>
+                      pres += p
+                      if (mn == null || cmp(lo, mn) < 0) mn = lo
+                      if (mx == null || cmp(hi, mx) > 0) mx = hi
+                    case None => return None
+                  }
+                }
+              }
+              out(ai) =
+                if (pres == 0) null
+                else org.apache.spark.unsafe.types.UTF8String.fromBytes(
+                  if (kind == "min") mn else mx)
             case TDouble =>
               if (kind == "sum") return None // float addition is order-sensitive
               var pres = 0L

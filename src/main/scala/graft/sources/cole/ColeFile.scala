@@ -485,6 +485,14 @@ final class ColeFileWriter(path: String, columns: Seq[ColeColumn],
   private val chunkSumRows = scala.collection.mutable.ArrayBuffer[Array[Long]]()
   private val sumEligible: Array[Boolean] =
     columns.map(c => c.colType == TInt32 || isLongBacked(c.colType)).toArray
+  // per-chunk EXACT string bounds (v2 footers, STRB tail): byte-wise
+  // unsigned min/max of present values — Spark's UTF8String order — so a
+  // footer-answered string MIN/MAX is the sweep's answer bit-for-bit;
+  // null slot = absent (no present values, or an extreme beyond the cap)
+  private val strBoundRows =
+    scala.collection.mutable.ArrayBuffer[Array[(Array[Byte], Array[Byte])]]()
+  private val strEligible: Array[Boolean] =
+    columns.map(_.colType == TString).toArray
   private val out = new BufferedOutputStream(stream, 1 << 16)
   private var position = 0L
   private val rowGroups = scala.collection.mutable.ArrayBuffer[RowGroupMeta]()
@@ -510,6 +518,7 @@ final class ColeFileWriter(path: String, columns: Seq[ColeColumn],
     require(cols.size == columns.size, "column count mismatch")
     val encs = if (encodings == null) columns.map(_.encoding) else encodings
     val rgSums = new Array[Long](columns.size)
+    val rgStrBounds = new Array[(Array[Byte], Array[Byte])](columns.size)
     val chunkMetas = columns.indices.map { i =>
       val col = columns(i).copy(encoding = encs(i))
       val data = cols(i)
@@ -578,6 +587,18 @@ final class ColeFileWriter(path: String, columns: Seq[ColeColumn],
           (bytes, st)
         case TString | TBinary =>
           val vals = presentStrs
+          if (col.colType == TString && vals.nonEmpty) {
+            var mn = vals(0); var mx = vals(0)
+            var k = 1
+            while (k < vals.length) {
+              val v = vals(k)
+              if (cmpBytesU(v, mn) < 0) mn = v
+              if (cmpBytesU(v, mx) > 0) mx = v
+              k += 1
+            }
+            if (mn.length <= StrBoundMaxLen && mx.length <= StrBoundMaxLen)
+              rgStrBounds(i) = (mn, mx)
+          }
           val bytes = col.encoding match {
             case Plain => encodePlainStrings(vals)
             case Dict =>
@@ -649,6 +670,7 @@ final class ColeFileWriter(path: String, columns: Seq[ColeColumn],
     }
     rowGroups += RowGroupMeta(numRows, chunkMetas)
     chunkSumRows += rgSums
+    strBoundRows += rgStrBounds
     totalRows += numRows
   }
 
@@ -687,6 +709,18 @@ final class ColeFileWriter(path: String, columns: Seq[ColeColumn],
     out
   }
 
+  /** Unsigned byte-wise comparison — Spark's UTF8String binary order. */
+  private def cmpBytesU(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
   private def compactWides(a: Array[Long], isNull: Array[Boolean], n: Int, m: Int): Array[Long] = {
     val out = new Array[Long](2 * m)
     var i = 0; var j = 0
@@ -711,8 +745,13 @@ final class ColeFileWriter(path: String, columns: Seq[ColeColumn],
       else columns.indices.collect {
         case i if sumEligible(i) => i -> chunkSumRows.map(_(i)).toArray
       }.toMap
+    val strb: Map[Int, Array[(Array[Byte], Array[Byte])]] =
+      if (version < Version2) Map.empty
+      else columns.indices.collect {
+        case i if strEligible(i) => i -> strBoundRows.map(_(i)).toArray
+      }.toMap
     writeMetadata(mo,
-      FileMeta(columns, rowGroups.toSeq, totalRows, version, ndv, sums))
+      FileMeta(columns, rowGroups.toSeq, totalRows, version, ndv, sums, strb))
     val metaBytes = mo.toBytes
     val o = new Out()
     o.raw(metaBytes)

@@ -198,6 +198,22 @@ object ColeFormat {
     */
   val SumExtMagic = 0x534d5553
 
+  /** Magic of the OPTIONAL v2 metadata-tail extension carrying per-chunk
+    * STRING bounds ("STRB"). Written after the SUMS tail (all three
+    * tails optional, each detected by magic). Bounds are the EXACT
+    * byte-wise (unsigned, = Spark UTF8String order) min/max of each
+    * chunk's present string values — exact VALUES, not prefixes, so a
+    * footer-answered string MIN/MAX is the query's answer, bit-identical
+    * to the page sweep; a chunk whose extreme exceeds the length cap (or
+    * has no present values) records ABSENT and the fold falls back.
+    */
+  val StrExtMagic = 0x42525453
+
+  /** Per-chunk string bounds above this byte length are not recorded —
+    * footers stay metadata-sized; the sweep still answers those columns.
+    */
+  val StrBoundMaxLen = 256
+
   final case class FileMeta(columns: Seq[ColeColumn], rowGroups: Seq[RowGroupMeta],
       totalRows: Long, version: Int = 1,
       /** Per-column distinct-count upper bounds, aligned to `columns`
@@ -211,7 +227,14 @@ object ColeFormat {
         * TInt32 and long-backed columns). Empty = file predates the
         * extension; readers fall back to the page sweep.
         */
-      chunkSums: Map[Int, Array[Long]] = Map.empty) {
+      chunkSums: Map[Int, Array[Long]] = Map.empty,
+      /** colIdx → per-row-group EXACT string (min, max) byte pairs for
+        * TString columns (v2 writer, STRB tail); null entry = bounds
+        * absent for that chunk (no present values, or an extreme beyond
+        * [[StrBoundMaxLen]]). Empty map = file predates the extension.
+        */
+      chunkStrBounds: Map[Int, Array[(Array[Byte], Array[Byte])]] =
+        Map.empty) {
 
     /** The footer-recorded sum of one chunk's present values (wrapped,
       * identical to what aggChunk's sweep would accumulate); None for
@@ -219,6 +242,12 @@ object ColeFormat {
       */
     def chunkSum(rgIdx: Int, colIdx: Int): Option[Long] =
       chunkSums.get(colIdx).map(_(rgIdx))
+
+    /** Exact string (min, max) of one chunk's present values from the
+      * STRB tail; None for pre-extension files or undeclared chunks.
+      */
+    def statsMinMaxS(rgIdx: Int, colIdx: Int): Option[(Array[Byte], Array[Byte])] =
+      chunkStrBounds.get(colIdx).flatMap(a => Option(a(rgIdx)))
     /** Min/max for one chunk from page stats alone; None when any page
       * lacks stats. Metadata-only, so planning can stat-prune straight
       * from the footer cache without opening the file.
@@ -409,6 +438,24 @@ object ColeFormat {
         sums.foreach(out.i64)
       }
     }
+    // third optional tail: exact per-chunk string bounds, sorted by
+    // column index; per row group a presence flag then min/max bytes
+    if (meta.version >= Version2 && meta.chunkStrBounds.nonEmpty) {
+      out.u32(StrExtMagic)
+      out.u32(meta.chunkStrBounds.size)
+      meta.chunkStrBounds.toSeq.sortBy(_._1).foreach { case (ci, bounds) =>
+        require(bounds.length == meta.rowGroups.size,
+          "chunkStrBounds must align to row groups")
+        out.u32(ci)
+        bounds.foreach {
+          case null => out.u8(0)
+          case (mn, mx) =>
+            out.u8(1)
+            out.u32(mn.length); out.raw(mn)
+            out.u32(mx.length); out.raw(mx)
+        }
+      }
+    }
   }
 
   /** `endPos`: end of the metadata block inside the cursor's buffer when
@@ -471,6 +518,25 @@ object ColeFormat {
           ci -> Array.fill(nRgs)(c.i64())
         }.toMap
       } else Map.empty
-    FileMeta(cols, rgs, totalRows, version, ndv, sums)
+    val strBounds: Map[Int, Array[(Array[Byte], Array[Byte])]] =
+      if (version >= Version2 && endPos >= 0 && endPos - c.pos >= 8 && {
+        val save = c.pos; val m = c.u32(); c.pos = save; m == StrExtMagic
+      }) {
+        c.u32() // magic
+        val n = c.u32()
+        Seq.fill(n) {
+          val ci = c.u32()
+          require(ci < nCols, s"STRB extension names column $ci of $nCols")
+          ci -> Array.fill(nRgs) {
+            if (c.u8() == 0) null
+            else {
+              val mn = c.bytes(c.u32())
+              val mx = c.bytes(c.u32())
+              (mn, mx)
+            }
+          }
+        }.toMap
+      } else Map.empty
+    FileMeta(cols, rgs, totalRows, version, ndv, sums, strBounds)
   }
 }

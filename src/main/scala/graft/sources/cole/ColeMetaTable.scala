@@ -5,6 +5,7 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
@@ -44,7 +45,13 @@ class ColeMetaTable(path: String, kind: String, conf: Configuration)
       // expiry horizon are no longer guaranteed reconstructible — the
       // earliest un-expired version is `MIN(version) WHERE NOT expired`,
       // the safe floor for a new stream's startingVersion
-      StructField("expired", BooleanType, nullable = false)))
+      StructField("expired", BooleanType, nullable = false),
+      // FOLD-debt provenance (r17, verdict ask #6): true when this
+      // commit's added files (those still live) lack a fold tail (SUMS,
+      // or STRB for string columns) — the nightly
+      // `compact_debt(fold_debt => true)` trigger is now a WHERE clause
+      // on $history instead of a $files sweep
+      StructField("adds_fold_debt", BooleanType, nullable = false)))
     case "files" => StructType(Seq(
       StructField("file", StringType, nullable = false),
       StructField("partition", StringType, nullable = false),
@@ -60,7 +67,11 @@ class ColeMetaTable(path: String, kind: String, conf: Configuration)
       // its presence forfeits the metadata-only aggregate path for the
       // whole table (the fold is all-or-nothing per query) —
       // `compact_debt(fold_debt => true)` migrates exactly these
-      StructField("sums_missing", BooleanType, nullable = false)))
+      StructField("sums_missing", BooleanType, nullable = false),
+      // r17: same debt for the STRB tail — a string-column file without
+      // exact per-chunk string bounds forfeits metadata-only string
+      // MIN/MAX; false for files with no string columns
+      StructField("strb_missing", BooleanType, nullable = false)))
     // the per-PARTITION rollup of $files: layout health at directory
     // grain — "which days are fragmented / carry vector debt / are
     // oversized?" for identity, bucket, and temporal layouts alike
@@ -72,7 +83,9 @@ class ColeMetaTable(path: String, kind: String, conf: Configuration)
       StructField("deleted_rows", LongType, nullable = false),
       StructField("live_rows", LongType, nullable = false),
       // count of pre-SUMS files in the directory (fold debt, r16)
-      StructField("sums_missing", IntegerType, nullable = false)))
+      StructField("sums_missing", IntegerType, nullable = false),
+      // count of string-column files without STRB bounds (r17)
+      StructField("strb_missing", IntegerType, nullable = false)))
     // named refs (r14): tags and branches — "what's pinned, what's
     // staged?" as SQL; `staged_files` counts a branch's unpublished files
     case "refs" => StructType(Seq(
@@ -106,9 +119,18 @@ class ColeMetaTableScan(path: String, kind: String, tschema: StructType,
         if (!ColeVersions.enabled(path, conf)) Array.empty
         else {
           val horizon = ColeVersions.expiryHorizon(path, conf)
+          // live files carrying fold debt, by path — a commit whose adds
+          // are all compacted away (or debt-free) reads false
+          val debtPaths: Set[String] = ColeMetaCache.infos(path, conf)
+            .collect { case i if i.meta.chunkSums.isEmpty ||
+              (i.meta.columns.exists(_.colType == ColeFormat.TString) &&
+                i.meta.chunkStrBounds.isEmpty) => i.path }.toSet
+          def norm(p: String) = new HPath(p).getName
+          val debtNames = debtPaths.map(norm)
           ColeVersions.records(path, conf).map(r =>
             Array[Any](r.version, r.ts * 1000L, r.op,
-              r.adds.size, r.removes.size, r.version <= horizon)).toArray
+              r.adds.size, r.removes.size, r.version <= horizon,
+              r.adds.exists(a => debtNames.contains(norm(a))))).toArray
         }
       case "files" =>
         val (dfs, _) = ColeIO.resolve(path, conf)
@@ -118,7 +140,9 @@ class ColeMetaTableScan(path: String, kind: String, tschema: StructType,
           val dv = dvCount(i)
           Array[Any](i.path, part, i.len, i.meta.totalRows,
             i.meta.rowGroups.size, dv, i.meta.totalRows - dv,
-            i.meta.chunkSums.isEmpty)
+            i.meta.chunkSums.isEmpty,
+            i.meta.columns.exists(_.colType == ColeFormat.TString) &&
+              i.meta.chunkStrBounds.isEmpty)
         }.toArray
       case "partitions" =>
         val (dfs, _) = ColeIO.resolve(path, conf)
@@ -129,7 +153,9 @@ class ColeMetaTableScan(path: String, kind: String, tschema: StructType,
             val rows = is.map(_.meta.totalRows).sum
             val dv = is.map(dvCount).sum
             Array[Any](part, is.size, is.map(_.len).sum, rows, dv, rows - dv,
-              is.count(_.meta.chunkSums.isEmpty))
+              is.count(_.meta.chunkSums.isEmpty),
+              is.count(i => i.meta.columns.exists(_.colType == ColeFormat.TString) &&
+                i.meta.chunkStrBounds.isEmpty))
           }
       case "refs" =>
         val tags = ColeRefs.tags(path, conf).toSeq.sorted.map { case (n, v) =>

@@ -134,7 +134,20 @@ object ColeMv {
         */
       dim: Option[(String, String)] = None,
       /** The dimension's content fingerprint at the last apply. */
-      dimFp: Option[String] = None)
+      dimFp: Option[String] = None,
+      /** FACT-FACT JOIN MV (r17): a SECOND versioned source inner-joined
+        * on `joinOn` — the MV is `A ⋈ B GROUP BY keys`, maintained
+        * differentially from BOTH change feeds via the two-term algebra
+        * Δ(A⋈B) = ΔA⋈B@new ∪ A@old⋈ΔB (signs carried from the feeds).
+        * Mutually exclusive with `dim` (one differential lane per MV).
+        */
+      source2: Option[String] = None,
+      joinOn: Option[String] = None,
+      /** Source B's applied watermark / crash intent (A uses the
+        * unqualified fields — both always move together).
+        */
+      appliedVersion2: Option[Long] = None,
+      inflight2: Option[Long] = None)
 
   /** Split on `sep` outside parentheses/quotes — group-by entries and
     * the WHERE may carry function calls with commas.
@@ -227,6 +240,10 @@ object ColeMv {
       d.dim.map { case (p, on) => s"dim:$p" }.toSeq ++
       d.dim.map { case (p, on) => s"dimon:$on" }.toSeq ++
       d.dimFp.map(fp => s"dimfp:$fp").toSeq ++
+      d.source2.map(p => s"sourceb:$p").toSeq ++
+      d.joinOn.map(j => s"joinon:$j").toSeq ++
+      d.appliedVersion2.map(v => s"appliedvb:$v").toSeq ++
+      d.inflight2.map(v => s"inflightb:$v").toSeq ++
       d.aggs.map(a => s"agg:${encodeAgg(a)}") ++
       Seq(s"appliedv:${d.appliedVersion}") ++
       d.inflight.map(v => s"inflight:$v").toSeq ++
@@ -281,6 +298,18 @@ object ColeMv {
       },
       dimFp = lines.collectFirst {
         case l if l.startsWith("dimfp:") => l.drop(6)
+      },
+      source2 = lines.collectFirst {
+        case l if l.startsWith("sourceb:") => l.drop(8)
+      },
+      joinOn = lines.collectFirst {
+        case l if l.startsWith("joinon:") => l.drop(7)
+      },
+      appliedVersion2 = lines.collectFirst {
+        case l if l.startsWith("appliedvb:") => l.drop(10).toLong
+      },
+      inflight2 = lines.collectFirst {
+        case l if l.startsWith("inflightb:") => l.drop(10).toLong
       })
   }
 
@@ -411,7 +440,8 @@ object ColeMv {
   def create(spark: SparkSession, source: String, mv: String,
       groupBy: Seq[String], aggs: Seq[Agg], where: Option[String] = None,
       groupExprs: Map[String, String] = Map.empty,
-      dim: Option[(String, String)] = None): Long = {
+      dim: Option[(String, String)] = None,
+      join: Option[(String, String)] = None): Long = {
     val conf = ColeIO.driverConf()
     require(ColeVersions.enabled(source, conf),
       s"incremental MV maintenance reads the change feed of $source — " +
@@ -421,9 +451,32 @@ object ColeMv {
     require(!isMv(mv, conf), s"$mv is already an MV")
     require(where.forall(w => !w.contains('\n') && w.trim.nonEmpty),
       "MV WHERE must be a non-empty single-line expression")
+    require(dim.isEmpty || join.isEmpty,
+      "dim and join are mutually exclusive: a join MV maintains from " +
+        "BOTH sides' change feeds, a dim MV treats the second table as " +
+        "stable enrichment — pick the lane that matches the second table")
     val v = ColeVersions.currentVersion(source, conf)
     val snap = spark.read.format("cole")
       .option("versionAsOf", v.toString).load(source)
+    // fact-fact join validation — every rejection is at DECLARATION:
+    val vb: Option[Long] = join.map { case (bPath, on) =>
+      require(ColeVersions.enabled(bPath, conf),
+        s"a join MV maintains from BOTH change feeds — enable " +
+          s"versioning on $bPath first (CALL <catalog>.system.versioning)")
+      require(on.trim.nonEmpty && !on.contains('\n'),
+        "join condition must be a non-empty single-line expression")
+      val bNow = ColeVersions.currentVersion(bPath, conf)
+      val bDf = spark.read.format("cole")
+        .option("versionAsOf", bNow.toString).load(bPath)
+      val overlap = bDf.columns.toSet & snap.columns.toSet
+      require(overlap.isEmpty,
+        s"join columns ${overlap.mkString(", ")} collide between the " +
+          "two sources — rename them (the join keeps both sides' " +
+          "columns, expressions could not disambiguate)")
+      validateExpr(snap.join(bDf, expr("1=1"), "inner"), on,
+        "join condition")
+      bNow
+    }
     // stream-static dim validation — every rejection is at DECLARATION:
     dim.foreach { case (dimPath, on) =>
       val (dfs, dp) = ColeIO.resolve(dimPath, conf)
@@ -453,11 +506,18 @@ object ColeMv {
     }
     // every expression is validated LOUDLY at declaration — an MV whose
     // filter/key only fails at first refresh is a trap. WHERE and
-    // derived keys validate against the ENRICHED frame (they may
-    // reference dim columns).
+    // derived keys validate against the ENRICHED/JOINED frame (they may
+    // reference dim or second-source columns).
     val d = Definition(source, groupBy, aggs, v, where = None,
-      groupExprs = Map.empty, dim = dim)
-    val enriched = prepare(snap, d)
+      groupExprs = Map.empty, dim = dim,
+      source2 = join.map(_._1), joinOn = join.map(_._2),
+      appliedVersion2 = vb)
+    val base = join.fold(snap) { case (bPath, on) =>
+      snap.join(spark.read.format("cole")
+        .option("versionAsOf", vb.get.toString).load(bPath),
+        expr(on), "inner")
+    }
+    val enriched = prepare(base, d)
     where.foreach(validateExpr(enriched, _, "WHERE"))
     groupExprs.toSeq.sortBy(_._1).foreach { case (n, ex) =>
       require(!enriched.columns.contains(n),
@@ -466,7 +526,7 @@ object ColeMv {
     }
     val full = d.copy(where = where, groupExprs = groupExprs,
       dimFp = dim.map(x => dimFingerprint(x._1, conf)))
-    nullableAll(fullAggregate(prepare(snap, full), groupBy, aggs))
+    nullableAll(fullAggregate(prepare(base, full), groupBy, aggs))
       .write.format("cole").mode("overwrite").save(mv)
     writeDefinition(mv, conf, full)
     v
@@ -489,6 +549,10 @@ object ColeMv {
       "mv-refresh")
     try {
       var d = readDefinition(mv, conf)
+      // fact-fact join MVs maintain from BOTH feeds — their own lane
+      // (recovery, watermark pair, two-term delta, full resync)
+      if (d.source2.isDefined)
+        return refreshJoin(spark, mv, mvQualified, conf, d, full)
       // stream-static dim: an INCREMENTAL refresh requires the dim
       // unchanged since the last apply — a fact's delete folding under a
       // different enrichment than its insert would corrupt the state.
@@ -590,92 +654,226 @@ object ColeMv {
       // unchanged, the feed just shrinks.
       val feed = prepare(
         ColeChangeFeed.read(spark, d.source, d.appliedVersion, cv), d, dimPin)
-      val isIns = col(ColeChangeFeed.ChangeTypeCol) === "insert"
-      val signed: Column => Column = c => when(isIns, c).otherwise(-c)
-      val deltaCols: Seq[Column] =
-        sum(when(isIns, 1L).otherwise(-1L)).as("_d_cnt") +:
-        max(when(isIns, lit(0)).otherwise(lit(1))).as("_d_hasdel") +:
-        d.aggs.flatMap {
-          case SumAgg(c, o) => Seq(sum(signed(dec(col(c)))).cast(SumType)
-            .as(s"_d_sum_$o"))
-          case AvgAgg(c, o) => Seq(sum(signed(dec(col(c)))).cast(SumType)
-            .as(s"_d_sum_$o"))
-          case MinAgg(c, o) => Seq(min(when(isIns, col(c))).as(s"_d_min_$o"))
-          case MaxAgg(c, o) => Seq(max(when(isIns, col(c))).as(s"_d_max_$o"))
-          case CountAgg(_) => Nil
-        }
-      val delta = feed.groupBy(d.groupBy.map(col): _*)
-        .agg(deltaCols.head, deltaCols.tail: _*)
-        .persist()
-      try {
-        val hasMinMax = d.aggs.exists {
-          case _: MinAgg | _: MaxAgg => true; case _ => false
-        }
-        val keyEq = d.groupBy.map(k => col(s"m.`$k`") <=> col(s"d.`$k`"))
-          .reduce(_ && _)
-
-        // keys whose delta alone decides them (no delete, or no min/max)
-        val deltaOnlyCond =
-          if (hasMinMax) col("_d_hasdel") === 0 else lit(true)
-        val deltaOnly = delta.filter(deltaOnlyCond).alias("d")
-        // the old-values lookup must not scan the whole MV for a small
-        // delta: the same per-column IN prefilter the recompute scan
-        // uses lets the MV's stat skipping prune untouched files
-        val dKeyRows = smallKeyRows(
-          delta.filter(deltaOnlyCond).select(d.groupBy.map(col): _*))
-        val mvNow = keyPrefilter(
-          // branch="" opts out of the WAP read route: the differential
-          // fold reads the MV's own MAIN state
-          spark.read.format("cole").option("branch", "").load(mv)
-            .alias("m"), "m",
-          d.groupBy, dKeyRows)
-        val joined = deltaOnly.join(mvNow, keyEq, "left")
-        def newCnt = coalesce(col(s"m.`$CntCol`"), lit(0L)) + col("_d_cnt")
-        val deltaOut: Seq[Column] = d.aggs.map {
-          case CountAgg(o) => newCnt.as(o)
-          case SumAgg(_, o) =>
-            (coalesce(col(s"m.`$o`"), lit(0).cast(SumType)) +
-              col(s"_d_sum_$o")).cast(SumType).as(o)
-          case AvgAgg(_, o) =>
-            ((coalesce(col(s"m.`${avgSumCol(o)}`"), lit(0).cast(SumType)) +
-              col(s"_d_sum_$o")).cast(DoubleType) / newCnt).as(o)
-          case MinAgg(_, o) => least(col(s"m.`$o`"), col(s"_d_min_$o")).as(o)
-          case MaxAgg(_, o) =>
-            greatest(col(s"m.`$o`"), col(s"_d_max_$o")).as(o)
-        } ++ (newCnt.as(CntCol) +: d.aggs.collect { case AvgAgg(_, o) =>
-          (coalesce(col(s"m.`${avgSumCol(o)}`"), lit(0).cast(SumType)) +
-            col(s"_d_sum_$o")).cast(SumType).as(avgSumCol(o))
-        })
-        val deltaRows = joined.select(
-          d.groupBy.map(k => col(s"d.`$k`").as(k)) ++ deltaOut ++
-            Seq((newCnt <= 0).as(DeadCol)): _*)
-
-        // keys that saw a delete under min/max: re-aggregate them from
-        // the source as-of cv — delta math can't un-delete an extreme
-        val (recomputeRows, nRecompute, nReagg) =
-          if (!hasMinMax) (None, 0L, 0L)
-          else {
-            val recKeys = delta.filter(col("_d_hasdel") === 1)
-              .select(d.groupBy.map(col): _*)
-            absoluteRows(spark, snap, recKeys, d) match {
-              case None => (None, 0L, 0L)
-              case some => some.get match { case (rows, nk, nr) =>
-                (Some(rows), nk, nr) }
-            }
-          }
-        val mergeSource = recomputeRows.fold(deltaRows)(deltaRows.unionByName)
-
-        // intent BEFORE the merge: replaying a differential merge would
-        // double-apply, so a crash in here must route the next refresh
-        // through the absolute recovery, never through this path again
-        writeDefinition(mv, conf, d.copy(inflight = Some(cv)))
-        val nTouched = mergeRows(spark, mv, mvQualified, conf, d, mergeSource)
-        writeDefinition(mv, conf,
-          d.copy(appliedVersion = cv, inflight = None))
-        RefreshStats(d.appliedVersion, cv, nTouched + dimKeys,
-          nRecompute + dimKeys, nReagg + dimRows)
-      } finally delta.unpersist()
+      val (nTouched, nRecompute, nReagg) = foldFeed(spark, mv, mvQualified,
+        conf, d, feed, snap,
+        intent = d.copy(inflight = Some(cv)),
+        done = d.copy(appliedVersion = cv, inflight = None))
+      RefreshStats(d.appliedVersion, cv, nTouched + dimKeys,
+        nRecompute + dimKeys, nReagg + dimRows)
     } finally claim.release()
+  }
+
+  /** FACT-FACT JOIN MV refresh (r17): `A ⋈ B GROUP BY keys` maintained
+    * differentially from BOTH change feeds. The signed join delta is the
+    * standard two-term algebra
+    *
+    *   Δ(A⋈B) = ΔA ⋈ B@b1  ∪  A@a0 ⋈ ΔB
+    *
+    * (= A@a1⋈B@b1 − A@a0⋈B@b0 exactly: expand (A0+ΔA)⋈(B0+ΔB) — the
+    * ΔA⋈ΔB cross term is absorbed by joining ΔA against B's NEW state
+    * while ΔB joins A's OLD state), with each joined row keeping its
+    * feed row's insert/delete sign — update pairs fold as
+    * delete+insert, exactly like the single-source lane, so the whole
+    * differential fold (count/sum/avg delta, min/max affected-key
+    * recompute, dead-key deletion, crash intents) is the shared
+    * [[foldFeed]] core. Each term is a commit-sized-delta ⋈ fact join —
+    * AQE broadcasts the delta side at scale; a refresh never runs a
+    * fact-fact shuffle, and never rebuilds the MV. Both watermarks
+    * advance together; a rollback on either source refuses and
+    * `full => true` resynchronizes from both current snapshots.
+    */
+  private def refreshJoin(spark: SparkSession, mv: String,
+      mvQualified: String, conf: Configuration, dIn: Definition,
+      full: Boolean): RefreshStats = {
+    var d = dIn
+    val b = d.source2.get
+    val on = d.joinOn.get
+    def sideAt(path: String, v: Long) = spark.read.format("cole")
+      .option("versionAsOf", v.toString).load(path)
+    def joinedAt(va: Long, vbb: Long) =
+      sideAt(d.source, va).join(sideAt(b, vbb), expr(on), "inner")
+    // a crashed refresh left its (paired) intent: recover absolutely
+    if (!full) (d.inflight, d.inflight2) match {
+      case (Some(ta), Some(tb)) =>
+        recoverInflightJoin(spark, mv, mvQualified, conf, d, ta, tb)
+        d = d.copy(appliedVersion = ta, appliedVersion2 = Some(tb),
+          inflight = None, inflight2 = None)
+      case (None, None) => ()
+      case _ => throw new IllegalStateException(
+        s"torn join-MV intent on $mv (one side's inflight missing) — " +
+          "resynchronize with refresh_mv(..., full => true)")
+    }
+    val b0 = d.appliedVersion2.getOrElse(throw new IllegalStateException(
+      s"join-MV sidecar of $mv lacks source B's watermark"))
+    val cva = ColeVersions.currentVersion(d.source, conf)
+    val cvb = ColeVersions.currentVersion(b, conf)
+    if (!full && cva == d.appliedVersion && cvb == b0)
+      return RefreshStats(d.appliedVersion, cva, 0, 0, 0)
+    require(full || (cva >= d.appliedVersion && cvb >= b0),
+      s"a join-MV watermark is AHEAD of its source " +
+        s"(A v${d.appliedVersion}→v$cva, B v$b0→v$cvb) — was a source " +
+        "rolled back? resynchronize with refresh_mv(..., full => true)")
+    val snap = prepare(joinedAt(cva, cvb), d)
+    if (full) {
+      writeDefinition(mv, conf,
+        d.copy(inflight = Some(cva), inflight2 = Some(cvb)))
+      nullableAll(fullAggregate(snap, d.groupBy, d.aggs))
+        .write.format("cole").mode("overwrite").save(mv)
+      writeDefinition(mv, conf,
+        d.copy(appliedVersion = cva, appliedVersion2 = Some(cvb),
+          inflight = None, inflight2 = None))
+      return RefreshStats(d.appliedVersion, cva, -1, -1, -1)
+    }
+    val feed = prepare(
+      joinDelta(spark, d, d.appliedVersion, cva, b0, cvb), d)
+    val (nTouched, nRecompute, nReagg) = foldFeed(spark, mv, mvQualified,
+      conf, d, feed, snap,
+      intent = d.copy(inflight = Some(cva), inflight2 = Some(cvb)),
+      done = d.copy(appliedVersion = cva, appliedVersion2 = Some(cvb),
+        inflight = None, inflight2 = None))
+    RefreshStats(d.appliedVersion, cva, nTouched, nRecompute, nReagg)
+  }
+
+  /** The signed two-term join delta (see [[refreshJoin]]); each term is
+    * one change feed joined against the other side's pinned snapshot,
+    * the feed's insert/delete label riding along as the row's sign.
+    */
+  private def joinDelta(spark: SparkSession, d: Definition,
+      a0: Long, a1: Long, b0: Long, b1: Long): DataFrame = {
+    val b = d.source2.get
+    val on = d.joinOn.get
+    def sideAt(path: String, v: Long) = spark.read.format("cole")
+      .option("versionAsOf", v.toString).load(path)
+    val termA =
+      if (a1 > a0) Some(ColeChangeFeed.read(spark, d.source, a0, a1)
+        .join(sideAt(b, b1), expr(on), "inner"))
+      else None
+    val termB =
+      if (b1 > b0) Some(sideAt(d.source, a0)
+        .join(ColeChangeFeed.read(spark, b, b0, b1), expr(on), "inner"))
+      else None
+    (termA.toSeq ++ termB.toSeq).reduce(_ unionByName _)
+  }
+
+  /** Join-MV twin of [[recoverInflight]]: re-aggregate the crashed
+    * range's touched keys ABSOLUTELY at the in-flight version pair — the
+    * keys come from the same two-term delta the crashed refresh folded,
+    * the values from the joined snapshot with no MV state in the math,
+    * so the merge is idempotent whether or not the crashed one landed.
+    */
+  private def recoverInflightJoin(spark: SparkSession, mv: String,
+      mvQualified: String, conf: Configuration, d: Definition,
+      toVa: Long, toVb: Long): Unit = {
+    val b = d.source2.get
+    val on = d.joinOn.get
+    val b0 = d.appliedVersion2.getOrElse(toVb)
+    if (toVa > d.appliedVersion || toVb > b0) {
+      val feed = prepare(
+        joinDelta(spark, d, d.appliedVersion, toVa, b0, toVb), d)
+      val keys = feed.select(d.groupBy.map(col): _*).distinct()
+      def sideAt(path: String, v: Long) = spark.read.format("cole")
+        .option("versionAsOf", v.toString).load(path)
+      val snap = prepare(
+        sideAt(d.source, toVa).join(sideAt(b, toVb), expr(on), "inner"), d)
+      absoluteRows(spark, snap, keys, d)
+        .foreach(r => mergeRows(spark, mv, mvQualified, conf, d, r._1))
+    }
+    writeDefinition(mv, conf, d.copy(appliedVersion = toVa,
+      appliedVersion2 = Some(toVb), inflight = None, inflight2 = None))
+  }
+
+  /** The differential fold core shared by the single-source and the
+    * JOIN refresh paths: `feed` is a PREPARED signed change stream
+    * (source/joined columns + the feed's change-type label), `snap` the
+    * PREPARED current logical state for the min/max affected-key
+    * recompute. Writes `intent` BEFORE the merge (replaying a
+    * differential merge would double-apply, so a crash must route the
+    * next refresh through absolute recovery) and `done` after. Returns
+    * (keys touched, keys recomputed, source rows re-aggregated).
+    */
+  private def foldFeed(spark: SparkSession, mv: String, mvQualified: String,
+      conf: Configuration, d: Definition, feed: DataFrame, snap: DataFrame,
+      intent: Definition, done: Definition): (Long, Long, Long) = {
+    val isIns = col(ColeChangeFeed.ChangeTypeCol) === "insert"
+    val signed: Column => Column = c => when(isIns, c).otherwise(-c)
+    val deltaCols: Seq[Column] =
+      sum(when(isIns, 1L).otherwise(-1L)).as("_d_cnt") +:
+      max(when(isIns, lit(0)).otherwise(lit(1))).as("_d_hasdel") +:
+      d.aggs.flatMap {
+        case SumAgg(c, o) => Seq(sum(signed(dec(col(c)))).cast(SumType)
+          .as(s"_d_sum_$o"))
+        case AvgAgg(c, o) => Seq(sum(signed(dec(col(c)))).cast(SumType)
+          .as(s"_d_sum_$o"))
+        case MinAgg(c, o) => Seq(min(when(isIns, col(c))).as(s"_d_min_$o"))
+        case MaxAgg(c, o) => Seq(max(when(isIns, col(c))).as(s"_d_max_$o"))
+        case CountAgg(_) => Nil
+      }
+    val delta = feed.groupBy(d.groupBy.map(col): _*)
+      .agg(deltaCols.head, deltaCols.tail: _*)
+      .persist()
+    try {
+      val hasMinMax = d.aggs.exists {
+        case _: MinAgg | _: MaxAgg => true; case _ => false
+      }
+      val keyEq = d.groupBy.map(k => col(s"m.`$k`") <=> col(s"d.`$k`"))
+        .reduce(_ && _)
+
+      // keys whose delta alone decides them (no delete, or no min/max)
+      val deltaOnlyCond =
+        if (hasMinMax) col("_d_hasdel") === 0 else lit(true)
+      val deltaOnly = delta.filter(deltaOnlyCond).alias("d")
+      // the old-values lookup must not scan the whole MV for a small
+      // delta: the same per-column IN prefilter the recompute scan
+      // uses lets the MV's stat skipping prune untouched files
+      val dKeyRows = smallKeyRows(
+        delta.filter(deltaOnlyCond).select(d.groupBy.map(col): _*))
+      val mvNow = keyPrefilter(
+        // branch="" opts out of the WAP read route: the differential
+        // fold reads the MV's own MAIN state
+        spark.read.format("cole").option("branch", "").load(mv)
+          .alias("m"), "m",
+        d.groupBy, dKeyRows)
+      val joined = deltaOnly.join(mvNow, keyEq, "left")
+      def newCnt = coalesce(col(s"m.`$CntCol`"), lit(0L)) + col("_d_cnt")
+      val deltaOut: Seq[Column] = d.aggs.map {
+        case CountAgg(o) => newCnt.as(o)
+        case SumAgg(_, o) =>
+          (coalesce(col(s"m.`$o`"), lit(0).cast(SumType)) +
+            col(s"_d_sum_$o")).cast(SumType).as(o)
+        case AvgAgg(_, o) =>
+          ((coalesce(col(s"m.`${avgSumCol(o)}`"), lit(0).cast(SumType)) +
+            col(s"_d_sum_$o")).cast(DoubleType) / newCnt).as(o)
+        case MinAgg(_, o) => least(col(s"m.`$o`"), col(s"_d_min_$o")).as(o)
+        case MaxAgg(_, o) =>
+          greatest(col(s"m.`$o`"), col(s"_d_max_$o")).as(o)
+      } ++ (newCnt.as(CntCol) +: d.aggs.collect { case AvgAgg(_, o) =>
+        (coalesce(col(s"m.`${avgSumCol(o)}`"), lit(0).cast(SumType)) +
+          col(s"_d_sum_$o")).cast(SumType).as(avgSumCol(o))
+      })
+      val deltaRows = joined.select(
+        d.groupBy.map(k => col(s"d.`$k`").as(k)) ++ deltaOut ++
+          Seq((newCnt <= 0).as(DeadCol)): _*)
+
+      // keys that saw a delete under min/max: re-aggregate them from
+      // the current logical state — delta math can't un-delete an extreme
+      val (recomputeRows, nRecompute, nReagg) =
+        if (!hasMinMax) (None, 0L, 0L)
+        else {
+          val recKeys = delta.filter(col("_d_hasdel") === 1)
+            .select(d.groupBy.map(col): _*)
+          absoluteRows(spark, snap, recKeys, d) match {
+            case None => (None, 0L, 0L)
+            case some => some.get match { case (rows, nk, nr) =>
+              (Some(rows), nk, nr) }
+          }
+        }
+      val mergeSource = recomputeRows.fold(deltaRows)(deltaRows.unionByName)
+
+      writeDefinition(mv, conf, intent)
+      val nTouched = mergeRows(spark, mv, mvQualified, conf, d, mergeSource)
+      writeDefinition(mv, conf, done)
+      (nTouched, nRecompute, nReagg)
+    } finally delta.unpersist()
   }
 
   /** Fold a VERSIONED dimension's own changes into the MV at

@@ -226,6 +226,80 @@ class ColeFooterSumSpec extends AnyFunSuite {
       s"fold/sweep divergence:\n  fold:  $folded\n  sweep: $swept")
   }
 
+  test("STRB tail: string MIN/MAX folds metadata-only and matches the sweep") {
+    val s = spark
+    import s.implicits._
+    val t = s"$warehouse/db/strb1"
+    // multi-byte values pin the ordering contract: byte-wise unsigned
+    // (UTF8String order) — 'z' (0x7A) sorts BELOW 'é' (0xC3 0xA9)
+    val vals = Seq("kiwi", "apple", "zebra", "éclair", "mango",
+      "apple2", null, "zz", null, "éx")
+    vals.zipWithIndex.map { case (v, i) => (i.toLong, Option(v)) }
+      .toDF("id", "s")
+      .coalesce(1).write.format("cole").option("formatVersion", "2")
+      .mode("overwrite").save(t)
+    val q = spark.read.format("cole").load(t)
+      .agg(min("s").as("mn"), max("s").as("mx"), count(col("s")).as("n"))
+    q.head() // footer-cache warm
+    val folds0 = ColeAggFold.foldedPlans.get()
+    val opens0 = ColeIO.opens.get()
+    val folded = q.head()
+    assert(ColeAggFold.foldedPlans.get() > folds0,
+      "string min/max did not fold")
+    assert(ColeIO.opens.get() == opens0, "fold opened a data file")
+    val swept =
+      try { ColeAggFold.disableForTest = true; q.head() }
+      finally ColeAggFold.disableForTest = false
+    assert(folded == swept,
+      s"string fold/sweep divergence:\n  fold:  $folded\n  sweep: $swept")
+    assert(folded.getString(0) == "apple" && folded.getString(1) == "éx")
+  }
+
+  test("STRB tail: over-cap extremes decline chunk-wise; v1 declines") {
+    val s = spark
+    import s.implicits._
+    // a 300-byte max value: the writer records no bounds for that chunk,
+    // so the fold falls back to the sweep — and stays exact
+    val big = "z" * 300
+    val t = s"$warehouse/db/strb2"
+    (Seq("alpha", big, "beta").zipWithIndex.map { case (v, i) => (i, v) })
+      .toDF("id", "s")
+      .coalesce(1).write.format("cole").option("formatVersion", "2")
+      .mode("overwrite").save(t)
+    val q = spark.read.format("cole").load(t)
+      .agg(min("s").as("mn"), max("s").as("mx"))
+    q.head()
+    val folds0 = ColeAggFold.foldedPlans.get()
+    val r = q.head()
+    assert(ColeAggFold.foldedPlans.get() == folds0,
+      "over-cap string bounds must decline the fold")
+    assert(r.getString(0) == "alpha" && r.getString(1) == big)
+    // v1 files carry no tails at all: string min/max never folds there
+    val t1 = s"$warehouse/db/strb3"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .coalesce(1).write.format("cole").mode("overwrite").save(t1)
+    val q1 = spark.read.format("cole").load(t1)
+      .agg(min("s").as("mn"), max("s").as("mx"))
+    q1.head()
+    val folds1 = ColeAggFold.foldedPlans.get()
+    assert(q1.head().getString(0) == "a")
+    assert(ColeAggFold.foldedPlans.get() == folds1,
+      "v1 string min/max must not fold")
+    // all-null string column still folds: present counts are metadata
+    val t2 = s"$warehouse/db/strb4"
+    Seq.fill(20)((1L, Option.empty[String])).toDF("id", "s")
+      .write.format("cole").option("formatVersion", "2")
+      .mode("append").save(t2)
+    val q2 = spark.read.format("cole").load(t2)
+      .agg(min("s").as("mn"), count(col("s")).as("n"))
+    q2.head()
+    val folds2 = ColeAggFold.foldedPlans.get()
+    val r2 = q2.head()
+    assert(ColeAggFold.foldedPlans.get() > folds2,
+      "all-null string min must fold from null counts")
+    assert(r2.isNullAt(0) && r2.getLong(1) == 0L)
+  }
+
   test("the cole_agg_fold_sweep bisection twin declines the fold and " +
       "matches the fold key row-for-row") {
     // the twin's always-true claimed predicate must route it through the
