@@ -6,7 +6,7 @@ import java.nio.charset.StandardCharsets
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, max, when}
 
 /** Row-level change feed over a versioned COLE table: the CDC surface
   * that serves EVERY commit kind — including row-level DML — as
@@ -410,13 +410,27 @@ object ColeChangeFeed {
           pairKey.foreach(k => require(
             d.columns.contains(k) && i.columns.contains(k),
             s"pairKey column '$k' is not in the change feed's column set"))
-          // keys present on BOTH sides of this commit = updated rows
-          val both = d.select(pairKey.map(col): _*)
-            .intersect(i.select(pairKey.map(col): _*))
-          Seq(tag(d.join(both, pairKey, "leftsemi"), "update_preimage"),
-            tag(d.join(both, pairKey, "left_anti"), "delete"),
-            tag(i.join(both, pairKey, "leftsemi"), "update_postimage"),
-            tag(i.join(both, pairKey, "left_anti"), "insert"))
+          // keys present on BOTH sides of this commit = updated rows.
+          // ONE window pass over the unioned sides (r17): the former
+          // intersect + four semi/anti joins re-executed each side's
+          // scan three times and shuffled five times; a key-partitioned
+          // window labels every row in one shuffle with identical
+          // semantics (window partitioning groups NULL keys together,
+          // exactly like intersect's null-safe equality).
+          val side = "_cole_cdf_side"
+          val u = d.withColumn(side, lit("d"))
+            .unionByName(i.withColumn(side, lit("i")))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(pairKey.map(col): _*)
+          val hasD = max(when(col(side) === "d", 1).otherwise(0)).over(w)
+          val hasI = max(when(col(side) === "i", 1).otherwise(0)).over(w)
+          val ct = when(col(side) === "d",
+              when(hasI === 1, "update_preimage").otherwise("delete"))
+            .otherwise(
+              when(hasD === 1, "update_postimage").otherwise("insert"))
+          Seq(u.withColumn(ChangeTypeCol, ct)
+            .withColumn(CommitVersionCol, lit(version))
+            .drop(side))
         case _ =>
           del.map(tag(_, "delete")).toSeq ++ ins.map(tag(_, "insert")).toSeq
       }

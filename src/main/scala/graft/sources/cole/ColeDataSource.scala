@@ -3670,15 +3670,19 @@ class ColeScan(fullSchema: StructType, required: StructType, path: String,
       else packed.map(p => p.copy(partKey = partKeyRow(p.partValues)))
     // a pushed LIMIT with no row-dropping predicates can stop planning
     // once enough rows are covered, truncated at row-group granularity
-    // (Spark trims to the exact count above the scan). Guard on the DATA
-    // preds, not the raw Filter array: a claimed IsNotNull drops nothing,
-    // and partition predicates fully keep every surviving file.
+    // (Spark trims to the exact count above the scan). Guard on the
+    // EFFECTIVE per-file preds, not the raw claimed set: a claimed
+    // IsNotNull drops nothing on null-free files and is dropped per file
+    // above (r17 — always-nullable schemas mean Catalyst no longer folds
+    // `col IS NOT NULL` away, so the vacuity decision lives here now);
+    // partition predicates fully keep every surviving file.
     // skipOnly nonempty means a row-dropping residual filter exists above
     // the scan — never stop planning early on a pushed limit then.
     // Deletion vectors compose (r10): a row group delivers EXACTLY
     // rows − deleted(rg) rows when no predicate is claimed, so the
     // covered count uses live rows and the truncation stays exact
-    if (limit >= 0 && preds.isEmpty && dataRuntime.isEmpty && skipOnly.isEmpty) {
+    if (limit >= 0 && dataRuntime.isEmpty && skipOnly.isEmpty &&
+        (preds.isEmpty || parts.forall(_.preds.isEmpty))) {
       val out = scala.collection.mutable.ArrayBuffer[ColeInputPartition]()
       var covered = 0L
       val it = parts.iterator
