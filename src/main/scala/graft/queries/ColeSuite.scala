@@ -1140,7 +1140,13 @@ object ColeSuite {
       val dimDir = s"$wh/$ns/cust"
       val mvDir = s"$wh/$ns/mv"
       val conf = graft.sources.cole.ColeIO.driverConf()
-      writeOnce(factDir) {
+      // keyed on the LAST artifact (the MV): a torn fixture rebuilds the
+      // whole sequence — sources reset explicitly, like cole_mv_incremental
+      writeOnce(mvDir) {
+        Seq(factDir, dimDir).foreach { p =>
+          val (fs, hp) = graft.sources.cole.ColeIO.resolve(p, conf)
+          fs.delete(hp, true)
+        }
         Tables.customer(s, d).select("c_custkey", "c_mktsegment")
           .write.format("cole").mode("overwrite").save(dimDir)
         graft.sources.cole.ColeVersions.enable(dimDir, conf) // dim v1
@@ -1198,7 +1204,13 @@ object ColeSuite {
       val ordDir = s"$wh/$ns/ord"
       val mvDir = s"$wh/$ns/mv"
       val conf = graft.sources.cole.ColeIO.driverConf()
-      writeOnce(liDir) {
+      // keyed on the LAST artifact (the MV): a torn fixture rebuilds the
+      // whole sequence — sources reset explicitly, like cole_mv_incremental
+      writeOnce(mvDir) {
+        Seq(liDir, ordDir).foreach { p =>
+          val (fs, hp) = graft.sources.cole.ColeIO.resolve(p, conf)
+          fs.delete(hp, true)
+        }
         val li = Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
             round(col("l_extendedprice") * 100).cast("long").as("price_c"))
