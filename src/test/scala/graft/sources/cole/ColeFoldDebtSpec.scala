@@ -95,6 +95,54 @@ class ColeFoldDebtSpec extends AnyFunSuite {
     assert(r1 === r0)
   }
 
+  test("STRB debt: pre-extension string files migrate; $history flags the commit") {
+    val s = spark
+    import s.implicits._
+    val t = s"$warehouse/db/strdebt"
+    // a v1 string-column file: no tails at all, string min/max can't fold
+    (0 until 300).map(i => (i.toLong, f"s${i % 40}%03d")).toDF("id", "s")
+      .coalesce(1).write.format("cole")
+      .option("formatVersion", "1").mode("overwrite").save(t)
+    ColeVersions.enable(t, conf) // v1 = baseline carrying the debt file
+    (300 until 400).map(i => (i.toLong, f"s${i % 40}%03d")).toDF("id", "s")
+      .coalesce(1).write.format("cole")
+      .option("formatVersion", "2").mode("append").save(t) // v2, has STRB
+    // file-grain debt: strb_missing names exactly the pre-extension file
+    assert(spark.sql(
+      "SELECT SUM(CAST(strb_missing AS INT)) FROM fdbt.db.`strdebt$files`")
+      .head().getLong(0) === 1L)
+    // commit-grain provenance: the nightly trigger is a WHERE clause
+    val hist = spark.sql(
+      "SELECT version, adds_fold_debt FROM fdbt.db.`strdebt$history`")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(hist(1L) === true, "the baseline commit added the debt file")
+    assert(hist(2L) === false, "the v2 append carries both tails")
+    // the straggler forfeits the string fold — exactness intact
+    def agged = spark.read.format("cole").load(t)
+      .agg(min("s"), max("s"), count(lit(1)))
+    agged.head()
+    val folds0 = ColeAggFold.foldedPlans.get()
+    val r0 = agged.head()
+    assert(ColeAggFold.foldedPlans.get() === folds0,
+      "string fold engaged over a pre-STRB straggler")
+    assert(r0.getString(0) === "s000" && r0.getLong(2) === 400L)
+    // migrate and the string fold engages
+    spark.sql(
+      "CALL fdbt.system.compact_debt('db.strdebt', 128, 10, 4, fold_debt => 1)")
+    assert(spark.sql(
+      "SELECT SUM(CAST(strb_missing AS INT)) FROM fdbt.db.`strdebt$files`")
+      .head().getLong(0) === 0L)
+    assert(spark.sql("SELECT COUNT(*) FROM fdbt.db.`strdebt$history` " +
+      "WHERE adds_fold_debt").head().getLong(0) === 0L,
+      "post-migration no live commit should carry fold debt")
+    agged.head() // fresh footer warm
+    val folds1 = ColeAggFold.foldedPlans.get()
+    val r1 = agged.head()
+    assert(ColeAggFold.foldedPlans.get() > folds1,
+      "string fold did not engage after migration")
+    assert(r1 === r0)
+  }
+
   test("fold_debt => 0 (default) leaves pre-SUMS files alone") {
     val s = spark
     import s.implicits._
