@@ -1555,20 +1555,29 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
         // where: a deterministic filter applied to source AND feed rows
         val (names, exprs) = ColeMv.parseGroupBy(in.getString(2))
         val where = Option(in.getString(4)).map(_.trim).filter(_.nonEmpty)
-        val dimName = Option(in.getString(5)).map(_.trim).filter(_.nonEmpty)
-        val dimOn = Option(in.getString(6)).map(_.trim).filter(_.nonEmpty)
+        // dim accepts a comma-separated LIST (r17 — star schemas roll up
+        // through several dims); dim_on is the matching ';'-separated
+        // list of join conditions (';' because a condition itself may
+        // carry commas inside function calls)
+        val dimNames = Option(in.getString(5)).map(_.trim).filter(_.nonEmpty)
+          .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+          .getOrElse(Nil)
+        val dimOns = Option(in.getString(6)).map(_.trim).filter(_.nonEmpty)
+          .map(_.split(';').toSeq.map(_.trim).filter(_.nonEmpty))
+          .getOrElse(Nil)
         val joinName = Option(in.getString(7)).map(_.trim).filter(_.nonEmpty)
         val joinOn = Option(in.getString(8)).map(_.trim).filter(_.nonEmpty)
-        require(dimName.isDefined == dimOn.isDefined,
-          "dim and dim_on come together: the dimension table and its " +
-            "join condition")
+        require(dimNames.length == dimOns.length,
+          "dim and dim_on come together: one ';'-separated join " +
+            "condition per comma-separated dimension table")
         require(joinName.isDefined == joinOn.isDefined,
           "join and join_on come together: the second source table and " +
             "its join condition")
         Array(Array[Any](ColeMv.create(spark,
           procTablePath(in.getString(0)), procTablePath(in.getString(1)),
           names, ColeMv.parseAggs(in.getString(3)), where, exprs,
-          dim = dimName.map(n => (procTablePath(n), dimOn.get)),
+          dim = dimNames.zip(dimOns).map { case (n, on) =>
+            (procTablePath(n), on) },
           join = joinName.map(n => (procTablePath(n), joinOn.get)))))
       }
       // refresh: fold the feed since the watermark into the stored

@@ -135,6 +135,15 @@ object ColeMv {
       dim: Option[(String, String)] = None,
       /** The dimension's content fingerprint at the last apply. */
       dimFp: Option[String] = None,
+      /** r17: ADDITIONAL dimensions beyond the first — a star schema
+        * rolls up through several (`dim => 'ns.d1,ns.d2'`). Each join
+        * condition may reference ONLY source + that dim's columns (the
+        * dim-delta sync probes affected facts per dim); WHERE and
+        * derived keys may reference any dim's columns. `dim`/`dimFp`
+        * stay the first entry for sidecar back-compat.
+        */
+      dimsRest: Seq[(String, String)] = Nil,
+      dimFpsRest: Seq[String] = Nil,
       /** FACT-FACT JOIN MV (r17): a SECOND versioned source inner-joined
         * on `joinOn` — the MV is `A ⋈ B GROUP BY keys`, maintained
         * differentially from BOTH change feeds via the two-term algebra
@@ -147,7 +156,17 @@ object ColeMv {
         * unqualified fields — both always move together).
         */
       appliedVersion2: Option[Long] = None,
-      inflight2: Option[Long] = None)
+      inflight2: Option[Long] = None) {
+    /** All dimensions in declaration order. */
+    def dims: Seq[(String, String)] = dim.toSeq ++ dimsRest
+    /** Fingerprints aligned with [[dims]]. */
+    def dimFps: Seq[String] = dimFp.toSeq ++ dimFpsRest
+    /** This definition with the fingerprint of dim `i` replaced. */
+    def withDimFp(i: Int, fp: String): Definition = {
+      val fps = dimFps.updated(i, fp)
+      copy(dimFp = fps.headOption, dimFpsRest = fps.drop(1))
+    }
+  }
 
   /** Split on `sep` outside parentheses/quotes — group-by entries and
     * the WHERE may carry function calls with commas.
@@ -237,9 +256,9 @@ object ColeMv {
       d.groupExprs.toSeq.sortBy(_._1).map { case (n, ex) =>
         s"groupexpr:$n|$ex" } ++
       d.where.map(w => s"where:$w").toSeq ++
-      d.dim.map { case (p, on) => s"dim:$p" }.toSeq ++
-      d.dim.map { case (p, on) => s"dimon:$on" }.toSeq ++
-      d.dimFp.map(fp => s"dimfp:$fp").toSeq ++
+      d.dims.map { case (p, on) => s"dim:$p" } ++
+      d.dims.map { case (p, on) => s"dimon:$on" } ++
+      d.dimFps.map(fp => s"dimfp:$fp") ++
       d.source2.map(p => s"sourceb:$p").toSeq ++
       d.joinOn.map(j => s"joinon:$j").toSeq ++
       d.appliedVersion2.map(v => s"appliedvb:$v").toSeq ++
@@ -288,17 +307,20 @@ object ColeMv {
         require(i > 0, s"corrupt MV group expression '$l'")
         body.take(i) -> body.drop(i + 1)
       }.toMap,
-      dim = lines.collectFirst {
-        case l if l.startsWith("dim:") => l.drop(4)
-      }.map { p =>
-        (p, lines.collectFirst {
-          case l if l.startsWith("dimon:") => l.drop(6)
-        }.getOrElse(throw new IllegalStateException(
-          s"MV sidecar of $mv declares a dim without its join condition")))
+      dim = {
+        val ps = lines.filter(_.startsWith("dim:")).map(_.drop(4))
+        val ons = lines.filter(_.startsWith("dimon:")).map(_.drop(6))
+        require(ps.length == ons.length, s"MV sidecar of $mv declares " +
+          s"${ps.length} dims but ${ons.length} join conditions")
+        ps.zip(ons).headOption
       },
-      dimFp = lines.collectFirst {
-        case l if l.startsWith("dimfp:") => l.drop(6)
+      dimFp = lines.filter(_.startsWith("dimfp:")).map(_.drop(6)).headOption,
+      dimsRest = {
+        val ps = lines.filter(_.startsWith("dim:")).map(_.drop(4))
+        val ons = lines.filter(_.startsWith("dimon:")).map(_.drop(6))
+        ps.zip(ons).drop(1)
       },
+      dimFpsRest = lines.filter(_.startsWith("dimfp:")).map(_.drop(6)).drop(1),
       source2 = lines.collectFirst {
         case l if l.startsWith("sourceb:") => l.drop(8)
       },
@@ -319,20 +341,20 @@ object ColeMv {
     * the feed delta, the affected-key recompute, and crash recovery.
     */
   private def prepare(df: DataFrame, d: Definition,
-      dimAsOf: Option[Long] = None): DataFrame = {
+      dimPins: Map[String, Long] = Map.empty): DataFrame = {
     // stream-static enrichment FIRST: WHERE and derived keys may
-    // reference dimension columns. LEFT join — row membership stays
-    // fact-determined (an unmatched fact keeps NULL enrichment), so a
-    // dim edit can never silently change which rows contribute.
-    // `dimAsOf` pins a VERSIONED dim to one snapshot — the dim-delta
-    // sync enriches under the old and new dim states explicitly, and a
-    // refresh pins its feed fold to the fingerprinted version so a
-    // concurrent dim write can't tear one refresh across two
-    // enrichments.
-    val enriched = d.dim.fold(df) { case (dimPath, on) =>
-      val rd = df.sparkSession.read.format("cole")
-      df.join(broadcast(
-        dimAsOf.fold(rd)(v => rd.option("versionAsOf", v.toString))
+    // reference dimension columns. LEFT join per dim, in declaration
+    // order — row membership stays fact-determined (an unmatched fact
+    // keeps NULL enrichment), so a dim edit can never silently change
+    // which rows contribute. `dimPins` pins VERSIONED dims to one
+    // snapshot each — the dim-delta sync enriches under the old and new
+    // dim states explicitly, and a refresh pins its feed fold to the
+    // fingerprinted versions so a concurrent dim write can't tear one
+    // refresh across two enrichments.
+    val enriched = d.dims.foldLeft(df) { case (acc, (dimPath, on)) =>
+      val rd = acc.sparkSession.read.format("cole")
+      acc.join(broadcast(
+        dimPins.get(dimPath).fold(rd)(v => rd.option("versionAsOf", v.toString))
           .load(dimPath)), expr(on), "left")
     }
     val filtered = d.where.fold(enriched)(w => enriched.filter(expr(w)))
@@ -440,7 +462,7 @@ object ColeMv {
   def create(spark: SparkSession, source: String, mv: String,
       groupBy: Seq[String], aggs: Seq[Agg], where: Option[String] = None,
       groupExprs: Map[String, String] = Map.empty,
-      dim: Option[(String, String)] = None,
+      dim: Seq[(String, String)] = Nil,
       join: Option[(String, String)] = None): Long = {
     val conf = ColeIO.driverConf()
     require(ColeVersions.enabled(source, conf),
@@ -477,7 +499,15 @@ object ColeMv {
         "join condition")
       bNow
     }
-    // stream-static dim validation — every rejection is at DECLARATION:
+    // stream-static dim validation — every rejection is at DECLARATION.
+    // Several dims are allowed (a star schema rolls up through customer
+    // AND nation); each join condition is validated against source +
+    // THAT dim alone — the per-dim contract the dim-delta sync relies
+    // on to probe affected facts without the other enrichments.
+    require(dim.map(_._1).distinct.length == dim.length,
+      "duplicate dim table — role-playing dims need renamed copies " +
+        "(the LEFT-join enrichment could not disambiguate their columns)")
+    var joinedCols = snap.columns.toSet
     dim.foreach { case (dimPath, on) =>
       val (dfs, dp) = ColeIO.resolve(dimPath, conf)
       require(dfs.makeQualified(dp).toString !=
@@ -496,20 +526,22 @@ object ColeMv {
       require(on.trim.nonEmpty && !on.contains('\n'),
         "dim join condition must be a non-empty single-line expression")
       val dimDf = spark.read.format("cole").load(dimPath)
-      val overlap = dimDf.columns.toSet & snap.columns.toSet
+      val overlap = dimDf.columns.toSet & joinedCols
       require(overlap.isEmpty,
         s"dim columns ${overlap.mkString(", ")} collide with source " +
-          "columns — rename them (the enrichment is a plain LEFT join, " +
-          "expressions could not disambiguate)")
+          "or earlier-dim columns — rename them (the enrichment is a " +
+          "plain LEFT join, expressions could not disambiguate)")
       validateExpr(snap.join(dimDf, expr("1=1"), "left"), on,
         "dim join condition")
+      joinedCols ++= dimDf.columns
     }
     // every expression is validated LOUDLY at declaration — an MV whose
     // filter/key only fails at first refresh is a trap. WHERE and
     // derived keys validate against the ENRICHED/JOINED frame (they may
     // reference dim or second-source columns).
     val d = Definition(source, groupBy, aggs, v, where = None,
-      groupExprs = Map.empty, dim = dim,
+      groupExprs = Map.empty,
+      dim = dim.headOption, dimsRest = dim.drop(1),
       source2 = join.map(_._1), joinOn = join.map(_._2),
       appliedVersion2 = vb)
     val base = join.fold(snap) { case (bPath, on) =>
@@ -524,8 +556,9 @@ object ColeMv {
         s"derived key '$n' shadows a source column — pick another name")
       validateExpr(enriched, ex, s"derived key '$n'")
     }
+    val fps = dim.map(x => dimFingerprint(x._1, conf))
     val full = d.copy(where = where, groupExprs = groupExprs,
-      dimFp = dim.map(x => dimFingerprint(x._1, conf)))
+      dimFp = fps.headOption, dimFpsRest = fps.drop(1))
     nullableAll(fullAggregate(prepare(base, full), groupBy, aggs))
       .write.format("cole").mode("overwrite").save(mv)
     writeDefinition(mv, conf, full)
@@ -563,24 +596,26 @@ object ColeMv {
       // machinery as the min/max delete lane), and only then does the
       // fact feed fold. Unversioned dims and rollbacks still refuse
       // loudly; `full => true` stays the escape hatch.
-      var dimSync: Option[(String, String, Long, Long)] = None
-      if (!full) d.dim.foreach { case (dimPath, on) =>
-        val fp = dimFingerprint(dimPath, conf)
-        if (!d.dimFp.contains(fp)) {
-          dimSync = for {
-            oldFp <- d.dimFp
-            if oldFp.startsWith("v") && fp.startsWith("v")
-            from <- oldFp.drop(1).toLongOption
-            to <- fp.drop(1).toLongOption
-            if to > from
-          } yield (dimPath, on, from, to)
-          require(dimSync.isDefined,
-            s"the dimension at $dimPath changed since this MV's last " +
-              "refresh and carries no change feed for the delta " +
-              "(unversioned dim, or a rolled-back one) — the " +
-              "differential fold would mix enrichments; resynchronize " +
-              "with refresh_mv(..., full => true)")
-        }
+      var dimSyncs: Seq[(Int, String, String, Long, Long)] = Seq.empty
+      if (!full) d.dims.zip(d.dimFps).zipWithIndex.foreach {
+        case (((dimPath, on), recordedFp), i) =>
+          val fp = dimFingerprint(dimPath, conf)
+          if (fp != recordedFp) {
+            val eligible = for {
+              _ <- Option(recordedFp)
+              if recordedFp.startsWith("v") && fp.startsWith("v")
+              from <- recordedFp.drop(1).toLongOption
+              to <- fp.drop(1).toLongOption
+              if to > from
+            } yield (i, dimPath, on, from, to)
+            require(eligible.isDefined,
+              s"the dimension at $dimPath changed since this MV's last " +
+                "refresh and carries no change feed for the delta " +
+                "(unversioned dim, or a rolled-back one) — the " +
+                "differential fold would mix enrichments; resynchronize " +
+                "with refresh_mv(..., full => true)")
+            dimSyncs = dimSyncs ++ eligible
+          }
       }
       // a crashed refresh left its intent: recover it absolutely before
       // anything differential runs against an unknown MV state. A FULL
@@ -600,27 +635,35 @@ object ColeMv {
       // stored key. The sync is idempotent (absolute per-key recompute,
       // fingerprint advanced only after the merge), so a crash inside it
       // simply re-runs it.
+      // pins for every VERSIONED dim from the RECORDED fingerprints —
+      // updated per completed sync, so each sync's probe/recompute and
+      // the final feed fold all see one consistent enrichment state
+      def recordedPins: Map[String, Long] =
+        d.dims.zip(d.dimFps).collect {
+          case ((p, _), fp) if fp.startsWith("v") &&
+            fp.drop(1).toLongOption.isDefined => p -> fp.drop(1).toLong
+        }.toMap
       var (dimKeys, dimRows) = (0L, 0L)
-      dimSync.foreach { case (dimPath, on, fromV, toV) =>
-        val (nk, nr) =
-          dimDeltaSync(spark, mv, mvQualified, conf, d, dimPath, on, fromV, toV)
-        d = d.copy(dimFp = Some(s"v$toV"))
+      dimSyncs.foreach { case (i, dimPath, on, fromV, toV) =>
+        val (nk, nr) = dimDeltaSync(spark, mv, mvQualified, conf, d,
+          dimPath, on, fromV, toV, recordedPins - dimPath)
+        d = d.withDimFp(i, s"v$toV")
         writeDefinition(mv, conf, d)
-        dimKeys = nk; dimRows = nr
+        dimKeys += nk; dimRows += nr
       }
-      // pin every dim read of THIS refresh to ONE version (versioned
-      // dims only): the fingerprinted version for the incremental fold —
-      // a concurrent dim commit mid-refresh can then never tear the fold
-      // across two enrichments; the dim's CURRENT version for a full
-      // resync (that's the whole point of the escape hatch), recorded as
-      // the new fingerprint below so read and record can't race apart.
-      val dimPin: Option[Long] =
-        if (full) d.dim.flatMap { case (p, _) =>
-          if (ColeVersions.enabled(p, conf))
-            Some(ColeVersions.currentVersion(p, conf))
-          else None
-        }
-        else d.dimFp.filter(_.startsWith("v")).flatMap(_.drop(1).toLongOption)
+      // pin every dim read of THIS refresh to ONE version per dim
+      // (versioned dims only): the fingerprinted versions for the
+      // incremental fold — a concurrent dim commit mid-refresh can then
+      // never tear the fold across two enrichments; the dims' CURRENT
+      // versions for a full resync (that's the whole point of the escape
+      // hatch), recorded as the new fingerprints below so read and
+      // record can't race apart.
+      val dimPins: Map[String, Long] =
+        if (full) d.dims.collect {
+          case (p, _) if ColeVersions.enabled(p, conf) =>
+            p -> ColeVersions.currentVersion(p, conf)
+        }.toMap
+        else recordedPins
       val cv = ColeVersions.currentVersion(d.source, conf)
       if (!full && cv == d.appliedVersion)
         return RefreshStats(d.appliedVersion, cv, dimKeys, dimKeys, dimRows)
@@ -629,7 +672,7 @@ object ColeMv {
           s"current v$cv — was the source rolled back? resynchronize " +
           "with refresh_mv(..., full => true)")
       val snap = prepare(spark.read.format("cole")
-        .option("versionAsOf", cv.toString).load(d.source), d, dimPin)
+        .option("versionAsOf", cv.toString).load(d.source), d, dimPins)
       if (full) {
         // intent first: a crash between the overwrite and the watermark
         // would otherwise re-apply the whole range differentially on top
@@ -637,10 +680,11 @@ object ColeMv {
         writeDefinition(mv, conf, d.copy(inflight = Some(cv)))
         nullableAll(fullAggregate(snap, d.groupBy, d.aggs))
           .write.format("cole").mode("overwrite").save(mv)
+        val newFps = d.dims.map { case (p, _) =>
+          dimPins.get(p).map(v => s"v$v").getOrElse(dimFingerprint(p, conf)) }
         writeDefinition(mv, conf,
           d.copy(appliedVersion = cv, inflight = None,
-            dimFp = d.dim.map { case (p, _) =>
-              dimPin.map(v => s"v$v").getOrElse(dimFingerprint(p, conf)) }))
+            dimFp = newFps.headOption, dimFpsRest = newFps.drop(1)))
         return RefreshStats(d.appliedVersion, cv, -1, -1, -1)
       }
 
@@ -653,7 +697,7 @@ object ColeMv {
       // exactly the in-filter sides apply) — the differential math is
       // unchanged, the feed just shrinks.
       val feed = prepare(
-        ColeChangeFeed.read(spark, d.source, d.appliedVersion, cv), d, dimPin)
+        ColeChangeFeed.read(spark, d.source, d.appliedVersion, cv), d, dimPins)
       val (nTouched, nRecompute, nReagg) = foldFeed(spark, mv, mvQualified,
         conf, d, feed, snap,
         intent = d.copy(inflight = Some(cv)),
@@ -895,7 +939,8 @@ object ColeMv {
     */
   private def dimDeltaSync(spark: SparkSession, mv: String,
       mvQualified: String, conf: Configuration, d: Definition,
-      dimPath: String, on: String, fromV: Long, toV: Long): (Long, Long) = {
+      dimPath: String, on: String, fromV: Long, toV: Long,
+      otherPins: Map[String, Long]): (Long, Long) = {
     val feed =
       try ColeChangeFeed.read(spark, dimPath, fromV, toV)
       catch {
@@ -934,12 +979,12 @@ object ColeMv {
     // contribution between keys (or across the WHERE boundary) — the old
     // key must re-aggregate (possibly to death) and the new key must
     // absorb it
-    val keys = prepare(affected, d, Some(fromV))
+    val keys = prepare(affected, d, otherPins + (dimPath -> fromV))
       .select(d.groupBy.map(col): _*)
-      .unionByName(prepare(affected, d, Some(toV))
+      .unionByName(prepare(affected, d, otherPins + (dimPath -> toV))
         .select(d.groupBy.map(col): _*))
       .distinct()
-    val snapNew = prepare(factSnap, d, Some(toV))
+    val snapNew = prepare(factSnap, d, otherPins + (dimPath -> toV))
     absoluteRows(spark, snapNew, keys, d) match {
       case None => (0L, 0L)
       case Some((rows, nk, nr)) =>

@@ -269,6 +269,70 @@ class ColeMvDimSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("multiple dims compose; a delta on ONE dim syncs only its keys") {
+    val s = spark
+    import s.implicits._
+    val fact = s"$warehouse/db/f8"
+    (0 until 180).map(i => (i.toLong, (i % 10).toLong, (i % 7).toLong,
+      i.toLong * 2)).toDF("id", "fk", "fk2", "amt")
+      .coalesce(2).write.format("cole").mode("overwrite").save(fact)
+    spark.sql("CALL mvd.system.versioning('db.f8')")
+    val dimA = s"$warehouse/db/d8a"
+    (0 until 10).map(i => (i.toLong, s"a${i % 3}")).toDF("d_key", "d_grp")
+      .coalesce(1).write.format("cole").mode("overwrite").save(dimA)
+    spark.sql("CALL mvd.system.versioning('db.d8a')")
+    val dimB = s"$warehouse/db/d8b"
+    (0 until 7).map(i => (i.toLong, s"b${i % 2}")).toDF("e_key", "e_grp")
+      .coalesce(1).write.format("cole").mode("overwrite").save(dimB)
+    spark.sql("CALL mvd.system.versioning('db.d8b')")
+    val mv = s"$warehouse/db/mv8"
+    spark.sql("CALL mvd.system.create_mv('db.f8', 'db.mv8', " +
+      "'d_grp, e_grp', 'count:*:n, sum:amt:s', " +
+      "dim => 'db.d8a,db.d8b', dim_on => 'fk = d_key; fk2 = e_key')")
+    def expect() = spark.read.format("cole").load(fact)
+      .join(spark.read.format("cole").load(dimA),
+        col("fk") === col("d_key"), "left")
+      .join(spark.read.format("cole").load(dimB),
+        col("fk2") === col("e_key"), "left")
+      .groupBy("d_grp", "e_grp")
+      .agg(count(lit(1)).as("n"),
+        sum(col("amt").cast("decimal(25,4)")).cast("decimal(35,4)").as("s"))
+      .orderBy("d_grp", "e_grp").collect().toSeq
+    def got() = spark.read.format("cole").load(mv)
+      .select(col("d_grp"), col("e_grp"), col("n"), col("s"))
+      .orderBy("d_grp", "e_grp").collect().toSeq
+    assert(got() === expect())
+    // SECOND dim edit only: one e_key moves b-groups — the sync touches
+    // only the (d_grp × moved e-group) keys, never rebuilding
+    spark.sql("UPDATE mvd.db.d8b SET e_grp = 'bX' WHERE e_key = 3")
+    val st = spark.sql("CALL mvd.system.refresh_mv('db.mv8')").collect().head
+    assert(st.getLong(3) > 0 && st.getLong(3) <= 6,
+      s"one e_key's move must recompute only old+new (d_grp, e_grp) " +
+        s"key pairs: $st")
+    assert(got() === expect())
+    // FIRST dim edit + fact changes in one refresh
+    spark.sql("UPDATE mvd.db.d8a SET d_grp = 'aY' WHERE d_key IN (1, 4)")
+    (180 until 220).map(i => (i.toLong, (i % 10).toLong, (i % 7).toLong,
+      i.toLong * 2)).toDF("id", "fk", "fk2", "amt")
+      .write.format("cole").mode("append").save(fact)
+    spark.sql("DELETE FROM mvd.db.f8 WHERE id % 17 = 0")
+    spark.sql("CALL mvd.system.refresh_mv('db.mv8')").collect()
+    assert(got() === expect())
+    // BOTH dims edited before one refresh: the syncs run sequentially,
+    // each under the other's consistent pinned state
+    spark.sql("UPDATE mvd.db.d8a SET d_grp = 'aZ' WHERE d_key = 7")
+    spark.sql("UPDATE mvd.db.d8b SET e_grp = 'bZ' WHERE e_key = 5")
+    spark.sql("CALL mvd.system.refresh_mv('db.mv8')").collect()
+    assert(got() === expect())
+    // a second dim whose columns collide with the first rejects at create
+    val e = intercept[Exception](spark.sql(
+      "CALL mvd.system.create_mv('db.f8', 'db.mv8x', 'd_grp', " +
+        "'count:*:n', dim => 'db.d8a,db.d8a', " +
+        "dim_on => 'fk = d_key; fk2 = d_key')"))
+    assert(e.getMessage.contains("duplicate dim") ||
+      e.getMessage.contains("collide"), s"got: ${e.getMessage}")
+  }
+
   test("fact-fact shapes and malformed dims reject at create") {
     val s = spark
     import s.implicits._
