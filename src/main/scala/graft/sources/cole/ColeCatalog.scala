@@ -1560,10 +1560,14 @@ class ColeCatalog extends TableCatalog with FunctionCatalog
         // list of join conditions (';' because a condition itself may
         // carry commas inside function calls)
         val dimNames = Option(in.getString(5)).map(_.trim).filter(_.nonEmpty)
-          .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+          .map(ColeMv.splitTop(_, ','))
           .getOrElse(Nil)
+        // quote-aware split (a condition may carry ';' or ',' inside a
+        // string literal); a SINGLE dim's condition is kept verbatim so
+        // a literal semicolon in it cannot fan out into a bogus list
         val dimOns = Option(in.getString(6)).map(_.trim).filter(_.nonEmpty)
-          .map(_.split(';').toSeq.map(_.trim).filter(_.nonEmpty))
+          .map(on => if (dimNames.length <= 1) Seq(on)
+                     else ColeMv.splitTop(on, ';'))
           .getOrElse(Nil)
         val joinName = Option(in.getString(7)).map(_.trim).filter(_.nonEmpty)
         val joinOn = Option(in.getString(8)).map(_.trim).filter(_.nonEmpty)

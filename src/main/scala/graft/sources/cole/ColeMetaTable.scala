@@ -121,16 +121,22 @@ class ColeMetaTableScan(path: String, kind: String, tschema: StructType,
           val horizon = ColeVersions.expiryHorizon(path, conf)
           // live files carrying fold debt, by path — a commit whose adds
           // are all compacted away (or debt-free) reads false
-          val debtPaths: Set[String] = ColeMetaCache.infos(path, conf)
+          // normalize debt files to table-root-RELATIVE paths (the form
+          // commit records store in `adds`): bare-basename matching
+          // aliased equally-named files across partition directories.
+          // Files outside the root (a clone's foreign files) cannot have
+          // been added by a local commit and drop out.
+          val (hfs, _) = ColeIO.resolve(path, conf)
+          val debtRels: Set[String] = ColeMetaCache.infos(path, conf)
             .collect { case i if i.meta.chunkSums.isEmpty ||
               (i.meta.columns.exists(_.colType == ColeFormat.TString) &&
-                i.meta.chunkStrBounds.isEmpty) => i.path }.toSet
-          def norm(p: String) = new HPath(p).getName
-          val debtNames = debtPaths.map(norm)
+                i.meta.chunkStrBounds.isEmpty) => i.path }
+            .flatMap(p => scala.util.Try(
+              ColeVersions.relOf(hfs, path, p)).toOption).toSet
           ColeVersions.records(path, conf).map(r =>
             Array[Any](r.version, r.ts * 1000L, r.op,
               r.adds.size, r.removes.size, r.version <= horizon,
-              r.adds.exists(a => debtNames.contains(norm(a))))).toArray
+              r.adds.exists(debtRels.contains))).toArray
         }
       case "files" =>
         val (dfs, _) = ColeIO.resolve(path, conf)

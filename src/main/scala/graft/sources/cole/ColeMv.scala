@@ -171,7 +171,7 @@ object ColeMv {
   /** Split on `sep` outside parentheses/quotes — group-by entries and
     * the WHERE may carry function calls with commas.
     */
-  private def splitTop(s: String, sep: Char): Seq[String] = {
+  private[cole] def splitTop(s: String, sep: Char): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var depth = 0
@@ -624,7 +624,7 @@ object ColeMv {
       // block the escape hatch (its own feed read fails on exactly the
       // rollback/expired ranges full exists to resynchronize past).
       if (!full) d.inflight.foreach { toV =>
-        recoverInflight(spark, mv, mvQualified, d, toV)
+        recoverInflight(spark, mv, mvQualified, d, toV, recordedPinsOf(d))
         d = d.copy(appliedVersion = toV, inflight = None)
       }
       // dim-delta sync AFTER recovery (the MV state must be known) and
@@ -638,11 +638,7 @@ object ColeMv {
       // pins for every VERSIONED dim from the RECORDED fingerprints —
       // updated per completed sync, so each sync's probe/recompute and
       // the final feed fold all see one consistent enrichment state
-      def recordedPins: Map[String, Long] =
-        d.dims.zip(d.dimFps).collect {
-          case ((p, _), fp) if fp.startsWith("v") &&
-            fp.drop(1).toLongOption.isDefined => p -> fp.drop(1).toLong
-        }.toMap
+      def recordedPins: Map[String, Long] = recordedPinsOf(d)
       var (dimKeys, dimRows) = (0L, 0L)
       dimSyncs.foreach { case (i, dimPath, on, fromV, toV) =>
         val (nk, nr) = dimDeltaSync(spark, mv, mvQualified, conf, d,
@@ -967,10 +963,19 @@ object ColeMv {
           else (null, null)
         if (factCol == null) factSnap
         else {
-          val vals = changed.select(col(dimCol)).distinct()
-            .limit(InPushLimit + 1).collect().map(_.get(0)).filter(_ != null)
-          if (vals.length > InPushLimit) factSnap
-          else factSnap.filter(col(factCol).isin(vals.toIndexedSeq: _*))
+          // overflow-check the RAW collected count BEFORE stripping nulls
+          // (mirroring smallKeyRows): a truncated list that only dips
+          // under the limit because nulls were filtered would silently
+          // drop facts joining the uncollected keys. Nulls never match
+          // the equality join, so they are safe to strip from the IN
+          // list itself.
+          val raw = changed.select(col(dimCol)).distinct()
+            .limit(InPushLimit + 1).collect()
+          if (raw.length > InPushLimit) factSnap
+          else {
+            val vals = raw.map(_.get(0)).filter(_ != null)
+            factSnap.filter(col(factCol).isin(vals.toIndexedSeq: _*))
+          }
         }
       case _ => factSnap
     }
@@ -993,19 +998,33 @@ object ColeMv {
     }
   }
 
+  /** The per-dim version pins recorded in `d`'s fingerprints (versioned
+    * dims only) — the one enrichment state recovery, dim-delta syncs and
+    * the feed fold must all share.
+    */
+  private def recordedPinsOf(d: Definition): Map[String, Long] =
+    d.dims.zip(d.dimFps).collect {
+      case ((p, _), fp) if fp.startsWith("v") &&
+        fp.drop(1).toLongOption.isDefined => p -> fp.drop(1).toLong
+    }.toMap
+
   /** Re-apply the touched keys of a crashed refresh's range ABSOLUTELY:
     * their state is re-aggregated from the source as-of the in-flight
     * version with no reference to current MV values, so the merge is
-    * idempotent whether or not the crashed merge landed.
+    * idempotent whether or not the crashed merge landed. Dim reads are
+    * pinned to the RECORDED fingerprinted versions: a dim commit landing
+    * between the fingerprint check and recovery must not tear recovery's
+    * enrichment away from the dim-delta sync's fromV→toV window.
     */
   private def recoverInflight(spark: SparkSession, mv: String,
-      mvQualified: String, d: Definition, toV: Long): Unit = {
+      mvQualified: String, d: Definition, toV: Long,
+      pins: Map[String, Long]): Unit = {
     val conf = ColeIO.driverConf()
     val feed = prepare(
-      ColeChangeFeed.read(spark, d.source, d.appliedVersion, toV), d)
+      ColeChangeFeed.read(spark, d.source, d.appliedVersion, toV), d, pins)
     val keys = feed.select(d.groupBy.map(col): _*).distinct()
     val snap = prepare(spark.read.format("cole")
-      .option("versionAsOf", toV.toString).load(d.source), d)
+      .option("versionAsOf", toV.toString).load(d.source), d, pins)
     absoluteRows(spark, snap, keys, d)
       .foreach(r => mergeRows(spark, mv, mvQualified, conf, d, r._1))
     writeDefinition(mv, conf, d.copy(appliedVersion = toV, inflight = None))

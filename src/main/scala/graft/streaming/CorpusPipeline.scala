@@ -230,10 +230,35 @@ object CorpusPipeline {
       val clean = arriving.join(
         flagged.select(col("doc_id").as("id")).distinct(), Seq("id"), "left_anti")
         .localCheckpoint(true)
-      Dedup.bandize(clean).select("band", "bh", "id")
-        .write.mode("append").parquet(bandsDir)
-      clean.select("id", "sig").write.mode("append").parquet(sigsDir)
+      appendEpoch(Dedup.bandize(clean).select("band", "bh", "id"), bandsDir)
+      appendEpoch(clean.select("id", "sig"), sigsDir)
       flagged
+    }
+
+    /** Land one epoch's rows in the side store torn-read-proof: the
+      * epoch writes to a dot-prefixed sibling temp dir (invisible to
+      * parquet listings), then each completed part file RENAMES into the
+      * store — atomic on a rename-capable fs, so a concurrent reader can
+      * never list a file mid-materialization (a plain
+      * `mode("append")` exposed 4-byte torn footers to same-box
+      * readers). Epoch-unique names keep appends collision-free.
+      */
+    private def appendEpoch(df: DataFrame, dir: String): Unit = {
+      val conf = df.sparkSession.sparkContext.hadoopConfiguration
+      val (fs, dst) = graft.sources.cole.ColeIO.resolve(dir, conf)
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+      val tmp = new org.apache.hadoop.fs.Path(
+        dst.getParent, s".${dst.getName}_tmp_$tag")
+      try {
+        df.write.mode("overwrite").parquet(tmp.toString)
+        fs.mkdirs(dst)
+        fs.listStatus(tmp).toSeq
+          .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+          .zipWithIndex.foreach { case (st, i) =>
+            fs.rename(st.getPath,
+              new org.apache.hadoop.fs.Path(dst, s"epoch_${tag}_$i.parquet"))
+          }
+      } finally fs.delete(tmp, true)
     }
   }
 }
