@@ -1946,6 +1946,15 @@ object ColeSuite {
         s.sql(s"UPDATE cole.$ns.li SET l_returnflag = 'X' " +
           "WHERE l_orderkey % 10 = 7") // v3 = row-level UPDATE
       }
+      // CDF materialization (the `graft.cole.cdf.materialize` trade,
+      // r17-opt): the UPDATE's delete/insert images land as change files
+      // at DML time, so every subsequent feed read serves them as
+      // delta-sized file scans instead of re-running the
+      // retired-vs-replacement exceptAll diff — O(delta) write bytes
+      // once, the same discipline as Delta's enableChangeDataFeed.
+      // Idempotent: a `_done` marker short-circuits every later call
+      // (and upgrades a fixture cached before this round in place).
+      graft.sources.cole.ColeChangeFeed.materialize(s, dir, 3L)
       graft.sources.cole.ColeChangeFeed.read(s, dir, 1L, 3L)
         .groupBy(col("_change_type").as("change_type"),
           col("_commit_version").as("commit_version"), col("l_returnflag"))

@@ -274,7 +274,28 @@ object ColeDelete {
       val src = new HPath(file)
       val newName = s"delete-$stamp-${src.getName}"
       val outPath = new HPath(new HPath(src.getParent, s".delete-$stamp"), newName)
-      // preserve the source's page compression (sizes differ = deflate)
+      // ---- phase 1: selection only. Decode just the PREDICATE columns
+      // and decide per row group what matches. A file where nothing
+      // matches (the steady state of every idempotent re-run) returns
+      // here as a no-op — no writer opened, no non-predicate column
+      // decoded, no replacement bytes written-then-discarded.
+      val AllRows: Array[Int] = null // marker: whole group matches
+      val selections: Array[Array[Int]] =
+        meta.rowGroups.zipWithIndex.map { case (rg, rgIdx) =>
+          if (ColePredicate.skipRowGroup(rg, nameToIdx, preds))
+            Array.empty[Int]
+          else if (ColePredicate.fullyKeepsRowGroup(rg, nameToIdx, preds))
+            AllRows
+          else ColePredicate.buildSelection(
+            reader, rgIdx, rg.numRows, nameToIdx, preds)
+        }.toArray
+      val matchTotal = selections.zip(meta.rowGroups).map { case (sel, rg) =>
+        if (sel eq AllRows) rg.numRows.toLong else sel.length.toLong }.sum
+      if (matchTotal == 0L)
+        return (file, (newName, meta.rowGroups.map(_.numRows.toLong).sum, 0L))
+      // ---- phase 2: at least one row deletes — rewrite the survivors,
+      // reusing the phase-1 selections (predicate columns decode once).
+      // Preserve the source's page compression (sizes differ = deflate).
       val wconf = {
         val c = new Configuration(conf)
         c.set(ColeFileWriter.VersionKey, meta.version.toString)
@@ -288,32 +309,25 @@ object ColeDelete {
       var deleted = 0L
       try {
         meta.rowGroups.zipWithIndex.foreach { case (rg, rgIdx) =>
-          if (ColePredicate.skipRowGroup(rg, nameToIdx, preds)) {
+          val matching = selections(rgIdx)
+          if (matching eq AllRows) {
+            deleted += rg.numRows // every row matches: drop the group
+          } else if (matching.isEmpty) {
             // no row matches: re-emit the group unchanged
             val cols = meta.columns.indices.map(reader.readChunk(rgIdx, _))
             writer.writeRowGroup(cols, rg.numRows, chunkEncodings(rg, cols))
             kept += rg.numRows
-          } else if (ColePredicate.fullyKeepsRowGroup(rg, nameToIdx, preds)) {
-            deleted += rg.numRows // every row matches: drop the group
+          } else if (matching.length == rg.numRows) {
+            deleted += rg.numRows
           } else {
-            val matching = ColePredicate.buildSelection(
-              reader, rgIdx, rg.numRows, nameToIdx, preds)
-            if (matching.isEmpty) {
-              val cols = meta.columns.indices.map(reader.readChunk(rgIdx, _))
-              writer.writeRowGroup(cols, rg.numRows, chunkEncodings(rg, cols))
-              kept += rg.numRows
-            } else if (matching.length == rg.numRows) {
-              deleted += rg.numRows
-            } else {
-              val drop = new Array[Boolean](rg.numRows)
-              matching.foreach(drop(_) = true)
-              val keepIdx = Array.range(0, rg.numRows).filterNot(drop)
-              val cols = meta.columns.indices.map(ci =>
-                takeRows(reader.readChunk(rgIdx, ci), keepIdx))
-              writer.writeRowGroup(cols, keepIdx.length, chunkEncodings(rg, cols))
-              kept += keepIdx.length
-              deleted += matching.length
-            }
+            val drop = new Array[Boolean](rg.numRows)
+            matching.foreach(drop(_) = true)
+            val keepIdx = Array.range(0, rg.numRows).filterNot(drop)
+            val cols = meta.columns.indices.map(ci =>
+              takeRows(reader.readChunk(rgIdx, ci), keepIdx))
+            writer.writeRowGroup(cols, keepIdx.length, chunkEncodings(rg, cols))
+            kept += keepIdx.length
+            deleted += matching.length
           }
         }
       } finally writer.close()

@@ -1,0 +1,131 @@
+package graft.tools
+
+import graft._
+import org.apache.spark.sql.functions._
+
+/** Scratch attribution harness for the optimization round: splits the
+  * steady-state cost of the hot DML/CDC bench keys into phases (fixture
+  * assumed already cached by a prior bench/Prof run — run those first).
+  * `sbt "Test/runMain graft.tools.Attr <case> [runs] [sfDir]"`.
+  */
+object Attr {
+  def time[T](tag: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    val r = body
+    println(f"[attr] $tag: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val which = if (args.nonEmpty) args(0) else "merge"
+    val runs = if (args.length > 1) args(1).toInt else 4
+    val d = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+    val s = Engine.session("local[32]")
+    val wh = "/tmp/graft_cole/warehouse"
+    s.conf.set("spark.sql.catalog.cole", "graft.sources.cole.ColeCatalog")
+    s.conf.set("spark.sql.catalog.cole.warehouse", wh)
+    // same fingerprint the suite mints
+    val fpField = Class.forName("graft.queries.ColeSuite$")
+    val mod = fpField.getField("MODULE$").get(null)
+    val m = fpField.getDeclaredMethod("writerFingerprint")
+    m.setAccessible(true)
+    val fp = m.invoke(mod).asInstanceOf[String]
+    val sfx = d.replaceAll("[^a-zA-Z0-9]", "_")
+
+    which match {
+      case "merge" =>
+        // job-level attribution: print every job's wall time + first stage
+        s.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            val t0 = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+            override def onJobStart(
+                js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+              t0.put(js.jobId, System.nanoTime())
+            }
+            override def onJobEnd(
+                je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+              val dt = (System.nanoTime() -
+                t0.getOrDefault(je.jobId, System.nanoTime())) / 1e9
+              println(f"[attr]   job ${je.jobId}%3d  $dt%7.3f s")
+            }
+          })
+        val ns = s"v${fp}_mrg_$sfx"
+        // fixture must exist (run the bench key once first via Prof)
+        Tables.orders(s, d).select(col("o_orderkey").as("k"))
+          .filter(col("o_orderkey") % 20 === 3)
+          .withColumn("ln", lit(1))
+          .createOrReplaceTempView("graft_merge_src")
+        for (i <- 1 to runs) {
+          println(s"[attr] --- run $i")
+          time("merge-stmt") {
+            s.sql(
+              s"""MERGE INTO cole.$ns.li t USING graft_merge_src src
+                 |ON t.l_orderkey = src.k AND t.l_linenumber = src.ln
+                 |WHEN MATCHED AND t.l_returnflag NOT IN ('U', 'M') THEN
+                 |  UPDATE SET qty_c = t.qty_c + 5000, l_returnflag = 'U'
+                 |WHEN NOT MATCHED THEN
+                 |  INSERT (l_orderkey, l_linenumber, l_returnflag, qty_c)
+                 |  VALUES (src.k, src.ln, 'M', 0)""".stripMargin)
+          }
+          time("readout") {
+            s.table(s"cole.$ns.li")
+              .groupBy("l_returnflag")
+              .agg(count(lit(1)).as("n"), sum("qty_c").as("sum_qty_c"),
+                sum("l_orderkey").as("sum_key"))
+              .orderBy("l_returnflag").count()
+          }
+        }
+      case "cfd" =>
+        val ns = s"v${fp}_cfd_$sfx"
+        val dir = s"$wh/$ns/li"
+        for (i <- 1 to runs) {
+          println(s"[attr] --- run $i")
+          val feed = time("feed-plan") {
+            graft.sources.cole.ColeChangeFeed.read(s, dir, 1L, 3L)
+          }
+          time("feed-count") { feed.count() }
+          time("feed-agg") {
+            feed.groupBy(col("_change_type").as("change_type"),
+              col("_commit_version").as("commit_version"), col("l_returnflag"))
+              .agg(count(lit(1)).as("n"), sum("l_orderkey").as("sum_key"),
+                sum("l_linenumber").as("sum_line"))
+              .orderBy("commit_version", "change_type", "l_returnflag").count()
+          }
+        }
+      case "delete" =>
+        val ns = s"v${fp}_del_$sfx"
+        for (i <- 1 to runs) {
+          println(s"[attr] --- run $i")
+          time("delete-stmt") {
+            s.sql(s"DELETE FROM cole.$ns.li " +
+              "WHERE l_returnflag = 'R' AND l_orderkey < 10000")
+          }
+          time("readout") {
+            s.table(s"cole.$ns.li").groupBy("l_returnflag")
+              .agg(count(lit(1)).as("n"),
+                sum("l_linenumber").as("sum_line"),
+                min("l_orderkey").as("mn_key"), max("l_orderkey").as("mx_key"))
+              .orderBy("l_returnflag").count()
+          }
+        }
+      case "explainmerge" =>
+        val ns = s"v${fp}_mrg_$sfx"
+        Tables.orders(s, d).select(col("o_orderkey").as("k"))
+          .filter(col("o_orderkey") % 20 === 3)
+          .withColumn("ln", lit(1))
+          .createOrReplaceTempView("graft_merge_src")
+        val df = s.sql(
+          s"""EXPLAIN FORMATTED MERGE INTO cole.$ns.li t USING graft_merge_src src
+             |ON t.l_orderkey = src.k AND t.l_linenumber = src.ln
+             |WHEN MATCHED AND t.l_returnflag NOT IN ('U', 'M') THEN
+             |  UPDATE SET qty_c = t.qty_c + 5000, l_returnflag = 'U'
+             |WHEN NOT MATCHED THEN
+             |  INSERT (l_orderkey, l_linenumber, l_returnflag, qty_c)
+             |  VALUES (src.k, src.ln, 'M', 0)""".stripMargin)
+        df.collect().foreach(r => println("[attr-plan] " +
+          r.getString(0).replace("\n", "\n[attr-plan] ")))
+      case other => sys.error(s"unknown case $other")
+    }
+    s.stop()
+  }
+}
