@@ -108,6 +108,41 @@ object Attr {
               .orderBy("l_returnflag").count()
           }
         }
+      case "cdfpairs" =>
+        val ns = s"v${fp}_csp_$sfx"
+        val dir = s"$wh/$ns/li"
+        for (i <- 1 to runs) {
+          println(s"[attr] --- run $i")
+          val out = java.nio.file.Files
+            .createTempDirectory("graft_cdf_spairs_out").toString
+          val cp = java.nio.file.Files
+            .createTempDirectory("graft_cdf_spairs_cp").toString
+          var nb = 0
+          time("stream") {
+            val q = s.readStream.format("cole").option("changeFeed", "true")
+              .option("startingVersion", "2").load(dir)
+              .writeStream.foreachBatch {
+                (b: org.apache.spark.sql.DataFrame, _: Long) =>
+                  nb += 1
+                  time(s"  batch$nb-pair+sink") {
+                    graft.sources.cole.ColeCdfStream
+                      .pairUpdates(b, Seq("l_orderkey", "l_linenumber"))
+                      .write.mode("append").parquet(out)
+                  }
+                  ()
+              }
+              .option("checkpointLocation", cp).start()
+            try q.processAllAvailable() finally q.stop()
+          }
+          println(s"[attr] batches=$nb")
+          time("readback") {
+            s.read.parquet(out)
+              .groupBy(col("_change_type").as("change_type"))
+              .agg(count(lit(1)).as("n"), sum("l_orderkey").as("sum_key"),
+                sum("qty_c").as("sum_qty_c"))
+              .orderBy("change_type").count()
+          }
+        }
       case "explainmerge" =>
         val ns = s"v${fp}_mrg_$sfx"
         Tables.orders(s, d).select(col("o_orderkey").as("k"))
