@@ -53,7 +53,12 @@ object ColeSuite {
     val files = Option(new java.io.File(sfDir).listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(f => f.isFile && f.getName.endsWith(".parquet")).sortBy(_.getName)
-    (Seq("graft-fixture-v1", writerFingerprint) ++
+    // v2 (r17-opt): temporal writes gained a range distribution — the
+    // layout changed (files per unit directory), so pre-change fixtures
+    // must rebuild even though the fingerprinted writer classes did not
+    // move (the distribution lives in the Write plumbing, not the
+    // data writers).
+    (Seq("graft-fixture-v2", writerFingerprint) ++
       files.map(f => s"${f.getName}:${f.length()}:${f.lastModified()}"))
       .mkString("\n")
   }

@@ -4537,9 +4537,26 @@ class ColeWriteBuilder(schema: StructType, path: String, rowGroupSize: Int,
         if (ordering.nonEmpty)
           new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
             import org.apache.spark.sql.connector.expressions.{Expressions => E}
+            // TEMPORAL writes additionally request a RANGE distribution
+            // on (partCols, ts) — Iceberg's write.distribution-mode=range
+            // (r17-opt). The unit ordinal is monotone in the timestamp,
+            // so range-partitioned tasks own CONTIGUOUS unit directories
+            // and each directory receives files from one task (plus at
+            // most a boundary neighbor) instead of one file PER TASK per
+            // directory: a 16-task month-of-hours append wrote 375 dirs
+            // x 16 = 6000 ~4 KB files (measured, sf1) — the small-files
+            // antipattern that tripled the table's own read cost. One
+            // range exchange at write time buys the file layout for the
+            // table's whole read life. Identity-only hive writes keep
+            // their existing (exchange-free, per-task-sorted) behavior.
             override def requiredDistribution()
                 : org.apache.spark.sql.connector.distributions.Distribution =
-              org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+              if (temporal.isDefined)
+                org.apache.spark.sql.connector.distributions.Distributions.ordered(
+                  ordering.distinct.map(c => E.sort(E.column(c),
+                    org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray)
+              else
+                org.apache.spark.sql.connector.distributions.Distributions.unspecified()
             override def requiredOrdering()
                 : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
               ordering.distinct.map(c => E.sort(E.column(c),

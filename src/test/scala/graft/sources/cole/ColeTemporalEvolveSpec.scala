@@ -163,13 +163,23 @@ class ColeTemporalEvolveSpec extends AnyFunSuite {
 
   test("compaction heals the hour-grain era: layout and history preserved, results identical") {
     val t = s"$warehouse/db/ev3"
-    // multi-task writes leave several part files per unit directory —
-    // the small-file shape an hour-grain era accumulates
-    rows("2024-03-01", 2, 20, 0L).repartition(6)
+    // sequential appends leave several part files per unit directory —
+    // the small-file shape an hour-grain era accumulates commit by
+    // commit (r17-opt: a single multi-task write no longer fragments —
+    // temporal writes range-distribute on ts, one file per directory
+    // per commit — so the fixture fragments the way real tables do:
+    // repeated appends into the same unit directories)
+    val era1 = rows("2024-03-01", 2, 20, 0L)
+    era1.filter(col("id") % 2 === 0)
       .write.format("cole").mode("overwrite")
       .option("partitionByTemporal", "days:ts").save(t)
+    era1.filter(col("id") % 2 =!= 0)
+      .write.format("cole").mode("append").save(t)
     ColeTemporal.evolve(t, conf, ColeTemporal.Spec("hours", "ts"))
-    rows("2024-03-03", 1, 20, 5000L).repartition(6)
+    val era2 = rows("2024-03-03", 1, 20, 5000L)
+    era2.filter(col("id") % 2 === 0)
+      .write.format("cole").mode("append").save(t)
+    era2.filter(col("id") % 2 =!= 0)
       .write.format("cole").mode("append").save(t)
     val q = () => spark.read.format("cole").load(t)
       .filter(col("ts") >= to_timestamp(lit("2024-03-02 00:00:00")) &&
