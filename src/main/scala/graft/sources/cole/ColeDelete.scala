@@ -50,6 +50,14 @@ object ColeDelete {
     */
   private[cole] var raceWindow: () => Unit = () => ()
 
+  /** Candidate files whose phase-1 selection matched ZERO rows and
+    * therefore skipped the speculative rewrite entirely (no writer
+    * opened, no replacement bytes written-then-discarded) — the r17-opt
+    * steady-state path of an idempotent re-run DELETE. Spec-visible,
+    * like [[ColeMetaCache.footerReads]].
+    */
+  val noopRewriteSkips = new java.util.concurrent.atomic.AtomicLong(0)
+
   def deleteWhere(spark: SparkSession, table: String, filters: Array[Filter],
       partCols: Seq[String], conf: Configuration): Stats = {
     val predOpts = filters.map(f => f -> ColePredicate.fromFilter(f))
@@ -291,8 +299,10 @@ object ColeDelete {
         }.toArray
       val matchTotal = selections.zip(meta.rowGroups).map { case (sel, rg) =>
         if (sel eq AllRows) rg.numRows.toLong else sel.length.toLong }.sum
-      if (matchTotal == 0L)
+      if (matchTotal == 0L) {
+        noopRewriteSkips.incrementAndGet()
         return (file, (newName, meta.rowGroups.map(_.numRows.toLong).sum, 0L))
+      }
       // ---- phase 2: at least one row deletes — rewrite the survivors,
       // reusing the phase-1 selections (predicate columns decode once).
       // Preserve the source's page compression (sizes differ = deflate).

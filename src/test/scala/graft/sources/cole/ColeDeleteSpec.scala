@@ -248,4 +248,29 @@ class ColeDeleteSpec extends AnyFunSuite {
     spark.sql("INSERT INTO dwh.db.em VALUES (7, 7.5)")
     assert(spark.table("dwh.db.em").count() === 1)
   }
+
+  test("re-run DELETE (zero matches) skips the speculative rewrite entirely") {
+    val s = spark
+    import s.implicits._
+    val dir = s"$warehouse/db/noop"
+    // two-column conjunction whose per-column chunk stats CANNOT
+    // disprove it after the first run (R rows remain with id >= 100,
+    // id < 100 rows remain with other flags) — the file stays a
+    // rewrite candidate forever, the idempotent-re-run steady state
+    (0L until 1000L).map(i => (i, if (i % 4 == 0) "R" else "A"))
+      .toDF("id", "flag")
+      .write.format("cole").mode("overwrite").save(dir)
+    spark.sql("DELETE FROM dwh.db.noop WHERE flag = 'R' AND id < 100")
+    val survivors = spark.table("dwh.db.noop").count()
+    val state = fileState(dir)
+    val before = ColeDelete.noopRewriteSkips.get()
+    // the re-run matches nothing: phase-1 selection (predicate columns
+    // only) must short-circuit — no writer opened, no replacement
+    // bytes written-then-discarded (r17-opt), table bytes untouched
+    spark.sql("DELETE FROM dwh.db.noop WHERE flag = 'R' AND id < 100")
+    assert(ColeDelete.noopRewriteSkips.get() > before,
+      "the zero-match re-run should take the phase-1 no-op short-circuit")
+    assert(fileState(dir) === state, "a no-op DELETE must not touch a byte")
+    assert(spark.table("dwh.db.noop").count() === survivors)
+  }
 }

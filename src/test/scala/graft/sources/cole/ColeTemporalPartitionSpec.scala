@@ -277,4 +277,32 @@ class ColeTemporalPartitionSpec extends AnyFunSuite {
     assert(ColeTemporal.isDerivedKey(d.dirKey) && ColeTemporal.isLayoutKey("_bucket"))
     intercept[IllegalArgumentException](Spec("weeks", "ts"))
   }
+
+  test("multi-task temporal write lands ONE file per unit directory (range distribution)") {
+    val s = spark
+    import s.implicits._
+    val dir = s"$warehouse/db/onefile"
+    val base = Instant.parse("2024-05-01T00:15:00Z")
+    // 8 input partitions spraying rows over 12 hours: without the
+    // r17-opt range distribution every task wrote its own file into
+    // every hour directory it touched (tasks × dirs tiny files — the
+    // measured 6000-file sf1 fan-out); with it, Spark range-partitions
+    // on ts so each hour directory receives exactly one file
+    (0 until 480).map { i =>
+      (i.toLong, java.sql.Timestamp.from(base.plusSeconds(i * 90L)), i % 5)
+    }.toDF("id", "ts", "v").repartition(8)
+      .write.format("cole").mode("overwrite")
+      .option("partitionByTemporal", "hours:ts").save(dir)
+    val perDir = ColeIO.listPartitioned(dir, conf)
+      .groupBy(_._2.toMap.apply("_t_hours_ts")).view.mapValues(_.size).toMap
+    // 480 rows × 90 s = 12 h starting 00:15 → spans 13 hour ordinals
+    assert(perDir.size === 13, s"expected 13 hour directories: $perDir")
+    assert(perDir.values.forall(_ == 1),
+      s"each unit directory must hold ONE file per commit, got $perDir")
+    // and the read is exact
+    assert(s.read.format("cole").load(dir).count() === 480)
+    assert(s.read.format("cole").load(dir)
+      .filter(col("ts") >= to_timestamp(lit("2024-05-01 03:00:00")) &&
+        col("ts") < to_timestamp(lit("2024-05-01 05:00:00"))).count() === 80)
+  }
 }
