@@ -82,6 +82,15 @@ object sketches {
     */
   def shingle_hashes(tokens: Column, k: Int): Column =
     GraftBridge.column(ShingleHashes(GraftBridge.expression(tokens), k))
+
+  /** Word k-grams of a single-space-separated string (array<string>,
+    * zero-copy buffer slices) — equals
+    * `transform(sequence(1, size(split(s," "))-k+1), i => concat_ws(" ",
+    * slice(split(s," "), i, k)))` in one pass with no token array or
+    * per-gram copies; see [[SketchRuntime.spaceNgrams]].
+    */
+  def space_ngrams(text: Column, k: Int): Column =
+    GraftBridge.column(SpaceNgrams(GraftBridge.expression(text), k))
 }
 
 private[functions] object SketchCodegen {
@@ -249,6 +258,22 @@ case class ShingleHashes(child: Expression, k: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"${SketchCodegen.runtime}.shingleHashes($c, $k)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class SpaceNgrams(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    SketchRuntime.spaceNgrams(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${SketchCodegen.runtime}.spaceNgrams($c, $k)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
 
 import Hashing._
 
@@ -137,6 +138,49 @@ object SketchRuntime {
       r += 1
     }
     new GenericArrayData(java.util.Arrays.copyOf(out, uniq))
+  }
+
+  /** Word k-grams of a single-space-separated string as ZERO-COPY slices
+    * of the input's byte buffer. Gram i is the contiguous bytes from
+    * token i's start to token i+k-1's end, which equals
+    * `concat_ws(" ", slice(split(s, " "), i+1, k))` for EVERY input —
+    * split's parts are exactly the byte runs between 0x20 separators and
+    * concat_ws re-inserts the same single spaces the slice spans. One
+    * byte scan, no token array, no per-gram slice/concat copies (0x20
+    * never occurs inside a multi-byte UTF-8 sequence, so byte scanning
+    * is codepoint-safe; the slices share the parent's buffer the same
+    * way UnsafeRow string reads do — downstream operators copy on
+    * buffering). Returns max(tokens - k + 1, 0) grams; fewer than k
+    * tokens yields an empty array, which `explode` then drops — the
+    * callers' former `size(tokens) >= k` guard, for free.
+    */
+  def spaceNgrams(text: UTF8String, k: Int): ArrayData = {
+    val n = text.numBytes()
+    var spaces = 0
+    var i = 0
+    while (i < n) { if (text.getByte(i) == 0x20) spaces += 1; i += 1 }
+    val nToks = spaces + 1
+    val nGrams = nToks - k + 1
+    if (nGrams <= 0) return new GenericArrayData(new Array[Any](0))
+    val starts = new Array[Int](nToks) // byte start of token t
+    val ends = new Array[Int](nToks) // byte end (exclusive) of token t
+    var t = 0
+    i = 0
+    while (i < n) {
+      if (text.getByte(i) == 0x20) { ends(t) = i; t += 1; starts(t) = i + 1 }
+      i += 1
+    }
+    ends(t) = n
+    val out = new Array[Any](nGrams)
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    var g = 0
+    while (g < nGrams) {
+      val s0 = starts(g)
+      out(g) = UTF8String.fromAddress(base, off + s0, ends(g + k - 1) - s0)
+      g += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** PQ encode: the m nearest-centroid codes of a float vector against a

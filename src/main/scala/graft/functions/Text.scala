@@ -32,6 +32,18 @@ object Text {
       .otherwise(array(concat_ws(" ", t)))
   }
 
+  /** Word k-grams of the normalized text as space-joined strings
+    * (array<string>, length max(tokens-k+1, 0)) — one codegen kernel of
+    * zero-copy buffer slices, value-identical to the
+    * split → sequence → transform(slice → concat_ws) chain it replaces
+    * (each gram IS the contiguous substring spanning tokens i..i+k-1,
+    * single spaces included). Rows with fewer than k tokens yield an
+    * empty array, so `explode` drops them exactly like the former
+    * `size(tokens) >= k` guard.
+    */
+  def wordNgrams(text: Column, k: Int): Column =
+    sketches.space_ngrams(normalize(text), k)
+
   /** Distinct shingle hashes (array<long>) — input to MinHash. Computed by
     * a native rolling-hash expression over the token array; the
     * string-materializing HOF equivalent (`transform(shingles, xxhash64)`)

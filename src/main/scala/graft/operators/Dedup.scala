@@ -216,17 +216,26 @@ object Dedup {
       // path-halving step that makes chains converge logarithmically.
       val hop = propagated
         .select(col("id").as("jid"), col("cluster_id").as("jlabel"))
-      // the old label rides along, so convergence is a shuffle-free scan
-      // of the checkpointed result instead of a re-join per round
-      val next = propagated
+      // the changed count rides an `observe` metric (CollectMetrics), so
+      // the eager checkpoint's materialization job IS the convergence
+      // count — one job per round instead of checkpoint + count (r18;
+      // the r17 lazy-checkpoint experiment that merged them the other
+      // way round was a wash and stayed reverted)
+      val observed = propagated
         .join(hop, propagated("cluster_id") === hop("jid"), "left_outer")
         .select(propagated("id"), propagated("old"),
           least(propagated("cluster_id"),
             coalesce(col("jlabel"), propagated("cluster_id"))).as("cluster_id"))
         .select(col("id"), col("cluster_id"),
           (col("cluster_id") =!= col("old")).as("chg"))
-        .localCheckpoint()
-      changed = next.filter(col("chg")).count()
+        .observe(s"dedup_conv_$iter",
+          sum(when(col("chg"), 1L).otherwise(0L)).as("changed"))
+      val next = observed.localCheckpoint()
+      changed = observed.queryExecution.observedMetrics.get(s"dedup_conv_$iter")
+        .map(r => if (r.isNullAt(0)) 0L else r.getLong(0))
+        // defensive: if the metric did not surface (never seen), fall
+        // back to the pre-r18 explicit count over the checkpoint
+        .getOrElse(next.filter(col("chg")).count())
       labels = next.select("id", "cluster_id")
       iter += 1
     }

@@ -682,12 +682,12 @@ object ExtendedSuite {
     // cross product), so the plan is the 100 TB shape.
     Q("corpus_decontaminate", (s, d) => {
       val docs = Tables.documents(s, d)
-      val toks = docs.select(col("doc_id"),
-        split(Text.normalize(col("text")), " ").as("t"))
-      val grams = toks.filter(size(col("t")) >= 3)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(1), size(col("t")) - 2),
-          i => concat_ws(" ", slice(col("t"), i, lit(3))))).as("gram"))
+      // native k-gram kernel (r18): value-identical to the former
+      // split → filter(size>=3) → transform(slice/concat_ws) chain —
+      // Text.wordNgrams yields the same space-joined grams as zero-copy
+      // slices and empty arrays (< 3 tokens) explode to nothing
+      val grams = docs.select(col("doc_id"),
+        explode(Text.wordNgrams(col("text"), 3)).as("gram"))
       val evalGrams = grams.filter(col("doc_id") % 97 === 0)
         .select("gram").distinct()
       val hits = grams.filter(col("doc_id") % 97 =!= 0)
@@ -720,12 +720,12 @@ object ExtendedSuite {
     // and boilerplate analyses. Explode → partial-agg count → TopK: one
     // shuffle of (gram, partial count), never of raw text.
     Q("corpus_ngram_stats", (s, d) => {
-      val toks = Tables.documents(s, d).select(
-        split(Text.normalize(col("text")), " ").as("t"))
-      toks.filter(size(col("t")) >= 2)
-        .select(explode(transform(
-          sequence(lit(1), size(col("t")) - 1),
-          i => concat_ws(" ", slice(col("t"), i, lit(2))))).as("gram"))
+      // native bigram kernel (r18): value-identical to the former
+      // split → filter(size>=2) → transform(slice/concat_ws) chain (see
+      // Text.wordNgrams) — one codegen pass, no token array or per-gram
+      // slice/concat allocations in the hot explode path
+      Tables.documents(s, d)
+        .select(explode(Text.wordNgrams(col("text"), 2)).as("gram"))
         .groupBy("gram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("gram").asc)
         .limit(20)
@@ -776,12 +776,9 @@ object ExtendedSuite {
     // shuffling the whole corpus's gram stream and shuffling a sliver.
     Q("corpus_bloom_decontaminate", (s, d) => {
       val docs = Tables.documents(s, d)
-      val toks = docs.select(col("doc_id"),
-        split(Text.normalize(col("text")), " ").as("t"))
-      val grams = toks.filter(size(col("t")) >= 3)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(1), size(col("t")) - 2),
-          i => concat_ws(" ", slice(col("t"), i, lit(3))))).as("gram"))
+      // same native k-gram kernel as corpus_decontaminate (r18)
+      val grams = docs.select(col("doc_id"),
+        explode(Text.wordNgrams(col("text"), 3)).as("gram"))
       val evalGrams = grams.filter(col("doc_id") % 89 === 0)
         .select("gram").distinct()
       val bloom = Bloom.build(evalGrams, col("gram"), numBits = 1 << 17)

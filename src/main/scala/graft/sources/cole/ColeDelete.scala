@@ -58,6 +58,15 @@ object ColeDelete {
     */
   val noopRewriteSkips = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Row groups of partial-match rewrites spliced as RAW STORED BYTES
+    * (no row of the group matched: pages copy verbatim, offsets rebase —
+    * [[ColeFileWriter.writeRawRowGroup]]) instead of decode+re-encode
+    * (r18). At 100 TB this is the write-amplification bound of a
+    * selective DELETE: survivor groups cost memcpy, not codec work.
+    * Spec-visible, like [[noopRewriteSkips]].
+    */
+  val splicedRowGroups = new java.util.concurrent.atomic.AtomicLong(0)
+
   def deleteWhere(spark: SparkSession, table: String, filters: Array[Filter],
       partCols: Seq[String], conf: Configuration): Stats = {
     val predOpts = filters.map(f => f -> ColePredicate.fromFilter(f))
@@ -323,9 +332,15 @@ object ColeDelete {
           if (matching eq AllRows) {
             deleted += rg.numRows // every row matches: drop the group
           } else if (matching.isEmpty) {
-            // no row matches: re-emit the group unchanged
-            val cols = meta.columns.indices.map(reader.readChunk(rgIdx, _))
-            writer.writeRowGroup(cols, rg.numRows, chunkEncodings(rg, cols))
+            // no row matches: splice the group's STORED bytes verbatim —
+            // pages, encodings, compression and CRCs stay bit-identical,
+            // only the chunk offsets rebase; no column decodes, nothing
+            // re-encodes (r18, guide §6/§5 — the partial-match rewrite's
+            // survivor groups cost memcpy, not codec work)
+            val raw = meta.columns.indices
+              .map(reader.readChunkBytes(rgIdx, _)).toIndexedSeq
+            writer.writeRawRowGroup(meta, rgIdx, raw)
+            splicedRowGroups.incrementAndGet()
             kept += rg.numRows
           } else if (matching.length == rg.numRows) {
             deleted += rg.numRows

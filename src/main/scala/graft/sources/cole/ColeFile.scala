@@ -138,6 +138,16 @@ final class ColeFileReader(path: String, conf: Configuration) extends AutoClosea
       ColeCodec.inflate(c.buf, c.pos, ph.compressedSize, ph.uncompressedSize), 0)
   }
 
+  /** The STORED bytes of one column chunk ([page header][page body]...),
+    * verbatim — the raw-splice lane's input: a row group no DML touched
+    * copies these bytes into the replacement file bit-identically
+    * instead of decode+re-encode (see [[ColeFileWriter.writeRawRowGroup]]).
+    */
+  def readChunkBytes(rgIdx: Int, colIdx: Int): Array[Byte] = {
+    val cc = meta.rowGroups(rgIdx).chunks(colIdx)
+    readAt(cc.fileOffset, cc.totalSize.toInt)
+  }
+
   /** Read and decode one column chunk of one row group. v2 pages with
     * nulls decode their validity bitmap first; encoded values cover the
     * present rows only and are expanded to full-length arrays here
@@ -485,6 +495,10 @@ final class ColeFileWriter(path: String, columns: Seq[ColeColumn],
   private val chunkSumRows = scala.collection.mutable.ArrayBuffer[Array[Long]]()
   private val sumEligible: Array[Boolean] =
     columns.map(c => c.colType == TInt32 || isLongBacked(c.colType)).toArray
+  // a raw-spliced group whose SOURCE footer cannot answer a column's sum
+  // (pre-extension file) drops that column from the output SUMS tail —
+  // absent is always sound, a fabricated value never is
+  private val sumSound = Array.fill(columns.size)(true)
   // per-chunk EXACT string bounds (v2 footers, STRB tail): byte-wise
   // unsigned min/max of present values — Spark's UTF8String order — so a
   // footer-answered string MIN/MAX is the sweep's answer bit-for-bit;
@@ -674,6 +688,73 @@ final class ColeFileWriter(path: String, columns: Seq[ColeColumn],
     totalRows += numRows
   }
 
+  /** Splice one row group VERBATIM from a source file's stored bytes
+    * (r18, the raw-group lane behind partial-match DML rewrites):
+    * `chunkBytes(i)` is column i's chunk as stored
+    * ([page header][page body]...), re-emitted unchanged — page headers,
+    * bodies, encodings, compression and CRCs stay bit-identical; only
+    * the chunk's file offset rebases in the output footer. The v2 footer
+    * tails copy the SOURCE footer's exact values (wrapped sums, exact
+    * string bounds — the same numbers a re-encode would recompute from
+    * the identical values); a column the source footer cannot answer is
+    * dropped from the output tail (readers fall back to the page sweep —
+    * absent is sound). String-NDV accumulates each uncompressed DICT
+    * page's entry count from the spliced body's leading u32 (what the
+    * encoder reports); a compressed or non-DICT page marks the column's
+    * bound underivable, exactly the [[ColeNdv]] probe's own discipline.
+    */
+  def writeRawRowGroup(src: FileMeta, rgIdx: Int,
+      chunkBytes: IndexedSeq[Array[Byte]]): Unit = {
+    require(src.version == version,
+      s"raw splice needs matching format versions (src ${src.version}, " +
+        s"writer $version): page-header layouts differ")
+    require(src.columns.size == columns.size &&
+      src.columns.zip(columns).forall { case (a, b) =>
+        a.name == b.name && a.colType == b.colType },
+      "raw splice needs an identical column set")
+    require(chunkBytes.size == columns.size, "chunk count mismatch")
+    val rg = src.rowGroups(rgIdx)
+    val rgSums = new Array[Long](columns.size)
+    val rgStrBounds = new Array[(Array[Byte], Array[Byte])](columns.size)
+    val chunkMetas = columns.indices.map { i =>
+      val bytes = chunkBytes(i)
+      val cc = rg.chunks(i)
+      require(bytes.length.toLong == cc.totalSize,
+        s"chunk $i: ${bytes.length} bytes, footer says ${cc.totalSize}")
+      if (sumEligible(i)) src.chunkSum(rgIdx, i) match {
+        case Some(s) => rgSums(i) = s
+        case None => sumSound(i) = false
+      }
+      if (strEligible(i)) rgStrBounds(i) = src.statsMinMaxS(rgIdx, i).orNull
+      if (columns(i).colType == TString) {
+        var off = 0
+        cc.pages.foreach { ph =>
+          val hdrLen = {
+            val o = new Out()
+            writePageHeader(o, ph, version,
+              isDouble = false, isWide = false)
+            o.toBytes.length
+          }
+          if (ph.encoding == Dict &&
+              ph.compressedSize == ph.uncompressedSize) {
+            val bmp = if (ph.nullCount > 0) (ph.numValues + 7) / 8 else 0
+            val p = off + hdrLen + bmp
+            ndvSums(i) += (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
+              ((bytes(p + 2) & 0xffL) << 16) | ((bytes(p + 3) & 0xffL) << 24)
+          } else ndvSound(i) = false
+          off += hdrLen + ph.compressedSize
+        }
+      }
+      val offset = position
+      emit(bytes)
+      ColumnChunkMeta(offset, cc.totalSize, cc.pages)
+    }
+    rowGroups += RowGroupMeta(rg.numRows, chunkMetas)
+    chunkSumRows += rgSums
+    strBoundRows += rgStrBounds
+    totalRows += rg.numRows
+  }
+
   private def compactInts(a: Array[Int], isNull: Array[Boolean], n: Int, m: Int): Array[Int] = {
     val out = new Array[Int](m)
     var i = 0; var j = 0
@@ -743,7 +824,8 @@ final class ColeFileWriter(path: String, columns: Seq[ColeColumn],
     val sums: Map[Int, Array[Long]] =
       if (version < Version2) Map.empty
       else columns.indices.collect {
-        case i if sumEligible(i) => i -> chunkSumRows.map(_(i)).toArray
+        case i if sumEligible(i) && sumSound(i) =>
+          i -> chunkSumRows.map(_(i)).toArray
       }.toMap
     val strb: Map[Int, Array[(Array[Byte], Array[Byte])]] =
       if (version < Version2) Map.empty

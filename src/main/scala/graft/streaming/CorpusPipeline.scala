@@ -26,11 +26,11 @@ object CorpusPipeline {
     * contamination checks.
     */
   def grams(docs: DataFrame, k: Int = 3): DataFrame =
-    docs.select(col("doc_id"), split(Text.normalize(col("text")), " ").as("t"))
-      .filter(size(col("t")) >= k)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(1), size(col("t")) - (k - 1)),
-        i => concat_ws(" ", slice(col("t"), i, lit(k))))).as("gram"))
+    // native k-gram kernel (r18): value-identical to the former
+    // split → filter(size>=k) → transform(slice/concat_ws) chain — see
+    // Text.wordNgrams (< k tokens explode to nothing, the old filter)
+    docs.select(col("doc_id"),
+      explode(Text.wordNgrams(col("text"), k)).as("gram"))
 
   /** Streaming contamination flagging: arriving documents sharing any
     * word k-gram with a STATIC eval gram set are emitted (once, stateful

@@ -121,4 +121,71 @@ class CustomOpsFuzzSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("observe metric surfaces after eager localCheckpoint (Dedup.clusters' one-job round)") {
+    // pins the r18 convergence-count mechanic: the CollectMetrics value
+    // must be readable from the ORIGINAL dataset's queryExecution after
+    // localCheckpoint materializes it — if this ever breaks in a Spark
+    // upgrade, Dedup.clusters silently degrades to its fallback count()
+    // (correct but one extra job per round), and this test names it
+    val s = spark
+    import s.implicits._
+    val df = (1L to 100L).toDF("id")
+      .select(col("id"), (col("id") % 3 === 0).as("chg"))
+      .observe("conv_probe",
+        sum(when(col("chg"), 1L).otherwise(0L)).as("changed"))
+    df.localCheckpoint()
+    val got = df.queryExecution.observedMetrics.get("conv_probe")
+      .map(_.getLong(0))
+    assert(got === Some(33L),
+      "observed metric must be readable right after eager localCheckpoint")
+  }
+
+  test("space_ngrams == split/slice/concat_ws chain, incl. degenerate inputs") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.{sketches, Text}
+    // random space-separated docs plus every degenerate shape the old
+    // chain handled: empty, single token, leading/trailing/double spaces
+    // (normalize removes them, but the kernel must match split's
+    // semantics on RAW strings too), multi-byte UTF-8 tokens
+    val words = Array("the", "quick", "brown", "fox", "naïve", "日本語",
+      "a", "über", "z")
+    val random = (1 to 300).map { i =>
+      val n = (mix(i) & 0x7).toInt // 0..7 tokens
+      (i.toLong, (0 until n).map(j =>
+        words(math.floorMod(mix(i * 31 + j), words.length).toInt))
+        .mkString(" "))
+    }
+    val degenerate = Seq(
+      (1001L, ""), (1002L, "solo"), (1003L, " lead"), (1004L, "trail "),
+      (1005L, "a  b"), (1006L, " "), (1007L, "  "), (1008L, "a b c"),
+      (1009L, "日本 語 テスト"))
+    val df = (random ++ degenerate).toDF("id", "raw")
+    for (k <- 2 to 3) {
+      val got = df.select(col("id"),
+          explode(sketches.space_ngrams(col("raw"), k)).as("gram"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      val t = split(col("raw"), " ")
+      val want = df.select(col("id"), t.as("t"))
+        .filter(size(col("t")) >= k)
+        .select(col("id"), explode(transform(
+          sequence(lit(1), size(col("t")) - (k - 1)),
+          i => concat_ws(" ", slice(col("t"), i, lit(k))))).as("gram"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(got == want, s"k=$k")
+    }
+    // null text: kernel is null-intolerant, explode drops the row — same
+    // as the old chain's null-filtered size() guard
+    val withNull = Seq((1L, "a b"), (2L, null)).toDF("id", "raw")
+    val survivors = withNull.select(col("id"),
+        explode(sketches.space_ngrams(col("raw"), 2)).as("gram"))
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(survivors == Seq(1L))
+    // Text.wordNgrams normalizes first — spot-check the composed helper
+    val norm = Seq((1L, "  The   QUICK brown  ")).toDF("id", "text")
+      .select(explode(Text.wordNgrams(col("text"), 2)).as("gram"))
+      .collect().map(_.getString(0)).toSeq
+    assert(norm == Seq("the quick", "quick brown"))
+  }
 }

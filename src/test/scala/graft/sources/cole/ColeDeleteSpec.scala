@@ -273,4 +273,73 @@ class ColeDeleteSpec extends AnyFunSuite {
     assert(fileState(dir) === state, "a no-op DELETE must not touch a byte")
     assert(spark.table("dwh.db.noop").count() === survivors)
   }
+
+  test("partial-match rewrite splices untouched row groups byte-identically") {
+    val s = spark
+    import s.implicits._
+    val dir = s"$warehouse/db/splice"
+    // ONE file, four sorted row groups; long + double + dict-able string
+    // so the v2 footer tails (SUMS, STRB, NDV) all exercise
+    (0L until 8000L).map(i => (i, i * 0.5, s"tag-${i % 3}"))
+      .toDF("id", "v", "tag")
+      .coalesce(1).sortWithinPartitions("id")
+      .write.format("cole").mode("overwrite")
+      .option("rowGroupSize", "2000").save(dir)
+    val srcFile = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".col")).head.getAbsolutePath
+    val (srcMeta, srcBytes, srcSums) = {
+      val r = new ColeFileReader(srcFile, ColeIO.driverConf())
+      try {
+        val bytes = r.meta.rowGroups.indices.map(rg =>
+          r.meta.columns.indices.map(ci => r.readChunkBytes(rg, ci)))
+        val sums = r.meta.rowGroups.indices.map(rg =>
+          r.meta.columns.indices.map(ci => r.meta.chunkSum(rg, ci)))
+        (r.meta, bytes, sums)
+      } finally r.close()
+    }
+    assert(srcMeta.rowGroups.size === 4)
+    val spliced0 = ColeDelete.splicedRowGroups.get()
+    // matches only inside group 1 ([2000, 4000)): groups 0, 2, 3 splice
+    spark.sql("DELETE FROM dwh.db.splice WHERE id >= 2500 AND id < 3000")
+    assert(ColeDelete.splicedRowGroups.get() - spliced0 === 3L,
+      "exactly the three untouched groups must take the raw-splice lane")
+    // reader-level equivalence: exact survivors, in order
+    val left = spark.table("dwh.db.splice")
+    assert(left.count() === 7500)
+    assert(left.filter(col("id") >= 2500 && col("id") < 3000).count() === 0)
+    assert(left.agg(sum("id"), sum("v")).head ===
+      org.apache.spark.sql.Row(
+        (0L until 8000L).filterNot(i => i >= 2500 && i < 3000).sum,
+        (0L until 8000L).filterNot(i => i >= 2500 && i < 3000).map(_ * 0.5).sum))
+    // byte-level equivalence: the replacement's groups 0, 2, 3 carry the
+    // SOURCE's stored chunk bytes verbatim (offsets rebase in the footer
+    // only), its footer sums equal the source's for those groups, and
+    // its page headers (incl. CRCs) are the source's
+    val repFile = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".col")).head.getAbsolutePath
+    assert(repFile != srcFile, "the file must have been rewritten")
+    val r2 = new ColeFileReader(repFile, ColeIO.driverConf())
+    try {
+      assert(r2.meta.rowGroups.size === 4)
+      assert(r2.meta.rowGroups(1).numRows === 1500) // 2000 minus [2500,3000)
+      for ((srcRg, repRg) <- Seq((0, 0), (2, 2), (3, 3))) {
+        assert(r2.meta.rowGroups(repRg).numRows ===
+          srcMeta.rowGroups(srcRg).numRows)
+        r2.meta.columns.indices.foreach { ci =>
+          assert(java.util.Arrays.equals(
+            r2.readChunkBytes(repRg, ci), srcBytes(srcRg)(ci).asInstanceOf[Array[Byte]]),
+            s"group $srcRg column $ci must splice byte-identically")
+          assert(r2.meta.rowGroups(repRg).chunks(ci).pages ===
+            srcMeta.rowGroups(srcRg).chunks(ci).pages,
+            s"group $srcRg column $ci page headers must copy verbatim")
+          assert(r2.meta.chunkSum(repRg, ci) === srcSums(srcRg)(ci),
+            s"group $srcRg column $ci footer sum must copy exactly")
+        }
+      }
+    } finally r2.close()
+    // idempotence: the re-run takes the no-op lane and touches nothing
+    val state = fileState(dir)
+    spark.sql("DELETE FROM dwh.db.splice WHERE id >= 2500 AND id < 3000")
+    assert(fileState(dir) === state)
+  }
 }

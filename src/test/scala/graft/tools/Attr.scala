@@ -143,6 +143,25 @@ object Attr {
               .orderBy("change_type").count()
           }
         }
+      case "dedup" =>
+        // job-count attribution for Dedup.clusters: the r18 observe-based
+        // convergence count must show ONE job per propagation round
+        // (checkpoint materialization) instead of checkpoint + count
+        val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+        s.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(
+                js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+              jobs.incrementAndGet(); ()
+            }
+          })
+        val fn = SparkEntry.queries("dedup_clusters")
+        for (i <- 1 to runs) {
+          jobs.set(0)
+          time(s"dedup_clusters run $i") { fn(s, d).count() }
+          Thread.sleep(300) // listener delivery is async — settle first
+          println(s"[attr] jobs=${jobs.get()}")
+        }
       case "explainmerge" =>
         val ns = s"v${fp}_mrg_$sfx"
         Tables.orders(s, d).select(col("o_orderkey").as("k"))

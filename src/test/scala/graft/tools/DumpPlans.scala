@@ -4,12 +4,16 @@ import graft._
 import org.apache.spark.sql.functions._
 
 /** Dump `.explain("formatted")` of named queries (at sf0.1) into
-  * plans/r17/<query>_<tag>.txt — the optimization round's plan-evidence
-  * artifacts. Special pseudo-queries:
+  * plans/r18/<query>_<tag>.txt — the optimization round's plan-evidence
+  * artifacts. Special pseudo-queries (BEFORE plans reproducible from the
+  * current tree):
   *   - `cfd_diffpath`: the cole_changefeed_dml feed read FORCED onto the
   *     live-diff path (fixture copied aside, materialized cdf stripped) —
-  *     the BEFORE plan of the materialization trim, reproducible from
-  *     the current tree.
+  *     the BEFORE plan of the r17 materialization trim.
+  *   - `ngram_oldpath` / `decon_oldpath`: corpus_ngram_stats /
+  *     corpus_decontaminate rebuilt with the pre-r18
+  *     split → transform(slice/concat_ws) formulation — the BEFORE plans
+  *     of the space_ngrams kernel.
   * Usage: Test/runMain graft.tools.DumpPlans <tag> <query>[,query...]
   */
 object DumpPlans {
@@ -18,12 +22,12 @@ object DumpPlans {
     val names = args(1).split(',').filter(_.nonEmpty)
     val d = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
     val spark = Engine.session("local[32]")
-    val outDir = new java.io.File("plans/r17")
+    val outDir = new java.io.File("plans/r18")
     outDir.mkdirs()
     def write(name: String, header: String, plan: String): Unit = {
-      val w = new java.io.PrintWriter(s"plans/r17/${name}_$tag.txt")
+      val w = new java.io.PrintWriter(s"plans/r18/${name}_$tag.txt")
       try { w.println(header); w.println(plan) } finally w.close()
-      println(s"[plans] wrote plans/r17/${name}_$tag.txt")
+      println(s"[plans] wrote plans/r18/${name}_$tag.txt")
     }
     names.foreach {
       case "cfd_diffpath" =>
@@ -56,6 +60,49 @@ object DumpPlans {
           "on the LIVE-DIFF path (materialized cdf stripped from a " +
           "fixture copy): the plan before the r17-opt materialization",
           feed.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      case "ngram_oldpath" =>
+        // pre-r18 corpus_ngram_stats: split + HOF slice/concat_ws chain
+        val toks = Tables.documents(spark, d).select(
+          split(graft.functions.Text.normalize(col("text")), " ").as("t"))
+        val old = toks.filter(size(col("t")) >= 2)
+          .select(explode(transform(
+            sequence(lit(1), size(col("t")) - 1),
+            i => concat_ws(" ", slice(col("t"), i, lit(2))))).as("gram"))
+          .groupBy("gram").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("gram").asc)
+          .limit(20)
+        write("corpus_ngram_stats", s"# corpus_ngram_stats @ $d — " +
+          "pre-r18 formulation (split + transform(slice/concat_ws)), " +
+          "rebuilt from the current tree as the BEFORE plan of the " +
+          "space_ngrams kernel",
+          old.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      case "decon_oldpath" =>
+        // pre-r18 corpus_decontaminate: same chain, k=3, join shape
+        val docs = Tables.documents(spark, d)
+        val toks = docs.select(col("doc_id"),
+          split(graft.functions.Text.normalize(col("text")), " ").as("t"))
+        val grams = toks.filter(size(col("t")) >= 3)
+          .select(col("doc_id"), explode(transform(
+            sequence(lit(1), size(col("t")) - 2),
+            i => concat_ws(" ", slice(col("t"), i, lit(3))))).as("gram"))
+        val evalGrams = grams.filter(col("doc_id") % 97 === 0)
+          .select("gram").distinct()
+        val hits = grams.filter(col("doc_id") % 97 =!= 0)
+          .join(evalGrams, "gram")
+          .groupBy("doc_id").agg(countDistinct(col("gram")).as("n_hits"))
+        val old = docs.filter(col("doc_id") % 97 =!= 0).select("doc_id")
+          .join(hits, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            (coalesce(col("n_hits"), lit(0L)) > 0).as("tainted"))
+          .orderBy("doc_id")
+        write("corpus_decontaminate", s"# corpus_decontaminate @ $d — " +
+          "pre-r18 formulation (split + transform(slice/concat_ws)), " +
+          "rebuilt from the current tree as the BEFORE plan of the " +
+          "space_ngrams kernel",
+          old.queryExecution.explainString(
             org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
       case name =>
         val fn = SparkEntry.queries(name)
