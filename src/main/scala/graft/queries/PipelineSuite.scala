@@ -244,15 +244,24 @@ object PipelineSuite {
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(Text.normalize(col("text")), " ")).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy("doc_id")
+      // top token per doc as ONE aggregation (r18): min_by on the
+      // ordering struct (-n, tok) is exactly row_number()=1 over
+      // (n DESC, tok ASC) — lexicographic struct order, and tok makes
+      // the ordering value unique per group so min_by is deterministic.
+      // The two window passes (full sort of every (doc, tok) row,
+      // twice) collapse into a partial-agg-able min_by/sum pair on the
+      // ObjectHashAggregate path: same two exchanges, zero Sort nodes,
+      // and the second shuffle carries one partially-aggregated row per
+      // doc per map partition instead of every token row (guide §2.3)
       toks
-        .withColumn("n_tokens", sum(col("n")).over(w))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("doc_id").orderBy(col("n").desc, col("tok").asc)))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("tok").as("top_token"),
-          col("n").as("top_count"), col("n_tokens"),
-          (col("n").cast("double") / col("n_tokens")).as("repetition_ratio"))
+        .groupBy("doc_id")
+        .agg(min_by(struct(col("tok"), col("n")),
+            struct((-col("n")).as("neg_n"), col("tok"))).as("best"),
+          sum(col("n")).as("n_tokens"))
+        .select(col("doc_id"), col("best.tok").as("top_token"),
+          col("best.n").as("top_count"), col("n_tokens"),
+          (col("best.n").cast("double") / col("n_tokens"))
+            .as("repetition_ratio"))
         .orderBy("doc_id")
     },
       Some("""WITH t AS (SELECT doc_id,

@@ -78,6 +78,28 @@ object DumpPlans {
           "space_ngrams kernel",
           old.queryExecution.explainString(
             org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      case "textrep_oldpath" =>
+        // pre-r18 text_repetition: two window passes over (doc, tok)
+        import org.apache.spark.sql.expressions.Window
+        val toks = Tables.documents(spark, d)
+          .select(col("doc_id"),
+            explode(split(graft.functions.Text.normalize(col("text")), " ")).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("doc_id")
+        val old = toks
+          .withColumn("n_tokens", sum(col("n")).over(w))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("doc_id").orderBy(col("n").desc, col("tok").asc)))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("tok").as("top_token"),
+            col("n").as("top_count"), col("n_tokens"),
+            (col("n").cast("double") / col("n_tokens")).as("repetition_ratio"))
+          .orderBy("doc_id")
+        write("text_repetition", s"# text_repetition @ $d — pre-r18 " +
+          "formulation (two windows over (doc, tok)), rebuilt from the " +
+          "current tree as the BEFORE plan of the min-struct rewrite",
+          old.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
       case "decon_oldpath" =>
         // pre-r18 corpus_decontaminate: same chain, k=3, join shape
         val docs = Tables.documents(spark, d)
