@@ -198,8 +198,16 @@ object Dedup {
     val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("cluster_id"))
+    // label init = min(id, min direct neighbor): the same single shuffle
+    // the plain distinct-ids init paid (map-side combine on the symmetric
+    // edge list), but the first neighbor-min round comes for free — pair-
+    // and clique-shaped duplicate graphs (the near-dup steady state)
+    // start AT the fixpoint and chains start one hop closer. Fixpoint
+    // unchanged: init is ≥ the final label (min reachable id), ≤ id, and
+    // the loop only ever lowers labels.
+    var labels = edges.groupBy(col("dst").as("id"))
+      .agg(min(col("src")).as("nbr_min"))
+      .select(col("id"), least(col("id"), col("nbr_min")).as("cluster_id"))
       .localCheckpoint()
     var changed = 1L
     var iter = 0
