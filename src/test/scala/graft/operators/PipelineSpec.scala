@@ -141,6 +141,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("clusters converges on the shapes the radius-1 label init targets") {
+    // pins the r18 init (label := min(id, min direct neighbor)): pairs and
+    // cliques start AT the fixpoint, and a long path still converges to
+    // its global min through pointer jumping — same fixpoint as id-init
+    val s = spark
+    import s.implicits._
+    val pair = Seq((1L, 2L), (3L, 4L))
+    val clique = Seq((10L, 11L), (10L, 12L), (11L, 12L))
+    val path = (20L until 51L).map(i => (i, i + 1)) // 31-edge chain
+    val star = (61L to 70L).map(i => (60L, i)) // capped-bucket star shape
+    val all = (pair ++ clique ++ path ++ star).toDF("id_a", "id_b")
+    val got = Dedup.clusters(all).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want =
+      Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L) ++
+        Seq(10L, 11L, 12L).map(_ -> 10L) ++
+        (20L to 51L).map(_ -> 20L) ++
+        (60L to 70L).map(_ -> 60L)
+    assert(got == want)
+  }
+
   test("langid identifies stopword-bearing text per supported language") {
     // The synthetic corpus draws one shared vocabulary for every `lang`
     // label, so no content-based detector can recover that column; the
